@@ -1,0 +1,328 @@
+"""Deterministic synthetic fixtures (FIXTURES.md §1-3).
+
+Generates, per scale-factor name, the Parquet tables both the Ray pipeline
+and the DuckDB oracle read:
+
+* ``transcripts.parquet``  — (conv_id, turn_idx, role, text, tool, ts), the
+  exact shape of ``BASELINE.json input_hint``; Zipf-ish conversation lengths
+  so hot-key salting is exercised.
+* ``entities.parquet``     — external-KG snapshot (entity_id, label, aliases,
+  type_id): the offline stand-in for the reference's remote Wikidata lookups
+  (``wikidata_functions.py:5-29``, ``location_from_wikidata.py:26-63``).
+* ``type_hierarchy.parquet`` — (type_id, super_type_id) DAG, analog of the
+  Schema.org subtype lattice (``schema_functions.py:118-132``).
+* ``alias_table.parquet``  — (surface_norm, canonical) equivalence / split
+  edges, analog of ``manually_split_categories.csv`` + singularizer
+  (``category_mappings.py:25-28``, ``string_functions.py:17-41``). Rows whose
+  ``surface_norm`` maps to >1 canonical are split edges (compound forms);
+  single-target rows are equivalence edges (plural/case variants).
+* ``vocab.parquet``        — (surface_form, canonical) fully exploded
+  detection vocabulary: every surface form the mention detector searches for,
+  with its canonical form(s). This is the *specification* of mention
+  detection + canonicalization that the SQL oracle joins against; the Ray
+  pipeline must reproduce it from alias_table + normalization alone.
+* ``manual_overrides.parquet`` — (surface_norm, entity_id): curated links
+  that win over scored ones (analog of the manually-verified mapping CSV,
+  reference ``README.md:55``).
+
+Everything is a pure function of (profile name, SEED) — numpy RandomState is
+stable across platforms. Files are written once to a versioned cache dir and
+reused; bump ``FORMAT_VERSION`` when generation logic changes.
+
+Mention-detection spec (shared with the oracle): a turn mentions surface form
+``s`` iff ``lower(s)`` occurs as a substring of ``lower(text)``. Substring
+(not word-boundary) semantics keep the Ray and SQL sides trivially identical;
+the vocabulary is controlled, so precision is by construction.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions.normalize import normalize_one
+
+SEED = 42
+FORMAT_VERSION = "v1"
+CACHE_ROOT = os.environ.get("YCKG_FIXTURE_DIR", "/tmp/yckg_fixtures")
+
+# conversations per profile; mean conversation length ~= 9 turns.
+PROFILES = {
+    "sf0.001": 320,
+    "sf0.01": 3200,
+    "sf0.1": 32000,
+    "bench": 220_000,   # ~2M turns: scaling-run input (BASELINE.md protocol)
+}
+
+# --- controlled vocabulary ---------------------------------------------------
+# ~100 canonical terms; lowercase; lexicographic minimum of their variant
+# cluster (plural = +"s", case variants normalize to the same string), so the
+# canonicalizer's lex-min tie-break provably recovers them (SURVEY.md §7).
+BASE_TERMS = [
+    "almond", "antique", "aquarium", "archery", "bagel", "bakery", "ballet",
+    "banjo", "barbecue", "basil", "bistro", "bonsai", "botany", "bowling",
+    "brunch", "burrito", "cactus", "calligraphy", "canoe", "caramel",
+    "cardio", "ceramic", "cheddar", "chess", "cinema", "cocoa", "coffee",
+    "comedy", "compost", "croissant", "cycling", "dumpling", "espresso",
+    "falafel", "fencing", "fitness", "florist", "fondue", "fresco", "gallery",
+    "garden", "gelato", "ginger", "granola", "guitar", "health", "hiking",
+    "honey", "hummus", "jazz", "juggling", "kayak", "kimchi", "lasagna",
+    "lavender", "lentil", "library", "mango", "marathon", "museum", "noodle",
+    "nougat", "oboe", "orchard", "origami", "painting", "pasta", "pastry",
+    "photography", "piano", "pilates", "pizza", "poetry", "pottery",
+    "pretzel", "quiche", "ramen", "risotto", "robotics", "saffron", "salsa",
+    "sauna", "sculpture", "skating", "snorkel", "sorbet", "spice", "squash",
+    "sushi", "taco", "tango", "tapas", "tea", "tennis", "theater", "truffle",
+    "violin", "waffle", "yoga", "zumba",
+]
+# adversarial near-miss pairs: 1 edit apart, must NOT merge (FIXTURES.md §2)
+NEAR_MISS = [("quartz", "quarts"), ("latte", "latke"), ("mocha", "macha"),
+             ("curry", "carry"), ("berry", "ferry")]
+TWO_WORD = [
+    "machine learning", "data engineering", "rock climbing", "wine tasting",
+    "street food", "live music", "board game", "art deco", "craft beer",
+    "food truck", "night market", "open mic", "swing dance", "trail running",
+    "urban farming",
+]
+# compound split fixtures: "A & B" -> [a, b] (analog of manual split CSV)
+COMPOUND_PAIRS = [
+    ("coffee", "tea"), ("health", "fitness"), ("pizza", "pasta"),
+    ("museum", "gallery"), ("jazz", "tango"), ("sushi", "ramen"),
+    ("yoga", "pilates"), ("hiking", "cycling"), ("honey", "ginger"),
+    ("cinema", "theater"), ("garden", "orchard"), ("guitar", "violin"),
+    ("waffle", "pretzel"), ("kayak", "canoe"), ("salsa", "zumba"),
+    ("poetry", "comedy"), ("gelato", "sorbet"), ("taco", "burrito"),
+    ("chess", "bowling"), ("fresco", "fondue"),
+]
+TOOLS = ["search", "browser", "python", "calculator", "sql", "bash",
+         "email", "calendar", "maps", "translate", "weather", "files"]
+NONE_TOOL_VALUES = ["", "None", "none", "null", "Null", "NULL"]
+
+TEMPLATES_0 = [
+    "Booking confirmed, see you then.",
+    "Thanks, that answers my question.",
+    "Running the requested step now.",
+    "Here is the summary you asked for.",
+    "No further action needed on this thread.",
+    "Acknowledged; proceeding with the plan.",
+]
+TEMPLATES_1 = [
+    "Could you tell me more about {m0}?",
+    "I really enjoyed the {m0} yesterday.",
+    "The report on {m0} is ready for review.",
+    "Searching for {m0} options near downtown.",
+    "My favorite topic lately is {m0}, honestly.",
+    "Please add {m0} to the shortlist.",
+]
+TEMPLATES_2 = [
+    "Let's compare {m0} and {m1} before deciding.",
+    "Found results for {m0} as well as {m1}.",
+    "Between {m0} and {m1}, which do you prefer?",
+    "The guide covers {m0} plus a section on {m1}.",
+]
+TEMPLATES_3 = [
+    "Top picks: {m0}, {m1}, and {m2} in that order.",
+    "We shortlisted {m0}, then {m1}, finally {m2}.",
+]
+
+
+def canonical_terms() -> list[str]:
+    terms = list(BASE_TERMS) + [a for p in NEAR_MISS for a in p] + [
+        normalize_one(t) for t in TWO_WORD]
+    return sorted(set(terms))
+
+
+def _variants(term: str) -> list[str]:
+    """Surface-form variants of a canonical term that appear in text."""
+    disp = term.replace("_", " ")
+    out = [disp, disp.capitalize(), disp.upper(), disp + "s"]
+    return out
+
+
+def build_vocab_tables():
+    """Return (alias_rows, vocab_rows, mention_pool).
+
+    alias_rows: (surface_norm, canonical) — variant + split edges.
+    vocab_rows: (surface_form, canonical) — exploded detection vocabulary.
+    mention_pool: surface forms sampled into generated text.
+    """
+    terms = canonical_terms()
+    alias_rows: list[tuple[str, str]] = []
+    vocab_rows: list[tuple[str, str]] = []
+    pool: list[str] = []
+    for t in terms:
+        for v in _variants(t):
+            n = normalize_one(v)
+            if n != t:
+                alias_rows.append((n, t))  # equivalence edge (plural)
+            vocab_rows.append((v.lower(), t))  # detection is case-insensitive
+            pool.append(v)
+    for a, b in COMPOUND_PAIRS:
+        for sf in (f"{a.capitalize()} & {b.capitalize()}", f"{a}/{b}"):
+            n = normalize_one(sf)
+            alias_rows.append((n, a))   # split edges: one norm -> 2 canonicals
+            alias_rows.append((n, b))
+            vocab_rows.append((sf.lower(), a))
+            vocab_rows.append((sf.lower(), b))
+            pool.append(sf)
+    alias_rows = sorted(set(alias_rows))
+    vocab_rows = sorted(set(vocab_rows))
+    return alias_rows, vocab_rows, sorted(set(pool))
+
+
+def build_kg_snapshot():
+    """entities / type_hierarchy / manual_overrides (FIXTURES.md §3)."""
+    rng = np.random.RandomState(SEED + 7)
+    terms = canonical_terms()
+    n_types = 80
+    type_ids = [f"T{i:03d}" for i in range(n_types)]
+    # DAG: each non-root type gets 1-2 parents with smaller index
+    th_rows = []
+    for i in range(1, n_types):
+        parents = rng.choice(i, size=min(i, rng.randint(1, 3)), replace=False)
+        for p in sorted(set(parents.tolist())):
+            th_rows.append((type_ids[i], type_ids[p]))
+    ent_rows = []
+    qid = 1000
+    for t in terms:  # linkable entities: label == display form of canonical
+        disp = t.replace("_", " ")
+        aliases = [disp + "s", disp.title()]
+        ent_rows.append((f"Q{qid}", disp, aliases, type_ids[qid % n_types]))
+        qid += 1
+    for i in range(150):  # distractors never mentioned in text
+        label = f"distractor entity {i:03d}"
+        ent_rows.append((f"Q{qid}", label, [f"de{i:03d}"], type_ids[qid % n_types]))
+        qid += 1
+    # manual overrides: 20 surface norms pinned to specific entities
+    overrides = []
+    label_to_qid = {normalize_one(r[1]): r[0] for r in ent_rows}
+    for t in sorted(terms)[:20]:
+        overrides.append((t, label_to_qid[t]))
+    return ent_rows, th_rows, overrides
+
+
+def _compose_texts(rng: np.random.RandomState, n: int, pool: list[str]) -> list[str]:
+    n_mentions = rng.choice([0, 1, 2, 3], size=n, p=[0.35, 0.40, 0.20, 0.05])
+    t0 = rng.randint(0, len(TEMPLATES_0), size=n)
+    t1 = rng.randint(0, len(TEMPLATES_1), size=n)
+    t2 = rng.randint(0, len(TEMPLATES_2), size=n)
+    t3 = rng.randint(0, len(TEMPLATES_3), size=n)
+    m = rng.randint(0, len(pool), size=(n, 3))
+    out = []
+    for i in range(n):
+        k = n_mentions[i]
+        if k == 0:
+            out.append(TEMPLATES_0[t0[i]])
+        elif k == 1:
+            out.append(TEMPLATES_1[t1[i]].format(m0=pool[m[i, 0]]))
+        elif k == 2:
+            out.append(TEMPLATES_2[t2[i]].format(m0=pool[m[i, 0]], m1=pool[m[i, 1]]))
+        else:
+            out.append(TEMPLATES_3[t3[i]].format(
+                m0=pool[m[i, 0]], m1=pool[m[i, 1]], m2=pool[m[i, 2]]))
+    return out
+
+
+def generate_transcripts(n_convs: int, seed: int = SEED) -> pa.Table:
+    rng = np.random.RandomState(seed)
+    lengths = rng.randint(4, 15, size=n_convs)
+    hot = np.arange(0, n_convs, 500)  # every 500th conversation is hot
+    lengths[hot] = rng.randint(150, 400, size=len(hot))
+    total = int(lengths.sum())
+
+    conv_idx = np.repeat(np.arange(n_convs), lengths)
+    turn_idx = np.concatenate([np.arange(l) for l in lengths]).astype(np.int32)
+    conv_id = np.char.add("conv", np.char.zfill(conv_idx.astype(str), 8))
+
+    r = rng.random_sample(total)
+    role = np.where(turn_idx % 2 == 0, "user", "assistant")
+    role = np.where((turn_idx > 0) & (r < 0.12), "tool", role)
+    role = np.where(turn_idx == 0, np.where(r < 0.3, "system", "user"), role)
+
+    # tool column: real tool on tool/assistant turns ~60% of the time, else a
+    # none-ish value (exercises the none-filter + dead-letter path)
+    tool_pick = np.array(TOOLS)[rng.randint(0, len(TOOLS), size=total)]
+    none_pick = np.array(NONE_TOOL_VALUES)[rng.randint(0, len(NONE_TOOL_VALUES), size=total)]
+    has_tool = np.isin(role, ("tool", "assistant")) & (rng.random_sample(total) < 0.6)
+    tool = np.where(has_tool, tool_pick, none_pick)
+
+    _, _, pool = build_vocab_tables()
+    texts = _compose_texts(rng, total, pool)
+
+    base = np.int64(datetime(2025, 1, 1, tzinfo=timezone.utc).timestamp() * 1_000_000)
+    conv_start = base + conv_idx.astype(np.int64) * 7_919_000_000  # ~2.2h apart
+    ts = conv_start + turn_idx.astype(np.int64) * 37_000_000 \
+        + rng.randint(0, 5_000_000, size=total)
+
+    return pa.table({
+        "conv_id": pa.array(conv_id, pa.string()),
+        "turn_idx": pa.array(turn_idx, pa.int32()),
+        "role": pa.array(role, pa.string()),
+        "text": pa.array(texts, pa.string()),
+        "tool": pa.array(tool, pa.string()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    })
+
+
+def fixture_dir(sf_name: str) -> str:
+    return os.path.join(CACHE_ROOT, FORMAT_VERSION, sf_name)
+
+
+def ensure_fixtures(sf_dir_or_name: str) -> str:
+    """Generate (once) and return the fixture dir for a scale-factor name.
+
+    Accepts either a bare profile name ("sf0.01") or a testdata dir path
+    ("/root/testdata/sf0.01"). Writes are atomic (tmp dir + rename) so
+    concurrent callers are safe.
+    """
+    sf_name = os.path.basename(os.path.normpath(sf_dir_or_name))
+    if sf_name not in PROFILES:
+        sf_name = "sf0.001"
+    out = fixture_dir(sf_name)
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
+    tmp = out + f".tmp{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+
+    alias_rows, vocab_rows, _pool = build_vocab_tables()
+    ent_rows, th_rows, overrides = build_kg_snapshot()
+
+    pq.write_table(generate_transcripts(PROFILES[sf_name]),
+                   os.path.join(tmp, "transcripts.parquet"))
+    pq.write_table(pa.table({
+        "surface_norm": [r[0] for r in alias_rows],
+        "canonical": [r[1] for r in alias_rows]}),
+        os.path.join(tmp, "alias_table.parquet"))
+    pq.write_table(pa.table({
+        "surface_form": [r[0] for r in vocab_rows],
+        "canonical": [r[1] for r in vocab_rows]}),
+        os.path.join(tmp, "vocab.parquet"))
+    pq.write_table(pa.table({
+        "entity_id": [r[0] for r in ent_rows],
+        "label": [r[1] for r in ent_rows],
+        "aliases": pa.array([r[2] for r in ent_rows], pa.list_(pa.string())),
+        "type_id": [r[3] for r in ent_rows]}),
+        os.path.join(tmp, "entities.parquet"))
+    pq.write_table(pa.table({
+        "type_id": [r[0] for r in th_rows],
+        "super_type_id": [r[1] for r in th_rows]}),
+        os.path.join(tmp, "type_hierarchy.parquet"))
+    pq.write_table(pa.table({
+        "surface_norm": [r[0] for r in overrides],
+        "entity_id": [r[1] for r in overrides]}),
+        os.path.join(tmp, "manual_overrides.parquet"))
+
+    with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
+        f.write("ok\n")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        # another process won the race; use its output
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

@@ -1,0 +1,73 @@
+"""Distributed connected components via iterated min-label propagation.
+
+The reference's canonicalization state is an in-process ``set()`` cache
+(``create_yelp_nt_files.py:47,101-108``) — not portable to a cluster. Here
+equivalence classes (alias clusters, near-duplicate clusters) are computed as
+connected components over an *edge Dataset* using only shuffle-native
+primitives, so the same code works at 10^12 edges:
+
+    labels(x) <- min(labels(x), min over neighbors y of labels(y))
+
+iterated to fixpoint. Each round is one hash-shuffle join (propagate labels
+across edges) plus one groupby-min. Convergence in O(diameter) rounds; the
+radial variant->canonical alias graphs of this engine converge in 1 round
+(SURVEY.md §7 "custom distributed state"). Fixpoint is detected with a cheap
+global aggregate (sum of per-row label hashes), not a driver-side diff.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Min
+
+
+def _hash_sum(labels: ray.data.Dataset) -> int:
+    """Order-insensitive fingerprint of the (node, label) assignment."""
+    import pandas as pd
+
+    def h(batch: pa.Table) -> pa.Table:
+        joined = pc.binary_join_element_wise(batch["node"], batch["label"], "\x1f")
+        # deterministic across processes (unlike builtin str hash)
+        hv = pd.util.hash_pandas_object(joined.to_pandas(), index=False).to_numpy()
+        return pa.table({"h": pa.array((hv >> np.uint64(1)).astype("int64"))})
+    agg = labels.map_batches(h, batch_format="pyarrow").sum("h")
+    return int(agg or 0)
+
+
+def connected_components(edges: ray.data.Dataset, num_partitions: int = 8,
+                         max_iter: int = 10) -> ray.data.Dataset:
+    """edges: Dataset with string columns (u, v). Returns (node, label) with
+    label = lexicographic minimum node of the component."""
+    def undirect(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.concat_arrays([batch["u"].combine_chunks(),
+                                      batch["v"].combine_chunks()]),
+            "nbr": pa.concat_arrays([batch["v"].combine_chunks(),
+                                     batch["u"].combine_chunks()])})
+    und = edges.map_batches(undirect, batch_format="pyarrow")
+    # initial label(x) = min(x, neighbors(x))
+    self_rows = und.map_batches(
+        lambda b: pa.table({"node": b["node"], "nbr": b["node"]}),
+        batch_format="pyarrow")
+    labels = und.union(self_rows).groupby("node").aggregate(
+        Min("nbr", alias_name="label")).materialize()
+    prev = _hash_sum(labels)
+    for _ in range(max_iter):
+        # propagate: for edge (node, nbr), candidate label(node) = label(nbr)
+        prop = und.join(labels, join_type="inner", num_partitions=num_partitions,
+                        on=("nbr",), right_on=("node",), left_suffix="",
+                        right_suffix="_r")
+        cand = prop.map_batches(
+            lambda b: pa.table({"node": b["node"], "label": b["label"]}),
+            batch_format="pyarrow")
+        labels = labels.union(cand).groupby("node").aggregate(
+            Min("label", alias_name="label")).materialize()
+        cur = _hash_sum(labels)
+        if cur == prev:
+            break
+        prev = cur
+    return labels

@@ -1,0 +1,128 @@
+"""The flagship pipeline: extract → link → canonicalize → materialize.
+
+End-to-end composition of the four stages mandated by ``BASELINE.json
+north_star``, mirroring the reference's ``create_YCKG.py`` driver
+(``create_YCKG.py:25-52``: per-domain emission, then schema enrichment, then
+wikidata mapping) as one streaming Ray Data job:
+
+  transcripts ─┬─ structural triples (stateless map_batches)
+               ├─ mention triples (detector actor pool)
+               │     └─ canonicalize (broadcast alias map rewrite)
+               │           ├─ mention class/label triples
+               │           └─ distinct forms ─ link scorer (actor pool)
+               │                 ├─ sameAs triples
+               │                 └─ type enrichment triples
+               └─ dead-letter Dataset (audit channel)
+  union(all triples) ─ global dedup ─ global sort ─ parquet (+ manifests)
+
+Every stage is optionally checkpointed through ``state.checkpoint`` so a
+killed run resumes from the last complete stage with identical output.
+"""
+
+from __future__ import annotations
+
+import os
+
+import ray
+import ray.data
+
+from ..fixtures import generator
+from ..stages import canonicalize as canon
+from ..stages import enrich, extract, link, materialize, mentions
+from ..state.checkpoint import CheckpointedRun
+
+
+def load_config_tables(fixture_dir: str):
+    """Driver-side load of the tiny curated tables (broadcast sides)."""
+    import pyarrow.parquet as pq
+    alias = pq.read_table(f"{fixture_dir}/alias_table.parquet")
+    alias_rows = list(zip(alias["surface_norm"].to_pylist(),
+                          alias["canonical"].to_pylist()))
+    vocab_surfaces = mentions.load_vocab_surfaces(fixture_dir)
+    snapshot = link.load_snapshot(fixture_dir)
+    ents = pq.read_table(f"{fixture_dir}/entities.parquet",
+                         columns=["entity_id", "type_id"])
+    entity_types = dict(zip(ents["entity_id"].to_pylist(),
+                            ents["type_id"].to_pylist()))
+    th = pq.read_table(f"{fixture_dir}/type_hierarchy.parquet")
+    hierarchy = list(zip(th["type_id"].to_pylist(),
+                         th["super_type_id"].to_pylist()))
+    return alias_rows, vocab_surfaces, snapshot, entity_types, hierarchy
+
+
+def build_graph(transcripts: ray.data.Dataset, fixture_dir: str,
+                concurrency: int = 4, include_enrichment: bool = True,
+                checkpoint_dir: str | None = None,
+                distributed_canon_map: bool = False) -> ray.data.Dataset:
+    """Full KG construction; returns the materialized (sorted, deduped)
+    triples Dataset. ``distributed_canon_map=True`` computes the alias
+    closure with the shuffle-native components job instead of the driver
+    (identical result; used to exercise the scale path)."""
+    alias_rows, vocab, snapshot, entity_types, hierarchy = \
+        load_config_tables(fixture_dir)
+    if distributed_canon_map:
+        cmap = canon.build_canonical_map(alias_rows)
+    else:
+        cmap = canon.build_canonical_map_local(alias_rows)
+
+    ck = CheckpointedRun(checkpoint_dir) if checkpoint_dir else None
+
+    def _stage(name, build, upstream=()):
+        """Stage boundary. With a checkpoint dir: atomic parquet + manifest.
+        Without: pin the stage in the object store — every _stage output
+        below fans out to >1 consumer, and leaving it lazy would both
+        re-execute the upstream per consumer and put several actor pools in
+        one executor graph (min-actor demand can exceed the CPU budget and
+        deadlock a small cluster)."""
+        if ck is None:
+            return build().materialize()
+        return ck.stage(name, build, upstream)
+
+    structural = _stage("structural",
+                        lambda: extract.structural_triples(transcripts))
+    raw_mentions = _stage("mentions",
+                          lambda: mentions.mention_triples(
+                              transcripts, vocab, concurrency=concurrency))
+    canon_mentions = _stage("canonical_mentions",
+                            lambda: canon.canonicalize_mentions(
+                                raw_mentions, cmap, concurrency=concurrency),
+                            upstream=["mentions"])
+    parts = [structural, canon_mentions,
+             mentions.mention_entity_triples(canon_mentions)]
+    if include_enrichment:
+        links = link.link_mentions(canon_mentions, snapshot,
+                                   concurrency=concurrency)
+        link_triples = _stage("links", lambda: links,
+                              upstream=["canonical_mentions"])
+        # re-derive (form, entity_id) pairs from the sameAs triples for the
+        # enrichment expansion (cheap projection)
+        import pyarrow.compute as pc
+        import pyarrow as pa
+        from .. import config as C
+
+        def to_pairs(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "form": pc.replace_substring(b["subj"].combine_chunks(),
+                                             C.ENT + "mention/", ""),
+                "entity_id": pc.replace_substring(b["obj"].combine_chunks(),
+                                                  C.WD, "")})
+        pairs = link_triples.map_batches(to_pairs, batch_format="pyarrow")
+        parts.append(link_triples)
+        parts.append(enrich.enrichment_triples(pairs, entity_types, hierarchy))
+    all_triples = parts[0]
+    for p in parts[1:]:
+        all_triples = all_triples.union(p)
+    final = _stage("final", lambda: materialize.materialize(all_triples),
+                   upstream=["structural", "canonical_mentions", "links"])
+    return final
+
+
+def run_kg(sf_dir: str, concurrency: int = 4,
+           include_enrichment: bool = True,
+           checkpoint_dir: str | None = None) -> ray.data.Dataset:
+    """Convenience entry: fixtures for this sf, read transcripts, build KG."""
+    fdir = generator.ensure_fixtures(sf_dir)
+    ts = ray.data.read_parquet(os.path.join(fdir, "transcripts.parquet"))
+    return build_graph(ts, fdir, concurrency=concurrency,
+                       include_enrichment=include_enrichment,
+                       checkpoint_dir=checkpoint_dir)
