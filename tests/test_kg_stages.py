@@ -1,0 +1,165 @@
+"""Unit tests per KG stage on the tiny fixture (SURVEY.md §5 strategy)."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from the_yelp_collaborative_knowledge_graph_ray import config as C
+from the_yelp_collaborative_knowledge_graph_ray.pipelines.kg import (
+    load_config_tables,
+)
+from the_yelp_collaborative_knowledge_graph_ray.stages import (
+    canonicalize as canon,
+)
+from the_yelp_collaborative_knowledge_graph_ray.stages import (
+    extract,
+    link,
+    materialize,
+    mentions,
+)
+
+
+def _batch(**cols):
+    return pa.table(cols)
+
+
+def test_extract_structural_counts():
+    b = _batch(
+        conv_id=pa.array(["c1", "c1"]),
+        turn_idx=pa.array([0, 1], pa.int32()),
+        role=pa.array(["user", "tool"]),
+        text=pa.array(["hello", "world"]),
+        tool=pa.array([None, "search"]),
+        ts=pa.array([1_700_000_000_000_000, 1_700_000_037_000_000],
+                    pa.timestamp("us")))
+    t = extract.extract_structural(b)
+    # 7 kinds per turn + 2 tool triples for the one real tool
+    assert t.num_rows == 7 * 2 + 2
+    preds = set(t["pred"].to_pylist())
+    assert C.PRED_USES_TOOL in preds and C.RDF_TYPE in preds
+    # text literal unchanged (per-turn text equality invariant)
+    texts = t.filter(pc.equal(t["pred"], C.PRED_TEXT))["obj"].to_pylist()
+    assert sorted(texts) == ["hello", "world"]
+
+
+def test_dead_letter_reasons():
+    b = _batch(
+        conv_id=pa.array(["c1"] * 3),
+        turn_idx=pa.array([0, 1, 2], pa.int32()),
+        role=pa.array(["user"] * 3),
+        text=pa.array(["x"] * 3),
+        tool=pa.array(["None", "", "sql"]),
+        ts=pa.array([0, 1, 2], pa.timestamp("us")))
+    d = extract.extract_dead_letter(b)
+    assert d.num_rows == 2
+    assert set(d["value"].to_pylist()) == {"None", ""}
+
+
+def test_mention_detector_substring_semantics():
+    det = mentions.MentionDetector(["coffee", "Coffee & Tea"])
+    b = _batch(
+        conv_id=pa.array(["c1", "c1", "c2"]),
+        turn_idx=pa.array([0, 1, 0], pa.int32()),
+        text=pa.array(["I love Coffee & Tea!", "no mentions here",
+                       "COFFEE time"]))
+    t = det(b)
+    got = sorted((s.rsplit("/", 2)[-2] + "/" + s.rsplit("/", 2)[-1],
+                  o.rsplit("/", 1)[-1])
+                 for s, o in zip(t["subj"].to_pylist(), t["obj"].to_pylist()))
+    # turn c1/0 matches both vocab entries -> two distinct norms
+    assert got == [("c1/0", "coffee"), ("c1/0", "coffee_tea"),
+                   ("c2/0", "coffee")]
+
+
+def test_canonical_map_local_vs_distributed(ray_session, sf_tiny):
+    alias = pq.read_table(f"{sf_tiny}/alias_table.parquet")
+    rows = list(zip(alias["surface_norm"].to_pylist(),
+                    alias["canonical"].to_pylist()))
+    local = canon.build_canonical_map_local(rows)
+    dist = canon.build_canonical_map(rows, num_partitions=2)
+    assert local == dist
+
+
+def test_canonicalize_rewrites_and_splits():
+    cmap = {"coffees": ("coffee",), "coffee_tea": ("coffee", "tea")}
+    rw = canon.MentionRewriter(cmap)
+    n = 3
+    b = pa.table({
+        "subj": ["t1", "t2", "t3"],
+        "pred": [C.PRED_MENTIONS] * n,
+        "obj": [C.ENT + "mention/coffees", C.ENT + "mention/coffee_tea",
+                C.ENT + "mention/plain"],
+        "obj_is_literal": [False] * n,
+        "obj_datatype": pa.nulls(n, pa.string()),
+        "src_conv_id": ["c"] * n,
+        "src_turn_idx": pa.array([0, 0, 0], pa.int32()),
+    }, schema=extract.TRIPLE_SCHEMA)
+    out = rw(b)
+    objs = sorted(o.rsplit("/", 1)[-1] for o in out["obj"].to_pylist())
+    assert objs == ["coffee", "coffee", "plain", "tea"]
+    assert out.num_rows == 4
+
+
+def test_link_scorer_exact_overrides_and_threshold(sf_tiny):
+    snap = link.load_snapshot(sf_tiny)
+    scorer = link.LinkScorer(snap)
+    b = pa.table({"form": ["coffee", "zzzz_no_match_qq"]})
+    out = scorer(b)
+    d = dict(zip(out["form"].to_pylist(), out["entity_id"].to_pylist()))
+    assert "coffee" in d and d["coffee"].startswith("Q")
+    assert "zzzz_no_match_qq" not in d
+    # override precedence: force a different entity for a known form
+    snap2 = link.EntitySnapshot([("Q1", "coffee", [])], {"coffee": "Q9999"})
+    out2 = link.LinkScorer(snap2)(pa.table({"form": ["coffee"]}))
+    assert out2["entity_id"].to_pylist() == ["Q9999"]
+
+
+def test_near_miss_pairs_do_not_merge(sf_tiny):
+    """Adversarial fixture pairs (FIXTURES.md §2) must link to distinct
+    entities and never canonicalize together."""
+    snap = link.load_snapshot(sf_tiny)
+    scorer = link.LinkScorer(snap)
+    from the_yelp_collaborative_knowledge_graph_ray.fixtures.generator import (
+        NEAR_MISS,
+    )
+    forms = [f for pair in NEAR_MISS for f in pair]
+    out = scorer(pa.table({"form": forms}))
+    d = dict(zip(out["form"].to_pylist(), out["entity_id"].to_pylist()))
+    for a, b in NEAR_MISS:
+        assert d[a] != d[b], (a, b)
+    alias = pq.read_table(f"{sf_tiny}/alias_table.parquet")
+    rows = list(zip(alias["surface_norm"].to_pylist(),
+                    alias["canonical"].to_pylist()))
+    cmap = canon.build_canonical_map_local(rows)
+    for a, b in NEAR_MISS:
+        assert cmap.get(a, (a,)) != cmap.get(b, (b,))
+
+
+def test_materialize_dedup_and_sort(ray_session):
+    n = 4
+    b = pa.table({
+        "subj": ["s2", "s1", "s1", "s1"],
+        "pred": ["p"] * n,
+        "obj": ["o", "o", "o", "o2"],
+        "obj_is_literal": [False] * n,
+        "obj_datatype": pa.nulls(n, pa.string()),
+        "src_conv_id": ["c"] * n,
+        "src_turn_idx": pa.array([0, 1, 2, 3], pa.int32()),
+    }, schema=extract.TRIPLE_SCHEMA)
+    ds = ray.data.from_arrow(b)
+    out = materialize.materialize(ds).to_pandas()
+    assert len(out) == 3
+    assert out["subj"].tolist() == ["s1", "s1", "s2"]
+    assert out["obj"].tolist() == ["o", "o2", "o"]
+
+
+def test_ntriples_renderer():
+    b = pa.table({
+        "subj": ["http://e/s"], "pred": ["http://e/p"],
+        "obj": ['va"l\nue'], "obj_is_literal": [True],
+        "obj_datatype": [C.XSD_STRING]})
+    line = materialize.render_ntriples(b)["text"].to_pylist()[0]
+    assert line == ('<http://e/s> <http://e/p> '
+                    '"va\\"l\\nue"^^<http://www.w3.org/2001/XMLSchema#string> .')

@@ -1,0 +1,32 @@
+"""Normalizer parity: Python / pyarrow / DuckDB implementations agree."""
+
+import duckdb
+import pyarrow as pa
+
+from the_yelp_collaborative_knowledge_graph_ray.functions.normalize import (
+    normalize_array,
+    normalize_one,
+    normalize_sql,
+)
+
+CASES = [
+    "Coffee & Tea", "  Health/Fitness  ", "Mo's Diner", "a--b", "UPPER CASE",
+    "trail running", "weird..dots", "(parens)", "comma, sep", "", "x",
+    "Tea&Coffee&More", "already_norm",
+]
+
+
+def test_three_way_parity():
+    py = [normalize_one(s) for s in CASES]
+    arrow = normalize_array(pa.array(CASES)).to_pylist()
+    con = duckdb.connect()
+    sql = [con.sql(f"SELECT {normalize_sql('?')}", params=[s]).fetchone()[0]
+           for s in CASES]
+    assert py == arrow == sql
+
+
+def test_examples():
+    assert normalize_one("Coffee & Tea") == "coffee_tea"
+    assert normalize_one("Health/Fitness") == "health_fitness"
+    assert normalize_one("COFFEE") == "coffee"
+    assert normalize_one("coffees ") == "coffees"

@@ -1,0 +1,331 @@
+"""Driver-facing query registry: Ray implementation + DuckDB oracle per op.
+
+Each ``queries()`` entry is one operator/pipeline from SURVEY.md §2; the
+matching ``oracle_sql()`` string recomputes the same result in ANSI SQL over
+the same parquet inputs (testdata views + the deterministic transcript
+fixtures under ``/tmp/yckg_fixtures``). Column names are aligned on both
+sides — the driver sorts columns by name and hashes values.
+
+The KG queries read the *generated* transcripts fixture (the
+``BASELINE.json input_hint`` table shape); ``oracle_sql()`` triggers fixture
+generation for sf0.01 so the SQL paths exist regardless of call order.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from . import config as C
+from .fixtures import generator
+from .functions.normalize import normalize_sql
+
+SF_ORACLE = "sf0.01"  # the driver's correctness scale
+
+
+def _fx(sf_dir: str) -> str:
+    return generator.ensure_fixtures(sf_dir)
+
+
+def _read_transcripts(sf_dir: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        os.path.join(_fx(sf_dir), "transcripts.parquet"), columns=columns)
+
+
+TOOL_OK_SQL = ("tool IS NOT NULL AND tool NOT IN " +
+               "(" + ",".join(f"'{v}'" for v in C.NONE_VALUES if v) + ",'')")
+
+
+def _sql_prefix(fdir: str) -> str:
+    """Shared CTEs: transcripts with IRIs, detection vocab, entity names."""
+    return f"""
+WITH t AS (
+  SELECT *,
+    '{C.ENT}turn/' || conv_id || '/' || turn_idx AS turn_iri,
+    '{C.ENT}conversation/' || conv_id AS conv_iri
+  FROM read_parquet('{fdir}/transcripts.parquet')
+),
+vocab AS (SELECT DISTINCT surface_form, canonical
+          FROM read_parquet('{fdir}/vocab.parquet')),
+mention AS (
+  SELECT DISTINCT t.turn_iri, t.conv_id, t.turn_idx, v.canonical
+  FROM t JOIN vocab v ON position(v.surface_form IN lower(t.text)) > 0
+),
+forms AS (SELECT DISTINCT canonical AS form FROM mention),
+ent_names AS (
+  SELECT entity_id, {normalize_sql('label')} AS nname
+  FROM read_parquet('{fdir}/entities.parquet')
+  UNION
+  SELECT entity_id, {normalize_sql('al.a')} AS nname
+  FROM read_parquet('{fdir}/entities.parquet') e, unnest(e.aliases) AS al(a)
+),
+linked AS (
+  SELECT f.form,
+         coalesce(ov.entity_id,
+                  (SELECT min(e.entity_id) FROM ent_names e
+                   WHERE e.nname = f.form)) AS entity_id
+  FROM forms f
+  LEFT JOIN read_parquet('{fdir}/manual_overrides.parquet') ov
+         ON ov.surface_norm = f.form
+)
+"""
+
+
+def _structural_sql() -> str:
+    return f"""
+  SELECT turn_iri AS subj, '{C.RDF_TYPE}' AS pred, '{C.CLASS_TURN}' AS obj,
+         false AS obj_is_literal, CAST(NULL AS VARCHAR) AS obj_datatype FROM t
+  UNION
+  SELECT turn_iri, '{C.PRED_IS_PART_OF}', conv_iri, false, NULL FROM t
+  UNION
+  SELECT conv_iri, '{C.RDF_TYPE}', '{C.CLASS_CONVERSATION}', false, NULL FROM t
+  UNION
+  SELECT turn_iri, '{C.PRED_POSITION}', CAST(turn_idx AS VARCHAR), true,
+         '{C.XSD_INTEGER}' FROM t
+  UNION
+  SELECT turn_iri, '{C.PRED_ROLE}', role, true, '{C.XSD_STRING}' FROM t
+  UNION
+  SELECT turn_iri, '{C.PRED_DATE_CREATED}',
+         strftime(ts, '%Y-%m-%dT%H:%M:%S'), true, '{C.XSD_DATETIME}' FROM t
+  UNION
+  SELECT turn_iri, '{C.PRED_TEXT}', text, true, '{C.XSD_STRING}' FROM t
+  UNION
+  SELECT turn_iri, '{C.PRED_USES_TOOL}',
+         '{C.ENT}tool/' || {normalize_sql('tool')}, false, NULL
+  FROM t WHERE {TOOL_OK_SQL}
+  UNION
+  SELECT '{C.ENT}tool/' || {normalize_sql('tool')}, '{C.RDF_TYPE}',
+         '{C.CLASS_TOOL}', false, NULL
+  FROM t WHERE {TOOL_OK_SQL}
+"""
+
+
+def _mention_sql() -> str:
+    return f"""
+  SELECT DISTINCT turn_iri AS subj, '{C.PRED_MENTIONS}' AS pred,
+         '{C.ENT}mention/' || canonical AS obj,
+         false AS obj_is_literal, CAST(NULL AS VARCHAR) AS obj_datatype
+  FROM mention
+"""
+
+
+def _mention_entity_sql() -> str:
+    return f"""
+  SELECT '{C.ENT}mention/' || form AS subj, '{C.RDF_TYPE}' AS pred,
+         '{C.CLASS_MENTION}' AS obj, false AS obj_is_literal,
+         CAST(NULL AS VARCHAR) AS obj_datatype FROM forms
+  UNION
+  SELECT '{C.ENT}mention/' || form, '{C.RDFS_LABEL}', form, true,
+         '{C.XSD_STRING}' FROM forms
+"""
+
+
+def _link_sql() -> str:
+    return f"""
+  SELECT '{C.ENT}mention/' || form AS subj, '{C.PRED_SAME_AS}' AS pred,
+         '{C.WD}' || entity_id AS obj, false AS obj_is_literal,
+         CAST(NULL AS VARCHAR) AS obj_datatype
+  FROM linked WHERE entity_id IS NOT NULL
+"""
+
+
+def _enrich_sql(fdir: str) -> str:
+    return f"""
+  SELECT DISTINCT '{C.WD}' || l.entity_id AS subj,
+         '{C.PRED_INSTANCE_OF}' AS pred,
+         '{C.ENT}type/' || e.type_id AS obj, false AS obj_is_literal,
+         CAST(NULL AS VARCHAR) AS obj_datatype
+  FROM linked l JOIN read_parquet('{fdir}/entities.parquet') e
+       ON e.entity_id = l.entity_id
+  WHERE l.entity_id IS NOT NULL
+  UNION
+  SELECT DISTINCT '{C.ENT}type/' || ancp.t, '{C.RDFS_SUBCLASS_OF}',
+         '{C.ENT}type/' || ancp.a, false, NULL
+  FROM (
+    WITH RECURSIVE anc(t, a) AS (
+      SELECT th.type_id, th.super_type_id
+      FROM read_parquet('{fdir}/type_hierarchy.parquet') th
+      WHERE th.type_id IN (
+        SELECT e.type_id FROM linked l
+        JOIN read_parquet('{fdir}/entities.parquet') e
+          ON e.entity_id = l.entity_id
+        WHERE l.entity_id IS NOT NULL)
+      UNION
+      SELECT anc.t, th.super_type_id
+      FROM anc JOIN read_parquet('{fdir}/type_hierarchy.parquet') th
+        ON th.type_id = anc.a
+    ) SELECT t, a FROM anc
+  ) AS ancp(t, a)
+"""
+
+
+# --------------------------------------------------------------------------
+# Ray implementations
+# --------------------------------------------------------------------------
+
+def _q_structural(sf_dir: str):
+    from .stages import extract, materialize
+    ts = _read_transcripts(sf_dir)
+    return materialize.materialize(extract.structural_triples(ts))
+
+
+def _q_mentions(sf_dir: str):
+    from .pipelines.kg import load_config_tables
+    from .stages import canonicalize as canon
+    from .stages import materialize, mentions
+    fdir = _fx(sf_dir)
+    alias_rows, vocab, *_ = load_config_tables(fdir)
+    ts = _read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "text"])
+    m = mentions.mention_triples(ts, vocab)
+    cm = canon.canonicalize_mentions(m, canon.build_canonical_map_local(alias_rows))
+    return materialize.materialize(cm)
+
+
+def _q_dead_letter(sf_dir: str):
+    from .stages import extract
+    ts = _read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "tool"])
+    return extract.dead_letter(ts)
+
+
+def _q_full(sf_dir: str):
+    from .pipelines.kg import run_kg
+    return run_kg(sf_dir)
+
+
+def _q_turns_per_role(sf_dir: str):
+    ts = _read_transcripts(sf_dir, columns=["role"])
+    return ts.groupby("role").count().rename_columns({"count()": "n"}).sort("role")
+
+
+def _q_mean_turns_per_conv(sf_dir: str):
+    ts = _read_transcripts(sf_dir, columns=["conv_id"])
+    agg = ts.groupby("conv_id").count()
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_convs": pa.array([batch.num_rows], pa.int64()),
+            "total_turns": pa.array([pc.sum(batch["count()"]).as_py()], pa.int64())})
+    parts = agg.map_batches(summarize, batch_format="pyarrow").to_pandas()
+    n_convs = int(parts["n_convs"].sum())
+    total = int(parts["total_turns"].sum())
+    import pandas as pd
+    # plain IEEE division on both sides -> bit-identical doubles
+    return pd.DataFrame({"n_convs": [n_convs], "total_turns": [total],
+                         "mean_turns": [total / n_convs]})
+
+
+def _q_busiest_day_by_tool(sf_dir: str):
+    ts = _read_transcripts(sf_dir, columns=["tool", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        from .stages.extract import _tool_mask
+        sel = b.filter(_tool_mask(b["tool"]))
+        return pa.table({"day": pc.strftime(sel["ts"], format="%Y-%m-%d")})
+    days = ts.map_batches(prep, batch_format="pyarrow")
+    counts = days.groupby("day").count().rename_columns({"count()": "n"})
+    return counts.sort(["n", "day"], descending=[True, False]).limit(1)
+
+
+def _q_convs_over_10_turns(sf_dir: str):
+    ts = _read_transcripts(sf_dir, columns=["conv_id"])
+    agg = ts.groupby("conv_id").count()
+    big = agg.map_batches(
+        lambda b: b.filter(pc.greater(b["count()"], 10)), batch_format="pyarrow")
+    import pandas as pd
+    return pd.DataFrame({"n_convs": [big.count()]})
+
+
+def _q_turns_in_month(sf_dir: str):
+    ts = _read_transcripts(sf_dir, columns=["ts"])
+
+    def f(b: pa.Table) -> pa.Table:
+        m = pc.strftime(b["ts"], format="%Y-%m")
+        return pa.table({"hit": pc.cast(pc.equal(m, "2025-02"), pa.int64())})
+    import pandas as pd
+    n = ts.map_batches(f, batch_format="pyarrow").sum("hit")
+    return pd.DataFrame({"n_turns": [int(n or 0)]})
+
+
+def _q_distinct_mentions(sf_dir: str):
+    ds = _q_mentions(sf_dir)
+    import pandas as pd
+    objs = ds.map_batches(lambda b: pa.table({"obj": b["obj"]}),
+                          batch_format="pyarrow")
+    return pd.DataFrame({"n_forms": [objs.unique("obj").__len__()]})
+
+
+def _q_top_tools(sf_dir: str):
+    ts = _read_transcripts(sf_dir, columns=["tool"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        from .stages.extract import _tool_mask
+        return pa.table({"tool": b.filter(_tool_mask(b["tool"]))["tool"]})
+    counts = ts.map_batches(prep, batch_format="pyarrow") \
+        .groupby("tool").count().rename_columns({"count()": "n"})
+    return counts.sort(["n", "tool"], descending=[True, False]).limit(5)
+
+
+def queries() -> dict[str, Callable]:
+    return {
+        "kg_structural_triples": _q_structural,
+        "kg_mention_triples": _q_mentions,
+        "kg_dead_letter": _q_dead_letter,
+        "kg_pipeline_full": _q_full,
+        "cq_turns_per_role": _q_turns_per_role,
+        "cq_mean_turns_per_conv": _q_mean_turns_per_conv,
+        "cq_busiest_day_by_tool": _q_busiest_day_by_tool,
+        "cq_convs_over_10_turns": _q_convs_over_10_turns,
+        "cq_turns_in_month": _q_turns_in_month,
+        "cq_distinct_mentions": _q_distinct_mentions,
+        "cq_top_tools": _q_top_tools,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    fdir = generator.ensure_fixtures(SF_ORACLE)
+    P = _sql_prefix(fdir)
+    return {
+        "kg_structural_triples": P + "SELECT * FROM (" + _structural_sql() + ")",
+        "kg_mention_triples": P + _mention_sql(),
+        "kg_dead_letter": f"""
+            SELECT conv_id AS src_conv_id, turn_idx AS src_turn_idx,
+                   'tool' AS key, tool AS value, 'none_value' AS reason
+            FROM read_parquet('{fdir}/transcripts.parquet')
+            WHERE NOT ({TOOL_OK_SQL})""",
+        "kg_pipeline_full": P + "SELECT * FROM (" + "\nUNION\n".join([
+            _structural_sql(), _mention_sql(), _mention_entity_sql(),
+            _link_sql(), _enrich_sql(fdir)]) + ")",
+        "cq_turns_per_role": f"""
+            SELECT role, count(*) AS n
+            FROM read_parquet('{fdir}/transcripts.parquet')
+            GROUP BY role ORDER BY role""",
+        "cq_mean_turns_per_conv": f"""
+            SELECT count(DISTINCT conv_id) AS n_convs, count(*) AS total_turns,
+                   CAST(count(*) AS DOUBLE) / count(DISTINCT conv_id)
+                     AS mean_turns
+            FROM read_parquet('{fdir}/transcripts.parquet')""",
+        "cq_busiest_day_by_tool": f"""
+            SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+            FROM read_parquet('{fdir}/transcripts.parquet')
+            WHERE {TOOL_OK_SQL}
+            GROUP BY 1 ORDER BY n DESC, day ASC LIMIT 1""",
+        "cq_convs_over_10_turns": f"""
+            SELECT count(*) AS n_convs FROM (
+              SELECT conv_id FROM read_parquet('{fdir}/transcripts.parquet')
+              GROUP BY conv_id HAVING count(*) > 10)""",
+        "cq_turns_in_month": f"""
+            SELECT count(*) AS n_turns
+            FROM read_parquet('{fdir}/transcripts.parquet')
+            WHERE strftime(ts, '%Y-%m') = '2025-02'""",
+        "cq_distinct_mentions": P + "SELECT count(*) AS n_forms FROM forms",
+        "cq_top_tools": f"""
+            SELECT tool, count(*) AS n
+            FROM read_parquet('{fdir}/transcripts.parquet')
+            WHERE {TOOL_OK_SQL}
+            GROUP BY 1 ORDER BY n DESC, tool ASC LIMIT 5""",
+    }

@@ -83,8 +83,11 @@ def extract_structural(batch: pa.Table) -> pa.Table:
         _kind(turn, C.PRED_POSITION, pc.cast(tidx, pa.string()), True,
               C.XSD_INTEGER, conv, tidx),
         _kind(turn, C.PRED_ROLE, batch["role"], True, C.XSD_STRING, conv, tidx),
+        # cast to second precision first: pyarrow %S would emit fractional
+        # seconds, the reference format (M9) has none
         _kind(turn, C.PRED_DATE_CREATED,
-              pc.strftime(batch["ts"], format="%Y-%m-%dT%H:%M:%S"), True,
+              pc.strftime(pc.cast(batch["ts"], pa.timestamp("s"), safe=False),
+                          format="%Y-%m-%dT%H:%M:%S"), True,
               C.XSD_DATETIME, conv, tidx),
         _kind(turn, C.PRED_TEXT, batch["text"], True, C.XSD_STRING, conv, tidx),
     ]
