@@ -1,0 +1,164 @@
+"""Benchmark harness for the Ray-Data KG engine.
+
+Default mode: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and print ONE JSON line::
+
+    {"metric": "kg_end_to_end_triples_per_sec", "value": N, "unit": "sec",
+     "queries": {"kg_pipeline_full": sec, ...}, "sf": "sf0.1", "num_cpus": 32}
+
+``--scaling`` mode (BASELINE.md protocol): run the flagship pipeline twice in
+FRESH subprocesses — ``num_cpus=8`` then ``num_cpus=32`` — on the same input
+and report both throughputs plus scaling efficiency
+``throughput_32 / (4 * throughput_8)``.
+
+This script OWNS its Ray session (the only non-test surface that does).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# Queries timed in the default bench run: the flagship KG build plus one
+# representative per operator family (SURVEY.md §2 / training-data ops).
+HEADLINE_QUERIES = [
+    "kg_pipeline_full",
+    "kg_structural_triples",
+    "kg_mention_triples",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "ann_topk_cosine",
+    "text_quality",
+    "text_langid",
+    "rel_groupby_lineitem",
+    "rel_join_orders_customer",
+    "events_sessionize",
+]
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _consume(res) -> int:
+    """Force full execution; return row count."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+    if isinstance(res, ray.data.Dataset):
+        return res.count()
+    if isinstance(res, (pd.DataFrame, pa.Table)):
+        return len(res)
+    return 0
+
+
+def run_default(sf_dir: str, num_cpus: int) -> dict:
+    _init_ray(num_cpus)
+    from the_yelp_collaborative_knowledge_graph_ray import queries as Q
+    from the_yelp_collaborative_knowledge_graph_ray.fixtures import generator
+
+    generator.ensure_fixtures(sf_dir)  # exclude fixture gen from timings
+    qs = Q.queries()
+    timings: dict[str, float] = {}
+    kg_triples = 0
+    for name in HEADLINE_QUERIES:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        n = _consume(qs[name](sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+        if name == "kg_pipeline_full":
+            kg_triples = n
+    total = round(sum(timings.values()), 3)
+    kg_sec = timings.get("kg_pipeline_full", 0.0) or 1.0
+    return {
+        "metric": "kg_end_to_end_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "num_cpus": num_cpus,
+        "kg_triples": kg_triples,
+        "kg_triples_per_sec": round(kg_triples / kg_sec, 1),
+    }
+
+
+def run_child(sf_name: str, num_cpus: int) -> dict:
+    """One fresh-process flagship run for the scaling protocol."""
+    _init_ray(num_cpus)
+    from the_yelp_collaborative_knowledge_graph_ray.fixtures import generator
+    from the_yelp_collaborative_knowledge_graph_ray.pipelines.kg import run_kg
+
+    generator.ensure_fixtures(sf_name)
+    t0 = time.time()
+    n = run_kg(sf_name, concurrency=max(2, num_cpus // 4)).count()
+    dt = time.time() - t0
+    return {"num_cpus": num_cpus, "triples": n, "sec": round(dt, 3),
+            "triples_per_sec": round(n / dt, 1)}
+
+
+def run_scaling(sf_name: str) -> dict:
+    """Same input, fresh ray sessions at 8 and 32 CPUs (BASELINE.md)."""
+    # generate fixtures once in the parent so children skip it
+    from the_yelp_collaborative_knowledge_graph_ray.fixtures import generator
+    generator.ensure_fixtures(sf_name)
+    results = {}
+    for cpus in (8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--_child", sf_name,
+             "--num-cpus", str(cpus)],
+            capture_output=True, text=True, check=True)
+        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+    t8 = results[8]["triples_per_sec"]
+    t32 = results[32]["triples_per_sec"]
+    return {
+        "metric": "scaling_efficiency_8_to_32_cpus",
+        "value": round(t32 / (4 * t8), 3),
+        "unit": "ratio",
+        "sf": sf_name,
+        "run_8cpu": results[8],
+        "run_32cpu": results[32],
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-sf", default="bench",
+                    help="fixture profile for the scaling run")
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--num-cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--_child", dest="child_sf", default=None,
+                    help=argparse.SUPPRESS)
+    args = ap.parse_args()
+
+    import ray
+    if args.child_sf:
+        print(json.dumps(run_child(args.child_sf, args.num_cpus)))
+    elif args.scaling:
+        print(json.dumps(run_scaling(args.scaling_sf)))
+    else:
+        print(json.dumps(run_default(args.sf_dir, args.num_cpus)))
+    if ray.is_initialized():
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

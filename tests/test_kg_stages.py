@@ -163,3 +163,47 @@ def test_ntriples_renderer():
     line = materialize.render_ntriples(b)["text"].to_pylist()[0]
     assert line == ('<http://e/s> <http://e/p> '
                     '"va\\"l\\nue"^^<http://www.w3.org/2001/XMLSchema#string> .')
+
+
+def test_materialize_unsorted_path(ray_session):
+    b = pa.table({
+        "subj": ["s1", "s1", "s2"], "pred": ["p"] * 3,
+        "obj": ["o", "o", "o"], "obj_is_literal": [False, False, True],
+        "obj_datatype": pa.array([None, None, C.XSD_STRING]),
+        "src_conv_id": ["c"] * 3,
+        "src_turn_idx": pa.array([0, 1, 2], pa.int32()),
+    }, schema=extract.TRIPLE_SCHEMA)
+    out = materialize.materialize(
+        ray.data.from_arrow(b), sort=False).to_pandas()
+    assert len(out) == 2
+    got = set(zip(out.subj, out.obj_is_literal,
+                  out.obj_datatype.where(out.obj_datatype.notna(), None)))
+    assert got == {("s1", False, None), ("s2", True, C.XSD_STRING)}
+
+
+def test_sorted_block_dedup_is_exact_under_block_splits(ray_session):
+    """Regression guard for the materialize dedup invariant (module docstring
+    of stages/materialize.py): sort + per-block neighbor dedup must be an
+    EXACT global dedup even when a hot key vastly exceeds the target block
+    size. If a Ray upgrade starts splitting equal sort keys across blocks,
+    this fails."""
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 256 * 1024  # force aggressive splitting
+        hot = ["hot%d" % (i % 3) for i in range(300_000)]
+        uniq = [f"k{i:06d}" for i in range(30_000)]
+        n = len(hot) + len(uniq)
+        b = pa.table({
+            "subj": hot + uniq, "pred": ["p"] * n, "obj": ["o"] * n,
+            "obj_is_literal": [False] * n,
+            "obj_datatype": pa.nulls(n, pa.string()),
+            "src_conv_id": ["c"] * n,
+            "src_turn_idx": pa.array([0] * n, pa.int32()),
+        }, schema=extract.TRIPLE_SCHEMA)
+        ds = ray.data.from_arrow(b).repartition(16)
+        out = materialize.materialize(ds)
+        assert out.count() == 30_003
+    finally:
+        ctx.target_max_block_size = old

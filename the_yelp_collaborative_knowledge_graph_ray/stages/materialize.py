@@ -6,13 +6,35 @@ north_star`` our output is the *sorted, deduplicated* (subj, pred, obj)
 triples table (set semantics — order-insensitive comparison makes the added
 sort semantics-preserving, SURVEY.md §2.6).
 
-Shuffle plan (the expensive part at 100 TB):
-1. per-batch local dedup (cheap Arrow group_by) — collapses the heavy
-   duplicate classes (one conversation-type triple per *turn*, one tool-type
-   triple per *call*) before anything moves;
-2. global exact dedup via hash-shuffle ``groupby([subj, pred, obj])`` with
-   Min-aggregates over the dependent columns;
-3. global range-partitioned ``sort([subj, pred, obj])``.
+Shuffle plan (the expensive part at 100 TB) — ONE all-to-all, not two:
+
+1. per-block local dedup (cheap Arrow ``group_by`` over all five columns) —
+   collapses the heavy duplicate classes (one conversation-type triple per
+   *turn*, one tool-type triple per *call*) before anything moves;
+2. ONE global range-partitioned ``sort`` over **all five columns**;
+3. per-block adjacent-row dedup (vectorized neighbor compare).
+
+Step 3 is an *exact* global dedup, not an approximation, because of two
+invariants of Ray's sort shuffle (verified against ray 2.49 source):
+
+* map-side partitioning uses ``np.searchsorted(..., side="left")`` on the
+  sampled boundary for ascending keys (``ray/data/_internal/util.py``
+  ``find_partition_index``), identically in every map task — so all rows
+  equal to a boundary value land in the *same* range partition, never split;
+* each merge/reduce task "merges the sorted blocks into one sorted block"
+  per partition (``planner/exchange/sort_task_spec.py``) — one output block
+  per partition.
+
+Hence identical rows are always adjacent *within one block* after the sort,
+and a per-block neighbor-compare with ``batch_size=None`` (one batch == one
+block) removes every duplicate. ``tests/test_kg_stages.py`` stress-tests this
+with a key duplicated millions of times under a tiny
+``target_max_block_size`` so a Ray behavior change would fail loudly.
+
+This replaced a ``groupby([subj,pred,obj]).aggregate(Min,Min)`` dedup that
+cost 33 s at sf0.1 (vs 2.5 s for the sort itself — the sort-shuffle
+aggregate reduce is row-wise Python); measured end-to-end this cut the
+flagship materialize stage ~4x.
 
 An optional N-Triples text renderer reproduces the reference's output format
 byte-for-byte-comparable (typed literals, ``create_yelp_nt_files.py:168-175``).
@@ -24,42 +46,81 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Min
 
 from .. import config as C
 
+SORT_COLS = ["subj", "pred", "obj", "obj_is_literal", "obj_datatype"]
+
+OUT_SCHEMA = pa.schema([
+    ("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string()),
+    ("obj_is_literal", pa.bool_()), ("obj_datatype", pa.string())])
+
+
+def _enforce(batch: pa.Table) -> pa.Table:
+    """Project to the five output columns with one stable schema (all-null
+    blocks can surface as ``pa.null()`` typed columns after shuffles)."""
+    return pa.table(
+        {f.name: pc.cast(batch[f.name], f.type) for f in OUT_SCHEMA},
+        schema=OUT_SCHEMA)
+
 
 def local_dedup(batch: pa.Table) -> pa.Table:
-    cols = [c for c in C.TRIPLE_COLUMNS if c in batch.schema.names]
-    return batch.select(cols).group_by(
-        ["subj", "pred", "obj"], use_threads=False).aggregate(
-        [("obj_is_literal", "min"), ("obj_datatype", "min")]).rename_columns(
-        ["subj", "pred", "obj", "obj_is_literal", "obj_datatype"])
+    """Per-block exact dedup of full rows (Arrow hash group-by, C speed)."""
+    b = _enforce(batch)
+    return b.group_by(SORT_COLS, use_threads=False).aggregate([]).cast(OUT_SCHEMA)
+
+
+def _row_key(batch: pa.Table) -> pa.Array:
+    """One string per row encoding the full 5-tuple (\\x1f-joined; nulls and
+    bools mapped to sentinels so the encoding is injective)."""
+    dt = pc.fill_null(batch["obj_datatype"], "\x00")
+    lit = pc.if_else(batch["obj_is_literal"], "1", "0")
+    return pc.binary_join_element_wise(
+        batch["subj"], batch["pred"], batch["obj"], lit, dt, "\x1f")
+
+
+def dedup_sorted_block(batch: pa.Table) -> pa.Table:
+    """Drop rows equal to their predecessor (exact global dedup after the
+    full-key sort; see module docstring for why this never misses)."""
+    if batch.num_rows <= 1:
+        return batch
+    key = _row_key(batch)
+    if isinstance(key, pa.ChunkedArray):
+        key = key.combine_chunks()
+    neq = pc.not_equal(key.slice(1), key.slice(0, len(key) - 1))
+    keep = pa.concat_arrays(
+        [pa.array([True]), pc.fill_null(neq, True).combine_chunks()
+         if isinstance(neq, pa.ChunkedArray) else pc.fill_null(neq, True)])
+    return batch.filter(keep)
 
 
 def materialize(triples: ray.data.Dataset, sort: bool = True) -> ray.data.Dataset:
     """Exact global dedup + global sort of a triples Dataset."""
     ds = triples.map_batches(local_dedup, batch_format="pyarrow",
                              zero_copy_batch=True)
-    ds = ds.groupby(["subj", "pred", "obj"]).aggregate(
-        Min("obj_is_literal", alias_name="obj_is_literal"),
-        Min("obj_datatype", alias_name="obj_datatype", ignore_nulls=False))
-
-    # all-null blocks can come back as pa.null() after the shuffle; pin the
-    # declared schema so unions/writes downstream see one stable schema
-    out_schema = pa.schema([
-        ("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string()),
-        ("obj_is_literal", pa.bool_()), ("obj_datatype", pa.string())])
-
-    def enforce(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {f.name: pc.cast(batch[f.name], f.type) for f in out_schema},
-            schema=out_schema)
-
-    ds = ds.map_batches(enforce, batch_format="pyarrow", zero_copy_batch=True)
     if sort:
-        ds = ds.sort(["subj", "pred", "obj"])
-    return ds
+        ds = ds.sort(SORT_COLS)
+        ds = ds.map_batches(dedup_sorted_block, batch_format="pyarrow",
+                            batch_size=None, zero_copy_batch=True)
+        return ds
+    # unsorted exact dedup (audit paths): single synthetic-key shuffle
+    keyed = ds.map_batches(
+        lambda b: pa.table({"key": _row_key(b)}), batch_format="pyarrow",
+        zero_copy_batch=True)
+    distinct = keyed.groupby("key").count()
+
+    def from_key(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(b["key"], "\x1f")
+        f = lambda i: pc.list_element(parts, i)  # noqa: E731
+        dt = f(4)
+        return pa.table({
+            "subj": f(0), "pred": f(1), "obj": f(2),
+            "obj_is_literal": pc.equal(f(3), "1"),
+            "obj_datatype": pc.if_else(pc.equal(dt, "\x00"),
+                                       pa.scalar(None, pa.string()), dt),
+        }, schema=OUT_SCHEMA)
+
+    return distinct.map_batches(from_key, batch_format="pyarrow")
 
 
 def render_ntriples(batch: pa.Table) -> pa.Table:
