@@ -29,6 +29,12 @@ def _names():
     "cq_turns_per_role", "cq_mean_turns_per_conv", "cq_busiest_day_by_tool",
     "cq_convs_over_10_turns", "cq_turns_in_month", "cq_distinct_mentions",
     "cq_top_tools", "kg_pipeline_full",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_embedding_cosine", "embedding_topk_pairs", "ann_topk_cosine",
+    "text_quality", "text_token_count",
+    "rel_groupby_lineitem", "rel_join_orders_customer", "rel_topk_customers",
+    "rel_first_order_per_customer", "rel_revenue_by_brand",
+    "events_sessionize",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     qs = Q.queries()

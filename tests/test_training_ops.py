@@ -1,0 +1,178 @@
+"""Unit tests for the training-data operators (dedup / similarity / text
+analysis / multimodal) on small synthetic corpora with Python brute-force
+oracles."""
+
+import itertools
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from the_yelp_collaborative_knowledge_graph_ray.functions.joins import (
+    attach_column,
+)
+from the_yelp_collaborative_knowledge_graph_ray.stages import (
+    dedup,
+    multimodal,
+    similarity,
+    textstats,
+)
+
+
+def _docs_ds():
+    """12 docs: 2 exact-dup groups, 2 near-dup pairs, rest distinct."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    texts = {
+        0: base,
+        1: base,                             # exact dup of 0
+        2: base.replace("gamma", "GAMMA2"),  # near dup of 0
+        3: "totally different words entirely here now forever and ever more",
+        4: "totally different words entirely here now forever and ever more",
+        5: "one two three four five six seven eight nine ten eleven twelve",
+        6: "one two three four five six seven eight nine ten eleven xxx",
+        7: "unrelated content about completely other topics with no overlap",
+        8: "the weather today is sunny with a light breeze from the north",
+        9: "stock prices rose sharply after the earnings announcement today",
+        10: "recipe calls for flour sugar butter eggs vanilla and patience",
+        11: "distant galaxies emit radio waves detected by large arrays",
+    }
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()), pa.string())}))
+
+
+def _brute_jaccard(texts: dict[int, str], threshold: float):
+    out = set()
+    for a, b in itertools.combinations(sorted(texts), 2):
+        sa, sb = dedup._shingles(texts[a]), dedup._shingles(texts[b])
+        if len(sa & sb) / len(sa | sb) >= threshold:
+            out.add((a, b))
+    return out
+
+
+def test_exact_dedup(ray_session):
+    df = dedup.exact_dedup(_docs_ds()).to_pandas()
+    assert df["n_dups"].sum() == 12
+    dups = df[df["n_dups"] > 1]
+    assert len(dups) == 2
+    assert sorted(dups["keep_doc_id"]) == [0, 3]
+
+
+def test_ngram_jaccard_matches_brute_force(ray_session):
+    ds = _docs_ds()
+    texts = dict(zip(ds.to_pandas()["doc_id"], ds.to_pandas()["text"]))
+    got = dedup.ngram_jaccard_pairs(ds, threshold=0.5).to_pandas()
+    want = _brute_jaccard(texts, 0.5)
+    assert set(zip(got["doc_a"], got["doc_b"])) == want
+    assert (got["jaccard"] >= 0.5).all()
+
+
+def test_minhash_lsh_matches_brute_force(ray_session):
+    ds = _docs_ds()
+    texts = dict(zip(ds.to_pandas()["doc_id"], ds.to_pandas()["text"]))
+    got = dedup.minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+    assert set(zip(got["doc_a"], got["doc_b"])) == _brute_jaccard(texts, 0.5)
+
+
+def test_simhash_finds_exact_and_near_dups(ray_session):
+    got = dedup.simhash_pairs(_docs_ds(), max_hamming=3).to_pandas()
+    pairs = set(zip(got["doc_a"], got["doc_b"]))
+    assert (0, 1) in pairs          # identical -> hamming 0
+    assert (3, 4) in pairs
+    ham = dict(zip(zip(got["doc_a"], got["doc_b"]), got["hamming"]))
+    assert ham[(0, 1)] == 0
+    assert (7, 11) not in pairs     # unrelated docs
+
+
+def _emb_ds(n=64, dim=16, seed=3):
+    rng = np.random.RandomState(seed)
+    m = rng.standard_normal((n, dim))
+    m[1] = m[0] + 0.01 * rng.standard_normal(dim)  # planted near-dup
+    return ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(m.tolist(), pa.list_(pa.float32()))})), m
+
+
+def test_embedding_near_dup_and_brute_topk(ray_session):
+    ds, m = _emb_ds()
+    near = dedup.embedding_near_dup_pairs(ds, threshold=0.99).to_pandas()
+    assert (0, 1) in set(zip(near["doc_a"], near["doc_b"]))
+
+    got = similarity.brute_force_topk(ds, k=5, n_queries=4).to_pandas()
+    # numpy oracle (float32 round trip to match the stored values)
+    m32 = m.astype(np.float32).astype(np.float64)
+    mn = m32 / np.linalg.norm(m32, axis=1, keepdims=True)
+    for q in range(4):
+        s = np.round(mn[q] @ mn.T, 6)
+        cand = [i for i in range(len(mn)) if i >= 4]
+        order = sorted(cand, key=lambda i: (-s[i], i))[:5]
+        sub = got[got["query_id"] == q]
+        assert sub["vec_id"].tolist() == order, q
+
+
+def test_ivf_recall_vs_brute_force(ray_session):
+    ds, _ = _emb_ds(n=256, dim=16)
+    brute = similarity.brute_force_topk(ds, k=10, n_queries=4).to_pandas()
+    approx = similarity.ivf_topk(ds, k=10, n_queries=4, n_clusters=8,
+                                 n_probe=4).to_pandas()
+    recalls = []
+    for q in range(4):
+        b = set(brute[brute["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        recalls.append(len(a & b) / len(b))
+    assert np.mean(recalls) >= 0.5, recalls  # probing half the buckets
+
+
+def test_langid_on_real_sentences():
+    clf = textstats.LangIdClassifier()
+    assert clf.classify_one("the cat sat on the mat with the other cats") == "en"
+    assert clf.classify_one("der hund lief schnell durch den wald nach hause") == "de"
+    assert clf.classify_one("el gato come pescado en la casa de mi abuela") == "es"
+    assert clf.classify_one("le chien court dans le jardin avec les enfants") == "fr"
+    assert clf.classify_one("狐狸跳过了懒狗然后跑走了") == "zh"
+
+
+def test_winnow_fingerprints_locality():
+    a = "the quick brown fox jumps over the lazy dog near the river bank"
+    b = a.replace("river", "creek")
+    fa = set(textstats.winnow_fingerprints(a))
+    fb = set(textstats.winnow_fingerprints(b))
+    overlap = len(fa & fb) / len(fa | fb)
+    assert overlap > 0.5            # local edit -> most fingerprints shared
+    assert fa != fb                 # but the change is detected
+    assert textstats.winnow_fingerprints(a) == textstats.winnow_fingerprints(a)
+
+
+def test_multimodal_plumbing(ray_session):
+    media = multimodal.synthesize_media(_docs_ds())
+    feats = multimodal.extract_features(media).to_pandas()
+    assert len(feats) == 12
+    assert set(feats["media_type"]) <= {"image", "audio", "video"}
+    v = feats["feature"].iloc[0]
+    assert len(v) == multimodal.FEATURE_DIM
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+    # deterministic: same payload -> same features (docs 0 and 1 identical)
+    f0 = feats[feats["media_id"] == 0]["feature"].iloc[0]
+    f1 = feats[feats["media_id"] == 1]["feature"].iloc[0]
+    assert np.allclose(f0, f1)
+    with pytest.raises(NotImplementedError):
+        multimodal.MediaFeatureExtractor(mode="real")(
+            pa.table({"media_id": [1], "payload": [b"x"],
+                      "media_type": ["image"]}))
+
+
+def test_attach_column_sparse_left(ray_session):
+    """The co-group join must survive a tiny left side over many partitions
+    (the case where Dataset.join crashes — functions/joins.py docstring)."""
+    left = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array([3], pa.int64()), "v": pa.array([7], pa.int64())}))
+    src = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(100), pa.int64()),
+        "text": pa.array([f"t{i}" for i in range(100)], pa.string())}))
+    out = attach_column(
+        left, src, left_cols=[("doc_a", pa.int64()), ("v", pa.int64())],
+        left_key="doc_a", source_key="doc_id", source_val="text",
+        out_col="text_a").to_pandas()
+    assert out.to_dict("records") == [{"doc_a": 3, "v": 7, "text_a": "t3"}]

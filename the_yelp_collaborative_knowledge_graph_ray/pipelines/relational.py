@@ -1,0 +1,182 @@
+"""Relational operator demos over the TPC-H-ish testdata tables.
+
+Each function is the Ray-Data-first expression of one operator family from
+SURVEY.md §2, oracle-checked against DuckDB by the driver:
+
+* :func:`lineitem_agg` — grouped aggregation with map-side partial combine
+  (A1/A8: ``groupby().mean()`` / CQ-style aggregates). The per-block Arrow
+  ``group_by`` collapses 60k rows to ~4 partials per block BEFORE the
+  shuffle, so the all-to-all moves O(groups x blocks), not O(rows).
+* :func:`orders_by_mktsegment` — broadcast-small-side join (J3,
+  ``location_from_wikidata.py:398``): the 1.5k-row customer table rides the
+  object store once; probe inside ``map_batches``.
+* :func:`topk_customers` — groupby-sum + sort + limit (O3: ``ORDER BY SUM
+  DESC LIMIT``).
+* :func:`first_order_per_customer` — dedup-before-expensive-work (A4/ST5):
+  ``groupby(key).min()``.
+* :func:`revenue_by_brand` — two-hop broadcast join lineitem -> part.
+* :func:`sessionize_events` — per-key ordered processing (§2.9 contract):
+  ``groupby(user).map_groups`` with in-group sort by ts; a session breaks
+  when the gap exceeds 30 minutes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+SESSION_GAP_S = 1800
+
+
+def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def lineitem_agg(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q1-style pricing summary with map-side partial aggregation."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(b["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        b = b.append_column("disc_price", disc_price)
+        return b.group_by(["l_returnflag", "l_linestatus"],
+                          use_threads=False).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("disc_price", "sum"), ("l_discount", "sum"),
+             ("l_quantity", "count")]).rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+             "sum_disc_price", "sum_disc", "n_rows"])
+
+    partials = li.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price", alias_name="sum_base_price"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("sum_disc", alias_name="sum_disc"),
+        Sum("n_rows", alias_name="count_order"))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = pc.cast(b["count_order"], pa.float64())
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "sum_qty": b["sum_qty"],
+            "sum_base_price": b["sum_base_price"],
+            "sum_disc_price": b["sum_disc_price"],
+            "avg_qty": pc.divide(pc.cast(b["sum_qty"], pa.float64()), n),
+            "avg_disc": pc.divide(pc.cast(b["sum_disc"], pa.float64()), n),
+            "count_order": b["count_order"]})
+
+    return agg.map_batches(finalize, batch_format="pyarrow") \
+              .sort(["l_returnflag", "l_linestatus"])
+
+
+def orders_by_mktsegment(sf_dir: str) -> ray.data.Dataset:
+    """Broadcast join orders ⋈ customer -> revenue per market segment."""
+    from ray.data.aggregate import Count, Sum
+
+    import pyarrow.parquet as pq
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(),
+                                  cust["c_mktsegment"].to_pylist())))
+
+    class Probe:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            segs = [self.lookup.get(k) for k in b["o_custkey"].to_pylist()]
+            return pa.table({
+                "mktsegment": pa.array(segs, pa.string()),
+                "o_totalprice": b["o_totalprice"]})
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    probed = orders.map_batches(Probe, batch_format="pyarrow",
+                                zero_copy_batch=True, concurrency=(1, 4))
+    return probed.groupby("mktsegment").aggregate(
+        Sum("o_totalprice", alias_name="revenue"),
+        Count("o_totalprice", alias_name="n_orders")).sort("mktsegment")
+
+
+def topk_customers(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    totals = orders.groupby("o_custkey").aggregate(
+        Sum("o_totalprice", alias_name="total_spent"))
+
+    def round6(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": b["o_custkey"],
+            "total_spent": pc.round(b["total_spent"], 6)})
+
+    return totals.map_batches(round6, batch_format="pyarrow") \
+                 .sort(["total_spent", "o_custkey"],
+                       descending=[True, False]).limit(k)
+
+
+def first_order_per_customer(sf_dir: str) -> ray.data.Dataset:
+    from ray.data.aggregate import Count, Min
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    return orders.groupby("o_custkey").aggregate(
+        Min("o_orderdate", alias_name="first_order"),
+        Count("o_orderdate", alias_name="n_orders")).sort("o_custkey")
+
+
+def revenue_by_brand(sf_dir: str) -> ray.data.Dataset:
+    """lineitem ⋈ part (broadcast) -> discounted revenue per brand."""
+    from ray.data.aggregate import Sum
+
+    import pyarrow.parquet as pq
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    lookup_ref = ray.put(dict(zip(part["p_partkey"].to_pylist(),
+                                  part["p_brand"].to_pylist())))
+
+    class Probe:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            brands = [self.lookup.get(k) for k in b["l_partkey"].to_pylist()]
+            rev = pc.multiply(b["l_extendedprice"],
+                              pc.subtract(pa.scalar(1.0), b["l_discount"]))
+            return pa.table({"brand": pa.array(brands, pa.string()),
+                             "revenue": rev})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice", "l_discount"])
+    probed = li.map_batches(Probe, batch_format="pyarrow",
+                            zero_copy_batch=True, concurrency=(1, 4))
+    return probed.groupby("brand").aggregate(
+        Sum("revenue", alias_name="revenue")).sort("brand")
+
+
+def sessionize_events(sf_dir: str) -> ray.data.Dataset:
+    """(user_id, n_events, n_sessions): session breaks at gaps > 30 min.
+    Per-user ordered logic = groupby + in-group sort by ts (the transcript
+    ordering contract of SURVEY.md §2.9 applied to the events table)."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sessions(g: pa.Table) -> pa.Table:
+        ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+        gaps = np.diff(ts) > SESSION_GAP_S * 1_000_000
+        return pa.table({
+            "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+            "n_events": pa.array([len(ts)], pa.int64()),
+            "n_sessions": pa.array([int(gaps.sum()) + 1], pa.int64())})
+
+    return ev.groupby("user_id").map_groups(
+        sessions, batch_format="pyarrow").sort("user_id")

@@ -270,6 +270,153 @@ def _q_top_tools(sf_dir: str):
     return counts.sort(["n", "tool"], descending=[True, False]).limit(5)
 
 
+# --------------------------------------------------------------------------
+# training-data ops (documents / embeddings tables)
+# --------------------------------------------------------------------------
+
+def _docs(sf_dir: str):
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "text"])
+
+
+def _emb(sf_dir: str):
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                 columns=["vec_id", "embedding"])
+
+
+def _q_dedup_exact(sf_dir: str):
+    from .stages.dedup import exact_dedup
+    return exact_dedup(_docs(sf_dir))
+
+
+def _q_dedup_ngram_jaccard(sf_dir: str):
+    from .stages.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_docs(sf_dir), threshold=0.5)
+
+
+def _q_dedup_minhash_lsh(sf_dir: str):
+    from .stages.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_docs(sf_dir), threshold=0.5)
+
+
+def _q_dedup_simhash(sf_dir: str):
+    from .stages.dedup import simhash_pairs
+    return simhash_pairs(_docs(sf_dir), max_hamming=3)
+
+
+def _q_dedup_embedding_cosine(sf_dir: str):
+    from .stages.dedup import embedding_near_dup_pairs
+    df = embedding_near_dup_pairs(_emb(sf_dir), threshold=0.9).to_pandas()
+    if df.empty:  # an empty Dataset loses its schema through sort
+        import pandas as pd
+        df = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                           "doc_b": pd.Series(dtype="int64"),
+                           "cosine": pd.Series(dtype="float64")})
+    return df
+
+
+def _q_embedding_topk_pairs(sf_dir: str):
+    from .stages.dedup import embedding_topk_pairs
+    return embedding_topk_pairs(_emb(sf_dir), topk=20)
+
+
+def _q_ann_topk(sf_dir: str):
+    from .stages.similarity import brute_force_topk
+    return brute_force_topk(_emb(sf_dir), k=10, n_queries=8)
+
+
+def _q_ann_ivf(sf_dir: str):
+    from .stages.similarity import ivf_topk
+    return ivf_topk(_emb(sf_dir), k=10, n_queries=8)
+
+
+def _q_text_quality(sf_dir: str):
+    from .stages.textstats import quality_stats
+    return quality_stats(_docs(sf_dir))
+
+
+def _q_text_tokens(sf_dir: str):
+    from .stages.textstats import token_counts
+    return token_counts(_docs(sf_dir))
+
+
+def _q_text_langid(sf_dir: str):
+    from .stages.textstats import language_id
+    return language_id(_docs(sf_dir))
+
+
+def _q_text_fingerprint(sf_dir: str):
+    from .stages.textstats import fingerprints
+    return fingerprints(_docs(sf_dir))
+
+
+def _q_multimodal(sf_dir: str):
+    from .stages.multimodal import extract_features, synthesize_media
+    return extract_features(synthesize_media(_docs(sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# relational operator demos (TPC-H-ish tables)
+# --------------------------------------------------------------------------
+
+def _q_rel_lineitem(sf_dir: str):
+    from .pipelines.relational import lineitem_agg
+    return lineitem_agg(sf_dir)
+
+
+def _q_rel_mktsegment(sf_dir: str):
+    from .pipelines.relational import orders_by_mktsegment
+    return orders_by_mktsegment(sf_dir)
+
+
+def _q_rel_topk_customers(sf_dir: str):
+    from .pipelines.relational import topk_customers
+    return topk_customers(sf_dir)
+
+
+def _q_rel_first_order(sf_dir: str):
+    from .pipelines.relational import first_order_per_customer
+    return first_order_per_customer(sf_dir)
+
+
+def _q_rel_brand(sf_dir: str):
+    from .pipelines.relational import revenue_by_brand
+    return revenue_by_brand(sf_dir)
+
+
+def _q_events_sessionize(sf_dir: str):
+    from .pipelines.relational import sessionize_events
+    return sessionize_events(sf_dir)
+
+
+_STOPWORD_SQL = ",".join(f"'{w}'" for w in
+                         ("the", "a", "an", "and", "or", "of", "in", "on",
+                          "to", "is"))
+
+_SHINGLE_CTE = """
+docs AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                      FOR i IN range(1, len(ws) - 1)]) AS s
+       FROM docs),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+"""
+
+_JACCARD_SQL = """
+WITH """ + _SHINGLE_CTE + """
+SELECT i.doc_a, i.doc_b,
+       CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -283,6 +430,27 @@ def queries() -> dict[str, Callable]:
         "cq_turns_in_month": _q_turns_in_month,
         "cq_distinct_mentions": _q_distinct_mentions,
         "cq_top_tools": _q_top_tools,
+        # training-data ops
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding_cosine": _q_dedup_embedding_cosine,
+        "embedding_topk_pairs": _q_embedding_topk_pairs,
+        "ann_topk_cosine": _q_ann_topk,
+        "ann_ivf_topk": _q_ann_ivf,
+        "text_quality": _q_text_quality,
+        "text_token_count": _q_text_tokens,
+        "text_langid": _q_text_langid,
+        "text_fingerprint": _q_text_fingerprint,
+        "multimodal_features": _q_multimodal,
+        # relational operator demos
+        "rel_groupby_lineitem": _q_rel_lineitem,
+        "rel_join_orders_customer": _q_rel_mktsegment,
+        "rel_topk_customers": _q_rel_topk_customers,
+        "rel_first_order_per_customer": _q_rel_first_order,
+        "rel_revenue_by_brand": _q_rel_brand,
+        "events_sessionize": _q_events_sessionize,
     }
 
 
@@ -328,4 +496,97 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{fdir}/transcripts.parquet')
             WHERE {TOOL_OK_SQL}
             GROUP BY 1 ORDER BY n DESC, tool ASC LIMIT 5""",
+        # ------ training-data ops (documents/embeddings testdata views) ----
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, count(*) AS n_dups,
+                   min(doc_id) AS keep_doc_id
+            FROM documents GROUP BY 1 ORDER BY 1""",
+        "dedup_ngram_jaccard": _JACCARD_SQL,
+        # MinHash banding at 16x4 has miss probability ~1e-20 for the planted
+        # J>=0.97 pairs and the verify stage is exact, so its output equals
+        # the brute-force oracle on these corpora (stages/dedup.py docstring).
+        "dedup_minhash_lsh": _JACCARD_SQL,
+        "dedup_embedding_cosine": """
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)
+                     AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)
+                  >= 0.9
+            ORDER BY doc_a, doc_b""",
+        "embedding_topk_pairs": """
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)
+                     AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            ORDER BY cosine DESC, doc_a, doc_b LIMIT 20""",
+        "ann_topk_cosine": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id < 8),
+            c AS (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id NOT IN (SELECT query_id FROM q)),
+            s AS (SELECT q.query_id, c.vec_id,
+                         round(list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6)
+                           AS cosine
+                  FROM q CROSS JOIN c),
+            r AS (SELECT *, row_number() OVER
+                    (PARTITION BY query_id ORDER BY cosine DESC, vec_id)
+                    AS rank FROM s)
+            SELECT query_id, vec_id, cosine, rank FROM r
+            WHERE rank <= 10 ORDER BY query_id, rank""",
+        "text_quality": f"""
+            SELECT doc_id, length(text) AS n_chars,
+                   len(string_split(text, ' ')) AS n_words,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                     AS n_alpha,
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                        w -> w IN ({_STOPWORD_SQL}))) AS DOUBLE)
+                     / len(string_split(text, ' ')) AS stopword_ratio,
+                   CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                     / len(string_split(text, ' ')) AS mean_word_len
+            FROM documents ORDER BY doc_id""",
+        "text_token_count": """
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                     AS re_tokens
+            FROM documents ORDER BY doc_id""",
+        # ------ relational operator demos (TPC-H-ish views) ----------------
+        "rel_groupby_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   sum(l_extendedprice) AS sum_base_price,
+                   sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+                   avg(l_quantity) AS avg_qty,
+                   avg(l_discount) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+        "rel_join_orders_customer": """
+            SELECT c.c_mktsegment AS mktsegment,
+                   sum(o.o_totalprice) AS revenue,
+                   count(*) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1 ORDER BY 1""",
+        "rel_topk_customers": """
+            SELECT o_custkey, round(sum(o_totalprice), 6) AS total_spent
+            FROM orders GROUP BY 1
+            ORDER BY total_spent DESC, o_custkey LIMIT 10""",
+        "rel_first_order_per_customer": """
+            SELECT o_custkey, min(o_orderdate) AS first_order,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1 ORDER BY 1""",
+        "rel_revenue_by_brand": """
+            SELECT p.p_brand AS brand,
+                   sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1 ORDER BY 1""",
+        "events_sessionize": """
+            WITH x AS (SELECT user_id, ts,
+                              lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                AS pts
+                       FROM events)
+            SELECT user_id, count(*) AS n_events,
+                   count(CASE WHEN pts IS NULL OR epoch(ts - pts) > 1800
+                         THEN 1 END) AS n_sessions
+            FROM x GROUP BY 1 ORDER BY 1""",
     }

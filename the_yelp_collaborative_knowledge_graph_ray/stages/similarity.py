@@ -1,0 +1,189 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+Approximate-nearest-neighbor building blocks for a training-data engine:
+
+* :func:`brute_force_topk` — exact cosine top-k: the (small) query matrix is
+  broadcast via ``ray.put``; every batch of the corpus does ONE numpy matmul
+  against it and emits its local top-k per query; a per-query
+  ``groupby.map_groups`` merge yields the global top-k. This is the
+  map-side-combine pattern (local top-k before the shuffle moves only
+  ``k * n_queries`` rows per block, not the full score matrix).
+* :func:`ivf_topk` — IVF-style scale path: corpus vectors are bucketed by
+  nearest centroid (k-means on a driver-side sample, broadcast centroids);
+  queries probe only ``n_probe`` nearest buckets. Same output schema;
+  recall < 1 by construction, measured against the brute-force baseline in
+  tests (not oracle-matched — approximate by design).
+
+Scoring mirrors the reference's all-pairs cosine + row-argmax mapper
+(``Code/UtilityFunctions/category_mappings.py:84-98``) with the decision rule
+generalized from top-1 to top-k and made deterministic: order by
+(rounded score desc, vec_id asc).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _to_matrix(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = b["vec_id"].to_numpy()
+    mat = np.asarray(
+        b["embedding"].combine_chunks().to_numpy(zero_copy_only=False).tolist(),
+        dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return ids, mat / norms
+
+
+class _LocalTopK:
+    """Batch scorer: local top-k of this batch's vectors for every query."""
+
+    def __init__(self, queries_ref, k: int, exclude_query_ids: bool):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.q_ids, self.q_mat = q
+        self.k = k
+        self.exclude = exclude_query_ids
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ids, mat = _to_matrix(b)
+        if self.exclude:
+            keep = ~np.isin(ids, self.q_ids)
+            ids, mat = ids[keep], mat[keep]
+        if len(ids) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        scores = np.round(self.q_mat @ mat.T, 6)  # (n_queries, batch)
+        out_q, out_v, out_s = [], [], []
+        k = min(self.k, len(ids))
+        for qi, q_id in enumerate(self.q_ids):
+            s = scores[qi]
+            # deterministic local top-k: (rounded score desc, vec_id asc) —
+            # the same order the global merge and the SQL window use, so
+            # boundary ties resolve identically at every level
+            order = np.lexsort((ids, -s))[:k]
+            out_q.extend([int(q_id)] * k)
+            out_v.extend(int(x) for x in ids[order])
+            out_s.extend(s[order].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "cosine": pa.array(out_s, pa.float64())})
+
+
+def _merge_topk(k: int):
+    def merge(g: pa.Table) -> pa.Table:
+        s = g["cosine"].to_numpy()
+        v = g["vec_id"].to_numpy()
+        # deterministic: rounded score desc, then vec_id asc
+        order = np.lexsort((v, -s))[:k]
+        n = len(order)
+        return pa.table({
+            "query_id": g["query_id"].take(pa.array(order)),
+            "vec_id": pa.array(v[order], pa.int64()),
+            "cosine": pa.array(s[order], pa.float64()),
+            "rank": pa.array(np.arange(1, n + 1), pa.int64())})
+    return merge
+
+
+def load_queries(embeddings: ray.data.Dataset,
+                 n_queries: int = 8) -> tuple[np.ndarray, np.ndarray]:
+    """First n vec_ids as the query set (driver-side tiny read)."""
+    qb = embeddings.filter(
+        expr=f"vec_id < {n_queries}").to_arrow_refs()
+    tabs = [ray.get(r) for r in qb]
+    tab = pa.concat_tables([t for t in tabs if t.num_rows])
+    ids, mat = _to_matrix(tab)
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+def brute_force_topk(embeddings: ray.data.Dataset, k: int = 10,
+                     n_queries: int = 8,
+                     concurrency: int = 4) -> ray.data.Dataset:
+    """Exact cosine top-k of every corpus vector (query ids excluded) for
+    each of the first ``n_queries`` vectors. Output: (query_id, vec_id,
+    cosine, rank), sorted by (query_id, rank)."""
+    q = load_queries(embeddings, n_queries)
+    ref = ray.put(q)
+    local = embeddings.map_batches(
+        _LocalTopK, fn_constructor_args=(ref, k, True),
+        batch_format="pyarrow", batch_size=4096, zero_copy_batch=True,
+        concurrency=(1, concurrency))
+    merged = local.groupby("query_id").map_groups(
+        _merge_topk(k), batch_format="pyarrow")
+    return merged.sort(["query_id", "rank"])
+
+
+# --------------------------------------------------------------------------
+# IVF scale path
+# --------------------------------------------------------------------------
+
+def _kmeans(sample: np.ndarray, n_clusters: int, iters: int = 10,
+            seed: int = 7) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(sample), size=min(n_clusters, len(sample)),
+                     replace=False)
+    cent = sample[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(len(cent)):
+            m = sample[assign == c]
+            if len(m):
+                v = m.mean(axis=0)
+                n = np.linalg.norm(v) or 1.0
+                cent[c] = v / n
+    return cent
+
+
+def ivf_topk(embeddings: ray.data.Dataset, k: int = 10, n_queries: int = 8,
+             n_clusters: int = 16, n_probe: int = 4,
+             concurrency: int = 4) -> ray.data.Dataset:
+    """IVF-bucketed ANN: corpus rows are routed to their nearest centroid
+    (broadcast); each query scores only vectors in its ``n_probe`` closest
+    buckets. Output schema matches :func:`brute_force_topk`."""
+    q_ids, q_mat = load_queries(embeddings, n_queries)
+    # centroid training on a driver-side sample (bounded, scale-safe)
+    sample_tab = embeddings.limit(4096).to_pandas()
+    sample = np.asarray(sample_tab["embedding"].tolist(), dtype=np.float64)
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    cent = _kmeans(sample, n_clusters)
+    probe = np.argsort(-(q_mat @ cent.T), axis=1)[:, :n_probe]
+    probed_sets = [set(row.tolist()) for row in probe]
+    ref = ray.put((q_ids, q_mat, cent, probed_sets))
+
+    class ProbeScorer:
+        def __init__(self):
+            self.q_ids, self.q_mat, self.cent, self.probed = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids, mat = _to_matrix(b)
+            keep = ~np.isin(ids, self.q_ids)
+            ids, mat = ids[keep], mat[keep]
+            out_q, out_v, out_s = [], [], []
+            if len(ids):
+                bucket = np.argmax(mat @ self.cent.T, axis=1)
+                for qi, q_id in enumerate(self.q_ids):
+                    sel = np.isin(bucket, list(self.probed[qi]))
+                    if not sel.any():
+                        continue
+                    s = self.q_mat[qi] @ mat[sel].T
+                    cand = ids[sel]
+                    kk = min(k, len(cand))
+                    part = np.argpartition(-s, kk - 1)[:kk]
+                    out_q.extend([int(q_id)] * kk)
+                    out_v.extend(int(x) for x in cand[part])
+                    out_s.extend(np.round(s[part], 6).tolist())
+            return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                             "vec_id": pa.array(out_v, pa.int64()),
+                             "cosine": pa.array(out_s, pa.float64())})
+
+    local = embeddings.map_batches(
+        ProbeScorer, batch_format="pyarrow", batch_size=4096,
+        zero_copy_batch=True, concurrency=(1, concurrency))
+    merged = local.groupby("query_id").map_groups(
+        _merge_topk(k), batch_format="pyarrow")
+    return merged.sort(["query_id", "rank"])
