@@ -108,7 +108,8 @@ def run_child(sf_name: str, num_cpus: int) -> dict:
 
     generator.ensure_fixtures(sf_name)
     t0 = time.time()
-    n = run_kg(sf_name, concurrency=max(2, num_cpus // 4)).count()
+    # actor pools sized to the cluster (1 CPU per actor, autoscaling pools)
+    n = run_kg(sf_name, concurrency=num_cpus).count()
     dt = time.time() - t0
     return {"num_cpus": num_cpus, "triples": n, "sec": round(dt, 3),
             "triples_per_sec": round(n / dt, 1)}

@@ -47,7 +47,7 @@ import pyarrow.parquet as pq
 from ..functions.normalize import normalize_one
 
 SEED = 42
-FORMAT_VERSION = "v1"
+FORMAT_VERSION = "v2"  # v2: 64k-row parquet row groups (read parallelism)
 CACHE_ROOT = os.environ.get("YCKG_FIXTURE_DIR", "/tmp/yckg_fixtures")
 
 # conversations per profile; mean conversation length ~= 9 turns.
@@ -292,8 +292,12 @@ def ensure_fixtures(sf_dir_or_name: str) -> str:
     alias_rows, vocab_rows, _pool = build_vocab_tables()
     ent_rows, th_rows, overrides = build_kg_snapshot()
 
+    # small row groups: Ray's parquet datasource parallelizes at row-group
+    # granularity — default ~1M-row groups would cap a 2M-turn read at 2
+    # concurrent tasks (measured: the whole extract stage ran 2-wide)
     pq.write_table(generate_transcripts(PROFILES[sf_name]),
-                   os.path.join(tmp, "transcripts.parquet"))
+                   os.path.join(tmp, "transcripts.parquet"),
+                   row_group_size=65_536)
     pq.write_table(pa.table({
         "surface_norm": [r[0] for r in alias_rows],
         "canonical": [r[1] for r in alias_rows]}),

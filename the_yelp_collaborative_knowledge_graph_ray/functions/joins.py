@@ -60,15 +60,28 @@ def attach_column(left: ray.data.Dataset, source: ray.data.Dataset,
     u = left.map_batches(from_left, batch_format="pyarrow") \
         .union(source.map_batches(from_source, batch_format="pyarrow"))
 
-    def cogroup(g: pa.Table) -> pa.Table:
-        src = g.filter(g[_MARK])
-        dst = g.filter(pc.invert(g[_MARK]))
-        if src.num_rows == 0 or dst.num_rows == 0:
-            return pa.schema(out_fields).empty_table()
-        val = src[out_col][0]
-        n = dst.num_rows
-        cols = {name: dst[name] for name, _ in left_cols}
-        cols[out_col] = pa.nulls(n, out_type).fill_null(val)
-        return pa.table(cols, schema=pa.schema(out_fields))
+    out_schema = pa.schema(out_fields)
 
-    return u.groupby(_KEY).map_groups(cogroup, batch_format="pyarrow")
+    def cogroup_block(b: pa.Table) -> pa.Table:
+        """One sorted block = complete key groups (functions/grouped.py);
+        fully vectorized: map each group to its source row index, gather."""
+        import numpy as np
+
+        from .grouped import group_ids
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        gid, _ = group_ids(b, [_KEY])
+        mark = b[_MARK].combine_chunks().to_numpy(zero_copy_only=False)
+        src_idx = np.flatnonzero(mark)
+        val_row = np.full(int(gid[-1]) + 1, -1, dtype=np.int64)
+        val_row[gid[src_idx]] = src_idx  # <=1 source row per key
+        take_from = val_row[gid]
+        keep = (~mark) & (take_from >= 0)
+        dst = b.filter(pa.array(keep))
+        vals = b[out_col].take(pa.array(take_from[keep]))
+        cols = {name: pc.cast(dst[name], typ) for name, typ in left_cols}
+        cols[out_col] = pc.cast(vals, out_type)
+        return pa.table(cols, schema=out_schema)
+
+    from .grouped import sorted_group_apply
+    return sorted_group_apply(u, [_KEY], cogroup_block)

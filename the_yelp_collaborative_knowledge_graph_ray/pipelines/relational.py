@@ -170,13 +170,33 @@ def sessionize_events(sf_dir: str) -> ray.data.Dataset:
     ordering contract of SURVEY.md §2.9 applied to the events table)."""
     ev = _read(sf_dir, "events", columns=["user_id", "ts"])
 
-    def sessions(g: pa.Table) -> pa.Table:
-        ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
-        gaps = np.diff(ts) > SESSION_GAP_S * 1_000_000
+    def sessions_block(b: pa.Table) -> pa.Table:
+        """Block sorted by user_id holds complete user groups
+        (functions/grouped.py invariant; sorting by (user_id, ts) would NOT
+        guarantee this — a range boundary could split one user mid-stream).
+        ts is ordered per group inside the block with one lexsort; session
+        counts are a vectorized diff + bincounts — no per-group Python."""
+        from ..functions.grouped import group_ids
+        out_schema = pa.schema([("user_id", pa.int64()),
+                                ("n_events", pa.int64()),
+                                ("n_sessions", pa.int64())])
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        gid, starts = group_ids(b, ["user_id"])
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((ts, gid))  # stable per-group ts ordering
+        ts, ogid = ts[order], gid[order]
+        gap = np.zeros(len(ts), dtype=np.int64)
+        gap[1:] = (np.diff(ts) > SESSION_GAP_S * 1_000_000) & \
+                  (ogid[1:] == ogid[:-1])
+        n_events = np.bincount(ogid)
+        n_sessions = np.bincount(ogid, weights=gap).astype(np.int64) + 1
+        users = b["user_id"].take(pa.array(starts))
         return pa.table({
-            "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
-            "n_events": pa.array([len(ts)], pa.int64()),
-            "n_sessions": pa.array([int(gaps.sum()) + 1], pa.int64())})
+            "user_id": pc.cast(users, pa.int64()),
+            "n_events": pa.array(n_events, pa.int64()),
+            "n_sessions": pa.array(n_sessions, pa.int64())}, schema=out_schema)
 
-    return ev.groupby("user_id").map_groups(
-        sessions, batch_format="pyarrow").sort("user_id")
+    from ..functions.grouped import sorted_group_apply
+    return sorted_group_apply(ev, ["user_id"], sessions_block) \
+        .sort("user_id")

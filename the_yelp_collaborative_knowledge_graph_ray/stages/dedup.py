@@ -71,8 +71,10 @@ def _md5_array(texts: list[str]) -> pa.Array:
 
 def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
     """(text_hash, n_dups, keep_doc_id): keep-first (min doc_id) per distinct
-    content digest. Only digests + ids travel through the shuffle."""
-    from ray.data.aggregate import Count, Min
+    content digest. Only digests + ids travel through the shuffle, and the
+    one range-partitioned sort doubles as the grouped aggregate
+    (``functions/grouped.sorted_aggregate``) and the output ordering."""
+    from ..functions.grouped import sorted_aggregate
 
     def digest(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -81,10 +83,9 @@ def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
 
     hashed = docs.map_batches(digest, batch_format="pyarrow",
                               zero_copy_batch=True)
-    agg = hashed.groupby("text_hash").aggregate(
-        Count("doc_id", alias_name="n_dups"),
-        Min("doc_id", alias_name="keep_doc_id"))
-    return agg.sort("text_hash")
+    return sorted_aggregate(hashed, ["text_hash"],
+                            [("doc_id", "count"), ("doc_id", "min")],
+                            ["text_hash", "n_dups", "keep_doc_id"])
 
 
 # --------------------------------------------------------------------------
@@ -111,19 +112,6 @@ def _pairs_table(a: list[int], b: list[int], extra: dict | None = None) -> pa.Ta
     return pa.table(cols)
 
 
-def _pin_schema(schema: pa.Schema):
-    """Schema-pinning pass between a shuffle aggregate and a join: empty
-    aggregate partitions can emit zero-column blocks, which crash the join's
-    key-field resolution ("no match for FieldRef"). Coerce every block —
-    including empty ones — to the declared schema."""
-    def fn(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0 or b.num_columns == 0:
-            return schema.empty_table()
-        return pa.table({f.name: pc.cast(b[f.name], f.type) for f in schema},
-                        schema=schema)
-    return fn
-
-
 # --------------------------------------------------------------------------
 # exact n-gram Jaccard via inverted shingle index
 # --------------------------------------------------------------------------
@@ -137,8 +125,6 @@ def ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.5,
     list of a hot shingle (stop-shingle drop; exactness documented in the
     module docstring — unlimited on the test corpora).
     """
-    from ray.data.aggregate import Count
-
     def explode(b: pa.Table) -> pa.Table:
         ids, shs = [], []
         sizes_id, sizes_n = [], []
@@ -161,22 +147,12 @@ def ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.5,
     doc_sizes = docs.map_batches(sizes, batch_format="pyarrow",
                                  zero_copy_batch=True)
 
-    def emit_pairs(g: pa.Table) -> pa.Table:
-        d = sorted(set(g["doc_id"].to_pylist()))[:max_posting]
-        a, b = [], []
-        for i in range(len(d)):
-            for j in range(i + 1, len(d)):
-                a.append(d[i])
-                b.append(d[j])
-        return _pairs_table(a, b)
-
-    pair_counts = (postings.groupby("shingle")
-                   .map_groups(emit_pairs, batch_format="pyarrow")
-                   .groupby(["doc_a", "doc_b"])
-                   .aggregate(Count("doc_a", alias_name="n_inter"))
-                   .map_batches(_pin_schema(pa.schema([
-                       ("doc_a", pa.int64()), ("doc_b", pa.int64()),
-                       ("n_inter", pa.int64())])), batch_format="pyarrow"))
+    # sorted-block pair expansion + map-side combine (functions/grouped.py):
+    # ~50x less per-group overhead than groupby().map_groups at 10^5 shingles
+    from ..functions.grouped import pairs_within_groups
+    pair_counts = pairs_within_groups(
+        postings, ["shingle"], "doc_id", count_col="n_inter",
+        max_group=max_posting)
 
     from ..functions.joins import attach_column
     i64 = pa.int64()
@@ -228,8 +204,6 @@ def minhash_lsh_pairs(docs: ray.data.Dataset, threshold: float = 0.5,
     stage only prunes candidates; survivors are verified exactly against the
     documents joined back by id).
     """
-    from ray.data.aggregate import Count
-
     def band_rows(b: pa.Table) -> pa.Table:
         ids, bands, hashes = [], [], []
         for did, text in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
@@ -246,24 +220,11 @@ def minhash_lsh_pairs(docs: ray.data.Dataset, threshold: float = 0.5,
             "band": pa.array(bands, pa.int32()),
             "band_hash": pa.array(hashes, pa.int64())})
 
-    def emit_pairs(g: pa.Table) -> pa.Table:
-        d = sorted(set(g["doc_id"].to_pylist()))
-        a, b = [], []
-        for i in range(len(d)):
-            for j in range(i + 1, len(d)):
-                a.append(d[i])
-                b.append(d[j])
-        return _pairs_table(a, b)
-
-    candidates = (docs.map_batches(band_rows, batch_format="pyarrow",
-                                   zero_copy_batch=True)
-                  .groupby(["band", "band_hash"])
-                  .map_groups(emit_pairs, batch_format="pyarrow")
-                  .groupby(["doc_a", "doc_b"])
-                  .aggregate(Count("doc_a", alias_name="n_bands"))
-                  .map_batches(_pin_schema(pa.schema([
-                      ("doc_a", pa.int64()), ("doc_b", pa.int64()),
-                      ("n_bands", pa.int64())])), batch_format="pyarrow"))
+    from ..functions.grouped import pairs_within_groups
+    candidates = pairs_within_groups(
+        docs.map_batches(band_rows, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["band", "band_hash"], "doc_id", count_col="n_bands")
 
     from ..functions.joins import attach_column
     i64, s = pa.int64(), pa.string()
@@ -337,25 +298,52 @@ def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 3,
             "band_key": pa.array(keys, pa.int64()),
             "fp": pa.array(fps, pa.int64())})
 
-    def emit_pairs(g: pa.Table) -> pa.Table:
-        rows = sorted(set(zip(g["doc_id"].to_pylist(), g["fp"].to_pylist())))
-        a, b, ham = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                d = bin((rows[i][1] ^ rows[j][1]) & ((1 << 64) - 1)).count("1")
-                if d <= max_hamming:
-                    a.append(rows[i][0])
-                    b.append(rows[j][0])
-                    ham.append(d)
-        return _pairs_table(a, b, {"hamming": pa.array(ham, pa.int64())})
+    def block_pairs(b: pa.Table) -> pa.Table:
+        # complete (band, band_key) groups per block (functions/grouped.py);
+        # per group: vectorized popcount over the XOR of all fp pairs
+        from ..functions.grouped import group_ids
+        out_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                                ("hamming", pa.int64())])
+        gid, starts = group_ids(b, ["band", "band_key"])
+        if len(starts) == 0:
+            return out_schema.empty_table()
+        ids = b["doc_id"].to_numpy()
+        fps = b["fp"].to_numpy().astype(np.int64).view(np.uint64)
+        ends = np.append(starts[1:], b.num_rows)
+        out_a, out_b, out_h = [], [], []
+        for s, e in zip(starts, ends):
+            d, idx = np.unique(ids[s:e], return_index=True)
+            if len(d) < 2:
+                continue
+            f = fps[s:e][idx]
+            iu, ju = np.triu_indices(len(d), k=1)
+            x = f[iu] ^ f[ju]
+            ham = np.zeros(len(x), dtype=np.int64)
+            while x.any():
+                ham += (x & np.uint64(1)).astype(np.int64)
+                x = x >> np.uint64(1)
+            keep = ham <= max_hamming
+            out_a.append(d[iu][keep])
+            out_b.append(d[ju][keep])
+            out_h.append(ham[keep])
+        if not out_a:
+            return out_schema.empty_table()
+        t = pa.table({"doc_a": pa.array(np.concatenate(out_a)),
+                      "doc_b": pa.array(np.concatenate(out_b)),
+                      "hamming": pa.array(np.concatenate(out_h))})
+        return t.group_by(["doc_a", "doc_b"], use_threads=False) \
+                .aggregate([("hamming", "min")]) \
+                .rename_columns(["doc_a", "doc_b", "hamming"])
 
-    pairs = (docs.map_batches(fp_rows, batch_format="pyarrow",
-                              zero_copy_batch=True)
-             .groupby(["band", "band_key"])
-             .map_groups(emit_pairs, batch_format="pyarrow")
-             .groupby(["doc_a", "doc_b"])
-             .aggregate(Min("hamming", alias_name="hamming")))
-    return pairs.sort(["doc_a", "doc_b"])
+    from ..functions.grouped import sorted_aggregate, sorted_group_apply
+    local = sorted_group_apply(
+        docs.map_batches(fp_rows, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["band", "band_key"], block_pairs)
+    # sorted_aggregate output is already sorted by (doc_a, doc_b)
+    return sorted_aggregate(local, ["doc_a", "doc_b"],
+                            [("hamming", "min")],
+                            ["doc_a", "doc_b", "hamming"])
 
 
 # --------------------------------------------------------------------------
