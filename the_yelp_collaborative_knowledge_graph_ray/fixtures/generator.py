@@ -47,7 +47,7 @@ import pyarrow.parquet as pq
 from ..functions.normalize import normalize_one
 
 SEED = 42
-FORMAT_VERSION = "v2"  # v2: 64k-row parquet row groups (read parallelism)
+FORMAT_VERSION = "v4"  # v4: multi-file transcripts dir (per-file read tasks)
 CACHE_ROOT = os.environ.get("YCKG_FIXTURE_DIR", "/tmp/yckg_fixtures")
 
 # conversations per profile; mean conversation length ~= 9 turns.
@@ -292,12 +292,20 @@ def ensure_fixtures(sf_dir_or_name: str) -> str:
     alias_rows, vocab_rows, _pool = build_vocab_tables()
     ent_rows, th_rows, overrides = build_kg_snapshot()
 
-    # small row groups: Ray's parquet datasource parallelizes at row-group
-    # granularity — default ~1M-row groups would cap a 2M-turn read at 2
-    # concurrent tasks (measured: the whole extract stage ran 2-wide)
-    pq.write_table(generate_transcripts(PROFILES[sf_name]),
-                   os.path.join(tmp, "transcripts.parquet"),
-                   row_group_size=65_536)
+    # MULTI-FILE transcripts: this Ray version issues one read task per
+    # parquet FILE (a single 2M-row file read single-threaded for ~15 s and
+    # starved every fused stage; override_num_blocks only adds a SplitBlocks
+    # postprocess, measured in ds.stats()). 64k rows per part ~= 32 files at
+    # bench scale -> the read itself fans out. This is also the honest 100 TB
+    # layout: real corpora are many files.
+    tdir = os.path.join(tmp, "transcripts.parquet")
+    os.makedirs(tdir)
+    tab = generate_transcripts(PROFILES[sf_name])
+    per = 65_536
+    for i in range(0, tab.num_rows, per):
+        pq.write_table(tab.slice(i, per),
+                       os.path.join(tdir, f"part-{i // per:05d}.parquet"),
+                       row_group_size=16_384)
     pq.write_table(pa.table({
         "surface_norm": [r[0] for r in alias_rows],
         "canonical": [r[1] for r in alias_rows]}),

@@ -67,22 +67,25 @@ def build_graph(transcripts: ray.data.Dataset, fixture_dir: str,
 
     ck = CheckpointedRun(checkpoint_dir) if checkpoint_dir else None
 
-    def _stage(name, build, upstream=()):
-        """Stage boundary. With a checkpoint dir: atomic parquet + manifest.
-        Without: pin the stage in the object store — every _stage output
-        below fans out to >1 consumer, and leaving it lazy would both
-        re-execute the upstream per consumer and put several actor pools in
-        one executor graph (min-actor demand can exceed the CPU budget and
-        deadlock a small cluster)."""
+    def _stage(name, build, upstream=(), fan_out=True):
+        """Stage boundary. With a checkpoint dir: atomic parquet + manifest
+        per stage. Without: materialize ONLY outputs consumed by more than
+        one downstream (``fan_out``) — single-consumer stages stay lazy so
+        the streaming executor pipelines them into the next job (extract
+        overlaps the final sort; mentions+canonicalize actor pools overlap
+        in one executor graph)."""
         if ck is None:
-            return build().materialize()
+            ds = build()
+            return ds.materialize() if fan_out else ds
         return ck.stage(name, build, upstream)
 
     structural = _stage("structural",
-                        lambda: extract.structural_triples(transcripts))
+                        lambda: extract.structural_triples(transcripts),
+                        fan_out=False)
     raw_mentions = _stage("mentions",
                           lambda: mentions.mention_triples(
-                              transcripts, vocab, concurrency=concurrency))
+                              transcripts, vocab, concurrency=concurrency),
+                          fan_out=False)
     canon_mentions = _stage("canonical_mentions",
                             lambda: canon.canonicalize_mentions(
                                 raw_mentions, cmap, concurrency=concurrency),
@@ -117,12 +120,21 @@ def build_graph(transcripts: ray.data.Dataset, fixture_dir: str,
     return final
 
 
+def read_transcripts(fdir: str) -> ray.data.Dataset:
+    """Parallel transcript read. This Ray version issues ONE read task per
+    parquet file (``override_num_blocks`` merely appends a SplitBlocks op —
+    a single 2M-turn file read single-threaded for ~15 s and starved every
+    fused map stage, per ds.stats()), so the fixture is a DIRECTORY of 64k-row
+    part files (fixtures/generator.py) and the read fans out per file."""
+    return ray.data.read_parquet(os.path.join(fdir, "transcripts.parquet"))
+
+
 def run_kg(sf_dir: str, concurrency: int = 4,
            include_enrichment: bool = True,
            checkpoint_dir: str | None = None) -> ray.data.Dataset:
     """Convenience entry: fixtures for this sf, read transcripts, build KG."""
     fdir = generator.ensure_fixtures(sf_dir)
-    ts = ray.data.read_parquet(os.path.join(fdir, "transcripts.parquet"))
+    ts = read_transcripts(fdir)
     return build_graph(ts, fdir, concurrency=concurrency,
                        include_enrichment=include_enrichment,
                        checkpoint_dir=checkpoint_dir)

@@ -33,6 +33,7 @@ def _fx(sf_dir: str) -> str:
 
 
 def _read_transcripts(sf_dir: str, columns=None) -> ray.data.Dataset:
+    # multi-file dir -> one read task per part file (fixtures/generator.py)
     return ray.data.read_parquet(
         os.path.join(_fx(sf_dir), "transcripts.parquet"), columns=columns)
 
@@ -48,7 +49,7 @@ WITH t AS (
   SELECT *,
     '{C.ENT}turn/' || conv_id || '/' || turn_idx AS turn_iri,
     '{C.ENT}conversation/' || conv_id AS conv_iri
-  FROM read_parquet('{fdir}/transcripts.parquet')
+  FROM read_parquet('{fdir}/transcripts.parquet/*.parquet')
 ),
 vocab AS (SELECT DISTINCT surface_form, canonical
           FROM read_parquet('{fdir}/vocab.parquet')),
@@ -463,37 +464,37 @@ def oracle_sql() -> dict[str, str]:
         "kg_dead_letter": f"""
             SELECT conv_id AS src_conv_id, turn_idx AS src_turn_idx,
                    'tool' AS key, tool AS value, 'none_value' AS reason
-            FROM read_parquet('{fdir}/transcripts.parquet')
+            FROM read_parquet('{fdir}/transcripts.parquet/*.parquet')
             WHERE NOT ({TOOL_OK_SQL})""",
         "kg_pipeline_full": P + "SELECT * FROM (" + "\nUNION\n".join([
             _structural_sql(), _mention_sql(), _mention_entity_sql(),
             _link_sql(), _enrich_sql(fdir)]) + ")",
         "cq_turns_per_role": f"""
             SELECT role, count(*) AS n
-            FROM read_parquet('{fdir}/transcripts.parquet')
+            FROM read_parquet('{fdir}/transcripts.parquet/*.parquet')
             GROUP BY role ORDER BY role""",
         "cq_mean_turns_per_conv": f"""
             SELECT count(DISTINCT conv_id) AS n_convs, count(*) AS total_turns,
                    CAST(count(*) AS DOUBLE) / count(DISTINCT conv_id)
                      AS mean_turns
-            FROM read_parquet('{fdir}/transcripts.parquet')""",
+            FROM read_parquet('{fdir}/transcripts.parquet/*.parquet')""",
         "cq_busiest_day_by_tool": f"""
             SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
-            FROM read_parquet('{fdir}/transcripts.parquet')
+            FROM read_parquet('{fdir}/transcripts.parquet/*.parquet')
             WHERE {TOOL_OK_SQL}
             GROUP BY 1 ORDER BY n DESC, day ASC LIMIT 1""",
         "cq_convs_over_10_turns": f"""
             SELECT count(*) AS n_convs FROM (
-              SELECT conv_id FROM read_parquet('{fdir}/transcripts.parquet')
+              SELECT conv_id FROM read_parquet('{fdir}/transcripts.parquet/*.parquet')
               GROUP BY conv_id HAVING count(*) > 10)""",
         "cq_turns_in_month": f"""
             SELECT count(*) AS n_turns
-            FROM read_parquet('{fdir}/transcripts.parquet')
+            FROM read_parquet('{fdir}/transcripts.parquet/*.parquet')
             WHERE strftime(ts, '%Y-%m') = '2025-02'""",
         "cq_distinct_mentions": P + "SELECT count(*) AS n_forms FROM forms",
         "cq_top_tools": f"""
             SELECT tool, count(*) AS n
-            FROM read_parquet('{fdir}/transcripts.parquet')
+            FROM read_parquet('{fdir}/transcripts.parquet/*.parquet')
             WHERE {TOOL_OK_SQL}
             GROUP BY 1 ORDER BY n DESC, tool ASC LIMIT 5""",
         # ------ training-data ops (documents/embeddings testdata views) ----

@@ -149,12 +149,18 @@ def link_mentions(canonical_mentions: ray.data.Dataset,
     """
     import pyarrow.compute as pc
 
-    def to_forms(b: pa.Table) -> pa.Table:
-        return pa.table({"form": pc.replace_substring(
-            b["obj"].combine_chunks(), C.ENT + "mention/", "")})
+    from ..functions.grouped import sorted_aggregate
 
-    forms = canonical_mentions.map_batches(to_forms, batch_format="pyarrow")
-    distinct = forms.groupby("form").count()
+    def to_forms(b: pa.Table) -> pa.Table:
+        # per-block pre-dedup: only distinct forms leave the block (at 10^12
+        # turns the distinct set per block is tiny vs the mention stream)
+        return pa.table({"form": pc.unique(pc.replace_substring(
+            b["obj"].combine_chunks(), C.ENT + "mention/", ""))})
+
+    forms = canonical_mentions.map_batches(to_forms, batch_format="pyarrow",
+                                           zero_copy_batch=True)
+    distinct = sorted_aggregate(forms, ["form"], [("form", "count")],
+                                ["form", "n"])
     ref = ray.put(snapshot)
     links = distinct.map_batches(
         LinkScorer, fn_constructor_args=(ref,), batch_format="pyarrow",

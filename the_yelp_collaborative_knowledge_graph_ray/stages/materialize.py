@@ -95,14 +95,80 @@ def dedup_sorted_block(batch: pa.Table) -> pa.Table:
 
 
 def materialize(triples: ray.data.Dataset, sort: bool = True) -> ray.data.Dataset:
-    """Exact global dedup + global sort of a triples Dataset."""
+    """Exact global dedup + global sort of a triples Dataset.
+
+    The sorted path integer-encodes the low-cardinality columns before the
+    shuffle: ``pred`` (dozens of distinct IRIs, ~35 B each) and
+    ``(obj_is_literal, obj_datatype)`` become two int32 rank columns whose
+    order mirrors the string order, cutting ~1 GB of the ~2.7 GB that the
+    bench-scale sort moves. Ranks are computed from the actual distinct sets
+    (one cheap per-block pass over the materialized pre-deduped Dataset), so
+    arbitrary vocabularies work; strings are restored per block after the
+    sort. Ordering and dedup exactness are unchanged: the int sort key
+    (subj, pid, obj, lid) induces exactly the (subj, pred, obj,
+    obj_is_literal, obj_datatype) order.
+    """
     ds = triples.map_batches(local_dedup, batch_format="pyarrow",
                              zero_copy_batch=True)
     if sort:
-        ds = ds.sort(SORT_COLS)
-        ds = ds.map_batches(dedup_sorted_block, batch_format="pyarrow",
-                            batch_size=None, zero_copy_batch=True)
-        return ds
+        ds = ds.materialize()
+        # distinct (pred) and (lit, dtype) sets: per-block unique, tiny rows
+        def block_combos(b: pa.Table) -> pa.Table:
+            return b.select(["pred", "obj_is_literal", "obj_datatype"]) \
+                .group_by(["pred", "obj_is_literal", "obj_datatype"],
+                          use_threads=False).aggregate([])
+        combos = ds.map_batches(block_combos, batch_format="pyarrow",
+                                zero_copy_batch=True).take_all()
+        preds = sorted({c["pred"] for c in combos})
+        # (lit, dtype) ranked like the string sort: False<True, nulls last
+        lds = sorted({(c["obj_is_literal"], c["obj_datatype"]) for c in combos},
+                     key=lambda x: (x[0], x[1] is None, x[1] or ""))
+        pred_arr = pa.array(preds, pa.string())
+        lit_arr = pa.array([x[0] for x in lds], pa.bool_())
+        dt_arr = pa.array([x[1] for x in lds], pa.string())
+        ld_key_arr = pa.array(
+            [("1" if x[0] else "0") + "\x1f" + (x[1] if x[1] is not None else "\x00")
+             for x in lds], pa.string())
+
+        def encode(b: pa.Table) -> pa.Table:
+            lit = pc.if_else(b["obj_is_literal"], "1", "0")
+            dt = pc.fill_null(b["obj_datatype"], "\x00")
+            ld_key = pc.binary_join_element_wise(lit, dt, "\x1f")
+            return pa.table({
+                "subj": b["subj"], "obj": b["obj"],
+                "pid": pc.cast(pc.index_in(b["pred"], value_set=pred_arr),
+                               pa.int32()),
+                "lid": pc.cast(pc.index_in(ld_key, value_set=ld_key_arr),
+                               pa.int32())})
+
+        def decode_dedup(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return OUT_SCHEMA.empty_table()
+            # neighbor-compare on the 4 sort columns = exact dedup (module
+            # docstring invariant), then restore the strings by rank gather
+            keep = None
+            for col in ("subj", "pid", "obj", "lid"):
+                a = b[col].combine_chunks() if isinstance(b[col], pa.ChunkedArray) else b[col]
+                neq = pc.not_equal(a.slice(1), a.slice(0, len(a) - 1))
+                neq = pc.fill_null(neq, True)
+                keep = neq if keep is None else pc.or_(keep, neq)
+            if isinstance(keep, pa.ChunkedArray):
+                keep = keep.combine_chunks()
+            keep = pa.concat_arrays([pa.array([True]), keep])
+            d = b.filter(keep)
+            pid, lid = d["pid"], d["lid"]
+            return pa.table({
+                "subj": pc.cast(d["subj"], pa.string()),
+                "pred": pred_arr.take(pid),
+                "obj": pc.cast(d["obj"], pa.string()),
+                "obj_is_literal": lit_arr.take(lid),
+                "obj_datatype": dt_arr.take(lid)}, schema=OUT_SCHEMA)
+
+        enc = ds.map_batches(encode, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        s = enc.sort(["subj", "pid", "obj", "lid"])
+        return s.map_batches(decode_dedup, batch_format="pyarrow",
+                             batch_size=None, zero_copy_batch=True)
     # unsorted exact dedup (audit paths): single synthetic-key shuffle
     keyed = ds.map_batches(
         lambda b: pa.table({"key": _row_key(b)}), batch_format="pyarrow",
