@@ -47,7 +47,7 @@ import pyarrow.parquet as pq
 from ..functions.normalize import normalize_one
 
 SEED = 42
-FORMAT_VERSION = "v4"  # v4: multi-file transcripts dir (per-file read tasks)
+FORMAT_VERSION = "v5"  # v5: multi-file transcripts; 500k-conv bench profile
 CACHE_ROOT = os.environ.get("YCKG_FIXTURE_DIR", "/tmp/yckg_fixtures")
 
 # conversations per profile; mean conversation length ~= 9 turns.
@@ -55,7 +55,7 @@ PROFILES = {
     "sf0.001": 320,
     "sf0.01": 3200,
     "sf0.1": 32000,
-    "bench": 220_000,   # ~2M turns: scaling-run input (BASELINE.md protocol)
+    "bench": 500_000,   # ~4.8M turns: scaling-run input (BASELINE.md protocol)
 }
 
 # --- controlled vocabulary ---------------------------------------------------
