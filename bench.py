@@ -115,27 +115,27 @@ def run_child(sf_name: str, num_cpus: int) -> dict:
             "triples_per_sec": round(n / dt, 1)}
 
 
-def run_scaling(sf_name: str) -> dict:
-    """Same input, fresh ray sessions at 8 and 32 CPUs (BASELINE.md)."""
+def run_scaling(sf_name: str, n: int = 8) -> dict:
+    """Same input, fresh ray sessions at N and 4N CPUs (BASELINE.md)."""
     # generate fixtures once in the parent so children skip it
     from the_yelp_collaborative_knowledge_graph_ray.fixtures import generator
     generator.ensure_fixtures(sf_name)
     results = {}
-    for cpus in (8, 32):
+    for cpus in (n, 4 * n):
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--_child", sf_name,
              "--num-cpus", str(cpus)],
             capture_output=True, text=True, check=True)
         results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
-    t8 = results[8]["triples_per_sec"]
-    t32 = results[32]["triples_per_sec"]
+    t_lo = results[n]["triples_per_sec"]
+    t_hi = results[4 * n]["triples_per_sec"]
     return {
-        "metric": "scaling_efficiency_8_to_32_cpus",
-        "value": round(t32 / (4 * t8), 3),
+        "metric": f"scaling_efficiency_{n}_to_{4 * n}_cpus",
+        "value": round(t_hi / (4 * t_lo), 3),
         "unit": "ratio",
         "sf": sf_name,
-        "run_8cpu": results[8],
-        "run_32cpu": results[32],
+        f"run_{n}cpu": results[n],
+        f"run_{4 * n}cpu": results[4 * n],
     }
 
 
@@ -144,6 +144,8 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-sf", default="bench",
                     help="fixture profile for the scaling run")
+    ap.add_argument("--scaling-n", type=int, default=8,
+                    help="small cluster size N; the run compares N vs 4N")
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--num-cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--_child", dest="child_sf", default=None,
@@ -154,7 +156,7 @@ def main() -> None:
     if args.child_sf:
         print(json.dumps(run_child(args.child_sf, args.num_cpus)))
     elif args.scaling:
-        print(json.dumps(run_scaling(args.scaling_sf)))
+        print(json.dumps(run_scaling(args.scaling_sf, args.scaling_n)))
     else:
         print(json.dumps(run_default(args.sf_dir, args.num_cpus)))
     if ray.is_initialized():

@@ -75,3 +75,23 @@ NORMALIZE_PATTERN = r"[ &/'()\.\-,]+"
 
 # Triples-table schema (FIXTURES.md §4).
 TRIPLE_COLUMNS = ["subj", "pred", "obj", "obj_is_literal", "obj_datatype"]
+
+# The closed (pred, obj_is_literal, obj_datatype) vocabulary this engine's
+# stages emit — the analog of the reference's fixed predicate match table
+# (schema_functions.py:12-76). Passed to materialize(known_combos=...) so
+# the rank encoding skips a full pre-scan; materialize fails loudly if a
+# stage ever emits a combo missing from this list.
+KNOWN_COMBOS: list[tuple[str, bool, str | None]] = [
+    (RDF_TYPE, False, None),
+    (RDFS_LABEL, True, XSD_STRING),
+    (RDFS_SUBCLASS_OF, False, None),
+    (PRED_IS_PART_OF, False, None),
+    (PRED_POSITION, True, XSD_INTEGER),
+    (PRED_ROLE, True, XSD_STRING),
+    (PRED_USES_TOOL, False, None),
+    (PRED_DATE_CREATED, True, XSD_DATETIME),
+    (PRED_TEXT, True, XSD_STRING),
+    (PRED_MENTIONS, False, None),
+    (PRED_SAME_AS, False, None),
+    (PRED_INSTANCE_OF, False, None),
+]

@@ -115,8 +115,10 @@ def build_graph(transcripts: ray.data.Dataset, fixture_dir: str,
     all_triples = parts[0]
     for p in parts[1:]:
         all_triples = all_triples.union(p)
-    final = _stage("final", lambda: materialize.materialize(all_triples),
-                   upstream=["structural", "canonical_mentions", "links"])
+    from .. import config as C
+    final = _stage("final", lambda: materialize.materialize(
+        all_triples, known_combos=C.KNOWN_COMBOS),
+        upstream=["structural", "canonical_mentions", "links"])
     return final
 
 

@@ -285,6 +285,19 @@ def _emb(sf_dir: str):
                                  columns=["vec_id", "embedding"])
 
 
+def _q_conv_stats_salted(sf_dir: str):
+    """Per-conversation aggregate through the salted two-level path — the
+    explicit hot-conversation skew handling of BASELINE.json north_star
+    (the fixture plants conversations 10-100x the median length)."""
+    from .functions.salting import salted_aggregate
+    ts = _read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts"])
+    return salted_aggregate(
+        ts, "conv_id",
+        level1=[("turn_idx", "count"), ("ts", "min"), ("ts", "max")],
+        level2=[("n_turns", "sum"), ("first_ts", "min"), ("last_ts", "max")],
+        out_names=["conv_id", "n_turns", "first_ts", "last_ts"])
+
+
 def _q_dedup_exact(sf_dir: str):
     from .stages.dedup import exact_dedup
     return exact_dedup(_docs(sf_dir))
@@ -431,6 +444,7 @@ def queries() -> dict[str, Callable]:
         "cq_turns_in_month": _q_turns_in_month,
         "cq_distinct_mentions": _q_distinct_mentions,
         "cq_top_tools": _q_top_tools,
+        "cq_conv_stats_salted": _q_conv_stats_salted,
         # training-data ops
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -497,6 +511,11 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{fdir}/transcripts.parquet/*.parquet')
             WHERE {TOOL_OK_SQL}
             GROUP BY 1 ORDER BY n DESC, tool ASC LIMIT 5""",
+        "cq_conv_stats_salted": f"""
+            SELECT conv_id, count(*) AS n_turns, min(ts) AS first_ts,
+                   max(ts) AS last_ts
+            FROM read_parquet('{fdir}/transcripts.parquet/*.parquet')
+            GROUP BY 1 ORDER BY 1""",
         # ------ training-data ops (documents/embeddings testdata views) ----
         "dedup_exact": """
             SELECT md5(text) AS text_hash, count(*) AS n_dups,

@@ -94,7 +94,9 @@ def dedup_sorted_block(batch: pa.Table) -> pa.Table:
     return batch.filter(keep)
 
 
-def materialize(triples: ray.data.Dataset, sort: bool = True) -> ray.data.Dataset:
+def materialize(triples: ray.data.Dataset, sort: bool = True,
+                known_combos: list[tuple[str, bool, str | None]] | None = None,
+                ) -> ray.data.Dataset:
     """Exact global dedup + global sort of a triples Dataset.
 
     The sorted path integer-encodes the low-cardinality columns before the
@@ -111,14 +113,22 @@ def materialize(triples: ray.data.Dataset, sort: bool = True) -> ray.data.Datase
     ds = triples.map_batches(local_dedup, batch_format="pyarrow",
                              zero_copy_batch=True)
     if sort:
-        ds = ds.materialize()
-        # distinct (pred) and (lit, dtype) sets: per-block unique, tiny rows
-        def block_combos(b: pa.Table) -> pa.Table:
-            return b.select(["pred", "obj_is_literal", "obj_datatype"]) \
-                .group_by(["pred", "obj_is_literal", "obj_datatype"],
-                          use_threads=False).aggregate([])
-        combos = ds.map_batches(block_combos, batch_format="pyarrow",
-                                zero_copy_batch=True).take_all()
+        if known_combos is not None:
+            # closed vocabulary supplied by the pipeline (config.py): skips a
+            # full materialize + scan of the pre-deduped Dataset (~10-15 s
+            # and one extra object-store copy at bench scale). Unknown
+            # combos fail loudly at encode (assert below), never silently.
+            combos = [{"pred": p, "obj_is_literal": l, "obj_datatype": d}
+                      for p, l, d in known_combos]
+        else:
+            ds = ds.materialize()
+            # distinct (pred)/(lit,dtype) sets: per-block unique, tiny rows
+            def block_combos(b: pa.Table) -> pa.Table:
+                return b.select(["pred", "obj_is_literal", "obj_datatype"]) \
+                    .group_by(["pred", "obj_is_literal", "obj_datatype"],
+                              use_threads=False).aggregate([])
+            combos = ds.map_batches(block_combos, batch_format="pyarrow",
+                                    zero_copy_batch=True).take_all()
         preds = sorted({c["pred"] for c in combos})
         # (lit, dtype) ranked like the string sort: False<True, nulls last
         lds = sorted({(c["obj_is_literal"], c["obj_datatype"]) for c in combos},
@@ -130,16 +140,23 @@ def materialize(triples: ray.data.Dataset, sort: bool = True) -> ray.data.Datase
             [("1" if x[0] else "0") + "\x1f" + (x[1] if x[1] is not None else "\x00")
              for x in lds], pa.string())
 
+        strict = known_combos is not None
+
         def encode(b: pa.Table) -> pa.Table:
             lit = pc.if_else(b["obj_is_literal"], "1", "0")
             dt = pc.fill_null(b["obj_datatype"], "\x00")
             ld_key = pc.binary_join_element_wise(lit, dt, "\x1f")
+            pid = pc.index_in(b["pred"], value_set=pred_arr)
+            lid = pc.index_in(ld_key, value_set=ld_key_arr)
+            if strict and (pid.null_count or lid.null_count):
+                bad = pc.unique(pc.filter(b["pred"], pc.is_null(pid)))
+                raise ValueError(
+                    f"materialize(known_combos=...) missing combos for "
+                    f"predicates {bad.to_pylist()[:5]}")
             return pa.table({
                 "subj": b["subj"], "obj": b["obj"],
-                "pid": pc.cast(pc.index_in(b["pred"], value_set=pred_arr),
-                               pa.int32()),
-                "lid": pc.cast(pc.index_in(ld_key, value_set=ld_key_arr),
-                               pa.int32())})
+                "pid": pc.cast(pid, pa.int32()),
+                "lid": pc.cast(lid, pa.int32())})
 
         def decode_dedup(b: pa.Table) -> pa.Table:
             if b.num_rows == 0:
