@@ -56,6 +56,8 @@ PROFILES = {
     "sf0.01": 3200,
     "sf0.1": 32000,
     "bench": 500_000,   # ~4.8M turns: scaling-run input (BASELINE.md protocol)
+    "bench800": 800_000,  # ~7.7M turns: larger scaling corpus (amortizes
+                          # the fixed per-job tail at high CPU counts)
 }
 
 # --- controlled vocabulary ---------------------------------------------------
