@@ -29,6 +29,7 @@ def _names():
     "cq_turns_per_role", "cq_mean_turns_per_conv", "cq_busiest_day_by_tool",
     "cq_convs_over_10_turns", "cq_turns_in_month", "cq_distinct_mentions",
     "cq_top_tools", "kg_pipeline_full", "cq_conv_stats_salted",
+    "kg_ntriples_lines",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_embedding_cosine", "embedding_topk_pairs", "ann_topk_cosine",
     "text_quality", "text_token_count",

@@ -176,3 +176,47 @@ def test_attach_column_sparse_left(ray_session):
         left_key="doc_a", source_key="doc_id", source_val="text",
         out_col="text_a").to_pandas()
     assert out.to_dict("records") == [{"doc_a": 3, "v": 7, "text_a": "t3"}]
+
+
+def test_sorted_aggregate_matches_pandas(ray_session):
+    from the_yelp_collaborative_knowledge_graph_ray.functions.grouped import (
+        sorted_aggregate,
+    )
+    rng = np.random.RandomState(5)
+    n = 20_000
+    k = rng.randint(0, 50, size=n)
+    v = rng.randint(0, 1000, size=n)
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(k, pa.int64()), "v": pa.array(v, pa.int64())}))
+    got = sorted_aggregate(ds.repartition(8), ["k"],
+                           [("v", "sum"), ("v", "min"), ("v", "count")],
+                           ["k", "v_sum", "v_min", "v_n"]).to_pandas()
+    import pandas as pd
+    want = pd.DataFrame({"k": k, "v": v}).groupby("k")["v"] \
+        .agg(v_sum="sum", v_min="min", v_n="count").reset_index()
+    got = got.sort_values("k").reset_index(drop=True)
+    assert got.astype("int64").equals(want.astype("int64"))
+    # output arrives already sorted by the group key
+    assert got["k"].is_monotonic_increasing
+
+
+def test_salted_aggregate_exact_on_hot_keys(ray_session):
+    from the_yelp_collaborative_knowledge_graph_ray.functions.salting import (
+        salted_aggregate,
+    )
+    # one key holds 90% of the rows — the skew case salting exists for
+    k = ["hot"] * 18_000 + [f"k{i % 40}" for i in range(2_000)]
+    v = list(range(20_000))
+    ds = ray.data.from_arrow(pa.table({
+        "key": pa.array(k, pa.string()), "v": pa.array(v, pa.int64())}))
+    got = salted_aggregate(
+        ds.repartition(8), "key",
+        level1=[("v", "count"), ("v", "min"), ("v", "max")],
+        level2=[("n", "sum"), ("v_min", "min"), ("v_max", "max")],
+        out_names=["key", "n", "v_min", "v_max"], num_salts=8).to_pandas()
+    import pandas as pd
+    want = pd.DataFrame({"key": k, "v": v}).groupby("key")["v"] \
+        .agg(n="count", v_min="min", v_max="max").reset_index()
+    got = got.sort_values("key").reset_index(drop=True)
+    want = want.sort_values("key").reset_index(drop=True)
+    assert got.equals(want[["key", "n", "v_min", "v_max"]])

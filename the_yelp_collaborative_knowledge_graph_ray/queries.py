@@ -285,6 +285,16 @@ def _emb(sf_dir: str):
                                  columns=["vec_id", "embedding"])
 
 
+def _q_ntriples_lines(sf_dir: str):
+    """S4 sink analog, oracle-checked: structural triples rendered to
+    N-Triples text lines (typed literals + escaping)."""
+    from .stages import extract, materialize
+    ts = _read_transcripts(sf_dir)
+    t = materialize.materialize(extract.structural_triples(ts))
+    return t.map_batches(materialize.render_ntriples, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
 def _q_conv_stats_salted(sf_dir: str):
     """Per-conversation aggregate through the salted two-level path — the
     explicit hot-conversation skew handling of BASELINE.json north_star
@@ -445,6 +455,7 @@ def queries() -> dict[str, Callable]:
         "cq_distinct_mentions": _q_distinct_mentions,
         "cq_top_tools": _q_top_tools,
         "cq_conv_stats_salted": _q_conv_stats_salted,
+        "kg_ntriples_lines": _q_ntriples_lines,
         # training-data ops
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -516,6 +527,17 @@ def oracle_sql() -> dict[str, str]:
                    max(ts) AS last_ts
             FROM read_parquet('{fdir}/transcripts.parquet/*.parquet')
             GROUP BY 1 ORDER BY 1""",
+        "kg_ntriples_lines": P + f"""
+            SELECT '<' || subj || '> <' || pred || '> ' ||
+                   CASE WHEN obj_is_literal THEN
+                     '"' || replace(replace(replace(obj,
+                         chr(92), chr(92) || chr(92)),
+                         '"', chr(92) || '"'),
+                         chr(10), chr(92) || 'n')
+                     || '"^^<' || coalesce(obj_datatype, '{C.XSD_STRING}')
+                     || '> .'
+                   ELSE '<' || obj || '> .' END AS text
+            FROM ({_structural_sql()})""",
         # ------ training-data ops (documents/embeddings testdata views) ----
         "dedup_exact": """
             SELECT md5(text) AS text_hash, count(*) AS n_dups,
