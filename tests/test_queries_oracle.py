@@ -35,7 +35,7 @@ def _names():
     "text_quality", "text_token_count",
     "rel_groupby_lineitem", "rel_join_orders_customer", "rel_topk_customers",
     "rel_first_order_per_customer", "rel_revenue_by_brand",
-    "events_sessionize",
+    "events_sessionize", "events_window_agg", "events_json_props_sum",
 ])
 def test_query_matches_oracle(ray_session, oracle, name):
     qs = Q.queries()

@@ -164,6 +164,51 @@ def revenue_by_brand(sf_dir: str) -> ray.data.Dataset:
         Sum("revenue", alias_name="revenue")).sort("brand")
 
 
+def windowed_event_agg(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling 1-hour windows per event_type: the windowed-aggregate
+    operator Ray Data lacks natively, composed as truncate-to-window
+    (vectorized ``pc.floor_temporal``) + per-block partial combine +
+    sorted-block global aggregate."""
+    ev = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(b["ts"], unit="hour")
+        t = pa.table({"event_type": b["event_type"], "w": w,
+                      "value": b["value"]})
+        return t.group_by(["event_type", "w"], use_threads=False).aggregate(
+            [("value", "sum"), ("value", "count")]).rename_columns(
+            ["event_type", "w", "sum_value", "n"])
+
+    from ..functions.grouped import sorted_aggregate
+    partials = ev.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return sorted_aggregate(partials, ["event_type", "w"],
+                            [("sum_value", "sum"), ("n", "sum")],
+                            ["event_type", "w", "sum_value", "n"])
+
+
+def json_props_sum(sf_dir: str) -> ray.data.Dataset:
+    """Parse the stringified-JSON ``props`` column (the reference's
+    stringified-dict repair, ``create_yelp_nt_files.py:116-119``, made
+    vectorized): extract ``$.k`` with one RE2 kernel, sum per event_type."""
+    ev = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        g = pc.extract_regex(b["props"], r'"k":\s*(?P<k>\d+)')
+        k = pc.cast(pc.struct_field(g, "k"), pa.int64())
+        t = pa.table({"event_type": b["event_type"], "k": k})
+        return t.group_by(["event_type"], use_threads=False).aggregate(
+            [("k", "sum"), ("k", "count")]).rename_columns(
+            ["event_type", "sum_k", "n"])
+
+    from ..functions.grouped import sorted_aggregate
+    partials = ev.map_batches(extract, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return sorted_aggregate(partials, ["event_type"],
+                            [("sum_k", "sum"), ("n", "sum")],
+                            ["event_type", "sum_k", "n"])
+
+
 def sessionize_events(sf_dir: str) -> ray.data.Dataset:
     """(user_id, n_events, n_sessions): session breaks at gaps > 30 min.
     Per-user ordered logic = groupby + in-group sort by ts (the transcript

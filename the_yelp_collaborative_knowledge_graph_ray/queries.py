@@ -413,6 +413,16 @@ def _q_events_sessionize(sf_dir: str):
     return sessionize_events(sf_dir)
 
 
+def _q_events_window(sf_dir: str):
+    from .pipelines.relational import windowed_event_agg
+    return windowed_event_agg(sf_dir)
+
+
+def _q_events_json(sf_dir: str):
+    from .pipelines.relational import json_props_sum
+    return json_props_sum(sf_dir)
+
+
 _STOPWORD_SQL = ",".join(f"'{w}'" for w in
                          ("the", "a", "an", "and", "or", "of", "in", "on",
                           "to", "is"))
@@ -477,6 +487,8 @@ def queries() -> dict[str, Callable]:
         "rel_first_order_per_customer": _q_rel_first_order,
         "rel_revenue_by_brand": _q_rel_brand,
         "events_sessionize": _q_events_sessionize,
+        "events_window_agg": _q_events_window,
+        "events_json_props_sum": _q_events_json,
     }
 
 
@@ -631,4 +643,13 @@ def oracle_sql() -> dict[str, str]:
                    count(CASE WHEN pts IS NULL OR epoch(ts - pts) > 1800
                          THEN 1 END) AS n_sessions
             FROM x GROUP BY 1 ORDER BY 1""",
+        "events_window_agg": """
+            SELECT event_type, date_trunc('hour', ts) AS w,
+                   sum(value) AS sum_value, count(*) AS n
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        "events_json_props_sum": """
+            SELECT event_type,
+                   sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+                   count(*) AS n
+            FROM events GROUP BY 1 ORDER BY 1""",
     }
