@@ -51,13 +51,17 @@ def load_config_tables(fixture_dir: str):
 
 
 def build_graph(transcripts: ray.data.Dataset, fixture_dir: str,
-                concurrency: int = 4, include_enrichment: bool = True,
+                concurrency: int | None = None,
+                include_enrichment: bool = True,
                 checkpoint_dir: str | None = None,
                 distributed_canon_map: bool = False) -> ray.data.Dataset:
     """Full KG construction; returns the materialized (sorted, deduped)
     triples Dataset. ``distributed_canon_map=True`` computes the alias
     closure with the shuffle-native components job instead of the driver
     (identical result; used to exercise the scale path)."""
+    if concurrency is None:
+        # autoscaling actor pools sized to the cluster (1 CPU per actor)
+        concurrency = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
     alias_rows, vocab, snapshot, entity_types, hierarchy = \
         load_config_tables(fixture_dir)
     if distributed_canon_map:
@@ -131,7 +135,7 @@ def read_transcripts(fdir: str) -> ray.data.Dataset:
     return ray.data.read_parquet(os.path.join(fdir, "transcripts.parquet"))
 
 
-def run_kg(sf_dir: str, concurrency: int = 4,
+def run_kg(sf_dir: str, concurrency: int | None = None,
            include_enrichment: bool = True,
            checkpoint_dir: str | None = None) -> ray.data.Dataset:
     """Convenience entry: fixtures for this sf, read transcripts, build KG."""

@@ -126,7 +126,9 @@ class MentionRewriter:
 
 def canonicalize_mentions(mention_ds: ray.data.Dataset,
                           canon_map: dict[str, tuple[str, ...]],
-                          concurrency: int = 4) -> ray.data.Dataset:
+                          concurrency: int | None = None) -> ray.data.Dataset:
+    if concurrency is None:
+        concurrency = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
     ref = ray.put(canon_map)
     return mention_ds.map_batches(
         MentionRewriter, fn_constructor_args=(ref,), batch_format="pyarrow",

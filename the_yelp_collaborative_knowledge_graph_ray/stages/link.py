@@ -139,7 +139,7 @@ class LinkScorer:
 
 def link_mentions(canonical_mentions: ray.data.Dataset,
                   snapshot: EntitySnapshot,
-                  concurrency: int = 4) -> ray.data.Dataset:
+                  concurrency: int | None = None) -> ray.data.Dataset:
     """canonical_mentions: triples Dataset after canonicalization. Returns
     sameAs triples for linkable canonical forms.
 
@@ -161,6 +161,8 @@ def link_mentions(canonical_mentions: ray.data.Dataset,
                                            zero_copy_batch=True)
     distinct = sorted_aggregate(forms, ["form"], [("form", "count")],
                                 ["form", "n"])
+    if concurrency is None:
+        concurrency = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
     ref = ray.put(snapshot)
     links = distinct.map_batches(
         LinkScorer, fn_constructor_args=(ref,), batch_format="pyarrow",

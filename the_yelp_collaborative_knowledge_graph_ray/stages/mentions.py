@@ -98,12 +98,14 @@ def load_vocab_surfaces(fixture_dir: str) -> list[str]:
 
 
 def mention_triples(transcripts: ray.data.Dataset, vocab: list[str],
-                    concurrency: int = 4) -> ray.data.Dataset:
+                    concurrency: int | None = None) -> ray.data.Dataset:
     """Detect mentions; returns triples Dataset (turn -mentions-> mention IRI).
 
     ``vocab`` is put in the object store ONCE; each actor reads it in
     ``__init__`` — broadcast, not per-batch shipping.
     """
+    if concurrency is None:
+        concurrency = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
     vocab_ref = ray.put(vocab)
     return transcripts.map_batches(
         MentionDetector, fn_constructor_args=(vocab_ref,),
