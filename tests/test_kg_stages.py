@@ -207,3 +207,30 @@ def test_sorted_block_dedup_is_exact_under_block_splits(ray_session):
         assert out.count() == 30_003
     finally:
         ctx.target_max_block_size = old
+
+
+def test_prefix_encode_order_and_roundtrip():
+    """(bucket, suffix) sort order == full-string order; encoding injective.
+
+    Exercises prefixed IRIs, exact-prefix strings, arbitrary literals (some
+    colliding with prefix starts), and the empty string."""
+    import random
+    import string as _s
+    from the_yelp_collaborative_knowledge_graph_ray import config as C
+
+    rng = random.Random(7)
+    vals = [""] + list(C.SORT_PREFIXES)
+    for p in C.SORT_PREFIXES:
+        vals += [p + "".join(rng.choices(_s.ascii_letters + "0123456789/_",
+                                         k=rng.randint(0, 20)))
+                 for _ in range(100)]
+    vals += ["".join(rng.choices(_s.printable[:80], k=rng.randint(0, 30)))
+             for _ in range(300)]
+    vals += ["http://example.org/yckg/entity/t",  # shares ENT, no full prefix
+             "http://www.wikidata.org/entity",    # one short of WD
+             "https://schema.org/Message"]
+    col = pa.array(vals, pa.string())
+    b, s = materialize._prefix_encode(col)
+    assert materialize._prefix_decode(b, s).to_pylist() == vals
+    keyed = sorted(zip(b.to_pylist(), s.to_pylist(), vals))
+    assert [k[2] for k in keyed] == sorted(vals)

@@ -81,6 +81,23 @@ TRIPLE_COLUMNS = ["subj", "pred", "obj", "obj_is_literal", "obj_datatype"]
 # (schema_functions.py:12-76). Passed to materialize(known_combos=...) so
 # the rank encoding skips a full pre-scan; materialize fails loudly if a
 # stage ever emits a combo missing from this list.
+# IRI namespace prefixes stripped from subj/obj during the materialize sort
+# and replaced by an int8 bucket (stages/materialize.py:_prefix_encode). The
+# set MUST be prefix-free (no entry a prefix of another) — that property is
+# what makes (bucket, suffix) ordering identical to full-string ordering.
+# Strings matching no prefix (e.g. arbitrary text literals) are interleaved
+# via even bucket ids, so the list need not be exhaustive — only prefix-free.
+SORT_PREFIXES: list[str] = sorted([
+    ENT + "class/",
+    ENT + "conversation/",
+    ENT + "mention/",
+    ENT + "tool/",
+    ENT + "turn/",
+    ENT + "type/",
+    WD,
+    SCHEMA,
+])
+
 KNOWN_COMBOS: list[tuple[str, bool, str | None]] = [
     (RDF_TYPE, False, None),
     (RDFS_LABEL, True, XSD_STRING),

@@ -94,6 +94,65 @@ def dedup_sorted_block(batch: pa.Table) -> pa.Table:
     return batch.filter(keep)
 
 
+import re as _re
+
+_PFX = pa.array(C.SORT_PREFIXES, pa.string())
+_PFX_RE = ("(?s)^(?P<pfx>"
+           + "|".join(_re.escape(p) for p in C.SORT_PREFIXES)
+           + ")(?P<rest>.*)$")
+# bucket -> prefix to re-attach at decode: odd bucket 2i+1 = prefix i,
+# even buckets = no prefix (suffix IS the full string)
+_PFX_BY_BUCKET = pa.array(
+    [C.SORT_PREFIXES[b // 2] if b % 2 else ""
+     for b in range(2 * len(C.SORT_PREFIXES) + 1)], pa.string())
+
+
+def _prefix_encode(col: pa.Array) -> tuple[pa.Array, pa.Array]:
+    """(bucket:int8, suffix:string) whose lexicographic order equals the
+    full string's, with the prefix bytes stripped from the shuffled payload.
+
+    ``SORT_PREFIXES`` is prefix-free, so at most one prefix matches any
+    string and any two distinct prefixes differ at a position inside both —
+    hence comparing two prefixed strings resolves inside the prefix region
+    exactly like comparing the prefixes themselves. A string s matching no
+    prefix gets bucket ``2r`` where r = #prefixes < s: every string with
+    prefix p_i < s sorts before s (first-difference inside p_i), every one
+    with p_j > s after, so even/odd bucket interleaving preserves total
+    order. The map s -> (bucket, suffix) is injective (odd: s = p + suffix;
+    even: s = suffix), so neighbor-equality dedup is unchanged.
+
+    One anchored RE2 alternation pass splits (prefix, rest) — measured 4x
+    cheaper than per-prefix ``starts_with`` + slice + ``if_else`` (each of
+    those materializes the full string column); the rank scan for unmatched
+    rows runs only when such rows exist."""
+    if col.null_count:
+        raise ValueError("prefix encode expects non-null IRI/literal column")
+    ex = pc.extract_regex(col, pattern=_PFX_RE)
+    hit = pc.is_valid(ex)  # struct-level: fields of null rows hold garbage
+    pfx, rest = ex.field("pfx"), ex.field("rest")
+    bucket = pc.cast(pc.add(pc.multiply(
+        pc.index_in(pfx, value_set=_PFX), 2), 1), pa.int8())
+    if not pc.all(hit).as_py():
+        rank = None  # r = #prefixes < s, for interleaving unmatched strings
+        for p in C.SORT_PREFIXES:
+            gt = pc.cast(pc.greater(col, p), pa.int8())
+            rank = gt if rank is None else pc.add(rank, gt)
+        bucket = pc.if_else(hit, bucket,
+                            pc.multiply(rank, pa.scalar(2, pa.int8())))
+        suffix = pc.if_else(hit, rest, col)
+    else:
+        suffix = rest
+    return bucket, suffix
+
+
+def _prefix_decode(bucket, suffix) -> pa.Array:
+    if isinstance(bucket, pa.ChunkedArray):
+        bucket = bucket.combine_chunks()
+    if isinstance(suffix, pa.ChunkedArray):
+        suffix = suffix.combine_chunks()
+    return pc.binary_join_element_wise(_PFX_BY_BUCKET.take(bucket), suffix, "")
+
+
 def materialize(triples: ray.data.Dataset, sort: bool = True,
                 known_combos: list[tuple[str, bool, str | None]] | None = None,
                 ) -> ray.data.Dataset:
@@ -106,9 +165,13 @@ def materialize(triples: ray.data.Dataset, sort: bool = True,
     bench-scale sort moves. Ranks are computed from the actual distinct sets
     (one cheap per-block pass over the materialized pre-deduped Dataset), so
     arbitrary vocabularies work; strings are restored per block after the
-    sort. Ordering and dedup exactness are unchanged: the int sort key
-    (subj, pid, obj, lid) induces exactly the (subj, pred, obj,
-    obj_is_literal, obj_datatype) order.
+    sort. On top of that, ``subj``/``obj`` IRI namespaces from the
+    prefix-free ``config.SORT_PREFIXES`` are stripped into int8 bucket
+    columns (``_prefix_encode``; ~36 of ~50 subj bytes and ~35 bytes on the
+    ~46% of objs that are IRIs), roughly halving the sorted payload again.
+    Ordering and dedup exactness are unchanged: the encoded sort key
+    (sb, subj, pid, ob, obj, lid) induces exactly the (subj, pred, obj,
+    obj_is_literal, obj_datatype) order (proof at ``_prefix_encode``).
     """
     ds = triples.map_batches(local_dedup, batch_format="pyarrow",
                              zero_copy_batch=True)
@@ -153,18 +216,25 @@ def materialize(triples: ray.data.Dataset, sort: bool = True,
                 raise ValueError(
                     f"materialize(known_combos=...) missing combos for "
                     f"predicates {bad.to_pylist()[:5]}")
+            sb, subj = _prefix_encode(b["subj"].combine_chunks()
+                                      if isinstance(b["subj"], pa.ChunkedArray)
+                                      else b["subj"])
+            ob, obj = _prefix_encode(b["obj"].combine_chunks()
+                                     if isinstance(b["obj"], pa.ChunkedArray)
+                                     else b["obj"])
             return pa.table({
-                "subj": b["subj"], "obj": b["obj"],
+                "sb": sb, "subj": subj, "ob": ob, "obj": obj,
                 "pid": pc.cast(pid, pa.int32()),
                 "lid": pc.cast(lid, pa.int32())})
 
         def decode_dedup(b: pa.Table) -> pa.Table:
             if b.num_rows == 0:
                 return OUT_SCHEMA.empty_table()
-            # neighbor-compare on the 4 sort columns = exact dedup (module
-            # docstring invariant), then restore the strings by rank gather
+            # neighbor-compare on the 6 sort columns = exact dedup (module
+            # docstring invariant), then restore the strings by rank gather /
+            # prefix re-attachment
             keep = None
-            for col in ("subj", "pid", "obj", "lid"):
+            for col in ("sb", "subj", "pid", "ob", "obj", "lid"):
                 a = b[col].combine_chunks() if isinstance(b[col], pa.ChunkedArray) else b[col]
                 neq = pc.not_equal(a.slice(1), a.slice(0, len(a) - 1))
                 neq = pc.fill_null(neq, True)
@@ -175,9 +245,9 @@ def materialize(triples: ray.data.Dataset, sort: bool = True,
             d = b.filter(keep)
             pid, lid = d["pid"], d["lid"]
             return pa.table({
-                "subj": pc.cast(d["subj"], pa.string()),
+                "subj": pc.cast(_prefix_decode(d["sb"], d["subj"]), pa.string()),
                 "pred": pred_arr.take(pid),
-                "obj": pc.cast(d["obj"], pa.string()),
+                "obj": pc.cast(_prefix_decode(d["ob"], d["obj"]), pa.string()),
                 "obj_is_literal": lit_arr.take(lid),
                 "obj_datatype": dt_arr.take(lid)}, schema=OUT_SCHEMA)
 
@@ -188,7 +258,7 @@ def materialize(triples: ray.data.Dataset, sort: bool = True,
         n_cpus = int(_ray.cluster_resources().get("CPU", 8))
         enc = ds.map_batches(encode, batch_format="pyarrow",
                              zero_copy_batch=True).repartition(2 * n_cpus)
-        s = enc.sort(["subj", "pid", "obj", "lid"])
+        s = enc.sort(["sb", "subj", "pid", "ob", "obj", "lid"])
         return s.map_batches(decode_dedup, batch_format="pyarrow",
                              batch_size=None, zero_copy_batch=True)
     # unsorted exact dedup (audit paths): single synthetic-key shuffle
