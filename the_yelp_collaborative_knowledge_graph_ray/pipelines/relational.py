@@ -36,6 +36,16 @@ def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _scaled_int(arr, factor: float) -> pa.ChunkedArray:
+    """Exact fixed-point encoding of a money/percentage column: the testdata
+    amounts are exact multiples of 1/factor, so round(x*factor) is an exact
+    int64 and SUMS BECOME ORDER-INDEPENDENT — a float64 sum over 60k rows
+    differs from DuckDB's in the low bits (summation order), which would
+    trip the driver's value-hash compare even though both are 'correct'.
+    The oracle SQL applies the identical encoding."""
+    return pc.cast(pc.round(pc.multiply(arr, pa.scalar(factor))), pa.int64())
+
+
 def lineitem_agg(sf_dir: str) -> ray.data.Dataset:
     """TPC-H Q1-style pricing summary with map-side partial aggregation."""
     from ray.data.aggregate import Sum
@@ -47,22 +57,28 @@ def lineitem_agg(sf_dir: str) -> ray.data.Dataset:
     def partial(b: pa.Table) -> pa.Table:
         disc_price = pc.multiply(b["l_extendedprice"],
                                  pc.subtract(pa.scalar(1.0), b["l_discount"]))
-        b = b.append_column("disc_price", disc_price)
-        return b.group_by(["l_returnflag", "l_linestatus"],
+        t = pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "l_quantity": b["l_quantity"],
+            "base_c": _scaled_int(b["l_extendedprice"], 100.0),
+            "disc_price_c": _scaled_int(disc_price, 10000.0),
+            "disc_c": _scaled_int(b["l_discount"], 100.0)})
+        return t.group_by(["l_returnflag", "l_linestatus"],
                           use_threads=False).aggregate(
-            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
-             ("disc_price", "sum"), ("l_discount", "sum"),
+            [("l_quantity", "sum"), ("base_c", "sum"),
+             ("disc_price_c", "sum"), ("disc_c", "sum"),
              ("l_quantity", "count")]).rename_columns(
-            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
-             "sum_disc_price", "sum_disc", "n_rows"])
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_c",
+             "sum_disc_price_c", "sum_disc_c", "n_rows"])
 
     partials = li.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True)
     agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("sum_qty", alias_name="sum_qty"),
-        Sum("sum_base_price", alias_name="sum_base_price"),
-        Sum("sum_disc_price", alias_name="sum_disc_price"),
-        Sum("sum_disc", alias_name="sum_disc"),
+        Sum("sum_base_c", alias_name="sum_base_c"),
+        Sum("sum_disc_price_c", alias_name="sum_disc_price_c"),
+        Sum("sum_disc_c", alias_name="sum_disc_c"),
         Sum("n_rows", alias_name="count_order"))
 
     def finalize(b: pa.Table) -> pa.Table:
@@ -71,10 +87,15 @@ def lineitem_agg(sf_dir: str) -> ray.data.Dataset:
             "l_returnflag": b["l_returnflag"],
             "l_linestatus": b["l_linestatus"],
             "sum_qty": b["sum_qty"],
-            "sum_base_price": b["sum_base_price"],
-            "sum_disc_price": b["sum_disc_price"],
+            "sum_base_price": pc.divide(
+                pc.cast(b["sum_base_c"], pa.float64()), pa.scalar(100.0)),
+            "sum_disc_price": pc.divide(
+                pc.cast(b["sum_disc_price_c"], pa.float64()),
+                pa.scalar(10000.0)),
             "avg_qty": pc.divide(pc.cast(b["sum_qty"], pa.float64()), n),
-            "avg_disc": pc.divide(pc.cast(b["sum_disc"], pa.float64()), n),
+            "avg_disc": pc.divide(
+                pc.divide(pc.cast(b["sum_disc_c"], pa.float64()),
+                          pa.scalar(100.0)), n),
             "count_order": b["count_order"]})
 
     return agg.map_batches(finalize, batch_format="pyarrow") \
@@ -99,29 +120,47 @@ def orders_by_mktsegment(sf_dir: str) -> ray.data.Dataset:
             segs = [self.lookup.get(k) for k in b["o_custkey"].to_pylist()]
             return pa.table({
                 "mktsegment": pa.array(segs, pa.string()),
-                "o_totalprice": b["o_totalprice"]})
+                "price_c": _scaled_int(b["o_totalprice"], 100.0)})
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     probed = orders.map_batches(Probe, batch_format="pyarrow",
                                 zero_copy_batch=True, concurrency=(1, 4))
-    return probed.groupby("mktsegment").aggregate(
-        Sum("o_totalprice", alias_name="revenue"),
-        Count("o_totalprice", alias_name="n_orders")).sort("mktsegment")
+    agg = probed.groupby("mktsegment").aggregate(
+        Sum("price_c", alias_name="revenue_c"),
+        Count("price_c", alias_name="n_orders"))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "mktsegment": b["mktsegment"],
+            "revenue": pc.divide(pc.cast(b["revenue_c"], pa.float64()),
+                                 pa.scalar(100.0)),
+            "n_orders": b["n_orders"]})
+
+    return agg.map_batches(finalize, batch_format="pyarrow") \
+              .sort("mktsegment")
 
 
 def topk_customers(sf_dir: str, k: int = 10) -> ray.data.Dataset:
     from ray.data.aggregate import Sum
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    totals = orders.groupby("o_custkey").aggregate(
-        Sum("o_totalprice", alias_name="total_spent"))
 
-    def round6(b: pa.Table) -> pa.Table:
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": b["o_custkey"],
+                         "price_c": _scaled_int(b["o_totalprice"], 100.0)})
+
+    totals = orders.map_batches(cents, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+                   .groupby("o_custkey").aggregate(
+        Sum("price_c", alias_name="total_c"))
+
+    def finalize(b: pa.Table) -> pa.Table:
         return pa.table({
             "o_custkey": b["o_custkey"],
-            "total_spent": pc.round(b["total_spent"], 6)})
+            "total_spent": pc.divide(pc.cast(b["total_c"], pa.float64()),
+                                     pa.scalar(100.0))})
 
-    return totals.map_batches(round6, batch_format="pyarrow") \
+    return totals.map_batches(finalize, batch_format="pyarrow") \
                  .sort(["total_spent", "o_custkey"],
                        descending=[True, False]).limit(k)
 
@@ -154,14 +193,22 @@ def revenue_by_brand(sf_dir: str) -> ray.data.Dataset:
             rev = pc.multiply(b["l_extendedprice"],
                               pc.subtract(pa.scalar(1.0), b["l_discount"]))
             return pa.table({"brand": pa.array(brands, pa.string()),
-                             "revenue": rev})
+                             "revenue_c": _scaled_int(rev, 10000.0)})
 
     li = _read(sf_dir, "lineitem",
                columns=["l_partkey", "l_extendedprice", "l_discount"])
     probed = li.map_batches(Probe, batch_format="pyarrow",
                             zero_copy_batch=True, concurrency=(1, 4))
-    return probed.groupby("brand").aggregate(
-        Sum("revenue", alias_name="revenue")).sort("brand")
+    agg = probed.groupby("brand").aggregate(
+        Sum("revenue_c", alias_name="revenue_c"))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "brand": b["brand"],
+            "revenue": pc.divide(pc.cast(b["revenue_c"], pa.float64()),
+                                 pa.scalar(10000.0))})
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort("brand")
 
 
 def windowed_event_agg(sf_dir: str) -> ray.data.Dataset:
@@ -174,17 +221,26 @@ def windowed_event_agg(sf_dir: str) -> ray.data.Dataset:
     def partial(b: pa.Table) -> pa.Table:
         w = pc.floor_temporal(b["ts"], unit="hour")
         t = pa.table({"event_type": b["event_type"], "w": w,
-                      "value": b["value"]})
+                      "value_c": _scaled_int(b["value"], 100.0)})
         return t.group_by(["event_type", "w"], use_threads=False).aggregate(
-            [("value", "sum"), ("value", "count")]).rename_columns(
-            ["event_type", "w", "sum_value", "n"])
+            [("value_c", "sum"), ("value_c", "count")]).rename_columns(
+            ["event_type", "w", "sum_value_c", "n"])
 
     from ..functions.grouped import sorted_aggregate
     partials = ev.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True)
-    return sorted_aggregate(partials, ["event_type", "w"],
-                            [("sum_value", "sum"), ("n", "sum")],
-                            ["event_type", "w", "sum_value", "n"])
+    agg = sorted_aggregate(partials, ["event_type", "w"],
+                           [("sum_value_c", "sum"), ("n", "sum")],
+                           ["event_type", "w", "sum_value_c", "n"])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"], "w": b["w"],
+            "sum_value": pc.divide(pc.cast(b["sum_value_c"], pa.float64()),
+                                   pa.scalar(100.0)),
+            "n": b["n"]})
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
 
 
 def json_props_sum(sf_dir: str) -> ray.data.Dataset:

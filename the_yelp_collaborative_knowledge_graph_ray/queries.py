@@ -606,23 +606,34 @@ def oracle_sql() -> dict[str, str]:
                      AS re_tokens
             FROM documents ORDER BY doc_id""",
         # ------ relational operator demos (TPC-H-ish views) ----------------
+        # money/percent columns are exact multiples of 0.01: summing exact
+        # int64 fixed-point values (round(x*100)) on BOTH sides makes the
+        # sums order-independent, so the driver's value-hash compare cannot
+        # be tripped by float summation order (the Ray side applies the
+        # identical encoding; see relational.py:_scaled_int).
         "rel_groupby_lineitem": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,
-                   sum(l_extendedprice) AS sum_base_price,
-                   sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+                     AS sum_base_price,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                       AS BIGINT)) / 10000.0 AS sum_disc_price,
                    avg(l_quantity) AS avg_qty,
-                   avg(l_discount) AS avg_disc,
+                   (sum(CAST(round(l_discount * 100) AS BIGINT)) / 100.0)
+                     / count(*) AS avg_disc,
                    count(*) AS count_order
             FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
         "rel_join_orders_customer": """
             SELECT c.c_mktsegment AS mktsegment,
-                   sum(o.o_totalprice) AS revenue,
+                   sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0
+                     AS revenue,
                    count(*) AS n_orders
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY 1 ORDER BY 1""",
         "rel_topk_customers": """
-            SELECT o_custkey, round(sum(o_totalprice), 6) AS total_spent
+            SELECT o_custkey,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                     AS total_spent
             FROM orders GROUP BY 1
             ORDER BY total_spent DESC, o_custkey LIMIT 10""",
         "rel_first_order_per_customer": """
@@ -631,7 +642,8 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY 1 ORDER BY 1""",
         "rel_revenue_by_brand": """
             SELECT p.p_brand AS brand,
-                   sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+                   sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                       * 10000) AS BIGINT)) / 10000.0 AS revenue
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             GROUP BY 1 ORDER BY 1""",
         "events_sessionize": """
@@ -645,11 +657,14 @@ def oracle_sql() -> dict[str, str]:
             FROM x GROUP BY 1 ORDER BY 1""",
         "events_window_agg": """
             SELECT event_type, date_trunc('hour', ts) AS w,
-                   sum(value) AS sum_value, count(*) AS n
+                   sum(CAST(round(value * 100) AS BIGINT)) / 100.0
+                     AS sum_value,
+                   count(*) AS n
             FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
         "events_json_props_sum": """
             SELECT event_type,
-                   sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
                    count(*) AS n
             FROM events GROUP BY 1 ORDER BY 1""",
     }
