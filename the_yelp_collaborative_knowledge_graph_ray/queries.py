@@ -560,6 +560,42 @@ def oracle_sql() -> dict[str, str]:
         # J>=0.97 pairs and the verify stage is exact, so its output equals
         # the brute-force oracle on these corpora (stages/dedup.py docstring).
         "dedup_minhash_lsh": _JACCARD_SQL,
+        # SimHash reproduced bit-exactly in SQL: per distinct lowercased
+        # word, h = little-endian uint64 of md5(w)[:8] (hex-digit arithmetic
+        # replaces byte extraction); per-bit +-1 vote, fp = majority bits;
+        # all pairs at bit_count(xor) <= 3. The Ray side's 4x16-bit band
+        # bucketing is pigeonhole-complete for distance <= 3, so the
+        # brute-force SQL equals the banded pipeline exactly.
+        "dedup_simhash": """
+            WITH w AS (
+              SELECT DISTINCT doc_id, w FROM (
+                SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                FROM documents)
+            ), h AS (
+              SELECT doc_id, md5(w) AS hx FROM w
+            ), bits AS (
+              SELECT doc_id, t.j,
+                     CASE WHEN ((16 * (strpos('0123456789abcdef',
+                                       substring(hx, 2*(t.j//8)+1, 1)) - 1)
+                                 + (strpos('0123456789abcdef',
+                                       substring(hx, 2*(t.j//8)+2, 1)) - 1))
+                                // CAST(power(2, t.j % 8) AS BIGINT)) % 2 = 1
+                          THEN 1 ELSE -1 END AS v
+              FROM h CROSS JOIN range(64) t(j)
+            ), acc AS (
+              SELECT doc_id, j, sum(v) AS s FROM bits GROUP BY 1, 2
+            ), fp AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN s > 0
+                              THEN CAST(1 AS UBIGINT) << CAST(j AS INTEGER)
+                              ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS fp
+              FROM acc GROUP BY 1
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.fp, b.fp)) <= 3
+            ORDER BY 1, 2""",
         "dedup_embedding_cosine": """
             SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)
