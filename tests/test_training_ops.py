@@ -112,6 +112,33 @@ def test_embedding_near_dup_and_brute_topk(ray_session):
         assert sub["vec_id"].tolist() == order, q
 
 
+def test_embedding_lsh_equals_blocked_on_planted_pairs(ray_session):
+    """The LSH scale path must reproduce the exact blocked engine on a corpus
+    with PLANTED >=0.9-cosine near-dup pairs (30 of them), run with the
+    high-threshold banding (b=16, r=8) AND with multi-block blocking forced
+    (tiny target_block_rows) so both scale mechanisms are exercised."""
+    rng = np.random.RandomState(11)
+    n, dim = 200, 32
+    m = rng.standard_normal((n + 30, dim))
+    for t in range(30):  # ids 200..229 are near-dups of ids 0..29
+        m[n + t] = m[t] + 0.05 * rng.standard_normal(dim)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(n + 30), pa.int64()),
+        "embedding": pa.array(m.tolist(), pa.list_(pa.float32()))}))
+
+    exact = dedup._blocked_pairs(ds, 0.9, None, target_block_rows=64) \
+        .sort(["doc_a", "doc_b"]).to_pandas() \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    lsh = dedup.embedding_near_dup_pairs(
+        ds, threshold=0.9, bands=16, rows_per_band=8).to_pandas() \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+    assert len(exact) >= 30  # the planted pairs are really there
+    assert exact[["doc_a", "doc_b"]].values.tolist() == \
+        lsh[["doc_a", "doc_b"]].values.tolist()
+    assert np.allclose(exact["cosine"], lsh["cosine"])
+
+
 def test_ivf_recall_vs_brute_force(ray_session):
     ds, _ = _emb_ds(n=256, dim=16)
     brute = similarity.brute_force_topk(ds, k=10, n_queries=4).to_pandas()

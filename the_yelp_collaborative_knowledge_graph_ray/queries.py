@@ -328,15 +328,34 @@ def _q_dedup_simhash(sf_dir: str):
     return simhash_pairs(_docs(sf_dir), max_hamming=3)
 
 
+# threshold 0.35 is the highest decade with a non-vacuous oracle row set on
+# the driver testdata (the synthetic embeddings top out at cosine ~0.51;
+# ~270 pairs clear 0.35 at sf0.01) — a 0.9 threshold would compare 0 == 0
+# rows and prove nothing.
+EMB_NEAR_DUP_THRESHOLD = 0.35
+
+
 def _q_dedup_embedding_cosine(sf_dir: str):
+    """Scale path: random-hyperplane LSH + in-bucket exact verify; the
+    fixed-seed banding (b=128, r=2) has miss probability < 1e-26 at the
+    configured threshold, so its output equals the all-pairs SQL oracle."""
     from .stages.dedup import embedding_near_dup_pairs
-    df = embedding_near_dup_pairs(_emb(sf_dir), threshold=0.9).to_pandas()
+    df = embedding_near_dup_pairs(
+        _emb(sf_dir), threshold=EMB_NEAR_DUP_THRESHOLD).to_pandas()
     if df.empty:  # an empty Dataset loses its schema through sort
         import pandas as pd
         df = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
                            "doc_b": pd.Series(dtype="int64"),
                            "cosine": pd.Series(dtype="float64")})
     return df
+
+
+def _q_dedup_embedding_blocked(sf_dir: str):
+    """Exact baseline: distributed block-nested-loop all-pairs (same oracle
+    as the LSH path — the two engines must agree)."""
+    from .stages.dedup import embedding_near_dup_blocked
+    return embedding_near_dup_blocked(
+        _emb(sf_dir), threshold=EMB_NEAR_DUP_THRESHOLD)
 
 
 def _q_embedding_topk_pairs(sf_dir: str):
@@ -439,6 +458,19 @@ inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
           GROUP BY 1, 2)
 """
 
+# shared all-pairs oracle for BOTH embedding near-dup engines (LSH + blocked
+# exact): the two Ray paths and this SQL must agree pair-for-pair.
+_EMB_NEAR_DUP_SQL = f"""
+    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6)
+             AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6)
+          >= {EMB_NEAR_DUP_THRESHOLD}
+    ORDER BY doc_a, doc_b"""
+
 _JACCARD_SQL = """
 WITH """ + _SHINGLE_CTE + """
 SELECT i.doc_a, i.doc_b,
@@ -472,6 +504,7 @@ def queries() -> dict[str, Callable]:
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
+        "dedup_embedding_blocked": _q_dedup_embedding_blocked,
         "embedding_topk_pairs": _q_embedding_topk_pairs,
         "ann_topk_cosine": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf,
@@ -596,14 +629,8 @@ def oracle_sql() -> dict[str, str]:
             FROM fp a JOIN fp b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.fp, b.fp)) <= 3
             ORDER BY 1, 2""",
-        "dedup_embedding_cosine": """
-            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)
-                     AS cosine
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)
-                  >= 0.9
-            ORDER BY doc_a, doc_b""",
+        "dedup_embedding_cosine": _EMB_NEAR_DUP_SQL,
+        "dedup_embedding_blocked": _EMB_NEAR_DUP_SQL,
         "embedding_topk_pairs": """
             SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)

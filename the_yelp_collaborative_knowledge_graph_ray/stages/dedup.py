@@ -26,10 +26,12 @@ primitives so the same code runs at 100 TB:
   bucketing, Hamming-distance verification. Candidates must collide on one
   of the 4 bands — guaranteed for distance <= 3 by pigeonhole, so the
   band stage loses nothing vs all-pairs at the default threshold.
-* :func:`embedding_topk_pairs` / :func:`embedding_near_dup_pairs` — cosine
-  over the ``embeddings`` table: one numpy matmul per batch against a
-  broadcast matrix (brute force baseline); the near-dup variant adds
-  random-hyperplane LSH bucketing as the scale path.
+* :func:`embedding_topk_pairs` / :func:`embedding_near_dup_blocked` — exact
+  cosine over the ``embeddings`` table via a distributed block-nested-loop
+  (object-store block refs, two blocks per task, no driver materialization).
+* :func:`embedding_near_dup_pairs` — the scale path: random-hyperplane LSH
+  bucketing + in-bucket exact verify + cross-band dedup (see the section
+  comment for the miss-probability arithmetic).
 
 All thresholds are parameters; the defaults match the planted near-dup
 structure of the synthetic corpus (25 pairs at J>=0.97, next pair <0.2).
@@ -347,8 +349,31 @@ def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 3,
 
 
 # --------------------------------------------------------------------------
-# embedding cosine (brute force + LSH-bucketed scale path)
+# embedding cosine: blocked exact engine + random-hyperplane LSH scale path
 # --------------------------------------------------------------------------
+#
+# Two engines, same output contract (doc_a < doc_b, cosine rounded to 6 dp):
+#
+# * blocked exact — a distributed block-nested-loop over all O(B^2) ordered
+#   block pairs. The normalized blocks live in the OBJECT STORE (the driver
+#   holds only ObjectRefs); each block-pair task pulls exactly two blocks,
+#   does one matmul, and emits either thresholded pairs or a local top-k.
+#   O(N^2) compute (inherent to exact all-pairs) but O(block^2) task memory
+#   and zero driver materialization — the 100 TB failure mode of round 1
+#   (to_arrow_refs -> ray.get -> driver concat) is gone.
+# * random-hyperplane LSH — the scale path: a stateless map_batches emits
+#   (band, bucket_key) signature rows, one sort colocates buckets, and an
+#   in-bucket exact cosine verify emits pairs; a sorted aggregate dedups
+#   pairs found in multiple bands. Only O(bands) small rows per vector are
+#   shuffled; no stage ever sees more than one bucket group at a time.
+#   Collision probability per hyperplane is 1 - theta/pi, so with
+#   ``rows_per_band`` r and ``bands`` b the miss probability of a pair at
+#   cosine c is (1 - p^r)^b, p = 1 - arccos(c)/pi. The defaults below
+#   (r=2, b=128) give < 1e-26 at c = 0.35 — verified exhaustively against
+#   the blocked engine in tests and against the DuckDB all-pairs oracle.
+
+_LSH_SEED = 777
+
 
 def _load_matrix(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     ids = b["vec_id"].to_numpy()
@@ -359,71 +384,191 @@ def _load_matrix(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return ids, mat / norms
 
 
-class _CosinePairScorer:
-    """Actor-pool callable: all-pairs cosine of a batch against the broadcast
-    full matrix (upper triangle by id to avoid double emission)."""
+# worker-process-level decoded-block cache for the blocked engine: tasks on
+# the same worker reuse the numpy conversion (the object-store fetch itself
+# is zero-copy within a node). Keyed by ObjectRef hex; LRU-bounded.
+_BLOCK_CACHE: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 
-    def __init__(self, mat_ref, threshold: float | None, topk: int | None):
-        ids, mat = ray.get(mat_ref) if isinstance(mat_ref, ray.ObjectRef) else mat_ref
-        self.ids, self.mat = ids, mat
-        self.threshold, self.topk = threshold, topk
 
-    def __call__(self, b: pa.Table) -> pa.Table:
-        ids, vecs = _load_matrix(b)
-        scores = vecs @ self.mat.T  # (batch, N)
-        out_a, out_b, out_s = [], [], []
-        for i, a_id in enumerate(ids):
-            mask = self.ids > a_id  # upper triangle
-            s = scores[i][mask]
-            cand = self.ids[mask]
-            if self.threshold is not None:
-                sel = np.round(s, 6) >= self.threshold
-                s, cand = s[sel], cand[sel]
-            if self.topk is not None and len(s) > self.topk:
-                part = np.argpartition(-s, self.topk)[:self.topk]
-                s, cand = s[part], cand[part]
-            out_a.extend([int(a_id)] * len(cand))
-            out_b.extend(int(c) for c in cand)
-            out_s.extend(np.round(s, 6).tolist())
-        return _pairs_table(out_a, out_b,
-                            {"cosine": pa.array(out_s, pa.float64())})
+def _cached_block(ref) -> tuple[np.ndarray, np.ndarray]:
+    key = ref.hex()
+    if key not in _BLOCK_CACHE:
+        if len(_BLOCK_CACHE) >= 8:
+            _BLOCK_CACHE.pop(next(iter(_BLOCK_CACHE)))
+        _BLOCK_CACHE[key] = _load_matrix(ray.get(ref))
+    return _BLOCK_CACHE[key]
+
+
+def _block_pair_task(refs, threshold, topk):
+    """Task function for the blocked engine: scores one (i, j) ordered block
+    pair per input row. Runs in the stateless task pool (no actor startup);
+    decoded blocks are cached per worker process (:data:`_BLOCK_CACHE`)."""
+
+    def score_pairs(b: pa.Table) -> pa.Table:
+            out = []
+            for i, j in zip(b["i"].to_pylist(), b["j"].to_pylist()):
+                ids_a, mat_a = _cached_block(refs[i])
+                ids_b, mat_b = _cached_block(refs[j])
+                s = np.round(mat_a @ mat_b.T, 6)  # (na, nb)
+                if i == j:
+                    # within a block each unordered pair appears twice;
+                    # keep the id-ascending triangle
+                    mask = ids_a[:, None] < ids_b[None, :]
+                else:
+                    # across blocks each unordered pair appears exactly once;
+                    # blocks are NOT globally id-ordered (the streaming
+                    # executor reorders blocks), so canonicalize below
+                    mask = np.ones_like(s, dtype=bool)
+                if threshold is not None:
+                    mask &= s >= threshold
+                ia, ib = np.nonzero(mask)
+                da, db, sc = ids_a[ia], ids_b[ib], s[ia, ib]
+                if i != j:
+                    da, db = np.minimum(da, db), np.maximum(da, db)
+                if topk is not None and len(sc) > topk:
+                    # local top-k on ROUNDED scores, (doc_a, doc_b) asc
+                    # tie-break — matches the global sort exactly, so ties
+                    # at the k-th score cannot be dropped nondeterministically
+                    order = np.lexsort((db, da, -sc))[:topk]
+                    da, db, sc = da[order], db[order], sc[order]
+                out.append((da, db, sc))
+            if not out:
+                return pa.table({"doc_a": pa.array([], pa.int64()),
+                                 "doc_b": pa.array([], pa.int64()),
+                                 "cosine": pa.array([], pa.float64())})
+            return pa.table({
+                "doc_a": pa.array(np.concatenate([o[0] for o in out]).astype(np.int64)),
+                "doc_b": pa.array(np.concatenate([o[1] for o in out]).astype(np.int64)),
+                "cosine": pa.array(np.concatenate([o[2] for o in out]).astype(np.float64))})
+
+    return score_pairs
+
+
+def _normalized_block_refs(embeddings: ray.data.Dataset,
+                           target_block_rows: int = 8192) -> list:
+    """Materialize L2-normalized (vec_id, embedding) blocks INTO THE OBJECT
+    STORE and return their refs (driver holds refs only, never the data)."""
+    def norm(b: pa.Table) -> pa.Table:
+        ids, mat = _load_matrix(b)
+        return pa.table({
+            "vec_id": pa.array(ids.astype(np.int64)),
+            "embedding": pa.array(list(mat), pa.list_(pa.float64()))})
+
+    n = embeddings.count()
+    num_blocks = max(1, -(-n // target_block_rows))
+    # always repartition to the target: the task count of the pair stage is
+    # O(blocks^2), so both oversized AND undersized natural blocks hurt
+    normed = embeddings.map_batches(norm, batch_format="pyarrow",
+                                    zero_copy_batch=True) \
+                       .repartition(num_blocks)
+    return normed.to_arrow_refs()
+
+
+def _blocked_pairs(embeddings: ray.data.Dataset, threshold: float | None,
+                   topk: int | None, concurrency: int = 8,
+                   target_block_rows: int = 8192) -> ray.data.Dataset:
+    refs = _normalized_block_refs(embeddings, target_block_rows)
+    B = len(refs)
+    pair_items = [{"i": i, "j": j} for i in range(B) for j in range(i, B)]
+    pairs = ray.data.from_items(pair_items)
+    fn = _block_pair_task(refs, threshold, topk)
+    # stateless task pool: one task per block pair, auto-scaled by the
+    # streaming executor (``concurrency`` kept for API compat; unused)
+    return pairs.map_batches(fn, batch_format="pyarrow", batch_size=1)
 
 
 def embedding_topk_pairs(embeddings: ray.data.Dataset, topk: int = 20,
-                         concurrency: int = 4) -> ray.data.Dataset:
-    """Global top-k most-similar vector pairs by cosine. Brute force: the
-    full normalized matrix is broadcast once (``ray.put``); each batch does
-    one matmul. Deterministic order: (rounded cosine desc, doc_a, doc_b)."""
-    full = embeddings.to_arrow_refs()
-    mats = [_load_matrix(ray.get(r)) for r in full]
-    ids = np.concatenate([m[0] for m in mats])
-    mat = np.concatenate([m[1] for m in mats])
-    order = np.argsort(ids)
-    ref = ray.put((ids[order], mat[order]))
-    # per-batch local top-k (vs whole matrix), then global top-k
-    scored = embeddings.map_batches(
-        _CosinePairScorer, fn_constructor_args=(ref, None, topk),
-        batch_format="pyarrow", batch_size=4096, zero_copy_batch=True,
-        concurrency=(1, concurrency))
+                         concurrency: int = 8) -> ray.data.Dataset:
+    """Global top-k most-similar vector pairs by cosine (exact, blocked
+    engine). Each of the O(B^2) block-pair tasks keeps its local top-k
+    (rounded-score order with id tie-break), then ONE small global sort
+    picks the winners. Deterministic: (cosine desc, doc_a, doc_b)."""
+    scored = _blocked_pairs(embeddings, None, topk, concurrency)
     return scored.sort(["cosine", "doc_a", "doc_b"],
                        descending=[True, False, False]).limit(topk)
 
 
+def embedding_near_dup_blocked(embeddings: ray.data.Dataset,
+                               threshold: float = 0.35,
+                               concurrency: int = 8) -> ray.data.Dataset:
+    """All pairs with cosine >= threshold — exact blocked engine (the
+    baseline the LSH path is verified against)."""
+    return _blocked_pairs(embeddings, threshold, None, concurrency) \
+        .sort(["doc_a", "doc_b"])
+
+
 def embedding_near_dup_pairs(embeddings: ray.data.Dataset,
-                             threshold: float = 0.9,
-                             concurrency: int = 4) -> ray.data.Dataset:
-    """All pairs with cosine >= threshold (rounded to 6 dp, matching the SQL
-    oracle). Same broadcast-matmul engine as :func:`embedding_topk_pairs`;
-    the documented scale path replaces the broadcast with random-hyperplane
-    LSH buckets + in-bucket verification (same output)."""
-    full = embeddings.to_arrow_refs()
-    mats = [_load_matrix(ray.get(r)) for r in full]
-    ids = np.concatenate([m[0] for m in mats])
-    mat = np.concatenate([m[1] for m in mats])
-    order = np.argsort(ids)
-    ref = ray.put((ids[order], mat[order]))
-    scored = embeddings.map_batches(
-        _CosinePairScorer, fn_constructor_args=(ref, threshold, None),
-        batch_format="pyarrow", batch_size=4096, zero_copy_batch=True,
-        concurrency=(1, concurrency))
-    return scored.sort(["doc_a", "doc_b"])
+                             threshold: float = 0.35,
+                             bands: int = 128, rows_per_band: int = 2,
+                             seed: int = _LSH_SEED) -> ray.data.Dataset:
+    """All pairs with cosine >= threshold via random-hyperplane LSH — the
+    scale path (module comment): signature rows shuffle, vectors ride along
+    once per band, in-bucket exact verify, cross-band dedup.
+
+    Parameter guidance: the miss probability of a pair at cosine c is
+    (1 - p^r)^b with p = 1 - arccos(c)/pi. Defaults (b=128, r=2) are sized
+    for low thresholds (c >= 0.35 -> < 1e-26); for c >= 0.9 use e.g.
+    (b=16, r=8) to keep buckets small at scale. Hyperplanes are a fixed
+    function of (seed, dim) so reruns are deterministic.
+    """
+    nbits = bands * rows_per_band
+    weights = (1 << np.arange(rows_per_band, dtype=np.int64))
+
+    def sig_rows(b: pa.Table) -> pa.Table:
+        ids, mat = _load_matrix(b)
+        n, dim = mat.shape
+        # deterministic per (seed, dim); cheap enough to build per batch
+        H = np.random.RandomState(seed).standard_normal((nbits, dim))
+        bits = (mat @ H.T) > 0                       # (n, nbits)
+        keys = bits.reshape(n, bands, rows_per_band) @ weights  # (n, bands)
+        band_idx = np.tile(np.arange(bands, dtype=np.int32), n)
+        return pa.table({
+            "band": pa.array(band_idx),
+            "bkey": pa.array(keys.reshape(-1).astype(np.int64)),
+            "vec_id": pa.array(np.repeat(ids.astype(np.int64), bands)),
+            "embedding": pa.array(
+                list(np.repeat(mat, bands, axis=0)), pa.list_(pa.float64()))})
+
+    def bucket_pairs(b: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                                ("cosine", pa.float64())])
+        from ..functions.grouped import group_ids
+        gid, starts = group_ids(b, ["band", "bkey"])
+        if len(starts) == 0:
+            return out_schema.empty_table()
+        ids = b["vec_id"].to_numpy()
+        mat = np.asarray(
+            b["embedding"].combine_chunks().to_numpy(zero_copy_only=False).tolist(),
+            dtype=np.float64)
+        ends = np.append(starts[1:], b.num_rows)
+        out_a, out_b, out_s = [], [], []
+        for s, e in zip(starts, ends):
+            d, idx = np.unique(ids[s:e], return_index=True)
+            if len(d) < 2:
+                continue
+            m = mat[s:e][idx]
+            sc = np.round(m @ m.T, 6)
+            iu, ju = np.triu_indices(len(d), k=1)
+            keep = sc[iu, ju] >= threshold
+            out_a.append(d[iu][keep])
+            out_b.append(d[ju][keep])
+            out_s.append(sc[iu, ju][keep])
+        if not out_a:
+            return out_schema.empty_table()
+        t = pa.table({"doc_a": pa.array(np.concatenate(out_a)),
+                      "doc_b": pa.array(np.concatenate(out_b)),
+                      "cosine": pa.array(np.concatenate(out_s))})
+        # local combine: same pair found in several buckets of one block
+        return t.group_by(["doc_a", "doc_b"], use_threads=False) \
+                .aggregate([("cosine", "min")]) \
+                .rename_columns(["doc_a", "doc_b", "cosine"])
+
+    from ..functions.grouped import sorted_aggregate, sorted_group_apply
+    local = sorted_group_apply(
+        embeddings.map_batches(sig_rows, batch_format="pyarrow",
+                               zero_copy_batch=True),
+        ["band", "bkey"], bucket_pairs)
+    # cross-band dedup; cosine identical in every band -> min is the value
+    return sorted_aggregate(local, ["doc_a", "doc_b"],
+                            [("cosine", "min")],
+                            ["doc_a", "doc_b", "cosine"])
