@@ -112,6 +112,59 @@ def test_embedding_near_dup_and_brute_topk(ray_session):
         assert sub["vec_id"].tolist() == order, q
 
 
+def test_vectorized_signatures_match_reference_impls():
+    """The batch-vectorized MinHash/SimHash paths must be bit-identical to
+    the per-doc reference implementations (incl. empty and short docs)."""
+    texts = [
+        "alpha beta gamma delta epsilon zeta",
+        "one two three",
+        "short doc",          # < SHINGLE_K words: no minhash signature
+        "",                   # empty text
+        "alpha beta gamma delta epsilon zeta",  # repeat of 0
+        "x " * 50 + "y",
+    ]
+    col = pa.chunked_array([pa.array(texts, pa.string())])
+
+    doc_idx, sigs = dedup._minhash_signatures(col)
+    expect = {i: dedup.minhash_signature(t) for i, t in enumerate(texts)}
+    assert doc_idx.tolist() == [i for i, s in expect.items() if s is not None]
+    for pos, i in enumerate(doc_idx.tolist()):
+        assert sigs[pos].tolist() == expect[i].tolist(), i
+
+    fps = dedup._simhash_batch(col)
+    for i, t in enumerate(texts):
+        assert int(fps[i]) == dedup.simhash64(t), i
+
+
+def test_short_docs_drop_out_of_shingle_dedup(ray_session):
+    """Docs with < k words emit ZERO shingles (matching the SQL oracle's
+    CTE) — identical 2-word docs must NOT pair in jaccard or minhash."""
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["tiny doc", "tiny doc",
+                          "a full length document with many words here",
+                          "a full length document with many words here"])}))
+    jac = dedup.ngram_jaccard_pairs(ds, threshold=0.5).to_pandas()
+    assert set(zip(jac.doc_a, jac.doc_b)) == {(2, 3)}
+    mh = dedup.minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+    assert set(zip(mh.doc_a, mh.doc_b)) == {(2, 3)}
+    assert dedup._shingles("tiny doc") == set()
+
+
+def test_hot_group_cap_warns(caplog):
+    from the_yelp_collaborative_knowledge_graph_ray.functions import grouped
+    d = np.arange(100, dtype=np.int64)
+    with caplog.at_level("WARNING"):
+        out = grouped._cap_group(d, 10, "test-group")
+    assert len(out) == 10
+    assert any("capped" in r.message and "90 ids dropped" in r.message
+               for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level("WARNING"):
+        assert len(grouped._cap_group(d, 100, "t")) == 100  # at cap: no warn
+    assert not caplog.records
+
+
 def test_embedding_lsh_equals_blocked_on_planted_pairs(ray_session):
     """The LSH scale path must reproduce the exact blocked engine on a corpus
     with PLANTED >=0.9-cosine near-dup pairs (30 of them), run with the

@@ -25,11 +25,31 @@ Helpers here compute the group boundary structure once per block.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
+
+logger = logging.getLogger(__name__)
+
+
+def _cap_group(d: np.ndarray, max_group: int | None, key_desc: str) -> np.ndarray:
+    """Apply the hot-group posting cap, LOUDLY: when a group exceeds
+    ``max_group`` ids, keep the first ``max_group`` and emit a warning with
+    the dropped count. Once a cap fires, intersection counts of retained
+    pairs become LOWER BOUNDS (a pair may also co-occur in the capped tail),
+    which can only under-report similarity — callers relying on exactness
+    must size ``max_group`` above their hottest key."""
+    if max_group is None or len(d) <= max_group:
+        return d
+    logger.warning(
+        "pairs_within_groups: hot group capped (%d ids > max_group=%d, "
+        "%d ids dropped) for group %s — retained pair counts are now "
+        "lower bounds", len(d), max_group, len(d) - max_group, key_desc)
+    return d[:max_group]
 
 
 def group_ids(block: pa.Table, keys: list[str]) -> tuple[np.ndarray, np.ndarray]:
@@ -56,16 +76,27 @@ def group_ids(block: pa.Table, keys: list[str]) -> tuple[np.ndarray, np.ndarray]
 
 
 def sorted_group_apply(ds: ray.data.Dataset, keys: list[str],
-                       block_fn) -> ray.data.Dataset:
+                       block_fn, num_partitions: int | None = None
+                       ) -> ray.data.Dataset:
     """Sort by ``keys`` and apply ``block_fn(block)`` per whole block; every
-    group is complete within its block (module docstring)."""
+    group is complete within its block (module docstring).
+
+    ``num_partitions`` coalesces the input before the sort: Ray's sort makes
+    one range partition PER INPUT BLOCK, so a small dataset fragmented into
+    64 blocks pays a 64x64 micro-task shuffle. Callers whose intermediate
+    data is far smaller than the cluster default block count should pass an
+    explicit partition count sized to the DATA, not the CPUs.
+    """
+    if num_partitions is not None:
+        ds = ds.repartition(num_partitions)
     return ds.sort(keys).map_batches(block_fn, batch_format="pyarrow",
                                      batch_size=None, zero_copy_batch=True)
 
 
 def sorted_aggregate(ds: ray.data.Dataset, keys: list[str],
                      aggs: list[tuple[str, str]],
-                     out_names: list[str]) -> ray.data.Dataset:
+                     out_names: list[str],
+                     num_partitions: int | None = None) -> ray.data.Dataset:
     """Exact global grouped aggregation as sort + per-block Arrow group_by.
 
     Ray's ``groupby().aggregate()`` reduce merges rows in Python (~10x slower
@@ -84,12 +115,13 @@ def sorted_aggregate(ds: ray.data.Dataset, keys: list[str],
         return b.group_by(keys, use_threads=False).aggregate(aggs) \
                 .rename_columns(out_names)
 
-    return sorted_group_apply(ds, keys, block_agg)
+    return sorted_group_apply(ds, keys, block_agg, num_partitions)
 
 
 def pairs_within_groups(ds: ray.data.Dataset, keys: list[str], id_col: str,
                         count_col: str = "n",
-                        max_group: int | None = None) -> ray.data.Dataset:
+                        max_group: int | None = None,
+                        num_partitions: int | None = None) -> ray.data.Dataset:
     """For each key-group, emit all unordered id pairs (a < b); return
     globally aggregated pair counts (doc_a, doc_b, count_col).
 
@@ -114,8 +146,7 @@ def pairs_within_groups(ds: ray.data.Dataset, keys: list[str], id_col: str,
             d = np.unique(ids[s:e])
             if len(d) < 2:
                 continue
-            if max_group is not None and len(d) > max_group:
-                d = d[:max_group]  # hot-group cap (stop-shingle drop)
+            d = _cap_group(d, max_group, f"{keys}@row{int(s)}")
             iu, ju = np.triu_indices(len(d), k=1)
             out_a.append(d[iu])
             out_b.append(d[ju])
@@ -128,7 +159,63 @@ def pairs_within_groups(ds: ray.data.Dataset, keys: list[str], id_col: str,
                 .aggregate([("doc_a", "count")]) \
                 .rename_columns(["doc_a", "doc_b", count_col])
 
-    local = sorted_group_apply(ds, keys, block_pairs)
+    local = sorted_group_apply(ds, keys, block_pairs, num_partitions)
     return sorted_aggregate(local, ["doc_a", "doc_b"],
                             [(count_col, "sum")],
-                            ["doc_a", "doc_b", count_col])
+                            ["doc_a", "doc_b", count_col],
+                            num_partitions)
+
+
+def pairs_with_carry(ds: ray.data.Dataset, keys: list[str], id_col: str,
+                     carry_col: str, count_col: str = "n",
+                     max_group: int | None = None,
+                     num_partitions: int | None = None) -> ray.data.Dataset:
+    """:func:`pairs_within_groups` plus a per-id carried attribute: returns
+    (doc_a, doc_b, count_col, carry_a, carry_b) where carry_* is the id's
+    ``carry_col`` value (constant per id — e.g. its shingle count). Carrying
+    the attribute through the pair expansion replaces a join-back against a
+    per-id attribute table — two fewer shuffles in the caller's DAG."""
+
+    def block_pairs(b: pa.Table) -> pa.Table:
+        i64 = pa.int64()
+        out_schema = pa.schema([("doc_a", i64), ("doc_b", i64),
+                                (count_col, i64), ("carry_a", i64),
+                                ("carry_b", i64)])
+        gid, starts = group_ids(b, keys)
+        if len(starts) == 0:
+            return out_schema.empty_table()
+        ids = pc.cast(b[id_col], i64).combine_chunks().to_numpy()
+        car = pc.cast(b[carry_col], i64).combine_chunks().to_numpy()
+        ends = np.append(starts[1:], b.num_rows)
+        out_a, out_b, out_ca, out_cb = [], [], [], []
+        for s, e in zip(starts, ends):
+            d, idx = np.unique(ids[s:e], return_index=True)
+            if len(d) < 2:
+                continue
+            d = _cap_group(d, max_group, f"{keys}@row{int(s)}")
+            c = car[s:e][idx][:len(d)]
+            iu, ju = np.triu_indices(len(d), k=1)
+            out_a.append(d[iu])
+            out_b.append(d[ju])
+            out_ca.append(c[iu])
+            out_cb.append(c[ju])
+        if not out_a:
+            return out_schema.empty_table()
+        t = pa.table({"doc_a": pa.array(np.concatenate(out_a)),
+                      "doc_b": pa.array(np.concatenate(out_b)),
+                      "carry_a": pa.array(np.concatenate(out_ca)),
+                      "carry_b": pa.array(np.concatenate(out_cb))})
+        # local combine before the shuffle; carry is constant per id -> min
+        return t.group_by(["doc_a", "doc_b"], use_threads=False) \
+                .aggregate([("doc_a", "count"), ("carry_a", "min"),
+                            ("carry_b", "min")]) \
+                .rename_columns(["doc_a", "doc_b", count_col,
+                                 "carry_a", "carry_b"])
+
+    local = sorted_group_apply(ds, keys, block_pairs, num_partitions)
+    return sorted_aggregate(local, ["doc_a", "doc_b"],
+                            [(count_col, "sum"), ("carry_a", "min"),
+                             ("carry_b", "min")],
+                            ["doc_a", "doc_b", count_col,
+                             "carry_a", "carry_b"],
+                            num_partitions)

@@ -30,11 +30,15 @@ _KEY = "__k"
 def attach_column(left: ray.data.Dataset, source: ray.data.Dataset,
                   left_cols: list[tuple[str, pa.DataType]], left_key: str,
                   source_key: str, source_val: str, out_col: str,
-                  out_type: pa.DataType = pa.string()) -> ray.data.Dataset:
+                  out_type: pa.DataType = pa.string(),
+                  num_partitions: int | None = None) -> ray.data.Dataset:
     """Inner-join ``source[source_val]`` onto ``left`` by key.
 
     ``left_cols`` declares the left schema (name, type) explicitly so both
-    union sides align block-for-block.
+    union sides align block-for-block. ``num_partitions`` coalesces the
+    unioned input before the co-group sort (see
+    ``functions/grouped.sorted_group_apply``) — pass it when both sides are
+    small relative to the cluster's default block count.
     """
     out_fields = [*left_cols, (out_col, out_type)]
     schema = pa.schema([(_KEY, pa.int64()), (_MARK, pa.bool_())] + out_fields)
@@ -84,4 +88,4 @@ def attach_column(left: ray.data.Dataset, source: ray.data.Dataset,
         return pa.table(cols, schema=out_schema)
 
     from .grouped import sorted_group_apply
-    return sorted_group_apply(u, [_KEY], cogroup_block)
+    return sorted_group_apply(u, [_KEY], cogroup_block, num_partitions)

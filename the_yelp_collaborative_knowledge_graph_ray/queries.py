@@ -589,9 +589,10 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keep_doc_id
             FROM documents GROUP BY 1 ORDER BY 1""",
         "dedup_ngram_jaccard": _JACCARD_SQL,
-        # MinHash banding at 16x4 has miss probability ~1e-20 for the planted
-        # J>=0.97 pairs and the verify stage is exact, so its output equals
-        # the brute-force oracle on these corpora (stages/dedup.py docstring).
+        # MinHash banding at 32x2 is sized to the 0.5 threshold itself
+        # (miss p ~1e-4 AT the threshold, <4e-7 above J=0.6) and the verify
+        # stage is exact, so its output equals the brute-force oracle on
+        # these corpora (stages/dedup.py docstring).
         "dedup_minhash_lsh": _JACCARD_SQL,
         # SimHash reproduced bit-exactly in SQL: per distinct lowercased
         # word, h = little-endian uint64 of md5(w)[:8] (hex-digit arithmetic

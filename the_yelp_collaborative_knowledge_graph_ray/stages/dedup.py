@@ -19,9 +19,11 @@ primitives so the same code runs at 100 TB:
 * :func:`minhash_lsh_pairs` — MinHash signatures (``k`` permutations, CRC32
   base hash), banded LSH bucketing (groupby on band key), candidate-pair
   dedup, exact-Jaccard verification via hash joins on doc_id. With the
-  default 16 bands x 4 rows, a pair at J=0.8 is missed with p≈2e-4 and the
-  planted J≈0.98 fixtures with p≈1e-20 — so its output equals the exact
-  brute-force oracle on the test corpora (asserted by the driver harness).
+  default 32 bands x 2 rows, a pair at the configured J=0.5 threshold is
+  missed with p≈1e-4 and anything above J=0.6 with p<4e-7 — sized to the
+  THRESHOLD, not just to planted high-J pairs — so its output equals the
+  exact brute-force oracle on the test corpora (asserted by the driver
+  harness).
 * :func:`simhash_pairs` — 64-bit SimHash fingerprints, 4x16-bit band
   bucketing, Hamming-distance verification. Candidates must collide on one
   of the 4 bands — guaranteed for distance <= 3 by pigeonhole, so the
@@ -50,10 +52,15 @@ import ray
 import ray.data
 
 # MinHash parameters: k hash functions as k affine permutations of a CRC32
-# base hash, banded b x r with b*r == k.
+# base hash, banded b x r with b*r == k. 32 bands x 2 rows sizes the banding
+# guarantee to the configured threshold (0.5) rather than only to the planted
+# high-J pairs: a pair at J=0.5 is missed with (1 - 0.5^2)^32 ~= 1e-4 and at
+# J=0.54 with ~1.6e-5 (the 16x4 scheme missed near-threshold pairs with
+# ~20-25% per seed). More bands = more candidates; the exact verify keeps
+# the output identical to brute force.
 MINHASH_K = 64
-MINHASH_BANDS = 16
-MINHASH_ROWS = 4
+MINHASH_BANDS = 32
+MINHASH_ROWS = 2
 _MERSENNE = (1 << 61) - 1
 _RNG = np.random.RandomState(1234)
 _PERM_A = _RNG.randint(1, _MERSENNE, size=MINHASH_K, dtype=np.int64)
@@ -71,7 +78,8 @@ def _md5_array(texts: list[str]) -> pa.Array:
                     pa.string())
 
 
-def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
+def exact_dedup(docs: ray.data.Dataset,
+                num_partitions: int | None = None) -> ray.data.Dataset:
     """(text_hash, n_dups, keep_doc_id): keep-first (min doc_id) per distinct
     content digest. Only digests + ids travel through the shuffle, and the
     one range-partitioned sort doubles as the grouped aggregate
@@ -87,7 +95,8 @@ def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
                               zero_copy_batch=True)
     return sorted_aggregate(hashed, ["text_hash"],
                             [("doc_id", "count"), ("doc_id", "min")],
-                            ["text_hash", "n_dups", "keep_doc_id"])
+                            ["text_hash", "n_dups", "keep_doc_id"],
+                            num_partitions)
 
 
 # --------------------------------------------------------------------------
@@ -95,16 +104,70 @@ def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
 # --------------------------------------------------------------------------
 
 def _shingles(text: str, k: int = SHINGLE_K) -> set[str]:
+    """Word-k-gram shingle set. Docs with fewer than k words yield the EMPTY
+    set — matching the SQL oracle's CTE exactly (its ``range(1, len-1)``
+    emits nothing for short docs), so short docs drop out of every dedup
+    variant identically on both sides."""
     ws = text.lower().split(" ")
     if len(ws) < k:
-        return {" ".join(ws)}
+        return set()
     return {" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)}
 
 
-def _shingle_hashes(text: str, k: int = SHINGLE_K) -> np.ndarray:
-    return np.fromiter(
-        (zlib.crc32(s.encode("utf-8")) for s in _shingles(text, k)),
-        dtype=np.int64)
+# ---- vectorized batch tokenization (shared by jaccard/minhash/simhash) ----
+#
+# One Arrow split pass per batch; all per-doc structure is offset arithmetic
+# over the flattened word array (no Python loop over rows). The only
+# remaining Python loops run over the batch's DICTIONARY of distinct
+# words/shingles (hashing), which is far smaller than the token stream.
+
+def _words_flat(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(flat_words, doc_of): lowercased whitespace-split words of every doc
+    in the batch, flattened, with the owning doc index per word."""
+    lst = pc.split_pattern(pc.utf8_lower(col), " ")
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    counts = pc.list_value_length(lst).to_numpy().astype(np.int64)
+    words = lst.flatten().to_numpy(zero_copy_only=False)
+    doc_of = np.repeat(np.arange(len(counts)), counts)
+    return words, doc_of
+
+
+def _distinct_doc_shingles(col, k: int = SHINGLE_K
+                           ) -> tuple[np.ndarray, np.ndarray, pa.Array]:
+    """Distinct (doc_idx, shingle) pairs of a batch, vectorized.
+
+    Returns (doc_idx ascending, shingle_code, dictionary) where
+    ``dictionary[shingle_code]`` is the shingle string. Docs with < k words
+    contribute nothing (see :func:`_shingles`).
+    """
+    words, doc_of = _words_flat(col)
+    T = len(words)
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64),
+             pa.array([], pa.string()))
+    if T < k:
+        return empty
+    # valid shingle start positions: all k words in the same doc
+    valid = doc_of[:T - k + 1] == doc_of[k - 1:]
+    starts = np.flatnonzero(valid)
+    if len(starts) == 0:
+        return empty
+    u = words.astype("U")  # fixed-width unicode -> C-speed np.char kernels
+    sh = u[starts]
+    for off in range(1, k):
+        sh = np.char.add(np.char.add(sh, " "), u[starts + off])
+    dic = pa.array(sh, pa.string()).dictionary_encode()
+    codes = dic.indices.to_numpy().astype(np.int64)
+    n_dict = len(dic.dictionary)
+    key = doc_of[starts] * n_dict + codes  # distinct per doc
+    ukey = np.unique(key)
+    return ukey // n_dict, ukey % n_dict, dic.dictionary
+
+
+def _crc32_dict(dictionary: pa.Array) -> np.ndarray:
+    return np.fromiter((zlib.crc32(s.encode("utf-8"))
+                        for s in dictionary.to_pylist()),
+                       dtype=np.int64, count=len(dictionary))
 
 
 def _pairs_table(a: list[int], b: list[int], extra: dict | None = None) -> pa.Table:
@@ -128,73 +191,76 @@ def ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.5,
     module docstring — unlimited on the test corpora).
     """
     def explode(b: pa.Table) -> pa.Table:
-        ids, shs = [], []
-        sizes_id, sizes_n = [], []
-        for did, text in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
-            ss = _shingles(text, k)
-            sizes_id.append(did)
-            sizes_n.append(len(ss))
-            ids.extend([did] * len(ss))
-            shs.extend(ss)
-        return pa.table({"shingle": pa.array(shs, pa.string()),
-                         "doc_id": pa.array(ids, pa.int64())})
-
-    def sizes(b: pa.Table) -> pa.Table:
-        n = [len(_shingles(t, k)) for t in b["text"].to_pylist()]
-        return pa.table({"doc_id": b["doc_id"],
-                         "n_shingles": pa.array(n, pa.int64())})
+        """(shingle, doc_id, n_shingles) postings — the doc's shingle count
+        rides along so no join-back against a sizes table is needed."""
+        doc_idx, codes, dictionary = _distinct_doc_shingles(b["text"], k)
+        n = np.bincount(doc_idx, minlength=b.num_rows).astype(np.int64) \
+            if len(doc_idx) else np.zeros(b.num_rows, np.int64)
+        did = pc.cast(b["doc_id"], pa.int64()).combine_chunks().to_numpy()
+        return pa.table({
+            "shingle": dictionary.take(pa.array(codes)),
+            "doc_id": pa.array(did[doc_idx], pa.int64()),
+            "n_shingles": pa.array(n[doc_idx], pa.int64())})
 
     postings = docs.map_batches(explode, batch_format="pyarrow",
                                 zero_copy_batch=True)
-    doc_sizes = docs.map_batches(sizes, batch_format="pyarrow",
-                                 zero_copy_batch=True)
 
-    # sorted-block pair expansion + map-side combine (functions/grouped.py):
-    # ~50x less per-group overhead than groupby().map_groups at 10^5 shingles
-    from ..functions.grouped import pairs_within_groups
-    pair_counts = pairs_within_groups(
-        postings, ["shingle"], "doc_id", count_col="n_inter",
-        max_group=max_posting)
-
-    from ..functions.joins import attach_column
-    i64 = pa.int64()
-    joined = attach_column(
-        pair_counts, doc_sizes,
-        left_cols=[("doc_a", i64), ("doc_b", i64), ("n_inter", i64)],
-        left_key="doc_a", source_key="doc_id", source_val="n_shingles",
-        out_col="n_a", out_type=i64)
-    joined = attach_column(
-        joined, doc_sizes,
-        left_cols=[("doc_a", i64), ("doc_b", i64), ("n_inter", i64),
-                   ("n_a", i64)],
-        left_key="doc_b", source_key="doc_id", source_val="n_shingles",
-        out_col="n_b", out_type=i64)
+    # sorted-block pair expansion + map-side combine with the shingle count
+    # CARRIED through (functions/grouped.pairs_with_carry): 3 shuffles total
+    # (bucket sort, pair aggregate, output sort) — no sizes join.
+    from ..functions.grouped import pairs_with_carry
+    pair_counts = pairs_with_carry(
+        postings, ["shingle"], "doc_id", "n_shingles", count_col="n_inter",
+        max_group=max_posting, num_partitions=num_partitions)
 
     def jacc(b: pa.Table) -> pa.Table:
         # raw IEEE division of exact integer counts — bit-identical to the
         # DuckDB oracle's CAST(ni AS DOUBLE)/(na+nb-ni)
         inter = b["n_inter"].to_numpy().astype(np.float64)
-        union = (b["n_a"].to_numpy() + b["n_b"].to_numpy()) - inter
+        union = (b["carry_a"].to_numpy() + b["carry_b"].to_numpy()) - inter
         j = inter / union
         t = pa.table({
             "doc_a": b["doc_a"], "doc_b": b["doc_b"],
             "jaccard": pa.array(j, pa.float64())})
         return t.filter(pc.greater_equal(t["jaccard"], threshold))
 
-    return joined.map_batches(jacc, batch_format="pyarrow") \
-                 .sort(["doc_a", "doc_b"])
+    return pair_counts.map_batches(jacc, batch_format="pyarrow") \
+                      .sort(["doc_a", "doc_b"])
 
 
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------
 
-def minhash_signature(text: str, k: int = SHINGLE_K) -> np.ndarray:
-    """k-permutation MinHash signature of a document (vectorized numpy)."""
-    h = _shingle_hashes(text, k)
+def minhash_signature(text: str, k: int = SHINGLE_K) -> np.ndarray | None:
+    """k-permutation MinHash signature of a document; None for docs with no
+    shingles (reference implementation for tests — the pipeline path is the
+    batch-vectorized :func:`_minhash_signatures`)."""
+    ss = sorted(_shingles(text, k))
+    if not ss:
+        return None
+    h = np.fromiter((zlib.crc32(s.encode("utf-8")) for s in ss),
+                    dtype=np.int64, count=len(ss))
     # (n_shingles, K) affine permutations mod Mersenne prime, min per column
     vals = (h[:, None] * _PERM_A[None, :] + _PERM_B[None, :]) % _MERSENNE
     return vals.min(axis=0)
+
+
+def _minhash_signatures(col, k: int = SHINGLE_K
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_idx, signatures): batch-vectorized MinHash — one tokenize pass,
+    dictionary-level CRC32, one (pairs x K) affine-permutation matrix, and a
+    per-doc column-min via ``np.minimum.reduceat`` over doc offsets. Only
+    docs with >= 1 shingle appear in the output."""
+    doc_idx, codes, dictionary = _distinct_doc_shingles(col, k)
+    if len(doc_idx) == 0:
+        return np.empty(0, np.int64), np.empty((0, MINHASH_K), np.int64)
+    h = _crc32_dict(dictionary)[codes]
+    vals = (h[:, None] * _PERM_A[None, :] + _PERM_B[None, :]) % _MERSENNE
+    starts = np.flatnonzero(
+        np.concatenate([[True], doc_idx[1:] != doc_idx[:-1]]))
+    sigs = np.minimum.reduceat(vals, starts, axis=0)
+    return doc_idx[starts], sigs
 
 
 def minhash_lsh_pairs(docs: ray.data.Dataset, threshold: float = 0.5,
@@ -207,26 +273,33 @@ def minhash_lsh_pairs(docs: ray.data.Dataset, threshold: float = 0.5,
     documents joined back by id).
     """
     def band_rows(b: pa.Table) -> pa.Table:
-        ids, bands, hashes = [], [], []
-        for did, text in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
-            sig = minhash_signature(text, k)
-            for band in range(MINHASH_BANDS):
-                chunk = sig[band * MINHASH_ROWS:(band + 1) * MINHASH_ROWS]
-                ids.append(did)
-                bands.append(band)
-                # process-stable band hash (builtin hash() is salted per
-                # process and would silently kill all LSH collisions)
-                hashes.append(zlib.crc32(chunk.tobytes()))
+        doc_idx, sigs = _minhash_signatures(b["text"], k)
+        did = pc.cast(b["doc_id"], pa.int64()).combine_chunks().to_numpy()
+        n = len(doc_idx)
+        # process-stable band key: mix the r signature values of each band
+        # into one int64 (builtin hash() is salted per process and would
+        # silently kill all LSH collisions). Signature values are < 2^61;
+        # a splitmix-style multiply-xor fold keeps accidental band
+        # collisions (which only ADD candidates) negligible.
+        bands3d = sigs.reshape(n, MINHASH_BANDS, MINHASH_ROWS).astype(np.uint64)
+        mix = np.uint64(0x9E3779B97F4A7C15)
+        acc = np.zeros((n, MINHASH_BANDS), dtype=np.uint64)
+        for r in range(MINHASH_ROWS):
+            acc ^= (bands3d[:, :, r] + mix) * np.uint64(0xBF58476D1CE4E5B9)
+            acc ^= acc >> np.uint64(29)
+            acc *= np.uint64(0x94D049BB133111EB)
         return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "band": pa.array(bands, pa.int32()),
-            "band_hash": pa.array(hashes, pa.int64())})
+            "doc_id": pa.array(np.repeat(did[doc_idx], MINHASH_BANDS)),
+            "band": pa.array(
+                np.tile(np.arange(MINHASH_BANDS, dtype=np.int32), n)),
+            "band_hash": pa.array(acc.reshape(-1).view(np.int64))})
 
     from ..functions.grouped import pairs_within_groups
     candidates = pairs_within_groups(
         docs.map_batches(band_rows, batch_format="pyarrow",
                          zero_copy_batch=True),
-        ["band", "band_hash"], "doc_id", count_col="n_bands")
+        ["band", "band_hash"], "doc_id", count_col="n_bands",
+        num_partitions=num_partitions)
 
     from ..functions.joins import attach_column
     i64, s = pa.int64(), pa.string()
@@ -235,12 +308,12 @@ def minhash_lsh_pairs(docs: ray.data.Dataset, threshold: float = 0.5,
         candidates, texts,
         left_cols=[("doc_a", i64), ("doc_b", i64)],
         left_key="doc_a", source_key="doc_id", source_val="text",
-        out_col="text_a", out_type=s)
+        out_col="text_a", out_type=s, num_partitions=num_partitions)
     joined = attach_column(
         joined, texts,
         left_cols=[("doc_a", i64), ("doc_b", i64), ("text_a", s)],
         left_key="doc_b", source_key="doc_id", source_val="text",
-        out_col="text_b", out_type=s)
+        out_col="text_b", out_type=s, num_partitions=num_partitions)
 
     def verify(b: pa.Table) -> pa.Table:
         out_a, out_b, out_j = [], [], []
@@ -264,7 +337,9 @@ def minhash_lsh_pairs(docs: ray.data.Dataset, threshold: float = 0.5,
 # --------------------------------------------------------------------------
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word features (unweighted)."""
+    """64-bit SimHash over word features (unweighted) — reference
+    implementation for tests; the pipeline path is the batch-vectorized
+    :func:`_simhash_batch`."""
     acc = np.zeros(64, dtype=np.int64)
     shifts = np.arange(64, dtype=np.uint64)
     for w in set(text.lower().split(" ")):
@@ -279,6 +354,36 @@ def simhash64(text: str) -> int:
     return fp
 
 
+def _simhash_batch(col) -> np.ndarray:
+    """Vectorized SimHash of every doc in a batch (uint64 per doc): one
+    tokenize pass, per-doc DISTINCT words via dictionary codes, md5 only
+    over the batch's word dictionary, then a (pairs x 64) +-1 vote matrix
+    summed per doc with ``np.add.reduceat``. Bit-identical to
+    :func:`simhash64` (asserted in tests)."""
+    words, doc_of = _words_flat(col)
+    n_docs = int(doc_of[-1]) + 1 if len(doc_of) else 0
+    dic = pa.array(words, pa.string()).dictionary_encode()
+    codes = dic.indices.to_numpy().astype(np.int64)
+    n_dict = len(dic.dictionary)
+    ukey = np.unique(doc_of * n_dict + codes)  # distinct (doc, word)
+    udoc, ucode = ukey // n_dict, ukey % n_dict
+    hu = np.fromiter(
+        (int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "little")
+         for w in dic.dictionary.to_pylist()),
+        dtype=np.uint64, count=n_dict)
+    h = hu[ucode]
+    shifts = np.arange(64, dtype=np.uint64)
+    votes = (((h[:, None] >> shifts[None, :]) & np.uint64(1))
+             .astype(np.int32) * 2 - 1)          # (pairs, 64) of +-1
+    starts = np.flatnonzero(np.concatenate([[True], udoc[1:] != udoc[:-1]]))
+    acc = np.add.reduceat(votes, starts, axis=0)  # (docs, 64)
+    fp = ((acc > 0).astype(np.uint64) << shifts[None, :]).sum(
+        axis=1, dtype=np.uint64)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    out[udoc[starts]] = fp
+    return out
+
+
 def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 3,
                   num_partitions: int = 16) -> ray.data.Dataset:
     """Pairs with SimHash Hamming distance <= max_hamming, via 4x16-bit band
@@ -286,19 +391,18 @@ def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 3,
     from ray.data.aggregate import Count, Min
 
     def fp_rows(b: pa.Table) -> pa.Table:
-        ids, bands, keys, fps = [], [], [], []
-        for did, text in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
-            fp = simhash64(text)
-            for band in range(4):
-                ids.append(did)
-                bands.append(band)
-                keys.append((fp >> (band * 16)) & 0xFFFF)
-                fps.append(fp - (1 << 63))  # store as signed int64
+        fp = _simhash_batch(b["text"])                       # (n,) uint64
+        did = pc.cast(b["doc_id"], pa.int64()).combine_chunks().to_numpy()
+        n = len(fp)
+        band = np.tile(np.arange(4, dtype=np.int32), n)
+        fp_rep = np.repeat(fp, 4)
+        keys = (fp_rep >> (band.astype(np.uint64) * np.uint64(16))) \
+            & np.uint64(0xFFFF)
         return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "band": pa.array(bands, pa.int32()),
-            "band_key": pa.array(keys, pa.int64()),
-            "fp": pa.array(fps, pa.int64())})
+            "doc_id": pa.array(np.repeat(did, 4)),
+            "band": pa.array(band),
+            "band_key": pa.array(keys.astype(np.int64)),
+            "fp": pa.array(fp_rep.view(np.int64))})  # store as signed int64
 
     def block_pairs(b: pa.Table) -> pa.Table:
         # complete (band, band_key) groups per block (functions/grouped.py);
@@ -341,11 +445,12 @@ def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 3,
     local = sorted_group_apply(
         docs.map_batches(fp_rows, batch_format="pyarrow",
                          zero_copy_batch=True),
-        ["band", "band_key"], block_pairs)
+        ["band", "band_key"], block_pairs, num_partitions)
     # sorted_aggregate output is already sorted by (doc_a, doc_b)
     return sorted_aggregate(local, ["doc_a", "doc_b"],
                             [("hamming", "min")],
-                            ["doc_a", "doc_b", "hamming"])
+                            ["doc_a", "doc_b", "hamming"],
+                            num_partitions)
 
 
 # --------------------------------------------------------------------------
@@ -500,7 +605,9 @@ def embedding_near_dup_blocked(embeddings: ray.data.Dataset,
 def embedding_near_dup_pairs(embeddings: ray.data.Dataset,
                              threshold: float = 0.35,
                              bands: int = 128, rows_per_band: int = 2,
-                             seed: int = _LSH_SEED) -> ray.data.Dataset:
+                             seed: int = _LSH_SEED,
+                             num_partitions: int | None = None
+                             ) -> ray.data.Dataset:
     """All pairs with cosine >= threshold via random-hyperplane LSH — the
     scale path (module comment): signature rows shuffle, vectors ride along
     once per band, in-bucket exact verify, cross-band dedup.
@@ -567,8 +674,9 @@ def embedding_near_dup_pairs(embeddings: ray.data.Dataset,
     local = sorted_group_apply(
         embeddings.map_batches(sig_rows, batch_format="pyarrow",
                                zero_copy_batch=True),
-        ["band", "bkey"], bucket_pairs)
+        ["band", "bkey"], bucket_pairs, num_partitions)
     # cross-band dedup; cosine identical in every band -> min is the value
     return sorted_aggregate(local, ["doc_a", "doc_b"],
                             [("cosine", "min")],
-                            ["doc_a", "doc_b", "cosine"])
+                            ["doc_a", "doc_b", "cosine"],
+                            num_partitions)
