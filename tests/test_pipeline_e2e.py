@@ -65,3 +65,83 @@ def test_resume_identical(ray_session, sf_tiny, tmp_path):
     import json
     m = json.load(open(os.path.join(ck, "final", "manifest.json")))
     assert m["complete"] and m["rows"] == len(df1) and m["upstream"]
+
+
+def test_partitioned_stage_kill_and_resume(ray_session, tmp_path):
+    """north_rule resume granularity: a stage killed at partition k resumes
+    by recomputing ONLY k..n — completed partitions are read back, never
+    rebuilt, and the final bytes equal a clean run."""
+    import json
+
+    import pyarrow as pa
+    import ray.data
+
+    from the_yelp_collaborative_knowledge_graph_ray.state.checkpoint import (
+        CheckpointedRun,
+    )
+
+    parts = [f"p{i}" for i in range(5)]
+    built = []  # records every build_one invocation
+
+    def make_build(fail_at=None):
+        def build_one(pkey):
+            if pkey == fail_at:
+                raise RuntimeError("simulated mid-stage death")
+            built.append(pkey)
+            i = int(pkey[1:])
+            return ray.data.from_arrow(pa.table({
+                "part": pa.array([pkey] * 10),
+                "v": pa.array(range(i * 10, i * 10 + 10), pa.int64())}))
+        return build_one
+
+    ck = CheckpointedRun(str(tmp_path / "ck"))
+    # first run dies at partition p3 (mid-stage, after committing p0-p2)
+    with pytest.raises(RuntimeError):
+        ck.partitioned_stage("s", parts, make_build(fail_at="p3"))
+    assert built == ["p0", "p1", "p2"]
+    assert ck.partition_complete("s", "p2")
+    assert not ck.partition_complete("s", "p3")
+    assert not os.path.exists(os.path.join(str(tmp_path / "ck"), "s",
+                                           "manifest.json"))
+
+    # resume: only p3, p4 recompute
+    built.clear()
+    ds = ck.partitioned_stage("s", parts, make_build())
+    assert built == ["p3", "p4"]
+    df = ds.to_pandas().sort_values("v").reset_index(drop=True)
+    assert df["v"].tolist() == list(range(50))
+
+    # clean-run comparison: byte-identical partition data files
+    ck2 = CheckpointedRun(str(tmp_path / "ck2"))
+    built.clear()
+    ck2.partitioned_stage("s", parts, make_build())
+    for pkey in parts:
+        d1 = os.path.join(str(tmp_path / "ck"), "s", "parts",
+                          f"part={pkey}", "data")
+        d2 = os.path.join(str(tmp_path / "ck2"), "s", "parts",
+                          f"part={pkey}", "data")
+        b1 = b"".join(open(os.path.join(d1, f), "rb").read()
+                      for f in sorted(os.listdir(d1)))
+        b2 = b"".join(open(os.path.join(d2, f), "rb").read()
+                      for f in sorted(os.listdir(d2)))
+        assert b1 == b2, pkey
+
+    # second rerun is a pure no-op (everything complete)
+    built.clear()
+    ck.partitioned_stage("s", parts, make_build())
+    assert built == []
+    m = json.load(open(os.path.join(str(tmp_path / "ck"), "s",
+                                    "manifest.json")))
+    assert m["granularity"] == "partition" and m["rows"] == 50
+    assert [p["partition"] for p in m["partitions"]] == parts
+
+
+def test_run_kg_partitioned_equals_run_kg(ray_session, sf_tiny, tmp_path):
+    from the_yelp_collaborative_knowledge_graph_ray.pipelines.kg import (
+        run_kg_partitioned,
+    )
+    a = run_kg("sf0.001").to_pandas() \
+        .sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    b = run_kg_partitioned("sf0.001", str(tmp_path / "ckp")).to_pandas() \
+        .sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    assert a.equals(b)

@@ -126,6 +126,73 @@ def build_graph(transcripts: ray.data.Dataset, fixture_dir: str,
     return final
 
 
+def _link_pairs(link_triples: ray.data.Dataset) -> ray.data.Dataset:
+    """(form, entity_id) pairs re-derived from sameAs triples (projection)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .. import config as C
+
+    def to_pairs(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "form": pc.replace_substring(b["subj"].combine_chunks(),
+                                         C.ENT + "mention/", ""),
+            "entity_id": pc.replace_substring(b["obj"].combine_chunks(),
+                                              C.WD, "")})
+    return link_triples.map_batches(to_pairs, batch_format="pyarrow")
+
+
+def _partition_triples(ts: ray.data.Dataset, tables, concurrency: int,
+                       include_enrichment: bool) -> ray.data.Dataset:
+    """All pre-materialize triples for ONE input partition (the per-turn
+    stages are embarrassingly parallel across input files; the per-form
+    stages — link, enrichment — are deterministic functions of the form, so
+    cross-partition repeats collapse in the single global materialize)."""
+    alias_rows, vocab, snapshot, entity_types, hierarchy = tables
+    cmap = canon.build_canonical_map_local(alias_rows)
+    structural = extract.structural_triples(ts)
+    raw = mentions.mention_triples(ts, vocab, concurrency=concurrency)
+    cm = canon.canonicalize_mentions(raw, cmap,
+                                     concurrency=concurrency).materialize()
+    parts = [structural, cm, mentions.mention_entity_triples(cm)]
+    if include_enrichment:
+        links = link.link_mentions(cm, snapshot,
+                                   concurrency=concurrency).materialize()
+        parts.append(links)
+        parts.append(enrich.enrichment_triples(_link_pairs(links),
+                                               entity_types, hierarchy))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.union(p)
+    return u
+
+
+def run_kg_partitioned(sf_dir: str, checkpoint_dir: str,
+                       concurrency: int = 4,
+                       include_enrichment: bool = True) -> ray.data.Dataset:
+    """Flagship build with PER-PARTITION checkpoint/resume (north_rule's
+    resume granularity): the extraction phase is sharded by input transcript
+    file, every shard commits independently
+    (``state.checkpoint.partitioned_stage``), and only the final global
+    materialize is a whole-corpus stage. A run killed at shard k of n
+    resumes by recomputing shards k..n only; output is identical to
+    :func:`run_kg` (verified in tests)."""
+    from .. import config as C
+    fdir = generator.ensure_fixtures(sf_dir)
+    tdir = os.path.join(fdir, "transcripts.parquet")
+    part_files = sorted(f for f in os.listdir(tdir) if f.endswith(".parquet"))
+    tables = load_config_tables(fdir)
+    ck = CheckpointedRun(checkpoint_dir)
+
+    def build_one(pkey: str) -> ray.data.Dataset:
+        ts = ray.data.read_parquet(os.path.join(tdir, pkey))
+        return _partition_triples(ts, tables, concurrency, include_enrichment)
+
+    tri = ck.partitioned_stage("extract_triples", part_files, build_one)
+    return ck.stage("final", lambda: materialize.materialize(
+        tri, known_combos=C.KNOWN_COMBOS), upstream=["extract_triples"])
+
+
 def read_transcripts(fdir: str) -> ray.data.Dataset:
     """Parallel transcript read. This Ray version issues ONE read task per
     parquet file (``override_num_blocks`` merely appends a SplitBlocks op —

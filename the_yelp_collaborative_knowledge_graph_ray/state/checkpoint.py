@@ -12,9 +12,19 @@ The reference's sinks are append-mode gzip (``create_yelp_nt_files.py:31``)
   returns a ``read_parquet`` Dataset instead of recomputing).
 
 At 100 TB each stage directory holds many Parquet files (one per block);
-a resumed run re-reads them with full column pruning. Granularity is per
-stage; per-key-range granularity would shard ``out_dir`` by partition key —
-the manifest format already records per-file counts to support it.
+a resumed run re-reads them with full column pruning.
+
+Two granularities:
+
+* :meth:`CheckpointedRun.stage` — per-STAGE: the whole stage output commits
+  atomically; a rerun skips complete stages.
+* :meth:`CheckpointedRun.partitioned_stage` — per-PARTITION (north_rule's
+  resume granularity): the stage is sharded by an explicit partition key
+  (input file, key range); every partition commits independently with its
+  own manifest row, so a run that dies at partition k of n resumes by
+  recomputing ONLY partitions k..n — completed partitions are read back,
+  not rebuilt. ``pipelines/kg.py:run_kg_partitioned`` shards the flagship's
+  extraction phase this way by input transcript file.
 """
 
 from __future__ import annotations
@@ -85,3 +95,89 @@ class CheckpointedRun:
         shutil.rmtree(out, ignore_errors=True)
         os.rename(tmp, out)
         return ray.data.read_parquet(os.path.join(out, "data"))
+
+    # ---- per-partition granularity ------------------------------------
+
+    def _part_dir(self, stage: str, pkey: str) -> str:
+        return os.path.join(self._dir(stage), "parts", f"part={pkey}")
+
+    def partition_complete(self, stage: str, pkey: str) -> bool:
+        p = os.path.join(self._part_dir(stage, pkey), "manifest.json")
+        if not os.path.exists(p):
+            return False
+        try:
+            with open(p) as f:
+                return json.load(f).get("complete", False)
+        except (json.JSONDecodeError, OSError):
+            return False
+
+    def partitioned_stage(self, name: str, partitions: list[str],
+                          build_one: Callable[[str], ray.data.Dataset],
+                          upstream: list[str] = ()) -> ray.data.Dataset:
+        """Run (or resume) a stage sharded by ``partitions``.
+
+        Each partition key is built by ``build_one(pkey)``, written to its
+        own ``part=<pkey>`` directory via tmp-dir + atomic rename, and
+        described by its own manifest (rows, per-file counts, wall time,
+        lineage). A rerun skips every complete partition — death at
+        partition k recomputes only k..n. When all partitions are complete
+        a stage-level manifest aggregates the per-partition rows.
+
+        Returns the stage Dataset reading ALL partition directories (one
+        ``read_parquet`` over the ``parts`` tree, column-prunable).
+        """
+        import pyarrow.parquet as pq
+        sdir = self._dir(name)
+        parts_root = os.path.join(sdir, "parts")
+        os.makedirs(parts_root, exist_ok=True)
+        total_new = 0
+        for pkey in partitions:
+            if self.partition_complete(name, pkey):
+                continue
+            pdir = self._part_dir(name, pkey)
+            tmp = pdir + f".tmp{os.getpid()}"
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.makedirs(tmp)
+            t0 = time.time()
+            ds = build_one(pkey)
+            ds.write_parquet(os.path.join(tmp, "data"))
+            files, rows = [], 0
+            ddir = os.path.join(tmp, "data")
+            for fn in sorted(os.listdir(ddir)):
+                if fn.endswith(".parquet"):
+                    n = pq.ParquetFile(os.path.join(ddir, fn)).metadata.num_rows
+                    files.append({"file": fn, "rows": n})
+                    rows += n
+            with open(os.path.join(tmp, "manifest.json"), "w") as f:
+                json.dump({"stage": name, "partition": pkey,
+                           "complete": True, "rows": rows, "files": files,
+                           "upstream": list(upstream),
+                           "wall_sec": round(time.time() - t0, 3)}, f,
+                          indent=1)
+            shutil.rmtree(pdir, ignore_errors=True)
+            os.rename(tmp, pdir)
+            total_new += 1
+        # stage-level manifest: aggregate of per-partition manifests
+        per_part = []
+        for pkey in partitions:
+            with open(os.path.join(self._part_dir(name, pkey),
+                                   "manifest.json")) as f:
+                m = json.load(f)
+            per_part.append({"partition": pkey, "rows": m["rows"],
+                             "wall_sec": m["wall_sec"]})
+        with open(os.path.join(sdir, "manifest.json"), "w") as f:
+            json.dump({"stage": name, "complete": True,
+                       "granularity": "partition",
+                       "rows": sum(p["rows"] for p in per_part),
+                       "partitions": per_part, "upstream": list(upstream),
+                       "rebuilt_partitions": total_new,
+                       "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                                   time.gmtime())}, f,
+                      indent=1)
+        data_files = []
+        for pkey in partitions:
+            ddir = os.path.join(self._part_dir(name, pkey), "data")
+            data_files.extend(os.path.join(ddir, fn)
+                              for fn in sorted(os.listdir(ddir))
+                              if fn.endswith(".parquet"))
+        return ray.data.read_parquet(data_files)
