@@ -13,6 +13,9 @@ CASES = [
     "Coffee & Tea", "  Health/Fitness  ", "Mo's Diner", "a--b", "UPPER CASE",
     "trail running", "weird..dots", "(parens)", "comma, sep", "", "x",
     "Tea&Coffee&More", "already_norm",
+    # camelCase splitter (M16, reference string_functions.py:40-41)
+    "WebSearch", "CodeInterpreter", "MachineLearning", "DataViz2Go",
+    "ABCshop", "alreadyLower",
 ]
 
 
@@ -30,3 +33,9 @@ def test_examples():
     assert normalize_one("Health/Fitness") == "health_fitness"
     assert normalize_one("COFFEE") == "coffee"
     assert normalize_one("coffees ") == "coffees"
+    # camel split happens BEFORE lowercasing, so cased camel words and
+    # spaced words canonicalize together (all-lowercase strings unchanged)
+    assert normalize_one("WebSearch") == "web_search"
+    assert normalize_one("MachineLearning") == "machine_learning"
+    assert normalize_one("machine learning") == "machine_learning"
+    assert normalize_one("machinelearning") == "machinelearning"

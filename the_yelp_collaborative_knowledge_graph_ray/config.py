@@ -72,6 +72,10 @@ EMBED_DIM = 64       # feature-hashing dimension for the deterministic embedder
 # (create_yelp_nt_files.py:93 vs create_schema_wiki_mapping.py:64) by using a
 # single rule everywhere (SURVEY.md M10).
 NORMALIZE_PATTERN = r"[ &/'()\.\-,]+"
+# camelCase boundary split (reference string_functions.py:40-41, whose
+# lookbehind regex RE2 can't run; the lower/digit->upper boundary form is
+# equivalent on simple camel words like WebSearch / CodeInterpreter).
+CAMEL_PATTERN = r"([a-z0-9])([A-Z])"
 
 # Triples-table schema (FIXTURES.md §4).
 TRIPLE_COLUMNS = ["subj", "pred", "obj", "obj_is_literal", "obj_datatype"]

@@ -47,7 +47,8 @@ import pyarrow.parquet as pq
 from ..functions.normalize import normalize_one
 
 SEED = 42
-FORMAT_VERSION = "v5"  # v5: multi-file transcripts; 500k-conv bench profile
+# v6: camelCase tool names + camel mention variants (M16 splitter coverage)
+FORMAT_VERSION = "v6"
 CACHE_ROOT = os.environ.get("YCKG_FIXTURE_DIR", "/tmp/yckg_fixtures")
 
 # conversations per profile; mean conversation length ~= 9 turns.
@@ -101,7 +102,10 @@ COMPOUND_PAIRS = [
     ("chess", "bowling"), ("fresco", "fondue"),
 ]
 TOOLS = ["search", "browser", "python", "calculator", "sql", "bash",
-         "email", "calendar", "maps", "translate", "weather", "files"]
+         "email", "calendar", "maps", "translate", "weather", "files",
+         # camelCase tool names: the M16 splitter must normalize these to
+         # web_search / code_interpreter / data_viz in tool IRIs
+         "WebSearch", "CodeInterpreter", "DataViz"]
 NONE_TOOL_VALUES = ["", "None", "none", "null", "Null", "NULL"]
 
 TEMPLATES_0 = [
@@ -142,6 +146,8 @@ def _variants(term: str) -> list[str]:
     """Surface-form variants of a canonical term that appear in text."""
     disp = term.replace("_", " ")
     out = [disp, disp.capitalize(), disp.upper(), disp + "s"]
+    if "_" in term:  # camel variant of multi-word terms: MachineLearning
+        out.append("".join(w.capitalize() for w in disp.split(" ")))
     return out
 
 
@@ -158,9 +164,14 @@ def build_vocab_tables():
     pool: list[str] = []
     for t in terms:
         for v in _variants(t):
-            n = normalize_one(v)
+            # alias edges are keyed by the DETECTOR-visible norm: detection
+            # scans lower(text), so a camel variant like "MachineLearning"
+            # is seen as "machinelearning" — that lowered-then-normalized
+            # form (not normalize(v), where the camel splitter would already
+            # recover the canonical) is what canonicalization must map
+            n = normalize_one(v.lower())
             if n != t:
-                alias_rows.append((n, t))  # equivalence edge (plural)
+                alias_rows.append((n, t))  # equivalence edge (plural/camel)
             vocab_rows.append((v.lower(), t))  # detection is case-insensitive
             pool.append(v)
     for a, b in COMPOUND_PAIRS:

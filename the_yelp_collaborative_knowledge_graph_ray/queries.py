@@ -272,6 +272,149 @@ def _q_top_tools(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# CQ analogs 9-16: the remaining reference competency-question shapes
+# (/root/reference/Code/CompetencyQuestions/Yelp_CQ.md) — day-of-week and
+# year/month extraction (:179-188,359-370), per-entity ORDER BY DESC(SUM)
+# LIMIT 1 (:168-169,201-202), HAVING on grouped counts (:252-261), count
+# of linked/typed entities (:50-66,73-88), ratio-of-counts (:267-309).
+# --------------------------------------------------------------------------
+
+def _q_convs_mentioning(sf_dir: str):
+    """CQ2/3 analog (count entities of one category): conversations that
+    mention the canonical form 'coffee'."""
+    ds = _q_mentions(sf_dir)
+    target = C.ENT + "mention/coffee"
+
+    def convs(b: pa.Table) -> pa.Table:
+        sel = b.filter(pc.equal(b["obj"], target))
+        path = pc.replace_substring(sel["subj"].combine_chunks(),
+                                    C.ENT + "turn/", "")
+        conv = pc.list_element(pc.split_pattern(path, "/"), 0)
+        return pa.table({"conv_id": conv})
+    import pandas as pd
+    n = ds.map_batches(convs, batch_format="pyarrow").unique("conv_id")
+    return pd.DataFrame({"n_convs": [len(n)]})
+
+
+def _q_linked_forms(sf_dir: str):
+    """CQ4 analog (how many businesses have been reviewed): how many
+    distinct mention forms link to a KG entity."""
+    from .pipelines.kg import load_config_tables
+    from .stages import canonicalize as canon
+    from .stages import link, mentions
+    fdir = _fx(sf_dir)
+    alias_rows, vocab, snapshot, *_ = load_config_tables(fdir)
+    ts = _read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "text"])
+    m = mentions.mention_triples(ts, vocab)
+    cm = canon.canonicalize_mentions(
+        m, canon.build_canonical_map_local(alias_rows))
+    links = link.link_mentions(cm, snapshot)
+    import pandas as pd
+    return pd.DataFrame({"n_linked": [links.unique("subj").__len__()]})
+
+
+def _q_busiest_conv(sf_dir: str):
+    """CQ9 analog (most-visited business): the conversation with the most
+    turns, deterministic tie-break."""
+    ts = _read_transcripts(sf_dir, columns=["conv_id"])
+    counts = ts.groupby("conv_id").count().rename_columns({"count()": "n"})
+    return counts.sort(["n", "conv_id"], descending=[True, False]).limit(1)
+
+
+def _q_avg_mentions_per_turn(sf_dir: str):
+    """CQ12 analog (average friends per user): mention rows / turn rows,
+    one IEEE double division on both sides."""
+    import pandas as pd
+    n_mentions = _q_mentions(sf_dir).count()
+    n_turns = _read_transcripts(sf_dir, columns=["conv_id"]).count()
+    return pd.DataFrame({"n_mentions": [n_mentions], "n_turns": [n_turns],
+                         "avg_mentions": [n_mentions / n_turns]})
+
+
+def _q_turns_per_weekday(sf_dir: str):
+    """CQ8 analog (visits per day-of-week): ISO weekday extraction
+    (Monday=1..Sunday=7 — pc.day_of_week and DuckDB isodow agree)."""
+    ts = _read_transcripts(sf_dir, columns=["ts"])
+
+    def dow(b: pa.Table) -> pa.Table:
+        d = pc.add(pc.day_of_week(b["ts"], count_from_zero=True,
+                                  week_start=1), 1)
+        return pa.table({"dow": pc.cast(d, pa.int64())})
+    return ts.map_batches(dow, batch_format="pyarrow") \
+        .groupby("dow").count().rename_columns({"count()": "n"}).sort("dow")
+
+
+def _q_convs_with_min_tools(sf_dir: str):
+    """CQ11 analog (users with >10 friends): conversations using more than
+    2 DISTINCT tools (HAVING over a distinct-count)."""
+    from .functions.grouped import sorted_aggregate
+    ts = _read_transcripts(sf_dir, columns=["conv_id", "tool"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        from .stages.extract import _tool_mask
+        sel = b.filter(_tool_mask(b["tool"]))
+        return pa.table({"conv_id": sel["conv_id"], "tool": sel["tool"]})
+    pairs = sorted_aggregate(
+        ts.map_batches(prep, batch_format="pyarrow"),
+        ["conv_id", "tool"], [("tool", "count")],
+        ["conv_id", "tool", "cnt"], num_partitions=16)
+    per_conv = sorted_aggregate(pairs, ["conv_id"], [("tool", "count")],
+                                ["conv_id", "n_tools"], num_partitions=16)
+    big = per_conv.map_batches(
+        lambda b: b.filter(pc.greater(b["n_tools"], 2)),
+        batch_format="pyarrow")
+    import pandas as pd
+    return pd.DataFrame({"n_convs": [big.count()]})
+
+
+def _q_top_tool_per_role(sf_dir: str):
+    """CQ8/9 analog (per-entity ORDER BY DESC(SUM) LIMIT 1): for every
+    role, its most-used tool (count desc, tool asc tie-break)."""
+    from .functions.grouped import sorted_aggregate, sorted_group_apply
+    ts = _read_transcripts(sf_dir, columns=["role", "tool"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        from .stages.extract import _tool_mask
+        sel = b.filter(_tool_mask(b["tool"]))
+        return pa.table({"role": sel["role"], "tool": sel["tool"]})
+    counts = sorted_aggregate(
+        ts.map_batches(prep, batch_format="pyarrow"),
+        ["role", "tool"], [("tool", "count")],
+        ["role", "tool", "n"], num_partitions=8)
+
+    def top1(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from .functions.grouped import group_ids
+        if b.num_rows == 0:
+            return b
+        gid, starts = group_ids(b, ["role"])
+        n = b["n"].combine_chunks().to_numpy()
+        tool = b["tool"].combine_chunks().to_numpy(zero_copy_only=False)
+        ends = np.append(starts[1:], b.num_rows)
+        keep = []
+        for s, e in zip(starts, ends):
+            order = np.lexsort((tool[s:e], -n[s:e]))
+            keep.append(s + order[0])
+        return b.take(pa.array(keep))
+    return sorted_group_apply(counts, ["role"], top1, num_partitions=4)
+
+
+def _q_turns_per_year_month(sf_dir: str):
+    """CQ14 analog (reviews per year/month): calendar extraction + grouped
+    count over (year, month)."""
+    ts = _read_transcripts(sf_dir, columns=["ts"])
+
+    def ym(b: pa.Table) -> pa.Table:
+        return pa.table({"y": pc.cast(pc.year(b["ts"]), pa.int64()),
+                         "m": pc.cast(pc.month(b["ts"]), pa.int64())})
+    from .functions.grouped import sorted_aggregate
+    return sorted_aggregate(ts.map_batches(ym, batch_format="pyarrow"),
+                            ["y", "m"], [("m", "count")],
+                            ["y", "m", "n"], num_partitions=8)
+
+
+# --------------------------------------------------------------------------
 # training-data ops (documents / embeddings tables)
 # --------------------------------------------------------------------------
 
@@ -497,6 +640,14 @@ def queries() -> dict[str, Callable]:
         "cq_distinct_mentions": _q_distinct_mentions,
         "cq_top_tools": _q_top_tools,
         "cq_conv_stats_salted": _q_conv_stats_salted,
+        "cq_convs_mentioning": _q_convs_mentioning,
+        "cq_linked_forms": _q_linked_forms,
+        "cq_busiest_conv": _q_busiest_conv,
+        "cq_avg_mentions_per_turn": _q_avg_mentions_per_turn,
+        "cq_turns_per_weekday": _q_turns_per_weekday,
+        "cq_convs_with_min_tools": _q_convs_with_min_tools,
+        "cq_top_tool_per_role": _q_top_tool_per_role,
+        "cq_turns_per_year_month": _q_turns_per_year_month,
         "kg_ntriples_lines": _q_ntriples_lines,
         # training-data ops
         "dedup_exact": _q_dedup_exact,
@@ -572,6 +723,47 @@ def oracle_sql() -> dict[str, str]:
                    max(ts) AS last_ts
             FROM read_parquet('{fdir}/transcripts.parquet/*.parquet')
             GROUP BY 1 ORDER BY 1""",
+        "cq_convs_mentioning": P + """
+            SELECT count(DISTINCT conv_id) AS n_convs FROM mention
+            WHERE canonical = 'coffee'""",
+        "cq_linked_forms": P + """
+            SELECT count(*) AS n_linked FROM linked
+            WHERE entity_id IS NOT NULL""",
+        "cq_busiest_conv": f"""
+            SELECT conv_id, count(*) AS n
+            FROM read_parquet('{fdir}/transcripts.parquet/*.parquet')
+            GROUP BY 1 ORDER BY n DESC, conv_id ASC LIMIT 1""",
+        "cq_avg_mentions_per_turn": P + """
+            SELECT (SELECT count(*) FROM mention) AS n_mentions,
+                   (SELECT count(*) FROM t) AS n_turns,
+                   CAST((SELECT count(*) FROM mention) AS DOUBLE)
+                     / (SELECT count(*) FROM t) AS avg_mentions""",
+        "cq_turns_per_weekday": f"""
+            SELECT CAST(isodow(ts) AS BIGINT) AS dow, count(*) AS n
+            FROM read_parquet('{fdir}/transcripts.parquet/*.parquet')
+            GROUP BY 1 ORDER BY 1""",
+        "cq_convs_with_min_tools": f"""
+            SELECT count(*) AS n_convs FROM (
+              SELECT conv_id FROM (
+                SELECT DISTINCT conv_id, tool
+                FROM read_parquet('{fdir}/transcripts.parquet/*.parquet')
+                WHERE {TOOL_OK_SQL})
+              GROUP BY conv_id HAVING count(*) > 2)""",
+        "cq_top_tool_per_role": f"""
+            SELECT role, tool, n FROM (
+              SELECT role, tool, count(*) AS n,
+                     row_number() OVER (PARTITION BY role
+                                        ORDER BY count(*) DESC, tool ASC)
+                       AS rk
+              FROM read_parquet('{fdir}/transcripts.parquet/*.parquet')
+              WHERE {TOOL_OK_SQL}
+              GROUP BY role, tool)
+            WHERE rk = 1 ORDER BY role""",
+        "cq_turns_per_year_month": f"""
+            SELECT CAST(year(ts) AS BIGINT) AS y,
+                   CAST(month(ts) AS BIGINT) AS m, count(*) AS n
+            FROM read_parquet('{fdir}/transcripts.parquet/*.parquet')
+            GROUP BY 1, 2 ORDER BY 1, 2""",
         "kg_ntriples_lines": P + f"""
             SELECT '<' || subj || '> <' || pred || '> ' ||
                    CASE WHEN obj_is_literal THEN
