@@ -234,3 +234,133 @@ def test_prefix_encode_order_and_roundtrip():
     assert materialize._prefix_decode(b, s).to_pylist() == vals
     keyed = sorted(zip(b.to_pylist(), s.to_pylist(), vals))
     assert [k[2] for k in keyed] == sorted(vals)
+
+
+def test_flatten_structs_exclusion_and_nesting():
+    import pyarrow as pa
+
+    from the_yelp_collaborative_knowledge_graph_ray.stages.flatten import (
+        flatten_table,
+    )
+    t = pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "meta": pa.StructArray.from_arrays(
+            [pa.array(["a", "b"]),
+             pa.StructArray.from_arrays(
+                 [pa.array([10, 20], pa.int64()),
+                  pa.array(["x", "y"])], ["n", "s"]),
+             pa.StructArray.from_arrays(
+                 [pa.array(["08:00", "09:00"])], ["open"])],
+            ["client", "inner", "hours"])})
+    # bare-name exclusion removes the subtree at any depth
+    flat = flatten_table(t, frozenset({"hours"}))
+    assert flat.column_names == ["id", "meta.client", "meta.inner.n",
+                                 "meta.inner.s"]
+    assert flat["meta.inner.n"].to_pylist() == [10, 20]
+    # full-path exclusion works too; non-struct columns pass through
+    flat2 = flatten_table(t, frozenset({"meta.inner.s", "meta.hours"}))
+    assert flat2.column_names == ["id", "meta.client", "meta.inner.n"]
+
+
+def test_mention_detector_ac_engine_matches_substring(ray_session, sf_tiny):
+    """The Aho-Corasick engine must emit EXACTLY the rows of the per-surface
+    substring engine — on the real fixture vocab and on a synthetic >512
+    vocabulary that triggers the automaton automatically."""
+    import pyarrow as pa
+
+    from the_yelp_collaborative_knowledge_graph_ray.stages.mentions import (
+        AC_VOCAB_THRESHOLD,
+        MentionDetector,
+        load_vocab_surfaces,
+    )
+
+    batch = pa.table({
+        "conv_id": pa.array(["c1", "c1", "c2", "c2"]),
+        "turn_idx": pa.array([0, 1, 0, 1], pa.int32()),
+        "text": pa.array([
+            "I love Coffee and Machine Learning these days",
+            "Let's compare MachineLearning and jazz before deciding.",
+            "nothing relevant here at all",
+            "the ESPRESSO was better than the latte honestly"])})
+
+    vocab = load_vocab_surfaces(sf_tiny)
+    a = MentionDetector(vocab, force_engine="substring")(batch)
+    b = MentionDetector(vocab, force_engine="ac")(batch)
+    key = ["subj", "obj", "src_conv_id", "src_turn_idx"]
+
+    def rows(t):
+        return t.select(key).to_pandas().sort_values(key).values.tolist()
+
+    assert rows(a) == rows(b)
+    assert a.num_rows == b.num_rows > 0
+
+    # synthetic >threshold vocab: auto-selects AC; equality still holds
+    big_vocab = vocab + [f"zq{i:04d}term" for i in range(AC_VOCAB_THRESHOLD)]
+    det = MentionDetector(big_vocab)
+    assert det.ac is not None
+    assert rows(det(batch)) == rows(a)
+
+
+def test_jsonl_source_matches_parquet(ray_session, sf_tiny, tmp_path):
+    """S1 compat: JSONL ingest yields the exact parquet transcript rows
+    (epoch-micros and ISO-seconds ts encodings both normalize)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from the_yelp_collaborative_knowledge_graph_ray.sources.jsonl import (
+        read_transcripts_jsonl,
+    )
+    tab = pq.read_table(f"{sf_tiny}/transcripts.parquet").slice(0, 500)
+    rows = tab.to_pylist()
+    p1 = tmp_path / "t_micros.jsonl"
+    with open(p1, "w") as f:
+        for r in rows:
+            r = dict(r)
+            r["ts"] = int(r["ts"].timestamp() * 1_000_000)
+            f.write(json.dumps(r) + "\n")
+    got = read_transcripts_jsonl(str(p1)).to_pandas() \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    want = tab.to_pandas().sort_values(["conv_id", "turn_idx"]) \
+        .reset_index(drop=True)
+    assert got.equals(want)
+
+    p2 = tmp_path / "t_iso.jsonl"
+    with open(p2, "w") as f:
+        for r in rows:
+            r = dict(r)
+            r["ts"] = r["ts"].strftime("%Y-%m-%dT%H:%M:%S")
+            f.write(json.dumps(r) + "\n")
+    got2 = read_transcripts_jsonl(str(p2)).to_pandas()
+    assert len(got2) == len(want)
+    assert str(got2.dtypes["ts"]).startswith("datetime64[us]")
+
+
+def test_gzip_ntriples_roundtrip(ray_session, tmp_path):
+    import gzip
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from the_yelp_collaborative_knowledge_graph_ray.stages.materialize import (
+        write_ntriples,
+    )
+    tri = ray.data.from_arrow(pa.table({
+        "subj": ["http://e/s1", "http://e/s2"],
+        "pred": ["http://e/p", "http://e/p"],
+        "obj": ['say "hi"\nnow', "http://e/o2"],
+        "obj_is_literal": [True, False],
+        "obj_datatype": pa.array([None, None], pa.string())}))
+    out = str(tmp_path / "nt")
+    write_ntriples(tri, out, compression="gzip")
+    files = [f for f in os.listdir(out) if f.endswith(".nt.gz")]
+    assert files, os.listdir(out)
+    lines = []
+    for f in files:
+        with gzip.open(os.path.join(out, f), "rt") as fh:
+            lines += [line.rstrip("\n") for line in fh if line.strip()]
+    assert sorted(lines) == [
+        '<http://e/s1> <http://e/p> "say \\"hi\\"\\nnow"'
+        '^^<http://www.w3.org/2001/XMLSchema#string> .',
+        '<http://e/s2> <http://e/p> <http://e/o2> .']

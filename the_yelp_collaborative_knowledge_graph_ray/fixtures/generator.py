@@ -48,7 +48,8 @@ from ..functions.normalize import normalize_one
 
 SEED = 42
 # v6: camelCase tool names + camel mention variants (M16 splitter coverage)
-FORMAT_VERSION = "v6"
+# v7: + conv_meta.parquet nested-struct table (M5 flattener coverage)
+FORMAT_VERSION = "v7"
 CACHE_ROOT = os.environ.get("YCKG_FIXTURE_DIR", "/tmp/yckg_fixtures")
 
 # conversations per profile; mean conversation length ~= 9 turns.
@@ -281,6 +282,41 @@ def generate_transcripts(n_convs: int, seed: int = SEED) -> pa.Table:
     })
 
 
+def generate_conv_meta(n_convs: int, seed: int = SEED) -> pa.Table:
+    """Per-conversation nested-struct metadata (M5 flattener fixture): the
+    analog of the reference's nested business-attribute dicts
+    (``dictionary_functions.py:1-18``), including an ``hours``-style subtree
+    that flattening must EXCLUDE (reference excludes the hours dict)."""
+    rng = np.random.RandomState(seed + 13)
+    conv_id = np.char.add("conv", np.char.zfill(
+        np.arange(n_convs).astype(str), 8))
+    clients = np.array(["web", "ios", "android", "cli"])[
+        rng.randint(0, 4, size=n_convs)]
+    oss = np.array(["linux", "macos", "windows"])[
+        rng.randint(0, 3, size=n_convs)]
+    vers = np.char.add("v", rng.randint(1, 9, size=n_convs).astype(str))
+    latency = rng.randint(20, 2000, size=n_convs).astype(np.int64)
+    beta = rng.random_sample(n_convs) < 0.25
+    verbose = rng.random_sample(n_convs) < 0.5
+    opens = np.char.add(np.char.zfill(
+        rng.randint(6, 11, size=n_convs).astype(str), 2), ":00")
+    closes = np.char.add(rng.randint(17, 24, size=n_convs).astype(str), ":00")
+    meta = pa.StructArray.from_arrays(
+        [pa.array(clients.tolist(), pa.string()),
+         pa.StructArray.from_arrays(
+             [pa.array(oss.tolist(), pa.string()),
+              pa.array(vers.tolist(), pa.string())], ["os", "version"]),
+         pa.array(latency, pa.int64()),
+         pa.StructArray.from_arrays(
+             [pa.array(beta), pa.array(verbose)], ["beta", "verbose"]),
+         pa.StructArray.from_arrays(
+             [pa.array(opens.tolist(), pa.string()),
+              pa.array(closes.tolist(), pa.string())], ["open", "close"])],
+        ["client", "device", "latency_ms", "flags", "hours"])
+    return pa.table({"conv_id": pa.array(conv_id.tolist(), pa.string()),
+                     "meta": meta})
+
+
 def fixture_dir(sf_name: str) -> str:
     return os.path.join(CACHE_ROOT, FORMAT_VERSION, sf_name)
 
@@ -341,6 +377,8 @@ def ensure_fixtures(sf_dir_or_name: str) -> str:
         "surface_norm": [r[0] for r in overrides],
         "entity_id": [r[1] for r in overrides]}),
         os.path.join(tmp, "manual_overrides.parquet"))
+    pq.write_table(generate_conv_meta(PROFILES[sf_name]),
+                   os.path.join(tmp, "conv_meta.parquet"))
 
     with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
         f.write("ok\n")

@@ -414,6 +414,32 @@ def _q_turns_per_year_month(sf_dir: str):
                             ["y", "m", "n"], num_partitions=8)
 
 
+def _q_meta_flatten(sf_dir: str):
+    """M5 struct flattener over the nested conv_meta table: every leaf
+    becomes a dotted column; the 'hours' subtree is EXCLUDED (the
+    reference's exclusion-list semantics, dictionary_functions.py:1-18)."""
+    from .stages.flatten import flatten_structs
+    fdir = _fx(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(fdir, "conv_meta.parquet"))
+    return flatten_structs(ds, exclude=("hours",))
+
+
+def _q_meta_flatten_agg(sf_dir: str):
+    """Flatten feeding a distributed aggregate: request stats per
+    (client, device os) over flattened leaves."""
+    from .functions.grouped import sorted_aggregate
+    flat = _q_meta_flatten(sf_dir)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"client": b["meta.client"],
+                         "os": b["meta.device.os"],
+                         "latency_ms": b["meta.latency_ms"]})
+    return sorted_aggregate(
+        flat.map_batches(rename, batch_format="pyarrow"),
+        ["client", "os"], [("latency_ms", "count"), ("latency_ms", "sum")],
+        ["client", "os", "n", "sum_latency"], num_partitions=8)
+
+
 # --------------------------------------------------------------------------
 # training-data ops (documents / embeddings tables)
 # --------------------------------------------------------------------------
@@ -648,6 +674,8 @@ def queries() -> dict[str, Callable]:
         "cq_convs_with_min_tools": _q_convs_with_min_tools,
         "cq_top_tool_per_role": _q_top_tool_per_role,
         "cq_turns_per_year_month": _q_turns_per_year_month,
+        "meta_struct_flatten": _q_meta_flatten,
+        "meta_flatten_agg": _q_meta_flatten_agg,
         "kg_ntriples_lines": _q_ntriples_lines,
         # training-data ops
         "dedup_exact": _q_dedup_exact,
@@ -763,6 +791,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(year(ts) AS BIGINT) AS y,
                    CAST(month(ts) AS BIGINT) AS m, count(*) AS n
             FROM read_parquet('{fdir}/transcripts.parquet/*.parquet')
+            GROUP BY 1, 2 ORDER BY 1, 2""",
+        "meta_struct_flatten": f"""
+            SELECT conv_id,
+                   meta.client AS "meta.client",
+                   meta.device.os AS "meta.device.os",
+                   meta.device.version AS "meta.device.version",
+                   meta.latency_ms AS "meta.latency_ms",
+                   meta.flags.beta AS "meta.flags.beta",
+                   meta.flags.verbose AS "meta.flags.verbose"
+            FROM read_parquet('{fdir}/conv_meta.parquet')""",
+        "meta_flatten_agg": f"""
+            SELECT meta.client AS client, meta.device.os AS os,
+                   count(*) AS n,
+                   CAST(sum(meta.latency_ms) AS BIGINT) AS sum_latency
+            FROM read_parquet('{fdir}/conv_meta.parquet')
             GROUP BY 1, 2 ORDER BY 1, 2""",
         "kg_ntriples_lines": P + f"""
             SELECT '<' || subj || '> <' || pred || '> ' ||

@@ -212,10 +212,22 @@ def materialize(triples: ray.data.Dataset, sort: bool = True,
             pid = pc.index_in(b["pred"], value_set=pred_arr)
             lid = pc.index_in(ld_key, value_set=ld_key_arr)
             if strict and (pid.null_count or lid.null_count):
-                bad = pc.unique(pc.filter(b["pred"], pc.is_null(pid)))
+                bad_preds = pc.unique(
+                    pc.filter(b["pred"], pc.is_null(pid))).to_pylist()[:5]
+                # a KNOWN predicate can still carry an unknown
+                # (obj_is_literal, obj_datatype) pairing — report those too,
+                # not just unknown predicates
+                bad_ld = pc.unique(
+                    pc.filter(ld_key, pc.is_null(lid))).to_pylist()[:5]
+                bad_combos = [
+                    {"obj_is_literal": k.split("\x1f")[0] == "1",
+                     "obj_datatype": (None if k.split("\x1f")[1] == "\x00"
+                                      else k.split("\x1f")[1])}
+                    for k in bad_ld]
                 raise ValueError(
-                    f"materialize(known_combos=...) missing combos for "
-                    f"predicates {bad.to_pylist()[:5]}")
+                    f"materialize(known_combos=...) missing combos: "
+                    f"unknown predicates {bad_preds}; unknown "
+                    f"(literal, datatype) pairings {bad_combos}")
             sb, subj = _prefix_encode(b["subj"].combine_chunks()
                                       if isinstance(b["subj"], pa.ChunkedArray)
                                       else b["subj"])
@@ -298,9 +310,36 @@ def render_ntriples(batch: pa.Table) -> pa.Table:
     return pa.table({"text": line})
 
 
-def write_ntriples(triples: ray.data.Dataset, out_dir: str) -> None:
+class _TextLineSink:
+    """Raw text-line datasink factory (NOT a CSV writer: N-Triples lines
+    legally contain quotes, which Arrow's unquoted CSV writer rejects as
+    RFC4180 structural characters — a latent bug of the previous
+    ``write_csv(quoting_style="none")`` sink for every literal triple)."""
+
+    @staticmethod
+    def build(path: str, compression: str | None):
+        from ray.data.datasource import BlockBasedFileDatasink
+
+        class _Sink(BlockBasedFileDatasink):
+            def write_block_to_file(self, block, file) -> None:
+                col = block.to_arrow()["text"]
+                for chunk in (col.chunks if isinstance(col, pa.ChunkedArray)
+                              else [col]):
+                    if len(chunk):
+                        file.write("\n".join(chunk.to_pylist())
+                                   .encode("utf-8") + b"\n")
+
+        ext = "nt" if compression is None else "nt.gz"
+        args = ({"compression": "gzip"} if compression == "gzip" else None)
+        return _Sink(path, file_format=ext, open_stream_args=args)
+
+
+def write_ntriples(triples: ray.data.Dataset, out_dir: str,
+                   compression: str | None = None) -> None:
+    """Text N-Triples sink; ``compression="gzip"`` writes ``.nt.gz`` part
+    files (parity with the reference's gzip sink,
+    ``create_yelp_nt_files.py:31`` — but one file PER BLOCK with atomic
+    directory semantics, not one append-mode stream)."""
     triples.map_batches(render_ntriples, batch_format="pyarrow",
-                        zero_copy_batch=True).write_csv(
-        out_dir, arrow_csv_args_fn=lambda: {
-            "write_options": __import__("pyarrow.csv", fromlist=["WriteOptions"])
-            .WriteOptions(include_header=False, quoting_style="none")})
+                        zero_copy_batch=True) \
+        .write_datasink(_TextLineSink.build(out_dir, compression))

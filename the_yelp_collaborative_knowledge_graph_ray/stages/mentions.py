@@ -40,18 +40,106 @@ from ..functions.normalize import normalize_one
 from .extract import TRIPLE_SCHEMA
 
 
-class MentionDetector:
-    """Actor-pool callable: vocab loaded once per actor (SURVEY.md ST1-style)."""
+class AhoCorasick:
+    """Multi-pattern substring automaton (classic goto/fail/output BFS
+    build). One O(len(text)) scan finds ALL patterns present regardless of
+    vocabulary size — the scale path for >~512-surface vocabularies, where
+    the per-surface ``pc.match_substring`` loop's O(vocab) passes per batch
+    stop being competitive. Output sets are merged along fail links at build
+    time, so scanning is a dict hop + set union per character."""
 
-    def __init__(self, vocab_ref):
+    def __init__(self, patterns: list[str]):
+        self.goto: list[dict[str, int]] = [{}]
+        self.out: list[set[int]] = [set()]
+        for pi, p in enumerate(patterns):
+            st = 0
+            for ch in p:
+                nxt = self.goto[st].get(ch)
+                if nxt is None:
+                    self.goto.append({})
+                    self.out.append(set())
+                    nxt = len(self.goto) - 1
+                    self.goto[st][ch] = nxt
+                st = nxt
+            self.out[st].add(pi)
+        from collections import deque
+        self.fail = [0] * len(self.goto)
+        q = deque(self.goto[0].values())
+        while q:
+            st = q.popleft()
+            for ch, nxt in self.goto[st].items():
+                q.append(nxt)
+                f = self.fail[st]
+                while f and ch not in self.goto[f]:
+                    f = self.fail[f]
+                self.fail[nxt] = self.goto[f].get(ch, 0) \
+                    if self.goto[f].get(ch, 0) != nxt else 0
+                self.out[nxt] |= self.out[self.fail[nxt]]
+
+    def scan(self, text: str) -> set[int]:
+        """Indices of every pattern occurring as a substring of ``text``."""
+        st, found = 0, set()
+        goto, fail, out = self.goto, self.fail, self.out
+        for ch in text:
+            while st and ch not in goto[st]:
+                st = fail[st]
+            st = goto[st].get(ch, 0)
+            if out[st]:
+                found |= out[st]
+        return found
+
+
+# vocabulary size above which MentionDetector builds the automaton instead
+# of looping pc.match_substring per surface (O(vocab) C passes per batch)
+AC_VOCAB_THRESHOLD = 512
+
+
+class MentionDetector:
+    """Actor-pool callable: vocab loaded once per actor (SURVEY.md ST1-style).
+
+    Two equivalent engines chosen by vocabulary size (equality asserted in
+    tests): per-surface vectorized substring passes (small vocab — each pass
+    is one C kernel over the whole batch), or one Aho-Corasick automaton
+    built in ``__init__`` and scanned once per text (large vocab — cost
+    independent of vocabulary size)."""
+
+    def __init__(self, vocab_ref, force_engine: str | None = None):
         surfaces = ray.get(vocab_ref) if isinstance(vocab_ref, ray.ObjectRef) else vocab_ref
         # (lowercase search pattern, normalized form) — sorted for determinism
-        self.patterns = sorted({(s.lower(), normalize_one(s)) for s in surfaces})
+        self.patterns = sorted({(s.lower(), normalize_one(s.lower()))
+                                for s in surfaces})
+        use_ac = (len(self.patterns) > AC_VOCAB_THRESHOLD
+                  if force_engine is None else force_engine == "ac")
+        self.ac = AhoCorasick([s for s, _ in self.patterns]) if use_ac else None
+
+    def _match_ac(self, lower: pa.Array) -> tuple[list[int], list[str]]:
+        idxs: list[int] = []
+        norms: list[str] = []
+        pat = self.patterns
+        for i, txt in enumerate(lower.to_pylist()):
+            for pi in sorted(self.ac.scan(txt)):
+                idxs.append(i)
+                norms.append(pat[pi][1])
+        return idxs, norms
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lower = pc.utf8_lower(batch["text"]).combine_chunks()
         conv, tidx = batch["conv_id"], batch["turn_idx"]
         turn = iri.turn_iri(conv, tidx)
+        if self.ac is not None:
+            idxs, norms = self._match_ac(lower)
+            if not idxs:
+                return TRIPLE_SCHEMA.empty_table()
+            take = pa.array(idxs, pa.int64())
+            tbl = pa.table({
+                "subj": turn.take(take) if not isinstance(turn, pa.ChunkedArray)
+                else turn.combine_chunks().take(take),
+                "canon": pa.array(norms, pa.string()),
+                "src_conv_id": conv.combine_chunks().take(take)
+                if isinstance(conv, pa.ChunkedArray) else conv.take(take),
+                "src_turn_idx": tidx.combine_chunks().take(take)
+                if isinstance(tidx, pa.ChunkedArray) else tidx.take(take)})
+            return self._finalize(tbl)
         out_turn, out_canon, out_conv, out_tidx = [], [], [], []
         for surface, norm in self.patterns:
             mask = pc.match_substring(lower, surface)
@@ -74,6 +162,9 @@ class MentionDetector:
         tbl = pa.table({
             "subj": subj, "canon": canon,
             "src_conv_id": conv_l, "src_turn_idx": tidx_l})
+        return self._finalize(tbl)
+
+    def _finalize(self, tbl: pa.Table) -> pa.Table:
         # batch-local dedup of (turn, canonical): several vocab entries can hit
         # the same canonical in one turn (e.g. "coffee" and "coffees")
         tbl = tbl.group_by(["subj", "canon", "src_conv_id", "src_turn_idx"],
