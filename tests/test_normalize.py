@@ -39,3 +39,21 @@ def test_examples():
     assert normalize_one("MachineLearning") == "machine_learning"
     assert normalize_one("machine learning") == "machine_learning"
     assert normalize_one("machinelearning") == "machinelearning"
+
+
+def test_singularizer_parity_and_rules():
+    """ST2 stand-in: Python and Arrow singularizers agree; core rules hold.
+    (Curated alias tables always win over these rules — see module doc.)"""
+    from the_yelp_collaborative_knowledge_graph_ray.functions.singular import (
+        singular_array,
+        singular_one,
+    )
+    cases = ["bakeries", "wolves", "boxes", "churches", "classes", "coffees",
+             "children", "people", "glass", "s", "tea", "quizzes", "dishes",
+             "cats", "berries", "already_singular"]
+    py = [singular_one(c) for c in cases]
+    assert singular_array(pa.array(cases)).to_pylist() == py
+    assert singular_one("bakeries") == "bakery"
+    assert singular_one("coffees") == "coffee"
+    assert singular_one("children") == "child"
+    assert singular_one("glass") == "glass"  # not a plural

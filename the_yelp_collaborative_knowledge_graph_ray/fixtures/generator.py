@@ -49,7 +49,8 @@ from ..functions.normalize import normalize_one
 SEED = 42
 # v6: camelCase tool names + camel mention variants (M16 splitter coverage)
 # v7: + conv_meta.parquet nested-struct table (M5 flattener coverage)
-FORMAT_VERSION = "v7"
+# v8: + conv_geo.parquet / places.parquet (S8 reverse geocode, M21 keys)
+FORMAT_VERSION = "v8"
 CACHE_ROOT = os.environ.get("YCKG_FIXTURE_DIR", "/tmp/yckg_fixtures")
 
 # conversations per profile; mean conversation length ~= 9 turns.
@@ -317,6 +318,32 @@ def generate_conv_meta(n_convs: int, seed: int = SEED) -> pa.Table:
                      "meta": meta})
 
 
+def generate_geo(n_convs: int, seed: int = SEED) -> tuple[pa.Table, pa.Table]:
+    """(conv_geo, places): conversation coordinates + a small places table
+    for the reverse-geocode memo (S8/M21). Coordinates avoid exact integer
+    values so ``floor`` cells are unambiguous; some cells contain no place
+    (those conversations legitimately drop from the geocode output)."""
+    rng = np.random.RandomState(seed + 29)
+    conv_id = np.char.add("conv", np.char.zfill(
+        np.arange(n_convs).astype(str), 8))
+    lat = 30.0 + rng.random_sample(n_convs) * 15.0 + 1e-4
+    lon = -120.0 + rng.random_sample(n_convs) * 40.0 + 1e-4
+    conv_geo = pa.table({
+        "conv_id": pa.array(conv_id.tolist(), pa.string()),
+        "lat": pa.array(lat, pa.float64()),
+        "lon": pa.array(lon, pa.float64())})
+    n_places = 300
+    plat = 30.0 + rng.random_sample(n_places) * 15.0 + 1e-4
+    plon = -120.0 + rng.random_sample(n_places) * 40.0 + 1e-4
+    places = pa.table({
+        "place_id": pa.array(np.arange(1, n_places + 1), pa.int64()),
+        "name": pa.array([f"place {i:03d}" for i in range(n_places)],
+                         pa.string()),
+        "lat": pa.array(plat, pa.float64()),
+        "lon": pa.array(plon, pa.float64())})
+    return conv_geo, places
+
+
 def fixture_dir(sf_name: str) -> str:
     return os.path.join(CACHE_ROOT, FORMAT_VERSION, sf_name)
 
@@ -379,6 +406,9 @@ def ensure_fixtures(sf_dir_or_name: str) -> str:
         os.path.join(tmp, "manual_overrides.parquet"))
     pq.write_table(generate_conv_meta(PROFILES[sf_name]),
                    os.path.join(tmp, "conv_meta.parquet"))
+    conv_geo, places = generate_geo(PROFILES[sf_name])
+    pq.write_table(conv_geo, os.path.join(tmp, "conv_geo.parquet"))
+    pq.write_table(places, os.path.join(tmp, "places.parquet"))
 
     with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
         f.write("ok\n")

@@ -121,7 +121,7 @@ def build_graph(transcripts: ray.data.Dataset, fixture_dir: str,
         all_triples = all_triples.union(p)
     from .. import config as C
     final = _stage("final", lambda: materialize.materialize(
-        all_triples, known_combos=C.KNOWN_COMBOS),
+        all_triples, known_combos=C.KNOWN_COMBOS, bundle_rows=1_048_576),
         upstream=["structural", "canonical_mentions", "links"])
     return final
 
@@ -190,7 +190,8 @@ def run_kg_partitioned(sf_dir: str, checkpoint_dir: str,
 
     tri = ck.partitioned_stage("extract_triples", part_files, build_one)
     return ck.stage("final", lambda: materialize.materialize(
-        tri, known_combos=C.KNOWN_COMBOS), upstream=["extract_triples"])
+        tri, known_combos=C.KNOWN_COMBOS, bundle_rows=1_048_576),
+        upstream=["extract_triples"])
 
 
 def read_transcripts(fdir: str) -> ray.data.Dataset:

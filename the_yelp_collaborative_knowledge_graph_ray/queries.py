@@ -414,6 +414,17 @@ def _q_turns_per_year_month(sf_dir: str):
                             ["y", "m", "n"], num_partitions=8)
 
 
+def _q_reverse_geocode(sf_dir: str):
+    """S8/M21: floor-grid coordinate keys + memoized nearest-place lookup
+    (distinct cells resolved once, result joined back)."""
+    import ray as _ray
+
+    from .stages.geocode import load_places, reverse_geocode
+    fdir = _fx(sf_dir)
+    conv_geo = ray.data.read_parquet(os.path.join(fdir, "conv_geo.parquet"))
+    return reverse_geocode(conv_geo, _ray.put(load_places(fdir)))
+
+
 def _q_meta_flatten(sf_dir: str):
     """M5 struct flattener over the nested conv_meta table: every leaf
     becomes a dotted column; the 'hours' subtree is EXCLUDED (the
@@ -674,6 +685,7 @@ def queries() -> dict[str, Callable]:
         "cq_convs_with_min_tools": _q_convs_with_min_tools,
         "cq_top_tool_per_role": _q_top_tool_per_role,
         "cq_turns_per_year_month": _q_turns_per_year_month,
+        "geo_reverse_geocode": _q_reverse_geocode,
         "meta_struct_flatten": _q_meta_flatten,
         "meta_flatten_agg": _q_meta_flatten_agg,
         "kg_ntriples_lines": _q_ntriples_lines,
@@ -792,6 +804,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(month(ts) AS BIGINT) AS m, count(*) AS n
             FROM read_parquet('{fdir}/transcripts.parquet/*.parquet')
             GROUP BY 1, 2 ORDER BY 1, 2""",
+        # floor (never round) on both engines: DuckDB rounds half-away-
+        # from-zero, numpy half-to-even — floor is bit-identical. Distance
+        # is squared-distance to the CELL CENTER (a pure function of the
+        # cell key), which is what makes the per-cell memo sound.
+        "geo_reverse_geocode": f"""
+            WITH g AS (
+              SELECT conv_id, CAST(floor(lat) AS BIGINT) AS fla,
+                     CAST(floor(lon) AS BIGINT) AS flo
+              FROM read_parquet('{fdir}/conv_geo.parquet')),
+            p AS (
+              SELECT place_id, lat, lon, CAST(floor(lat) AS BIGINT) AS fla,
+                     CAST(floor(lon) AS BIGINT) AS flo
+              FROM read_parquet('{fdir}/places.parquet')),
+            cand AS (
+              SELECT g.conv_id, g.fla, g.flo, p.place_id,
+                     (g.fla + 0.5 - p.lat) * (g.fla + 0.5 - p.lat)
+                     + (g.flo + 0.5 - p.lon) * (g.flo + 0.5 - p.lon) AS d
+              FROM g JOIN p ON g.fla = p.fla AND g.flo = p.flo),
+            r AS (SELECT *, row_number() OVER
+                    (PARTITION BY conv_id ORDER BY d, place_id) AS rk
+                  FROM cand)
+            SELECT conv_id,
+                   CAST(fla AS VARCHAR) || ':' || CAST(flo AS VARCHAR)
+                     AS coord_key,
+                   place_id
+            FROM r WHERE rk = 1 ORDER BY conv_id""",
         "meta_struct_flatten": f"""
             SELECT conv_id,
                    meta.client AS "meta.client",

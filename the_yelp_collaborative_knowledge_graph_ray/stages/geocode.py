@@ -1,0 +1,120 @@
+"""Offline reverse geocoding with a coordinate-key memo (SURVEY.md S8 + M21).
+
+The reference reverse-geocodes business coordinates against Wikidata with an
+in-process memo keyed by the rounded coordinate string
+(``location_from_wikidata.py:26-63`` — lookup once per distinct coordinate
+key, cache the result). The distributed shape here:
+
+* **M21 coordinate key builder** — :func:`cell_cols`: floor-based 1-degree
+  grid cell ids + display keys, fully vectorized. ``floor`` (not ``round``)
+  on BOTH engines: DuckDB rounds half-away-from-zero while numpy rounds
+  half-to-even, so ``round`` would silently diverge at ``x.5`` boundaries —
+  ``floor`` is bit-identical everywhere.
+* **S8 reverse geocode** — :func:`reverse_geocode`: the memo pattern as a
+  dataflow. Distinct cell ids are computed FIRST (dedup-before-lookup, the
+  ST5 memo made distributed), the tiny places table rides the object store
+  once and is grid-indexed per actor in ``__init__``, each distinct cell is
+  resolved to its nearest place (squared-distance to the CELL CENTER, tied
+  by place_id — a pure function of the cell key, which is exactly what
+  makes the memo sound), and results join back to conversations by cell id.
+
+At 100 TB only (conv_id, cell_id) rows shuffle; the geocode lookup runs
+once per distinct cell regardless of how many rows share it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..functions.grouped import sorted_aggregate
+from ..functions.joins import attach_column
+
+
+def cell_cols(lat, lon) -> tuple[pa.Array, pa.Array]:
+    """(cell_id:int64, coord_key:string) for float lat/lon columns.
+
+    cell_id = (floor(lat)+90)*360 + floor(lon)+180 — a collision-free
+    integer encoding of the 1-degree grid cell, usable as an equi-join key;
+    coord_key = "floor(lat):floor(lon)" — the reference's memo-key string.
+    """
+    fla = pc.cast(pc.floor(lat), pa.int64())
+    flo = pc.cast(pc.floor(lon), pa.int64())
+    cell = pc.add(pc.multiply(pc.add(fla, 90), 360), pc.add(flo, 180))
+    key = pc.binary_join_element_wise(
+        pc.cast(fla, pa.string()), pc.cast(flo, pa.string()), ":")
+    return cell, key
+
+
+def load_places(fixture_dir: str):
+    """Driver-side load of the tiny places table (broadcast side)."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{fixture_dir}/places.parquet")
+    return (t["place_id"].to_numpy(), t["lat"].to_numpy(),
+            t["lon"].to_numpy())
+
+
+class CellResolver:
+    """Actor-pool callable: grid index built once per actor; resolves each
+    DISTINCT cell to its nearest place (to the cell center) or drops it."""
+
+    def __init__(self, places_ref):
+        pids, lats, lons = (ray.get(places_ref)
+                            if isinstance(places_ref, ray.ObjectRef)
+                            else places_ref)
+        fla = np.floor(lats).astype(np.int64)
+        flo = np.floor(lons).astype(np.int64)
+        cells = (fla + 90) * 360 + (flo + 180)
+        self.grid: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        for c in np.unique(cells):
+            m = cells == c
+            self.grid[int(c)] = (pids[m], lats[m], lons[m])
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        out_cell, out_pid = [], []
+        for c in b["cell_id"].to_pylist():
+            hit = self.grid.get(int(c))
+            if hit is None:
+                continue
+            pids, lats, lons = hit
+            # cell center from the id (inverse of cell_cols); same formula
+            # as the SQL oracle: (fla+0.5-lat)^2 + (flo+0.5-lon)^2
+            fla = c // 360 - 90
+            flo = c % 360 - 180
+            d = (fla + 0.5 - lats) ** 2 + (flo + 0.5 - lons) ** 2
+            best = np.lexsort((pids, d))[0]
+            out_cell.append(int(c))
+            out_pid.append(int(pids[best]))
+        return pa.table({"cell_id": pa.array(out_cell, pa.int64()),
+                         "place_id": pa.array(out_pid, pa.int64())})
+
+
+def reverse_geocode(conv_geo: ray.data.Dataset, places_ref,
+                    concurrency: int = 4,
+                    num_partitions: int = 8) -> ray.data.Dataset:
+    """(conv_id, coord_key, place_id) for every conversation whose grid
+    cell contains at least one place."""
+    def keyed(b: pa.Table) -> pa.Table:
+        cell, key = cell_cols(b["lat"], b["lon"])
+        return pa.table({"conv_id": b["conv_id"], "cell_id": cell,
+                         "coord_key": key})
+
+    rows = conv_geo.map_batches(keyed, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    # ST5 memo, distributed: resolve each DISTINCT cell exactly once
+    distinct = sorted_aggregate(
+        rows.select_columns(["cell_id"]), ["cell_id"],
+        [("cell_id", "count")], ["cell_id", "n"], num_partitions)
+    resolved = distinct.map_batches(
+        CellResolver, fn_constructor_args=(places_ref,),
+        batch_format="pyarrow", concurrency=(1, concurrency))
+    i64, s = pa.int64(), pa.string()
+    return attach_column(
+        rows, resolved,
+        left_cols=[("conv_id", s), ("coord_key", s)],
+        left_key="cell_id", source_key="cell_id", source_val="place_id",
+        out_col="place_id", out_type=i64, num_partitions=num_partitions)

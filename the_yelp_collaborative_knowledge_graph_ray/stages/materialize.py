@@ -155,7 +155,7 @@ def _prefix_decode(bucket, suffix) -> pa.Array:
 
 def materialize(triples: ray.data.Dataset, sort: bool = True,
                 known_combos: list[tuple[str, bool, str | None]] | None = None,
-                ) -> ray.data.Dataset:
+                bundle_rows: int | None = None) -> ray.data.Dataset:
     """Exact global dedup + global sort of a triples Dataset.
 
     The sorted path integer-encodes the low-cardinality columns before the
@@ -173,8 +173,15 @@ def materialize(triples: ray.data.Dataset, sort: bool = True,
     (sb, subj, pid, ob, obj, lid) induces exactly the (subj, pred, obj,
     obj_is_literal, obj_datatype) order (proof at ``_prefix_encode``).
     """
+    # bundle_rows (opt-in) bundles that many upstream rows per local_dedup
+    # task: dedup then collapses duplicates ACROSS many small input blocks
+    # and the downstream sort sees few, uniform input blocks (one range
+    # partition per block) without an extra repartition pass. ONLY pass it
+    # when the input is a many-small-blocks union of MATERIALIZED stages
+    # (pipelines/kg.py): on a raw read->extract chain the bundling fuses
+    # into the read and serializes it (measured 40x slower at sf0.1).
     ds = triples.map_batches(local_dedup, batch_format="pyarrow",
-                             zero_copy_batch=True)
+                             batch_size=bundle_rows, zero_copy_batch=True)
     if sort:
         if known_combos is not None:
             # closed vocabulary supplied by the pipeline (config.py): skips a
@@ -264,12 +271,15 @@ def materialize(triples: ray.data.Dataset, sort: bool = True,
                 "obj_datatype": dt_arr.take(lid)}, schema=OUT_SCHEMA)
 
         # uniform, moderately-sized blocks before the sort: skewed tiny
-        # blocks multiply per-task overhead (measured 2-4x sort wall time);
-        # ~2 blocks per CPU keeps every core busy through map AND merge
-        import ray as _ray
-        n_cpus = int(_ray.cluster_resources().get("CPU", 8))
+        # blocks multiply per-task overhead (measured 2-4x sort wall time;
+        # Ray makes one sort partition per input block). Coalescing happens
+        # MAP-SIDE via batch_size bundling — each encode task gathers input
+        # blocks until ~1M rows — instead of the former repartition(), which
+        # was a second all-to-all copying the whole encoded payload through
+        # the object store (the ~18 s fixed tail in the round-1 scaling
+        # matrix).
         enc = ds.map_batches(encode, batch_format="pyarrow",
-                             zero_copy_batch=True).repartition(2 * n_cpus)
+                             zero_copy_batch=True)
         s = enc.sort(["sb", "subj", "pid", "ob", "obj", "lid"])
         return s.map_batches(decode_dedup, batch_format="pyarrow",
                              batch_size=None, zero_copy_batch=True)
