@@ -33,6 +33,7 @@ HEADLINE_QUERIES = [
     "kg_pipeline_full",
     "kg_structural_triples",
     "kg_mention_triples",
+    "curation_pipeline",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",

@@ -300,3 +300,21 @@ def test_salted_aggregate_exact_on_hot_keys(ray_session):
     got = got.sort_values("key").reset_index(drop=True)
     want = want.sort_values("key").reset_index(drop=True)
     assert got.equals(want[["key", "n", "v_min", "v_max"]])
+
+
+def test_curation_pipeline_drops_quality_and_dups(ray_session):
+    """Quality gate, exact dedup keep-lowest, and near-dup doc_b drop all
+    fire on the synthetic corpus; survivors keep their stats."""
+    from the_yelp_collaborative_knowledge_graph_ray.pipelines.curation import (
+        curate_documents,
+    )
+    ds = _docs_ds()
+    out = curate_documents(ds, min_words=5, min_alpha=0.5,
+                           jaccard_threshold=0.5).to_pandas()
+    kept = set(out["doc_id"])
+    # exact dups of 0 and 3 drop; near dups (2 of 0, 6 of 5) drop
+    assert 1 not in kept and 4 not in kept
+    assert 2 not in kept and 6 not in kept
+    assert {0, 3, 5}.issubset(kept)
+    row0 = out[out.doc_id == 0].iloc[0]
+    assert row0["n_words"] == 20 and row0["n_chars"] > 0

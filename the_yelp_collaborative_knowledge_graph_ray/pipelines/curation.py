@@ -1,0 +1,102 @@
+"""End-to-end training-corpus curation: the document-side flagship.
+
+Chains the training-data operators into the pipeline a 100 TB curation run
+actually executes — every stage streaming, every rule SQL-expressible so
+the whole chain is oracle-checked end to end:
+
+1. **quality gate** — vectorized per-doc stats inline (same kernels as
+   ``stages/textstats``); keep docs with >= ``min_words`` words and
+   alphabetic ratio >= ``min_alpha``. A streaming filter — no driver-side
+   id collection anywhere in this pipeline.
+2. **exact dedup** — md5 digest, keep the LOWEST doc_id per digest (only
+   16-byte digests + ids shuffle); keepers re-attach to their stats via
+   the engine's co-group join (``functions/joins.attach_column``), NOT a
+   broadcast — the keeper set is corpus-sized.
+3. **near-dup removal** — word-shingle Jaccard pairs at ``threshold``
+   (exact engine here; :func:`..stages.dedup.minhash_lsh_pairs` is the
+   drop-in scale path with identical output on these corpora); drop every
+   doc that duplicates a LOWER id (appears as ``doc_b`` of a pair).
+   Deterministic keep-lowest without a connected-components pass: in any
+   dup chain the lowest id survives and every other member pairs with
+   something lower. The drop set is duplicates-only — small by
+   construction — so it IS broadcast (``ray.put`` once).
+4. **emit** — surviving (doc_id, n_words, n_chars) corpus manifest.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..functions.joins import attach_column
+from ..stages.dedup import exact_dedup, ngram_jaccard_pairs
+
+STOP_MARK = None  # stats semantics shared with stages/textstats oracle
+
+
+def _gate(min_words: int, min_alpha: float):
+    def with_stats(b: pa.Table) -> pa.Table:
+        text = b["text"]
+        n_chars = pc.utf8_length(text)
+        n_words = pc.list_value_length(pc.split_pattern(text, " "))
+        n_alpha = pc.utf8_length(
+            pc.replace_substring_regex(text, "[^A-Za-z]", ""))
+        alpha_ratio = pc.divide(
+            pc.cast(n_alpha, pa.float64()),
+            pc.cast(pc.max_element_wise(n_chars, 1), pa.float64()))
+        keep = pc.and_(pc.greater_equal(n_words, min_words),
+                       pc.greater_equal(alpha_ratio, min_alpha))
+        t = pa.table({"doc_id": pc.cast(b["doc_id"], pa.int64()),
+                      "text": text,
+                      "n_words": pc.cast(n_words, pa.int64()),
+                      "n_chars": pc.cast(n_chars, pa.int64())})
+        return t.filter(keep)
+    return with_stats
+
+
+def curate_documents(docs: ray.data.Dataset, min_words: int = 8,
+                     min_alpha: float = 0.5,
+                     jaccard_threshold: float = 0.5,
+                     num_partitions: int = 16) -> ray.data.Dataset:
+    """(doc_id, n_words, n_chars) of the curated corpus (see module doc)."""
+    clean = docs.map_batches(_gate(min_words, min_alpha),
+                             batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+
+    # exact dedup over quality survivors: the keeper ids join back to the
+    # stats by id (co-group join; corpus-sized side never broadcast)
+    exact = exact_dedup(clean.select_columns(["doc_id", "text"]),
+                        num_partitions=num_partitions)
+    keepers = exact.map_batches(
+        lambda b: pa.table({"doc_id": pc.cast(b["keep_doc_id"], pa.int64()),
+                            "flag": pa.nulls(b.num_rows, pa.int64())
+                            .fill_null(1)}),
+        batch_format="pyarrow")
+    i64 = pa.int64()
+    stats = clean.select_columns(["doc_id", "n_words", "n_chars"])
+    kept = attach_column(
+        stats, keepers,
+        left_cols=[("doc_id", i64), ("n_words", i64), ("n_chars", i64)],
+        left_key="doc_id", source_key="doc_id", source_val="flag",
+        out_col="flag", out_type=i64, num_partitions=num_partitions)
+
+    # near-dup drop set: duplicates only -> small -> broadcast
+    pairs = ngram_jaccard_pairs(clean.select_columns(["doc_id", "text"]),
+                                threshold=jaccard_threshold,
+                                num_partitions=num_partitions)
+    near_drop = sorted(set(
+        pairs.select_columns(["doc_b"]).to_pandas()["doc_b"]))
+    drop_ref = ray.put(near_drop)
+
+    def final(b: pa.Table) -> pa.Table:
+        nd = ray.get(drop_ref) if isinstance(drop_ref, ray.ObjectRef) \
+            else drop_ref
+        keep = pc.invert(pc.is_in(
+            b["doc_id"], value_set=pa.array(nd or [-1], pa.int64())))
+        return b.filter(keep).select(["doc_id", "n_words", "n_chars"])
+
+    return kept.map_batches(final, batch_format="pyarrow",
+                            zero_copy_batch=True).sort("doc_id")

@@ -543,6 +543,17 @@ def _q_embedding_topk_pairs(sf_dir: str):
     return embedding_topk_pairs(_emb(sf_dir), topk=20)
 
 
+def _q_curation_pipeline(sf_dir: str):
+    """End-to-end corpus curation: quality gate -> exact dedup keep-first
+    -> near-dup drop -> manifest. The document-side flagship
+    (pipelines/curation.py), oracle-checked as ONE chained SQL."""
+    from .pipelines.curation import curate_documents
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "text"])
+    return curate_documents(docs, min_words=30, min_alpha=0.8,
+                            jaccard_threshold=0.5)
+
+
 def _q_ann_topk(sf_dir: str):
     from .stages.similarity import brute_force_topk
     return brute_force_topk(_emb(sf_dir), k=10, n_queries=8)
@@ -690,6 +701,7 @@ def queries() -> dict[str, Callable]:
         "meta_flatten_agg": _q_meta_flatten_agg,
         "kg_ntriples_lines": _q_ntriples_lines,
         # training-data ops
+        "curation_pipeline": _q_curation_pipeline,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -861,6 +873,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS text_hash, count(*) AS n_dups,
                    min(doc_id) AS keep_doc_id
             FROM documents GROUP BY 1 ORDER BY 1""",
+        # the whole curation chain as ONE SQL: quality gate -> exact-dedup
+        # keep-lowest -> near-dup doc_b drop (pairs computed over quality
+        # survivors only, mirroring pipelines/curation.py stage order)
+        "curation_pipeline": """
+            WITH s AS (
+              SELECT doc_id, text, length(text) AS n_chars,
+                     len(string_split(text, ' ')) AS n_words,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       AS n_alpha
+              FROM documents),
+            clean AS (
+              SELECT * FROM s
+              WHERE n_words >= 30
+                AND CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1) >= 0.8),
+            keepers AS (
+              SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(text)),
+            docs AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                     FROM clean),
+            sh AS (SELECT DISTINCT doc_id,
+                          unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                  FOR i IN range(1, len(ws) - 1)]) AS s
+                   FROM docs),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                             count(*) AS ni
+                      FROM sh a JOIN sh b
+                        ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            dups AS (SELECT DISTINCT i.doc_b FROM inter i
+                     JOIN sizes sa ON sa.doc_id = i.doc_a
+                     JOIN sizes sb ON sb.doc_id = i.doc_b
+                     WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni)
+                           >= 0.5)
+            SELECT c.doc_id, c.n_words, c.n_chars
+            FROM clean c JOIN keepers k USING (doc_id)
+            WHERE c.doc_id NOT IN (SELECT doc_b FROM dups)
+            ORDER BY c.doc_id""",
         "dedup_ngram_jaccard": _JACCARD_SQL,
         # MinHash banding at 32x2 is sized to the 0.5 threshold itself
         # (miss p ~1e-4 AT the threshold, <4e-7 above J=0.6) and the verify
