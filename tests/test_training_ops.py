@@ -318,3 +318,81 @@ def test_curation_pipeline_drops_quality_and_dups(ray_session):
     assert {0, 3, 5}.issubset(kept)
     row0 = out[out.doc_id == 0].iloc[0]
     assert row0["n_words"] == 20 and row0["n_chars"] > 0
+
+
+def test_asof_join_strictness_ties_and_group_isolation(ray_session):
+    """Hand-built case: equal-ts rights are NOT matched (strict <), ties
+    among rights at the matched ts resolve to max id, and matches never
+    leak across key groups."""
+    import datetime as dt
+
+    from the_yelp_collaborative_knowledge_graph_ray.functions.asof import (
+        asof_join,
+    )
+
+    def t(s):
+        return dt.datetime(2025, 1, 1, 0, 0, s)
+
+    left = ray.data.from_arrow(pa.table({
+        "event_id": pa.array([100, 101, 102, 103], pa.int64()),
+        "user_id": pa.array([1, 1, 2, 3], pa.int64()),
+        "ts": pa.array([t(10), t(5), t(10), t(10)], pa.timestamp("us"))}))
+    right = ray.data.from_arrow(pa.table({
+        "event_id": pa.array([200, 201, 202, 203, 204], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        # 200/201 tie at s=3 (match -> max id 201); 202 at s=5 equals
+        # left 101's ts (strict: NOT matched for 101); 203 later than all
+        "ts": pa.array([t(3), t(3), t(5), t(30), t(10)],
+                       pa.timestamp("us"))}))
+    out = asof_join(left, right, by="user_id", ts_col="ts",
+                    id_col="event_id").to_pandas()
+    got = {r.event_id: (r.src_id, r.src_ts.second)
+           for r in out.itertuples()}
+    assert got[100] == (202, 5)   # latest strictly-earlier right
+    assert got[101] == (201, 3)   # equal-ts 202 excluded; tie -> max id
+    assert 102 not in got         # user 2's only right is at the SAME ts
+    assert 103 not in got         # user 3 has no rights (no cross-group leak)
+
+
+def test_interval_join_boundaries_and_bin_straddle(ray_session):
+    """start inclusive, end exclusive; an interval straddling a bin
+    boundary still catches points in both bins exactly once."""
+    import datetime as dt
+
+    from the_yelp_collaborative_knowledge_graph_ray.functions.ranges import (
+        interval_join,
+    )
+
+    def t(s):
+        return dt.datetime(2025, 1, 1, 0, 0, 0) + dt.timedelta(seconds=s)
+
+    # bin width 10s; interval [5, 15) straddles the 10s boundary
+    points = ray.data.from_arrow(pa.table({
+        "pid": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "uid": pa.array([7, 7, 7, 7, 8], pa.int64()),
+        "ts": pa.array([t(5), t(9), t(12), t(15), t(9)],
+                       pa.timestamp("us"))}))
+    ivs = ray.data.from_arrow(pa.table({
+        "iid": pa.array([100], pa.int64()),
+        "uid": pa.array([7], pa.int64()),
+        "s": pa.array([t(5)], pa.timestamp("us")),
+        "e": pa.array([t(15)], pa.timestamp("us"))}))
+    out = interval_join(points, ivs, by="uid", ts_col="ts",
+                        start_col="s", end_col="e", point_id="pid",
+                        interval_id="iid",
+                        bin_width_us=10_000_000).to_pandas()
+    pairs = sorted(zip(out["pid"], out["iid"]))
+    # pid 1 (start, inclusive), 2, 3 (second bin) match ONCE each;
+    # pid 4 at end (exclusive) and pid 5 (other user) do not
+    assert pairs == [(1, 100), (2, 100), (3, 100)]
+
+    # interval longer than the bin width is rejected loudly
+    big = ray.data.from_arrow(pa.table({
+        "iid": pa.array([101], pa.int64()),
+        "uid": pa.array([7], pa.int64()),
+        "s": pa.array([t(0)], pa.timestamp("us")),
+        "e": pa.array([t(25)], pa.timestamp("us"))}))
+    with pytest.raises(Exception, match="exceeds bin_width"):
+        interval_join(points, big, by="uid", ts_col="ts", start_col="s",
+                      end_col="e", point_id="pid", interval_id="iid",
+                      bin_width_us=10_000_000).to_pandas()

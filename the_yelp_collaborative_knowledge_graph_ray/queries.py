@@ -633,6 +633,42 @@ def _q_events_json(sf_dir: str):
     return json_props_sum(sf_dir)
 
 
+def _q_events_interval_join(sf_dir: str):
+    """Range join (custom operator; functions/ranges.py): purchases inside
+    the 10-minute window after an error by the same user."""
+    from .functions.ranges import interval_join
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "user_id", "ts",
+                                        "event_type"])
+    points = ev.filter(expr="event_type == 'purchase'")
+
+    def to_iv(b: pa.Table) -> pa.Table:
+        s = pc.cast(b["ts"], pa.timestamp("us"))
+        e = pc.cast(pc.add(pc.cast(s, pa.int64()), 600_000_000),
+                    pa.timestamp("us"))
+        return pa.table({"error_id": b["event_id"], "user_id": b["user_id"],
+                         "s": s, "e": e})
+    intervals = ev.filter(expr="event_type == 'error'") \
+        .map_batches(to_iv, batch_format="pyarrow")
+    return interval_join(points, intervals, by="user_id", ts_col="ts",
+                         start_col="s", end_col="e", point_id="event_id",
+                         interval_id="error_id",
+                         bin_width_us=600_000_000)
+
+
+def _q_events_asof(sf_dir: str):
+    """As-of join (custom operator; functions/asof.py): every purchase
+    event matched to the user's most recent STRICTLY-earlier click."""
+    from .functions.asof import asof_join
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "user_id", "ts",
+                                        "event_type"])
+    left = ev.filter(expr="event_type == 'purchase'")
+    right = ev.filter(expr="event_type == 'click'")
+    return asof_join(left, right, by="user_id", ts_col="ts",
+                     id_col="event_id")
+
+
 _STOPWORD_SQL = ",".join(f"'{w}'" for w in
                          ("the", "a", "an", "and", "or", "of", "in", "on",
                           "to", "is"))
@@ -723,6 +759,8 @@ def queries() -> dict[str, Callable]:
         "rel_first_order_per_customer": _q_rel_first_order,
         "rel_revenue_by_brand": _q_rel_brand,
         "events_sessionize": _q_events_sessionize,
+        "events_asof_join": _q_events_asof,
+        "events_interval_join": _q_events_interval_join,
         "events_window_agg": _q_events_window,
         "events_json_props_sum": _q_events_json,
     }
@@ -1041,6 +1079,32 @@ def oracle_sql() -> dict[str, str]:
                    count(CASE WHEN pts IS NULL OR epoch(ts - pts) > 1800
                          THEN 1 END) AS n_sessions
             FROM x GROUP BY 1 ORDER BY 1""",
+        # deterministic as-of semantics spelled out (DuckDB's ASOF JOIN
+        # leaves the equal-src_ts tie unspecified): matched ts = greatest
+        # strictly-earlier right ts; src id = max right id at that ts
+        "events_asof_join": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+            r AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click'),
+            m AS (SELECT l.event_id, l.user_id, l.ts, max(r.ts) AS src_ts
+                  FROM l JOIN r ON l.user_id = r.user_id AND r.ts < l.ts
+                  GROUP BY 1, 2, 3)
+            SELECT m.event_id, m.user_id, m.ts,
+                   max(r.event_id) AS src_id, m.src_ts
+            FROM m JOIN r ON r.user_id = m.user_id AND r.ts = m.src_ts
+            GROUP BY m.event_id, m.user_id, m.ts, m.src_ts
+            ORDER BY m.event_id""",
+        "events_interval_join": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+            iv AS (SELECT event_id AS error_id, user_id, ts AS s,
+                          ts + INTERVAL 600 SECOND AS e
+                   FROM events WHERE event_type = 'error')
+            SELECT p.event_id, iv.error_id, p.user_id
+            FROM p JOIN iv ON p.user_id = iv.user_id
+                          AND p.ts >= iv.s AND p.ts < iv.e
+            ORDER BY p.event_id, iv.error_id""",
         "events_window_agg": """
             SELECT event_type, date_trunc('hour', ts) AS w,
                    sum(CAST(round(value * 100) AS BIGINT)) / 100.0
