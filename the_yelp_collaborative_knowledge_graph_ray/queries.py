@@ -710,6 +710,33 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _langid_sql() -> str:
+    """The langid classifier reproduced exactly: integer-quantized bigram
+    profile as a VALUES table (same model object the actor pool loads),
+    integer dot-product scores (order-independent), argmax with lex
+    tie-break, 'und' for zero overlap."""
+    from .stages.textstats import langid_profile_rows
+    vals = ",".join(
+        "('{}', '{}', {})".format(lang, g.replace("'", "''"), w)
+        for lang, g, w in langid_profile_rows())
+    return f"""
+        WITH prof(lang, g, w) AS (VALUES {vals}),
+        d AS (SELECT doc_id, lower(text) AS t,
+                     length(lower(text)) AS L FROM documents),
+        gi AS (SELECT doc_id, t, unnest(range(1, L)) AS i
+               FROM d WHERE L >= 2),
+        bg AS (SELECT doc_id, substring(t, i, 2) AS g, count(*) AS c
+               FROM gi GROUP BY 1, 2),
+        sc AS (SELECT b.doc_id, p.lang, sum(b.c * p.w) AS s
+               FROM bg b JOIN prof p ON p.g = b.g GROUP BY 1, 2),
+        best AS (SELECT doc_id, lang, row_number() OVER
+                   (PARTITION BY doc_id ORDER BY s DESC, lang) AS rk
+                 FROM sc WHERE s > 0)
+        SELECT d.doc_id, coalesce(b.lang, 'und') AS pred_lang
+        FROM d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rk = 1
+        ORDER BY d.doc_id"""
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -1023,6 +1050,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(replace(text, ' ', '')) AS DOUBLE)
                      / len(string_split(text, ' ')) AS mean_word_len
             FROM documents ORDER BY doc_id""",
+        "text_langid": _langid_sql(),
+        # winnowing reproduced exactly in SQL: k-gram hash = first 8 hex
+        # digits of md5 (the Ray side uses the same hash precisely so this
+        # oracle is possible — DuckDB has no crc32); complete-window (w=8)
+        # running min via ROWS BETWEEN 7 PRECEDING, distinct picks,
+        # with the reference's short-doc (<k chars) and few-grams (<=w)
+        # degenerate branches unioned in.
+        "text_fingerprint": """
+            WITH t AS (SELECT doc_id, lower(text) AS t,
+                              length(lower(text)) AS L FROM documents),
+            short AS (SELECT doc_id,
+                             ('0x' || substring(md5(t), 1, 8))::BIGINT AS w
+                      FROM t WHERE L < 5),
+            gi AS (SELECT doc_id, t, unnest(range(1, L - 3)) AS i
+                   FROM t WHERE L >= 5),
+            grams AS (SELECT doc_id, i,
+                             ('0x' || substring(md5(substring(t, i, 5)),
+                                                1, 8))::BIGINT AS h
+                      FROM gi),
+            counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+            wins AS (SELECT doc_id, i,
+                            min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                         ROWS BETWEEN 7 PRECEDING
+                                         AND CURRENT ROW) AS w
+                     FROM grams),
+            picks AS (SELECT DISTINCT g.doc_id, g.w
+                      FROM wins g JOIN counts c USING (doc_id)
+                      WHERE c.n > 8 AND g.i >= 8),
+            smallpicks AS (SELECT g.doc_id, min(h) AS w
+                           FROM grams g JOIN counts c USING (doc_id)
+                           WHERE c.n <= 8 GROUP BY 1),
+            allp AS (SELECT * FROM picks UNION ALL
+                     SELECT * FROM smallpicks UNION ALL
+                     SELECT * FROM short)
+            SELECT doc_id, count(*) AS n_fp, min(w) AS fp_min,
+                   bit_xor(w) AS fp_xor
+            FROM allp GROUP BY 1 ORDER BY 1""",
         "text_token_count": """
             SELECT doc_id,
                    len(string_split(text, ' ')) AS ws_tokens,

@@ -110,30 +110,57 @@ _SEED_TEXTS = {
 }
 
 
-def _bigram_vector(text: str) -> dict[str, float]:
+def _bigram_counts(text: str) -> dict[str, int]:
     t = text.lower()
-    counts: dict[str, float] = {}
+    counts: dict[str, int] = {}
     for i in range(len(t) - 1):
         g = t[i:i + 2]
-        counts[g] = counts.get(g, 0.0) + 1.0
+        counts[g] = counts.get(g, 0) + 1
+    return counts
+
+
+def _bigram_vector(text: str) -> dict[str, float]:
+    counts = _bigram_counts(text)
     norm = sum(v * v for v in counts.values()) ** 0.5 or 1.0
     return {g: v / norm for g, v in counts.items()}
 
 
+# profile weights are L2-normalized floats QUANTIZED to integers (1e9
+# fixed-point): scores become exact integer dot products, identical in any
+# summation order on any engine — which is what lets the DuckDB oracle
+# reproduce the classifier bit-exactly (queries.py builds the profile
+# VALUES table from langid_profile_rows()). Per-doc normalization is
+# dropped: it is a positive per-doc constant, so the argmax over languages
+# is unchanged.
+def _int_profiles(seed_texts: dict[str, str]) -> dict[str, dict[str, int]]:
+    return {lang: {g: int(round(w * 1_000_000_000))
+                   for g, w in _bigram_vector(t).items()}
+            for lang, t in sorted(seed_texts.items())}
+
+
+def langid_profile_rows(seed_texts: dict[str, str] | None = None
+                        ) -> list[tuple[str, str, int]]:
+    """(lang, bigram, int_weight) rows — the classifier's exact model, used
+    verbatim by the SQL oracle."""
+    profs = _int_profiles(seed_texts or _SEED_TEXTS)
+    return [(lang, g, w) for lang in sorted(profs)
+            for g, w in sorted(profs[lang].items())]
+
+
 class LangIdClassifier:
     """Actor-pool callable: profiles built once in ``__init__``, per-batch
-    scoring; argmax with lexicographic tie-break."""
+    scoring; integer-exact argmax, lexicographic tie-break, 'und' when no
+    profile bigram occurs."""
 
     def __init__(self, seed_texts: dict[str, str] | None = None):
-        seeds = seed_texts or _SEED_TEXTS
-        self.profiles = {lang: _bigram_vector(t) for lang, t in sorted(seeds.items())}
+        self.profiles = _int_profiles(seed_texts or _SEED_TEXTS)
 
     def classify_one(self, text: str) -> str:
-        v = _bigram_vector(text)
-        best, best_s = "und", 0.0
+        counts = _bigram_counts(text)
+        best, best_s = "und", 0
         for lang, prof in self.profiles.items():  # sorted -> deterministic
-            s = sum(w * prof.get(g, 0.0) for g, w in v.items())
-            if s > best_s + 1e-12:
+            s = sum(c * prof.get(g, 0) for g, c in counts.items())
+            if s > best_s:  # strict: ties keep the earlier (lex-min) lang
                 best, best_s = lang, s
         return best
 
@@ -157,13 +184,21 @@ FP_K = 5   # char k-gram width
 FP_W = 8   # winnowing window
 
 
+def _fp_hash(s: str) -> int:
+    """k-gram hash = first 8 hex digits of md5 (chosen over crc32 so the
+    DuckDB oracle can reproduce it bit-exactly: ('0x' ||
+    substring(md5(g), 1, 8))::BIGINT — crc32 does not exist in DuckDB)."""
+    import hashlib
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+
+
 def winnow_fingerprints(text: str, k: int = FP_K, w: int = FP_W) -> list[int]:
     """Winnowing (Schleimer et al. 2003): min hash per sliding window over
     rolling k-gram hashes; deduplicate consecutive picks."""
     t = text.lower()
     if len(t) < k:
-        return [zlib.crc32(t.encode("utf-8"))]
-    hs = np.fromiter((zlib.crc32(t[i:i + k].encode("utf-8"))
+        return [_fp_hash(t)]
+    hs = np.fromiter((_fp_hash(t[i:i + k])
                       for i in range(len(t) - k + 1)), dtype=np.int64)
     if len(hs) <= w:
         return [int(hs.min())]
