@@ -49,6 +49,12 @@ HEADLINE_QUERIES = [
 
 
 def _init_ray(num_cpus: int) -> None:
+    # Ray's default object store here is 42.9% of RAM and its resource
+    # manager throttles shuffle-heavy jobs against that budget well before
+    # any spilling (bench800's final sort ran 1.5x slower on the default);
+    # Ray itself recommends >= 50%. Applies identically to every arm of a
+    # scaling pair — the analog of sizing per-node memory on a real cluster.
+    os.environ.setdefault("RAY_DEFAULT_OBJECT_STORE_MEMORY_PROPORTION", "0.6")
     import ray
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus,

@@ -388,7 +388,6 @@ def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 3,
                   num_partitions: int = 16) -> ray.data.Dataset:
     """Pairs with SimHash Hamming distance <= max_hamming, via 4x16-bit band
     bucketing (pigeonhole-complete for distance <= 3)."""
-    from ray.data.aggregate import Count, Min
 
     def fp_rows(b: pa.Table) -> pa.Table:
         fp = _simhash_batch(b["text"])                       # (n,) uint64

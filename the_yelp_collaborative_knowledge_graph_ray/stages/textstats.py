@@ -10,12 +10,14 @@ the oracle) or a broadcast-profile actor stage (language ID).
   the same RE2 patterns so counts match exactly.
 * :func:`token_counts` — whitespace tokens and a BPE-ish regex token count
   (``[A-Za-z]+|[0-9]+|punct``), both vectorized (``pc.count_substring_regex``).
-* :class:`LangIdClassifier` — character-bigram-profile language ID: cosine
-  of a document's char-bigram count vector against fixed per-language
-  profiles built from small built-in seed texts (no model download; the
-  actor-pool plumbing is the production shape — swap the profile table for
-  fastText-style weights and nothing else changes). Analog of the
-  reference's embedding-based category mapper decision rule: argmax with a
+* :class:`LangIdClassifier` — character-bigram-profile language ID: integer
+  dot product of a document's char-bigram counts against fixed-point
+  quantized per-language profiles built from small built-in seed texts (no
+  model download; the actor-pool plumbing is the production shape — swap
+  the profile table for fastText-style weights and nothing else changes).
+  Integer scores are summation-order independent, so the DuckDB oracle
+  verifies the classifier exactly. Analog of the reference's
+  embedding-based category mapper decision rule: argmax with a
   deterministic tie-break (``category_mappings.py:92-98``).
 * :func:`fingerprints` — winnowing document fingerprints (rolling Rabin-Karp
   k-char hashes, minimum per sliding window), the classic local fingerprint
@@ -24,7 +26,6 @@ the oracle) or a broadcast-profile actor stage (language ID).
 
 from __future__ import annotations
 
-import zlib
 
 import numpy as np
 import pyarrow as pa
