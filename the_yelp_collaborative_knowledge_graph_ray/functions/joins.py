@@ -18,13 +18,64 @@ our uses — joining attributes back by primary key).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data
 
 _MARK = "__is_src"
 _KEY = "__k"
+
+
+def distinct_int_keys(ds: ray.data.Dataset, cols: list[str]) -> np.ndarray:
+    """Driver-side sorted distinct int64 values across ``cols`` of a SMALL
+    Dataset (e.g. a candidate-pair set). Per-block local unique runs first,
+    so only distinct values cross to the driver. Feed the result to
+    :func:`broadcast_semi_filter`."""
+    def local_unique(b: pa.Table) -> pa.Table:
+        v = np.unique(np.concatenate([
+            pc.cast(b[c], pa.int64()).combine_chunks()
+            .to_numpy(zero_copy_only=False) for c in cols])) \
+            if b.num_rows else np.empty(0, np.int64)
+        return pa.table({"k": pa.array(v, pa.int64())})
+    parts = ray.get(ds.select_columns(cols)
+                    .map_batches(local_unique, batch_format="pyarrow")
+                    .to_arrow_refs())
+    t = pa.concat_tables([p for p in parts if p.num_rows] or
+                         [pa.table({"k": pa.array([], pa.int64())})])
+    return np.unique(t["k"].to_numpy(zero_copy_only=False))
+
+
+def broadcast_semi_filter(big: ray.data.Dataset, key_col: str,
+                          keys: np.ndarray) -> ray.data.Dataset:
+    """Semi-join: keep ``big`` rows whose ``key_col`` is in ``keys``.
+
+    The key array is ``ray.put`` ONCE; each task reads it zero-copy from the
+    shared object store (same-node workers map the same plasma buffer — the
+    array is NOT copied per task) and probes with a binary search. This is
+    the scale-safe way to join a big table against a small key set: the big
+    side is only SCANNED (streaming, no shuffle); whatever survives is
+    candidate-sized and cheap to shuffle afterwards. Keys must fit in the
+    object store (~10^9 int64 = 8 GB); beyond that, swap the exact array for
+    a Bloom filter — false positives only add rows for the downstream exact
+    join to drop, so correctness is unaffected."""
+    keys = np.ascontiguousarray(np.unique(keys))
+    ref = ray.put(keys)
+
+    def probe(b: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        if b.num_rows == 0 or len(ks) == 0:
+            return b.slice(0, 0)
+        v = pc.cast(b[key_col], pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ks, v)
+        idx[idx == len(ks)] = 0
+        return b.filter(pa.array(ks[idx] == v))
+
+    return big.map_batches(probe, batch_format="pyarrow",
+                           zero_copy_batch=True)
 
 
 def attach_column(left: ray.data.Dataset, source: ray.data.Dataset,

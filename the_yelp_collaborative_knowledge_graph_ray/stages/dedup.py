@@ -301,9 +301,24 @@ def minhash_lsh_pairs(docs: ray.data.Dataset, threshold: float = 0.5,
         ["band", "band_hash"], "doc_id", count_col="n_bands",
         num_partitions=num_partitions)
 
-    from ..functions.joins import attach_column
+    from ..functions.joins import attach_column, broadcast_semi_filter
     i64, s = pa.int64(), pa.string()
-    texts = docs.select_columns(["doc_id", "text"])
+    # Scale shape of the verify join: candidates are tiny next to the
+    # corpus, so the corpus is never shuffled — it is STREAMED through a
+    # broadcast semi-filter (binary-search probe against the candidate id
+    # set) and only the surviving candidate docs (materialized: they are
+    # candidate-sized and read twice) go through the two co-group joins.
+    # Candidates materialize anyway (3 consumers); their blocks give the id
+    # set on the driver without an extra executor job.
+    candidates = candidates.materialize()
+    cand_blocks = ray.get(candidates.to_arrow_refs())
+    cand_ids = np.unique(np.concatenate(
+        [np.concatenate([b["doc_a"].to_numpy(zero_copy_only=False),
+                         b["doc_b"].to_numpy(zero_copy_only=False)])
+         for b in cand_blocks if b.num_rows] or [np.empty(0, np.int64)]))
+    texts = broadcast_semi_filter(
+        docs.select_columns(["doc_id", "text"]), "doc_id",
+        cand_ids).materialize()
     joined = attach_column(
         candidates, texts,
         left_cols=[("doc_a", i64), ("doc_b", i64)],
