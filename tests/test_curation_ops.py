@@ -1,0 +1,164 @@
+"""Unit tests for the curation operators added in round 2: deterministic
+sampling, PII redaction, train/eval contamination, exact distributed
+quantiles — each against a Python/DuckDB brute-force oracle."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from the_yelp_collaborative_knowledge_graph_ray.functions.quantiles import (
+    quantiles_exact,
+)
+from the_yelp_collaborative_knowledge_graph_ray.functions.sampling import (
+    hash_u01,
+    sample_hash,
+    sample_stratified,
+    splitmix64,
+)
+from the_yelp_collaborative_knowledge_graph_ray.stages.contamination import (
+    contamination_check,
+)
+from the_yelp_collaborative_knowledge_graph_ray.stages.redact import (
+    redact_batch,
+)
+
+
+def test_splitmix_sql_twin_bit_exact():
+    """The DuckDB oracle reproduces numpy splitmix64 bit-for-bit."""
+    from the_yelp_collaborative_knowledge_graph_ray.queries import (
+        _M64,
+        _splitmix_cte,
+    )
+    sql = (f"WITH d AS (SELECT range AS k FROM range(0, 4096)),"
+           f"{_splitmix_cte('d', 'k', 'k')} "
+           f"SELECT k, u01 FROM u ORDER BY k")
+    got = duckdb.sql(sql).df()["u01"].to_numpy()
+    exp = splitmix64(np.arange(4096, dtype=np.uint64)) / float(2 ** 64)
+    assert (got == exp).all()
+    assert _M64 == 2 ** 64
+
+
+def _ids_ds(n=2000):
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "source": pa.array([f"s{i % 5}" for i in range(n)], pa.string())}))
+
+
+def test_sample_hash_deterministic_nested_and_unbiased(ray_session):
+    ds = _ids_ds()
+    a = sorted(r["doc_id"] for r in sample_hash(ds, "doc_id", 0.3).take_all())
+    b = sorted(r["doc_id"] for r in sample_hash(ds, "doc_id", 0.3).take_all())
+    assert a == b  # reproducible across runs
+    sup = {r["doc_id"] for r in sample_hash(ds, "doc_id", 0.6).take_all()}
+    assert set(a) <= sup  # rate bands nest: u01 < .3 implies u01 < .6
+    assert 0.25 <= len(a) / 2000 <= 0.35  # unbiased-ish at n=2000
+    # a different seed decorrelates
+    c = {r["doc_id"] for r in
+         sample_hash(ds, "doc_id", 0.3, seed=7).take_all()}
+    assert c != set(a)
+
+
+def test_sample_stratified_rates_and_exactness(ray_session):
+    ds = _ids_ds()
+    rates = {"s0": 0.0, "s1": 1.0, "s2": 0.5}
+    got = sample_stratified(ds, "doc_id", "source", rates).take_all()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert "s0" not in by_src                      # rate 0 drops all
+    assert len(by_src["s1"]) == 400                # rate 1 keeps all
+    assert "s3" not in by_src and "s4" not in by_src  # default_rate=0
+    # s2 rows are exactly the hash_u01 < 0.5 subset (brute force)
+    ids = np.arange(2000)
+    s2 = ids[ids % 5 == 2]
+    exp = set(s2[hash_u01(pa.array(s2, pa.int64())) < 0.5].tolist())
+    assert by_src["s2"] == exp
+
+
+def test_redact_batch_counts_and_replacements():
+    texts = pa.array([
+        "mail me at a.b+spam@site.io or c@d.org today",
+        "call +1-555-123456 or 44-202-7946000",
+        "server at 10.0.0.1 and 192.168.1.254 down",
+        "clean text with nothing sensitive at all",
+    ])
+    red, counts = redact_batch(texts)
+    out = red.to_pylist()
+    assert out[0] == "mail me at <EMAIL> or <EMAIL> today"
+    assert out[1] == "call <PHONE> or <PHONE>"
+    assert out[2] == "server at <IP> and <IP> down"
+    assert out[3] == texts[3].as_py()
+    assert counts["email"].to_pylist() == [2, 0, 0, 0]
+    assert counts["phone"].to_pylist() == [0, 2, 0, 0]
+    assert counts["ipv4"].to_pylist() == [0, 0, 2, 0]
+
+
+def test_contamination_brute_force(ray_session):
+    train_texts = {
+        0: "the quick brown fox jumps over the lazy dog tonight",
+        1: "completely unrelated sentence about database query planning",
+        2: "the quick brown fox sleeps all day long instead",
+        3: "hi there",  # < 3 words of shingle -> 0 shingles, never flagged
+    }
+    eval_texts = {100: "watch the quick brown fox jumps high"}
+    mk = lambda d: ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(d), pa.int64()),
+        "text": pa.array(list(d.values()), pa.string())}))
+    got = {r["doc_id"]: r for r in
+           contamination_check(mk(train_texts), mk(eval_texts),
+                               min_overlap_frac=0.25).take_all()}
+
+    def sh(t):
+        ws = t.lower().split(" ")
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    ev = set().union(*(sh(t) for t in eval_texts.values()))
+    for did, t in train_texts.items():
+        s = sh(t)
+        assert got[did]["n_shingles"] == len(s)
+        assert got[did]["n_overlap"] == len(s & ev)
+        frac = len(s & ev) / len(s) if s else 0.0
+        assert got[did]["overlap_frac"] == frac
+        assert got[did]["contaminated"] == (frac >= 0.25)
+    assert got[0]["n_overlap"] > 0          # non-vacuous: doc 0 overlaps
+    assert got[3]["n_shingles"] == 0        # short-doc branch
+
+
+def _q_oracle(vals, qs):
+    v = np.sort(vals)
+    return [float(v[int(np.floor((len(v) - 1) * q))]) for q in qs]
+
+
+def test_quantiles_exact_matches_quantile_disc(ray_session):
+    rng = np.random.RandomState(7)
+    vals = np.concatenate([rng.lognormal(3, 2, 20000),
+                           rng.uniform(-50, 50, 20000)])
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(vals)}))
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    got = quantiles_exact(ds, "x", qs)
+    assert got["value"].to_pylist() == _q_oracle(vals, qs)
+    # matches DuckDB quantile_disc semantics too
+    con = duckdb.connect()
+    con.register("vals", pa.table({"x": pa.array(vals)}))
+    for q, v in zip(qs, got["value"].to_pylist()):
+        assert con.sql(f"SELECT quantile_disc(x, {q}) FROM vals") \
+                  .fetchone()[0] == v
+
+
+def test_quantiles_converge_on_massive_duplicates(ray_session):
+    # 100k copies of one value forces the bin-collapse path (> the 65536
+    # small-bin cutoff at every narrowing round until one-ULP width)
+    vals = np.concatenate([np.full(100_000, 0.5),
+                           np.linspace(0, 1, 5000)])
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(vals)}))
+    got = quantiles_exact(ds, "x", [0.5], driver_budget=70_000)
+    assert got["value"].to_pylist() == _q_oracle(vals, [0.5]) == [0.5]
+
+
+def test_quantiles_empty_and_single(ray_session):
+    ds = ray.data.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
+    assert quantiles_exact(ds, "x", [0.5])["value"].to_pylist() == [None]
+    one = ray.data.from_arrow(pa.table({"x": pa.array([42.0])}))
+    assert quantiles_exact(one, "x", [0.0, 0.5, 1.0])["value"].to_pylist() \
+        == [42.0, 42.0, 42.0]

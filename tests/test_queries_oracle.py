@@ -33,6 +33,8 @@ def _names():
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_embedding_cosine", "embedding_topk_pairs", "ann_topk_cosine",
     "text_quality", "text_token_count",
+    "sample_hash", "sample_stratified", "text_redact",
+    "contamination_check", "rel_quantiles",
     "rel_groupby_lineitem", "rel_join_orders_customer", "rel_topk_customers",
     "rel_first_order_per_customer", "rel_revenue_by_brand",
     "events_sessionize", "events_window_agg", "events_json_props_sum",

@@ -1,0 +1,155 @@
+"""Exact distributed quantiles — histogram-narrowed rank selection.
+
+Percentiles of a numeric column over a huge Dataset, EXACT (not a sketch),
+without a global sort. A global ``Dataset.sort`` computes far more than rank
+selection needs; the classic alternative is iterative range narrowing:
+
+1. pass 1 — per-block (count, min, max), combined on the driver (tiny);
+2. pass 2 — per-block fixed-width histogram over [min, max], summed on the
+   driver; a cumulative sum locates the bin containing each target rank;
+3. pass 3 — stream the column once more, keeping ONLY values inside the
+   candidate bins (a ~1/n_bins fraction of the data per quantile) together
+   with per-block counts of values below each bin; exact selection happens
+   driver-side on that small remainder.
+
+Three streaming passes over ONE column (column-pruned read), no shuffle, no
+materialization beyond n_bins integers per block plus the narrowed values.
+If a bin is still too large (adversarially concentrated data), the same
+narrowing recurses inside the bin; uniform-ish data finishes in one round.
+
+Rank semantics match DuckDB ``quantile_disc``: the value at 0-indexed rank
+``floor((n - 1) * q)`` of the sorted column (verified empirically; see
+tests/test_quantiles.py).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def _col_np(b: pa.Table, col: str) -> np.ndarray:
+    arr = b[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    v = arr.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    return v[~np.isnan(v)]
+
+
+def quantiles_exact(ds: ray.data.Dataset, col: str, qs: list[float],
+                    n_bins: int = 4096, driver_budget: int = 4_000_000
+                    ) -> pa.Table:
+    """Exact ``quantile_disc``-style quantiles of ``ds[col]``.
+
+    Returns a small Arrow table (q, value) sorted by q. ``driver_budget``
+    bounds how many narrowed values may be pulled to the driver per round;
+    exceeding it triggers another narrowing round instead of a big collect.
+    """
+    qs = sorted(qs)
+
+    # pass 1: global count / min / max from per-block partials
+    def mm(b: pa.Table) -> pa.Table:
+        v = _col_np(b, col)
+        if len(v) == 0:
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "lo": pa.array([np.inf]),
+                             "hi": pa.array([-np.inf])})
+        return pa.table({"n": pa.array([len(v)], pa.int64()),
+                         "lo": pa.array([v.min()]),
+                         "hi": pa.array([v.max()])})
+
+    parts = ds.map_batches(mm, batch_format="pyarrow").take_all()
+    n = int(sum(p["n"] for p in parts))
+    if n == 0:
+        return pa.table({"q": pa.array(qs, pa.float64()),
+                         "value": pa.array([None] * len(qs), pa.float64())})
+    lo = min(p["lo"] for p in parts)
+    hi = max(p["hi"] for p in parts)
+    ranks = [int(np.floor((n - 1) * q)) for q in qs]  # quantile_disc rank
+
+    # narrowing rounds: histogram -> locate rank bins -> collect or recurse
+    # active[i] = (lo_i, hi_i, rank_within_range_i, base_count_below_lo_i)
+    values: dict[int, float] = {}
+    active = [(lo, hi, r) for r in ranks]
+    for _round in range(8):
+        if not active:
+            break
+        glo = min(a[0] for a in active)
+        ghi = max(a[1] for a in active)
+        if glo == ghi:
+            for a in active:
+                values[a[2]] = glo
+            break
+        edges = np.linspace(glo, ghi, n_bins + 1)
+        edges[-1] = np.nextafter(ghi, np.inf)  # hi value lands in last bin
+
+        def hist(b: pa.Table) -> pa.Table:
+            v = _col_np(b, col)
+            v = v[(v >= glo) & (v <= ghi)]
+            h, _ = np.histogram(v, bins=edges)
+            return pa.table({"h": pa.array([h.astype(np.int64)]),
+                             "below": pa.array(
+                                 [int((_col_np(b, col) < glo).sum())],
+                                 pa.int64())})
+
+        hp = ds.map_batches(hist, batch_format="pyarrow").take_all()
+        h = np.sum([p["h"] for p in hp], axis=0)
+        below_glo = int(sum(p["below"] for p in hp))
+        cum = np.concatenate([[0], np.cumsum(h)])  # counts < edges[i] + glo..
+
+        # locate each active rank's bin
+        nxt: list[tuple[float, float, int]] = []
+        bins_needed: dict[int, list[int]] = {}
+        for a_lo, a_hi, r in active:
+            ri = r - below_glo  # rank within [glo, ghi] segment
+            b_i = int(np.searchsorted(cum, ri, side="right") - 1)
+            b_i = min(max(b_i, 0), n_bins - 1)
+            bins_needed.setdefault(b_i, []).append(r)
+        small = {b_i: rs for b_i, rs in bins_needed.items()
+                 if h[b_i] <= max(driver_budget // max(len(bins_needed), 1),
+                                  65536)}
+        big = {b_i: rs for b_i, rs in bins_needed.items() if b_i not in small}
+
+        if small:
+            sel = sorted(small)
+            los = edges[sel]
+            his = edges[np.array(sel) + 1]
+
+            def collect(b: pa.Table) -> pa.Table:
+                v = _col_np(b, col)
+                keep = np.zeros(len(v), bool)
+                for s_lo, s_hi in zip(los, his):
+                    keep |= (v >= s_lo) & (v < s_hi)
+                return pa.table({"v": pa.array(v[keep])})
+
+            got = np.sort(np.array(
+                [p["v"] for p in
+                 ds.map_batches(collect, batch_format="pyarrow").take_all()],
+                np.float64))
+            for b_i in sel:
+                base = below_glo + int(cum[b_i])
+                # offset of this bin's values inside `got`
+                in_bin_lo, in_bin_hi = edges[b_i], edges[b_i + 1]
+                seg = got[(got >= in_bin_lo) & (got < in_bin_hi)]
+                for r in small[b_i]:
+                    values[r] = float(seg[r - base])
+
+        for b_i, rs in big.items():
+            n_lo = float(edges[b_i])
+            n_hi = float(np.nextafter(edges[b_i + 1], -np.inf))
+            if n_hi <= n_lo or np.nextafter(n_lo, np.inf) >= edges[b_i + 1]:
+                # bin narrowed to a single representable double (massive
+                # duplicate concentration): every value in it IS n_lo
+                for r in rs:
+                    values[r] = n_lo
+                continue
+            for r in rs:
+                nxt.append((n_lo, n_hi, r))
+        active = nxt
+    else:
+        raise RuntimeError("quantile narrowing did not converge in 8 rounds")
+
+    return pa.table({
+        "q": pa.array(qs, pa.float64()),
+        "value": pa.array([values[r] for r in ranks], pa.float64())})

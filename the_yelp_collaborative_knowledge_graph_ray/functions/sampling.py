@@ -1,0 +1,94 @@
+"""Deterministic hash-based sampling — reproducible row sampling at any scale.
+
+A 100-TB curation run cannot use ``Dataset.random_sample`` for anything that
+must be reproducible (train/eval splits, audit samples, A/B partitions):
+re-runs, retries and resumes must select the SAME rows. The standard trick is
+a keyed hash: keep a row iff ``u01(splitmix64(key)) < rate``. Properties:
+
+* deterministic — same key, same verdict, on any cluster shape, forever;
+* stateless and shuffle-free — a plain ``map_batches`` filter, each batch
+  decided locally (contrast ``random_sample`` which is also per-block but
+  non-reproducible, and ``limit`` which is order-dependent);
+* composable — disjoint rate bands give disjoint splits (e.g. eval =
+  ``u01 < 0.01``, train = ``u01 >= 0.01``) with no coordination.
+
+splitmix64 (Steele et al., "Fast splittable pseudorandom number generators",
+OOPSLA 2014) is used because it is a strong 64-bit mixer that is exactly
+expressible BOTH as vectorized numpy uint64 arithmetic (wrap-around mul/add)
+AND in ANSI-ish SQL via ``HUGEINT`` modular arithmetic — so the DuckDB oracle
+reproduces the sample bit-for-bit (see ``queries._SPLITMIX_SQL``).
+
+Reference parity: the reference pipeline subsamples with pandas
+``DataFrame.sample`` (non-reproducible across partitionings); this is the
+distributed-safe replacement.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+_TWO64 = float(2 ** 64)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over a uint64 array (wrapping)."""
+    old = np.seterr(over="ignore")
+    try:
+        z = x.astype(np.uint64, copy=True) + _GOLDEN
+        z = (z ^ (z >> np.uint64(30))) * _MIX1
+        z = (z ^ (z >> np.uint64(27))) * _MIX2
+        return z ^ (z >> np.uint64(31))
+    finally:
+        np.seterr(**old)
+
+
+def hash_u01(keys: pa.Array | pa.ChunkedArray, seed: int = 0) -> np.ndarray:
+    """Map an int64 key column to deterministic floats in [0, 1).
+
+    ``seed`` shifts the keyspace (key XOR splitmix64(seed)) so independent
+    samples of the same table are uncorrelated.
+    """
+    k = pc.cast(keys, pa.int64())
+    if isinstance(k, pa.ChunkedArray):
+        k = k.combine_chunks()
+    x = k.to_numpy(zero_copy_only=False).view(np.uint64)
+    if seed:
+        x = x ^ splitmix64(np.array([seed], np.uint64))[0]
+    return splitmix64(x) / _TWO64
+
+
+def sample_hash(ds: ray.data.Dataset, key: str, rate: float,
+                seed: int = 0) -> ray.data.Dataset:
+    """Keep rows whose ``u01(hash(key)) < rate`` — a deterministic,
+    shuffle-free Bernoulli sample keyed on ``key``."""
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(hash_u01(b[key], seed) < rate))
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sample_stratified(ds: ray.data.Dataset, key: str, stratum: str,
+                      rates: dict[str, float], default_rate: float = 0.0,
+                      seed: int = 0) -> ray.data.Dataset:
+    """Per-stratum deterministic sampling: row kept iff
+    ``u01(hash(key)) < rates[stratum]``.
+
+    ``rates`` is a SMALL dict (one entry per stratum value) captured in the
+    task closure — broadcast once per task by Ray, never shuffled. This is
+    the scale pattern for rebalancing skewed sources (e.g. downsample crawl
+    dumps to 1%, keep curated sources at 100%) in one streaming pass.
+    """
+    def keep(b: pa.Table) -> pa.Table:
+        u = hash_u01(b[key], seed)
+        strat = b[stratum].to_numpy(zero_copy_only=False)
+        thr = np.array([rates.get(s, default_rate) for s in
+                        np.unique(strat)])
+        uniq = np.unique(strat)
+        # vectorized dict lookup: searchsorted into the sorted unique strata
+        idx = np.searchsorted(uniq, strat)
+        return b.filter(pa.array(u < thr[idx]))
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

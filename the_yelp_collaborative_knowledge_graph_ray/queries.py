@@ -589,6 +589,93 @@ def _q_multimodal(sf_dir: str):
     return extract_features(synthesize_media(_docs(sf_dir)))
 
 
+def _q_sample_hash(sf_dir: str):
+    """Deterministic splitmix64 Bernoulli sample (functions/sampling.py):
+    reproducible splits with zero shuffle; the oracle reproduces the mixer
+    bit-for-bit in HUGEINT modular SQL."""
+    from .functions.sampling import sample_hash
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "source", "n_chars"])
+    return sample_hash(docs, "doc_id", rate=0.2)
+
+
+# per-source keep rates for the stratified sampler: sources are "src{i}";
+# rate cycles 0.125/0.375/0.625/0.875 so every stratum is non-vacuous.
+# 1024 covers any scale factor's source cardinality; the dict is tiny and
+# rides in the task closure (never shuffled).
+_STRAT_RATES = {f"src{i}": (i % 4) / 4 + 0.125 for i in range(1024)}
+
+
+def _q_sample_stratified(sf_dir: str):
+    """Per-source deterministic downsampling (skewed-source rebalancing) —
+    one streaming pass, rates broadcast in the closure."""
+    from .functions.sampling import sample_stratified
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "source"])
+    return sample_stratified(docs, "doc_id", "source", _STRAT_RATES)
+
+
+def _q_text_redact(sf_dir: str):
+    """PII-style regex scrub (stages/redact.py). The fixture text has no
+    PII, so deterministic email/phone markers derived from doc_id are
+    planted FIRST (identically in the SQL oracle) — the scrub and its
+    per-rule counts are then genuinely exercised, not vacuous."""
+    from .stages.redact import redact
+    docs = _docs(sf_dir)
+
+    def plant(b: pa.Table) -> pa.Table:
+        did = pc.cast(b["doc_id"], pa.string())
+        txt = pc.binary_join_element_wise(
+            b["text"], " contact user", did, "@mail.example.com or +1-555-",
+            did, "")
+        return pa.table({"doc_id": b["doc_id"], "text": txt})
+
+    planted = docs.map_batches(plant, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"], "text": b["text"],
+            "n_email": pc.cast(b["n_email"], pa.int64()),
+            "n_phone": pc.cast(b["n_phone"], pa.int64()),
+            "n_ipv4": pc.cast(b["n_ipv4"], pa.int64())})
+
+    return redact(planted).map_batches(finish, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+
+
+def _q_contamination(sf_dir: str):
+    """Train/eval n-gram contamination check (stages/contamination.py):
+    eval = doc_id % 20 == 0, train = the rest; eval shingle set broadcast,
+    train streamed with no shuffle."""
+    from .stages.contamination import contamination_check
+
+    def split(keep_eval: bool):
+        def f(b: pa.Table) -> pa.Table:
+            did = pc.cast(b["doc_id"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            m = (did % 20 == 0) if keep_eval else (did % 20 != 0)
+            return b.filter(pa.array(m))
+        return f
+
+    docs = _docs(sf_dir)
+    train = docs.map_batches(split(False), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    ev = docs.map_batches(split(True), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return contamination_check(train, ev, min_overlap_frac=0.2)
+
+
+def _q_rel_quantiles(sf_dir: str):
+    """Exact distributed quantiles (functions/quantiles.py): histogram-
+    narrowed rank selection, three streaming passes, no sort/shuffle;
+    matches DuckDB quantile_disc exactly."""
+    from .functions.quantiles import quantiles_exact
+    li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_extendedprice"])
+    return quantiles_exact(li, "l_extendedprice", [0.25, 0.5, 0.75, 0.95])
+
+
 # --------------------------------------------------------------------------
 # relational operator demos (TPC-H-ish tables)
 # --------------------------------------------------------------------------
@@ -737,6 +824,79 @@ def _langid_sql() -> str:
         ORDER BY d.doc_id"""
 
 
+# --- splitmix64 reproduced in SQL (must match functions/sampling.py
+# bit-for-bit): xor/shift on UBIGINT, multiply via HUGEINT 32/32 split so the
+# 128-bit partials never overflow, everything mod 2^64. Verified bit-exact
+# against the numpy implementation over 5000 keys (tests/test_training_ops).
+_M64 = 18446744073709551616  # 2^64
+
+
+def _sql_mix(x: str, mult: int) -> str:
+    mh, ml = divmod(mult, 1 << 32)
+    h = f"(CAST({x} AS HUGEINT) // 4294967296)"
+    lo = f"(CAST({x} AS HUGEINT) % 4294967296)"
+    return (f"CAST((({h} * {ml} + {lo} * {mh}) * 4294967296 + {lo} * {ml}) "
+            f"% {_M64} AS UBIGINT)")
+
+
+def _splitmix_cte(table: str, key: str, cols: str) -> str:
+    """CTE chain ending in a view ``u`` with ``cols`` plus ``u01`` in [0,1)."""
+    return f"""
+z0 AS (SELECT {cols},
+              CAST((CAST({key} AS HUGEINT) + 11400714819323198485)
+                   % {_M64} AS UBIGINT) AS z FROM {table}),
+z1 AS (SELECT * EXCLUDE (z),
+       {_sql_mix('xor(z, z >> 30)', 0xBF58476D1CE4E5B9)} AS z FROM z0),
+z2 AS (SELECT * EXCLUDE (z),
+       {_sql_mix('xor(z, z >> 27)', 0x94D049BB133111EB)} AS z FROM z1),
+u AS (SELECT * EXCLUDE (z),
+      CAST(xor(z, z >> 31) AS DOUBLE) / {_M64}.0 AS u01 FROM z2)"""
+
+
+def _redact_sql() -> str:
+    """Sequential plant -> count -> replace chain built from the SAME rule
+    list the Ray stage uses (stages/redact.py DEFAULT_RULES); both engines
+    are RE2, so counts and replacements agree byte-for-byte."""
+    from .stages.redact import DEFAULT_RULES
+    plant = ("text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+             "'@mail.example.com or +1-555-' || CAST(doc_id AS VARCHAR)")
+    sql = f"WITH r0 AS (SELECT doc_id, {plant} AS t FROM documents)"
+    prev, counts = "r0", []
+    for i, (name, pat, repl) in enumerate(DEFAULT_RULES, 1):
+        carried = ", ".join(counts) + (", " if counts else "")
+        counts.append(f"n_{name}")
+        sql += (f",\nr{i} AS (SELECT doc_id, {carried}"
+                f"len(regexp_extract_all(t, '{pat}')) AS n_{name}, "
+                f"regexp_replace(t, '{pat}', '{repl}', 'g') AS t FROM {prev})")
+        prev = f"r{i}"
+    return (sql + f"\nSELECT doc_id, t AS text, " + ", ".join(counts)
+            + f" FROM {prev} ORDER BY doc_id")
+
+
+# train = doc_id % 20 <> 0, eval = the rest — mirrors queries._q_contamination;
+# shingle semantics identical to _SHINGLE_CTE (k=3 lowercased word-grams,
+# <k-word docs contribute zero shingles and are never contaminated).
+_CONTAMINATION_SQL = """
+WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+              FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                      FOR i IN range(1, len(ws) - 1)]) AS s
+       FROM docs),
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+tsh AS (SELECT doc_id, count(*) AS n_sh,
+               count(CASE WHEN s IN (SELECT s FROM ev) THEN 1 END) AS n_ov
+        FROM sh WHERE doc_id % 20 <> 0 GROUP BY 1),
+tr AS (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0)
+SELECT t.doc_id, coalesce(n_sh, 0) AS n_shingles,
+       coalesce(n_ov, 0) AS n_overlap,
+       CASE WHEN coalesce(n_sh, 0) > 0 THEN CAST(n_ov AS DOUBLE) / n_sh
+            ELSE 0.0 END AS overlap_frac,
+       CASE WHEN coalesce(n_sh, 0) > 0 THEN CAST(n_ov AS DOUBLE) / n_sh
+            ELSE 0.0 END >= 0.2 AS contaminated
+FROM tr t LEFT JOIN tsh USING (doc_id) ORDER BY doc_id"""
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -779,6 +939,11 @@ def queries() -> dict[str, Callable]:
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         "multimodal_features": _q_multimodal,
+        "sample_hash": _q_sample_hash,
+        "sample_stratified": _q_sample_stratified,
+        "text_redact": _q_text_redact,
+        "contamination_check": _q_contamination,
+        "rel_quantiles": _q_rel_quantiles,
         # relational operator demos
         "rel_groupby_lineitem": _q_rel_lineitem,
         "rel_join_orders_customer": _q_rel_mktsegment,
@@ -1087,6 +1252,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_fp, min(w) AS fp_min,
                    bit_xor(w) AS fp_xor
             FROM allp GROUP BY 1 ORDER BY 1""",
+        "sample_hash": f"""
+            WITH {_splitmix_cte('documents', 'doc_id',
+                                'doc_id, source, n_chars')}
+            SELECT doc_id, source, n_chars FROM u
+            WHERE u01 < 0.2 ORDER BY doc_id""",
+        # rate per stratum = (i % 4) / 4 + 0.125 for source 'src{{i}}' —
+        # exact binary fractions, so the float threshold compare is
+        # bit-identical on both engines (queries._STRAT_RATES).
+        "sample_stratified": f"""
+            WITH {_splitmix_cte('documents', 'doc_id', 'doc_id, source')}
+            SELECT doc_id, source FROM u
+            WHERE u01 < (CAST(substring(source, 4) AS BIGINT) % 4) / 4.0
+                        + 0.125
+            ORDER BY doc_id""",
+        "text_redact": _redact_sql(),
+        "contamination_check": _CONTAMINATION_SQL,
+        "rel_quantiles": """
+            SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q,
+                   unnest([quantile_disc(l_extendedprice, 0.25),
+                           quantile_disc(l_extendedprice, 0.5),
+                           quantile_disc(l_extendedprice, 0.75),
+                           quantile_disc(l_extendedprice, 0.95)]) AS value
+            FROM lineitem""",
         "text_token_count": """
             SELECT doc_id,
                    len(string_split(text, ' ')) AS ws_tokens,
