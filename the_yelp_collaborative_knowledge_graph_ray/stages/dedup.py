@@ -67,6 +67,10 @@ _PERM_A = _RNG.randint(1, _MERSENNE, size=MINHASH_K, dtype=np.int64)
 _PERM_B = _RNG.randint(0, _MERSENNE, size=MINHASH_K, dtype=np.int64)
 
 SHINGLE_K = 3  # word-shingle width shared by jaccard/minhash/oracle SQL
+# candidate-text broadcast cutoff for the minhash verify stage: below this,
+# surviving texts ride the object store once (one plasma copy per node) and
+# the verify is a single stateless map; above it, co-group sort joins.
+_BROADCAST_TEXT_BYTES = 2 << 30
 
 
 # --------------------------------------------------------------------------
@@ -319,29 +323,60 @@ def minhash_lsh_pairs(docs: ray.data.Dataset, threshold: float = 0.5,
     texts = broadcast_semi_filter(
         docs.select_columns(["doc_id", "text"]), "doc_id",
         cand_ids).materialize()
+
+    def _verify_pairs(da, db, ta, tb):
+        out_a, out_b, out_j = [], [], []
+        for a_id, b_id, a_t, b_t in zip(da, db, ta, tb):
+            sa, sb = _shingles(a_t, k), _shingles(b_t, k)
+            j = len(sa & sb) / len(sa | sb)
+            if j >= threshold:
+                out_a.append(a_id)
+                out_b.append(b_id)
+                out_j.append(j)
+        return _pairs_table(out_a, out_b,
+                            {"jaccard": pa.array(out_j, pa.float64())})
+
+    # Two ways to hand each candidate pair its two texts. The surviving
+    # texts are candidate-sized by construction; when they are also SMALL in
+    # bytes (the common case — near-dup candidates are a sliver of a corpus)
+    # broadcast them once and verify in a single stateless map: zero extra
+    # all-to-alls. Only when candidate texts are genuinely big (multi-GB at
+    # 100 TB) do we pay the two co-group sort joins, sized to the measured
+    # candidate volume rather than the cluster default.
+    if texts.size_bytes() <= _BROADCAST_TEXT_BYTES:
+        tb = pa.concat_tables(ray.get(texts.to_arrow_refs()))
+        order = np.argsort(tb["doc_id"].to_numpy(zero_copy_only=False))
+        lookup = ray.put((tb["doc_id"].to_numpy(zero_copy_only=False)[order],
+                          tb["text"].combine_chunks().take(
+                              pa.array(order)).to_pylist()))
+
+        def verify_bcast(b: pa.Table) -> pa.Table:
+            ids, txt = ray.get(lookup)
+            da = b["doc_a"].to_numpy(zero_copy_only=False)
+            db = b["doc_b"].to_numpy(zero_copy_only=False)
+            ia, ib = np.searchsorted(ids, da), np.searchsorted(ids, db)
+            return _verify_pairs(da.tolist(), db.tolist(),
+                                 [txt[i] for i in ia], [txt[i] for i in ib])
+
+        return candidates.map_batches(verify_bcast, batch_format="pyarrow") \
+            .sort(["doc_a", "doc_b"])
+
+    n_pairs = sum(b.num_rows for b in cand_blocks)
+    np_join = max(1, min(num_partitions, (n_pairs + 49_999) // 50_000))
     joined = attach_column(
         candidates, texts,
         left_cols=[("doc_a", i64), ("doc_b", i64)],
         left_key="doc_a", source_key="doc_id", source_val="text",
-        out_col="text_a", out_type=s, num_partitions=num_partitions)
+        out_col="text_a", out_type=s, num_partitions=np_join)
     joined = attach_column(
         joined, texts,
         left_cols=[("doc_a", i64), ("doc_b", i64), ("text_a", s)],
         left_key="doc_b", source_key="doc_id", source_val="text",
-        out_col="text_b", out_type=s, num_partitions=num_partitions)
+        out_col="text_b", out_type=s, num_partitions=np_join)
 
     def verify(b: pa.Table) -> pa.Table:
-        out_a, out_b, out_j = [], [], []
-        for da, db, ta, tb in zip(b["doc_a"].to_pylist(), b["doc_b"].to_pylist(),
-                                  b["text_a"].to_pylist(), b["text_b"].to_pylist()):
-            sa, sb = _shingles(ta, k), _shingles(tb, k)
-            j = len(sa & sb) / len(sa | sb)
-            if j >= threshold:
-                out_a.append(da)
-                out_b.append(db)
-                out_j.append(j)
-        return _pairs_table(out_a, out_b,
-                            {"jaccard": pa.array(out_j, pa.float64())})
+        return _verify_pairs(b["doc_a"].to_pylist(), b["doc_b"].to_pylist(),
+                             b["text_a"].to_pylist(), b["text_b"].to_pylist())
 
     return joined.map_batches(verify, batch_format="pyarrow") \
                  .sort(["doc_a", "doc_b"])
