@@ -162,3 +162,59 @@ def test_quantiles_empty_and_single(ray_session):
     one = ray.data.from_arrow(pa.table({"x": pa.array([42.0])}))
     assert quantiles_exact(one, "x", [0.0, 0.5, 1.0])["value"].to_pylist() \
         == [42.0, 42.0, 42.0]
+
+
+def test_top_n_per_key_matches_window(ray_session):
+    rng = np.random.RandomState(3)
+    n = 5000
+    import pandas as pd
+    df = pd.DataFrame({
+        "id": np.arange(n),
+        "key": rng.randint(0, 40, n),
+        "v": rng.randint(0, 25, n),   # many ties -> tie-break exercised
+    })
+    from the_yelp_collaborative_knowledge_graph_ray.functions.topn import (
+        top_n_per_key,
+    )
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df))
+    got = top_n_per_key(ds, ["key"], [("v", False), ("id", True)], 7,
+                        num_partitions=4).to_pandas()
+    df["rank"] = df.sort_values(["v", "id"], ascending=[False, True]) \
+                   .groupby("key").cumcount() + 1
+    exp = df[df["rank"] <= 7].sort_values(["key", "rank"])
+    assert got[["id", "key", "v", "rank"]].reset_index(drop=True) \
+        .equals(exp[["id", "key", "v", "rank"]].reset_index(drop=True))
+
+
+def test_bloom_filter_no_false_negatives_low_fp():
+    from the_yelp_collaborative_knowledge_graph_ray.functions.joins import (
+        BloomFilter,
+    )
+    rng = np.random.RandomState(11)
+    members = np.unique(rng.randint(0, 1 << 62, 50_000).astype(np.int64))
+    bf = BloomFilter(members)
+    assert bf.might_contain(members).all()          # never a false negative
+    probe = np.unique(rng.randint(0, 1 << 62, 100_000).astype(np.int64))
+    outsiders = np.setdiff1d(probe, members)
+    fp = bf.might_contain(outsiders).mean()
+    assert fp < 0.01, fp                            # ~0.05% expected
+
+
+def test_bloom_semi_filter_keeps_minhash_exact(ray_session):
+    """Forcing the verify semi-filter through the Bloom path must not change
+    minhash output — false positives are dropped by the exact verify."""
+    from the_yelp_collaborative_knowledge_graph_ray.functions import joins
+    from the_yelp_collaborative_knowledge_graph_ray.stages import dedup
+    docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                                 columns=["doc_id", "text"])
+    exact = dedup.minhash_lsh_pairs(docs).to_pandas()
+
+    orig = joins.broadcast_semi_filter
+    try:
+        joins.broadcast_semi_filter = (
+            lambda big, key_col, keys, max_exact_keys=None:
+            orig(big, key_col, keys, max_exact_keys=0))
+        bloomed = dedup.minhash_lsh_pairs(docs).to_pandas()
+    finally:
+        joins.broadcast_semi_filter = orig
+    assert exact.equals(bloomed)

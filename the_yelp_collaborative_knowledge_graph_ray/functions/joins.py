@@ -48,8 +48,45 @@ def distinct_int_keys(ds: ray.data.Dataset, cols: list[str]) -> np.ndarray:
     return np.unique(t["k"].to_numpy(zero_copy_only=False))
 
 
+class BloomFilter:
+    """Vectorized numpy Bloom filter over int64 keys.
+
+    ``n_hashes`` independent probes derived from splitmix64 with distinct
+    seeds; the bitset is a packed uint64 array (m bits for n keys at
+    ``bits_per_key``, false-positive rate ~ (1 - e^{-kn/m})^k ≈ 0.05% at
+    16 bits/key, 4 hashes). No false negatives ever — safe wherever a
+    downstream EXACT step re-verifies survivors (the semi-filter contract).
+    """
+
+    def __init__(self, keys: np.ndarray, bits_per_key: int = 16,
+                 n_hashes: int = 4):
+        from .sampling import splitmix64
+        m = 1 << max(6, int(np.ceil(np.log2(max(len(keys), 1)
+                                            * bits_per_key))))
+        self.mask = np.uint64(m - 1)
+        self.seeds = splitmix64(np.arange(1, n_hashes + 1, dtype=np.uint64))
+        self.bits = np.zeros(m >> 6, np.uint64)
+        for idx in self._positions(np.asarray(keys, np.int64)):
+            np.bitwise_or.at(self.bits, idx >> np.uint64(6),
+                             np.uint64(1) << (idx & np.uint64(63)))
+
+    def _positions(self, keys: np.ndarray):
+        from .sampling import splitmix64
+        k = keys.view(np.uint64)
+        return [splitmix64(k ^ s) & self.mask for s in self.seeds]
+
+    def might_contain(self, keys: np.ndarray) -> np.ndarray:
+        out = np.ones(len(keys), bool)
+        for idx in self._positions(np.asarray(keys, np.int64)):
+            word = self.bits[(idx >> np.uint64(6)).astype(np.int64)]
+            out &= (word >> (idx & np.uint64(63))) & np.uint64(1) != 0
+        return out
+
+
 def broadcast_semi_filter(big: ray.data.Dataset, key_col: str,
-                          keys: np.ndarray) -> ray.data.Dataset:
+                          keys: np.ndarray,
+                          max_exact_keys: int | None = None
+                          ) -> ray.data.Dataset:
     """Semi-join: keep ``big`` rows whose ``key_col`` is in ``keys``.
 
     The key array is ``ray.put`` ONCE; each task reads it zero-copy from the
@@ -58,18 +95,23 @@ def broadcast_semi_filter(big: ray.data.Dataset, key_col: str,
     the scale-safe way to join a big table against a small key set: the big
     side is only SCANNED (streaming, no shuffle); whatever survives is
     candidate-sized and cheap to shuffle afterwards. Keys must fit in the
-    object store (~10^9 int64 = 8 GB); beyond that, swap the exact array for
-    a Bloom filter — false positives only add rows for the downstream exact
-    join to drop, so correctness is unaffected."""
+    object store (~10^9 int64 = 8 GB); beyond ``max_exact_keys`` (when set)
+    the exact array is swapped for a :class:`BloomFilter` at 16 bits/key —
+    false positives (~0.05%) only add rows for the downstream exact join to
+    drop, so correctness is unaffected, while the broadcast shrinks 32x."""
     keys = np.ascontiguousarray(np.unique(keys))
-    ref = ray.put(keys)
+    bloom = (max_exact_keys is not None and len(keys) > max_exact_keys)
+    ref = ray.put(BloomFilter(keys) if bloom else keys)
+    n_keys = len(keys)
 
     def probe(b: pa.Table) -> pa.Table:
         ks = ray.get(ref)
-        if b.num_rows == 0 or len(ks) == 0:
+        if b.num_rows == 0 or n_keys == 0:
             return b.slice(0, 0)
         v = pc.cast(b[key_col], pa.int64()).combine_chunks() \
             .to_numpy(zero_copy_only=False)
+        if bloom:
+            return b.filter(pa.array(ks.might_contain(v)))
         idx = np.searchsorted(ks, v)
         idx[idx == len(ks)] = 0
         return b.filter(pa.array(ks[idx] == v))

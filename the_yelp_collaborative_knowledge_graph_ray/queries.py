@@ -666,6 +666,26 @@ def _q_contamination(sf_dir: str):
     return contamination_check(train, ev, min_overlap_frac=0.2)
 
 
+def _q_text_tfidf(sf_dir: str):
+    """Per-doc top-3 tf-idf terms (textstats.tfidf_top_terms): the corpus-
+    statistic broadcast pattern — vocabulary-sized DF table computed with
+    map-side combine, broadcast once, corpus re-streamed (never shuffled).
+    Ratio idf (N/df) instead of log for IEEE-exact oracle parity."""
+    from .stages.textstats import tfidf_top_terms
+    return tfidf_top_terms(_docs(sf_dir), k=3)
+
+
+def _q_cap_per_source(sf_dir: str):
+    """Deterministic per-key head (functions/topn.py): the 20 longest docs
+    per source — map-side prune bounds the shuffle at n rows per
+    (key, block), one key sort finalizes."""
+    from .functions.topn import top_n_per_key
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "source", "n_chars"])
+    return top_n_per_key(docs, ["source"],
+                         [("n_chars", False), ("doc_id", True)], 20)
+
+
 def _q_rel_quantiles(sf_dir: str):
     """Exact distributed quantiles (functions/quantiles.py): histogram-
     narrowed rank selection, three streaming passes, no sort/shuffle;
@@ -943,6 +963,8 @@ def queries() -> dict[str, Callable]:
         "sample_stratified": _q_sample_stratified,
         "text_redact": _q_text_redact,
         "contamination_check": _q_contamination,
+        "text_tfidf": _q_text_tfidf,
+        "curation_cap_per_source": _q_cap_per_source,
         "rel_quantiles": _q_rel_quantiles,
         # relational operator demos
         "rel_groupby_lineitem": _q_rel_lineitem,
@@ -1268,6 +1290,35 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id""",
         "text_redact": _redact_sql(),
         "contamination_check": _CONTAMINATION_SQL,
+        # score = (tf/n_words) * (N/df) with the exact expression tree the
+        # Ray side evaluates — pure IEEE arithmetic, no libm (log) calls
+        # whose last-ulp behavior could differ between engines.
+        "text_tfidf": """
+            WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' '))
+                              AS term
+                       FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+            nw AS (SELECT doc_id, count(*) AS n_words FROM w GROUP BY 1),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df FROM w
+                   GROUP BY 1),
+            nn AS (SELECT count(*) AS n FROM documents),
+            s AS (SELECT tf.doc_id, tf.term,
+                         (CAST(tf.tf AS DOUBLE) / nw.n_words)
+                         * (CAST(nn.n AS DOUBLE) / df.df) AS score
+                  FROM tf JOIN nw USING (doc_id) JOIN df USING (term)
+                  CROSS JOIN nn),
+            r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rank FROM s)
+            SELECT doc_id, term, score, rank FROM r WHERE rank <= 3
+            ORDER BY doc_id, rank""",
+        "curation_cap_per_source": """
+            SELECT doc_id, source, n_chars, rank FROM (
+              SELECT doc_id, source, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n_chars DESC, doc_id)
+                       AS rank
+              FROM documents)
+            WHERE rank <= 20 ORDER BY source, rank""",
         "rel_quantiles": """
             SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q,
                    unnest([quantile_disc(l_extendedprice, 0.25),

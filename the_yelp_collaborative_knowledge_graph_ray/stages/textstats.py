@@ -230,3 +230,115 @@ def fingerprints(docs: ray.data.Dataset) -> ray.data.Dataset:
 
     return docs.map_batches(fp, batch_format="pyarrow",
                             zero_copy_batch=True).sort("doc_id")
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms — the corpus-statistic broadcast pattern
+# --------------------------------------------------------------------------
+
+def document_frequencies(docs: ray.data.Dataset,
+                         num_partitions: int = 16) -> ray.data.Dataset:
+    """(term, df) for every distinct lowercased whitespace word.
+
+    Map-side combine: each batch emits each (doc, term) pair ONCE (distinct
+    within doc via a dictionary-encode + unique pass), partially counted per
+    block, so the shuffle moves vocabulary-sized partials, not word
+    occurrences. The global combine is ONE sorted-block aggregate.
+    """
+    from .dedup import _words_flat
+    from ..functions.grouped import sorted_aggregate
+
+    def partial(b: pa.Table) -> pa.Table:
+        words, doc_of = _words_flat(b["text"])
+        if len(words) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        dic = pa.array(words, pa.string()).dictionary_encode()
+        codes = dic.indices.to_numpy().astype(np.int64)
+        nd = len(dic.dictionary)
+        u = np.unique(doc_of * nd + codes)      # distinct (doc, term)
+        cnt = np.bincount(u % nd, minlength=nd) # block-local df partial
+        return pa.table({"term": dic.dictionary,
+                         "df": pa.array(cnt.astype(np.int64))})
+
+    partials = docs.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return sorted_aggregate(partials, ["term"], [("df", "sum")],
+                            ["term", "df"], num_partitions)
+
+
+def tfidf_top_terms(docs: ray.data.Dataset, k: int = 3,
+                    num_partitions: int = 16) -> ray.data.Dataset:
+    """Per-document top-k terms by tf-idf — two streaming passes.
+
+    Pass 1 computes the global document-frequency table (vocabulary-sized —
+    orders of magnitude smaller than the corpus) and broadcasts it ONCE via
+    ``ray.put`` (one plasma copy per node); pass 2 re-streams the corpus and
+    scores each document's terms locally against the broadcast table: the
+    corpus itself is never shuffled. For a vocabulary too big for the object
+    store, swap the broadcast for an ``attach_column`` co-group join keyed
+    on term — same output, one extra all-to-all.
+
+    Score = (tf / n_words_doc) * (N / df): the classic tf-idf shape with a
+    RATIO idf instead of log(N/df), chosen because it is pure IEEE
+    arithmetic — bit-identical between numpy and the DuckDB oracle, where
+    libm log implementations may differ in the last ulp. Ties rank by term
+    ascending (binary collation; matches SQL ``ORDER BY score DESC, term``).
+
+    Output: (doc_id, term, score, rank 1..k) sorted by (doc_id, rank).
+    """
+    from .dedup import _words_flat
+
+    n_docs = docs.count()  # parquet metadata read — no data pass
+    df_tbl = pa.concat_tables(
+        ray.get(document_frequencies(docs, num_partitions)
+                .materialize().to_arrow_refs()))
+    # blocks are each sorted but their DRIVER-side concat order is a Ray
+    # scheduling detail — re-sort explicitly (vocabulary-sized, cheap) so
+    # the searchsorted probe below is always valid
+    terms_np = np.asarray(df_tbl["term"].to_numpy(zero_copy_only=False),
+                          dtype="U")
+    dfs_np = df_tbl["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.argsort(terms_np)
+    df_ref = ray.put((terms_np[order], dfs_np[order]))
+
+    def score(b: pa.Table) -> pa.Table:
+        terms, dfs = ray.get(df_ref)
+        words, doc_of = _words_flat(b["text"])
+        did = pc.cast(b["doc_id"], pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        out_schema = pa.schema([("doc_id", pa.int64()),
+                                ("term", pa.string()),
+                                ("score", pa.float64()),
+                                ("rank", pa.int64())])
+        if len(words) == 0:
+            return out_schema.empty_table()
+        n_words = np.bincount(doc_of, minlength=b.num_rows).astype(np.float64)
+        dic = pa.array(words, pa.string()).dictionary_encode()
+        codes = dic.indices.to_numpy().astype(np.int64)
+        nd = len(dic.dictionary)
+        key = doc_of * nd + codes
+        ukey, tf = np.unique(key, return_counts=True)
+        u_doc, u_code = ukey // nd, ukey % nd
+        dict_np = np.asarray(dic.dictionary.to_numpy(zero_copy_only=False),
+                             dtype="U")
+        u_df = dfs[np.searchsorted(terms, dict_np[u_code])]
+        # EXACT expression tree of the SQL oracle: (tf/n_words) * (N/df)
+        sc = (tf.astype(np.float64) / n_words[u_doc]) \
+            * (float(n_docs) / u_df)
+        # per-doc top-k on (-score, term): lexsort is stable, last key major
+        order = np.lexsort((dict_np[u_code], -sc, u_doc))
+        u_doc, u_code, sc = u_doc[order], u_code[order], sc[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], u_doc[1:] != u_doc[:-1]]))
+        pos = np.arange(len(u_doc)) - starts[
+            np.cumsum(np.concatenate([[True], u_doc[1:] != u_doc[:-1]])) - 1]
+        keep = pos < k
+        return pa.table({
+            "doc_id": pa.array(did[u_doc[keep]]),
+            "term": pa.array(dict_np[u_code[keep]], pa.string()),
+            "score": pa.array(sc[keep]),
+            "rank": pa.array(pos[keep] + 1)}, schema=out_schema)
+
+    return docs.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True).sort(["doc_id", "rank"])
