@@ -218,3 +218,63 @@ def test_bloom_semi_filter_keeps_minhash_exact(ray_session):
     finally:
         joins.broadcast_semi_filter = orig
     assert exact.equals(bloomed)
+
+
+def test_dedup_canonical_map_is_transitive(ray_session):
+    """A~B and B~C (but no direct A~C pair) must still collapse to one
+    canonical id — the component closure, not the raw pair list."""
+    from the_yelp_collaborative_knowledge_graph_ray.stages.dedup import (
+        dedup_canonical_map,
+    )
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([3, 7, 11, 42], pa.int64()),
+        "text": pa.array(["a", "b", "c", "lone"], pa.string())}))
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array([3, 7], pa.int64()),
+        "doc_b": pa.array([7, 11], pa.int64())}))
+    got = {r["doc_id"]: r for r in
+           dedup_canonical_map(docs, pairs).take_all()}
+    assert got[3]["canon_id"] == got[7]["canon_id"] \
+        == got[11]["canon_id"] == 3
+    assert not got[3]["is_dup"] and got[7]["is_dup"] and got[11]["is_dup"]
+    assert got[42]["canon_id"] == 42 and not got[42]["is_dup"]
+
+
+def test_fingerprint_pairs_rank_exact_dups_highest(ray_session):
+    """Exact duplicates share every fingerprint; unrelated docs share few.
+    Also checks the stop-key drop keeps the operator exact on its own
+    declared semantics (brute-force reproduction below)."""
+    from the_yelp_collaborative_knowledge_graph_ray.stages.dedup import (
+        fingerprint_near_dup_pairs,
+    )
+    from the_yelp_collaborative_knowledge_graph_ray.stages.textstats import (
+        winnow_fingerprints,
+    )
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog again and again",
+        1: "the quick brown fox jumps over the lazy dog again and again",
+        2: "a completely different document about ray data pipelines here",
+        3: "the quick brown fox jumps over the sleepy dog again and again",
+    }
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()), pa.string())}))
+    got = {(r["doc_a"], r["doc_b"]): r["n_common"] for r in
+           fingerprint_near_dup_pairs(docs, min_common=3,
+                                      max_df=10).take_all()}
+    # brute force with the same stop-key rule
+    fps = {i: set(winnow_fingerprints(t)) for i, t in texts.items()}
+    from collections import Counter
+    df = Counter(f for s in fps.values() for f in s)
+    keep = {f for f, c in df.items() if c <= 10}
+    exp = {}
+    for a in texts:
+        for b in texts:
+            if a < b:
+                n = len(fps[a] & fps[b] & keep)
+                if n >= 3:
+                    exp[(a, b)] = n
+    assert got == exp
+    assert got[(0, 1)] == len(fps[0] & keep)   # exact dup shares everything
+    assert (0, 3) in got                        # near dup found
+    assert (0, 2) not in got                    # unrelated absent

@@ -36,6 +36,7 @@ def _names():
     "sample_hash", "sample_stratified", "text_redact",
     "contamination_check", "rel_quantiles",
     "text_tfidf", "curation_cap_per_source",
+    "dedup_fingerprint", "dedup_canonical_map",
     "rel_groupby_lineitem", "rel_join_orders_customer", "rel_topk_customers",
     "rel_first_order_per_customer", "rel_revenue_by_brand",
     "events_sessionize", "events_window_agg", "events_json_props_sum",

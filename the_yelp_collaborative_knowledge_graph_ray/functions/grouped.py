@@ -121,6 +121,7 @@ def sorted_aggregate(ds: ray.data.Dataset, keys: list[str],
 def pairs_within_groups(ds: ray.data.Dataset, keys: list[str], id_col: str,
                         count_col: str = "n",
                         max_group: int | None = None,
+                        drop_over: int | None = None,
                         num_partitions: int | None = None) -> ray.data.Dataset:
     """For each key-group, emit all unordered id pairs (a < b); return
     globally aggregated pair counts (doc_a, doc_b, count_col).
@@ -128,6 +129,12 @@ def pairs_within_groups(ds: ray.data.Dataset, keys: list[str], id_col: str,
     Pair expansion runs per block (complete groups) with a numpy loop whose
     body is O(group²) vectorized ops; a per-block Arrow ``group_by`` partial
     count collapses repeats before the global combine (map-side combine).
+
+    Skew controls: ``max_group`` TRUNCATES an oversize group to its first
+    ids (lossy for retained pairs' counts — logged, see :func:`_cap_group`);
+    ``drop_over`` drops the WHOLE group instead — an exact, declarative
+    semantic ("ignore keys shared by more than N ids", the classic stop-key
+    rule) that an SQL oracle can mirror with ``HAVING count(*) <= N``.
     """
 
     def block_pairs(b: pa.Table) -> pa.Table:
@@ -144,7 +151,7 @@ def pairs_within_groups(ds: ray.data.Dataset, keys: list[str], id_col: str,
         out_a, out_b = [], []
         for s, e in zip(starts, ends):
             d = np.unique(ids[s:e])
-            if len(d) < 2:
+            if len(d) < 2 or (drop_over is not None and len(d) > drop_over):
                 continue
             d = _cap_group(d, max_group, f"{keys}@row{int(s)}")
             iu, ju = np.triu_indices(len(d), k=1)

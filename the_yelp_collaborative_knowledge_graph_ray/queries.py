@@ -666,6 +666,25 @@ def _q_contamination(sf_dir: str):
     return contamination_check(train, ev, min_overlap_frac=0.2)
 
 
+def _q_dedup_canonical(sf_dir: str):
+    """Pair list -> transitive keep/drop map (dedup.dedup_canonical_map):
+    connected components over the minhash pair graph, canon = component
+    minimum, corpus streamed against the broadcast label map. Oracle is a
+    recursive-CTE transitive closure over the exact-Jaccard pair set (which
+    the minhash output provably equals on this corpus)."""
+    from .stages.dedup import dedup_canonical_map, minhash_lsh_pairs
+    docs = _docs(sf_dir)
+    return dedup_canonical_map(docs, minhash_lsh_pairs(docs))
+
+
+def _q_dedup_fingerprint(sf_dir: str):
+    """Winnowing-fingerprint near-dup pairs (stages/dedup.py): postings
+    shuffle once grouped by fingerprint, stop-keys (df > 64) dropped whole,
+    pairs need >= 5 shared picks."""
+    from .stages.dedup import fingerprint_near_dup_pairs
+    return fingerprint_near_dup_pairs(_docs(sf_dir))
+
+
 def _q_text_tfidf(sf_dir: str):
     """Per-doc top-3 tf-idf terms (textstats.tfidf_top_terms): the corpus-
     statistic broadcast pattern — vocabulary-sized DF table computed with
@@ -844,6 +863,42 @@ def _langid_sql() -> str:
         ORDER BY d.doc_id"""
 
 
+# winnowing reproduced exactly in SQL (shared by text_fingerprint and
+# dedup_fingerprint): k-gram hash = first 8 hex digits of md5 (the Ray side
+# uses the same hash precisely so this oracle is possible — DuckDB has no
+# crc32); complete-window (w=8) running min via ROWS BETWEEN 7 PRECEDING,
+# distinct picks, with the reference's short-doc (<k chars) and few-grams
+# (<=w) degenerate branches unioned in. Ends in ``allp(doc_id, w)`` =
+# distinct fingerprint picks per doc.
+_WINNOW_CTE = """
+WITH t AS (SELECT doc_id, lower(text) AS t,
+                  length(lower(text)) AS L FROM documents),
+short AS (SELECT doc_id,
+                 ('0x' || substring(md5(t), 1, 8))::BIGINT AS w
+          FROM t WHERE L < 5),
+gi AS (SELECT doc_id, t, unnest(range(1, L - 3)) AS i
+       FROM t WHERE L >= 5),
+grams AS (SELECT doc_id, i,
+                 ('0x' || substring(md5(substring(t, i, 5)),
+                                    1, 8))::BIGINT AS h
+          FROM gi),
+counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+wins AS (SELECT doc_id, i,
+                min(h) OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS BETWEEN 7 PRECEDING
+                             AND CURRENT ROW) AS w
+         FROM grams),
+picks AS (SELECT DISTINCT g.doc_id, g.w
+          FROM wins g JOIN counts c USING (doc_id)
+          WHERE c.n > 8 AND g.i >= 8),
+smallpicks AS (SELECT g.doc_id, min(h) AS w
+               FROM grams g JOIN counts c USING (doc_id)
+               WHERE c.n <= 8 GROUP BY 1),
+allp AS (SELECT * FROM picks UNION ALL
+         SELECT * FROM smallpicks UNION ALL
+         SELECT * FROM short)"""
+
+
 # --- splitmix64 reproduced in SQL (must match functions/sampling.py
 # bit-for-bit): xor/shift on UBIGINT, multiply via HUGEINT 32/32 split so the
 # 128-bit partials never overflow, everything mod 2^64. Verified bit-exact
@@ -950,6 +1005,8 @@ def queries() -> dict[str, Callable]:
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
+        "dedup_fingerprint": _q_dedup_fingerprint,
+        "dedup_canonical_map": _q_dedup_canonical,
         "dedup_embedding_blocked": _q_dedup_embedding_blocked,
         "embedding_topk_pairs": _q_embedding_topk_pairs,
         "ann_topk_cosine": _q_ann_topk,
@@ -1205,6 +1262,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.fp, b.fp)) <= 3
             ORDER BY 1, 2""",
         "dedup_embedding_cosine": _EMB_NEAR_DUP_SQL,
+        # transitive closure of the exact-Jaccard pair graph via a recursive
+        # CTE; canon = min reachable node; docs in no pair keep themselves
+        "dedup_canonical_map": "WITH RECURSIVE " + _SHINGLE_CTE + """,
+            p AS (SELECT i.doc_a, i.doc_b FROM inter i
+                  JOIN sizes sa ON sa.doc_id = i.doc_a
+                  JOIN sizes sb ON sb.doc_id = i.doc_b
+                  WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.5),
+            e AS (SELECT doc_a AS u, doc_b AS v FROM p
+                  UNION SELECT doc_b, doc_a FROM p),
+            reach(node, r) AS (
+              SELECT u, u FROM e
+              UNION
+              SELECT e.u, reach.r FROM e JOIN reach ON reach.node = e.v),
+            canon AS (SELECT node, min(r) AS c FROM reach GROUP BY 1)
+            SELECT d.doc_id, coalesce(c.c, d.doc_id) AS canon_id,
+                   coalesce(c.c, d.doc_id) <> d.doc_id AS is_dup
+            FROM documents d LEFT JOIN canon c ON c.node = d.doc_id
+            ORDER BY d.doc_id""",
         "dedup_embedding_blocked": _EMB_NEAR_DUP_SQL,
         "embedding_topk_pairs": """
             SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
@@ -1238,42 +1313,22 @@ def oracle_sql() -> dict[str, str]:
                      / len(string_split(text, ' ')) AS mean_word_len
             FROM documents ORDER BY doc_id""",
         "text_langid": _langid_sql(),
-        # winnowing reproduced exactly in SQL: k-gram hash = first 8 hex
-        # digits of md5 (the Ray side uses the same hash precisely so this
-        # oracle is possible — DuckDB has no crc32); complete-window (w=8)
-        # running min via ROWS BETWEEN 7 PRECEDING, distinct picks,
-        # with the reference's short-doc (<k chars) and few-grams (<=w)
-        # degenerate branches unioned in.
-        "text_fingerprint": """
-            WITH t AS (SELECT doc_id, lower(text) AS t,
-                              length(lower(text)) AS L FROM documents),
-            short AS (SELECT doc_id,
-                             ('0x' || substring(md5(t), 1, 8))::BIGINT AS w
-                      FROM t WHERE L < 5),
-            gi AS (SELECT doc_id, t, unnest(range(1, L - 3)) AS i
-                   FROM t WHERE L >= 5),
-            grams AS (SELECT doc_id, i,
-                             ('0x' || substring(md5(substring(t, i, 5)),
-                                                1, 8))::BIGINT AS h
-                      FROM gi),
-            counts AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
-            wins AS (SELECT doc_id, i,
-                            min(h) OVER (PARTITION BY doc_id ORDER BY i
-                                         ROWS BETWEEN 7 PRECEDING
-                                         AND CURRENT ROW) AS w
-                     FROM grams),
-            picks AS (SELECT DISTINCT g.doc_id, g.w
-                      FROM wins g JOIN counts c USING (doc_id)
-                      WHERE c.n > 8 AND g.i >= 8),
-            smallpicks AS (SELECT g.doc_id, min(h) AS w
-                           FROM grams g JOIN counts c USING (doc_id)
-                           WHERE c.n <= 8 GROUP BY 1),
-            allp AS (SELECT * FROM picks UNION ALL
-                     SELECT * FROM smallpicks UNION ALL
-                     SELECT * FROM short)
+        "text_fingerprint": _WINNOW_CTE + """
             SELECT doc_id, count(*) AS n_fp, min(w) AS fp_min,
                    bit_xor(w) AS fp_xor
             FROM allp GROUP BY 1 ORDER BY 1""",
+        # shared-fingerprint pairs with the stop-key rule mirrored exactly:
+        # fingerprints held by > max_df (64) docs are excluded wholesale
+        # (Ray side: pairs_within_groups(drop_over=64)), pairs need
+        # >= min_common (5) shared picks.
+        "dedup_fingerprint": _WINNOW_CTE + """,
+            keepw AS (SELECT w FROM allp GROUP BY w
+                      HAVING count(*) <= 64)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS n_common
+            FROM allp a JOIN allp b ON a.w = b.w AND a.doc_id < b.doc_id
+            WHERE a.w IN (SELECT w FROM keepw)
+            GROUP BY 1, 2 HAVING count(*) >= 5 ORDER BY 1, 2""",
         "sample_hash": f"""
             WITH {_splitmix_cte('documents', 'doc_id',
                                 'doc_id, source, n_chars')}

@@ -729,3 +729,117 @@ def embedding_near_dup_pairs(embeddings: ray.data.Dataset,
                             [("cosine", "min")],
                             ["doc_a", "doc_b", "cosine"],
                             num_partitions)
+
+
+def fingerprint_near_dup_pairs(docs: ray.data.Dataset, min_common: int = 5,
+                               max_df: int = 64,
+                               num_partitions: int = 16) -> ray.data.Dataset:
+    """Near-duplicate pairs by shared winnowing fingerprints (the
+    plagiarism-detection classic — Schleimer et al., SIGMOD 2003): two docs
+    pair when they share >= ``min_common`` distinct fingerprint values.
+
+    Composition of existing primitives: the winnowing stage
+    (``textstats.winnow_fingerprints``) explodes each doc into its distinct
+    fingerprint picks; ``functions/grouped.pairs_within_groups`` turns the
+    (fingerprint -> docs) postings into counted pairs. Fingerprints shared
+    by more than ``max_df`` docs are DROPPED whole (``drop_over``): the
+    standard stop-key rule — boilerplate grams pair everything with
+    everything and carry no near-dup signal — and an exact semantic the SQL
+    oracle mirrors with ``HAVING count(*) <= max_df``.
+
+    Scale shape: postings shuffle once (grouped by fingerprint), pairs
+    aggregate once; no driver materialization, no all-pairs scan.
+    """
+    from .textstats import winnow_fingerprints
+    from ..functions.grouped import pairs_within_groups
+
+    def explode(b: pa.Table) -> pa.Table:
+        did = pc.cast(b["doc_id"], pa.int64()).combine_chunks().to_numpy() \
+            if isinstance(b["doc_id"], pa.ChunkedArray) \
+            else pc.cast(b["doc_id"], pa.int64()).to_numpy()
+        fps, owners = [], []
+        for i, t in enumerate(b["text"].to_pylist()):
+            f = winnow_fingerprints(t)
+            fps.extend(f)
+            owners.extend([did[i]] * len(f))
+        return pa.table({"fp": pa.array(fps, pa.int64()),
+                         "doc_id": pa.array(owners, pa.int64())})
+
+    postings = docs.map_batches(explode, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    pairs = pairs_within_groups(postings, ["fp"], "doc_id",
+                                count_col="n_common", drop_over=max_df,
+                                num_partitions=num_partitions)
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b["n_common"], min_common))
+
+    return pairs.map_batches(keep, batch_format="pyarrow",
+                             zero_copy_batch=True).sort(["doc_a", "doc_b"])
+
+
+def dedup_canonical_map(docs: ray.data.Dataset, pairs: ray.data.Dataset,
+                        id_col: str = "doc_id",
+                        num_partitions: int = 8) -> ray.data.Dataset:
+    """(doc_id, canon_id, is_dup): every document mapped to the MINIMUM doc
+    id of its near-duplicate component — the keep/drop decision that turns a
+    pair list into an actual dedup.
+
+    Near-dup "same document" relations are not transitive pair-by-pair, but
+    dedup must be: if A~B and B~C, keeping A and C double-counts B's
+    content. Components over the pair graph (functions/components.py —
+    shuffle-native min-label propagation) give the transitive closure;
+    canon = component minimum (deterministic keep-first).
+
+    Scale shape: components run on the PAIR set (candidate-sized — a sliver
+    of the corpus); the resulting (node -> label) map is pair-sized too and
+    is broadcast once; the corpus itself streams through one stateless map
+    and never shuffles. Docs in no pair are their own canonical.
+    """
+    from ..functions.components import connected_components
+
+    # components compare labels as STRINGS: zero-pad ids so lexicographic
+    # min == numeric min (doc "10" < "9" otherwise)
+    def to_edges(b: pa.Table) -> pa.Table:
+        def pad(c):
+            return pc.utf8_lpad(pc.cast(pc.cast(b[c], pa.int64()),
+                                        pa.string()), 20, "0")
+        return pa.table({"u": pad("doc_a"), "v": pad("doc_b")})
+
+    # size the propagation shuffle to the MEASURED pair volume (pairs are
+    # re-read every propagation round anyway, so materializing is free):
+    # Ray's hash join crashes on partitions that receive zero left shards
+    # (functions/joins.py module comment), which a tiny pair graph at the
+    # cluster-default partition count would hit.
+    pairs = pairs.materialize()
+    np_cc = max(1, min(num_partitions, (pairs.count() + 99_999) // 100_000))
+    labels = connected_components(
+        pairs.map_batches(to_edges, batch_format="pyarrow"),
+        num_partitions=np_cc)
+    lab_tbl = pa.concat_tables(ray.get(labels.materialize().to_arrow_refs()))
+    nodes = np.asarray([int(x) for x in lab_tbl["node"].to_pylist()],
+                       np.int64)
+    canon = np.asarray([int(x) for x in lab_tbl["label"].to_pylist()],
+                       np.int64)
+    order = np.argsort(nodes)
+    map_ref = ray.put((nodes[order], canon[order]))
+
+    def assign(b: pa.Table) -> pa.Table:
+        ns, cs = ray.get(map_ref)
+        did = pc.cast(b[id_col], pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False) \
+            if isinstance(b[id_col], pa.ChunkedArray) \
+            else pc.cast(b[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        out = did.copy()
+        if len(ns):
+            idx = np.searchsorted(ns, did)
+            idx[idx == len(ns)] = 0
+            hit = ns[idx] == did
+            out[hit] = cs[idx[hit]]
+        return pa.table({
+            id_col: pa.array(did),
+            "canon_id": pa.array(out),
+            "is_dup": pa.array(out != did)})
+
+    return docs.map_batches(assign, batch_format="pyarrow",
+                            zero_copy_batch=True).sort(id_col)
