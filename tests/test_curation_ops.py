@@ -278,3 +278,40 @@ def test_fingerprint_pairs_rank_exact_dups_highest(ray_session):
     assert got[(0, 1)] == len(fps[0] & keep)   # exact dup shares everything
     assert (0, 3) in got                        # near dup found
     assert (0, 2) not in got                    # unrelated absent
+
+
+def test_multimodal_resize_and_frames(ray_session):
+    from the_yelp_collaborative_knowledge_graph_ray.stages.multimodal import (
+        FrameSampler,
+        ImageResizer,
+        resize_images,
+        sample_frames,
+        synthesize_media,
+    )
+    import pytest as _pytest
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 2, 3, 14], pa.int64()),   # image/video/image/video
+        "text": pa.array(["abcdefgh", "0123456789abcdef", "", "xy"],
+                         pa.string())}))
+    media = synthesize_media(docs)
+    rz = {r["media_id"]: r for r in resize_images(media).take_all()}
+    assert set(rz) == {0, 3}                 # images only
+    assert rz[0]["n_bytes"] == 2             # ceil(8/4)
+    assert rz[0]["payload_hex"] == b"abcdefgh".hex().upper()[:4]
+    assert rz[0]["width"] == (0 % 640 + 64) // 2
+    assert rz[3]["n_bytes"] == 0 and rz[3]["payload_hex"] == ""  # empty doc
+    fr = [r for r in sample_frames(media).take_all()]
+    by_id = {}
+    for r in fr:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert set(by_id) == {2, 14}             # videos only
+    # duration_ms = (2 % 90) * 1000 = 2000 -> n = 2000//1000 + 1 = 3
+    assert len(by_id[2]) == 3
+    joined = "".join(r["frame_hex"] for r in sorted(by_id[2],
+                                                    key=lambda r: r["frame_idx"]))
+    # fake slicing covers a prefix of the payload without overlap
+    assert b"0123456789abcdef".hex().upper().startswith(joined[:10])
+    with _pytest.raises(NotImplementedError):
+        ImageResizer(mode="real")(pa.table({"media_type": pa.array(["image"])}))
+    with _pytest.raises(NotImplementedError):
+        FrameSampler(mode="real")(pa.table({"media_type": pa.array(["video"])}))

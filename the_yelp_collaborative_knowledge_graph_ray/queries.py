@@ -666,6 +666,23 @@ def _q_contamination(sf_dir: str):
     return contamination_check(train, ev, min_overlap_frac=0.2)
 
 
+def _q_multimodal_resize(sf_dir: str):
+    """Fake-kernel image resize over binary payloads (multimodal.py): the
+    actor-pool plumbing and the byte-level transform are hash-verified —
+    the SQL oracle reproduces the deterministic fake kernel via hex-string
+    slicing (only the codec call itself is a container-boundary stub)."""
+    from .stages.multimodal import resize_images, synthesize_media
+    return resize_images(synthesize_media(_docs(sf_dir))).sort("media_id")
+
+
+def _q_multimodal_frames(sf_dir: str):
+    """Fake-kernel video frame sampling: one row per sampled frame
+    (explode-shaped multimodal stage), hex-slice oracle as above."""
+    from .stages.multimodal import sample_frames, synthesize_media
+    return sample_frames(synthesize_media(_docs(sf_dir))) \
+        .sort(["media_id", "frame_idx"])
+
+
 def _q_dedup_canonical(sf_dir: str):
     """Pair list -> transitive keep/drop map (dedup.dedup_canonical_map):
     connected components over the minhash pair graph, canon = component
@@ -1016,6 +1033,8 @@ def queries() -> dict[str, Callable]:
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         "multimodal_features": _q_multimodal,
+        "multimodal_resize": _q_multimodal_resize,
+        "multimodal_frame_sample": _q_multimodal_frames,
         "sample_hash": _q_sample_hash,
         "sample_stratified": _q_sample_stratified,
         "text_redact": _q_text_redact,
@@ -1381,6 +1400,42 @@ def oracle_sql() -> dict[str, str]:
                            quantile_disc(l_extendedprice, 0.75),
                            quantile_disc(l_extendedprice, 0.95)]) AS value
             FROM lineitem""",
+        # the synthetic media table reproduced in SQL (payload = UTF-8 of
+        # text via encode(); metadata derived from doc_id, mirroring
+        # multimodal.synthesize_media); byte slices compared as hex strings
+        # because this DuckDB lacks BLOB substring/md5.
+        "multimodal_resize": """
+            WITH m AS (SELECT doc_id AS media_id,
+                              hex(encode(text)) AS H,
+                              octet_length(encode(text)) AS len_bytes,
+                              CAST(doc_id % 640 + 64 AS BIGINT) AS width,
+                              CAST(doc_id % 480 + 48 AS BIGINT) AS height
+                       FROM documents WHERE doc_id % 3 = 0)
+            SELECT media_id,
+                   CAST(width // 2 AS INTEGER) AS width,
+                   CAST(height // 2 AS INTEGER) AS height,
+                   CAST((len_bytes + 3) // 4 AS BIGINT) AS n_bytes,
+                   substring(H, 1, ((len_bytes + 3) // 4) * 2)
+                     AS payload_hex
+            FROM m ORDER BY media_id""",
+        "multimodal_frame_sample": """
+            WITH m AS (SELECT doc_id AS media_id,
+                              hex(encode(text)) AS H,
+                              octet_length(encode(text)) AS len_bytes,
+                              CAST(doc_id % 90 * 1000 AS BIGINT)
+                                AS duration_ms
+                       FROM documents WHERE doc_id % 3 = 2),
+            v AS (SELECT *, least(duration_ms // 1000 + 1, 8) AS n FROM m),
+            v2 AS (SELECT *, greatest(1, len_bytes // n) AS stride FROM v),
+            f AS (SELECT media_id, stride, H,
+                         unnest(range(0, n)) AS frame_idx FROM v2)
+            SELECT media_id, frame_idx,
+                   frame_idx * 1000 AS ts_ms,
+                   length(substring(H, frame_idx * stride * 2 + 1,
+                                    stride * 2)) // 2 AS frame_bytes,
+                   substring(H, frame_idx * stride * 2 + 1, stride * 2)
+                     AS frame_hex
+            FROM f ORDER BY media_id, frame_idx""",
         "text_token_count": """
             SELECT doc_id,
                    len(string_split(text, ' ')) AS ws_tokens,

@@ -50,7 +50,9 @@ def synthesize_media(docs: ray.data.Dataset) -> ray.data.Dataset:
             "payload": pa.array(payload, pa.large_binary()),
             "width": pa.array((ids % 640 + 64).astype(np.int32)),
             "height": pa.array((ids % 480 + 48).astype(np.int32)),
-            "duration_ms": pa.array((ids % 90_000).astype(np.int32)),
+            # seconds-scale spread at ANY doc_id range so the frame sampler
+            # exercises 1..max_frames frames per video, not a fixed count
+            "duration_ms": pa.array((ids % 90 * 1000).astype(np.int32)),
         }, schema=MEDIA_SCHEMA)
 
     return docs.map_batches(mk, batch_format="pyarrow", zero_copy_batch=True)
@@ -99,5 +101,99 @@ def extract_features(media: ray.data.Dataset, concurrency: int = 4,
     sized by bytes, not rows (SURVEY-level scale note)."""
     return media.map_batches(
         MediaFeatureExtractor, fn_constructor_kwargs={"mode": "fake"},
+        batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True,
+        concurrency=(1, concurrency))
+
+
+class ImageResizer:
+    """Actor-pool callable: resize image payloads. ``mode="real"`` marks the
+    container boundary (needs PIL); ``mode="fake"`` is a deterministic
+    byte-level stand-in — halve each dimension, keep the first quarter of
+    the payload bytes — chosen so the DuckDB oracle can reproduce it exactly
+    (hex-string slicing) and the plumbing is hash-verified end to end.
+    """
+
+    def __init__(self, mode: str = "fake", factor: int = 2):
+        self.mode = mode
+        self.factor = factor
+        # a real resizer would initialize PIL/turbojpeg HERE, once per actor
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        if self.mode == "real":
+            raise NotImplementedError(
+                "real image resize needs PIL, not present in this container")
+        keep = b.filter(pa.compute.equal(b["media_type"], "image"))
+        f2 = self.factor * self.factor
+        out_hex, n_bytes = [], []
+        for p in keep["payload"].to_pylist():
+            h = p.hex().upper()
+            kb = (len(p) + f2 - 1) // f2
+            out_hex.append(h[:kb * 2])
+            n_bytes.append(kb)
+        w = keep["width"].to_numpy() // self.factor
+        hgt = keep["height"].to_numpy() // self.factor
+        return pa.table({
+            "media_id": keep["media_id"],
+            "width": pa.array(w.astype(np.int32)),
+            "height": pa.array(hgt.astype(np.int32)),
+            "n_bytes": pa.array(n_bytes, pa.int64()),
+            "payload_hex": pa.array(out_hex, pa.string())})
+
+
+class FrameSampler:
+    """Actor-pool callable: sample frames from video payloads (one row per
+    sampled frame — the explode-shaped multimodal stage). ``mode="real"``
+    marks the ffmpeg boundary; ``mode="fake"`` slices the payload into n
+    deterministic byte windows (n = min(duration/every_ms + 1, max_frames)),
+    hex-reproducible by the SQL oracle.
+    """
+
+    def __init__(self, mode: str = "fake", every_ms: int = 1000,
+                 max_frames: int = 8):
+        self.mode = mode
+        self.every_ms = every_ms
+        self.max_frames = max_frames
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        if self.mode == "real":
+            raise NotImplementedError(
+                "real frame sampling needs ffmpeg, not in this container")
+        keep = b.filter(pa.compute.equal(b["media_type"], "video"))
+        mid, fidx, ts, fhex, fbytes = [], [], [], [], []
+        for i in range(keep.num_rows):
+            p = keep["payload"][i].as_py()
+            dur = keep["duration_ms"][i].as_py()
+            h = p.hex().upper()
+            n = min(dur // self.every_ms + 1, self.max_frames)
+            stride = max(1, len(p) // n)
+            for k in range(n):
+                sl = h[k * stride * 2: (k + 1) * stride * 2]
+                mid.append(keep["media_id"][i].as_py())
+                fidx.append(k)
+                ts.append(k * self.every_ms)
+                fhex.append(sl)
+                fbytes.append(len(sl) // 2)
+        return pa.table({
+            "media_id": pa.array(mid, pa.int64()),
+            "frame_idx": pa.array(fidx, pa.int64()),
+            "ts_ms": pa.array(ts, pa.int64()),
+            "frame_bytes": pa.array(fbytes, pa.int64()),
+            "frame_hex": pa.array(fhex, pa.string())})
+
+
+def resize_images(media: ray.data.Dataset, concurrency: int = 4,
+                  batch_size: int = 256) -> ray.data.Dataset:
+    return media.map_batches(
+        ImageResizer, fn_constructor_kwargs={"mode": "fake"},
+        batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True,
+        concurrency=(1, concurrency))
+
+
+def sample_frames(media: ray.data.Dataset, concurrency: int = 4,
+                  batch_size: int = 128) -> ray.data.Dataset:
+    """Smaller batch_size than the scalar stages: output fan-out is up to
+    max_frames rows per input row of large payload slices."""
+    return media.map_batches(
+        FrameSampler, fn_constructor_kwargs={"mode": "fake"},
         batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True,
         concurrency=(1, concurrency))
