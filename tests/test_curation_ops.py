@@ -127,7 +127,7 @@ def test_contamination_brute_force(ray_session):
 
 def _q_oracle(vals, qs):
     v = np.sort(vals)
-    return [float(v[int(np.floor((len(v) - 1) * q))]) for q in qs]
+    return [float(v[max(0, int(np.ceil(len(v) * q)) - 1)]) for q in qs]
 
 
 def test_quantiles_exact_matches_quantile_disc(ray_session):
@@ -315,3 +315,36 @@ def test_multimodal_resize_and_frames(ray_session):
         ImageResizer(mode="real")(pa.table({"media_type": pa.array(["image"])}))
     with _pytest.raises(NotImplementedError):
         FrameSampler(mode="real")(pa.table({"media_type": pa.array(["video"])}))
+
+
+def test_grouped_quantiles_matches_duckdb(ray_session):
+    from the_yelp_collaborative_knowledge_graph_ray.functions.quantiles import (
+        grouped_quantiles,
+    )
+    rng = np.random.RandomState(5)
+    n = 30000
+    tbl = pa.table({"g": pa.array(rng.randint(0, 4, n).astype("int64")),
+                    "x": pa.array(rng.lognormal(2, 1, n))})
+    got = grouped_quantiles(ray.data.from_arrow(tbl), "g", "x",
+                            [0.1, 0.5, 0.9], num_partitions=4).to_pandas()
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = con.sql("""
+        SELECT g, unnest([0.1, 0.5, 0.9]) AS q,
+               unnest([quantile_disc(x, 0.1), quantile_disc(x, 0.5),
+                       quantile_disc(x, 0.9)]) AS value
+        FROM t GROUP BY g ORDER BY 1, 2""").df()
+    got = got.sort_values(["g", "q"]).reset_index(drop=True)
+    assert (got["value"].to_numpy() == exp["value"].to_numpy()).all()
+
+
+def test_sliding_window_every_event_in_two_windows(ray_session):
+    from the_yelp_collaborative_knowledge_graph_ray.pipelines.relational import (
+        sliding_window_agg,
+    )
+    res = sliding_window_agg("/root/testdata/sf0.001").to_pandas()
+    import pyarrow.parquet as pq
+    n_events = pq.read_metadata(
+        "/root/testdata/sf0.001/events.parquet").num_rows
+    assert res["n"].sum() == 2 * n_events        # width/slide = 2 replicas
+    assert (res["w_start_s"] % 1800 == 0).all()  # aligned hop starts

@@ -38,6 +38,7 @@ def _names():
     "text_tfidf", "curation_cap_per_source",
     "dedup_fingerprint", "dedup_canonical_map",
     "multimodal_resize", "multimodal_frame_sample",
+    "rel_quantiles_by_flag", "events_sliding_window",
     "rel_groupby_lineitem", "rel_join_orders_customer", "rel_topk_customers",
     "rel_first_order_per_customer", "rel_revenue_by_brand",
     "events_sessionize", "events_window_agg", "events_json_props_sum",

@@ -18,8 +18,9 @@ If a bin is still too large (adversarially concentrated data), the same
 narrowing recurses inside the bin; uniform-ish data finishes in one round.
 
 Rank semantics match DuckDB ``quantile_disc``: the value at 0-indexed rank
-``floor((n - 1) * q)`` of the sorted column (verified empirically; see
-tests/test_quantiles.py).
+``ceil(n * q) - 1`` (clamped to >= 0) of the sorted column — verified
+empirically against DuckDB across group sizes and q values (see
+tests/test_curation_ops.py).
 """
 from __future__ import annotations
 
@@ -66,7 +67,9 @@ def quantiles_exact(ds: ray.data.Dataset, col: str, qs: list[float],
                          "value": pa.array([None] * len(qs), pa.float64())})
     lo = min(p["lo"] for p in parts)
     hi = max(p["hi"] for p in parts)
-    ranks = [int(np.floor((n - 1) * q)) for q in qs]  # quantile_disc rank
+    # DuckDB quantile_disc rank: ceil(n*q) - 1, clamped at 0 (probed
+    # empirically across n/q — floor((n-1)*q) disagrees at e.g. q=0.95)
+    ranks = [max(0, int(np.ceil(n * q)) - 1) for q in qs]
 
     # narrowing rounds: histogram -> locate rank bins -> collect or recurse
     # active[i] = (lo_i, hi_i, rank_within_range_i, base_count_below_lo_i)
@@ -153,3 +156,53 @@ def quantiles_exact(ds: ray.data.Dataset, col: str, qs: list[float],
     return pa.table({
         "q": pa.array(qs, pa.float64()),
         "value": pa.array([values[r] for r in ranks], pa.float64())})
+
+
+def grouped_quantiles(ds: ray.data.Dataset, key: str, col: str,
+                      qs: list[float],
+                      num_partitions: int | None = None) -> ray.data.Dataset:
+    """Per-key ``quantile_disc``: ONE key sort colocates complete groups per
+    block (functions/grouped.sorted_group_apply invariant); within a block a
+    single pass of per-group sorted-rank picks computes every quantile.
+
+    Output: (key, q, value) — one row per key per q, sorted by (key, q).
+    Assumes one key's rows fit a block; for a pathological single hot key,
+    run :func:`quantiles_exact` on that key's slice instead (documented
+    partitioning assumption).
+    """
+    from .grouped import group_ids, sorted_group_apply
+    qs = sorted(qs)
+
+    def block_fn(b: pa.Table) -> pa.Table:
+        key_t = b.schema.field(key).type
+        out_schema = pa.schema([(key, key_t), ("q", pa.float64()),
+                                ("value", pa.float64())])
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        gid, starts = group_ids(b, [key])
+        v = _col(b, col)
+        ends = np.append(starts[1:], b.num_rows)
+        keys_out, q_out, v_out = [], [], []
+        for s, e in zip(starts, ends):
+            vv = np.sort(v[s:e])
+            vv = vv[~np.isnan(vv)]
+            for q in qs:
+                keys_out.append(s)
+                q_out.append(q)
+                v_out.append(
+                    float(vv[max(0, int(np.ceil(len(vv) * q)) - 1)])
+                             if len(vv) else None)
+        return pa.table({
+            key: b[key].take(pa.array(keys_out, pa.int64())),
+            "q": pa.array(q_out, pa.float64()),
+            "value": pa.array(v_out, pa.float64())}, schema=out_schema)
+
+    return sorted_group_apply(ds.select_columns([key, col]), [key],
+                              block_fn, num_partitions)
+
+
+def _col(b: pa.Table, col: str) -> np.ndarray:
+    arr = b[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)

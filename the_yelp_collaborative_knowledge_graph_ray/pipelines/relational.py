@@ -301,3 +301,60 @@ def sessionize_events(sf_dir: str) -> ray.data.Dataset:
     from ..functions.grouped import sorted_group_apply
     return sorted_group_apply(ev, ["user_id"], sessions_block) \
         .sort("user_id")
+
+
+def sliding_window_agg(sf_dir: str, width_s: int = 3600,
+                       slide_s: int = 1800) -> ray.data.Dataset:
+    """OVERLAPPING (sliding) windows per event_type — the hop-window
+    generalization of :func:`windowed_event_agg`. Each event belongs to
+    exactly ``width/slide`` windows; the replication happens MAP-SIDE with a
+    bounded fan-out and is partial-combined per block before the one
+    all-to-all, so the shuffle moves (type, window) partials, not
+    width/slide copies of the event stream.
+
+    Window starts are epoch-second integers on both engines (kept as BIGINT
+    end to end — no timestamp round-tripping to disagree over).
+    """
+    assert width_s % slide_s == 0
+    k = width_s // slide_s
+    ev = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        # Arrow timestamp -> epoch seconds (column unit is us in the fixture;
+        # derive the divisor from the type so any unit works)
+        unit = b.schema.field("ts").type.unit
+        div = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
+        sec = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False) \
+            // div
+        w0 = (sec // slide_s) * slide_s
+        et = b["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        vc = _scaled_int(b["value"], 100.0)
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        t = pa.table({
+            "event_type": pa.concat_arrays([et] * k),
+            "w_start_s": pa.array(np.concatenate(
+                [w0 - i * slide_s for i in range(k)])),
+            "value_c": pa.concat_arrays([vc] * k)})
+        return t.group_by(["event_type", "w_start_s"],
+                          use_threads=False).aggregate(
+            [("value_c", "sum"), ("value_c", "count")]).rename_columns(
+            ["event_type", "w_start_s", "sum_value_c", "n"])
+
+    from ..functions.grouped import sorted_aggregate
+    partials = ev.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    agg = sorted_aggregate(partials, ["event_type", "w_start_s"],
+                           [("sum_value_c", "sum"), ("n", "sum")],
+                           ["event_type", "w_start_s", "sum_value_c", "n"])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"], "w_start_s": b["w_start_s"],
+            "sum_value": pc.divide(pc.cast(b["sum_value_c"], pa.float64()),
+                                   pa.scalar(100.0)),
+            "n": b["n"]})
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -722,6 +722,23 @@ def _q_cap_per_source(sf_dir: str):
                          [("n_chars", False), ("doc_id", True)], 20)
 
 
+def _q_rel_quantiles_by_flag(sf_dir: str):
+    """Per-group quantile_disc (functions/quantiles.grouped_quantiles):
+    one key sort, per-group sorted-rank picks inside complete-group blocks."""
+    from .functions.quantiles import grouped_quantiles
+    li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_returnflag", "l_extendedprice"])
+    return grouped_quantiles(li, "l_returnflag", "l_extendedprice",
+                             [0.25, 0.5, 0.75, 0.95])
+
+
+def _q_events_sliding_window(sf_dir: str):
+    """Overlapping hop windows (relational.sliding_window_agg): map-side
+    bounded replication + partial combine, ONE all-to-all of partials."""
+    from .pipelines.relational import sliding_window_agg
+    return sliding_window_agg(sf_dir)
+
+
 def _q_rel_quantiles(sf_dir: str):
     """Exact distributed quantiles (functions/quantiles.py): histogram-
     narrowed rank selection, three streaming passes, no sort/shuffle;
@@ -1042,6 +1059,8 @@ def queries() -> dict[str, Callable]:
         "text_tfidf": _q_text_tfidf,
         "curation_cap_per_source": _q_cap_per_source,
         "rel_quantiles": _q_rel_quantiles,
+        "rel_quantiles_by_flag": _q_rel_quantiles_by_flag,
+        "events_sliding_window": _q_events_sliding_window,
         # relational operator demos
         "rel_groupby_lineitem": _q_rel_lineitem,
         "rel_join_orders_customer": _q_rel_mktsegment,
@@ -1518,6 +1537,27 @@ def oracle_sql() -> dict[str, str]:
             FROM p JOIN iv ON p.user_id = iv.user_id
                           AND p.ts >= iv.s AND p.ts < iv.e
             ORDER BY p.event_id, iv.error_id""",
+        "rel_quantiles_by_flag": """
+            SELECT l_returnflag, unnest([0.25, 0.5, 0.75, 0.95]) AS q,
+                   unnest([quantile_disc(l_extendedprice, 0.25),
+                           quantile_disc(l_extendedprice, 0.5),
+                           quantile_disc(l_extendedprice, 0.75),
+                           quantile_disc(l_extendedprice, 0.95)]) AS value
+            FROM lineitem GROUP BY 1 ORDER BY 1, 2""",
+        # hop windows: every event in exactly width/slide = 2 windows;
+        # window starts as epoch-second BIGINTs on both engines
+        "events_sliding_window": """
+            WITH e AS (SELECT event_type, epoch_ms(ts) // 1000 AS sec, value
+                       FROM events),
+            x AS (SELECT event_type,
+                         (sec // 1800) * 1800 - i.i * 1800 AS w_start_s,
+                         value
+                  FROM e CROSS JOIN (SELECT unnest(range(0, 2)) AS i) i)
+            SELECT event_type, w_start_s,
+                   sum(CAST(round(value * 100) AS BIGINT)) / 100.0
+                     AS sum_value,
+                   count(*) AS n
+            FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
         "events_window_agg": """
             SELECT event_type, date_trunc('hour', ts) AS w,
                    sum(CAST(round(value * 100) AS BIGINT)) / 100.0
