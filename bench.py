@@ -122,6 +122,48 @@ def run_child(sf_name: str, num_cpus: int) -> dict:
             "triples_per_sec": round(n / dt, 1)}
 
 
+# dedup/curation operators timed at 200k docs (40x the sf0.1 documents
+# table) — the testdata corpus times these as pure scheduling overhead;
+# this is the scale where the shuffle/verify machinery actually works.
+DOCS_QUERIES = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_canonical_map",
+    # dedup_fingerprint excluded: char-5-gram fingerprints need natural-text
+    # gram rarity; in the synthetic word-salad corpus every gram is shared
+    # by hundreds of docs, so the stop-key rule (correctly) drops them all
+    "text_quality",
+    "text_tfidf",
+    "contamination_check",
+    "sample_hash",
+    "curation_cap_per_source",
+]
+
+
+def run_docs(num_cpus: int) -> dict:
+    _init_ray(num_cpus)
+    from the_yelp_collaborative_knowledge_graph_ray import queries as Q
+    from the_yelp_collaborative_knowledge_graph_ray.fixtures import generator
+
+    ddir = generator.ensure_docs_fixture("docsbench")
+    qs = Q.queries()
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in DOCS_QUERIES:
+        t0 = time.time()
+        rows[name] = _consume(qs[name](ddir))
+        timings[name] = round(time.time() - t0, 3)
+    return {
+        "metric": "docs_dedup_suite_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "rows": rows,
+        "n_docs": generator.DOCS_PROFILES["docsbench"],
+        "num_cpus": num_cpus,
+    }
+
+
 def run_scaling(sf_name: str, n: int = 8) -> dict:
     """Same input, fresh ray sessions at N and 4N CPUs (BASELINE.md)."""
     # generate fixtures once in the parent so children skip it
@@ -149,6 +191,8 @@ def run_scaling(sf_name: str, n: int = 8) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--docs", action="store_true",
+                    help="time the dedup/curation suite at 200k docs")
     ap.add_argument("--scaling-sf", default="bench",
                     help="fixture profile for the scaling run")
     ap.add_argument("--scaling-n", type=int, default=8,
@@ -162,6 +206,8 @@ def main() -> None:
     import ray
     if args.child_sf:
         print(json.dumps(run_child(args.child_sf, args.num_cpus)))
+    elif args.docs:
+        print(json.dumps(run_docs(args.num_cpus)))
     elif args.scaling:
         print(json.dumps(run_scaling(args.scaling_sf, args.scaling_n)))
     else:

@@ -419,3 +419,74 @@ def ensure_fixtures(sf_dir_or_name: str) -> str:
         import shutil
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# Large synthetic DOCUMENTS corpus — scale evidence for the dedup family
+# --------------------------------------------------------------------------
+# The driver's testdata documents table tops out at ~5k docs (sf0.1), which
+# times the dedup operators as pure scheduling overhead. This profile
+# generates a corpus 40x bigger with the same schema and a PLANTED dup
+# structure (every 37th doc an exact dup of its predecessor, every 41st a
+# one-word-edit near dup) and zipf-skewed sources, so `bench.py --docs`
+# measures the actual shuffle/verify machinery at meaningful scale.
+
+DOCS_PROFILES = {"docsbench": 200_000}
+
+_SYL = ["ra", "mo", "ti", "ne", "ko", "su", "va", "le",
+        "di", "pa", "zu", "qe", "fo", "hi", "ga", "wy"]
+_DOC_POOL = np.array([a + b + c for a in _SYL for b in _SYL for c in _SYL],
+                     dtype="U12")  # 4096 distinct 6-char words
+
+
+def generate_documents(n_docs: int, seed: int = SEED) -> pa.Table:
+    rng = np.random.RandomState(seed)
+    lengths = rng.randint(30, 90, size=n_docs)
+    offsets = np.concatenate([[0], np.cumsum(lengths)])
+    flat = _DOC_POOL[rng.randint(0, len(_DOC_POOL), size=int(offsets[-1]))]
+    texts = [" ".join(flat[offsets[i]:offsets[i + 1]])
+             for i in range(n_docs)]
+    for i in range(1, n_docs):
+        if i % 37 == 1:
+            texts[i] = texts[i - 1]                   # exact dup
+        elif i % 41 == 2:
+            ws = texts[i - 1].split(" ")              # near dup: 1-word edit
+            ws[len(ws) // 2] = "edited"
+            texts[i] = " ".join(ws)
+    # zipf-ish source skew across 20 buckets (source s_k with weight 1/(k+1))
+    w = 1.0 / np.arange(1, 21)
+    src_idx = rng.choice(20, size=n_docs, p=w / w.sum())
+    return pa.table({
+        "doc_id": pa.array(np.arange(n_docs), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * n_docs, pa.string()),
+        "source": pa.array(np.char.add("src", src_idx.astype(str)),
+                           pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64())})
+
+
+def ensure_docs_fixture(name: str = "docsbench") -> str:
+    """Generate (once) the large documents fixture; returns a dir whose
+    ``documents.parquet`` is a DIRECTORY of part files (read fan-out, same
+    rationale as the transcripts layout)."""
+    out = os.path.join(CACHE_ROOT, FORMAT_VERSION, name)
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
+    tmp = out + f".tmp{os.getpid()}"
+    ddir = os.path.join(tmp, "documents.parquet")
+    os.makedirs(ddir, exist_ok=True)
+    tab = generate_documents(DOCS_PROFILES[name])
+    per = 8_192
+    for i in range(0, tab.num_rows, per):
+        pq.write_table(tab.slice(i, per),
+                       os.path.join(ddir, f"part-{i // per:05d}.parquet"),
+                       row_group_size=4_096)
+    with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
+        f.write("ok\n")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

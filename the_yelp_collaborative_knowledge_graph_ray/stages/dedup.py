@@ -259,8 +259,13 @@ def _minhash_signatures(col, k: int = SHINGLE_K
     doc_idx, codes, dictionary = _distinct_doc_shingles(col, k)
     if len(doc_idx) == 0:
         return np.empty(0, np.int64), np.empty((0, MINHASH_K), np.int64)
-    h = _crc32_dict(dictionary)[codes]
-    vals = (h[:, None] * _PERM_A[None, :] + _PERM_B[None, :]) % _MERSENNE
+    # permutations depend ONLY on the shingle: do the modular arithmetic on
+    # the batch DICTIONARY (distinct shingles), then gather per row — on
+    # repetitive corpora the dictionary is ~10x smaller than the (doc,
+    # shingle) rows and the gather is a memcpy, not arithmetic
+    h = _crc32_dict(dictionary)
+    perm_dict = (h[:, None] * _PERM_A[None, :] + _PERM_B[None, :]) % _MERSENNE
+    vals = perm_dict[codes]
     starts = np.flatnonzero(
         np.concatenate([[True], doc_idx[1:] != doc_idx[:-1]]))
     sigs = np.minimum.reduceat(vals, starts, axis=0)
