@@ -262,13 +262,43 @@ def _minhash_signatures(col, k: int = SHINGLE_K
     # permutations depend ONLY on the shingle: do the modular arithmetic on
     # the batch DICTIONARY (distinct shingles), then gather per row — on
     # repetitive corpora the dictionary is ~10x smaller than the (doc,
-    # shingle) rows and the gather is a memcpy, not arithmetic
+    # shingle) rows and the gather is a memcpy, not arithmetic.
+    # Memory shape: everything runs in K-chunks with preallocated buffers
+    # (a single expression would materialize three fresh (dict x K) int64
+    # temporaries ≈ 3 x 8K bytes/shingle — fresh pages are the dominant
+    # cost in a cold worker, and peak heap matters at scale regardless)
     h = _crc32_dict(dictionary)
-    perm_dict = (h[:, None] * _PERM_A[None, :] + _PERM_B[None, :]) % _MERSENNE
-    vals = perm_dict[codes]
     starts = np.flatnonzero(
         np.concatenate([[True], doc_idx[1:] != doc_idx[:-1]]))
-    sigs = np.minimum.reduceat(vals, starts, axis=0)
+    sigs = np.empty((len(starts), MINHASH_K), np.int64)
+    kc = 16  # permutations per chunk
+    gather_buf = np.empty((len(codes), kc), np.int64)
+    # Adaptive inner shape. Repetitive corpus (dictionary much smaller than
+    # the (doc, shingle) rows): arithmetic per DICT entry, then one random
+    # gather of results per row — K x fewer mod-muls. Near-distinct corpus:
+    # the big gather moves (rows x K x 8) bytes randomly for no arithmetic
+    # saving, so gather the 8-byte hash per row ONCE and run the affine
+    # chunks in-place over rows — sequential memory, one small gather.
+    repetitive = len(codes) >= 4 * len(h)
+    if repetitive:
+        perm_buf = np.empty((len(h), kc), np.int64)
+        src = h
+    else:
+        src = np.take(h, codes)
+    for c0 in range(0, MINHASH_K, kc):
+        c1 = min(c0 + kc, MINHASH_K)
+        gb = gather_buf[:, :c1 - c0]
+        if repetitive:
+            pb = perm_buf[:, :c1 - c0]
+            np.multiply(src[:, None], _PERM_A[None, c0:c1], out=pb)
+            np.add(pb, _PERM_B[None, c0:c1], out=pb)
+            np.remainder(pb, _MERSENNE, out=pb)
+            np.take(pb, codes, axis=0, out=gb)
+        else:
+            np.multiply(src[:, None], _PERM_A[None, c0:c1], out=gb)
+            np.add(gb, _PERM_B[None, c0:c1], out=gb)
+            np.remainder(gb, _MERSENNE, out=gb)
+        np.minimum.reduceat(gb, starts, axis=0, out=sigs[:, c0:c1])
     return doc_idx[starts], sigs
 
 
