@@ -145,8 +145,13 @@ def _distinct_doc_shingles(col, k: int = SHINGLE_K
     ``dictionary[shingle_code]`` is the shingle string. Docs with < k words
     contribute nothing (see :func:`_shingles`).
     """
-    words, doc_of = _words_flat(col)
-    T = len(words)
+    lst = pc.split_pattern(pc.utf8_lower(col), " ")
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    counts = pc.list_value_length(lst).to_numpy().astype(np.int64)
+    doc_of = np.repeat(np.arange(len(counts)), counts)
+    warr = lst.flatten()
+    T = len(warr)
     empty = (np.empty(0, np.int64), np.empty(0, np.int64),
              pa.array([], pa.string()))
     if T < k:
@@ -156,11 +161,12 @@ def _distinct_doc_shingles(col, k: int = SHINGLE_K
     starts = np.flatnonzero(valid)
     if len(starts) == 0:
         return empty
-    u = words.astype("U")  # fixed-width unicode -> C-speed np.char kernels
-    sh = u[starts]
-    for off in range(1, k):
-        sh = np.char.add(np.char.add(sh, " "), u[starts + off])
-    dic = pa.array(sh, pa.string()).dictionary_encode()
+    # all T-k+1 consecutive shingles via zero-copy slices joined in one
+    # Arrow kernel pass, then take the doc-interior starts — var-width C
+    # string handling, no fixed-width numpy unicode blow-up
+    sh_all = pc.binary_join_element_wise(
+        *[warr.slice(off, T - k + 1) for off in range(k)], " ")
+    dic = sh_all.take(pa.array(starts)).dictionary_encode()
     codes = dic.indices.to_numpy().astype(np.int64)
     n_dict = len(dic.dictionary)
     key = doc_of[starts] * n_dict + codes  # distinct per doc
