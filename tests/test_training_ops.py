@@ -191,6 +191,16 @@ def test_embedding_lsh_equals_blocked_on_planted_pairs(ray_session):
         lsh[["doc_a", "doc_b"]].values.tolist()
     assert np.allclose(exact["cosine"], lsh["cosine"])
 
+    # the ride-along vector transport (the beyond-node-memory regime,
+    # forced by a zero broadcast budget) must emit identical pairs
+    ride = dedup.embedding_near_dup_pairs(
+        ds, threshold=0.9, bands=16, rows_per_band=8,
+        broadcast_bytes=0).to_pandas() \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert ride[["doc_a", "doc_b"]].values.tolist() == \
+        lsh[["doc_a", "doc_b"]].values.tolist()
+    assert np.allclose(ride["cosine"], lsh["cosine"])
+
 
 def test_ivf_recall_vs_brute_force(ray_session):
     ds, _ = _emb_ds(n=256, dim=16)

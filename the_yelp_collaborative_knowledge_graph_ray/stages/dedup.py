@@ -696,11 +696,25 @@ def embedding_near_dup_pairs(embeddings: ray.data.Dataset,
                              threshold: float = 0.35,
                              bands: int = 128, rows_per_band: int = 2,
                              seed: int = _LSH_SEED,
-                             num_partitions: int | None = None
+                             num_partitions: int | None = None,
+                             broadcast_bytes: int = _BROADCAST_TEXT_BYTES
                              ) -> ray.data.Dataset:
     """All pairs with cosine >= threshold via random-hyperplane LSH — the
-    scale path (module comment): signature rows shuffle, vectors ride along
-    once per band, in-bucket exact verify, cross-band dedup.
+    scale path (module comment): signature rows shuffle, in-bucket exact
+    verify, cross-band dedup.
+
+    Vector transport (how the verify stage gets its vectors) is two-regime:
+
+    * **broadcast** — when the whole embedding matrix fits a node's object
+      store (``size <= broadcast_bytes``): a WORKER task concatenates the
+      blocks into one sorted (ids, matrix) lookup (the driver only passes
+      ObjectRefs — no driver materialization) and every bucket gathers its
+      rows from the shared plasma buffer. The shuffle then carries three
+      small ints per signature row instead of the full vector once per
+      band — a ``bands``-fold shuffle-byte reduction.
+    * **ride-along** — beyond that, the embedding column rides the shuffle
+      once per band; no stage ever holds more than its bucket. Unbounded
+      scale, ``bands``x the shuffle bytes.
 
     Parameter guidance: the miss probability of a pair at cosine c is
     (1 - p^r)^b with p = 1 - arccos(c)/pi. Defaults (b=128, r=2) are sized
@@ -710,6 +724,20 @@ def embedding_near_dup_pairs(embeddings: ray.data.Dataset,
     """
     nbits = bands * rows_per_band
     weights = (1 << np.arange(rows_per_band, dtype=np.int64))
+    sz = embeddings.size_bytes()
+    broadcast = sz is not None and sz <= broadcast_bytes
+    lookup = None
+    if broadcast:
+        embeddings = embeddings.materialize()  # consumed twice in this mode
+        refs = embeddings.to_arrow_refs()
+
+        @ray.remote
+        def _build_lookup(*blocks: pa.Table):
+            ids, mat = _load_matrix(pa.concat_tables(blocks))
+            order = np.argsort(ids)
+            return ids[order], mat[order]
+
+        lookup = _build_lookup.remote(*refs)
 
     def sig_rows(b: pa.Table) -> pa.Table:
         ids, mat = _load_matrix(b)
@@ -719,12 +747,14 @@ def embedding_near_dup_pairs(embeddings: ray.data.Dataset,
         bits = (mat @ H.T) > 0                       # (n, nbits)
         keys = bits.reshape(n, bands, rows_per_band) @ weights  # (n, bands)
         band_idx = np.tile(np.arange(bands, dtype=np.int32), n)
-        return pa.table({
+        cols = {
             "band": pa.array(band_idx),
             "bkey": pa.array(keys.reshape(-1).astype(np.int64)),
-            "vec_id": pa.array(np.repeat(ids.astype(np.int64), bands)),
-            "embedding": pa.array(
-                list(np.repeat(mat, bands, axis=0)), pa.list_(pa.float64()))})
+            "vec_id": pa.array(np.repeat(ids.astype(np.int64), bands))}
+        if not broadcast:
+            cols["embedding"] = pa.array(
+                list(np.repeat(mat, bands, axis=0)), pa.list_(pa.float64()))
+        return pa.table(cols)
 
     def bucket_pairs(b: pa.Table) -> pa.Table:
         out_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
@@ -734,16 +764,20 @@ def embedding_near_dup_pairs(embeddings: ray.data.Dataset,
         if len(starts) == 0:
             return out_schema.empty_table()
         ids = b["vec_id"].to_numpy()
-        mat = np.asarray(
-            b["embedding"].combine_chunks().to_numpy(zero_copy_only=False).tolist(),
-            dtype=np.float64)
+        if broadcast:
+            sids, smat = ray.get(lookup)
+        else:
+            mat = np.asarray(
+                b["embedding"].combine_chunks()
+                .to_numpy(zero_copy_only=False).tolist(), dtype=np.float64)
         ends = np.append(starts[1:], b.num_rows)
         out_a, out_b, out_s = [], [], []
         for s, e in zip(starts, ends):
             d, idx = np.unique(ids[s:e], return_index=True)
             if len(d) < 2:
                 continue
-            m = mat[s:e][idx]
+            m = smat[np.searchsorted(sids, d)] if broadcast \
+                else mat[s:e][idx]
             sc = np.round(m @ m.T, 6)
             iu, ju = np.triu_indices(len(d), k=1)
             keep = sc[iu, ju] >= threshold
