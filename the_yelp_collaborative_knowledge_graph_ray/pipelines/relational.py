@@ -103,35 +103,60 @@ def lineitem_agg(sf_dir: str) -> ray.data.Dataset:
 
 
 def orders_by_mktsegment(sf_dir: str) -> ray.data.Dataset:
-    """Broadcast join orders ⋈ customer -> revenue per market segment."""
-    from ray.data.aggregate import Count, Sum
+    """Broadcast join orders ⋈ customer -> revenue per market segment.
 
+    The canonical big×small shape: the small side is `ray.put` ONCE as a
+    sorted (custkey, segment-code) pair of numpy arrays and probed with a
+    binary search per batch — no Python dict, no per-row loop. Each batch
+    pre-aggregates to its ~5 segment partials (map-side combine), so the
+    only all-to-all moves a handful of rows per block into one
+    `sorted_aggregate`."""
     import pyarrow.parquet as pq
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_mktsegment"])
-    lookup_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(),
-                                  cust["c_mktsegment"].to_pylist())))
+    ck = cust["c_custkey"].to_numpy()
+    seg = cust["c_mktsegment"].combine_chunks().dictionary_encode()
+    seg_names = seg.dictionary.to_pylist()
+    order = np.argsort(ck)
+    lookup_ref = ray.put((ck[order],
+                          seg.indices.to_numpy().astype(np.int32)[order]))
 
     class Probe:
         def __init__(self):
-            self.lookup = ray.get(lookup_ref)
+            self.keys, self.codes = ray.get(lookup_ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            segs = [self.lookup.get(k) for k in b["o_custkey"].to_pylist()]
-            return pa.table({
-                "mktsegment": pa.array(segs, pa.string()),
+            k = pc.cast(b["o_custkey"], pa.int64()).combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.keys, k)
+            idx[idx == len(self.keys)] = 0
+            codes = np.where(self.keys[idx] == k, self.codes[idx],
+                             np.int32(-1))
+            part = pa.table({
+                "seg_code": pa.array(codes, pa.int32()),
                 "price_c": _scaled_int(b["o_totalprice"], 100.0)})
+            return part.group_by("seg_code", use_threads=False).aggregate(
+                [("price_c", "sum"), ("price_c", "count")]) \
+                .rename_columns(["seg_code", "revenue_c", "n_orders"])
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     probed = orders.map_batches(Probe, batch_format="pyarrow",
                                 zero_copy_batch=True, concurrency=(1, 4))
-    agg = probed.groupby("mktsegment").aggregate(
-        Sum("price_c", alias_name="revenue_c"),
-        Count("price_c", alias_name="n_orders"))
+    from ..functions.grouped import sorted_aggregate
+    agg = sorted_aggregate(probed, ["seg_code"],
+                           [("revenue_c", "sum"), ("n_orders", "sum")],
+                           ["seg_code", "revenue_c", "n_orders"],
+                           num_partitions=1)
+    names_arr = pa.array(seg_names, pa.string())
 
     def finalize(b: pa.Table) -> pa.Table:
+        code = b["seg_code"]
+        # -1 = custkey absent from the small side (never in TPC-H FK data;
+        # kept as a null segment like the dict-probe `.get` used to)
+        name = pc.if_else(pc.less(code, 0), pa.scalar(None, pa.string()),
+                          pc.take(names_arr, pc.max_element_wise(code, 0)))
         return pa.table({
-            "mktsegment": b["mktsegment"],
+            "mktsegment": name,
             "revenue": pc.divide(pc.cast(b["revenue_c"], pa.float64()),
                                  pa.scalar(100.0)),
             "n_orders": b["n_orders"]})
