@@ -36,6 +36,18 @@ import ray.data
 logger = logging.getLogger(__name__)
 
 
+def concat_nonempty(tables: list[pa.Table]) -> pa.Table:
+    """``pa.concat_tables`` that tolerates Ray sort's empty range
+    partitions: an empty partition materializes as a zero-column block whose
+    schema ("no fields") crashes a naive concat against the real blocks.
+    Zero-row blocks carry no data, so dropping them is semantics-free; if
+    everything is empty, return the first block as-is."""
+    keep = [t for t in tables if t.num_rows > 0]
+    if keep:
+        return pa.concat_tables(keep)
+    return tables[0] if tables else pa.table({})
+
+
 def _cap_group(d: np.ndarray, max_group: int | None, key_desc: str) -> np.ndarray:
     """Apply the hot-group posting cap, LOUDLY: when a group exceeds
     ``max_group`` ids, keep the first ``max_group`` and emit a warning with

@@ -48,8 +48,6 @@ def _scaled_int(arr, factor: float) -> pa.ChunkedArray:
 
 def lineitem_agg(sf_dir: str) -> ray.data.Dataset:
     """TPC-H Q1-style pricing summary with map-side partial aggregation."""
-    from ray.data.aggregate import Sum
-
     li = _read(sf_dir, "lineitem",
                columns=["l_returnflag", "l_linestatus", "l_quantity",
                         "l_extendedprice", "l_discount"])
@@ -74,12 +72,15 @@ def lineitem_agg(sf_dir: str) -> ray.data.Dataset:
 
     partials = li.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True)
-    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("sum_qty", alias_name="sum_qty"),
-        Sum("sum_base_c", alias_name="sum_base_c"),
-        Sum("sum_disc_price_c", alias_name="sum_disc_price_c"),
-        Sum("sum_disc_c", alias_name="sum_disc_c"),
-        Sum("n_rows", alias_name="count_order"))
+    from ..functions.grouped import sorted_aggregate
+    agg = sorted_aggregate(
+        partials, ["l_returnflag", "l_linestatus"],
+        [("sum_qty", "sum"), ("sum_base_c", "sum"),
+         ("sum_disc_price_c", "sum"), ("sum_disc_c", "sum"),
+         ("n_rows", "sum")],
+        ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_c",
+         "sum_disc_price_c", "sum_disc_c", "count_order"],
+        num_partitions=1)
 
     def finalize(b: pa.Table) -> pa.Table:
         n = pc.cast(b["count_order"], pa.float64())
@@ -166,18 +167,23 @@ def orders_by_mktsegment(sf_dir: str) -> ray.data.Dataset:
 
 
 def topk_customers(sf_dir: str, k: int = 10) -> ray.data.Dataset:
-    from ray.data.aggregate import Sum
-
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
-    def cents(b: pa.Table) -> pa.Table:
-        return pa.table({"o_custkey": b["o_custkey"],
-                         "price_c": _scaled_int(b["o_totalprice"], 100.0)})
+    def partial(b: pa.Table) -> pa.Table:
+        # map-side combine: collapse the batch to its distinct custkeys
+        # before the shuffle (orders for one customer cluster in batches)
+        t = pa.table({"o_custkey": b["o_custkey"],
+                      "price_c": _scaled_int(b["o_totalprice"], 100.0)})
+        return t.group_by("o_custkey", use_threads=False) \
+                .aggregate([("price_c", "sum")]) \
+                .rename_columns(["o_custkey", "price_c"])
 
-    totals = orders.map_batches(cents, batch_format="pyarrow",
-                                zero_copy_batch=True) \
-                   .groupby("o_custkey").aggregate(
-        Sum("price_c", alias_name="total_c"))
+    from ..functions.grouped import sorted_aggregate
+    totals = sorted_aggregate(
+        orders.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["o_custkey"], [("price_c", "sum")], ["o_custkey", "total_c"],
+        num_partitions=8)
 
     def finalize(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -191,45 +197,74 @@ def topk_customers(sf_dir: str, k: int = 10) -> ray.data.Dataset:
 
 
 def first_order_per_customer(sf_dir: str) -> ray.data.Dataset:
-    from ray.data.aggregate import Count, Min
-
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
-    return orders.groupby("o_custkey").aggregate(
-        Min("o_orderdate", alias_name="first_order"),
-        Count("o_orderdate", alias_name="n_orders")).sort("o_custkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        return b.group_by("o_custkey", use_threads=False) \
+                .aggregate([("o_orderdate", "min"),
+                            ("o_orderdate", "count")]) \
+                .rename_columns(["o_custkey", "first_order", "n_orders"])
+
+    from ..functions.grouped import sorted_aggregate
+    # min-of-mins / sum-of-counts over the partials; sorted_aggregate
+    # output is already globally ordered by o_custkey (range sort)
+    return sorted_aggregate(
+        orders.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["o_custkey"], [("first_order", "min"), ("n_orders", "sum")],
+        ["o_custkey", "first_order", "n_orders"], num_partitions=8)
 
 
 def revenue_by_brand(sf_dir: str) -> ray.data.Dataset:
-    """lineitem ⋈ part (broadcast) -> discounted revenue per brand."""
-    from ray.data.aggregate import Sum
+    """lineitem ⋈ part (broadcast) -> discounted revenue per brand.
 
+    Same shape as :func:`orders_by_mktsegment`: broadcast sorted
+    (partkey, brand-code) arrays probed by binary search, per-batch partial
+    aggregation to ~25 brand rows, one tiny global sorted_aggregate."""
     import pyarrow.parquet as pq
     part = pq.read_table(f"{sf_dir}/part.parquet",
                          columns=["p_partkey", "p_brand"])
-    lookup_ref = ray.put(dict(zip(part["p_partkey"].to_pylist(),
-                                  part["p_brand"].to_pylist())))
+    pk = part["p_partkey"].to_numpy()
+    brand = part["p_brand"].combine_chunks().dictionary_encode()
+    brand_names = brand.dictionary.to_pylist()
+    order = np.argsort(pk)
+    lookup_ref = ray.put((pk[order],
+                          brand.indices.to_numpy().astype(np.int32)[order]))
 
     class Probe:
         def __init__(self):
-            self.lookup = ray.get(lookup_ref)
+            self.keys, self.codes = ray.get(lookup_ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            brands = [self.lookup.get(k) for k in b["l_partkey"].to_pylist()]
+            k = pc.cast(b["l_partkey"], pa.int64()).combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.keys, k)
+            idx[idx == len(self.keys)] = 0
+            codes = np.where(self.keys[idx] == k, self.codes[idx],
+                             np.int32(-1))
             rev = pc.multiply(b["l_extendedprice"],
                               pc.subtract(pa.scalar(1.0), b["l_discount"]))
-            return pa.table({"brand": pa.array(brands, pa.string()),
-                             "revenue_c": _scaled_int(rev, 10000.0)})
+            part_t = pa.table({"brand_code": pa.array(codes, pa.int32()),
+                               "revenue_c": _scaled_int(rev, 10000.0)})
+            return part_t.group_by("brand_code", use_threads=False) \
+                .aggregate([("revenue_c", "sum")]) \
+                .rename_columns(["brand_code", "revenue_c"])
 
     li = _read(sf_dir, "lineitem",
                columns=["l_partkey", "l_extendedprice", "l_discount"])
     probed = li.map_batches(Probe, batch_format="pyarrow",
-                            zero_copy_batch=True, concurrency=(1, 4))
-    agg = probed.groupby("brand").aggregate(
-        Sum("revenue_c", alias_name="revenue_c"))
+                            zero_copy_batch=True, concurrency=(1, 8))
+    from ..functions.grouped import sorted_aggregate
+    agg = sorted_aggregate(probed, ["brand_code"], [("revenue_c", "sum")],
+                           ["brand_code", "revenue_c"], num_partitions=1)
+    names_arr = pa.array(brand_names, pa.string())
 
     def finalize(b: pa.Table) -> pa.Table:
+        code = b["brand_code"]
+        name = pc.if_else(pc.less(code, 0), pa.scalar(None, pa.string()),
+                          pc.take(names_arr, pc.max_element_wise(code, 0)))
         return pa.table({
-            "brand": b["brand"],
+            "brand": name,
             "revenue": pc.divide(pc.cast(b["revenue_c"], pa.float64()),
                                  pa.scalar(10000.0))})
 

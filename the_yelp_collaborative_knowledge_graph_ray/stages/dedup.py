@@ -385,7 +385,8 @@ def minhash_lsh_pairs(docs: ray.data.Dataset, threshold: float = 0.5,
     # 100 TB) do we pay the two co-group sort joins, sized to the measured
     # candidate volume rather than the cluster default.
     if texts.size_bytes() <= _BROADCAST_TEXT_BYTES:
-        tb = pa.concat_tables(ray.get(texts.to_arrow_refs()))
+        from ..functions.grouped import concat_nonempty
+        tb = concat_nonempty(ray.get(texts.to_arrow_refs()))
         order = np.argsort(tb["doc_id"].to_numpy(zero_copy_only=False))
         lookup = ray.put((tb["doc_id"].to_numpy(zero_copy_only=False)[order],
                           tb["text"].combine_chunks().take(
@@ -733,7 +734,8 @@ def embedding_near_dup_pairs(embeddings: ray.data.Dataset,
 
         @ray.remote
         def _build_lookup(*blocks: pa.Table):
-            ids, mat = _load_matrix(pa.concat_tables(blocks))
+            from ..functions.grouped import concat_nonempty
+            ids, mat = _load_matrix(concat_nonempty(list(blocks)))
             order = np.argsort(ids)
             return ids[order], mat[order]
 
@@ -891,7 +893,8 @@ def dedup_canonical_map(docs: ray.data.Dataset, pairs: ray.data.Dataset,
     labels = connected_components(
         pairs.map_batches(to_edges, batch_format="pyarrow"),
         num_partitions=np_cc)
-    lab_tbl = pa.concat_tables(ray.get(labels.materialize().to_arrow_refs()))
+    from ..functions.grouped import concat_nonempty
+    lab_tbl = concat_nonempty(ray.get(labels.materialize().to_arrow_refs()))
     nodes = np.asarray([int(x) for x in lab_tbl["node"].to_pylist()],
                        np.int64)
     canon = np.asarray([int(x) for x in lab_tbl["label"].to_pylist()],

@@ -290,7 +290,8 @@ def tfidf_top_terms(docs: ray.data.Dataset, k: int = 3,
     from .dedup import _words_flat
 
     n_docs = docs.count()  # parquet metadata read — no data pass
-    df_tbl = pa.concat_tables(
+    from ..functions.grouped import concat_nonempty
+    df_tbl = concat_nonempty(
         ray.get(document_frequencies(docs, num_partitions)
                 .materialize().to_arrow_refs()))
     # blocks are each sorted but their DRIVER-side concat order is a Ray
