@@ -99,6 +99,13 @@ def sorted_group_apply(ds: ray.data.Dataset, keys: list[str],
     data is far smaller than the cluster default block count should pass an
     explicit partition count sized to the DATA, not the CPUs.
     """
+    # Parquet blocks read straight off disk carry pandas schema metadata
+    # (a dict) that Ray's shuffle cannot hash — every reduce task then logs
+    # "Failed to hash the schemas". Stripping metadata is zero-copy and the
+    # map fuses with the upstream read.
+    ds = ds.map_batches(
+        lambda b: b.replace_schema_metadata(None) if b.schema.metadata else b,
+        batch_format="pyarrow", zero_copy_batch=True)
     if num_partitions is not None:
         ds = ds.repartition(num_partitions)
     return ds.sort(keys).map_batches(block_fn, batch_format="pyarrow",
