@@ -137,6 +137,28 @@ def sorted_aggregate(ds: ray.data.Dataset, keys: list[str],
     return sorted_group_apply(ds, keys, block_agg, num_partitions)
 
 
+def grouped_count(ds: ray.data.Dataset, keys: list[str],
+                  out_name: str = "n",
+                  num_partitions: int | None = None) -> ray.data.Dataset:
+    """Exact grouped row count — ``groupby(keys).count()`` without Ray's
+    row-wise Python reduce: each batch collapses to its distinct keys with
+    one Arrow ``group_by`` (map-side combine), then a sum-of-partials
+    :func:`sorted_aggregate`. Output columns: keys + ``out_name``, sorted
+    by keys."""
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.select(keys)
+        return t.append_column("__one", pa.array(
+            np.ones(t.num_rows, np.int64))) \
+            .group_by(keys, use_threads=False) \
+            .aggregate([("__one", "sum")]) \
+            .rename_columns(keys + [out_name])
+
+    return sorted_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        keys, [(out_name, "sum")], keys + [out_name], num_partitions)
+
+
 def pairs_within_groups(ds: ray.data.Dataset, keys: list[str], id_col: str,
                         count_col: str = "n",
                         max_group: int | None = None,

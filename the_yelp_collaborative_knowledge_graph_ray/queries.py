@@ -199,18 +199,20 @@ def _q_full(sf_dir: str):
 
 
 def _q_turns_per_role(sf_dir: str):
+    from .functions.grouped import grouped_count
     ts = _read_transcripts(sf_dir, columns=["role"])
-    return ts.groupby("role").count().rename_columns({"count()": "n"}).sort("role")
+    return grouped_count(ts, ["role"], num_partitions=1).sort("role")
 
 
 def _q_mean_turns_per_conv(sf_dir: str):
+    from .functions.grouped import grouped_count
     ts = _read_transcripts(sf_dir, columns=["conv_id"])
-    agg = ts.groupby("conv_id").count()
+    agg = grouped_count(ts, ["conv_id"], num_partitions=16)
 
     def summarize(batch: pa.Table) -> pa.Table:
         return pa.table({
             "n_convs": pa.array([batch.num_rows], pa.int64()),
-            "total_turns": pa.array([pc.sum(batch["count()"]).as_py()], pa.int64())})
+            "total_turns": pa.array([pc.sum(batch["n"]).as_py()], pa.int64())})
     parts = agg.map_batches(summarize, batch_format="pyarrow").to_pandas()
     n_convs = int(parts["n_convs"].sum())
     total = int(parts["total_turns"].sum())
@@ -228,15 +230,17 @@ def _q_busiest_day_by_tool(sf_dir: str):
         sel = b.filter(_tool_mask(b["tool"]))
         return pa.table({"day": pc.strftime(sel["ts"], format="%Y-%m-%d")})
     days = ts.map_batches(prep, batch_format="pyarrow")
-    counts = days.groupby("day").count().rename_columns({"count()": "n"})
+    from .functions.grouped import grouped_count
+    counts = grouped_count(days, ["day"], num_partitions=4)
     return counts.sort(["n", "day"], descending=[True, False]).limit(1)
 
 
 def _q_convs_over_10_turns(sf_dir: str):
+    from .functions.grouped import grouped_count
     ts = _read_transcripts(sf_dir, columns=["conv_id"])
-    agg = ts.groupby("conv_id").count()
+    agg = grouped_count(ts, ["conv_id"], num_partitions=16)
     big = agg.map_batches(
-        lambda b: b.filter(pc.greater(b["count()"], 10)), batch_format="pyarrow")
+        lambda b: b.filter(pc.greater(b["n"], 10)), batch_format="pyarrow")
     import pandas as pd
     return pd.DataFrame({"n_convs": [big.count()]})
 
@@ -266,8 +270,9 @@ def _q_top_tools(sf_dir: str):
     def prep(b: pa.Table) -> pa.Table:
         from .stages.extract import _tool_mask
         return pa.table({"tool": b.filter(_tool_mask(b["tool"]))["tool"]})
-    counts = ts.map_batches(prep, batch_format="pyarrow") \
-        .groupby("tool").count().rename_columns({"count()": "n"})
+    from .functions.grouped import grouped_count
+    counts = grouped_count(ts.map_batches(prep, batch_format="pyarrow"),
+                           ["tool"], num_partitions=1)
     return counts.sort(["n", "tool"], descending=[True, False]).limit(5)
 
 
@@ -316,8 +321,9 @@ def _q_linked_forms(sf_dir: str):
 def _q_busiest_conv(sf_dir: str):
     """CQ9 analog (most-visited business): the conversation with the most
     turns, deterministic tie-break."""
+    from .functions.grouped import grouped_count
     ts = _read_transcripts(sf_dir, columns=["conv_id"])
-    counts = ts.groupby("conv_id").count().rename_columns({"count()": "n"})
+    counts = grouped_count(ts, ["conv_id"], num_partitions=16)
     return counts.sort(["n", "conv_id"], descending=[True, False]).limit(1)
 
 
@@ -340,8 +346,9 @@ def _q_turns_per_weekday(sf_dir: str):
         d = pc.add(pc.day_of_week(b["ts"], count_from_zero=True,
                                   week_start=1), 1)
         return pa.table({"dow": pc.cast(d, pa.int64())})
-    return ts.map_batches(dow, batch_format="pyarrow") \
-        .groupby("dow").count().rename_columns({"count()": "n"}).sort("dow")
+    from .functions.grouped import grouped_count
+    return grouped_count(ts.map_batches(dow, batch_format="pyarrow"),
+                         ["dow"], num_partitions=1).sort("dow")
 
 
 def _q_convs_with_min_tools(sf_dir: str):
