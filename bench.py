@@ -128,12 +128,15 @@ def run_child(sf_name: str, num_cpus: int) -> dict:
 DOCS_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "dedup_canonical_map",
     # dedup_fingerprint excluded: char-5-gram fingerprints need natural-text
     # gram rarity; in the synthetic word-salad corpus every gram is shared
     # by hundreds of docs, so the stop-key rule (correctly) drops them all
     "text_quality",
     "text_tfidf",
+    "text_langid",
+    "text_token_count",
     "contamination_check",
     "sample_hash",
     "curation_cap_per_source",
