@@ -290,6 +290,23 @@ def test_sorted_aggregate_matches_pandas(ray_session):
     assert got["k"].is_monotonic_increasing
 
 
+def test_grouped_count_matches_pandas(ray_session):
+    from the_yelp_collaborative_knowledge_graph_ray.functions.grouped import (
+        grouped_count,
+    )
+    rng = np.random.RandomState(6)
+    k = rng.randint(0, 37, size=10_000)
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(k, pa.int64()),
+        "other": pa.array(rng.rand(len(k)))}))
+    got = grouped_count(ds.repartition(6), ["k"], num_partitions=4) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    import pandas as pd
+    want = pd.DataFrame({"k": k}).groupby("k").size() \
+        .rename("n").reset_index()
+    assert got.astype("int64").equals(want.astype("int64"))
+
+
 def test_salted_aggregate_exact_on_hot_keys(ray_session):
     from the_yelp_collaborative_knowledge_graph_ray.functions.salting import (
         salted_aggregate,
