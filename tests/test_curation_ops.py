@@ -240,6 +240,37 @@ def test_dedup_canonical_map_is_transitive(ray_session):
     assert got[42]["canon_id"] == 42 and not got[42]["is_dup"]
 
 
+def test_dedup_canonical_map_local_equals_distributed(ray_session):
+    """The size-gated local union-find fast path and the distributed
+    min-label propagation (forced via local_threshold=0) must emit the
+    same keep/drop map on a random multi-component pair graph."""
+    from the_yelp_collaborative_knowledge_graph_ray.stages.dedup import (
+        dedup_canonical_map,
+    )
+    rng = np.random.RandomState(13)
+    ids = np.arange(400, dtype=np.int64)
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids),
+        "text": pa.array([f"d{i}" for i in ids], pa.string())}))
+    # chains within 40-id strides + some random cross edges
+    ea = list(range(0, 399))
+    eb = [i + 1 for i in ea if (i + 1) % 40]
+    ea = [i for i in ea if (i + 1) % 40]
+    extra = rng.randint(0, 400, size=(30, 2))
+    for a, b in extra:
+        if a != b:
+            ea.append(int(min(a, b)))
+            eb.append(int(max(a, b)))
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array(ea, pa.int64()),
+        "doc_b": pa.array(eb, pa.int64())}))
+    local = dedup_canonical_map(docs, pairs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    dist = dedup_canonical_map(docs, pairs, local_threshold=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert local.equals(dist)
+
+
 def test_fingerprint_pairs_rank_exact_dups_highest(ray_session):
     """Exact duplicates share every fingerprint; unrelated docs share few.
     Also checks the stop-key drop keeps the operator exact on its own

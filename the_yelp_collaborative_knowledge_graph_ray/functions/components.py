@@ -8,11 +8,20 @@ primitives, so the same code works at 10^12 edges:
 
     labels(x) <- min(labels(x), min over neighbors y of labels(y))
 
-iterated to fixpoint. Each round is one hash-shuffle join (propagate labels
-across edges) plus one groupby-min. Convergence in O(diameter) rounds; the
-radial variant->canonical alias graphs of this engine converge in 1 round
-(SURVEY.md §7 "custom distributed state"). Fixpoint is detected with a cheap
-global aggregate (sum of per-row label hashes), not a driver-side diff.
+iterated to fixpoint. Each round is two hash-shuffle joins — edge
+propagation plus a pointer jump ``label(x) <- label(label(x))`` that
+compresses label trees — and one groupby-min. Convergence is
+O(graph diameter) rounds (measured: a 400-node graph of 40-long chains
+bridged by random edges takes ~25 rounds with the jump, ~50 without;
+the jump accelerates but is NOT a log-round guarantee — a label still
+enters a new region only via an edge hop). Dense near-duplicate
+clusters — the actual shape of dedup pair graphs — converge in a few
+rounds and exit early via the fixpoint check (XOR-combined per-block
+label hashes, no driver-side diff). Exhausting ``max_iter`` logs a
+warning instead of silently returning partial labels; small graphs
+(<= ``local_threshold`` pairs) never reach this code —
+``stages/dedup.dedup_canonical_map`` routes them through an exact local
+union-find (``_local_components``).
 """
 
 from __future__ import annotations
@@ -26,21 +35,39 @@ import ray.data
 from .grouped import sorted_aggregate
 
 
+def _sever(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Rebuild a materialized Dataset from its Arrow block refs (zero-copy —
+    the refs already live in the object store). Iterative algorithms must
+    cut the plan/stats lineage every round: Ray chains a DatasetStats parent
+    per operator, and ~50 rounds of join+union+aggregate build a chain deep
+    enough that the executor's own stats summary overflows Python's
+    recursion limit (observed as RecursionError from stats.py:to_summary)."""
+    return ray.data.from_arrow_refs(ds.to_arrow_refs())
+
+
 def _hash_sum(labels: ray.data.Dataset) -> int:
-    """Order-insensitive fingerprint of the (node, label) assignment."""
+    """Order-insensitive fingerprint of the (node, label) assignment:
+    per-block XOR partials (one int64 row per block — XOR never overflows,
+    unlike the previous int64 SUM, whose Python-bigint result tripped a
+    noisy Arrow-conversion fallback in Ray's reduce), combined on the
+    driver over the block-count-sized partial list."""
     import pandas as pd
 
     def h(batch: pa.Table) -> pa.Table:
         joined = pc.binary_join_element_wise(batch["node"], batch["label"], "\x1f")
         # deterministic across processes (unlike builtin str hash)
         hv = pd.util.hash_pandas_object(joined.to_pandas(), index=False).to_numpy()
-        return pa.table({"h": pa.array((hv >> np.uint64(1)).astype("int64"))})
-    agg = labels.map_batches(h, batch_format="pyarrow").sum("h")
-    return int(agg or 0)
+        x = np.bitwise_xor.reduce(hv) if len(hv) else np.uint64(0)
+        return pa.table({"h": pa.array(
+            [int(x & np.uint64((1 << 63) - 1))], pa.int64())})
+    out = 0
+    for r in labels.map_batches(h, batch_format="pyarrow").take_all():
+        out ^= r["h"]
+    return out
 
 
 def connected_components(edges: ray.data.Dataset, num_partitions: int = 8,
-                         max_iter: int = 10) -> ray.data.Dataset:
+                         max_iter: int = 50) -> ray.data.Dataset:
     """edges: Dataset with string columns (u, v). Returns (node, label) with
     label = lexicographic minimum node of the component."""
     def undirect(batch: pa.Table) -> pa.Table:
@@ -49,17 +76,21 @@ def connected_components(edges: ray.data.Dataset, num_partitions: int = 8,
                                       batch["v"].combine_chunks()]),
             "nbr": pa.concat_arrays([batch["v"].combine_chunks(),
                                      batch["u"].combine_chunks()])})
-    und = edges.map_batches(undirect, batch_format="pyarrow")
+    # materialize + sever once: the loop below joins against `und` every
+    # round — a lazy map_batches would re-read and re-map the edges 50×
+    und = _sever(edges.map_batches(undirect,
+                                   batch_format="pyarrow").materialize())
     # initial label(x) = min(x, neighbors(x))
     self_rows = und.map_batches(
         lambda b: pa.table({"node": b["node"], "nbr": b["node"]}),
         batch_format="pyarrow")
     # grouped min via the engine's sort-based aggregate (the row-wise-Python
     # Ray reduce this engine replaced everywhere else — VERDICT r1 wrong #5)
-    labels = sorted_aggregate(und.union(self_rows), ["node"],
-                              [("nbr", "min")], ["node", "label"],
-                              num_partitions).materialize()
+    labels = _sever(sorted_aggregate(und.union(self_rows), ["node"],
+                                     [("nbr", "min")], ["node", "label"],
+                                     num_partitions).materialize())
     prev = _hash_sum(labels)
+    converged = False
     for _ in range(max_iter):
         # propagate: for edge (node, nbr), candidate label(node) = label(nbr)
         prop = und.join(labels, join_type="inner", num_partitions=num_partitions,
@@ -68,11 +99,31 @@ def connected_components(edges: ray.data.Dataset, num_partitions: int = 8,
         cand = prop.map_batches(
             lambda b: pa.table({"node": b["node"], "label": b["label"]}),
             batch_format="pyarrow")
-        labels = sorted_aggregate(labels.union(cand), ["node"],
-                                  [("label", "min")], ["node", "label"],
-                                  num_partitions).materialize()
+        # pointer jumping: label(x) <- label(label(x)). Edge propagation
+        # alone moves a label ONE hop per round (a d-long chain needs d
+        # rounds — silently wrong past max_iter); jumping compresses label
+        # trees so real (dense-cluster) graphs exit in a few rounds, but it
+        # is not a log-round guarantee on long chains (module docstring).
+        jump = labels.join(labels, join_type="inner",
+                           num_partitions=num_partitions,
+                           on=("label",), right_on=("node",),
+                           left_suffix="", right_suffix="_r")
+        cand2 = jump.map_batches(
+            lambda b: pa.table({"node": b["node"], "label": b["label_r"]}),
+            batch_format="pyarrow")
+        labels = _sever(
+            sorted_aggregate(labels.union(cand).union(cand2), ["node"],
+                             [("label", "min")], ["node", "label"],
+                             num_partitions).materialize())
         cur = _hash_sum(labels)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        import logging
+        logging.getLogger(__name__).warning(
+            "connected_components: no fixpoint after max_iter=%d rounds — "
+            "labels may span un-merged components (graph diameter > 2^%d); "
+            "raise max_iter", max_iter, max_iter)
     return labels

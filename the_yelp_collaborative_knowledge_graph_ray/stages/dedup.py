@@ -855,9 +855,34 @@ def fingerprint_near_dup_pairs(docs: ray.data.Dataset, min_common: int = 5,
                              zero_copy_batch=True).sort(["doc_a", "doc_b"])
 
 
+def _local_components(u: np.ndarray, v: np.ndarray
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """(nodes, canon): connected components of a small edge list by
+    vectorized min-label propagation with pointer jumping — all numpy, no
+    Python loop over edges. Semantically identical to
+    ``functions/components.connected_components`` (canon = numeric minimum
+    id of the component)."""
+    uniq, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    eu, ev = inv[:len(u)], inv[len(u):]
+    lab = np.arange(len(uniq), dtype=np.int64)
+    while True:
+        m = np.minimum(lab[eu], lab[ev])
+        nl = lab.copy()
+        np.minimum.at(nl, eu, m)
+        np.minimum.at(nl, ev, m)
+        nl = nl[nl]  # pointer jumping halves tree depth per round
+        if np.array_equal(nl, lab):
+            break
+        lab = nl
+    # uniq is ascending, so min dense index == min id
+    return uniq, uniq[lab]
+
+
 def dedup_canonical_map(docs: ray.data.Dataset, pairs: ray.data.Dataset,
                         id_col: str = "doc_id",
-                        num_partitions: int = 8) -> ray.data.Dataset:
+                        num_partitions: int = 8,
+                        local_threshold: int = 2_000_000
+                        ) -> ray.data.Dataset:
     """(doc_id, canon_id, is_dup): every document mapped to the MINIMUM doc
     id of its near-duplicate component — the keep/drop decision that turns a
     pair list into an actual dedup.
@@ -889,18 +914,39 @@ def dedup_canonical_map(docs: ray.data.Dataset, pairs: ray.data.Dataset,
     # (functions/joins.py module comment), which a tiny pair graph at the
     # cluster-default partition count would hit.
     pairs = pairs.materialize()
-    np_cc = max(1, min(num_partitions, (pairs.count() + 99_999) // 100_000))
-    labels = connected_components(
-        pairs.map_batches(to_edges, batch_format="pyarrow"),
-        num_partitions=np_cc)
-    from ..functions.grouped import concat_nonempty
-    lab_tbl = concat_nonempty(ray.get(labels.materialize().to_arrow_refs()))
-    nodes = np.asarray([int(x) for x in lab_tbl["node"].to_pylist()],
-                       np.int64)
-    canon = np.asarray([int(x) for x in lab_tbl["label"].to_pylist()],
-                       np.int64)
-    order = np.argsort(nodes)
-    map_ref = ray.put((nodes[order], canon[order]))
+    n_pairs = pairs.count()
+    if n_pairs <= local_threshold:
+        # Pair graphs are candidate-sized (a sliver of the corpus), and the
+        # blocks are already materialized for sizing: below the threshold
+        # run the vectorized local propagation directly on them — the
+        # distributed loop pays join + aggregate + convergence-check
+        # executor jobs PER ROUND, a fixed multi-second tax a 10k-edge
+        # graph doesn't deserve. Same labels either way (pytest-pinned).
+        from ..functions.grouped import concat_nonempty
+        ptbl = concat_nonempty(ray.get(pairs.to_arrow_refs()))
+        if ptbl.num_rows:
+            u = pc.cast(ptbl["doc_a"], pa.int64()).combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            v = pc.cast(ptbl["doc_b"], pa.int64()).combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            nodes, canon = _local_components(u, v)
+        else:
+            nodes = canon = np.empty(0, np.int64)
+        map_ref = ray.put((nodes, canon))  # nodes ascending from np.unique
+    else:
+        np_cc = max(1, min(num_partitions, (n_pairs + 99_999) // 100_000))
+        labels = connected_components(
+            pairs.map_batches(to_edges, batch_format="pyarrow"),
+            num_partitions=np_cc)
+        from ..functions.grouped import concat_nonempty
+        lab_tbl = concat_nonempty(
+            ray.get(labels.materialize().to_arrow_refs()))
+        nodes = np.asarray([int(x) for x in lab_tbl["node"].to_pylist()],
+                           np.int64)
+        canon = np.asarray([int(x) for x in lab_tbl["label"].to_pylist()],
+                           np.int64)
+        order = np.argsort(nodes)
+        map_ref = ray.put((nodes[order], canon[order]))
 
     def assign(b: pa.Table) -> pa.Table:
         ns, cs = ray.get(map_ref)
