@@ -224,6 +224,31 @@ def test_langid_on_real_sentences():
     assert clf.classify_one("狐狸跳过了懒狗然后跑走了") == "zh"
 
 
+def test_langid_batch_equals_per_row():
+    """The vectorized batch scorer (codepoint bigrams -> searchsorted ->
+    bincount scatter) must agree with the reference per-row loop on every
+    edge case: empty text, one char, no profile hits ('und'), mixed
+    scripts, uppercase (lowered first), and doc-boundary bigrams (the
+    straddle mask)."""
+    import random
+    clf = textstats.LangIdClassifier()
+    rng = random.Random(11)
+    seeds = ["the cat sat on the mat", "der hund lief schnell nach hause",
+             "el gato come pescado en la casa", "le chien court dans le jardin",
+             "狐狸跳过了懒狗", "", "x", "123 !!!", "ZZQQ XXYY",
+             "The Quick BROWN Fox", "über die straße", "düsseldorf café"]
+    texts = list(seeds)
+    for _ in range(300):
+        words = (rng.choice(seeds) + " " + rng.choice(seeds)).split()
+        rng.shuffle(words)
+        texts.append(" ".join(words))
+    b = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    got = clf(b)["pred_lang"].to_pylist()
+    want = [clf.classify_one(t) for t in texts]
+    assert got == want
+
+
 def test_winnow_fingerprints_locality():
     a = "the quick brown fox jumps over the lazy dog near the river bank"
     b = a.replace("river", "creek")

@@ -465,12 +465,20 @@ def _simhash_batch(col) -> np.ndarray:
         dtype=np.uint64, count=n_dict)
     h = hu[ucode]
     shifts = np.arange(64, dtype=np.uint64)
-    votes = (((h[:, None] >> shifts[None, :]) & np.uint64(1))
-             .astype(np.int32) * 2 - 1)          # (pairs, 64) of +-1
+    # bit matrix via ONE unpackbits pass over the little-endian byte view
+    # (x86 byte 0 = least significant, so column j == bit j): uint8 output,
+    # 8x smaller than the previous shift-matrix of int32 votes whose four
+    # (pairs x 64) temporaries dominated the stage (measured 2.5-6.9 s vs
+    # 0.09 s per 4096-doc batch). Vote sign: acc = 2*ones - n, so
+    # acc > 0  <=>  2*bitcount > n_words — computed on the small (docs x
+    # 64) count matrix instead.
+    bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1,
+                         bitorder="little")       # (pairs, 64) of 0/1
     starts = np.flatnonzero(np.concatenate([[True], udoc[1:] != udoc[:-1]]))
-    acc = np.add.reduceat(votes, starts, axis=0)  # (docs, 64)
-    fp = ((acc > 0).astype(np.uint64) << shifts[None, :]).sum(
-        axis=1, dtype=np.uint64)
+    cnt = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
+    nw = np.append(starts[1:], len(h)) - starts   # distinct words per doc
+    fp = ((2 * cnt > nw[:, None]).astype(np.uint64) << shifts[None, :]) \
+        .sum(axis=1, dtype=np.uint64)
     out = np.zeros(n_docs, dtype=np.uint64)
     out[udoc[starts]] = fp
     return out
@@ -496,8 +504,13 @@ def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 3,
             "fp": pa.array(fp_rep.view(np.int64))})  # store as signed int64
 
     def block_pairs(b: pa.Table) -> pa.Table:
-        # complete (band, band_key) groups per block (functions/grouped.py);
-        # per group: vectorized popcount over the XOR of all fp pairs
+        # complete (band, band_key) groups per block (functions/grouped.py).
+        # Fully vectorized across ALL groups in the block (the previous
+        # per-group Python loop over ~250k mostly-singleton buckets cost
+        # ~7 s/task at 200k docs): rows are re-ordered by (group, doc_id),
+        # every within-group ordered pair is enumerated with cumsum/repeat
+        # index arithmetic, and hamming distance is ONE unpackbits popcount
+        # over the XOR of the gathered fingerprint pairs.
         from ..functions.grouped import group_ids
         out_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
                                 ("hamming", pa.int64())])
@@ -506,28 +519,34 @@ def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 3,
             return out_schema.empty_table()
         ids = b["doc_id"].to_numpy()
         fps = b["fp"].to_numpy().astype(np.int64).view(np.uint64)
-        ends = np.append(starts[1:], b.num_rows)
-        out_a, out_b, out_h = [], [], []
-        for s, e in zip(starts, ends):
-            d, idx = np.unique(ids[s:e], return_index=True)
-            if len(d) < 2:
-                continue
-            f = fps[s:e][idx]
-            iu, ju = np.triu_indices(len(d), k=1)
-            x = f[iu] ^ f[ju]
-            ham = np.zeros(len(x), dtype=np.int64)
-            while x.any():
-                ham += (x & np.uint64(1)).astype(np.int64)
-                x = x >> np.uint64(1)
-            keep = ham <= max_hamming
-            out_a.append(d[iu][keep])
-            out_b.append(d[ju][keep])
-            out_h.append(ham[keep])
-        if not out_a:
+        # sort rows by (group, doc_id): pairs come out doc_a < doc_b
+        order = np.lexsort((ids, gid))
+        gid_s, ids_s, fps_s = gid[order], ids[order], fps[order]
+        # j_local(r) = #rows before r in its group = pair count ending at r
+        row = np.arange(len(gid_s), dtype=np.int64)
+        is_start = np.concatenate([[True], gid_s[1:] != gid_s[:-1]])
+        grp_start = np.maximum.accumulate(np.where(is_start, row, 0))
+        j_local = row - grp_start
+        total = int(j_local.sum())
+        if total == 0:
             return out_schema.empty_table()
-        t = pa.table({"doc_a": pa.array(np.concatenate(out_a)),
-                      "doc_b": pa.array(np.concatenate(out_b)),
-                      "hamming": pa.array(np.concatenate(out_h))})
+        # second elements: row r repeated j_local(r) times; first elements:
+        # consecutive ranges grp_start(r) .. r-1
+        second = np.repeat(row, j_local)
+        csum = np.cumsum(j_local) - j_local
+        first = (np.arange(total, dtype=np.int64)
+                 - np.repeat(csum, j_local) + np.repeat(grp_start, j_local))
+        x = fps_s[first] ^ fps_s[second]
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1) \
+            .sum(axis=1, dtype=np.int64)
+        # equal-id guard (the old per-group np.unique dropped duplicates);
+        # with unique doc_ids this filters nothing
+        keep = (ham <= max_hamming) & (ids_s[first] != ids_s[second])
+        if not keep.any():
+            return out_schema.empty_table()
+        t = pa.table({"doc_a": pa.array(ids_s[first[keep]]),
+                      "doc_b": pa.array(ids_s[second[keep]]),
+                      "hamming": pa.array(ham[keep])})
         return t.group_by(["doc_a", "doc_b"], use_threads=False) \
                 .aggregate([("hamming", "min")]) \
                 .rename_columns(["doc_a", "doc_b", "hamming"])
