@@ -159,6 +159,68 @@ def grouped_count(ds: ray.data.Dataset, keys: list[str],
         keys, [(out_name, "sum")], keys + [out_name], num_partitions)
 
 
+def _pair_index_arrays(gid: np.ndarray, ids: np.ndarray,
+                       drop_over: int | None, max_group: int | None,
+                       keys_desc: str
+                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized within-group unordered-pair enumeration for a block whose
+    rows carry dense group ids. Returns ``(sel, first, second)``: ``sel``
+    maps deduped-row positions back to input rows (sorted by (group, id),
+    one row per distinct (group, id)); ``first``/``second`` index ``sel``'s
+    rows so that every within-group pair appears once with
+    ``ids[sel[first]] < ids[sel[second]]``. Replaces the per-group Python
+    loop (O(#groups) interpreter iterations — ~2.3 s/task over ~250k
+    mostly-singleton LSH buckets) with cumsum/repeat index arithmetic.
+
+    ``drop_over`` drops whole groups with more distinct ids (exact stop-key
+    rule); ``max_group`` truncates a group to its first ids, logging per
+    capped group via :func:`_cap_group`.
+    """
+    order = np.lexsort((ids, gid))            # stable: first occurrence wins
+    g, d = gid[order], ids[order]
+    keep = np.concatenate([[True], (g[1:] != g[:-1]) | (d[1:] != d[:-1])])
+    g, d, sel = g[keep], d[keep], order[keep]
+
+    def _regroup(g):
+        row = np.arange(len(g), dtype=np.int64)
+        is_start = np.concatenate([[True], g[1:] != g[:-1]])
+        grp_start = np.maximum.accumulate(np.where(is_start, row, 0))
+        starts = np.flatnonzero(is_start)
+        sizes = np.diff(np.append(starts, len(g)))
+        return row, grp_start, starts, sizes
+
+    if len(g) == 0:
+        e = np.empty(0, np.int64)
+        return e, e, e
+    row, grp_start, starts, sizes = _regroup(g)
+    mask = None
+    if drop_over is not None:
+        mask = np.repeat(sizes, sizes) <= drop_over
+    if max_group is not None:
+        for gi in np.flatnonzero(sizes > max_group):  # rare by construction
+            s = int(starts[gi])
+            _cap_group(d[s:s + int(sizes[gi])], max_group,
+                       f"{keys_desc}@row{s}")
+        cap_mask = (row - grp_start) < max_group
+        mask = cap_mask if mask is None else (mask & cap_mask)
+    if mask is not None:
+        g, d, sel = g[mask], d[mask], sel[mask]
+        if len(g) == 0:
+            e = np.empty(0, np.int64)
+            return e, e, e
+        row, grp_start, starts, sizes = _regroup(g)
+    j_local = row - grp_start                 # pairs ending at each row
+    total = int(j_local.sum())
+    if total == 0:
+        e = np.empty(0, np.int64)
+        return sel, e, e
+    second = np.repeat(row, j_local)
+    csum = np.cumsum(j_local) - j_local
+    first = (np.arange(total, dtype=np.int64)
+             - np.repeat(csum, j_local) + np.repeat(grp_start, j_local))
+    return sel, first, second
+
+
 def pairs_within_groups(ds: ray.data.Dataset, keys: list[str], id_col: str,
                         count_col: str = "n",
                         max_group: int | None = None,
@@ -188,20 +250,13 @@ def pairs_within_groups(ds: ray.data.Dataset, keys: list[str], id_col: str,
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
         ids = ids.to_numpy()
-        ends = np.append(starts[1:], b.num_rows)
-        out_a, out_b = [], []
-        for s, e in zip(starts, ends):
-            d = np.unique(ids[s:e])
-            if len(d) < 2 or (drop_over is not None and len(d) > drop_over):
-                continue
-            d = _cap_group(d, max_group, f"{keys}@row{int(s)}")
-            iu, ju = np.triu_indices(len(d), k=1)
-            out_a.append(d[iu])
-            out_b.append(d[ju])
-        if not out_a:
+        sel, first, second = _pair_index_arrays(
+            gid, ids, drop_over, max_group, str(keys))
+        if len(first) == 0:
             return out_schema.empty_table()
-        t = pa.table({"doc_a": pa.array(np.concatenate(out_a)),
-                      "doc_b": pa.array(np.concatenate(out_b))})
+        d = ids[sel]
+        t = pa.table({"doc_a": pa.array(d[first]),
+                      "doc_b": pa.array(d[second])})
         # local combine before the shuffle
         return t.group_by(["doc_a", "doc_b"], use_threads=False) \
                 .aggregate([("doc_a", "count")]) \
@@ -234,25 +289,15 @@ def pairs_with_carry(ds: ray.data.Dataset, keys: list[str], id_col: str,
             return out_schema.empty_table()
         ids = pc.cast(b[id_col], i64).combine_chunks().to_numpy()
         car = pc.cast(b[carry_col], i64).combine_chunks().to_numpy()
-        ends = np.append(starts[1:], b.num_rows)
-        out_a, out_b, out_ca, out_cb = [], [], [], []
-        for s, e in zip(starts, ends):
-            d, idx = np.unique(ids[s:e], return_index=True)
-            if len(d) < 2:
-                continue
-            d = _cap_group(d, max_group, f"{keys}@row{int(s)}")
-            c = car[s:e][idx][:len(d)]
-            iu, ju = np.triu_indices(len(d), k=1)
-            out_a.append(d[iu])
-            out_b.append(d[ju])
-            out_ca.append(c[iu])
-            out_cb.append(c[ju])
-        if not out_a:
+        sel, first, second = _pair_index_arrays(
+            gid, ids, None, max_group, str(keys))
+        if len(first) == 0:
             return out_schema.empty_table()
-        t = pa.table({"doc_a": pa.array(np.concatenate(out_a)),
-                      "doc_b": pa.array(np.concatenate(out_b)),
-                      "carry_a": pa.array(np.concatenate(out_ca)),
-                      "carry_b": pa.array(np.concatenate(out_cb))})
+        d, c = ids[sel], car[sel]
+        t = pa.table({"doc_a": pa.array(d[first]),
+                      "doc_b": pa.array(d[second]),
+                      "carry_a": pa.array(c[first]),
+                      "carry_b": pa.array(c[second])})
         # local combine before the shuffle; carry is constant per id -> min
         return t.group_by(["doc_a", "doc_b"], use_threads=False) \
                 .aggregate([("doc_a", "count"), ("carry_a", "min"),
