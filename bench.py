@@ -137,6 +137,7 @@ DOCS_QUERIES = [
     "text_tfidf",
     "text_langid",
     "text_token_count",
+    "text_repetition",
     "contamination_check",
     "sample_hash",
     "curation_cap_per_source",

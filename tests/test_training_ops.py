@@ -224,6 +224,26 @@ def test_langid_on_real_sentences():
     assert clf.classify_one("狐狸跳过了懒狗然后跑走了") == "zh"
 
 
+def test_repetition_stats_vs_brute_force(ray_session):
+    """Vectorized repetition counts == a per-doc Counter recomputation,
+    including edge docs (empty, single word, all-same-word)."""
+    from collections import Counter
+    texts = ["the cat the cat the cat", "a b c d e", "", "word",
+             "x x x x x x", "one two one two three", "A a A a"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    got = textstats.repetition_stats(ds).to_pandas()
+    for i, t in enumerate(texts):
+        ws = t.lower().split(" ")
+        bgs = Counter(zip(ws, ws[1:]))
+        row = got[got["doc_id"] == i].iloc[0]
+        assert row["n_words"] == len(ws)
+        assert row["n_distinct_words"] == len(set(ws))
+        assert row["n_bigrams"] == max(len(ws) - 1, 0)
+        assert row["top_bigram_count"] == (max(bgs.values()) if bgs else 0)
+
+
 def test_langid_batch_equals_per_row():
     """The vectorized batch scorer (codepoint bigrams -> searchsorted ->
     bincount scatter) must agree with the reference per-row loop on every

@@ -581,6 +581,14 @@ def _q_text_tokens(sf_dir: str):
     return token_counts(_docs(sf_dir))
 
 
+def _q_text_repetition(sf_dir: str):
+    """Gopher-style repetition filters as exact integer counts
+    (textstats.repetition_stats): duplicate-word and top-bigram signals per
+    document, one stateless vectorized pass."""
+    from .stages.textstats import repetition_stats
+    return repetition_stats(_docs(sf_dir))
+
+
 def _q_text_langid(sf_dir: str):
     from .stages.textstats import language_id
     return language_id(_docs(sf_dir))
@@ -1054,6 +1062,7 @@ def queries() -> dict[str, Callable]:
         "ann_ivf_topk": _q_ann_ivf,
         "text_quality": _q_text_quality,
         "text_token_count": _q_text_tokens,
+        "text_repetition": _q_text_repetition,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         "multimodal_features": _q_multimodal,
@@ -1468,6 +1477,28 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
                      AS re_tokens
             FROM documents ORDER BY doc_id""",
+        # Gopher-style repetition signals; integer counts only, so the
+        # cross-check is exact. Bigrams keep (w1, w2) as two group keys —
+        # no string re-concatenation that could alias distinct bigrams.
+        "text_repetition": """
+            WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                       FROM documents),
+            w AS (SELECT doc_id, unnest(ws) AS w FROM d),
+            dw AS (SELECT doc_id, count(*) AS n_words,
+                          count(DISTINCT w) AS n_distinct_words
+                   FROM w GROUP BY 1),
+            bg AS (SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1,
+                          unnest(ws[2:len(ws)]) AS w2
+                   FROM d WHERE len(ws) > 1),
+            bgc AS (SELECT doc_id, w1, w2, count(*) AS c
+                    FROM bg GROUP BY 1, 2, 3),
+            top AS (SELECT doc_id, max(c) AS top_bigram_count
+                    FROM bgc GROUP BY 1)
+            SELECT d.doc_id, dw.n_words, dw.n_distinct_words,
+                   greatest(dw.n_words - 1, 0) AS n_bigrams,
+                   coalesce(top.top_bigram_count, 0) AS top_bigram_count
+            FROM d LEFT JOIN dw USING (doc_id) LEFT JOIN top USING (doc_id)
+            ORDER BY doc_id""",
         # ------ relational operator demos (TPC-H-ish views) ----------------
         # money/percent columns are exact multiples of 0.01: summing exact
         # int64 fixed-point values (round(x*100)) on BOTH sides makes the

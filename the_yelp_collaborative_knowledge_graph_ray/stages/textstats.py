@@ -92,6 +92,51 @@ def token_counts(docs: ray.data.Dataset) -> ray.data.Dataset:
                             zero_copy_batch=True).sort("doc_id")
 
 
+def repetition_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1,
+    the classic "fraction of duplicate n-grams" quality filters), as exact
+    INTEGER counts so the DuckDB oracle matches bit-for-bit and callers pick
+    their own thresholds: (doc_id, n_words, n_distinct_words, n_bigrams,
+    top_bigram_count), sorted by doc_id. Words are the lowercased
+    single-space split shared with the dedup shingle layer; a doc's
+    duplicate-word fraction is ``1 - n_distinct_words/n_words`` and its
+    top-bigram fraction ``top_bigram_count/n_bigrams``.
+
+    One stateless ``map_batches``: words flatten once, per-doc distinct
+    counts come from ``np.unique`` over (doc, word-code) keys, and the most
+    frequent bigram per doc from one more unique + ``np.maximum.reduceat``
+    over (doc, code, code) keys — no Python row loop."""
+    def stats(b: pa.Table) -> pa.Table:
+        from .dedup import _words_flat
+        n = b.num_rows
+        words, doc_of = _words_flat(b["text"])
+        n_words = np.bincount(doc_of, minlength=n).astype(np.int64)
+        dic = pa.array(words, pa.string()).dictionary_encode()
+        codes = dic.indices.to_numpy().astype(np.int64)
+        D = max(len(dic.dictionary), 1)
+        ukey = np.unique(doc_of * D + codes)
+        n_distinct = np.bincount(ukey // D, minlength=n).astype(np.int64)
+        top = np.zeros(n, np.int64)
+        if len(codes) > 1:
+            within = doc_of[:-1] == doc_of[1:]
+            bkey = ((doc_of[:-1] * D + codes[:-1]) * D + codes[1:])[within]
+            if len(bkey):
+                ub, cnt = np.unique(bkey, return_counts=True)
+                ud = ub // (D * D)
+                starts = np.flatnonzero(
+                    np.concatenate([[True], ud[1:] != ud[:-1]]))
+                top[ud[starts]] = np.maximum.reduceat(cnt, starts)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_words": pa.array(n_words),
+            "n_distinct_words": pa.array(n_distinct),
+            "n_bigrams": pa.array(np.maximum(n_words - 1, 0)),
+            "top_bigram_count": pa.array(top)})
+
+    return docs.map_batches(stats, batch_format="pyarrow",
+                            zero_copy_batch=True).sort("doc_id")
+
+
 # --------------------------------------------------------------------------
 # language identification
 # --------------------------------------------------------------------------
