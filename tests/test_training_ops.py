@@ -244,6 +244,31 @@ def test_repetition_stats_vs_brute_force(ray_session):
         assert row["top_bigram_count"] == (max(bgs.values()) if bgs else 0)
 
 
+def test_dup_span_stats_vs_brute_force(ray_session):
+    """Shared-fingerprint counts == a brute-force dict recomputation:
+    an exact duplicate shares ALL picks; a unique doc shares none (in a
+    corpus of otherwise-distinct texts); a doc with a copied sentence
+    shares some."""
+    from collections import Counter
+    a = "the quick brown fox jumps over the lazy dog near the river bank"
+    texts = [a, a,  # exact dups
+             "completely different words about completely other topics here",
+             "unique sentence with rare tokens zyx wvu tsr qpo nml kji",
+             a + " plus an original trailing clause nobody else wrote ever"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    got = textstats.dup_span_stats(ds).to_pandas().set_index("doc_id")
+    fps = {i: set(textstats.winnow_fingerprints(t))
+           for i, t in enumerate(texts)}
+    df = Counter(f for s in fps.values() for f in s)
+    for i in range(len(texts)):
+        assert got.loc[i, "n_fp"] == len(fps[i])
+        assert got.loc[i, "n_shared_fp"] == sum(df[f] >= 2 for f in fps[i])
+    assert got.loc[0, "n_shared_fp"] == got.loc[0, "n_fp"]  # exact dup
+    assert got.loc[4, "n_shared_fp"] > 0                    # copied span
+
+
 def test_langid_batch_equals_per_row():
     """The vectorized batch scorer (codepoint bigrams -> searchsorted ->
     bincount scatter) must agree with the reference per-row loop on every

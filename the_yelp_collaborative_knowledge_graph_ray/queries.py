@@ -589,6 +589,14 @@ def _q_text_repetition(sf_dir: str):
     return repetition_stats(_docs(sf_dir))
 
 
+def _q_text_dup_spans(sf_dir: str):
+    """Per-doc duplicate-substring coverage (textstats.dup_span_stats):
+    winnowing-fingerprint postings grouped once by fingerprint (document
+    frequency = complete-group size), per-doc shared-pick counts."""
+    from .stages.textstats import dup_span_stats
+    return dup_span_stats(_docs(sf_dir))
+
+
 def _q_text_langid(sf_dir: str):
     from .stages.textstats import language_id
     return language_id(_docs(sf_dir))
@@ -1063,6 +1071,7 @@ def queries() -> dict[str, Callable]:
         "text_quality": _q_text_quality,
         "text_token_count": _q_text_tokens,
         "text_repetition": _q_text_repetition,
+        "text_dup_spans": _q_text_dup_spans,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         "multimodal_features": _q_multimodal,
@@ -1371,6 +1380,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_fp, min(w) AS fp_min,
                    bit_xor(w) AS fp_xor
             FROM allp GROUP BY 1 ORDER BY 1""",
+        # duplicate-substring coverage: document frequency of each winnow
+        # pick, then per-doc count of picks shared with >= 1 other doc.
+        # count(*) FILTER keeps BIGINT (SUM over ints would be HUGEINT).
+        "text_dup_spans": _WINNOW_CTE + """,
+            df AS (SELECT w, count(*) AS d FROM allp GROUP BY 1)
+            SELECT a.doc_id, count(*) AS n_fp,
+                   count(*) FILTER (WHERE df.d >= 2) AS n_shared_fp
+            FROM allp a JOIN df USING (w)
+            GROUP BY 1 ORDER BY 1""",
         # shared-fingerprint pairs with the stop-key rule mirrored exactly:
         # fingerprints held by > max_df (64) docs are excluded wholesale
         # (Ray side: pairs_within_groups(drop_over=64)), pairs need

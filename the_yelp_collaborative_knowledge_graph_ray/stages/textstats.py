@@ -137,6 +137,63 @@ def repetition_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
                             zero_copy_batch=True).sort("doc_id")
 
 
+def dup_span_stats(docs: ray.data.Dataset,
+                   num_partitions: int = 16) -> ray.data.Dataset:
+    """Per-document duplicate-substring coverage via winnowing fingerprints
+    (the span-level dedup signal of Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): (doc_id, n_fp,
+    n_shared_fp) where n_fp is the doc's distinct winnowing picks and
+    n_shared_fp how many of them occur in at least one OTHER document.
+    ``n_shared_fp / n_fp`` approximates the fraction of the document
+    covered by text duplicated elsewhere in the corpus — the gating signal
+    for span-level dedup. Integer counts only, so the DuckDB oracle (the
+    shared winnow CTE + a document-frequency join) matches exactly.
+
+    Scale shape: fingerprint postings shuffle ONCE grouped by fingerprint
+    (document frequency = complete-group size, no join — winnow picks are
+    distinct per doc so rows per group ARE distinct docs), per-block
+    combine collapses to per-doc partial counts, and one final grouped sum
+    by doc_id. No driver materialization, no all-pairs work."""
+    from ..functions.grouped import group_ids, sorted_aggregate, \
+        sorted_group_apply
+
+    def explode(b: pa.Table) -> pa.Table:
+        did = pc.cast(b["doc_id"], pa.int64()).combine_chunks().to_numpy() \
+            if isinstance(b["doc_id"], pa.ChunkedArray) \
+            else pc.cast(b["doc_id"], pa.int64()).to_numpy()
+        fps, owners = [], []
+        for i, t in enumerate(b["text"].to_pylist()):
+            f = winnow_fingerprints(t)
+            fps.extend(f)
+            owners.extend([int(did[i])] * len(f))
+        return pa.table({"fp": pa.array(fps, pa.int64()),
+                         "doc_id": pa.array(owners, pa.int64())})
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("doc_id", pa.int64()),
+                                ("n_fp", pa.int64()),
+                                ("n_shared_fp", pa.int64())])
+        gid, starts = group_ids(b, ["fp"])
+        if len(starts) == 0:
+            return out_schema.empty_table()
+        sizes = np.diff(np.append(starts, b.num_rows))
+        shared = (np.repeat(sizes, sizes) >= 2).astype(np.int64)
+        t = pa.table({"doc_id": b["doc_id"],
+                      "n_fp": pa.array(np.ones(b.num_rows, np.int64)),
+                      "n_shared_fp": pa.array(shared)})
+        return t.group_by(["doc_id"], use_threads=False) \
+                .aggregate([("n_fp", "sum"), ("n_shared_fp", "sum")]) \
+                .rename_columns(["doc_id", "n_fp", "n_shared_fp"])
+
+    postings = docs.map_batches(explode, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    local = sorted_group_apply(postings, ["fp"], df_partial, num_partitions)
+    return sorted_aggregate(local, ["doc_id"],
+                            [("n_fp", "sum"), ("n_shared_fp", "sum")],
+                            ["doc_id", "n_fp", "n_shared_fp"],
+                            num_partitions)
+
+
 # --------------------------------------------------------------------------
 # language identification
 # --------------------------------------------------------------------------
