@@ -960,10 +960,10 @@ def dedup_canonical_map(docs: ray.data.Dataset, pairs: ray.data.Dataset,
         from ..functions.grouped import concat_nonempty
         lab_tbl = concat_nonempty(
             ray.get(labels.materialize().to_arrow_refs()))
-        nodes = np.asarray([int(x) for x in lab_tbl["node"].to_pylist()],
-                           np.int64)
-        canon = np.asarray([int(x) for x in lab_tbl["label"].to_pylist()],
-                           np.int64)
+        nodes = pc.cast(lab_tbl["node"], pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        canon = pc.cast(lab_tbl["label"], pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
         order = np.argsort(nodes)
         map_ref = ray.put((nodes[order], canon[order]))
 
