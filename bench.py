@@ -118,17 +118,26 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
 
 
 def run_child(sf_name: str, num_cpus: int) -> dict:
-    """One fresh-process flagship run for the scaling protocol."""
+    """One fresh-process scaling arm: the flagship runs TWICE in the same
+    Ray session and the arm reports the min (both walls kept in the JSON).
+    Applied identically to both arms, so the ratio is unchanged in
+    expectation; what the second rep removes is this host's per-process
+    first-touch page-fault tax (2-30x swings — BASELINE.md "ambient
+    spread"), which hit the low-CPU arm's longer wall hardest and produced
+    the degraded-window repeats 7-8."""
     _init_ray(num_cpus)
     from the_yelp_collaborative_knowledge_graph_ray.fixtures import generator
     from the_yelp_collaborative_knowledge_graph_ray.pipelines.kg import run_kg
 
     generator.ensure_fixtures(sf_name)
-    t0 = time.time()
-    # actor pools sized to the cluster (1 CPU per actor, autoscaling pools)
-    n = run_kg(sf_name, concurrency=num_cpus).count()
-    dt = time.time() - t0
-    return {"num_cpus": num_cpus, "triples": n, "sec": round(dt, 3),
+    walls, n = [], 0
+    for _ in range(2):
+        t0 = time.time()
+        # actor pools sized to the cluster (1 CPU/actor, autoscaling pools)
+        n = run_kg(sf_name, concurrency=num_cpus).count()
+        walls.append(round(time.time() - t0, 3))
+    dt = min(walls)
+    return {"num_cpus": num_cpus, "triples": n, "sec": dt, "walls": walls,
             "triples_per_sec": round(n / dt, 1)}
 
 

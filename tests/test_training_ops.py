@@ -244,6 +244,48 @@ def test_repetition_stats_vs_brute_force(ray_session):
         assert row["top_bigram_count"] == (max(bgs.values()) if bgs else 0)
 
 
+def test_pair_index_arrays_vs_brute_force():
+    """Seeded randomized equivalence of the vectorized within-group pair
+    enumeration against itertools.combinations, across empty blocks,
+    duplicate ids, drop_over and max_group combinations."""
+    import itertools
+    import logging
+    import random
+    from the_yelp_collaborative_knowledge_graph_ray.functions.grouped import (
+        _pair_index_arrays,
+    )
+    logging.disable(logging.WARNING)
+    try:
+        rng = random.Random(3)
+
+        def brute(gid, ids, drop_over, max_group):
+            out = []
+            for g in sorted(set(gid.tolist())):
+                d = np.unique(ids[gid == g])
+                if len(d) < 2 or (drop_over is not None
+                                  and len(d) > drop_over):
+                    continue
+                if max_group is not None:
+                    d = d[:max_group]
+                out += list(itertools.combinations(d.tolist(), 2))
+            return sorted(out)
+
+        for _ in range(200):
+            n = rng.randint(0, 40)
+            gid = np.sort(np.array([rng.randint(0, 6) for _ in range(n)],
+                                   np.int64))
+            ids = np.array([rng.randint(0, 12) for _ in range(n)], np.int64)
+            drop_over = rng.choice([None, 2, 3])
+            max_group = rng.choice([None, 2, 4])
+            sel, first, second = _pair_index_arrays(
+                gid, ids, drop_over, max_group, "t")
+            d = ids[sel]
+            got = sorted(zip(d[first].tolist(), d[second].tolist()))
+            assert got == brute(gid, ids, drop_over, max_group)
+    finally:
+        logging.disable(logging.NOTSET)
+
+
 def test_dup_span_stats_vs_brute_force(ray_session):
     """Shared-fingerprint counts == a brute-force dict recomputation:
     an exact duplicate shares ALL picks; a unique doc shares none (in a

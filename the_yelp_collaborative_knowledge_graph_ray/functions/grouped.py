@@ -176,6 +176,9 @@ def _pair_index_arrays(gid: np.ndarray, ids: np.ndarray,
     rule); ``max_group`` truncates a group to its first ids, logging per
     capped group via :func:`_cap_group`.
     """
+    if len(ids) == 0:
+        e = np.empty(0, np.int64)
+        return e, e, e
     order = np.lexsort((ids, gid))            # stable: first occurrence wins
     g, d = gid[order], ids[order]
     keep = np.concatenate([[True], (g[1:] != g[:-1]) | (d[1:] != d[:-1])])
