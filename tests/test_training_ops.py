@@ -244,7 +244,46 @@ def test_repetition_stats_vs_brute_force(ray_session):
         assert row["top_bigram_count"] == (max(bgs.values()) if bgs else 0)
 
 
-def test_pair_index_arrays_vs_brute_force():
+def test_bm25_vs_brute_force(ray_session):
+    """bm25_topk == a direct python BM25 on a small corpus, including the
+    fixed-point floor, ranking, and doc_id tie-breaks."""
+    import math
+    from the_yelp_collaborative_knowledge_graph_ray.stages.search import (
+        BM25_B, BM25_K1, bm25_topk,
+    )
+    texts = ["hash join fast", "hash hash join join join", "slow scan table",
+             "join", "nothing relevant here", "hash join hash join hash",
+             "scan scan scan slow slow"]
+    queries = ["hash join", "slow scan"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    got = bm25_topk(ds, queries, k=3).to_pandas()
+
+    words = [t.lower().split(" ") for t in texts]
+    N = len(words)
+    avgdl = sum(len(w) for w in words) / N
+    k1p1, one_m_b = BM25_K1 + 1.0, 1.0 - BM25_B
+
+    def score(q, ws):
+        s = 0
+        for t in dict.fromkeys(q.split(" ")):
+            df = sum(1 for w in words if t in set(w))
+            idf = math.log((N - df + 0.5) / (df + 0.5) + 1.0)
+            tf = float(ws.count(t))
+            if tf == 0:
+                continue
+            denom = tf + BM25_K1 * (one_m_b + BM25_B * (len(ws) / avgdl))
+            s += int(math.floor((idf * ((tf * k1p1) / denom)) * 1e6))
+        return s
+
+    for qi, q in enumerate(queries):
+        want = sorted(((score(q, ws), -i) for i, ws in enumerate(words)
+                       if score(q, ws) > 0 or any(t in ws for t in q.split())),
+                      reverse=True)[:3]
+        want = [(-i, s) for s, i in want]
+        sub = got[got["query_id"] == qi].sort_values("rank")
+        assert list(zip(sub["doc_id"], sub["score"])) == want, (qi, want, sub)
     """Seeded randomized equivalence of the vectorized within-group pair
     enumeration against itertools.combinations, across empty blocks,
     duplicate ids, drop_over and max_group combinations."""

@@ -561,6 +561,78 @@ def _q_curation_pipeline(sf_dir: str):
                             jaccard_threshold=0.5)
 
 
+# BM25 keyword search: fixed query set over the testdata documents
+# vocabulary; every query's terms are distinct (the engine scores per
+# distinct term).
+_BM25_QUERIES = ["hash join", "slow scan", "sort merge batch",
+                 "customer order value"]
+
+
+def _q_search_bm25(sf_dir: str):
+    """BM25 keyword top-10 per query (stages/search.py): distributed
+    corpus-stats pass -> broadcast float constants -> exact fixed-point
+    scoring -> per-key pruned top-k."""
+    from .stages.search import bm25_topk
+    return bm25_topk(_docs(sf_dir), _BM25_QUERIES, k=10)
+
+
+def _bm25_sql() -> str:
+    """BM25 oracle: the SAME float constants the Ray kernel closes over
+    (idf per term, avgdl, k1, k1+1, 1-b), computed once here from the
+    oracle-scale documents table and repr-injected as CAST(.. AS DOUBLE)
+    literals (DuckDB parses bare decimal literals as DECIMAL, which would
+    break IEEE parity); the scoring expression mirrors the numpy operation
+    tree verbatim, with floor (not round) into int64 fixed-point."""
+    import pyarrow.parquet as pq
+
+    from .stages.search import BM25_B, BM25_K1, bm25_constants
+    path = os.path.join("/root/testdata", SF_ORACLE, "documents.parquet")
+    terms = sorted({t for q in _BM25_QUERIES for t in q.lower().split(" ")})
+    texts = [t.lower().split(" ")
+             for t in pq.read_table(path, columns=["text"])
+             ["text"].to_pylist()]
+    n_docs, total_words = len(texts), sum(len(w) for w in texts)
+    import numpy as np
+    df = np.array([sum(1 for ws in texts if t in set(ws)) for t in terms],
+                  np.int64)
+    idf, avgdl, k1, k1p1, one_m_b = bm25_constants(n_docs, total_words, df,
+                                                   BM25_K1, BM25_B)
+
+    def dbl(x: float) -> str:
+        return f"CAST({x!r} AS DOUBLE)"
+
+    idf_of = dict(zip(terms, idf))
+    qrows = ", ".join(
+        f"({qi}, '{t}', {dbl(float(idf_of[t]))})"
+        for qi, q in enumerate(_BM25_QUERIES)
+        for t in dict.fromkeys(q.lower().split(" ")))
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+        WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                   FROM documents),
+        w AS (SELECT doc_id, unnest(ws) AS w FROM d),
+        dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY 1),
+        tf AS (SELECT doc_id, w, count(*) AS tf FROM w
+               WHERE w IN ({in_list}) GROUP BY 1, 2),
+        q(query_id, term, idf) AS (VALUES {qrows}),
+        contrib AS (SELECT q.query_id, tf.doc_id,
+            CAST(floor((q.idf * ((tf.tf * {dbl(k1p1)}) /
+                 (tf.tf + {dbl(k1)} * ({dbl(one_m_b)} + {dbl(BM25_B)}
+                  * (dl.dl / {dbl(avgdl)})))))
+                 * 1000000.0) AS BIGINT) AS c
+            FROM q JOIN tf ON tf.w = q.term
+                   JOIN dl ON dl.doc_id = tf.doc_id),
+        s AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score
+              FROM contrib GROUP BY 1, 2),
+        r AS (SELECT query_id, doc_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, doc_id)
+                       AS rank
+              FROM s)
+        SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 10
+        ORDER BY query_id, rank"""
+
+
 def _q_ann_topk(sf_dir: str):
     from .stages.similarity import brute_force_topk
     return brute_force_topk(_emb(sf_dir), k=10, n_queries=8)
@@ -1068,6 +1140,7 @@ def queries() -> dict[str, Callable]:
         "embedding_topk_pairs": _q_embedding_topk_pairs,
         "ann_topk_cosine": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf,
+        "search_bm25": _q_search_bm25,
         "text_quality": _q_text_quality,
         "text_token_count": _q_text_tokens,
         "text_repetition": _q_text_repetition,
@@ -1376,6 +1449,7 @@ def oracle_sql() -> dict[str, str]:
                      / len(string_split(text, ' ')) AS mean_word_len
             FROM documents ORDER BY doc_id""",
         "text_langid": _langid_sql(),
+        "search_bm25": _bm25_sql(),
         "text_fingerprint": _WINNOW_CTE + """
             SELECT doc_id, count(*) AS n_fp, min(w) AS fp_min,
                    bit_xor(w) AS fp_xor
