@@ -40,6 +40,7 @@ HEADLINE_QUERIES = [
     "dedup_simhash",
     "dedup_embedding_cosine",
     "ann_topk_cosine",
+    "search_bm25",
     "text_quality",
     "text_langid",
     "rel_groupby_lineitem",
