@@ -171,17 +171,25 @@ def run_docs(num_cpus: int) -> dict:
 
     ddir = generator.ensure_docs_fixture("docsbench")
     qs = Q.queries()
+    # min of 2 reps, same rationale as the default mode: the second rep
+    # reuses worker processes/pages, so the recorded number is the code,
+    # not per-process startup + this host's first-touch page-fault swings.
+    reps = 2
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in DOCS_QUERIES:
-        t0 = time.time()
-        rows[name] = _consume(qs[name](ddir))
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            rows[name] = _consume(qs[name](ddir))
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
     return {
         "metric": "docs_dedup_suite_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "reps": reps,
         "rows": rows,
         "n_docs": generator.DOCS_PROFILES["docsbench"],
         "num_cpus": num_cpus,
