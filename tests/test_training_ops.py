@@ -244,6 +244,29 @@ def test_repetition_stats_vs_brute_force(ray_session):
         assert row["top_bigram_count"] == (max(bgs.values()) if bgs else 0)
 
 
+def test_chunk_documents_vs_brute_force(ray_session):
+    """Zero-copy chunking == python slicing: exact word coverage, last
+    chunk keeps the remainder, empty/short docs yield one chunk, text
+    round-trips (joining chunks with the boundary space reproduces the
+    doc)."""
+    texts = ["", "one", " ".join(f"w{i}" for i in range(32)),
+             " ".join(f"w{i}" for i in range(33)),
+             " ".join(f"w{i}" for i in range(100)),
+             "a  b", "Mixed CASE kept"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    got = textstats.chunk_documents(ds).to_pandas()
+    for i, t in enumerate(texts):
+        ws = t.split(" ")
+        want = [" ".join(ws[s:s + 32]) for s in range(0, len(ws), 32)]
+        sub = got[got["doc_id"] == i].sort_values("chunk_idx")
+        assert list(sub["chunk_text"]) == want, (i, want, list(sub["chunk_text"]))
+        assert list(sub["n_tokens"]) == [len(ws[s:s + 32])
+                                         for s in range(0, len(ws), 32)]
+        assert " ".join(sub["chunk_text"]) == t  # lossless round-trip
+
+
 def test_bm25_vs_brute_force(ray_session):
     """bm25_topk == a direct python BM25 on a small corpus, including the
     fixed-point floor, ranking, and doc_id tie-breaks."""

@@ -661,6 +661,13 @@ def _q_text_repetition(sf_dir: str):
     return repetition_stats(_docs(sf_dir))
 
 
+def _q_text_chunks(sf_dir: str):
+    """Fixed-width document chunking (textstats.chunk_documents):
+    zero-copy list-offset rebuild + one vectorized binary_join."""
+    from .stages.textstats import chunk_documents
+    return chunk_documents(_docs(sf_dir))
+
+
 def _q_text_dup_spans(sf_dir: str):
     """Per-doc duplicate-substring coverage (textstats.dup_span_stats):
     winnowing-fingerprint postings grouped once by fingerprint (document
@@ -1145,6 +1152,7 @@ def queries() -> dict[str, Callable]:
         "text_token_count": _q_text_tokens,
         "text_repetition": _q_text_repetition,
         "text_dup_spans": _q_text_dup_spans,
+        "text_chunks": _q_text_chunks,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         "multimodal_features": _q_multimodal,
@@ -1450,6 +1458,24 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id""",
         "text_langid": _langid_sql(),
         "search_bm25": _bm25_sql(),
+        # fixed-width chunking: DuckDB list slices are 1-based inclusive,
+        # so chunk i covers ws[i*32+1 : least((i+1)*32, len(ws))]. No
+        # lower(): chunks preserve original text (both engines).
+        "text_chunks": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            c AS (SELECT doc_id, ws,
+                         unnest(range(0, greatest(
+                             CAST(ceil(len(ws) / 32.0) AS BIGINT), 1)))
+                           AS chunk_idx
+                  FROM d)
+            SELECT doc_id, chunk_idx,
+                   least(chunk_idx * 32 + 32, len(ws)) - chunk_idx * 32
+                     AS n_tokens,
+                   array_to_string(ws[chunk_idx * 32 + 1 :
+                                      least(chunk_idx * 32 + 32, len(ws))],
+                                   ' ') AS chunk_text
+            FROM c ORDER BY doc_id, chunk_idx""",
         "text_fingerprint": _WINNOW_CTE + """
             SELECT doc_id, count(*) AS n_fp, min(w) AS fp_min,
                    bit_xor(w) AS fp_xor

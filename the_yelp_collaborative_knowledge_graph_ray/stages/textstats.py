@@ -194,6 +194,59 @@ def dup_span_stats(docs: ray.data.Dataset,
                             num_partitions)
 
 
+CHUNK_WORDS = 32  # fixed chunk width (words) for chunk_documents
+
+
+def chunk_documents(docs: ray.data.Dataset,
+                    width: int = CHUNK_WORDS) -> ray.data.Dataset:
+    """Fixed-length document chunking — the training-data packing staple
+    (split every document into consecutive ``width``-word chunks; the last
+    chunk keeps the remainder; every doc yields >= 1 chunk). Output
+    (doc_id, chunk_idx, n_tokens, chunk_text) sorted by (doc_id,
+    chunk_idx).
+
+    Zero-copy construction: the batch splits ONCE into an Arrow list array;
+    chunk texts are a new ListArray over the SAME flat word buffer with
+    re-drawn offsets (non-overlapping windows keep offsets monotonic, which
+    Arrow requires) joined by one vectorized ``pc.binary_join``. No Python
+    loop over rows or chunks, no string copies until the final join."""
+    def chunks(b: pa.Table) -> pa.Table:
+        lst = pc.split_pattern(b["text"].combine_chunks(), " ")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        counts = pc.list_value_length(lst).to_numpy().astype(np.int64)
+        doc_words = lst.offsets.to_numpy()     # word offsets per doc
+        n_chunks = np.maximum((counts + width - 1) // width, 1)
+        doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), n_chunks)
+        # chunk_idx within doc via the grp-start cumsum trick
+        row = np.arange(len(doc_of), dtype=np.int64)
+        first = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
+        cidx = row - np.repeat(first, n_chunks)
+        start = cidx * width
+        end = np.minimum(start + width, counts[doc_of])
+        # new list offsets over the SAME flat values buffer (zero-copy):
+        # boundaries are doc_word_offset + chunk start / final end
+        bounds = np.append(doc_words[doc_of] + start,
+                           doc_words[-1]).astype(np.int32)
+        chunk_lists = pa.ListArray.from_arrays(pa.array(bounds, pa.int32()),
+                                               lst.values)
+        text = pc.binary_join(chunk_lists, " ")
+        did = pc.cast(b["doc_id"], pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False) \
+            if isinstance(b["doc_id"], pa.ChunkedArray) \
+            else pc.cast(b["doc_id"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(did[doc_of]),
+            "chunk_idx": pa.array(cidx),
+            "n_tokens": pa.array(end - start),
+            "chunk_text": text})
+
+    return docs.map_batches(chunks, batch_format="pyarrow",
+                            zero_copy_batch=True).sort(["doc_id",
+                                                        "chunk_idx"])
+
+
 # --------------------------------------------------------------------------
 # language identification
 # --------------------------------------------------------------------------
