@@ -33,7 +33,7 @@ def _names():
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_embedding_cosine", "embedding_topk_pairs", "ann_topk_cosine",
     "text_quality", "text_token_count", "text_repetition",
-    "text_dup_spans", "search_bm25", "text_chunks",
+    "text_dup_spans", "search_bm25", "text_chunks", "text_pack_sequences",
     "sample_hash", "sample_stratified", "text_redact",
     "contamination_check", "rel_quantiles",
     "text_tfidf", "curation_cap_per_source",

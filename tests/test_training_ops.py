@@ -244,6 +244,39 @@ def test_repetition_stats_vs_brute_force(ray_session):
         assert row["top_bigram_count"] == (max(bgs.values()) if bgs else 0)
 
 
+def test_pack_sequences_vs_brute_force(ray_session):
+    """searchsorted-hop packing == the literal greedy loop, including the
+    overflow-starts-new-sequence rule and oversized-doc-alone case."""
+    from the_yelp_collaborative_knowledge_graph_ray.stages.textstats import (
+        pack_sequences,
+    )
+    import random
+    rng = random.Random(5)
+    rows = []
+    for i in range(200):
+        nw = rng.choice([3, 40, 80, 120, 200])  # 200 > budget: alone
+        rows.append((i, " ".join("w" * 1 for _ in range(nw)),
+                     f"s{rng.randint(0, 3)}"))
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string())}))
+    got = pack_sequences(ds, budget=128).to_pandas()
+    for src in sorted({r[2] for r in rows}):
+        docs = sorted((r[0], len(r[1].split(" ")))
+                      for r in rows if r[2] == src)
+        want, cur, si = [], 0, 0
+        for did, n in docs:
+            if cur + n > 128 and cur > 0:
+                si, cur = si + 1, n
+            else:
+                cur += n
+            want.append((did, n, si))
+        sub = got[got["source"] == src].sort_values("doc_id")
+        assert list(zip(sub["doc_id"], sub["n_tokens"],
+                        sub["seq_idx"])) == want, (src, want)
+
+
 def test_chunk_documents_vs_brute_force(ray_session):
     """Zero-copy chunking == python slicing: exact word coverage, last
     chunk keeps the remainder, empty/short docs yield one chunk, text

@@ -661,6 +661,18 @@ def _q_text_repetition(sf_dir: str):
     return repetition_stats(_docs(sf_dir))
 
 
+def _q_text_pack(sf_dir: str):
+    """Greedy per-source sequence packing (textstats.pack_sequences):
+    one key-sort, O(#sequences) searchsorted hops per shard."""
+    import os as _os
+
+    from .stages.textstats import pack_sequences
+    docs = ray.data.read_parquet(
+        _os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"])
+    return pack_sequences(docs)
+
+
 def _q_text_chunks(sf_dir: str):
     """Fixed-width document chunking (textstats.chunk_documents):
     zero-copy list-offset rebuild + one vectorized binary_join."""
@@ -1153,6 +1165,7 @@ def queries() -> dict[str, Callable]:
         "text_repetition": _q_text_repetition,
         "text_dup_spans": _q_text_dup_spans,
         "text_chunks": _q_text_chunks,
+        "text_pack_sequences": _q_text_pack,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         "multimodal_features": _q_multimodal,
@@ -1458,6 +1471,30 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id""",
         "text_langid": _langid_sql(),
         "search_bm25": _bm25_sql(),
+        # greedy per-source packing replayed exactly: recursive CTE over
+        # per-source ranks, one iteration per rank (bounded by the largest
+        # shard), CASE mirroring "overflow starts a new sequence".
+        "text_pack_sequences": """
+            WITH RECURSIVE d AS (
+                SELECT source, doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                       CAST(row_number() OVER (PARTITION BY source
+                                               ORDER BY doc_id) AS BIGINT)
+                         AS rk
+                FROM documents),
+            r AS (
+                SELECT source, doc_id, n, rk,
+                       CAST(0 AS BIGINT) AS seq_idx, n AS cum
+                FROM d WHERE rk = 1
+                UNION ALL
+                SELECT d.source, d.doc_id, d.n, d.rk,
+                       CASE WHEN r.cum + d.n > 128
+                            THEN r.seq_idx + 1 ELSE r.seq_idx END,
+                       CASE WHEN r.cum + d.n > 128
+                            THEN d.n ELSE r.cum + d.n END
+                FROM r JOIN d ON d.source = r.source AND d.rk = r.rk + 1)
+            SELECT source, doc_id, n AS n_tokens, seq_idx
+            FROM r ORDER BY source, doc_id""",
         # fixed-width chunking: DuckDB list slices are 1-based inclusive,
         # so chunk i covers ws[i*32+1 : least((i+1)*32, len(ws))]. No
         # lower(): chunks preserve original text (both engines).

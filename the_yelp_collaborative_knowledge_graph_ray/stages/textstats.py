@@ -247,6 +247,63 @@ def chunk_documents(docs: ray.data.Dataset,
                                                         "chunk_idx"])
 
 
+PACK_BUDGET = 128  # token budget per packed sequence
+
+
+def pack_sequences(docs: ray.data.Dataset, budget: int = PACK_BUDGET,
+                   num_partitions: int | None = 8) -> ray.data.Dataset:
+    """Greedy sequence packing — the LLM-training batching staple: within
+    each ``source`` shard, documents (ordered by doc_id) are packed into
+    sequences whose whitespace-token sum stays <= ``budget``; a document
+    that would overflow starts the next sequence, and an oversized document
+    sits alone. Output (source, doc_id, n_tokens, seq_idx) sorted by
+    (source, doc_id).
+
+    Packing is inherently sequential, so it is SHARD-LOCAL by design (the
+    industry-standard shape — global greedy packing would serialize the
+    whole corpus): one key-sort colocates each source's docs, and the
+    per-group scan is O(#sequences) numpy ``searchsorted`` hops over the
+    token cumsum, not a per-doc Python loop. The DuckDB oracle replays the
+    same greedy rule with a recursive CTE over per-source ranks."""
+    from ..functions.grouped import group_ids, sorted_group_apply
+
+    def counts(b: pa.Table) -> pa.Table:
+        text = b["text"].combine_chunks()
+        n = pc.list_value_length(pc.split_pattern(text, " "))
+        return pa.table({"source": b["source"],
+                         "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                         "n_tokens": pc.cast(n, pa.int64())})
+
+    def pack(b: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("source", pa.string()),
+                                ("doc_id", pa.int64()),
+                                ("n_tokens", pa.int64()),
+                                ("seq_idx", pa.int64())])
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        b = b.sort_by([("source", "ascending"), ("doc_id", "ascending")])
+        gid, starts = group_ids(b, ["source"])
+        n = b["n_tokens"].to_numpy()
+        ends = np.append(starts[1:], b.num_rows)
+        seq = np.empty(b.num_rows, np.int64)
+        for s, e in zip(starts, ends):        # per source shard
+            cs = np.cumsum(n[s:e])
+            base, i, si = 0, 0, 0
+            while i < e - s:                  # one hop per SEQUENCE
+                j = int(np.searchsorted(cs, base + budget,
+                                        side="right")) - 1
+                j = max(j, i)                 # oversized doc sits alone
+                seq[s + i:s + j + 1] = si
+                base, i, si = int(cs[j]), j + 1, si + 1
+        return pa.table({"source": b["source"], "doc_id": b["doc_id"],
+                         "n_tokens": b["n_tokens"],
+                         "seq_idx": pa.array(seq)})
+
+    sized = docs.map_batches(counts, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return sorted_group_apply(sized, ["source"], pack, num_partitions)
+
+
 # --------------------------------------------------------------------------
 # language identification
 # --------------------------------------------------------------------------
