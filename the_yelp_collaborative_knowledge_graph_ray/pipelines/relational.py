@@ -363,6 +363,50 @@ def sessionize_events(sf_dir: str) -> ray.data.Dataset:
         .sort("user_id")
 
 
+def running_sum_per_user(sf_dir: str) -> ray.data.Dataset:
+    """Per-user running (cumulative) sum of ``value`` ordered by (ts,
+    event_id) — the ``SUM(...) OVER (PARTITION BY user ORDER BY ts)``
+    window function Ray Data lacks, built on the sorted-block primitive:
+    ONE key-sort colocates each user's complete history in one block
+    (functions/grouped.py invariant), an in-block lexsort orders it, and the
+    prefix sum is a vectorized group-offset cumsum — no per-group Python.
+
+    Values are fixed-point cents (int64) end to end so the prefix sums are
+    order-independent-exact vs the SQL oracle (DuckDB's windowed SUM uses a
+    segment tree whose float association differs from a sequential cumsum —
+    integers make both associations identical).
+
+    Scale note: one all-to-all on user_id; a user's whole history must fit a
+    block, the same per-key bound sessionize already documents.
+    """
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                          "value"])
+
+    def cumsum_block(b: pa.Table) -> pa.Table:
+        from ..functions.grouped import group_ids
+        out_schema = pa.schema([("event_id", pa.int64()),
+                                ("user_id", pa.int64()),
+                                ("cum_value_c", pa.int64())])
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        gid, starts = group_ids(b, ["user_id"])
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = b["event_id"].to_numpy()
+        order = np.lexsort((eid, ts, gid))  # (user, ts, event_id) total order
+        v = _scaled_int(b["value"], 100.0).to_numpy()[order]
+        cs = np.cumsum(v)
+        # subtract the prefix before each group start -> per-group cumsum
+        base = np.where(starts > 0, cs[np.maximum(starts - 1, 0)], 0)
+        cum = cs - base[gid[order]]
+        return pa.table({
+            "event_id": pa.array(eid[order], pa.int64()),
+            "user_id": pc.cast(b["user_id"].take(pa.array(order)), pa.int64()),
+            "cum_value_c": pa.array(cum, pa.int64())}, schema=out_schema)
+
+    from ..functions.grouped import sorted_group_apply
+    return sorted_group_apply(ev, ["user_id"], cumsum_block).sort("event_id")
+
+
 def sliding_window_agg(sf_dir: str, width_s: int = 3600,
                        slide_s: int = 1800) -> ray.data.Dataset:
     """OVERLAPPING (sliding) windows per event_type — the hop-window

@@ -688,6 +688,28 @@ def _q_text_dup_spans(sf_dir: str):
     return dup_span_stats(_docs(sf_dir))
 
 
+def _q_text_top_ngrams(sf_dir: str):
+    """Corpus n-gram document frequencies (textstats.top_ngrams): map-side
+    dictionary partials, one sum all-to-all, one tiny top-n sort."""
+    from .stages.textstats import top_ngrams
+    return top_ngrams(_docs(sf_dir))
+
+
+def _q_text_unigram_freq(sf_dir: str):
+    """Unigram-LM quality proxy (textstats.unigram_freq_score): corpus token
+    counts pass + hash join back to per-doc multiplicities, all integer."""
+    from .stages.textstats import unigram_freq_score
+    return unigram_freq_score(_docs(sf_dir))
+
+
+def _q_events_cumsum(sf_dir: str):
+    """Running SUM() OVER (PARTITION BY user ORDER BY ts) window function
+    (relational.running_sum_per_user): sorted-block prefix sums in fixed
+    point."""
+    from .pipelines.relational import running_sum_per_user
+    return running_sum_per_user(sf_dir)
+
+
 def _q_text_langid(sf_dir: str):
     from .stages.textstats import language_id
     return language_id(_docs(sf_dir))
@@ -1167,6 +1189,9 @@ def queries() -> dict[str, Callable]:
         "text_chunks": _q_text_chunks,
         "text_pack_sequences": _q_text_pack,
         "text_langid": _q_text_langid,
+        "text_top_ngrams": _q_text_top_ngrams,
+        "text_unigram_freq": _q_text_unigram_freq,
+        "events_cumsum": _q_events_cumsum,
         "text_fingerprint": _q_text_fingerprint,
         "multimodal_features": _q_multimodal,
         "multimodal_resize": _q_multimodal_resize,
@@ -1470,6 +1495,28 @@ def oracle_sql() -> dict[str, str]:
                      / len(string_split(text, ' ')) AS mean_word_len
             FROM documents ORDER BY doc_id""",
         "text_langid": _langid_sql(),
+        "text_top_ngrams": "WITH " + _SHINGLE_CTE + """
+            SELECT s AS ngram, CAST(count(*) AS BIGINT) AS df
+            FROM sh GROUP BY 1
+            ORDER BY df DESC, ngram ASC LIMIT 20""",
+        "text_unigram_freq": """
+            WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' '))
+                              AS w
+                       FROM documents),
+            cnt AS (SELECT w, count(*) AS c FROM w GROUP BY 1),
+            doc AS (SELECT w.doc_id, sum(c.c) AS s, count(*) AS m
+                    FROM w JOIN cnt c ON c.w = w.w GROUP BY 1)
+            SELECT doc_id, CAST(s AS BIGINT) AS freq_sum,
+                   CAST(m AS BIGINT) AS n_tokens,
+                   CAST((1000000 * s) // m AS BIGINT) AS mean_freq_fp
+            FROM doc ORDER BY doc_id""",
+        "events_cumsum": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS cum_value_c
+            FROM events ORDER BY event_id""",
         "search_bm25": _bm25_sql(),
         # greedy per-source packing replayed exactly: recursive CTE over
         # per-source ranks, one iteration per rank (bounded by the largest

@@ -604,3 +604,104 @@ def tfidf_top_terms(docs: ray.data.Dataset, k: int = 3,
 
     return docs.map_batches(score, batch_format="pyarrow",
                             zero_copy_batch=True).sort(["doc_id", "rank"])
+
+
+def top_ngrams(docs: ray.data.Dataset, topn: int = 20,
+               num_partitions: int = 4) -> ray.data.Dataset:
+    """Corpus-level n-gram document frequencies, top ``topn`` — the "what
+    does this corpus talk about" statistic every curation run starts with.
+
+    Map-side: one vectorized shingle pass per batch (the dedup layer's
+    ``_distinct_doc_shingles`` — k=3 lowercased word-grams, <k-word docs
+    contribute nothing) collapsed to per-batch (ngram, df) partials, so the
+    one all-to-all moves the batch's DICTIONARY of distinct shingles, not
+    the token stream. Reduce: sum of partials (sorted_aggregate), then one
+    tiny global sort on (df desc, ngram asc) + limit.
+
+    Output: (ngram, df) — df = number of documents containing the ngram.
+    """
+    from ..functions.grouped import sorted_aggregate
+    from .dedup import _distinct_doc_shingles
+
+    def partial(b: pa.Table) -> pa.Table:
+        _, codes, dictionary = _distinct_doc_shingles(b["text"])
+        cnt = np.bincount(codes, minlength=len(dictionary)).astype(np.int64)
+        return pa.table({"ngram": dictionary,
+                         "df": pa.array(cnt, pa.int64())})
+
+    partials = docs.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    df = sorted_aggregate(partials, ["ngram"], [("df", "sum")],
+                          ["ngram", "df"], num_partitions)
+    return df.sort(["df", "ngram"], descending=[True, False]).limit(topn)
+
+
+def unigram_freq_score(docs: ray.data.Dataset,
+                       num_partitions: int = 4) -> ray.data.Dataset:
+    """Per-document mean corpus-frequency of its tokens — the zero-model
+    stand-in for a unigram-LM fluency/quality score (docs made of rare
+    tokens score low, boilerplate made of corpus-dominant tokens scores
+    high). Two passes, both distributed:
+
+    1. global token occurrence counts: per-batch ``np.unique`` partials
+       summed with one all-to-all (sorted_aggregate) — the classic
+       "corpus statistics" pass BM25 already uses;
+    2. per-doc token multiplicities hash-joined to the counts table on the
+       token (the counts side is (vocab)-sized, NOT broadcast — at 100 TB
+       the vocabulary itself is sharded), then one grouped sum per doc.
+
+    All integer: ``mean_freq_fp = floor(1e6 * Σcount / n_tokens)`` computed
+    as ``1e6*(s//m) + ((s%m)*1e6)//m`` so int64 never overflows even when
+    Σcount approaches 2^63 (the SQL twin gets the same floor via HUGEINT).
+    Output: (doc_id, freq_sum, n_tokens, mean_freq_fp) sorted by doc_id.
+    """
+    from ..functions.grouped import sorted_aggregate
+    from .dedup import _words_flat
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        words, _ = _words_flat(b["text"])
+        uw, cnt = np.unique(words, return_counts=True)
+        return pa.table({"w": pa.array(uw, pa.string()),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    counts = sorted_aggregate(
+        docs.map_batches(count_partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["w"], [("c", "sum")], ["w", "c"], num_partitions).materialize()
+
+    def token_partial(b: pa.Table) -> pa.Table:
+        words, doc_of = _words_flat(b["text"])
+        did = b["doc_id"].to_numpy()
+        codes, inv = np.unique(words, return_inverse=True)
+        key = doc_of.astype(np.int64) * len(codes) + inv
+        ukey, mult = np.unique(key, return_counts=True)
+        return pa.table({
+            "doc_id": pa.array(did[ukey // len(codes)], pa.int64()),
+            "w": pa.array(codes[ukey % len(codes)], pa.string()),
+            "m": pa.array(mult.astype(np.int64))})
+
+    tokens = docs.map_batches(token_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    joined = tokens.join(counts, join_type="inner",
+                         num_partitions=num_partitions, on=("w",))
+
+    def weigh(b: pa.Table) -> pa.Table:
+        m = b["m"].to_numpy()
+        c = b["c"].to_numpy()
+        return pa.table({"doc_id": b["doc_id"],
+                         "s": pa.array(m * c, pa.int64()),
+                         "m": b["m"]})
+
+    per_doc = sorted_aggregate(
+        joined.map_batches(weigh, batch_format="pyarrow"),
+        ["doc_id"], [("s", "sum"), ("m", "sum")],
+        ["doc_id", "freq_sum", "n_tokens"], num_partitions)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        s = b["freq_sum"].to_numpy()
+        m = b["n_tokens"].to_numpy()
+        fp = 1_000_000 * (s // m) + ((s % m) * 1_000_000) // m
+        return b.append_column("mean_freq_fp", pa.array(fp, pa.int64()))
+
+    return per_doc.map_batches(finalize, batch_format="pyarrow") \
+                  .sort("doc_id")
