@@ -630,3 +630,36 @@ def test_interval_join_boundaries_and_bin_straddle(ray_session):
         interval_join(points, big, by="uid", ts_col="ts", start_col="s",
                       end_col="e", point_id="pid", interval_id="iid",
                       bin_width_us=10_000_000).to_pandas()
+
+
+def test_pagerank_matches_sequential_reference(ray_session):
+    """Distributed fixed-point PageRank == a sequential numpy run of the
+    same integer recurrence on a small directed graph (star + chain +
+    dangling node)."""
+    import numpy as np
+
+    from the_yelp_collaborative_knowledge_graph_ray.functions.pagerank import (
+        BASE, SCALE, pagerank)
+
+    edges = [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a"),
+             ("a", "b"), ("b", "c"), ("c", "d")]  # d is dangling
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in edges]),
+        "dst": pa.array([e[1] for e in edges])}))
+    out = pagerank(ds, iters=5, num_partitions=2).to_pandas()
+
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    outdeg = np.zeros(len(nodes), np.int64)
+    for s, _ in edges:
+        outdeg[idx[s]] += 1
+    rank = np.full(len(nodes), SCALE, np.int64)
+    for _ in range(5):
+        s = np.zeros(len(nodes), np.int64)
+        for u, v in edges:
+            s[idx[v]] += rank[idx[u]] // outdeg[idx[u]]
+        rank = BASE + 85 * (s // 100) + (85 * (s % 100)) // 100
+    got = dict(zip(out["node"], out["rank"]))
+    assert got == {n: int(rank[idx[n]]) for n in nodes}
+    # the hub (in-degree 3) must outrank everything else
+    assert got["hub"] == max(got.values())

@@ -688,6 +688,46 @@ def _q_text_dup_spans(sf_dir: str):
     return dup_span_stats(_docs(sf_dir))
 
 
+def _q_kg_pagerank(sf_dir: str):
+    """Fixed-point integer PageRank over the KG's IRI→IRI edges
+    (functions/pagerank.py): which entities/tools/conversations dominate the
+    graph. Edge list = structural ∪ mention triples with non-literal
+    objects; 5 BSP rounds of join + sort-aggregate, bit-exact vs the
+    unrolled-CTE oracle."""
+    from .functions.pagerank import _distinct, pagerank
+    tri = _q_structural(sf_dir).union(_q_mentions(sf_dir))
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.invert(b["obj_is_literal"]))
+        return pa.table({"src": t["subj"], "dst": t["obj"]})
+
+    pairs = tri.map_batches(to_edges, batch_format="pyarrow")
+    return pagerank(_distinct(pairs, ["src", "dst"], 8))
+
+
+def _pagerank_sql(iters: int = 5) -> str:
+    """Unrolled fixed-point PageRank CTE chain (functions/pagerank.py
+    semantics: SCALE=1e12, floor damping, dangling mass evaporates).
+    Expects CTEs ``edges(src, dst)`` to be in scope."""
+    ctes = ["""nodes AS (SELECT src AS node FROM edges
+                         UNION SELECT dst FROM edges),
+               outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+               r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank
+                      FROM nodes)"""]
+    for t in range(1, iters + 1):
+        ctes.append(f"""r{t} AS (
+            SELECT n.node,
+                   CAST(150000000000 + (85 * COALESCE(s.s, 0)) // 100
+                        AS BIGINT) AS rank
+            FROM nodes n LEFT JOIN (
+              SELECT e.dst AS node, sum(r.rank // o.d) AS s
+              FROM edges e JOIN outdeg o ON o.src = e.src
+              JOIN r{t - 1} r ON r.node = e.src
+              GROUP BY 1) s ON s.node = n.node)""")
+    return (",\n".join(ctes) +
+            f"\nSELECT node, rank FROM r{iters} ORDER BY node")
+
+
 def _q_text_top_ngrams(sf_dir: str):
     """Corpus n-gram document frequencies (textstats.top_ngrams): map-side
     dictionary partials, one sum all-to-all, one tiny top-n sort."""
@@ -1165,6 +1205,7 @@ def queries() -> dict[str, Callable]:
         "cq_top_tool_per_role": _q_top_tool_per_role,
         "cq_turns_per_year_month": _q_turns_per_year_month,
         "geo_reverse_geocode": _q_reverse_geocode,
+        "kg_pagerank": _q_kg_pagerank,
         "meta_struct_flatten": _q_meta_flatten,
         "meta_flatten_agg": _q_meta_flatten_agg,
         "kg_ntriples_lines": _q_ntriples_lines,
@@ -1495,6 +1536,12 @@ def oracle_sql() -> dict[str, str]:
                      / len(string_split(text, ' ')) AS mean_word_len
             FROM documents ORDER BY doc_id""",
         "text_langid": _langid_sql(),
+        "kg_pagerank": P + """
+            , triples AS (""" + _structural_sql() + """
+              UNION """ + _mention_sql() + """),
+            edges AS (SELECT DISTINCT subj AS src, obj AS dst FROM triples
+                      WHERE NOT obj_is_literal),
+            """ + _pagerank_sql(),
         "text_top_ngrams": "WITH " + _SHINGLE_CTE + """
             SELECT s AS ngram, CAST(count(*) AS BIGINT) AS df
             FROM sh GROUP BY 1
