@@ -663,3 +663,55 @@ def test_pagerank_matches_sequential_reference(ray_session):
     assert got == {n: int(rank[idx[n]]) for n in nodes}
     # the hub (in-degree 3) must outrank everything else
     assert got["hub"] == max(got.values())
+
+
+def test_semantic_dedup_matches_sequential_reference(ray_session):
+    """Distributed SemDeDup == a sequential numpy run of the same pipeline
+    (same sampled centroids, same assignment, same in-cluster greedy) on a
+    corpus with planted near-duplicate groups."""
+    import numpy as np
+
+    from the_yelp_collaborative_knowledge_graph_ray.stages.dedup import (
+        semantic_dedup)
+    from the_yelp_collaborative_knowledge_graph_ray.stages.similarity import (
+        _kmeans)
+
+    rng = np.random.default_rng(42)
+    base = rng.normal(size=(12, 16))
+    rows, ids = [], []
+    vid = 0
+    for i in range(12):
+        # each base vector plus 0-3 tiny perturbations (near-dups)
+        for _ in range(1 + i % 4):
+            rows.append(base[i] + rng.normal(scale=1e-3, size=16))
+            ids.append(vid)
+            vid += 1
+    mat = np.asarray(rows)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float32()))}))
+    out = semantic_dedup(ds, threshold=0.9, n_clusters=4).to_pandas()
+
+    # sequential reference: identical sample (the whole set), kmeans,
+    # assignment, and greedy
+    m32 = mat.astype(np.float32).astype(np.float64)
+    norm = m32 / np.maximum(np.linalg.norm(m32, axis=1, keepdims=True),
+                            1e-12)
+    cent = _kmeans(norm, 4)
+    cl = np.argmax(norm @ cent.T, axis=1)
+    keep_ref = {}
+    for c in sorted(set(cl.tolist())):
+        members = [i for i in range(len(ids)) if cl[i] == c]
+        kept = []
+        for i in members:  # ids ascending by construction
+            sims = np.round(norm[i] @ norm[kept].T, 6) if kept else None
+            if kept and sims.max() >= 0.9:
+                keep_ref[ids[i]] = False
+            else:
+                kept.append(i)
+                keep_ref[ids[i]] = True
+    got = dict(zip(out["vec_id"], out["keep"]))
+    assert got == keep_ref
+    # sanity: something was actually dropped and something kept
+    assert any(got.values()) and not all(got.values())

@@ -688,6 +688,15 @@ def _q_text_dup_spans(sf_dir: str):
     return dup_span_stats(_docs(sf_dir))
 
 
+def _q_dedup_semantic(sf_dir: str):
+    """SemDeDup-style semantic dedup (dedup.semantic_dedup): k-means
+    clusters from a bounded sample, in-cluster greedy cosine keep/drop.
+    Approximate by design (cross-cluster pairs missed) -> rows-only in the
+    driver; the pytest asserts exact equality with a sequential reference."""
+    from .stages.dedup import semantic_dedup
+    return semantic_dedup(_emb(sf_dir), threshold=EMB_NEAR_DUP_THRESHOLD)
+
+
 def _q_kg_pagerank(sf_dir: str):
     """Fixed-point integer PageRank over the KG's IRI→IRI edges
     (functions/pagerank.py): which entities/tools/conversations dominate the
@@ -1219,6 +1228,7 @@ def queries() -> dict[str, Callable]:
         "dedup_fingerprint": _q_dedup_fingerprint,
         "dedup_canonical_map": _q_dedup_canonical,
         "dedup_embedding_blocked": _q_dedup_embedding_blocked,
+        "dedup_semantic": _q_dedup_semantic,
         "embedding_topk_pairs": _q_embedding_topk_pairs,
         "ann_topk_cosine": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf,

@@ -986,3 +986,84 @@ def dedup_canonical_map(docs: ray.data.Dataset, pairs: ray.data.Dataset,
 
     return docs.map_batches(assign, batch_format="pyarrow",
                             zero_copy_batch=True).sort(id_col)
+
+
+def semantic_dedup(embeddings: ray.data.Dataset, threshold: float = 0.35,
+                   n_clusters: int = 16,
+                   sample_rows: int = 4096) -> ray.data.Dataset:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
+    cluster the embedding space, then GREEDILY keep the lowest-id member of
+    every cosine>=threshold neighborhood within each cluster — a later
+    vector is dropped iff it is within threshold of an already-KEPT earlier
+    one (chains past the threshold survive; that is the paper's semantics,
+    distinct from the connected-component keep rule of
+    :func:`dedup_canonical_map`).
+
+    Scale shape: centroids come from a BOUNDED driver sample (never the full
+    matrix) and are broadcast once via ``ray.put``; cluster assignment is a
+    stateless actor-pool ``map_batches``; ONE sort on cluster colocates each
+    complete cluster in a block (functions/grouped.py invariant), and the
+    in-block greedy does one (k x k) matmul per cluster plus an O(k) scan
+    with vectorized inner steps. Per-cluster size is the memory bound —
+    size ``n_clusters`` to the corpus (the same bound IVF documents).
+    Approximate by design: a near-dup pair split across clusters is missed,
+    so the driver check is rows-only; the pytest asserts exact equality
+    with a sequential reference of the same greedy on the same clusters.
+
+    Output: (vec_id, cluster, keep) sorted by vec_id.
+    """
+    from ..functions.grouped import sorted_group_apply
+    from .similarity import _kmeans
+
+    sample_tab = embeddings.limit(sample_rows).to_pandas()
+    sample = np.asarray(sample_tab["embedding"].tolist(), dtype=np.float64)
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True),
+                         1e-12)
+    cent_ref = ray.put(_kmeans(sample, n_clusters))
+
+    class Assign:
+        def __init__(self):
+            self.cent = ray.get(cent_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids, mat = _load_matrix(b)
+            cl = np.argmax(mat @ self.cent.T, axis=1).astype(np.int64)
+            return pa.table({
+                "vec_id": pa.array(ids.astype(np.int64)),
+                "cluster": pa.array(cl),
+                "embedding": pa.array(list(mat), pa.list_(pa.float64()))})
+
+    assigned = embeddings.map_batches(Assign, batch_format="pyarrow",
+                                      batch_size=4096, zero_copy_batch=True,
+                                      concurrency=(1, 4))
+
+    def greedy_block(b: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("vec_id", pa.int64()),
+                                ("cluster", pa.int64()),
+                                ("keep", pa.bool_())])
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        ids, mat = _load_matrix(b)
+        cl = b["cluster"].to_numpy()
+        order = np.lexsort((ids, cl))
+        ids, mat, cl = ids[order], mat[order], cl[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], cl[1:] != cl[:-1]]))
+        bounds = np.append(starts, len(cl))
+        keep = np.ones(len(cl), bool)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            m = mat[s:e]
+            if e - s > 1:
+                sims = np.round(m @ m.T, 6)
+                kept: list[int] = []
+                for i in range(e - s):
+                    if kept and sims[i, kept].max() >= threshold:
+                        keep[s + i] = False
+                    else:
+                        kept.append(i)
+        return pa.table({"vec_id": pa.array(ids.astype(np.int64)),
+                         "cluster": pa.array(cl.astype(np.int64)),
+                         "keep": pa.array(keep)}, schema=out_schema)
+
+    return sorted_group_apply(assigned, ["cluster"], greedy_block) \
+        .sort("vec_id")
