@@ -407,6 +407,77 @@ def running_sum_per_user(sf_dir: str) -> ray.data.Dataset:
     return sorted_group_apply(ev, ["user_id"], cumsum_block).sort("event_id")
 
 
+def lag_gap_per_user(sf_dir: str) -> ray.data.Dataset:
+    """Per-event gap to the user's PREVIOUS event in microseconds — the
+    ``LAG()`` window function (NULL for each user's first event), built on
+    the same sorted-block + in-block lexsort shape as
+    :func:`running_sum_per_user`. Output: (event_id, user_id, prev_gap_us)
+    sorted by event_id."""
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def lag_block(b: pa.Table) -> pa.Table:
+        from ..functions.grouped import group_ids
+        out_schema = pa.schema([("event_id", pa.int64()),
+                                ("user_id", pa.int64()),
+                                ("prev_gap_us", pa.int64())])
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        gid, _ = group_ids(b, ["user_id"])
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = b["event_id"].to_numpy()
+        order = np.lexsort((eid, ts, gid))
+        ts, ogid, eid = ts[order], gid[order], eid[order]
+        gap = np.empty(len(ts), np.int64)
+        gap[1:] = ts[1:] - ts[:-1]
+        first = np.concatenate([[True], ogid[1:] != ogid[:-1]])
+        return pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "user_id": pc.cast(b["user_id"].take(pa.array(order)),
+                               pa.int64()),
+            "prev_gap_us": pa.array(np.ma.masked_array(gap, mask=first),
+                                    pa.int64())}, schema=out_schema)
+
+    from ..functions.grouped import sorted_group_apply
+    return sorted_group_apply(ev, ["user_id"], lag_block).sort("event_id")
+
+
+def lineitem_rollup(sf_dir: str) -> ray.data.Dataset:
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) over lineitem quantity —
+    the hierarchy-subtotal aggregate. Ray Data has no ROLLUP; it is three
+    grouped sums where each coarser level re-aggregates the PREVIOUS
+    level's (already tiny) output, so the full table is shuffled exactly
+    once. NULL marks the rolled-up dimension, as in SQL."""
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        return b.group_by(["l_returnflag", "l_linestatus"],
+                          use_threads=False) \
+                .aggregate([("l_quantity", "sum")]) \
+                .rename_columns(["l_returnflag", "l_linestatus", "sum_qty"])
+
+    from ..functions.grouped import sorted_aggregate
+    lvl2 = sorted_aggregate(
+        li.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["l_returnflag", "l_linestatus"], [("sum_qty", "sum")],
+        ["l_returnflag", "l_linestatus", "sum_qty"], 1).materialize()
+    lvl1 = sorted_aggregate(lvl2, ["l_returnflag"], [("sum_qty", "sum")],
+                            ["l_returnflag", "sum_qty"], 1) \
+        .map_batches(lambda b: b.add_column(
+            1, "l_linestatus", pa.nulls(b.num_rows, pa.string())),
+            batch_format="pyarrow").materialize()
+    total = lvl1.map_batches(
+        lambda b: pa.table({
+            "l_returnflag": pa.nulls(1, pa.string()),
+            "l_linestatus": pa.nulls(1, pa.string()),
+            "sum_qty": pa.array([pc.sum(b["sum_qty"]).as_py()],
+                                pa.float64())})
+        if b.num_rows else b, batch_format="pyarrow", batch_size=None)
+    # lvl1 arrives in one block (num_partitions=1), so `total` is exact
+    return lvl2.union(lvl1, total.limit(1))
+
+
 def sliding_window_agg(sf_dir: str, width_s: int = 3600,
                        slide_s: int = 1800) -> ray.data.Dataset:
     """OVERLAPPING (sliding) windows per event_type — the hop-window

@@ -751,6 +751,21 @@ def _q_text_unigram_freq(sf_dir: str):
     return unigram_freq_score(_docs(sf_dir))
 
 
+def _q_events_lag(sf_dir: str):
+    """LAG() window function (relational.lag_gap_per_user): per-user gap to
+    the previous event, NULL for the first."""
+    from .pipelines.relational import lag_gap_per_user
+    return lag_gap_per_user(sf_dir)
+
+
+def _q_rel_rollup(sf_dir: str):
+    """GROUP BY ROLLUP (relational.lineitem_rollup): hierarchy subtotals
+    with one full-table shuffle; coarser levels re-aggregate the previous
+    level's output."""
+    from .pipelines.relational import lineitem_rollup
+    return lineitem_rollup(sf_dir)
+
+
 def _q_events_cumsum(sf_dir: str):
     """Running SUM() OVER (PARTITION BY user ORDER BY ts) window function
     (relational.running_sum_per_user): sorted-block prefix sums in fixed
@@ -1243,6 +1258,8 @@ def queries() -> dict[str, Callable]:
         "text_top_ngrams": _q_text_top_ngrams,
         "text_unigram_freq": _q_text_unigram_freq,
         "events_cumsum": _q_events_cumsum,
+        "events_lag": _q_events_lag,
+        "rel_rollup": _q_rel_rollup,
         "text_fingerprint": _q_text_fingerprint,
         "multimodal_features": _q_multimodal,
         "multimodal_resize": _q_multimodal_resize,
@@ -1574,6 +1591,17 @@ def oracle_sql() -> dict[str, str]:
                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
                      AS cum_value_c
             FROM events ORDER BY event_id""",
+        "events_lag": """
+            SELECT event_id, user_id,
+                   CAST(epoch_us(ts) - LAG(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        AS BIGINT) AS prev_gap_us
+            FROM events ORDER BY event_id""",
+        "rel_rollup": """
+            SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            ORDER BY 1, 2""",
         "search_bm25": _bm25_sql(),
         # greedy per-source packing replayed exactly: recursive CTE over
         # per-source ranks, one iteration per rank (bounded by the largest
