@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -688,6 +689,41 @@ def _q_text_dup_spans(sf_dir: str):
     return dup_span_stats(_docs(sf_dir))
 
 
+def _kg_edges(sf_dir: str) -> ray.data.Dataset:
+    """Distinct IRI→IRI edge list of the KG (structural ∪ mention triples,
+    non-literal objects) — shared by kg_pagerank and kg_degree_stats."""
+    from .functions.pagerank import _distinct
+    tri = _q_structural(sf_dir).union(_q_mentions(sf_dir))
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.invert(b["obj_is_literal"]))
+        return pa.table({"src": t["subj"], "dst": t["obj"]})
+
+    return _distinct(tri.map_batches(to_edges, batch_format="pyarrow"),
+                     ["src", "dst"], 8)
+
+
+def _q_kg_degree_stats(sf_dir: str):
+    """Per-node in/out degree over the KG edge list — one all-to-all, no
+    join: each edge emits two (node, o, i) indicator rows, summed with the
+    sort-aggregate (map-side combine collapses hot nodes per block)."""
+    from .functions.grouped import sorted_aggregate
+
+    def indicators(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "node": pa.concat_arrays([b["src"].combine_chunks(),
+                                      b["dst"].combine_chunks()]),
+            "o": pa.array(np.concatenate([np.ones(n, np.int64),
+                                          np.zeros(n, np.int64)])),
+            "i": pa.array(np.concatenate([np.zeros(n, np.int64),
+                                          np.ones(n, np.int64)]))})
+
+    deg = _kg_edges(sf_dir).map_batches(indicators, batch_format="pyarrow")
+    return sorted_aggregate(deg, ["node"], [("o", "sum"), ("i", "sum")],
+                            ["node", "out_deg", "in_deg"], 8).sort("node")
+
+
 def _q_dedup_semantic(sf_dir: str):
     """SemDeDup-style semantic dedup (dedup.semantic_dedup): k-means
     clusters from a bounded sample, in-cluster greedy cosine keep/drop.
@@ -703,15 +739,8 @@ def _q_kg_pagerank(sf_dir: str):
     graph. Edge list = structural ∪ mention triples with non-literal
     objects; 5 BSP rounds of join + sort-aggregate, bit-exact vs the
     unrolled-CTE oracle."""
-    from .functions.pagerank import _distinct, pagerank
-    tri = _q_structural(sf_dir).union(_q_mentions(sf_dir))
-
-    def to_edges(b: pa.Table) -> pa.Table:
-        t = b.filter(pc.invert(b["obj_is_literal"]))
-        return pa.table({"src": t["subj"], "dst": t["obj"]})
-
-    pairs = tri.map_batches(to_edges, batch_format="pyarrow")
-    return pagerank(_distinct(pairs, ["src", "dst"], 8))
+    from .functions.pagerank import pagerank
+    return pagerank(_kg_edges(sf_dir))
 
 
 def _pagerank_sql(iters: int = 5) -> str:
@@ -1230,6 +1259,7 @@ def queries() -> dict[str, Callable]:
         "cq_turns_per_year_month": _q_turns_per_year_month,
         "geo_reverse_geocode": _q_reverse_geocode,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_degree_stats": _q_kg_degree_stats,
         "meta_struct_flatten": _q_meta_flatten,
         "meta_flatten_agg": _q_meta_flatten_agg,
         "kg_ntriples_lines": _q_ntriples_lines,
@@ -1569,6 +1599,16 @@ def oracle_sql() -> dict[str, str]:
             edges AS (SELECT DISTINCT subj AS src, obj AS dst FROM triples
                       WHERE NOT obj_is_literal),
             """ + _pagerank_sql(),
+        "kg_degree_stats": P + """
+            , triples AS (""" + _structural_sql() + """
+              UNION """ + _mention_sql() + """),
+            edges AS (SELECT DISTINCT subj AS src, obj AS dst FROM triples
+                      WHERE NOT obj_is_literal),
+            deg AS (SELECT src AS node, 1 AS o, 0 AS i FROM edges
+                    UNION ALL SELECT dst, 0, 1 FROM edges)
+            SELECT node, CAST(sum(o) AS BIGINT) AS out_deg,
+                   CAST(sum(i) AS BIGINT) AS in_deg
+            FROM deg GROUP BY 1 ORDER BY 1""",
         "text_top_ngrams": "WITH " + _SHINGLE_CTE + """
             SELECT s AS ngram, CAST(count(*) AS BIGINT) AS df
             FROM sh GROUP BY 1
