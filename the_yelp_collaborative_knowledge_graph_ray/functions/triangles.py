@@ -1,0 +1,71 @@
+"""Distributed triangle counting over an oriented edge Dataset.
+
+Graph-analytics companion to :mod:`functions.pagerank` /
+:mod:`functions.components`: counts closed triples (a–b, b–c, a–c) in an
+undirected graph given as ordered edges ``u < v``. The classic two-join
+formulation — wedges from edges⋈edges, closed against the edge list —
+each join a hash shuffle, the count a streaming reduce; nothing ever
+materializes on the driver.
+
+Orientation note: with id-orientation (u < v) every triangle appears
+exactly once as (a < b < c), but a low-id hub fans out O(deg²) wedges. The
+standard scale upgrade is DEGREE orientation (orient each edge toward the
+higher-degree endpoint, ties by id), which bounds wedge fan-out by the
+graph's arboricity; that is one extra degree join away and left out here
+because the co-mention graphs this serves are vocabulary-bounded
+(≤ |vocab|² edges).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from .grouped import _pair_index_arrays, group_ids, sorted_group_apply
+from .pagerank import _distinct
+
+
+def within_group_pairs(ds: ray.data.Dataset, key: str, val: str,
+                       num_partitions: int = 8) -> ray.data.Dataset:
+    """Distinct unordered co-occurrence pairs (u < v) of string ``val``
+    values sharing a ``key`` — e.g. mentions co-occurring in a turn. ONE
+    key-sort colocates complete groups; pair expansion is the vectorized
+    index arithmetic of ``_pair_index_arrays`` over per-block string codes
+    (``np.unique`` order == lexicographic, so code order == string order);
+    a global distinct collapses repeats across groups."""
+    def block(b: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("u", pa.string()), ("v", pa.string())])
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        gid, _ = group_ids(b, [key])
+        vals = b[val].to_numpy(zero_copy_only=False)
+        dic, inv = np.unique(vals, return_inverse=True)
+        sel, first, second = _pair_index_arrays(gid, inv.astype(np.int64),
+                                                None, None, key)
+        if len(first) == 0:
+            return out_schema.empty_table()
+        return pa.table({"u": pa.array(dic[inv[sel[first]]], pa.string()),
+                         "v": pa.array(dic[inv[sel[second]]], pa.string())},
+                        schema=out_schema)
+
+    pairs = sorted_group_apply(ds, [key], block)
+    return _distinct(pairs, ["u", "v"], num_partitions)
+
+
+def triangle_count(edges: ray.data.Dataset,
+                   num_partitions: int = 8) -> pa.Table:
+    """edges: Dataset with string columns (u, v), distinct, u < v.
+    Returns a one-row Arrow table (n_triangles,)."""
+    wedges = edges.join(edges, join_type="inner",
+                        num_partitions=num_partitions,
+                        on=("v",), right_on=("u",),
+                        left_suffix="", right_suffix="_r") \
+        .map_batches(lambda b: pa.table({"a": b["u"], "c": b["v_r"]}),
+                     batch_format="pyarrow")
+    closed = wedges.join(edges, join_type="inner",
+                         num_partitions=num_partitions,
+                         on=("a", "c"), right_on=("u", "v"),
+                         left_suffix="", right_suffix="_r")
+    return pa.table({"n_triangles": pa.array([closed.count()], pa.int64())})

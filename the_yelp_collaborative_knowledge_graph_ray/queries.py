@@ -724,6 +724,20 @@ def _q_kg_degree_stats(sf_dir: str):
                             ["node", "out_deg", "in_deg"], 8).sort("node")
 
 
+def _q_kg_comention_triangles(sf_dir: str):
+    """Triangle count of the mention co-occurrence graph
+    (functions/triangles.py): edges = canonical mentions sharing a turn
+    (vectorized within-group pair expansion + global distinct), triangles =
+    two hash joins + a streaming count. Node naming cancels out of the
+    count, so the Ray side runs on mention-IRI pairs while the oracle runs
+    on raw canonicals."""
+    from .functions.triangles import triangle_count, within_group_pairs
+    m = _q_mentions(sf_dir).map_batches(
+        lambda b: pa.table({"turn": b["subj"], "c": b["obj"]}),
+        batch_format="pyarrow")
+    return triangle_count(within_group_pairs(m, "turn", "c"))
+
+
 def _q_dedup_semantic(sf_dir: str):
     """SemDeDup-style semantic dedup (dedup.semantic_dedup): k-means
     clusters from a bounded sample, in-cluster greedy cosine keep/drop.
@@ -1260,6 +1274,7 @@ def queries() -> dict[str, Callable]:
         "geo_reverse_geocode": _q_reverse_geocode,
         "kg_pagerank": _q_kg_pagerank,
         "kg_degree_stats": _q_kg_degree_stats,
+        "kg_comention_triangles": _q_kg_comention_triangles,
         "meta_struct_flatten": _q_meta_flatten,
         "meta_flatten_agg": _q_meta_flatten_agg,
         "kg_ntriples_lines": _q_ntriples_lines,
@@ -1609,6 +1624,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, CAST(sum(o) AS BIGINT) AS out_deg,
                    CAST(sum(i) AS BIGINT) AS in_deg
             FROM deg GROUP BY 1 ORDER BY 1""",
+        "kg_comention_triangles": P + """
+            , ce AS (SELECT DISTINCT a.canonical AS u, b.canonical AS v
+                     FROM mention a JOIN mention b
+                       ON a.turn_iri = b.turn_iri
+                      AND a.canonical < b.canonical)
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM ce e1 JOIN ce e2 ON e2.u = e1.v
+            JOIN ce e3 ON e3.u = e1.u AND e3.v = e2.v""",
         "text_top_ngrams": "WITH " + _SHINGLE_CTE + """
             SELECT s AS ngram, CAST(count(*) AS BIGINT) AS df
             FROM sh GROUP BY 1
