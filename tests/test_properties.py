@@ -1,0 +1,64 @@
+"""Property tests (hypothesis): the engine's core grouped primitive must
+agree with DuckDB on arbitrary inputs, not just the curated fixtures."""
+
+import duckdb
+import pyarrow as pa
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import ray.data
+
+from the_yelp_collaborative_knowledge_graph_ray.functions.grouped import (
+    grouped_count, sorted_aggregate)
+
+rows = st.lists(
+    st.tuples(st.integers(0, 5), st.text("abc", max_size=2),
+              st.integers(-10**9, 10**9)),
+    min_size=0, max_size=150)
+
+
+@given(data=rows)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_sorted_aggregate_matches_duckdb(ray_session, data):
+    t = pa.table({
+        "k1": pa.array([d[0] for d in data], pa.int64()),
+        "k2": pa.array([d[1] for d in data], pa.string()),
+        "x": pa.array([d[2] for d in data], pa.int64())})
+    got = sorted_aggregate(
+        ray.data.from_arrow(t).repartition(3), ["k1", "k2"],
+        [("x", "sum"), ("x", "min"), ("x", "max"), ("x", "count")],
+        ["k1", "k2", "s", "mn", "mx", "n"], 2).to_pandas()
+    if not data:
+        assert got.empty
+        return
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.sql("""
+        SELECT k1, k2, CAST(sum(x) AS BIGINT) AS s, min(x) AS mn,
+               max(x) AS mx, count(x) AS n
+        FROM t GROUP BY 1, 2 ORDER BY 1, 2""").df()
+    got = got.sort_values(["k1", "k2"]).reset_index(drop=True)
+    want = want.sort_values(["k1", "k2"]).reset_index(drop=True)
+    assert got.to_dict("list") == want.to_dict("list")
+
+
+@given(data=rows)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_grouped_count_matches_duckdb(ray_session, data):
+    t = pa.table({
+        "k1": pa.array([d[0] for d in data], pa.int64()),
+        "k2": pa.array([d[1] for d in data], pa.string())})
+    got = grouped_count(ray.data.from_arrow(t).repartition(3),
+                        ["k1", "k2"], "n", 2).to_pandas()
+    if not data:
+        assert got.empty
+        return
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.sql("SELECT k1, k2, count(*) AS n FROM t GROUP BY 1, 2 "
+                   "ORDER BY 1, 2").df()
+    got = got.sort_values(["k1", "k2"]).reset_index(drop=True)
+    want = want.sort_values(["k1", "k2"]).reset_index(drop=True)
+    assert got.to_dict("list") == want.to_dict("list")
