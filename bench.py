@@ -46,6 +46,8 @@ HEADLINE_QUERIES = [
     "rel_groupby_lineitem",
     "rel_join_orders_customer",
     "events_sessionize",
+    "kg_pagerank",
+    "dedup_semantic",
 ]
 
 
