@@ -379,3 +379,61 @@ def test_sliding_window_every_event_in_two_windows(ray_session):
         "/root/testdata/sf0.001/events.parquet").num_rows
     assert res["n"].sum() == 2 * n_events        # width/slide = 2 replicas
     assert (res["w_start_s"] % 1800 == 0).all()  # aligned hop starts
+
+
+def test_rank_and_moving_sum_with_planted_ties(ray_session, tmp_path):
+    """RANK/DENSE_RANK tie semantics and the moving-window prefix-sum
+    difference, on a corpus BUILT to have within-user value ties and
+    groups shorter/longer than the window width — vs DuckDB windows."""
+    import pandas as pd
+
+    from the_yelp_collaborative_knowledge_graph_ray.pipelines.relational import (
+        moving_sum_per_user,
+        rank_events_per_user,
+    )
+
+    rng = np.random.RandomState(7)
+    n = 400
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.randint(0, 12, n).astype(np.int64),  # some users rare
+        "ts": pd.to_datetime("2025-03-01")
+        + pd.to_timedelta(rng.randint(0, 10**6, n), unit="s"),
+        # values on a coarse grid -> many exact ties within a user
+        "value": rng.randint(0, 5, n) * 0.25,
+    })
+    sf = str(tmp_path)
+    df.to_parquet(f"{sf}/events.parquet", index=False)
+    con = duckdb.connect()
+    con.register("events", df)
+
+    got = rank_events_per_user(sf).to_pandas()
+    exp = con.sql("""
+        SELECT event_id,
+               rank() OVER (PARTITION BY user_id
+                            ORDER BY CAST(round(value*100) AS BIGINT) DESC)
+                 AS rk,
+               dense_rank() OVER (PARTITION BY user_id
+                            ORDER BY CAST(round(value*100) AS BIGINT) DESC)
+                 AS drk
+        FROM events ORDER BY event_id""").df()
+    got = got.sort_values("event_id").reset_index(drop=True)
+    assert (got["rk"].to_numpy() == exp["rk"].to_numpy()).all()
+    assert (got["drk"].to_numpy() == exp["drk"].to_numpy()).all()
+    # planted grid actually produced ties (rank != dense_rank somewhere)
+    assert (got["rk"] != got["drk"]).any()
+
+    got = moving_sum_per_user(sf).to_pandas().sort_values(
+        "event_id").reset_index(drop=True)
+    exp = con.sql("""
+        SELECT event_id,
+               sum(CAST(round(value*100) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS win_sum_c,
+               count(*)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS win_n
+        FROM events ORDER BY event_id""").df()
+    assert (got["win_sum_c"].to_numpy() == exp["win_sum_c"].to_numpy()).all()
+    assert (got["win_n"].to_numpy() == exp["win_n"].to_numpy()).all()
+    assert got["win_n"].min() == 1 and got["win_n"].max() == 3

@@ -533,3 +533,91 @@ def sliding_window_agg(sf_dir: str, width_s: int = 3600,
             "n": b["n"]})
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def moving_sum_per_user(sf_dir: str, width: int = 3) -> ray.data.Dataset:
+    """Per-user moving-window sum over the last ``width`` events ordered by
+    (ts, event_id) — the ``SUM(...) OVER (... ROWS BETWEEN width-1 PRECEDING
+    AND CURRENT ROW)`` window frame, built on the same sorted-block +
+    in-block lexsort shape as :func:`running_sum_per_user`: ONE all-to-all on
+    user_id, then a vectorized within-group prefix-sum difference
+    ``cum[i] - cum[i-width]`` (no per-group Python). Values are fixed-point
+    cents so the Ray sum and DuckDB's windowed sum are bit-identical.
+    Output: (event_id, user_id, win_sum_c, win_n) sorted by event_id."""
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                          "value"])
+
+    def window_block(b: pa.Table) -> pa.Table:
+        from ..functions.grouped import group_ids
+        out_schema = pa.schema([("event_id", pa.int64()),
+                                ("user_id", pa.int64()),
+                                ("win_sum_c", pa.int64()),
+                                ("win_n", pa.int64())])
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        gid, starts = group_ids(b, ["user_id"])
+        n = b.num_rows
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = b["event_id"].to_numpy()
+        order = np.lexsort((eid, ts, gid))
+        v = _scaled_int(b["value"], 100.0).to_numpy()[order]
+        ogid = gid[order]  # lexsort is stable on its last key: still grouped
+        cs = np.cumsum(v)
+        base = np.where(starts > 0, cs[np.maximum(starts - 1, 0)], 0)
+        cumw = cs - base[ogid]                      # within-group cumsum
+        pos = np.arange(n) - starts[ogid]           # 0-based pos in group
+        prev = np.zeros(n, np.int64)
+        far = pos >= width                          # window fully inside grp
+        prev[far] = cumw[np.flatnonzero(far) - width]
+        return pa.table({
+            "event_id": pa.array(eid[order], pa.int64()),
+            "user_id": pc.cast(b["user_id"].take(pa.array(order)),
+                               pa.int64()),
+            "win_sum_c": pa.array(cumw - prev, pa.int64()),
+            "win_n": pa.array(np.minimum(pos + 1, width), pa.int64())},
+            schema=out_schema)
+
+    from ..functions.grouped import sorted_group_apply
+    return sorted_group_apply(ev, ["user_id"], window_block).sort("event_id")
+
+
+def rank_events_per_user(sf_dir: str) -> ray.data.Dataset:
+    """``RANK()`` and ``DENSE_RANK()`` per user over event value (cents,
+    descending) — the tie-aware window ranks Ray Data lacks, in one key-sort:
+    within each sorted block, order rows by (user, -value_c) and derive both
+    ranks from value-change flags (rank = offset of the last change row
+    inside the group + 1; dense rank = running count of change rows) — all
+    numpy accumulations, no per-group Python. Ties share a rank on BOTH
+    engines because both order by the identical int64 cents key.
+    Output: (event_id, user_id, rk, drk) sorted by event_id."""
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def rank_block(b: pa.Table) -> pa.Table:
+        from ..functions.grouped import group_ids
+        out_schema = pa.schema([("event_id", pa.int64()),
+                                ("user_id", pa.int64()),
+                                ("rk", pa.int64()), ("drk", pa.int64())])
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        gid, starts = group_ids(b, ["user_id"])
+        n = b.num_rows
+        v = _scaled_int(b["value"], 100.0).to_numpy()
+        eid = b["event_id"].to_numpy()
+        order = np.lexsort((-v, gid))
+        ov, ogid, oeid = v[order], gid[order], eid[order]
+        chg = np.empty(n, bool)
+        chg[0] = True
+        chg[1:] = (ov[1:] != ov[:-1]) | (ogid[1:] != ogid[:-1])
+        last_chg = np.maximum.accumulate(np.where(chg, np.arange(n), -1))
+        rk = last_chg - starts[ogid] + 1
+        c = np.cumsum(chg)
+        drk = c - (c[starts[ogid]] - 1)
+        return pa.table({
+            "event_id": pa.array(oeid, pa.int64()),
+            "user_id": pc.cast(b["user_id"].take(pa.array(order)),
+                               pa.int64()),
+            "rk": pa.array(rk, pa.int64()),
+            "drk": pa.array(drk, pa.int64())}, schema=out_schema)
+
+    from ..functions.grouped import sorted_group_apply
+    return sorted_group_apply(ev, ["user_id"], rank_block).sort("event_id")

@@ -801,6 +801,22 @@ def _q_events_lag(sf_dir: str):
     return lag_gap_per_user(sf_dir)
 
 
+def _q_events_moving_sum(sf_dir: str):
+    """Moving-window SUM (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) per user
+    (relational.moving_sum_per_user): one key-sort, vectorized within-group
+    prefix-sum difference, fixed-point cents."""
+    from .pipelines.relational import moving_sum_per_user
+    return moving_sum_per_user(sf_dir)
+
+
+def _q_events_rank(sf_dir: str):
+    """RANK() / DENSE_RANK() per user by event value desc
+    (relational.rank_events_per_user): tie-aware window ranks from
+    value-change flags inside sorted blocks."""
+    from .pipelines.relational import rank_events_per_user
+    return rank_events_per_user(sf_dir)
+
+
 def _q_rel_rollup(sf_dir: str):
     """GROUP BY ROLLUP (relational.lineitem_rollup): hierarchy subtotals
     with one full-table shuffle; coarser levels re-aggregate the previous
@@ -1304,6 +1320,8 @@ def queries() -> dict[str, Callable]:
         "text_unigram_freq": _q_text_unigram_freq,
         "events_cumsum": _q_events_cumsum,
         "events_lag": _q_events_lag,
+        "events_moving_sum": _q_events_moving_sum,
+        "events_rank": _q_events_rank,
         "rel_rollup": _q_rel_rollup,
         "text_fingerprint": _q_text_fingerprint,
         "multimodal_features": _q_multimodal,
@@ -1659,6 +1677,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(epoch_us(ts) - LAG(epoch_us(ts))
                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
                         AS BIGINT) AS prev_gap_us
+            FROM events ORDER BY event_id""",
+        "events_moving_sum": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS win_sum_c,
+                   CAST(count(*)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS win_n
+            FROM events ORDER BY event_id""",
+        "events_rank": """
+            SELECT event_id, user_id,
+                   CAST(rank() OVER (
+                        PARTITION BY user_id
+                        ORDER BY CAST(round(value * 100) AS BIGINT) DESC)
+                        AS BIGINT) AS rk,
+                   CAST(dense_rank() OVER (
+                        PARTITION BY user_id
+                        ORDER BY CAST(round(value * 100) AS BIGINT) DESC)
+                        AS BIGINT) AS drk
             FROM events ORDER BY event_id""",
         "rel_rollup": """
             SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty
