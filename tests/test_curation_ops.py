@@ -437,3 +437,28 @@ def test_rank_and_moving_sum_with_planted_ties(ray_session, tmp_path):
     assert (got["win_sum_c"].to_numpy() == exp["win_sum_c"].to_numpy()).all()
     assert (got["win_n"].to_numpy() == exp["win_n"].to_numpy()).all()
     assert got["win_n"].min() == 1 and got["win_n"].max() == 3
+
+
+def test_distinct_set_op_semantics(ray_session):
+    """INTERSECT/EXCEPT are DISTINCT-set ops: duplicate input rows collapse,
+    and membership ignores multiplicity — vs DuckDB on the same tables."""
+    from the_yelp_collaborative_knowledge_graph_ray.functions.setops import (
+        distinct_set_op,
+    )
+    rng = np.random.RandomState(3)
+    ta = pa.table({"k": rng.randint(0, 20, 300).astype(np.int64)})
+    tb = pa.table({"k": rng.randint(10, 30, 300).astype(np.int64)})
+    a, b = ray.data.from_arrow(ta), ray.data.from_arrow(tb)
+    con = duckdb.connect()
+    con.register("a", ta)
+    con.register("b", tb)
+    for op, sql_op in (("intersect", "INTERSECT"), ("except", "EXCEPT")):
+        got = sorted(r["k"] for r in
+                     distinct_set_op(a, b, ["k"], op).take_all())
+        exp = sorted(r[0] for r in con.sql(
+            f"SELECT k FROM a {sql_op} SELECT k FROM b").fetchall())
+        assert got == exp, op
+        assert len(got) == len(set(got))  # distinct output
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        distinct_set_op(a, b, ["k"], "union")

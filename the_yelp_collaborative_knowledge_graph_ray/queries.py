@@ -817,6 +817,40 @@ def _q_events_rank(sf_dir: str):
     return rank_events_per_user(sf_dir)
 
 
+def _user_event_days(sf_dir: str, event_type: str):
+    """Distinct-able (user_id, day) pairs for one event type — the inputs to
+    the set-operation queries. Column-pruned read, vectorized day derivation;
+    DISTINCT happens inside the set op's aggregate, not here."""
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts", "event_type"])
+
+    def f(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["event_type"], event_type))
+        return pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                         "day": pc.strftime(t["ts"], "%Y-%m-%d")})
+
+    return ev.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_events_days_intersect(sf_dir: str):
+    """Distributed INTERSECT (functions/setops.py): (user, day) pairs where
+    the user both clicked AND purchased — one indicator-sum all-to-all over
+    distinct-key partials, never the source rows."""
+    from .functions.setops import distinct_set_op
+    return distinct_set_op(_user_event_days(sf_dir, "click"),
+                           _user_event_days(sf_dir, "purchase"),
+                           ["user_id", "day"], "intersect")
+
+
+def _q_events_days_except(sf_dir: str):
+    """Distributed EXCEPT (functions/setops.py): click-days with no
+    purchase — same one-shuffle indicator shape as the intersect."""
+    from .functions.setops import distinct_set_op
+    return distinct_set_op(_user_event_days(sf_dir, "click"),
+                           _user_event_days(sf_dir, "purchase"),
+                           ["user_id", "day"], "except")
+
+
 def _q_rel_rollup(sf_dir: str):
     """GROUP BY ROLLUP (relational.lineitem_rollup): hierarchy subtotals
     with one full-table shuffle; coarser levels re-aggregate the previous
@@ -1322,6 +1356,8 @@ def queries() -> dict[str, Callable]:
         "events_lag": _q_events_lag,
         "events_moving_sum": _q_events_moving_sum,
         "events_rank": _q_events_rank,
+        "events_days_intersect": _q_events_days_intersect,
+        "events_days_except": _q_events_days_except,
         "rel_rollup": _q_rel_rollup,
         "text_fingerprint": _q_text_fingerprint,
         "multimodal_features": _q_multimodal,
@@ -1700,6 +1736,20 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY CAST(round(value * 100) AS BIGINT) DESC)
                         AS BIGINT) AS drk
             FROM events ORDER BY event_id""",
+        "events_days_intersect": """
+            SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+            FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+            FROM events WHERE event_type = 'purchase'
+            ORDER BY user_id, day""",
+        "events_days_except": """
+            SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+            FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+            FROM events WHERE event_type = 'purchase'
+            ORDER BY user_id, day""",
         "rel_rollup": """
             SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty
             FROM lineitem
