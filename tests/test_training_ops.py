@@ -715,3 +715,39 @@ def test_semantic_dedup_matches_sequential_reference(ray_session):
     assert got == keep_ref
     # sanity: something was actually dropped and something kept
     assert any(got.values()) and not all(got.values())
+
+
+def test_bfs_distances_vs_sequential(ray_session):
+    """Frontier-BSP BFS == sequential BFS on a chain + star + unreachable
+    component, including the max_depth cap and multi-seed min semantics."""
+    from collections import deque
+
+    from the_yelp_collaborative_knowledge_graph_ray.functions.bfs import (
+        bfs_distances,
+    )
+    edges = ([(f"c{i}", f"c{i+1}") for i in range(12)]          # long chain
+             + [("hub", f"s{i}") for i in range(5)]             # star
+             + [("c4", "hub"), ("x0", "x1")])                   # bridge; isl.
+    seeds = ["c0", "s3"]
+    adj: dict[str, list] = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    exp, q = {s: 0 for s in seeds}, deque(seeds)
+    while q:
+        u = q.popleft()
+        for v in adj[u]:
+            if v not in exp:
+                exp[v] = exp[u] + 1
+                q.append(v)
+    max_depth = 5
+    exp = {n: d for n, d in exp.items() if d <= max_depth}
+
+    eds = ray.data.from_arrow(pa.table({
+        "src": [u for u, _ in edges], "dst": [v for _, v in edges]}))
+    sds = ray.data.from_arrow(pa.table({"node": seeds + ["c0"]}))  # dup seed
+    got = {r["node"]: r["dist"]
+           for r in bfs_distances(eds, sds, max_depth=max_depth).take_all()}
+    assert got == exp
+    assert "x0" not in got and "x1" not in got    # unreachable excluded
+    assert max(got.values()) == max_depth          # chain tail was capped

@@ -757,6 +757,27 @@ def _q_kg_pagerank(sf_dir: str):
     return pagerank(_kg_edges(sf_dir))
 
 
+BFS_MAX_DEPTH = 6
+
+
+def _q_kg_bfs_distances(sf_dir: str):
+    """Multi-source BFS (functions/bfs.py): undirected hop distance from
+    every tool node to each reachable KG node, capped at BFS_MAX_DEPTH.
+    Frontier BSP — only nodes first reached last round join the edge table
+    each round; min-merge via the sort-aggregate with map-side combine."""
+    from .config import ENT
+    from .functions.bfs import bfs_distances
+    edges = _kg_edges(sf_dir)
+    seeds = edges.map_batches(
+        lambda b: pa.table({"node": pa.concat_arrays(
+            [b["src"].combine_chunks(), b["dst"].combine_chunks()])}),
+        batch_format="pyarrow").map_batches(
+        lambda b: b.filter(pc.starts_with(b["node"], ENT + "tool/")),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return bfs_distances(edges, seeds,
+                         max_depth=BFS_MAX_DEPTH).sort("node")
+
+
 def _pagerank_sql(iters: int = 5) -> str:
     """Unrolled fixed-point PageRank CTE chain (functions/pagerank.py
     semantics: SCALE=1e12, floor damping, dangling mass evaporates).
@@ -1324,6 +1345,7 @@ def queries() -> dict[str, Callable]:
         "geo_reverse_geocode": _q_reverse_geocode,
         "kg_pagerank": _q_kg_pagerank,
         "kg_degree_stats": _q_kg_degree_stats,
+        "kg_bfs_distances": _q_kg_bfs_distances,
         "kg_comention_triangles": _q_kg_comention_triangles,
         "meta_struct_flatten": _q_meta_flatten,
         "meta_flatten_agg": _q_meta_flatten_agg,
@@ -1678,6 +1700,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, CAST(sum(o) AS BIGINT) AS out_deg,
                    CAST(sum(i) AS BIGINT) AS in_deg
             FROM deg GROUP BY 1 ORDER BY 1""",
+        # WITH RECURSIVE may prefix a CTE list whose first members are not
+        # recursive — only `walk` is
+        "kg_bfs_distances": P.replace("\nWITH t AS", "\nWITH RECURSIVE t AS",
+                                      1) + """
+            , triples AS (""" + _structural_sql() + """
+              UNION """ + _mention_sql() + """),
+            edges AS (SELECT DISTINCT subj AS src, obj AS dst FROM triples
+                      WHERE NOT obj_is_literal),
+            und AS (SELECT src AS u, dst AS v FROM edges
+                    UNION SELECT dst, src FROM edges),
+            walk(node, d) AS (
+                SELECT DISTINCT u AS node, 0 AS d FROM und
+                WHERE u LIKE '""" + C.ENT + """tool/%'
+                UNION
+                SELECT und.v, w.d + 1 FROM walk w JOIN und ON und.u = w.node
+                WHERE w.d < """ + str(BFS_MAX_DEPTH) + """)
+            SELECT node, CAST(min(d) AS BIGINT) AS dist FROM walk
+            GROUP BY 1 ORDER BY 1""",
         "kg_comention_triangles": P + """
             , ce AS (SELECT DISTINCT a.canonical AS u, b.canonical AS v
                      FROM mention a JOIN mention b
