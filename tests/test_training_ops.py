@@ -751,3 +751,44 @@ def test_bfs_distances_vs_sequential(ray_session):
     assert got == exp
     assert "x0" not in got and "x1" not in got    # unreachable excluded
     assert max(got.values()) == max_depth          # chain tail was capped
+
+
+def test_ed1_pairs_vs_brute_force(ray_session):
+    """Deletion-neighborhood ED<=1 matching == brute-force Levenshtein on a
+    dense random corpus (short alphabet -> many true pairs AND many blocking
+    false-positives like 'ab'/'ba' that the verifier must reject)."""
+    import itertools
+    import random
+
+    from the_yelp_collaborative_knowledge_graph_ray.functions.editdist import (
+        _ed_le1_mask,
+        ed1_pairs,
+    )
+
+    def lev(a, b):
+        m = np.zeros((len(a) + 1, len(b) + 1), int)
+        m[:, 0] = np.arange(len(a) + 1)
+        m[0, :] = np.arange(len(b) + 1)
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                m[i, j] = min(m[i - 1, j] + 1, m[i, j - 1] + 1,
+                              m[i - 1, j - 1] + (a[i - 1] != b[j - 1]))
+        return m[-1, -1]
+
+    random.seed(7)
+    words = sorted(set("".join(random.choice("abcd")
+                               for _ in range(random.randint(1, 6)))
+                       for _ in range(500)))
+    exp = sorted((a, b) for a, b in itertools.combinations(words, 2)
+                 if lev(a, b) <= 1)
+    ds = ray.data.from_arrow(pa.table({"w": words})).repartition(4)
+    got = sorted((r["form_a"], r["form_b"])
+                 for r in ed1_pairs(ds, "w").take_all())
+    assert got == exp and len(exp) > 500
+    # the verifier alone is exact on every |len diff|<=1 pair
+    cand = [(a, b) for a, b in itertools.combinations(words, 2)
+            if abs(len(a) - len(b)) <= 1]
+    m = _ed_le1_mask(np.array([c[0] for c in cand]),
+                     np.array([c[1] for c in cand]))
+    assert [c for c, ok in zip(cand, m) if ok] == \
+        [c for c in cand if lev(*c) <= 1]

@@ -757,6 +757,17 @@ def _q_kg_pagerank(sf_dir: str):
     return pagerank(_kg_edges(sf_dir))
 
 
+def _q_fuzzy_ed1(sf_dir: str):
+    """Typo-level fuzzy matching (functions/editdist.py): every pair of
+    distinct vocabulary surface forms within Levenshtein distance 1, via
+    deletion-neighborhood blocking (FastSS) — no all-pairs comparison; the
+    shuffle carries (deletion-key, form) rows only."""
+    from .functions.editdist import ed1_pairs
+    vocab = ray.data.read_parquet(os.path.join(_fx(sf_dir), "vocab.parquet"),
+                                  columns=["surface_form"])
+    return ed1_pairs(vocab, "surface_form")
+
+
 BFS_MAX_DEPTH = 6
 
 
@@ -1361,6 +1372,7 @@ def queries() -> dict[str, Callable]:
         "dedup_canonical_map": _q_dedup_canonical,
         "dedup_embedding_blocked": _q_dedup_embedding_blocked,
         "dedup_semantic": _q_dedup_semantic,
+        "dedup_fuzzy_ed1": _q_fuzzy_ed1,
         "embedding_topk_pairs": _q_embedding_topk_pairs,
         "ann_topk_cosine": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf,
@@ -1700,6 +1712,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, CAST(sum(o) AS BIGINT) AS out_deg,
                    CAST(sum(i) AS BIGINT) AS in_deg
             FROM deg GROUP BY 1 ORDER BY 1""",
+        "dedup_fuzzy_ed1": f"""
+            WITH w AS (SELECT DISTINCT surface_form AS w
+                       FROM read_parquet('{fdir}/vocab.parquet'))
+            SELECT a.w AS form_a, b.w AS form_b,
+                   CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+            FROM w a JOIN w b ON a.w < b.w AND levenshtein(a.w, b.w) <= 1
+            ORDER BY 1, 2""",
         # WITH RECURSIVE may prefix a CTE list whose first members are not
         # recursive — only `walk` is
         "kg_bfs_distances": P.replace("\nWITH t AS", "\nWITH RECURSIVE t AS",
