@@ -462,3 +462,30 @@ def test_distinct_set_op_semantics(ray_session):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         distinct_set_op(a, b, ["k"], "union")
+
+
+def test_sample_per_key_exact_counts_and_determinism(ray_session):
+    """sample_per_key keeps EXACTLY min(n, group size) rows per key, the
+    same rows on every run/partitioning, and different rows per seed."""
+    from the_yelp_collaborative_knowledge_graph_ray.functions.sampling import (
+        sample_per_key,
+    )
+    rng = np.random.RandomState(11)
+    t = pa.table({"id": np.arange(1000, dtype=np.int64),
+                  "key": rng.randint(0, 37, 1000).astype(np.int64)})
+    import pandas as pd
+    sizes = pd.Series(t["key"].to_numpy()).value_counts()
+
+    a = sample_per_key(ray.data.from_arrow(t), "key", "id", 5).to_pandas()
+    b = sample_per_key(ray.data.from_arrow(t).repartition(7),
+                       "key", "id", 5).to_pandas()
+    got_sizes = a.groupby("key").size()
+    for k, sz in sizes.items():
+        assert got_sizes.get(k, 0) == min(5, sz)
+    key_a = sorted(map(tuple, a[["key", "id"]].to_numpy().tolist()))
+    key_b = sorted(map(tuple, b[["key", "id"]].to_numpy().tolist()))
+    assert key_a == key_b                      # partitioning-independent
+    c = sample_per_key(ray.data.from_arrow(t), "key", "id", 5,
+                       seed=99).to_pandas()
+    key_c = sorted(map(tuple, c[["key", "id"]].to_numpy().tolist()))
+    assert key_c != key_a                      # seed changes the lottery

@@ -92,3 +92,27 @@ def sample_stratified(ds: ray.data.Dataset, key: str, stratum: str,
         idx = np.searchsorted(uniq, strat)
         return b.filter(pa.array(u < thr[idx]))
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sample_per_key(ds: ray.data.Dataset, key: str, id_col: str, n: int,
+                   seed: int = 0) -> ray.data.Dataset:
+    """Deterministic n-per-key sample: rank each key group by
+    ``u01(splitmix64(id))`` (uniform, reproducible on any cluster shape /
+    arrival order — the id hash IS the random draw) and keep the first n.
+    Rides :func:`functions.topn.top_n_per_key`, so blocks are map-side
+    pruned to <= n rows per (key, block) before the one all-to-all.
+
+    Unlike ``sample_hash`` (Bernoulli: keeps rate*|group| in expectation)
+    this guarantees EXACTLY min(n, |group|) rows per key — the "cap each
+    source at N docs" curation rule with a lottery instead of a quality
+    ordering."""
+    from .topn import top_n_per_key
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column("__h", pa.array(hash_u01(b[id_col], seed)))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    out = top_n_per_key(tagged, [key], [("__h", True), (id_col, True)], n)
+    return out.map_batches(lambda b: b.drop_columns(["__h"]),
+                           batch_format="pyarrow", zero_copy_batch=True)

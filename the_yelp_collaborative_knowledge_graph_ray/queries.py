@@ -924,6 +924,20 @@ def _q_sample_hash(sf_dir: str):
     return sample_hash(docs, "doc_id", rate=0.2)
 
 
+def _q_sample_per_key(sf_dir: str):
+    """Exact n-per-key lottery sample (functions/sampling.sample_per_key):
+    rank within each user by u01(splitmix64(event_id)), keep the first 3 —
+    map-side pruned to <=3 rows per (key, block) before the one shuffle."""
+    from .functions.sampling import sample_per_key
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "user_id"])
+    ev = ev.map_batches(
+        lambda b: pa.table({"event_id": pc.cast(b["event_id"], pa.int64()),
+                            "user_id": pc.cast(b["user_id"], pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return sample_per_key(ev, "user_id", "event_id", 3)
+
+
 # per-source keep rates for the stratified sampler: sources are "src{i}";
 # rate cycles 0.125/0.375/0.625/0.875 so every stratum is non-vacuous.
 # 1024 covers any scale factor's source cardinality; the dict is tiny and
@@ -1399,6 +1413,7 @@ def queries() -> dict[str, Callable]:
         "multimodal_frame_sample": _q_multimodal_frames,
         "sample_hash": _q_sample_hash,
         "sample_stratified": _q_sample_stratified,
+        "sample_per_key": _q_sample_per_key,
         "text_redact": _q_text_redact,
         "contamination_check": _q_contamination,
         "text_tfidf": _q_text_tfidf,
@@ -1887,6 +1902,16 @@ def oracle_sql() -> dict[str, str]:
                                 'doc_id, source, n_chars')}
             SELECT doc_id, source, n_chars FROM u
             WHERE u01 < 0.2 ORDER BY doc_id""",
+        "sample_per_key": f"""
+            WITH {_splitmix_cte('events', 'event_id',
+                                'event_id, user_id')}
+            SELECT event_id, user_id, rank FROM (
+              SELECT event_id, user_id,
+                     CAST(row_number() OVER (
+                          PARTITION BY user_id ORDER BY u01, event_id)
+                          AS BIGINT) AS rank
+              FROM u)
+            WHERE rank <= 3 ORDER BY user_id, rank""",
         # rate per stratum = (i % 4) / 4 + 0.125 for source 'src{{i}}' —
         # exact binary fractions, so the float threshold compare is
         # bit-identical on both engines (queries._STRAT_RATES).
