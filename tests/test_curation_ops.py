@@ -489,3 +489,35 @@ def test_sample_per_key_exact_counts_and_determinism(ray_session):
                        seed=99).to_pandas()
     key_c = sorted(map(tuple, c[["key", "id"]].to_numpy().tolist()))
     assert key_c != key_a                      # seed changes the lottery
+
+
+def test_hll_estimate_accuracy_and_merge_invariance(ray_session):
+    """HLL estimate within 4 sigma (sigma ~= 1.04/sqrt(1024) ~= 3.3%) on
+    three planted cardinalities, and the register table is identical under
+    different partitionings (max-merge is shuffle-order-proof)."""
+    from the_yelp_collaborative_knowledge_graph_ray.functions.hll import (
+        _bitlen_u64,
+        hll_estimate,
+        hll_registers,
+    )
+    # exact vectorized bitlen vs python int.bit_length
+    w = np.concatenate([[0, 1, 2, 3], 2 ** np.arange(54),
+                        2 ** np.arange(54) - 1]).astype(np.uint64)
+    assert (_bitlen_u64(w) ==
+            np.array([int(v).bit_length() for v in w])).all()
+
+    for n_true in (800, 20_000, 150_000):
+        keys = np.arange(n_true, dtype=np.int64) * 7919 + 13
+        # each key appears 1-3 times: multiplicity must not matter
+        reps = np.concatenate([keys, keys[: n_true // 2], keys[: n_true // 3]])
+        ds = ray.data.from_arrow(pa.table({"k": reps}))
+        regs = hll_registers(ds, "k")
+        est = hll_estimate(regs)
+        assert abs(est - n_true) / n_true < 4 * 1.04 / np.sqrt(1024), \
+            (n_true, est)
+        regs2 = hll_registers(
+            ray.data.from_arrow(pa.table({"k": reps})).repartition(9), "k")
+        assert sorted(map(tuple, pa.Table.from_pylist(
+            regs.take_all()).to_pandas().to_numpy().tolist())) == \
+            sorted(map(tuple, pa.Table.from_pylist(
+                regs2.take_all()).to_pandas().to_numpy().tolist()))

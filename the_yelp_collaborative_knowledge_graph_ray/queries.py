@@ -938,6 +938,17 @@ def _q_sample_per_key(sf_dir: str):
     return sample_per_key(ev, "user_id", "event_id", 3)
 
 
+def _q_approx_distinct(sf_dir: str):
+    """HyperLogLog distinct-count sketch (functions/hll.py) over lineitem
+    order keys: the query output IS the integer register table (max-merge =
+    shuffle-order-proof), so the sketch itself is oracle hash-gated; the
+    float estimate is a driver-side helper over <=1024 rows."""
+    from .functions.hll import hll_registers
+    li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_orderkey"])
+    return hll_registers(li, "l_orderkey")
+
+
 # per-source keep rates for the stratified sampler: sources are "src{i}";
 # rate cycles 0.125/0.375/0.625/0.875 so every stratum is non-vacuous.
 # 1024 covers any scale factor's source cardinality; the dict is tiny and
@@ -1414,6 +1425,7 @@ def queries() -> dict[str, Callable]:
         "sample_hash": _q_sample_hash,
         "sample_stratified": _q_sample_stratified,
         "sample_per_key": _q_sample_per_key,
+        "approx_distinct_orders": _q_approx_distinct,
         "text_redact": _q_text_redact,
         "contamination_check": _q_contamination,
         "text_tfidf": _q_text_tfidf,
@@ -1912,6 +1924,19 @@ def oracle_sql() -> dict[str, str]:
                           AS BIGINT) AS rank
               FROM u)
             WHERE rank <= 3 ORDER BY user_id, rank""",
+        # HLL register table: b=10 (register = top 10 hash bits), rank =
+        # leading zeros of the low-54-bit field + 1; bin() gives the exact
+        # bit length with integer string ops (functions/hll.py)
+        "approx_distinct_orders": f"""
+            WITH {_splitmix_cte('lineitem', 'l_orderkey', 'l_orderkey')},
+            hh AS (SELECT xor(z, z >> 31) AS h FROM z2),
+            rr AS (SELECT CAST(h >> 54 AS BIGINT) AS register,
+                          h % 18014398509481984 AS w FROM hh),
+            rk AS (SELECT register,
+                          CASE WHEN w = 0 THEN 55
+                               ELSE 55 - length(bin(w)) END AS r FROM rr)
+            SELECT register, CAST(max(r) AS BIGINT) AS max_rank
+            FROM rk GROUP BY 1 ORDER BY 1""",
         # rate per stratum = (i % 4) / 4 + 0.125 for source 'src{{i}}' —
         # exact binary fractions, so the float threshold compare is
         # bit-identical on both engines (queries._STRAT_RATES).
