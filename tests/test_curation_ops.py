@@ -521,3 +521,27 @@ def test_hll_estimate_accuracy_and_merge_invariance(ray_session):
             regs.take_all()).to_pandas().to_numpy().tolist())) == \
             sorted(map(tuple, pa.Table.from_pylist(
                 regs2.take_all()).to_pandas().to_numpy().tolist()))
+
+
+def test_anti_join_semantics(ray_session):
+    """anti_join == NOT IN on random tables, incl. duplicate right keys and
+    duplicate left rows (all surviving copies kept)."""
+    from the_yelp_collaborative_knowledge_graph_ray.functions.setops import (
+        anti_join,
+    )
+    rng = np.random.RandomState(5)
+    lt = pa.table({"k": rng.randint(0, 40, 300).astype(np.int64),
+                   "v": np.arange(300, dtype=np.int64)})
+    rt = pa.table({"rk": rng.randint(20, 60, 500).astype(np.int64)})
+    got = anti_join(ray.data.from_arrow(lt).repartition(5),
+                    ray.data.from_arrow(rt).repartition(5),
+                    "k", "rk", [("k", pa.int64()), ("v", pa.int64())]) \
+        .to_pandas().sort_values("v")
+    con = duckdb.connect()
+    con.register("lt", lt)
+    con.register("rt", rt)
+    exp = con.sql("SELECT k, v FROM lt WHERE k NOT IN (SELECT rk FROM rt) "
+                  "ORDER BY v").df()
+    assert got["v"].tolist() == exp["v"].tolist()
+    assert got["k"].tolist() == exp["k"].tolist()
+    assert len(got) > 0

@@ -938,6 +938,25 @@ def _q_sample_per_key(sf_dir: str):
     return sample_per_key(ev, "user_id", "event_id", 3)
 
 
+def _q_rel_anti_join(sf_dir: str):
+    """Distributed ANTI JOIN (functions/setops.anti_join): customers with no
+    1995 order — left rows co-group with per-block-deduped right key markers;
+    groups holding a marker emit nothing."""
+    from .functions.setops import anti_join
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_mktsegment"])
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate"])
+    o95 = orders.map_batches(
+        lambda b: b.filter(pc.equal(pc.year(b["o_orderdate"]), 1995)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return anti_join(cust, o95, "c_custkey", "o_custkey",
+                     [("c_custkey", pa.int64()), ("c_name", pa.string()),
+                      ("c_mktsegment", pa.string())])
+
+
 def _q_approx_distinct(sf_dir: str):
     """HyperLogLog distinct-count sketch (functions/hll.py) over lineitem
     order keys: the query output IS the integer register table (max-merge =
@@ -1426,6 +1445,7 @@ def queries() -> dict[str, Callable]:
         "sample_stratified": _q_sample_stratified,
         "sample_per_key": _q_sample_per_key,
         "approx_distinct_orders": _q_approx_distinct,
+        "rel_anti_join_customers": _q_rel_anti_join,
         "text_redact": _q_text_redact,
         "contamination_check": _q_contamination,
         "text_tfidf": _q_text_tfidf,
@@ -1937,6 +1957,11 @@ def oracle_sql() -> dict[str, str]:
                                ELSE 55 - length(bin(w)) END AS r FROM rr)
             SELECT register, CAST(max(r) AS BIGINT) AS max_rank
             FROM rk GROUP BY 1 ORDER BY 1""",
+        "rel_anti_join_customers": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer
+            WHERE c_custkey NOT IN (
+              SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995)
+            ORDER BY c_custkey""",
         # rate per stratum = (i % 4) / 4 + 0.125 for source 'src{{i}}' —
         # exact binary fractions, so the float threshold compare is
         # bit-identical on both engines (queries._STRAT_RATES).
