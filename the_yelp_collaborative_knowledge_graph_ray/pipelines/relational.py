@@ -621,3 +621,63 @@ def rank_events_per_user(sf_dir: str) -> ray.data.Dataset:
 
     from ..functions.grouped import sorted_group_apply
     return sorted_group_apply(ev, ["user_id"], rank_block).sort("event_id")
+
+
+def tag_late_events(sf_dir: str, lateness_us: int = 3_600_000_000
+                    ) -> ray.data.Dataset:
+    """Watermark-style out-of-order tagging — the streaming late-data
+    concept expressed over a batch table (the reference is batch-only,
+    SURVEY §2.9): events arrive per user in ``event_id`` order; the
+    watermark before event e is the running max event-time of everything
+    that arrived earlier, minus ``lateness_us``. An event whose own time
+    sits below that watermark would have been dropped/special-cased by a
+    streaming engine — tagging them is how a backfill audits its sources.
+
+    Arrival model: the fixture's event_ids are assigned in timestamp order
+    (zero out-of-orderness by construction), so arrival is modeled as a
+    4-shard collector — shard ``event_id % 4``, each shard delivering in
+    (ts, event_id) order, shards concatenated — the classic multi-source
+    backfill where later shards replay history and look late.
+
+    Same sorted-block shape as the other window ops: ONE all-to-all on
+    user_id; the per-group running max is pandas ``groupby().cummax()``
+    (vectorized C — numpy has no exact segmented cummax, and the
+    offset-into-disjoint-ranges trick overflows int64 on microsecond
+    timestamps). Output: (event_id, user_id, watermark_us [null for each
+    user's first arrival], is_late) sorted by event_id."""
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def late_block(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        from ..functions.grouped import group_ids
+        out_schema = pa.schema([("event_id", pa.int64()),
+                                ("user_id", pa.int64()),
+                                ("watermark_us", pa.int64()),
+                                ("is_late", pa.bool_())])
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        gid, _ = group_ids(b, ["user_id"])
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = b["event_id"].to_numpy()
+        shard = eid % 4
+        order = np.lexsort((eid, ts, shard, gid))  # shard-major arrival
+        ts_o, ogid, eid_o = ts[order], gid[order], eid[order]
+        runmax = pd.Series(ts_o).groupby(ogid).cummax().to_numpy()
+        prev = np.empty_like(runmax)
+        prev[1:] = runmax[:-1]
+        first = np.empty(len(ts_o), bool)
+        first[0] = True
+        first[1:] = ogid[1:] != ogid[:-1]
+        wm = prev - lateness_us
+        late = (~first) & (ts_o < wm)
+        return pa.table({
+            "event_id": pa.array(eid_o, pa.int64()),
+            "user_id": pc.cast(b["user_id"].take(pa.array(order)),
+                               pa.int64()),
+            "watermark_us": pa.array(np.ma.masked_array(wm, mask=first),
+                                     pa.int64()),
+            "is_late": pa.array(late)}, schema=out_schema)
+
+    from ..functions.grouped import sorted_group_apply
+    return sorted_group_apply(ev, ["user_id"], late_block).sort("event_id")

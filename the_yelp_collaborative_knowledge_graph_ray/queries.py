@@ -938,6 +938,14 @@ def _q_sample_per_key(sf_dir: str):
     return sample_per_key(ev, "user_id", "event_id", 3)
 
 
+def _q_events_late(sf_dir: str):
+    """Watermark out-of-order tagging (relational.tag_late_events): running
+    max event-time by arrival order per user, minus 1h lateness; events
+    below it are late."""
+    from .pipelines.relational import tag_late_events
+    return tag_late_events(sf_dir)
+
+
 def _q_rel_anti_join(sf_dir: str):
     """Distributed ANTI JOIN (functions/setops.anti_join): customers with no
     1995 order — left rows co-group with per-block-deduped right key markers;
@@ -1436,6 +1444,7 @@ def queries() -> dict[str, Callable]:
         "events_rank": _q_events_rank,
         "events_days_intersect": _q_events_days_intersect,
         "events_days_except": _q_events_days_except,
+        "events_late_tag": _q_events_late,
         "rel_rollup": _q_rel_rollup,
         "text_fingerprint": _q_text_fingerprint,
         "multimodal_features": _q_multimodal,
@@ -1957,6 +1966,23 @@ def oracle_sql() -> dict[str, str]:
                                ELSE 55 - length(bin(w)) END AS r FROM rr)
             SELECT register, CAST(max(r) AS BIGINT) AS max_rank
             FROM rk GROUP BY 1 ORDER BY 1""",
+        # arrival = 4-shard collector: shard event_id % 4, shard-major,
+        # (ts, event_id) within shard (relational.tag_late_events)
+        "events_late_tag": """
+            SELECT event_id, user_id,
+                   CAST(max(epoch_us(ts)) OVER (
+                        PARTITION BY user_id
+                        ORDER BY event_id % 4, ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        - 3600000000 AS BIGINT) AS watermark_us,
+                   COALESCE(epoch_us(ts) <
+                            max(epoch_us(ts)) OVER (
+                              PARTITION BY user_id
+                              ORDER BY event_id % 4, ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) - 3600000000,
+                            FALSE) AS is_late
+            FROM events ORDER BY event_id""",
         "rel_anti_join_customers": """
             SELECT c_custkey, c_name, c_mktsegment FROM customer
             WHERE c_custkey NOT IN (
