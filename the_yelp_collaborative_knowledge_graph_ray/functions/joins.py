@@ -124,21 +124,24 @@ def attach_column(left: ray.data.Dataset, source: ray.data.Dataset,
                   left_cols: list[tuple[str, pa.DataType]], left_key: str,
                   source_key: str, source_val: str, out_col: str,
                   out_type: pa.DataType = pa.string(),
-                  num_partitions: int | None = None) -> ray.data.Dataset:
+                  num_partitions: int | None = None,
+                  key_type: pa.DataType = pa.int64()) -> ray.data.Dataset:
     """Inner-join ``source[source_val]`` onto ``left`` by key.
 
     ``left_cols`` declares the left schema (name, type) explicitly so both
     union sides align block-for-block. ``num_partitions`` coalesces the
     unioned input before the co-group sort (see
     ``functions/grouped.sorted_group_apply``) — pass it when both sides are
-    small relative to the cluster's default block count.
+    small relative to the cluster's default block count. ``key_type``
+    defaults to int64; pass ``pa.string()`` to join on IRI/string keys
+    (the sorted co-group is key-type-agnostic).
     """
     out_fields = [*left_cols, (out_col, out_type)]
-    schema = pa.schema([(_KEY, pa.int64()), (_MARK, pa.bool_())] + out_fields)
+    schema = pa.schema([(_KEY, key_type), (_MARK, pa.bool_())] + out_fields)
 
     def from_left(b: pa.Table) -> pa.Table:
         n = b.num_rows
-        cols = {_KEY: pc.cast(b[left_key], pa.int64()),
+        cols = {_KEY: pc.cast(b[left_key], key_type),
                 _MARK: pa.nulls(n, pa.bool_()).fill_null(False)}
         for name, typ in left_cols:
             cols[name] = pc.cast(b[name], typ)
@@ -147,7 +150,7 @@ def attach_column(left: ray.data.Dataset, source: ray.data.Dataset,
 
     def from_source(b: pa.Table) -> pa.Table:
         n = b.num_rows
-        cols = {_KEY: pc.cast(b[source_key], pa.int64()),
+        cols = {_KEY: pc.cast(b[source_key], key_type),
                 _MARK: pa.nulls(n, pa.bool_()).fill_null(True)}
         for name, typ in left_cols:
             cols[name] = pa.nulls(n, typ)
@@ -182,3 +185,33 @@ def attach_column(left: ray.data.Dataset, source: ray.data.Dataset,
 
     from .grouped import sorted_group_apply
     return sorted_group_apply(u, [_KEY], cogroup_block, num_partitions)
+
+
+def zip_with_index(ds: ray.data.Dataset, id_col: str = "nid"
+                   ) -> ray.data.Dataset:
+    """Append a contiguous int64 row id (0..n-1) — distributed zipWithIndex.
+
+    The dataset is materialized; per-block row counts (ONE int per block)
+    come back to the driver, offsets are the exclusive cumsum, and each
+    block gets ``offset + arange`` attached in a remote task. No block data
+    ever moves to the driver, so this scales to any row count. The id↔row
+    assignment depends on block order (stable within one materialized
+    dataset, not across runs) — use it for INTERNAL dense ids (e.g.
+    compressing IRI strings to ints for iterative joins), not for
+    user-visible deterministic ids."""
+    mat = ds.materialize()
+    refs = mat.to_arrow_refs()
+
+    @ray.remote
+    def nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    @ray.remote
+    def tag(t: pa.Table, off: int) -> pa.Table:
+        return t.append_column(id_col, pa.array(
+            off + np.arange(t.num_rows, dtype=np.int64)))
+
+    sizes = ray.get([nrows.remote(r) for r in refs])
+    offs = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
+    return ray.data.from_arrow_refs(
+        [tag.remote(r, int(o)) for r, o in zip(refs, offs)])
