@@ -545,3 +545,27 @@ def test_anti_join_semantics(ray_session):
     assert got["v"].tolist() == exp["v"].tolist()
     assert got["k"].tolist() == exp["k"].tolist()
     assert len(got) > 0
+
+
+def test_grouped_centroids_vs_brute_force(ray_session):
+    """Fixed-point grouped vector means == numpy brute force, identical
+    under repartitioning (int sums commute), incl. negative components
+    (floor, not truncation)."""
+    from the_yelp_collaborative_knowledge_graph_ray.stages.similarity import (
+        CENTROID_SCALE,
+        grouped_centroids,
+    )
+    rng = np.random.RandomState(2)
+    n, d = 300, 8
+    g = rng.randint(0, 5, n).astype(np.int64)
+    m = (rng.randn(n, d) * 0.7).astype(np.float32)
+    t = pa.table({"label": g, "embedding": pa.array(list(m), type=pa.list_(pa.float32()))})
+    got = grouped_centroids(ray.data.from_arrow(t).repartition(6),
+                            "label").to_pandas().sort_values(["g", "dim"])
+    fp = np.floor(m.astype(np.float64) * CENTROID_SCALE).astype(np.int64)
+    for gg in np.unique(g):
+        sub = fp[g == gg]
+        exp = sub.sum(axis=0) // len(sub)
+        rows = got[got["g"] == gg].sort_values("dim")
+        assert (rows["centroid_fp"].to_numpy() == exp).all()
+        assert (rows["n"] == len(sub)).all()

@@ -946,6 +946,16 @@ def _q_events_late(sf_dir: str):
     return tag_late_events(sf_dir)
 
 
+def _q_emb_centroids(sf_dir: str):
+    """Grouped vector centroids (similarity.grouped_centroids): per-label
+    mean embedding in int64 fixed point — vector sums commute, so the
+    result is shuffle-order-exact and hash-gateable."""
+    from .stages.similarity import grouped_centroids
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                columns=["label", "embedding"])
+    return grouped_centroids(emb, "label")
+
+
 def _q_rel_anti_join(sf_dir: str):
     """Distributed ANTI JOIN (functions/setops.anti_join): customers with no
     1995 order — left rows co-group with per-block-deduped right key markers;
@@ -1455,6 +1465,7 @@ def queries() -> dict[str, Callable]:
         "sample_per_key": _q_sample_per_key,
         "approx_distinct_orders": _q_approx_distinct,
         "rel_anti_join_customers": _q_rel_anti_join,
+        "emb_grouped_centroids": _q_emb_centroids,
         "text_redact": _q_text_redact,
         "contamination_check": _q_contamination,
         "text_tfidf": _q_text_tfidf,
@@ -1988,6 +1999,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_custkey NOT IN (
               SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995)
             ORDER BY c_custkey""",
+        # parallel unnests zip in DuckDB; floor-div spelled with a
+        # non-negative mod so HUGEINT sums divide exactly like numpy's //
+        "emb_grouped_centroids": """
+            WITH e AS (SELECT CAST(label AS BIGINT) AS g,
+                              unnest(range(len(embedding))) AS dim,
+                              CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                                         * 1048576) AS BIGINT) AS fp
+                       FROM embeddings),
+            a AS (SELECT g, dim, CAST(sum(fp) AS BIGINT) AS s,
+                         count(*) AS n
+                  FROM e GROUP BY 1, 2)
+            SELECT g, dim,
+                   CAST((s - ((s % n + n) % n)) // n AS BIGINT)
+                     AS centroid_fp,
+                   CAST(n AS BIGINT) AS n
+            FROM a ORDER BY g, dim""",
         # rate per stratum = (i % 4) / 4 + 0.125 for source 'src{{i}}' —
         # exact binary fractions, so the float threshold compare is
         # bit-identical on both engines (queries._STRAT_RATES).

@@ -187,3 +187,66 @@ def ivf_topk(embeddings: ray.data.Dataset, k: int = 10, n_queries: int = 8,
     merged = local.groupby("query_id").map_groups(
         _merge_topk(k), batch_format="pyarrow")
     return merged.sort(["query_id", "rank"])
+
+
+CENTROID_SCALE = 1 << 20  # fixed-point scale for exact, order-proof sums
+
+
+def grouped_centroids(embeddings: ray.data.Dataset, group_col: str,
+                      vec_col: str = "embedding",
+                      num_partitions: int = 4) -> ray.data.Dataset:
+    """Per-group mean vector (centroids) in int64 fixed point — the vector
+    analog of groupby-mean (SURVEY §2.5 A1) and the building block IVF-style
+    indexes re-train with (stages/similarity.ivf_topk currently samples
+    centroids; this is the exact full-corpus aggregation).
+
+    Float vector sums are summation-order-dependent, so each component is
+    floored to ``CENTROID_SCALE`` fixed point FIRST (floor, not round —
+    numpy rounds half-even, DuckDB half-away) and the int64 sums commute.
+    Per block, one (groups × dims) scatter-add partial crosses the shuffle
+    in long (group, dim, s, n) form — corpus vectors never do. Output:
+    (group, dim, centroid_fp, n) with centroid_fp = floor-div of exact
+    sums, sorted by (group, dim)."""
+    import pyarrow.compute as pc
+
+    from ..functions.grouped import sorted_aggregate
+
+    def partial(b: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("g", pa.int64()), ("dim", pa.int64()),
+                                ("s", pa.int64()), ("n", pa.int64())])
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        g = pc.cast(b[group_col], pa.int64()).to_numpy(zero_copy_only=False)
+        vec = b[vec_col]
+        if isinstance(vec, pa.ChunkedArray):
+            vec = vec.combine_chunks()
+        d = len(vec[0])
+        m = np.floor(vec.flatten().to_numpy(zero_copy_only=False)
+                     .astype(np.float64) * CENTROID_SCALE) \
+            .astype(np.int64).reshape(len(g), d)
+        uniq, inv = np.unique(g, return_inverse=True)
+        sums = np.zeros((len(uniq), d), np.int64)
+        np.add.at(sums, inv, m)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        k = len(uniq)
+        return pa.table({
+            "g": pa.array(np.repeat(uniq, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+            "s": pa.array(sums.ravel()),
+            "n": pa.array(np.repeat(cnt, d))}, schema=out_schema)
+
+    partials = embeddings.map_batches(partial, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    agg = sorted_aggregate(partials, ["g", "dim"],
+                           [("s", "sum"), ("n", "sum")],
+                           ["g", "dim", "s", "n"], num_partitions)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        s = b["s"].to_numpy()
+        n = b["n"].to_numpy()
+        return pa.table({"g": b["g"], "dim": b["dim"],
+                         "centroid_fp": pa.array(s // n, pa.int64()),
+                         "n": b["n"]})
+
+    return agg.map_batches(finalize, batch_format="pyarrow",
+                           zero_copy_batch=True)
