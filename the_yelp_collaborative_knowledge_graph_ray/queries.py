@@ -738,6 +738,27 @@ def _q_kg_comention_triangles(sf_dir: str):
     return triangle_count(within_group_pairs(m, "turn", "c"))
 
 
+def _q_kg_components(sf_dir: str):
+    """Connected components of the mention co-occurrence graph
+    (functions/components.py): distinct co-mention pairs -> iterated
+    min-label propagation; component id = lexicographic min canonical.
+    The first oracle gate on the distributed components machinery itself
+    (previously pytest-only vs a local union-find)."""
+    from .functions.components import connected_components
+    from .functions.triangles import within_group_pairs
+    pre = C.ENT + "mention/"
+    m = _q_mentions(sf_dir).map_batches(
+        lambda b: pa.table({
+            "turn": b["subj"],
+            "c": pc.utf8_slice_codeunits(b["obj"], len(pre))}),
+        batch_format="pyarrow")
+    edges = within_group_pairs(m, "turn", "c")
+    cc = connected_components(edges)
+    return cc.map_batches(
+        lambda b: pa.table({"node": b["node"], "component": b["label"]}),
+        batch_format="pyarrow", zero_copy_batch=True).sort("node")
+
+
 def _q_dedup_semantic(sf_dir: str):
     """SemDeDup-style semantic dedup (dedup.semantic_dedup): k-means
     clusters from a bounded sample, in-cluster greedy cosine keep/drop.
@@ -1420,6 +1441,7 @@ def queries() -> dict[str, Callable]:
         "kg_degree_stats": _q_kg_degree_stats,
         "kg_bfs_distances": _q_kg_bfs_distances,
         "kg_comention_triangles": _q_kg_comention_triangles,
+        "kg_comention_components": _q_kg_components,
         "meta_struct_flatten": _q_meta_flatten,
         "meta_flatten_agg": _q_meta_flatten_agg,
         "kg_ntriples_lines": _q_ntriples_lines,
@@ -1803,6 +1825,20 @@ def oracle_sql() -> dict[str, str]:
                 SELECT und.v, w.d + 1 FROM walk w JOIN und ON und.u = w.node
                 WHERE w.d < """ + str(BFS_MAX_DEPTH) + """)
             SELECT node, CAST(min(d) AS BIGINT) AS dist FROM walk
+            GROUP BY 1 ORDER BY 1""",
+        "kg_comention_components": P.replace(
+            "\nWITH t AS", "\nWITH RECURSIVE t AS", 1) + """
+            , ce AS (SELECT DISTINCT a.canonical AS u, b.canonical AS v
+                     FROM mention a JOIN mention b
+                       ON a.turn_iri = b.turn_iri
+                      AND a.canonical < b.canonical),
+            und AS (SELECT u, v FROM ce UNION SELECT v, u FROM ce),
+            cnodes AS (SELECT DISTINCT u AS node FROM und),
+            walk(node, lbl) AS (
+                SELECT node, node FROM cnodes
+                UNION
+                SELECT e.v, w.lbl FROM walk w JOIN und e ON e.u = w.node)
+            SELECT node, min(lbl) AS component FROM walk
             GROUP BY 1 ORDER BY 1""",
         "kg_comention_triangles": P + """
             , ce AS (SELECT DISTINCT a.canonical AS u, b.canonical AS v
