@@ -569,3 +569,18 @@ def test_grouped_centroids_vs_brute_force(ray_session):
         rows = got[got["g"] == gg].sort_values("dim")
         assert (rows["centroid_fp"].to_numpy() == exp).all()
         assert (rows["n"] == len(sub)).all()
+
+
+def test_quantiles_cont_matches_numpy(ray_session):
+    """quantiles_cont == numpy linear-interpolation percentiles on random
+    doubles (numpy 'linear' method IS the PERCENTILE_CONT formula)."""
+    from the_yelp_collaborative_knowledge_graph_ray.functions.quantiles import (
+        quantiles_cont,
+    )
+    rng = np.random.RandomState(4)
+    x = np.round(rng.lognormal(3, 1, 5000) * 100) / 100
+    ds = ray.data.from_arrow(pa.table({"x": x})).repartition(8)
+    qs = [0.1, 0.25, 0.5, 0.9, 0.99]
+    got = quantiles_cont(ds, "x", qs)
+    exp = np.percentile(x, [q * 100 for q in qs], method="linear")
+    assert np.allclose(got["value"].to_numpy(), exp, rtol=0, atol=1e-9)

@@ -206,3 +206,40 @@ def _col(b: pa.Table, col: str) -> np.ndarray:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     return arr.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+
+
+def quantiles_cont(ds: ray.data.Dataset, col: str,
+                   qs: list[float]) -> pa.Table:
+    """Interpolated (PERCENTILE_CONT) quantiles — exact vs an SQL twin that
+    spells out the same formula.
+
+    ``value(q) = v[rf] + frac · (v[rf+1] − v[rf])`` with
+    ``rf = floor((n−1)·q)``, ``frac = (n−1)·q − rf`` over the ascending
+    order statistics v[0..n−1]. Both order statistics come from the exact
+    histogram-narrowed rank selector (:func:`quantiles_exact` — reached by
+    crafting q' = (rank + 0.5)/n, whose ``ceil(n·q')−1`` is that rank for
+    ANY float rounding of the division); the interpolation itself runs
+    driver-side over ≤ 2·|qs| floats with the identical IEEE expression the
+    oracle SQL uses, so hash-gating holds without trusting any engine's
+    internal quantile implementation."""
+    n = ds.count()
+    if n == 0:
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.float64())})
+    pos = []
+    need: set[int] = set()
+    for q in qs:
+        x = (n - 1) * float(q)
+        rf = min(int(np.floor(x)), n - 1)
+        frac = x - rf
+        hi = min(rf + 1, n - 1)
+        pos.append((q, rf, hi, frac))
+        need.update((rf, hi))
+    ranks = sorted(need)
+    qprime = [(r + 0.5) / n for r in ranks]
+    got = quantiles_exact(ds, col, qprime)
+    by_rank = dict(zip(ranks, got["value"].to_pylist()))
+    vals = [by_rank[rf] + frac * (by_rank[hi] - by_rank[rf])
+            for _, rf, hi, frac in pos]
+    return pa.table({"q": pa.array([float(q) for q in qs], pa.float64()),
+                     "value": pa.array(vals, pa.float64())})

@@ -1157,6 +1157,17 @@ def _q_rel_quantiles(sf_dir: str):
     return quantiles_exact(li, "l_extendedprice", [0.25, 0.5, 0.75, 0.95])
 
 
+def _q_rel_quantiles_cont(sf_dir: str):
+    """Interpolated PERCENTILE_CONT (functions/quantiles.quantiles_cont):
+    two exact order statistics per q from the histogram-narrowed selector,
+    driver-side IEEE interpolation matching the oracle's spelled-out
+    formula."""
+    from .functions.quantiles import quantiles_cont
+    li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_extendedprice"])
+    return quantiles_cont(li, "l_extendedprice", [0.25, 0.5, 0.75, 0.9])
+
+
 # --------------------------------------------------------------------------
 # relational operator demos (TPC-H-ish tables)
 # --------------------------------------------------------------------------
@@ -1494,6 +1505,7 @@ def queries() -> dict[str, Callable]:
         "curation_cap_per_source": _q_cap_per_source,
         "rel_quantiles": _q_rel_quantiles,
         "rel_quantiles_by_flag": _q_rel_quantiles_by_flag,
+        "rel_quantiles_cont": _q_rel_quantiles_cont,
         "events_sliding_window": _q_events_sliding_window,
         # relational operator demos
         "rel_groupby_lineitem": _q_rel_lineitem,
@@ -2098,6 +2110,27 @@ def oracle_sql() -> dict[str, str]:
                            quantile_disc(l_extendedprice, 0.75),
                            quantile_disc(l_extendedprice, 0.95)]) AS value
             FROM lineitem""",
+        # PERCENTILE_CONT spelled out (functions/quantiles.quantiles_cont):
+        # both engines evaluate lo + frac*(hi-lo) on the same two order
+        # statistics with the same doubles — no reliance on either engine's
+        # internal quantile interpolation
+        "rel_quantiles_cont": """
+            WITH s AS (SELECT l_extendedprice AS v,
+                              row_number() OVER (ORDER BY l_extendedprice)
+                                - 1 AS r
+                       FROM lineitem),
+            cnt AS (SELECT count(*) AS n FROM lineitem),
+            qq AS (SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS q),
+            pos AS (SELECT CAST(q AS DOUBLE) AS q,
+                           CAST(floor((n - 1) * CAST(q AS DOUBLE))
+                                AS BIGINT) AS rf,
+                           (n - 1) * CAST(q AS DOUBLE)
+                             - floor((n - 1) * CAST(q AS DOUBLE)) AS frac,
+                           n FROM qq, cnt)
+            SELECT q, lo.v + frac * (hi.v - lo.v) AS value
+            FROM pos JOIN s lo ON lo.r = pos.rf
+            JOIN s hi ON hi.r = least(pos.rf + 1, pos.n - 1)
+            ORDER BY q""",
         # the synthetic media table reproduced in SQL (payload = UTF-8 of
         # text via encode(); metadata derived from doc_id, mirroring
         # multimodal.synthesize_media); byte slices compared as hex strings
