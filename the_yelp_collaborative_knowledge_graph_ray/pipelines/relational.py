@@ -681,3 +681,85 @@ def tag_late_events(sf_dir: str, lateness_us: int = 3_600_000_000
 
     from ..functions.grouped import sorted_group_apply
     return sorted_group_apply(ev, ["user_id"], late_block).sort("event_id")
+
+
+def tpch_q3_revenue(sf_dir: str, segment: str = "BUILDING",
+                    cutoff: str = "1997-01-01", k: int = 10
+                    ) -> ray.data.Dataset:
+    """TPC-H Q3 shape — the three-table composition demo: segment customers
+    ⋈ pre-cutoff orders ⋈ post-cutoff lineitems, top-k orders by revenue.
+
+    Every join picks the engine's scale idiom for its shape:
+    1. customer is the small side — its segment keys broadcast once
+       (`joins.distinct_int_keys` + `broadcast_semi_filter`), so orders are
+       only SCANNED, never shuffled against customer;
+    2. lineitem revenue pre-aggregates map-side per (block, orderkey) in
+       exact fixed point (cents × percent: price_c · (100 − disc_pct), all
+       int64) before ONE sum all-to-all;
+    3. order dates attach to the aggregated (order-count-sized) table via
+       the int-key co-group join;
+    4. global top-k rides `topn.top_n_per_key` with a constant key — its
+       map-side prune ships ≤ k rows per block to the final cut.
+    Output: (l_orderkey, revenue_fp, o_orderdate), revenue_fp at the
+    10^-4 fixed-point scale, ordered by revenue desc / orderkey asc."""
+    from ..functions.joins import (
+        attach_column,
+        broadcast_semi_filter,
+        distinct_int_keys,
+    )
+    from ..functions.topn import top_n_per_key
+
+    cut = np.datetime64(cutoff, "us")
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    seg_keys = distinct_int_keys(
+        cust.map_batches(
+            lambda b: b.filter(pc.equal(b["c_mktsegment"], segment)),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["c_custkey"])
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda b: b.filter(pc.less(b["o_orderdate"],
+                                   pa.scalar(cut.item(),
+                                             pa.timestamp("us")))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    orders = broadcast_semi_filter(orders, "o_custkey", seg_keys)
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater(b["l_shipdate"],
+                                pa.scalar(cut.item(), pa.timestamp("us"))))
+        price_c = _scaled_int(t["l_extendedprice"], 100.0).to_numpy()
+        disc = _scaled_int(t["l_discount"], 100.0).to_numpy()
+        rev = price_c * (100 - disc)
+        p = pa.table({"l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                      "rev": pa.array(rev, pa.int64())})
+        return p.group_by(["l_orderkey"], use_threads=False) \
+            .aggregate([("rev", "sum")]) \
+            .rename_columns(["l_orderkey", "rev"])
+
+    from ..functions.grouped import sorted_aggregate
+    rev = sorted_aggregate(
+        li.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["l_orderkey"], [("rev", "sum")], ["l_orderkey", "revenue_fp"], 8)
+
+    dated = attach_column(
+        rev, orders, [("l_orderkey", pa.int64()),
+                      ("revenue_fp", pa.int64())],
+        "l_orderkey", "o_orderkey", "o_orderdate", "o_orderdate",
+        pa.timestamp("us"), 8)
+
+    topk = top_n_per_key(
+        dated.map_batches(
+            lambda b: b.append_column("__g", pa.array(
+                np.zeros(b.num_rows, np.int64))),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["__g"], [("revenue_fp", False), ("l_orderkey", True)], k)
+    return topk.map_batches(
+        lambda b: b.select(["l_orderkey", "revenue_fp", "o_orderdate"]),
+        batch_format="pyarrow", zero_copy_batch=True)

@@ -1168,6 +1168,15 @@ def _q_rel_quantiles_cont(sf_dir: str):
     return quantiles_cont(li, "l_extendedprice", [0.25, 0.5, 0.75, 0.9])
 
 
+def _q_rel_tpch_q3(sf_dir: str):
+    """TPC-H Q3 composition (relational.tpch_q3_revenue): broadcast
+    semi-filter (customer segment) -> map-side fixed-point revenue partials
+    -> one sum all-to-all -> int-key co-group date attach -> pruned global
+    top-k."""
+    from .pipelines.relational import tpch_q3_revenue
+    return tpch_q3_revenue(sf_dir)
+
+
 # --------------------------------------------------------------------------
 # relational operator demos (TPC-H-ish tables)
 # --------------------------------------------------------------------------
@@ -1506,6 +1515,7 @@ def queries() -> dict[str, Callable]:
         "rel_quantiles": _q_rel_quantiles,
         "rel_quantiles_by_flag": _q_rel_quantiles_by_flag,
         "rel_quantiles_cont": _q_rel_quantiles_cont,
+        "rel_tpch_q3": _q_rel_tpch_q3,
         "events_sliding_window": _q_events_sliding_window,
         # relational operator demos
         "rel_groupby_lineitem": _q_rel_lineitem,
@@ -2131,6 +2141,22 @@ def oracle_sql() -> dict[str, str]:
             FROM pos JOIN s lo ON lo.r = pos.rf
             JOIN s hi ON hi.r = least(pos.rf + 1, pos.n - 1)
             ORDER BY q""",
+        # revenue in 1e-4 fixed point: price cents x (100 - discount pct),
+        # both exact int64 (relational.tpch_q3_revenue)
+        "rel_tpch_q3": """
+            SELECT l_orderkey,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                     AS revenue_fp,
+                   o_orderdate
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+              AND l_shipdate > TIMESTAMP '1997-01-01'
+            GROUP BY 1, 3
+            ORDER BY revenue_fp DESC, l_orderkey LIMIT 10""",
         # the synthetic media table reproduced in SQL (payload = UTF-8 of
         # text via encode(); metadata derived from doc_id, mirroring
         # multimodal.synthesize_media); byte slices compared as hex strings
