@@ -584,3 +584,42 @@ def test_quantiles_cont_matches_numpy(ray_session):
     got = quantiles_cont(ds, "x", qs)
     exp = np.percentile(x, [q * 100 for q in qs], method="linear")
     assert np.allclose(got["value"].to_numpy(), exp, rtol=0, atol=1e-9)
+
+
+def test_funnel_vs_sequential(ray_session, tmp_path):
+    """funnel_per_user == a sequential greedy scan, incl. users who stall
+    at each stage and strict-inequality succession."""
+    import pandas as pd
+
+    from the_yelp_collaborative_knowledge_graph_ray.pipelines.relational import (
+        funnel_per_user,
+    )
+    rng = np.random.RandomState(9)
+    n = 600
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.randint(0, 25, n).astype(np.int64),
+        "ts": pd.to_datetime("2025-01-01")
+        + pd.to_timedelta(rng.randint(0, 10**5, n), unit="s"),
+        "event_type": rng.choice(["view", "click", "purchase", "error"], n,
+                                 p=[0.5, 0.25, 0.05, 0.2]),
+    })
+    df.to_parquet(f"{tmp_path}/events.parquet", index=False)
+    got = funnel_per_user(str(tmp_path)).to_pandas() \
+        .set_index("user_id").sort_index()
+
+    us = df["ts"].astype("int64") // 1000  # ns -> us
+    for uid, sub in df.assign(us=us).groupby("user_id"):
+        prev = -np.inf
+        exp = []
+        for stage in ("view", "click", "purchase"):
+            c = sub[(sub["event_type"] == stage) & (sub["us"] > prev)]
+            t = c["us"].min() if len(c) else None
+            exp.append(t)
+            prev = t if t is not None else np.inf
+        row = got.loc[uid]
+        for name, e in zip(["t1_us", "t2_us", "t3_us"], exp):
+            g = row[name]
+            assert (pd.isna(g) and e is None) or g == e, (uid, name, g, e)
+    # at least one user must stall mid-funnel for the test to mean anything
+    assert got["t3_us"].isna().any() and got["t1_us"].notna().any()

@@ -763,3 +763,48 @@ def tpch_q3_revenue(sf_dir: str, segment: str = "BUILDING",
     return topk.map_batches(
         lambda b: b.select(["l_orderkey", "revenue_fp", "o_orderdate"]),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def funnel_per_user(sf_dir: str,
+                    stages: tuple[str, ...] = ("view", "click", "purchase")
+                    ) -> ray.data.Dataset:
+    """Funnel analysis: for each user, the earliest strictly-ordered
+    completion of the stage sequence (first 'view', then the first 'click'
+    AFTER it, then the first 'purchase' after that) — the classic product
+    funnel, which SQL needs chained self-joins for and Ray Data has no
+    native operator for.
+
+    ONE all-to-all on user_id; inside each sorted block the per-stage
+    "first event after the previous stage's time" is a masked
+    ``np.minimum.at`` per group — no ordering pass needed at all, because
+    each stage is an independent min under a (type, ts > prev) mask.
+    Output: (user_id, t1_us, t2_us, t3_us) with nulls where the funnel
+    stalls, sorted by user_id."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def funnel_block(b: pa.Table) -> pa.Table:
+        from ..functions.grouped import group_ids
+        names = [f"t{i + 1}_us" for i in range(len(stages))]
+        out_schema = pa.schema([("user_id", pa.int64())]
+                               + [(n, pa.int64()) for n in names])
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        gid, starts = group_ids(b, ["user_id"])
+        n_groups = len(starts)
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        prev = np.full(n_groups, -(2 ** 62), np.int64)
+        cols = {"user_id": pc.cast(
+            b["user_id"].take(pa.array(starts)), pa.int64())}
+        big = 2 ** 62
+        for stage, name in zip(stages, names):
+            cur = np.full(n_groups, big, np.int64)
+            m = (et == stage) & (ts > prev[gid])
+            np.minimum.at(cur, gid[m], ts[m])
+            cols[name] = pa.array(
+                np.ma.masked_array(cur, mask=cur == big), pa.int64())
+            prev = cur
+        return pa.table(cols, schema=out_schema)
+
+    from ..functions.grouped import sorted_group_apply
+    return sorted_group_apply(ev, ["user_id"], funnel_block).sort("user_id")

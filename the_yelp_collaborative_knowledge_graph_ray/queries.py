@@ -1168,6 +1168,14 @@ def _q_rel_quantiles_cont(sf_dir: str):
     return quantiles_cont(li, "l_extendedprice", [0.25, 0.5, 0.75, 0.9])
 
 
+def _q_events_funnel(sf_dir: str):
+    """Funnel analysis (relational.funnel_per_user): earliest strictly-
+    ordered view -> click -> purchase per user; masked per-group minima,
+    one shuffle."""
+    from .pipelines.relational import funnel_per_user
+    return funnel_per_user(sf_dir)
+
+
 def _q_rel_tpch_q3(sf_dir: str):
     """TPC-H Q3 composition (relational.tpch_q3_revenue): broadcast
     semi-filter (customer segment) -> map-side fixed-point revenue partials
@@ -1497,6 +1505,7 @@ def queries() -> dict[str, Callable]:
         "events_days_intersect": _q_events_days_intersect,
         "events_days_except": _q_events_days_except,
         "events_late_tag": _q_events_late,
+        "events_funnel": _q_events_funnel,
         "rel_rollup": _q_rel_rollup,
         "text_fingerprint": _q_text_fingerprint,
         "multimodal_features": _q_multimodal,
@@ -2141,6 +2150,23 @@ def oracle_sql() -> dict[str, str]:
             FROM pos JOIN s lo ON lo.r = pos.rf
             JOIN s hi ON hi.r = least(pos.rf + 1, pos.n - 1)
             ORDER BY q""",
+        "events_funnel": """
+            WITH u0 AS (SELECT DISTINCT user_id FROM events),
+            s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+                   WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+                   FROM events e JOIN s1 ON s1.user_id = e.user_id
+                    AND epoch_us(e.ts) > s1.t1
+                   WHERE e.event_type = 'click' GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+                   FROM events e JOIN s2 ON s2.user_id = e.user_id
+                    AND epoch_us(e.ts) > s2.t2
+                   WHERE e.event_type = 'purchase' GROUP BY 1)
+            SELECT u0.user_id, CAST(t1 AS BIGINT) AS t1_us,
+                   CAST(t2 AS BIGINT) AS t2_us, CAST(t3 AS BIGINT) AS t3_us
+            FROM u0 LEFT JOIN s1 USING(user_id)
+            LEFT JOIN s2 USING(user_id) LEFT JOIN s3 USING(user_id)
+            ORDER BY user_id""",
         # revenue in 1e-4 fixed point: price cents x (100 - discount pct),
         # both exact int64 (relational.tpch_q3_revenue)
         "rel_tpch_q3": """
