@@ -108,3 +108,51 @@ def hll_estimate(registers: pa.Table | "ray.data.Dataset") -> float:
     if est <= 2.5 * HLL_M and zeros:
         est = HLL_M * np.log(HLL_M / zeros)  # linear counting
     return float(est)
+
+
+def grouped_hll_registers(ds: ray.data.Dataset, group_col: str, key: str,
+                          seed: int = 0, num_partitions: int = 4
+                          ) -> ray.data.Dataset:
+    """Per-group HLL register tables — approximate COUNT(DISTINCT key)
+    GROUP BY group, in one pass + one tiny all-to-all of (group, register,
+    max_rank) partials (≤ m rows per group per block). Same determinism
+    argument as :func:`hll_registers`: max-merge commutes, so the grouped
+    sketch is hash-gateable. Feed one group's rows to
+    :func:`hll_estimate` for its cardinality."""
+    def partial(b: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("g", pa.int64()), ("register", pa.int64()),
+                                ("max_rank", pa.int64())])
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        g = b[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        gv = pc.cast(g, pa.int64()).to_numpy(zero_copy_only=False) \
+            if pa.types.is_integer(g.type) else None
+        if gv is None:
+            raise ValueError("grouped_hll_registers needs an int64 group "
+                             "column; dictionary-encode strings first")
+        k = pc.cast(b[key], pa.int64())
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        x = k.to_numpy(zero_copy_only=False).view(np.uint64)
+        if seed:
+            x = x ^ splitmix64(np.array([seed], np.uint64))[0]
+        h = splitmix64(x)
+        reg = (h >> np.uint64(_W_BITS)).astype(np.int64)
+        w = h & np.uint64((1 << _W_BITS) - 1)
+        rank = (_W_BITS + 1) - _bitlen_u64(w)
+        uniq, ginv = np.unique(gv, return_inverse=True)
+        m = np.zeros(len(uniq) * HLL_M, np.int64)
+        np.maximum.at(m, ginv * HLL_M + reg, rank)
+        seen = np.flatnonzero(m)
+        return pa.table({
+            "g": pa.array(uniq[seen // HLL_M], pa.int64()),
+            "register": pa.array(seen % HLL_M, pa.int64()),
+            "max_rank": pa.array(m[seen], pa.int64())}, schema=out_schema)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return sorted_aggregate(partials, ["g", "register"],
+                            [("max_rank", "max")],
+                            ["g", "register", "max_rank"], num_partitions)

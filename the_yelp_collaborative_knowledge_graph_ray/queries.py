@@ -977,6 +977,21 @@ def _q_emb_centroids(sf_dir: str):
     return grouped_centroids(emb, "label")
 
 
+def _q_approx_distinct_grouped(sf_dir: str):
+    """Grouped HLL (functions/hll.grouped_hll_registers): approximate
+    distinct customers per order year — per-(year, register) max partials
+    are the only shuffled rows."""
+    from .functions.hll import grouped_hll_registers
+    orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                   columns=["o_custkey", "o_orderdate"])
+    yr = orders.map_batches(
+        lambda b: pa.table({"y": pc.cast(pc.year(b["o_orderdate"]),
+                                         pa.int64()),
+                            "o_custkey": b["o_custkey"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_hll_registers(yr, "y", "o_custkey")
+
+
 def _q_rel_anti_join(sf_dir: str):
     """Distributed ANTI JOIN (functions/setops.anti_join): customers with no
     1995 order — left rows co-group with per-block-deduped right key markers;
@@ -1515,6 +1530,7 @@ def queries() -> dict[str, Callable]:
         "sample_stratified": _q_sample_stratified,
         "sample_per_key": _q_sample_per_key,
         "approx_distinct_orders": _q_approx_distinct,
+        "approx_distinct_custs_by_year": _q_approx_distinct_grouped,
         "rel_anti_join_customers": _q_rel_anti_join,
         "emb_grouped_centroids": _q_emb_centroids,
         "text_redact": _q_text_redact,
@@ -2044,6 +2060,18 @@ def oracle_sql() -> dict[str, str]:
                                ELSE 55 - length(bin(w)) END AS r FROM rr)
             SELECT register, CAST(max(r) AS BIGINT) AS max_rank
             FROM rk GROUP BY 1 ORDER BY 1""",
+        "approx_distinct_custs_by_year": f"""
+            WITH yo AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS g,
+                               o_custkey FROM orders),
+            {_splitmix_cte('yo', 'o_custkey', 'g')},
+            hh AS (SELECT g, xor(z, z >> 31) AS h FROM z2),
+            rr AS (SELECT g, CAST(h >> 54 AS BIGINT) AS register,
+                          h % 18014398509481984 AS w FROM hh),
+            rk AS (SELECT g, register,
+                          CASE WHEN w = 0 THEN 55
+                               ELSE 55 - length(bin(w)) END AS r FROM rr)
+            SELECT g, register, CAST(max(r) AS BIGINT) AS max_rank
+            FROM rk GROUP BY 1, 2 ORDER BY 1, 2""",
         # arrival = 4-shard collector: shard event_id % 4, shard-major,
         # (ts, event_id) within shard (relational.tag_late_events)
         "events_late_tag": """
