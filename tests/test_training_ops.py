@@ -792,3 +792,16 @@ def test_ed1_pairs_vs_brute_force(ray_session):
                      np.array([c[1] for c in cand]))
     assert [c for c, ok in zip(cand, m) if ok] == \
         [c for c in cand if lev(*c) <= 1]
+
+
+def test_zip_with_index_contiguous(ray_session):
+    """zip_with_index assigns exactly 0..n-1, each once, across blocks."""
+    from the_yelp_collaborative_knowledge_graph_ray.functions.joins import (
+        zip_with_index,
+    )
+    ds = ray.data.from_arrow(pa.table({"v": np.arange(1234) * 3})) \
+        .repartition(7)
+    out = zip_with_index(ds).to_pandas()
+    assert sorted(out["nid"].tolist()) == list(range(1234))
+    # the id is attached to the row, not positional garbage
+    assert len(out) == 1234 and set(out["v"] % 3) == {0}

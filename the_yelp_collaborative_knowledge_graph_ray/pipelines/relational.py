@@ -808,3 +808,47 @@ def funnel_per_user(sf_dir: str,
 
     from ..functions.grouped import sorted_group_apply
     return sorted_group_apply(ev, ["user_id"], funnel_block).sort("user_id")
+
+
+def event_transitions(sf_dir: str) -> ray.data.Dataset:
+    """Per-user event-type transition counts — the Markov-chain statistic
+    behavioral pipelines build (``LAG`` + grouped count in SQL): for each
+    user's arrival-ordered stream, count (previous type -> type) pairs,
+    summed over all users.
+
+    Sorted-block lexsort gives each user's ordered stream; the shifted
+    type-code array pairs every event with its predecessor (first event per
+    user has none); per-block Arrow ``group_by`` partials collapse to the
+    ~|types|² matrix before ONE tiny all-to-all. Output: (prev_type,
+    event_type, n) sorted."""
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                          "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        from ..functions.grouped import group_ids
+        out_schema = pa.schema([("prev_type", pa.string()),
+                                ("event_type", pa.string()),
+                                ("n", pa.int64())])
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        gid, _ = group_ids(b, ["user_id"])
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = b["event_id"].to_numpy()
+        order = np.lexsort((eid, ts, gid))
+        et = b["event_type"].to_numpy(zero_copy_only=False)[order]
+        ogid = gid[order]
+        has_prev = np.empty(len(et), bool)
+        has_prev[0] = False
+        has_prev[1:] = ogid[1:] == ogid[:-1]
+        prev = np.roll(et, 1)
+        t = pa.table({"prev_type": pa.array(prev[has_prev], pa.string()),
+                      "event_type": pa.array(et[has_prev], pa.string())})
+        return t.group_by(["prev_type", "event_type"],
+                          use_threads=False).aggregate([([], "count_all")]) \
+            .rename_columns(["prev_type", "event_type", "n"])
+
+    from ..functions.grouped import sorted_aggregate, sorted_group_apply
+    partials = sorted_group_apply(ev, ["user_id"], partial)
+    return sorted_aggregate(partials, ["prev_type", "event_type"],
+                            [("n", "sum")],
+                            ["prev_type", "event_type", "n"], 1)

@@ -1191,6 +1191,14 @@ def _q_events_funnel(sf_dir: str):
     return funnel_per_user(sf_dir)
 
 
+def _q_events_transitions(sf_dir: str):
+    """Per-user event-type transition matrix (relational.event_transitions):
+    LAG + grouped count, partials collapse to |types|^2 before one tiny
+    all-to-all."""
+    from .pipelines.relational import event_transitions
+    return event_transitions(sf_dir)
+
+
 def _q_rel_tpch_q3(sf_dir: str):
     """TPC-H Q3 composition (relational.tpch_q3_revenue): broadcast
     semi-filter (customer segment) -> map-side fixed-point revenue partials
@@ -1521,6 +1529,7 @@ def queries() -> dict[str, Callable]:
         "events_days_except": _q_events_days_except,
         "events_late_tag": _q_events_late,
         "events_funnel": _q_events_funnel,
+        "events_transitions": _q_events_transitions,
         "rel_rollup": _q_rel_rollup,
         "text_fingerprint": _q_text_fingerprint,
         "multimodal_features": _q_multimodal,
@@ -2178,6 +2187,15 @@ def oracle_sql() -> dict[str, str]:
             FROM pos JOIN s lo ON lo.r = pos.rf
             JOIN s hi ON hi.r = least(pos.rf + 1, pos.n - 1)
             ORDER BY q""",
+        "events_transitions": """
+            WITH w AS (SELECT event_type,
+                              lag(event_type) OVER (
+                                PARTITION BY user_id
+                                ORDER BY ts, event_id) AS prev_type
+                       FROM events)
+            SELECT prev_type, event_type, count(*) AS n FROM w
+            WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2""",
         "events_funnel": """
             WITH u0 AS (SELECT DISTINCT user_id FROM events),
             s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
