@@ -48,6 +48,7 @@ HEADLINE_QUERIES = [
     "events_sessionize",
     "kg_pagerank",
     "dedup_semantic",
+    "rel_tpch_q3",
 ]
 
 

@@ -62,3 +62,38 @@ def test_grouped_count_matches_duckdb(ray_session, data):
     got = got.sort_values(["k1", "k2"]).reset_index(drop=True)
     want = want.sort_values(["k1", "k2"]).reset_index(drop=True)
     assert got.to_dict("list") == want.to_dict("list")
+
+
+two_tables = st.tuples(
+    st.lists(st.integers(0, 15), min_size=0, max_size=80),
+    st.lists(st.integers(0, 15), min_size=0, max_size=80))
+
+
+@given(ab=two_tables)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_set_ops_and_anti_join_match_duckdb(ray_session, ab):
+    """INTERSECT / EXCEPT / anti-join == DuckDB on arbitrary multisets
+    (duplicates, empty sides, disjoint and identical key ranges)."""
+    from the_yelp_collaborative_knowledge_graph_ray.functions.setops import (
+        anti_join, distinct_set_op)
+    ka, kb = ab
+    ta = pa.table({"k": pa.array(ka, pa.int64())})
+    tb = pa.table({"k": pa.array(kb, pa.int64())})
+    a = ray.data.from_arrow(ta).repartition(3)
+    b = ray.data.from_arrow(tb).repartition(2)
+    con = duckdb.connect()
+    con.register("a", ta)
+    con.register("b", tb)
+    for op, sql in (("intersect", "INTERSECT"), ("except", "EXCEPT")):
+        got = sorted(r["k"] for r in distinct_set_op(a, b, ["k"],
+                                                     op).take_all())
+        want = sorted(r[0] for r in con.sql(
+            f"SELECT k FROM a {sql} SELECT k FROM b").fetchall())
+        assert got == want, op
+    got = sorted(r["k"] for r in anti_join(
+        a, b, "k", "k", [("k", pa.int64())]).take_all())
+    want = sorted(r[0] for r in con.sql(
+        "SELECT k FROM a WHERE k NOT IN (SELECT k FROM b)"
+        if kb else "SELECT k FROM a").fetchall())
+    assert got == want
