@@ -76,6 +76,11 @@ def _expand_frontier(und: ray.data.Dataset, frontier: ray.data.Dataset,
         hit[gid[mark]] = True                 # groups with a frontier row
         keep = hit[gid] & ~mark               # ... their edge rows
         dst = b["v"].filter(pa.array(keep))
+        # map-side combine: every candidate this round has the SAME dist,
+        # so the min-partial is a plain per-block node dedup — a hub
+        # reached from thousands of frontier neighbors leaves this block
+        # as ONE row
+        dst = pc.unique(dst)
         return pa.table({
             "node": dst,
             "dist": pa.array(np.full(len(dst), depth, np.int64))},

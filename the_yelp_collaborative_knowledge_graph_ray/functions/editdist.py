@@ -153,14 +153,11 @@ def ed1_pairs(forms: ray.data.Dataset, col: str,
             .select(["form_a", "form_b"])
 
     cand = sorted_group_apply(keyed, ["k"], block_pairs, num_partitions)
-    # global distinct (a pair can share several deletion keys)
-    distinct = sorted_aggregate(
-        cand.map_batches(
-            lambda b: b.append_column("__one", pa.array(
-                np.ones(b.num_rows, np.int64))),
-            batch_format="pyarrow"),
-        ["form_a", "form_b"], [("__one", "min")],
-        ["form_a", "form_b", "__d"], num_partitions)
+    # global distinct (a pair can share several deletion keys) — the shared
+    # helper includes the map-side per-block combine, so a pair crosses the
+    # shuffle once per block, not once per shared key
+    from .pagerank import _distinct
+    distinct = _distinct(cand, ["form_a", "form_b"], num_partitions)
 
     def verify(b: pa.Table) -> pa.Table:
         a = b["form_a"].combine_chunks().to_numpy(zero_copy_only=False) \

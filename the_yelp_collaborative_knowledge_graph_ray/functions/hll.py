@@ -58,6 +58,29 @@ def _bitlen_u64(w: np.ndarray) -> np.ndarray:
     return np.where(first == 8, 0, (7 - first) * 8 + _BITLEN_LUT[top])
 
 
+def _reg_rank(b: pa.Table, key: str, seed: int
+              ) -> tuple[np.ndarray, np.ndarray]:
+    """(register, rank) per row — the sketch-defining math, shared by the
+    global and grouped variants so it can never desynchronize. Nulls are
+    rejected loudly: a single null would make Arrow hand back a float64
+    (NaN) array whose BIT PATTERNS get hashed, silently corrupting every
+    key in the block."""
+    k = pc.cast(b[key], pa.int64())
+    if isinstance(k, pa.ChunkedArray):
+        k = k.combine_chunks()
+    if k.null_count:
+        raise ValueError(f"hll: key column {key!r} contains nulls — "
+                         "drop_null() upstream")
+    x = k.to_numpy(zero_copy_only=False).view(np.uint64)
+    if seed:
+        x = x ^ splitmix64(np.array([seed], np.uint64))[0]
+    h = splitmix64(x)
+    reg = (h >> np.uint64(_W_BITS)).astype(np.int64)
+    w = h & np.uint64((1 << _W_BITS) - 1)
+    rank = (_W_BITS + 1) - _bitlen_u64(w)
+    return reg, rank
+
+
 def hll_registers(ds: ray.data.Dataset, key: str, seed: int = 0,
                   num_partitions: int = 4) -> ray.data.Dataset:
     """Sparse HLL register table (register:int64, max_rank:int64) for the
@@ -68,16 +91,7 @@ def hll_registers(ds: ray.data.Dataset, key: str, seed: int = 0,
                                 ("max_rank", pa.int64())])
         if b.num_rows == 0:
             return out_schema.empty_table()
-        k = pc.cast(b[key], pa.int64())
-        if isinstance(k, pa.ChunkedArray):
-            k = k.combine_chunks()
-        x = k.to_numpy(zero_copy_only=False).view(np.uint64)
-        if seed:
-            x = x ^ splitmix64(np.array([seed], np.uint64))[0]
-        h = splitmix64(x)
-        reg = (h >> np.uint64(_W_BITS)).astype(np.int64)
-        w = h & np.uint64((1 << _W_BITS) - 1)
-        rank = (_W_BITS + 1) - _bitlen_u64(w)
+        reg, rank = _reg_rank(b, key, seed)
         # per-block register max: one bincount-style scatter
         m = np.zeros(HLL_M, np.int64)
         np.maximum.at(m, reg, rank)
@@ -132,16 +146,7 @@ def grouped_hll_registers(ds: ray.data.Dataset, group_col: str, key: str,
         if gv is None:
             raise ValueError("grouped_hll_registers needs an int64 group "
                              "column; dictionary-encode strings first")
-        k = pc.cast(b[key], pa.int64())
-        if isinstance(k, pa.ChunkedArray):
-            k = k.combine_chunks()
-        x = k.to_numpy(zero_copy_only=False).view(np.uint64)
-        if seed:
-            x = x ^ splitmix64(np.array([seed], np.uint64))[0]
-        h = splitmix64(x)
-        reg = (h >> np.uint64(_W_BITS)).astype(np.int64)
-        w = h & np.uint64((1 << _W_BITS) - 1)
-        rank = (_W_BITS + 1) - _bitlen_u64(w)
+        reg, rank = _reg_rank(b, key, seed)
         uniq, ginv = np.unique(gv, return_inverse=True)
         m = np.zeros(len(uniq) * HLL_M, np.int64)
         np.maximum.at(m, ginv * HLL_M + reg, rank)

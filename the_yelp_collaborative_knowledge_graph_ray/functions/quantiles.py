@@ -38,18 +38,9 @@ def _col_np(b: pa.Table, col: str) -> np.ndarray:
     return v[~np.isnan(v)]
 
 
-def quantiles_exact(ds: ray.data.Dataset, col: str, qs: list[float],
-                    n_bins: int = 4096, driver_budget: int = 4_000_000
-                    ) -> pa.Table:
-    """Exact ``quantile_disc``-style quantiles of ``ds[col]``.
-
-    Returns a small Arrow table (q, value) sorted by q. ``driver_budget``
-    bounds how many narrowed values may be pulled to the driver per round;
-    exceeding it triggers another narrowing round instead of a big collect.
-    """
-    qs = sorted(qs)
-
-    # pass 1: global count / min / max from per-block partials
+def _pass1(ds: ray.data.Dataset, col: str) -> tuple[int, float, float]:
+    """Global (count, min, max) from per-block partials — ONE scan, shared
+    by the disc and cont entry points."""
     def mm(b: pa.Table) -> pa.Table:
         v = _col_np(b, col)
         if len(v) == 0:
@@ -63,14 +54,38 @@ def quantiles_exact(ds: ray.data.Dataset, col: str, qs: list[float],
     parts = ds.map_batches(mm, batch_format="pyarrow").take_all()
     n = int(sum(p["n"] for p in parts))
     if n == 0:
+        return 0, np.inf, -np.inf
+    return n, min(p["lo"] for p in parts), max(p["hi"] for p in parts)
+
+
+def quantiles_exact(ds: ray.data.Dataset, col: str, qs: list[float],
+                    n_bins: int = 4096, driver_budget: int = 4_000_000
+                    ) -> pa.Table:
+    """Exact ``quantile_disc``-style quantiles of ``ds[col]``.
+
+    Returns a small Arrow table (q, value) sorted by q. ``driver_budget``
+    bounds how many narrowed values may be pulled to the driver per round;
+    exceeding it triggers another narrowing round instead of a big collect.
+    """
+    qs = sorted(qs)
+    n, lo, hi = _pass1(ds, col)
+    if n == 0:
         return pa.table({"q": pa.array(qs, pa.float64()),
                          "value": pa.array([None] * len(qs), pa.float64())})
-    lo = min(p["lo"] for p in parts)
-    hi = max(p["hi"] for p in parts)
     # DuckDB quantile_disc rank: ceil(n*q) - 1, clamped at 0 (probed
     # empirically across n/q — floor((n-1)*q) disagrees at e.g. q=0.95)
     ranks = [max(0, int(np.ceil(n * q)) - 1) for q in qs]
+    values = _values_at_ranks(ds, col, ranks, lo, hi, n_bins, driver_budget)
+    return pa.table({
+        "q": pa.array(qs, pa.float64()),
+        "value": pa.array([values[r] for r in ranks], pa.float64())})
 
+
+def _values_at_ranks(ds: ray.data.Dataset, col: str, ranks: list[int],
+                     lo: float, hi: float, n_bins: int = 4096,
+                     driver_budget: int = 4_000_000) -> dict[int, float]:
+    """Value of the 0-indexed ascending order statistic at each rank, via
+    histogram narrowing (module docstring)."""
     # narrowing rounds: histogram -> locate rank bins -> collect or recurse
     # active[i] = (lo_i, hi_i, rank_within_range_i, base_count_below_lo_i)
     values: dict[int, float] = {}
@@ -153,9 +168,7 @@ def quantiles_exact(ds: ray.data.Dataset, col: str, qs: list[float],
     else:
         raise RuntimeError("quantile narrowing did not converge in 8 rounds")
 
-    return pa.table({
-        "q": pa.array(qs, pa.float64()),
-        "value": pa.array([values[r] for r in ranks], pa.float64())})
+    return values
 
 
 def grouped_quantiles(ds: ray.data.Dataset, key: str, col: str,
@@ -216,13 +229,12 @@ def quantiles_cont(ds: ray.data.Dataset, col: str,
     ``value(q) = v[rf] + frac · (v[rf+1] − v[rf])`` with
     ``rf = floor((n−1)·q)``, ``frac = (n−1)·q − rf`` over the ascending
     order statistics v[0..n−1]. Both order statistics come from the exact
-    histogram-narrowed rank selector (:func:`quantiles_exact` — reached by
-    crafting q' = (rank + 0.5)/n, whose ``ceil(n·q')−1`` is that rank for
-    ANY float rounding of the division); the interpolation itself runs
-    driver-side over ≤ 2·|qs| floats with the identical IEEE expression the
-    oracle SQL uses, so hash-gating holds without trusting any engine's
-    internal quantile implementation."""
-    n = ds.count()
+    histogram-narrowed rank selector (:func:`_values_at_ranks`, sharing
+    :func:`_pass1`'s single count/min/max scan); the interpolation itself
+    runs driver-side over ≤ 2·|qs| floats with the identical IEEE
+    expression the oracle SQL uses, so hash-gating holds without trusting
+    any engine's internal quantile implementation."""
+    n, lo, hi_v = _pass1(ds, col)
     if n == 0:
         return pa.table({"q": pa.array([], pa.float64()),
                          "value": pa.array([], pa.float64())})
@@ -235,10 +247,7 @@ def quantiles_cont(ds: ray.data.Dataset, col: str,
         hi = min(rf + 1, n - 1)
         pos.append((q, rf, hi, frac))
         need.update((rf, hi))
-    ranks = sorted(need)
-    qprime = [(r + 0.5) / n for r in ranks]
-    got = quantiles_exact(ds, col, qprime)
-    by_rank = dict(zip(ranks, got["value"].to_pylist()))
+    by_rank = _values_at_ranks(ds, col, sorted(need), lo, hi_v)
     vals = [by_rank[rf] + frac * (by_rank[hi] - by_rank[rf])
             for _, rf, hi, frac in pos]
     return pa.table({"q": pa.array([float(q) for q in qs], pa.float64()),

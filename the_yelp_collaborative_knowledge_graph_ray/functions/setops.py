@@ -38,9 +38,14 @@ def distinct_set_op(a: ray.data.Dataset, b: ray.data.Dataset,
     def tag(ia: int, ib: int):
         def f(t: pa.Table) -> pa.Table:
             n = t.num_rows
-            return t.select(keys) \
+            # map-side combine: collapse to distinct keys per block BEFORE
+            # the shuffle, so a hot key crosses the wire once per block
+            t = t.select(keys) \
                 .append_column("__a", pa.array(np.full(n, ia, np.int64))) \
                 .append_column("__b", pa.array(np.full(n, ib, np.int64)))
+            return t.group_by(keys, use_threads=False).aggregate(
+                [("__a", "sum"), ("__b", "sum")]) \
+                .rename_columns(keys + ["__a", "__b"])
         return f
 
     u = a.map_batches(tag(1, 0), batch_format="pyarrow",
