@@ -623,3 +623,33 @@ def test_funnel_vs_sequential(ray_session, tmp_path):
             assert (pd.isna(g) and e is None) or g == e, (uid, name, g, e)
     # at least one user must stall mid-funnel for the test to mean anything
     assert got["t3_us"].isna().any() and got["t1_us"].notna().any()
+
+
+def test_cms_estimates_bound_true_counts(ray_session):
+    """CMS point estimates: never below the true count, within the eps*N
+    bound for heavy hitters, and merge-invariant across partitionings."""
+    from the_yelp_collaborative_knowledge_graph_ray.functions.cms import (
+        CMS_WIDTH,
+        cms_estimate,
+        cms_sketch,
+    )
+    rng = np.random.RandomState(6)
+    # Zipf-ish: a few heavy keys + a long tail
+    keys = np.concatenate([
+        np.repeat([7, 13, 99], [5000, 3000, 1500]),
+        rng.randint(1000, 9000, 20000)]).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"k": keys}))
+    sk = pa.Table.from_pylist(cms_sketch(ds, "k").take_all())
+    import collections
+    true = collections.Counter(keys.tolist())
+    probe = np.array([7, 13, 99, 1000, 4242], np.int64)
+    est = cms_estimate(sk, probe)
+    eps_n = np.e / CMS_WIDTH * len(keys)
+    for k, e in zip(probe, est):
+        assert e >= true[k]
+        assert e <= true[k] + 4 * eps_n
+    sk2 = pa.Table.from_pylist(
+        cms_sketch(ds.repartition(11), "k").take_all())
+    a = sorted(map(tuple, sk.to_pandas().to_numpy().tolist()))
+    b = sorted(map(tuple, sk2.to_pandas().to_numpy().tolist()))
+    assert a == b

@@ -992,6 +992,16 @@ def _q_approx_distinct_grouped(sf_dir: str):
     return grouped_hll_registers(yr, "y", "o_custkey")
 
 
+def _q_cms_parts(sf_dir: str):
+    """Count-Min sketch (functions/cms.py) of part-key frequencies in
+    lineitem: fixed 4x1024 integer counters, sum-merge = shuffle-order-
+    proof, so the sketch itself is hash-gated."""
+    from .functions.cms import cms_sketch
+    li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_partkey"])
+    return cms_sketch(li, "l_partkey")
+
+
 def _q_rel_anti_join(sf_dir: str):
     """Distributed ANTI JOIN (functions/setops.anti_join): customers with no
     1995 order — left rows co-group with per-block-deduped right key markers;
@@ -1421,6 +1431,26 @@ u AS (SELECT * EXCLUDE (z),
       CAST(xor(z, z >> 31) AS DOUBLE) / {_M64}.0 AS u01 FROM z2)"""
 
 
+def _cms_sql() -> str:
+    """Count-Min sketch twin (functions/cms.py): per hash row r, col =
+    splitmix64(key XOR splitmix64(r+1)) % width; the row seeds are Python-
+    computed constants injected as UBIGINT literals."""
+    from .functions.cms import CMS_WIDTH, cms_row_seeds
+    seeds = ", ".join(f"({r}, CAST('{int(s)}' AS UBIGINT))"
+                      for r, s in enumerate(cms_row_seeds()))
+    return f"""
+            WITH seeds(r, s) AS (VALUES {seeds}),
+            base AS (SELECT seeds.r AS rw,
+                            xor(CAST(l_partkey AS UBIGINT), s) AS kx
+                     FROM lineitem CROSS JOIN seeds),
+            {_splitmix_cte('base', 'kx', 'rw')},
+            hh AS (SELECT rw, xor(z, z >> 31) AS h FROM z2)
+            SELECT CAST(rw AS BIGINT) AS row,
+                   CAST(h % {CMS_WIDTH} AS BIGINT) AS col,
+                   count(*) AS cnt
+            FROM hh GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 def _redact_sql() -> str:
     """Sequential plant -> count -> replace chain built from the SAME rule
     list the Ray stage uses (stages/redact.py DEFAULT_RULES); both engines
@@ -1540,6 +1570,7 @@ def queries() -> dict[str, Callable]:
         "sample_per_key": _q_sample_per_key,
         "approx_distinct_orders": _q_approx_distinct,
         "approx_distinct_custs_by_year": _q_approx_distinct_grouped,
+        "cms_part_frequencies": _q_cms_parts,
         "rel_anti_join_customers": _q_rel_anti_join,
         "emb_grouped_centroids": _q_emb_centroids,
         "text_redact": _q_text_redact,
@@ -2081,6 +2112,7 @@ def oracle_sql() -> dict[str, str]:
                                ELSE 55 - length(bin(w)) END AS r FROM rr)
             SELECT g, register, CAST(max(r) AS BIGINT) AS max_rank
             FROM rk GROUP BY 1, 2 ORDER BY 1, 2""",
+        "cms_part_frequencies": _cms_sql(),
         # arrival = 4-shard collector: shard event_id % 4, shard-major,
         # (ts, event_id) within shard (relational.tag_late_events)
         "events_late_tag": """
