@@ -805,3 +805,42 @@ def test_zip_with_index_contiguous(ray_session):
     assert sorted(out["nid"].tolist()) == list(range(1234))
     # the id is attached to the row, not positional garbage
     assert len(out) == 1234 and set(out["v"] % 3) == {0}
+
+
+def test_personalized_pagerank_vs_sequential(ray_session):
+    """Seeded (RWR) pagerank == a sequential numpy reference on a graph
+    where only some nodes are seeds; non-seeds get no restart mass and
+    unreachable nodes stay at 0."""
+    import pyarrow.compute as pc
+
+    from the_yelp_collaborative_knowledge_graph_ray.functions.pagerank import (
+        BASE,
+        SCALE,
+        pagerank,
+    )
+    edges = [("s_a", "x1"), ("x1", "x2"), ("x2", "s_a"), ("s_b", "x1"),
+             ("y1", "y2")]  # y-island unreachable from any seed
+    eds = ray.data.from_arrow(pa.table({
+        "src": [u for u, _ in edges], "dst": [v for _, v in edges]}))
+    got = {r["node"]: r["rank"]
+           for r in pagerank(eds, iters=5,
+                             seed_filter=lambda a: pc.starts_with(
+                                 a, "s_")).take_all()}
+
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    out: dict[int, list[int]] = {}
+    for u, v in edges:
+        out.setdefault(idx[u], []).append(idx[v])
+    seed = np.array([n.startswith("s_") for n in nodes])
+    rank = np.where(seed, SCALE, 0).astype(np.int64)
+    for _ in range(5):
+        s = np.zeros(len(nodes), np.int64)
+        for u, vs in out.items():
+            for v in vs:
+                s[v] += rank[u] // len(vs)
+        rank = np.where(seed, BASE, 0) + 85 * (s // 100) \
+            + (85 * (s % 100)) // 100
+    exp = {n: int(rank[idx[n]]) for n in nodes}
+    assert got == exp
+    assert got["y2"] == 0 and got["s_a"] > 0 and got["x2"] > 0

@@ -55,10 +55,21 @@ def _distinct(ds: ray.data.Dataset, keys: list[str],
 
 
 def pagerank(edges: ray.data.Dataset, iters: int = 5,
-             num_partitions: int = 8) -> ray.data.Dataset:
+             num_partitions: int = 8,
+             seed_filter=None) -> ray.data.Dataset:
     """edges: Dataset with string columns (src, dst), already distinct.
     Returns (node, rank) — int64 fixed-point rank after ``iters`` rounds,
     sorted by node.
+
+    ``seed_filter`` (optional): a vectorized predicate
+    ``pa.Array[string] -> pa.BooleanArray`` selecting the PERSONALIZED
+    restart set (random-walk-with-restart relevance, the KG-retrieval
+    primitive): seeds start with the full SCALE mass and receive the
+    0.15·SCALE restart each round; non-seeds start at 0 and receive none.
+    A predicate rather than a seed Dataset keeps the personalization
+    join-free (one vectorized pass over the node table) and lets the SQL
+    oracle mirror it as a WHERE/CASE expression. ``None`` = classic
+    PageRank (every node is a seed).
 
     Iteration runs entirely on dense int64 node ids: IRI strings are
     compressed ONCE through ``joins.zip_with_index`` + two string-key
@@ -98,24 +109,38 @@ def pagerank(edges: ray.data.Dataset, iters: int = 5,
     # aggregate as a max column (contrib rows carry 0, the per-node zero
     # row carries the true value).
     deg_rows = grouped_count(eint, ["sid"], "outdeg", num_partitions) \
-        .map_batches(lambda b: pa.table({"nid": b["sid"],
-                                         "outdeg": b["outdeg"]}),
-                     batch_format="pyarrow", zero_copy_batch=True)
-    zero_deg = ids.map_batches(
-        lambda b: pa.table({"nid": b["nid"], "outdeg": pa.array(
-            np.zeros(b.num_rows, np.int64))}), batch_format="pyarrow")
+        .map_batches(lambda b: pa.table({
+            "nid": b["sid"], "outdeg": b["outdeg"],
+            "sd": pa.array(np.zeros(b.num_rows, np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    def zero_row(b: pa.Table) -> pa.Table:
+        # every node appears here, so this is where the seed flag is
+        # computed (node strings in hand) and folded into the rank table
+        sd = np.ones(b.num_rows, np.int64) if seed_filter is None else \
+            seed_filter(b["node"].combine_chunks()
+                        if isinstance(b["node"], pa.ChunkedArray)
+                        else b["node"]).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        return pa.table({"nid": b["nid"],
+                         "outdeg": pa.array(np.zeros(b.num_rows, np.int64)),
+                         "sd": pa.array(sd)})
+
+    zero_deg = ids.map_batches(zero_row, batch_format="pyarrow")
     ranks = _sever(sorted_aggregate(
-        deg_rows.union(zero_deg), ["nid"], [("outdeg", "max")],
-        ["nid", "outdeg"], num_partitions).map_batches(
+        deg_rows.union(zero_deg), ["nid"],
+        [("outdeg", "max"), ("sd", "max")],
+        ["nid", "outdeg", "sd"], num_partitions).map_batches(
         lambda b: b.append_column("rank", pa.array(
-            np.full(b.num_rows, SCALE, np.int64))),
+            b["sd"].to_numpy() * SCALE)),
         batch_format="pyarrow").materialize())
 
     def damp(b: pa.Table) -> pa.Table:
         s = b["s"].to_numpy()
-        r = BASE + 85 * (s // 100) + (85 * (s % 100)) // 100
+        r = b["sd"].to_numpy() * BASE + 85 * (s // 100) \
+            + (85 * (s % 100)) // 100
         return pa.table({"nid": b["nid"], "outdeg": b["outdeg"],
-                         "rank": pa.array(r, pa.int64())})
+                         "sd": b["sd"], "rank": pa.array(r, pa.int64())})
 
     for _ in range(iters):
         # per-source contribution: a plain map over the rank table
@@ -136,15 +161,20 @@ def pagerank(edges: ray.data.Dataset, iters: int = 5,
         contrib = prop.map_batches(
             lambda b: pa.table({"nid": b["did"], "c": b["q"],
                                 "outdeg": pa.array(
+                                    np.zeros(b.num_rows, np.int64)),
+                                "sd": pa.array(
                                     np.zeros(b.num_rows, np.int64))}),
             batch_format="pyarrow", zero_copy_batch=True)
         zeros = ranks.map_batches(
             lambda b: pa.table({"nid": b["nid"], "c": pa.array(
-                np.zeros(b.num_rows, np.int64)), "outdeg": b["outdeg"]}),
+                np.zeros(b.num_rows, np.int64)), "outdeg": b["outdeg"],
+                "sd": b["sd"]}),
             batch_format="pyarrow", zero_copy_batch=True)
         sums = sorted_aggregate(contrib.union(zeros), ["nid"],
-                                [("c", "sum"), ("outdeg", "max")],
-                                ["nid", "s", "outdeg"], num_partitions)
+                                [("c", "sum"), ("outdeg", "max"),
+                                 ("sd", "max")],
+                                ["nid", "s", "outdeg", "sd"],
+                                num_partitions)
         ranks = _sever(sums.map_batches(
             damp, batch_format="pyarrow").materialize())
 

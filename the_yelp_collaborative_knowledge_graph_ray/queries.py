@@ -789,6 +789,19 @@ def _q_fuzzy_ed1(sf_dir: str):
     return ed1_pairs(vocab, "surface_form")
 
 
+def _q_kg_ppr_tools(sf_dir: str):
+    """Personalized PageRank (random-walk-with-restart) seeded at the tool
+    nodes — KG relevance retrieval: which entities/conversations sit
+    closest to tool usage. Same int-id fixed-point machinery as
+    kg_pagerank; the seed set is a vectorized prefix predicate, so
+    personalization costs no join."""
+    from .config import ENT
+    from .functions.pagerank import pagerank
+    pre = ENT + "tool/"
+    return pagerank(_kg_edges(sf_dir),
+                    seed_filter=lambda a: pc.starts_with(a, pre))
+
+
 BFS_MAX_DEPTH = 6
 
 
@@ -810,19 +823,30 @@ def _q_kg_bfs_distances(sf_dir: str):
                          max_depth=BFS_MAX_DEPTH).sort("node")
 
 
-def _pagerank_sql(iters: int = 5) -> str:
+def _pagerank_sql(iters: int = 5, seed_sql: str | None = None) -> str:
     """Unrolled fixed-point PageRank CTE chain (functions/pagerank.py
     semantics: SCALE=1e12, floor damping, dangling mass evaporates).
-    Expects CTEs ``edges(src, dst)`` to be in scope."""
-    ctes = ["""nodes AS (SELECT src AS node FROM edges
+    Expects CTEs ``edges(src, dst)`` to be in scope. ``seed_sql`` (a
+    boolean expression over column ``{n}``) personalizes the restart:
+    seeds start at SCALE and receive the 0.15·SCALE term; others 0."""
+    def seeded(const: str, node_expr: str) -> str:
+        if seed_sql is None:
+            return const
+        return (f"CASE WHEN {seed_sql.format(n=node_expr)} "
+                f"THEN {const} ELSE 0 END")
+
+    ctes = [f"""nodes AS (SELECT src AS node FROM edges
                          UNION SELECT dst FROM edges),
                outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
-               r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank
+               r0 AS (SELECT node,
+                      CAST({seeded('1000000000000', 'node')} AS BIGINT)
+                        AS rank
                       FROM nodes)"""]
     for t in range(1, iters + 1):
         ctes.append(f"""r{t} AS (
             SELECT n.node,
-                   CAST(150000000000 + (85 * COALESCE(s.s, 0)) // 100
+                   CAST({seeded('150000000000', 'n.node')}
+                        + (85 * COALESCE(s.s, 0)) // 100
                         AS BIGINT) AS rank
             FROM nodes n LEFT JOIN (
               SELECT e.dst AS node, sum(r.rank // o.d) AS s
@@ -1519,6 +1543,7 @@ def queries() -> dict[str, Callable]:
         "cq_turns_per_year_month": _q_turns_per_year_month,
         "geo_reverse_geocode": _q_reverse_geocode,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_ppr_tools": _q_kg_ppr_tools,
         "kg_degree_stats": _q_kg_degree_stats,
         "kg_bfs_distances": _q_kg_bfs_distances,
         "kg_comention_triangles": _q_kg_comention_triangles,
@@ -1878,6 +1903,13 @@ def oracle_sql() -> dict[str, str]:
             edges AS (SELECT DISTINCT subj AS src, obj AS dst FROM triples
                       WHERE NOT obj_is_literal),
             """ + _pagerank_sql(),
+        "kg_ppr_tools": P + """
+            , triples AS (""" + _structural_sql() + """
+              UNION """ + _mention_sql() + """),
+            edges AS (SELECT DISTINCT subj AS src, obj AS dst FROM triples
+                      WHERE NOT obj_is_literal),
+            """ + _pagerank_sql(
+            seed_sql="{n} LIKE '" + C.ENT + "tool/%'"),
         "kg_degree_stats": P + """
             , triples AS (""" + _structural_sql() + """
               UNION """ + _mention_sql() + """),
