@@ -759,6 +759,21 @@ def _q_kg_components(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True).sort("node")
 
 
+def _q_kg_node_similarity(sf_dir: str):
+    """Jaccard node similarity over the co-mention graph
+    (functions/nodesim.py): top related-entity pairs by shared-neighbor
+    overlap — link prediction on the KG."""
+    from .functions.nodesim import jaccard_node_pairs
+    from .functions.triangles import within_group_pairs
+    pre = C.ENT + "mention/"
+    m = _q_mentions(sf_dir).map_batches(
+        lambda b: pa.table({
+            "turn": b["subj"],
+            "c": pc.utf8_slice_codeunits(b["obj"], len(pre))}),
+        batch_format="pyarrow")
+    return jaccard_node_pairs(within_group_pairs(m, "turn", "c"))
+
+
 def _q_dedup_semantic(sf_dir: str):
     """SemDeDup-style semantic dedup (dedup.semantic_dedup): k-means
     clusters from a bounded sample, in-cluster greedy cosine keep/drop.
@@ -1548,6 +1563,7 @@ def queries() -> dict[str, Callable]:
         "kg_bfs_distances": _q_kg_bfs_distances,
         "kg_comention_triangles": _q_kg_comention_triangles,
         "kg_comention_components": _q_kg_components,
+        "kg_node_similarity": _q_kg_node_similarity,
         "meta_struct_flatten": _q_meta_flatten,
         "meta_flatten_agg": _q_meta_flatten_agg,
         "kg_ntriples_lines": _q_ntriples_lines,
@@ -1959,6 +1975,23 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.v, w.lbl FROM walk w JOIN und e ON e.u = w.node)
             SELECT node, min(lbl) AS component FROM walk
             GROUP BY 1 ORDER BY 1""",
+        "kg_node_similarity": P + """
+            , ce AS (SELECT DISTINCT a.canonical AS u, b.canonical AS v
+                     FROM mention a JOIN mention b
+                       ON a.turn_iri = b.turn_iri
+                      AND a.canonical < b.canonical),
+            und AS (SELECT u, v FROM ce UNION SELECT v, u FROM ce),
+            cn AS (SELECT a.v AS u, b.v AS v, count(*) AS common
+                   FROM und a JOIN und b ON a.u = b.u AND a.v < b.v
+                   GROUP BY 1, 2),
+            deg AS (SELECT u AS node, count(*) AS d FROM und GROUP BY 1)
+            SELECT cn.u, cn.v, cn.common, du.d AS deg_u, dv.d AS deg_v,
+                   CAST((1000000 * cn.common)
+                        // (du.d + dv.d - cn.common) AS BIGINT)
+                     AS jaccard_fp
+            FROM cn JOIN deg du ON du.node = cn.u
+            JOIN deg dv ON dv.node = cn.v
+            ORDER BY jaccard_fp DESC, cn.u, cn.v LIMIT 50""",
         "kg_comention_triangles": P + """
             , ce AS (SELECT DISTINCT a.canonical AS u, b.canonical AS v
                      FROM mention a JOIN mention b
