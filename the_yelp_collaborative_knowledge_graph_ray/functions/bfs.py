@@ -29,6 +29,14 @@ so a hub reached from thousands of frontier neighbors crosses the shuffle
 as one partial row per block. BFS invariant: a node's distance is final
 the round it first appears, so early-exit when a round adds no new nodes
 is exact.
+
+Measured negative result (kept for the record): pagerank's int-id encode
+(``joins.zip_with_index`` + two string-key ``attach_column`` passes) made
+BFS SLOWER at sf0.1 (20.7 s → 35.0 s) — the encode joins are themselves
+union-sorts of the full edge table, which costs more than six cheaper
+int-key rounds save at this depth. The encode pays off when
+rounds × per-round savings exceed two full-table sorts (pagerank's fixed
+5 × hash-join rounds on a reused table), not for shallow frontier BFS.
 """
 
 from __future__ import annotations
