@@ -844,3 +844,41 @@ def test_personalized_pagerank_vs_sequential(ray_session):
     exp = {n: int(rank[idx[n]]) for n in nodes}
     assert got == exp
     assert got["y2"] == 0 and got["s_a"] > 0 and got["x2"] > 0
+
+
+def test_kcore_vs_sequential_peeling(ray_session):
+    """Distributed k-core == sequential peeling on a random sparse graph
+    (dense core + tree fringe), incl. the empty result above max core."""
+    from the_yelp_collaborative_knowledge_graph_ray.functions.kcore import (
+        kcore_edges,
+    )
+    rng = np.random.RandomState(8)
+    core = [(f"c{i}", f"c{j}") for i in range(8) for j in range(i + 1, 8)]
+    fringe = [(f"c{rng.randint(8)}", f"f{i}") for i in range(30)] \
+        + [(f"f{i}", f"g{i}") for i in range(30)]
+    edges = sorted({(min(u, v), max(u, v)) for u, v in core + fringe})
+
+    def peel(k):
+        import collections
+        adj = collections.defaultdict(set)
+        for u, v in edges:
+            adj[u].add(v)
+            adj[v].add(u)
+        changed = True
+        while changed:
+            changed = False
+            for n in [n for n, s in adj.items() if len(s) < k]:
+                changed = True
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+        return sorted((u, v) for u in adj for v in adj[u] if u < v)
+
+    eds = ray.data.from_arrow(pa.table({
+        "u": [u for u, _ in edges], "v": [v for _, v in edges]}))
+    for k in (2, 4, 9):
+        got_ds, rounds = kcore_edges(eds, k=k)
+        got = sorted((r["u"], r["v"]) for r in got_ds.take_all())
+        assert got == peel(k), k
+        assert rounds >= 1
+    assert peel(9) == []          # above the max core -> empty, covered

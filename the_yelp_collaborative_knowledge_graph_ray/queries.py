@@ -817,6 +817,49 @@ def _q_kg_ppr_tools(sf_dir: str):
                     seed_filter=lambda a: pc.starts_with(a, pre))
 
 
+KCORE_K = 4
+
+
+def _q_kg_kcore(sf_dir: str):
+    """k-core subgraph of the KG edge graph (functions/kcore.py): iterative
+    degree peeling, two semi-join co-groups + one grouped count per round,
+    fixpoint early exit. k=4 strips roughly half the graph at every tested
+    scale (turn leaves and sparse mentions)."""
+    from .functions.kcore import kcore_edges
+    und = _kg_edges(sf_dir).map_batches(
+        lambda b: pa.table({
+            "u": pc.min_element_wise(b["src"], b["dst"]),
+            "v": pc.max_element_wise(b["src"], b["dst"])}),
+        batch_format="pyarrow")
+    from .functions.pagerank import _distinct
+    core, _rounds = kcore_edges(_distinct(und, ["u", "v"], 8), k=KCORE_K)
+    return core.sort(["u", "v"])
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Unrolled peel (functions/kcore.py semantics): monotone deletion
+    reaches fixpoint, so any unroll >= the converged round count matches
+    bit-for-bit. Expects CTE ``edges(src, dst)`` in scope."""
+    # every level MUST be MATERIALIZED: s{r} references s{r-1} three times
+    # (directly + via d{r}), so DuckDB's default CTE inlining would expand
+    # the upstream tree 3^rounds times (observed as 'Too many open files'
+    # from hundreds of copies of the parquet scan)
+    ctes = ["""s0 AS MATERIALIZED (
+        WITH uv AS (SELECT DISTINCT least(src, dst) AS u,
+                           greatest(src, dst) AS v FROM edges)
+        SELECT u AS w, v AS x FROM uv UNION ALL SELECT v, u FROM uv)"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""d{r} AS MATERIALIZED (
+                SELECT w, count(*) AS d FROM s{r - 1} GROUP BY 1),
+            s{r} AS MATERIALIZED (
+                SELECT e.w, e.x FROM s{r - 1} e
+                JOIN d{r} a ON a.w = e.w AND a.d >= {k}
+                JOIN d{r} b ON b.w = e.x AND b.d >= {k})""")
+    return (",\n".join(ctes) +
+            f"\nSELECT w AS u, x AS v FROM s{rounds} WHERE w < x "
+            "ORDER BY 1, 2")
+
+
 BFS_MAX_DEPTH = 6
 
 
@@ -1561,6 +1604,7 @@ def queries() -> dict[str, Callable]:
         "kg_ppr_tools": _q_kg_ppr_tools,
         "kg_degree_stats": _q_kg_degree_stats,
         "kg_bfs_distances": _q_kg_bfs_distances,
+        "kg_kcore_edges": _q_kg_kcore,
         "kg_comention_triangles": _q_kg_comention_triangles,
         "kg_comention_components": _q_kg_components,
         "kg_node_similarity": _q_kg_node_similarity,
@@ -1926,6 +1970,12 @@ def oracle_sql() -> dict[str, str]:
                       WHERE NOT obj_is_literal),
             """ + _pagerank_sql(
             seed_sql="{n} LIKE '" + C.ENT + "tool/%'"),
+        "kg_kcore_edges": P + """
+            , triples AS (""" + _structural_sql() + """
+              UNION """ + _mention_sql() + """),
+            edges AS (SELECT DISTINCT subj AS src, obj AS dst FROM triples
+                      WHERE NOT obj_is_literal),
+            """ + _kcore_sql(KCORE_K, 8),
         "kg_degree_stats": P + """
             , triples AS (""" + _structural_sql() + """
               UNION """ + _mention_sql() + """),
