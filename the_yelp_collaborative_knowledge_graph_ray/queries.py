@@ -817,6 +817,37 @@ def _q_kg_ppr_tools(sf_dir: str):
                     seed_filter=lambda a: pc.starts_with(a, pre))
 
 
+def _q_conv_tool_paths(sf_dir: str):
+    """Per-conversation ordered tool sequence ('WebSearch->Code->...') —
+    the ``string_agg(... ORDER BY)`` grouped-sequence operator Ray Data
+    lacks, fully vectorized: ONE conv-keyed sort, then inside each sorted
+    block the ordered tool strings become a ListArray built from group
+    offsets and ONE ``pc.binary_join`` concatenates every conversation's
+    path with zero per-group Python. Sequence-mining prep (tool-usage
+    patterns)."""
+    from .functions.grouped import group_ids, sorted_group_apply
+    from .stages.extract import _tool_mask
+    t = _read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "tool"])
+    out_schema = pa.schema([("conv_id", pa.string()),
+                            ("tool_path", pa.string())])
+
+    def paths_block(b: pa.Table) -> pa.Table:
+        b = b.filter(_tool_mask(b["tool"]))
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        gid, starts = group_ids(b, ["conv_id"])
+        tidx = b["turn_idx"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tidx, gid))
+        tools = b["tool"].combine_chunks().take(pa.array(order))
+        offsets = np.append(starts, b.num_rows).astype(np.int32)
+        la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), tools)
+        return pa.table({
+            "conv_id": b["conv_id"].take(pa.array(starts)),
+            "tool_path": pc.binary_join(la, "->")}, schema=out_schema)
+
+    return sorted_group_apply(t, ["conv_id"], paths_block).sort("conv_id")
+
+
 KCORE_K = 4
 
 
@@ -1599,6 +1630,7 @@ def queries() -> dict[str, Callable]:
         "cq_convs_with_min_tools": _q_convs_with_min_tools,
         "cq_top_tool_per_role": _q_top_tool_per_role,
         "cq_turns_per_year_month": _q_turns_per_year_month,
+        "cq_conv_tool_paths": _q_conv_tool_paths,
         "geo_reverse_geocode": _q_reverse_geocode,
         "kg_pagerank": _q_kg_pagerank,
         "kg_ppr_tools": _q_kg_ppr_tools,
@@ -1769,6 +1801,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(month(ts) AS BIGINT) AS m, count(*) AS n
             FROM read_parquet('{fdir}/transcripts.parquet/*.parquet')
             GROUP BY 1, 2 ORDER BY 1, 2""",
+        "cq_conv_tool_paths": f"""
+            SELECT conv_id,
+                   string_agg(tool, '->' ORDER BY turn_idx) AS tool_path
+            FROM read_parquet('{fdir}/transcripts.parquet/*.parquet')
+            WHERE {TOOL_OK_SQL}
+            GROUP BY 1 ORDER BY 1""",
         # floor (never round) on both engines: DuckDB rounds half-away-
         # from-zero, numpy half-to-even — floor is bit-identical. Distance
         # is squared-distance to the CELL CENTER (a pure function of the
