@@ -852,3 +852,40 @@ def event_transitions(sf_dir: str) -> ray.data.Dataset:
     return sorted_aggregate(partials, ["prev_type", "event_type"],
                             [("n", "sum")],
                             ["prev_type", "event_type", "n"], 1)
+
+
+def retention_cohorts(sf_dir: str) -> ray.data.Dataset:
+    """Cohort retention matrix — the product-analytics staple: users are
+    grouped by the week of their FIRST event (cohort) and counted in every
+    week they were active, yielding (cohort_week, week, n_users).
+
+    Weeks are pure integer buckets (epoch_us // 7-days-of-us) so both
+    engines bucket identically — calendar `date_trunc('week')` semantics
+    differ subtly between engines. Three passes, each the engine's scale
+    idiom: grouped min (cohort), distinct (activity), int-key co-group
+    attach, grouped count with map-side combine."""
+    from ..functions.grouped import grouped_count, sorted_aggregate
+    from ..functions.joins import attach_column
+    from ..functions.pagerank import _distinct
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+    week_us = 7 * 86400 * 10**6
+
+    def to_weeks(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64())
+        return pa.table({
+            "user_id": pc.cast(b["user_id"], pa.int64()),
+            "wk": pc.divide(us, pa.scalar(week_us, pa.int64()))})
+
+    w = ev.map_batches(to_weeks, batch_format="pyarrow",
+                       zero_copy_batch=True)
+    first = sorted_aggregate(w, ["user_id"], [("wk", "min")],
+                             ["user_id", "cohort"], 4)
+    activity = _distinct(w, ["user_id", "wk"], 4)
+    joined = attach_column(
+        activity, first, [("user_id", pa.int64()), ("wk", pa.int64())],
+        "user_id", "user_id", "cohort", "cohort", pa.int64(), 4)
+    return grouped_count(
+        joined.map_batches(lambda b: b.select(["cohort", "wk"]),
+                           batch_format="pyarrow", zero_copy_batch=True),
+        ["cohort", "wk"], "n_users", 4)

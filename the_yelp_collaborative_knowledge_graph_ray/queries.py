@@ -1314,6 +1314,13 @@ def _q_events_funnel(sf_dir: str):
     return funnel_per_user(sf_dir)
 
 
+def _q_events_retention(sf_dir: str):
+    """Cohort retention matrix (relational.retention_cohorts): users
+    bucketed by first-event week, counted per active week."""
+    from .pipelines.relational import retention_cohorts
+    return retention_cohorts(sf_dir)
+
+
 def _q_events_transitions(sf_dir: str):
     """Per-user event-type transition matrix (relational.event_transitions):
     LAG + grouped count, partials collapse to |types|^2 before one tiny
@@ -1677,6 +1684,7 @@ def queries() -> dict[str, Callable]:
         "events_late_tag": _q_events_late,
         "events_funnel": _q_events_funnel,
         "events_transitions": _q_events_transitions,
+        "events_retention_cohorts": _q_events_retention,
         "rel_rollup": _q_rel_rollup,
         "text_fingerprint": _q_text_fingerprint,
         "multimodal_features": _q_multimodal,
@@ -2372,6 +2380,15 @@ def oracle_sql() -> dict[str, str]:
             FROM pos JOIN s lo ON lo.r = pos.rf
             JOIN s hi ON hi.r = least(pos.rf + 1, pos.n - 1)
             ORDER BY q""",
+        "events_retention_cohorts": """
+            WITH w AS (SELECT user_id,
+                              epoch_us(ts) // 604800000000 AS wk
+                       FROM events),
+            f AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY 1),
+            a AS (SELECT DISTINCT user_id, wk FROM w)
+            SELECT f.cohort, a.wk, count(*) AS n_users
+            FROM a JOIN f USING(user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2""",
         "events_transitions": """
             WITH w AS (SELECT event_type,
                               lag(event_type) OVER (
