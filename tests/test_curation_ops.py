@@ -653,3 +653,40 @@ def test_cms_estimates_bound_true_counts(ray_session):
     a = sorted(map(tuple, sk.to_pandas().to_numpy().tolist()))
     b = sorted(map(tuple, sk2.to_pandas().to_numpy().tolist()))
     assert a == b
+
+
+def test_kmeans_fp_matches_sequential(ray_session):
+    """Distributed integer-exact Lloyd == a sequential numpy twin,
+    bit-for-bit (assignments AND centroids), across partitionings."""
+    from the_yelp_collaborative_knowledge_graph_ray.functions.kmeans import (
+        FP_SCALE,
+        kmeans_fp,
+    )
+    rng = np.random.RandomState(12)
+    n, d, k, iters = 300, 8, 4, 5
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(m.tolist(), pa.list_(pa.float32()))}))
+
+    fp = np.floor(m.astype(np.float64) * FP_SCALE).astype(np.int64)
+    cents = fp[:k].copy()
+    for _ in range(iters):
+        d2 = (fp * fp).sum(1)[:, None] - 2 * (fp @ cents.T) \
+            + (cents * cents).sum(1)[None, :]
+        a = d2.argmin(1)
+        nxt = cents.copy()
+        for c in range(k):
+            sel = fp[a == c]
+            if len(sel):
+                nxt[c] = sel.sum(0) // len(sel)
+        cents = nxt
+    d2 = (fp * fp).sum(1)[:, None] - 2 * (fp @ cents.T) \
+        + (cents * cents).sum(1)[None, :]
+    exp_assign = d2.argmin(1)
+
+    got, got_cents = kmeans_fp(ds.repartition(6), k=k, iters=iters)
+    ga = got.to_pandas().sort_values("vec_id")["cluster"].to_numpy()
+    assert (ga == exp_assign).all()
+    assert (got_cents == cents).all()
+    assert len(np.unique(ga)) > 1      # nontrivial clustering

@@ -759,6 +759,17 @@ def _q_kg_components(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True).sort("node")
 
 
+def _q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd k-means in exact integer arithmetic
+    (functions/kmeans.py): bit-reproducible assignments under any shuffle
+    (integer distances, fixed-point centroid updates). Iterative argmin
+    is not SQL-expressible -> rows-only; the pytest asserts exact equality
+    with a sequential numpy reference."""
+    from .functions.kmeans import kmeans_fp
+    out, _cents = kmeans_fp(_emb(sf_dir), k=8, iters=5)
+    return out
+
+
 def _q_kg_node_similarity(sf_dir: str):
     """Jaccard node similarity over the co-mention graph
     (functions/nodesim.py): top related-entity pairs by shared-neighbor
@@ -1662,6 +1673,7 @@ def queries() -> dict[str, Callable]:
         "dedup_embedding_blocked": _q_dedup_embedding_blocked,
         "dedup_semantic": _q_dedup_semantic,
         "dedup_fuzzy_ed1": _q_fuzzy_ed1,
+        "ml_kmeans_clusters": _q_kmeans_clusters,
         "embedding_topk_pairs": _q_embedding_topk_pairs,
         "ann_topk_cosine": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf,
