@@ -1156,6 +1156,41 @@ def _q_approx_distinct(sf_dir: str):
     return hll_registers(li, "l_orderkey")
 
 
+def _q_sample_split(sf_dir: str):
+    """Deterministic train/val/test assignment (80/10/10) from ONE hash:
+    split = bucket of u01(splitmix64(doc_id)) — stateless, shuffle-free,
+    reproducible on any cluster shape, and keys never move between splits
+    when the corpus grows (the property random shuffles lack)."""
+    from .functions.sampling import hash_u01
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        u = hash_u01(b["doc_id"])
+        split = np.where(u < 0.8, "train",
+                         np.where(u < 0.9, "val", "test"))
+        return pa.table({"doc_id": pc.cast(b["doc_id"], pa.int64()),
+                         "split": pa.array(split.astype(str))})
+
+    return docs.map_batches(tag, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def _q_source_size_histogram(sf_dir: str):
+    """Histogram of group sizes (docs per source) — the skew-diagnosis
+    operator: one grouped count, then a grouped count OF the counts.
+    Both all-to-alls carry only per-block partials."""
+    from .functions.grouped import grouped_count
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "source"])
+    per_source = grouped_count(docs, ["source"], "n_docs", 4)
+    return grouped_count(
+        per_source.map_batches(lambda b: b.select(["n_docs"]),
+                               batch_format="pyarrow",
+                               zero_copy_batch=True),
+        ["n_docs"], "n_sources", 1)
+
+
 # per-source keep rates for the stratified sampler: sources are "src{i}";
 # rate cycles 0.125/0.375/0.625/0.875 so every stratum is non-vacuous.
 # 1024 covers any scale factor's source cardinality; the dict is tiny and
@@ -1705,6 +1740,8 @@ def queries() -> dict[str, Callable]:
         "sample_hash": _q_sample_hash,
         "sample_stratified": _q_sample_stratified,
         "sample_per_key": _q_sample_per_key,
+        "sample_train_val_test": _q_sample_split,
+        "diag_source_size_histogram": _q_source_size_histogram,
         "approx_distinct_orders": _q_approx_distinct,
         "approx_distinct_custs_by_year": _q_approx_distinct_grouped,
         "cms_part_frequencies": _q_cms_parts,
@@ -2260,6 +2297,18 @@ def oracle_sql() -> dict[str, str]:
                           AS BIGINT) AS rank
               FROM u)
             WHERE rank <= 3 ORDER BY user_id, rank""",
+        "sample_train_val_test": f"""
+            WITH {_splitmix_cte('documents', 'doc_id', 'doc_id')}
+            SELECT doc_id,
+                   CASE WHEN u01 < 0.8 THEN 'train'
+                        WHEN u01 < 0.9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM u ORDER BY doc_id""",
+        "diag_source_size_histogram": """
+            SELECT n_docs, count(*) AS n_sources FROM (
+              SELECT source, count(*) AS n_docs
+              FROM documents GROUP BY 1)
+            GROUP BY 1 ORDER BY 1""",
         # HLL register table: b=10 (register = top 10 hash bits), rank =
         # leading zeros of the low-54-bit field + 1; bin() gives the exact
         # bit length with integer string ops (functions/hll.py)
