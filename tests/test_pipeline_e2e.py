@@ -145,3 +145,44 @@ def test_run_kg_partitioned_equals_run_kg(ray_session, sf_tiny, tmp_path):
     b = run_kg_partitioned("sf0.001", str(tmp_path / "ckp")).to_pandas() \
         .sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_incremental_merge_equals_full_rebuild(ray_session):
+    """Delta-ingestion invariance: build the KG on two disjoint
+    conversation subsets, merge with the materializer (union + ONE global
+    sort-dedup — the engine's incremental-merge operation), and the result
+    is row-identical to a single full build. This is what lets a 100 TB
+    deployment ingest new transcript drops without recomputing history."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from the_yelp_collaborative_knowledge_graph_ray.fixtures import generator
+    from the_yelp_collaborative_knowledge_graph_ray.pipelines.kg import (
+        build_graph,
+    )
+    from the_yelp_collaborative_knowledge_graph_ray.stages.materialize import (
+        materialize,
+    )
+    fdir = generator.ensure_fixtures("sf0.001")
+    full_t = ray.data.read_parquet(f"{fdir}/transcripts.parquet")
+
+    def half(keep_odd: bool):
+        def f(b):
+            odd = None
+            for ch in "13579":  # conv-level split: last-digit parity
+                m = pc.ends_with(b["conv_id"], ch)
+                odd = m if odd is None else pc.or_(odd, m)
+            return b.filter(odd if keep_odd else pc.invert(odd))
+        return full_t.map_batches(f, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    a = build_graph(half(True), fdir, concurrency=2)
+    b = build_graph(half(False), fdir, concurrency=2)
+    assert a.count() > 0 and b.count() > 0  # the split is non-degenerate
+    merged = materialize(a.union(b)).to_pandas()
+    full = build_graph(full_t, fdir, concurrency=2).to_pandas()
+    cols = list(full.columns)
+    m = sorted(map(tuple, merged[cols].to_numpy().tolist()))
+    f = sorted(map(tuple, full[cols].to_numpy().tolist()))
+    assert m == f
