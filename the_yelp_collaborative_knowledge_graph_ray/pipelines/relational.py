@@ -889,3 +889,362 @@ def retention_cohorts(sf_dir: str) -> ray.data.Dataset:
         joined.map_batches(lambda b: b.select(["cohort", "wk"]),
                            batch_format="pyarrow", zero_copy_batch=True),
         ["cohort", "wk"], "n_users", 4)
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def bloom_semi_join(sf_dir: str) -> ray.data.Dataset:
+    """Two-phase Bloom semi-join: lineitem rows of URGENT orders, aggregated.
+
+    The scale pattern for big-probe/medium-build semi-joins (SURVEY.md §2.6
+    joins family): instead of shuffling 100 TB of lineitem against the
+    filtered orders, (1) each block of the filtered BUILD side reduces to
+    distinct keys, (2) the keys become a Bloom filter (16 bits/key — 32x
+    smaller than the key array) broadcast via ``ray.put`` ONCE, (3) the
+    probe side is only SCANNED, dropping ~all non-matching rows in place,
+    and (4) the bloom's false positives (~0.05%, never negatives) are
+    removed by an EXACT shuffle co-group join of the tiny survivor set
+    against the build keys (``functions/joins.attach_column``). The final
+    grouped sum uses map-side partials in fixed point.
+
+    Output: (l_returnflag, sum_qty_c) — sum of quantity cents over lineitem
+    rows whose order is 1-URGENT.
+    """
+    from ..functions.grouped import sorted_aggregate
+    from ..functions.joins import (BloomFilter, attach_column,
+                                   distinct_int_keys)
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey",
+                                              "o_orderpriority"])
+    urgent = orders.map_batches(
+        lambda b: b.filter(pc.equal(b["o_orderpriority"], "1-URGENT"))
+        .select(["o_orderkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    keys = distinct_int_keys(urgent, ["o_orderkey"])
+    bloom_ref = ray.put(BloomFilter(keys))
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag",
+                                            "l_quantity"])
+
+    def probe(b: pa.Table) -> pa.Table:
+        bf = ray.get(bloom_ref)
+        if b.num_rows == 0:
+            return b
+        v = pc.cast(b["l_orderkey"], pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(bf.might_contain(v)))
+        return pa.table({"l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                         "l_returnflag": t["l_returnflag"],
+                         "qty_c": _scaled_int(t["l_quantity"], 100.0)})
+
+    survivors = li.map_batches(probe, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    # exact verify: inner co-group join against the true key set drops the
+    # bloom's false positives (urgent orders re-read as a Dataset so the
+    # exact phase is a shuffle, not another driver broadcast)
+    verified = attach_column(
+        survivors, urgent.map_batches(
+            lambda b: b.append_column("one", pa.nulls(b.num_rows, pa.int8())),
+            batch_format="pyarrow"),
+        [("l_returnflag", pa.string()), ("qty_c", pa.int64())],
+        "l_orderkey", "o_orderkey", "one", "one", pa.int8())
+
+    def partial(b: pa.Table) -> pa.Table:
+        return b.group_by(["l_returnflag"], use_threads=False) \
+                .aggregate([("qty_c", "sum")]) \
+                .rename_columns(["l_returnflag", "sum_qty_c"])
+
+    return sorted_aggregate(
+        verified.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag"], [("sum_qty_c", "sum")],
+        ["l_returnflag", "sum_qty_c"], 1)
+
+
+def pivot_event_counts(sf_dir: str) -> ray.data.Dataset:
+    """PIVOT: per-user event counts, one column per event type.
+
+    Ray Data has no pivot; the closed type vocabulary (``EVENT_TYPES``)
+    makes it a fixed-width grouped sum: each block scatters its rows into a
+    (users-in-block x types) count matrix via ``np.add.at`` (one pass, no
+    per-group Python), emits one partial row per user, and ONE shuffle sums
+    the partials. Unknown types fail loudly rather than silently dropping.
+    """
+    from ..functions.grouped import sorted_aggregate
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    cols = [f"n_{t}" for t in EVENT_TYPES]
+
+    def partial(b: pa.Table) -> pa.Table:
+        schema = pa.schema([("user_id", pa.int64())] +
+                           [(c, pa.int64()) for c in cols])
+        if b.num_rows == 0:
+            return schema.empty_table()
+        et = pc.index_in(b["event_type"],
+                         value_set=pa.array(EVENT_TYPES))
+        if et.null_count:
+            raise ValueError("pivot_event_counts: unknown event_type")
+        uid = pc.cast(b["user_id"], pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        users, uidx = np.unique(uid, return_inverse=True)
+        counts = np.zeros((len(users), len(EVENT_TYPES)), np.int64)
+        np.add.at(counts, (uidx, et.combine_chunks()
+                           .to_numpy(zero_copy_only=False)), 1)
+        return pa.table(
+            {"user_id": pa.array(users, pa.int64()),
+             **{c: pa.array(counts[:, i], pa.int64())
+                for i, c in enumerate(cols)}}, schema=schema)
+
+    return sorted_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], [(c, "sum") for c in cols], ["user_id", *cols], 4)
+
+
+def gap_fill_daily_counts(sf_dir: str) -> ray.data.Dataset:
+    """Calendar densification: per (event_type, day) counts with explicit
+    zero rows for every day in the observed [min, max] range — the gap-fill
+    / date-spine operator time-series pipelines need before windowing.
+
+    The spine is a DIMENSION table (days x closed type set — tiny at any
+    data scale: 10 years x 1000 types = 3.65M rows) built driver-side from
+    two scalar aggregates (min/max day — per-block partials reduce to one
+    pair per block before the driver sees anything); the fill is a UNION of
+    the real counts with zero spine rows followed by the same grouped sum
+    the counts used, so there is no left join at all. ``day`` is the
+    integer epoch-day bucket (epoch_us // 86400e6) — pure integer on both
+    engines, immune to calendar/timezone divergence.
+    """
+    from ..functions.grouped import grouped_count, sorted_aggregate
+
+    ev = _read(sf_dir, "events", columns=["event_type", "ts"])
+    day_us = 86400 * 10**6
+
+    def to_days(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "day": pc.divide(pc.cast(b["ts"], pa.int64()),
+                             pa.scalar(day_us, pa.int64()))})
+
+    days = ev.map_batches(to_days, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    counts = grouped_count(days, ["event_type", "day"], "n", 4)
+
+    def minmax_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema([("lo", pa.int64()),
+                              ("hi", pa.int64())]).empty_table()
+        return pa.table({"lo": [pc.min(b["day"]).as_py()],
+                         "hi": [pc.max(b["day"]).as_py()]})
+
+    mm = pa.concat_tables(ray.get(
+        days.map_batches(minmax_partial, batch_format="pyarrow")
+        .to_arrow_refs()))
+    lo = pc.min(mm["lo"]).as_py()
+    hi = pc.max(mm["hi"]).as_py()
+    dr = np.arange(lo, hi + 1, dtype=np.int64)
+    spine = ray.data.from_arrow(pa.table({
+        "event_type": pa.array(np.repeat(EVENT_TYPES, len(dr))),
+        "day": pa.array(np.tile(dr, len(EVENT_TYPES)), pa.int64()),
+        "n": pa.array(np.zeros(len(dr) * len(EVENT_TYPES), np.int64))}))
+    return sorted_aggregate(counts.union(spine), ["event_type", "day"],
+                            [("n", "sum")], ["event_type", "day", "n"], 4)
+
+
+def percent_rank_qty(sf_dir: str) -> ray.data.Dataset:
+    """PERCENT_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+    in exact fixed point: pr6 = (rank - 1) * 10^6 // (n_group - 1).
+
+    Same sorted-block window shape as :func:`rank_events_per_user`: ONE
+    key-sort colocates each flag's rows, an in-block lexsort orders by
+    quantity, RANK comes from value-change flags, and the integer division
+    keeps the result bit-identical to the SQL oracle (PERCENT_RANK itself
+    returns a double whose low bits differ by evaluation order).
+    """
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                        "l_quantity"])
+
+    def pr_block(b: pa.Table) -> pa.Table:
+        from ..functions.grouped import group_ids
+        out_schema = pa.schema([
+            ("l_orderkey", pa.int64()), ("l_linenumber", pa.int32()),
+            ("l_returnflag", pa.string()), ("pr6", pa.int64())])
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        gid, starts = group_ids(b, ["l_returnflag"])
+        qty = b["l_quantity"].combine_chunks().to_numpy(zero_copy_only=False)
+        ok = b["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        ln = b["l_linenumber"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((ln, ok, qty, gid))
+        g, q = gid[order], qty[order]
+        pos = np.arange(len(g), dtype=np.int64) - starts[g]
+        new_val = np.concatenate([[True],
+                                  (q[1:] != q[:-1]) | (g[1:] != g[:-1])])
+        # RANK(): position of the first row of each tie run within its group
+        rank = pos[np.maximum.accumulate(
+            np.where(new_val, np.arange(len(g)), 0))] + 1
+        sizes = np.diff(np.append(starts, len(g)))
+        pr6 = (rank - 1) * 1_000_000 // np.maximum(sizes[g] - 1, 1)
+        return pa.table({
+            "l_orderkey": pa.array(ok[order], pa.int64()),
+            "l_linenumber": pa.array(ln[order], pa.int32()),
+            "l_returnflag": b["l_returnflag"].take(pa.array(order)),
+            "pr6": pa.array(pr6, pa.int64())}, schema=out_schema)
+
+    from ..functions.grouped import sorted_group_apply
+    return sorted_group_apply(li, ["l_returnflag"], pr_block)
+
+
+def collapse_rapid_repeats(sf_dir: str, window_s: int = 60
+                           ) -> ray.data.Dataset:
+    """Burst collapse: drop events that repeat the same (user, event_type)
+    within ``window_s`` of the previous such event — the near-consecutive
+    dedup stage click-stream pipelines run before counting. LAG semantics
+    (gap to the previous RAW event, not the previous KEPT one), so the op
+    is one sorted-block window, embarrassingly parallel after ONE key
+    shuffle. Output: surviving (event_id, user_id, event_type).
+    """
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id",
+                                          "event_type", "ts"])
+    win_us = window_s * 10**6
+
+    def keep_block(b: pa.Table) -> pa.Table:
+        from ..functions.grouped import group_ids
+        out_schema = pa.schema([("event_id", pa.int64()),
+                                ("user_id", pa.int64()),
+                                ("event_type", pa.string())])
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        gid, _ = group_ids(b, ["user_id", "event_type"])
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = b["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, gid))
+        ts, g, eid = ts[order], gid[order], eid[order]
+        gap = np.empty(len(ts), np.int64)
+        gap[0] = win_us  # first row: no predecessor -> keep
+        gap[1:] = np.where(g[1:] == g[:-1], ts[1:] - ts[:-1], win_us)
+        keep = gap >= win_us
+        sel = pa.array(order[keep])
+        return pa.table({
+            "event_id": pa.array(eid[keep], pa.int64()),
+            "user_id": pc.cast(b["user_id"].take(sel), pa.int64()),
+            "event_type": b["event_type"].take(sel)}, schema=out_schema)
+
+    from ..functions.grouped import sorted_group_apply
+    return sorted_group_apply(ev, ["user_id", "event_type"], keep_block) \
+        .sort("event_id")
+
+
+def anomaly_events(sf_dir: str) -> ray.data.Dataset:
+    """Per-type z-score outliers in EXACT integer arithmetic: flag events
+    with value > mean + 2*stddev of their event_type.
+
+    stddev needs a sqrt, which no integer engine has — so the comparison is
+    squared instead: with cents v, group stats n, S=sum(v), SS=sum(v^2),
+
+        v > mu + 2*sigma  <=>  d := n*v - S > 0  and  d^2 > 4*(n*SS - S^2)
+
+    (both sides multiplied by n^2 — population variance). Stats are one
+    tiny grouped sum (map-side partials); the per-row flag is a broadcast
+    probe, so the table is scanned exactly twice and nothing but the
+    5-row stats table crosses stages. Magnitudes: v<=5e4 cents, n<=2e4 at
+    sf0.1 -> d^2 <= 9.6e17 < 2^63, checked at runtime.
+
+    Output: flagged (event_id, event_type, value_c) rows.
+    """
+    from ..functions.grouped import sorted_aggregate
+
+    ev = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        v = _scaled_int(b["value"], 100.0)
+        t = pa.table({"event_type": b["event_type"], "n": pa.nulls(
+            b.num_rows, pa.int64()).fill_null(1),
+            "s": v, "ss": pc.multiply(v, v)})
+        return t.group_by(["event_type"], use_threads=False).aggregate(
+            [("n", "sum"), ("s", "sum"), ("ss", "sum")]) \
+            .rename_columns(["event_type", "n", "s", "ss"])
+
+    stats = sorted_aggregate(
+        ev.map_batches(stats_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type"], [("n", "sum"), ("s", "sum"), ("ss", "sum")],
+        ["event_type", "n", "s", "ss"], 1)
+    st = stats.take_all()  # closed type set: always a handful of rows
+    by_type = {r["event_type"]: (r["n"], r["s"], r["ss"]) for r in st}
+    for n, s, ss in by_type.values():
+        if n * ss >= (1 << 62):  # headroom check for d^2 below
+            raise OverflowError("anomaly_events: rescale values")
+    ref = ray.put(by_type)
+
+    def flag(b: pa.Table) -> pa.Table:
+        schema = pa.schema([("event_id", pa.int64()),
+                            ("event_type", pa.string()),
+                            ("value_c", pa.int64())])
+        if b.num_rows == 0:
+            return schema.empty_table()
+        tbl = ray.get(ref)
+        et = b["event_type"].combine_chunks()
+        v = _scaled_int(b["value"], 100.0).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        types, (ns, ses, sss) = list(tbl), zip(*tbl.values())
+        code = pc.index_in(et, value_set=pa.array(types)).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n = np.asarray(ns, np.int64)[code]
+        s = np.asarray(ses, np.int64)[code]
+        ss = np.asarray(sss, np.int64)[code]
+        d = n * v - s
+        keep = (d > 0) & (d * d > 4 * (n * ss - s * s))
+        t = b.filter(pa.array(keep))
+        return pa.table({"event_id": pc.cast(t["event_id"], pa.int64()),
+                         "event_type": t["event_type"],
+                         "value_c": _scaled_int(t["value"], 100.0)},
+                        schema=schema)
+
+    return ev.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def lineitem_cube(sf_dir: str) -> ray.data.Dataset:
+    """GROUP BY CUBE(l_returnflag, l_linestatus): all four grouping sets.
+    Extends :func:`lineitem_rollup` with the (NULL, l_linestatus) level —
+    every coarser level re-aggregates the finest (already tiny) level, so
+    the full table still shuffles exactly once."""
+    from ..functions.grouped import sorted_aggregate
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"l_returnflag": b["l_returnflag"],
+                      "l_linestatus": b["l_linestatus"],
+                      "qty_c": _scaled_int(b["l_quantity"], 100.0)})
+        return t.group_by(["l_returnflag", "l_linestatus"],
+                          use_threads=False) \
+                .aggregate([("qty_c", "sum")]) \
+                .rename_columns(["l_returnflag", "l_linestatus", "sum_qty_c"])
+
+    base = sorted_aggregate(
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_returnflag", "l_linestatus"], [("sum_qty_c", "sum")],
+        ["l_returnflag", "l_linestatus", "sum_qty_c"], 1).materialize()
+
+    def roll(ds, keys, null_col):
+        out = sorted_aggregate(ds, keys, [("sum_qty_c", "sum")],
+                               [*keys, "sum_qty_c"], 1)
+        idx = 0 if null_col == "l_returnflag" else 1
+        return out.map_batches(
+            lambda b: b.add_column(idx, null_col,
+                                   pa.nulls(b.num_rows, pa.string())),
+            batch_format="pyarrow")
+
+    by_flag = roll(base, ["l_returnflag"], "l_linestatus").materialize()
+    by_status = roll(base, ["l_linestatus"], "l_returnflag")
+    total = by_flag.map_batches(
+        lambda b: pa.table({
+            "l_returnflag": pa.nulls(1, pa.string()),
+            "l_linestatus": pa.nulls(1, pa.string()),
+            "sum_qty_c": pa.array([pc.sum(b["sum_qty_c"]).as_py()],
+                                  pa.int64())})
+        if b.num_rows else b, batch_format="pyarrow", batch_size=None)
+    return base.union(by_flag, by_status, total.limit(1))

@@ -1661,6 +1661,59 @@ SELECT t.doc_id, coalesce(n_sh, 0) AS n_shingles,
 FROM tr t LEFT JOIN tsh USING (doc_id) ORDER BY doc_id"""
 
 
+def _q_rel_bloom_semi_join(sf_dir: str):
+    """Two-phase Bloom semi-join (relational.bloom_semi_join): broadcast a
+    16-bit/key Bloom of the urgent-order keys, scan-filter lineitem in
+    place, exact-verify the tiny survivor set with one shuffle co-group."""
+    from .pipelines.relational import bloom_semi_join
+    return bloom_semi_join(sf_dir)
+
+
+def _q_events_pivot(sf_dir: str):
+    """PIVOT (relational.pivot_event_counts): per-user count per event type
+    as fixed columns — block-local scatter-add partials, one grouped sum."""
+    from .pipelines.relational import pivot_event_counts
+    return pivot_event_counts(sf_dir)
+
+
+def _q_events_gap_fill(sf_dir: str):
+    """Calendar densification (relational.gap_fill_daily_counts): zero rows
+    for missing (event_type, epoch-day) cells via a driver-built date spine
+    unioned into the grouped count — no left join."""
+    from .pipelines.relational import gap_fill_daily_counts
+    return gap_fill_daily_counts(sf_dir)
+
+
+def _q_events_anomaly(sf_dir: str):
+    """Integer z-score outliers (relational.anomaly_events): value > mean +
+    2*stddev per event_type decided by exact squared comparison — two scans,
+    only the 5-row stats table crosses stages."""
+    from .pipelines.relational import anomaly_events
+    return anomaly_events(sf_dir)
+
+
+def _q_rel_percent_rank(sf_dir: str):
+    """PERCENT_RANK window function (relational.percent_rank_qty) in exact
+    fixed point: (rank-1)*1e6 // (n-1) per l_returnflag partition."""
+    from .pipelines.relational import percent_rank_qty
+    return percent_rank_qty(sf_dir)
+
+
+def _q_events_collapse(sf_dir: str):
+    """Burst collapse (relational.collapse_rapid_repeats): drop events
+    repeating the same (user, type) within 60s of the previous one — the
+    LAG-window dedup stage of click-stream pipelines."""
+    from .pipelines.relational import collapse_rapid_repeats
+    return collapse_rapid_repeats(sf_dir)
+
+
+def _q_rel_cube(sf_dir: str):
+    """GROUP BY CUBE (relational.lineitem_cube): all four grouping sets of
+    (returnflag, linestatus) with one full-table shuffle."""
+    from .pipelines.relational import lineitem_cube
+    return lineitem_cube(sf_dir)
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -1767,6 +1820,13 @@ def queries() -> dict[str, Callable]:
         "events_interval_join": _q_events_interval_join,
         "events_window_agg": _q_events_window,
         "events_json_props_sum": _q_events_json,
+        "rel_bloom_semi_join": _q_rel_bloom_semi_join,
+        "events_pivot_counts": _q_events_pivot,
+        "events_gap_fill": _q_events_gap_fill,
+        "events_anomaly": _q_events_anomaly,
+        "rel_percent_rank": _q_rel_percent_rank,
+        "events_collapse_bursts": _q_events_collapse,
+        "rel_cube": _q_rel_cube,
     }
 
 
@@ -2665,4 +2725,75 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_k,
                    count(*) AS n
             FROM events GROUP BY 1 ORDER BY 1""",
+        "rel_bloom_semi_join": """
+            SELECT l_returnflag,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                        AS BIGINT) AS sum_qty_c
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderpriority = '1-URGENT')
+            GROUP BY 1 ORDER BY 1""",
+        "events_pivot_counts": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click')    AS n_click,
+                   count(*) FILTER (event_type = 'error')    AS n_error,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup')   AS n_signup,
+                   count(*) FILTER (event_type = 'view')     AS n_view
+            FROM events GROUP BY 1 ORDER BY 1""",
+        "events_gap_fill": """
+            WITH d AS (SELECT event_type,
+                              epoch_us(ts) // 86400000000 AS day
+                       FROM events),
+            spine AS (
+              SELECT t.event_type, s.day
+              FROM (SELECT DISTINCT event_type FROM d) t
+              CROSS JOIN (SELECT unnest(generate_series(
+                            (SELECT min(day) FROM d),
+                            (SELECT max(day) FROM d))) AS day) s)
+            SELECT sp.event_type, CAST(sp.day AS BIGINT) AS day,
+                   CAST(count(d.day) AS BIGINT) AS n
+            FROM spine sp LEFT JOIN d
+              ON d.event_type = sp.event_type AND d.day = sp.day
+            GROUP BY 1, 2 ORDER BY 1, 2""",
+        "events_anomaly": """
+            WITH v AS (SELECT event_id, event_type,
+                              CAST(round(value * 100) AS BIGINT) AS vc
+                       FROM events),
+            s AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+                         CAST(sum(vc) AS HUGEINT) AS sm,
+                         CAST(sum(CAST(vc AS HUGEINT) * vc) AS HUGEINT)
+                           AS ss
+                  FROM v GROUP BY 1)
+            SELECT v.event_id, v.event_type, v.vc AS value_c
+            FROM v JOIN s USING (event_type)
+            WHERE (s.n * v.vc - s.sm) > 0
+              AND (s.n * v.vc - s.sm) * (s.n * v.vc - s.sm)
+                  > 4 * (s.n * s.ss - s.sm * s.sm)
+            ORDER BY v.event_id""",
+        "rel_percent_rank": """
+            SELECT l_orderkey, l_linenumber, l_returnflag,
+                   CAST((rank() OVER (PARTITION BY l_returnflag
+                                      ORDER BY l_quantity) - 1) * 1000000
+                        // GREATEST(count(*) OVER (
+                             PARTITION BY l_returnflag) - 1, 1)
+                        AS BIGINT) AS pr6
+            FROM lineitem ORDER BY l_returnflag, l_quantity, l_orderkey,
+                                   l_linenumber""",
+        "events_collapse_bursts": """
+            SELECT event_id, user_id, event_type FROM (
+              SELECT event_id, user_id, event_type,
+                     epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS gap
+              FROM events)
+            WHERE gap IS NULL OR gap >= 60000000
+            ORDER BY event_id""",
+        "rel_cube": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                        AS BIGINT) AS sum_qty_c
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY 1, 2""",
     }
