@@ -364,3 +364,44 @@ def test_gzip_ntriples_roundtrip(ray_session, tmp_path):
         '<http://e/s1> <http://e/p> "say \\"hi\\"\\nnow"'
         '^^<http://www.w3.org/2001/XMLSchema#string> .',
         '<http://e/s2> <http://e/p> <http://e/o2> .']
+
+
+def test_cogroup_join_mn_semantics(ray_session):
+    """cogroup_join is a true m:n inner join: per-key cross product, keys
+    absent from either side dropped, hot-key guard raises."""
+    import pyarrow as pa
+    import ray.data
+    import pytest as _pytest
+
+    from the_yelp_collaborative_knowledge_graph_ray.functions.bgp import (
+        cogroup_join,
+    )
+
+    left = ray.data.from_arrow(pa.table({
+        "k": ["a", "a", "b", "c"], "l": ["l1", "l2", "l3", "l4"]}))
+    right = ray.data.from_arrow(pa.table({
+        "k": ["a", "b", "b", "d"], "r": ["r1", "r2", "r3", "r4"]}))
+    out = cogroup_join(left, right, ["k"], ["k", "l"], ["k", "r"],
+                       num_partitions=2).to_pandas()
+    got = set(map(tuple, out[["k", "l", "r"]].itertuples(index=False)))
+    want = {("a", "l1", "r1"), ("a", "l2", "r1"),
+            ("b", "l3", "r2"), ("b", "l3", "r3")}
+    assert got == want
+    with _pytest.raises(Exception, match="max_group"):
+        cogroup_join(left, right, ["k"], ["k", "l"], ["k", "r"],
+                     num_partitions=1, max_group=1).to_pandas()
+
+
+def test_bgp_match_rejects_cartesian(ray_session):
+    import pyarrow as pa
+    import ray.data
+    import pytest as _pytest
+
+    from the_yelp_collaborative_knowledge_graph_ray.functions.bgp import (
+        bgp_match,
+    )
+
+    tri = ray.data.from_arrow(pa.table({
+        "subj": ["s1"], "pred": ["p"], "obj": ["o1"]}))
+    with _pytest.raises(ValueError, match="shares no variable"):
+        bgp_match(tri, [("?a", "p", "?b"), ("?c", "q", "?d")], ["a"])

@@ -1,0 +1,179 @@
+"""SPARQL-style basic-graph-pattern matching over the triple Dataset.
+
+The reference queries its finished graph with SPARQL competency questions
+(``Code/CompetencyQuestions/Yelp_CQ.md`` — every CQ is a basic graph
+pattern plus aggregation). The engine's CQ analogs compile each question by
+hand; this module is the GENERIC operator: a list of (s, p, o) triple
+patterns with ``?var`` variables is planned as a chain of distributed
+joins over the triples Dataset itself, so any BGP runs without bespoke
+code.
+
+Execution model (Ray-Data-first):
+
+* each pattern scans the triples ONCE with a vectorized constant filter
+  (predicates are almost always bound, so the scan prunes to one
+  predicate's rows) and projects the variable positions to columns;
+* patterns join pairwise on their shared variables via
+  :func:`cogroup_join` — the m:n generalization of
+  ``joins.attach_column``: union both sides tagged, ONE sort on the join
+  key colocates each key's rows, and the per-block cross product emits the
+  matches (safe for the bounded fan-outs of graph patterns; a hot join key
+  would need the salting machinery, documented below);
+* the final projection dedups with one grouped count.
+
+Join-key boundedness is the partitioning assumption (module contract the
+brief asks to document): a single join-key value's rows on BOTH sides must
+fit one block, the same per-key bound sessionize/attach_column already
+carry. Star-joins on a celebrity node need key salting + two-phase
+verify; the planner raises if a key group exceeds ``max_group``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+_SEP = "\x1f"
+_MARK = "__side"
+
+
+def _is_var(term: str) -> bool:
+    return term.startswith("?")
+
+
+def cogroup_join(left: ray.data.Dataset, right: ray.data.Dataset,
+                 on: list[str], left_cols: list[str], right_cols: list[str],
+                 num_partitions: int | None = None,
+                 max_group: int = 100_000) -> ray.data.Dataset:
+    """General m:n inner equi-join of two string-column Datasets.
+
+    Both sides are tagged and unioned; ONE sort on the composite key
+    colocates each key's rows; the per-block kernel emits the cross
+    product per key fully vectorized (repeat/tile index arrays, one take
+    per side). All columns are strings (IRI/literal bindings). Raises if
+    one key's cross product exceeds ``max_group`` rows — the hot-key guard
+    that keeps a pathological star pattern from silently OOMing a block.
+    """
+    lval = [c for c in left_cols if c not in on]
+    rval = [c for c in right_cols if c not in on]
+    out_cols = on + lval + rval
+    schema = pa.schema([("__k", pa.string()), (_MARK, pa.bool_())] +
+                       [(c, pa.string()) for c in on + lval + rval])
+
+    def tag(cols_here, is_left):
+        def f(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            key = (b[on[0]] if len(on) == 1 else
+                   pc.binary_join_element_wise(
+                       *[b[c] for c in on], _SEP))
+            cols = {"__k": pc.cast(key, pa.string()),
+                    _MARK: pa.nulls(n, pa.bool_()).fill_null(is_left)}
+            for c in on + lval + rval:
+                cols[c] = (pc.cast(b[c], pa.string()) if c in cols_here
+                           else pa.nulls(n, pa.string()))
+            return pa.table(cols, schema=schema)
+        return f
+
+    u = left.map_batches(tag(left_cols, True), batch_format="pyarrow") \
+        .union(right.map_batches(tag(right_cols, False),
+                                 batch_format="pyarrow"))
+    out_schema = pa.schema([(c, pa.string()) for c in out_cols])
+
+    def block(b: pa.Table) -> pa.Table:
+        from .grouped import group_ids
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        gid, starts = group_ids(b, ["__k"])
+        mark = b[_MARK].combine_chunks().to_numpy(zero_copy_only=False)
+        sizes = np.diff(np.append(starts, len(gid)))
+        nl = np.zeros(len(sizes), np.int64)
+        np.add.at(nl, gid[mark], 1)
+        nr = sizes - nl
+        prod = nl * nr
+        if prod.max(initial=0) > max_group:
+            raise ValueError(
+                f"cogroup_join: key group cross product {prod.max()} > "
+                f"max_group={max_group}; salt the hot key")
+        if prod.sum() == 0:
+            return out_schema.empty_table()
+        # vectorized cross product: explicit index arrays per side
+        li = np.flatnonzero(mark)
+        ri = np.flatnonzero(~mark)
+        lg, rg = gid[li], gid[ri]
+        # offset of each group's first row within ri (rg is sorted)
+        rstart = np.searchsorted(rg, np.arange(len(sizes)))
+        # expand: for each left row, its group's right rows
+        reps = nr[lg]
+        lrep = np.repeat(li, reps)
+        # right index: rstart[group of left row] + intra-group position
+        base = np.repeat(rstart[lg], reps)
+        intra = np.arange(reps.sum(), dtype=np.int64) - \
+            np.repeat(np.concatenate([[0], np.cumsum(reps)[:-1]]), reps)
+        rrep = ri[base + intra]
+        lt = b.take(pa.array(lrep))
+        rt = b.take(pa.array(rrep))
+        cols = {c: lt[c] for c in on}
+        cols.update({c: lt[c] for c in lval})
+        cols.update({c: rt[c] for c in rval})
+        return pa.table(cols, schema=out_schema)
+
+    from .grouped import sorted_group_apply
+    return sorted_group_apply(u, ["__k"], block, num_partitions)
+
+
+def bgp_match(triples: ray.data.Dataset,
+              patterns: list[tuple[str, str, str]],
+              select: list[str],
+              num_partitions: int | None = None) -> ray.data.Dataset:
+    """Match a basic graph pattern; return DISTINCT rows of ``select`` vars.
+
+    ``patterns`` are (s, p, o) terms; ``?name`` marks a variable, anything
+    else is an IRI/literal constant matched exactly. Patterns chain
+    left-to-right; each must share >=1 variable with the bindings
+    accumulated so far (no Cartesian products — the planner raises).
+    """
+    def scan(pat):
+        s, p, o = pat
+        out = [(pos, t[1:]) for pos, t in zip("spo", (s, p, o))
+               if _is_var(t)]
+        consts = [(pos, t) for pos, t in zip("spo", (s, p, o))
+                  if not _is_var(t)]
+        col_of = {"s": "subj", "p": "pred", "o": "obj"}
+        names = [v for _, v in out]
+        if len(set(names)) != len(names):
+            raise ValueError("bgp_match: repeated variable in one pattern")
+
+        def f(b: pa.Table) -> pa.Table:
+            m = None
+            for pos, t in consts:
+                eq = pc.equal(b[col_of[pos]], t)
+                m = eq if m is None else pc.and_(m, eq)
+            t2 = b.filter(m) if m is not None else b
+            return pa.table({v: pc.cast(t2[col_of[pos]], pa.string())
+                             for pos, v in out})
+        return triples.map_batches(f, batch_format="pyarrow",
+                                   zero_copy_batch=True), names
+
+    bindings, have = scan(patterns[0])
+    for pat in patterns[1:]:
+        nxt, names = scan(pat)
+        shared = [v for v in names if v in have]
+        if not shared:
+            raise ValueError(f"bgp_match: pattern {pat} shares no variable "
+                             "with the accumulated bindings")
+        bindings = cogroup_join(bindings, nxt, shared, have, names,
+                                num_partitions)
+        have = have + [v for v in names if v not in have]
+
+    missing = [v for v in select if v not in have]
+    if missing:
+        raise ValueError(f"bgp_match: select vars {missing} unbound")
+    from .grouped import grouped_count
+    dd = grouped_count(bindings.map_batches(
+        lambda b: b.select(select), batch_format="pyarrow",
+        zero_copy_batch=True), select, "__n", num_partitions)
+    return dd.map_batches(lambda b: b.select(select),
+                          batch_format="pyarrow", zero_copy_batch=True)

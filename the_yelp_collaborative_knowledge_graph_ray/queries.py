@@ -1707,6 +1707,46 @@ def _q_events_collapse(sf_dir: str):
     return collapse_rapid_repeats(sf_dir)
 
 
+def _q_kg_bgp_conv_tools(sf_dir: str):
+    """Generic SPARQL-style BGP matcher (functions/bgp.bgp_match) run over
+    the actual triple Dataset: {?t :usesTool ?tool . ?t :isPartOf ?conv}
+    -> DISTINCT (conv, tool). One scan per pattern, one m:n cogroup join
+    on the shared variable, one distinct."""
+    from .functions.bgp import bgp_match
+    from .stages import extract
+    ts = _read_transcripts(sf_dir)
+    tri = extract.structural_triples(ts)
+    return bgp_match(
+        tri, [("?t", C.PRED_USES_TOOL, "?tool"),
+              ("?t", C.PRED_IS_PART_OF, "?conv")],
+        ["conv", "tool"], num_partitions=8).sort(["conv", "tool"])
+
+
+def _q_kg_bgp_mention_tool(sf_dir: str):
+    """Three-pattern BGP over the union of mention + structural triples:
+    {?t :mentions ?m . ?t :usesTool ?tool} -> DISTINCT (m, tool)
+    co-occurrence — the planner chains two cogroup joins on ?t."""
+    from .functions.bgp import bgp_match
+    from .pipelines.kg import load_config_tables
+    from .stages import canonicalize as canon
+    from .stages import extract, mentions
+    fdir = _fx(sf_dir)
+    alias_rows, vocab, *_ = load_config_tables(fdir)
+    ts = _read_transcripts(sf_dir)
+    # materialize the actor-pool stage BEFORE unioning into the join/sort
+    # graph: two actor pools + a sort in ONE executor graph wedge at low
+    # CPU counts (see pipelines/kg.py:_stage and the verify skill note)
+    m = canon.canonicalize_mentions(
+        mentions.mention_triples(
+            ts.select_columns(["conv_id", "turn_idx", "text"]), vocab),
+        canon.build_canonical_map_local(alias_rows)).materialize()
+    tri = extract.structural_triples(ts).union(m)
+    return bgp_match(
+        tri, [("?t", C.PRED_MENTIONS, "?m"),
+              ("?t", C.PRED_USES_TOOL, "?tool")],
+        ["m", "tool"], num_partitions=8).sort(["m", "tool"])
+
+
 def _q_rel_cube(sf_dir: str):
     """GROUP BY CUBE (relational.lineitem_cube): all four grouping sets of
     (returnflag, linestatus) with one full-table shuffle."""
@@ -1827,6 +1867,8 @@ def queries() -> dict[str, Callable]:
         "rel_percent_rank": _q_rel_percent_rank,
         "events_collapse_bursts": _q_events_collapse,
         "rel_cube": _q_rel_cube,
+        "kg_bgp_conv_tools": _q_kg_bgp_conv_tools,
+        "kg_bgp_mention_tool": _q_kg_bgp_mention_tool,
     }
 
 
@@ -2795,5 +2837,17 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_qty_c
             FROM lineitem
             GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY 1, 2""",
+        "kg_bgp_conv_tools": P + f"""
+            SELECT DISTINCT conv_iri AS conv,
+                   '{C.ENT}tool/' || {normalize_sql('tool')} AS tool
+            FROM t WHERE {TOOL_OK_SQL}
+            ORDER BY 1, 2""",
+        "kg_bgp_mention_tool": P + f"""
+            SELECT DISTINCT '{C.ENT}mention/' || m.canonical AS m,
+                   '{C.ENT}tool/' || {normalize_sql('t.tool')} AS tool
+            FROM mention m
+            JOIN t ON t.turn_iri = m.turn_iri
+            WHERE {TOOL_OK_SQL}
             ORDER BY 1, 2""",
     }
