@@ -405,3 +405,26 @@ def test_bgp_match_rejects_cartesian(ray_session):
         "subj": ["s1"], "pred": ["p"], "obj": ["o1"]}))
     with _pytest.raises(ValueError, match="shares no variable"):
         bgp_match(tri, [("?a", "p", "?b"), ("?c", "q", "?d")], ["a"])
+
+
+def test_csv_source_matches_parquet(ray_session, sf_tiny, tmp_path):
+    """S3 compat: CSV ingest yields the exact parquet transcript rows via
+    the same schema-fix path as the JSON-lines source."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyarrow import csv as pacsv
+
+    from the_yelp_collaborative_knowledge_graph_ray.sources.csv import (
+        read_transcripts_csv,
+    )
+    tab = pq.read_table(f"{sf_tiny}/transcripts.parquet").slice(0, 500)
+    micros = tab.set_column(
+        tab.schema.get_field_index("ts"), "ts",
+        pa.compute.cast(tab["ts"], pa.int64()))
+    p = tmp_path / "t.csv"
+    pacsv.write_csv(micros, str(p))
+    got = read_transcripts_csv(str(p)).to_pandas() \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    want = tab.to_pandas().sort_values(["conv_id", "turn_idx"]) \
+        .reset_index(drop=True)
+    assert got.equals(want)
