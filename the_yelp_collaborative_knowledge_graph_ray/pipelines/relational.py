@@ -1248,3 +1248,113 @@ def lineitem_cube(sf_dir: str) -> ray.data.Dataset:
                                   pa.int64())})
         if b.num_rows else b, batch_format="pyarrow", batch_size=None)
     return base.union(by_flag, by_status, total.limit(1))
+
+
+def cov_qty_price(sf_dir: str) -> ray.data.Dataset:
+    """Grouped covariance in EXACT integer arithmetic: per l_returnflag,
+    report n and the scaled covariance numerator
+
+        cov_n2 = n*sum(x*y) - sum(x)*sum(y)   ( = n^2 * cov_pop(x, y) )
+
+    with x = quantity (integral units) and y = floor(price) dollars — the
+    two-column grouped-moment family (corr/cov) without any float: the
+    numerator is shuffle-order-exact and hash-gateable; callers divide by
+    n^2 at presentation time. Magnitude headroom is checked at runtime
+    (x<=50, y<=1e5, n<=6e5 at sf0.1 keeps every term under 2^62).
+    One map-side partial pass, one tiny grouped sum.
+    """
+    from ..functions.grouped import sorted_aggregate
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = pc.cast(pc.floor(b["l_quantity"]), pa.int64())
+        y = pc.cast(pc.floor(b["l_extendedprice"]), pa.int64())
+        t = pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "n": pa.nulls(b.num_rows, pa.int64()).fill_null(1),
+            "sx": x, "sy": y, "sxy": pc.multiply(x, y)})
+        return t.group_by(["l_returnflag"], use_threads=False).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"), ("sxy", "sum")]) \
+            .rename_columns(["l_returnflag", "n", "sx", "sy", "sxy"])
+
+    sums = sorted_aggregate(
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_returnflag"], [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+                           ("sxy", "sum")],
+        ["l_returnflag", "n", "sx", "sy", "sxy"], 1)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema([("l_returnflag", pa.string()),
+                              ("n", pa.int64()),
+                              ("cov_n2", pa.int64())]).empty_table()
+        n = b["n"].to_numpy(zero_copy_only=False)
+        sx = b["sx"].to_numpy(zero_copy_only=False)
+        sy = b["sy"].to_numpy(zero_copy_only=False)
+        sxy = b["sxy"].to_numpy(zero_copy_only=False)
+        if (n * np.abs(sxy)).max(initial=0) >= (1 << 62) or \
+           (np.abs(sx) * np.abs(sy)).max(initial=0) >= (1 << 62):
+            raise OverflowError("cov_qty_price: rescale units")
+        return pa.table({"l_returnflag": b["l_returnflag"],
+                         "n": pa.array(n, pa.int64()),
+                         "cov_n2": pa.array(n * sxy - sx * sy, pa.int64())})
+
+    return sums.map_batches(finalize, batch_format="pyarrow",
+                            batch_size=None)
+
+
+def time_weighted_value(sf_dir: str) -> ray.data.Dataset:
+    """Per-user TIME-WEIGHTED average of ``value`` as an exact integer
+    (numerator, denominator) pair: each event's value holds until the
+    user's next event (LEAD window), so
+
+        twa = sum(value_cents * dt_us) / sum(dt_us)
+
+    over the user's non-final events. Both sums are int64 (bounded by
+    value_max * observed-span — checked at runtime), shuffle-order-exact,
+    and hash-gateable; the float division happens at presentation time.
+    Same ONE-key-sort sorted-block shape as the other window operators.
+    Output: (user_id, twa_num, twa_den), users with <2 events dropped.
+    """
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                          "value"])
+
+    def twa_block(b: pa.Table) -> pa.Table:
+        from ..functions.grouped import group_ids
+        out_schema = pa.schema([("user_id", pa.int64()),
+                                ("twa_num", pa.int64()),
+                                ("twa_den", pa.int64())])
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        gid, starts = group_ids(b, ["user_id"])
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = b["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = _scaled_int(b["value"], 100.0).to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, gid))
+        ts, g, v = ts[order], gid[order], v[order]
+        dt = np.zeros(len(ts), np.int64)
+        same = np.empty(len(ts), bool)
+        same[:-1] = g[1:] == g[:-1]
+        same[-1] = False
+        dt[same] = (ts[1:] - ts[:-1])[same[:-1]]
+        num = np.zeros(int(g[-1]) + 1, np.int64)
+        den = np.zeros(int(g[-1]) + 1, np.int64)
+        contrib = v * dt
+        if np.abs(contrib).max(initial=0) >= (1 << 61):
+            raise OverflowError("time_weighted_value: rescale units")
+        np.add.at(num, g, contrib)
+        np.add.at(den, g, dt)
+        if np.abs(num).max(initial=0) >= (1 << 62):
+            raise OverflowError("time_weighted_value: rescale units")
+        keep = den > 0
+        uid = b["user_id"].take(pa.array(order[starts])) \
+            .combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": pa.array(uid[keep].astype(np.int64), pa.int64()),
+            "twa_num": pa.array(num[keep], pa.int64()),
+            "twa_den": pa.array(den[keep], pa.int64())}, schema=out_schema)
+
+    from ..functions.grouped import sorted_group_apply
+    return sorted_group_apply(ev, ["user_id"], twa_block, 8)

@@ -1707,6 +1707,21 @@ def _q_events_collapse(sf_dir: str):
     return collapse_rapid_repeats(sf_dir)
 
 
+def _q_rel_cov(sf_dir: str):
+    """Grouped covariance numerator in exact integers
+    (relational.cov_qty_price): n^2 * cov_pop as n*Sxy - Sx*Sy — the
+    two-column grouped-moment family with zero float association."""
+    from .pipelines.relational import cov_qty_price
+    return cov_qty_price(sf_dir)
+
+
+def _q_events_twa(sf_dir: str):
+    """Time-weighted average (relational.time_weighted_value): LEAD-window
+    hold-until-next weighting, exact integer (numerator, denominator)."""
+    from .pipelines.relational import time_weighted_value
+    return time_weighted_value(sf_dir)
+
+
 def _q_kg_bgp_conv_tools(sf_dir: str):
     """Generic SPARQL-style BGP matcher (functions/bgp.bgp_match) run over
     the actual triple Dataset: {?t :usesTool ?tool . ?t :isPartOf ?conv}
@@ -1869,6 +1884,8 @@ def queries() -> dict[str, Callable]:
         "rel_cube": _q_rel_cube,
         "kg_bgp_conv_tools": _q_kg_bgp_conv_tools,
         "kg_bgp_mention_tool": _q_kg_bgp_mention_tool,
+        "rel_cov_qty_price": _q_rel_cov,
+        "events_time_weighted": _q_events_twa,
     }
 
 
@@ -2850,4 +2867,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN t ON t.turn_iri = m.turn_iri
             WHERE {TOOL_OK_SQL}
             ORDER BY 1, 2""",
+        "rel_cov_qty_price": """
+            WITH s AS (
+              SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(CAST(floor(l_quantity) AS BIGINT))
+                          AS HUGEINT) AS sx,
+                     CAST(sum(CAST(floor(l_extendedprice) AS BIGINT))
+                          AS HUGEINT) AS sy,
+                     CAST(sum(CAST(floor(l_quantity) AS BIGINT)
+                              * CAST(floor(l_extendedprice) AS BIGINT))
+                          AS HUGEINT) AS sxy
+              FROM lineitem GROUP BY 1)
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                   CAST(n * sxy - sx * sy AS BIGINT) AS cov_n2
+            FROM s ORDER BY 1""",
+        "events_time_weighted": """
+            WITH d AS (
+              SELECT user_id,
+                     CAST(round(value * 100) AS BIGINT) AS vc,
+                     LEAD(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                     - epoch_us(ts) AS dt
+              FROM events)
+            SELECT user_id,
+                   CAST(sum(vc * dt) AS BIGINT) AS twa_num,
+                   CAST(sum(dt) AS BIGINT) AS twa_den
+            FROM d WHERE dt IS NOT NULL
+            GROUP BY 1 HAVING sum(dt) > 0 ORDER BY 1""",
     }
