@@ -1358,3 +1358,254 @@ def time_weighted_value(sf_dir: str) -> ray.data.Dataset:
 
     from ..functions.grouped import sorted_group_apply
     return sorted_group_apply(ev, ["user_id"], twa_block, 8)
+
+
+def tpch_q5_local_volume(sf_dir: str, region: str = "ASIA",
+                         date_lo: str = "1996-01-01",
+                         date_hi: str = "1998-01-01") -> ray.data.Dataset:
+    """TPC-H Q5 shape — the six-table composition: revenue by nation where
+    the ordering customer and the line's supplier sit in the SAME nation of
+    one region, within a date window.
+
+    Join plan by shape (nothing big ever shuffles against a dimension):
+    1. region ⋈ nation fold on the driver (≤ 30 rows total);
+    2. customer and supplier become sorted (key → nationkey) numpy pairs,
+       `ray.put` ONCE, probed via binary search inside map_batches — the
+       canonical broadcast dimension join (at 100 TB these stay the small
+       side: dimension cardinality grows ~linearly in warehouse size but is
+       dwarfed by the fact tables; were they ever too big to broadcast the
+       same plan swaps steps 3/4's probe for another `attach_column`);
+    3. orders filter (date window + in-region customer) runs map-side and
+       projects to (o_orderkey, c_nat) — the only order columns that move;
+    4. lineitem revenue rows carry (s_nat, rev_fp) and meet orders in ONE
+       int-key co-group `attach_column` — the single big×big exchange;
+    5. the same-nation filter + per-nation partial sum collapse each block
+       to ≤ |nations in region| rows before a tiny `sorted_aggregate`.
+    Revenue is exact fixed point (cents × (100 − disc_pct), int64; overflow
+    headroom asserted at runtime). Output (n_name, n_items, revenue_fp)
+    ordered by revenue desc.
+    """
+    import pyarrow.parquet as pq
+
+    from ..functions.grouped import sorted_aggregate
+    from ..functions.joins import attach_column
+
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rkey = reg.filter(pc.equal(reg["r_name"], region))["r_regionkey"][0] \
+        .as_py()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    nat = nat.filter(pc.equal(nat["n_regionkey"], rkey))
+    nat_keys = nat["n_nationkey"].to_numpy().astype(np.int64)
+    nat_names = np.asarray(nat["n_name"].to_pylist(), dtype=object)
+
+    def _dim(table: str, key: str, natcol: str):
+        t = pq.read_table(f"{sf_dir}/{table}.parquet",
+                          columns=[key, natcol])
+        t = t.filter(pc.is_in(t[natcol], value_set=pa.array(nat_keys)))
+        k = t[key].to_numpy().astype(np.int64)
+        nv = t[natcol].to_numpy().astype(np.int32)
+        o = np.argsort(k)
+        return k[o], nv[o]
+
+    cust_ref = ray.put(_dim("customer", "c_custkey", "c_nationkey"))
+    supp_ref = ray.put(_dim("supplier", "s_suppkey", "s_nationkey"))
+    lo = pa.scalar(np.datetime64(date_lo, "us").item(), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64(date_hi, "us").item(), pa.timestamp("us"))
+
+    def _probe(keys: np.ndarray, vals: np.ndarray, k: np.ndarray
+               ) -> np.ndarray:
+        """nationkey per key, -1 when absent; total on empty lookup."""
+        if len(keys) == 0:
+            return np.full(len(k), -1, np.int32)
+        idx = np.searchsorted(keys, k)
+        idx[idx == len(keys)] = 0
+        return np.where(keys[idx] == k, vals[idx], np.int32(-1))
+
+    class OrderSide:
+        def __init__(self):
+            self.k, self.n = ray.get(cust_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            t = b.filter(pc.and_(pc.greater_equal(b["o_orderdate"], lo),
+                                 pc.less(b["o_orderdate"], hi)))
+            k = pc.cast(t["o_custkey"], pa.int64()).combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            cn = _probe(self.k, self.n, k)
+            keep = cn >= 0
+            return pa.table({
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64())
+                .filter(pa.array(keep)),
+                "c_nat": pa.array(cn[keep], pa.int32())})
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(OrderSide, batch_format="pyarrow",
+                     zero_copy_batch=True, concurrency=(1, 4))
+
+    class LineSide:
+        def __init__(self):
+            self.k, self.n = ray.get(supp_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            k = pc.cast(b["l_suppkey"], pa.int64()).combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            sn = _probe(self.k, self.n, k)
+            keep = sn >= 0
+            t = b.filter(pa.array(keep))
+            price_c = _scaled_int(t["l_extendedprice"], 100.0).to_numpy()
+            disc = _scaled_int(t["l_discount"], 100.0).to_numpy()
+            rev = price_c * (100 - disc)
+            return pa.table({
+                "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "s_nat": pa.array(sn[keep], pa.int32()),
+                "rev": pa.array(rev, pa.int64())})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"]) \
+        .map_batches(LineSide, batch_format="pyarrow",
+                     zero_copy_batch=True, concurrency=(1, 4))
+
+    joined = attach_column(
+        li, orders, [("s_nat", pa.int32()), ("rev", pa.int64())],
+        "l_orderkey", "o_orderkey", "c_nat", "c_nat", pa.int32())
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["s_nat"], b["c_nat"]))
+        t = pa.table({"nat": pc.cast(t["s_nat"], pa.int32()),
+                      "n_items": pa.nulls(t.num_rows, pa.int64())
+                      .fill_null(1), "rev": t["rev"]})
+        return t.group_by(["nat"], use_threads=False).aggregate(
+            [("n_items", "sum"), ("rev", "sum")]) \
+            .rename_columns(["nat", "n_items", "rev"])
+
+    agg = sorted_aggregate(
+        joined.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None),
+        ["nat"], [("n_items", "sum"), ("rev", "sum")],
+        ["nat", "n_items", "rev"], 1)
+
+    nat_pos = {int(k): i for i, k in enumerate(nat_keys)}
+
+    def finalize(b: pa.Table) -> pa.Table:
+        schema = pa.schema([("n_name", pa.string()),
+                            ("n_items", pa.int64()),
+                            ("revenue_fp", pa.int64())])
+        if b.num_rows == 0:
+            return schema.empty_table()
+        rev = b["rev"].to_numpy(zero_copy_only=False)
+        if np.abs(rev).max(initial=0) >= (1 << 62):
+            raise OverflowError("tpch_q5: rescale revenue units")
+        pos = np.array([nat_pos[int(x)] for x in
+                        b["nat"].to_numpy(zero_copy_only=False)])
+        order = np.argsort(-rev, kind="stable")
+        return pa.table({
+            "n_name": pa.array(nat_names[pos][order], pa.string()),
+            "n_items": pa.array(
+                b["n_items"].to_numpy(zero_copy_only=False)[order]),
+            "revenue_fp": pa.array(rev[order], pa.int64())}, schema=schema)
+
+    return agg.map_batches(finalize, batch_format="pyarrow",
+                           batch_size=None)
+
+
+def tpch_q17_small_qty_revenue(sf_dir: str, brand: str = "Brand#1"
+                               ) -> ray.data.Dataset:
+    """TPC-H Q17 shape — the correlated per-group-average filter: total
+    revenue of brand lineitems whose quantity is below 20%% of that part's
+    average quantity.
+
+    The correlated subquery becomes a two-pass plan with NO driver
+    materialization of the fact table:
+    1. brand part keys broadcast once (`distinct_int_keys`) and semi-filter
+       lineitem at the scan (parts-of-one-brand is the tiny side);
+    2. per-part (sum_qty, n) folds map-side per block, then one tiny
+       `sorted_aggregate`; the pair is packed into ONE int64
+       (sum_qty·2²⁰ + n, headroom asserted) so the join-back ships a single
+       value column;
+    3. the packed stats rejoin the filtered lineitems by partkey via the
+       int-key co-group `attach_column`;
+    4. the avg filter is exact integer algebra — qty < sum/(5n) ⇔
+       5·qty·n < sum — no float division anywhere.
+    Output is ONE row (total_price_c, n_rows); fixed-point cents.
+    """
+    from ..functions.grouped import sorted_aggregate
+    from ..functions.joins import (
+        attach_column,
+        broadcast_semi_filter,
+        distinct_int_keys,
+    )
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    brand_keys = distinct_int_keys(
+        part.map_batches(
+            lambda b: b.filter(pc.equal(b["p_brand"], brand)),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["p_partkey"])
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice"])
+    li = broadcast_semi_filter(li, "l_partkey", brand_keys)
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"l_partkey": pc.cast(b["l_partkey"], pa.int64()),
+                      "sq": pc.cast(pc.floor(b["l_quantity"]), pa.int64()),
+                      "n": pa.nulls(b.num_rows, pa.int64()).fill_null(1)})
+        return t.group_by(["l_partkey"], use_threads=False).aggregate(
+            [("sq", "sum"), ("n", "sum")]) \
+            .rename_columns(["l_partkey", "sq", "n"])
+
+    stats = sorted_aggregate(
+        li.map_batches(stats_partial, batch_format="pyarrow",
+                       batch_size=None),
+        ["l_partkey"], [("sq", "sum"), ("n", "sum")],
+        ["l_partkey", "sq", "n"], 4)
+
+    def pack(b: pa.Table) -> pa.Table:
+        sq = b["sq"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False)
+        if n.max(initial=0) >= (1 << 20) or sq.max(initial=0) >= (1 << 42):
+            raise OverflowError("tpch_q17: per-part stats exceed packing "
+                                "headroom — widen the pack layout")
+        return pa.table({"l_partkey": b["l_partkey"],
+                         "packed": pa.array((sq << 20) | n, pa.int64())})
+
+    packed = stats.map_batches(pack, batch_format="pyarrow",
+                               batch_size=None)
+
+    def to_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": pc.cast(b["l_partkey"], pa.int64()),
+            "qty": pc.cast(pc.floor(b["l_quantity"]), pa.int64()),
+            "price_c": _scaled_int(b["l_extendedprice"], 100.0)})
+
+    rows = li.map_batches(to_rows, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    joined = attach_column(
+        rows, packed, [("qty", pa.int64()), ("price_c", pa.int64())],
+        "l_partkey", "l_partkey", "packed", "packed", pa.int64(), 4)
+
+    def below_avg(b: pa.Table) -> pa.Table:
+        packed_v = b["packed"].to_numpy(zero_copy_only=False)
+        sq, n = packed_v >> 20, packed_v & ((1 << 20) - 1)
+        qty = b["qty"].to_numpy(zero_copy_only=False)
+        keep = 5 * qty * n < sq
+        kept = b["price_c"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table({"total_price_c": pa.array([kept.sum()], pa.int64()),
+                         "n_rows": pa.array([int(keep.sum())], pa.int64())})
+
+    partials = joined.map_batches(below_avg, batch_format="pyarrow",
+                                  batch_size=None)
+
+    def total(b: pa.Table) -> pa.Table:
+        schema = pa.schema([("total_price_c", pa.int64()),
+                            ("n_rows", pa.int64())])
+        return pa.table({
+            "total_price_c": pa.array(
+                [pc.sum(b["total_price_c"]).as_py() or 0], pa.int64()),
+            "n_rows": pa.array([pc.sum(b["n_rows"]).as_py() or 0],
+                               pa.int64())}, schema=schema)
+
+    return partials.repartition(1).map_batches(total,
+                                               batch_format="pyarrow",
+                                               batch_size=None)

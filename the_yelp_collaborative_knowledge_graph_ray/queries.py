@@ -1722,6 +1722,21 @@ def _q_events_twa(sf_dir: str):
     return time_weighted_value(sf_dir)
 
 
+def _q_rel_tpch_q5(sf_dir: str):
+    """TPC-H Q5 six-table composition (relational.tpch_q5_local_volume):
+    broadcast dims + ONE big×big co-group attach, exact fixed-point."""
+    from .pipelines.relational import tpch_q5_local_volume
+    return tpch_q5_local_volume(sf_dir)
+
+
+def _q_rel_tpch_q17(sf_dir: str):
+    """TPC-H Q17 correlated avg-per-part filter
+    (relational.tpch_q17_small_qty_revenue): semi-filter + packed-stats
+    join-back, 5·qty·n < sum exact-integer threshold."""
+    from .pipelines.relational import tpch_q17_small_qty_revenue
+    return tpch_q17_small_qty_revenue(sf_dir)
+
+
 def _q_kg_bgp_conv_tools(sf_dir: str):
     """Generic SPARQL-style BGP matcher (functions/bgp.bgp_match) run over
     the actual triple Dataset: {?t :usesTool ?tool . ?t :isPartOf ?conv}
@@ -1886,6 +1901,8 @@ def queries() -> dict[str, Callable]:
         "kg_bgp_mention_tool": _q_kg_bgp_mention_tool,
         "rel_cov_qty_price": _q_rel_cov,
         "events_time_weighted": _q_events_twa,
+        "rel_tpch_q5": _q_rel_tpch_q5,
+        "rel_tpch_q17": _q_rel_tpch_q17,
     }
 
 
@@ -2867,6 +2884,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN t ON t.turn_iri = m.turn_iri
             WHERE {TOOL_OK_SQL}
             ORDER BY 1, 2""",
+        "rel_tpch_q5": """
+            SELECT n_name, count(*) AS n_items,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                     AS revenue_fp
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1 ORDER BY revenue_fp DESC""",
+        "rel_tpch_q17": """
+            WITH bl AS (
+              SELECT l_partkey,
+                     CAST(floor(l_quantity) AS BIGINT) AS qty,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE p_brand = 'Brand#1'),
+            st AS (
+              SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sq,
+                     count(*) AS n
+              FROM bl GROUP BY 1)
+            SELECT CAST(coalesce(sum(price_c), 0) AS BIGINT)
+                     AS total_price_c,
+                   count(*) AS n_rows
+            FROM bl JOIN st USING (l_partkey)
+            WHERE 5 * bl.qty * st.n < st.sq""",
         "rel_cov_qty_price": """
             WITH s AS (
               SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
