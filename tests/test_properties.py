@@ -97,3 +97,25 @@ def test_set_ops_and_anti_join_match_duckdb(ray_session, ab):
         "SELECT k FROM a WHERE k NOT IN (SELECT k FROM b)"
         if kb else "SELECT k FROM a").fetchall())
     assert got == want
+
+
+@given(st.lists(st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+                min_size=1, max_size=400),
+       st.integers(min_value=1, max_value=6))
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_heavy_hitters_matches_duckdb(ray_session, keys, k):
+    """MG candidates + exact verify == plain GROUP BY HAVING, under
+    adversarial multisets AND block boundaries (8 tiny blocks spread every
+    key so no key need be heavy in any single block)."""
+    from the_yelp_collaborative_knowledge_graph_ray.functions.heavyhitters \
+        import heavy_hitters
+
+    t = pa.table({"k": pa.array(keys, pa.string())})
+    ds = ray.data.from_arrow(t).repartition(8)
+    got = heavy_hitters(ds, "k", k).to_pandas()
+    want = duckdb.sql(
+        f"""SELECT k AS key, count(*) AS cnt FROM t
+            GROUP BY 1 HAVING {k + 1} * count(*) > (SELECT count(*) FROM t)
+            ORDER BY cnt DESC, key""").df()
+    assert got.values.tolist() == want.values.tolist()

@@ -1609,3 +1609,102 @@ def tpch_q17_small_qty_revenue(sf_dir: str, brand: str = "Brand#1"
     return partials.repartition(1).map_batches(total,
                                                batch_format="pyarrow",
                                                batch_size=None)
+
+
+def window_distinct_users(sf_dir: str, window_days: int = 7
+                          ) -> ray.data.Dataset:
+    """Trailing-window DISTINCT COUNT: for every calendar day in the event
+    span, how many distinct users had ≥1 event in the last ``window_days``
+    days (inclusive).
+
+    The naive plan is a day-spine × events range join + per-day DISTINCT —
+    an all-to-all whose width multiplies by the window. This one never
+    re-ships an event per covered day:
+    1. per-block distinct (user, day) collapse (vectorized group_by);
+    2. ONE user sort; inside each sorted block every user's unique days
+       fold into maximal covered intervals [d, d+w−1] (gap > w−1 splits),
+       emitted as ±1 boundary deltas — output is O(intervals), not
+       O(events × w);
+    3. deltas sum per day in a tiny `sorted_aggregate`, then ONE small
+       block does the prefix sum over the full day spine (spine length =
+       calendar span, thousands of rows at any corpus size).
+    The interval identity: user counts toward window-end day d iff some
+    event day e satisfies d−w < e ≤ d, i.e. d ∈ ∪ᵢ [eᵢ, eᵢ+w−1].
+    Output (day, n_users), day = days since epoch, one row per spine day.
+    """
+    from ..functions.grouped import group_ids, sorted_aggregate
+
+    w = int(window_days)
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def to_days(b: pa.Table) -> pa.Table:
+        ts = b["ts"].combine_chunks().to_numpy() \
+            .astype("datetime64[us]").astype(np.int64)
+        t = pa.table({"user_id": pc.cast(b["user_id"], pa.int64()),
+                      "day": pa.array(ts // 86_400_000_000, pa.int64())})
+        return t.group_by(["user_id", "day"], use_threads=False) \
+            .aggregate([]).rename_columns(["user_id", "day"])
+
+    pairs = ev.map_batches(to_days, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    # tiny side pass: the global day span (two ints) for the final spine
+    span = pairs.map_batches(
+        lambda b: pa.table({"lo": pa.array([pc.min(b["day"]).as_py()],
+                                           pa.int64()),
+                            "hi": pa.array([pc.max(b["day"]).as_py()],
+                                           pa.int64())})
+        if b.num_rows else
+        pa.schema([("lo", pa.int64()), ("hi", pa.int64())]).empty_table(),
+        batch_format="pyarrow", batch_size=None).take_all()
+    if not span:
+        return ray.data.from_arrow(pa.schema(
+            [("day", pa.int64()), ("n_users", pa.int64())]).empty_table())
+    day_lo = min(r["lo"] for r in span)
+    day_hi = max(r["hi"] for r in span)
+
+    def deltas_block(b: pa.Table) -> pa.Table:
+        schema = pa.schema([("day", pa.int64()), ("delta", pa.int64())])
+        if b.num_rows == 0:
+            return schema.empty_table()
+        gid, _ = group_ids(b, ["user_id"])
+        day = b["day"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, gid))
+        g, d = gid[order], day[order]
+        uniq = np.empty(len(g), bool)
+        uniq[0] = True
+        uniq[1:] = (g[1:] != g[:-1]) | (d[1:] != d[:-1])
+        g, d = g[uniq], d[uniq]
+        new = np.empty(len(g), bool)
+        new[0] = True
+        new[1:] = (g[1:] != g[:-1]) | (d[1:] - d[:-1] > w - 1)
+        last = np.roll(new, -1)
+        last[-1] = True
+        days = np.concatenate([d[new], d[last] + w])
+        dlt = np.concatenate([np.ones(int(new.sum()), np.int64),
+                              np.full(int(last.sum()), -1, np.int64)])
+        t = pa.table({"day": pa.array(days, pa.int64()),
+                      "delta": pa.array(dlt, pa.int64())})
+        return t.group_by(["day"], use_threads=False) \
+            .aggregate([("delta", "sum")]) \
+            .rename_columns(["day", "delta"])
+
+    from ..functions.grouped import sorted_group_apply
+    deltas = sorted_group_apply(pairs, ["user_id"], deltas_block, 8)
+    agg = sorted_aggregate(deltas, ["day"], [("delta", "sum")],
+                           ["day", "delta"], 1)
+
+    def spine(b: pa.Table) -> pa.Table:
+        schema = pa.schema([("day", pa.int64()), ("n_users", pa.int64())])
+        n_days = int(day_hi - day_lo + 1)
+        diff = np.zeros(n_days + 1, np.int64)
+        if b.num_rows:
+            day = b["day"].to_numpy(zero_copy_only=False)
+            dlt = b["delta"].to_numpy(zero_copy_only=False)
+            pos = np.clip(day - day_lo, 0, n_days)
+            np.add.at(diff, pos, dlt)
+        counts = np.cumsum(diff)[:n_days]
+        return pa.table({
+            "day": pa.array(np.arange(day_lo, day_hi + 1), pa.int64()),
+            "n_users": pa.array(counts, pa.int64())}, schema=schema)
+
+    return agg.map_batches(spine, batch_format="pyarrow", batch_size=None)

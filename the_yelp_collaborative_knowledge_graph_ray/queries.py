@@ -1737,6 +1737,26 @@ def _q_rel_tpch_q17(sf_dir: str):
     return tpch_q17_small_qty_revenue(sf_dir)
 
 
+def _q_freq_heavy_hitters(sf_dir: str):
+    """Mergeable Misra-Gries heavy hitters + exact verify
+    (functions/heavyhitters.heavy_hitters): event types with count >
+    N/(k+1), k=4 — exact counts, never a full-keyspace shuffle."""
+    import ray.data as rd
+
+    from .functions.heavyhitters import heavy_hitters
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type"])
+    return heavy_hitters(ev, "event_type", 4)
+
+
+def _q_events_window_distinct(sf_dir: str):
+    """Trailing 7-day distinct users per spine day
+    (relational.window_distinct_users): per-user interval union folded to
+    ±1 boundary deltas + one small prefix-sum block."""
+    from .pipelines.relational import window_distinct_users
+    return window_distinct_users(sf_dir)
+
+
 def _q_kg_bgp_conv_tools(sf_dir: str):
     """Generic SPARQL-style BGP matcher (functions/bgp.bgp_match) run over
     the actual triple Dataset: {?t :usesTool ?tool . ?t :isPartOf ?conv}
@@ -1903,6 +1923,8 @@ def queries() -> dict[str, Callable]:
         "events_time_weighted": _q_events_twa,
         "rel_tpch_q5": _q_rel_tpch_q5,
         "rel_tpch_q17": _q_rel_tpch_q17,
+        "freq_heavy_hitters": _q_freq_heavy_hitters,
+        "events_window_distinct": _q_events_window_distinct,
     }
 
 
@@ -2884,6 +2906,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN t ON t.turn_iri = m.turn_iri
             WHERE {TOOL_OK_SQL}
             ORDER BY 1, 2""",
+        "freq_heavy_hitters": """
+            SELECT event_type AS key, count(*) AS cnt
+            FROM events
+            GROUP BY 1 HAVING 5 * count(*) > (SELECT count(*) FROM events)
+            ORDER BY cnt DESC, key""",
+        "events_window_distinct": """
+            WITH bounds AS (
+              SELECT CAST(epoch(min(date_trunc('day', ts))) AS BIGINT)
+                       // 86400 AS lo,
+                     CAST(epoch(max(date_trunc('day', ts))) AS BIGINT)
+                       // 86400 AS hi
+              FROM events),
+            days AS (SELECT unnest(generate_series(lo, hi)) AS day
+                     FROM bounds),
+            ed AS (SELECT DISTINCT user_id,
+                          CAST(epoch(date_trunc('day', ts)) AS BIGINT)
+                            // 86400 AS eday
+                   FROM events)
+            SELECT d.day, count(DISTINCT ed.user_id) AS n_users
+            FROM days d LEFT JOIN ed ON ed.eday BETWEEN d.day - 6 AND d.day
+            GROUP BY 1 ORDER BY 1""",
         "rel_tpch_q5": """
             SELECT n_name, count(*) AS n_items,
                    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
