@@ -1708,3 +1708,49 @@ def window_distinct_users(sf_dir: str, window_days: int = 7
             "n_users": pa.array(counts, pa.int64())}, schema=schema)
 
     return agg.map_batches(spine, batch_format="pyarrow", batch_size=None)
+
+
+def ntile_customers(sf_dir: str, tiles: int = 4) -> ray.data.Dataset:
+    """NTILE(t) OVER (PARTITION BY segment ORDER BY acctbal, custkey):
+    equal-height buckets with SQL's exact fill rule — the first n mod t
+    buckets hold ceil(n/t) rows, the rest floor(n/t).
+
+    Same ONE-key-sort sorted-block window shape as
+    :func:`percent_rank_qty`; the bucket id is closed-form from the
+    in-group position, so no second pass:
+    ``pos < r·(q+1) ? pos // (q+1) : r + (pos − r·(q+1)) // q`` with
+    q = n//t, r = n mod t. Ties are broken by custkey on BOTH engines —
+    bare SQL NTILE over a tied ORDER BY is nondeterministic, which would
+    trip the driver's value hash. acctbal is compared in exact cents.
+    Output (c_custkey, c_mktsegment, tile).
+    """
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+    t_ = int(tiles)
+
+    def nt_block(b: pa.Table) -> pa.Table:
+        from ..functions.grouped import group_ids
+        out_schema = pa.schema([("c_custkey", pa.int64()),
+                                ("c_mktsegment", pa.string()),
+                                ("tile", pa.int64())])
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        gid, starts = group_ids(b, ["c_mktsegment"])
+        bal = _scaled_int(b["c_acctbal"], 100.0).to_numpy()
+        ck = pc.cast(b["c_custkey"], pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        order = np.lexsort((ck, bal, gid))
+        g = gid[order]
+        pos = np.arange(len(g), dtype=np.int64) - starts[g]
+        n = np.diff(np.append(starts, len(g)))[g]
+        q, r = n // t_, n % t_
+        cut = r * (q + 1)
+        tile = np.where(pos < cut, pos // np.maximum(q + 1, 1),
+                        r + (pos - cut) // np.maximum(q, 1)) + 1
+        return pa.table({
+            "c_custkey": pa.array(ck[order], pa.int64()),
+            "c_mktsegment": b["c_mktsegment"].take(pa.array(order)),
+            "tile": pa.array(tile, pa.int64())}, schema=out_schema)
+
+    from ..functions.grouped import sorted_group_apply
+    return sorted_group_apply(cust, ["c_mktsegment"], nt_block)

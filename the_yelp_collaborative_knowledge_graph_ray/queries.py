@@ -1757,6 +1757,14 @@ def _q_events_window_distinct(sf_dir: str):
     return window_distinct_users(sf_dir)
 
 
+def _q_rel_ntile(sf_dir: str):
+    """NTILE(4) equal-height buckets per segment
+    (relational.ntile_customers): closed-form bucket id from in-group
+    position, deterministic custkey tie-break on both engines."""
+    from .pipelines.relational import ntile_customers
+    return ntile_customers(sf_dir)
+
+
 def _q_kg_bgp_conv_tools(sf_dir: str):
     """Generic SPARQL-style BGP matcher (functions/bgp.bgp_match) run over
     the actual triple Dataset: {?t :usesTool ?tool . ?t :isPartOf ?conv}
@@ -1925,6 +1933,7 @@ def queries() -> dict[str, Callable]:
         "rel_tpch_q17": _q_rel_tpch_q17,
         "freq_heavy_hitters": _q_freq_heavy_hitters,
         "events_window_distinct": _q_events_window_distinct,
+        "rel_ntile": _q_rel_ntile,
     }
 
 
@@ -2927,6 +2936,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.day, count(DISTINCT ed.user_id) AS n_users
             FROM days d LEFT JOIN ed ON ed.eday BETWEEN d.day - 6 AND d.day
             GROUP BY 1 ORDER BY 1""",
+        "rel_ntile": """
+            SELECT c_custkey, c_mktsegment,
+                   CAST(NTILE(4) OVER (
+                     PARTITION BY c_mktsegment
+                     ORDER BY CAST(round(c_acctbal * 100) AS BIGINT),
+                              c_custkey) AS BIGINT) AS tile
+            FROM customer ORDER BY 2, 3, 1""",
         "rel_tpch_q5": """
             SELECT n_name, count(*) AS n_items,
                    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
