@@ -116,3 +116,66 @@ def sample_per_key(ds: ray.data.Dataset, key: str, id_col: str, n: int,
     out = top_n_per_key(tagged, [key], [("__h", True), (id_col, True)], n)
     return out.map_batches(lambda b: b.drop_columns(["__h"]),
                            batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sample_weighted_mix(ds: ray.data.Dataset, id_col: str, stratum: str,
+                        weights: dict[str, int], frac_num: int = 1,
+                        frac_den: int = 2, seed: int = 0
+                        ) -> ray.data.Dataset:
+    """Deterministic MIX-TO-TARGET resampling — the training-data "source
+    mixing" step: shrink the corpus to N·frac rows whose stratum
+    proportions follow integer ``weights``, taking each stratum's quota by
+    hash lottery (smallest ``u01(splitmix64(id))`` first).
+
+    Quotas are exact integer algebra so every engine agrees bit-for-bit:
+    ``T = N·frac_num // frac_den``; ``n_s = min(count_s, w_s·T // Σw)``
+    (Σw over strata PRESENT in the data). Plan: one tiny
+    :func:`grouped_count` fixes the quotas on the driver (strata are few —
+    the dict rides in the task closure, never the corpus), then ONE
+    :func:`functions.topn.top_n_per_key` pass whose map-side prune ships
+    ≤ max(n_s) rows per (stratum, block); the per-stratum rank cut is a
+    vectorized dict probe on the ranked output. Strata missing from
+    ``weights`` get weight 0 (dropped).
+    """
+    from .grouped import grouped_count
+    from .topn import top_n_per_key
+
+    counts = grouped_count(ds.select_columns([stratum]), [stratum],
+                           num_partitions=1).take_all()
+    if not counts:
+        return ds
+    total = sum(r["n"] for r in counts)
+    target = total * frac_num // frac_den
+    present = [r[stratum] for r in counts]
+    sum_w = sum(int(weights.get(s, 0)) for s in present)
+    if sum_w <= 0:
+        raise ValueError("sample_weighted_mix: no positive weight present")
+    quota = {r[stratum]: min(int(r["n"]),
+                             int(weights.get(r[stratum], 0)) * target
+                             // sum_w)
+             for r in counts}
+    max_n = max(quota.values(), default=0)
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column("__h", pa.array(hash_u01(b[id_col], seed)))
+
+    ranked = top_n_per_key(
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True),
+        [stratum], [("__h", True), (id_col, True)], max(max_n, 1))
+
+    strat_arr = pa.array(list(quota), pa.string())
+    quota_np = np.array([quota[s] for s in quota], np.int64)
+
+    def cut(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.drop_columns(["__h", "rank"])
+        idx = pc.index_in(pc.cast(b[stratum], pa.string()),
+                          value_set=strat_arr).combine_chunks() \
+            .fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+        lim = np.where(idx >= 0, quota_np[np.maximum(idx, 0)], 0)
+        rank = b["rank"].combine_chunks().to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(rank <= lim)) \
+            .drop_columns(["__h", "rank"])
+
+    return ranked.map_batches(cut, batch_format="pyarrow",
+                              zero_copy_batch=True)

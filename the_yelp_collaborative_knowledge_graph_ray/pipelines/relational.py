@@ -1754,3 +1754,57 @@ def ntile_customers(sf_dir: str, tiles: int = 4) -> ray.data.Dataset:
 
     from ..functions.grouped import sorted_group_apply
     return sorted_group_apply(cust, ["c_mktsegment"], nt_block)
+
+
+def quantile_sketch_prices(sf_dir: str, bin_c: int = 10_000
+                           ) -> ray.data.Dataset:
+    """Histogram-sketch quantiles — the MERGEABLE fixed-space scale path
+    beside the exact order statistics of `functions/quantiles.py`: prices
+    bucket into fixed ``bin_c``-cent bins (one vectorized integer divide),
+    per-block bin counts fold map-side, the tiny (≤ thousands-row) bin
+    table sums in ONE aggregate, and each requested quantile reads the
+    first bin whose cumulative count reaches ceil(q·N).
+
+    Error is bounded by the bin width by construction and the whole
+    computation is integer-deterministic, so — unlike a t-digest, whose
+    centroids depend on merge order — the DuckDB oracle gates it exactly.
+    Sketch size is O(value range / bin_c), independent of N: the 100 TB
+    shape (counts shuffle, values never do). Output
+    (q1e4, bin, lo_edge_c) for q ∈ {25, 50, 75, 90, 99}%.
+    """
+    from ..functions.grouped import sorted_aggregate
+
+    li = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    qs = np.array([2500, 5000, 7500, 9000, 9900], np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "bin": pc.divide(_scaled_int(b["l_extendedprice"], 100.0),
+                             pa.scalar(bin_c, pa.int64())),
+            "cnt": pa.nulls(b.num_rows, pa.int64()).fill_null(1)})
+        return t.group_by(["bin"], use_threads=False) \
+            .aggregate([("cnt", "sum")]).rename_columns(["bin", "cnt"])
+
+    hist = sorted_aggregate(
+        li.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["bin"], [("cnt", "sum")], ["bin", "cnt"], 1)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        schema = pa.schema([("q1e4", pa.int64()), ("bin", pa.int64()),
+                            ("lo_edge_c", pa.int64())])
+        if b.num_rows == 0:
+            return schema.empty_table()
+        bins = b["bin"].to_numpy(zero_copy_only=False)
+        cum = np.cumsum(b["cnt"].to_numpy(zero_copy_only=False))
+        n = int(cum[-1])
+        ranks = (qs * n + 9999) // 10000
+        idx = np.searchsorted(cum, ranks)
+        sel = bins[idx]
+        return pa.table({"q1e4": pa.array(qs, pa.int64()),
+                         "bin": pa.array(sel, pa.int64()),
+                         "lo_edge_c": pa.array(sel * bin_c, pa.int64())},
+                        schema=schema)
+
+    return hist.map_batches(finalize, batch_format="pyarrow",
+                            batch_size=None)

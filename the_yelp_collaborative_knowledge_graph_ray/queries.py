@@ -1765,6 +1765,28 @@ def _q_rel_ntile(sf_dir: str):
     return ntile_customers(sf_dir)
 
 
+def _q_curation_mix_sources(sf_dir: str):
+    """Deterministic mix-to-target resampling
+    (functions/sampling.sample_weighted_mix): corpus shrunk to N//2 docs
+    with per-source quotas ∝ integer weights (src index mod 4 + 1), taken
+    smallest-hash-first — the training-data source-mixing step."""
+    import ray.data as rd
+
+    from .functions.sampling import sample_weighted_mix
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "source"])
+    weights = {f"src{i}": i % 4 + 1 for i in range(100)}
+    return sample_weighted_mix(docs, "doc_id", "source", weights)
+
+
+def _q_rel_quantile_sketch(sf_dir: str):
+    """Histogram-sketch quantiles (relational.quantile_sketch_prices):
+    mergeable fixed-space bins, integer-deterministic, error ≤ bin width —
+    the scale path beside the exact order statistics."""
+    from .pipelines.relational import quantile_sketch_prices
+    return quantile_sketch_prices(sf_dir)
+
+
 def _q_kg_bgp_conv_tools(sf_dir: str):
     """Generic SPARQL-style BGP matcher (functions/bgp.bgp_match) run over
     the actual triple Dataset: {?t :usesTool ?tool . ?t :isPartOf ?conv}
@@ -1934,6 +1956,8 @@ def queries() -> dict[str, Callable]:
         "freq_heavy_hitters": _q_freq_heavy_hitters,
         "events_window_distinct": _q_events_window_distinct,
         "rel_ntile": _q_rel_ntile,
+        "curation_mix_sources": _q_curation_mix_sources,
+        "rel_quantile_sketch": _q_rel_quantile_sketch,
     }
 
 
@@ -2935,6 +2959,39 @@ def oracle_sql() -> dict[str, str]:
                    FROM events)
             SELECT d.day, count(DISTINCT ed.user_id) AS n_users
             FROM days d LEFT JOIN ed ON ed.eday BETWEEN d.day - 6 AND d.day
+            GROUP BY 1 ORDER BY 1""",
+        "curation_mix_sources": f"""
+            WITH {_splitmix_cte('documents', 'doc_id', 'doc_id, source')},
+            c AS (SELECT source, CAST(count(*) AS BIGINT) AS cnt,
+                         CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS w
+                  FROM documents GROUP BY 1),
+            p AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+                         CAST(sum(w) AS BIGINT) AS sum_w FROM c),
+            q AS (SELECT source,
+                         least(cnt, w * (total // 2) // sum_w) AS n_s
+                  FROM c, p),
+            r AS (SELECT doc_id, source,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY u01, doc_id) AS rk
+                  FROM u)
+            SELECT r.doc_id, r.source
+            FROM r JOIN q USING (source) WHERE r.rk <= q.n_s
+            ORDER BY 2, 1""",
+        "rel_quantile_sketch": """
+            WITH b AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                              // 10000 AS bin
+                       FROM lineitem),
+            c AS (SELECT bin, count(*) AS cnt FROM b GROUP BY 1),
+            t AS (SELECT bin,
+                         CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT)
+                           AS cum,
+                         (SELECT count(*) FROM b) AS n
+                  FROM c),
+            q(q1e4) AS (VALUES (2500), (5000), (7500), (9000), (9900))
+            SELECT CAST(q.q1e4 AS BIGINT) AS q1e4,
+                   min(t.bin) AS bin,
+                   min(t.bin) * 10000 AS lo_edge_c
+            FROM q JOIN t ON t.cum >= (q.q1e4 * t.n + 9999) // 10000
             GROUP BY 1 ORDER BY 1""",
         "rel_ntile": """
             SELECT c_custkey, c_mktsegment,
