@@ -119,3 +119,40 @@ def test_heavy_hitters_matches_duckdb(ray_session, keys, k):
             GROUP BY 1 HAVING {k + 1} * count(*) > (SELECT count(*) FROM t)
             ORDER BY cnt DESC, key""").df()
     assert got.values.tolist() == want.values.tolist()
+
+
+@given(st.dictionaries(st.integers(min_value=-50, max_value=50),
+                       st.integers(min_value=-1000, max_value=1000),
+                       max_size=40),
+       st.dictionaries(st.integers(min_value=-50, max_value=50),
+                       st.integers(min_value=-1000, max_value=1000),
+                       max_size=40))
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_full_outer_unique_matches_duckdb(ray_session, lmap, rmap):
+    """full_outer_unique == SQL FULL OUTER JOIN (zero-fill + flags) on
+    arbitrary unique-keyed sides, including empty and disjoint ones."""
+    from the_yelp_collaborative_knowledge_graph_ray.functions.joins import (
+        full_outer_unique,
+    )
+
+    lt = pa.table({"k": pa.array(list(lmap), pa.int64()),
+                   "lv": pa.array(list(lmap.values()), pa.int64())})
+    rt = pa.table({"k": pa.array(list(rmap), pa.int64()),
+                   "rv": pa.array(list(rmap.values()), pa.int64())})
+    got = full_outer_unique(
+        ray.data.from_arrow(lt).repartition(3),
+        ray.data.from_arrow(rt).repartition(3), "k",
+        [("lv", pa.int64())], [("rv", pa.int64())],
+        num_partitions=2).to_pandas()
+    if not lmap and not rmap:
+        assert len(got) == 0
+        return
+    got = got.sort_values("k").reset_index(drop=True)
+    want = duckdb.sql("""
+        SELECT COALESCE(lt.k, rt.k) AS k,
+               CASE WHEN lt.k IS NULL THEN 0 ELSE 1 END AS in_left,
+               CASE WHEN rt.k IS NULL THEN 0 ELSE 1 END AS in_right,
+               COALESCE(lt.lv, 0) AS lv, COALESCE(rt.rv, 0) AS rv
+        FROM lt FULL OUTER JOIN rt ON lt.k = rt.k ORDER BY 1""").df()
+    assert got.values.tolist() == want.values.tolist()

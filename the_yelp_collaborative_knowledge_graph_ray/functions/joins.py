@@ -215,3 +215,76 @@ def zip_with_index(ds: ray.data.Dataset, id_col: str = "nid"
     offs = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
     return ray.data.from_arrow_refs(
         [tag.remote(r, int(o)) for r, o in zip(refs, offs)])
+
+
+def full_outer_unique(left: ray.data.Dataset, right: ray.data.Dataset,
+                      key_col: str,
+                      left_vals: list[tuple[str, pa.DataType]],
+                      right_vals: list[tuple[str, pa.DataType]],
+                      key_type: pa.DataType = pa.int64(),
+                      num_partitions: int | None = None
+                      ) -> ray.data.Dataset:
+    """FULL OUTER join of two keyed tables that are UNIQUE per key — the
+    post-aggregation reconciliation shape ("which keys exist in system A,
+    system B, or both?"). Same union-tag + ONE key-sort co-group plan as
+    :func:`attach_column`; a block holds complete key groups, so each key
+    resolves locally with numpy scatters (no per-row Python).
+
+    Missing sides surface as integer presence flags ``in_left``/
+    ``in_right`` plus ZERO-filled value columns rather than nulls: nulls
+    in numeric columns degrade to float NaN on the pandas path and
+    engines disagree on null hashing — zeros + flags keep the result
+    hash-exact. Output: (key_col, in_left, in_right, *left_vals,
+    *right_vals), one row per distinct key on either side.
+    """
+    import numpy as np
+
+    all_vals = [*left_vals, *right_vals]
+    u_schema = pa.schema([(key_col, key_type), (_MARK, pa.bool_())]
+                         + all_vals)
+    out_schema = pa.schema([(key_col, key_type),
+                            ("in_left", pa.int64()),
+                            ("in_right", pa.int64())] + all_vals)
+
+    def _tag(side_vals, is_right: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            cols = {key_col: pc.cast(b[key_col], key_type),
+                    _MARK: pa.nulls(n, pa.bool_()).fill_null(is_right)}
+            names = {name for name, _ in side_vals}
+            for name, typ in all_vals:
+                cols[name] = (pc.cast(b[name], typ) if name in names
+                              else pa.nulls(n, typ))
+            return pa.table(cols, schema=u_schema)
+        return fn
+
+    u = left.map_batches(_tag(left_vals, False), batch_format="pyarrow") \
+        .union(right.map_batches(_tag(right_vals, True),
+                                 batch_format="pyarrow"))
+
+    def combine(b: pa.Table) -> pa.Table:
+        from .grouped import group_ids
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        gid, starts = group_ids(b, [key_col])
+        n_keys = int(gid[-1]) + 1
+        mark = b[_MARK].combine_chunks().to_numpy(zero_copy_only=False)
+        row_of = np.full((2, n_keys), -1, np.int64)
+        idx = np.arange(len(gid))
+        row_of[0][gid[~mark]] = idx[~mark]
+        row_of[1][gid[mark]] = idx[mark]
+        cols = {key_col: b[key_col].take(pa.array(starts)),
+                "in_left": pa.array((row_of[0] >= 0).astype(np.int64)),
+                "in_right": pa.array((row_of[1] >= 0).astype(np.int64))}
+        for side, side_vals in ((0, left_vals), (1, right_vals)):
+            src = np.maximum(row_of[side], 0)
+            present = row_of[side] >= 0
+            for name, typ in side_vals:
+                v = b[name].take(pa.array(src))
+                v = pc.if_else(pa.array(present), v,
+                               pc.cast(pa.scalar(0), typ))
+                cols[name] = pc.cast(v, typ)
+        return pa.table(cols, schema=out_schema)
+
+    from .grouped import sorted_group_apply
+    return sorted_group_apply(u, [key_col], combine, num_partitions)

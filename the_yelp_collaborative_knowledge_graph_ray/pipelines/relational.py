@@ -1808,3 +1808,60 @@ def quantile_sketch_prices(sf_dir: str, bin_c: int = 10_000
 
     return hist.map_batches(finalize, batch_format="pyarrow",
                             batch_size=None)
+
+
+def full_outer_activity(sf_dir: str) -> ray.data.Dataset:
+    """FULL OUTER reconciliation of two keyed systems: per-key event
+    activity (events.user_id) vs order activity (orders.o_custkey) —
+    which keys exist only as event users, only as order customers, or
+    both, with both sides' aggregates on one row.
+
+    Each side folds map-side to unique-per-key partials first (the small
+    post-aggregation tables are what co-group, never the fact rows), then
+    ONE union-tag key sort resolves every key locally
+    (`functions/joins.full_outer_unique`). Missing sides are zero-filled
+    with in_left/in_right flags — null-free, so the driver hash is exact.
+    """
+    from ..functions.grouped import sorted_aggregate
+    from ..functions.joins import full_outer_unique
+
+    ev = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def ev_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"k": pc.cast(b["user_id"], pa.int64()),
+                      "n_events": pa.nulls(b.num_rows, pa.int64())
+                      .fill_null(1),
+                      "events_value_c": _scaled_int(b["value"], 100.0)})
+        return t.group_by(["k"], use_threads=False).aggregate(
+            [("n_events", "sum"), ("events_value_c", "sum")]) \
+            .rename_columns(["k", "n_events", "events_value_c"])
+
+    e = sorted_aggregate(
+        ev.map_batches(ev_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["k"], [("n_events", "sum"), ("events_value_c", "sum")],
+        ["k", "n_events", "events_value_c"], 4)
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def o_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"k": pc.cast(b["o_custkey"], pa.int64()),
+                      "n_orders": pa.nulls(b.num_rows, pa.int64())
+                      .fill_null(1),
+                      "orders_value_c": _scaled_int(b["o_totalprice"],
+                                                    100.0)})
+        return t.group_by(["k"], use_threads=False).aggregate(
+            [("n_orders", "sum"), ("orders_value_c", "sum")]) \
+            .rename_columns(["k", "n_orders", "orders_value_c"])
+
+    o = sorted_aggregate(
+        orders.map_batches(o_partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["k"], [("n_orders", "sum"), ("orders_value_c", "sum")],
+        ["k", "n_orders", "orders_value_c"], 4)
+
+    return full_outer_unique(
+        e, o, "k",
+        [("n_events", pa.int64()), ("events_value_c", pa.int64())],
+        [("n_orders", pa.int64()), ("orders_value_c", pa.int64())],
+        num_partitions=4)

@@ -1787,6 +1787,14 @@ def _q_rel_quantile_sketch(sf_dir: str):
     return quantile_sketch_prices(sf_dir)
 
 
+def _q_rel_full_outer(sf_dir: str):
+    """FULL OUTER key reconciliation (relational.full_outer_activity via
+    joins.full_outer_unique): zero-filled sides + presence flags, ONE
+    union-tag co-group sort over the post-aggregation tables."""
+    from .pipelines.relational import full_outer_activity
+    return full_outer_activity(sf_dir)
+
+
 def _q_kg_bgp_conv_tools(sf_dir: str):
     """Generic SPARQL-style BGP matcher (functions/bgp.bgp_match) run over
     the actual triple Dataset: {?t :usesTool ?tool . ?t :isPartOf ?conv}
@@ -1958,6 +1966,7 @@ def queries() -> dict[str, Callable]:
         "rel_ntile": _q_rel_ntile,
         "curation_mix_sources": _q_curation_mix_sources,
         "rel_quantile_sketch": _q_rel_quantile_sketch,
+        "rel_full_outer_activity": _q_rel_full_outer,
     }
 
 
@@ -2993,6 +3002,25 @@ def oracle_sql() -> dict[str, str]:
                    min(t.bin) * 10000 AS lo_edge_c
             FROM q JOIN t ON t.cum >= (q.q1e4 * t.n + 9999) // 10000
             GROUP BY 1 ORDER BY 1""",
+        "rel_full_outer_activity": """
+            WITH e AS (
+              SELECT user_id AS k, count(*) AS n_events,
+                     CAST(sum(CAST(round(value * 100) AS BIGINT))
+                          AS BIGINT) AS events_value_c
+              FROM events GROUP BY 1),
+            o AS (
+              SELECT o_custkey AS k, count(*) AS n_orders,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS orders_value_c
+              FROM orders GROUP BY 1)
+            SELECT COALESCE(e.k, o.k) AS k,
+                   CASE WHEN e.k IS NULL THEN 0 ELSE 1 END AS in_left,
+                   CASE WHEN o.k IS NULL THEN 0 ELSE 1 END AS in_right,
+                   COALESCE(e.n_events, 0) AS n_events,
+                   COALESCE(e.events_value_c, 0) AS events_value_c,
+                   COALESCE(o.n_orders, 0) AS n_orders,
+                   COALESCE(o.orders_value_c, 0) AS orders_value_c
+            FROM e FULL OUTER JOIN o ON e.k = o.k ORDER BY 1""",
         "rel_ntile": """
             SELECT c_custkey, c_mktsegment,
                    CAST(NTILE(4) OVER (
