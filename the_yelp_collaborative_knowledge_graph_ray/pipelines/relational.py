@@ -1865,3 +1865,54 @@ def full_outer_activity(sf_dir: str) -> ray.data.Dataset:
         [("n_events", pa.int64()), ("events_value_c", pa.int64())],
         [("n_orders", pa.int64()), ("orders_value_c", pa.int64())],
         num_partitions=4)
+
+
+def mad_prices_by_flag(sf_dir: str) -> ray.data.Dataset:
+    """Median absolute deviation per group — the robust-statistics
+    companion to the z-score anomaly op (events_anomaly), in exact cents:
+    MAD = median(|x − median(x)|) with the LOW median (quantile_disc 0.5)
+    in BOTH passes so every intermediate is an actual data value and the
+    driver hash is exact (no interpolation floats).
+
+    Two passes of the per-group order-statistic machinery
+    (`functions/quantiles.grouped_quantiles`, ONE key sort each): the
+    group-median table is group-cardinality-sized (a handful of flags), so
+    it rides the closure into the deviation map — the corpus is never
+    joined against itself. Output (l_returnflag, mad_c).
+    """
+    from ..functions.quantiles import grouped_quantiles
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table({"l_returnflag": b["l_returnflag"],
+                         "pc_": _scaled_int(b["l_extendedprice"], 100.0)})
+
+    cents = li.map_batches(to_cents, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    med_rows = grouped_quantiles(cents, "l_returnflag", "pc_",
+                                 [0.5], 1).take_all()
+    flags = [r["l_returnflag"] for r in med_rows]
+    meds = np.array([int(r["value"]) for r in med_rows], np.int64)
+    flag_arr = pa.array(flags, pa.string())
+
+    def deviations(b: pa.Table) -> pa.Table:
+        idx = pc.index_in(pc.cast(b["l_returnflag"], pa.string()),
+                          value_set=flag_arr).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b["pc_"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "dev": pa.array(np.abs(v - meds[idx]), pa.int64())})
+
+    dev = cents.map_batches(deviations, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "mad_c": pc.cast(pc.round(b["value"]), pa.int64())})
+
+    return grouped_quantiles(dev, "l_returnflag", "dev", [0.5], 1) \
+        .map_batches(finalize, batch_format="pyarrow", batch_size=None)

@@ -1795,6 +1795,14 @@ def _q_rel_full_outer(sf_dir: str):
     return full_outer_activity(sf_dir)
 
 
+def _q_rel_mad(sf_dir: str):
+    """Grouped median absolute deviation (relational.mad_prices_by_flag):
+    robust spread in exact cents, LOW median both passes, group-median
+    table rides the closure."""
+    from .pipelines.relational import mad_prices_by_flag
+    return mad_prices_by_flag(sf_dir)
+
+
 def _q_kg_bgp_conv_tools(sf_dir: str):
     """Generic SPARQL-style BGP matcher (functions/bgp.bgp_match) run over
     the actual triple Dataset: {?t :usesTool ?tool . ?t :isPartOf ?conv}
@@ -1967,6 +1975,7 @@ def queries() -> dict[str, Callable]:
         "curation_mix_sources": _q_curation_mix_sources,
         "rel_quantile_sketch": _q_rel_quantile_sketch,
         "rel_full_outer_activity": _q_rel_full_outer,
+        "rel_mad_by_flag": _q_rel_mad,
     }
 
 
@@ -3021,6 +3030,18 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(o.n_orders, 0) AS n_orders,
                    COALESCE(o.orders_value_c, 0) AS orders_value_c
             FROM e FULL OUTER JOIN o ON e.k = o.k ORDER BY 1""",
+        "rel_mad_by_flag": """
+            WITH c AS (SELECT l_returnflag,
+                              CAST(round(l_extendedprice * 100) AS BIGINT)
+                                AS pc_
+                       FROM lineitem),
+            m AS (SELECT l_returnflag, quantile_disc(pc_, 0.5) AS med
+                  FROM c GROUP BY 1)
+            SELECT c.l_returnflag,
+                   CAST(quantile_disc(abs(c.pc_ - m.med), 0.5) AS BIGINT)
+                     AS mad_c
+            FROM c JOIN m USING (l_returnflag)
+            GROUP BY 1 ORDER BY 1""",
         "rel_ntile": """
             SELECT c_custkey, c_mktsegment,
                    CAST(NTILE(4) OVER (
