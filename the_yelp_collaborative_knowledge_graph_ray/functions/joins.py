@@ -288,3 +288,20 @@ def full_outer_unique(left: ray.data.Dataset, right: ray.data.Dataset,
 
     from .grouped import sorted_group_apply
     return sorted_group_apply(u, [key_col], combine, num_partitions)
+
+
+def probe_sorted(keys: "np.ndarray", vals: "np.ndarray", k: "np.ndarray",
+                 missing=None) -> "np.ndarray":
+    """Binary-search probe of a broadcast (sorted keys → vals) pair — the
+    vectorized core of every broadcast-dimension join in this repo: one
+    ``np.searchsorted`` per batch, no Python dict, no per-row loop.
+    Returns ``vals[i]`` where ``keys[i] == k`` else ``missing`` (defaults
+    to -1 in vals' dtype). Safe on an empty lookup."""
+    import numpy as np
+    if missing is None:
+        missing = vals.dtype.type(-1)
+    if len(keys) == 0:
+        return np.full(len(k), missing, vals.dtype)
+    idx = np.searchsorted(keys, k)
+    idx[idx == len(keys)] = 0
+    return np.where(keys[idx] == k, vals[idx], missing)

@@ -127,12 +127,10 @@ def orders_by_mktsegment(sf_dir: str) -> ray.data.Dataset:
             self.keys, self.codes = ray.get(lookup_ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
+            from ..functions.joins import probe_sorted
             k = pc.cast(b["o_custkey"], pa.int64()).combine_chunks() \
                 .to_numpy(zero_copy_only=False)
-            idx = np.searchsorted(self.keys, k)
-            idx[idx == len(self.keys)] = 0
-            codes = np.where(self.keys[idx] == k, self.codes[idx],
-                             np.int32(-1))
+            codes = probe_sorted(self.keys, self.codes, k)
             part = pa.table({
                 "seg_code": pa.array(codes, pa.int32()),
                 "price_c": _scaled_int(b["o_totalprice"], 100.0)})
@@ -236,12 +234,10 @@ def revenue_by_brand(sf_dir: str) -> ray.data.Dataset:
             self.keys, self.codes = ray.get(lookup_ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
+            from ..functions.joins import probe_sorted
             k = pc.cast(b["l_partkey"], pa.int64()).combine_chunks() \
                 .to_numpy(zero_copy_only=False)
-            idx = np.searchsorted(self.keys, k)
-            idx[idx == len(self.keys)] = 0
-            codes = np.where(self.keys[idx] == k, self.codes[idx],
-                             np.int32(-1))
+            codes = probe_sorted(self.keys, self.codes, k)
             rev = pc.multiply(b["l_extendedprice"],
                               pc.subtract(pa.scalar(1.0), b["l_discount"]))
             part_t = pa.table({"brand_code": pa.array(codes, pa.int32()),
@@ -1294,8 +1290,13 @@ def cov_qty_price(sf_dir: str) -> ray.data.Dataset:
         sx = b["sx"].to_numpy(zero_copy_only=False)
         sy = b["sy"].to_numpy(zero_copy_only=False)
         sxy = b["sxy"].to_numpy(zero_copy_only=False)
-        if (n * np.abs(sxy)).max(initial=0) >= (1 << 62) or \
-           (np.abs(sx) * np.abs(sy)).max(initial=0) >= (1 << 62):
+        # guard in float64 (never wraps) BEFORE the int64 products — an
+        # int64 product that already wrapped would sail past its own check
+        f = np.float64
+        if (n.astype(f) * np.abs(sxy).astype(f)).max(initial=0.0) \
+           >= float(1 << 62) or \
+           (np.abs(sx).astype(f) * np.abs(sy).astype(f)).max(initial=0.0) \
+           >= float(1 << 62):
             raise OverflowError("cov_qty_price: rescale units")
         return pa.table({"l_returnflag": b["l_returnflag"],
                          "n": pa.array(n, pa.int64()),
@@ -1341,13 +1342,19 @@ def time_weighted_value(sf_dir: str) -> ray.data.Dataset:
         dt[same] = (ts[1:] - ts[:-1])[same[:-1]]
         num = np.zeros(int(g[-1]) + 1, np.int64)
         den = np.zeros(int(g[-1]) + 1, np.int64)
-        contrib = v * dt
-        if np.abs(contrib).max(initial=0) >= (1 << 61):
+        # guard in float64 BEFORE multiplying/accumulating in int64: a
+        # wrapped product or sum would pass its own post-hoc check
+        fv = np.abs(v).astype(np.float64)
+        fdt = dt.astype(np.float64)
+        if (fv * fdt).max(initial=0.0) >= float(1 << 61):
             raise OverflowError("time_weighted_value: rescale units")
+        fnum = np.zeros(int(g[-1]) + 1, np.float64)
+        np.add.at(fnum, g, fv * fdt)
+        if fnum.max(initial=0.0) >= float(1 << 62):
+            raise OverflowError("time_weighted_value: rescale units")
+        contrib = v * dt
         np.add.at(num, g, contrib)
         np.add.at(den, g, dt)
-        if np.abs(num).max(initial=0) >= (1 << 62):
-            raise OverflowError("time_weighted_value: rescale units")
         keep = den > 0
         uid = b["user_id"].take(pa.array(order[starts])) \
             .combine_chunks().to_numpy(zero_copy_only=False)
@@ -1412,14 +1419,7 @@ def tpch_q5_local_volume(sf_dir: str, region: str = "ASIA",
     lo = pa.scalar(np.datetime64(date_lo, "us").item(), pa.timestamp("us"))
     hi = pa.scalar(np.datetime64(date_hi, "us").item(), pa.timestamp("us"))
 
-    def _probe(keys: np.ndarray, vals: np.ndarray, k: np.ndarray
-               ) -> np.ndarray:
-        """nationkey per key, -1 when absent; total on empty lookup."""
-        if len(keys) == 0:
-            return np.full(len(k), -1, np.int32)
-        idx = np.searchsorted(keys, k)
-        idx[idx == len(keys)] = 0
-        return np.where(keys[idx] == k, vals[idx], np.int32(-1))
+    from ..functions.joins import probe_sorted as _probe
 
     class OrderSide:
         def __init__(self):
@@ -1647,20 +1647,6 @@ def window_distinct_users(sf_dir: str, window_days: int = 7
 
     pairs = ev.map_batches(to_days, batch_format="pyarrow",
                            zero_copy_batch=True)
-    # tiny side pass: the global day span (two ints) for the final spine
-    span = pairs.map_batches(
-        lambda b: pa.table({"lo": pa.array([pc.min(b["day"]).as_py()],
-                                           pa.int64()),
-                            "hi": pa.array([pc.max(b["day"]).as_py()],
-                                           pa.int64())})
-        if b.num_rows else
-        pa.schema([("lo", pa.int64()), ("hi", pa.int64())]).empty_table(),
-        batch_format="pyarrow", batch_size=None).take_all()
-    if not span:
-        return ray.data.from_arrow(pa.schema(
-            [("day", pa.int64()), ("n_users", pa.int64())]).empty_table())
-    day_lo = min(r["lo"] for r in span)
-    day_hi = max(r["hi"] for r in span)
 
     def deltas_block(b: pa.Table) -> pa.Table:
         schema = pa.schema([("day", pa.int64()), ("delta", pa.int64())])
@@ -1695,13 +1681,20 @@ def window_distinct_users(sf_dir: str, window_days: int = 7
 
     def spine(b: pa.Table) -> pa.Table:
         schema = pa.schema([("day", pa.int64()), ("n_users", pa.int64())])
-        n_days = int(day_hi - day_lo + 1)
+        if b.num_rows == 0:
+            return schema.empty_table()
+        day = b["day"].to_numpy(zero_copy_only=False)
+        dlt = b["delta"].to_numpy(zero_copy_only=False)
+        # the span is already IN the delta table — no second corpus scan:
+        # the global min delta day is some user's first interval START
+        # (= the global min event day) and the global max delta day is the
+        # global max event day's interval END marker at max_day + w
+        day_lo = int(day.min())
+        day_hi = int(day.max()) - w
+        n_days = day_hi - day_lo + 1
         diff = np.zeros(n_days + 1, np.int64)
-        if b.num_rows:
-            day = b["day"].to_numpy(zero_copy_only=False)
-            dlt = b["delta"].to_numpy(zero_copy_only=False)
-            pos = np.clip(day - day_lo, 0, n_days)
-            np.add.at(diff, pos, dlt)
+        pos = np.clip(day - day_lo, 0, n_days)
+        np.add.at(diff, pos, dlt)
         counts = np.cumsum(diff)[:n_days]
         return pa.table({
             "day": pa.array(np.arange(day_lo, day_hi + 1), pa.int64()),

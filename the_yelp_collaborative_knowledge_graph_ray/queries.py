@@ -1775,7 +1775,10 @@ def _q_curation_mix_sources(sf_dir: str):
     from .functions.sampling import sample_weighted_mix
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "source"])
-    weights = {f"src{i}": i % 4 + 1 for i in range(100)}
+    # 1024 covers any scale factor's source cardinality (same convention
+    # as _STRAT_RATES); the oracle derives w from the name, so both sides
+    # agree for every srcN the generator can emit.
+    weights = {f"src{i}": i % 4 + 1 for i in range(1024)}
     return sample_weighted_mix(docs, "doc_id", "source", weights)
 
 
