@@ -1909,3 +1909,95 @@ def mad_prices_by_flag(sf_dir: str) -> ray.data.Dataset:
 
     return grouped_quantiles(dev, "l_returnflag", "dev", [0.5], 1) \
         .map_batches(finalize, batch_format="pyarrow", batch_size=None)
+
+
+def top_event_per_user(sf_dir: str) -> ray.data.Dataset:
+    """Per-group ARGMAX as a first-class relational query: each user's
+    single highest-value event (value compared in exact cents, event_id
+    tie-break). Rides `functions/topn.top_n_per_key` n=1, whose map-side
+    prune ships ONE row per (user, block) into the key sort — the
+    distributed argmax never moves the fact table.
+    Output (user_id, event_id, event_type, value_c).
+    """
+    from ..functions.topn import top_n_per_key
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(b["user_id"], pa.int64()),
+            "event_id": pc.cast(b["event_id"], pa.int64()),
+            "event_type": b["event_type"],
+            "value_c": _scaled_int(b["value"], 100.0)})
+
+    prepped = ev.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    out = top_n_per_key(prepped, ["user_id"],
+                        [("value_c", False), ("event_id", True)], 1, 8)
+    return out.map_batches(lambda b: b.drop_columns(["rank"]),
+                           batch_format="pyarrow", zero_copy_batch=True)
+
+
+def error_recovery_times(sf_dir: str, window_s: int = 3600
+                         ) -> ray.data.Dataset:
+    """Event-pattern join (MATCH_RECOGNIZE-lite): for every 'error' event,
+    the user's FIRST 'purchase' within the next ``window_s`` seconds — the
+    incident-recovery / next-conversion-after-failure shape.
+
+    ONE user-key sort colocates each user's events; inside a block the
+    match is pure vectorized numpy: both sides sorted by (user, ts,
+    event_id), a `searchsorted` of error times into an offset-composed
+    key (user-rank ≪ combined with time) finds each error's next purchase
+    in O(log n) — never the quadratic self-join the SQL oracle runs.
+    Output (error_id, purchase_id, delta_us) for matched errors only.
+    """
+    from ..functions.grouped import group_ids, sorted_group_apply
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id",
+                                          "event_type", "ts"])
+    win_us = window_s * 10**6
+
+    def match_block(b: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("error_id", pa.int64()),
+                                ("purchase_id", pa.int64()),
+                                ("delta_us", pa.int64())])
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        gid, _ = group_ids(b, ["user_id"])
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = b["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        kind = b["event_type"].combine_chunks()
+        is_err = pc.equal(kind, "error").to_numpy(zero_copy_only=False)
+        is_buy = pc.equal(kind, "purchase").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, gid))
+        g, t, e = gid[order], ts[order], eid[order]
+        err = is_err[order]
+        buy = is_buy[order]
+        # purchases per (group, time): searchsorted over a composed key —
+        # group stride makes cross-user matches impossible
+        bt = t[buy]
+        bg = g[buy]
+        be = e[buy]
+        if not len(bt):
+            return out_schema.empty_table()
+        span = np.int64(1) << 42  # |ts| < 2^42 us from epoch? NO: rebase
+        t0 = t.min()
+        rt = t - t0  # rebased block-local times
+        if rt.max(initial=0) >= span:
+            raise OverflowError("error_recovery: time span exceeds 2^42 us"
+                                " — widen the key layout")
+        bkey = bg * span + rt[buy]
+        ekey = g[err] * span + rt[err]
+        pos = np.searchsorted(bkey, ekey, side="right")
+        ok = pos < len(bkey)
+        posc = np.minimum(pos, len(bkey) - 1)
+        same = bg[posc] == g[err]
+        dt = bt[posc] - t[err]
+        hit = ok & same & (dt > 0) & (dt <= win_us)
+        return pa.table({
+            "error_id": pa.array(e[err][hit], pa.int64()),
+            "purchase_id": pa.array(be[posc][hit], pa.int64()),
+            "delta_us": pa.array(dt[hit], pa.int64())}, schema=out_schema)
+
+    return sorted_group_apply(ev, ["user_id"], match_block, 8)

@@ -1806,6 +1806,22 @@ def _q_rel_mad(sf_dir: str):
     return mad_prices_by_flag(sf_dir)
 
 
+def _q_events_argmax(sf_dir: str):
+    """Per-group ARGMAX (relational.top_event_per_user): each user's
+    highest-value event via top_n_per_key n=1 — map-side prune ships one
+    row per (user, block)."""
+    from .pipelines.relational import top_event_per_user
+    return top_event_per_user(sf_dir)
+
+
+def _q_events_error_recovery(sf_dir: str):
+    """Event-pattern join (relational.error_recovery_times): first
+    purchase within 1h after each error, per user — composed-key
+    searchsorted inside sorted blocks, never a quadratic self-join."""
+    from .pipelines.relational import error_recovery_times
+    return error_recovery_times(sf_dir)
+
+
 def _q_kg_bgp_conv_tools(sf_dir: str):
     """Generic SPARQL-style BGP matcher (functions/bgp.bgp_match) run over
     the actual triple Dataset: {?t :usesTool ?tool . ?t :isPartOf ?conv}
@@ -1979,6 +1995,8 @@ def queries() -> dict[str, Callable]:
         "rel_quantile_sketch": _q_rel_quantile_sketch,
         "rel_full_outer_activity": _q_rel_full_outer,
         "rel_mad_by_flag": _q_rel_mad,
+        "events_top_per_user": _q_events_argmax,
+        "events_error_recovery": _q_events_error_recovery,
     }
 
 
@@ -3045,6 +3063,31 @@ def oracle_sql() -> dict[str, str]:
                      AS mad_c
             FROM c JOIN m USING (l_returnflag)
             GROUP BY 1 ORDER BY 1""",
+        "events_top_per_user": """
+            SELECT user_id, event_id, event_type, value_c FROM (
+              SELECT user_id, event_id, event_type,
+                     CAST(round(value * 100) AS BIGINT) AS value_c,
+                     row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(round(value * 100) AS BIGINT) DESC,
+                                event_id) AS rk
+              FROM events)
+            WHERE rk = 1 ORDER BY 1""",
+        "events_error_recovery": """
+            WITH err AS (SELECT event_id AS error_id, user_id, ts
+                         FROM events WHERE event_type = 'error'),
+            buy AS (SELECT event_id AS purchase_id, user_id, ts
+                    FROM events WHERE event_type = 'purchase'),
+            m AS (SELECT e.error_id, b.purchase_id,
+                         epoch_us(b.ts) - epoch_us(e.ts) AS delta_us,
+                         row_number() OVER (
+                           PARTITION BY e.error_id
+                           ORDER BY b.ts, b.purchase_id) AS rk
+                  FROM err e JOIN buy b ON b.user_id = e.user_id
+                   AND b.ts > e.ts
+                   AND epoch_us(b.ts) - epoch_us(e.ts) <= 3600000000)
+            SELECT error_id, purchase_id, delta_us
+            FROM m WHERE rk = 1 ORDER BY 1""",
         "rel_ntile": """
             SELECT c_custkey, c_mktsegment,
                    CAST(NTILE(4) OVER (
