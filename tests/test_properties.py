@@ -156,3 +156,34 @@ def test_full_outer_unique_matches_duckdb(ray_session, lmap, rmap):
                COALESCE(lt.lv, 0) AS lv, COALESCE(rt.rv, 0) AS rv
         FROM lt FULL OUTER JOIN rt ON lt.k = rt.k ORDER BY 1""").df()
     assert got.values.tolist() == want.values.tolist()
+
+
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=8),
+                          st.integers(min_value=0, max_value=8)),
+                min_size=1, max_size=200))
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_skyline_matches_duckdb(ray_session, pts):
+    """Per-block pareto prune + final pass == strict-dominance NOT EXISTS,
+    under heavy duplicate mass and arbitrary block splits (tiny value
+    domain forces ties in both dimensions)."""
+    from the_yelp_collaborative_knowledge_graph_ray.pipelines.relational \
+        import pareto_block
+
+    t = pa.table({"l_orderkey": pa.array(range(len(pts)), pa.int64()),
+                  "l_linenumber": pa.array([0] * len(pts), pa.int32()),
+                  "price_c": pa.array([p for p, _ in pts], pa.int64()),
+                  "qty": pa.array([q for _, q in pts], pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = ds.map_batches(pareto_block, batch_format="pyarrow") \
+        .repartition(1).map_batches(pareto_block, batch_format="pyarrow",
+                                    batch_size=None).to_pandas()
+    got = out.sort_values(["l_orderkey"]).reset_index(drop=True)
+    want = duckdb.sql("""
+        SELECT l_orderkey, l_linenumber, price_c, qty FROM t a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM t b
+          WHERE b.price_c <= a.price_c AND b.qty >= a.qty
+            AND (b.price_c < a.price_c OR b.qty > a.qty))
+        ORDER BY 1""").df()
+    assert got.values.tolist() == want.values.tolist()

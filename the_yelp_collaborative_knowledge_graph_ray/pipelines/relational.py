@@ -2001,3 +2001,82 @@ def error_recovery_times(sf_dir: str, window_s: int = 3600
             "delta_us": pa.array(dt[hit], pa.int64())}, schema=out_schema)
 
     return sorted_group_apply(ev, ["user_id"], match_block, 8)
+
+
+def pareto_block(b: pa.Table) -> pa.Table:
+    """Exact skyline of one block on (minimize price_c, maximize qty) under
+    STRICT dominance (exact duplicates all survive). Vectorized sweep: sort
+    (price asc, qty desc); a row survives iff its qty equals its price-run's
+    max and beats every strictly-cheaper run's max. Lossless as a per-block
+    prune: dominance by a block-mate implies global dominance."""
+    if b.num_rows == 0:
+        return b
+    p = b["price_c"].combine_chunks().to_numpy(zero_copy_only=False)
+    q = b["qty"].combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.lexsort((-q, p))
+    ps, qs = p[order], q[order]
+    new_run = np.empty(len(ps), bool)
+    new_run[0] = True
+    new_run[1:] = ps[1:] != ps[:-1]
+    run_id = np.cumsum(new_run) - 1
+    run_max = qs[new_run]  # qty desc within a price run
+    # strictly-cheaper runs' best qty, exclusive prefix max
+    before = np.empty(len(run_max), np.int64)
+    before[0] = np.iinfo(np.int64).min
+    np.maximum.accumulate(run_max[:-1], out=before[1:])
+    survive = (qs == run_max[run_id]) & (run_max[run_id] > before[run_id])
+    return b.take(pa.array(order[survive]))
+
+
+def skyline_lineitem(sf_dir: str) -> ray.data.Dataset:
+    """SKYLINE (Pareto frontier) query: lineitems not STRICTLY dominated on
+    (minimize price, maximize quantity) — the multi-objective shortlist
+    operator (Börzsönyi et al., ICDE 2001, public).
+
+    Distribution exploits dominance monotonicity: a point dominated by a
+    BLOCK-mate is dominated globally, so a per-block skyline prune is
+    lossless and the all-to-all ships only local survivors (~log-sized on
+    independent dims); ONE small final block runs the same kernel for the
+    exact global answer. The kernel is a vectorized sweep: sort by (price
+    asc, qty desc); a row survives iff its qty equals its price-run's max
+    AND beats every strictly-cheaper run's max (exact-duplicate points all
+    survive, matching SQL's strict-dominance NOT EXISTS).
+    Output (l_orderkey, l_linenumber, price_c, qty).
+    """
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity",
+                        "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": pc.cast(b["l_orderkey"], pa.int64()),
+            "l_linenumber": pc.cast(b["l_linenumber"], pa.int32()),
+            "price_c": _scaled_int(b["l_extendedprice"], 100.0),
+            "qty": pc.cast(pc.floor(b["l_quantity"]), pa.int64())})
+
+    survivors = li.map_batches(prep, batch_format="pyarrow",
+                               zero_copy_batch=True) \
+        .map_batches(pareto_block, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    return survivors.repartition(1).map_batches(
+        pareto_block, batch_format="pyarrow", batch_size=None)
+
+
+def mode_event_per_user(sf_dir: str) -> ray.data.Dataset:
+    """Grouped MODE: each user's most frequent event type (count desc,
+    lexically-smallest tie-break) — the categorical companion to the
+    numeric argmax. Composition of two engine primitives: exact
+    (user, type) counts via `grouped_count` (map-side combine collapses a
+    block to its distinct pairs before the shuffle), then
+    `top_n_per_key` n=1 over the counts table. Output
+    (user_id, event_type, n).
+    """
+    from ..functions.grouped import grouped_count
+    from ..functions.topn import top_n_per_key
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    counts = grouped_count(ev, ["user_id", "event_type"], "n", 8)
+    out = top_n_per_key(counts, ["user_id"],
+                        [("n", False), ("event_type", True)], 1, 4)
+    return out.map_batches(lambda b: b.drop_columns(["rank"]),
+                           batch_format="pyarrow", zero_copy_batch=True)

@@ -1822,6 +1822,20 @@ def _q_events_error_recovery(sf_dir: str):
     return error_recovery_times(sf_dir)
 
 
+def _q_rel_skyline(sf_dir: str):
+    """SKYLINE / Pareto frontier (relational.skyline_lineitem): lossless
+    per-block dominance prune + one small exact final block."""
+    from .pipelines.relational import skyline_lineitem
+    return skyline_lineitem(sf_dir)
+
+
+def _q_events_mode(sf_dir: str):
+    """Grouped MODE (relational.mode_event_per_user): exact pair counts +
+    top-1 per key, deterministic lexical tie-break."""
+    from .pipelines.relational import mode_event_per_user
+    return mode_event_per_user(sf_dir)
+
+
 def _q_kg_bgp_conv_tools(sf_dir: str):
     """Generic SPARQL-style BGP matcher (functions/bgp.bgp_match) run over
     the actual triple Dataset: {?t :usesTool ?tool . ?t :isPartOf ?conv}
@@ -1997,6 +2011,8 @@ def queries() -> dict[str, Callable]:
         "rel_mad_by_flag": _q_rel_mad,
         "events_top_per_user": _q_events_argmax,
         "events_error_recovery": _q_events_error_recovery,
+        "rel_skyline": _q_rel_skyline,
+        "events_mode_per_user": _q_events_mode,
     }
 
 
@@ -3088,6 +3104,26 @@ def oracle_sql() -> dict[str, str]:
                    AND epoch_us(b.ts) - epoch_us(e.ts) <= 3600000000)
             SELECT error_id, purchase_id, delta_us
             FROM m WHERE rk = 1 ORDER BY 1""",
+        "rel_skyline": """
+            WITH p AS (SELECT l_orderkey, l_linenumber,
+                              CAST(round(l_extendedprice * 100) AS BIGINT)
+                                AS price_c,
+                              CAST(floor(l_quantity) AS BIGINT) AS qty
+                       FROM lineitem)
+            SELECT l_orderkey, l_linenumber, price_c, qty
+            FROM p a WHERE NOT EXISTS (
+              SELECT 1 FROM p b
+              WHERE b.price_c <= a.price_c AND b.qty >= a.qty
+                AND (b.price_c < a.price_c OR b.qty > a.qty))
+            ORDER BY 1, 2""",
+        "events_mode_per_user": """
+            SELECT user_id, event_type, n FROM (
+              SELECT user_id, event_type, count(*) AS n,
+                     row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY count(*) DESC, event_type) AS rk
+              FROM events GROUP BY 1, 2)
+            WHERE rk = 1 ORDER BY 1""",
         "rel_ntile": """
             SELECT c_custkey, c_mktsegment,
                    CAST(NTILE(4) OVER (
