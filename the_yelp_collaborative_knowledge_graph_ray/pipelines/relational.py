@@ -2080,3 +2080,106 @@ def mode_event_per_user(sf_dir: str) -> ray.data.Dataset:
                         [("n", False), ("event_type", True)], 1, 4)
     return out.map_batches(lambda b: b.drop_columns(["rank"]),
                            batch_format="pyarrow", zero_copy_batch=True)
+
+
+def type_diversity_per_user(sf_dir: str) -> ray.data.Dataset:
+    """Grouped GINI-IMPURITY diversity in exact integers: per user report
+    n (events) and sum_sq (Σ count(type)²) — the categorical-diversity
+    metric with zero float association; callers present
+    gini = 1 − sum_sq/n² at display time.
+
+    Two map-side-combined aggregates back to back: exact (user, type)
+    counts via `grouped_count`, then per-block fold of n/Σn² partials into
+    one tiny keyed sum — the type table (users × types) is the only thing
+    the second exchange moves. Output (user_id, n, sum_sq).
+    """
+    from ..functions.grouped import grouped_count, sorted_aggregate
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    counts = grouped_count(ev, ["user_id", "event_type"], "n", 8)
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        t = pa.table({"user_id": pc.cast(b["user_id"], pa.int64()),
+                      "n": pa.array(n, pa.int64()),
+                      "sum_sq": pa.array(n * n, pa.int64())})
+        return t.group_by(["user_id"], use_threads=False).aggregate(
+            [("n", "sum"), ("sum_sq", "sum")]) \
+            .rename_columns(["user_id", "n", "sum_sq"])
+
+    return sorted_aggregate(
+        counts.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["user_id"], [("n", "sum"), ("sum_sq", "sum")],
+        ["user_id", "n", "sum_sq"], 4)
+
+
+def type_xcorr_daily(sf_dir: str, type_a: str = "click",
+                     type_b: str = "purchase") -> ray.data.Dataset:
+    """Cross-correlation of two event-type DAILY-COUNT series at lags
+    −1/0/+1, in exact integers: dot(lag) = Σ_d a(d)·b(d+lag) plus the
+    overlapping-day count — the time-series alignment probe ("do clicks
+    lead purchases by a day?"); normalization is presentation-time.
+
+    One `grouped_count` over (day, type) reduces the corpus to a
+    days×2 table; the lag products happen in ONE small block via numpy
+    searchsorted alignment (no day self-join ever touches the events).
+    Output (lag, dot, n_days) for each lag.
+    """
+    from ..functions.grouped import grouped_count
+
+    ev = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def to_day(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b["event_type"],
+                     value_set=pa.array([type_a, type_b]))
+        t = b.filter(m)
+        ts = t["ts"].combine_chunks().to_numpy() \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({"day": pa.array(ts // 86_400_000_000, pa.int64()),
+                         "event_type": t["event_type"]})
+
+    days = ev.map_batches(to_day, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    counts = grouped_count(days, ["day", "event_type"], "n", 1)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        schema = pa.schema([("lag", pa.int64()), ("dot", pa.int64()),
+                            ("n_days", pa.int64())])
+        if b.num_rows == 0:
+            return schema.empty_table()
+        day = b["day"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False)
+        kind = b["event_type"].combine_chunks()
+        a_m = pc.equal(kind, type_a).to_numpy(zero_copy_only=False)
+        b_m = pc.equal(kind, type_b).to_numpy(zero_copy_only=False)
+        ad, av = day[a_m], n[a_m]
+        bd, bv = day[b_m], n[b_m]
+        ao = np.argsort(ad)
+        ad, av = ad[ao], av[ao]
+        bo = np.argsort(bd)
+        bd, bv = bd[bo], bv[bo]
+        # float-domain guard BEFORE the int64 products (wrapped products
+        # pass their own check)
+        if float(av.max(initial=0)) * float(bv.max(initial=0)) \
+           * max(len(ad), 1) >= float(1 << 62):
+            raise OverflowError("type_xcorr_daily: rescale counts")
+        lags, dots, nds = [], [], []
+        for lag in (-1, 0, 1):
+            # align a(d) with b(d + lag) via searchsorted on sorted days
+            tgt = ad + lag
+            pos = np.searchsorted(bd, tgt)
+            ok = pos < len(bd)
+            posc = np.minimum(pos, max(len(bd) - 1, 0))
+            hit = ok & (len(bd) > 0) & (bd[posc] == tgt) \
+                if len(bd) else np.zeros(len(ad), bool)
+            lags.append(lag)
+            dots.append(int((av[hit] * bv[posc[hit]]).sum()))
+            nds.append(int(hit.sum()))
+        return pa.table({"lag": pa.array(lags, pa.int64()),
+                         "dot": pa.array(dots, pa.int64()),
+                         "n_days": pa.array(nds, pa.int64())},
+                        schema=schema)
+
+    return counts.map_batches(finalize, batch_format="pyarrow",
+                              batch_size=None)

@@ -1836,6 +1836,22 @@ def _q_events_mode(sf_dir: str):
     return mode_event_per_user(sf_dir)
 
 
+def _q_events_diversity(sf_dir: str):
+    """Grouped Gini-impurity diversity in exact integers
+    (relational.type_diversity_per_user): (n, Σ count²) per user, float
+    division at presentation time."""
+    from .pipelines.relational import type_diversity_per_user
+    return type_diversity_per_user(sf_dir)
+
+
+def _q_events_xcorr(sf_dir: str):
+    """Daily cross-correlation at lags −1/0/+1
+    (relational.type_xcorr_daily): exact integer dot products over the
+    tiny days×2 count table, searchsorted alignment."""
+    from .pipelines.relational import type_xcorr_daily
+    return type_xcorr_daily(sf_dir)
+
+
 def _q_kg_bgp_conv_tools(sf_dir: str):
     """Generic SPARQL-style BGP matcher (functions/bgp.bgp_match) run over
     the actual triple Dataset: {?t :usesTool ?tool . ?t :isPartOf ?conv}
@@ -2013,6 +2029,8 @@ def queries() -> dict[str, Callable]:
         "events_error_recovery": _q_events_error_recovery,
         "rel_skyline": _q_rel_skyline,
         "events_mode_per_user": _q_events_mode,
+        "events_type_diversity": _q_events_diversity,
+        "events_type_xcorr": _q_events_xcorr,
     }
 
 
@@ -3124,6 +3142,28 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY count(*) DESC, event_type) AS rk
               FROM events GROUP BY 1, 2)
             WHERE rk = 1 ORDER BY 1""",
+        "events_type_diversity": """
+            WITH c AS (SELECT user_id, event_type, count(*) AS n
+                       FROM events GROUP BY 1, 2)
+            SELECT user_id, CAST(sum(n) AS BIGINT) AS n,
+                   CAST(sum(n * n) AS BIGINT) AS sum_sq
+            FROM c GROUP BY 1 ORDER BY 1""",
+        "events_type_xcorr": """
+            WITH d AS (SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT)
+                              // 86400 AS day,
+                              event_type
+                       FROM events
+                       WHERE event_type IN ('click', 'purchase')),
+            c AS (SELECT day, event_type, count(*) AS n
+                  FROM d GROUP BY 1, 2),
+            a AS (SELECT day, n FROM c WHERE event_type = 'click'),
+            b AS (SELECT day, n FROM c WHERE event_type = 'purchase'),
+            l(lag) AS (VALUES (-1), (0), (1))
+            SELECT CAST(l.lag AS BIGINT) AS lag,
+                   CAST(coalesce(sum(a.n * b.n), 0) AS BIGINT) AS dot,
+                   count(b.day) AS n_days
+            FROM l CROSS JOIN a LEFT JOIN b ON b.day = a.day + l.lag
+            GROUP BY 1 ORDER BY 1""",
         "rel_ntile": """
             SELECT c_custkey, c_mktsegment,
                    CAST(NTILE(4) OVER (
