@@ -3122,17 +3122,23 @@ def oracle_sql() -> dict[str, str]:
                    AND epoch_us(b.ts) - epoch_us(e.ts) <= 3600000000)
             SELECT error_id, purchase_id, delta_us
             FROM m WHERE rk = 1 ORDER BY 1""",
+        # window form of strict-dominance skyline — equivalent to the
+        # quadratic NOT EXISTS (verified equal at sf0.001/0.01) but
+        # O(n log n): survive iff qty == its price-run's max AND that max
+        # beats every strictly-cheaper run's max
         "rel_skyline": """
             WITH p AS (SELECT l_orderkey, l_linenumber,
                               CAST(round(l_extendedprice * 100) AS BIGINT)
                                 AS price_c,
                               CAST(floor(l_quantity) AS BIGINT) AS qty
-                       FROM lineitem)
-            SELECT l_orderkey, l_linenumber, price_c, qty
-            FROM p a WHERE NOT EXISTS (
-              SELECT 1 FROM p b
-              WHERE b.price_c <= a.price_c AND b.qty >= a.qty
-                AND (b.price_c < a.price_c OR b.qty > a.qty))
+                       FROM lineitem),
+            r AS (SELECT *, max(qty) OVER (PARTITION BY price_c) AS qmax,
+                         max(qty) OVER (ORDER BY price_c
+                           RANGE BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS bef
+                  FROM p)
+            SELECT l_orderkey, l_linenumber, price_c, qty FROM r
+            WHERE qty = qmax AND (bef IS NULL OR qmax > bef)
             ORDER BY 1, 2""",
         "events_mode_per_user": """
             SELECT user_id, event_type, n FROM (
