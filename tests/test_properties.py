@@ -187,3 +187,33 @@ def test_skyline_matches_duckdb(ray_session, pts):
             AND (b.price_c < a.price_c OR b.qty > a.qty))
         ORDER BY 1""").df()
     assert got.values.tolist() == want.values.tolist()
+
+
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=3),
+                          st.integers(min_value=0, max_value=4)),
+                min_size=1, max_size=120),
+       st.integers(min_value=1, max_value=4))
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_top_n_with_ties_matches_duckdb(ray_session, rows_kv, n):
+    """WITH TIES top-n == SQL RANK() <= n under tie-saturated domains and
+    arbitrary block splits (value domain of 5 forces giant tie runs)."""
+    from the_yelp_collaborative_knowledge_graph_ray.functions.topn import (
+        top_n_with_ties_per_key,
+    )
+
+    t = pa.table({"k": pa.array([k for k, _ in rows_kv], pa.int64()),
+                  "rid": pa.array(range(len(rows_kv)), pa.int64()),
+                  "v": pa.array([v for _, v in rows_kv], pa.int64())})
+    got = top_n_with_ties_per_key(
+        ray.data.from_arrow(t).repartition(4), ["k"], [("v", False)], n,
+        2).to_pandas().sort_values(["k", "rid"]).reset_index(drop=True)
+    want = duckdb.sql(f"""
+        SELECT k, rid, v, rank FROM (
+          SELECT k, rid, v,
+                 CAST(RANK() OVER (PARTITION BY k ORDER BY v DESC)
+                      AS BIGINT) AS rank
+          FROM t)
+        WHERE rank <= {n} ORDER BY k, rid""").df()
+    assert got[["k", "rid", "v", "rank"]].values.tolist() == \
+        want.values.tolist()

@@ -1852,6 +1852,31 @@ def _q_events_xcorr(sf_dir: str):
     return type_xcorr_daily(sf_dir)
 
 
+def _q_events_topk_ties(sf_dir: str):
+    """FETCH FIRST n WITH TIES per key (topn.top_n_with_ties_per_key ==
+    SQL RANK() <= n): whole tie-runs survive together; monotone map-side
+    prune, rank column matches SQL RANK."""
+    import ray.data as rd
+
+    from .functions.topn import top_n_with_ties_per_key
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "value"])
+
+    def prep(b):
+        import pyarrow as pa_
+        import pyarrow.compute as pc_
+        return pa_.table({
+            "user_id": pc_.cast(b["user_id"], pa_.int64()),
+            "event_id": pc_.cast(b["event_id"], pa_.int64()),
+            "value_c": pc_.cast(pc_.round(pc_.multiply(
+                b["value"], pa_.scalar(100.0))), pa_.int64())})
+
+    prepped = ev.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return top_n_with_ties_per_key(prepped, ["user_id"],
+                                   [("value_c", False)], 2, 8)
+
+
 def _q_kg_bgp_conv_tools(sf_dir: str):
     """Generic SPARQL-style BGP matcher (functions/bgp.bgp_match) run over
     the actual triple Dataset: {?t :usesTool ?tool . ?t :isPartOf ?conv}
@@ -2031,6 +2056,7 @@ def queries() -> dict[str, Callable]:
         "events_mode_per_user": _q_events_mode,
         "events_type_diversity": _q_events_diversity,
         "events_type_xcorr": _q_events_xcorr,
+        "events_topk_with_ties": _q_events_topk_ties,
     }
 
 
@@ -3170,6 +3196,16 @@ def oracle_sql() -> dict[str, str]:
                    count(b.day) AS n_days
             FROM l CROSS JOIN a LEFT JOIN b ON b.day = a.day + l.lag
             GROUP BY 1 ORDER BY 1""",
+        "events_topk_with_ties": """
+            SELECT user_id, event_id, value_c, rank FROM (
+              SELECT user_id, event_id,
+                     CAST(round(value * 100) AS BIGINT) AS value_c,
+                     CAST(RANK() OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(round(value * 100) AS BIGINT) DESC)
+                       AS BIGINT) AS rank
+              FROM events)
+            WHERE rank <= 2 ORDER BY 1, 3 DESC, 2""",
         "rel_ntile": """
             SELECT c_custkey, c_mktsegment,
                    CAST(NTILE(4) OVER (
