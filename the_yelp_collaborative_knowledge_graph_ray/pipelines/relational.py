@@ -2183,3 +2183,88 @@ def type_xcorr_daily(sf_dir: str, type_a: str = "click",
 
     return counts.map_batches(finalize, batch_format="pyarrow",
                               batch_size=None)
+
+
+def ffill_last_purchase(sf_dir: str) -> ray.data.Dataset:
+    """Forward-fill imputation (LOCF): at EVERY event, the user's most
+    recent purchase value so far (including a purchase row itself) — the
+    missing-data carry-forward every feature pipeline needs.
+
+    ONE user sort, then a fully vectorized segmented fill: each row maps
+    to the index of the last purchase at-or-before it IN ITS GROUP via a
+    single `np.maximum.accumulate` over group-composed keys
+    (g·(N+1) + idx+1 — group id strictly grows down the sorted block, so
+    the running max can never leak a previous user's purchase). Missing
+    history is zero-filled with a has_prior flag (null-free, hash-exact).
+    Output (event_id, user_id, last_purchase_c, has_prior).
+    """
+    from ..functions.grouped import group_ids, sorted_group_apply
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id",
+                                          "event_type", "ts", "value"])
+
+    def fill_block(b: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("event_id", pa.int64()),
+                                ("user_id", pa.int64()),
+                                ("last_purchase_c", pa.int64()),
+                                ("has_prior", pa.int64())])
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        gid, _ = group_ids(b, ["user_id"])
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = b["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        uid = b["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        vc = _scaled_int(b["value"], 100.0).to_numpy()
+        mark = pc.equal(b["event_type"].combine_chunks(),
+                        "purchase").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, gid))
+        g, e, u, v, m = (gid[order], eid[order], uid[order], vc[order],
+                         mark[order])
+        n = len(g)
+        base = g.astype(np.int64) * np.int64(n + 1)
+        gval = base + np.where(m, np.arange(n, dtype=np.int64) + 1, 0)
+        acc = np.maximum.accumulate(gval)
+        has = acc > base  # a purchase seen in THIS group at/before row
+        src = np.maximum(acc - base - 1, 0)
+        last = np.where(has, v[src], 0)
+        return pa.table({
+            "event_id": pa.array(e, pa.int64()),
+            "user_id": pa.array(u.astype(np.int64), pa.int64()),
+            "last_purchase_c": pa.array(last, pa.int64()),
+            "has_prior": pa.array(has.astype(np.int64), pa.int64())},
+            schema=out_schema)
+
+    return sorted_group_apply(ev, ["user_id"], fill_block, 8)
+
+
+def unpivot_lineitem_measures(sf_dir: str) -> ray.data.Dataset:
+    """UNPIVOT (wide→long reshape): each lineitem's (quantity, price,
+    discount) columns become three (measure, value_c) rows — the
+    melt/long-format step feature stores and plotting layers expect.
+    Stateless per-block Arrow concat (zero shuffle, 3× row fan-out);
+    values in exact fixed point (qty ×100 to share one scale).
+    Output (l_orderkey, l_linenumber, measure, value_c).
+    """
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity",
+                        "l_extendedprice", "l_discount"])
+
+    def melt(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        ok = pc.cast(b["l_orderkey"], pa.int64()).combine_chunks()
+        ln = pc.cast(b["l_linenumber"], pa.int32()).combine_chunks()
+        cols = [("quantity", _scaled_int(b["l_quantity"], 100.0)),
+                ("price", _scaled_int(b["l_extendedprice"], 100.0)),
+                ("discount", _scaled_int(b["l_discount"], 100.0))]
+        return pa.table({
+            "l_orderkey": pa.concat_arrays([ok] * 3),
+            "l_linenumber": pa.concat_arrays([ln] * 3),
+            "measure": pa.concat_arrays(
+                [pa.array([name] * n, pa.string())
+                 for name, _ in cols]),
+            "value_c": pa.concat_arrays(
+                [v.combine_chunks() if isinstance(v, pa.ChunkedArray)
+                 else v for _, v in cols])})
+
+    return li.map_batches(melt, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -1877,6 +1877,21 @@ def _q_events_topk_ties(sf_dir: str):
                                    [("value_c", False)], 2, 8)
 
 
+def _q_events_ffill(sf_dir: str):
+    """Forward-fill / LOCF imputation (relational.ffill_last_purchase):
+    segmented fill via ONE maximum.accumulate over group-composed keys;
+    zero-fill + has_prior flag."""
+    from .pipelines.relational import ffill_last_purchase
+    return ffill_last_purchase(sf_dir)
+
+
+def _q_rel_unpivot(sf_dir: str):
+    """UNPIVOT / melt (relational.unpivot_lineitem_measures): wide→long
+    reshape as a stateless per-block Arrow concat, zero shuffle."""
+    from .pipelines.relational import unpivot_lineitem_measures
+    return unpivot_lineitem_measures(sf_dir)
+
+
 def _q_kg_bgp_conv_tools(sf_dir: str):
     """Generic SPARQL-style BGP matcher (functions/bgp.bgp_match) run over
     the actual triple Dataset: {?t :usesTool ?tool . ?t :isPartOf ?conv}
@@ -2057,6 +2072,8 @@ def queries() -> dict[str, Callable]:
         "events_type_diversity": _q_events_diversity,
         "events_type_xcorr": _q_events_xcorr,
         "events_topk_with_ties": _q_events_topk_ties,
+        "events_ffill_purchase": _q_events_ffill,
+        "rel_unpivot_measures": _q_rel_unpivot,
     }
 
 
@@ -3206,6 +3223,35 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) AS rank
               FROM events)
             WHERE rank <= 2 ORDER BY 1, 3 DESC, 2""",
+        "events_ffill_purchase": """
+            WITH s AS (SELECT event_id, user_id, ts,
+                              CASE WHEN event_type = 'purchase'
+                                   THEN CAST(round(value * 100) AS BIGINT)
+                              END AS pc_
+                       FROM events)
+            SELECT event_id, user_id,
+                   coalesce(last_value(pc_ IGNORE NULLS) OVER w, 0)
+                     AS last_purchase_c,
+                   CASE WHEN last_value(pc_ IGNORE NULLS) OVER w IS NULL
+                        THEN 0 ELSE 1 END AS has_prior
+            FROM s
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+            ORDER BY 1""",
+        "rel_unpivot_measures": """
+            SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+                   CAST(round(l_quantity * 100) AS BIGINT) AS value_c
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'price',
+                   CAST(round(l_extendedprice * 100) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'discount',
+                   CAST(round(l_discount * 100) AS BIGINT)
+            FROM lineitem
+            ORDER BY 1, 2, 3""",
         "rel_ntile": """
             SELECT c_custkey, c_mktsegment,
                    CAST(NTILE(4) OVER (
