@@ -2268,3 +2268,122 @@ def unpivot_lineitem_measures(sf_dir: str) -> ray.data.Dataset:
 
     return li.map_batches(melt, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def ols_qty_price_by_flag(sf_dir: str) -> ray.data.Dataset:
+    """Grouped OLS REGRESSION SLOPE in exact integers — the one-feature
+    linear-fit family on the same moment sums as :func:`cov_qty_price`:
+
+        slope = (n·Sxy − Sx·Sy) / (n·Sxx − Sx²)  =  slope_num / slope_den
+
+    Both terms are int64, shuffle-order-exact and hash-gateable; the float
+    division is presentation-time. One map-side moment pass (adds Sxx to
+    the covariance partials), one tiny grouped sum, float-domain overflow
+    guards before every int64 product. Output
+    (l_returnflag, n, slope_num, slope_den).
+    """
+    from ..functions.grouped import sorted_aggregate
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = pc.cast(pc.floor(b["l_quantity"]), pa.int64())
+        y = pc.cast(pc.floor(b["l_extendedprice"]), pa.int64())
+        t = pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "n": pa.nulls(b.num_rows, pa.int64()).fill_null(1),
+            "sx": x, "sy": y, "sxy": pc.multiply(x, y),
+            "sxx": pc.multiply(x, x)})
+        return t.group_by(["l_returnflag"], use_threads=False).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"), ("sxy", "sum"),
+             ("sxx", "sum")]) \
+            .rename_columns(["l_returnflag", "n", "sx", "sy", "sxy",
+                             "sxx"])
+
+    sums = sorted_aggregate(
+        li.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["l_returnflag"], [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+                           ("sxy", "sum"), ("sxx", "sum")],
+        ["l_returnflag", "n", "sx", "sy", "sxy", "sxx"], 1)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        schema = pa.schema([("l_returnflag", pa.string()),
+                            ("n", pa.int64()),
+                            ("slope_num", pa.int64()),
+                            ("slope_den", pa.int64())])
+        if b.num_rows == 0:
+            return schema.empty_table()
+        f = np.float64
+        n = b["n"].to_numpy(zero_copy_only=False)
+        sx = b["sx"].to_numpy(zero_copy_only=False)
+        sy = b["sy"].to_numpy(zero_copy_only=False)
+        sxy = b["sxy"].to_numpy(zero_copy_only=False)
+        sxx = b["sxx"].to_numpy(zero_copy_only=False)
+        lim = float(1 << 62)
+        if max((n.astype(f) * np.abs(sxy).astype(f)).max(initial=0.0),
+               (np.abs(sx).astype(f) * np.abs(sy).astype(f))
+               .max(initial=0.0),
+               (n.astype(f) * sxx.astype(f)).max(initial=0.0),
+               (sx.astype(f) * sx.astype(f)).max(initial=0.0)) >= lim:
+            raise OverflowError("ols_qty_price: rescale units")
+        return pa.table({"l_returnflag": b["l_returnflag"],
+                         "n": pa.array(n, pa.int64()),
+                         "slope_num": pa.array(n * sxy - sx * sy,
+                                               pa.int64()),
+                         "slope_den": pa.array(n * sxx - sx * sx,
+                                               pa.int64())}, schema=schema)
+
+    return sums.map_batches(finalize, batch_format="pyarrow",
+                            batch_size=None)
+
+
+def weighted_median_price(sf_dir: str) -> ray.data.Dataset:
+    """Grouped WEIGHTED (low) MEDIAN: per returnflag, the smallest price
+    whose cumulative QUANTITY weight reaches ceil(total_weight/2) — order
+    statistics where every row counts ``weight`` times, without
+    materializing the expansion.
+
+    ONE key sort colocates each flag; the block kernel sorts by value,
+    cumulative-sums the int weights and reads the first crossing —
+    all exact integers. Output (l_returnflag, wmedian_c, total_w).
+    """
+    from ..functions.grouped import group_ids, sorted_group_apply
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "price_c": _scaled_int(b["l_extendedprice"], 100.0),
+            "w": pc.cast(pc.floor(b["l_quantity"]), pa.int64())})
+
+    prepped = li.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def wmed_block(b: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("l_returnflag", pa.string()),
+                                ("wmedian_c", pa.int64()),
+                                ("total_w", pa.int64())])
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        gid, starts = group_ids(b, ["l_returnflag"])
+        v = b["price_c"].combine_chunks().to_numpy(zero_copy_only=False)
+        w = b["w"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, gid))
+        g, vs, ws = gid[order], v[order], w[order]
+        cum = np.cumsum(ws)
+        ends = np.append(starts[1:], len(g)) - 1
+        group_tot = cum[ends] - np.concatenate([[0], cum[ends[:-1]]])
+        # first index per group where in-group cumsum reaches ceil(W/2)
+        base = np.concatenate([[0], cum[ends[:-1]]])
+        target = base + (group_tot + 1) // 2
+        idx = np.searchsorted(cum, target)  # cum is globally increasing
+        return pa.table({
+            "l_returnflag": b["l_returnflag"].take(pa.array(order[idx])),
+            "wmedian_c": pa.array(vs[idx], pa.int64()),
+            "total_w": pa.array(group_tot, pa.int64())}, schema=out_schema)
+
+    return sorted_group_apply(prepped, ["l_returnflag"], wmed_block, 1)

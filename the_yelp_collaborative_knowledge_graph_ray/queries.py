@@ -1892,6 +1892,22 @@ def _q_rel_unpivot(sf_dir: str):
     return unpivot_lineitem_measures(sf_dir)
 
 
+def _q_rel_ols(sf_dir: str):
+    """Grouped OLS slope in exact integers
+    (relational.ols_qty_price_by_flag): (n·Sxy−SxSy) / (n·Sxx−Sx²) as an
+    integer (num, den) pair from one moment pass."""
+    from .pipelines.relational import ols_qty_price_by_flag
+    return ols_qty_price_by_flag(sf_dir)
+
+
+def _q_rel_wmedian(sf_dir: str):
+    """Grouped weighted (low) median (relational.weighted_median_price):
+    first price whose cumulative quantity weight reaches ceil(W/2), exact
+    integers, no expansion materialized."""
+    from .pipelines.relational import weighted_median_price
+    return weighted_median_price(sf_dir)
+
+
 def _q_kg_bgp_conv_tools(sf_dir: str):
     """Generic SPARQL-style BGP matcher (functions/bgp.bgp_match) run over
     the actual triple Dataset: {?t :usesTool ?tool . ?t :isPartOf ?conv}
@@ -2074,6 +2090,8 @@ def queries() -> dict[str, Callable]:
         "events_topk_with_ties": _q_events_topk_ties,
         "events_ffill_purchase": _q_events_ffill,
         "rel_unpivot_measures": _q_rel_unpivot,
+        "rel_ols_slope": _q_rel_ols,
+        "rel_weighted_median": _q_rel_wmedian,
     }
 
 
@@ -3252,6 +3270,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(l_discount * 100) AS BIGINT)
             FROM lineitem
             ORDER BY 1, 2, 3""",
+        "rel_ols_slope": """
+            WITH s AS (
+              SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(CAST(floor(l_quantity) AS BIGINT))
+                          AS HUGEINT) AS sx,
+                     CAST(sum(CAST(floor(l_extendedprice) AS BIGINT))
+                          AS HUGEINT) AS sy,
+                     CAST(sum(CAST(floor(l_quantity) AS BIGINT)
+                              * CAST(floor(l_extendedprice) AS BIGINT))
+                          AS HUGEINT) AS sxy,
+                     CAST(sum(CAST(floor(l_quantity) AS BIGINT)
+                              * CAST(floor(l_quantity) AS BIGINT))
+                          AS HUGEINT) AS sxx
+              FROM lineitem GROUP BY 1)
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                   CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+                   CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+            FROM s ORDER BY 1""",
+        "rel_weighted_median": """
+            WITH c AS (SELECT l_returnflag,
+                              CAST(round(l_extendedprice * 100) AS BIGINT)
+                                AS price_c,
+                              CAST(floor(l_quantity) AS BIGINT) AS w
+                       FROM lineitem),
+            x AS (SELECT l_returnflag, price_c,
+                         CAST(sum(w) OVER (PARTITION BY l_returnflag
+                                           ORDER BY price_c) AS BIGINT)
+                           AS cw,
+                         CAST(sum(w) OVER (PARTITION BY l_returnflag)
+                              AS BIGINT) AS total_w
+                  FROM c)
+            SELECT l_returnflag, min(price_c) AS wmedian_c, total_w
+            FROM x WHERE cw >= (total_w + 1) // 2
+            GROUP BY 1, 3 ORDER BY 1""",
         "rel_ntile": """
             SELECT c_custkey, c_mktsegment,
                    CAST(NTILE(4) OVER (
