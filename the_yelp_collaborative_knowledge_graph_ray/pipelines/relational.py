@@ -2387,3 +2387,104 @@ def weighted_median_price(sf_dir: str) -> ray.data.Dataset:
             "total_w": pa.array(group_tot, pa.int64())}, schema=out_schema)
 
     return sorted_group_apply(prepped, ["l_returnflag"], wmed_block, 1)
+
+
+def cum_distinct_types(sf_dir: str) -> ray.data.Dataset:
+    """Cumulative DISTINCT count window: at every event, how many distinct
+    event types the user has seen so far (inclusive) — the
+    exploration-breadth curve, a window SQL can only express via a
+    first-occurrence indicator (COUNT(DISTINCT) OVER is unsupported).
+
+    ONE user sort; inside a block two vectorized passes: (1) sort by
+    (user, type, ts, id) marks each (user, type)'s first occurrence,
+    (2) sort by (user, ts, id) segment-cumsums the indicator (cumsum minus
+    per-group base — no per-group loop).
+    Output (event_id, user_id, n_types).
+    """
+    from ..functions.grouped import group_ids, sorted_group_apply
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id",
+                                          "event_type", "ts"])
+
+    def block(b: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("event_id", pa.int64()),
+                                ("user_id", pa.int64()),
+                                ("n_types", pa.int64())])
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        gid, _ = group_ids(b, ["user_id"])
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = b["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        uid = b["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        tcode = b["event_type"].combine_chunks().dictionary_encode() \
+            .indices.to_numpy(zero_copy_only=False)
+        # pass 1: first occurrence of each (user, type), in time order
+        o1 = np.lexsort((eid, ts, tcode, gid))
+        g1, t1 = gid[o1], tcode[o1]
+        first = np.empty(len(g1), bool)
+        first[0] = True
+        first[1:] = (g1[1:] != g1[:-1]) | (t1[1:] != t1[:-1])
+        fs = np.empty(len(g1), np.int64)
+        fs[o1] = first.astype(np.int64)  # back to original row positions
+        # pass 2: segmented cumulative sum in (user, ts, id) order
+        o2 = np.lexsort((eid, ts, gid))
+        g2, f2 = gid[o2], fs[o2]
+        cs = np.cumsum(f2)
+        new_g = np.empty(len(g2), bool)
+        new_g[0] = True
+        new_g[1:] = g2[1:] != g2[:-1]
+        base = np.repeat(cs[new_g] - f2[new_g],
+                         np.diff(np.append(np.flatnonzero(new_g),
+                                           len(g2))))
+        return pa.table({
+            "event_id": pa.array(eid[o2], pa.int64()),
+            "user_id": pa.array(uid[o2].astype(np.int64), pa.int64()),
+            "n_types": pa.array(cs - base, pa.int64())}, schema=out_schema)
+
+    return sorted_group_apply(ev, ["user_id"], block, 8)
+
+
+def ratio_to_report_prices(sf_dir: str) -> ray.data.Dataset:
+    """RATIO_TO_REPORT / percent-of-total window as an exact integer pair:
+    every lineitem carries (price_c, flag_total_c) — its share of its
+    returnflag's total revenue, division at presentation time.
+
+    The per-flag totals fold map-side into a ≤|flags|-row table that rides
+    the task closure (never a self-join against the fact table); the
+    attach pass is stateless. Output
+    (l_orderkey, l_linenumber, l_returnflag, price_c, flag_total_c).
+    """
+    from ..functions.grouped import sorted_aggregate
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                        "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"l_returnflag": b["l_returnflag"],
+                      "s": _scaled_int(b["l_extendedprice"], 100.0)})
+        return t.group_by(["l_returnflag"], use_threads=False) \
+            .aggregate([("s", "sum")]).rename_columns(["l_returnflag",
+                                                       "s"])
+
+    totals = sorted_aggregate(
+        li.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["l_returnflag"], [("s", "sum")], ["l_returnflag", "s"],
+        1).take_all()
+    flags = pa.array([r["l_returnflag"] for r in totals], pa.string())
+    tot = np.array([r["s"] for r in totals], np.int64)
+
+    def attach(b: pa.Table) -> pa.Table:
+        idx = pc.index_in(pc.cast(b["l_returnflag"], pa.string()),
+                          value_set=flags).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "l_orderkey": pc.cast(b["l_orderkey"], pa.int64()),
+            "l_linenumber": pc.cast(b["l_linenumber"], pa.int32()),
+            "l_returnflag": b["l_returnflag"],
+            "price_c": _scaled_int(b["l_extendedprice"], 100.0),
+            "flag_total_c": pa.array(tot[idx], pa.int64())})
+
+    return li.map_batches(attach, batch_format="pyarrow",
+                          zero_copy_batch=True)

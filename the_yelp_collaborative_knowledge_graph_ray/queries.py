@@ -1908,6 +1908,21 @@ def _q_rel_wmedian(sf_dir: str):
     return weighted_median_price(sf_dir)
 
 
+def _q_events_cum_distinct(sf_dir: str):
+    """Cumulative distinct-type window (relational.cum_distinct_types):
+    first-occurrence indicator + segmented cumsum, both vectorized."""
+    from .pipelines.relational import cum_distinct_types
+    return cum_distinct_types(sf_dir)
+
+
+def _q_rel_ratio_to_report(sf_dir: str):
+    """RATIO_TO_REPORT / percent-of-total as an exact integer pair
+    (relational.ratio_to_report_prices): per-flag totals ride the
+    closure, stateless attach."""
+    from .pipelines.relational import ratio_to_report_prices
+    return ratio_to_report_prices(sf_dir)
+
+
 def _q_kg_bgp_conv_tools(sf_dir: str):
     """Generic SPARQL-style BGP matcher (functions/bgp.bgp_match) run over
     the actual triple Dataset: {?t :usesTool ?tool . ?t :isPartOf ?conv}
@@ -2092,6 +2107,8 @@ def queries() -> dict[str, Callable]:
         "rel_unpivot_measures": _q_rel_unpivot,
         "rel_ols_slope": _q_rel_ols,
         "rel_weighted_median": _q_rel_wmedian,
+        "events_cum_distinct_types": _q_events_cum_distinct,
+        "rel_ratio_to_report": _q_rel_ratio_to_report,
     }
 
 
@@ -3304,6 +3321,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, min(price_c) AS wmedian_c, total_w
             FROM x WHERE cw >= (total_w + 1) // 2
             GROUP BY 1, 3 ORDER BY 1""",
+        "events_cum_distinct_types": """
+            WITH f AS (SELECT event_id, user_id, ts,
+                              CASE WHEN row_number() OVER (
+                                     PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) = 1
+                                   THEN 1 ELSE 0 END AS first_seen
+                       FROM events)
+            SELECT event_id, user_id,
+                   CAST(sum(first_seen) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS n_types
+            FROM f ORDER BY 1""",
+        "rel_ratio_to_report": """
+            SELECT l_orderkey, l_linenumber, l_returnflag,
+                   CAST(round(l_extendedprice * 100) AS BIGINT)
+                     AS price_c,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        OVER (PARTITION BY l_returnflag) AS BIGINT)
+                     AS flag_total_c
+            FROM lineitem ORDER BY 1, 2""",
         "rel_ntile": """
             SELECT c_custkey, c_mktsegment,
                    CAST(NTILE(4) OVER (
