@@ -217,3 +217,29 @@ def test_top_n_with_ties_matches_duckdb(ray_session, rows_kv, n):
         WHERE rank <= {n} ORDER BY k, rid""").df()
     assert got[["k", "rid", "v", "rank"]].values.tolist() == \
         want.values.tolist()
+
+
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=12),
+                          st.integers(min_value=0, max_value=12)),
+                min_size=1, max_size=30))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_transitive_closure_matches_duckdb(ray_session, raw_edges):
+    """Path-doubling closure == WITH RECURSIVE on arbitrary digraphs —
+    chains (multi-round doubling), DAGs, CYCLES and self-loops."""
+    from the_yelp_collaborative_knowledge_graph_ray.functions.datalog \
+        import transitive_closure
+
+    t = pa.table({"src": pa.array([f"n{a}" for a, _ in raw_edges],
+                                  pa.string()),
+                  "dst": pa.array([f"n{b}" for _, b in raw_edges],
+                                  pa.string())})
+    got = sorted((r["src"], r["dst"]) for r in transitive_closure(
+        ray.data.from_arrow(t).repartition(3), "src", "dst").take_all())
+    want = sorted((a, b) for a, b in duckdb.sql("""
+        WITH RECURSIVE r(s, d) AS (
+          SELECT src, dst FROM t
+          UNION
+          SELECT r.s, t.dst FROM r JOIN t ON t.src = r.d)
+        SELECT s, d FROM r""").fetchall())
+    assert got == want

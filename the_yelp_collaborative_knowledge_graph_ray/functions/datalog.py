@@ -1,0 +1,68 @@
+"""Distributed TRANSITIVE CLOSURE by path doubling — the datalog /
+RDFS-reasoning primitive (`p+`, `subClassOf*`, org-chart roll-ups):
+
+    R₁ = E;   R₂ₖ = Rₖ ∪ (Rₖ ∘ Rₖ)
+
+Each round is ONE m:n co-group join (`functions/bgp.cogroup_join`, the
+same union-tag + single-sort kernel the BGP matcher uses) plus ONE
+distinct, so a relation of diameter d closes in ⌈log₂ d⌉ rounds — the
+standard trade against semi-naive iteration (fewer, fatter rounds; right
+for BSP engines where per-round scheduling dominates).
+
+Scale envelope (documented assumption): meant for RELATION graphs whose
+closure itself is storable — type lattices, category hierarchies,
+management chains — not for closing a social graph (whose closure is
+quadratic regardless of engine). The hot-key guard inside cogroup_join
+raises before a pathological hub silently OOMs a block.
+
+Reference parity: the reference walks its Schema.org lattice with a
+driver-side networkx DFS (`Code/create_schema_nt_files.py:14-34`); this
+is the same closure computed distributed, so it also serves hierarchies
+too big to fold on one driver.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .bgp import cogroup_join
+from .pagerank import _distinct
+
+
+def transitive_closure(edges: ray.data.Dataset, src: str = "src",
+                       dst: str = "dst", max_rounds: int = 20,
+                       num_partitions: int = 4) -> ray.data.Dataset:
+    """All (a, b) with a path a→…→b in string-column edge list ``edges``
+    (the edges themselves included). Fixed point detected by row count —
+    closure rows only ever grow. ``max_rounds`` bounds diameter at
+    2^max_rounds; raises if the fixed point is not reached."""
+    def half(mid_col: str, keep: str, keep_as: str):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({"mid": pc.cast(b[mid_col], pa.string()),
+                             keep_as: pc.cast(b[keep], pa.string())})
+        return f
+
+    closure = _distinct(edges, [src, dst], num_partitions).materialize()
+    n = closure.count()
+    for _ in range(max_rounds):
+        left = closure.map_batches(half(dst, src, src),
+                                   batch_format="pyarrow")
+        right = closure.map_batches(half(src, dst, dst),
+                                    batch_format="pyarrow")
+        two_hop = cogroup_join(left, right, ["mid"], ["mid", src],
+                               ["mid", dst],
+                               num_partitions=num_partitions) \
+            .map_batches(lambda b: b.select([src, dst]),
+                         batch_format="pyarrow", zero_copy_batch=True)
+        closure = _distinct(closure.union(two_hop), [src, dst],
+                            num_partitions).materialize()
+        n2 = closure.count()
+        if n2 == n:
+            return closure
+        n = n2
+    raise RuntimeError(f"transitive_closure: no fixed point in "
+                       f"{max_rounds} doubling rounds "
+                       f"(diameter > 2^{max_rounds}?)")

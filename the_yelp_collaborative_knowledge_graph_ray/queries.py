@@ -1923,6 +1923,46 @@ def _q_rel_ratio_to_report(sf_dir: str):
     return ratio_to_report_prices(sf_dir)
 
 
+def _q_kg_inferred_types(sf_dir: str):
+    """RDFS-style type-inference materialization over the built KG:
+    entity instanceOf t ∧ subClassOf⁺(t, T) ⇒ (entity, T). The
+    subClassOf closure is computed DISTRIBUTED by path doubling
+    (functions/datalog.transitive_closure — ⌈log₂ diameter⌉ co-group
+    rounds), then ONE m:n cogroup join onto the instanceOf edges; the
+    triple table is materialized once (it is the flagship's bounded
+    output, not the input corpus)."""
+    from .functions.bgp import cogroup_join
+    from .functions.datalog import transitive_closure
+    from .functions.pagerank import _distinct
+    from .pipelines.kg import run_kg
+    tri = run_kg(sf_dir).materialize()
+
+    def pick(pred: str, a: str, b_: str):
+        def f(t: pa.Table) -> pa.Table:
+            m = t.filter(pc.equal(t["pred"], pred))
+            return pa.table({a: pc.cast(m["subj"], pa.string()),
+                             b_: pc.cast(m["obj"], pa.string())})
+        return f
+
+    sub = tri.map_batches(pick(C.RDFS_SUBCLASS_OF, "s", "o"),
+                          batch_format="pyarrow")
+    inst = tri.map_batches(pick(C.PRED_INSTANCE_OF, "e", "t"),
+                           batch_format="pyarrow")
+    clo = transitive_closure(sub, "s", "o")
+    clo_t = clo.map_batches(
+        lambda b: pa.table({"t": b["s"], "o": b["o"]}),
+        batch_format="pyarrow")
+    sup = cogroup_join(inst, clo_t, ["t"], ["t", "e"], ["t", "o"],
+                       num_partitions=4) \
+        .map_batches(lambda b: pa.table({"entity": b["e"],
+                                         "type_iri": b["o"]}),
+                     batch_format="pyarrow")
+    direct = inst.map_batches(
+        lambda b: pa.table({"entity": b["e"], "type_iri": b["t"]}),
+        batch_format="pyarrow")
+    return _distinct(direct.union(sup), ["entity", "type_iri"], 4)
+
+
 def _q_kg_bgp_conv_tools(sf_dir: str):
     """Generic SPARQL-style BGP matcher (functions/bgp.bgp_match) run over
     the actual triple Dataset: {?t :usesTool ?tool . ?t :isPartOf ?conv}
@@ -2109,6 +2149,7 @@ def queries() -> dict[str, Callable]:
         "rel_weighted_median": _q_rel_wmedian,
         "events_cum_distinct_types": _q_events_cum_distinct,
         "rel_ratio_to_report": _q_rel_ratio_to_report,
+        "kg_inferred_types": _q_kg_inferred_types,
     }
 
 
@@ -2126,6 +2167,22 @@ def oracle_sql() -> dict[str, str]:
         "kg_pipeline_full": P + "SELECT * FROM (" + "\nUNION\n".join([
             _structural_sql(), _mention_sql(), _mention_entity_sql(),
             _link_sql(), _enrich_sql(fdir)]) + ")",
+        "kg_inferred_types": P + f"""
+            SELECT DISTINCT '{C.WD}' || q.e AS entity,
+                   '{C.ENT}type/' || q.t AS type_iri
+            FROM (
+              WITH RECURSIVE r(e, t) AS (
+                SELECT l.entity_id, e2.type_id
+                FROM linked l
+                JOIN read_parquet('{fdir}/entities.parquet') e2
+                  ON e2.entity_id = l.entity_id
+                WHERE l.entity_id IS NOT NULL
+                UNION
+                SELECT r.e, th.super_type_id
+                FROM r JOIN read_parquet('{fdir}/type_hierarchy.parquet')
+                  th ON th.type_id = r.t
+              ) SELECT e, t FROM r) q
+            ORDER BY 1, 2""",
         "cq_turns_per_role": f"""
             SELECT role, count(*) AS n
             FROM read_parquet('{fdir}/transcripts.parquet/*.parquet')
