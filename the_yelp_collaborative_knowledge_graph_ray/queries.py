@@ -1963,6 +1963,80 @@ def _q_kg_inferred_types(sf_dir: str):
     return _distinct(direct.union(sup), ["entity", "type_iri"], 4)
 
 
+def _q_kg_negative_edges(sf_dir: str, m: int = 6, k: int = 3):
+    """Deterministic NEGATIVE-EDGE sampling for link-prediction training
+    over the co-mention graph: per node, the first k of m hash-derived
+    candidate partners that are NOT actual neighbors (and not self).
+    Candidate pos = (pos·2654435761 + j·40503) mod N over the node table's
+    lexicographic ranks, so both engines draw identical lotteries. All
+    distributed primitives: sort+zip_with_index for ranks (range-ordered
+    blocks — the same sort invariant materialize.py stress-tests),
+    `attach_column` to name candidates, the general string `anti_join`
+    against undirected edge keys, `top_n_per_key` for first-k-surviving."""
+    from .functions.joins import attach_column, zip_with_index
+    from .functions.pagerank import _distinct
+    from .functions.setops import anti_join
+    from .functions.topn import top_n_per_key
+    from .functions.triangles import within_group_pairs
+
+    pre = C.ENT + "mention/"
+    mm = _q_mentions(sf_dir).map_batches(
+        lambda b: pa.table({
+            "turn": b["subj"],
+            "c": pc.utf8_slice_codeunits(b["obj"], len(pre))}),
+        batch_format="pyarrow")
+    edges = within_group_pairs(mm, "turn", "c")
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [b["u"].combine_chunks(), b["v"].combine_chunks()])})
+
+    nodes = _distinct(edges.map_batches(both_dirs,
+                                        batch_format="pyarrow"),
+                      ["node"], 4).sort("node")
+    nodes = zip_with_index(nodes, "pos")
+    n_nodes = nodes.count()
+
+    def propose(b: pa.Table) -> pa.Table:
+        pos = b["pos"].combine_chunks().to_numpy(zero_copy_only=False)
+        node = b["node"].combine_chunks()
+        js = np.arange(1, m + 1, dtype=np.int64)
+        cpos = (np.repeat(pos, m) * np.int64(2654435761)
+                + np.tile(js, len(pos)) * np.int64(40503)) % \
+            np.int64(n_nodes)
+        idx = pa.array(np.repeat(np.arange(len(pos)), m))
+        return pa.table({"node": node.take(idx),
+                         "j": pa.array(np.tile(js, len(pos)), pa.int64()),
+                         "cand_pos": pa.array(cpos, pa.int64())})
+
+    cand = nodes.map_batches(propose, batch_format="pyarrow")
+    named = attach_column(
+        cand, nodes, [("node", pa.string()), ("j", pa.int64())],
+        "cand_pos", "pos", "node", "neg", pa.string(), 4)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.invert(pc.equal(b["node"], b["neg"])))
+        return t.append_column("key", pc.binary_join_element_wise(
+            t["node"], t["neg"], "|"))
+
+    cand_k = named.map_batches(keyed, batch_format="pyarrow")
+
+    def edge_keys(b: pa.Table) -> pa.Table:
+        return pa.table({"key": pa.concat_arrays([
+            pc.binary_join_element_wise(b["u"], b["v"], "|")
+            .combine_chunks(),
+            pc.binary_join_element_wise(b["v"], b["u"], "|")
+            .combine_chunks()])})
+
+    und = edges.map_batches(edge_keys, batch_format="pyarrow")
+    surv = anti_join(cand_k, und, "key", "key",
+                     [("key", pa.string()), ("node", pa.string()),
+                      ("neg", pa.string()), ("j", pa.int64())], 4)
+    out = top_n_per_key(surv, ["node"], [("j", True)], k, 4)
+    return out.map_batches(lambda b: b.select(["node", "neg", "j"]),
+                           batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_kg_bgp_conv_tools(sf_dir: str):
     """Generic SPARQL-style BGP matcher (functions/bgp.bgp_match) run over
     the actual triple Dataset: {?t :usesTool ?tool . ?t :isPartOf ?conv}
@@ -2150,6 +2224,7 @@ def queries() -> dict[str, Callable]:
         "events_cum_distinct_types": _q_events_cum_distinct,
         "rel_ratio_to_report": _q_rel_ratio_to_report,
         "kg_inferred_types": _q_kg_inferred_types,
+        "kg_negative_edges": _q_kg_negative_edges,
     }
 
 
@@ -2183,6 +2258,33 @@ def oracle_sql() -> dict[str, str]:
                   th ON th.type_id = r.t
               ) SELECT e, t FROM r) q
             ORDER BY 1, 2""",
+        "kg_negative_edges": P + """
+            , ce AS (SELECT DISTINCT a.canonical AS u, b.canonical AS v
+                     FROM mention a JOIN mention b
+                       ON a.turn_iri = b.turn_iri
+                      AND a.canonical < b.canonical),
+            und AS (SELECT u, v FROM ce UNION SELECT v, u FROM ce),
+            nn AS (SELECT node,
+                          row_number() OVER (ORDER BY node) - 1 AS pos
+                   FROM (SELECT DISTINCT u AS node FROM und)),
+            cnt AS (SELECT count(*) AS n FROM nn),
+            cand AS (SELECT a.node, j.j,
+                            (a.pos * 2654435761 + j.j * 40503) % cnt.n
+                              AS cpos
+                     FROM nn a CROSS JOIN cnt,
+                          (VALUES (1), (2), (3), (4), (5), (6)) j(j)),
+            named AS (SELECT c.node, c.j, b.node AS neg
+                      FROM cand c JOIN nn b ON b.pos = c.cpos),
+            surv AS (SELECT * FROM named
+                     WHERE node != neg AND NOT EXISTS (
+                       SELECT 1 FROM und
+                       WHERE und.u = named.node AND und.v = named.neg)),
+            ranked AS (SELECT node, neg, j,
+                              row_number() OVER (PARTITION BY node
+                                                 ORDER BY j) AS rk
+                       FROM surv)
+            SELECT node, neg, j FROM ranked WHERE rk <= 3
+            ORDER BY 1, 3""",
         "cq_turns_per_role": f"""
             SELECT role, count(*) AS n
             FROM read_parquet('{fdir}/transcripts.parquet/*.parquet')
