@@ -187,34 +187,43 @@ def attach_column(left: ray.data.Dataset, source: ray.data.Dataset,
     return sorted_group_apply(u, [_KEY], cogroup_block, num_partitions)
 
 
-def zip_with_index(ds: ray.data.Dataset, id_col: str = "nid"
-                   ) -> ray.data.Dataset:
+def zip_with_index(ds: ray.data.Dataset, id_col: str = "nid",
+                   order_by: str | None = None) -> ray.data.Dataset:
     """Append a contiguous int64 row id (0..n-1) — distributed zipWithIndex.
 
     The dataset is materialized; per-block row counts (ONE int per block)
     come back to the driver, offsets are the exclusive cumsum, and each
     block gets ``offset + arange`` attached in a remote task. No block data
-    ever moves to the driver, so this scales to any row count. The id↔row
-    assignment depends on block order (stable within one materialized
-    dataset, not across runs) — use it for INTERNAL dense ids (e.g.
-    compressing IRI strings to ints for iterative joins), not for
-    user-visible deterministic ids."""
+    ever moves to the driver, so this scales to any row count.
+
+    Without ``order_by`` the id↔row assignment depends on ``to_arrow_refs``
+    block order — NOT guaranteed stable even right after a sort (observed
+    scrambled) — use it only for INTERNAL dense ids. With ``order_by``
+    (input must be globally sorted on that column, so block ranges are
+    disjoint) the driver orders blocks by each block's FIRST value of the
+    column, making the id the deterministic global sort rank."""
     mat = ds.materialize()
     refs = mat.to_arrow_refs()
 
     @ray.remote
-    def nrows(t: pa.Table) -> int:
-        return t.num_rows
+    def meta(t: pa.Table):
+        first = (t[order_by][0].as_py() if order_by and t.num_rows
+                 else None)
+        return t.num_rows, first
 
     @ray.remote
     def tag(t: pa.Table, off: int) -> pa.Table:
         return t.append_column(id_col, pa.array(
             off + np.arange(t.num_rows, dtype=np.int64)))
 
-    sizes = ray.get([nrows.remote(r) for r in refs])
+    metas = ray.get([meta.remote(r) for r in refs])
+    pairs = list(zip(refs, metas))
+    if order_by is not None:
+        pairs.sort(key=lambda rm: (rm[1][1] is None, rm[1][1]))
+    sizes = [m[0] for _, m in pairs]
     offs = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
     return ray.data.from_arrow_refs(
-        [tag.remote(r, int(o)) for r, o in zip(refs, offs)])
+        [tag.remote(r, int(o)) for (r, _), o in zip(pairs, offs)])
 
 
 def full_outer_unique(left: ray.data.Dataset, right: ray.data.Dataset,

@@ -2488,3 +2488,142 @@ def ratio_to_report_prices(sf_dir: str) -> ray.data.Dataset:
 
     return li.map_batches(attach, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def ks_drift_prices(sf_dir: str, flag_a: str = "A", flag_b: str = "R"
+                    ) -> ray.data.Dataset:
+    """Exact two-sample KOLMOGOROV–SMIRNOV statistic between two groups'
+    price distributions — the distribution-drift detector a curation
+    pipeline runs between sources/snapshots — in pure integers:
+
+        ks_scaled = max over values |n_b·cumA(v) − n_a·cumB(v)|
+
+    (KS = ks_scaled / (n_a·n_b), division at presentation time.)
+
+    Plan: per-value (cntA, cntB) via ONE map-side-combined sort-aggregate
+    (range-ordered output blocks — materialize.py's stress-tested sort
+    invariant), then the distributed PREFIX-SCAN pattern of
+    `joins.zip_with_index`: per-block subtotals (two ints per block) come
+    to the driver, exclusive cumsum gives each block its base offsets, a
+    remote task per block computes its local max — no block data ever
+    moves to the driver, one O(N log N) sort total. Float-domain overflow
+    guard before the int64 cross products.
+    Output ONE row (ks_scaled, n_a, n_b).
+    """
+    from ..functions.grouped import sorted_aggregate
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b["l_returnflag"],
+                              value_set=pa.array([flag_a, flag_b])))
+        isa = pc.equal(t["l_returnflag"], flag_a)
+        tt = pa.table({
+            "val": _scaled_int(t["l_extendedprice"], 100.0),
+            "na": pc.cast(isa, pa.int64()),
+            "nb": pc.cast(pc.invert(isa), pa.int64())})
+        return tt.group_by(["val"], use_threads=False).aggregate(
+            [("na", "sum"), ("nb", "sum")]) \
+            .rename_columns(["val", "na", "nb"])
+
+    counts = sorted_aggregate(
+        li.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["val"], [("na", "sum"), ("nb", "sum")], ["val", "na", "nb"], 8)
+
+    mat = counts.materialize()
+    refs = mat.to_arrow_refs()
+
+    @ray.remote
+    def subtotal(t: pa.Table):
+        return (int(pc.sum(t["na"]).as_py() or 0),
+                int(pc.sum(t["nb"]).as_py() or 0),
+                pc.min(t["val"]).as_py() if t.num_rows else None)
+
+    subs = ray.get([subtotal.remote(r) for r in refs])
+    # sorted_aggregate's blocks hold disjoint key RANGES but are not
+    # internally ordered (per-block hash group_by), and to_arrow_refs
+    # block order is not the sort order either (observed scrambled):
+    # order blocks by MIN value here, sort rows inside each block task
+    order = sorted(range(len(refs)),
+                   key=lambda i: (subs[i][2] is None, subs[i][2]))
+    refs = [refs[i] for i in order]
+    subs = [subs[i] for i in order]
+    na_tot = sum(s[0] for s in subs)
+    nb_tot = sum(s[1] for s in subs)
+    base_a = np.concatenate([[0], np.cumsum([s[0] for s in subs])[:-1]])
+    base_b = np.concatenate([[0], np.cumsum([s[1] for s in subs])[:-1]])
+    if float(nb_tot) * float(na_tot + nb_tot) >= float(1 << 62):
+        raise OverflowError("ks_drift: rescale (n_a*n_b cross products "
+                            "exceed int64 headroom)")
+
+    @ray.remote
+    def block_max(t: pa.Table, ba: int, bb: int) -> int:
+        if t.num_rows == 0:
+            return 0
+        t = t.sort_by("val")
+        ca = ba + np.cumsum(t["na"].to_numpy(zero_copy_only=False))
+        cb = bb + np.cumsum(t["nb"].to_numpy(zero_copy_only=False))
+        return int(np.abs(nb_tot * ca - na_tot * cb).max())
+
+    ks = max(ray.get([block_max.remote(r, int(a), int(b))
+                      for r, a, b in zip(refs, base_a, base_b)]),
+             default=0)
+    return ray.data.from_arrow(pa.table({
+        "ks_scaled": pa.array([ks], pa.int64()),
+        "n_a": pa.array([na_tot], pa.int64()),
+        "n_b": pa.array([nb_tot], pa.int64())}))
+
+
+def trimmed_mean_prices(sf_dir: str, lo_pct: int = 10, hi_pct: int = 90
+                        ) -> ray.data.Dataset:
+    """Grouped TRIMMED MEAN as an exact integer (sum, count) pair: per
+    returnflag, the sum and count of prices whose in-group rank (1-based,
+    value-then-rowid order) satisfies 100·rank > lo_pct·n and
+    100·rank ≤ hi_pct·n — the outlier-robust average, division at
+    presentation time. The cut is pure INTEGER algebra on both engines
+    (a float 0.1·n ceil disagrees with (n+9)//10 at exact multiples).
+
+    ONE key sort; in-block rank from position (lexsort on value with
+    orderkey/linenumber tie-break so both engines trim the SAME rows
+    under duplicate values). Output (l_returnflag, trimmed_sum_c, n_kept).
+    """
+    from ..functions.grouped import group_ids, sorted_group_apply
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_orderkey", "l_linenumber",
+                        "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "ok_": pc.cast(b["l_orderkey"], pa.int64()),
+            "ln_": pc.cast(b["l_linenumber"], pa.int64()),
+            "price_c": _scaled_int(b["l_extendedprice"], 100.0)})
+
+    def block(b: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("l_returnflag", pa.string()),
+                                ("trimmed_sum_c", pa.int64()),
+                                ("n_kept", pa.int64())])
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        gid, starts = group_ids(b, ["l_returnflag"])
+        v = b["price_c"].combine_chunks().to_numpy(zero_copy_only=False)
+        ok = b["ok_"].combine_chunks().to_numpy(zero_copy_only=False)
+        ln = b["ln_"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ln, ok, v, gid))
+        g, vs = gid[order], v[order]
+        pos = np.arange(len(g), dtype=np.int64) - starts[g] + 1
+        n = np.diff(np.append(starts, len(g)))[g]
+        keep = (100 * pos > lo_pct * n) & (100 * pos <= hi_pct * n)
+        t = pa.table({"f": b["l_returnflag"].take(pa.array(order[keep])),
+                      "s": pa.array(vs[keep], pa.int64()),
+                      "c": pa.array(np.ones(int(keep.sum()), np.int64))})
+        return t.group_by(["f"], use_threads=False).aggregate(
+            [("s", "sum"), ("c", "sum")]) \
+            .rename_columns(["l_returnflag", "trimmed_sum_c", "n_kept"])
+
+    return sorted_group_apply(li.map_batches(prep, batch_format="pyarrow",
+                                             zero_copy_batch=True),
+                              ["l_returnflag"], block, 1)

@@ -1994,7 +1994,7 @@ def _q_kg_negative_edges(sf_dir: str, m: int = 6, k: int = 3):
     nodes = _distinct(edges.map_batches(both_dirs,
                                         batch_format="pyarrow"),
                       ["node"], 4).sort("node")
-    nodes = zip_with_index(nodes, "pos")
+    nodes = zip_with_index(nodes, "pos", order_by="node")
     n_nodes = nodes.count()
 
     def propose(b: pa.Table) -> pa.Table:
@@ -2035,6 +2035,23 @@ def _q_kg_negative_edges(sf_dir: str, m: int = 6, k: int = 3):
     out = top_n_per_key(surv, ["node"], [("j", True)], k, 4)
     return out.map_batches(lambda b: b.select(["node", "neg", "j"]),
                            batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_rel_ks_drift(sf_dir: str):
+    """Exact two-sample KS statistic (relational.ks_drift_prices):
+    distribution-drift detection in pure integers via the distributed
+    prefix-scan pattern (per-block subtotals → driver offsets → per-block
+    max), ONE value sort."""
+    from .pipelines.relational import ks_drift_prices
+    return ks_drift_prices(sf_dir)
+
+
+def _q_rel_trimmed_mean(sf_dir: str):
+    """Grouped trimmed mean (relational.trimmed_mean_prices): exact
+    integer rank cut (100·rank vs pct·n) so both engines trim identical
+    rows."""
+    from .pipelines.relational import trimmed_mean_prices
+    return trimmed_mean_prices(sf_dir)
 
 
 def _q_kg_bgp_conv_tools(sf_dir: str):
@@ -2225,6 +2242,8 @@ def queries() -> dict[str, Callable]:
         "rel_ratio_to_report": _q_rel_ratio_to_report,
         "kg_inferred_types": _q_kg_inferred_types,
         "kg_negative_edges": _q_kg_negative_edges,
+        "rel_ks_drift": _q_rel_ks_drift,
+        "rel_trimmed_mean": _q_rel_trimmed_mean,
     }
 
 
@@ -3501,6 +3520,47 @@ def oracle_sql() -> dict[str, str]:
                         OVER (PARTITION BY l_returnflag) AS BIGINT)
                      AS flag_total_c
             FROM lineitem ORDER BY 1, 2""",
+        "rel_ks_drift": """
+            WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                              AS val,
+                              CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0
+                              END AS a,
+                              CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0
+                              END AS b
+                       FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+            c AS (SELECT val, CAST(sum(a) AS BIGINT) AS na,
+                         CAST(sum(b) AS BIGINT) AS nb
+                  FROM v GROUP BY 1),
+            t AS (SELECT CAST(sum(na) OVER (ORDER BY val) AS BIGINT)
+                           AS ca,
+                         CAST(sum(nb) OVER (ORDER BY val) AS BIGINT)
+                           AS cb,
+                         (SELECT CAST(sum(a) AS BIGINT) FROM v) AS ta,
+                         (SELECT CAST(sum(b) AS BIGINT) FROM v) AS tb
+                  FROM c)
+            SELECT CAST(max(abs(tb * ca - ta * cb)) AS BIGINT)
+                     AS ks_scaled,
+                   CAST(max(ta) AS BIGINT) AS n_a,
+                   CAST(max(tb) AS BIGINT) AS n_b
+            FROM t""",
+        "rel_trimmed_mean": """
+            WITH r AS (SELECT l_returnflag,
+                              CAST(round(l_extendedprice * 100) AS BIGINT)
+                                AS price_c,
+                              row_number() OVER (
+                                PARTITION BY l_returnflag
+                                ORDER BY CAST(round(l_extendedprice * 100)
+                                              AS BIGINT),
+                                         l_orderkey, l_linenumber)
+                                AS rk,
+                              count(*) OVER (PARTITION BY l_returnflag)
+                                AS n
+                       FROM lineitem)
+            SELECT l_returnflag,
+                   CAST(sum(price_c) AS BIGINT) AS trimmed_sum_c,
+                   count(*) AS n_kept
+            FROM r WHERE 100 * rk > 10 * n AND 100 * rk <= 90 * n
+            GROUP BY 1 ORDER BY 1""",
         "rel_ntile": """
             SELECT c_custkey, c_mktsegment,
                    CAST(NTILE(4) OVER (
