@@ -243,3 +243,23 @@ def test_transitive_closure_matches_duckdb(ray_session, raw_edges):
           SELECT r.s, t.dst FROM r JOIN t ON t.src = r.d)
         SELECT s, d FROM r""").fetchall())
     assert got == want
+
+
+@given(st.lists(st.text("abcdef", min_size=1, max_size=4), min_size=1,
+                max_size=120, unique=True))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_zip_with_index_order_by_is_sort_rank(ray_session, names):
+    """zip_with_index(order_by=...) over a sorted Dataset assigns the
+    exact lexicographic rank regardless of to_arrow_refs block order
+    (which is unstable) — many tiny blocks force the reorder path."""
+    from the_yelp_collaborative_knowledge_graph_ray.functions.joins import (
+        zip_with_index,
+    )
+
+    t = pa.table({"node": pa.array(names, pa.string())})
+    ds = ray.data.from_arrow(t).repartition(5).sort("node")
+    got = {r["node"]: r["pos"]
+           for r in zip_with_index(ds, "pos", order_by="node").take_all()}
+    want = {n: i for i, n in enumerate(sorted(names))}
+    assert got == want
