@@ -690,3 +690,78 @@ def test_kmeans_fp_matches_sequential(ray_session):
     assert (ga == exp_assign).all()
     assert (got_cents == cents).all()
     assert len(np.unique(ga)) > 1      # nontrivial clustering
+
+
+def test_longest_streak_and_cume_dist_planted(ray_session, tmp_path):
+    """Gaps-and-islands streaks on a corpus with planted gaps, same-day
+    duplicate events and single-day users; CUME_DIST on a coarse tie grid
+    — both vs the exact DuckDB window/group equivalents."""
+    import pandas as pd
+
+    from the_yelp_collaborative_knowledge_graph_ray.pipelines.relational import (
+        cume_dist_qty,
+        longest_streak_per_user,
+    )
+
+    rng = np.random.RandomState(11)
+    n = 600
+    # random users with day offsets drawn from a small range -> streaks
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 15, n).astype(np.int64),
+        "ts": pd.to_datetime("2025-03-01")
+        + pd.to_timedelta(rng.randint(0, 20, n), unit="D")
+        + pd.to_timedelta(rng.randint(0, 86400, n), unit="s"),
+    })
+    # planted: user 100 has exactly days {0,1,2,3,4} then {10,11} -> 5
+    planted = pd.DataFrame({
+        "user_id": np.int64(100),
+        "ts": pd.to_datetime("2025-06-01")
+        + pd.to_timedelta([0, 1, 2, 3, 4, 4, 10, 11], unit="D"),
+    })
+    # planted: user 101 active one day only -> streak 1
+    single = pd.DataFrame({"user_id": [np.int64(101)],
+                           "ts": [pd.to_datetime("2025-06-05")]})
+    df = pd.concat([df, planted, single], ignore_index=True)
+    sf = str(tmp_path)
+    df.to_parquet(f"{sf}/events.parquet", index=False)
+    con = duckdb.connect()
+    con.register("events", df)
+
+    got = longest_streak_per_user(sf).to_pandas().sort_values(
+        "user_id").reset_index(drop=True)
+    exp = con.sql("""
+        WITH d AS (SELECT DISTINCT user_id,
+                     date_diff('day', DATE '1970-01-01',
+                               CAST(ts AS DATE)) AS day FROM events),
+        i AS (SELECT user_id, day,
+                     day - ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY day) AS isl FROM d),
+        r AS (SELECT user_id, isl, count(*) AS len FROM i GROUP BY 1, 2)
+        SELECT user_id, CAST(max(len) AS BIGINT) AS streak_days
+        FROM r GROUP BY 1 ORDER BY 1""").df()
+    assert (got["user_id"].to_numpy() == exp["user_id"].to_numpy()).all()
+    assert (got["streak_days"].to_numpy()
+            == exp["streak_days"].to_numpy()).all()
+    byu = got.set_index("user_id")["streak_days"]
+    assert byu[100] == 5 and byu[101] == 1
+
+    li = pd.DataFrame({
+        "l_orderkey": np.arange(500, dtype=np.int64),
+        "l_linenumber": np.ones(500, dtype=np.int32),
+        "l_returnflag": rng.choice(["A", "N", "R"], 500),
+        "l_quantity": rng.randint(1, 8, 500).astype(np.float64),  # ties
+    })
+    li.to_parquet(f"{sf}/lineitem.parquet", index=False)
+    con.register("lineitem", li)
+    got = cume_dist_qty(sf).to_pandas().sort_values(
+        ["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+    exp = con.sql("""
+        SELECT l_orderkey,
+               count(*) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               * 1000000 // count(*) OVER (PARTITION BY l_returnflag)
+                 AS cd6
+        FROM lineitem ORDER BY l_orderkey""").df()
+    assert (got["cd6"].to_numpy() == exp["cd6"].to_numpy()).all()
+    # the top value of every group must close at exactly 1.0
+    assert got.groupby("l_returnflag")["cd6"].max().eq(1_000_000).all()

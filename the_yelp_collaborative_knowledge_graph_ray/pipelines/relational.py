@@ -2627,3 +2627,104 @@ def trimmed_mean_prices(sf_dir: str, lo_pct: int = 10, hi_pct: int = 90
     return sorted_group_apply(li.map_batches(prep, batch_format="pyarrow",
                                              zero_copy_batch=True),
                               ["l_returnflag"], block, 1)
+
+
+def longest_streak_per_user(sf_dir: str) -> ray.data.Dataset:
+    """Gaps-and-islands: each user's longest run of CONSECUTIVE active
+    days — the classic streak query (SQL: day - ROW_NUMBER() island key,
+    two GROUP BYs). Retention/engagement feature for training-data
+    curation.
+
+    Scale shape: a stateless per-block (user, day) distinct partial first
+    (events collapse ~day-cardinality-fold before any shuffle), then ONE
+    user-keyed sort; inside each sorted block the island decomposition is
+    pure numpy — distinct (user, day) again (cross-block dupes), break
+    flags where the day gap != 1, run lengths via flatnonzero diffs, and
+    a per-user ``maximum.reduceat`` over run lengths. One row per user
+    crosses out of the block. Output (user_id, streak_days).
+    """
+    from ..functions.grouped import group_ids, sorted_group_apply
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def day_partial(b: pa.Table) -> pa.Table:
+        day = b["ts"].combine_chunks().to_numpy() \
+            .astype("datetime64[D]").astype(np.int64)
+        t = pa.table({"user_id": b["user_id"],
+                      "day": pa.array(day, pa.int64())})
+        return t.group_by(["user_id", "day"], use_threads=False) \
+            .aggregate([]).rename_columns(["user_id", "day"])
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("streak_days", pa.int64())])
+
+    def block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        gid, starts = group_ids(b, ["user_id"])
+        day = b["day"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, gid))
+        g, d = gid[order], day[order]
+        uniq = np.concatenate([[True], (g[1:] != g[:-1]) | (d[1:] != d[:-1])])
+        g, d = g[uniq], d[uniq]
+        brk = np.concatenate([[True],
+                              (g[1:] != g[:-1]) | (d[1:] != d[:-1] + 1)])
+        run_starts = np.flatnonzero(brk)
+        run_len = np.diff(np.append(run_starts, len(g)))
+        run_g = g[brk]
+        user_first_run = np.concatenate([[True], run_g[1:] != run_g[:-1]])
+        best = np.maximum.reduceat(run_len,
+                                   np.flatnonzero(user_first_run))
+        users = b["user_id"].take(pa.array(starts))
+        return pa.table({"user_id": users,
+                         "streak_days": pa.array(best, pa.int64())},
+                        schema=out_schema)
+
+    pre = ev.map_batches(day_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return sorted_group_apply(pre, ["user_id"], block, 8)
+
+
+def cume_dist_qty(sf_dir: str) -> ray.data.Dataset:
+    """CUME_DIST() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+    in exact fixed point: cd6 = (rows with value <= mine, ties included)
+    * 10^6 // n_group. Same ONE-key-sort sorted-block window shape as
+    :func:`percent_rank_qty`; the <=-count is the END of each tie run
+    (run-id indexed last positions), so ties share the value exactly as
+    the SQL RANGE frame does.
+    """
+    from ..functions.grouped import group_ids, sorted_group_apply
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                        "l_quantity"])
+
+    out_schema = pa.schema([
+        ("l_orderkey", pa.int64()), ("l_linenumber", pa.int32()),
+        ("l_returnflag", pa.string()), ("cd6", pa.int64())])
+
+    def cd_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        gid, starts = group_ids(b, ["l_returnflag"])
+        qty = b["l_quantity"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ok = b["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        ln = b["l_linenumber"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((ln, ok, qty, gid))
+        g, q = gid[order], qty[order]
+        new_val = np.concatenate([[True],
+                                  (q[1:] != q[:-1]) | (g[1:] != g[:-1])])
+        run_id = np.cumsum(new_val) - 1
+        run_last = np.flatnonzero(np.append(new_val[1:], True))
+        count_le = run_last[run_id] - starts[g] + 1
+        sizes = np.diff(np.append(starts, len(g)))
+        cd6 = count_le * 1_000_000 // sizes[g]
+        return pa.table({
+            "l_orderkey": pa.array(ok[order], pa.int64()),
+            "l_linenumber": pa.array(ln[order], pa.int32()),
+            "l_returnflag": b["l_returnflag"].take(pa.array(order)),
+            "cd6": pa.array(cd6, pa.int64())}, schema=out_schema)
+
+    return sorted_group_apply(li, ["l_returnflag"], cd_block)

@@ -2101,6 +2101,21 @@ def _q_rel_cube(sf_dir: str):
     return lineitem_cube(sf_dir)
 
 
+def _q_events_longest_streak(sf_dir: str):
+    """Gaps-and-islands longest consecutive-day streak per user
+    (relational.longest_streak_per_user): per-block (user, day) distinct
+    partial, ONE user sort, numpy island decomposition in-block."""
+    from .pipelines.relational import longest_streak_per_user
+    return longest_streak_per_user(sf_dir)
+
+
+def _q_rel_cume_dist(sf_dir: str):
+    """CUME_DIST window in exact fixed point
+    (relational.cume_dist_qty): tie-run END count * 1e6 // group size."""
+    from .pipelines.relational import cume_dist_qty
+    return cume_dist_qty(sf_dir)
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -2244,6 +2259,8 @@ def queries() -> dict[str, Callable]:
         "kg_negative_edges": _q_kg_negative_edges,
         "rel_ks_drift": _q_rel_ks_drift,
         "rel_trimmed_mean": _q_rel_trimmed_mean,
+        "events_longest_streak": _q_events_longest_streak,
+        "rel_cume_dist": _q_rel_cume_dist,
     }
 
 
@@ -3625,4 +3642,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(dt) AS BIGINT) AS twa_den
             FROM d WHERE dt IS NOT NULL
             GROUP BY 1 HAVING sum(dt) > 0 ORDER BY 1""",
+        "events_longest_streak": """
+            WITH d AS (
+              SELECT DISTINCT user_id,
+                     date_diff('day', DATE '1970-01-01',
+                               CAST(ts AS DATE)) AS day
+              FROM events),
+            i AS (
+              SELECT user_id, day,
+                     day - ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY day) AS isl
+              FROM d),
+            r AS (SELECT user_id, isl, count(*) AS len
+                  FROM i GROUP BY 1, 2)
+            SELECT user_id, CAST(max(len) AS BIGINT) AS streak_days
+            FROM r GROUP BY 1 ORDER BY 1""",
+        "rel_cume_dist": """
+            SELECT l_orderkey, l_linenumber, l_returnflag,
+                   CAST(count(*) OVER (
+                          PARTITION BY l_returnflag ORDER BY l_quantity
+                          RANGE BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) * 1000000
+                        // count(*) OVER (PARTITION BY l_returnflag)
+                        AS BIGINT) AS cd6
+            FROM lineitem""",
     }
