@@ -392,6 +392,39 @@ def test_cogroup_join_mn_semantics(ray_session):
                      num_partitions=1, max_group=1).to_pandas()
 
 
+def test_cogroup_join_left_optional_semantics(ray_session):
+    """how='left' keeps unmatched left keys with ''-filled right columns
+    (the SPARQL OPTIONAL shape), matches still cross-product, and
+    right-only keys are dropped; bgp_match optional_patterns wires it."""
+    import pyarrow as pa
+    import ray.data
+
+    from the_yelp_collaborative_knowledge_graph_ray.functions.bgp import (
+        bgp_match,
+        cogroup_join,
+    )
+
+    left = ray.data.from_arrow(pa.table({
+        "k": ["a", "a", "b", "c"], "l": ["l1", "l2", "l3", "l4"]}))
+    right = ray.data.from_arrow(pa.table({
+        "k": ["a", "b", "b", "d"], "r": ["r1", "r2", "r3", "r4"]}))
+    out = cogroup_join(left, right, ["k"], ["k", "l"], ["k", "r"],
+                       num_partitions=2, how="left").to_pandas()
+    got = set(map(tuple, out[["k", "l", "r"]].itertuples(index=False)))
+    want = {("a", "l1", "r1"), ("a", "l2", "r1"),
+            ("b", "l3", "r2"), ("b", "l3", "r3"), ("c", "l4", "")}
+    assert got == want
+
+    tri = ray.data.from_arrow(pa.table({
+        "subj": ["s1", "s2", "s1"], "pred": ["p", "p", "q"],
+        "obj": ["o1", "o2", "x1"]}))
+    res = bgp_match(tri, [("?s", "p", "?o")], ["s", "o", "x"],
+                    num_partitions=1,
+                    optional_patterns=[("?s", "q", "?x")]).to_pandas()
+    got = set(map(tuple, res[["s", "o", "x"]].itertuples(index=False)))
+    assert got == {("s1", "o1", "x1"), ("s2", "o2", "")}
+
+
 def test_bgp_match_rejects_cartesian(ray_session):
     import pyarrow as pa
     import ray.data

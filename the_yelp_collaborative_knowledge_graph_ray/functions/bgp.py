@@ -47,8 +47,9 @@ def _is_var(term: str) -> bool:
 def cogroup_join(left: ray.data.Dataset, right: ray.data.Dataset,
                  on: list[str], left_cols: list[str], right_cols: list[str],
                  num_partitions: int | None = None,
-                 max_group: int = 100_000) -> ray.data.Dataset:
-    """General m:n inner equi-join of two string-column Datasets.
+                 max_group: int = 100_000,
+                 how: str = "inner") -> ray.data.Dataset:
+    """General m:n equi-join of two string-column Datasets.
 
     Both sides are tagged and unioned; ONE sort on the composite key
     colocates each key's rows; the per-block kernel emits the cross
@@ -56,7 +57,14 @@ def cogroup_join(left: ray.data.Dataset, right: ray.data.Dataset,
     per side). All columns are strings (IRI/literal bindings). Raises if
     one key's cross product exceeds ``max_group`` rows — the hot-key guard
     that keeps a pathological star pattern from silently OOMing a block.
+
+    ``how="left"`` is the SPARQL OPTIONAL shape: left rows whose key has
+    no right-side rows survive with right-only columns filled with ``""``
+    (empty string stands in for SPARQL's unbound — the engine keeps join
+    outputs null-free so the driver's value hash is engine-independent).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"cogroup_join: how={how!r}")
     lval = [c for c in left_cols if c not in on]
     rval = [c for c in right_cols if c not in on]
     out_cols = on + lval + rval
@@ -97,8 +105,19 @@ def cogroup_join(left: ray.data.Dataset, right: ray.data.Dataset,
             raise ValueError(
                 f"cogroup_join: key group cross product {prod.max()} > "
                 f"max_group={max_group}; salt the hot key")
+        unmatched = None
+        if how == "left":
+            # left rows whose group has no right rows: keep, fill rval ''
+            li_nomatch = np.flatnonzero(mark & (nr[gid] == 0))
+            if len(li_nomatch):
+                lt = b.take(pa.array(li_nomatch))
+                cols = {c: lt[c] for c in on + lval}
+                fill = pa.nulls(len(li_nomatch), pa.string()).fill_null("")
+                cols.update({c: fill for c in rval})
+                unmatched = pa.table(cols, schema=out_schema)
         if prod.sum() == 0:
-            return out_schema.empty_table()
+            return (unmatched if unmatched is not None
+                    else out_schema.empty_table())
         # vectorized cross product: explicit index arrays per side
         li = np.flatnonzero(mark)
         ri = np.flatnonzero(~mark)
@@ -118,7 +137,10 @@ def cogroup_join(left: ray.data.Dataset, right: ray.data.Dataset,
         cols = {c: lt[c] for c in on}
         cols.update({c: lt[c] for c in lval})
         cols.update({c: rt[c] for c in rval})
-        return pa.table(cols, schema=out_schema)
+        matched = pa.table(cols, schema=out_schema)
+        if unmatched is not None:
+            return pa.concat_tables([matched, unmatched])
+        return matched
 
     from .grouped import sorted_group_apply
     return sorted_group_apply(u, ["__k"], block, num_partitions)
@@ -127,13 +149,20 @@ def cogroup_join(left: ray.data.Dataset, right: ray.data.Dataset,
 def bgp_match(triples: ray.data.Dataset,
               patterns: list[tuple[str, str, str]],
               select: list[str],
-              num_partitions: int | None = None) -> ray.data.Dataset:
+              num_partitions: int | None = None,
+              optional_patterns: list[tuple[str, str, str]] | None = None
+              ) -> ray.data.Dataset:
     """Match a basic graph pattern; return DISTINCT rows of ``select`` vars.
 
     ``patterns`` are (s, p, o) terms; ``?name`` marks a variable, anything
     else is an IRI/literal constant matched exactly. Patterns chain
     left-to-right; each must share >=1 variable with the bindings
     accumulated so far (no Cartesian products — the planner raises).
+
+    ``optional_patterns`` are SPARQL ``OPTIONAL { ... }`` clauses, one
+    pattern per clause, left-joined AFTER the required chain: bindings
+    with no match keep their row and the clause's new variables bind to
+    ``""`` (the engine's null-free stand-in for SPARQL unbound).
     """
     def scan(pat):
         s, p, o = pat
@@ -166,6 +195,16 @@ def bgp_match(triples: ray.data.Dataset,
                              "with the accumulated bindings")
         bindings = cogroup_join(bindings, nxt, shared, have, names,
                                 num_partitions)
+        have = have + [v for v in names if v not in have]
+
+    for pat in (optional_patterns or []):
+        nxt, names = scan(pat)
+        shared = [v for v in names if v in have]
+        if not shared:
+            raise ValueError(f"bgp_match: OPTIONAL {pat} shares no "
+                             "variable with the accumulated bindings")
+        bindings = cogroup_join(bindings, nxt, shared, have, names,
+                                num_partitions, how="left")
         have = have + [v for v in names if v not in have]
 
     missing = [v for v in select if v not in have]

@@ -2101,6 +2101,80 @@ def _q_rel_cube(sf_dir: str):
     return lineitem_cube(sf_dir)
 
 
+def _q_kg_bgp_optional_link(sf_dir: str):
+    """SPARQL OPTIONAL over the mention + link triples:
+    {?t :mentions ?m . OPTIONAL {?m schema:sameAs ?ent}} -> DISTINCT
+    (m, ent); unlinked mentions survive with ent='' (the engine's
+    null-free stand-in for SPARQL unbound). Exercises the left-join mode
+    of functions/bgp.cogroup_join."""
+    from .functions.bgp import bgp_match
+    from .pipelines.kg import load_config_tables
+    from .stages import canonicalize as canon
+    from .stages import link, mentions
+    fdir = _fx(sf_dir)
+    alias_rows, vocab, *_ = load_config_tables(fdir)
+    ts = _read_transcripts(sf_dir)
+    m = canon.canonicalize_mentions(
+        mentions.mention_triples(
+            ts.select_columns(["conv_id", "turn_idx", "text"]), vocab),
+        canon.build_canonical_map_local(alias_rows)).materialize()
+    snapshot = link.load_snapshot(fdir)
+    links = link.link_mentions(m, snapshot).materialize()
+    return bgp_match(
+        m.union(links), [("?t", C.PRED_MENTIONS, "?m")],
+        ["m", "ent"], num_partitions=8,
+        optional_patterns=[("?m", C.PRED_SAME_AS, "?ent")]) \
+        .sort(["m", "ent"])
+
+
+def _q_kg_provenance(sf_dir: str):
+    """Per-predicate provenance/lineage aggregate over the structural
+    triples (the north_rule's per-partition lineage counters, surfaced as
+    a query): triple count, DISTINCT source conversations, min/max source
+    turn. Two-level reduction — per-block (pred, conv) partials collapse
+    the 10^12-turn stream to ~|preds|x|convs| before the ONE keyed
+    shuffle; conv-distinctness falls out of the first level so no
+    count-distinct machinery is needed."""
+    from .functions.grouped import sorted_aggregate
+    from .stages import extract
+    ts = _read_transcripts(sf_dir)
+    tri = extract.structural_triples(ts)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "pred": b["pred"], "conv": b["src_conv_id"],
+            "n": pa.array(np.ones(b.num_rows, np.int64)),
+            "mn": pc.cast(b["src_turn_idx"], pa.int64()),
+            "mx": pc.cast(b["src_turn_idx"], pa.int64())})
+        return t.group_by(["pred", "conv"], use_threads=False).aggregate(
+            [("n", "sum"), ("mn", "min"), ("mx", "max")]) \
+            .rename_columns(["pred", "conv", "n", "mn", "mx"])
+
+    lvl1 = sorted_aggregate(
+        tri.map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        ["pred", "conv"], [("n", "sum"), ("mn", "min"), ("mx", "max")],
+        ["pred", "conv", "n", "mn", "mx"], 8)
+
+    def partial2(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "pred": b["pred"], "n": b["n"],
+            "c": pa.array(np.ones(b.num_rows, np.int64)),
+            "mn": b["mn"], "mx": b["mx"]})
+        return t.group_by(["pred"], use_threads=False).aggregate(
+            [("n", "sum"), ("c", "sum"), ("mn", "min"), ("mx", "max")]) \
+            .rename_columns(["pred", "n_triples", "n_convs",
+                             "min_turn", "max_turn"])
+
+    return sorted_aggregate(
+        lvl1.map_batches(partial2, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["pred"], [("n_triples", "sum"), ("n_convs", "sum"),
+                   ("min_turn", "min"), ("max_turn", "max")],
+        ["pred", "n_triples", "n_convs", "min_turn", "max_turn"], 1) \
+        .sort("pred")
+
+
 def _q_events_longest_streak(sf_dir: str):
     """Gaps-and-islands longest consecutive-day streak per user
     (relational.longest_streak_per_user): per-block (user, day) distinct
@@ -2261,6 +2335,8 @@ def queries() -> dict[str, Callable]:
         "rel_trimmed_mean": _q_rel_trimmed_mean,
         "events_longest_streak": _q_events_longest_streak,
         "rel_cume_dist": _q_rel_cume_dist,
+        "kg_bgp_optional_link": _q_kg_bgp_optional_link,
+        "kg_triple_provenance": _q_kg_provenance,
     }
 
 
@@ -3666,4 +3742,36 @@ def oracle_sql() -> dict[str, str]:
                         // count(*) OVER (PARTITION BY l_returnflag)
                         AS BIGINT) AS cd6
             FROM lineitem""",
+        "kg_bgp_optional_link": P + f"""
+            SELECT DISTINCT '{C.ENT}mention/' || mn.canonical AS m,
+                   CASE WHEN l.entity_id IS NULL THEN ''
+                        ELSE '{C.WD}' || l.entity_id END AS ent
+            FROM mention mn LEFT JOIN linked l ON l.form = mn.canonical
+            ORDER BY 1, 2""",
+        "kg_triple_provenance": P + f"""
+            , raw AS (
+              SELECT '{C.RDF_TYPE}' AS pred, conv_id, turn_idx FROM t
+              UNION ALL
+              SELECT '{C.RDF_TYPE}', conv_id, turn_idx FROM t
+              UNION ALL
+              SELECT '{C.PRED_IS_PART_OF}', conv_id, turn_idx FROM t
+              UNION ALL
+              SELECT '{C.PRED_POSITION}', conv_id, turn_idx FROM t
+              UNION ALL
+              SELECT '{C.PRED_ROLE}', conv_id, turn_idx FROM t
+              UNION ALL
+              SELECT '{C.PRED_DATE_CREATED}', conv_id, turn_idx FROM t
+              UNION ALL
+              SELECT '{C.PRED_TEXT}', conv_id, turn_idx FROM t
+              UNION ALL
+              SELECT '{C.PRED_USES_TOOL}', conv_id, turn_idx FROM t
+              WHERE {TOOL_OK_SQL}
+              UNION ALL
+              SELECT '{C.RDF_TYPE}', conv_id, turn_idx FROM t
+              WHERE {TOOL_OK_SQL})
+            SELECT pred, count(*) AS n_triples,
+                   count(DISTINCT conv_id) AS n_convs,
+                   CAST(min(turn_idx) AS BIGINT) AS min_turn,
+                   CAST(max(turn_idx) AS BIGINT) AS max_turn
+            FROM raw GROUP BY 1 ORDER BY 1""",
     }
