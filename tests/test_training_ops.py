@@ -882,3 +882,62 @@ def test_kcore_vs_sequential_peeling(ray_session):
         assert got == peel(k), k
         assert rounds >= 1
     assert peel(9) == []          # above the max core -> empty, covered
+
+
+def test_kwic_planted_positions(ray_session):
+    """First-occurrence-only, 1-based positions, left/right clamped
+    context — on docs planted at the string edges."""
+    import pyarrow as pa
+    import ray.data
+
+    from the_yelp_collaborative_knowledge_graph_ray.stages.textstats import (
+        kwic_concordance,
+    )
+
+    pad = "x" * 40
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": [
+            "merge starts here " + pad,          # pos 1, no left context
+            pad + " merge " + pad + " merge",    # first occurrence only
+            pad + " ends with merge",            # right-truncated context
+            "no hits at all",                    # dropped
+        ]}))
+    out = kwic_concordance(docs, terms=("merge",), width=24).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    assert out["pos"].tolist() == [1, 42, 52]
+    assert out["ctx"][0] == ("merge starts here " + pad)[:5 + 24]
+    # doc 2: 24 chars left of the FIRST merge + term + 24 right
+    t2 = pad + " merge " + pad + " merge"
+    assert out["ctx"][1] == t2[41 - 24:41 + 5 + 24]
+    # doc 3: term at the very end -> right side clamps
+    t3 = pad + " ends with merge"
+    assert out["ctx"][2] == t3[51 - 24:]
+
+
+def test_random_projection_matches_numpy_and_is_deterministic(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from the_yelp_collaborative_knowledge_graph_ray.stages.similarity import (
+        random_projection,
+        rp_sign_matrix,
+    )
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(20, 16).astype(np.float32) / 4
+    emb = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(20, dtype=np.int64)),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32()))}))
+    out = random_projection(emb, out_dim=4, seed=7).to_pandas() \
+        .sort_values(["vec_id", "j"]).reset_index(drop=True)
+    sm = rp_sign_matrix(16, 4, 7)
+    want = np.floor(vecs.astype(np.float64) * 1e6).astype(np.int64) @ sm
+    assert (out["proj_c"].to_numpy() == want.ravel()).all()
+    # matrix is a pure function of (dims, seed)
+    assert (rp_sign_matrix(16, 4, 7) == sm).all()
+    assert not (rp_sign_matrix(16, 4, 8) == sm).all()
+    # Rademacher balance sanity: both signs present
+    assert (sm == 1).any() and (sm == -1).any()

@@ -2175,6 +2175,46 @@ def _q_kg_provenance(sf_dir: str):
         .sort("pred")
 
 
+def _rp_sql() -> str:
+    """Oracle twin of similarity.random_projection: the +-1 matrix is
+    injected as a VALUES table (a constant of the operator, like the CMS
+    row seeds), components fixed-pointed with the identical
+    floor(CAST(x AS DOUBLE) * 1e6) encoding."""
+    from .stages.similarity import RP_OUT_DIM, rp_sign_matrix
+    sm = rp_sign_matrix(64, RP_OUT_DIM)
+    vals = ", ".join(f"({i + 1}, {j}, {int(sm[i, j])})"
+                     for i in range(64) for j in range(RP_OUT_DIM))
+    return f"""
+            WITH s(i, j, sgn) AS (VALUES {vals}),
+            e AS (SELECT vec_id, g.i AS i,
+                         CAST(floor(CAST(embedding[g.i] AS DOUBLE)
+                                    * 1000000) AS BIGINT) AS e_c
+                  FROM embeddings, generate_series(1, 64) AS g(i))
+            SELECT vec_id, CAST(j AS BIGINT) AS j,
+                   CAST(sum(sgn * e_c) AS BIGINT) AS proj_c
+            FROM e JOIN s USING (i) GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def _q_text_kwic(sf_dir: str):
+    """KWIC concordance (textstats.kwic_concordance): first occurrence of
+    each query term per document with a +-24-char context snippet —
+    stateless vectorized scan (find_substring + one byte-gather slice
+    pass), zero shuffle."""
+    from .stages.textstats import kwic_concordance
+    return kwic_concordance(_docs(sf_dir)).sort(["doc_id", "term"])
+
+
+def _q_emb_random_projection(sf_dir: str):
+    """Deterministic Rademacher random projection
+    (similarity.random_projection): exact-integer JL dimensionality
+    reduction, one int64 matmul per batch against a splitmix64-derived
+    +-1 matrix reconstructed on every worker."""
+    from .stages.similarity import random_projection
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                columns=["vec_id", "embedding"])
+    return random_projection(emb).sort(["vec_id", "j"])
+
+
 def _q_events_longest_streak(sf_dir: str):
     """Gaps-and-islands longest consecutive-day streak per user
     (relational.longest_streak_per_user): per-block (user, day) distinct
@@ -2337,6 +2377,8 @@ def queries() -> dict[str, Callable]:
         "rel_cume_dist": _q_rel_cume_dist,
         "kg_bgp_optional_link": _q_kg_bgp_optional_link,
         "kg_triple_provenance": _q_kg_provenance,
+        "text_kwic": _q_text_kwic,
+        "emb_random_projection": _q_emb_random_projection,
     }
 
 
@@ -3774,4 +3816,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(turn_idx) AS BIGINT) AS min_turn,
                    CAST(max(turn_idx) AS BIGINT) AS max_turn
             FROM raw GROUP BY 1 ORDER BY 1""",
+        "text_kwic": """
+            WITH terms(term) AS (VALUES ('merge'), ('spark'), ('window')),
+            h AS (SELECT doc_id, term, position(term IN text) AS pos, text
+                  FROM documents, terms
+                  WHERE position(term IN text) > 0)
+            SELECT doc_id, term, CAST(pos AS BIGINT) AS pos,
+                   substr(text, greatest(pos - 24, 1),
+                          least(pos - 1, 24) + length(term) + 24) AS ctx
+            FROM h ORDER BY doc_id, term""",
+        "emb_random_projection": _rp_sql(),
     }

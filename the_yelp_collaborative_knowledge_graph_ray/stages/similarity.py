@@ -250,3 +250,59 @@ def grouped_centroids(embeddings: ray.data.Dataset, group_col: str,
 
     return agg.map_batches(finalize, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+RP_OUT_DIM = 8
+RP_SEED = 0x5EED
+
+
+def rp_sign_matrix(in_dim: int, out_dim: int = RP_OUT_DIM,
+                   seed: int = RP_SEED) -> np.ndarray:
+    """Deterministic Rademacher (+-1) projection matrix: sign(i, j) from
+    one splitmix64 bit per cell, so any worker on any cluster shape
+    reconstructs the identical matrix — the matrix is a pure function of
+    (in_dim, out_dim, seed), never shipped."""
+    from ..functions.sampling import splitmix64
+    idx = np.arange(in_dim * out_dim, dtype=np.uint64) + np.uint64(seed)
+    bits = splitmix64(idx) & np.uint64(1)
+    return (bits.astype(np.int64) * 2 - 1).reshape(in_dim, out_dim)
+
+
+def random_projection(embeddings: ray.data.Dataset,
+                      out_dim: int = RP_OUT_DIM,
+                      seed: int = RP_SEED) -> ray.data.Dataset:
+    """Johnson-Lindenstrauss-style dimensionality reduction with a
+    Rademacher sign matrix, in EXACT integers: each float32 component is
+    fixed-pointed as floor(x * 1e6) (floor — both engines agree; round
+    halves don't) and the projection is one int64 matmul per batch
+    against the broadcast-free deterministic sign matrix. Stateless
+    map_batches, zero shuffle; long-form output (vec_id, j, proj_c) so
+    the DuckDB oracle can recompute it relationally.
+
+    |x| <= ~1 so |proj_c| <= in_dim * 1e6 — five orders of magnitude of
+    int64 headroom; a guard raises if an input violates the bound."""
+    out_schema = pa.schema([("vec_id", pa.int64()), ("j", pa.int64()),
+                            ("proj_c", pa.int64())])
+
+    def block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        emb = b["embedding"].combine_chunks()
+        d = len(emb[0])
+        m = np.floor(emb.flatten().to_numpy(zero_copy_only=False)
+                     .astype(np.float64) * 1_000_000.0)
+        if np.abs(m).max(initial=0.0) >= float(1 << 40):
+            raise OverflowError("random_projection: component exceeds "
+                                "fixed-point headroom")
+        mat = m.astype(np.int64).reshape(b.num_rows, d)
+        proj = mat @ rp_sign_matrix(d, out_dim, seed)
+        vid = b["vec_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(vid, out_dim), pa.int64()),
+            "j": pa.array(np.tile(np.arange(out_dim, dtype=np.int64),
+                                  b.num_rows)),
+            "proj_c": pa.array(proj.ravel(), pa.int64())},
+            schema=out_schema)
+
+    return embeddings.map_batches(block, batch_format="pyarrow",
+                                  zero_copy_batch=True)

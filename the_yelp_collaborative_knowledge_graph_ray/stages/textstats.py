@@ -705,3 +705,72 @@ def unigram_freq_score(docs: ray.data.Dataset,
 
     return per_doc.map_batches(finalize, batch_format="pyarrow") \
                   .sort("doc_id")
+
+
+KWIC_TERMS = ("merge", "spark", "window")
+KWIC_WIDTH = 24
+
+
+def kwic_concordance(docs: ray.data.Dataset,
+                     terms: tuple[str, ...] = KWIC_TERMS,
+                     width: int = KWIC_WIDTH) -> ray.data.Dataset:
+    """KWIC (key-word-in-context) concordance: for every document and
+    every query term, the FIRST occurrence position (1-based, SQL
+    ``position()`` convention) plus a +-``width``-char context snippet —
+    the corpus-inspection operator a curation UI sits on.
+
+    Stateless vectorized scan: one ``pc.find_substring`` pass per term
+    (O(|terms|) passes per batch — same small-vocab contract as the
+    mention detector; a 10k-term list would use the Aho-Corasick path in
+    stages/mentions.py), context sliced with ``utf8_slice_codeunits``.
+    No shuffle at all — the operator is embarrassingly parallel.
+    """
+    out_schema = pa.schema([("doc_id", pa.int64()), ("term", pa.string()),
+                            ("pos", pa.int64()), ("ctx", pa.string())])
+
+    def block(b: pa.Table) -> pa.Table:
+        parts = []
+        text = b["text"].combine_chunks()
+        for term in terms:
+            idx0 = pc.find_substring(text, term)  # 0-based, -1 absent
+            mask = pc.greater_equal(idx0, 0)
+            if pc.sum(pc.cast(mask, pa.int64())).as_py() in (0, None):
+                continue
+            sel = pc.filter(pa.table({
+                "doc_id": b["doc_id"], "text": text,
+                "idx0": pc.cast(idx0, pa.int64())}), mask)
+            i0 = sel["idx0"].to_numpy(zero_copy_only=False)
+            start = i0 - np.minimum(i0, width)
+            stop = i0 + len(term) + width  # clamped at end-of-string below
+            n = sel.num_rows
+            # vectorized per-row byte slice: gather the snippet bytes from
+            # the Arrow data buffer with ONE fancy-index pass (pyarrow's
+            # slice kernels take scalar bounds only; a python loop here
+            # would be a per-row hot path). ASCII corpus: bytes == chars.
+            arr = sel["text"].combine_chunks()
+            offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+                arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+            data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+            sa = offs[:-1] + start
+            ea = np.minimum(offs[:-1] + stop, offs[1:])
+            lens = ea - sa
+            total = int(lens.sum())
+            base = np.repeat(sa, lens)
+            local = np.arange(total, dtype=np.int64) - np.repeat(
+                np.concatenate([[0], np.cumsum(lens)[:-1]]), lens)
+            out_bytes = data[base + local].tobytes()
+            new_offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+            ctx = pa.StringArray.from_buffers(
+                n, pa.py_buffer(new_offs.tobytes()),
+                pa.py_buffer(out_bytes))
+            parts.append(pa.table({
+                "doc_id": pc.cast(sel["doc_id"], pa.int64()),
+                "term": pa.nulls(n, pa.string()).fill_null(term),
+                "pos": pa.array(i0 + 1, pa.int64()),
+                "ctx": ctx}, schema=out_schema))
+        if not parts:
+            return out_schema.empty_table()
+        return pa.concat_tables(parts)
+
+    return docs.map_batches(block, batch_format="pyarrow",
+                            zero_copy_batch=True)
