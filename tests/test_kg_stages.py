@@ -461,3 +461,22 @@ def test_csv_source_matches_parquet(ray_session, sf_tiny, tmp_path):
     want = tab.to_pandas().sort_values(["conv_id", "turn_idx"]) \
         .reset_index(drop=True)
     assert got.equals(want)
+
+
+def test_scc_labels_planted_graph(ray_session):
+    """Two separate cycles joined by a one-way bridge must NOT merge;
+    acyclic nodes are singletons labeled by themselves."""
+    import pyarrow as pa
+    import ray.data
+
+    from the_yelp_collaborative_knowledge_graph_ray.functions.datalog import (
+        scc_labels,
+    )
+
+    edges = ray.data.from_arrow(pa.table({
+        "src": ["a", "b", "c", "d", "e", "c", "x"],
+        "dst": ["b", "c", "a", "e", "d", "d", "y"]}))
+    out = scc_labels(edges, num_partitions=2).to_pandas() \
+        .set_index("node")["scc_id"].to_dict()
+    assert out == {"a": "a", "b": "a", "c": "a",
+                   "d": "d", "e": "d", "x": "x", "y": "y"}

@@ -66,3 +66,60 @@ def transitive_closure(edges: ray.data.Dataset, src: str = "src",
     raise RuntimeError(f"transitive_closure: no fixed point in "
                        f"{max_rounds} doubling rounds "
                        f"(diameter > 2^{max_rounds}?)")
+
+
+def scc_labels(edges: ray.data.Dataset, src: str = "src",
+               dst: str = "dst", max_rounds: int = 20,
+               num_partitions: int = 4) -> ray.data.Dataset:
+    """Strongly-connected-component labels of a string-keyed digraph:
+    scc_id(n) = min(n, {m : n→…→m and m→…→n}). Composed entirely from
+    existing distributed primitives — :func:`transitive_closure` (path
+    doubling), ONE undirected-key grouped count to find mutual pairs
+    (the closure is distinct, so a pair key carrying BOTH directions
+    counts exactly 2), and ONE grouped min for the label. Inherits the
+    closure's scale envelope: relation-sized graphs (tool/type/category
+    lattices), not social graphs.
+
+    Output (node, scc_id) — every edge endpoint appears; singleton SCCs
+    label themselves.
+    """
+    from .grouped import grouped_count, sorted_aggregate
+    from .pagerank import _distinct
+
+    closure = transitive_closure(edges, src, dst, max_rounds,
+                                 num_partitions)
+    sep = "\x1f"
+
+    def undirected(b: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(b[src], b[dst]))
+        t = b.filter(keep)
+        lo = pc.min_element_wise(t[src], t[dst])
+        hi = pc.max_element_wise(t[src], t[dst])
+        return pa.table({"k": pc.binary_join_element_wise(lo, hi, sep)})
+
+    both = grouped_count(closure.map_batches(
+        undirected, batch_format="pyarrow", zero_copy_batch=True),
+        ["k"], "n", num_partitions)
+
+    def to_pairs(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["n"], 2))  # both directions present
+        parts = pc.split_pattern(t["k"].combine_chunks(), sep)
+        lo, hi = pc.list_element(parts, 0), pc.list_element(parts, 1)
+        return pa.table({"node": pa.concat_arrays([lo, hi]),
+                         "m": pa.concat_arrays([hi, lo])})
+
+    mutual = both.map_batches(to_pairs, batch_format="pyarrow")
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        n = pa.concat_arrays([pc.cast(b[src], pa.string()).combine_chunks(),
+                              pc.cast(b[dst], pa.string()).combine_chunks()])
+        return pa.table({"node": pc.unique(n)})
+
+    nodes = _distinct(edges.map_batches(endpoints, batch_format="pyarrow"),
+                      ["node"], num_partitions)
+    selfp = nodes.map_batches(
+        lambda b: pa.table({"node": b["node"], "m": b["node"]}),
+        batch_format="pyarrow")
+    return sorted_aggregate(mutual.union(selfp), ["node"],
+                            [("m", "min")], ["node", "scc_id"],
+                            num_partitions)

@@ -2728,3 +2728,53 @@ def cume_dist_qty(sf_dir: str) -> ray.data.Dataset:
             "cd6": pa.array(cd6, pa.int64())}, schema=out_schema)
 
     return sorted_group_apply(li, ["l_returnflag"], cd_block)
+
+
+def scd2_intervals(sf_dir: str) -> ray.data.Dataset:
+    """CDC → slowly-changing-dimension type-2 intervals: per user, the
+    runs of the event_type stream collapse to (user_id, event_type,
+    valid_from, valid_to) validity rows — consecutive duplicates merge,
+    each interval closes at the NEXT change's timestamp, the current
+    (open) interval carries valid_to = -1 (sentinel, not NULL — join
+    outputs stay null-free for engine-independent hashing).
+
+    ONE user-keyed sort; in-block it is a change-flag mask + two
+    shifted-array reads, no per-group loop. Timestamps in epoch
+    microseconds, tie-broken by event_id exactly like the oracle.
+    """
+    from ..functions.grouped import group_ids, sorted_group_apply
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "ts"])
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("event_type", pa.string()),
+                            ("valid_from", pa.int64()),
+                            ("valid_to", pa.int64())])
+
+    def block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        gid, _ = group_ids(b, ["user_id"])
+        ts = b["ts"].combine_chunks().to_numpy() \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = b["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, gid))
+        g, t = gid[order], ts[order]
+        typ = b["event_type"].combine_chunks().dictionary_encode() \
+            .indices.to_numpy(zero_copy_only=False)[order]
+        change = np.concatenate([[True],
+                                 (g[1:] != g[:-1]) | (typ[1:] != typ[:-1])])
+        si = np.flatnonzero(change)
+        sg = g[si]
+        nxt_same_user = np.append(sg[1:] == sg[:-1], False)
+        valid_to = np.where(nxt_same_user,
+                            np.append(t[si[1:]], -1), -1)
+        take = pa.array(order[si])
+        return pa.table({
+            "user_id": pc.cast(b["user_id"].take(take), pa.int64()),
+            "event_type": b["event_type"].take(take),
+            "valid_from": pa.array(t[si], pa.int64()),
+            "valid_to": pa.array(valid_to, pa.int64())},
+            schema=out_schema)
+
+    return sorted_group_apply(ev, ["user_id"], block, 8)

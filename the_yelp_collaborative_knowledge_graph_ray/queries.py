@@ -2195,6 +2195,58 @@ def _rp_sql() -> str:
             FROM e JOIN s USING (i) GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
+def _q_kg_scc_tools(sf_dir: str):
+    """Strongly connected components of the tool-transition digraph
+    (edges = consecutive tool uses within a conversation). The edge
+    derivation is the scale stage — per-conversation LEAD inside sorted
+    blocks over the full transcript stream, per-block distinct partials
+    — and the component labeling composes the existing path-doubling
+    closure + ONE grouped count + ONE grouped min
+    (functions/datalog.scc_labels)."""
+    from .functions.datalog import scc_labels
+    from .functions.grouped import group_ids, sorted_group_apply
+    from .functions.normalize import normalize_array
+    from .stages.extract import _tool_mask
+
+    t = _read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "tool"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(_tool_mask(b["tool"]))
+        return pa.table({"conv_id": b["conv_id"],
+                         "turn_idx": b["turn_idx"],
+                         "tool": normalize_array(b["tool"])})
+
+    edge_schema = pa.schema([("src", pa.string()), ("dst", pa.string())])
+
+    def block(b: pa.Table) -> pa.Table:
+        if b.num_rows < 2:
+            return edge_schema.empty_table()
+        gid, _ = group_ids(b, ["conv_id"])
+        tidx = b["turn_idx"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tidx, gid))
+        g = gid[order]
+        tools = b["tool"].combine_chunks().take(pa.array(order))
+        src, dst = tools.slice(0, len(tools) - 1), tools.slice(1)
+        mask = pc.and_(pa.array(g[1:] == g[:-1]),
+                       pc.invert(pc.equal(src, dst)))
+        e = pa.table({"src": src, "dst": dst}).filter(mask)
+        return e.group_by(["src", "dst"], use_threads=False) \
+            .aggregate([]).rename_columns(["src", "dst"]) \
+            .cast(edge_schema)
+
+    edges = sorted_group_apply(
+        t.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["conv_id"], block, 8)
+    return scc_labels(edges, num_partitions=4).sort("node")
+
+
+def _q_events_scd2(sf_dir: str):
+    """CDC -> SCD2 validity intervals (relational.scd2_intervals):
+    run-collapse + next-change close in ONE user-keyed sort."""
+    from .pipelines.relational import scd2_intervals
+    return scd2_intervals(sf_dir)
+
+
 def _q_text_kwic(sf_dir: str):
     """KWIC concordance (textstats.kwic_concordance): first occurrence of
     each query term per document with a +-24-char context snippet —
@@ -2379,6 +2431,8 @@ def queries() -> dict[str, Callable]:
         "kg_triple_provenance": _q_kg_provenance,
         "text_kwic": _q_text_kwic,
         "emb_random_projection": _q_emb_random_projection,
+        "kg_scc_tools": _q_kg_scc_tools,
+        "events_scd2_intervals": _q_events_scd2,
     }
 
 
@@ -3826,4 +3880,42 @@ def oracle_sql() -> dict[str, str]:
                           least(pos - 1, 24) + length(term) + 24) AS ctx
             FROM h ORDER BY doc_id, term""",
         "emb_random_projection": _rp_sql(),
+        "kg_scc_tools": f"""
+            WITH RECURSIVE ts AS (
+              SELECT conv_id, turn_idx, {normalize_sql('tool')} AS tool
+              FROM read_parquet('{fdir}/transcripts.parquet/*.parquet')
+              WHERE {TOOL_OK_SQL}),
+            seq AS (SELECT conv_id, tool,
+                           LEAD(tool) OVER (PARTITION BY conv_id
+                                            ORDER BY turn_idx) AS nxt
+                    FROM ts),
+            edges AS (SELECT DISTINCT tool AS src, nxt AS dst
+                      FROM seq WHERE nxt IS NOT NULL AND nxt <> tool),
+            reach AS (SELECT src AS a, dst AS b FROM edges
+                      UNION
+                      SELECT r.a, e.dst
+                      FROM reach r JOIN edges e ON r.b = e.src),
+            nodes AS (SELECT src AS n FROM edges
+                      UNION SELECT dst FROM edges),
+            mut AS (SELECT r1.a AS n, r1.b AS m
+                    FROM reach r1 JOIN reach r2
+                      ON r1.a = r2.b AND r1.b = r2.a
+                    WHERE r1.a <> r1.b),
+            base AS (SELECT n, n AS m FROM nodes
+                     UNION ALL SELECT n, m FROM mut)
+            SELECT n AS node, min(m) AS scc_id
+            FROM base GROUP BY 1 ORDER BY 1""",
+        "events_scd2_intervals": """
+            WITH o AS (
+              SELECT user_id, event_type, ts, event_id,
+                     LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events),
+            s AS (SELECT user_id, event_type, ts, event_id FROM o
+                  WHERE prev IS NULL OR prev <> event_type)
+            SELECT user_id, event_type, epoch_us(ts) AS valid_from,
+                   coalesce(LEAD(epoch_us(ts)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id), -1)
+                     AS valid_to
+            FROM s ORDER BY 1, 3""",
     }
