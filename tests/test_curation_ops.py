@@ -765,3 +765,46 @@ def test_longest_streak_and_cume_dist_planted(ray_session, tmp_path):
     assert (got["cd6"].to_numpy() == exp["cd6"].to_numpy()).all()
     # the top value of every group must close at exactly 1.0
     assert got.groupby("l_returnflag")["cd6"].max().eq(1_000_000).all()
+
+
+def test_mannwhitney_and_audit_planted(ray_session, tmp_path):
+    """2*U_A equals the naive pairwise definition (2*#(a>b) + #ties) on a
+    tie-heavy planted sample; the audit counts planted violations."""
+    import pandas as pd
+
+    from the_yelp_collaborative_knowledge_graph_ray.pipelines.curation import (
+        quality_audit_events,
+    )
+    from the_yelp_collaborative_knowledge_graph_ray.pipelines.relational import (
+        mannwhitney_u_events,
+    )
+
+    rng = np.random.RandomState(5)
+    n = 300
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "event_type": rng.choice(["click", "purchase", "error"], n),
+        "value": rng.randint(0, 12, n) * 0.25,      # heavy exact ties
+        "ts": pd.to_datetime("2024-01-10")
+        + pd.to_timedelta(rng.randint(0, 30 * 86400, n), unit="s"),
+    })
+    # planted duplicate primary key
+    df.loc[n - 1, "event_id"] = df.loc[0, "event_id"]
+    sf = str(tmp_path)
+    df.to_parquet(f"{sf}/events.parquet", index=False)
+
+    out = mannwhitney_u_events(sf).to_pandas().iloc[0]
+    a = np.round(df[df.event_type == "click"].value.to_numpy() * 100)
+    b = np.round(df[df.event_type == "purchase"].value.to_numpy() * 100)
+    gt = (a[:, None] > b[None, :]).sum()
+    eq = (a[:, None] == b[None, :]).sum()
+    assert out["n_a"] == len(a) and out["n_b"] == len(b)
+    assert out["u2_a"] == 2 * gt + eq
+
+    audit = quality_audit_events(sf).to_pandas() \
+        .set_index("rule")["n_violations"].to_dict()
+    assert audit["dup_event_id"] == 1
+    assert audit["unknown_event_type"] == (df.event_type == "error").sum()
+    assert audit["value_over_cap"] == 0  # values max 2.75
+    assert audit["ts_after_cutoff"] == (
+        df.ts >= pd.Timestamp("2024-01-25")).sum()

@@ -100,3 +100,76 @@ def curate_documents(docs: ray.data.Dataset, min_words: int = 8,
 
     return kept.map_batches(final, batch_format="pyarrow",
                             zero_copy_batch=True).sort("doc_id")
+
+
+AUDIT_KNOWN_TYPES = ("click", "purchase", "signup", "view")
+AUDIT_VALUE_CAP_C = 300_00          # cents
+AUDIT_TS_CUTOFF_US = 1_737_763_200_000_000  # 2025-01-25T00:00:00Z (unused)
+AUDIT_CUTOFF = "2024-01-25 00:00:00"
+
+
+def quality_audit_events(sf_dir: str) -> ray.data.Dataset:
+    """Data-quality audit / expectation suite over the events stream —
+    the validation report a 100 TB ingest runs before training: one row
+    per rule with its violation count.
+
+      * ``dup_event_id``      — duplicate primary keys (n − n_distinct)
+      * ``value_over_cap``    — value > 300.00 (range expectation)
+      * ``unknown_event_type``— type outside the declared domain
+      * ``ts_after_cutoff``   — event time at/after the snapshot cutoff
+
+    The three scan rules fold map-side to ONE partial row per block
+    (zero shuffle beyond the tiny union); the uniqueness rule is the only
+    keyed exchange (grouped count on the key column). Violations are
+    COUNTED, not materialized — the row-level dead-letter channel
+    (stages/extract.extract_dead_letter) is the companion that keeps the
+    offending rows."""
+    import numpy as np
+
+    from ..functions.grouped import grouped_count
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value", "ts"])
+
+    out_schema = pa.schema([("rule", pa.string()),
+                            ("n_violations", pa.int64())])
+    cutoff = np.datetime64(AUDIT_CUTOFF.replace(" ", "T"), "us") \
+        .astype(np.int64)
+
+    def scan_partial(b: pa.Table) -> pa.Table:
+        vc = pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64())
+        over = pc.sum(pc.cast(pc.greater(vc, AUDIT_VALUE_CAP_C),
+                              pa.int64())).as_py() or 0
+        unk = pc.sum(pc.cast(pc.invert(pc.is_in(
+            b["event_type"], value_set=pa.array(AUDIT_KNOWN_TYPES))),
+            pa.int64())).as_py() or 0
+        ts = b["ts"].combine_chunks().to_numpy() \
+            .astype("datetime64[us]").astype(np.int64)
+        late = int((ts >= cutoff).sum())
+        return pa.table({
+            "rule": ["value_over_cap", "unknown_event_type",
+                     "ts_after_cutoff"],
+            "n_violations": pa.array([over, unk, late], pa.int64())},
+            schema=out_schema)
+
+    scans = ev.map_batches(scan_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    # uniqueness: per-key counts, violations = sum(cnt - 1) over keys
+    keyed = grouped_count(ev.select_columns(["event_id"]), ["event_id"],
+                          "cnt", 8)
+
+    def dup_partial(b: pa.Table) -> pa.Table:
+        extra = pc.sum(pc.subtract(b["cnt"], 1)).as_py() or 0
+        return pa.table({"rule": ["dup_event_id"],
+                         "n_violations": pa.array([extra], pa.int64())},
+                        schema=out_schema)
+
+    dups = keyed.map_batches(dup_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    from ..functions.grouped import sorted_aggregate
+    return sorted_aggregate(scans.union(dups), ["rule"],
+                            [("n_violations", "sum")],
+                            ["rule", "n_violations"], 1)

@@ -2778,3 +2778,78 @@ def scd2_intervals(sf_dir: str) -> ray.data.Dataset:
             schema=out_schema)
 
     return sorted_group_apply(ev, ["user_id"], block, 8)
+
+
+def mannwhitney_u_events(sf_dir: str, type_a: str = "click",
+                         type_b: str = "purchase") -> ray.data.Dataset:
+    """Exact two-sample Mann-Whitney U (rank-sum) statistic between two
+    event types' value distributions, in PURE integers: with average
+    ranks over ties, 2*R_A is always integral — for a tie run of
+    combined size c starting after s combined rows, each A-member
+    contributes (2s + c + 1) to 2*R_A. Then 2*U_A = 2*R_A − n_A(n_A+1).
+
+    Same distributed-prefix-scan shape as :func:`ks_drift_prices`: the
+    corpus folds map-side to per-value (n_a, n_b) counts, ONE value sort
+    colocates ranges, per-block subtotals give each block its base
+    offset, and the per-block contribution is one vectorized pass.
+    Output a single row (n_a, n_b, u2_a)."""
+    from ..functions.grouped import sorted_aggregate
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b["event_type"],
+                              value_set=pa.array([type_a, type_b])))
+        isa = pc.equal(t["event_type"], type_a)
+        tt = pa.table({
+            "v": _scaled_int(t["value"], 100.0),
+            "na": pc.cast(isa, pa.int64()),
+            "nb": pc.cast(pc.invert(isa), pa.int64())})
+        return tt.group_by(["v"], use_threads=False).aggregate(
+            [("na", "sum"), ("nb", "sum")]).rename_columns(
+            ["v", "na", "nb"])
+
+    counts = sorted_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["v"], [("na", "sum"), ("nb", "sum")], ["v", "na", "nb"], 8)
+
+    mat = counts.materialize()
+    refs = mat.to_arrow_refs()
+
+    @ray.remote
+    def subtotal(t: pa.Table):
+        return (int(pc.sum(t["na"]).as_py() or 0),
+                int(pc.sum(t["nb"]).as_py() or 0),
+                pc.min(t["v"]).as_py() if t.num_rows else None)
+
+    subs = ray.get([subtotal.remote(r) for r in refs])
+    order = sorted(range(len(refs)),
+                   key=lambda i: (subs[i][2] is None, subs[i][2]))
+    refs = [refs[i] for i in order]
+    subs = [subs[i] for i in order]
+    n_a = sum(s[0] for s in subs)
+    n_b = sum(s[1] for s in subs)
+    tot = [s[0] + s[1] for s in subs]
+    bases = np.concatenate([[0], np.cumsum(tot)[:-1]]).astype(np.int64)
+    if float(n_a) * float(n_a + n_b) * 2.0 >= float(1 << 62):
+        raise OverflowError("mannwhitney_u: rescale (rank sums exceed "
+                            "int64 headroom)")
+
+    @ray.remote
+    def block_r2(t: pa.Table, base: int) -> int:
+        if t.num_rows == 0:
+            return 0
+        t = t.sort_by("v")
+        na = t["na"].to_numpy(zero_copy_only=False)
+        c = na + t["nb"].to_numpy(zero_copy_only=False)
+        s = base + np.concatenate([[0], np.cumsum(c)[:-1]])
+        return int((na * (2 * s + c + 1)).sum())
+
+    r2_a = sum(ray.get([block_r2.remote(r, int(b))
+                        for r, b in zip(refs, bases)]))
+    u2_a = r2_a - n_a * (n_a + 1)
+    return ray.data.from_arrow(pa.table({
+        "n_a": pa.array([n_a], pa.int64()),
+        "n_b": pa.array([n_b], pa.int64()),
+        "u2_a": pa.array([u2_a], pa.int64())}))

@@ -2247,6 +2247,22 @@ def _q_events_scd2(sf_dir: str):
     return scd2_intervals(sf_dir)
 
 
+def _q_quality_audit(sf_dir: str):
+    """Data-quality audit / expectation suite
+    (curation.quality_audit_events): per-rule violation counts; scan
+    rules fold map-side, uniqueness is the only keyed exchange."""
+    from .pipelines.curation import quality_audit_events
+    return quality_audit_events(sf_dir)
+
+
+def _q_rel_mannwhitney(sf_dir: str):
+    """Exact-integer two-sample Mann-Whitney U
+    (relational.mannwhitney_u_events): tie-averaged rank sums via the
+    distributed prefix scan; 2*U_A stays integral."""
+    from .pipelines.relational import mannwhitney_u_events
+    return mannwhitney_u_events(sf_dir)
+
+
 def _q_text_kwic(sf_dir: str):
     """KWIC concordance (textstats.kwic_concordance): first occurrence of
     each query term per document with a +-24-char context snippet —
@@ -2433,6 +2449,8 @@ def queries() -> dict[str, Callable]:
         "emb_random_projection": _q_emb_random_projection,
         "kg_scc_tools": _q_kg_scc_tools,
         "events_scd2_intervals": _q_events_scd2,
+        "quality_audit_events": _q_quality_audit,
+        "rel_mannwhitney_u": _q_rel_mannwhitney,
     }
 
 
@@ -3918,4 +3936,43 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY user_id ORDER BY ts, event_id), -1)
                      AS valid_to
             FROM s ORDER BY 1, 3""",
+        "quality_audit_events": """
+            SELECT 'dup_event_id' AS rule,
+                   count(*) - count(DISTINCT event_id) AS n_violations
+            FROM events
+            UNION ALL
+            SELECT 'value_over_cap',
+                   CAST(sum(CASE WHEN CAST(round(value * 100) AS BIGINT)
+                                      > 30000 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'unknown_event_type',
+                   CAST(sum(CASE WHEN event_type NOT IN
+                             ('click', 'purchase', 'signup', 'view')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'ts_after_cutoff',
+                   CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-25 00:00:00'
+                             THEN 1 ELSE 0 END) AS BIGINT)
+            FROM events
+            ORDER BY 1""",
+        "rel_mannwhitney_u": """
+            WITH d AS (
+              SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                     CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+              FROM events WHERE event_type IN ('click', 'purchase')),
+            g AS (SELECT v, CAST(sum(ia) AS BIGINT) AS na,
+                         CAST(count(*) - sum(ia) AS BIGINT) AS nb
+                  FROM d GROUP BY 1),
+            o AS (SELECT v, na, nb,
+                         coalesce(sum(na + nb) OVER (
+                           ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS s
+                  FROM g)
+            SELECT CAST(sum(na) AS BIGINT) AS n_a,
+                   CAST(sum(nb) AS BIGINT) AS n_b,
+                   CAST(sum(na * (2 * s + na + nb + 1))
+                        - sum(na) * (sum(na) + 1) AS BIGINT) AS u2_a
+            FROM o""",
     }
