@@ -808,3 +808,66 @@ def test_mannwhitney_and_audit_planted(ray_session, tmp_path):
     assert audit["value_over_cap"] == 0  # values max 2.75
     assert audit["ts_after_cutoff"] == (
         df.ts >= pd.Timestamp("2024-01-25")).sum()
+
+
+def test_pareto_abc_exact_boundaries(ray_session, tmp_path):
+    """Cumulative share thresholds decided in integers: a customer whose
+    cumulative share is EXACTLY 80% is still class A (<=), the next one
+    crosses into B; same at 95%."""
+    import pandas as pd
+
+    from the_yelp_collaborative_knowledge_graph_ray.pipelines.relational import (
+        pareto_abc_customers,
+    )
+
+    # revenues 40, 40, 15, 5 -> cum shares 40%, 80%, 95%, 100%
+    df = pd.DataFrame({
+        "o_custkey": np.array([1, 2, 3, 4], np.int64),
+        "o_totalprice": [40.0, 40.0, 15.0, 5.0],
+    })
+    sf = str(tmp_path)
+    df.to_parquet(f"{sf}/orders.parquet", index=False)
+    out = pareto_abc_customers(sf).to_pandas() \
+        .sort_values("o_custkey").reset_index(drop=True)
+    assert out["abc"].tolist() == ["A", "A", "B", "C"]
+    # ties in revenue break by custkey: cust 1 before cust 2
+
+
+def test_response_latency_planted(ray_session):
+    """Each user turn pairs with the NEXT assistant turn only; trailing
+    user turns and assistant-free convs drop out."""
+    import pyarrow as pa
+    import ray.data
+
+    from the_yelp_collaborative_knowledge_graph_ray.queries import (
+        _q_cq_response_latency,
+    )
+    from the_yelp_collaborative_knowledge_graph_ray.functions.grouped import (
+        sorted_group_apply,  # noqa: F401  (import guard for the kernel)
+    )
+
+    # reach into the wrapper's block through a tiny in-memory dataset by
+    # monkey-free reconstruction: build the same shape the wrapper reads
+    import the_yelp_collaborative_knowledge_graph_ray.queries as Q
+
+    t = pa.table({
+        "conv_id": ["c1"] * 4 + ["c2"] * 2,
+        "turn_idx": pa.array([0, 1, 2, 3, 0, 1], pa.int32()),
+        "role": ["user", "assistant", "user", "user",
+                 "user", "system"],
+        "ts": pa.array([0, 5_000_000, 7_000_000, 9_000_000,
+                        0, 1_000_000], pa.timestamp("us")),
+    })
+    orig = Q._read_transcripts
+    try:
+        Q._read_transcripts = (
+            lambda sf_dir, columns=None: ray.data.from_arrow(
+                t.select(columns) if columns else t))
+        out = _q_cq_response_latency("ignored").to_pandas()
+    finally:
+        Q._read_transcripts = orig
+    # c1: only turn 0 pairs (lat 5s); turns 2,3 have no later assistant.
+    # c2: no assistant at all -> dropped.
+    assert out["conv_id"].tolist() == ["c1"]
+    assert out["n_pairs"].tolist() == [1]
+    assert out["sum_lat_us"].tolist() == [5_000_000]

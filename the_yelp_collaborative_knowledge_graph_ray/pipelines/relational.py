@@ -2853,3 +2853,113 @@ def mannwhitney_u_events(sf_dir: str, type_a: str = "click",
         "n_a": pa.array([n_a], pa.int64()),
         "n_b": pa.array([n_b], pa.int64()),
         "u2_a": pa.array([u2_a], pa.int64())}))
+
+
+def top_event_paths(sf_dir: str, k: int = 20) -> ray.data.Dataset:
+    """Sequential-pattern mining: the k most common 3-step event-type
+    journeys (consecutive per user, time-ordered). ONE user-keyed sort;
+    in-block the trigrams are two shifted-array reads under a same-user
+    mask; counts fold map-side per block to <= |types|^3 rows, ONE tiny
+    sum all-to-all, then a |types|^3-row sort — the corpus never moves.
+    Ties broken (n DESC, t1, t2, t3) identically to the oracle."""
+    from ..functions.grouped import group_ids, sorted_aggregate, \
+        sorted_group_apply
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id",
+                                          "event_type", "ts"])
+    part_schema = pa.schema([("t1", pa.string()), ("t2", pa.string()),
+                             ("t3", pa.string()), ("n", pa.int64())])
+
+    def block(b: pa.Table) -> pa.Table:
+        if b.num_rows < 3:
+            return part_schema.empty_table()
+        gid, _ = group_ids(b, ["user_id"])
+        ts = b["ts"].combine_chunks().to_numpy() \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = b["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, gid))
+        g = gid[order]
+        typ = b["event_type"].combine_chunks().take(pa.array(order))
+        m = len(g) - 2
+        same = (g[:-2] == g[2:])  # rows i, i+1, i+2 share the user
+        t = pa.table({"t1": typ.slice(0, m), "t2": typ.slice(1, m),
+                      "t3": typ.slice(2, m),
+                      "n": pa.array(np.ones(m, np.int64))}) \
+            .filter(pa.array(same))
+        return t.group_by(["t1", "t2", "t3"], use_threads=False) \
+            .aggregate([("n", "sum")]) \
+            .rename_columns(["t1", "t2", "t3", "n"]).cast(part_schema)
+
+    counts = sorted_aggregate(
+        sorted_group_apply(ev, ["user_id"], block, 8),
+        ["t1", "t2", "t3"], [("n", "sum")], ["t1", "t2", "t3", "n"], 1)
+    return counts.sort(["n", "t1", "t2", "t3"],
+                       descending=[True, False, False, False]).limit(k)
+
+
+def pareto_abc_customers(sf_dir: str) -> ray.data.Dataset:
+    """Pareto / ABC revenue classification: customers ranked by total
+    order revenue DESC; class A while the cumulative share is <= 80%,
+    B to 95%, C after — decided in exact integers (100*cum vs 80*total),
+    never a float share.
+
+    Grouped revenue partials -> ONE (rev DESC, custkey) sort (unique
+    composite key, so no tie can straddle a block boundary) -> the
+    distributed prefix-scan: per-block subtotals give each block its
+    base, classes assigned in ONE vectorized pass per block."""
+    from ..functions.grouped import sorted_aggregate
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"o_custkey": b["o_custkey"],
+                      "rev_c": _scaled_int(b["o_totalprice"], 100.0)})
+        return t.group_by(["o_custkey"], use_threads=False).aggregate(
+            [("rev_c", "sum")]).rename_columns(["o_custkey", "rev_c"])
+
+    rev = sorted_aggregate(
+        orders.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["o_custkey"], [("rev_c", "sum")], ["o_custkey", "rev_c"], 8)
+    ranked = rev.sort(["rev_c", "o_custkey"],
+                      descending=[True, False]).materialize()
+    refs = ranked.to_arrow_refs()
+
+    @ray.remote
+    def subtotal(t: pa.Table):
+        if t.num_rows == 0:
+            return 0, None, None
+        return (int(pc.sum(t["rev_c"]).as_py()),
+                -int(t["rev_c"][0].as_py()), int(t["o_custkey"][0].as_py()))
+
+    subs = ray.get([subtotal.remote(r) for r in refs])
+    order = sorted(range(len(refs)),
+                   key=lambda i: (subs[i][1] is None,
+                                  subs[i][1], subs[i][2]))
+    refs = [refs[i] for i in order]
+    tots = [subs[i][0] for i in order]
+    total = sum(tots)
+    bases = np.concatenate([[0], np.cumsum(tots)[:-1]]).astype(np.int64)
+    if float(total) * 100.0 >= float(1 << 62):
+        raise OverflowError("pareto_abc: rescale (cumulative revenue "
+                            "exceeds int64 headroom)")
+
+    @ray.remote
+    def classify(t: pa.Table, base: int, tot: int) -> pa.Table:
+        out_schema = pa.schema([("o_custkey", pa.int64()),
+                                ("rev_c", pa.int64()),
+                                ("abc", pa.string())])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        cum = base + np.cumsum(t["rev_c"].to_numpy(zero_copy_only=False))
+        cls = np.where(100 * cum <= 80 * tot, "A",
+                       np.where(100 * cum <= 95 * tot, "B", "C"))
+        return pa.table({"o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                         "rev_c": t["rev_c"],
+                         "abc": pa.array(cls, pa.string())},
+                        schema=out_schema)
+
+    import ray.data as rd
+    return rd.from_arrow_refs(
+        [classify.remote(r, int(b), int(total))
+         for r, b in zip(refs, bases)])

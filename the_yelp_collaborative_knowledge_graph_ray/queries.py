@@ -2247,6 +2247,77 @@ def _q_events_scd2(sf_dir: str):
     return scd2_intervals(sf_dir)
 
 
+def _q_cq_response_latency(sf_dir: str):
+    """Per-conversation user->assistant response latency: every user turn
+    pairs with the NEXT assistant turn (by turn_idx) in its conversation;
+    output (conv_id, n_pairs, sum_lat_us) in exact integers. ONE conv
+    sort; in-block the next-match is a composed-key searchsorted (the
+    events_error_recovery kernel) — no quadratic self-join."""
+    from .functions.grouped import group_ids, sorted_group_apply
+
+    t = _read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "role",
+                                           "ts"])
+    out_schema = pa.schema([("conv_id", pa.string()),
+                            ("n_pairs", pa.int64()),
+                            ("sum_lat_us", pa.int64())])
+
+    def block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        gid, starts = group_ids(b, ["conv_id"])
+        tidx = b["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = b["ts"].combine_chunks().to_numpy() \
+            .astype("datetime64[us]").astype(np.int64)
+        role = b["role"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((tidx, gid))
+        g, ix, e, r = gid[order], tidx[order], ts[order], role[order]
+        span = int(ix.max(initial=0)) + 2
+        key = g * span + ix  # composed (conv, turn) key, strictly sorted
+        a_mask = r == "assistant"
+        a_key, a_ts, a_g = key[a_mask], e[a_mask], g[a_mask]
+        u_mask = r == "user"
+        pos = np.searchsorted(a_key, key[u_mask], side="right")
+        ok = pos < len(a_key)
+        pos_c = np.minimum(pos, max(len(a_key) - 1, 0))
+        ok &= len(a_key) > 0
+        if len(a_key):
+            ok &= a_g[pos_c] == g[u_mask]
+        lat = np.where(ok, (a_ts[pos_c] if len(a_key) else 0)
+                       - e[u_mask], 0)
+        ug = g[u_mask]
+        n_groups = len(starts)
+        n_pairs = np.zeros(n_groups, np.int64)
+        np.add.at(n_pairs, ug[ok], 1)
+        sums = np.zeros(n_groups, np.int64)
+        np.add.at(sums, ug[ok], lat[ok])
+        keep = n_pairs > 0
+        convs = b["conv_id"].take(pa.array(starts))
+        return pa.table({
+            "conv_id": convs.filter(pa.array(keep)),
+            "n_pairs": pa.array(n_pairs[keep], pa.int64()),
+            "sum_lat_us": pa.array(sums[keep], pa.int64())},
+            schema=out_schema)
+
+    return sorted_group_apply(t, ["conv_id"], block, 8).sort("conv_id")
+
+
+def _q_events_top_paths(sf_dir: str):
+    """Top-k 3-step event-type journeys (relational.top_event_paths):
+    trigram emission in sorted blocks, map-side count fold, tiny global
+    sort."""
+    from .pipelines.relational import top_event_paths
+    return top_event_paths(sf_dir)
+
+
+def _q_rel_pareto_abc(sf_dir: str):
+    """Pareto/ABC revenue classes (relational.pareto_abc_customers):
+    exact-integer cumulative-share thresholds on the distributed prefix
+    scan."""
+    from .pipelines.relational import pareto_abc_customers
+    return pareto_abc_customers(sf_dir).sort(["rev_c", "o_custkey"],
+                                             descending=[True, False])
+
+
 def _q_quality_audit(sf_dir: str):
     """Data-quality audit / expectation suite
     (curation.quality_audit_events): per-rule violation counts; scan
@@ -2451,6 +2522,9 @@ def queries() -> dict[str, Callable]:
         "events_scd2_intervals": _q_events_scd2,
         "quality_audit_events": _q_quality_audit,
         "rel_mannwhitney_u": _q_rel_mannwhitney,
+        "cq_response_latency": _q_cq_response_latency,
+        "events_top_paths": _q_events_top_paths,
+        "rel_pareto_abc": _q_rel_pareto_abc,
     }
 
 
@@ -3975,4 +4049,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(na * (2 * s + na + nb + 1))
                         - sum(na) * (sum(na) + 1) AS BIGINT) AS u2_a
             FROM o""",
+        "cq_response_latency": f"""
+            WITH x AS (
+              SELECT conv_id, turn_idx, role, epoch_us(ts) AS e,
+                     first_value(CASE WHEN role = 'assistant'
+                                      THEN epoch_us(ts) END IGNORE NULLS)
+                       OVER (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS BETWEEN 1 FOLLOWING
+                                  AND UNBOUNDED FOLLOWING) AS next_a
+              FROM read_parquet('{fdir}/transcripts.parquet/*.parquet'))
+            SELECT conv_id, count(*) AS n_pairs,
+                   CAST(sum(next_a - e) AS BIGINT) AS sum_lat_us
+            FROM x WHERE role = 'user' AND next_a IS NOT NULL
+            GROUP BY 1 ORDER BY 1""",
+        "events_top_paths": """
+            WITH s AS (
+              SELECT event_type AS t1,
+                     LEAD(event_type, 1) OVER w AS t2,
+                     LEAD(event_type, 2) OVER w AS t3
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT t1, t2, t3, count(*) AS n FROM s WHERE t3 IS NOT NULL
+            GROUP BY 1, 2, 3 ORDER BY n DESC, t1, t2, t3 LIMIT 20""",
+        "rel_pareto_abc": """
+            WITH r AS (
+              SELECT o_custkey,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS rev_c
+              FROM orders GROUP BY 1),
+            c AS (SELECT o_custkey, rev_c,
+                         sum(rev_c) OVER (ORDER BY rev_c DESC, o_custkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum,
+                         sum(rev_c) OVER () AS total
+                  FROM r)
+            SELECT o_custkey, rev_c,
+                   CASE WHEN 100 * cum <= 80 * total THEN 'A'
+                        WHEN 100 * cum <= 95 * total THEN 'B'
+                        ELSE 'C' END AS abc
+            FROM c ORDER BY rev_c DESC, o_custkey""",
     }
