@@ -871,3 +871,33 @@ def test_response_latency_planted(ray_session):
     assert out["conv_id"].tolist() == ["c1"]
     assert out["n_pairs"].tolist() == [1]
     assert out["sum_lat_us"].tolist() == [5_000_000]
+
+
+def test_robust_anomaly_planted_outlier(ray_session, tmp_path):
+    """A gross outlier is flagged; grid inliers are not (MAD > 0 case)."""
+    import pandas as pd
+
+    from the_yelp_collaborative_knowledge_graph_ray.pipelines.relational import (
+        robust_anomaly_events,
+    )
+
+    rng = np.random.RandomState(2)
+    n = 200
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "event_type": ["click"] * n,
+        "value": rng.randint(8, 13, n) * 1.0,   # med ~10, MAD ~1
+    })
+    df.loc[0, "value"] = 1000.0                 # planted outlier
+    sf = str(tmp_path)
+    df.to_parquet(f"{sf}/events.parquet", index=False)
+    out = robust_anomaly_events(sf).to_pandas()
+    assert 0 in out["event_id"].tolist()
+    # median±MAD band members never flagged
+    vals = out["vc"].to_numpy()
+    assert (np.abs(vals - 1000) <= 3 * 200).sum() <= len(vals)
+    med = np.median(np.round(df["value"] * 100))
+    mad = np.median(np.abs(np.round(df["value"] * 100) - med))
+    exp = set(df.event_id[np.abs(np.round(df["value"] * 100) - med)
+                          > 3 * mad])
+    assert set(out["event_id"]) == exp

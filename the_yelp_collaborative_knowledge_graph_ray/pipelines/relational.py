@@ -2963,3 +2963,57 @@ def pareto_abc_customers(sf_dir: str) -> ray.data.Dataset:
     return rd.from_arrow_refs(
         [classify.remote(r, int(b), int(total))
          for r, b in zip(refs, bases)])
+
+
+def robust_anomaly_events(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """Robust (median/MAD) outlier flagging — the heavy-tail-safe
+    companion to the mean/sigma z-score op (events_anomaly): flag events
+    with |value_c − median| > k·MAD, per event type, all in exact cents
+    (LOW median both passes, same contract as mad_prices_by_flag).
+
+    Two order-statistic passes produce a |types|-row stats table that
+    rides the task closure; the corpus itself streams through ONE
+    stateless filter pass. Output (event_id, event_type, vc)."""
+    from ..functions.quantiles import grouped_quantiles
+
+    ev = _read(sf_dir, "events", columns=["event_id", "event_type",
+                                          "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table({"event_id": b["event_id"],
+                         "event_type": b["event_type"],
+                         "vc": _scaled_int(b["value"], 100.0)})
+
+    cents = ev.map_batches(to_cents, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    med_rows = grouped_quantiles(cents, "event_type", "vc",
+                                 [0.5], 1).take_all()
+    types = [r["event_type"] for r in med_rows]
+    meds = np.array([int(r["value"]) for r in med_rows], np.int64)
+    type_arr = pa.array(types, pa.string())
+
+    def deviations(b: pa.Table) -> pa.Table:
+        idx = pc.index_in(pc.cast(b["event_type"], pa.string()),
+                          value_set=type_arr).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b["vc"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": b["event_type"],
+                         "dev": pa.array(np.abs(v - meds[idx]), pa.int64())})
+
+    mad_rows = grouped_quantiles(
+        cents.map_batches(deviations, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        "event_type", "dev", [0.5], 1).take_all()
+    mads = {r["event_type"]: int(r["value"]) for r in mad_rows}
+    mad_np = np.array([mads[t] for t in types], np.int64)
+
+    def flag(b: pa.Table) -> pa.Table:
+        idx = pc.index_in(pc.cast(b["event_type"], pa.string()),
+                          value_set=type_arr).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b["vc"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = np.abs(v - meds[idx]) > k * mad_np[idx]
+        return b.filter(pa.array(keep))
+
+    return cents.map_batches(flag, batch_format="pyarrow",
+                             zero_copy_batch=True)

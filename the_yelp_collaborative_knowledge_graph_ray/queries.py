@@ -1493,6 +1493,22 @@ _EMB_NEAR_DUP_SQL = f"""
           >= {EMB_NEAR_DUP_THRESHOLD}
     ORDER BY doc_a, doc_b"""
 
+# near-dup pair graph -> transitive components -> canonical minimum: the
+# shared tail of the canonical-map oracle and the cluster-size histogram.
+_CANON_CTE = """
+            p AS (SELECT i.doc_a, i.doc_b FROM inter i
+                  JOIN sizes sa ON sa.doc_id = i.doc_a
+                  JOIN sizes sb ON sb.doc_id = i.doc_b
+                  WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.5),
+            e AS (SELECT doc_a AS u, doc_b AS v FROM p
+                  UNION SELECT doc_b, doc_a FROM p),
+            reach(node, r) AS (
+              SELECT u, u FROM e
+              UNION
+              SELECT e.u, reach.r FROM e JOIN reach ON reach.node = e.v),
+            canon AS (SELECT node, min(r) AS c FROM reach GROUP BY 1)
+"""
+
 _JACCARD_SQL = """
 WITH """ + _SHINGLE_CTE + """
 SELECT i.doc_a, i.doc_b,
@@ -2318,6 +2334,41 @@ def _q_rel_pareto_abc(sf_dir: str):
                                              descending=[True, False])
 
 
+def _q_dedup_cluster_sizes(sf_dir: str):
+    """Near-dup cluster-size histogram — the dedup QUALITY diagnostic
+    (how much mass sits in big duplicate families): canonical map →
+    per-canon sizes → size histogram, two grouped counts, corpus never
+    broadcast."""
+    from .functions.grouped import grouped_count
+    from .stages.dedup import dedup_canonical_map, minhash_lsh_pairs
+    docs = _docs(sf_dir)
+    cm = dedup_canonical_map(docs, minhash_lsh_pairs(docs))
+    sizes = grouped_count(cm.select_columns(["canon_id"]),
+                          ["canon_id"], "sz", 8)
+    hist = grouped_count(sizes.select_columns(["sz"]), ["sz"],
+                         "n_clusters", 1)
+    return hist.map_batches(
+        lambda b: b.rename_columns(["cluster_size", "n_clusters"]),
+        batch_format="pyarrow", zero_copy_batch=True).sort("cluster_size")
+
+
+def _q_kg_type_rollup(sf_dir: str):
+    """OLAP-over-ontology rollup: entity counts per type INCLUDING
+    inferred supertypes — one grouped count over the RDFS inference
+    materialization (kg_inferred_types)."""
+    from .functions.grouped import grouped_count
+    inf = _q_kg_inferred_types(sf_dir)
+    return grouped_count(inf.select_columns(["type_iri"]),
+                         ["type_iri"], "n_entities", 1).sort("type_iri")
+
+
+def _q_events_robust_anomaly(sf_dir: str):
+    """Median/MAD robust outlier flags (relational.robust_anomaly_events):
+    heavy-tail-safe companion to the z-score op, exact cents."""
+    from .pipelines.relational import robust_anomaly_events
+    return robust_anomaly_events(sf_dir)
+
+
 def _q_quality_audit(sf_dir: str):
     """Data-quality audit / expectation suite
     (curation.quality_audit_events): per-rule violation counts; scan
@@ -2525,13 +2576,16 @@ def queries() -> dict[str, Callable]:
         "cq_response_latency": _q_cq_response_latency,
         "events_top_paths": _q_events_top_paths,
         "rel_pareto_abc": _q_rel_pareto_abc,
+        "dedup_cluster_sizes": _q_dedup_cluster_sizes,
+        "kg_type_rollup_counts": _q_kg_type_rollup,
+        "events_robust_anomaly": _q_events_robust_anomaly,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     fdir = generator.ensure_fixtures(SF_ORACLE)
     P = _sql_prefix(fdir)
-    return {
+    out = {
         "kg_structural_triples": P + "SELECT * FROM (" + _structural_sql() + ")",
         "kg_mention_triples": P + _mention_sql(),
         "kg_dead_letter": f"""
@@ -2804,22 +2858,20 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": _EMB_NEAR_DUP_SQL,
         # transitive closure of the exact-Jaccard pair graph via a recursive
         # CTE; canon = min reachable node; docs in no pair keep themselves
-        "dedup_canonical_map": "WITH RECURSIVE " + _SHINGLE_CTE + """,
-            p AS (SELECT i.doc_a, i.doc_b FROM inter i
-                  JOIN sizes sa ON sa.doc_id = i.doc_a
-                  JOIN sizes sb ON sb.doc_id = i.doc_b
-                  WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.5),
-            e AS (SELECT doc_a AS u, doc_b AS v FROM p
-                  UNION SELECT doc_b, doc_a FROM p),
-            reach(node, r) AS (
-              SELECT u, u FROM e
-              UNION
-              SELECT e.u, reach.r FROM e JOIN reach ON reach.node = e.v),
-            canon AS (SELECT node, min(r) AS c FROM reach GROUP BY 1)
+        "dedup_canonical_map": "WITH RECURSIVE " + _SHINGLE_CTE + ","
+            + _CANON_CTE + """
             SELECT d.doc_id, coalesce(c.c, d.doc_id) AS canon_id,
                    coalesce(c.c, d.doc_id) <> d.doc_id AS is_dup
             FROM documents d LEFT JOIN canon c ON c.node = d.doc_id
             ORDER BY d.doc_id""",
+        "dedup_cluster_sizes": "WITH RECURSIVE " + _SHINGLE_CTE + ","
+            + _CANON_CTE + """,
+            m AS (SELECT d.doc_id, coalesce(c.c, d.doc_id) AS canon_id
+                  FROM documents d LEFT JOIN canon c ON c.node = d.doc_id),
+            s AS (SELECT canon_id, count(*) AS sz FROM m GROUP BY 1)
+            SELECT CAST(sz AS BIGINT) AS cluster_size,
+                   count(*) AS n_clusters
+            FROM s GROUP BY 1 ORDER BY 1""",
         "dedup_embedding_blocked": _EMB_NEAR_DUP_SQL,
         "embedding_topk_pairs": """
             SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
@@ -4088,4 +4140,21 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 100 * cum <= 95 * total THEN 'B'
                         ELSE 'C' END AS abc
             FROM c ORDER BY rev_c DESC, o_custkey""",
+        "events_robust_anomaly": """
+            WITH c AS (SELECT event_id, event_type,
+                              CAST(round(value * 100) AS BIGINT) AS vc
+                       FROM events),
+            m AS (SELECT event_type, quantile_disc(vc, 0.5) AS med
+                  FROM c GROUP BY 1),
+            d AS (SELECT c.event_type, abs(vc - med) AS dev
+                  FROM c JOIN m USING (event_type)),
+            md AS (SELECT event_type, quantile_disc(dev, 0.5) AS mad
+                   FROM d GROUP BY 1)
+            SELECT event_id, c.event_type, vc
+            FROM c JOIN m USING (event_type) JOIN md USING (event_type)
+            WHERE abs(vc - med) > 3 * mad ORDER BY event_id""",
     }
+    out["kg_type_rollup_counts"] = (
+        "SELECT type_iri, count(*) AS n_entities FROM ("
+        + out["kg_inferred_types"] + ") GROUP BY 1 ORDER BY 1")
+    return out
