@@ -2334,6 +2334,76 @@ def _q_rel_pareto_abc(sf_dir: str):
                                              descending=[True, False])
 
 
+def _q_cq_trending_tools(sf_dir: str):
+    """Trending tools: per calendar day, the top-3 tools by turn count
+    (ties by tool name) — grouped_count partials fold map-side to
+    (day, tool) rows, then the pruned distributed top-k
+    (functions/topn.top_n_per_key, rank == ROW_NUMBER)."""
+    from .functions.grouped import grouped_count
+    from .functions.normalize import normalize_array
+    from .functions.topn import top_n_per_key
+    from .stages.extract import _tool_mask
+
+    t = _read_transcripts(sf_dir, columns=["tool", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(_tool_mask(b["tool"]))
+        day = b["ts"].combine_chunks().to_numpy() \
+            .astype("datetime64[D]").astype(np.int64)
+        return pa.table({"day": pa.array(day, pa.int64()),
+                         "tool": normalize_array(b["tool"])})
+
+    counts = grouped_count(
+        t.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["day", "tool"], "n", 8)
+    return top_n_per_key(counts, ["day"], [("n", False), ("tool", True)],
+                         3, 4).sort(["day", "rank"])
+
+
+def _q_events_stickiness(sf_dir: str):
+    """DAU/WAU stickiness: per event day, (dau, wau) as an exact integer
+    pair — DAU from the distinct (user, day) fold, WAU from the
+    interval-union trailing-window distinct (window_distinct_users); the
+    two day-keyed tables are tiny and reconcile in ONE union-tag grouped
+    sum (no join against the corpus)."""
+    from .functions.grouped import grouped_count, sorted_aggregate
+    from .pipelines.relational import window_distinct_users
+
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts"])
+
+    def day_partial(b: pa.Table) -> pa.Table:
+        day = b["ts"].combine_chunks().to_numpy() \
+            .astype("datetime64[D]").astype(np.int64)
+        t = pa.table({"user_id": b["user_id"],
+                      "day": pa.array(day, pa.int64())})
+        return t.group_by(["user_id", "day"], use_threads=False) \
+            .aggregate([]).rename_columns(["user_id", "day"])
+
+    pairs = grouped_count(
+        ev.map_batches(day_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id", "day"], "__c", 8)
+    dau = grouped_count(pairs.select_columns(["day"]), ["day"], "dau", 4)
+    wau = window_distinct_users(sf_dir, 7)
+
+    def tag_dau(b: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(b.num_rows, np.int64))
+        return pa.table({"day": b["day"], "dau": b["dau"], "wau": z})
+
+    def tag_wau(b: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(b.num_rows, np.int64))
+        return pa.table({"day": b["day"], "dau": z, "wau": b["n_users"]})
+
+    u = dau.map_batches(tag_dau, batch_format="pyarrow").union(
+        wau.map_batches(tag_wau, batch_format="pyarrow"))
+    merged = sorted_aggregate(u, ["day"], [("dau", "sum"), ("wau", "sum")],
+                              ["day", "dau", "wau"], 1)
+    return merged.map_batches(
+        lambda b: b.filter(pc.greater(b["dau"], 0)),
+        batch_format="pyarrow", zero_copy_batch=True).sort("day")
+
+
 def _q_dedup_cluster_sizes(sf_dir: str):
     """Near-dup cluster-size histogram — the dedup QUALITY diagnostic
     (how much mass sits in big duplicate families): canonical map →
@@ -2576,6 +2646,8 @@ def queries() -> dict[str, Callable]:
         "cq_response_latency": _q_cq_response_latency,
         "events_top_paths": _q_events_top_paths,
         "rel_pareto_abc": _q_rel_pareto_abc,
+        "cq_trending_tools": _q_cq_trending_tools,
+        "events_stickiness": _q_events_stickiness,
         "dedup_cluster_sizes": _q_dedup_cluster_sizes,
         "kg_type_rollup_counts": _q_kg_type_rollup,
         "events_robust_anomaly": _q_events_robust_anomaly,
@@ -4153,6 +4225,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, c.event_type, vc
             FROM c JOIN m USING (event_type) JOIN md USING (event_type)
             WHERE abs(vc - med) > 3 * mad ORDER BY event_id""",
+        "cq_trending_tools": f"""
+            WITH c AS (
+              SELECT date_diff('day', DATE '1970-01-01',
+                               CAST(ts AS DATE)) AS day,
+                     {normalize_sql('tool')} AS tool, count(*) AS n
+              FROM read_parquet('{fdir}/transcripts.parquet/*.parquet')
+              WHERE {TOOL_OK_SQL} GROUP BY 1, 2),
+            r AS (SELECT *, row_number() OVER (
+                    PARTITION BY day ORDER BY n DESC, tool) AS rk
+                  FROM c)
+            SELECT day, tool, n, rk AS rank FROM r
+            WHERE rk <= 3 ORDER BY day, rk""",
+        "events_stickiness": """
+            WITH d AS (SELECT DISTINCT user_id,
+                         date_diff('day', DATE '1970-01-01',
+                                   CAST(ts AS DATE)) AS day FROM events),
+            dau AS (SELECT day, count(*) AS dau FROM d GROUP BY 1),
+            wau AS (SELECT s.day, count(DISTINCT d.user_id) AS wau
+                    FROM (SELECT DISTINCT day FROM d) s
+                    JOIN d ON d.day BETWEEN s.day - 6 AND s.day
+                    GROUP BY 1)
+            SELECT day, dau, wau FROM dau JOIN wau USING (day)
+            ORDER BY 1""",
     }
     out["kg_type_rollup_counts"] = (
         "SELECT type_iri, count(*) AS n_entities FROM ("
