@@ -2334,6 +2334,166 @@ def _q_rel_pareto_abc(sf_dir: str):
                                              descending=[True, False])
 
 
+def _q_kg_bgp_conv_entity(sf_dir: str):
+    """Three-hop BGP across all four triple families:
+    {?t isPartOf ?c . ?t mentions ?m . ?m sameAs ?ent} -> DISTINCT
+    (c, ent) — which conversations ground to which external entities.
+    Chains two cogroup joins on ?t then one on ?m; the planner's
+    longest exercised join chain."""
+    from .functions.bgp import bgp_match
+    from .pipelines.kg import load_config_tables
+    from .stages import canonicalize as canon
+    from .stages import extract, link, mentions
+    fdir = _fx(sf_dir)
+    alias_rows, vocab, *_ = load_config_tables(fdir)
+    ts = _read_transcripts(sf_dir)
+    m = canon.canonicalize_mentions(
+        mentions.mention_triples(
+            ts.select_columns(["conv_id", "turn_idx", "text"]), vocab),
+        canon.build_canonical_map_local(alias_rows)).materialize()
+    links = link.link_mentions(m, link.load_snapshot(fdir)).materialize()
+    tri = extract.structural_triples(ts).union(m).union(links)
+    return bgp_match(
+        tri, [("?t", C.PRED_IS_PART_OF, "?c"),
+              ("?t", C.PRED_MENTIONS, "?m"),
+              ("?m", C.PRED_SAME_AS, "?ent")],
+        ["c", "ent"], num_partitions=8).sort(["c", "ent"])
+
+
+def _q_kg_completeness(sf_dir: str):
+    """KG completeness metrics — the graph-quality audit (companion to
+    the row-level quality_audit_events): per check, (n_total, n_missing)
+    as exact integers. Checks: mentions without an entity link
+    (grounding gap), conversations with no tool-using turn (automation
+    gap), turns with no mention (coverage gap). Each is one map-side
+    fold over a stream already produced by the pipeline — no new
+    shuffles beyond the tiny per-check aggregates."""
+    from .functions.grouped import grouped_count, sorted_aggregate
+    from .pipelines.kg import load_config_tables
+    from .stages import canonicalize as canon
+    from .stages import link, mentions
+    from .stages.extract import _tool_mask
+    fdir = _fx(sf_dir)
+    alias_rows, vocab, *_ = load_config_tables(fdir)
+    ts = _read_transcripts(sf_dir)
+    m = canon.canonicalize_mentions(
+        mentions.mention_triples(
+            ts.select_columns(["conv_id", "turn_idx", "text"]), vocab),
+        canon.build_canonical_map_local(alias_rows)).materialize()
+    links = link.link_mentions(m, link.load_snapshot(fdir)).materialize()
+
+    out_schema = pa.schema([("check", pa.string()),
+                            ("n_total", pa.int64()),
+                            ("n_missing", pa.int64())])
+
+    # grounding gap: distinct mention forms vs linked forms (both tiny
+    # after the distinct fold; links are one row per linked form)
+    def to_form(b: pa.Table) -> pa.Table:
+        return pa.table({"form": pc.unique(b["obj"].combine_chunks())})
+
+    forms = grouped_count(m.map_batches(to_form, batch_format="pyarrow"),
+                          ["form"], "__c", 4)
+    n_forms = forms.count()
+    n_linked = links.count()
+
+    # automation gap: conversations with no tool-ok turn
+    def conv_partial(b: pa.Table) -> pa.Table:
+        ok = pc.cast(_tool_mask(b["tool"]), pa.int64())
+        return pa.table({"conv_id": b["conv_id"], "ok": ok}) \
+            .group_by(["conv_id"], use_threads=False) \
+            .aggregate([("ok", "sum")]).rename_columns(["conv_id", "ok"])
+
+    convs = sorted_aggregate(
+        ts.select_columns(["conv_id", "tool"]).map_batches(
+            conv_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["conv_id"], [("ok", "sum")], ["conv_id", "ok"], 8)
+
+    def conv_fold(b: pa.Table) -> pa.Table:
+        tot = b.num_rows
+        miss = pc.sum(pc.cast(pc.equal(b["ok"], 0), pa.int64())).as_py() or 0
+        return pa.table({"check": ["conv_without_tool"],
+                         "n_total": pa.array([tot], pa.int64()),
+                         "n_missing": pa.array([miss], pa.int64())},
+                        schema=out_schema)
+
+    # conv_fold is a per-block PARTIAL (sorted_aggregate emits several
+    # blocks) — one tiny grouped sum folds the partials to one row
+    conv_rows = sorted_aggregate(
+        convs.map_batches(conv_fold, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["check"], [("n_total", "sum"), ("n_missing", "sum")],
+        ["check", "n_total", "n_missing"], 1)
+
+    # coverage gap: turns with no mention — mention triples carry one row
+    # per (turn, form); distinct turns with >=1 mention vs all turns
+    def to_turn(b: pa.Table) -> pa.Table:
+        return pa.table({"turn": pc.unique(b["subj"].combine_chunks())})
+
+    turns_m = grouped_count(m.map_batches(to_turn, batch_format="pyarrow"),
+                            ["turn"], "__c", 4).count()
+    n_turns = ts.count()
+
+    head = ray.data.from_arrow(pa.table({
+        "check": ["mention_unlinked", "turn_without_mention"],
+        "n_total": pa.array([n_forms, n_turns], pa.int64()),
+        "n_missing": pa.array([n_forms - n_linked, n_turns - turns_m],
+                              pa.int64())}, schema=out_schema))
+    return head.union(conv_rows).sort("check")
+
+
+def _q_events_attribution(sf_dir: str):
+    """Last-touch attribution: every purchase attributes to the LAST
+    preceding click within 1 h by the same user — the mirror of the
+    next-match join (events_error_recovery), searchsorted side='left'
+    minus one on composed keys inside sorted blocks. Output
+    (purchase_id, click_id, gap_us)."""
+    from .functions.grouped import group_ids, sorted_group_apply
+    from .pipelines.relational import _read
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id",
+                                          "event_type", "ts"])
+    out_schema = pa.schema([("purchase_id", pa.int64()),
+                            ("click_id", pa.int64()),
+                            ("gap_us", pa.int64())])
+    HOUR_US = 3_600_000_000
+
+    def block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        gid, _ = group_ids(b, ["user_id"])
+        ts = b["ts"].combine_chunks().to_numpy() \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = b["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        typ = b["event_type"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((eid, ts, gid))
+        g, t, e, ty = gid[order], ts[order], eid[order], typ[order]
+        span = int(t.max(initial=0)) - int(t.min(initial=0)) + 2
+        base = t - (t.min(initial=0))
+        key = g * span + base  # composed (user, time) key, sorted
+        cm = ty == "click"
+        c_key, c_ts, c_eid, c_g = key[cm], t[cm], e[cm], g[cm]
+        pm = ty == "purchase"
+        if not pm.any() or not cm.any():
+            return out_schema.empty_table()
+        # strictly-before click: right insertion point minus one over
+        # click keys < purchase key (clicks at the same us tie-break by
+        # never matching — strictly earlier only, like the oracle's <)
+        pos = np.searchsorted(c_key, key[pm], side="left") - 1
+        ok = pos >= 0
+        pos_c = np.maximum(pos, 0)
+        ok &= c_g[pos_c] == g[pm]
+        gap = t[pm] - c_ts[pos_c]
+        ok &= (gap > 0) & (gap <= HOUR_US)
+        return pa.table({
+            "purchase_id": pa.array(e[pm][ok], pa.int64()),
+            "click_id": pa.array(c_eid[pos_c][ok], pa.int64()),
+            "gap_us": pa.array(gap[ok], pa.int64())}, schema=out_schema)
+
+    return sorted_group_apply(ev, ["user_id"], block, 8) \
+        .sort("purchase_id")
+
+
 def _q_cq_trending_tools(sf_dir: str):
     """Trending tools: per calendar day, the top-3 tools by turn count
     (ties by tool name) — grouped_count partials fold map-side to
@@ -2648,6 +2808,9 @@ def queries() -> dict[str, Callable]:
         "rel_pareto_abc": _q_rel_pareto_abc,
         "cq_trending_tools": _q_cq_trending_tools,
         "events_stickiness": _q_events_stickiness,
+        "kg_bgp_conv_entity": _q_kg_bgp_conv_entity,
+        "kg_completeness_metrics": _q_kg_completeness,
+        "events_attribution": _q_events_attribution,
         "dedup_cluster_sizes": _q_dedup_cluster_sizes,
         "kg_type_rollup_counts": _q_kg_type_rollup,
         "events_robust_anomaly": _q_events_robust_anomaly,
@@ -4248,6 +4411,46 @@ def oracle_sql() -> dict[str, str]:
                     GROUP BY 1)
             SELECT day, dau, wau FROM dau JOIN wau USING (day)
             ORDER BY 1""",
+        "kg_bgp_conv_entity": P + f"""
+            SELECT DISTINCT
+                   '{C.ENT}conversation/' || mn.conv_id AS c,
+                   '{C.WD}' || l.entity_id AS ent
+            FROM mention mn JOIN linked l
+              ON l.form = mn.canonical AND l.entity_id IS NOT NULL
+            ORDER BY 1, 2""",
+        "kg_completeness_metrics": P + f"""
+            SELECT 'conv_without_tool' AS check,
+                   (SELECT count(DISTINCT conv_id) FROM t) AS n_total,
+                   (SELECT count(*) FROM (
+                      SELECT conv_id FROM t GROUP BY 1
+                      HAVING sum(CASE WHEN {TOOL_OK_SQL}
+                                 THEN 1 ELSE 0 END) = 0)) AS n_missing
+            UNION ALL
+            SELECT 'mention_unlinked',
+                   (SELECT count(*) FROM forms),
+                   (SELECT count(*) FROM forms)
+                   - (SELECT count(*) FROM linked
+                      WHERE entity_id IS NOT NULL)
+            UNION ALL
+            SELECT 'turn_without_mention',
+                   (SELECT count(*) FROM t),
+                   (SELECT count(*) FROM t)
+                   - (SELECT count(DISTINCT turn_iri) FROM mention)
+            ORDER BY 1""",
+        "events_attribution": """
+            WITH p AS (SELECT event_id AS purchase_id, user_id, ts
+                       FROM events WHERE event_type = 'purchase'),
+            c AS (SELECT event_id AS click_id, user_id, ts
+                  FROM events WHERE event_type = 'click'),
+            j AS (SELECT p.purchase_id, c.click_id,
+                         epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+                         row_number() OVER (
+                           PARTITION BY p.purchase_id
+                           ORDER BY c.ts DESC, c.click_id DESC) AS rk
+                  FROM p JOIN c ON c.user_id = p.user_id AND c.ts < p.ts
+                   AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000)
+            SELECT purchase_id, click_id, gap_us FROM j
+            WHERE rk = 1 ORDER BY purchase_id""",
     }
     out["kg_type_rollup_counts"] = (
         "SELECT type_iri, count(*) AS n_entities FROM ("
