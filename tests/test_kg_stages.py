@@ -480,3 +480,26 @@ def test_scc_labels_planted_graph(ray_session):
         .set_index("node")["scc_id"].to_dict()
     assert out == {"a": "a", "b": "a", "c": "a",
                    "d": "d", "e": "d", "x": "x", "y": "y"}
+
+
+def test_triangles_per_node_planted(ray_session):
+    """K4 minus one edge: per-node triangle counts and wedge capacities
+    match hand computation (local clustering coefficient numerators)."""
+    import pyarrow as pa
+    import ray.data
+
+    from the_yelp_collaborative_knowledge_graph_ray.functions.triangles import (
+        triangles_per_node,
+    )
+
+    # edges of K4 on {a,b,c,d} minus (c,d): triangles abc, abd
+    edges = ray.data.from_arrow(pa.table({
+        "u": ["a", "a", "a", "b", "b"],
+        "v": ["b", "c", "d", "c", "d"]}))
+    out = triangles_per_node(edges).to_pandas().set_index("node")
+    assert out.loc["a", "n_triangles"] == 2  # abc, abd
+    assert out.loc["b", "n_triangles"] == 2
+    assert out.loc["c", "n_triangles"] == 1
+    assert out.loc["d", "n_triangles"] == 1
+    # degrees: a=3, b=3, c=2, d=2 -> wedges 3, 3, 1, 1
+    assert out["n_wedges"].to_dict() == {"a": 3, "b": 3, "c": 1, "d": 1}

@@ -69,3 +69,77 @@ def triangle_count(edges: ray.data.Dataset,
                          on=("a", "c"), right_on=("u", "v"),
                          left_suffix="", right_suffix="_r")
     return pa.table({"n_triangles": pa.array([closed.count()], pa.int64())})
+
+
+def triangles_per_node(edges: ray.data.Dataset,
+                       num_partitions: int = 8) -> ray.data.Dataset:
+    """Per-node triangle participation + wedge capacity — the local
+    clustering coefficient as an EXACT integer pair (n_triangles,
+    n_wedges = d(d−1)/2); the division is presentation-time.
+
+    Same two-join shape as :func:`triangle_count` but wedges keep their
+    CENTER: a wedge centered at x certifies one triangle containing x
+    when its endpoints close, and each triangle is certified exactly once
+    per center, so the per-center grouped count IS the per-node triangle
+    count (no ÷3). Degrees come from the mirrored edge list with one
+    grouped count; the two tiny per-node tables reconcile in ONE
+    union-tag grouped sum."""
+    import pyarrow.compute as pc
+
+    from .grouped import grouped_count, sorted_aggregate
+
+    def mirror(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "x": pa.concat_arrays([b["u"].combine_chunks(),
+                                   b["v"].combine_chunks()]),
+            "y": pa.concat_arrays([b["v"].combine_chunks(),
+                                   b["u"].combine_chunks()])})
+
+    # edges feed three consumers and und two — sever lineage once (the
+    # edge list is vocabulary-bounded by contract, same as triangle_count)
+    # or the whole upstream pair-extraction re-executes per consumer.
+    # Joins go through the engine's cogroup_join (NOT Dataset.join, which
+    # crashes on the empty partitions a sparse graph produces — the same
+    # failure functions/bfs.py documents).
+    from .bgp import cogroup_join
+    edges = edges.materialize()
+    und = edges.map_batches(mirror, batch_format="pyarrow").materialize()
+    und2 = und.map_batches(
+        lambda b: pa.table({"x": b["x"], "y2": b["y"]}),
+        batch_format="pyarrow")
+    wedges = cogroup_join(und, und2, ["x"], ["x", "y"], ["x", "y2"],
+                          num_partitions) \
+        .map_batches(lambda b: pa.table(
+            {"x": b["x"], "a": b["y"], "c": b["y2"]}).filter(
+                pc.less(b["y"], b["y2"])),
+            batch_format="pyarrow")
+    ekeys = edges.map_batches(
+        lambda b: pa.table({"a": b["u"], "c": b["v"]}),
+        batch_format="pyarrow")
+    closed = cogroup_join(wedges, ekeys, ["a", "c"], ["a", "c", "x"],
+                          ["a", "c"], num_partitions)
+    tri = grouped_count(
+        closed.map_batches(lambda b: b.select(["x"]),
+                           batch_format="pyarrow"),
+        ["x"], "n_tri", num_partitions)
+    deg = grouped_count(und.map_batches(
+        lambda b: b.select(["x"]), batch_format="pyarrow"),
+        ["x"], "d", num_partitions)
+
+    def tag_tri(b: pa.Table) -> pa.Table:
+        z = pa.nulls(b.num_rows, pa.int64()).fill_null(0)
+        return pa.table({"node": b["x"], "n_triangles": b["n_tri"],
+                         "n_wedges": z})
+
+    def tag_deg(b: pa.Table) -> pa.Table:
+        d = b["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        z = pa.nulls(b.num_rows, pa.int64()).fill_null(0)
+        return pa.table({"node": b["x"], "n_triangles": z,
+                         "n_wedges": pa.array(d * (d - 1) // 2, pa.int64())})
+
+    u = tri.map_batches(tag_tri, batch_format="pyarrow").union(
+        deg.map_batches(tag_deg, batch_format="pyarrow"))
+    return sorted_aggregate(u, ["node"],
+                            [("n_triangles", "sum"), ("n_wedges", "sum")],
+                            ["node", "n_triangles", "n_wedges"],
+                            num_partitions)

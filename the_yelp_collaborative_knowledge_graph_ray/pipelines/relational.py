@@ -3017,3 +3017,48 @@ def robust_anomaly_events(sf_dir: str, k: int = 3) -> ray.data.Dataset:
 
     return cents.map_batches(flag, batch_format="pyarrow",
                              zero_copy_batch=True)
+
+
+def winsorize_events(sf_dir: str, lo_q: float = 0.05,
+                     hi_q: float = 0.95) -> ray.data.Dataset:
+    """Winsorization (outlier capping) — the curation transform that
+    CLIPS instead of dropping: per event type, values cap at the q05/q95
+    order statistics (quantile_disc semantics: actual data values, so
+    everything stays exact cents). The |types|×2 cap table rides the
+    task closure; the corpus streams through ONE stateless clip pass.
+    Output (event_id, event_type, vc_capped)."""
+    from ..functions.quantiles import grouped_quantiles
+
+    ev = _read(sf_dir, "events", columns=["event_id", "event_type",
+                                          "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table({"event_id": b["event_id"],
+                         "event_type": b["event_type"],
+                         "vc": _scaled_int(b["value"], 100.0)})
+
+    cents = ev.map_batches(to_cents, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    rows = grouped_quantiles(cents, "event_type", "vc",
+                             [lo_q, hi_q], 1).take_all()
+    lo = {r["event_type"]: int(r["value"]) for r in rows
+          if r["q"] == lo_q}
+    hi = {r["event_type"]: int(r["value"]) for r in rows
+          if r["q"] == hi_q}
+    types = sorted(lo)
+    type_arr = pa.array(types, pa.string())
+    lo_np = np.array([lo[t] for t in types], np.int64)
+    hi_np = np.array([hi[t] for t in types], np.int64)
+
+    def clip(b: pa.Table) -> pa.Table:
+        idx = pc.index_in(pc.cast(b["event_type"], pa.string()),
+                          value_set=type_arr).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b["vc"].combine_chunks().to_numpy(zero_copy_only=False)
+        capped = np.minimum(np.maximum(v, lo_np[idx]), hi_np[idx])
+        return pa.table({"event_id": b["event_id"],
+                         "event_type": b["event_type"],
+                         "vc_capped": pa.array(capped, pa.int64())})
+
+    return cents.map_batches(clip, batch_format="pyarrow",
+                             zero_copy_batch=True)

@@ -2334,6 +2334,31 @@ def _q_rel_pareto_abc(sf_dir: str):
                                              descending=[True, False])
 
 
+def _q_kg_clustering(sf_dir: str):
+    """Local clustering coefficient per co-mention node as an exact
+    integer pair (functions/triangles.triangles_per_node): center-keeping
+    wedge join + closing edge join + per-center grouped count; wedge
+    capacity d(d−1)/2 from one degree count — the graph feature set a
+    link-prediction trainer consumes."""
+    from .functions.triangles import triangles_per_node, within_group_pairs
+    pre = C.ENT + "mention/"
+    m = _q_mentions(sf_dir).map_batches(
+        lambda b: pa.table({
+            "turn": b["subj"],
+            "c": pc.utf8_slice_codeunits(b["obj"], len(pre))}),
+        batch_format="pyarrow")
+    edges = within_group_pairs(m, "turn", "c")
+    return triangles_per_node(edges).sort("node")
+
+
+def _q_events_winsorized(sf_dir: str):
+    """Winsorization / outlier capping (relational.winsorize_events):
+    per-type q05/q95 order-statistic caps, corpus clipped in ONE
+    stateless pass, exact cents."""
+    from .pipelines.relational import winsorize_events
+    return winsorize_events(sf_dir)
+
+
 def _q_kg_bgp_conv_entity(sf_dir: str):
     """Three-hop BGP across all four triple families:
     {?t isPartOf ?c . ?t mentions ?m . ?m sameAs ?ent} -> DISTINCT
@@ -2814,6 +2839,8 @@ def queries() -> dict[str, Callable]:
         "dedup_cluster_sizes": _q_dedup_cluster_sizes,
         "kg_type_rollup_counts": _q_kg_type_rollup,
         "events_robust_anomaly": _q_events_robust_anomaly,
+        "kg_clustering_coeff": _q_kg_clustering,
+        "events_winsorized": _q_events_winsorized,
     }
 
 
@@ -4451,6 +4478,32 @@ def oracle_sql() -> dict[str, str]:
                    AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000)
             SELECT purchase_id, click_id, gap_us FROM j
             WHERE rk = 1 ORDER BY purchase_id""",
+        "kg_clustering_coeff": P + """
+            , ce AS (SELECT DISTINCT a.canonical AS u, b.canonical AS v
+                     FROM mention a JOIN mention b
+                       ON a.turn_iri = b.turn_iri
+                      AND a.canonical < b.canonical),
+            und AS (SELECT u AS x, v AS y FROM ce
+                    UNION ALL SELECT v, u FROM ce),
+            tri AS (SELECT p.x AS node, count(*) AS n_triangles
+                    FROM und p JOIN und q ON p.x = q.x AND p.y < q.y
+                    JOIN ce ON ce.u = p.y AND ce.v = q.y
+                    GROUP BY 1),
+            deg AS (SELECT x AS node, count(*) AS d FROM und GROUP BY 1)
+            SELECT deg.node, coalesce(tri.n_triangles, 0) AS n_triangles,
+                   CAST(d * (d - 1) // 2 AS BIGINT) AS n_wedges
+            FROM deg LEFT JOIN tri USING (node) ORDER BY 1""",
+        "events_winsorized": """
+            WITH c AS (SELECT event_id, event_type,
+                              CAST(round(value * 100) AS BIGINT) AS vc
+                       FROM events),
+            q AS (SELECT event_type,
+                         quantile_disc(vc, 0.05) AS lo,
+                         quantile_disc(vc, 0.95) AS hi
+                  FROM c GROUP BY 1)
+            SELECT event_id, c.event_type,
+                   least(greatest(vc, lo), hi) AS vc_capped
+            FROM c JOIN q USING (event_type) ORDER BY event_id""",
     }
     out["kg_type_rollup_counts"] = (
         "SELECT type_iri, count(*) AS n_entities FROM ("
