@@ -901,3 +901,41 @@ def test_robust_anomaly_planted_outlier(ray_session, tmp_path):
     exp = set(df.event_id[np.abs(np.round(df["value"] * 100) - med)
                           > 3 * mad])
     assert set(out["event_id"]) == exp
+
+
+def test_trailing_range_window_peer_semantics(ray_session, tmp_path):
+    """RANGE frames include order-key PEERS: two events at the identical
+    timestamp must each see BOTH values in their window — a ROWS frame
+    cannot express this. Verified against DuckDB's RANGE window."""
+    import pandas as pd
+
+    from the_yelp_collaborative_knowledge_graph_ray.pipelines.relational import (
+        trailing_sum_1h,
+    )
+
+    base = pd.Timestamp("2024-01-01 12:00:00")
+    df = pd.DataFrame({
+        "event_id": np.arange(6, dtype=np.int64),
+        "user_id": np.int64(1),
+        "value": [1.0, 2.0, 4.0, 8.0, 16.0, 32.0],
+        "ts": [base, base,                       # peers at t0
+               base + pd.Timedelta(minutes=30),
+               base + pd.Timedelta(minutes=61),  # t0 pair ages out
+               base + pd.Timedelta(hours=3),
+               base + pd.Timedelta(hours=3)],    # peers again
+    })
+    sf = str(tmp_path)
+    df.to_parquet(f"{sf}/events.parquet", index=False)
+    got = trailing_sum_1h(sf).to_pandas().sort_values("event_id")
+    assert got["win_sum_c"].tolist() == [
+        300, 300,            # each t0 peer sees both (1+2)
+        700,                 # 1+2+4
+        1200,                # 4+8 (t0 exactly 61min old -> out)
+        4800, 4800]          # 16+32 peers
+    con = duckdb.connect(); con.register("events", df)
+    exp = con.sql("""
+        SELECT CAST(sum(CAST(round(value*100) AS BIGINT)) OVER (
+          PARTITION BY user_id ORDER BY epoch_us(ts)
+          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) s
+        FROM events ORDER BY event_id""").df()["s"]
+    assert got["win_sum_c"].tolist() == exp.tolist()

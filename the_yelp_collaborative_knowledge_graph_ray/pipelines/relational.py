@@ -3062,3 +3062,83 @@ def winsorize_events(sf_dir: str, lo_q: float = 0.05,
 
     return cents.map_batches(clip, batch_format="pyarrow",
                              zero_copy_batch=True)
+
+
+def trailing_sum_1h(sf_dir: str) -> ray.data.Dataset:
+    """Time-RANGE window (the interval sibling of the ROWS-frame
+    moving_sum): at every event, the sum of that user's values within the
+    trailing hour INCLUSIVE of order-key peers — exactly SQL's
+    ``RANGE BETWEEN 3_600_000_000 PRECEDING AND CURRENT ROW`` (peers =
+    same-timestamp rows, so the frame can extend past the current row's
+    position; ROWS frames cannot express this).
+
+    ONE user sort; in-block: composed (user, time) keys, a prefix-sum
+    array, and two searchsorted passes (window start via side='left' on
+    t−1h, peer-run end via side='right' on the own key). Exact cents.
+    """
+    from ..functions.grouped import group_ids, sorted_group_apply
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id",
+                                          "value", "ts"])
+    out_schema = pa.schema([("event_id", pa.int64()),
+                            ("user_id", pa.int64()),
+                            ("win_sum_c", pa.int64())])
+    HOUR_US = 3_600_000_000
+
+    def block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        gid, _ = group_ids(b, ["user_id"])
+        ts = b["ts"].combine_chunks().to_numpy() \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = b["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        vc = _scaled_int(b["value"], 100.0).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, gid))
+        g, t, e, v = gid[order], ts[order], eid[order], vc[order]
+        tmin = int(t.min(initial=0))
+        span = int(t.max(initial=0)) - tmin + HOUR_US + 2
+        key = g * span + (t - tmin)
+        lo_t = np.maximum(t - HOUR_US - tmin, 0)
+        lo = np.searchsorted(key, g * span + lo_t, side="left")
+        hi = np.searchsorted(key, key, side="right") - 1
+        cs = np.cumsum(v)
+        win = cs[hi] - np.where(lo > 0, cs[lo - 1], 0)
+        uid = b["user_id"].combine_chunks().to_numpy(
+            zero_copy_only=False)[order]
+        return pa.table({
+            "event_id": pa.array(e, pa.int64()),
+            "user_id": pa.array(uid.astype(np.int64), pa.int64()),
+            "win_sum_c": pa.array(win, pa.int64())}, schema=out_schema)
+
+    return sorted_group_apply(ev, ["user_id"], block, 8)
+
+
+def time_in_state(sf_dir: str) -> ray.data.Dataset:
+    """Dwell time per (user, event_type): total microseconds each user
+    spent 'in' each type, from the CLOSED SCD2 validity intervals
+    (:func:`scd2_intervals` composition — the open tail interval is
+    excluded on both engines). Per-block (user, type) partials, ONE tiny
+    grouped sum. Output (user_id, event_type, n_intervals, total_us)."""
+    from ..functions.grouped import sorted_aggregate
+
+    iv = scd2_intervals(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.not_equal(b["valid_to"], -1))
+        tt = pa.table({
+            "user_id": t["user_id"], "event_type": t["event_type"],
+            "n_intervals": pa.array(np.ones(t.num_rows, np.int64)),
+            "total_us": pc.subtract(t["valid_to"], t["valid_from"])})
+        return tt.group_by(["user_id", "event_type"],
+                           use_threads=False).aggregate(
+            [("n_intervals", "sum"), ("total_us", "sum")]) \
+            .rename_columns(["user_id", "event_type",
+                             "n_intervals", "total_us"])
+
+    return sorted_aggregate(
+        iv.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id", "event_type"],
+        [("n_intervals", "sum"), ("total_us", "sum")],
+        ["user_id", "event_type", "n_intervals", "total_us"], 8)

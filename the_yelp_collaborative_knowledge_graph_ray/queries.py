@@ -2334,6 +2334,21 @@ def _q_rel_pareto_abc(sf_dir: str):
                                              descending=[True, False])
 
 
+def _q_events_trailing_sum(sf_dir: str):
+    """True time-RANGE window (relational.trailing_sum_1h): trailing-hour
+    per-user sums with SQL peer semantics, prefix sums + two
+    searchsorted passes in sorted blocks."""
+    from .pipelines.relational import trailing_sum_1h
+    return trailing_sum_1h(sf_dir)
+
+
+def _q_events_time_in_state(sf_dir: str):
+    """Dwell time per (user, type) from closed SCD2 intervals
+    (relational.time_in_state)."""
+    from .pipelines.relational import time_in_state
+    return time_in_state(sf_dir)
+
+
 def _q_kg_clustering(sf_dir: str):
     """Local clustering coefficient per co-mention node as an exact
     integer pair (functions/triangles.triangles_per_node): center-keeping
@@ -2841,6 +2856,8 @@ def queries() -> dict[str, Callable]:
         "events_robust_anomaly": _q_events_robust_anomaly,
         "kg_clustering_coeff": _q_kg_clustering,
         "events_winsorized": _q_events_winsorized,
+        "events_trailing_sum_1h": _q_events_trailing_sum,
+        "events_time_in_state": _q_events_time_in_state,
     }
 
 
@@ -4504,6 +4521,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, c.event_type,
                    least(greatest(vc, lo), hi) AS vc_capped
             FROM c JOIN q USING (event_type) ORDER BY event_id""",
+        "events_trailing_sum_1h": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS win_sum_c
+            FROM events ORDER BY event_id""",
+        "events_time_in_state": """
+            WITH o AS (
+              SELECT user_id, event_type, ts, event_id,
+                     LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events),
+            s AS (SELECT user_id, event_type, ts, event_id FROM o
+                  WHERE prev IS NULL OR prev <> event_type),
+            i AS (SELECT user_id, event_type, epoch_us(ts) AS valid_from,
+                         LEAD(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id)
+                           AS valid_to
+                  FROM s)
+            SELECT user_id, event_type, count(*) AS n_intervals,
+                   CAST(sum(valid_to - valid_from) AS BIGINT) AS total_us
+            FROM i WHERE valid_to IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2""",
     }
     out["kg_type_rollup_counts"] = (
         "SELECT type_iri, count(*) AS n_entities FROM ("
