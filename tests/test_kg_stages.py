@@ -503,3 +503,29 @@ def test_triangles_per_node_planted(ray_session):
     assert out.loc["d", "n_triangles"] == 1
     # degrees: a=3, b=3, c=2, d=2 -> wedges 3, 3, 1, 1
     assert out["n_wedges"].to_dict() == {"a": 3, "b": 3, "c": 1, "d": 1}
+
+
+def test_bgp_filter_and_values(ray_session):
+    """FILTER != drops matching bindings, VALUES restricts to the inline
+    set, unbound FILTER var raises."""
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data
+
+    from the_yelp_collaborative_knowledge_graph_ray.functions.bgp import (
+        bgp_match,
+    )
+
+    tri = ray.data.from_arrow(pa.table({
+        "subj": ["s1", "s2", "s3", "s1", "s2", "s3"],
+        "pred": ["p", "p", "p", "q", "q", "q"],
+        "obj": ["o1", "o2", "o3", "x1", "x2", "x3"]}))
+    res = bgp_match(tri, [("?s", "p", "?o"), ("?s", "q", "?x")],
+                    ["s", "o", "x"], num_partitions=1,
+                    filters=[("o", "!=", "o2")],
+                    values={"x": ["x1", "x3"]}).to_pandas()
+    got = set(map(tuple, res[["s", "o", "x"]].itertuples(index=False)))
+    assert got == {("s1", "o1", "x1"), ("s3", "o3", "x3")}
+    with _pytest.raises(ValueError, match="FILTER/VALUES vars"):
+        bgp_match(tri, [("?s", "p", "?o")], ["s"],
+                  filters=[("zzz", "==", "v")])

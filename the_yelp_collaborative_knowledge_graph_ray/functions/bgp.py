@@ -150,7 +150,9 @@ def bgp_match(triples: ray.data.Dataset,
               patterns: list[tuple[str, str, str]],
               select: list[str],
               num_partitions: int | None = None,
-              optional_patterns: list[tuple[str, str, str]] | None = None
+              optional_patterns: list[tuple[str, str, str]] | None = None,
+              filters: list[tuple[str, str, str]] | None = None,
+              values: dict[str, list[str]] | None = None
               ) -> ray.data.Dataset:
     """Match a basic graph pattern; return DISTINCT rows of ``select`` vars.
 
@@ -163,6 +165,12 @@ def bgp_match(triples: ray.data.Dataset,
     pattern per clause, left-joined AFTER the required chain: bindings
     with no match keep their row and the clause's new variables bind to
     ``""`` (the engine's null-free stand-in for SPARQL unbound).
+
+    ``filters`` are SPARQL ``FILTER`` terms ``(var, op, constant)`` with
+    op ``"=="``/``"!="``; ``values`` is SPARQL ``VALUES`` inline data
+    ``{var: [allowed, ...]}``. Both are vectorized masks applied to the
+    bindings before the final distinct (a planner would push VALUES into
+    the scans; semantics are identical, noted as the optimization hook).
     """
     def scan(pat):
         s, p, o = pat
@@ -210,6 +218,31 @@ def bgp_match(triples: ray.data.Dataset,
     missing = [v for v in select if v not in have]
     if missing:
         raise ValueError(f"bgp_match: select vars {missing} unbound")
+
+    if filters or values:
+        unknown = ([v for v, _, _ in (filters or []) if v not in have] +
+                   [v for v in (values or {}) if v not in have])
+        if unknown:
+            raise ValueError(f"bgp_match: FILTER/VALUES vars {unknown} "
+                             "unbound")
+
+        def apply_masks(b: pa.Table) -> pa.Table:
+            m = None
+            for var, op, const in (filters or []):
+                if op == "==":
+                    eq = pc.equal(b[var], const)
+                elif op == "!=":
+                    eq = pc.not_equal(b[var], const)
+                else:
+                    raise ValueError(f"bgp_match: FILTER op {op!r}")
+                m = eq if m is None else pc.and_(m, eq)
+            for var, allowed in (values or {}).items():
+                inn = pc.is_in(b[var], value_set=pa.array(allowed))
+                m = inn if m is None else pc.and_(m, inn)
+            return b.filter(m)
+
+        bindings = bindings.map_batches(apply_masks, batch_format="pyarrow",
+                                        zero_copy_batch=True)
     from .grouped import grouped_count
     dd = grouped_count(bindings.map_batches(
         lambda b: b.select(select), batch_format="pyarrow",

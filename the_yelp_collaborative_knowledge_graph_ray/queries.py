@@ -2334,6 +2334,37 @@ def _q_rel_pareto_abc(sf_dir: str):
                                              descending=[True, False])
 
 
+BGP_FILTER_TOOLS = ("bash", "web_search")
+BGP_FILTER_EXCL = "espresso"
+
+
+def _q_kg_bgp_filtered(sf_dir: str):
+    """SPARQL FILTER + VALUES over the mention/tool BGP:
+    {?t :mentions ?m . ?t :usesTool ?tool
+     VALUES ?tool {bash web_search} FILTER(?m != :espresso)}
+    -> DISTINCT (m, tool). Exercises the matcher's vectorized
+    FILTER/VALUES masks."""
+    from .functions.bgp import bgp_match
+    from .pipelines.kg import load_config_tables
+    from .stages import canonicalize as canon
+    from .stages import extract, mentions
+    fdir = _fx(sf_dir)
+    alias_rows, vocab, *_ = load_config_tables(fdir)
+    ts = _read_transcripts(sf_dir)
+    m = canon.canonicalize_mentions(
+        mentions.mention_triples(
+            ts.select_columns(["conv_id", "turn_idx", "text"]), vocab),
+        canon.build_canonical_map_local(alias_rows)).materialize()
+    tri = extract.structural_triples(ts).union(m)
+    return bgp_match(
+        tri, [("?t", C.PRED_MENTIONS, "?m"),
+              ("?t", C.PRED_USES_TOOL, "?tool")],
+        ["m", "tool"], num_partitions=8,
+        filters=[("m", "!=", C.ENT + "mention/" + BGP_FILTER_EXCL)],
+        values={"tool": [C.ENT + "tool/" + t for t in BGP_FILTER_TOOLS]}) \
+        .sort(["m", "tool"])
+
+
 def _q_events_trailing_sum(sf_dir: str):
     """True time-RANGE window (relational.trailing_sum_1h): trailing-hour
     per-user sums with SQL peer semantics, prefix sums + two
@@ -2858,6 +2889,7 @@ def queries() -> dict[str, Callable]:
         "events_winsorized": _q_events_winsorized,
         "events_trailing_sum_1h": _q_events_trailing_sum,
         "events_time_in_state": _q_events_time_in_state,
+        "kg_bgp_filtered": _q_kg_bgp_filtered,
     }
 
 
@@ -4545,6 +4577,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(valid_to - valid_from) AS BIGINT) AS total_us
             FROM i WHERE valid_to IS NOT NULL
             GROUP BY 1, 2 ORDER BY 1, 2""",
+        "kg_bgp_filtered": P + f"""
+            SELECT DISTINCT '{C.ENT}mention/' || m.canonical AS m,
+                   '{C.ENT}tool/' || {normalize_sql('t.tool')} AS tool
+            FROM mention m JOIN t ON t.turn_iri = m.turn_iri
+            WHERE {TOOL_OK_SQL.replace('tool', 't.tool')}
+              AND {normalize_sql('t.tool')} IN {BGP_FILTER_TOOLS!r}
+              AND m.canonical <> '{BGP_FILTER_EXCL}'
+            ORDER BY 1, 2""",
     }
     out["kg_type_rollup_counts"] = (
         "SELECT type_iri, count(*) AS n_entities FROM ("
