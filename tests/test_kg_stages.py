@@ -529,3 +529,57 @@ def test_bgp_filter_and_values(ray_session):
     with _pytest.raises(ValueError, match="FILTER/VALUES vars"):
         bgp_match(tri, [("?s", "p", "?o")], ["s"],
                   filters=[("zzz", "==", "v")])
+
+
+def test_bgp_union_minus_construct_paths(ray_session):
+    """UNION dedups across groups, MINUS anti-joins on shared vars,
+    CONSTRUCT instantiates templates, property paths expand (inverse,
+    sequence-as-tuple, alternation)."""
+    import pyarrow as pa
+    import ray.data
+
+    from the_yelp_collaborative_knowledge_graph_ray.functions.bgp import (
+        bgp_construct,
+        bgp_match,
+        bgp_union,
+        expand_paths,
+    )
+
+    tri = ray.data.from_arrow(pa.table({
+        "subj": ["s1", "s2", "s3", "s1", "s2", "c1", "c1", "c2"],
+        "pred": ["p", "p", "p", "q", "q", "in", "in", "in"],
+        "obj": ["o1", "o2", "o1", "o1", "x2", "s1", "s2", "s3"]}))
+    # UNION: {?s p ?x} UNION {?s q ?x} — (s1,o1) appears in both, dedup
+    u = bgp_union(tri, [[("?s", "p", "?x")], [("?s", "q", "?x")]],
+                  ["s", "x"], num_partitions=1).to_pandas()
+    got = set(map(tuple, u[["s", "x"]].itertuples(index=False)))
+    assert got == {("s1", "o1"), ("s2", "o2"), ("s3", "o1"),
+                   ("s2", "x2")}
+    # MINUS: {?s p ?x} MINUS {?s q o1} drops s1 (has q->o1), keeps s2 s3
+    m = bgp_match(tri, [("?s", "p", "?x")], ["s", "x"], num_partitions=1,
+                  minus_patterns=[("?s", "q", "o1")]).to_pandas()
+    got = set(map(tuple, m[["s", "x"]].itertuples(index=False)))
+    assert got == {("s2", "o2"), ("s3", "o1")}
+    # alternation: pred p|q — (s1,o1) reachable via BOTH preds, dedups
+    a = bgp_match(tri, [("?s", "p|q", "?x")], ["s", "x"],
+                  num_partitions=1).to_pandas()
+    assert len(a) == 4
+    # sequence + inverse path: ?c (in)/(p) ?x  ==  c contains s, s p-> x
+    pats = expand_paths([("?c", ("in", "p"), "?x")])
+    assert pats == [("?c", "in", "?__pp0"), ("?__pp0", "p", "?x")]
+    seq = bgp_match(tri, [("?c", ("in", "p"), "?x")], ["c", "x"],
+                    num_partitions=1).to_pandas()
+    got = set(map(tuple, seq[["c", "x"]].itertuples(index=False)))
+    assert got == {("c1", "o1"), ("c1", "o2"), ("c2", "o1")}
+    # inverse: ?x ^p ?s == ?s p ?x
+    inv = bgp_match(tri, [("?x", "^p", "?s")], ["s", "x"],
+                    num_partitions=1).to_pandas()
+    assert len(inv) == 3
+    # CONSTRUCT: emit ?x :seen ?s plus a type triple per binding
+    c = bgp_construct(tri, [("?s", "p", "?x")],
+                      [("?x", "seen", "?s"), ("?x", "rdf:type", "Obj")],
+                      num_partitions=1).to_pandas()
+    trip = set(map(tuple, c[["subj", "pred", "obj"]].itertuples(index=False)))
+    assert ("o1", "seen", "s1") in trip and ("o1", "rdf:type", "Obj") in trip
+    # two bindings share o1 -> the type triple dedups: 3 seen + 2 types
+    assert len(trip) == 5 and len(c) == 5

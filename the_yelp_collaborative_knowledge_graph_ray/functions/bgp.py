@@ -62,12 +62,16 @@ def cogroup_join(left: ray.data.Dataset, right: ray.data.Dataset,
     no right-side rows survive with right-only columns filled with ``""``
     (empty string stands in for SPARQL's unbound — the engine keeps join
     outputs null-free so the driver's value hash is engine-independent).
+
+    ``how="anti"`` is the SPARQL MINUS shape: ONLY left rows whose key has
+    no right-side rows survive, projected to the left columns (right-only
+    columns are dropped — they exist only to express the excluded group).
     """
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "anti"):
         raise ValueError(f"cogroup_join: how={how!r}")
     lval = [c for c in left_cols if c not in on]
     rval = [c for c in right_cols if c not in on]
-    out_cols = on + lval + rval
+    out_cols = on + lval + ([] if how == "anti" else rval)
     schema = pa.schema([("__k", pa.string()), (_MARK, pa.bool_())] +
                        [(c, pa.string()) for c in on + lval + rval])
 
@@ -106,15 +110,18 @@ def cogroup_join(left: ray.data.Dataset, right: ray.data.Dataset,
                 f"cogroup_join: key group cross product {prod.max()} > "
                 f"max_group={max_group}; salt the hot key")
         unmatched = None
-        if how == "left":
+        if how in ("left", "anti"):
             # left rows whose group has no right rows: keep, fill rval ''
             li_nomatch = np.flatnonzero(mark & (nr[gid] == 0))
             if len(li_nomatch):
                 lt = b.take(pa.array(li_nomatch))
                 cols = {c: lt[c] for c in on + lval}
                 fill = pa.nulls(len(li_nomatch), pa.string()).fill_null("")
-                cols.update({c: fill for c in rval})
+                cols.update({c: fill for c in rval if how != "anti"})
                 unmatched = pa.table(cols, schema=out_schema)
+        if how == "anti":
+            return (unmatched if unmatched is not None
+                    else out_schema.empty_table())
         if prod.sum() == 0:
             return (unmatched if unmatched is not None
                     else out_schema.empty_table())
@@ -146,18 +153,127 @@ def cogroup_join(left: ray.data.Dataset, right: ray.data.Dataset,
     return sorted_group_apply(u, ["__k"], block, num_partitions)
 
 
+def expand_paths(patterns: list[tuple[str, str, str]]
+                 ) -> list[tuple[str, str, str]]:
+    """Rewrite SPARQL property-path predicates into plain patterns.
+
+    Supported path syntax in the predicate position (SPARQL 1.1 property
+    paths, the subset that rewrites statically — ``p+`` transitive closure
+    is the separate :mod:`..stages.enrich` closure operator):
+
+    * sequence ``p/q`` — written as a TUPLE of steps ``("p", "q")``
+      (full IRIs contain ``/``, so the SPARQL slash can't be split
+      textually); a fresh intermediate variable joins each step;
+    * inverse ``^p`` — a step with a leading ``^`` swaps subject/object;
+    * alternation ``p|q`` — ``|`` inside a step, handled as an ``is_in``
+      predicate filter in the scan (IRIs here never contain ``|``).
+    """
+    out, k = [], 0
+    for s, p, o in patterns:
+        if isinstance(p, str) and (_is_var(p) or not p.startswith("^")):
+            out.append((s, p, o))
+            continue
+        steps = [p] if isinstance(p, str) else list(p)
+        cur = s
+        for i, step in enumerate(steps):
+            if i == len(steps) - 1:
+                nxt = o
+            else:
+                nxt = f"?__pp{k}"
+                k += 1
+            if step.startswith("^"):
+                out.append((nxt, step[1:], cur))
+            else:
+                out.append((cur, step, nxt))
+            cur = nxt
+    return out
+
+
+def _scan(triples: ray.data.Dataset, pat: tuple[str, str, str]):
+    """One vectorized scan of the triples for one pattern: constant terms
+    filter (predicate alternation ``p|q`` becomes an ``is_in``), variable
+    positions project to string columns named after the variables."""
+    s, p, o = pat
+    out = [(pos, t[1:]) for pos, t in zip("spo", (s, p, o))
+           if _is_var(t)]
+    consts = [(pos, t) for pos, t in zip("spo", (s, p, o))
+              if not _is_var(t)]
+    col_of = {"s": "subj", "p": "pred", "o": "obj"}
+    names = [v for _, v in out]
+    if len(set(names)) != len(names):
+        raise ValueError("bgp_match: repeated variable in one pattern")
+
+    def f(b: pa.Table) -> pa.Table:
+        m = None
+        for pos, t in consts:
+            if pos == "p" and "|" in t:
+                eq = pc.is_in(b[col_of[pos]],
+                              value_set=pa.array(t.split("|")))
+            else:
+                eq = pc.equal(b[col_of[pos]], t)
+            m = eq if m is None else pc.and_(m, eq)
+        t2 = b.filter(m) if m is not None else b
+        return pa.table({v: pc.cast(t2[col_of[pos]], pa.string())
+                         for pos, v in out})
+    return triples.map_batches(f, batch_format="pyarrow",
+                               zero_copy_batch=True), names
+
+
+def _chain(triples, bindings, have, patterns, num_partitions, how, label):
+    """Join each pattern's scan into the accumulated bindings."""
+    for pat in patterns:
+        nxt, names = _scan(triples, pat)
+        shared = [v for v in names if v in have]
+        if not shared:
+            raise ValueError(f"bgp_match: {label} {pat} shares no variable "
+                             "with the accumulated bindings")
+        bindings = cogroup_join(bindings, nxt, shared, have, names,
+                                num_partitions, how=how)
+        if how != "anti":
+            have = have + [v for v in names if v not in have]
+    return bindings, have
+
+
+def bgp_bindings(triples: ray.data.Dataset,
+                 patterns: list[tuple[str, str, str]],
+                 num_partitions: int | None = None,
+                 optional_patterns: list[tuple[str, str, str]] | None = None,
+                 minus_patterns: list[tuple[str, str, str]] | None = None,
+                 ) -> tuple[ray.data.Dataset, list[str]]:
+    """The BGP planner core: returns (bindings Dataset, bound var names).
+
+    Required ``patterns`` chain with inner cogroup joins, then OPTIONAL
+    clauses left-join, then MINUS clauses anti-join (SPARQL MINUS on the
+    shared variables: a binding is dropped iff the minus pattern matches
+    it). All three accept property paths (:func:`expand_paths`).
+    """
+    patterns = expand_paths(patterns)
+    bindings, have = _scan(triples, patterns[0])
+    bindings, have = _chain(triples, bindings, have, patterns[1:],
+                            num_partitions, "inner", "pattern")
+    bindings, have = _chain(triples, bindings, have,
+                            expand_paths(optional_patterns or []),
+                            num_partitions, "left", "OPTIONAL")
+    bindings, _ = _chain(triples, bindings, have,
+                         expand_paths(minus_patterns or []),
+                         num_partitions, "anti", "MINUS")
+    return bindings, have
+
+
 def bgp_match(triples: ray.data.Dataset,
               patterns: list[tuple[str, str, str]],
               select: list[str],
               num_partitions: int | None = None,
               optional_patterns: list[tuple[str, str, str]] | None = None,
               filters: list[tuple[str, str, str]] | None = None,
-              values: dict[str, list[str]] | None = None
+              values: dict[str, list[str]] | None = None,
+              minus_patterns: list[tuple[str, str, str]] | None = None,
               ) -> ray.data.Dataset:
     """Match a basic graph pattern; return DISTINCT rows of ``select`` vars.
 
     ``patterns`` are (s, p, o) terms; ``?name`` marks a variable, anything
-    else is an IRI/literal constant matched exactly. Patterns chain
+    else is an IRI/literal constant matched exactly (the predicate position
+    also accepts property paths — see :func:`expand_paths`). Patterns chain
     left-to-right; each must share >=1 variable with the bindings
     accumulated so far (no Cartesian products — the planner raises).
 
@@ -166,55 +282,18 @@ def bgp_match(triples: ray.data.Dataset,
     with no match keep their row and the clause's new variables bind to
     ``""`` (the engine's null-free stand-in for SPARQL unbound).
 
+    ``minus_patterns`` are SPARQL ``MINUS { ... }`` clauses, one pattern
+    per clause, anti-joined after OPTIONAL: a binding is dropped iff the
+    clause matches it on its shared variables.
+
     ``filters`` are SPARQL ``FILTER`` terms ``(var, op, constant)`` with
     op ``"=="``/``"!="``; ``values`` is SPARQL ``VALUES`` inline data
     ``{var: [allowed, ...]}``. Both are vectorized masks applied to the
     bindings before the final distinct (a planner would push VALUES into
     the scans; semantics are identical, noted as the optimization hook).
     """
-    def scan(pat):
-        s, p, o = pat
-        out = [(pos, t[1:]) for pos, t in zip("spo", (s, p, o))
-               if _is_var(t)]
-        consts = [(pos, t) for pos, t in zip("spo", (s, p, o))
-                  if not _is_var(t)]
-        col_of = {"s": "subj", "p": "pred", "o": "obj"}
-        names = [v for _, v in out]
-        if len(set(names)) != len(names):
-            raise ValueError("bgp_match: repeated variable in one pattern")
-
-        def f(b: pa.Table) -> pa.Table:
-            m = None
-            for pos, t in consts:
-                eq = pc.equal(b[col_of[pos]], t)
-                m = eq if m is None else pc.and_(m, eq)
-            t2 = b.filter(m) if m is not None else b
-            return pa.table({v: pc.cast(t2[col_of[pos]], pa.string())
-                             for pos, v in out})
-        return triples.map_batches(f, batch_format="pyarrow",
-                                   zero_copy_batch=True), names
-
-    bindings, have = scan(patterns[0])
-    for pat in patterns[1:]:
-        nxt, names = scan(pat)
-        shared = [v for v in names if v in have]
-        if not shared:
-            raise ValueError(f"bgp_match: pattern {pat} shares no variable "
-                             "with the accumulated bindings")
-        bindings = cogroup_join(bindings, nxt, shared, have, names,
-                                num_partitions)
-        have = have + [v for v in names if v not in have]
-
-    for pat in (optional_patterns or []):
-        nxt, names = scan(pat)
-        shared = [v for v in names if v in have]
-        if not shared:
-            raise ValueError(f"bgp_match: OPTIONAL {pat} shares no "
-                             "variable with the accumulated bindings")
-        bindings = cogroup_join(bindings, nxt, shared, have, names,
-                                num_partitions, how="left")
-        have = have + [v for v in names if v not in have]
-
+    bindings, have = bgp_bindings(triples, patterns, num_partitions,
+                                  optional_patterns, minus_patterns)
     missing = [v for v in select if v not in have]
     if missing:
         raise ValueError(f"bgp_match: select vars {missing} unbound")
@@ -249,3 +328,76 @@ def bgp_match(triples: ray.data.Dataset,
         zero_copy_batch=True), select, "__n", num_partitions)
     return dd.map_batches(lambda b: b.select(select),
                           batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bgp_union(triples: ray.data.Dataset,
+              groups: list[list[tuple[str, str, str]]],
+              select: list[str],
+              num_partitions: int | None = None) -> ray.data.Dataset:
+    """SPARQL ``UNION``: match each pattern group independently, union the
+    binding streams, and return ONE distinct over ``select``.
+
+    Every group must bind all of ``select`` (SPARQL allows partial
+    bindings; this engine's null-free contract requires full ones — use
+    OPTIONAL inside a group for partially-bound shapes). The union is a
+    zero-shuffle ``Dataset.union``; the single final distinct is the only
+    all-to-all, shared across groups.
+    """
+    parts = []
+    for pats in groups:
+        bindings, have = bgp_bindings(triples, pats, num_partitions)
+        missing = [v for v in select if v not in have]
+        if missing:
+            raise ValueError(f"bgp_union: group {pats} leaves {missing} "
+                             "unbound")
+        parts.append(bindings.map_batches(
+            lambda b: b.select(select), batch_format="pyarrow",
+            zero_copy_batch=True))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.union(p)
+    from .grouped import grouped_count
+    dd = grouped_count(u, select, "__n", num_partitions)
+    return dd.map_batches(lambda b: b.select(select),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bgp_construct(triples: ray.data.Dataset,
+                  patterns: list[tuple[str, str, str]],
+                  template: list[tuple[str, str, str]],
+                  num_partitions: int | None = None) -> ray.data.Dataset:
+    """SPARQL ``CONSTRUCT``: match ``patterns``, instantiate ``template``
+    (s, p, o) terms per binding — ``?var`` substitutes the binding, any
+    other term is emitted as a constant — and return the DISTINCT new
+    triples as a (subj, pred, obj) Dataset ready to union into the graph.
+
+    Mirrors the reference's graph-building step (its CQ file both queries
+    and derives; ``Code/CompetencyQuestions/Yelp_CQ.md``) as a generic
+    derived-triple operator: materialized inference rules, rollup edges,
+    co-occurrence edges all phrase as one CONSTRUCT each.
+    """
+    need = sorted({t[1:] for pat in template for t in pat if _is_var(t)})
+    dd = bgp_match(triples, patterns, need, num_partitions)
+
+    def build(b: pa.Table) -> pa.Table:
+        tabs = []
+        for s, p, o in template:
+            cols = {}
+            for name, term in zip(("subj", "pred", "obj"), (s, p, o)):
+                if _is_var(term):
+                    cols[name] = pc.cast(b[term[1:]], pa.string())
+                else:
+                    cols[name] = pa.nulls(b.num_rows,
+                                          pa.string()).fill_null(term)
+            tabs.append(pa.table(cols))
+        return pa.concat_tables(tabs)
+
+    out = dd.map_batches(build, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    if len(template) == 1:
+        return out  # bindings were already distinct on exactly `need`
+    from .grouped import grouped_count
+    cols = ["subj", "pred", "obj"]
+    dd2 = grouped_count(out, cols, "__n", num_partitions)
+    return dd2.map_batches(lambda b: b.select(cols),
+                           batch_format="pyarrow", zero_copy_batch=True)

@@ -2336,15 +2336,15 @@ def _q_rel_pareto_abc(sf_dir: str):
 
 BGP_FILTER_TOOLS = ("bash", "web_search")
 BGP_FILTER_EXCL = "espresso"
+PRED_CO_OCCURS = C.PROP + "coOccursWith"
 
 
-def _q_kg_bgp_filtered(sf_dir: str):
-    """SPARQL FILTER + VALUES over the mention/tool BGP:
-    {?t :mentions ?m . ?t :usesTool ?tool
-     VALUES ?tool {bash web_search} FILTER(?m != :espresso)}
-    -> DISTINCT (m, tool). Exercises the matcher's vectorized
-    FILTER/VALUES masks."""
-    from .functions.bgp import bgp_match
+def _mention_union_tri(sf_dir: str) -> ray.data.Dataset:
+    """Structural + canonicalized-mention triples, the graph every
+    mention-aware BGP query runs over. The actor-pool mention stage is
+    materialized BEFORE unioning into the join/sort graph: two actor
+    pools + a sort in ONE executor graph wedge at low CPU counts (see
+    pipelines/kg.py:_stage and the verify skill note)."""
     from .pipelines.kg import load_config_tables
     from .stages import canonicalize as canon
     from .stages import extract, mentions
@@ -2355,14 +2355,107 @@ def _q_kg_bgp_filtered(sf_dir: str):
         mentions.mention_triples(
             ts.select_columns(["conv_id", "turn_idx", "text"]), vocab),
         canon.build_canonical_map_local(alias_rows)).materialize()
-    tri = extract.structural_triples(ts).union(m)
+    return extract.structural_triples(ts).union(m)
+
+
+def _q_kg_bgp_filtered(sf_dir: str):
+    """SPARQL FILTER + VALUES over the mention/tool BGP:
+    {?t :mentions ?m . ?t :usesTool ?tool
+     VALUES ?tool {bash web_search} FILTER(?m != :espresso)}
+    -> DISTINCT (m, tool). Exercises the matcher's vectorized
+    FILTER/VALUES masks."""
+    from .functions.bgp import bgp_match
     return bgp_match(
-        tri, [("?t", C.PRED_MENTIONS, "?m"),
-              ("?t", C.PRED_USES_TOOL, "?tool")],
+        _mention_union_tri(sf_dir),
+        [("?t", C.PRED_MENTIONS, "?m"),
+         ("?t", C.PRED_USES_TOOL, "?tool")],
         ["m", "tool"], num_partitions=8,
         filters=[("m", "!=", C.ENT + "mention/" + BGP_FILTER_EXCL)],
         values={"tool": [C.ENT + "tool/" + t for t in BGP_FILTER_TOOLS]}) \
         .sort(["m", "tool"])
+
+
+def _q_kg_bgp_union(sf_dir: str):
+    """SPARQL UNION of two pattern groups:
+    {?t :usesTool ?x . ?t :isPartOf ?c} UNION
+    {?t :mentions ?x . ?t :isPartOf ?c} -> DISTINCT (c, x): every
+    conversation paired with every tool-or-mention entity it touches.
+    One zero-shuffle Dataset.union of the two binding streams, one
+    shared distinct (functions/bgp.bgp_union)."""
+    from .functions.bgp import bgp_union
+    tri = _mention_union_tri(sf_dir)
+    return bgp_union(
+        tri,
+        [[("?t", C.PRED_USES_TOOL, "?x"), ("?t", C.PRED_IS_PART_OF, "?c")],
+         [("?t", C.PRED_MENTIONS, "?x"), ("?t", C.PRED_IS_PART_OF, "?c")]],
+        ["c", "x"], num_partitions=8).sort(["c", "x"])
+
+
+def _q_kg_bgp_minus(sf_dir: str):
+    """SPARQL MINUS (anti-join mode of functions/bgp.cogroup_join):
+    {?t :mentions ?m . MINUS {?t :usesTool :tool/bash}} -> DISTINCT
+    (t, m): mention edges on turns that did NOT use the bash tool."""
+    from .functions.bgp import bgp_match
+    return bgp_match(
+        _mention_union_tri(sf_dir),
+        [("?t", C.PRED_MENTIONS, "?m")],
+        ["t", "m"], num_partitions=8,
+        minus_patterns=[("?t", C.PRED_USES_TOOL, C.ENT + "tool/bash")]) \
+        .sort(["t", "m"])
+
+
+def _q_kg_bgp_path(sf_dir: str):
+    """SPARQL property path (functions/bgp.expand_paths): ?c
+    ^schema:isPartOf/prop:usesTool ?tool — inverse step then sequence
+    step, rewritten statically to a two-pattern chain with a fresh
+    intermediate variable. Semantically identical to kg_bgp_conv_tools;
+    this entry proves the path machinery produces the same rows."""
+    from .functions.bgp import bgp_match
+    from .stages import extract
+    tri = extract.structural_triples(_read_transcripts(sf_dir))
+    return bgp_match(
+        tri, [("?c", ("^" + C.PRED_IS_PART_OF, C.PRED_USES_TOOL), "?tool")],
+        ["c", "tool"], num_partitions=8).sort(["c", "tool"])
+
+
+def _q_kg_bgp_alt(sf_dir: str):
+    """SPARQL alternation path p|q: {?t (:mentions|:usesTool) ?x} ->
+    DISTINCT (t, x). The alternation compiles to ONE scan with an is_in
+    predicate filter — no union, no second pass over the triples."""
+    from .functions.bgp import bgp_match
+    return bgp_match(
+        _mention_union_tri(sf_dir),
+        [("?t", C.PRED_MENTIONS + "|" + C.PRED_USES_TOOL, "?x")],
+        ["t", "x"], num_partitions=8).sort(["t", "x"])
+
+
+def _q_kg_construct_cooccurs(sf_dir: str):
+    """SPARQL CONSTRUCT (functions/bgp.bgp_construct): derive
+    {?m prop:coOccursWith ?tool} from {?t :mentions ?m . ?t :usesTool
+    ?tool} — materialized co-occurrence edges as new graph triples,
+    the generic derived-triple operator (the reference derives edges
+    while building, Code/CompetencyQuestions/Yelp_CQ.md queries them)."""
+    from .functions.bgp import bgp_construct
+    return bgp_construct(
+        _mention_union_tri(sf_dir),
+        [("?t", C.PRED_MENTIONS, "?m"), ("?t", C.PRED_USES_TOOL, "?tool")],
+        [("?m", PRED_CO_OCCURS, "?tool")],
+        num_partitions=8).sort(["subj", "obj"])
+
+
+def _q_kg_sparql_group_agg(sf_dir: str):
+    """SPARQL aggregate over BGP bindings: SELECT ?tool (COUNT(DISTINCT
+    ?m) AS n_mentions) WHERE {?t :mentions ?m . ?t :usesTool ?tool}
+    GROUP BY ?tool — the matcher's distinct (m, tool) bindings feed one
+    grouped count, the same partial-then-shuffle aggregate every CQ
+    uses."""
+    from .functions.bgp import bgp_match
+    from .functions.grouped import grouped_count
+    dd = bgp_match(
+        _mention_union_tri(sf_dir),
+        [("?t", C.PRED_MENTIONS, "?m"), ("?t", C.PRED_USES_TOOL, "?tool")],
+        ["m", "tool"], num_partitions=8)
+    return grouped_count(dd, ["tool"], "n_mentions", 8).sort("tool")
 
 
 def _q_events_trailing_sum(sf_dir: str):
@@ -2890,6 +2983,12 @@ def queries() -> dict[str, Callable]:
         "events_trailing_sum_1h": _q_events_trailing_sum,
         "events_time_in_state": _q_events_time_in_state,
         "kg_bgp_filtered": _q_kg_bgp_filtered,
+        "kg_bgp_union": _q_kg_bgp_union,
+        "kg_bgp_minus": _q_kg_bgp_minus,
+        "kg_bgp_path": _q_kg_bgp_path,
+        "kg_bgp_alt": _q_kg_bgp_alt,
+        "kg_construct_cooccurs": _q_kg_construct_cooccurs,
+        "kg_sparql_group_agg": _q_kg_sparql_group_agg,
     }
 
 
@@ -4585,6 +4684,51 @@ def oracle_sql() -> dict[str, str]:
               AND {normalize_sql('t.tool')} IN {BGP_FILTER_TOOLS!r}
               AND m.canonical <> '{BGP_FILTER_EXCL}'
             ORDER BY 1, 2""",
+        "kg_bgp_union": P + f"""
+            SELECT DISTINCT c, x FROM (
+              SELECT conv_iri AS c,
+                     '{C.ENT}tool/' || {normalize_sql('tool')} AS x
+              FROM t WHERE {TOOL_OK_SQL}
+              UNION
+              SELECT '{C.ENT}conversation/' || conv_id AS c,
+                     '{C.ENT}mention/' || canonical AS x
+              FROM mention)
+            ORDER BY 1, 2""",
+        "kg_bgp_minus": P + f"""
+            SELECT DISTINCT m.turn_iri AS t,
+                   '{C.ENT}mention/' || m.canonical AS m
+            FROM mention m
+            WHERE m.turn_iri NOT IN (
+              SELECT turn_iri FROM t
+              WHERE {TOOL_OK_SQL} AND {normalize_sql('tool')} = 'bash')
+            ORDER BY 1, 2""",
+        "kg_bgp_path": P + f"""
+            SELECT DISTINCT conv_iri AS c,
+                   '{C.ENT}tool/' || {normalize_sql('tool')} AS tool
+            FROM t WHERE {TOOL_OK_SQL}
+            ORDER BY 1, 2""",
+        "kg_bgp_alt": P + f"""
+            SELECT DISTINCT t, x FROM (
+              SELECT turn_iri AS t,
+                     '{C.ENT}tool/' || {normalize_sql('tool')} AS x
+              FROM t WHERE {TOOL_OK_SQL}
+              UNION
+              SELECT turn_iri AS t, '{C.ENT}mention/' || canonical AS x
+              FROM mention)
+            ORDER BY 1, 2""",
+        "kg_construct_cooccurs": P + f"""
+            SELECT DISTINCT '{C.ENT}mention/' || m.canonical AS subj,
+                   '{PRED_CO_OCCURS}' AS pred,
+                   '{C.ENT}tool/' || {normalize_sql('t.tool')} AS obj
+            FROM mention m JOIN t ON t.turn_iri = m.turn_iri
+            WHERE {TOOL_OK_SQL.replace('tool', 't.tool')}
+            ORDER BY 1, 3""",
+        "kg_sparql_group_agg": P + f"""
+            SELECT '{C.ENT}tool/' || {normalize_sql('t.tool')} AS tool,
+                   count(DISTINCT m.canonical) AS n_mentions
+            FROM mention m JOIN t ON t.turn_iri = m.turn_iri
+            WHERE {TOOL_OK_SQL.replace('tool', 't.tool')}
+            GROUP BY 1 ORDER BY 1""",
     }
     out["kg_type_rollup_counts"] = (
         "SELECT type_iri, count(*) AS n_entities FROM ("
