@@ -583,3 +583,29 @@ def test_bgp_union_minus_construct_paths(ray_session):
     assert ("o1", "seen", "s1") in trip and ("o1", "rdf:type", "Obj") in trip
     # two bindings share o1 -> the type triple dedups: 3 seen + 2 types
     assert len(trip) == 5 and len(c) == 5
+
+
+def test_prefix_duplicates_planted(ray_session):
+    """Prefix containment via sort adjacency: equal texts, proper
+    prefixes, chains (a, ab, abc), empty text, and non-prefix neighbors."""
+    import pyarrow as pa
+    import ray.data
+
+    from the_yelp_collaborative_knowledge_graph_ray.stages.dedup import (
+        prefix_duplicates,
+    )
+
+    rows = {
+        1: "alpha beta",        # prefix of 2 -> dup
+        2: "alpha beta gamma",  # nothing extends it
+        3: "zeta",              # equal to 4 -> dup
+        4: "zeta",              # equal to 3 -> dup
+        5: "",                  # empty = prefix of everything -> dup
+        6: "zet",               # prefix of 3/4 -> dup
+        7: "omega",             # unique, no extension
+        8: "alpha betz",        # near 1 but not a prefix relation
+    }
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": list(rows), "text": list(rows.values())}))
+    got = prefix_duplicates(docs, num_partitions=3).to_pandas()
+    assert got["doc_id"].tolist() == [1, 3, 4, 5, 6]

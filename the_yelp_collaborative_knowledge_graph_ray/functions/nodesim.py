@@ -107,3 +107,62 @@ def jaccard_node_pairs(edges: ray.data.Dataset, top_k: int = 50,
         lambda b: b.select(["u", "v", "common", "deg_u", "deg_v",
                             "jaccard_fp"]),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+AA_SCALE = 10**6
+
+
+def adamic_adar_pairs(incidence: ray.data.Dataset,
+                      num_partitions: int = 8) -> ray.data.Dataset:
+    """Adamic–Adar link-prediction scores over a bipartite incidence list.
+
+    ``incidence``: distinct (w, x) string rows — witness w (here: a turn)
+    contains entity x (here: a canonical mention). For every unordered
+    entity pair sharing a witness, score(u, v) = Σ_w 1/ln(deg w) over the
+    shared witnesses (Adamic & Adar 2003, public). High score = many
+    LOW-degree shared contexts — rarer co-occurrence contexts weigh more
+    than hub contexts, the refinement Jaccard (above) lacks.
+
+    Exactness contract: each witness's weight is rounded ONCE to int64
+    fixed point (round(10^6 / ln(deg_w))) and summed in integer space, so
+    the result is independent of summation order — engine-reproducible,
+    and an SQL oracle mirrors it term for term. Witness degree = the size
+    of its complete sorted group, so no degree join is needed at all: one
+    sort by w, one pair expansion with the weight carried, one integer
+    sum all-to-all. deg >= 2 is implied (singleton witnesses emit no
+    pairs), so ln() never sees 1.
+    """
+    pair_schema = pa.schema([("u", pa.string()), ("v", pa.string()),
+                             ("n_shared", pa.int64()),
+                             ("aa_fp", pa.int64())])
+
+    def block_pairs(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pair_schema.empty_table()
+        gid, _ = group_ids(b, ["w"])
+        x = b["x"].to_numpy(zero_copy_only=False)
+        dic, inv = np.unique(x, return_inverse=True)
+        sel, first, second = _pair_index_arrays(
+            gid, inv.astype(np.int64), None, None, "adamic_adar_pairs")
+        if len(first) == 0:
+            return pair_schema.empty_table()
+        # witness degree = distinct-x count of the group, counted on the
+        # deduped rows `sel` (complete groups per sorted block)
+        gsel = gid[sel]
+        deg = np.bincount(gsel, minlength=gid.max() + 1)
+        wt = np.round(AA_SCALE / np.log(np.maximum(deg, 2))).astype(
+            np.int64)
+        t = pa.table({"u": pa.array(dic[inv[sel[first]]], pa.string()),
+                      "v": pa.array(dic[inv[sel[second]]], pa.string()),
+                      "one": pa.array(np.ones(len(first), np.int64)),
+                      "aa": pa.array(wt[gsel[first]])})
+        return t.group_by(["u", "v"], use_threads=False) \
+            .aggregate([("one", "sum"), ("aa", "sum")]) \
+            .rename_columns(["u", "v", "n_shared", "aa_fp"])
+
+    partials = sorted_group_apply(incidence, ["w"], block_pairs,
+                                  num_partitions)
+    return sorted_aggregate(partials, ["u", "v"],
+                            [("n_shared", "sum"), ("aa_fp", "sum")],
+                            ["u", "v", "n_shared", "aa_fp"],
+                            num_partitions).sort(["u", "v"])

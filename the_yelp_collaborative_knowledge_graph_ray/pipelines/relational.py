@@ -3142,3 +3142,47 @@ def time_in_state(sf_dir: str) -> ray.data.Dataset:
         ["user_id", "event_type"],
         [("n_intervals", "sum"), ("total_us", "sum")],
         ["user_id", "event_type", "n_intervals", "total_us"], 8)
+
+
+def above_avg_orders(sf_dir: str) -> ray.data.Dataset:
+    """Correlated-subquery decorrelation: for every customer, how many of
+    their orders cost strictly more than THEIR OWN average order price
+    (the classic ``WHERE price > (SELECT avg(...) ... correlated)``
+    shape). Decorrelated Ray-Data-first: ONE shuffle co-locates each
+    customer's orders, then the per-group comparison is pure block-local
+    arithmetic — no second scan, no join back.
+
+    Exact integers: prices are cents (``_scaled_int``), and ``price >
+    avg`` is evaluated as ``cents * n > sum_cents`` so no float division
+    ever happens (ties at exactly-average are excluded identically on
+    both engines). Output: (o_custkey, n_orders, n_above) by custkey.
+    """
+    from ..functions.grouped import group_ids, sorted_group_apply
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": b["o_custkey"],
+                         "cents": _scaled_int(b["o_totalprice"], 100)})
+
+    out_schema = pa.schema([("o_custkey", pa.int64()),
+                            ("n_orders", pa.int64()),
+                            ("n_above", pa.int64())])
+
+    def block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        gid, starts = group_ids(b, ["o_custkey"])
+        c = b["cents"].to_numpy()
+        n = np.diff(np.append(starts, len(gid))).astype(np.int64)
+        s = np.add.reduceat(c, starts)
+        above = (c * n[gid] > s[gid]).astype(np.int64)
+        n_above = np.add.reduceat(above, starts)
+        keys = pc.cast(b["o_custkey"], pa.int64()).take(pa.array(starts))
+        return pa.table({"o_custkey": keys,
+                         "n_orders": pa.array(n),
+                         "n_above": pa.array(n_above)}, schema=out_schema)
+
+    return sorted_group_apply(
+        orders.map_batches(cents, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["o_custkey"], block, 8).sort("o_custkey")

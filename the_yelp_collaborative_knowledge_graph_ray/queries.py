@@ -2458,6 +2458,77 @@ def _q_kg_sparql_group_agg(sf_dir: str):
     return grouped_count(dd, ["tool"], "n_mentions", 8).sort("tool")
 
 
+def _q_kg_adamic_adar(sf_dir: str):
+    """Adamic–Adar link prediction over the turn->mention incidence
+    (functions/nodesim.adamic_adar_pairs): shared low-degree turns weigh
+    more than hub turns; exact int64 fixed point (weight rounded once per
+    witness, integer sums) so the score is summation-order-independent."""
+    from .functions.nodesim import adamic_adar_pairs
+    pre = C.ENT + "mention/"
+    m = _q_mentions(sf_dir).map_batches(
+        lambda b: pa.table({
+            "w": b["subj"],
+            "x": pc.utf8_slice_codeunits(b["obj"], len(pre))}),
+        batch_format="pyarrow")
+    return adamic_adar_pairs(m, num_partitions=8)
+
+
+def _q_events_entropy(sf_dir: str):
+    """Grouped Shannon entropy of each user's event-type distribution:
+    H = ln(n) - Σ c·ln(c)/n from exact integer counts (both engines see
+    identical integers; the ln happens once per user). Low entropy =
+    single-behavior user, high = diverse — the behavioral-diversity twin
+    of the Gini operator."""
+    from .functions.grouped import group_ids, grouped_count, \
+        sorted_group_apply
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "event_type"])
+    counts = grouped_count(ev, ["user_id", "event_type"], "c", 8)
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("n_events", pa.int64()),
+                            ("n_types", pa.int64()),
+                            ("entropy", pa.float64())])
+
+    def block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        gid, starts = group_ids(b, ["user_id"])
+        c = b["c"].to_numpy().astype(np.int64)
+        n_types = np.diff(np.append(starts, len(gid))).astype(np.int64)
+        n = np.add.reduceat(c, starts)
+        clnc = np.add.reduceat(c * np.log(c), starts)
+        ent = np.log(n) - clnc / n
+        keys = pc.cast(b["user_id"], pa.int64()).take(pa.array(starts))
+        return pa.table({"user_id": keys, "n_events": pa.array(n),
+                         "n_types": pa.array(n_types),
+                         "entropy": pa.array(ent)}, schema=out_schema)
+
+    return sorted_group_apply(counts, ["user_id"], block, 8) \
+        .sort("user_id")
+
+
+def _q_text_pmi_bigrams(sf_dir: str):
+    """PMI collocations (stages/textstats.pmi_bigrams): adjacent-word
+    bigrams scored against corpus unigram frequencies."""
+    from .stages.textstats import pmi_bigrams
+    return pmi_bigrams(_docs(sf_dir))
+
+
+def _q_rel_above_avg(sf_dir: str):
+    """Correlated-subquery decorrelation (relational.above_avg_orders):
+    orders above the customer's OWN average, one shuffle, exact cents."""
+    from .pipelines.relational import above_avg_orders
+    return above_avg_orders(sf_dir)
+
+
+def _q_dedup_prefix(sf_dir: str):
+    """Truncation duplicates (stages/dedup.prefix_duplicates): docs whose
+    text is a prefix of (or equal to) another doc's — sort-adjacency
+    exact, one all-to-all plus O(#blocks) boundary stitching."""
+    from .stages.dedup import prefix_duplicates
+    return prefix_duplicates(_docs(sf_dir), num_partitions=8)
+
+
 def _q_events_trailing_sum(sf_dir: str):
     """True time-RANGE window (relational.trailing_sum_1h): trailing-hour
     per-user sums with SQL peer semantics, prefix sums + two
@@ -2989,6 +3060,11 @@ def queries() -> dict[str, Callable]:
         "kg_bgp_alt": _q_kg_bgp_alt,
         "kg_construct_cooccurs": _q_kg_construct_cooccurs,
         "kg_sparql_group_agg": _q_kg_sparql_group_agg,
+        "kg_adamic_adar": _q_kg_adamic_adar,
+        "events_entropy_by_user": _q_events_entropy,
+        "text_pmi_bigrams": _q_text_pmi_bigrams,
+        "rel_above_avg_orders": _q_rel_above_avg,
+        "dedup_prefix": _q_dedup_prefix,
     }
 
 
@@ -4729,6 +4805,63 @@ def oracle_sql() -> dict[str, str]:
             FROM mention m JOIN t ON t.turn_iri = m.turn_iri
             WHERE {TOOL_OK_SQL.replace('tool', 't.tool')}
             GROUP BY 1 ORDER BY 1""",
+        "kg_adamic_adar": P + """
+            , md AS (SELECT DISTINCT turn_iri, canonical FROM mention),
+            wt AS (SELECT turn_iri,
+                          CAST(round(1000000.0 / ln(count(*))) AS BIGINT)
+                            AS w
+                   FROM md GROUP BY 1 HAVING count(*) >= 2)
+            SELECT a.canonical AS u, b.canonical AS v,
+                   CAST(count(*) AS BIGINT) AS n_shared,
+                   CAST(sum(wt.w) AS BIGINT) AS aa_fp
+            FROM md a JOIN md b ON a.turn_iri = b.turn_iri
+                                AND a.canonical < b.canonical
+            JOIN wt ON wt.turn_iri = a.turn_iri
+            GROUP BY 1, 2 ORDER BY 1, 2""",
+        "events_entropy_by_user": """
+            WITH c AS (SELECT user_id, event_type, count(*) AS c
+                       FROM events GROUP BY 1, 2)
+            SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   ln(sum(c)) - sum(c * ln(c)) / sum(c) AS entropy
+            FROM c GROUP BY 1 ORDER BY 1""",
+        "text_pmi_bigrams": """
+            WITH w AS (SELECT string_split(lower(text), ' ') AS ws
+                       FROM documents),
+            idx AS (SELECT ws, unnest(range(1, len(ws))) AS i FROM w),
+            bi AS (SELECT ws[i] AS a, ws[i + 1] AS b FROM idx),
+            bc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+                   FROM bi GROUP BY 1, 2),
+            uc AS (SELECT unnest(ws) AS w FROM w),
+            u AS (SELECT w, count(*) AS c FROM uc GROUP BY 1),
+            tot AS (SELECT (SELECT count(*) FROM uc) AS n,
+                           (SELECT count(*) FROM bi) AS m)
+            SELECT bc.a, bc.b, bc.n_ab,
+                   ln(bc.n_ab) + 2 * ln(tot.n) - ln(tot.m)
+                     - ln(ua.c) - ln(ub.c) AS pmi
+            FROM bc CROSS JOIN tot
+            JOIN u ua ON ua.w = bc.a
+            JOIN u ub ON ub.w = bc.b
+            WHERE bc.n_ab >= 5
+            ORDER BY bc.a, bc.b""",
+        "rel_above_avg_orders": """
+            WITH o AS (SELECT o_custkey,
+                              CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS cents
+                       FROM orders),
+            s AS (SELECT o_custkey, sum(cents) AS s, count(*) AS n
+                  FROM o GROUP BY 1)
+            SELECT s.o_custkey, CAST(s.n AS BIGINT) AS n_orders,
+                   CAST(sum(CASE WHEN o.cents * s.n > s.s
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+            FROM o JOIN s ON o.o_custkey = s.o_custkey
+            GROUP BY 1, 2 ORDER BY 1""",
+        "dedup_prefix": """
+            SELECT d.doc_id FROM documents d
+            WHERE EXISTS (SELECT 1 FROM documents e
+                          WHERE e.doc_id <> d.doc_id
+                            AND left(e.text, length(d.text)) = d.text)
+            ORDER BY doc_id""",
     }
     out["kg_type_rollup_counts"] = (
         "SELECT type_iri, count(*) AS n_entities FROM ("

@@ -1067,3 +1067,108 @@ def semantic_dedup(embeddings: ray.data.Dataset, threshold: float = 0.35,
 
     return sorted_group_apply(assigned, ["cluster"], greedy_block) \
         .sort("vec_id")
+
+
+# --------------------------------------------------------------------------
+# prefix / truncation duplicates
+# --------------------------------------------------------------------------
+# Scraped corpora carry truncation dups: one capture is a PREFIX of a longer
+# capture of the same page. Exact dedup misses them (different hashes);
+# shingle dedup finds only high-Jaccard ones. Prefix containment has a
+# sort-native exact algorithm: after a global sort by text, doc A is a
+# prefix of SOME other doc iff (a) its immediate successor starts with A's
+# text, or (b) its immediate predecessor equals A's text. (If A <= B <= C
+# sorted and C starts with A, every string in between starts with A too —
+# so checking the successor alone is complete; the predecessor-equal case
+# covers the last member of an equal run.) One all-to-all (the sort), one
+# vectorized byte-compare pass per block, plus O(#blocks) boundary rows
+# stitched on the driver — no pairwise blow-up anywhere.
+
+
+def _next_startswith(offs: np.ndarray, data: np.ndarray) -> np.ndarray:
+    """bool[i] = row i+1's string starts with row i's (last row False).
+    One flat byte-gather per block (the kwic offset trick) — no per-row
+    Python."""
+    n = len(offs) - 1
+    if n <= 1:
+        return np.zeros(n, bool)
+    starts, lens = offs[:-1], np.diff(offs)
+    l_own = lens[:-1]
+    res = l_own <= lens[1:]           # length-compatible (empty -> True)
+    cand = np.flatnonzero(res & (l_own > 0))
+    if len(cand):
+        ls = l_own[cand]
+        seg_end = np.cumsum(ls)
+        pos = np.arange(seg_end[-1]) - np.repeat(seg_end - ls, ls)
+        own = data[np.repeat(starts[:-1][cand], ls) + pos]
+        nxt = data[np.repeat(starts[1:][cand], ls) + pos]
+        bad = np.unique(np.searchsorted(seg_end, np.flatnonzero(own != nxt),
+                                        side="right"))
+        ok = np.ones(len(cand), bool)
+        ok[bad] = False
+        res[cand] = ok
+    return np.append(res, False)
+
+
+def _text_bytes(col) -> tuple[np.ndarray, np.ndarray]:
+    """(int64 offsets, uint8 data) views of a string column, copy-free up
+    to the large_string cast."""
+    a = pc.cast(col, pa.large_string())
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    offs = np.frombuffer(a.buffers()[1], np.int64,
+                         len(a) + 1, a.offset * 8)
+    data = np.frombuffer(a.buffers()[2], np.uint8)
+    return offs, data
+
+
+def prefix_duplicates(docs: ray.data.Dataset,
+                      num_partitions: int | None = None
+                      ) -> ray.data.Dataset:
+    """Return the (doc_id) rows whose text is a prefix of (or equal to)
+    some OTHER document's text, sorted by doc_id. See the section comment
+    for the sort-adjacency argument."""
+    ds = docs.map_batches(
+        lambda b: (b.replace_schema_metadata(None)
+                   if b.schema.metadata else b),
+        batch_format="pyarrow", zero_copy_batch=True)
+    if num_partitions is not None:
+        ds = ds.repartition(num_partitions)
+    srt = ds.sort(["text", "doc_id"]).materialize()
+
+    # boundary stitch: last row of block i vs first row of block i+1 in
+    # global text order. O(#blocks) tiny rows via one remote task per
+    # block ref — the blocks themselves never touch the driver.
+    @ray.remote
+    def edge_rows(block: pa.Table):
+        if block.num_rows == 0:
+            return None
+        f, l = block.slice(0, 1), block.slice(block.num_rows - 1, 1)
+        return (f["text"][0].as_py(), f["doc_id"][0].as_py(),
+                l["text"][0].as_py(), l["doc_id"][0].as_py())
+
+    infos = [e for e in ray.get(
+        [edge_rows.remote(r) for r in srt.to_arrow_refs()]) if e]
+    infos.sort(key=lambda e: (e[0], e[1]))  # block order = range order
+    boundary_dups = {prev[3] for prev, nxt in zip(infos, infos[1:])
+                     if nxt[0].startswith(prev[2])}
+    bset = ray.put(np.array(sorted(boundary_dups), np.int64))
+
+    def block_flags(b: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("doc_id", pa.int64())])
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        offs, data = _text_bytes(b["text"])
+        nsw = _next_startswith(offs, data)
+        lens = np.diff(offs)
+        # predecessor equal <=> predecessor startswith AND same length
+        prev_eq = np.concatenate([[False], nsw[:-1] &
+                                  (lens[:-1] == lens[1:])])
+        ids = pc.cast(b["doc_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        flag = nsw | prev_eq | np.isin(ids, ray.get(bset))
+        return pa.table({"doc_id": pa.array(ids[flag])}, schema=out_schema)
+
+    return srt.map_batches(block_flags, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True) \
+        .sort("doc_id")

@@ -774,3 +774,91 @@ def kwic_concordance(docs: ray.data.Dataset,
 
     return docs.map_batches(block, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+PMI_MIN_COUNT = 5
+
+
+def pmi_bigrams(docs: ray.data.Dataset, min_count: int = PMI_MIN_COUNT,
+                num_partitions: int = 4) -> ray.data.Dataset:
+    """Pointwise-mutual-information collocations (Church & Hanks 1990,
+    public): adjacent lowercased word bigrams scored by
+    pmi = ln(c_ab) + 2·ln(N) − ln(M) − ln(c_a) − ln(c_b)
+    where N = corpus token count, M = corpus bigram count. High PMI =
+    words that co-occur far above chance — the multi-word-expression
+    detector a tokenizer-training pipeline runs before vocabulary builds.
+
+    Distribution shape: two corpus-statistics passes (bigram counts,
+    unigram counts) as per-batch np.unique partials + one all-to-all sum
+    each — the shuffle moves batch DICTIONARIES, not token streams; the
+    min_count filter lands right after the global bigram sum, so the two
+    unigram attach joins (functions/joins.attach_column, string keys)
+    only see surviving collocation candidates. N and M are streaming
+    scalar sums of the tiny aggregate tables (never the corpus). The ln
+    happens once per output row in float64 from exact integer counts —
+    both engines see identical integers, so the float agrees to ulp.
+
+    Output: (a, b, n_ab, pmi) for bigrams with n_ab >= min_count,
+    ordered by (a, b).
+    """
+    import math
+
+    from ..functions.grouped import sorted_aggregate
+    from ..functions.joins import attach_column
+    from .dedup import _words_flat
+
+    def bi_partial(b: pa.Table) -> pa.Table:
+        words, doc_of = _words_flat(b["text"])
+        if len(words) == 0:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        adj = doc_of[1:] == doc_of[:-1]
+        t = pa.table({"a": pa.array(words[:-1][adj], pa.string()),
+                      "b": pa.array(words[1:][adj], pa.string())})
+        return t.group_by(["a", "b"], use_threads=False) \
+            .aggregate([([], "count_all")]).rename_columns(["a", "b", "c"])
+
+    def uni_partial(b: pa.Table) -> pa.Table:
+        words, _ = _words_flat(b["text"])
+        uw, cnt = np.unique(words, return_counts=True)
+        return pa.table({"w": pa.array(uw, pa.string()),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    bi = sorted_aggregate(
+        docs.map_batches(bi_partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["a", "b"], [("c", "sum")], ["a", "b", "c"],
+        num_partitions).materialize()
+    uni = sorted_aggregate(
+        docs.map_batches(uni_partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["w"], [("c", "sum")], ["w", "c"], num_partitions).materialize()
+    m_total = int(bi.sum("c"))
+    n_total = int(uni.sum("c"))
+
+    cand = bi.filter(expr=f"c >= {min_count}")
+    with_ca = attach_column(
+        cand, uni,
+        [("a", pa.string()), ("b", pa.string()), ("c", pa.int64())],
+        "a", "w", "c", "c_a", pa.int64(), num_partitions,
+        key_type=pa.string())
+    with_cb = attach_column(
+        with_ca, uni,
+        [("a", pa.string()), ("b", pa.string()), ("c", pa.int64()),
+         ("c_a", pa.int64())],
+        "b", "w", "c", "c_b", pa.int64(), num_partitions,
+        key_type=pa.string())
+
+    base = 2.0 * math.log(n_total) - math.log(m_total)
+
+    def score(b: pa.Table) -> pa.Table:
+        c = b["c"].to_numpy().astype(np.float64)
+        ca = b["c_a"].to_numpy().astype(np.float64)
+        cb = b["c_b"].to_numpy().astype(np.float64)
+        pmi = np.log(c) + base - np.log(ca) - np.log(cb)
+        return pa.table({"a": b["a"], "b": b["b"], "n_ab": b["c"],
+                         "pmi": pa.array(pmi)})
+
+    return with_cb.map_batches(score, batch_format="pyarrow",
+                               zero_copy_batch=True).sort(["a", "b"])
