@@ -401,3 +401,15 @@ def bgp_construct(triples: ray.data.Dataset,
     dd2 = grouped_count(out, cols, "__n", num_partitions)
     return dd2.map_batches(lambda b: b.select(cols),
                            batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bgp_ask(triples: ray.data.Dataset,
+            patterns: list[tuple[str, str, str]],
+            num_partitions: int | None = None) -> bool:
+    """SPARQL ``ASK``: does at least one binding of ``patterns`` exist?
+
+    Plans the same binding chain as :func:`bgp_match` but consumes it with
+    ``limit(1)`` — the streaming executor stops the moment one row
+    survives, so a hit on a 100 TB graph never runs the full scan."""
+    bindings, _ = bgp_bindings(triples, patterns, num_partitions)
+    return len(bindings.limit(1).take(1)) > 0

@@ -3186,3 +3186,86 @@ def above_avg_orders(sf_dir: str) -> ray.data.Dataset:
         orders.map_batches(cents, batch_format="pyarrow",
                            zero_copy_batch=True),
         ["o_custkey"], block, 8).sort("o_custkey")
+
+
+def tpch_q18(sf_dir: str, qty_threshold: int = 300,
+             limit: int = 100) -> ray.data.Dataset:
+    """TPC-H Q18 (large-volume customers): orders whose total lineitem
+    quantity exceeds ``qty_threshold``, with customer name, ordered by
+    order value.
+
+    Shape: ONE shuffle (the per-order quantity sum); the HAVING filter
+    makes the surviving set tiny by construction (Q18 hunts outliers), so
+    it broadcasts as a sorted (orderkey, sum_qty) array probed inside a
+    single pass over orders — no second all-to-all. Customer is the
+    classic small dimension, broadcast the same way for the name lookup.
+    Partitioning assumption documented: the HAVING-filtered set must fit
+    the object store comfortably (it's ~ppm of orders at any scale; if a
+    threshold made it large, the fallback is the attach_column co-group).
+    Quantities are integral in TPC-H; summed as exact int64.
+    """
+    import pyarrow.parquet as pq
+
+    from ..functions.grouped import sorted_aggregate
+    from ..functions.joins import probe_sorted
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def qty(b: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "q": _scaled_int(b["l_quantity"], 1.0)})
+
+    sums = sorted_aggregate(
+        li.map_batches(qty, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_orderkey"], [("q", "sum")], ["l_orderkey", "sum_qty"], 8) \
+        .filter(expr=f"sum_qty > {qty_threshold}")
+    nonempty = [t for t in ray.get(sums.to_arrow_refs()) if t.num_rows]
+    if nonempty:
+        tb = pa.concat_tables(nonempty)
+        ok = tb["l_orderkey"].to_numpy()
+        qv = tb["sum_qty"].to_numpy()
+    else:
+        ok = qv = np.empty(0, np.int64)
+    o = np.argsort(ok)
+    hot_ref = ray.put((ok[o], qv[o]))
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"])
+    ck = cust["c_custkey"].to_numpy()
+    names = cust["c_name"].combine_chunks()
+    corder = np.argsort(ck)
+    cust_ref = ray.put((ck[corder],
+                        names.take(pa.array(corder))))
+
+    class Probe:
+        def __init__(self):
+            self.ok, self.qty = ray.get(hot_ref)
+            self.ck, self.names = ray.get(cust_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            k = pc.cast(b["o_orderkey"], pa.int64()).combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            q = probe_sorted(self.ok, self.qty, k, missing=-1)
+            hit = q >= 0
+            t = b.filter(pa.array(hit))
+            cu = pc.cast(t["o_custkey"], pa.int64()).combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.ck, cu)
+            return pa.table({
+                "c_name": self.names.take(pa.array(pos)),
+                "o_custkey": t["o_custkey"],
+                "o_orderkey": t["o_orderkey"],
+                "o_orderdate": t["o_orderdate"],
+                "total_c": _scaled_int(t["o_totalprice"], 100.0),
+                "sum_qty": pa.array(q[hit], pa.int64())})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_totalprice"])
+    # autoscaling pool with min 1: a fixed pool of N actors grabs N CPU
+    # slots up front and WEDGES a low-CPU session (verify-skill gotcha) —
+    # min 1 always leaves room for the read and the downstream sort
+    return orders.map_batches(Probe, concurrency=(1, 4),
+                              batch_format="pyarrow") \
+        .sort(["total_c", "o_orderkey"], descending=[True, False]) \
+        .limit(limit)

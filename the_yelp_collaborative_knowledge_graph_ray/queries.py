@@ -2529,6 +2529,119 @@ def _q_dedup_prefix(sf_dir: str):
     return prefix_duplicates(_docs(sf_dir), num_partitions=8)
 
 
+def _q_rel_tpch_q18(sf_dir: str):
+    """TPC-H Q18 large-volume customers (relational.tpch_q18): one
+    quantity-sum shuffle, HAVING-filtered hot set broadcast, customer
+    dimension broadcast — no second all-to-all."""
+    from .pipelines.relational import tpch_q18
+    return tpch_q18(sf_dir)
+
+
+def _q_events_chi2(sf_dir: str):
+    """Chi-square test of independence, event_type x ISO weekday: the
+    contingency table reduces via one grouped count (tiny result); the
+    statistic uses chi2 = N·Σ o²/(r·c) − N, which needs only OBSERVED
+    cells (zero-observed cells contribute nothing to Σo²/e), so neither
+    engine must densify the table. dof = (#types−1)·(#dows−1)."""
+    from .functions.grouped import grouped_count
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "ts"])
+
+    def dow(b: pa.Table) -> pa.Table:
+        return pa.table({"event_type": b["event_type"],
+                         "dow": pc.cast(pc.add(pc.day_of_week(b["ts"]), 1),
+                                        pa.int64())})
+
+    cells = grouped_count(ev.map_batches(dow, batch_format="pyarrow"),
+                          ["event_type", "dow"], "n", 4).to_pandas()
+    r = cells.groupby("event_type")["n"].sum()
+    c = cells.groupby("dow")["n"].sum()
+    tot = int(cells["n"].sum())
+    e = (r[cells["event_type"]].to_numpy().astype(np.float64) *
+         c[cells["dow"]].to_numpy().astype(np.float64))
+    chi2 = tot * float((cells["n"].to_numpy().astype(np.float64) ** 2
+                        / e).sum()) - tot
+    return pa.table({"n": pa.array([tot], pa.int64()),
+                     "dof": pa.array([(len(r) - 1) * (len(c) - 1)],
+                                     pa.int64()),
+                     "chi2": pa.array([chi2], pa.float64())})
+
+
+def _q_kg_assortativity(sf_dir: str):
+    """Degree assortativity of the co-mention graph (Newman 2002,
+    public): Pearson correlation of endpoint degrees over the
+    symmetrized edge list. All five moment sums are exact int64 over
+    integer degrees (one constant-key aggregate); the single float
+    division happens once on the driver. Positive r = hubs link hubs."""
+    from .functions.grouped import grouped_count, sorted_aggregate
+    from .functions.joins import attach_column
+    from .functions.triangles import within_group_pairs
+    pre = C.ENT + "mention/"
+    m = _q_mentions(sf_dir).map_batches(
+        lambda b: pa.table({
+            "turn": b["subj"],
+            "c": pc.utf8_slice_codeunits(b["obj"], len(pre))}),
+        batch_format="pyarrow")
+    edges = within_group_pairs(m, "turn", "c")
+
+    def undirect(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": pa.concat_arrays([b["u"].combine_chunks(),
+                                   b["v"].combine_chunks()]),
+            "v": pa.concat_arrays([b["v"].combine_chunks(),
+                                   b["u"].combine_chunks()])})
+
+    und = edges.map_batches(undirect, batch_format="pyarrow")
+    deg = grouped_count(und, ["u"], "d", 8)
+    with_du = attach_column(
+        und, deg, [("u", pa.string()), ("v", pa.string())],
+        "u", "u", "d", "x", pa.int64(), 8, key_type=pa.string())
+    with_dv = attach_column(
+        with_du, deg,
+        [("u", pa.string()), ("v", pa.string()), ("x", pa.int64())],
+        "v", "u", "d", "y", pa.int64(), 8, key_type=pa.string())
+
+    def moments(b: pa.Table) -> pa.Table:
+        x = b["x"].to_numpy()
+        y = b["y"].to_numpy()
+        return pa.table({"__g": pa.array([0], pa.int64()),
+                         "m2": pa.array([len(x)], pa.int64()),
+                         "sx": pa.array([int(x.sum())], pa.int64()),
+                         "sxy": pa.array([int((x * y).sum())], pa.int64()),
+                         "sx2": pa.array([int((x * x).sum())], pa.int64())})
+
+    s = sorted_aggregate(
+        with_dv.map_batches(moments, batch_format="pyarrow"),
+        ["__g"], [("m2", "sum"), ("sx", "sum"), ("sxy", "sum"),
+                  ("sx2", "sum")],
+        ["__g", "m2", "sx", "sxy", "sx2"], 1).to_pandas()
+    m2, sx, sxy, sx2 = (int(s["m2"][0]), int(s["sx"][0]),
+                        int(s["sxy"][0]), int(s["sx2"][0]))
+    r = (m2 * sxy - sx * sx) / (m2 * sx2 - sx * sx)
+    return pa.table({"n_edges": pa.array([m2 // 2], pa.int64()),
+                     "r": pa.array([r], pa.float64())})
+
+
+ASK_TOOL_TRUE = "bash"
+ASK_TOOL_FALSE = "zzz_never_a_tool"
+
+
+def _q_kg_sparql_ask(sf_dir: str):
+    """SPARQL ASK (functions/bgp.bgp_ask): boolean pattern existence —
+    the third SPARQL verb next to SELECT and CONSTRUCT. Short-circuits
+    via limit(1): the scan stops as soon as one binding materializes."""
+    from .functions.bgp import bgp_ask
+    tri = _mention_union_tri(sf_dir).materialize()
+    rows = []
+    for t in (ASK_TOOL_TRUE, ASK_TOOL_FALSE):
+        ans = bgp_ask(tri, [("?t", C.PRED_USES_TOOL, C.ENT + "tool/" + t),
+                            ("?t", C.PRED_MENTIONS, "?m")],
+                      num_partitions=4)
+        rows.append((C.ENT + "tool/" + t, int(ans)))
+    return pa.table({"q": pa.array([r[0] for r in rows]),
+                     "answer": pa.array([r[1] for r in rows], pa.int64())})
+
+
 def _q_events_trailing_sum(sf_dir: str):
     """True time-RANGE window (relational.trailing_sum_1h): trailing-hour
     per-user sums with SQL peer semantics, prefix sums + two
@@ -3065,6 +3178,10 @@ def queries() -> dict[str, Callable]:
         "text_pmi_bigrams": _q_text_pmi_bigrams,
         "rel_above_avg_orders": _q_rel_above_avg,
         "dedup_prefix": _q_dedup_prefix,
+        "rel_tpch_q18": _q_rel_tpch_q18,
+        "events_chi2_dow": _q_events_chi2,
+        "kg_assortativity": _q_kg_assortativity,
+        "kg_sparql_ask": _q_kg_sparql_ask,
     }
 
 
@@ -4862,6 +4979,62 @@ def oracle_sql() -> dict[str, str]:
                           WHERE e.doc_id <> d.doc_id
                             AND left(e.text, length(d.text)) = d.text)
             ORDER BY doc_id""",
+        "rel_tpch_q18": """
+            WITH q AS (SELECT l_orderkey,
+                              CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                                   AS BIGINT) AS sum_qty
+                       FROM lineitem GROUP BY 1
+                       HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 300)
+            SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_c,
+                   q.sum_qty
+            FROM q JOIN orders o ON o.o_orderkey = q.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            ORDER BY total_c DESC, o.o_orderkey LIMIT 100""",
+        "events_chi2_dow": """
+            WITH c AS (SELECT event_type, isodow(ts) AS dow,
+                              count(*) AS n
+                       FROM events GROUP BY 1, 2),
+            rt AS (SELECT event_type, sum(n) AS r FROM c GROUP BY 1),
+            ct AS (SELECT dow, sum(n) AS cl FROM c GROUP BY 1),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c)
+            SELECT tot.t AS n,
+                   CAST(((SELECT count(*) FROM rt) - 1)
+                        * ((SELECT count(*) FROM ct) - 1) AS BIGINT)
+                     AS dof,
+                   tot.t * sum(CAST(c.n AS DOUBLE) * c.n
+                               / (CAST(rt.r AS DOUBLE) * ct.cl))
+                     - tot.t AS chi2
+            FROM c JOIN rt USING (event_type) JOIN ct USING (dow)
+            CROSS JOIN tot GROUP BY 1, 2""",
+        "kg_assortativity": P + """
+            , ce AS (SELECT DISTINCT a.canonical AS u, b.canonical AS v
+                     FROM mention a JOIN mention b
+                       ON a.turn_iri = b.turn_iri
+                      AND a.canonical < b.canonical),
+            und AS (SELECT u, v FROM ce UNION ALL SELECT v, u FROM ce),
+            deg AS (SELECT u AS node, count(*) AS d FROM und GROUP BY 1),
+            j AS (SELECT du.d AS x, dv.d AS y FROM und
+                  JOIN deg du ON du.node = und.u
+                  JOIN deg dv ON dv.node = und.v),
+            s AS (SELECT CAST(count(*) AS BIGINT) AS m2,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(x * y) AS BIGINT) AS sxy,
+                         CAST(sum(x * x) AS BIGINT) AS sx2 FROM j)
+            SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
+                   CAST(m2 * sxy - sx * sx AS DOUBLE)
+                     / (m2 * sx2 - sx * sx) AS r
+            FROM s""",
+        "kg_sparql_ask": P + f"""
+            SELECT q, CAST(CASE WHEN EXISTS (
+                     SELECT 1 FROM mention m JOIN t
+                       ON t.turn_iri = m.turn_iri
+                     WHERE {TOOL_OK_SQL.replace('tool', 't.tool')}
+                       AND '{C.ENT}tool/' || {normalize_sql('t.tool')} = q)
+                   THEN 1 ELSE 0 END AS BIGINT) AS answer
+            FROM (VALUES ('{C.ENT}tool/{ASK_TOOL_TRUE}'),
+                         ('{C.ENT}tool/{ASK_TOOL_FALSE}')) AS v(q)
+            ORDER BY q""",
     }
     out["kg_type_rollup_counts"] = (
         "SELECT type_iri, count(*) AS n_entities FROM ("
