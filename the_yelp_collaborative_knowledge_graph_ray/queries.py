@@ -2617,7 +2617,10 @@ def _q_kg_assortativity(sf_dir: str):
         ["__g", "m2", "sx", "sxy", "sx2"], 1).to_pandas()
     m2, sx, sxy, sx2 = (int(s["m2"][0]), int(s["sx"][0]),
                         int(s["sxy"][0]), int(s["sx2"][0]))
-    r = (m2 * sxy - sx * sx) / (m2 * sx2 - sx * sx)
+    den = m2 * sx2 - sx * sx
+    # zero degree variance (e.g. a complete or regular graph) leaves r
+    # undefined; both engines pin it to 0.0 by convention
+    r = (m2 * sxy - sx * sx) / den if den else 0.0
     return pa.table({"n_edges": pa.array([m2 // 2], pa.int64()),
                      "r": pa.array([r], pa.float64())})
 
@@ -5022,8 +5025,9 @@ def oracle_sql() -> dict[str, str]:
                          CAST(sum(x * y) AS BIGINT) AS sxy,
                          CAST(sum(x * x) AS BIGINT) AS sx2 FROM j)
             SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
-                   CAST(m2 * sxy - sx * sx AS DOUBLE)
-                     / (m2 * sx2 - sx * sx) AS r
+                   CASE WHEN m2 * sx2 - sx * sx = 0 THEN 0.0
+                        ELSE CAST(m2 * sxy - sx * sx AS DOUBLE)
+                             / (m2 * sx2 - sx * sx) END AS r
             FROM s""",
         "kg_sparql_ask": P + f"""
             SELECT q, CAST(CASE WHEN EXISTS (
