@@ -609,3 +609,29 @@ def test_prefix_duplicates_planted(ray_session):
         "doc_id": list(rows), "text": list(rows.values())}))
     got = prefix_duplicates(docs, num_partitions=3).to_pandas()
     assert got["doc_id"].tolist() == [1, 3, 4, 5, 6]
+
+
+def test_suffix_duplicates_planted(ray_session):
+    """Suffix containment via reversed-text prefix machinery: equal
+    texts, proper suffixes, and non-suffix lookalikes (the sf0.01
+    corpus has no suffix dups, so the oracle row is exercised here)."""
+    import pyarrow as pa
+    import ray.data
+
+    from the_yelp_collaborative_knowledge_graph_ray.stages.dedup import (
+        suffix_duplicates,
+    )
+
+    rows = {
+        1: "beta gamma",          # suffix of 2 -> dup
+        2: "alpha beta gamma",
+        3: "zeta",                # equal to 4 -> dup
+        4: "zeta",                # equal to 3 -> dup
+        5: "gamma",               # suffix of 1 and 2 -> dup
+        6: "alpha beta",          # prefix (NOT suffix) of 2 -> clean
+        7: "amma q",              # not a suffix of anything
+    }
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": list(rows), "text": list(rows.values())}))
+    got = suffix_duplicates(docs, num_partitions=3).to_pandas()
+    assert got["doc_id"].tolist() == [1, 3, 4, 5]

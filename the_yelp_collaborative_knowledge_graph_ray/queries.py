@@ -2627,6 +2627,118 @@ def _q_kg_assortativity(sf_dir: str):
 
 ASK_TOOL_TRUE = "bash"
 ASK_TOOL_FALSE = "zzz_never_a_tool"
+DESCRIBE_NODE_TOOL = "bash"
+
+
+def _q_kg_describe(sf_dir: str):
+    """SPARQL DESCRIBE (the fourth verb next to SELECT/ASK/CONSTRUCT):
+    every triple whose subject OR object is the node — one vectorized
+    mask pass over the streaming triple scan, no join. Returns the
+    node's full star: its rdf:type plus every usesTool edge into it."""
+    node = C.ENT + "tool/" + DESCRIBE_NODE_TOOL
+
+    def star(b: pa.Table) -> pa.Table:
+        m = pc.or_(pc.equal(b["subj"], node), pc.equal(b["obj"], node))
+        t = b.filter(m)
+        return pa.table({"subj": t["subj"], "pred": t["pred"],
+                         "obj": t["obj"]})
+
+    # the raw stream repeats e.g. the tool's rdf:type once per using
+    # turn — DESCRIBE is a graph (set) view, so dedup the filtered star
+    from .functions.pagerank import _distinct
+    return _distinct(
+        _mention_union_tri(sf_dir).map_batches(
+            star, batch_format="pyarrow", zero_copy_batch=True),
+        ["subj", "pred", "obj"], 4).sort(["subj", "pred", "obj"])
+
+
+def _q_events_ab_test(sf_dir: str):
+    """Two-proportion z-test over a deterministic A/B split (arm =
+    user_id % 2; conversion = the user made MORE purchase events than
+    view events — "any purchase" saturates to p=1 on this corpus, which
+    degenerates the test): z = (p1-p0)/sqrt(p̂(1-p̂)(1/n0+1/n1)). The
+    per-user fold is ONE grouped sum pair; the four counts are exact
+    integers, the single float happens once on the driver — the
+    experiment-analysis primitive next to the KS / Mann-Whitney drift
+    tests. Zero pooled variance pins z to 0.0 on both engines."""
+    import math
+
+    from .functions.grouped import sorted_aggregate
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "event_type"])
+
+    def flags(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "np": pc.cast(pc.equal(b["event_type"], "purchase"),
+                          pa.int64()),
+            "nv": pc.cast(pc.equal(b["event_type"], "view"), pa.int64())})
+
+    users = sorted_aggregate(
+        ev.map_batches(flags, batch_format="pyarrow"),
+        ["user_id"], [("np", "sum"), ("nv", "sum")],
+        ["user_id", "np", "nv"], 4).to_pandas()
+    arm = users["user_id"].to_numpy() % 2
+    conv = (users["np"].to_numpy() > users["nv"].to_numpy()) \
+        .astype(np.int64)
+    n0, n1 = int((arm == 0).sum()), int((arm == 1).sum())
+    c0, c1 = int(conv[arm == 0].sum()), int(conv[arm == 1].sum())
+    p = (c0 + c1) / (n0 + n1)
+    se = math.sqrt(p * (1 - p) * (1 / n0 + 1 / n1))
+    z = (c1 / n1 - c0 / n0) / se if se else 0.0
+    return pa.table({"n_a": pa.array([n0], pa.int64()),
+                     "n_b": pa.array([n1], pa.int64()),
+                     "conv_a": pa.array([c0], pa.int64()),
+                     "conv_b": pa.array([c1], pa.int64()),
+                     "z": pa.array([z], pa.float64())})
+
+
+def _q_dedup_suffix(sf_dir: str):
+    """Head-truncation duplicates (stages/dedup.suffix_duplicates): the
+    reversed-text twin of dedup_prefix."""
+    from .stages.dedup import suffix_duplicates
+    df = suffix_duplicates(_docs(sf_dir), num_partitions=8).to_pandas()
+    if df.empty:  # an empty Dataset loses its schema through sort
+        import pandas as pd
+        df = pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+    return df
+
+
+ZIPF_TOP = 100
+
+
+def _q_text_zipf_fit(sf_dir: str):
+    """Zipf's-law fit of the corpus unigram distribution: OLS slope of
+    ln(count) on ln(rank) over the top-100 terms (slope ≈ -1 for natural
+    text — a corpus-health diagnostic; synthetic/templated corpora run
+    much flatter). Counts reduce via one dictionary-sized shuffle; rank
+    assignment and the 100-point regression are driver-side on the tiny
+    sorted head, with deterministic (count desc, word) tie-break."""
+    from .functions.grouped import sorted_aggregate
+    from .stages.dedup import _words_flat
+
+    def partial(b: pa.Table) -> pa.Table:
+        words, _ = _words_flat(b["text"])
+        uw, cnt = np.unique(words, return_counts=True)
+        return pa.table({"w": pa.array(uw, pa.string()),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    top = sorted_aggregate(
+        _docs(sf_dir).map_batches(partial, batch_format="pyarrow",
+                                  zero_copy_batch=True),
+        ["w"], [("c", "sum")], ["w", "c"], 4) \
+        .sort(["c", "w"], descending=[True, False]).limit(ZIPF_TOP) \
+        .to_pandas()
+    c = top["c"].to_numpy().astype(np.float64)
+    x = np.log(np.arange(1, len(c) + 1, dtype=np.float64))
+    y = np.log(c)
+    n = len(c)
+    sx, sy, sxy, sx2 = x.sum(), y.sum(), (x * y).sum(), (x * x).sum()
+    slope = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return pa.table({"n_terms": pa.array([n], pa.int64()),
+                     "slope": pa.array([slope], pa.float64()),
+                     "intercept": pa.array([intercept], pa.float64())})
 
 
 def _q_kg_sparql_ask(sf_dir: str):
@@ -3185,6 +3297,10 @@ def queries() -> dict[str, Callable]:
         "events_chi2_dow": _q_events_chi2,
         "kg_assortativity": _q_kg_assortativity,
         "kg_sparql_ask": _q_kg_sparql_ask,
+        "kg_describe": _q_kg_describe,
+        "events_ab_test": _q_events_ab_test,
+        "dedup_suffix": _q_dedup_suffix,
+        "text_zipf_fit": _q_text_zipf_fit,
     }
 
 
@@ -5039,6 +5155,69 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES ('{C.ENT}tool/{ASK_TOOL_TRUE}'),
                          ('{C.ENT}tool/{ASK_TOOL_FALSE}')) AS v(q)
             ORDER BY q""",
+        "kg_describe": P + f"""
+            SELECT subj, pred, obj
+            FROM ({_structural_sql()} UNION {_mention_sql()})
+            WHERE subj = '{C.ENT}tool/{DESCRIBE_NODE_TOOL}'
+               OR obj = '{C.ENT}tool/{DESCRIBE_NODE_TOOL}'
+            ORDER BY 1, 2, 3""",
+        "events_ab_test": """
+            WITH u AS (SELECT user_id,
+                              CASE WHEN sum(CASE WHEN event_type
+                                                      = 'purchase'
+                                                 THEN 1 ELSE 0 END)
+                                        > sum(CASE WHEN event_type
+                                                        = 'view'
+                                                   THEN 1 ELSE 0 END)
+                                   THEN 1 ELSE 0 END AS conv
+                       FROM events GROUP BY 1),
+            a AS (SELECT user_id % 2 AS arm, count(*) AS n,
+                         sum(conv) AS c
+                  FROM u GROUP BY 1),
+            p AS (SELECT CAST(max(CASE WHEN arm = 0 THEN n END)
+                              AS BIGINT) AS n_a,
+                         CAST(max(CASE WHEN arm = 1 THEN n END)
+                              AS BIGINT) AS n_b,
+                         CAST(max(CASE WHEN arm = 0 THEN c END)
+                              AS BIGINT) AS conv_a,
+                         CAST(max(CASE WHEN arm = 1 THEN c END)
+                              AS BIGINT) AS conv_b
+                  FROM a)
+            SELECT n_a, n_b, conv_a, conv_b,
+                   CASE WHEN conv_a + conv_b = 0
+                          OR conv_a + conv_b = n_a + n_b THEN 0.0
+                        ELSE (CAST(conv_b AS DOUBLE) / n_b
+                              - CAST(conv_a AS DOUBLE) / n_a)
+                             / sqrt((CAST(conv_a + conv_b AS DOUBLE)
+                                     / (n_a + n_b))
+                                    * (1 - CAST(conv_a + conv_b AS DOUBLE)
+                                           / (n_a + n_b))
+                                    * (1.0 / n_a + 1.0 / n_b)) END AS z
+            FROM p""",
+        "dedup_suffix": """
+            SELECT d.doc_id FROM documents d
+            WHERE EXISTS (SELECT 1 FROM documents e
+                          WHERE e.doc_id <> d.doc_id
+                            AND right(e.text, length(d.text)) = d.text)
+            ORDER BY doc_id""",
+        "text_zipf_fit": f"""
+            WITH uc AS (SELECT unnest(string_split(lower(text), ' '))
+                               AS w
+                        FROM documents),
+            u AS (SELECT w, count(*) AS c FROM uc GROUP BY 1),
+            top AS (SELECT c, row_number() OVER (ORDER BY c DESC, w)
+                             AS rnk
+                    FROM u ORDER BY c DESC, w LIMIT {ZIPF_TOP}),
+            pts AS (SELECT ln(CAST(rnk AS DOUBLE)) AS x,
+                           ln(CAST(c AS DOUBLE)) AS y FROM top),
+            s AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+                         sum(y) AS sy, sum(x * y) AS sxy,
+                         sum(x * x) AS sx2 FROM pts)
+            SELECT n AS n_terms,
+                   (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS slope,
+                   (sy - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx)
+                     / n AS intercept
+            FROM s""",
     }
     out["kg_type_rollup_counts"] = (
         "SELECT type_iri, count(*) AS n_entities FROM ("

@@ -1172,3 +1172,19 @@ def prefix_duplicates(docs: ray.data.Dataset,
     return srt.map_batches(block_flags, batch_format="pyarrow",
                            batch_size=None, zero_copy_batch=True) \
         .sort("doc_id")
+
+
+def suffix_duplicates(docs: ray.data.Dataset,
+                      num_partitions: int | None = None
+                      ) -> ray.data.Dataset:
+    """Suffix/truncation duplicates: doc ids whose text is a SUFFIX of (or
+    equal to) another document's — head-truncated captures, the mirror of
+    :func:`prefix_duplicates`. A suffix of s is a prefix of reverse(s), so
+    this is one vectorized ``utf8_reverse`` pass feeding the same
+    sort-adjacency machinery (codepoint reversal is consistent on both
+    sides of the oracle; only equality of reversed strings matters)."""
+    rev = docs.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"],
+                            "text": pc.utf8_reverse(b["text"])}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return prefix_duplicates(rev, num_partitions)
