@@ -2707,6 +2707,92 @@ def _q_dedup_suffix(sf_dir: str):
 ZIPF_TOP = 100
 
 
+def _q_kg_group_concat(sf_dir: str):
+    """SPARQL GROUP_CONCAT over BGP bindings: per tool, the sorted
+    comma-joined list of co-occurring mention canonicals (plus the
+    count) — the order-sensitive string aggregate (collect_list class)
+    the engine lacked. The matcher's distinct (m, tool) bindings are
+    already deduped, so one key sort colocates each tool's mentions and
+    the per-group join is deterministic via an in-block value sort."""
+    from .functions.bgp import bgp_match
+    from .functions.grouped import group_ids, sorted_group_apply
+    pre = C.ENT + "mention/"
+    dd = bgp_match(
+        _mention_union_tri(sf_dir),
+        [("?t", C.PRED_MENTIONS, "?m"), ("?t", C.PRED_USES_TOOL, "?tool")],
+        ["m", "tool"], num_partitions=8)
+
+    def strip(b: pa.Table) -> pa.Table:
+        return pa.table({"tool": b["tool"],
+                         "m": pc.utf8_slice_codeunits(b["m"], len(pre))})
+
+    out_schema = pa.schema([("tool", pa.string()),
+                            ("mentions_csv", pa.string()),
+                            ("n_mentions", pa.int64())])
+
+    def block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        gid, starts = group_ids(b, ["tool"])
+        m = b["m"].to_numpy(zero_copy_only=False)
+        bounds = np.append(starts, len(gid))
+        csv = [",".join(sorted(m[s:e]))
+               for s, e in zip(bounds[:-1], bounds[1:])]
+        return pa.table({
+            "tool": b["tool"].take(pa.array(starts)),
+            "mentions_csv": pa.array(csv, pa.string()),
+            "n_mentions": pa.array(np.diff(bounds))}, schema=out_schema)
+
+    return sorted_group_apply(
+        dd.map_batches(strip, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["tool"], block, 8).sort("tool")
+
+
+DELTA_MOD = 10
+
+
+def _q_kg_incremental_delta(sf_dir: str):
+    """Incremental KG maintenance: split the corpus into a base build
+    (90% of conversations) and a new-arrivals delta (conv numeric suffix
+    % 10 == 0), construct triples for each side, and return exactly the
+    triples the delta ADDS to the materialized graph — delta EXCEPT base
+    via the distributed set operator (functions/setops.py), so already-
+    present facts (a shared tool's rdf:type, a mention both sides make)
+    are NOT re-emitted. This is the update path a 100 TB KG needs: the
+    base graph is never rebuilt, only the delta flows, and the EXCEPT
+    shuffle carries distinct-key partials, not triples-per-occurrence."""
+    from .functions.setops import distinct_set_op
+    from .pipelines.kg import load_config_tables
+    from .stages import canonicalize as canon
+    from .stages import extract, mentions
+    fdir = _fx(sf_dir)
+    alias_rows, vocab, *_ = load_config_tables(fdir)
+    cmap = canon.build_canonical_map_local(alias_rows)
+    ts = _read_transcripts(sf_dir)
+
+    def side(want_delta: bool) -> ray.data.Dataset:
+        def pick(b: pa.Table) -> pa.Table:
+            num = pc.cast(pc.utf8_slice_codeunits(b["conv_id"], 4),
+                          pa.int64())
+            mod = pc.subtract(num, pc.multiply(
+                pc.divide(num, DELTA_MOD), DELTA_MOD))
+            m = pc.equal(mod, 0) if want_delta else pc.not_equal(mod, 0)
+            return b.filter(m)
+
+        part = ts.map_batches(pick, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        men = canon.canonicalize_mentions(
+            mentions.mention_triples(
+                part.select_columns(["conv_id", "turn_idx", "text"]),
+                vocab), cmap).materialize()
+        return extract.structural_triples(part).union(men)
+
+    return distinct_set_op(side(True), side(False),
+                           ["subj", "pred", "obj"], "except", 8) \
+        .sort(["subj", "pred", "obj"])
+
+
 def _q_text_zipf_fit(sf_dir: str):
     """Zipf's-law fit of the corpus unigram distribution: OLS slope of
     ln(count) on ln(rank) over the top-100 terms (slope ≈ -1 for natural
@@ -3301,6 +3387,8 @@ def queries() -> dict[str, Callable]:
         "events_ab_test": _q_events_ab_test,
         "dedup_suffix": _q_dedup_suffix,
         "text_zipf_fit": _q_text_zipf_fit,
+        "kg_group_concat": _q_kg_group_concat,
+        "kg_incremental_delta": _q_kg_incremental_delta,
     }
 
 
@@ -5218,6 +5306,43 @@ def oracle_sql() -> dict[str, str]:
                    (sy - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx)
                      / n AS intercept
             FROM s""",
+        "kg_group_concat": P + f"""
+            , dd AS (SELECT DISTINCT m.canonical,
+                            '{C.ENT}tool/' || {normalize_sql('t.tool')}
+                              AS tool
+                     FROM mention m JOIN t ON t.turn_iri = m.turn_iri
+                     WHERE {TOOL_OK_SQL.replace('tool', 't.tool')})
+            SELECT tool,
+                   string_agg(canonical, ',' ORDER BY canonical)
+                     AS mentions_csv,
+                   CAST(count(*) AS BIGINT) AS n_mentions
+            FROM dd GROUP BY 1 ORDER BY 1""",
+        "kg_incremental_delta": P + f"""
+            , tb AS (SELECT * FROM t
+                     WHERE CAST(substring(conv_id, 5) AS BIGINT)
+                           % {DELTA_MOD} <> 0),
+            td AS (SELECT * FROM t
+                   WHERE CAST(substring(conv_id, 5) AS BIGINT)
+                         % {DELTA_MOD} = 0)
+            SELECT subj, pred, obj FROM (
+              SELECT subj, pred, obj
+              FROM ({_structural_sql().replace('FROM t', 'FROM td')})
+              UNION
+              SELECT m.turn_iri, '{C.PRED_MENTIONS}',
+                     '{C.ENT}mention/' || canonical
+              FROM mention m
+              WHERE CAST(substring(m.conv_id, 5) AS BIGINT)
+                    % {DELTA_MOD} = 0
+              EXCEPT
+              (SELECT subj, pred, obj
+               FROM ({_structural_sql().replace('FROM t', 'FROM tb')})
+               UNION
+               SELECT m.turn_iri, '{C.PRED_MENTIONS}',
+                      '{C.ENT}mention/' || canonical
+               FROM mention m
+               WHERE CAST(substring(m.conv_id, 5) AS BIGINT)
+                     % {DELTA_MOD} <> 0))
+            ORDER BY 1, 2, 3""",
     }
     out["kg_type_rollup_counts"] = (
         "SELECT type_iri, count(*) AS n_entities FROM ("
