@@ -635,3 +635,29 @@ def test_suffix_duplicates_planted(ray_session):
         "doc_id": list(rows), "text": list(rows.values())}))
     got = suffix_duplicates(docs, num_partitions=3).to_pandas()
     assert got["doc_id"].tolist() == [1, 3, 4, 5]
+
+
+def test_bgp_transitive_path(ray_session):
+    """p+ scans the transitive closure: chain a->b->c->d gives all 6
+    ordered reachability pairs, and composes with a second pattern."""
+    import pyarrow as pa
+    import ray.data
+
+    from the_yelp_collaborative_knowledge_graph_ray.functions.bgp import (
+        bgp_match,
+    )
+
+    tri = ray.data.from_arrow(pa.table({
+        "subj": ["a", "b", "c", "a"],
+        "pred": ["sub", "sub", "sub", "lbl"],
+        "obj": ["b", "c", "d", "x"]}))
+    res = bgp_match(tri, [("?u", "sub+", "?v")], ["u", "v"],
+                    num_partitions=1).to_pandas()
+    got = set(map(tuple, res[["u", "v"]].itertuples(index=False)))
+    assert got == {("a", "b"), ("a", "c"), ("a", "d"),
+                   ("b", "c"), ("b", "d"), ("c", "d")}
+    # composes: reach d AND carry a label via a second base pattern
+    res2 = bgp_match(tri, [("?u", "sub+", "d"), ("?u", "lbl", "?l")],
+                     ["u", "l"], num_partitions=1).to_pandas()
+    assert set(map(tuple, res2[["u", "l"]].itertuples(index=False))) \
+        == {("a", "x")}

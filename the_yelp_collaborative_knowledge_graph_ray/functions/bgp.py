@@ -189,11 +189,23 @@ def expand_paths(patterns: list[tuple[str, str, str]]
     return out
 
 
-def _scan(triples: ray.data.Dataset, pat: tuple[str, str, str]):
+def _scan(triples: ray.data.Dataset, pat: tuple[str, str, str],
+          num_partitions: int | None = None):
     """One vectorized scan of the triples for one pattern: constant terms
     filter (predicate alternation ``p|q`` becomes an ``is_in``), variable
-    positions project to string columns named after the variables."""
+    positions project to string columns named after the variables.
+
+    A predicate ``p+`` (SPARQL one-or-more transitive path) scans the
+    TRANSITIVE CLOSURE of p's edges instead of the raw triples: the
+    closure is computed once by distributed path doubling
+    (:func:`..functions.datalog.transitive_closure`, ⌈log₂ diameter⌉
+    co-group rounds) and then filtered/projected exactly like a base
+    scan — so p+ composes with every other pattern and modifier."""
     s, p, o = pat
+    plus = (not _is_var(p)) and p.endswith("+")
+    if plus and "|" in p:
+        raise ValueError("bgp_match: p|q and p+ cannot combine in one "
+                         "step")
     out = [(pos, t[1:]) for pos, t in zip("spo", (s, p, o))
            if _is_var(t)]
     consts = [(pos, t) for pos, t in zip("spo", (s, p, o))
@@ -202,6 +214,28 @@ def _scan(triples: ray.data.Dataset, pat: tuple[str, str, str]):
     names = [v for _, v in out]
     if len(set(names)) != len(names):
         raise ValueError("bgp_match: repeated variable in one pattern")
+
+    source = triples
+    if plus:
+        from .datalog import transitive_closure
+        base = p[:-1]
+
+        def edges(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b["pred"], base))
+            return pa.table({"src": pc.cast(t["subj"], pa.string()),
+                             "dst": pc.cast(t["obj"], pa.string())})
+
+        clo = transitive_closure(
+            triples.map_batches(edges, batch_format="pyarrow",
+                                zero_copy_batch=True),
+            "src", "dst", num_partitions=num_partitions or 4)
+        source = clo.map_batches(
+            lambda b: pa.table({
+                "subj": b["src"],
+                "pred": pa.nulls(b.num_rows, pa.string()).fill_null(p),
+                "obj": b["dst"]}),
+            batch_format="pyarrow")
+        consts = [(pos, t) for pos, t in consts if pos != "p"]
 
     def f(b: pa.Table) -> pa.Table:
         m = None
@@ -215,14 +249,14 @@ def _scan(triples: ray.data.Dataset, pat: tuple[str, str, str]):
         t2 = b.filter(m) if m is not None else b
         return pa.table({v: pc.cast(t2[col_of[pos]], pa.string())
                          for pos, v in out})
-    return triples.map_batches(f, batch_format="pyarrow",
-                               zero_copy_batch=True), names
+    return source.map_batches(f, batch_format="pyarrow",
+                              zero_copy_batch=True), names
 
 
 def _chain(triples, bindings, have, patterns, num_partitions, how, label):
     """Join each pattern's scan into the accumulated bindings."""
     for pat in patterns:
-        nxt, names = _scan(triples, pat)
+        nxt, names = _scan(triples, pat, num_partitions)
         shared = [v for v in names if v in have]
         if not shared:
             raise ValueError(f"bgp_match: {label} {pat} shares no variable "
@@ -248,7 +282,7 @@ def bgp_bindings(triples: ray.data.Dataset,
     it). All three accept property paths (:func:`expand_paths`).
     """
     patterns = expand_paths(patterns)
-    bindings, have = _scan(triples, patterns[0])
+    bindings, have = _scan(triples, patterns[0], num_partitions)
     bindings, have = _chain(triples, bindings, have, patterns[1:],
                             num_partitions, "inner", "pattern")
     bindings, have = _chain(triples, bindings, have,

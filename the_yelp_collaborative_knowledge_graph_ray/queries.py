@@ -2752,6 +2752,51 @@ def _q_kg_group_concat(sf_dir: str):
 DELTA_MOD = 10
 
 
+def _q_kg_bgp_transitive(sf_dir: str):
+    """SPARQL p+ transitive property path ({?c rdfs:subClassOf+ ?root}):
+    the scan runs over the distributed path-doubling closure of the
+    subClassOf edges (functions/bgp._scan plus-mode), so one-or-more
+    paths compose with every other pattern. Triples come straight from
+    the ontology fixture — the same edges the flagship's enrichment
+    materializes."""
+    import pyarrow.parquet as pq
+
+    from .functions.bgp import bgp_match
+    fdir = _fx(sf_dir)
+    th = pq.read_table(f"{fdir}/type_hierarchy.parquet")
+    pre = C.ENT + "type/"
+    tri = ray.data.from_arrow(pa.table({
+        "subj": pc.binary_join_element_wise(
+            pa.nulls(th.num_rows, pa.string()).fill_null(pre),
+            pc.cast(th["type_id"], pa.string()), ""),
+        "pred": pa.nulls(th.num_rows,
+                         pa.string()).fill_null(C.RDFS_SUBCLASS_OF),
+        "obj": pc.binary_join_element_wise(
+            pa.nulls(th.num_rows, pa.string()).fill_null(pre),
+            pc.cast(th["super_type_id"], pa.string()), "")}))
+    return bgp_match(tri, [("?c", C.RDFS_SUBCLASS_OF + "+", "?root")],
+                     ["c", "root"], num_partitions=4).sort(["c", "root"])
+
+
+SPARQL_TOPK = 10
+
+
+def _q_kg_sparql_topk(sf_dir: str):
+    """SPARQL solution modifiers ORDER BY DESC + LIMIT over a BGP
+    aggregate: the 10 most-mentioned entities — SELECT ?m (COUNT(?t) AS
+    n_turns) WHERE {?t :mentions ?m} GROUP BY ?m ORDER BY DESC(?n) ?m
+    LIMIT 10. Distinct bindings feed one grouped count; the head is one
+    tiny sort with a deterministic (count desc, m asc) tie-break."""
+    from .functions.bgp import bgp_match
+    from .functions.grouped import grouped_count
+    dd = bgp_match(_mention_union_tri(sf_dir),
+                   [("?t", C.PRED_MENTIONS, "?m")],
+                   ["t", "m"], num_partitions=8)
+    return grouped_count(dd, ["m"], "n_turns", 8) \
+        .sort(["n_turns", "m"], descending=[True, False]) \
+        .limit(SPARQL_TOPK)
+
+
 def _q_kg_incremental_delta(sf_dir: str):
     """Incremental KG maintenance: split the corpus into a base build
     (90% of conversations) and a new-arrivals delta (conv numeric suffix
@@ -3389,6 +3434,8 @@ def queries() -> dict[str, Callable]:
         "text_zipf_fit": _q_text_zipf_fit,
         "kg_group_concat": _q_kg_group_concat,
         "kg_incremental_delta": _q_kg_incremental_delta,
+        "kg_bgp_transitive": _q_kg_bgp_transitive,
+        "kg_sparql_topk": _q_kg_sparql_topk,
     }
 
 
@@ -5343,6 +5390,25 @@ def oracle_sql() -> dict[str, str]:
                WHERE CAST(substring(m.conv_id, 5) AS BIGINT)
                      % {DELTA_MOD} <> 0))
             ORDER BY 1, 2, 3""",
+        "kg_bgp_transitive": f"""
+            SELECT DISTINCT '{C.ENT}type/' || a AS c,
+                   '{C.ENT}type/' || b AS root
+            FROM (
+              WITH RECURSIVE r(a, b) AS (
+                SELECT type_id, super_type_id
+                FROM read_parquet('{fdir}/type_hierarchy.parquet')
+                UNION
+                SELECT r.a, th.super_type_id
+                FROM r
+                JOIN read_parquet('{fdir}/type_hierarchy.parquet') th
+                  ON th.type_id = r.b
+              ) SELECT a, b FROM r) q
+            ORDER BY 1, 2""",
+        "kg_sparql_topk": P + f"""
+            SELECT '{C.ENT}mention/' || canonical AS m,
+                   CAST(count(DISTINCT turn_iri) AS BIGINT) AS n_turns
+            FROM mention GROUP BY 1
+            ORDER BY n_turns DESC, m LIMIT {SPARQL_TOPK}""",
     }
     out["kg_type_rollup_counts"] = (
         "SELECT type_iri, count(*) AS n_entities FROM ("
