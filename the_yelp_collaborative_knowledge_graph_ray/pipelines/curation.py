@@ -173,3 +173,76 @@ def quality_audit_events(sf_dir: str) -> ray.data.Dataset:
     return sorted_aggregate(scans.union(dups), ["rule"],
                             [("n_violations", "sum")],
                             ["rule", "n_violations"], 1)
+
+
+CHAR_BUDGET = 60_000
+
+
+def char_budget_sample(docs, budget: int = CHAR_BUDGET,
+                       num_partitions: int = 8):
+    """Budget-constrained corpus selection: fill a character budget with
+    documents in deterministic hash-priority order — the "give me N
+    tokens of data, reproducibly" primitive every training run starts
+    with. Priority = u01(splitmix64(doc_id)) (bit-exact SQL twin), so the
+    selection is stable under any shuffle and any cluster size.
+
+    Shape: ONE (priority, doc_id) sort, then the distributed prefix scan
+    (per-block char subtotals -> driver base offsets -> one vectorized
+    cumsum pass per block; the same machinery as the Pareto/ABC op) —
+    the corpus is never collected, only O(#blocks) subtotal rows.
+    Output: (doc_id, n_chars, cum_chars) for docs whose RUNNING total
+    stays within the budget, by doc_id.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+    import ray.data as rd
+
+    from ..functions.sampling import hash_u01
+
+    def prio(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(b["doc_id"], pa.int64()),
+            "n_chars": pc.cast(b["n_chars"], pa.int64()),
+            "u01": pa.array(hash_u01(b["doc_id"]))})
+
+    ranked = docs.map_batches(prio, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .repartition(num_partitions) \
+        .sort(["u01", "doc_id"]).materialize()
+    refs = ranked.to_arrow_refs()
+
+    @ray.remote
+    def subtotal(t: pa.Table):
+        if t.num_rows == 0:
+            return 0, None, None
+        return (int(pc.sum(t["n_chars"]).as_py()),
+                float(t["u01"][0].as_py()), int(t["doc_id"][0].as_py()))
+
+    subs = ray.get([subtotal.remote(r) for r in refs])
+    order = sorted(range(len(refs)),
+                   key=lambda i: (subs[i][1] is None,
+                                  subs[i][1], subs[i][2]))
+    refs = [refs[i] for i in order]
+    tots = [subs[i][0] for i in order]
+    bases = np.concatenate([[0], np.cumsum(tots)[:-1]]).astype(np.int64)
+
+    @ray.remote
+    def pick(t: pa.Table, base: int) -> pa.Table:
+        out_schema = pa.schema([("doc_id", pa.int64()),
+                                ("n_chars", pa.int64()),
+                                ("cum_chars", pa.int64())])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        cum = base + np.cumsum(t["n_chars"].to_numpy(zero_copy_only=False))
+        keep = cum <= budget
+        return pa.table({"doc_id": t["doc_id"].filter(pa.array(keep)),
+                         "n_chars": t["n_chars"].filter(pa.array(keep)),
+                         "cum_chars": pa.array(cum[keep])},
+                        schema=out_schema)
+
+    return rd.from_arrow_refs(
+        [pick.remote(r, int(b)) for r, b in zip(refs, bases)]) \
+        .sort("doc_id")

@@ -2781,6 +2781,28 @@ def _q_kg_bgp_transitive(sf_dir: str):
 SPARQL_TOPK = 10
 
 
+def _q_dedup_keep_best(sf_dir: str):
+    """Survivor selection per near-dup cluster (dedup.dedup_keep_best):
+    keep the LONGEST doc (tie: lowest id) instead of the arbitrary
+    first — the curation policy layer on top of the canonical map."""
+    from .stages.dedup import dedup_keep_best, minhash_lsh_pairs
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"])
+    return dedup_keep_best(docs, minhash_lsh_pairs(_docs(sf_dir)))
+
+
+def _q_curation_char_budget(sf_dir: str):
+    """Budget-constrained selection (curation.char_budget_sample): fill
+    a 60k-character budget in deterministic hash-priority order via the
+    distributed prefix scan."""
+    from .pipelines.curation import char_budget_sample
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"])
+    return char_budget_sample(docs)
+
+
 def _q_kg_sparql_topk(sf_dir: str):
     """SPARQL solution modifiers ORDER BY DESC + LIMIT over a BGP
     aggregate: the 10 most-mentioned entities — SELECT ?m (COUNT(?t) AS
@@ -3436,6 +3458,8 @@ def queries() -> dict[str, Callable]:
         "kg_incremental_delta": _q_kg_incremental_delta,
         "kg_bgp_transitive": _q_kg_bgp_transitive,
         "kg_sparql_topk": _q_kg_sparql_topk,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "curation_char_budget": _q_curation_char_budget,
     }
 
 
@@ -5409,6 +5433,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT turn_iri) AS BIGINT) AS n_turns
             FROM mention GROUP BY 1
             ORDER BY n_turns DESC, m LIMIT {SPARQL_TOPK}""",
+        "dedup_keep_best": "WITH RECURSIVE " + _SHINGLE_CTE + ","
+            + _CANON_CTE + """,
+            m AS (SELECT d.doc_id, coalesce(c.c, d.doc_id) AS canon_id,
+                         d.n_chars
+                  FROM documents d LEFT JOIN canon c ON c.node = d.doc_id),
+            r AS (SELECT canon_id, doc_id,
+                         row_number() OVER (PARTITION BY canon_id
+                                            ORDER BY n_chars DESC,
+                                                     doc_id) AS rn,
+                         count(*) OVER (PARTITION BY canon_id) AS sz
+                  FROM m)
+            SELECT canon_id, doc_id AS keep_doc_id,
+                   CAST(sz AS BIGINT) AS sz
+            FROM r WHERE rn = 1 ORDER BY canon_id""",
+        "curation_char_budget": "WITH "
+            + _splitmix_cte("documents", "doc_id", "doc_id, n_chars")
+            + """,
+            r AS (SELECT doc_id, n_chars,
+                         sum(n_chars) OVER (ORDER BY u01, doc_id
+                                            ROWS UNBOUNDED PRECEDING)
+                           AS cum
+                  FROM u)
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(cum AS BIGINT) AS cum_chars
+            FROM r WHERE cum <= 60000 ORDER BY doc_id""",
     }
     out["kg_type_rollup_counts"] = (
         "SELECT type_iri, count(*) AS n_entities FROM ("

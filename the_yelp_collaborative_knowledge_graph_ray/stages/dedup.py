@@ -1188,3 +1188,51 @@ def suffix_duplicates(docs: ray.data.Dataset,
                             "text": pc.utf8_reverse(b["text"])}),
         batch_format="pyarrow", zero_copy_batch=True)
     return prefix_duplicates(rev, num_partitions)
+
+
+def dedup_keep_best(docs: ray.data.Dataset, pairs: ray.data.Dataset,
+                    num_partitions: int = 8) -> ray.data.Dataset:
+    """Survivor selection per near-dup cluster by a QUALITY policy:
+    (canon_id, keep_doc_id, sz) keeping the LONGEST document (tie: lowest
+    doc_id) of each component — real curation keeps the best capture,
+    not the arbitrary first. Composes :func:`dedup_canonical_map`'s
+    component labels with one per-cluster argmax: the label map is
+    pair-sized, docs attach their length via one int-keyed co-group, and
+    the argmax runs on complete sorted canon groups."""
+    from ..functions.grouped import group_ids, sorted_group_apply
+    from ..functions.joins import attach_column
+
+    cm = dedup_canonical_map(docs, pairs, num_partitions=num_partitions)
+    labeled = attach_column(
+        cm.map_batches(lambda b: b.select(["doc_id", "canon_id"]),
+                       batch_format="pyarrow", zero_copy_batch=True),
+        docs,
+        [("doc_id", pa.int64()), ("canon_id", pa.int64())],
+        "doc_id", "doc_id", "n_chars", "n_chars", pa.int64(),
+        num_partitions)
+
+    out_schema = pa.schema([("canon_id", pa.int64()),
+                            ("keep_doc_id", pa.int64()),
+                            ("sz", pa.int64())])
+
+    def argmax_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        gid, starts = group_ids(b, ["canon_id"])
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        ln = b["n_chars"].to_numpy(zero_copy_only=False)
+        # per group: max n_chars, then min doc_id among the maxima —
+        # one lexsort, pick each group's first row
+        order = np.lexsort((ids, -ln, gid))
+        g_sorted = gid[order]
+        first = np.flatnonzero(
+            np.concatenate([[True], g_sorted[1:] != g_sorted[:-1]]))
+        sz = np.diff(np.append(starts, len(gid))).astype(np.int64)
+        return pa.table({
+            "canon_id": pc.cast(b["canon_id"], pa.int64()).take(
+                pa.array(starts)),
+            "keep_doc_id": pa.array(ids[order[first]]),
+            "sz": pa.array(sz)}, schema=out_schema)
+
+    return sorted_group_apply(labeled, ["canon_id"], argmax_block,
+                              num_partitions).sort("canon_id")
