@@ -2792,6 +2792,31 @@ def _q_dedup_keep_best(sf_dir: str):
     return dedup_keep_best(docs, minhash_lsh_pairs(_docs(sf_dir)))
 
 
+def _q_kg_void_stats(sf_dir: str):
+    """VoID-style per-predicate dataset profile (W3C VoID property
+    partitions, public): for every predicate of the distinct graph,
+    (n_triples, n_distinct_subj, n_distinct_obj) — the schema-statistics
+    card a KG publishes and a query planner feeds on. One graph distinct,
+    then three dictionary-sized grouped counts; the per-pred tables are
+    #preds rows and merge on the driver."""
+    from .functions.grouped import grouped_count
+    from .functions.pagerank import _distinct
+    tri = _distinct(_mention_union_tri(sf_dir).map_batches(
+        lambda b: b.select(["subj", "pred", "obj"]),
+        batch_format="pyarrow", zero_copy_batch=True),
+        ["subj", "pred", "obj"], 8).materialize()
+    nt = grouped_count(tri, ["pred"], "n_triples", 4).to_pandas()
+    ns = grouped_count(
+        _distinct(tri, ["pred", "subj"], 8), ["pred"], "n_subj", 4) \
+        .to_pandas()
+    no = grouped_count(
+        _distinct(tri, ["pred", "obj"], 8), ["pred"], "n_obj", 4) \
+        .to_pandas()
+    df = nt.merge(ns, on="pred").merge(no, on="pred") \
+        .sort_values("pred").reset_index(drop=True)
+    return df
+
+
 def _q_curation_char_budget(sf_dir: str):
     """Budget-constrained selection (curation.char_budget_sample): fill
     a 60k-character budget in deterministic hash-priority order via the
@@ -3460,6 +3485,7 @@ def queries() -> dict[str, Callable]:
         "kg_sparql_topk": _q_kg_sparql_topk,
         "dedup_keep_best": _q_dedup_keep_best,
         "curation_char_budget": _q_curation_char_budget,
+        "kg_void_stats": _q_kg_void_stats,
     }
 
 
@@ -5458,6 +5484,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
                    CAST(cum AS BIGINT) AS cum_chars
             FROM r WHERE cum <= 60000 ORDER BY doc_id""",
+        "kg_void_stats": P + f"""
+            SELECT pred, CAST(count(*) AS BIGINT) AS n_triples,
+                   CAST(count(DISTINCT subj) AS BIGINT) AS n_subj,
+                   CAST(count(DISTINCT obj) AS BIGINT) AS n_obj
+            FROM ({_structural_sql()} UNION {_mention_sql()})
+            GROUP BY 1 ORDER BY 1""",
     }
     out["kg_type_rollup_counts"] = (
         "SELECT type_iri, count(*) AS n_entities FROM ("
