@@ -661,3 +661,56 @@ def test_bgp_transitive_path(ray_session):
                      ["u", "l"], num_partitions=1).to_pandas()
     assert set(map(tuple, res2[["u", "l"]].itertuples(index=False))) \
         == {("a", "x")}
+
+
+def test_incremental_delta_completes_graph(ray_session, sf_tiny):
+    """Incremental-maintenance invariant: base triples ∪ the EXCEPT-delta
+    equals the full-corpus distinct graph — updates add exactly the
+    missing facts, never duplicates, never losses."""
+    from the_yelp_collaborative_knowledge_graph_ray import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    new = Q._q_kg_incremental_delta(sf).to_pandas()
+    full = Q._mention_union_tri(sf).to_pandas() \
+        .drop_duplicates(["subj", "pred", "obj"])
+    new_set = set(map(tuple, new[["subj", "pred", "obj"]].itertuples(
+        index=False)))
+    full_set = set(map(tuple, full[["subj", "pred", "obj"]].itertuples(
+        index=False)))
+    assert new_set <= full_set
+    # the delta adds only conv-suffix % 10 == 0 facts that the base lacks;
+    # removing them from full must leave a graph the base fully covers
+    base_set = full_set - new_set
+    assert base_set | new_set == full_set
+    assert base_set & new_set == set()
+    assert len(new_set) > 0
+
+
+def test_turtle_renderer_and_sink(ray_session, tmp_path):
+    """Turtle rendering: prefix compaction (slash-bearing local names keep
+    the full-IRI form), xsd:string drops the tag, other datatypes keep
+    ^^prefixed, escaping matches N-Triples; every part file is
+    independently parseable (starts with the @prefix header)."""
+    import gzip
+    import pathlib
+
+    b = pa.table({
+        "subj": [C.ENT + "tool/bash", C.SCHEMA + "Message"],
+        "pred": [C.RDF_TYPE, C.PROP + "role"],
+        "obj": [C.CLASS_TOOL, 'va"l\nue'],
+        "obj_is_literal": [False, True],
+        "obj_datatype": pa.array([None, C.XSD_INTEGER])})
+    out = materialize.render_turtle(b)["text"].to_pylist()
+    # slash in the entity local name -> full IRI; schema: names compact
+    assert out[0] == (f"<{C.ENT}tool/bash> rdf:type "
+                      "schema:SoftwareApplication .")
+    assert out[1] == ('schema:Message prop:role "va\\"l\\nue"'
+                      '^^xsd:integer .')
+    d = str(tmp_path / "ttl")
+    materialize.write_turtle(ray.data.from_arrow(b), d,
+                             compression="gzip")
+    parts = sorted(pathlib.Path(d).glob("*.ttl.gz"))
+    assert parts
+    text = gzip.decompress(parts[0].read_bytes()).decode()
+    assert text.startswith("@prefix ent: <" + C.ENT + "> .")
+    assert "schema:Message prop:role" in text

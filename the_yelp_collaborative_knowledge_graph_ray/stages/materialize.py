@@ -353,3 +353,87 @@ def write_ntriples(triples: ray.data.Dataset, out_dir: str,
     triples.map_batches(render_ntriples, batch_format="pyarrow",
                         zero_copy_batch=True) \
         .write_datasink(_TextLineSink.build(out_dir, compression))
+
+
+# Turtle prefix table: longest-prefix-first so e.g. the entity namespace
+# never shadows a longer one. Kept tiny and closed — Turtle compaction is
+# a RENDERING concern; the engine's canonical form stays full-IRI.
+TTL_PREFIXES = (
+    ("ent", C.ENT),
+    ("prop", C.PROP),
+    ("schema", C.SCHEMA),
+    ("rdf", C.RDF),
+    ("rdfs", C.RDFS),
+    ("xsd", C.XSD),
+    ("wd", C.WD),
+)
+
+
+def ttl_header() -> str:
+    """The @prefix block every Turtle part file starts with."""
+    return "\n".join(f"@prefix {p}: <{iri}> ."
+                     for p, iri in TTL_PREFIXES) + "\n"
+
+
+def _ttl_compact(col):
+    """IRI column -> prefixed-name column where a prefix applies (local
+    names here are [A-Za-z0-9_/]-safe by construction; names containing
+    '/' keep the full <IRI> form since Turtle PN_LOCAL forbids it)."""
+    out = pc.binary_join_element_wise("<", col, ">", "")
+    for p, iri in TTL_PREFIXES:
+        local = pc.replace_substring(col, iri, "")
+        ok = pc.and_(pc.starts_with(col, iri),
+                     pc.invert(pc.match_substring(local, "/")))
+        out = pc.if_else(ok, pc.binary_join_element_wise(
+            pa.nulls(len(col), pa.string()).fill_null(p + ":"),
+            local, ""), out)
+    return out
+
+
+def render_turtle(batch: pa.Table) -> pa.Table:
+    """Triples -> one compact Turtle statement per row (no grouping by
+    subject — keeps the renderer stateless/block-local; Turtle permits
+    repeated subjects). Literal escaping matches the N-Triples renderer;
+    xsd:string literals drop the redundant datatype tag (Turtle default),
+    other datatypes keep ``^^prefixed``."""
+    subj = _ttl_compact(batch["subj"])
+    pred = _ttl_compact(batch["pred"])
+    esc = pc.replace_substring(batch["obj"], "\\", "\\\\")
+    esc = pc.replace_substring(esc, '"', '\\"')
+    esc = pc.replace_substring(esc, "\n", "\\n")
+    dt = pc.fill_null(batch["obj_datatype"], C.XSD_STRING)
+    plain = pc.binary_join_element_wise('"', esc, '" .', "")
+    typed = pc.binary_join_element_wise(
+        '"', esc, '"^^', _ttl_compact(dt), " .", "")
+    lit = pc.if_else(pc.equal(dt, C.XSD_STRING), plain, typed)
+    iri_obj = pc.binary_join_element_wise(
+        _ttl_compact(batch["obj"]), " .", "")
+    obj = pc.if_else(batch["obj_is_literal"], lit, iri_obj)
+    line = pc.binary_join_element_wise(subj, " ", pred, " ", obj, "")
+    return pa.table({"text": line})
+
+
+def write_turtle(triples: ray.data.Dataset, out_dir: str,
+                 compression: str | None = None) -> None:
+    """Turtle sink: every part file carries the @prefix header so each is
+    independently parseable (resumable-output contract — a failed run's
+    completed part files stand alone)."""
+    from ray.data.datasource import BlockBasedFileDatasink
+
+    header = ttl_header().encode("utf-8")
+
+    class _Sink(BlockBasedFileDatasink):
+        def write_block_to_file(self, block, file) -> None:
+            col = block.to_arrow()["text"]
+            file.write(header)
+            for chunk in (col.chunks if isinstance(col, pa.ChunkedArray)
+                          else [col]):
+                if len(chunk):
+                    file.write("\n".join(chunk.to_pylist())
+                               .encode("utf-8") + b"\n")
+
+    ext = "ttl" if compression is None else "ttl.gz"
+    args = ({"compression": "gzip"} if compression == "gzip" else None)
+    triples.map_batches(render_turtle,
+                        batch_format="pyarrow").write_datasink(
+        _Sink(out_dir, file_format=ext, open_stream_args=args))
