@@ -714,3 +714,32 @@ def test_turtle_renderer_and_sink(ray_session, tmp_path):
     text = gzip.decompress(parts[0].read_bytes()).decode()
     assert text.startswith("@prefix ent: <" + C.ENT + "> .")
     assert "schema:Message prop:role" in text
+
+
+def test_bgp_plan_order_and_equivalence(ray_session):
+    """The greedy planner seeds from the most-constant pattern and yields
+    the same bindings as the user's order."""
+    import pyarrow as pa
+    import ray.data
+
+    from the_yelp_collaborative_knowledge_graph_ray.functions.bgp import (
+        bgp_match,
+        plan_order,
+    )
+
+    pats = [("?t", "?p", "?x"), ("?t", "q", "?m"), ("?t", "q", "o1")]
+    assert plan_order(pats) == [("?t", "q", "o1"), ("?t", "q", "?m"),
+                                ("?t", "?p", "?x")]
+    tri = ray.data.from_arrow(pa.table({
+        "subj": ["s1", "s1", "s2", "s2", "s1"],
+        "pred": ["q", "p", "q", "p", "r"],
+        "obj": ["o1", "v1", "o2", "v2", "v3"]}))
+    a = bgp_match(tri, pats, ["t", "p", "x"],
+                  num_partitions=1).to_pandas()
+    b = bgp_match(tri, pats, ["t", "p", "x"], num_partitions=1,
+                  reorder=False).to_pandas() \
+        if "reorder" in bgp_match.__code__.co_varnames else a
+    key = ["t", "p", "x"]
+    assert (set(map(tuple, a[key].itertuples(index=False)))
+            == set(map(tuple, b[key].itertuples(index=False)))
+            == {("s1", "q", "o1"), ("s1", "p", "v1"), ("s1", "r", "v3")})

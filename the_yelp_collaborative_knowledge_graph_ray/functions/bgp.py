@@ -268,20 +268,65 @@ def _chain(triples, bindings, have, patterns, num_partitions, how, label):
     return bindings, have
 
 
+def plan_order(patterns: list[tuple[str, str, str]]
+               ) -> list[tuple[str, str, str]]:
+    """Greedy selectivity join ordering for the required BGP chain.
+
+    Inner joins commute, so the chain can start from the most selective
+    pattern instead of whatever the user wrote first — on a big graph a
+    leading ``(?t, ?p, ?x)`` full scan feeding a join is catastrophically
+    worse than seeding from a constant-rich pattern and letting the join
+    prune. Heuristic (no extra pass over the data): selectivity ≈ number
+    of constant terms, predicate constants counting extra half (predicate
+    scans prune hardest in practice); ties keep the user's order, so
+    plans are deterministic. Only CONNECTED next-patterns are eligible —
+    a graph that is connected in the user's order stays traversable from
+    any seed, so the no-Cartesian-product guarantee is unchanged (a
+    disconnected graph still reaches :func:`_chain`'s raise).
+    """
+    def score(p):
+        s = sum(0 if _is_var(t) else 1 for t in p)
+        return s * 2 + (0 if _is_var(p[1]) else 1)
+
+    def vars_of(p):
+        return {t[1:] for t in p if isinstance(t, str) and _is_var(t)}
+
+    rem = list(range(len(patterns)))
+    first = max(rem, key=lambda i: (score(patterns[i]), -i))
+    out, bound = [first], set(vars_of(patterns[first]))
+    rem.remove(first)
+    while rem:
+        cand = [i for i in rem if vars_of(patterns[i]) & bound]
+        if not cand:  # disconnected — preserve order, _chain will raise
+            out.extend(rem)
+            break
+        nxt = max(cand, key=lambda i: (score(patterns[i]), -i))
+        out.append(nxt)
+        bound |= vars_of(patterns[nxt])
+        rem.remove(nxt)
+    return [patterns[i] for i in out]
+
+
 def bgp_bindings(triples: ray.data.Dataset,
                  patterns: list[tuple[str, str, str]],
                  num_partitions: int | None = None,
                  optional_patterns: list[tuple[str, str, str]] | None = None,
                  minus_patterns: list[tuple[str, str, str]] | None = None,
+                 reorder: bool = True,
                  ) -> tuple[ray.data.Dataset, list[str]]:
     """The BGP planner core: returns (bindings Dataset, bound var names).
 
-    Required ``patterns`` chain with inner cogroup joins, then OPTIONAL
-    clauses left-join, then MINUS clauses anti-join (SPARQL MINUS on the
-    shared variables: a binding is dropped iff the minus pattern matches
-    it). All three accept property paths (:func:`expand_paths`).
+    Required ``patterns`` chain with inner cogroup joins (greedily
+    reordered by :func:`plan_order` unless ``reorder=False``), then
+    OPTIONAL clauses left-join, then MINUS clauses anti-join (SPARQL
+    MINUS on the shared variables: a binding is dropped iff the minus
+    pattern matches it) — OPTIONAL/MINUS keep the user's order, which is
+    semantically load-bearing for left joins. All three accept property
+    paths (:func:`expand_paths`).
     """
     patterns = expand_paths(patterns)
+    if reorder:
+        patterns = plan_order(patterns)
     bindings, have = _scan(triples, patterns[0], num_partitions)
     bindings, have = _chain(triples, bindings, have, patterns[1:],
                             num_partitions, "inner", "pattern")
@@ -302,6 +347,7 @@ def bgp_match(triples: ray.data.Dataset,
               filters: list[tuple[str, str, str]] | None = None,
               values: dict[str, list[str]] | None = None,
               minus_patterns: list[tuple[str, str, str]] | None = None,
+              reorder: bool = True,
               ) -> ray.data.Dataset:
     """Match a basic graph pattern; return DISTINCT rows of ``select`` vars.
 
@@ -327,7 +373,8 @@ def bgp_match(triples: ray.data.Dataset,
     the scans; semantics are identical, noted as the optimization hook).
     """
     bindings, have = bgp_bindings(triples, patterns, num_partitions,
-                                  optional_patterns, minus_patterns)
+                                  optional_patterns, minus_patterns,
+                                  reorder=reorder)
     missing = [v for v in select if v not in have]
     if missing:
         raise ValueError(f"bgp_match: select vars {missing} unbound")

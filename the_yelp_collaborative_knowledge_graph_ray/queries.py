@@ -2817,6 +2817,22 @@ def _q_kg_void_stats(sf_dir: str):
     return df
 
 
+def _q_kg_bgp_reordered(sf_dir: str):
+    """Join-order planning (functions/bgp.plan_order): the user writes
+    the catastrophic order — a full (?t ?p ?x) scan first — and the
+    greedy selectivity planner seeds from the constant-rich espresso
+    pattern instead, so intermediate bindings stay espresso-turn-sized.
+    Result: every fact about turns that mention espresso."""
+    from .functions.bgp import bgp_match
+    esp = C.ENT + "mention/" + BGP_FILTER_EXCL
+    return bgp_match(
+        _mention_union_tri(sf_dir),
+        [("?t", "?p", "?x"),
+         ("?t", C.PRED_MENTIONS, "?m"),
+         ("?t", C.PRED_MENTIONS, esp)],
+        ["t", "p", "x"], num_partitions=8).sort(["t", "p", "x"])
+
+
 def _q_curation_char_budget(sf_dir: str):
     """Budget-constrained selection (curation.char_budget_sample): fill
     a 60k-character budget in deterministic hash-priority order via the
@@ -3486,6 +3502,7 @@ def queries() -> dict[str, Callable]:
         "dedup_keep_best": _q_dedup_keep_best,
         "curation_char_budget": _q_curation_char_budget,
         "kg_void_stats": _q_kg_void_stats,
+        "kg_bgp_reordered": _q_kg_bgp_reordered,
     }
 
 
@@ -5490,6 +5507,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT obj) AS BIGINT) AS n_obj
             FROM ({_structural_sql()} UNION {_mention_sql()})
             GROUP BY 1 ORDER BY 1""",
+        "kg_bgp_reordered": P + f"""
+            SELECT DISTINCT tri.subj AS t, tri.pred AS p, tri.obj AS x
+            FROM ({_structural_sql()} UNION {_mention_sql()}) tri
+            JOIN (SELECT DISTINCT turn_iri FROM mention
+                  WHERE canonical = '{BGP_FILTER_EXCL}') esp
+              ON esp.turn_iri = tri.subj
+            ORDER BY 1, 2, 3""",
     }
     out["kg_type_rollup_counts"] = (
         "SELECT type_iri, count(*) AS n_entities FROM ("
