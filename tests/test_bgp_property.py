@@ -128,3 +128,45 @@ def test_bgp_union_and_plus_match_naive(ray_session, triples, p1, p2):
                         ["x", "y"], num_partitions=2).to_pandas()
         assert set(map(tuple,
                        got[["x", "y"]].itertuples(index=False))) == reach
+
+
+# --- prefix/suffix truncation-dup property tests -------------------------
+
+docs_st = st.lists(st.text("ab ", min_size=0, max_size=6),
+                   min_size=1, max_size=25)
+
+
+@given(texts=docs_st)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_prefix_duplicates_match_bruteforce(ray_session, texts):
+    from the_yelp_collaborative_knowledge_graph_ray.stages.dedup import (
+        prefix_duplicates,
+    )
+    want = sorted(i for i, t in enumerate(texts)
+                  if any(j != i and e.startswith(t)
+                         for j, e in enumerate(texts)))
+    if not want:
+        return  # empty Datasets lose schema through sort (wrapper pins it)
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": list(range(len(texts))), "text": texts}))
+    got = prefix_duplicates(docs, num_partitions=3).to_pandas()
+    assert got["doc_id"].tolist() == want
+
+
+@given(texts=docs_st)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_suffix_duplicates_match_bruteforce(ray_session, texts):
+    from the_yelp_collaborative_knowledge_graph_ray.stages.dedup import (
+        suffix_duplicates,
+    )
+    want = sorted(i for i, t in enumerate(texts)
+                  if any(j != i and e.endswith(t)
+                         for j, e in enumerate(texts)))
+    if not want:
+        return
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": list(range(len(texts))), "text": texts}))
+    got = suffix_duplicates(docs, num_partitions=3).to_pandas()
+    assert got["doc_id"].tolist() == want

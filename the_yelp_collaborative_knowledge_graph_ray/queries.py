@@ -2817,6 +2817,39 @@ def _q_kg_void_stats(sf_dir: str):
     return df
 
 
+K_ANON = 5
+
+
+def _q_privacy_k_anonymity(sf_dir: str):
+    """k-anonymity audit (Sweeney 2002, public) over the events quasi-
+    identifier (event_type, ISO weekday, hour): equivalence classes with
+    fewer than k=5 members are re-identification risks a release
+    pipeline must suppress or generalize — the structural privacy check
+    that complements the row-level PII redaction stage. One
+    dictionary-sized grouped count, risky classes filtered vectorized."""
+    from .functions.grouped import grouped_count
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "ts"])
+
+    def qi(b: pa.Table) -> pa.Table:
+        return pa.table({"event_type": b["event_type"],
+                         "dow": pc.cast(pc.add(pc.day_of_week(b["ts"]), 1),
+                                        pa.int64()),
+                         "hod": pc.cast(pc.hour(b["ts"]), pa.int64())})
+
+    cells = grouped_count(ev.map_batches(qi, batch_format="pyarrow"),
+                          ["event_type", "dow", "hod"], "n", 4)
+    df = cells.filter(expr=f"n < {K_ANON}") \
+        .sort(["event_type", "dow", "hod"]).to_pandas()
+    if df.empty:  # an empty Dataset loses its schema through sort
+        import pandas as pd
+        df = pd.DataFrame({"event_type": pd.Series(dtype=object),
+                           "dow": pd.Series(dtype="int64"),
+                           "hod": pd.Series(dtype="int64"),
+                           "n": pd.Series(dtype="int64")})
+    return df
+
+
 def _q_kg_bgp_reordered(sf_dir: str):
     """Join-order planning (functions/bgp.plan_order): the user writes
     the catastrophic order — a full (?t ?p ?x) scan first — and the
@@ -3503,6 +3536,7 @@ def queries() -> dict[str, Callable]:
         "curation_char_budget": _q_curation_char_budget,
         "kg_void_stats": _q_kg_void_stats,
         "kg_bgp_reordered": _q_kg_bgp_reordered,
+        "privacy_k_anonymity": _q_privacy_k_anonymity,
     }
 
 
@@ -5513,6 +5547,13 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT DISTINCT turn_iri FROM mention
                   WHERE canonical = '{BGP_FILTER_EXCL}') esp
               ON esp.turn_iri = tri.subj
+            ORDER BY 1, 2, 3""",
+        "privacy_k_anonymity": f"""
+            SELECT event_type, isodow(ts) AS dow,
+                   CAST(hour(ts) AS BIGINT) AS hod,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2, 3
+            HAVING count(*) < {K_ANON}
             ORDER BY 1, 2, 3""",
     }
     out["kg_type_rollup_counts"] = (
