@@ -3269,3 +3269,93 @@ def tpch_q18(sf_dir: str, qty_threshold: int = 300,
                               batch_format="pyarrow") \
         .sort(["total_c", "o_orderkey"], descending=[True, False]) \
         .limit(limit)
+
+
+def tpch_q6(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q6 (forecasting revenue change): one filtered scan, zero
+    joins, zero wide shuffles — the canonical predicate-pushdown +
+    map-side-fold query. Revenue = Σ extendedprice·discount over 1996
+    shipments with discount in [0.05, 0.07] and quantity < 24, in exact
+    integer units (cents × discount-percent), folded to one partial row
+    per block before a single tiny constant-key sum."""
+    from ..functions.grouped import sorted_aggregate
+
+    li = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_discount", "l_quantity",
+                "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        disc_c = _scaled_int(b["l_discount"], 100.0)
+        m = pc.and_(
+            pc.and_(pc.equal(pc.year(b["l_shipdate"]), 1996),
+                    pc.less(_scaled_int(b["l_quantity"], 1.0), 24)),
+            pc.and_(pc.greater_equal(disc_c, 5), pc.less_equal(disc_c, 7)))
+        t = b.filter(m)
+        rev = (_scaled_int(t["l_extendedprice"], 100.0).to_numpy()
+               * _scaled_int(t["l_discount"], 100.0).to_numpy())
+        return pa.table({"__g": pa.array([0], pa.int64()),
+                         "n_rows": pa.array([t.num_rows], pa.int64()),
+                         "revenue_c2": pa.array([int(rev.sum())],
+                                                pa.int64())})
+
+    return sorted_aggregate(
+        li.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["__g"], [("n_rows", "sum"), ("revenue_c2", "sum")],
+        ["__g", "n_rows", "revenue_c2"], 1).map_batches(
+        lambda b: b.select(["n_rows", "revenue_c2"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def tpch_q14(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q14 (promotion effect): lineitem ⋈ part with the 200-row
+    part dimension broadcast as a sorted (partkey, is_promo) array —
+    the shuffle-free big×small join — and exact integer revenue units
+    cents×(100−disc). The single float (promo revenue share) happens
+    once on the driver from the two integer sums."""
+    import pyarrow.parquet as pq
+
+    from ..functions.grouped import sorted_aggregate
+    from ..functions.joins import probe_sorted
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    pk = part["p_partkey"].to_numpy()
+    promo = pc.equal(part["p_type"], "PROMO").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    order = np.argsort(pk)
+    lookup = ray.put((pk[order], promo[order]))
+
+    class Fold:
+        def __init__(self):
+            self.pk, self.promo = ray.get(lookup)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.equal(pc.year(b["l_shipdate"]), 1996),
+                        pc.equal(pc.month(b["l_shipdate"]), 3))
+            t = b.filter(m)
+            k = pc.cast(t["l_partkey"], pa.int64()).combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            is_promo = probe_sorted(self.pk, self.promo, k, missing=0)
+            rev = (_scaled_int(t["l_extendedprice"], 100.0).to_numpy()
+                   * (100 - _scaled_int(t["l_discount"], 100.0)
+                      .to_numpy()))
+            return pa.table({
+                "__g": pa.array([0], pa.int64()),
+                "promo_c2": pa.array([int(rev[is_promo == 1].sum())],
+                                     pa.int64()),
+                "total_c2": pa.array([int(rev.sum())], pa.int64())})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_partkey", "l_discount",
+                "l_extendedprice"])
+    s = sorted_aggregate(
+        li.map_batches(Fold, concurrency=(1, 4),
+                       batch_format="pyarrow"),
+        ["__g"], [("promo_c2", "sum"), ("total_c2", "sum")],
+        ["__g", "promo_c2", "total_c2"], 1).to_pandas()
+    promo_c2, total_c2 = int(s["promo_c2"][0]), int(s["total_c2"][0])
+    pct = 100.0 * promo_c2 / total_c2 if total_c2 else 0.0
+    return pa.table({"promo_c2": pa.array([promo_c2], pa.int64()),
+                     "total_c2": pa.array([total_c2], pa.int64()),
+                     "promo_pct": pa.array([pct], pa.float64())})

@@ -2817,6 +2817,20 @@ def _q_kg_void_stats(sf_dir: str):
     return df
 
 
+def _q_rel_tpch_q6(sf_dir: str):
+    """TPC-H Q6 (relational.tpch_q6): one filtered scan, map-side fold,
+    exact cents x discount-percent integer revenue."""
+    from .pipelines.relational import tpch_q6
+    return tpch_q6(sf_dir)
+
+
+def _q_rel_tpch_q14(sf_dir: str):
+    """TPC-H Q14 (relational.tpch_q14): 200-row part dim broadcast,
+    promo revenue share from two integer sums."""
+    from .pipelines.relational import tpch_q14
+    return tpch_q14(sf_dir)
+
+
 K_ANON = 5
 
 
@@ -3537,6 +3551,8 @@ def queries() -> dict[str, Callable]:
         "kg_void_stats": _q_kg_void_stats,
         "kg_bgp_reordered": _q_kg_bgp_reordered,
         "privacy_k_anonymity": _q_privacy_k_anonymity,
+        "rel_tpch_q6": _q_rel_tpch_q6,
+        "rel_tpch_q14": _q_rel_tpch_q14,
     }
 
 
@@ -5555,6 +5571,30 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2, 3
             HAVING count(*) < {K_ANON}
             ORDER BY 1, 2, 3""",
+        "rel_tpch_q6": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(coalesce(sum(
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round(l_discount * 100) AS BIGINT)), 0)
+                     AS BIGINT) AS revenue_c2
+            FROM lineitem
+            WHERE year(l_shipdate) = 1996
+              AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+              AND CAST(round(l_quantity) AS BIGINT) < 24""",
+        "rel_tpch_q14": """
+            WITH j AS (
+              SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       AS rev_c2,
+                     CAST(p.p_type = 'PROMO' AS BIGINT) AS is_promo
+              FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+              WHERE year(l_shipdate) = 1996 AND month(l_shipdate) = 3)
+            SELECT CAST(coalesce(sum(rev_c2 * is_promo), 0) AS BIGINT)
+                     AS promo_c2,
+                   CAST(coalesce(sum(rev_c2), 0) AS BIGINT) AS total_c2,
+                   100.0 * coalesce(sum(rev_c2 * is_promo), 0)
+                     / sum(rev_c2) AS promo_pct
+            FROM j""",
     }
     out["kg_type_rollup_counts"] = (
         "SELECT type_iri, count(*) AS n_entities FROM ("
