@@ -743,3 +743,21 @@ def test_bgp_plan_order_and_equivalence(ray_session):
     assert (set(map(tuple, a[key].itertuples(index=False)))
             == set(map(tuple, b[key].itertuples(index=False)))
             == {("s1", "q", "o1"), ("s1", "p", "v1"), ("s1", "r", "v3")})
+
+
+def test_bgp_explain_plan():
+    """EXPLAIN reports the planned order: constant-rich pattern seeds,
+    OPTIONAL/MINUS keep user order, paths are pre-expanded."""
+    from the_yelp_collaborative_knowledge_graph_ray.functions.bgp import (
+        bgp_explain,
+    )
+
+    t = bgp_explain(
+        [("?t", "?p", "?x"), ("?t", "q", "o1")],
+        optional_patterns=[("?t", ("a", "b"), "?y")],
+        minus_patterns=[("?t", "r", "?z")]).to_pandas()
+    assert t.clause.tolist() == ["required", "required", "optional",
+                                 "optional", "minus"]
+    assert t.pred.tolist()[0] == "q"          # planner seeded the const
+    assert t.pred.tolist()[2:4] == ["a", "b"]  # path expanded in place
+    assert t.n_consts.tolist()[0] == 2

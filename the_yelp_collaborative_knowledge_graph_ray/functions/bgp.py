@@ -494,3 +494,33 @@ def bgp_ask(triples: ray.data.Dataset,
     survives, so a hit on a 100 TB graph never runs the full scan."""
     bindings, _ = bgp_bindings(triples, patterns, num_partitions)
     return len(bindings.limit(1).take(1)) > 0
+
+
+def bgp_explain(patterns: list[tuple[str, str, str]],
+                optional_patterns: list[tuple[str, str, str]] | None = None,
+                minus_patterns: list[tuple[str, str, str]] | None = None,
+                reorder: bool = True) -> pa.Table:
+    """EXPLAIN for a BGP: the plan as a table, one row per step —
+    (step, clause, subj, pred, obj, n_consts) in execution order after
+    path expansion and join-order planning. Pure metadata (no scan runs);
+    the observability hook a user checks before paying for a big match."""
+    req = expand_paths(patterns)
+    if reorder:
+        req = plan_order(req)
+    rows = ([("required", p) for p in req]
+            + [("optional", p) for p in expand_paths(optional_patterns
+                                                     or [])]
+            + [("minus", p) for p in expand_paths(minus_patterns or [])])
+
+    def fmt(t):
+        return t if isinstance(t, str) else "/".join(t)
+
+    return pa.table({
+        "step": pa.array(range(len(rows)), pa.int64()),
+        "clause": pa.array([c for c, _ in rows], pa.string()),
+        "subj": pa.array([fmt(p[0]) for _, p in rows], pa.string()),
+        "pred": pa.array([fmt(p[1]) for _, p in rows], pa.string()),
+        "obj": pa.array([fmt(p[2]) for _, p in rows], pa.string()),
+        "n_consts": pa.array(
+            [sum(0 if _is_var(t) else 1 for t in p) for _, p in rows],
+            pa.int64())})

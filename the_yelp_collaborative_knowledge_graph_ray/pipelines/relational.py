@@ -3359,3 +3359,92 @@ def tpch_q14(sf_dir: str) -> ray.data.Dataset:
     return pa.table({"promo_c2": pa.array([promo_c2], pa.int64()),
                      "total_c2": pa.array([total_c2], pa.int64()),
                      "promo_pct": pa.array([pct], pa.float64())})
+
+
+FK_RELATIONS = (
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+)
+
+
+def fk_integrity_audit(sf_dir: str) -> ray.data.Dataset:
+    """Referential-integrity audit across the star schema: per FK
+    relation, (n_child_rows, n_distinct_keys, n_orphans) — the
+    relational companion of quality_audit_events. Parent key sets
+    broadcast as sorted arrays (the biggest, orders, is ~1% of lineitem
+    bytes; past broadcast scale the `functions/setops.anti_join` is the
+    drop-in orphan path); each child table folds map-side to ONE partial
+    row per block, so the audit adds no wide shuffle at all. The count
+    columns keep the oracle row informative even at zero orphans."""
+    import pyarrow.parquet as pq
+
+    from ..functions.grouped import sorted_aggregate
+    from ..functions.joins import probe_sorted
+
+    parts = []
+    for fk, child, ccol, parent, pcol in FK_RELATIONS:
+        keys = np.sort(pq.read_table(f"{sf_dir}/{parent}.parquet",
+                                     columns=[pcol])[pcol].to_numpy())
+        ones = np.ones(len(keys), np.int64)
+        lookup = ray.put((keys, ones))
+        name = fk
+
+        def fold(b: pa.Table, _l=lookup, _n=name, _c=ccol) -> pa.Table:
+            """Per-block partial: row/orphan counts fold to ONE row, and
+            the block's distinct keys are emitted as (fk, k) rows so the
+            per-fk distinct count reduces EXACTLY downstream (summing
+            per-block distinct partials would overcount keys that repeat
+            across blocks)."""
+            k = pc.cast(b[_c], pa.int64()).combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            pk, pv = ray.get(_l)
+            hit = probe_sorted(pk, pv, k, missing=0)
+            uk = np.unique(k)
+            n = len(uk)
+            return pa.table({
+                "fk": pa.array([_n] * n, pa.string()),
+                "k": pa.array(uk, pa.int64()),
+                "n_child_rows": pa.array(
+                    np.concatenate([[len(k)], np.zeros(n - 1, np.int64)])
+                    if n else np.empty(0, np.int64)),
+                "n_orphans": pa.array(
+                    np.concatenate([[int((hit == 0).sum())],
+                                    np.zeros(n - 1, np.int64)])
+                    if n else np.empty(0, np.int64))})
+
+        parts.append(_read(sf_dir, child, [ccol]).map_batches(
+            fold, batch_format="pyarrow"))
+
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.union(p)
+    per_key = sorted_aggregate(
+        u, ["fk", "k"],
+        [("n_child_rows", "sum"), ("n_orphans", "sum"), ("k", "count")],
+        ["fk", "k", "n_child_rows", "n_orphans", "__one"], 8)
+
+    def collapse(b: pa.Table) -> pa.Table:
+        return b.group_by(["fk"], use_threads=False).aggregate(
+            [("n_child_rows", "sum"), ("n_orphans", "sum"),
+             ("k", "count")]) \
+            .rename_columns(["fk", "n_child_rows", "n_orphans",
+                             "n_distinct_keys"])
+
+    agg = sorted_aggregate(
+        per_key.map_batches(collapse, batch_format="pyarrow"),
+        ["fk"],
+        [("n_child_rows", "sum"), ("n_orphans", "sum"),
+         ("n_distinct_keys", "sum")],
+        ["fk", "n_child_rows", "n_orphans", "n_distinct_keys"], 1)
+    return agg.map_batches(
+        lambda b: b.select(["fk", "n_child_rows", "n_distinct_keys",
+                            "n_orphans"]),
+        batch_format="pyarrow", zero_copy_batch=True).sort("fk")

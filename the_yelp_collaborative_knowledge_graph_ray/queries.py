@@ -2831,6 +2831,29 @@ def _q_rel_tpch_q14(sf_dir: str):
     return tpch_q14(sf_dir)
 
 
+def _q_rel_fk_audit(sf_dir: str):
+    """Referential-integrity audit (relational.fk_integrity_audit):
+    per FK relation, child rows / distinct keys / orphans, all map-side
+    folds + one tiny keyed reduce."""
+    from .pipelines.relational import fk_integrity_audit
+    return fk_integrity_audit(sf_dir)
+
+
+def _fk_audit_sql() -> str:
+    from .pipelines.relational import FK_RELATIONS
+    sels = []
+    for fk, child, ccol, parent, pcol in FK_RELATIONS:
+        sels.append(f"""
+            SELECT '{fk}' AS fk,
+                   CAST(count(*) AS BIGINT) AS n_child_rows,
+                   CAST(count(DISTINCT c.{ccol}) AS BIGINT)
+                     AS n_distinct_keys,
+                   CAST(sum(CASE WHEN p.{pcol} IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_orphans
+            FROM {child} c LEFT JOIN {parent} p ON p.{pcol} = c.{ccol}""")
+    return " UNION ALL ".join(sels) + " ORDER BY fk"
+
+
 K_ANON = 5
 
 
@@ -3553,6 +3576,7 @@ def queries() -> dict[str, Callable]:
         "privacy_k_anonymity": _q_privacy_k_anonymity,
         "rel_tpch_q6": _q_rel_tpch_q6,
         "rel_tpch_q14": _q_rel_tpch_q14,
+        "rel_fk_audit": _q_rel_fk_audit,
     }
 
 
@@ -5595,6 +5619,7 @@ def oracle_sql() -> dict[str, str]:
                    100.0 * coalesce(sum(rev_c2 * is_promo), 0)
                      / sum(rev_c2) AS promo_pct
             FROM j""",
+        "rel_fk_audit": _fk_audit_sql(),
     }
     out["kg_type_rollup_counts"] = (
         "SELECT type_iri, count(*) AS n_entities FROM ("
