@@ -3448,3 +3448,71 @@ def fk_integrity_audit(sf_dir: str) -> ray.data.Dataset:
         lambda b: b.select(["fk", "n_child_rows", "n_distinct_keys",
                             "n_orphans"]),
         batch_format="pyarrow", zero_copy_batch=True).sort("fk")
+
+
+def tpch_q10(sf_dir: str, limit: int = 20) -> ray.data.Dataset:
+    """TPC-H Q10 (returned-item reporting): top customers by revenue lost
+    to returns in 1996 Q1. The big×big lineitem⋈orders edge goes through
+    the DISTRIBUTED co-group attach (functions/joins.attach_column) —
+    orders is NOT broadcast (at corpus scale it no longer fits); the
+    returned-and-windowed lineitem side pre-aggregates per (orderkey)
+    map-side first, so the join input is return-sized, not corpus-sized.
+    Customer (the true small dim) broadcasts for the name. Revenue in
+    exact integer cents×(100−disc) units."""
+    import pyarrow.parquet as pq
+
+    from ..functions.grouped import sorted_aggregate
+    from ..functions.joins import attach_column, probe_sorted
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_shipdate",
+                "l_extendedprice", "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        sd = b["l_shipdate"]
+        m = pc.and_(pc.equal(b["l_returnflag"], "R"),
+                    pc.and_(pc.equal(pc.year(sd), 1996),
+                            pc.less_equal(pc.month(sd), 3)))
+        t = b.filter(m)
+        rev = (_scaled_int(t["l_extendedprice"], 100.0).to_numpy()
+               * (100 - _scaled_int(t["l_discount"], 100.0).to_numpy()))
+        part = pa.table({"l_orderkey": pc.cast(t["l_orderkey"],
+                                               pa.int64()),
+                         "rev_c2": pa.array(rev, pa.int64())})
+        return part.group_by(["l_orderkey"], use_threads=False) \
+            .aggregate([("rev_c2", "sum")]) \
+            .rename_columns(["l_orderkey", "rev_c2"])
+
+    per_order = sorted_aggregate(
+        li.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["l_orderkey"], [("rev_c2", "sum")],
+        ["l_orderkey", "rev_c2"], 8)
+    with_cust = attach_column(
+        per_order, _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        [("l_orderkey", pa.int64()), ("rev_c2", pa.int64())],
+        "l_orderkey", "o_orderkey", "o_custkey", "o_custkey",
+        pa.int64(), 8)
+    per_cust = sorted_aggregate(
+        with_cust, ["o_custkey"], [("rev_c2", "sum")],
+        ["o_custkey", "revenue_c2"], 8) \
+        .sort(["revenue_c2", "o_custkey"], descending=[True, False]) \
+        .limit(limit)
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"])
+    ck = cust["c_custkey"].to_numpy()
+    names = cust["c_name"].combine_chunks()
+    corder = np.argsort(ck)
+    lookup = ray.put((ck[corder], names.take(pa.array(corder))))
+
+    def name(b: pa.Table) -> pa.Table:
+        ks, nm = ray.get(lookup)
+        k = pc.cast(b["o_custkey"], pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ks, k)
+        return pa.table({"o_custkey": b["o_custkey"],
+                         "c_name": nm.take(pa.array(pos)),
+                         "revenue_c2": b["revenue_c2"]})
+
+    return per_cust.map_batches(name, batch_format="pyarrow")

@@ -2831,6 +2831,14 @@ def _q_rel_tpch_q14(sf_dir: str):
     return tpch_q14(sf_dir)
 
 
+def _q_rel_tpch_q10(sf_dir: str):
+    """TPC-H Q10 (relational.tpch_q10): returned-item revenue per
+    customer through the DISTRIBUTED co-group attach (orders never
+    broadcast), exact integer revenue."""
+    from .pipelines.relational import tpch_q10
+    return tpch_q10(sf_dir)
+
+
 def _q_rel_fk_audit(sf_dir: str):
     """Referential-integrity audit (relational.fk_integrity_audit):
     per FK relation, child rows / distinct keys / orphans, all map-side
@@ -3577,6 +3585,7 @@ def queries() -> dict[str, Callable]:
         "rel_tpch_q6": _q_rel_tpch_q6,
         "rel_tpch_q14": _q_rel_tpch_q14,
         "rel_fk_audit": _q_rel_fk_audit,
+        "rel_tpch_q10": _q_rel_tpch_q10,
     }
 
 
@@ -5620,6 +5629,22 @@ def oracle_sql() -> dict[str, str]:
                      / sum(rev_c2) AS promo_pct
             FROM j""",
         "rel_fk_audit": _fk_audit_sql(),
+        "rel_tpch_q10": """
+            WITH r AS (
+              SELECT o.o_custkey,
+                     sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100)
+                                       AS BIGINT))) AS revenue_c2
+              FROM lineitem l JOIN orders o
+                ON o.o_orderkey = l.l_orderkey
+              WHERE l.l_returnflag = 'R'
+                AND year(l.l_shipdate) = 1996
+                AND month(l.l_shipdate) <= 3
+              GROUP BY 1)
+            SELECT r.o_custkey, c.c_name,
+                   CAST(r.revenue_c2 AS BIGINT) AS revenue_c2
+            FROM r JOIN customer c ON c.c_custkey = r.o_custkey
+            ORDER BY r.revenue_c2 DESC, r.o_custkey LIMIT 20""",
     }
     out["kg_type_rollup_counts"] = (
         "SELECT type_iri, count(*) AS n_entities FROM ("
