@@ -1,12 +1,23 @@
-"""SPARQL-style basic-graph-pattern matching over the triple Dataset.
+"""SPARQL-style graph-pattern engine over the triple Dataset.
 
 The reference queries its finished graph with SPARQL competency questions
 (``Code/CompetencyQuestions/Yelp_CQ.md`` — every CQ is a basic graph
 pattern plus aggregation). The engine's CQ analogs compile each question by
-hand; this module is the GENERIC operator: a list of (s, p, o) triple
+hand; this module is the GENERIC engine: a list of (s, p, o) triple
 patterns with ``?var`` variables is planned as a chain of distributed
 joins over the triples Dataset itself, so any BGP runs without bespoke
-code.
+code. Surface:
+
+* verbs — SELECT (:func:`bgp_match`), ASK (:func:`bgp_ask`), CONSTRUCT
+  (:func:`bgp_construct`), DESCRIBE (a one-mask star filter, see
+  ``queries._q_kg_describe``);
+* clauses — OPTIONAL (left cogroup join), MINUS (anti mode), UNION
+  (:func:`bgp_union`), FILTER / VALUES (vectorized binding masks);
+* property paths (:func:`expand_paths`) — inverse ``^p``, sequence as a
+  step tuple, alternation ``p|q`` (one ``is_in`` scan), transitive
+  ``p+`` (scan over the path-doubling closure);
+* planning — greedy selectivity join ordering (:func:`plan_order`) and
+  :func:`bgp_explain` for the plan as a metadata table.
 
 Execution model (Ray-Data-first):
 
