@@ -1134,7 +1134,12 @@ def prefix_duplicates(docs: ray.data.Dataset,
         batch_format="pyarrow", zero_copy_batch=True)
     if num_partitions is not None:
         ds = ds.repartition(num_partitions)
-    srt = ds.sort(["text", "doc_id"]).materialize()
+    # sort by text ONLY: the equal-keys-never-split block invariant
+    # (stages/materialize.py) must hold for equal TEXTS — a (text, id)
+    # composite key would let an equal-text run straddle blocks and the
+    # block-local predecessor-equal check would miss the run's tail
+    # (caught by the hypothesis brute-force property test)
+    srt = ds.sort(["text"]).materialize()
 
     # boundary stitch: last row of block i vs first row of block i+1 in
     # global text order. O(#blocks) tiny rows via one remote task per
