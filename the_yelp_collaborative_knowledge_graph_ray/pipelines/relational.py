@@ -3516,3 +3516,69 @@ def tpch_q10(sf_dir: str, limit: int = 20) -> ray.data.Dataset:
                          "revenue_c2": b["revenue_c2"]})
 
     return per_cust.map_batches(name, batch_format="pyarrow")
+
+
+def tpch_q19(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q19 (discounted revenue, disjunctive predicates): revenue
+    from lineitems matching ANY of three (brand, size-range, qty-range)
+    conjunction arms — the OR-of-ANDs shape that defeats naive predicate
+    pushdown. Part attributes (brand code, size) broadcast as sorted
+    arrays; each arm is one vectorized mask, OR-combined per batch, and
+    everything folds map-side to one partial row per block. Exact
+    integer cents×(100−disc) revenue units."""
+    import pyarrow.parquet as pq
+
+    from ..functions.grouped import sorted_aggregate
+    from ..functions.joins import probe_sorted
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    pk = part["p_partkey"].to_numpy()
+    brand = part["p_brand"].combine_chunks().dictionary_encode()
+    brand_names = brand.dictionary.to_pylist()
+    order = np.argsort(pk)
+    lookup = ray.put((pk[order],
+                      brand.indices.to_numpy().astype(np.int64)[order],
+                      part["p_size"].to_numpy().astype(np.int64)[order],
+                      brand_names))
+
+    ARMS = (("Brand#1", 1, 10, 1, 15),   # brand, size lo-hi, qty lo-hi
+            ("Brand#2", 1, 20, 10, 25),
+            ("Brand#3", 1, 30, 20, 35))
+
+    class Fold:
+        def __init__(self):
+            self.pk, self.bcode, self.size, names = ray.get(lookup)
+            self.brand_of = {n: i for i, n in enumerate(names)}
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            k = pc.cast(b["l_partkey"], pa.int64()).combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(self.pk, k), 0,
+                          len(self.pk) - 1)
+            valid = self.pk[pos] == k  # inner-join semantics on the FK
+            bc = np.where(valid, self.bcode[pos], -1)
+            sz = self.size[pos]
+            qty = _scaled_int(b["l_quantity"], 1.0).to_numpy()
+            m = np.zeros(len(k), bool)
+            for bname, slo, shi, qlo, qhi in ARMS:
+                code = self.brand_of.get(bname, -2)  # -1 marks orphans
+                m |= ((bc == code) & (sz >= slo) & (sz <= shi)
+                      & (qty >= qlo) & (qty <= qhi))
+            rev = (_scaled_int(b["l_extendedprice"], 100.0).to_numpy()
+                   * (100 - _scaled_int(b["l_discount"], 100.0)
+                      .to_numpy()))
+            return pa.table({
+                "__g": pa.array([0], pa.int64()),
+                "n_rows": pa.array([int(m.sum())], pa.int64()),
+                "revenue_c2": pa.array([int(rev[m].sum())], pa.int64())})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice",
+                "l_discount"])
+    return sorted_aggregate(
+        li.map_batches(Fold, concurrency=(1, 4), batch_format="pyarrow"),
+        ["__g"], [("n_rows", "sum"), ("revenue_c2", "sum")],
+        ["__g", "n_rows", "revenue_c2"], 1).map_batches(
+        lambda b: b.select(["n_rows", "revenue_c2"]),
+        batch_format="pyarrow", zero_copy_batch=True)

@@ -2831,6 +2831,45 @@ def _q_rel_tpch_q14(sf_dir: str):
     return tpch_q14(sf_dir)
 
 
+def _q_rel_tpch_q19(sf_dir: str):
+    """TPC-H Q19 (relational.tpch_q19): disjunctive (brand, size, qty)
+    predicate arms over the broadcast part attributes, map-side fold."""
+    from .pipelines.relational import tpch_q19
+    return tpch_q19(sf_dir)
+
+
+SYSTEMATIC_K = 7
+
+
+def _q_sample_systematic(sf_dir: str):
+    """Systematic (every k-th) sampling in deterministic hash order:
+    rank docs by u01(splitmix64(doc_id)) — the same bit-exact priority
+    the budget sampler uses — and keep rank % 7 == 0. Equal-probability
+    without a global shuffle of the corpus: ONE priority sort of
+    (doc_id, u01) pairs + the distributed zipWithIndex rank."""
+    from .functions.joins import zip_with_index
+    from .functions.sampling import hash_u01
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+
+    def prio(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.cast(b["doc_id"], pa.int64()),
+                         "u01": pa.array(hash_u01(b["doc_id"]))})
+
+    ranked = zip_with_index(
+        docs.map_batches(prio, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .repartition(8).sort("u01"),
+        id_col="rk", order_by="u01")
+    def keep(b: pa.Table) -> pa.Table:
+        rk = b["rk"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(rk % SYSTEMATIC_K == 0)) \
+            .select(["doc_id"])
+
+    return ranked.map_batches(keep, batch_format="pyarrow",
+                              zero_copy_batch=True).sort("doc_id")
+
+
 def _q_rel_tpch_q10(sf_dir: str):
     """TPC-H Q10 (relational.tpch_q10): returned-item revenue per
     customer through the DISTRIBUTED co-group attach (orders never
@@ -3586,6 +3625,8 @@ def queries() -> dict[str, Callable]:
         "rel_tpch_q14": _q_rel_tpch_q14,
         "rel_fk_audit": _q_rel_fk_audit,
         "rel_tpch_q10": _q_rel_tpch_q10,
+        "rel_tpch_q19": _q_rel_tpch_q19,
+        "sample_systematic": _q_sample_systematic,
     }
 
 
@@ -5645,6 +5686,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(r.revenue_c2 AS BIGINT) AS revenue_c2
             FROM r JOIN customer c ON c.c_custkey = r.o_custkey
             ORDER BY r.revenue_c2 DESC, r.o_custkey LIMIT 20""",
+        "rel_tpch_q19": """
+            WITH j AS (
+              SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       AS rev_c2,
+                     CAST(round(l_quantity) AS BIGINT) AS qty,
+                     p.p_brand AS brand, p.p_size AS sz
+              FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+            m AS (SELECT * FROM j WHERE
+                  (brand = 'Brand#1' AND sz BETWEEN 1 AND 10
+                   AND qty BETWEEN 1 AND 15)
+               OR (brand = 'Brand#2' AND sz BETWEEN 1 AND 20
+                   AND qty BETWEEN 10 AND 25)
+               OR (brand = 'Brand#3' AND sz BETWEEN 1 AND 30
+                   AND qty BETWEEN 20 AND 35))
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(coalesce(sum(rev_c2), 0) AS BIGINT) AS revenue_c2
+            FROM m""",
+        "sample_systematic": "WITH "
+            + _splitmix_cte("documents", "doc_id", "doc_id") + f""",
+            r AS (SELECT doc_id,
+                         row_number() OVER (ORDER BY u01) - 1 AS rk
+                  FROM u)
+            SELECT doc_id FROM r WHERE rk % {SYSTEMATIC_K} = 0
+            ORDER BY doc_id""",
     }
     out["kg_type_rollup_counts"] = (
         "SELECT type_iri, count(*) AS n_entities FROM ("
