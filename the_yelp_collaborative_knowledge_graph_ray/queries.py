@@ -2458,6 +2458,31 @@ def _q_kg_sparql_group_agg(sf_dir: str):
     return grouped_count(dd, ["tool"], "n_mentions", 8).sort("tool")
 
 
+def _q_kg_sparql_having(sf_dir: str):
+    """SPARQL HAVING over a BGP aggregate: SELECT ?m (COUNT(?t) AS n)
+    WHERE {?t :mentions ?m} GROUP BY ?m HAVING (?n·128 >= total_turns)
+    — prevalent entities, mentioned in >= 1/128 of all turns. The
+    threshold is scale-RELATIVE in exact integers (a constant cut can't
+    be non-vacuous at every corpus size; 1/128 cuts inside the observed
+    prevalence band at both driver scales), completing the GROUP BY /
+    GROUP_CONCAT / ORDER / LIMIT modifier family; the filter runs
+    vectorized on the tiny aggregate, never the bindings."""
+    from .functions.bgp import bgp_match
+    from .functions.grouped import grouped_count
+    total = _read_transcripts(sf_dir, columns=["conv_id"]).count()
+    dd = bgp_match(_mention_union_tri(sf_dir),
+                   [("?t", C.PRED_MENTIONS, "?m")],
+                   ["t", "m"], num_partitions=8)
+
+    def having(b: pa.Table) -> pa.Table:
+        n = b["n_turns"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(n * 128 >= total))
+
+    return grouped_count(dd, ["m"], "n_turns", 8) \
+        .map_batches(having, batch_format="pyarrow",
+                     zero_copy_batch=True).sort("m")
+
+
 def _q_kg_adamic_adar(sf_dir: str):
     """Adamic–Adar link prediction over the turn->mention incidence
     (functions/nodesim.adamic_adar_pairs): shared low-degree turns weigh
@@ -3627,6 +3652,7 @@ def queries() -> dict[str, Callable]:
         "rel_tpch_q10": _q_rel_tpch_q10,
         "rel_tpch_q19": _q_rel_tpch_q19,
         "sample_systematic": _q_sample_systematic,
+        "kg_sparql_having": _q_kg_sparql_having,
     }
 
 
@@ -5711,6 +5737,13 @@ def oracle_sql() -> dict[str, str]:
                   FROM u)
             SELECT doc_id FROM r WHERE rk % {SYSTEMATIC_K} = 0
             ORDER BY doc_id""",
+        "kg_sparql_having": P + f"""
+            SELECT '{C.ENT}mention/' || canonical AS m,
+                   CAST(count(DISTINCT turn_iri) AS BIGINT) AS n_turns
+            FROM mention GROUP BY 1
+            HAVING count(DISTINCT turn_iri) * 128
+                   >= (SELECT count(*) FROM t)
+            ORDER BY 1""",
     }
     out["kg_type_rollup_counts"] = (
         "SELECT type_iri, count(*) AS n_entities FROM ("
