@@ -761,3 +761,22 @@ def test_bgp_explain_plan():
     assert t.pred.tolist()[0] == "q"          # planner seeded the const
     assert t.pred.tolist()[2:4] == ["a", "b"]  # path expanded in place
     assert t.n_consts.tolist()[0] == 2
+
+
+def test_apsp_min_plus_planted(ray_session):
+    """Min-plus doubling APSP on a path-with-shortcut digraph: shortest
+    hop counts, not just reachability."""
+    from the_yelp_collaborative_knowledge_graph_ray.functions.datalog import (
+        apsp_min_plus,
+    )
+
+    # a->b->c->d plus shortcut a->c; cycle d->a
+    e = pa.table({"src": ["a", "b", "c", "a", "d"],
+                  "dst": ["b", "c", "d", "c", "a"]})
+    out = apsp_min_plus(ray.data.from_arrow(e),
+                        num_partitions=2).to_pandas()
+    d = {(r.src, r.dst): r.d for r in out.itertuples(index=False)}
+    assert d[("a", "b")] == 1 and d[("a", "c")] == 1
+    assert d[("a", "d")] == 2          # via the shortcut
+    assert d[("b", "a")] == 3          # b->c->d->a
+    assert d[("a", "a")] == 3          # around the cycle

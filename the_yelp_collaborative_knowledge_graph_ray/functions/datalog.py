@@ -123,3 +123,62 @@ def scc_labels(edges: ray.data.Dataset, src: str = "src",
     return sorted_aggregate(mutual.union(selfp), ["node"],
                             [("m", "min")], ["node", "scc_id"],
                             num_partitions)
+
+
+def apsp_min_plus(edges: ray.data.Dataset, src: str = "src",
+                  dst: str = "dst", max_rounds: int = 6,
+                  num_partitions: int = 4) -> ray.data.Dataset:
+    """All-pairs shortest path lengths (unit edge weights) by min-plus
+    path doubling: d_{2k}(a,b) = min(d_k(a,b), min_mid d_k(a,mid) +
+    d_k(mid,b)) — ⌈log₂ diameter⌉ co-group rounds, the distance-tracking
+    sibling of :func:`transitive_closure`. Returns (src, dst, d) with
+    the exact minimum hop count per ordered reachable pair (self-pairs
+    excluded unless on a cycle). Fixed point detected on (row count,
+    Σd) — counts only grow and distances only shrink, so the pair is
+    stable iff converged. Distances ride the string co-group join as
+    decimal strings (exact round-trip casts)."""
+    from .bgp import cogroup_join
+    from .grouped import sorted_aggregate
+
+    def init(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({"src": pc.cast(b[src], pa.string()),
+                         "dst": pc.cast(b[dst], pa.string()),
+                         "d": pa.nulls(n, pa.int64()).fill_null(1)})
+
+    def dmin(ds):
+        return sorted_aggregate(ds, ["src", "dst"], [("d", "min")],
+                                ["src", "dst", "d"], num_partitions)
+
+    cur = dmin(edges.map_batches(init, batch_format="pyarrow"))
+    cur = cur.materialize()
+
+    def stats(ds):
+        # streaming aggregates — the distance table never hits the driver
+        return ds.count(), int(ds.sum("d") or 0)
+
+    sig = stats(cur)
+    for _ in range(max_rounds):
+        left = cur.map_batches(
+            lambda b: pa.table({"mid": b["dst"], "src": b["src"],
+                                "d1": pc.cast(b["d"], pa.string())}),
+            batch_format="pyarrow")
+        right = cur.map_batches(
+            lambda b: pa.table({"mid": b["src"], "dst": b["dst"],
+                                "d2": pc.cast(b["d"], pa.string())}),
+            batch_format="pyarrow")
+        two = cogroup_join(left, right, ["mid"], ["mid", "src", "d1"],
+                           ["mid", "dst", "d2"], num_partitions) \
+            .map_batches(
+                lambda b: pa.table({
+                    "src": b["src"], "dst": b["dst"],
+                    "d": pc.add(pc.cast(b["d1"], pa.int64()),
+                                pc.cast(b["d2"], pa.int64()))}),
+                batch_format="pyarrow")
+        cur = dmin(cur.union(two)).materialize()
+        sig2 = stats(cur)
+        if sig2 == sig:
+            return cur
+        sig = sig2
+    raise RuntimeError(f"apsp_min_plus: no fixed point in {max_rounds} "
+                       f"doubling rounds (diameter > 2^{max_rounds}?)")

@@ -2211,15 +2211,11 @@ def _rp_sql() -> str:
             FROM e JOIN s USING (i) GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
-def _q_kg_scc_tools(sf_dir: str):
-    """Strongly connected components of the tool-transition digraph
-    (edges = consecutive tool uses within a conversation). The edge
-    derivation is the scale stage — per-conversation LEAD inside sorted
-    blocks over the full transcript stream, per-block distinct partials
-    — and the component labeling composes the existing path-doubling
-    closure + ONE grouped count + ONE grouped min
-    (functions/datalog.scc_labels)."""
-    from .functions.datalog import scc_labels
+def _tool_transition_edges(sf_dir: str) -> ray.data.Dataset:
+    """Distinct (src, dst) edges of the tool-transition digraph —
+    consecutive tool uses within a conversation; per-conversation LEAD
+    inside sorted blocks over the full transcript stream with per-block
+    distinct partials. Shared by the SCC and APSP/centrality queries."""
     from .functions.grouped import group_ids, sorted_group_apply
     from .functions.normalize import normalize_array
     from .stages.extract import _tool_mask
@@ -2250,10 +2246,58 @@ def _q_kg_scc_tools(sf_dir: str):
             .aggregate([]).rename_columns(["src", "dst"]) \
             .cast(edge_schema)
 
-    edges = sorted_group_apply(
+    return sorted_group_apply(
         t.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
         ["conv_id"], block, 8)
-    return scc_labels(edges, num_partitions=4).sort("node")
+
+
+def _q_kg_scc_tools(sf_dir: str):
+    """Strongly connected components of the tool-transition digraph
+    (edges = consecutive tool uses within a conversation). The edge
+    derivation is the scale stage (_tool_transition_edges); the
+    component labeling composes the existing path-doubling closure +
+    ONE grouped count + ONE grouped min (functions/datalog.scc_labels)."""
+    from .functions.datalog import scc_labels
+    return scc_labels(_tool_transition_edges(sf_dir),
+                      num_partitions=4).sort("node")
+
+
+def _q_kg_harmonic_centrality(sf_dir: str):
+    """Harmonic centrality over the tool-transition digraph: h(v) =
+    Σ_{u reachable from v} 1/d(v,u) — the connectivity-robust closeness
+    variant (Boldi & Vigna 2014, public). Distances come from
+    functions/datalog.apsp_min_plus (min-plus path doubling, the
+    distance-tracking sibling of the closure); each 1/d term rounds ONCE
+    to int64 fixed point so the sum is order-independent. APSP is
+    O(N²) pairs by definition — the op targets small DERIVED graphs
+    (the tool digraph), like the SCC labeling it composes with."""
+    from .functions.datalog import apsp_min_plus
+    sp = apsp_min_plus(_tool_transition_edges(sf_dir), num_partitions=4)
+
+    out_schema = pa.schema([("node", pa.string()),
+                            ("n_reachable", pa.int64()),
+                            ("harmonic_fp", pa.int64())])
+
+    def fold(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.invert(pc.equal(b["src"], b["dst"])))
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        d = t["d"].to_numpy(zero_copy_only=False)
+        wt = np.round(1_000_000.0 / d).astype(np.int64)
+        part = pa.table({"node": t["src"],
+                         "one": pa.nulls(t.num_rows,
+                                         pa.int64()).fill_null(1),
+                         "h": pa.array(wt)})
+        return part.group_by(["node"], use_threads=False) \
+            .aggregate([("one", "sum"), ("h", "sum")]) \
+            .rename_columns(["node", "n_reachable", "harmonic_fp"])
+
+    from .functions.grouped import sorted_aggregate
+    return sorted_aggregate(
+        sp.map_batches(fold, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["node"], [("n_reachable", "sum"), ("harmonic_fp", "sum")],
+        ["node", "n_reachable", "harmonic_fp"], 4).sort("node")
 
 
 def _q_events_scd2(sf_dir: str):
@@ -3653,6 +3697,7 @@ def queries() -> dict[str, Callable]:
         "rel_tpch_q19": _q_rel_tpch_q19,
         "sample_systematic": _q_sample_systematic,
         "kg_sparql_having": _q_kg_sparql_having,
+        "kg_harmonic_centrality": _q_kg_harmonic_centrality,
     }
 
 
@@ -5744,6 +5789,30 @@ def oracle_sql() -> dict[str, str]:
             HAVING count(DISTINCT turn_iri) * 128
                    >= (SELECT count(*) FROM t)
             ORDER BY 1""",
+        "kg_harmonic_centrality": f"""
+            WITH RECURSIVE ts AS (
+              SELECT conv_id, turn_idx, {normalize_sql('tool')} AS tool
+              FROM read_parquet('{fdir}/transcripts.parquet/*.parquet')
+              WHERE {TOOL_OK_SQL}),
+            seq AS (SELECT conv_id, tool,
+                           LEAD(tool) OVER (PARTITION BY conv_id
+                                            ORDER BY turn_idx) AS nxt
+                    FROM ts),
+            edges AS (SELECT DISTINCT tool AS src, nxt AS dst
+                      FROM seq WHERE nxt IS NOT NULL AND nxt <> tool),
+            -- d < 32 caps the walk; a shortest path is simple, so any
+            -- graph with <= 33 nodes (the tool vocabulary) is exact
+            w(src, dst, d) AS (
+              SELECT src, dst, 1 FROM edges
+              UNION
+              SELECT w.src, e.dst, w.d + 1
+              FROM w JOIN edges e ON e.src = w.dst WHERE w.d < 32),
+            sp AS (SELECT src, dst, min(d) AS dist FROM w
+                   WHERE src <> dst GROUP BY 1, 2)
+            SELECT src AS node, CAST(count(*) AS BIGINT) AS n_reachable,
+                   CAST(sum(CAST(round(1000000.0 / dist) AS BIGINT))
+                        AS BIGINT) AS harmonic_fp
+            FROM sp GROUP BY 1 ORDER BY 1""",
     }
     out["kg_type_rollup_counts"] = (
         "SELECT type_iri, count(*) AS n_entities FROM ("
