@@ -2251,6 +2251,31 @@ def _tool_transition_edges(sf_dir: str) -> ray.data.Dataset:
         ["conv_id"], block, 8)
 
 
+def _q_kg_graph_diameter(sf_dir: str):
+    """Directed eccentricity profile of the tool digraph from the same
+    min-plus APSP table: per node e(v) = max_u d(v,u), plus the graph's
+    diameter (max e) and radius (min e) — the connectivity card next to
+    the VoID stats. Reachable-pairs-only semantics (standard for
+    digraphs that are not strongly connected)."""
+    from .functions.datalog import apsp_min_plus
+    from .functions.grouped import sorted_aggregate
+    sp = apsp_min_plus(_tool_transition_edges(sf_dir), num_partitions=4)
+
+    def fold(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.invert(pc.equal(b["src"], b["dst"])))
+        return t.group_by(["src"], use_threads=False) \
+            .aggregate([("d", "max")]).rename_columns(["node", "ecc"])
+
+    ecc = sorted_aggregate(
+        sp.map_batches(fold, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["node"], [("ecc", "max")], ["node", "ecc"], 4).to_pandas()
+    return pa.table({
+        "n_nodes": pa.array([len(ecc)], pa.int64()),
+        "diameter": pa.array([int(ecc.ecc.max())], pa.int64()),
+        "radius": pa.array([int(ecc.ecc.min())], pa.int64())})
+
+
 def _q_kg_scc_tools(sf_dir: str):
     """Strongly connected components of the tool-transition digraph
     (edges = consecutive tool uses within a conversation). The edge
@@ -3698,6 +3723,7 @@ def queries() -> dict[str, Callable]:
         "sample_systematic": _q_sample_systematic,
         "kg_sparql_having": _q_kg_sparql_having,
         "kg_harmonic_centrality": _q_kg_harmonic_centrality,
+        "kg_graph_diameter": _q_kg_graph_diameter,
     }
 
 
@@ -5814,6 +5840,15 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS harmonic_fp
             FROM sp GROUP BY 1 ORDER BY 1""",
     }
+    out["kg_graph_diameter"] = out["kg_harmonic_centrality"].replace(
+        """SELECT src AS node, CAST(count(*) AS BIGINT) AS n_reachable,
+                   CAST(sum(CAST(round(1000000.0 / dist) AS BIGINT))
+                        AS BIGINT) AS harmonic_fp
+            FROM sp GROUP BY 1 ORDER BY 1""",
+        """SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                   CAST(max(ecc) AS BIGINT) AS diameter,
+                   CAST(min(ecc) AS BIGINT) AS radius
+            FROM (SELECT src, max(dist) AS ecc FROM sp GROUP BY 1)""")
     out["kg_type_rollup_counts"] = (
         "SELECT type_iri, count(*) AS n_entities FROM ("
         + out["kg_inferred_types"] + ") GROUP BY 1 ORDER BY 1")
