@@ -2251,6 +2251,17 @@ def _tool_transition_edges(sf_dir: str) -> ray.data.Dataset:
         ["conv_id"], block, 8)
 
 
+def _q_emb_label_coherence(sf_dir: str):
+    """Embedding label coherence (similarity.label_coherence): exact
+    intra- vs inter-label pairwise cosine sums in 1e-6 fixed point over
+    the blocked all-pairs engine."""
+    from .stages.similarity import label_coherence
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "label", "embedding"])
+    return label_coherence(emb)
+
+
 def _q_kg_graph_diameter(sf_dir: str):
     """Directed eccentricity profile of the tool digraph from the same
     min-plus APSP table: per node e(v) = max_u d(v,u), plus the graph's
@@ -3724,6 +3735,7 @@ def queries() -> dict[str, Callable]:
         "kg_sparql_having": _q_kg_sparql_having,
         "kg_harmonic_centrality": _q_kg_harmonic_centrality,
         "kg_graph_diameter": _q_kg_graph_diameter,
+        "emb_label_coherence": _q_emb_label_coherence,
     }
 
 
@@ -5840,6 +5852,19 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS harmonic_fp
             FROM sp GROUP BY 1 ORDER BY 1""",
     }
+    out["emb_label_coherence"] = """
+        WITH p AS (
+          SELECT CAST(round(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])) * 1000000)
+                 AS BIGINT) AS fp,
+                 CAST(a.label = b.label AS BIGINT) AS same
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        SELECT CAST(sum(same) AS BIGINT) AS n_intra,
+               CAST(sum(fp * same) AS BIGINT) AS sum_intra_fp,
+               CAST(sum(1 - same) AS BIGINT) AS n_inter,
+               CAST(sum(fp * (1 - same)) AS BIGINT) AS sum_inter_fp
+        FROM p"""
     out["kg_graph_diameter"] = out["kg_harmonic_centrality"].replace(
         """SELECT src AS node, CAST(count(*) AS BIGINT) AS n_reachable,
                    CAST(sum(CAST(round(1000000.0 / dist) AS BIGINT))
