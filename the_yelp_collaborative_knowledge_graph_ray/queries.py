@@ -2251,6 +2251,70 @@ def _tool_transition_edges(sf_dir: str) -> ray.data.Dataset:
         ["conv_id"], block, 8)
 
 
+def _q_rel_merge_upsert(sf_dir: str):
+    """Lakehouse MERGE INTO / CDC upsert (last-writer-wins): apply
+    purchase events as account-balance changes onto the customer base
+    snapshot — per key the latest (ts, event_id) change wins, keys with
+    no change keep the base row, change keys absent from the base are
+    INSERTED. ONE shuffle: both sides union tagged, each key's complete
+    sorted group resolves with a vectorized argmax; n_updates counts the
+    applied change rows (audit column). Exact cents."""
+    from .functions.grouped import group_ids, sorted_group_apply
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_acctbal"])
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "value", "ts", "event_id"])
+
+    def base_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "k": pc.cast(b["c_custkey"], pa.int64()),
+            "v": pc.cast(pc.round(pc.multiply(b["c_acctbal"], 100.0)),
+                         pa.int64()),
+            "t": pa.nulls(n, pa.int64()).fill_null(-1),
+            "s": pa.nulls(n, pa.int64()).fill_null(-1),
+            "chg": pa.nulls(n, pa.int64()).fill_null(0)})
+
+    def chg_rows(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["event_type"], "purchase"))
+        return pa.table({
+            "k": pc.cast(t["user_id"], pa.int64()),
+            "v": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                         pa.int64()),
+            "t": pc.cast(t["ts"], pa.int64()),
+            "s": pc.cast(t["event_id"], pa.int64()),
+            "chg": pa.nulls(t.num_rows, pa.int64()).fill_null(1)})
+
+    u = cust.map_batches(base_rows, batch_format="pyarrow") \
+        .union(ev.map_batches(chg_rows, batch_format="pyarrow"))
+
+    out_schema = pa.schema([("custkey", pa.int64()),
+                            ("acctbal_c", pa.int64()),
+                            ("n_updates", pa.int64())])
+
+    def resolve(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        gid, starts = group_ids(b, ["k"])
+        t = b["t"].to_numpy(zero_copy_only=False)
+        s = b["s"].to_numpy(zero_copy_only=False)
+        chg = b["chg"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((-s, -t, gid))  # per key: latest (t, s) first
+        g_sorted = gid[order]
+        first = np.flatnonzero(
+            np.concatenate([[True], g_sorted[1:] != g_sorted[:-1]]))
+        win = order[first]
+        n_upd = np.add.reduceat(chg, starts)
+        return pa.table({
+            "custkey": pc.cast(b["k"], pa.int64()).take(pa.array(starts)),
+            "acctbal_c": pc.cast(b["v"], pa.int64()).take(pa.array(win)),
+            "n_updates": pa.array(n_upd)}, schema=out_schema)
+
+    return sorted_group_apply(u, ["k"], resolve, 8).sort("custkey")
+
+
 def _q_emb_label_coherence(sf_dir: str):
     """Embedding label coherence (similarity.label_coherence): exact
     intra- vs inter-label pairwise cosine sums in 1e-6 fixed point over
@@ -3736,6 +3800,7 @@ def queries() -> dict[str, Callable]:
         "kg_harmonic_centrality": _q_kg_harmonic_centrality,
         "kg_graph_diameter": _q_kg_graph_diameter,
         "emb_label_coherence": _q_emb_label_coherence,
+        "rel_merge_upsert": _q_rel_merge_upsert,
     }
 
 
@@ -5852,6 +5917,23 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS harmonic_fp
             FROM sp GROUP BY 1 ORDER BY 1""",
     }
+    out["rel_merge_upsert"] = """
+        WITH ch AS (SELECT user_id AS k,
+                           CAST(round(value * 100) AS BIGINT) AS v,
+                           epoch_us(ts) AS t, event_id AS s
+                    FROM events WHERE event_type = 'purchase'),
+        u AS (SELECT c_custkey AS k,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS v,
+                     CAST(-1 AS BIGINT) AS t, CAST(-1 AS BIGINT) AS s
+              FROM customer
+              UNION ALL SELECT k, v, t, s FROM ch),
+        r AS (SELECT k, v, row_number() OVER (
+                PARTITION BY k ORDER BY t DESC, s DESC) AS rn FROM u),
+        n AS (SELECT k, CAST(count(*) AS BIGINT) AS n_updates
+              FROM ch GROUP BY 1)
+        SELECT r.k AS custkey, r.v AS acctbal_c,
+               coalesce(n.n_updates, 0) AS n_updates
+        FROM r LEFT JOIN n ON n.k = r.k WHERE rn = 1 ORDER BY 1"""
     out["emb_label_coherence"] = """
         WITH p AS (
           SELECT CAST(round(list_cosine_similarity(
