@@ -2251,6 +2251,48 @@ def _tool_transition_edges(sf_dir: str) -> ray.data.Dataset:
         ["conv_id"], block, 8)
 
 
+DISPERSION_TOP = 20
+
+
+def _q_text_dispersion(sf_dir: str):
+    """Term dispersion/burstiness moments: for the top-20 corpus terms,
+    (df, total occurrences, Σ per-doc-count²) in exact integers — the
+    variance-to-mean (index of dispersion) inputs that separate bursty
+    topical terms from evenly-spread function words (Church & Gale 1995,
+    public). One dictionary-sized shuffle of per-batch (doc, term)
+    multiplicity partials; the top-k head is a tiny sort."""
+    from .functions.grouped import sorted_aggregate
+    from .stages.dedup import _words_flat
+
+    def partial(b: pa.Table) -> pa.Table:
+        words, doc_of = _words_flat(b["text"])
+        if len(words) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64()),
+                             "total": pa.array([], pa.int64()),
+                             "sum_sq": pa.array([], pa.int64())})
+        codes, inv = np.unique(words, return_inverse=True)
+        key = doc_of.astype(np.int64) * len(codes) + inv
+        ukey, mult = np.unique(key, return_counts=True)
+        m = mult.astype(np.int64)
+        t = pa.table({"term": pa.array(codes[ukey % len(codes)],
+                                       pa.string()),
+                      "df": pa.array(np.ones(len(ukey), np.int64)),
+                      "total": pa.array(m),
+                      "sum_sq": pa.array(m * m)})
+        return t.group_by(["term"], use_threads=False).aggregate(
+            [("df", "sum"), ("total", "sum"), ("sum_sq", "sum")]) \
+            .rename_columns(["term", "df", "total", "sum_sq"])
+
+    agg = sorted_aggregate(
+        _docs(sf_dir).map_batches(partial, batch_format="pyarrow",
+                                  zero_copy_batch=True),
+        ["term"], [("df", "sum"), ("total", "sum"), ("sum_sq", "sum")],
+        ["term", "df", "total", "sum_sq"], 4)
+    return agg.sort(["total", "term"], descending=[True, False]) \
+        .limit(DISPERSION_TOP)
+
+
 def _q_rel_merge_upsert(sf_dir: str):
     """Lakehouse MERGE INTO / CDC upsert (last-writer-wins): apply
     purchase events as account-balance changes onto the customer base
@@ -3801,6 +3843,7 @@ def queries() -> dict[str, Callable]:
         "kg_graph_diameter": _q_kg_graph_diameter,
         "emb_label_coherence": _q_emb_label_coherence,
         "rel_merge_upsert": _q_rel_merge_upsert,
+        "text_dispersion": _q_text_dispersion,
     }
 
 
@@ -5917,6 +5960,16 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS harmonic_fp
             FROM sp GROUP BY 1 ORDER BY 1""",
     }
+    out["text_dispersion"] = f"""
+        WITH w AS (SELECT doc_id,
+                          unnest(string_split(lower(text), ' ')) AS w
+                   FROM documents),
+        m AS (SELECT doc_id, w, count(*) AS m FROM w GROUP BY 1, 2)
+        SELECT w AS term, CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(m) AS BIGINT) AS total,
+               CAST(sum(m * m) AS BIGINT) AS sum_sq
+        FROM m GROUP BY 1
+        ORDER BY total DESC, term LIMIT {DISPERSION_TOP}"""
     out["rel_merge_upsert"] = """
         WITH ch AS (SELECT user_id AS k,
                            CAST(round(value * 100) AS BIGINT) AS v,
