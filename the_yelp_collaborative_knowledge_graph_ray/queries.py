@@ -3097,6 +3097,28 @@ def _q_rel_fk_audit(sf_dir: str):
     return fk_integrity_audit(sf_dir)
 
 
+def _q_rel_tpch_q4(sf_dir: str):
+    """TPC-H Q4 analog (pipelines/tpch.tpch_q4): EXISTS semi-join via a
+    distinct-key co-group attach; 'late line' adapted to returnflag='R'
+    (testdata has no commit/receipt dates)."""
+    from .pipelines.tpch import tpch_q4
+    return tpch_q4(sf_dir)
+
+
+def _q_rel_tpch_q12(sf_dir: str):
+    """TPC-H Q12 analog (pipelines/tpch.tpch_q12): priority split per
+    returnflag through the distributed lineitem⋈orders attach."""
+    from .pipelines.tpch import tpch_q12
+    return tpch_q12(sf_dir)
+
+
+def _q_rel_tpch_q13(sf_dir: str):
+    """TPC-H Q13 analog (pipelines/tpch.tpch_q13): order-count
+    distribution with a metadata-derived zero bucket (no outer join)."""
+    from .pipelines.tpch import tpch_q13
+    return tpch_q13(sf_dir)
+
+
 def _fk_audit_sql() -> str:
     from .pipelines.relational import FK_RELATIONS
     sels = []
@@ -3837,6 +3859,9 @@ def queries() -> dict[str, Callable]:
         "rel_fk_audit": _q_rel_fk_audit,
         "rel_tpch_q10": _q_rel_tpch_q10,
         "rel_tpch_q19": _q_rel_tpch_q19,
+        "rel_tpch_q4": _q_rel_tpch_q4,
+        "rel_tpch_q12": _q_rel_tpch_q12,
+        "rel_tpch_q13": _q_rel_tpch_q13,
         "sample_systematic": _q_sample_systematic,
         "kg_sparql_having": _q_kg_sparql_having,
         "kg_harmonic_centrality": _q_kg_harmonic_centrality,
@@ -6009,6 +6034,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(ecc) AS BIGINT) AS diameter,
                    CAST(min(ecc) AS BIGINT) AS radius
             FROM (SELECT src, max(dist) AS ecc FROM sp GROUP BY 1)""")
+    out["rel_tpch_q4"] = """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE year(o_orderdate) = 1996
+          AND month(o_orderdate) BETWEEN 7 AND 9
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_returnflag = 'R')
+        GROUP BY 1 ORDER BY 1"""
+    out["rel_tpch_q12"] = """
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT)
+                 AS low_line_count
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE year(l_shipdate) = 1996
+        GROUP BY 1 ORDER BY 1"""
+    out["rel_tpch_q13"] = """
+        WITH o AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS c_count
+                   FROM orders WHERE o_orderpriority <> '5-LOW'
+                   GROUP BY 1),
+        j AS (SELECT c.c_custkey, coalesce(o.c_count, 0) AS c_count
+              FROM customer c LEFT JOIN o ON o.o_custkey = c.c_custkey)
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM j GROUP BY 1 ORDER BY custdist DESC, c_count DESC"""
     out["kg_type_rollup_counts"] = (
         "SELECT type_iri, count(*) AS n_entities FROM ("
         + out["kg_inferred_types"] + ") GROUP BY 1 ORDER BY 1")
