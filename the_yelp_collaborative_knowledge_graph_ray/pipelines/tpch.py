@@ -145,6 +145,326 @@ def tpch_q12(sf_dir: str) -> ray.data.Dataset:
         ["l_returnflag", "high_line_count", "low_line_count"], 1)
 
 
+def _nation_names(sf_dir: str) -> list[str]:
+    """Nation names indexed by nationkey (keys are dense 0..N-1)."""
+    t = pq.read_table(f"{sf_dir}/nation.parquet",
+                      columns=["n_nationkey", "n_name"])
+    keys = t["n_nationkey"].to_numpy()
+    names = [""] * (int(keys.max()) + 1)
+    for k, n in zip(keys, t["n_name"].to_pylist()):
+        names[int(k)] = n
+    return names
+
+
+def tpch_q7(sf_dir: str, nation_a: int = 3, nation_b: int = 8
+            ) -> ray.data.Dataset:
+    """TPC-H Q7 (volume shipping between two nations).
+
+    Faithful shape: lineitem⋈orders⋈customer⋈supplier⋈nation×2, revenue
+    per (supp_nation, cust_nation, ship-year) for the two directed pairs
+    between two nations, years 1996-1997.
+
+    Plan: supplier and customer nationkeys broadcast as sorted arrays
+    (shuffle-free probes); lineitem pre-filters map-side to the two ship
+    years AND the two supplier nations — only that sliver enters the ONE
+    big×big co-group that attaches o_custkey; the pair filter and the
+    grouped revenue fold are per-block partials into a ≤4-row exchange."""
+    from ..functions.grouped import sorted_aggregate
+    from ..functions.joins import attach_column, probe_sorted
+
+    supp = _broadcast_sorted(sf_dir, "supplier", "s_suppkey",
+                             ["s_nationkey"])
+    cust = _broadcast_sorted(sf_dir, "customer", "c_custkey",
+                             ["c_nationkey"])
+    names = _nation_names(sf_dir)
+
+    class PreFilter:
+        def __init__(self):
+            self.sk, self.snat = ray.get(supp)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            yr = pc.year(b["l_shipdate"])
+            m = pc.or_(pc.equal(yr, 1996), pc.equal(yr, 1997))
+            t, yr = b.filter(m), yr.filter(m)
+            k = pc.cast(t["l_suppkey"], pa.int64()).combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            nat = probe_sorted(self.sk, self.snat, k, missing=-1)
+            keep = (nat == nation_a) | (nat == nation_b)
+            rev = (_scaled_int(t["l_extendedprice"], 100.0).to_numpy()
+                   * (100 - _scaled_int(t["l_discount"], 100.0)
+                      .to_numpy()))
+            return pa.table({
+                "l_orderkey": pc.cast(t["l_orderkey"], pa.int64())
+                .filter(pa.array(keep)),
+                "s_nat": pa.array(nat[keep], pa.int64()),
+                "l_year": pc.cast(yr, pa.int64()).filter(pa.array(keep)),
+                "rev_c2": pa.array(rev[keep], pa.int64())})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount"]) \
+        .map_batches(PreFilter, concurrency=(1, 4),
+                     batch_format="pyarrow")
+    joined = attach_column(
+        li, _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        [("l_orderkey", pa.int64()), ("s_nat", pa.int64()),
+         ("l_year", pa.int64()), ("rev_c2", pa.int64())],
+        "l_orderkey", "o_orderkey", "o_custkey", "o_custkey",
+        pa.int64(), 8)
+
+    class PairFold:
+        def __init__(self):
+            self.ck, self.cnat = ray.get(cust)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            k = pc.cast(b["o_custkey"], pa.int64()).combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            cnat = probe_sorted(self.ck, self.cnat, k, missing=-1)
+            snat = b["s_nat"].combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            keep = (((snat == nation_a) & (cnat == nation_b))
+                    | ((snat == nation_b) & (cnat == nation_a)))
+            t = pa.table({"s_nat": b["s_nat"], "c_nat": pa.array(
+                cnat, pa.int64()), "l_year": b["l_year"],
+                "rev_c2": b["rev_c2"]}).filter(pa.array(keep))
+            return t.group_by(["s_nat", "c_nat", "l_year"],
+                              use_threads=False) \
+                .aggregate([("rev_c2", "sum")]) \
+                .rename_columns(["s_nat", "c_nat", "l_year", "rev_c2"])
+
+    agg = sorted_aggregate(
+        joined.map_batches(PairFold, concurrency=(1, 4),
+                           batch_format="pyarrow"),
+        ["s_nat", "c_nat", "l_year"], [("rev_c2", "sum")],
+        ["s_nat", "c_nat", "l_year", "revenue_c2"], 1)
+
+    def label(b: pa.Table) -> pa.Table:
+        s = [names[int(x)] for x in b["s_nat"].to_pylist()]
+        c = [names[int(x)] for x in b["c_nat"].to_pylist()]
+        return pa.table({"supp_nation": pa.array(s, pa.string()),
+                         "cust_nation": pa.array(c, pa.string()),
+                         "l_year": b["l_year"],
+                         "revenue_c2": b["revenue_c2"]})
+
+    return agg.map_batches(label, batch_format="pyarrow")
+
+
+def tpch_q8(sf_dir: str, market_region: int = 1, target_nation: int = 3
+            ) -> pa.Table:
+    """TPC-H Q8 (national market share): of PROMO-part revenue sold into
+    the AMERICA market (customer's region) in 1996-1997, what share was
+    supplied by NATION_3, per order-year.
+
+    Adapted: p_type = 'PROMO' stands in for the part-name pattern.
+
+    Plan: part (is-promo) and supplier (nationkey) broadcast; lineitem
+    pre-filters to promo parts map-side; the co-group attach against the
+    year-windowed orders carries ONE packed int64 (custkey·16 + year−1990)
+    so a single attach delivers both join columns; customer nation →
+    region probe, then per-year (nation, total) revenue partials. The
+    share division happens once on the driver from exact integer sums."""
+    from ..functions.grouped import sorted_aggregate
+    from ..functions.joins import attach_column, probe_sorted
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    pk = part["p_partkey"].to_numpy()
+    order = np.argsort(pk)
+    promo = pc.equal(part["p_type"], "PROMO").to_numpy(
+        zero_copy_only=False).astype(np.int64)[order]
+    part_ref = ray.put((pk[order], promo))
+    supp = _broadcast_sorted(sf_dir, "supplier", "s_suppkey",
+                             ["s_nationkey"])
+    cust = _broadcast_sorted(sf_dir, "customer", "c_custkey",
+                             ["c_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"])
+    nk = nat["n_nationkey"].to_numpy()
+    region_of = np.zeros(int(nk.max()) + 2, np.int64) - 1
+    region_of[nk] = nat["n_regionkey"].to_numpy()
+
+    class PreFilter:
+        def __init__(self):
+            self.pk, self.promo = ray.get(part_ref)
+            self.sk, self.snat = ray.get(supp)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            k = pc.cast(b["l_partkey"], pa.int64()).combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            keep = probe_sorted(self.pk, self.promo, k, missing=0) == 1
+            t = b.filter(pa.array(keep))
+            sk = pc.cast(t["l_suppkey"], pa.int64()).combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            snat = probe_sorted(self.sk, self.snat, sk, missing=-1)
+            rev = (_scaled_int(t["l_extendedprice"], 100.0).to_numpy()
+                   * (100 - _scaled_int(t["l_discount"], 100.0)
+                      .to_numpy()))
+            return pa.table({
+                "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "is_tgt": pa.array((snat == target_nation)
+                                   .astype(np.int64)),
+                "rev_c2": pa.array(rev, pa.int64())})
+
+    def pack_orders(b: pa.Table) -> pa.Table:
+        yr = pc.year(b["o_orderdate"])
+        m = pc.or_(pc.equal(yr, 1996), pc.equal(yr, 1997))
+        t, yr = b.filter(m), pc.cast(yr.filter(m), pa.int64())
+        packed = pc.add(pc.multiply(pc.cast(t["o_custkey"], pa.int64()),
+                                    pa.scalar(16, pa.int64())),
+                        pc.subtract(yr, pa.scalar(1990, pa.int64())))
+        return pa.table({"o_orderkey": pc.cast(t["o_orderkey"],
+                                               pa.int64()),
+                         "__pack": packed})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey",
+                "l_extendedprice", "l_discount"]) \
+        .map_batches(PreFilter, concurrency=(1, 4),
+                     batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(pack_orders, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    joined = attach_column(
+        li, orders,
+        [("l_orderkey", pa.int64()), ("is_tgt", pa.int64()),
+         ("rev_c2", pa.int64())],
+        "l_orderkey", "o_orderkey", "__pack", "__pack", pa.int64(), 8)
+
+    class ShareFold:
+        def __init__(self):
+            self.ck, self.cnat = ray.get(cust)
+            self.region_of = region_of
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            packed = b["__pack"].combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            custkey, yr = packed // 16, packed % 16 + 1990
+            cnat = probe_sorted(self.ck, self.cnat, custkey, missing=-1)
+            keep = self.region_of[np.clip(cnat, -1, len(self.region_of)
+                                          - 2)] == market_region
+            keep &= cnat >= 0
+            rev = b["rev_c2"].combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            tgt = b["is_tgt"].combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            t = pa.table({
+                "o_year": pa.array(yr[keep], pa.int64()),
+                "nation_c2": pa.array((rev * tgt)[keep], pa.int64()),
+                "total_c2": pa.array(rev[keep], pa.int64())})
+            return t.group_by(["o_year"], use_threads=False).aggregate(
+                [("nation_c2", "sum"), ("total_c2", "sum")]) \
+                .rename_columns(["o_year", "nation_c2", "total_c2"])
+
+    agg = sorted_aggregate(
+        joined.map_batches(ShareFold, concurrency=(1, 4),
+                           batch_format="pyarrow"),
+        ["o_year"], [("nation_c2", "sum"), ("total_c2", "sum")],
+        ["o_year", "nation_c2", "total_c2"], 1).to_pandas()
+    num = agg["nation_c2"].to_numpy().astype(np.int64)
+    den = agg["total_c2"].to_numpy().astype(np.int64)
+    share = np.where(den > 0, 1.0 * num / np.maximum(den, 1), 0.0)
+    return pa.table({"o_year": pa.array(agg["o_year"].to_numpy()
+                                        .astype(np.int64)),
+                     "nation_c2": pa.array(num),
+                     "total_c2": pa.array(den),
+                     "mkt_share": pa.array(share, pa.float64())})
+
+
+def tpch_q9(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q9 (product-type profit) per (supplier nation, order-year).
+
+    Adapted: no partsupp, so unit supply cost is ``p_retailprice`` and the
+    part filter is ``p_type = 'PROMO'`` (stands in for name LIKE
+    '%green%'). profit_c2 = price_c·(100−disc) − 100·retail_c·qty, exact
+    int64 units.
+
+    Plan: part (promo flag + retail cents) and supplier (nationkey)
+    broadcast; lineitem pre-filters to promo parts map-side and computes
+    the per-line profit BEFORE the one big×big co-group that attaches the
+    order year; per-(nation, year) partials collapse each block to ≤|n|×|y|
+    rows ahead of a tiny exchange."""
+    from ..functions.grouped import sorted_aggregate
+    from ..functions.joins import attach_column, probe_sorted
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type", "p_retailprice"])
+    pk = part["p_partkey"].to_numpy()
+    order = np.argsort(pk)
+    promo = pc.equal(part["p_type"], "PROMO").to_numpy(
+        zero_copy_only=False).astype(np.int64)[order]
+    retail_c = _scaled_int(part["p_retailprice"], 100.0) \
+        .to_numpy()[order]
+    part_ref = ray.put((pk[order], promo, retail_c))
+    supp = _broadcast_sorted(sf_dir, "supplier", "s_suppkey",
+                             ["s_nationkey"])
+    names = _nation_names(sf_dir)
+
+    class PreFilter:
+        def __init__(self):
+            self.pk, self.promo, self.retail = ray.get(part_ref)
+            self.sk, self.snat = ray.get(supp)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            k = pc.cast(b["l_partkey"], pa.int64()).combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(self.pk, k), 0,
+                          len(self.pk) - 1)
+            keep = (self.pk[pos] == k) & (self.promo[pos] == 1)
+            t = b.filter(pa.array(keep))
+            retail = self.retail[pos[keep]]
+            sk = pc.cast(t["l_suppkey"], pa.int64()).combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            snat = probe_sorted(self.sk, self.snat, sk, missing=-1)
+            qty = _scaled_int(t["l_quantity"], 1.0).to_numpy()
+            rev = (_scaled_int(t["l_extendedprice"], 100.0).to_numpy()
+                   * (100 - _scaled_int(t["l_discount"], 100.0)
+                      .to_numpy()))
+            profit = rev - 100 * retail * qty
+            return pa.table({
+                "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "s_nat": pa.array(snat, pa.int64()),
+                "profit_c2": pa.array(profit, pa.int64())})
+
+    def order_year(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+            "o_year": pc.cast(pc.year(b["o_orderdate"]), pa.int64())})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                "l_extendedprice", "l_discount"]) \
+        .map_batches(PreFilter, concurrency=(1, 4),
+                     batch_format="pyarrow")
+    joined = attach_column(
+        li, _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+        .map_batches(order_year, batch_format="pyarrow",
+                     zero_copy_batch=True),
+        [("l_orderkey", pa.int64()), ("s_nat", pa.int64()),
+         ("profit_c2", pa.int64())],
+        "l_orderkey", "o_orderkey", "o_year", "o_year", pa.int64(), 8)
+
+    def partial(b: pa.Table) -> pa.Table:
+        return b.select(["s_nat", "o_year", "profit_c2"]) \
+            .group_by(["s_nat", "o_year"], use_threads=False) \
+            .aggregate([("profit_c2", "sum")]) \
+            .rename_columns(["s_nat", "o_year", "profit_c2"])
+
+    agg = sorted_aggregate(
+        joined.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["s_nat", "o_year"], [("profit_c2", "sum")],
+        ["s_nat", "o_year", "profit_c2"], 1)
+
+    def label(b: pa.Table) -> pa.Table:
+        n = [names[int(x)] for x in b["s_nat"].to_pylist()]
+        return pa.table({"n_name": pa.array(n, pa.string()),
+                         "o_year": b["o_year"],
+                         "profit_c2": b["profit_c2"]})
+
+    return agg.map_batches(label, batch_format="pyarrow")
+
+
 def tpch_q13(sf_dir: str) -> pa.Table:
     """TPC-H Q13 (customer order-count distribution) — the count-of-counts
     with an explicit zero bucket.

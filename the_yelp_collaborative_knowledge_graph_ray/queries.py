@@ -3119,6 +3119,34 @@ def _q_rel_tpch_q13(sf_dir: str):
     return tpch_q13(sf_dir)
 
 
+def _q_rel_tpch_q7(sf_dir: str):
+    """TPC-H Q7 (pipelines/tpch.tpch_q7): two-nation shipping volume —
+    broadcast nation probes + ONE big×big co-group attach."""
+    from .pipelines.tpch import tpch_q7
+    df = tpch_q7(sf_dir).to_pandas()
+    if df.empty:  # an empty Dataset loses its schema through sort
+        import pandas as pd
+        df = pd.DataFrame({"supp_nation": pd.Series(dtype=object),
+                           "cust_nation": pd.Series(dtype=object),
+                           "l_year": pd.Series(dtype="int64"),
+                           "revenue_c2": pd.Series(dtype="int64")})
+    return df
+
+
+def _q_rel_tpch_q8(sf_dir: str):
+    """TPC-H Q8 (pipelines/tpch.tpch_q8): national market share via a
+    packed (custkey, year) single-attach; share ratio from exact ints."""
+    from .pipelines.tpch import tpch_q8
+    return tpch_q8(sf_dir)
+
+
+def _q_rel_tpch_q9(sf_dir: str):
+    """TPC-H Q9 analog (pipelines/tpch.tpch_q9): profit per (nation,
+    order-year); supply cost adapted to p_retailprice (no partsupp)."""
+    from .pipelines.tpch import tpch_q9
+    return tpch_q9(sf_dir)
+
+
 def _fk_audit_sql() -> str:
     from .pipelines.relational import FK_RELATIONS
     sels = []
@@ -3862,6 +3890,9 @@ def queries() -> dict[str, Callable]:
         "rel_tpch_q4": _q_rel_tpch_q4,
         "rel_tpch_q12": _q_rel_tpch_q12,
         "rel_tpch_q13": _q_rel_tpch_q13,
+        "rel_tpch_q7": _q_rel_tpch_q7,
+        "rel_tpch_q8": _q_rel_tpch_q8,
+        "rel_tpch_q9": _q_rel_tpch_q9,
         "sample_systematic": _q_sample_systematic,
         "kg_sparql_having": _q_kg_sparql_having,
         "kg_harmonic_centrality": _q_kg_harmonic_centrality,
@@ -6062,6 +6093,55 @@ def oracle_sql() -> dict[str, str]:
               FROM customer c LEFT JOIN o ON o.o_custkey = c.c_custkey)
         SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
         FROM j GROUP BY 1 ORDER BY custdist DESC, c_count DESC"""
+    out["rel_tpch_q7"] = """
+        WITH j AS (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                 CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+          FROM lineitem, orders, customer, supplier, nation n1, nation n2
+          WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+            AND l_suppkey = s_suppkey
+            AND s_nationkey = n1.n_nationkey
+            AND c_nationkey = n2.n_nationkey
+            AND ((n1.n_nationkey = 3 AND n2.n_nationkey = 8)
+                 OR (n1.n_nationkey = 8 AND n2.n_nationkey = 3))
+            AND year(l_shipdate) IN (1996, 1997))
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(sum(rev) AS BIGINT) AS revenue_c2
+        FROM j GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+    out["rel_tpch_q8"] = """
+        WITH j AS (
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev,
+                 CAST(s_nationkey = 3 AS BIGINT) AS is_tgt
+          FROM lineitem, orders, customer, supplier, part,
+               nation n2, region
+          WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+            AND l_suppkey = s_suppkey AND l_partkey = p_partkey
+            AND c_nationkey = n2.n_nationkey
+            AND n2.n_regionkey = r_regionkey AND r_regionkey = 1
+            AND p_type = 'PROMO'
+            AND year(o_orderdate) IN (1996, 1997))
+        SELECT o_year,
+               CAST(sum(rev * is_tgt) AS BIGINT) AS nation_c2,
+               CAST(sum(rev) AS BIGINT) AS total_c2,
+               1.0 * sum(rev * is_tgt) / sum(rev) AS mkt_share
+        FROM j GROUP BY 1 ORDER BY 1"""
+    out["rel_tpch_q9"] = """
+        WITH j AS (
+          SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                 - 100 * CAST(round(p_retailprice * 100) AS BIGINT)
+                   * CAST(floor(l_quantity) AS BIGINT) AS profit
+          FROM lineitem, orders, supplier, part, nation
+          WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+            AND l_partkey = p_partkey AND s_nationkey = n_nationkey
+            AND p_type = 'PROMO')
+        SELECT n_name, o_year, CAST(sum(profit) AS BIGINT) AS profit_c2
+        FROM j GROUP BY 1, 2 ORDER BY 1, 2"""
     out["kg_type_rollup_counts"] = (
         "SELECT type_iri, count(*) AS n_entities FROM ("
         + out["kg_inferred_types"] + ") GROUP BY 1 ORDER BY 1")
