@@ -465,6 +465,201 @@ def tpch_q9(sf_dir: str) -> ray.data.Dataset:
     return agg.map_batches(label, batch_format="pyarrow")
 
 
+def tpch_q11(sf_dir: str, nation: int = 3) -> ray.data.Dataset:
+    """TPC-H Q11 (important stock) — the scale-RELATIVE HAVING over a
+    grouped sum.
+
+    Adapted: no partsupp, so "stock value" per part is the discounted
+    lineitem revenue from suppliers of one nation, and the classic
+    ``sum > fraction · total`` cut is restated mean-relative
+    (``val·n_parts > 2·total``, i.e. parts above twice the mean part
+    value) so the predicate stays non-vacuous at EVERY scale — a constant
+    fraction of the global total selects nothing once the part count
+    outgrows 1/fraction.
+
+    Plan: supplier nation broadcast-probed map-side; per-part partials →
+    ONE keyed exchange; the (total, count) scalars fold from the per-part
+    result's blocks (one row per block, no second scan of lineitem); the
+    final filter is an exact integer cross-multiply."""
+    from ..functions.grouped import sorted_aggregate
+    from ..functions.joins import probe_sorted
+
+    supp = _broadcast_sorted(sf_dir, "supplier", "s_suppkey",
+                             ["s_nationkey"])
+
+    class PreFilter:
+        def __init__(self):
+            self.sk, self.snat = ray.get(supp)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            sk = pc.cast(b["l_suppkey"], pa.int64()).combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            keep = probe_sorted(self.sk, self.snat, sk,
+                                missing=-1) == nation
+            t = b.filter(pa.array(keep))
+            rev = (_scaled_int(t["l_extendedprice"], 100.0).to_numpy()
+                   * (100 - _scaled_int(t["l_discount"], 100.0)
+                      .to_numpy()))
+            return pa.table({
+                "l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                "value_c2": pa.array(rev, pa.int64())}) \
+                .group_by(["l_partkey"], use_threads=False) \
+                .aggregate([("value_c2", "sum")]) \
+                .rename_columns(["l_partkey", "value_c2"])
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice",
+                "l_discount"]) \
+        .map_batches(PreFilter, concurrency=(1, 4),
+                     batch_format="pyarrow")
+    per_part = sorted_aggregate(
+        li, ["l_partkey"], [("value_c2", "sum")],
+        ["l_partkey", "value_c2"], 8).materialize()
+
+    totals = per_part.map_batches(
+        lambda b: pa.table({
+            "total": pa.array([int(pc.sum(b["value_c2"]).as_py() or 0)],
+                              pa.int64()),
+            "n": pa.array([b.num_rows], pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    total = int(totals["total"].sum())
+    n_parts = int(totals["n"].sum())
+
+    def keep(b: pa.Table) -> pa.Table:
+        v = b["value_c2"].combine_chunks().to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(v * n_parts > 2 * total))
+
+    return per_part.map_batches(keep, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
+def tpch_q15(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q15 (top supplier): suppliers whose 1996-Q1 revenue equals
+    the global maximum — the correlated MAX scalar subquery.
+
+    Plan: per-supplier revenue partials → ONE keyed exchange
+    (materialized once); the global max folds from that result's blocks
+    (one row each) to a driver scalar; the winner filter re-reads the
+    per-supplier blocks, and names broadcast-probe on the tiny winner
+    set. Exact integer revenue makes the ``= max`` filter hash-safe (a
+    float max would tie-break on summation order)."""
+    from ..functions.grouped import sorted_aggregate
+    from ..functions.joins import probe_sorted
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = b["l_shipdate"]
+        m = pc.and_(pc.equal(pc.year(d), 1996),
+                    pc.less_equal(pc.month(d), 3))
+        t = b.filter(m)
+        rev = (_scaled_int(t["l_extendedprice"], 100.0).to_numpy()
+               * (100 - _scaled_int(t["l_discount"], 100.0).to_numpy()))
+        return pa.table({
+            "s_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+            "total_revenue_c2": pa.array(rev, pa.int64())}) \
+            .group_by(["s_suppkey"], use_threads=False) \
+            .aggregate([("total_revenue_c2", "sum")]) \
+            .rename_columns(["s_suppkey", "total_revenue_c2"])
+
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_shipdate", "l_extendedprice",
+                "l_discount"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    per_supp = sorted_aggregate(
+        li, ["s_suppkey"], [("total_revenue_c2", "sum")],
+        ["s_suppkey", "total_revenue_c2"], 8).materialize()
+
+    maxes = per_supp.map_batches(
+        lambda b: pa.table({"m": pa.array(
+            [int(pc.max(b["total_revenue_c2"]).as_py() or 0)]
+            if b.num_rows else [], pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    best = int(maxes["m"].max()) if len(maxes) else 0
+
+    supp = _broadcast_sorted(sf_dir, "supplier", "s_suppkey", ["s_name"])
+
+    def winners(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["total_revenue_c2"], best))
+        sk, names = ray.get(supp)
+        k = pc.cast(t["s_suppkey"], pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(sk, k), 0, max(len(sk) - 1, 0))
+        return pa.table({"s_suppkey": t["s_suppkey"],
+                         "s_name": names.take(pa.array(pos,
+                                                       pa.int64())),
+                         "total_revenue_c2": t["total_revenue_c2"]})
+
+    return per_supp.map_batches(winners, batch_format="pyarrow")
+
+
+def tpch_q16(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q16 (part/supplier relationship count): distinct suppliers
+    per (brand, type, size), excluding one brand and "complained-about"
+    suppliers.
+
+    Adapted: pairs come from lineitem (no partsupp) and the complaint
+    exclusion is ``s_acctbal < 1000`` (the comment LIKE has no column).
+
+    Plan: billions of lineitems collapse to DISTINCT (part, supp) pairs
+    via grouped-count partials (the only corpus-sized exchange); the
+    supplier exclusion set and part attributes broadcast-probe onto the
+    pair table; distinctness per (attrs, supplier) then the supplier
+    count per attrs are two more grouped counts over pair-sized data."""
+    from ..functions.grouped import grouped_count
+    from ..functions.joins import probe_sorted
+
+    pairs = grouped_count(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]),
+        ["l_partkey", "l_suppkey"], "__n", 8)
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_type",
+                                  "p_size"])
+    pk = part["p_partkey"].to_numpy()
+    order = np.argsort(pk)
+    part_ref = ray.put((
+        pk[order], part["p_brand"].combine_chunks().take(pa.array(order)),
+        part["p_type"].combine_chunks().take(pa.array(order)),
+        part["p_size"].to_numpy().astype(np.int64)[order]))
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_acctbal"])
+    sk = supp["s_suppkey"].to_numpy()
+    sorder = np.argsort(sk)
+    ok = (supp["s_acctbal"].to_numpy() >= 1000.0).astype(np.int64)
+    supp_ref = ray.put((sk[sorder], ok[sorder]))
+
+    class Attr:
+        def __init__(self):
+            self.pk, self.brand, self.ptype, self.size = ray.get(part_ref)
+            self.sk, self.ok = ray.get(supp_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            sk = pc.cast(b["l_suppkey"], pa.int64()).combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            keep = probe_sorted(self.sk, self.ok, sk, missing=0) == 1
+            k = pc.cast(b["l_partkey"], pa.int64()).combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(self.pk, k), 0,
+                          len(self.pk) - 1)
+            keep &= self.pk[pos] == k
+            brand = self.brand.take(pa.array(pos))
+            keep &= pc.not_equal(brand, "Brand#1").to_numpy(
+                zero_copy_only=False)
+            sel = pa.array(keep)
+            return pa.table({
+                "p_brand": brand.filter(sel),
+                "p_type": self.ptype.take(pa.array(pos)).filter(sel),
+                "p_size": pa.array(self.size[pos][keep], pa.int64()),
+                "s_suppkey": pa.array(sk[keep], pa.int64())})
+
+    attrs = pairs.map_batches(Attr, concurrency=(1, 4),
+                              batch_format="pyarrow")
+    distinct = grouped_count(
+        attrs, ["p_brand", "p_type", "p_size", "s_suppkey"], "__n", 8)
+    return grouped_count(
+        distinct, ["p_brand", "p_type", "p_size"], "supplier_cnt", 8)
+
+
 def tpch_q13(sf_dir: str) -> pa.Table:
     """TPC-H Q13 (customer order-count distribution) — the count-of-counts
     with an explicit zero bucket.

@@ -3147,6 +3147,27 @@ def _q_rel_tpch_q9(sf_dir: str):
     return tpch_q9(sf_dir)
 
 
+def _q_rel_tpch_q11(sf_dir: str):
+    """TPC-H Q11 analog (pipelines/tpch.tpch_q11): mean-relative
+    important-stock cut (val·n > 2·total) in exact integer algebra."""
+    from .pipelines.tpch import tpch_q11
+    return tpch_q11(sf_dir)
+
+
+def _q_rel_tpch_q15(sf_dir: str):
+    """TPC-H Q15 (pipelines/tpch.tpch_q15): top supplier(s) by exact
+    integer quarter revenue — the correlated MAX subquery."""
+    from .pipelines.tpch import tpch_q15
+    return tpch_q15(sf_dir)
+
+
+def _q_rel_tpch_q16(sf_dir: str):
+    """TPC-H Q16 analog (pipelines/tpch.tpch_q16): distinct-supplier
+    counts per part attribute triple with brand/acctbal exclusions."""
+    from .pipelines.tpch import tpch_q16
+    return tpch_q16(sf_dir)
+
+
 def _fk_audit_sql() -> str:
     from .pipelines.relational import FK_RELATIONS
     sels = []
@@ -3893,6 +3914,9 @@ def queries() -> dict[str, Callable]:
         "rel_tpch_q7": _q_rel_tpch_q7,
         "rel_tpch_q8": _q_rel_tpch_q8,
         "rel_tpch_q9": _q_rel_tpch_q9,
+        "rel_tpch_q11": _q_rel_tpch_q11,
+        "rel_tpch_q15": _q_rel_tpch_q15,
+        "rel_tpch_q16": _q_rel_tpch_q16,
         "sample_systematic": _q_sample_systematic,
         "kg_sparql_having": _q_kg_sparql_having,
         "kg_harmonic_centrality": _q_kg_harmonic_centrality,
@@ -6142,6 +6166,40 @@ def oracle_sql() -> dict[str, str]:
             AND p_type = 'PROMO')
         SELECT n_name, o_year, CAST(sum(profit) AS BIGINT) AS profit_c2
         FROM j GROUP BY 1, 2 ORDER BY 1, 2"""
+    out["rel_tpch_q11"] = """
+        WITH v AS (
+          SELECT l_partkey,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100)
+                                        AS BIGINT))) AS BIGINT) AS value_c2
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          WHERE s_nationkey = 3 GROUP BY 1),
+        t AS (SELECT CAST(sum(value_c2) AS BIGINT) AS total,
+                     CAST(count(*) AS BIGINT) AS n FROM v)
+        SELECT l_partkey, value_c2 FROM v, t
+        WHERE value_c2 * n > 2 * total ORDER BY value_c2 DESC"""
+    out["rel_tpch_q15"] = """
+        WITH r AS (
+          SELECT l_suppkey AS s_suppkey,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100)
+                                        AS BIGINT))) AS BIGINT)
+                   AS total_revenue_c2
+          FROM lineitem
+          WHERE year(l_shipdate) = 1996 AND month(l_shipdate) <= 3
+          GROUP BY 1)
+        SELECT s_suppkey, s_name, total_revenue_c2
+        FROM r JOIN supplier USING (s_suppkey)
+        WHERE total_revenue_c2 = (SELECT max(total_revenue_c2) FROM r)
+        ORDER BY s_suppkey"""
+    out["rel_tpch_q16"] = """
+        SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) li
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        WHERE p_brand <> 'Brand#1' AND s_acctbal >= 1000
+        GROUP BY 1, 2, 3 ORDER BY supplier_cnt DESC, 1, 2, 3"""
     out["kg_type_rollup_counts"] = (
         "SELECT type_iri, count(*) AS n_entities FROM ("
         + out["kg_inferred_types"] + ") GROUP BY 1 ORDER BY 1")
