@@ -660,6 +660,350 @@ def tpch_q16(sf_dir: str) -> ray.data.Dataset:
         distinct, ["p_brand", "p_type", "p_size"], "supplier_cnt", 8)
 
 
+def tpch_q2(sf_dir: str, region: int = 3) -> ray.data.Dataset:
+    """TPC-H Q2 (minimum-cost supplier) — the correlated argmin-per-part
+    subquery.
+
+    Adapted: no partsupp, so the candidate (part, supplier) edges are
+    the DISTINCT pairs that actually shipped (from lineitem) and the
+    cost being minimized is ``s_acctbal`` (ties broken on suppkey); the
+    part filter is ``p_type = 'STANDARD' AND p_size >= 25`` in region
+    EUROPE.
+
+    Plan: the corpus-sized lineitem collapses to distinct pairs via
+    grouped-count partials; part/supplier/nation attributes broadcast-
+    probe onto the pair table; the argmin is ``top_n_per_key(n=1)`` with
+    a total (acctbal, suppkey) order — local prune per block, ONE keyed
+    exchange of pruned candidates."""
+    from ..functions.grouped import grouped_count
+    from ..functions.joins import probe_sorted
+    from ..functions.topn import top_n_per_key
+
+    pairs = grouped_count(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]),
+        ["l_partkey", "l_suppkey"], "__n", 8)
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name", "p_type",
+                                  "p_size"])
+    pk = part["p_partkey"].to_numpy()
+    order = np.argsort(pk)
+    keepable = pc.and_(pc.equal(part["p_type"], "STANDARD"),
+                       pc.greater_equal(part["p_size"], 25)) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    part_ref = ray.put((pk[order], keepable,
+                        part["p_name"].combine_chunks()
+                        .take(pa.array(order))))
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"])
+    region_of = np.zeros(int(nat["n_nationkey"].to_numpy().max()) + 1,
+                         np.int64) - 1
+    region_of[nat["n_nationkey"].to_numpy()] = \
+        nat["n_regionkey"].to_numpy()
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name", "s_nationkey",
+                                  "s_acctbal"])
+    sk = supp["s_suppkey"].to_numpy()
+    sorder = np.argsort(sk)
+    supp_ref = ray.put((
+        sk[sorder],
+        supp["s_nationkey"].to_numpy().astype(np.int64)[sorder],
+        _scaled_int(supp["s_acctbal"], 100.0).to_numpy()[sorder],
+        supp["s_name"].combine_chunks().take(pa.array(sorder))))
+    names = _nation_names(sf_dir)
+
+    class Attr:
+        def __init__(self):
+            self.pk, self.keep, self.pname = ray.get(part_ref)
+            self.sk, self.snat, self.sbal, self.sname = ray.get(supp_ref)
+            self.region_of = region_of
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            k = pc.cast(b["l_partkey"], pa.int64()).combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(self.pk, k), 0,
+                          len(self.pk) - 1)
+            keep = (self.pk[pos] == k) & (self.keep[pos] == 1)
+            s = pc.cast(b["l_suppkey"], pa.int64()).combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            spos = np.clip(np.searchsorted(self.sk, s), 0,
+                           len(self.sk) - 1)
+            svalid = self.sk[spos] == s
+            snat = np.where(svalid, self.snat[spos], 0)
+            keep &= svalid & (self.region_of[snat] == region)
+            sel = pa.array(keep)
+            return pa.table({
+                "p_partkey": pa.array(k[keep], pa.int64()),
+                "p_name": self.pname.take(pa.array(pos[keep])),
+                "s_suppkey": pa.array(s[keep], pa.int64()),
+                "s_acctbal_c": pa.array(self.sbal[spos[keep]],
+                                        pa.int64()),
+                "s_nat": pa.array(snat[keep], pa.int64()),
+                "s_name": self.sname.take(pa.array(spos[keep]))})
+
+    cands = pairs.map_batches(Attr, concurrency=(1, 4),
+                              batch_format="pyarrow")
+    best = top_n_per_key(cands, ["p_partkey"],
+                         [("s_acctbal_c", True), ("s_suppkey", True)],
+                         1, 8)
+
+    def label(b: pa.Table) -> pa.Table:
+        n = [names[int(x)] for x in b["s_nat"].to_pylist()]
+        return pa.table({"s_acctbal_c": b["s_acctbal_c"],
+                         "s_name": b["s_name"],
+                         "n_name": pa.array(n, pa.string()),
+                         "p_partkey": b["p_partkey"],
+                         "p_name": b["p_name"]})
+
+    return best.map_batches(label, batch_format="pyarrow")
+
+
+def tpch_q20(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q20 (potential part promotion) — the nested-aggregate
+    semi-join: suppliers who dominate a part's 1996 shipments.
+
+    Adapted: availqty (partsupp) is replaced by the part's TOTAL shipped
+    quantity, so the predicate becomes scale-relative:
+    ``2 · qty(supp, part) > qty(part)`` — supplier shipped more than half
+    of that PROMO part's 1996 volume.
+
+    Plan: lineitem folds map-side to (part, supp) quantity partials
+    (promo + year filtered via part broadcast) → ONE keyed exchange; the
+    per-part denominator is a second tiny aggregate over the pair table,
+    attached back by partkey co-group; winners collapse to distinct
+    suppliers and broadcast-probe names."""
+    from ..functions.grouped import grouped_count, sorted_aggregate
+    from ..functions.joins import attach_column, probe_sorted
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    pk = part["p_partkey"].to_numpy()
+    order = np.argsort(pk)
+    promo = pc.equal(part["p_type"], "PROMO").to_numpy(
+        zero_copy_only=False).astype(np.int64)[order]
+    part_ref = ray.put((pk[order], promo))
+
+    class Fold:
+        def __init__(self):
+            self.pk, self.promo = ray.get(part_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            m = pc.equal(pc.year(b["l_shipdate"]), 1996)
+            t = b.filter(m)
+            k = pc.cast(t["l_partkey"], pa.int64()).combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            keep = probe_sorted(self.pk, self.promo, k, missing=0) == 1
+            t = t.filter(pa.array(keep))
+            return pa.table({
+                "l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                "q": pa.array(_scaled_int(t["l_quantity"], 1.0)
+                              .to_numpy(), pa.int64())}) \
+                .group_by(["l_partkey", "l_suppkey"],
+                          use_threads=False) \
+                .aggregate([("q", "sum")]) \
+                .rename_columns(["l_partkey", "l_suppkey", "q"])
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]) \
+        .map_batches(Fold, concurrency=(1, 4), batch_format="pyarrow")
+    sp = sorted_aggregate(li, ["l_partkey", "l_suppkey"],
+                          [("q", "sum")],
+                          ["l_partkey", "l_suppkey", "q"],
+                          8).materialize()
+    pt = sorted_aggregate(sp, ["l_partkey"], [("q", "sum")],
+                          ["l_partkey", "tq"], 8)
+    joined = attach_column(
+        sp, pt,
+        [("l_partkey", pa.int64()), ("l_suppkey", pa.int64()),
+         ("q", pa.int64())],
+        "l_partkey", "l_partkey", "tq", "tq", pa.int64(), 8)
+
+    def dominant(b: pa.Table) -> pa.Table:
+        q = b["q"].combine_chunks().to_numpy(zero_copy_only=False)
+        tq = b["tq"].combine_chunks().to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(2 * q > tq)).select(["l_suppkey"])
+
+    winners = grouped_count(
+        joined.map_batches(dominant, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["l_suppkey"], "__n", 8)
+
+    supp = _broadcast_sorted(sf_dir, "supplier", "s_suppkey", ["s_name"])
+
+    def label(b: pa.Table) -> pa.Table:
+        sk, names = ray.get(supp)
+        k = pc.cast(b["l_suppkey"], pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(sk, k), 0, max(len(sk) - 1, 0))
+        return pa.table({"s_suppkey": pa.array(k, pa.int64()),
+                         "s_name": names.take(pa.array(pos,
+                                                       pa.int64()))})
+
+    return winners.map_batches(label, batch_format="pyarrow")
+
+
+def tpch_q21(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q21 (suppliers who kept orders waiting) — the per-order
+    EXISTS / NOT-EXISTS pair.
+
+    Adapted: the "late line" witness is ``l_returnflag = 'R'`` (no
+    receipt/commit dates) and no nation filter (the small test corpus
+    has too few suppliers per nation for a non-vacuous cut). A supplier
+    waits an 'F'-status order iff: the supplier has a flagged line, the
+    order has ≥2 distinct suppliers (EXISTS another supplier), and no
+    OTHER supplier's line is flagged (NOT EXISTS) — i.e. per order the
+    distinct-supplier count is ≥2 and exactly ONE supplier is flagged.
+
+    Plan: lineitem collapses map-side to distinct (order, supp,
+    any-flag) rows → ONE keyed exchange; o_orderstatus attaches through
+    the order-keyed co-group WHOSE OUTPUT BLOCKS already hold complete
+    order groups, so the exists/not-exists evaluation is a per-block
+    numpy reduceat with NO further shuffle; the per-supplier wait count
+    is a final grouped count."""
+    from ..functions.grouped import (grouped_count, group_ids,
+                                     sorted_aggregate)
+    from ..functions.joins import attach_column
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": pc.cast(b["l_orderkey"], pa.int64()),
+            "l_suppkey": pc.cast(b["l_suppkey"], pa.int64()),
+            "r": pc.cast(pc.equal(b["l_returnflag"], "R"), pa.int64())}) \
+            .group_by(["l_orderkey", "l_suppkey"], use_threads=False) \
+            .aggregate([("r", "max")]) \
+            .rename_columns(["l_orderkey", "l_suppkey", "r"])
+
+    ls = sorted_aggregate(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_suppkey", "l_returnflag"])
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True),
+        ["l_orderkey", "l_suppkey"], [("r", "max")],
+        ["l_orderkey", "l_suppkey", "r"], 8)
+
+    f_orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]) \
+        .map_batches(lambda b: b.filter(
+            pc.equal(b["o_orderstatus"], "F")),
+            batch_format="pyarrow", zero_copy_batch=True)
+    tagged = attach_column(
+        ls, f_orders,
+        [("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()),
+         ("r", pa.int64())],
+        "l_orderkey", "o_orderkey", "o_orderstatus", "__st",
+        pa.string(), 8)
+
+    def waiting(b: pa.Table) -> pa.Table:
+        """Blocks hold complete orderkey groups (attach_column's sorted
+        co-group contract); re-sort locally for safe reduceat runs."""
+        if b.num_rows == 0:
+            return pa.schema([("l_suppkey", pa.int64())]).empty_table()
+        b = b.sort_by([("l_orderkey", "ascending"),
+                       ("l_suppkey", "ascending")])
+        gid, starts = group_ids(b, ["l_orderkey"])
+        r = b["r"].combine_chunks().to_numpy(zero_copy_only=False)
+        ends = np.append(starts[1:], len(r))
+        ns = ends - starts
+        nr = np.add.reduceat(r, starts)
+        ok = (ns[gid] >= 2) & (nr[gid] == 1) & (r == 1)
+        return b.filter(pa.array(ok)).select(["l_suppkey"])
+
+    emitted = tagged.map_batches(waiting, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    counts = grouped_count(emitted, ["l_suppkey"], "numwait", 8)
+
+    supp = _broadcast_sorted(sf_dir, "supplier", "s_suppkey", ["s_name"])
+
+    def label(b: pa.Table) -> pa.Table:
+        sk, names = ray.get(supp)
+        k = pc.cast(b["l_suppkey"], pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(sk, k), 0, max(len(sk) - 1, 0))
+        return pa.table({"s_suppkey": pa.array(k, pa.int64()),
+                         "s_name": names.take(pa.array(pos, pa.int64())),
+                         "numwait": b["numwait"]})
+
+    return counts.map_batches(label, batch_format="pyarrow")
+
+
+def tpch_q22(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q22 (global sales opportunity) — anti-join + scalar-subquery
+    threshold.
+
+    Adapted: "country code" is ``c_nationkey % 10 ∈ {1..7}`` (no c_phone)
+    and "no orders" is restated as no RECENT orders (o_orderdate ≥
+    1999-01-01) because every test customer has some order. The balance
+    cut (> average positive balance of the cohort) is the exact integer
+    cross-multiply ``bal_c · n_pos > sum_pos_c``.
+
+    Plan: pass 1 folds (n_pos, sum_pos) to one partial row per customer
+    block — two driver scalars, no shuffle; pass 2 filters map-side and
+    anti-joins the recent-order custkeys through the sorted co-group
+    (the right side ships one distinct key per block); per-code partials
+    collapse into a ≤7-row exchange."""
+    from ..functions.grouped import sorted_aggregate
+    from ..functions.setops import anti_join
+
+    codes = tuple(range(1, 8))
+
+    def sel(b: pa.Table) -> pa.Table:
+        code = pc.cast(b["c_nationkey"], pa.int64())
+        code = pc.subtract(code, pc.multiply(
+            pc.divide(code, pa.scalar(10, pa.int64())),
+            pa.scalar(10, pa.int64())))
+        t = pa.table({"c_custkey": pc.cast(b["c_custkey"], pa.int64()),
+                      "cntrycode": code,
+                      "bal_c": _scaled_int(b["c_acctbal"], 100.0)})
+        m = pc.and_(pc.greater_equal(t["cntrycode"], codes[0]),
+                    pc.less_equal(t["cntrycode"], codes[-1]))
+        return t.filter(m)
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"]) \
+        .map_batches(sel, batch_format="pyarrow", zero_copy_batch=True) \
+        .materialize()
+
+    pos = cust.map_batches(
+        lambda b: pa.table({
+            "n": pa.array([int(pc.sum(pc.cast(pc.greater(
+                b["bal_c"], 0), pa.int64())).as_py() or 0)], pa.int64()),
+            "s": pa.array([int(pc.sum(pc.if_else(
+                pc.greater(b["bal_c"], 0), b["bal_c"],
+                pa.scalar(0, pa.int64()))).as_py() or 0)], pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    n_pos, sum_pos = int(pos["n"].sum()), int(pos["s"].sum())
+
+    rich = cust.map_batches(
+        lambda b: b.filter(pa.array(
+            b["bal_c"].combine_chunks().to_numpy(zero_copy_only=False)
+            * n_pos > sum_pos)),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    recent = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]) \
+        .map_batches(lambda b: b.filter(pc.greater_equal(
+            b["o_orderdate"], pa.scalar(np.datetime64("1999-01-01",
+                                                      "us"))))
+            .select(["o_custkey"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+    inactive = anti_join(
+        rich, recent, "c_custkey", "o_custkey",
+        [("c_custkey", pa.int64()), ("cntrycode", pa.int64()),
+         ("bal_c", pa.int64())], 8)
+
+    def fold(b: pa.Table) -> pa.Table:
+        t = b.select(["cntrycode", "bal_c"]).append_column(
+            "__one", pa.array(np.ones(b.num_rows, np.int64)))
+        return t.group_by(["cntrycode"], use_threads=False).aggregate(
+            [("__one", "sum"), ("bal_c", "sum")]) \
+            .rename_columns(["cntrycode", "numcust", "totacctbal_c"])
+
+    return sorted_aggregate(
+        inactive.map_batches(fold, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["cntrycode"], [("numcust", "sum"), ("totacctbal_c", "sum")],
+        ["cntrycode", "numcust", "totacctbal_c"], 1)
+
+
 def tpch_q13(sf_dir: str) -> pa.Table:
     """TPC-H Q13 (customer order-count distribution) — the count-of-counts
     with an explicit zero bucket.

@@ -3168,6 +3168,35 @@ def _q_rel_tpch_q16(sf_dir: str):
     return tpch_q16(sf_dir)
 
 
+def _q_rel_tpch_q2(sf_dir: str):
+    """TPC-H Q2 analog (pipelines/tpch.tpch_q2): argmin supplier per
+    part over shipped distinct pairs (acctbal stands in for supplycost,
+    no partsupp)."""
+    from .pipelines.tpch import tpch_q2
+    return tpch_q2(sf_dir)
+
+
+def _q_rel_tpch_q20(sf_dir: str):
+    """TPC-H Q20 analog (pipelines/tpch.tpch_q20): suppliers shipping
+    more than half a PROMO part's 1996 volume — nested-aggregate semi."""
+    from .pipelines.tpch import tpch_q20
+    return tpch_q20(sf_dir)
+
+
+def _q_rel_tpch_q21(sf_dir: str):
+    """TPC-H Q21 analog (pipelines/tpch.tpch_q21): per-order
+    EXISTS/NOT-EXISTS waiting-supplier detection via in-block reduceat."""
+    from .pipelines.tpch import tpch_q21
+    return tpch_q21(sf_dir)
+
+
+def _q_rel_tpch_q22(sf_dir: str):
+    """TPC-H Q22 analog (pipelines/tpch.tpch_q22): above-average balances
+    with no recent orders, per country code (nationkey mod 10)."""
+    from .pipelines.tpch import tpch_q22
+    return tpch_q22(sf_dir)
+
+
 def _fk_audit_sql() -> str:
     from .pipelines.relational import FK_RELATIONS
     sels = []
@@ -3917,6 +3946,10 @@ def queries() -> dict[str, Callable]:
         "rel_tpch_q11": _q_rel_tpch_q11,
         "rel_tpch_q15": _q_rel_tpch_q15,
         "rel_tpch_q16": _q_rel_tpch_q16,
+        "rel_tpch_q2": _q_rel_tpch_q2,
+        "rel_tpch_q20": _q_rel_tpch_q20,
+        "rel_tpch_q21": _q_rel_tpch_q21,
+        "rel_tpch_q22": _q_rel_tpch_q22,
         "sample_systematic": _q_sample_systematic,
         "kg_sparql_having": _q_kg_sparql_having,
         "kg_harmonic_centrality": _q_kg_harmonic_centrality,
@@ -6200,6 +6233,71 @@ def oracle_sql() -> dict[str, str]:
         JOIN supplier ON s_suppkey = l_suppkey
         WHERE p_brand <> 'Brand#1' AND s_acctbal >= 1000
         GROUP BY 1, 2, 3 ORDER BY supplier_cnt DESC, 1, 2, 3"""
+    out["rel_tpch_q2"] = """
+        WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey
+                       FROM lineitem),
+        cand AS (
+          SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+                 n.n_name,
+                 CAST(round(s.s_acctbal * 100) AS BIGINT) AS s_acctbal_c,
+                 row_number() OVER (
+                   PARTITION BY p.p_partkey
+                   ORDER BY round(s.s_acctbal * 100), s.s_suppkey) AS rn
+          FROM pairs
+          JOIN part p ON p.p_partkey = pairs.l_partkey
+          JOIN supplier s ON s.s_suppkey = pairs.l_suppkey
+          JOIN nation n ON n.n_nationkey = s.s_nationkey
+          WHERE p.p_type = 'STANDARD' AND p.p_size >= 25
+            AND n.n_regionkey = 3)
+        SELECT s_acctbal_c, s_name, n_name, p_partkey, p_name
+        FROM cand WHERE rn = 1 ORDER BY s_acctbal_c DESC, p_partkey"""
+    out["rel_tpch_q20"] = """
+        WITH sp AS (
+          SELECT l_partkey, l_suppkey,
+                 CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS q
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE p_type = 'PROMO' AND year(l_shipdate) = 1996
+          GROUP BY 1, 2),
+        pt AS (SELECT l_partkey, CAST(sum(q) AS BIGINT) AS tq
+               FROM sp GROUP BY 1)
+        SELECT DISTINCT s.s_suppkey, s.s_name
+        FROM sp JOIN pt USING (l_partkey)
+        JOIN supplier s ON s.s_suppkey = sp.l_suppkey
+        WHERE 2 * sp.q > pt.tq ORDER BY 1"""
+    out["rel_tpch_q21"] = """
+        WITH ls AS (
+          SELECT l_orderkey, l_suppkey,
+                 max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r
+          FROM lineitem GROUP BY 1, 2),
+        o AS (SELECT l_orderkey, count(*) AS ns,
+                     CAST(sum(r) AS BIGINT) AS nr
+              FROM ls GROUP BY 1)
+        SELECT s.s_suppkey, s.s_name,
+               CAST(count(*) AS BIGINT) AS numwait
+        FROM ls JOIN o USING (l_orderkey)
+        JOIN orders ON o_orderkey = ls.l_orderkey
+        JOIN supplier s ON s.s_suppkey = ls.l_suppkey
+        WHERE o_orderstatus = 'F' AND ls.r = 1
+          AND o.ns >= 2 AND o.nr = 1
+        GROUP BY 1, 2 ORDER BY numwait DESC, 1"""
+    out["rel_tpch_q22"] = """
+        WITH sel AS (
+          SELECT c_custkey, c_nationkey % 10 AS cntrycode,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+          FROM customer WHERE c_nationkey % 10 BETWEEN 1 AND 7),
+        pos AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(bal_c) AS BIGINT) AS s
+                FROM sel WHERE bal_c > 0)
+        SELECT CAST(cntrycode AS BIGINT) AS cntrycode,
+               CAST(count(*) AS BIGINT) AS numcust,
+               CAST(sum(bal_c) AS BIGINT) AS totacctbal_c
+        FROM sel, pos
+        WHERE bal_c * n > s
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1999-01-01')
+        GROUP BY 1 ORDER BY 1"""
     out["kg_type_rollup_counts"] = (
         "SELECT type_iri, count(*) AS n_entities FROM ("
         + out["kg_inferred_types"] + ") GROUP BY 1 ORDER BY 1")
