@@ -759,6 +759,49 @@ def _q_kg_components(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True).sort("node")
 
 
+def _q_kg_label_prop(sf_dir: str):
+    """Synchronous label-propagation communities over the co-mention
+    graph (functions/labelprop.py): 3 fixed rounds, most-frequent
+    neighbour label with lexicographic-min tie-break. Every round is
+    attach + grouped count + per-node top-1 — all map-side-combined
+    primitives; the oracle unrolls the identical rounds as a CTE chain."""
+    from .functions.labelprop import label_propagation
+    from .functions.triangles import within_group_pairs
+    pre = C.ENT + "mention/"
+    m = _q_mentions(sf_dir).map_batches(
+        lambda b: pa.table({
+            "turn": b["subj"],
+            "c": pc.utf8_slice_codeunits(b["obj"], len(pre))}),
+        batch_format="pyarrow")
+    edges = within_group_pairs(m, "turn", "c")
+    return label_propagation(edges, rounds=3).sort("node")
+
+
+def _label_prop_sql(rounds: int = 3) -> str:
+    """Unrolled synchronous LPA as a CTE chain (appended to the mention
+    prefix): l0 = identity labels; each round joins current labels onto
+    the undirected edges, votes, and picks (count desc, label asc)."""
+    parts = [""", ce AS (SELECT DISTINCT a.canonical AS u,
+                         b.canonical AS v
+                  FROM mention a JOIN mention b
+                    ON a.turn_iri = b.turn_iri
+                   AND a.canonical < b.canonical),
+            und AS (SELECT u, v FROM ce UNION SELECT v, u FROM ce),
+            l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM und)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+            , r{i} AS (SELECT e.u AS node, l.lbl AS lbl, count(*) AS c
+                       FROM und e JOIN l{i - 1} l ON l.node = e.v
+                       GROUP BY 1, 2)
+            , l{i} AS (SELECT node, lbl FROM (
+                         SELECT node, lbl, row_number() OVER (
+                           PARTITION BY node ORDER BY c DESC, lbl) AS rn
+                         FROM r{i}) WHERE rn = 1)""")
+    parts.append(f"""
+        SELECT node, lbl AS community FROM l{rounds} ORDER BY node""")
+    return "".join(parts)
+
+
 def _q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd k-means in exact integer arithmetic
     (functions/kmeans.py): bit-reproducible assignments under any shuffle
@@ -3766,6 +3809,7 @@ def queries() -> dict[str, Callable]:
         "kg_kcore_edges": _q_kg_kcore,
         "kg_comention_triangles": _q_kg_comention_triangles,
         "kg_comention_components": _q_kg_components,
+        "kg_label_prop": _q_kg_label_prop,
         "kg_node_similarity": _q_kg_node_similarity,
         "meta_struct_flatten": _q_meta_flatten,
         "meta_flatten_agg": _q_meta_flatten_agg,
@@ -4351,6 +4395,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.v, w.lbl FROM walk w JOIN und e ON e.u = w.node)
             SELECT node, min(lbl) AS component FROM walk
             GROUP BY 1 ORDER BY 1""",
+        "kg_label_prop": P + _label_prop_sql(3),
         "kg_node_similarity": P + """
             , ce AS (SELECT DISTINCT a.canonical AS u, b.canonical AS v
                      FROM mention a JOIN mention b
