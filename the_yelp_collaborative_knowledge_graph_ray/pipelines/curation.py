@@ -246,3 +246,164 @@ def char_budget_sample(docs, budget: int = CHAR_BUDGET,
     return rd.from_arrow_refs(
         [pick.remote(r, int(b)) for r, b in zip(refs, bases)]) \
         .sort("doc_id")
+
+
+# -- dataset profiling / audit operators ---------------------------------
+
+# (column, kind) schema spec for the orders profile; kinds pick the exact
+# integer encoding that makes min/max/distinct hash-safe (floats never
+# cross the wire): int -> as-is, money -> cents, ts -> epoch microseconds,
+# str -> raw string (ASCII data, so Arrow byte order == DuckDB collation).
+ORDERS_PROFILE_SPEC = (
+    ("o_orderkey", "int"), ("o_custkey", "int"),
+    ("o_orderstatus", "str"), ("o_totalprice", "money"),
+    ("o_orderdate", "ts"), ("o_orderpriority", "str"))
+
+
+def profile_columns(sf_dir: str, table: str = "orders",
+                    spec=ORDERS_PROFILE_SPEC) -> pa.Table:
+    """Column-level data profile — the ingestion-time audit every corpus
+    needs before a 100 TB run: per column (rows, nulls, exact distinct,
+    min/max). Numeric/date ranges ride dedicated int64 columns (0 for
+    string columns), string ranges ride string columns ('' for numeric) —
+    the null-free convention that keeps value hashes engine-independent.
+
+    Plan: ONE scan; counts and min/max fold to one partial row per
+    (column, block) — zero wide shuffle; exact distinct counts collapse
+    per block to (column, value) partials first, so the only all-to-all
+    ships distinct values, not rows. The two tiny results (|columns| rows
+    each) merge on the driver."""
+    import numpy as np
+
+    from ..functions.grouped import grouped_count, sorted_aggregate
+    from .relational import _read, _scaled_int
+
+    cols = [c for c, _ in spec]
+    kinds = dict(spec)
+
+    def encode_num(b: pa.Table, c: str) -> pa.ChunkedArray | None:
+        k = kinds[c]
+        if k == "int":
+            return pc.cast(b[c], pa.int64())
+        if k == "money":
+            return _scaled_int(b[c], 100.0)
+        if k == "ts":
+            return pc.cast(b[c], pa.int64())  # timestamp[us] -> epoch_us
+        return None
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        rows = []
+        for c in cols:
+            num = encode_num(b, c)
+            nulls = int(b[c].null_count)
+            if num is not None:
+                mm = pc.min_max(num)
+                lo = mm["min"].as_py()
+                hi = mm["max"].as_py()
+                rows.append((c, b.num_rows, nulls,
+                             lo if lo is not None else 2**62,
+                             hi if hi is not None else -2**62, "", ""))
+            else:
+                mm = pc.min_max(b[c])
+                lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                rows.append((c, b.num_rows, nulls, 0, 0,
+                             lo if lo is not None else "\x7f",
+                             hi if hi is not None else ""))
+        t = list(zip(*rows))
+        return pa.table({
+            "col_name": pa.array(t[0], pa.string()),
+            "n_rows": pa.array(t[1], pa.int64()),
+            "n_nulls": pa.array(t[2], pa.int64()),
+            "min_num": pa.array(t[3], pa.int64()),
+            "max_num": pa.array(t[4], pa.int64()),
+            "min_str": pa.array(t[5], pa.string()),
+            "max_str": pa.array(t[6], pa.string())})
+
+    ds = _read(sf_dir, table, cols)
+    stats = sorted_aggregate(
+        ds.map_batches(stats_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["col_name"],
+        [("n_rows", "sum"), ("n_nulls", "sum"), ("min_num", "min"),
+         ("max_num", "max"), ("min_str", "min"), ("max_str", "max")],
+        ["col_name", "n_rows", "n_nulls", "min_num", "max_num",
+         "min_str", "max_str"], 1).to_pandas()
+
+    def distinct_partial(b: pa.Table) -> pa.Table:
+        names, vals = [], []
+        for c in cols:
+            num = encode_num(b, c)
+            enc = (pc.cast(num, pa.string()) if num is not None
+                   else pc.cast(b[c], pa.string()))
+            u = pc.unique(pc.drop_null(enc))
+            names.append(pa.array([c] * len(u), pa.string()))
+            vals.append(u)
+        return pa.table({
+            "col_name": pa.concat_arrays(
+                [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                 else a for a in names]),
+            "val": pa.concat_arrays(
+                [v.combine_chunks() if isinstance(v, pa.ChunkedArray)
+                 else v for v in vals])})
+
+    per_val = grouped_count(
+        ds.map_batches(distinct_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["col_name", "val"], "__n", 8)
+    nd = grouped_count(per_val, ["col_name"], "n_distinct", 1) \
+        .to_pandas()
+
+    merged = stats.merge(nd, on="col_name", how="left")
+    merged["n_distinct"] = merged["n_distinct"].fillna(0).astype("int64")
+    order = [c for c in cols]
+    merged["__o"] = merged["col_name"].map({c: i for i, c
+                                           in enumerate(order)})
+    merged = merged.sort_values("__o")
+    return pa.table({
+        "col_name": pa.array(merged["col_name"], pa.string()),
+        "n_rows": pa.array(merged["n_rows"].astype("int64")),
+        "n_nulls": pa.array(merged["n_nulls"].astype("int64")),
+        "n_distinct": pa.array(merged["n_distinct"]),
+        "min_num": pa.array(merged["min_num"].astype("int64")),
+        "max_num": pa.array(merged["max_num"].astype("int64")),
+        "min_str": pa.array(merged["min_str"], pa.string()),
+        "max_str": pa.array(merged["max_str"], pa.string())})
+
+
+# Exact Benford expectations in integer permille — hardcoded (not
+# computed from log10 at runtime) so the Ray side and the SQL twin can
+# never disagree in the last float bit.
+BENFORD_PERMILLE = (301, 176, 125, 97, 79, 67, 58, 51, 46)
+
+
+def benford_audit(sf_dir: str, table: str = "orders",
+                  column: str = "o_totalprice") -> ray.data.Dataset:
+    """Benford's-law first-significant-digit audit of a money column —
+    the classic fraud / synthetic-data smell test. The first significant
+    digit is taken from the exact cents encoding (invariant under the
+    ×100 scaling), counted per digit with map-side partials, and reported
+    against the hardcoded Benford expectation with observed shares as
+    exact integer permille (n·1000 // total both sides)."""
+    import numpy as np
+
+    from ..functions.grouped import grouped_count
+    from .relational import _read, _scaled_int
+
+    def digits(b: pa.Table) -> pa.Table:
+        cents = _scaled_int(b[column], 100.0)
+        first = pc.utf8_slice_codeunits(pc.cast(cents, pa.string()), 0, 1)
+        return pa.table({"digit": pc.cast(first, pa.int64())})
+
+    counts = grouped_count(
+        _read(sf_dir, table, [column]).map_batches(
+            digits, batch_format="pyarrow", zero_copy_batch=True),
+        ["digit"], "n", 1).to_pandas()
+    total = int(counts["n"].sum())
+    d = counts["digit"].to_numpy().astype(np.int64)
+    n = counts["n"].to_numpy().astype(np.int64)
+    exp = np.array([BENFORD_PERMILLE[i - 1] if 1 <= i <= 9 else 0
+                    for i in d], np.int64)
+    obs = n * 1000 // max(total, 1)
+    return pa.table({"digit": pa.array(d), "n": pa.array(n),
+                     "observed_permille": pa.array(obs),
+                     "expected_permille": pa.array(exp)})

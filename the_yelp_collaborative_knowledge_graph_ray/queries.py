@@ -3240,6 +3240,66 @@ def _q_rel_tpch_q22(sf_dir: str):
     return tpch_q22(sf_dir)
 
 
+def _q_curation_profile(sf_dir: str):
+    """Column-level data profile of orders (curation.profile_columns):
+    rows/nulls/exact-distinct/min-max per column, one scan + one
+    distinct-value exchange."""
+    from .pipelines.curation import profile_columns
+    return profile_columns(sf_dir)
+
+
+def _profile_sql() -> str:
+    from .pipelines.curation import ORDERS_PROFILE_SPEC
+    sels = []
+    for c, kind in ORDERS_PROFILE_SPEC:
+        if kind == "int":
+            lo, hi = f"CAST(min({c}) AS BIGINT)", f"CAST(max({c}) AS BIGINT)"
+            ls, hs = "''", "''"
+        elif kind == "money":
+            enc = f"CAST(round({c} * 100) AS BIGINT)"
+            lo, hi = f"min({enc})", f"max({enc})"
+            ls, hs = "''", "''"
+        elif kind == "ts":
+            lo, hi = f"min(epoch_us({c}))", f"max(epoch_us({c}))"
+            ls, hs = "''", "''"
+        else:
+            lo, hi = "CAST(0 AS BIGINT)", "CAST(0 AS BIGINT)"
+            ls, hs = f"min({c})", f"max({c})"
+        sels.append(f"""
+            SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                   {lo} AS min_num, {hi} AS max_num,
+                   {ls} AS min_str, {hs} AS max_str
+            FROM orders""")
+    return " UNION ALL ".join(sels)
+
+
+def _q_curation_benford(sf_dir: str):
+    """Benford first-digit audit of o_totalprice (curation.benford_audit):
+    exact integer permille vs the hardcoded Benford table."""
+    from .pipelines.curation import benford_audit
+    return benford_audit(sf_dir)
+
+
+def _benford_sql() -> str:
+    from .pipelines.curation import BENFORD_PERMILLE
+    case = " ".join(f"WHEN {i + 1} THEN {p}"
+                    for i, p in enumerate(BENFORD_PERMILLE))
+    return f"""
+        WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+                        AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+                   FROM orders),
+        c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+              FROM d GROUP BY 1),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        SELECT digit, n,
+               CAST(n * 1000 // total AS BIGINT) AS observed_permille,
+               CAST(CASE digit {case} ELSE 0 END AS BIGINT)
+                 AS expected_permille
+        FROM c, t ORDER BY digit"""
+
+
 def _fk_audit_sql() -> str:
     from .pipelines.relational import FK_RELATIONS
     sels = []
@@ -3990,6 +4050,8 @@ def queries() -> dict[str, Callable]:
         "rel_tpch_q11": _q_rel_tpch_q11,
         "rel_tpch_q15": _q_rel_tpch_q15,
         "rel_tpch_q16": _q_rel_tpch_q16,
+        "curation_profile": _q_curation_profile,
+        "curation_benford": _q_curation_benford,
         "rel_tpch_q2": _q_rel_tpch_q2,
         "rel_tpch_q20": _q_rel_tpch_q20,
         "rel_tpch_q21": _q_rel_tpch_q21,
@@ -6343,6 +6405,8 @@ def oracle_sql() -> dict[str, str]:
                           WHERE o_custkey = c_custkey
                             AND o_orderdate >= TIMESTAMP '1999-01-01')
         GROUP BY 1 ORDER BY 1"""
+    out["curation_profile"] = _profile_sql()
+    out["curation_benford"] = _benford_sql()
     out["kg_type_rollup_counts"] = (
         "SELECT type_iri, count(*) AS n_entities FROM ("
         + out["kg_inferred_types"] + ") GROUP BY 1 ORDER BY 1")
