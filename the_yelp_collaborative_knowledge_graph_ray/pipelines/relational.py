@@ -3582,3 +3582,90 @@ def tpch_q19(sf_dir: str) -> ray.data.Dataset:
         ["__g", "n_rows", "revenue_c2"], 1).map_batches(
         lambda b: b.select(["n_rows", "revenue_c2"]),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+CORR_MEASURES = (("qty", "l_quantity", 1.0),
+                 ("price", "l_extendedprice", 0.01),  # floor dollars
+                 ("disc", "l_discount", 100.0),
+                 ("tax", "l_tax", 100.0))
+
+
+def correlation_matrix(sf_dir: str) -> pa.Table:
+    """Pairwise Pearson correlation matrix over the lineitem measures —
+    the feature-screening pass of a training-data pipeline, in EXACT
+    integer moment arithmetic (the same family as rel_cov_qty_price /
+    rel_ols_slope): per block, ONE partial row per measure pair carrying
+    (n, Σx, Σy, Σxy, Σx², Σy²); the only exchange is |pairs| rows per
+    block. The driver assembles n·Σxy − ΣxΣy and n·Σx² − (Σx)² in Python
+    big-int (overflow-free), verifies the published int64 pieces fit, and
+    the single float (corr) is the identical ``cov / sqrt(vx·vy)`` IEEE
+    expression the SQL twin uses. Zero variance pins corr = 0.0 on both
+    sides (degenerate-stat convention)."""
+    from ..functions.grouped import sorted_aggregate
+
+    names = [n for n, _, _ in CORR_MEASURES]
+    pairs = [(i, j) for i in range(len(names))
+             for j in range(i + 1, len(names))]
+
+    def partial(b: pa.Table) -> pa.Table:
+        enc = {}
+        for n, col, factor in CORR_MEASURES:
+            if factor == 0.01:  # marker: floor dollars, not cents
+                enc[n] = np.floor(b[col].to_numpy(
+                    zero_copy_only=False)).astype(np.int64)
+            else:
+                enc[n] = _scaled_int(b[col], factor).to_numpy()
+        rows = {"pair": [], "n": [], "sx": [], "sy": [], "sxy": [],
+                "sxx": [], "syy": []}
+        for i, j in pairs:
+            x, y = enc[names[i]], enc[names[j]]
+            rows["pair"].append(f"{names[i]}|{names[j]}")
+            rows["n"].append(len(x))
+            rows["sx"].append(int(x.sum()))
+            rows["sy"].append(int(y.sum()))
+            rows["sxy"].append(int((x * y).sum()))
+            rows["sxx"].append(int((x * x).sum()))
+            rows["syy"].append(int((y * y).sum()))
+        return pa.table({"pair": pa.array(rows["pair"], pa.string()),
+                         **{k: pa.array(rows[k], pa.int64())
+                            for k in ("n", "sx", "sy", "sxy", "sxx",
+                                      "syy")}})
+
+    li = _read(sf_dir, "lineitem", [c for _, c, _ in CORR_MEASURES])
+    agg = sorted_aggregate(
+        li.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["pair"],
+        [("n", "sum"), ("sx", "sum"), ("sy", "sum"), ("sxy", "sum"),
+         ("sxx", "sum"), ("syy", "sum")],
+        ["pair", "n", "sx", "sy", "sxy", "sxx", "syy"], 1).to_pandas()
+
+    out = {"var_x": [], "var_y": [], "n": [], "cov_n2": [],
+           "varx_n2": [], "vary_n2": [], "corr": []}
+    for _, r in agg.iterrows():
+        vx, vy = r["pair"].split("|")
+        n = int(r["n"])
+        cov = n * int(r["sxy"]) - int(r["sx"]) * int(r["sy"])
+        vxx = n * int(r["sxx"]) - int(r["sx"]) ** 2
+        vyy = n * int(r["syy"]) - int(r["sy"]) ** 2
+        for v in (cov, vxx, vyy):
+            if abs(v) >= 2**63:
+                raise OverflowError(
+                    "correlation_matrix: rescale measure units")
+        corr = (float(cov) / np.sqrt(float(vxx) * float(vyy))
+                if vxx > 0 and vyy > 0 else 0.0)
+        out["var_x"].append(vx)
+        out["var_y"].append(vy)
+        out["n"].append(n)
+        out["cov_n2"].append(cov)
+        out["varx_n2"].append(vxx)
+        out["vary_n2"].append(vyy)
+        out["corr"].append(corr)
+    return pa.table({
+        "var_x": pa.array(out["var_x"], pa.string()),
+        "var_y": pa.array(out["var_y"], pa.string()),
+        "n": pa.array(out["n"], pa.int64()),
+        "cov_n2": pa.array(out["cov_n2"], pa.int64()),
+        "varx_n2": pa.array(out["varx_n2"], pa.int64()),
+        "vary_n2": pa.array(out["vary_n2"], pa.int64()),
+        "corr": pa.array(out["corr"], pa.float64())})

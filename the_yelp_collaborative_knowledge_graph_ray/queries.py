@@ -3300,6 +3300,57 @@ def _benford_sql() -> str:
         FROM c, t ORDER BY digit"""
 
 
+def _q_rel_corr_matrix(sf_dir: str):
+    """Pairwise Pearson correlation matrix over lineitem measures
+    (relational.correlation_matrix): exact integer moments per pair, one
+    |pairs|-row exchange; zero variance pins corr = 0."""
+    from .pipelines.relational import correlation_matrix
+    return correlation_matrix(sf_dir)
+
+
+def _corr_matrix_sql() -> str:
+    from .pipelines.relational import CORR_MEASURES
+    enc = []
+    for n, col, factor in CORR_MEASURES:
+        if factor == 0.01:
+            enc.append(f"CAST(floor({col}) AS BIGINT) AS {n}")
+        elif factor == 1.0:
+            enc.append(f"CAST(round({col}) AS BIGINT) AS {n}")
+        else:
+            enc.append(f"CAST(round({col} * {int(factor)}) AS BIGINT)"
+                       f" AS {n}")
+    names = [n for n, _, _ in CORR_MEASURES]
+    sels = []
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            x, y = names[i], names[j]
+            sels.append(f"""
+              SELECT '{x}' AS var_x, '{y}' AS var_y,
+                     CAST(n AS BIGINT) AS n,
+                     CAST(n * sxy - sx * sy AS BIGINT) AS cov_n2,
+                     CAST(n * sxx - sx * sx AS BIGINT) AS varx_n2,
+                     CAST(n * syy - sy * sy AS BIGINT) AS vary_n2,
+                     CASE WHEN n * sxx - sx * sx > 0
+                           AND n * syy - sy * sy > 0
+                          THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                      * CAST(n * syy - sy * sy
+                                             AS DOUBLE))
+                          ELSE 0.0 END AS corr
+              FROM (SELECT CAST(count(*) AS HUGEINT) AS n,
+                           sum(CAST({x} AS HUGEINT)) AS sx,
+                           sum(CAST({y} AS HUGEINT)) AS sy,
+                           sum(CAST({x} AS HUGEINT)
+                               * CAST({y} AS HUGEINT)) AS sxy,
+                           sum(CAST({x} AS HUGEINT)
+                               * CAST({x} AS HUGEINT)) AS sxx,
+                           sum(CAST({y} AS HUGEINT)
+                               * CAST({y} AS HUGEINT)) AS syy
+                    FROM m)""")
+    return ("WITH m AS (SELECT " + ", ".join(enc) + " FROM lineitem) "
+            + " UNION ALL ".join(sels))
+
+
 def _fk_audit_sql() -> str:
     from .pipelines.relational import FK_RELATIONS
     sels = []
@@ -4052,6 +4103,7 @@ def queries() -> dict[str, Callable]:
         "rel_tpch_q16": _q_rel_tpch_q16,
         "curation_profile": _q_curation_profile,
         "curation_benford": _q_curation_benford,
+        "rel_corr_matrix": _q_rel_corr_matrix,
         "rel_tpch_q2": _q_rel_tpch_q2,
         "rel_tpch_q20": _q_rel_tpch_q20,
         "rel_tpch_q21": _q_rel_tpch_q21,
@@ -6407,6 +6459,7 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1 ORDER BY 1"""
     out["curation_profile"] = _profile_sql()
     out["curation_benford"] = _benford_sql()
+    out["rel_corr_matrix"] = _corr_matrix_sql()
     out["kg_type_rollup_counts"] = (
         "SELECT type_iri, count(*) AS n_entities FROM ("
         + out["kg_inferred_types"] + ") GROUP BY 1 ORDER BY 1")
