@@ -3351,6 +3351,16 @@ def _corr_matrix_sql() -> str:
             + " UNION ALL ".join(sels))
 
 
+def _q_text_readability(sf_dir: str):
+    """Flesch-style readability per document (textstats.readability_stats):
+    vectorized RE2 count kernels, exact integer milli-point score."""
+    from .stages.textstats import readability_stats
+    import ray.data
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return readability_stats(docs).sort("doc_id")
+
+
 def _fk_audit_sql() -> str:
     from .pipelines.relational import FK_RELATIONS
     sels = []
@@ -4104,6 +4114,7 @@ def queries() -> dict[str, Callable]:
         "curation_profile": _q_curation_profile,
         "curation_benford": _q_curation_benford,
         "rel_corr_matrix": _q_rel_corr_matrix,
+        "text_readability": _q_text_readability,
         "rel_tpch_q2": _q_rel_tpch_q2,
         "rel_tpch_q20": _q_rel_tpch_q20,
         "rel_tpch_q21": _q_rel_tpch_q21,
@@ -6460,6 +6471,22 @@ def oracle_sql() -> dict[str, str]:
     out["curation_profile"] = _profile_sql()
     out["curation_benford"] = _benford_sql()
     out["rel_corr_matrix"] = _corr_matrix_sql()
+    out["text_readability"] = """
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+                 CAST(len(regexp_extract_all(text, '[.!?]'))
+                      AS BIGINT) AS s,
+                 CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                      AS BIGINT) AS y
+          FROM documents)
+        SELECT doc_id, w AS n_words, s AS n_sentences, y AS n_syllables,
+               CAST((206835 * GREATEST(s, 1) * GREATEST(w, 1)
+                     - 1015 * GREATEST(w, 1) * GREATEST(w, 1)
+                     - 84600 * y * GREATEST(s, 1))
+                    // (GREATEST(s, 1) * GREATEST(w, 1)) AS BIGINT)
+                 AS flesch_fp
+        FROM d ORDER BY doc_id"""
     out["kg_type_rollup_counts"] = (
         "SELECT type_iri, count(*) AS n_entities FROM ("
         + out["kg_inferred_types"] + ") GROUP BY 1 ORDER BY 1")

@@ -862,3 +862,46 @@ def pmi_bigrams(docs: ray.data.Dataset, min_count: int = PMI_MIN_COUNT,
 
     return with_cb.map_batches(score, batch_format="pyarrow",
                                zero_copy_batch=True).sort(["a", "b"])
+
+
+def readability_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-document Flesch-style readability in exact integer fixed point.
+
+    Deterministic proxies (both twins use the SAME definitions, so the
+    hash gate is exact): words = whitespace-delimited fields (splits + 1,
+    empty fields count — matching SQL ``string_split``), sentences =
+    occurrences of [.!?], syllables = maximal [aeiouy]+ runs in the
+    lowercased text (the classic vowel-group estimator). The score is the
+    Flesch reading-ease formula in milli-points with floor division:
+
+        flesch_fp = (206835·s·w − 1015·w² − 84600·y·s) // (s·w)
+
+    with s,w clamped to ≥1. Fully vectorized: three RE2 count kernels per
+    batch (``pc.count_substring_regex`` — the same RE2 DuckDB runs), no
+    Python per row, no shuffle at all (embarrassingly parallel)."""
+    def stats(b: pa.Table) -> pa.Table:
+        text = b["text"]
+        low = pc.utf8_lower(text)
+        w = pc.add(pc.count_substring(text, " "),
+                   pa.scalar(1, pa.int32()))
+        s = pc.count_substring_regex(text, "[.!?]")
+        y = pc.count_substring_regex(low, "[aeiouy]+")
+        wn = pc.cast(w, pa.int64()).to_numpy(zero_copy_only=False)
+        sn = pc.cast(s, pa.int64()).to_numpy(zero_copy_only=False)
+        yn = pc.cast(y, pa.int64()).to_numpy(zero_copy_only=False)
+        wc = np.maximum(wn, 1)
+        sc = np.maximum(sn, 1)
+        num = 206835 * sc * wc - 1015 * wc * wc - 84600 * yn * sc
+        den = sc * wc
+        # DuckDB's integer // truncates toward zero; numpy floors —
+        # correct negative non-exact quotients up by one to match.
+        fp = num // den + ((num % den != 0) & (num < 0))
+        return pa.table({
+            "doc_id": pc.cast(b["doc_id"], pa.int64()),
+            "n_words": pa.array(wn, pa.int64()),
+            "n_sentences": pa.array(sn, pa.int64()),
+            "n_syllables": pa.array(yn, pa.int64()),
+            "flesch_fp": pa.array(fp, pa.int64())})
+
+    return docs.map_batches(stats, batch_format="pyarrow",
+                            zero_copy_batch=True)
