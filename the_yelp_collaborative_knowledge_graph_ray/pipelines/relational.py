@@ -3669,3 +3669,91 @@ def correlation_matrix(sf_dir: str) -> pa.Table:
         "varx_n2": pa.array(out["varx_n2"], pa.int64()),
         "vary_n2": pa.array(out["vary_n2"], pa.int64()),
         "corr": pa.array(out["corr"], pa.float64())})
+
+
+GROUPING_SETS = (("l_returnflag", "l_linestatus"),
+                 ("l_returnflag", "l_year"),
+                 ("l_year",),
+                 ())
+
+
+def lineitem_grouping_sets(sf_dir: str) -> ray.data.Dataset:
+    """GROUP BY GROUPING SETS over (returnflag, linestatus, ship-year) —
+    the arbitrary-set generalization of rollup/cube. The finest level
+    (all three dims) aggregates with ONE full-table shuffle; every
+    requested set then re-aggregates that already-tiny base, so adding
+    sets costs nothing corpus-sized. Each output row carries the classic
+    GROUPING_ID bitmask (bit set = dimension aggregated away, MSB =
+    first dim) so consumers can tell levels apart; absent dims are NULL
+    (the SQL twin's convention)."""
+    from ..functions.grouped import sorted_aggregate
+
+    dims = ["l_returnflag", "l_linestatus", "l_year"]
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "l_year": pc.cast(pc.year(b["l_shipdate"]), pa.int64()),
+            "qty_c": _scaled_int(b["l_quantity"], 100.0),
+            "n_rows": pa.array(np.ones(b.num_rows, np.int64))})
+        return t.group_by(dims, use_threads=False) \
+            .aggregate([("qty_c", "sum"), ("n_rows", "sum")]) \
+            .rename_columns([*dims, "sum_qty_c", "n_rows"])
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_shipdate",
+                "l_quantity"])
+    base = sorted_aggregate(
+        li.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        dims, [("sum_qty_c", "sum"), ("n_rows", "sum")],
+        [*dims, "sum_qty_c", "n_rows"], 1).materialize()
+
+    types = {"l_returnflag": pa.string(), "l_linestatus": pa.string(),
+             "l_year": pa.int64()}
+    outs = []
+    for keys in GROUPING_SETS:
+        gid = sum(1 << (len(dims) - 1 - i)
+                  for i, d in enumerate(dims) if d not in keys)
+        if keys:
+            lvl = sorted_aggregate(
+                base, list(keys),
+                [("sum_qty_c", "sum"), ("n_rows", "sum")],
+                [*keys, "sum_qty_c", "n_rows"], 1)
+        else:
+            # grand total: per-block one-row partials off the tiny base,
+            # summed on the driver (block-count-agnostic, unlike a
+            # single map over an assumed-single block)
+            tot = base.map_batches(
+                lambda b: pa.table({
+                    "sum_qty_c": pa.array(
+                        [int(pc.sum(b["sum_qty_c"]).as_py() or 0)],
+                        pa.int64()),
+                    "n_rows": pa.array(
+                        [int(pc.sum(b["n_rows"]).as_py() or 0)],
+                        pa.int64())}),
+                batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+            lvl = ray.data.from_arrow(pa.table({
+                "sum_qty_c": pa.array([int(tot["sum_qty_c"].sum())],
+                                      pa.int64()),
+                "n_rows": pa.array([int(tot["n_rows"].sum())],
+                                   pa.int64())}))
+
+        def widen(b: pa.Table, _keys=keys, _gid=gid) -> pa.Table:
+            cols = {}
+            for d in dims:
+                cols[d] = (pc.cast(b[d], types[d]) if d in _keys
+                           else pa.nulls(b.num_rows, types[d]))
+            cols["grouping_id"] = pa.array([_gid] * b.num_rows,
+                                           pa.int64())
+            cols["sum_qty_c"] = b["sum_qty_c"]
+            cols["n_rows"] = b["n_rows"]
+            return pa.table(cols)
+
+        outs.append(lvl.map_batches(widen, batch_format="pyarrow"))
+
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.union(o)
+    return u

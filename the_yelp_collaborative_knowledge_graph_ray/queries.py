@@ -3361,6 +3361,54 @@ def _q_text_readability(sf_dir: str):
     return readability_stats(docs).sort("doc_id")
 
 
+def _q_rel_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS (relational.lineitem_grouping_sets):
+    arbitrary set list off one finest-level shuffle, GROUPING_ID
+    bitmask per row."""
+    from .pipelines.relational import lineitem_grouping_sets
+    return lineitem_grouping_sets(sf_dir)
+
+
+def _grouping_sets_sql() -> str:
+    from .pipelines.relational import GROUPING_SETS
+    dims = ["l_returnflag", "l_linestatus", "l_year"]
+    sels = []
+    for keys in GROUPING_SETS:
+        gid = sum(1 << (len(dims) - 1 - i)
+                  for i, d in enumerate(dims) if d not in keys)
+        proj = []
+        for d in dims:
+            if d in keys:
+                proj.append(d)
+            elif d == "l_year":
+                proj.append("CAST(NULL AS BIGINT) AS l_year")
+            else:
+                proj.append(f"CAST(NULL AS VARCHAR) AS {d}")
+        group = (f"GROUP BY {', '.join(k for k in keys)}" if keys else "")
+        sels.append(f"""
+            SELECT {', '.join(proj)},
+                   CAST({gid} AS BIGINT) AS grouping_id,
+                   CAST(sum(qty_c) AS BIGINT) AS sum_qty_c,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM m {group}""")
+    return ("""WITH m AS (SELECT l_returnflag, l_linestatus,
+                       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                       CAST(round(l_quantity * 100) AS BIGINT) AS qty_c
+                FROM lineitem) """
+            + " UNION ALL ".join(sels))
+
+
+def _q_text_hash_features(sf_dir: str):
+    """Feature-hashing vectorizer (textstats.hash_features): k-dim hashed
+    token counts, long-form (doc_id, bucket, cnt); md5-bucket hash shared
+    with the SQL twin."""
+    from .stages.textstats import hash_features
+    import ray.data
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return hash_features(docs)
+
+
 def _fk_audit_sql() -> str:
     from .pipelines.relational import FK_RELATIONS
     sels = []
@@ -4115,6 +4163,8 @@ def queries() -> dict[str, Callable]:
         "curation_benford": _q_curation_benford,
         "rel_corr_matrix": _q_rel_corr_matrix,
         "text_readability": _q_text_readability,
+        "rel_grouping_sets": _q_rel_grouping_sets,
+        "text_hash_features": _q_text_hash_features,
         "rel_tpch_q2": _q_rel_tpch_q2,
         "rel_tpch_q20": _q_rel_tpch_q20,
         "rel_tpch_q21": _q_rel_tpch_q21,
@@ -6487,6 +6537,18 @@ def oracle_sql() -> dict[str, str]:
                     // (GREATEST(s, 1) * GREATEST(w, 1)) AS BIGINT)
                  AS flesch_fp
         FROM d ORDER BY doc_id"""
+    out["rel_grouping_sets"] = _grouping_sets_sql()
+    from .stages.textstats import HASH_FEATURE_DIM
+    out["text_hash_features"] = f"""
+        WITH w AS (SELECT doc_id,
+                          unnest(string_split(lower(text), ' ')) AS w
+                   FROM documents),
+        b AS (SELECT doc_id,
+                     ('0x' || substring(md5(w), 1, 8))::BIGINT
+                       % {HASH_FEATURE_DIM} AS bucket
+              FROM w)
+        SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM b GROUP BY 1, 2 ORDER BY 1, 2"""
     out["kg_type_rollup_counts"] = (
         "SELECT type_iri, count(*) AS n_entities FROM ("
         + out["kg_inferred_types"] + ") GROUP BY 1 ORDER BY 1")

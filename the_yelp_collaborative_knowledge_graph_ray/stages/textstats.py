@@ -905,3 +905,53 @@ def readability_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
 
     return docs.map_batches(stats, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+HASH_FEATURE_DIM = 64
+
+
+def hash_features(docs: ray.data.Dataset,
+                  k: int = HASH_FEATURE_DIM) -> ray.data.Dataset:
+    """Feature hashing (the "hashing trick", Weinberger et al. 2009):
+    each document's token counts fold into a fixed k-dim vector by
+    hashing tokens to buckets — the constant-memory vectorizer that
+    needs NO global vocabulary pass, which is what makes it the 100-TB
+    featurizer (a fitted CountVectorizer would be a giant broadcast).
+
+    Emitted long-form as (doc_id, bucket, cnt). bucket =
+    uint32(md5(token)[:4]) % k — the engine's standard SQL-twinnable
+    hash (DuckDB: ('0x' || substring(md5(w),1,8))::BIGINT). Documents
+    never span blocks, so the whole op is embarrassingly parallel: one
+    tokenize kernel, md5 over the block's DISTINCT tokens only
+    (dictionary-encoded — the per-token Python cost is bounded by the
+    block vocabulary, not the token count), one bincount scatter."""
+    import hashlib
+
+    def feats(b: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("doc_id", pa.int64()),
+                                ("bucket", pa.int64()),
+                                ("cnt", pa.int64())])
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        toks = pc.split_pattern(pc.utf8_lower(b["text"]), " ")
+        toks = toks.combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_ids = pc.cast(b["doc_id"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        doc_of_tok = np.repeat(np.arange(len(lens)), lens)
+        uniq, inv = np.unique(flat, return_inverse=True)
+        bucket_of = np.fromiter(
+            (int(hashlib.md5(u.encode("utf-8")).hexdigest()[:8], 16) % k
+             for u in uniq), np.int64, len(uniq))
+        key = doc_of_tok * k + bucket_of[inv]
+        counts = np.bincount(key, minlength=len(lens) * k)
+        nz = np.flatnonzero(counts)
+        return pa.table({
+            "doc_id": pa.array(doc_ids[nz // k], pa.int64()),
+            "bucket": pa.array(nz % k, pa.int64()),
+            "cnt": pa.array(counts[nz], pa.int64())}, schema=out_schema)
+
+    return docs.map_batches(feats, batch_format="pyarrow",
+                            zero_copy_batch=True).sort(["doc_id",
+                                                        "bucket"])
