@@ -759,6 +759,20 @@ def _q_kg_components(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True).sort("node")
 
 
+def _q_ml_logreg(sf_dir: str):
+    """Deterministic distributed logistic regression
+    (functions/logreg.py): full-batch GD, per-row quantized gradients,
+    integer-only cross-block reduction — bit-identical to the sequential
+    twin (pytest-verified). Iterative sigmoid training is not
+    SQL-expressible -> rows-only."""
+    from .functions.logreg import logreg_train
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["embedding", "label"])
+    table, _stats = logreg_train(emb, iters=10)
+    return table
+
+
 def _q_kg_label_prop(sf_dir: str):
     """Synchronous label-propagation communities over the co-mention
     graph (functions/labelprop.py): 3 fixed rounds, most-frequent
@@ -3996,6 +4010,7 @@ def queries() -> dict[str, Callable]:
         "dedup_semantic": _q_dedup_semantic,
         "dedup_fuzzy_ed1": _q_fuzzy_ed1,
         "ml_kmeans_clusters": _q_kmeans_clusters,
+        "ml_logreg_weights": _q_ml_logreg,
         "embedding_topk_pairs": _q_embedding_topk_pairs,
         "ann_topk_cosine": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf,
