@@ -773,6 +773,19 @@ def _q_ml_logreg(sf_dir: str):
     return table
 
 
+def _q_text_bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer training (functions/bpe.py): merge list
+    over the documents corpus — pair counts over the word-frequency
+    table (vocab-sized rounds after ONE corpus exchange). Iterative
+    state rewriting is not SQL-expressible -> rows-only; pytest verifies
+    merge-for-merge equality with the sequential reference."""
+    from .functions.bpe import train_bpe
+    docs = ray.data.read_parquet(os.path.join(sf_dir,
+                                              "documents.parquet"),
+                                 columns=["doc_id", "text"])
+    return train_bpe(docs, n_merges=10)
+
+
 def _q_kg_label_prop(sf_dir: str):
     """Synchronous label-propagation communities over the co-mention
     graph (functions/labelprop.py): 3 fixed rounds, most-frequent
@@ -4011,6 +4024,7 @@ def queries() -> dict[str, Callable]:
         "dedup_fuzzy_ed1": _q_fuzzy_ed1,
         "ml_kmeans_clusters": _q_kmeans_clusters,
         "ml_logreg_weights": _q_ml_logreg,
+        "text_bpe_merges": _q_text_bpe_merges,
         "embedding_topk_pairs": _q_embedding_topk_pairs,
         "ann_topk_cosine": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf,
