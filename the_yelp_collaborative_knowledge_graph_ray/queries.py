@@ -786,6 +786,23 @@ def _q_text_bpe_merges(sf_dir: str):
     return train_bpe(docs, n_merges=10)
 
 
+def _q_emb_covariance(sf_dir: str):
+    """Exact-integer embedding covariance matrix (functions/pca.py):
+    d²-bounded per-block second-moment partials — the corpus never
+    shuffles; long-form upper triangle, hash-gated."""
+    from .functions.pca import covariance_long
+    return covariance_long(_emb(sf_dir))
+
+
+def _q_ml_pca_component(sf_dir: str):
+    """PCA top component (functions/pca.py): driver power iteration on
+    the exact covariance (itself oracle-gated via emb_covariance);
+    iterative eigensolve is not SQL-expressible -> rows-only; pytest
+    checks cos > 0.999 vs numpy.linalg.eigh."""
+    from .functions.pca import pca_top_component
+    return pca_top_component(_emb(sf_dir))
+
+
 def _q_kg_label_prop(sf_dir: str):
     """Synchronous label-propagation communities over the co-mention
     graph (functions/labelprop.py): 3 fixed rounds, most-frequent
@@ -4025,6 +4042,8 @@ def queries() -> dict[str, Callable]:
         "ml_kmeans_clusters": _q_kmeans_clusters,
         "ml_logreg_weights": _q_ml_logreg,
         "text_bpe_merges": _q_text_bpe_merges,
+        "emb_covariance": _q_emb_covariance,
+        "ml_pca_component": _q_ml_pca_component,
         "embedding_topk_pairs": _q_embedding_topk_pairs,
         "ann_topk_cosine": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf,
@@ -6567,6 +6586,24 @@ def oracle_sql() -> dict[str, str]:
                  AS flesch_fp
         FROM d ORDER BY doc_id"""
     out["rel_grouping_sets"] = _grouping_sets_sql()
+    out["emb_covariance"] = """
+        WITH e AS (
+          SELECT vec_id, i,
+                 CAST(floor(CAST(list_extract(embedding, i) AS DOUBLE)
+                            * 1048576.0) AS BIGINT) AS x
+          FROM embeddings, generate_series(1, 64) AS t(i)),
+        m AS (SELECT a.i AS i, b.i AS j,
+                     sum(CAST(a.x AS HUGEINT) * CAST(b.x AS HUGEINT))
+                       AS sxy
+              FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+              GROUP BY 1, 2),
+        s AS (SELECT i, CAST(sum(x) AS HUGEINT) AS sx FROM e GROUP BY 1),
+        n AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings)
+        SELECT CAST(m.i - 1 AS BIGINT) AS i, CAST(m.j - 1 AS BIGINT) AS j,
+               CAST(n.n * m.sxy - sa.sx * sb.sx AS BIGINT) AS cov_n2
+        FROM m, n
+        JOIN s sa ON sa.i = m.i JOIN s sb ON sb.i = m.j
+        ORDER BY 1, 2"""
     from .stages.textstats import HASH_FEATURE_DIM
     out["text_hash_features"] = f"""
         WITH w AS (SELECT doc_id,
