@@ -3757,3 +3757,64 @@ def lineitem_grouping_sets(sf_dir: str) -> ray.data.Dataset:
     for o in outs[1:]:
         u = u.union(o)
     return u
+
+
+# Cumulative Poisson(1) CDF in integer parts-per-billion — hardcoded so
+# the Ray side and the SQL twin draw IDENTICAL weights (a runtime exp()
+# could differ in the last bit). weight = #{t : u_ppb >= t}.
+POISSON1_CDF_PPB = (367879441, 735758882, 919698602, 981011843,
+                    996340153, 999405815, 999916758, 999989750)
+BOOTSTRAP_B = 32
+
+
+def bootstrap_means(sf_dir: str, n_boot: int = BOOTSTRAP_B
+                    ) -> ray.data.Dataset:
+    """Poisson bootstrap of the mean event value — the resampling trick
+    that made the bootstrap distributed-friendly (Chamandy et al. 2012,
+    "Estimating uncertainty for massive data streams"): instead of
+    resampling n rows WITH replacement (which needs global coordination),
+    each row independently draws a Poisson(1) multiplicity per replicate.
+    Here the draw is DETERMINISTIC — u01(splitmix64(event_id ⊕
+    splitmix64(b+1))) inverted through a hardcoded integer-ppb Poisson
+    CDF — so any cluster shape, retry or blocking produces bit-identical
+    replicates AND the whole estimator is DuckDB-oracle-gated (one of
+    the few exactly-checkable bootstrap implementations anywhere).
+
+    One scan: each block folds all B replicates to (b, n_eff, sum_vc)
+    partials — B rows per block — and ONE tiny keyed exchange finishes.
+    The CI consumer reads the B replicate means; mean_c is the exact
+    integer pair divided once (same IEEE division in the twin)."""
+    from ..functions.grouped import sorted_aggregate
+    from ..functions.sampling import hash_u01
+
+    def partial(b: pa.Table) -> pa.Table:
+        vc = _scaled_int(b["value"], 100.0).to_numpy()
+        keys = b["event_id"]
+        rows = {"b": [], "n_eff": [], "sum_vc": []}
+        thresh = np.array(POISSON1_CDF_PPB, np.int64)
+        for rep in range(n_boot):
+            u_ppb = np.floor(hash_u01(keys, seed=rep + 1)
+                             * 1_000_000_000).astype(np.int64)
+            w = np.searchsorted(thresh, u_ppb, side="right")
+            rows["b"].append(rep)
+            rows["n_eff"].append(int(w.sum()))
+            rows["sum_vc"].append(int((w * vc).sum()))
+        return pa.table({"b": pa.array(rows["b"], pa.int64()),
+                         "n_eff": pa.array(rows["n_eff"], pa.int64()),
+                         "sum_vc": pa.array(rows["sum_vc"], pa.int64())})
+
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+    agg = sorted_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["b"], [("n_eff", "sum"), ("sum_vc", "sum")],
+        ["b", "n_eff", "sum_vc"], 1)
+
+    def mean(t: pa.Table) -> pa.Table:
+        n = t["n_eff"].to_numpy(zero_copy_only=False)
+        s = t["sum_vc"].to_numpy(zero_copy_only=False)
+        m = np.where(n > 0, 1.0 * s / np.maximum(n, 1), 0.0)
+        return t.append_column("mean_c", pa.array(m, pa.float64()))
+
+    return agg.map_batches(mean, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -3453,6 +3453,42 @@ def _q_text_hash_features(sf_dir: str):
     return hash_features(docs)
 
 
+def _q_events_bootstrap(sf_dir: str):
+    """Deterministic Poisson bootstrap of the mean event value
+    (relational.bootstrap_means): B replicates from one scan, splitmix
+    weights, exact integer (n_eff, sum) pairs per replicate."""
+    from .pipelines.relational import bootstrap_means
+    return bootstrap_means(sf_dir)
+
+
+def _bootstrap_sql() -> str:
+    from .functions.sampling import splitmix64
+    from .pipelines.relational import BOOTSTRAP_B, POISSON1_CDF_PPB
+    import numpy as np
+    seeds = ", ".join(
+        f"({b}, CAST('{int(splitmix64(np.array([b + 1], np.uint64))[0])}'"
+        " AS UBIGINT))" for b in range(BOOTSTRAP_B))
+    wsum = " + ".join(f"(CASE WHEN u >= {t} THEN 1 ELSE 0 END)"
+                      for t in POISSON1_CDF_PPB)
+    return f"""
+        WITH seeds(rep, s) AS (VALUES {seeds}),
+        base AS (SELECT seeds.rep AS rep,
+                        xor(CAST(event_id AS UBIGINT), s) AS kx,
+                        CAST(round(value * 100) AS BIGINT) AS vc
+                 FROM events CROSS JOIN seeds),
+        {_splitmix_cte('base', 'kx', 'rep, vc')},
+        pp AS (SELECT rep, vc,
+                      CAST(floor(u01 * 1000000000) AS BIGINT) AS u
+               FROM u),
+        wt AS (SELECT rep, vc, {wsum} AS w FROM pp)
+        SELECT rep AS b, CAST(sum(w) AS BIGINT) AS n_eff,
+               CAST(sum(w * vc) AS BIGINT) AS sum_vc,
+               CASE WHEN sum(w) > 0
+                    THEN 1.0 * sum(w * vc) / sum(w) ELSE 0.0 END
+                 AS mean_c
+        FROM wt GROUP BY 1 ORDER BY 1"""
+
+
 def _fk_audit_sql() -> str:
     from .pipelines.relational import FK_RELATIONS
     sels = []
@@ -4213,6 +4249,7 @@ def queries() -> dict[str, Callable]:
         "text_readability": _q_text_readability,
         "rel_grouping_sets": _q_rel_grouping_sets,
         "text_hash_features": _q_text_hash_features,
+        "events_bootstrap_mean": _q_events_bootstrap,
         "rel_tpch_q2": _q_rel_tpch_q2,
         "rel_tpch_q20": _q_rel_tpch_q20,
         "rel_tpch_q21": _q_rel_tpch_q21,
@@ -6567,6 +6604,7 @@ def oracle_sql() -> dict[str, str]:
                             AND o_orderdate >= TIMESTAMP '1999-01-01')
         GROUP BY 1 ORDER BY 1"""
     out["curation_profile"] = _profile_sql()
+    out["events_bootstrap_mean"] = _bootstrap_sql()
     out["curation_benford"] = _benford_sql()
     out["rel_corr_matrix"] = _corr_matrix_sql()
     out["text_readability"] = """
