@@ -3489,6 +3489,16 @@ def _bootstrap_sql() -> str:
         FROM wt GROUP BY 1 ORDER BY 1"""
 
 
+def _q_search_postings(sf_dir: str):
+    """Inverted-index construction (search.build_postings): top-df terms
+    with numerically-sorted posting lists."""
+    from .stages.search import build_postings
+    docs = ray.data.read_parquet(os.path.join(sf_dir,
+                                              "documents.parquet"),
+                                 columns=["doc_id", "text"])
+    return build_postings(docs)
+
+
 def _fk_audit_sql() -> str:
     from .pipelines.relational import FK_RELATIONS
     sels = []
@@ -4250,6 +4260,7 @@ def queries() -> dict[str, Callable]:
         "rel_grouping_sets": _q_rel_grouping_sets,
         "text_hash_features": _q_text_hash_features,
         "events_bootstrap_mean": _q_events_bootstrap,
+        "search_postings": _q_search_postings,
         "rel_tpch_q2": _q_rel_tpch_q2,
         "rel_tpch_q20": _q_rel_tpch_q20,
         "rel_tpch_q21": _q_rel_tpch_q21,
@@ -6605,6 +6616,20 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1 ORDER BY 1"""
     out["curation_profile"] = _profile_sql()
     out["events_bootstrap_mean"] = _bootstrap_sql()
+    from .stages.search import POSTINGS_TOP
+    out["search_postings"] = f"""
+        WITH w AS (SELECT DISTINCT doc_id,
+                          unnest(string_split(lower(text), ' ')) AS term
+                   FROM documents),
+        df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+               FROM w GROUP BY 1),
+        top AS (SELECT term, df FROM df
+                ORDER BY df DESC, term LIMIT {POSTINGS_TOP})
+        SELECT t.term, t.df,
+               string_agg(CAST(w.doc_id AS VARCHAR), ','
+                          ORDER BY w.doc_id) AS postings_csv
+        FROM top t JOIN w ON w.term = t.term
+        GROUP BY 1, 2 ORDER BY 1"""
     out["curation_benford"] = _benford_sql()
     out["rel_corr_matrix"] = _corr_matrix_sql()
     out["text_readability"] = """

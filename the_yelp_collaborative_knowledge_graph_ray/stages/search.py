@@ -160,3 +160,85 @@ def bm25_topk(docs: ray.data.Dataset, queries: list[str], k: int = 10,
     return top_n_per_key(scored, ["query_id"],
                          [("score", False), ("doc_id", True)], k,
                          num_partitions)
+
+
+POSTINGS_TOP = 50
+
+
+def build_postings(docs: ray.data.Dataset,
+                   top: int = POSTINGS_TOP,
+                   num_partitions: int = 8) -> ray.data.Dataset:
+    """Inverted-index construction — the artifact behind :func:`bm25_topk`
+    surfaced as data: for the ``top`` highest-df terms, the sorted
+    posting list (term, df, postings_csv).
+
+    Scale shape: the corpus collapses to DISTINCT (term, doc) pairs via
+    grouped-count partials (the one corpus-sized exchange); document
+    frequencies are a grouped count over pairs; the top-term cut is a
+    deterministic (df desc, term asc) global sort of the tiny df table;
+    the winner set broadcasts back as a semi-filter, and each term's
+    posting list materializes in its complete sorted group (numeric doc
+    order — at real index scale the csv column becomes one Parquet
+    file per term range, same layout)."""
+    import numpy as np
+
+    from ..functions.grouped import (group_ids, grouped_count,
+                                     sorted_group_apply)
+
+    def pairs(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.utf8_lower(b["text"]), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc = pc.cast(b["doc_id"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "term": flat,
+            "doc_id": pa.array(np.repeat(doc, lens), pa.int64())})
+
+    td = grouped_count(
+        docs.map_batches(pairs, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["term", "doc_id"], "__n", num_partitions).materialize()
+
+    df = grouped_count(td, ["term"], "df", num_partitions)
+    winners = df.sort(["df", "term"], descending=[True, False]) \
+        .limit(top).to_pandas()
+    keep = ray.put(set(winners["term"]))
+    df_of = ray.put(dict(zip(winners["term"],
+                             winners["df"].astype(int))))
+
+    def semi(b: pa.Table) -> pa.Table:
+        ks = ray.get(keep)
+        mask = pa.array([t in ks for t in b["term"].to_pylist()])
+        return b.filter(mask).select(["term", "doc_id"])
+
+    out_schema = pa.schema([("term", pa.string()),
+                            ("df", pa.int64()),
+                            ("postings_csv", pa.string())])
+
+    def block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        dfo = ray.get(df_of)
+        gid, starts = group_ids(b, ["term"])
+        docs_np = b["doc_id"].to_numpy(zero_copy_only=False)
+        terms = b["term"].to_numpy(zero_copy_only=False)
+        bounds = np.append(starts, len(gid))
+        rows_t, rows_d, rows_p = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            t = terms[s]
+            rows_t.append(t)
+            rows_d.append(dfo[t])
+            rows_p.append(",".join(str(d) for d in
+                                   np.sort(docs_np[s:e])))
+        return pa.table({"term": pa.array(rows_t, pa.string()),
+                         "df": pa.array(rows_d, pa.int64()),
+                         "postings_csv": pa.array(rows_p, pa.string())},
+                        schema=out_schema)
+
+    return sorted_group_apply(
+        td.map_batches(semi, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["term"], block, 1)
