@@ -3499,6 +3499,63 @@ def _q_search_postings(sf_dir: str):
     return build_postings(docs)
 
 
+def _q_approx_overlap(sf_dir: str):
+    """HLL set-operation estimation (inclusion-exclusion): register
+    tables for A = 1996-active custkeys, B = 1997-active, and A∪B
+    (max-merge — the mergeability that makes HLL the sketch for
+    cross-partition set ops). |A∩B| ≈ E(a)+E(b)−E(u) on the driver; the
+    SKETCHES are exact and hash-gated (side, register, max_rank)."""
+    from .functions.hll import hll_registers
+    from .functions.grouped import sorted_aggregate
+
+    def year_keys(yrs):
+        def f(b: pa.Table) -> pa.Table:
+            yr = pc.year(b["o_orderdate"])
+            m = pc.is_in(pc.cast(yr, pa.int64()),
+                         value_set=pa.array(list(yrs), pa.int64()))
+            return b.filter(m).select(["o_custkey"])
+        return f
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate"])
+    out = []
+    for side, yrs in (("a", (1996,)), ("b", (1997,)),
+                      ("u", (1996, 1997))):
+        regs = hll_registers(
+            orders.map_batches(year_keys(yrs), batch_format="pyarrow",
+                               zero_copy_batch=True), "o_custkey")
+        out.append(regs.map_batches(
+            lambda t, _s=side: t.append_column(
+                "side", pa.array([_s] * t.num_rows, pa.string())),
+            batch_format="pyarrow"))
+    u = out[0].union(out[1], out[2])
+    return u.map_batches(
+        lambda t: t.select(["side", "register", "max_rank"]),
+        batch_format="pyarrow").sort(["side", "register"])
+
+
+def _approx_overlap_sql() -> str:
+    sides = []
+    for side, pred in (("a", "year(o_orderdate) = 1996"),
+                       ("b", "year(o_orderdate) = 1997"),
+                       ("u", "year(o_orderdate) IN (1996, 1997)")):
+        sides.append(f"""
+            SELECT '{side}' AS side, register,
+                   CAST(max(r) AS BIGINT) AS max_rank
+            FROM (
+              WITH src AS (SELECT o_custkey FROM orders WHERE {pred}),
+              {_splitmix_cte('src', 'o_custkey', 'o_custkey')},
+              hh AS (SELECT xor(z, z >> 31) AS h FROM z2),
+              rr AS (SELECT CAST(h >> 54 AS BIGINT) AS register,
+                            h % 18014398509481984 AS w FROM hh)
+              SELECT register,
+                     CASE WHEN w = 0 THEN 55
+                          ELSE 55 - length(bin(w)) END AS r FROM rr)
+            GROUP BY 1, 2""")
+    return " UNION ALL ".join(sides) + " ORDER BY side, register"
+
+
 def _fk_audit_sql() -> str:
     from .pipelines.relational import FK_RELATIONS
     sels = []
@@ -4261,6 +4318,7 @@ def queries() -> dict[str, Callable]:
         "text_hash_features": _q_text_hash_features,
         "events_bootstrap_mean": _q_events_bootstrap,
         "search_postings": _q_search_postings,
+        "approx_distinct_overlap": _q_approx_overlap,
         "rel_tpch_q2": _q_rel_tpch_q2,
         "rel_tpch_q20": _q_rel_tpch_q20,
         "rel_tpch_q21": _q_rel_tpch_q21,
@@ -6616,6 +6674,7 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1 ORDER BY 1"""
     out["curation_profile"] = _profile_sql()
     out["events_bootstrap_mean"] = _bootstrap_sql()
+    out["approx_distinct_overlap"] = _approx_overlap_sql()
     from .stages.search import POSTINGS_TOP
     out["search_postings"] = f"""
         WITH w AS (SELECT DISTINCT doc_id,
