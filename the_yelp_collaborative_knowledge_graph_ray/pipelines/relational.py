@@ -3818,3 +3818,111 @@ def bootstrap_means(sf_dir: str, n_boot: int = BOOTSTRAP_B
 
     return agg.map_batches(mean, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+APPORTION_TOTAL = 1_000_000
+
+
+def apportion_budget(sf_dir: str, total: int = APPORTION_TOTAL
+                     ) -> pa.Table:
+    """Largest-remainder (Hamilton) apportionment — the pro-rata
+    allocation every budgeting/sampling pipeline eventually needs:
+    distribute an integer ``total`` across customer nations
+    proportionally to their order counts so the shares are integers AND
+    sum EXACTLY to ``total`` (naive floor quotas undershoot; naive
+    rounding drifts). quota = n_g·T // N; the leftover goes +1 each to
+    the groups with the largest remainders (n_g·T % N), ties broken by
+    nation key — fully integer, fully deterministic.
+
+    Plan: ONE grouped count (orders never shuffle — custkey→nation is a
+    broadcast probe, counts fold map-side); the apportionment itself
+    runs on the driver over the |nations|-row result."""
+    from ..functions.grouped import sorted_aggregate
+    from ..functions.joins import probe_sorted
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust["c_custkey"].to_numpy()
+    order = np.argsort(ck)
+    lookup = ray.put((ck[order],
+                      cust["c_nationkey"].to_numpy()
+                      .astype(np.int64)[order]))
+
+    class Fold:
+        def __init__(self):
+            self.ck, self.nat = ray.get(lookup)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            k = pc.cast(b["o_custkey"], pa.int64()).combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            nat = probe_sorted(self.ck, self.nat, k, missing=-1)
+            t = pa.table({"nation": pa.array(nat, pa.int64()),
+                          "n": pa.array(np.ones(len(nat), np.int64))})
+            return t.group_by(["nation"], use_threads=False) \
+                .aggregate([("n", "sum")]) \
+                .rename_columns(["nation", "n"])
+
+    counts = sorted_aggregate(
+        _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+            Fold, concurrency=(1, 4), batch_format="pyarrow"),
+        ["nation"], [("n", "sum")], ["nation", "n"], 1).to_pandas() \
+        .sort_values("nation").reset_index(drop=True)
+
+    n = counts["n"].to_numpy().astype(object)  # python ints (no overflow)
+    N = int(sum(n))
+    floor_q = np.array([int(x) * total // N for x in n], np.int64)
+    rem = np.array([int(x) * total % N for x in n], np.int64)
+    leftover = total - int(floor_q.sum())
+    order2 = np.lexsort((counts["nation"].to_numpy(), -rem))
+    bump = np.zeros(len(n), np.int64)
+    bump[order2[:leftover]] = 1
+    share = floor_q + bump
+    assert int(share.sum()) == total
+    return pa.table({
+        "nation": pa.array(counts["nation"].astype("int64")),
+        "n_orders": pa.array(counts["n"].astype("int64")),
+        "share": pa.array(share)})
+
+
+def mom_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Month-over-month revenue deltas — window-over-aggregate
+    composition: per-month exact integer revenue (map-side partials,
+    ONE tiny exchange), then LAG/delta/pct on the months table inside
+    its single sorted block. pct is the one float, same IEEE division
+    as the twin; the first month pins prev=0, delta=0, pct=0."""
+    from ..functions.grouped import sorted_aggregate
+
+    def partial(b: pa.Table) -> pa.Table:
+        ym = pc.add(pc.multiply(pc.cast(pc.year(b["l_shipdate"]),
+                                        pa.int64()),
+                                pa.scalar(100, pa.int64())),
+                    pc.cast(pc.month(b["l_shipdate"]), pa.int64()))
+        rev = (_scaled_int(b["l_extendedprice"], 100.0).to_numpy()
+               * (100 - _scaled_int(b["l_discount"], 100.0).to_numpy()))
+        return pa.table({"ym": ym, "rev_c2": pa.array(rev, pa.int64())}) \
+            .group_by(["ym"], use_threads=False) \
+            .aggregate([("rev_c2", "sum")]) \
+            .rename_columns(["ym", "rev_c2"])
+
+    li = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_extendedprice", "l_discount"])
+    months = sorted_aggregate(
+        li.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["ym"], [("rev_c2", "sum")], ["ym", "rev_c2"], 1)
+
+    def window(b: pa.Table) -> pa.Table:
+        b = b.sort_by("ym")
+        rev = b["rev_c2"].to_numpy(zero_copy_only=False)
+        prev = np.concatenate([[0], rev[:-1]]).astype(np.int64)
+        delta = np.where(prev > 0, rev - prev, 0).astype(np.int64)
+        pct = np.where(prev > 0, 100.0 * delta / np.maximum(prev, 1),
+                       0.0)
+        return pa.table({"ym": b["ym"], "rev_c2": b["rev_c2"],
+                         "prev_c2": pa.array(prev),
+                         "delta_c2": pa.array(delta),
+                         "pct": pa.array(pct, pa.float64())})
+
+    return months.map_batches(window, batch_format="pyarrow",
+                              batch_size=None, zero_copy_batch=True)

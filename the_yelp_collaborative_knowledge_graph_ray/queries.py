@@ -3556,6 +3556,21 @@ def _approx_overlap_sql() -> str:
     return " UNION ALL ".join(sides) + " ORDER BY side, register"
 
 
+def _q_rel_apportion(sf_dir: str):
+    """Largest-remainder apportionment (relational.apportion_budget):
+    integer shares proportional to order counts, summing exactly to the
+    budget."""
+    from .pipelines.relational import apportion_budget
+    return apportion_budget(sf_dir)
+
+
+def _q_rel_mom_revenue(sf_dir: str):
+    """Month-over-month revenue deltas (relational.mom_revenue):
+    window-over-aggregate, exact integer deltas + IEEE pct."""
+    from .pipelines.relational import mom_revenue
+    return mom_revenue(sf_dir)
+
+
 def _fk_audit_sql() -> str:
     from .pipelines.relational import FK_RELATIONS
     sels = []
@@ -4319,6 +4334,8 @@ def queries() -> dict[str, Callable]:
         "events_bootstrap_mean": _q_events_bootstrap,
         "search_postings": _q_search_postings,
         "approx_distinct_overlap": _q_approx_overlap,
+        "rel_apportion_budget": _q_rel_apportion,
+        "rel_mom_revenue": _q_rel_mom_revenue,
         "rel_tpch_q2": _q_rel_tpch_q2,
         "rel_tpch_q20": _q_rel_tpch_q20,
         "rel_tpch_q21": _q_rel_tpch_q21,
@@ -6675,6 +6692,41 @@ def oracle_sql() -> dict[str, str]:
     out["curation_profile"] = _profile_sql()
     out["events_bootstrap_mean"] = _bootstrap_sql()
     out["approx_distinct_overlap"] = _approx_overlap_sql()
+    from .pipelines.relational import APPORTION_TOTAL
+    out["rel_apportion_budget"] = f"""
+        WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+                          c_custkey FROM customer),
+        o AS (SELECT nation, CAST(count(*) AS BIGINT) AS n
+              FROM orders JOIN c ON c_custkey = o_custkey GROUP BY 1),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM o),
+        q AS (SELECT nation, n, n * {APPORTION_TOTAL} // total AS fq,
+                     n * {APPORTION_TOTAL} % total AS rem FROM o, t),
+        l AS (SELECT {APPORTION_TOTAL} - sum(fq) AS leftover FROM q),
+        r AS (SELECT nation, n, fq, row_number() OVER (
+                ORDER BY rem DESC, nation) AS rn FROM q)
+        SELECT nation, n AS n_orders,
+               CAST(fq + CASE WHEN rn <= (SELECT leftover FROM l)
+                              THEN 1 ELSE 0 END AS BIGINT) AS share
+        FROM r ORDER BY nation"""
+    out["rel_mom_revenue"] = """
+        WITH m AS (
+          SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate)
+                      AS BIGINT) AS ym,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100)
+                                        AS BIGINT))) AS BIGINT) AS rev_c2
+          FROM lineitem GROUP BY 1),
+        w AS (SELECT ym, rev_c2,
+                     coalesce(LAG(rev_c2) OVER (ORDER BY ym), 0)
+                       AS prev_c2
+              FROM m)
+        SELECT ym, rev_c2, prev_c2,
+               CAST(CASE WHEN prev_c2 > 0 THEN rev_c2 - prev_c2
+                         ELSE 0 END AS BIGINT) AS delta_c2,
+               CASE WHEN prev_c2 > 0
+                    THEN 100.0 * (rev_c2 - prev_c2) / prev_c2
+                    ELSE 0.0 END AS pct
+        FROM w ORDER BY ym"""
     from .stages.search import POSTINGS_TOP
     out["search_postings"] = f"""
         WITH w AS (SELECT DISTINCT doc_id,
