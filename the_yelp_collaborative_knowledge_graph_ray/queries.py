@@ -803,6 +803,23 @@ def _q_ml_pca_component(sf_dir: str):
     return pca_top_component(_emb(sf_dir))
 
 
+def _q_dedup_containment(sf_dir: str):
+    """Asymmetric shingle-containment near-dups (dedup.containment_pairs):
+    |A∩B|/min(|A|,|B|) >= 0.8 — the embedded-document case symmetric
+    Jaccard misses; shared posting machinery, hash-gated ratio."""
+    from .stages.dedup import containment_pairs
+    docs = ray.data.read_parquet(os.path.join(sf_dir,
+                                              "documents.parquet"),
+                                 columns=["doc_id", "text"])
+    df = containment_pairs(docs).to_pandas()
+    if df.empty:  # empty sort loses schema
+        import pandas as pd
+        df = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                           "doc_b": pd.Series(dtype="int64"),
+                           "containment": pd.Series(dtype="float64")})
+    return df
+
+
 def _q_kg_label_prop(sf_dir: str):
     """Synchronous label-propagation communities over the co-mention
     graph (functions/labelprop.py): 3 fixed rounds, most-frequent
@@ -4336,6 +4353,7 @@ def queries() -> dict[str, Callable]:
         "approx_distinct_overlap": _q_approx_overlap,
         "rel_apportion_budget": _q_rel_apportion,
         "rel_mom_revenue": _q_rel_mom_revenue,
+        "dedup_containment": _q_dedup_containment,
         "rel_tpch_q2": _q_rel_tpch_q2,
         "rel_tpch_q20": _q_rel_tpch_q20,
         "rel_tpch_q21": _q_rel_tpch_q21,
@@ -6692,6 +6710,15 @@ def oracle_sql() -> dict[str, str]:
     out["curation_profile"] = _profile_sql()
     out["events_bootstrap_mean"] = _bootstrap_sql()
     out["approx_distinct_overlap"] = _approx_overlap_sql()
+    out["dedup_containment"] = """
+WITH """ + _SHINGLE_CTE + """
+SELECT i.doc_a, i.doc_b,
+       CAST(i.ni AS DOUBLE) / least(sa.n, sb.n) AS containment
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.ni AS DOUBLE) / least(sa.n, sb.n) >= 0.8
+ORDER BY doc_a, doc_b"""
     from .pipelines.relational import APPORTION_TOTAL
     out["rel_apportion_budget"] = f"""
         WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,

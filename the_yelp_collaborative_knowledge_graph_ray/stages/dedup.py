@@ -1241,3 +1241,45 @@ def dedup_keep_best(docs: ray.data.Dataset, pairs: ray.data.Dataset,
 
     return sorted_group_apply(labeled, ["canon_id"], argmax_block,
                               num_partitions).sort("canon_id")
+
+
+def containment_pairs(docs: ray.data.Dataset, threshold: float = 0.8,
+                      k: int = SHINGLE_K, num_partitions: int = 16,
+                      max_posting: int = 10_000) -> ray.data.Dataset:
+    """Asymmetric near-dup detection by shingle CONTAINMENT
+    (Broder 1997's other resemblance measure): C = |A∩B| / min(|A|,|B|)
+    ≥ threshold. Catches the pair symmetric Jaccard structurally CANNOT
+    — a short document wholly embedded in a much longer one (quote,
+    boilerplate wrapper, prefix crop) has J ≈ |A|/|B| → 0 but C = 1.
+    Same scale shape as :func:`ngram_jaccard_pairs` — the posting
+    expansion and pair aggregation are shared; only the final ratio
+    differs (IEEE division of the same exact integer counts, so the
+    DuckDB twin uses least(sa, sb) and matches bit-for-bit)."""
+    def explode(b: pa.Table) -> pa.Table:
+        doc_idx, codes, dictionary = _distinct_doc_shingles(b["text"], k)
+        n = np.bincount(doc_idx, minlength=b.num_rows).astype(np.int64) \
+            if len(doc_idx) else np.zeros(b.num_rows, np.int64)
+        did = pc.cast(b["doc_id"], pa.int64()).combine_chunks().to_numpy()
+        return pa.table({
+            "shingle": dictionary.take(pa.array(codes)),
+            "doc_id": pa.array(did[doc_idx], pa.int64()),
+            "n_shingles": pa.array(n[doc_idx], pa.int64())})
+
+    from ..functions.grouped import pairs_with_carry
+    pair_counts = pairs_with_carry(
+        docs.map_batches(explode, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["shingle"], "doc_id", "n_shingles", count_col="n_inter",
+        max_group=max_posting, num_partitions=num_partitions)
+
+    def contain(b: pa.Table) -> pa.Table:
+        inter = b["n_inter"].to_numpy().astype(np.float64)
+        lo = np.minimum(b["carry_a"].to_numpy(), b["carry_b"].to_numpy())
+        c = inter / lo
+        t = pa.table({
+            "doc_a": b["doc_a"], "doc_b": b["doc_b"],
+            "containment": pa.array(c, pa.float64())})
+        return t.filter(pc.greater_equal(t["containment"], threshold))
+
+    return pair_counts.map_batches(contain, batch_format="pyarrow") \
+                      .sort(["doc_a", "doc_b"])
