@@ -1153,6 +1153,27 @@ def _q_text_langid(sf_dir: str):
     return language_id(_docs(sf_dir))
 
 
+def _q_text_langid_confusion(sf_dir: str):
+    """Classifier-quality confusion matrix: the exact integer langid
+    predictions (same actor-pool scorer as text_langid) crossed with the
+    labeled lang column — (pred_lang, true_lang, n). The label attaches
+    through the doc-keyed co-group (corpus-sized, never broadcast), then
+    one tiny grouped count. The model-eval op every curation pipeline
+    runs after training a filter."""
+    from .functions.grouped import grouped_count
+    from .functions.joins import attach_column
+    from .stages.textstats import language_id
+    pred = language_id(_docs(sf_dir))
+    labels = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang"])
+    joined = attach_column(
+        pred, labels,
+        [("doc_id", pa.int64()), ("pred_lang", pa.string())],
+        "doc_id", "doc_id", "lang", "true_lang", pa.string(), 4)
+    return grouped_count(joined, ["pred_lang", "true_lang"], "n", 1)
+
+
 def _q_text_fingerprint(sf_dir: str):
     from .stages.textstats import fingerprints
     return fingerprints(_docs(sf_dir))
@@ -4354,6 +4375,7 @@ def queries() -> dict[str, Callable]:
         "rel_apportion_budget": _q_rel_apportion,
         "rel_mom_revenue": _q_rel_mom_revenue,
         "dedup_containment": _q_dedup_containment,
+        "text_langid_confusion": _q_text_langid_confusion,
         "rel_tpch_q2": _q_rel_tpch_q2,
         "rel_tpch_q20": _q_rel_tpch_q20,
         "rel_tpch_q21": _q_rel_tpch_q21,
@@ -6710,6 +6732,12 @@ def oracle_sql() -> dict[str, str]:
     out["curation_profile"] = _profile_sql()
     out["events_bootstrap_mean"] = _bootstrap_sql()
     out["approx_distinct_overlap"] = _approx_overlap_sql()
+    out["text_langid_confusion"] = ("""
+        SELECT p.pred_lang, d.lang AS true_lang,
+               CAST(count(*) AS BIGINT) AS n
+        FROM (""" + _langid_sql() + """) p
+        JOIN documents d USING (doc_id)
+        GROUP BY 1, 2 ORDER BY 1, 2""")
     out["dedup_containment"] = """
 WITH """ + _SHINGLE_CTE + """
 SELECT i.doc_a, i.doc_b,
