@@ -3594,6 +3594,30 @@ def _approx_overlap_sql() -> str:
     return " UNION ALL ".join(sides) + " ORDER BY side, register"
 
 
+def _q_rel_zorder(sf_dir: str):
+    """Z-order clustering keys (relational.zorder_keys): bit-interleaved
+    (custkey, order-day) Morton codes, pure integer bit arithmetic."""
+    from .pipelines.relational import zorder_keys
+    return zorder_keys(sf_dir)
+
+
+def _zorder_sql() -> str:
+    from .pipelines.relational import ZORDER_BITS
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"(((x >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((d >> {i}) & 1) << {2 * i + 1})")
+    return f"""
+        WITH m AS (SELECT o_orderkey,
+                          CAST(o_custkey % {1 << ZORDER_BITS} AS BIGINT)
+                            AS x,
+                          CAST((epoch_us(o_orderdate) // 86400000000)
+                               % {1 << ZORDER_BITS} AS BIGINT) AS d
+                   FROM orders)
+        SELECT o_orderkey, CAST({' | '.join(terms)} AS BIGINT) AS zkey
+        FROM m ORDER BY o_orderkey"""
+
+
 def _q_rel_apportion(sf_dir: str):
     """Largest-remainder apportionment (relational.apportion_budget):
     integer shares proportional to order counts, summing exactly to the
@@ -4376,6 +4400,7 @@ def queries() -> dict[str, Callable]:
         "rel_mom_revenue": _q_rel_mom_revenue,
         "dedup_containment": _q_dedup_containment,
         "text_langid_confusion": _q_text_langid_confusion,
+        "rel_zorder_keys": _q_rel_zorder,
         "rel_tpch_q2": _q_rel_tpch_q2,
         "rel_tpch_q20": _q_rel_tpch_q20,
         "rel_tpch_q21": _q_rel_tpch_q21,
@@ -6732,6 +6757,7 @@ def oracle_sql() -> dict[str, str]:
     out["curation_profile"] = _profile_sql()
     out["events_bootstrap_mean"] = _bootstrap_sql()
     out["approx_distinct_overlap"] = _approx_overlap_sql()
+    out["rel_zorder_keys"] = _zorder_sql()
     out["text_langid_confusion"] = ("""
         SELECT p.pred_lang, d.lang AS true_lang,
                CAST(count(*) AS BIGINT) AS n
