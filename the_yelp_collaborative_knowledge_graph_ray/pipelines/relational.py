@@ -3958,3 +3958,138 @@ def zorder_keys(sf_dir: str, bits: int = ZORDER_BITS) -> ray.data.Dataset:
                  ["o_orderkey", "o_custkey", "o_orderdate"]) \
         .map_batches(z, batch_format="pyarrow",
                      zero_copy_batch=True).sort("o_orderkey")
+
+
+JOIN_EST_PAIRS = (
+    ("lineitem.l_orderkey=orders.o_orderkey",
+     "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("events.user_id=customer.c_custkey",
+     "events", "user_id", "customer", "c_custkey"),
+)
+
+
+def join_cardinality_estimates(sf_dir: str) -> pa.Table:
+    """Query-optimizer cardinality diagnostics: for each join pair, the
+    textbook uniform-containment estimate |L|·|R| / max(ndv_L, ndv_R)
+    next to the TRUE join size — the number every cost-based planner
+    bets on, surfaced as data so skew that breaks the uniformity
+    assumption is visible before a 100-TB join is scheduled.
+
+    All exact integers: per-side grouped counts (map-side combined)
+    give n and ndv; the true size is Σ_k cnt_L(k)·cnt_R(k), computed by
+    attaching the right counts onto the left count table through the
+    keyed co-group (key-distinct inputs — pair-table-sized, never the
+    raw tables) and folding products per block."""
+    from ..functions.grouped import grouped_count, sorted_aggregate
+    from ..functions.joins import attach_column
+
+    rows = []
+    for name, lt, lk, rt, rk in JOIN_EST_PAIRS:
+        lcnt = grouped_count(_read(sf_dir, lt, [lk]), [lk], "cl",
+                             8).materialize()
+        rcnt = grouped_count(_read(sf_dir, rt, [rk]), [rk], "cr",
+                             8).materialize()
+
+        def side_stats(ds, cname):
+            t = ds.map_batches(
+                lambda b, _c=cname: pa.table({
+                    "n": pa.array([int(pc.sum(b[_c]).as_py() or 0)],
+                                  pa.int64()),
+                    "ndv": pa.array([b.num_rows], pa.int64())}),
+                batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+            return int(t["n"].sum()), int(t["ndv"].sum())
+
+        n_l, ndv_l = side_stats(lcnt, "cl")
+        n_r, ndv_r = side_stats(rcnt, "cr")
+
+        joined = attach_column(
+            lcnt, rcnt, [(lk, pa.int64()), ("cl", pa.int64())],
+            lk, rk, "cr", "cr", pa.int64(), 8)
+        prods = joined.map_batches(
+            lambda b: pa.table({"p": pa.array(
+                [int((b["cl"].to_numpy(zero_copy_only=False)
+                      * b["cr"].to_numpy(zero_copy_only=False)).sum())],
+                pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+        actual = int(prods["p"].sum())
+        est = n_l * n_r // max(ndv_l, ndv_r, 1)
+        rows.append((name, n_l, n_r, ndv_l, ndv_r, est, actual))
+
+    t = list(zip(*rows))
+    return pa.table({
+        "pair": pa.array(t[0], pa.string()),
+        "n_left": pa.array(t[1], pa.int64()),
+        "n_right": pa.array(t[2], pa.int64()),
+        "ndv_left": pa.array(t[3], pa.int64()),
+        "ndv_right": pa.array(t[4], pa.int64()),
+        "est_rows": pa.array(t[5], pa.int64()),
+        "actual_rows": pa.array(t[6], pa.int64())})
+
+
+def seasonal_decompose_daily(sf_dir: str) -> ray.data.Dataset:
+    """Classical seasonal decomposition of the daily purchase-revenue
+    series — centered 7-day moving trend and day-of-week detrended
+    component, all in EXACT integers (the MA is kept ×7 instead of
+    divided: trend7x = Σ window, detrend7x = 7·rev − trend7x — floor
+    division would lose exactness, multiplication never does).
+
+    Edge days without a full window pin (trend, detrend) = 0 with a
+    validity flag — the engine's null-free degenerate convention. Day
+    gaps are densified with a zero-filled spine (calendar days are
+    bounded no matter the corpus size, so the dense series legitimately
+    lives in ONE sorted block; the corpus-sized work is only the daily
+    grouped sum). dow = (epoch_day + 4) % 7 — pure arithmetic shared
+    with the twin, 0 = Sunday."""
+    from ..functions.grouped import sorted_aggregate
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["event_type"], "purchase")
+        t = b.filter(m)
+        day = pc.divide(pc.cast(t["ts"], pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({"day": day,
+                         "rev_c": _scaled_int(t["value"], 100.0)}) \
+            .group_by(["day"], use_threads=False) \
+            .aggregate([("rev_c", "sum")]) \
+            .rename_columns(["day", "rev_c"])
+
+    daily = sorted_aggregate(
+        _read(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True),
+        ["day"], [("rev_c", "sum")], ["day", "rev_c"], 1)
+
+    def decompose(b: pa.Table) -> pa.Table:
+        schema = pa.schema([("day", pa.int64()), ("dow", pa.int64()),
+                            ("rev_c", pa.int64()),
+                            ("trend7x", pa.int64()),
+                            ("detrend7x", pa.int64()),
+                            ("valid", pa.int64())])
+        if b.num_rows == 0:
+            return schema.empty_table()
+        b = b.sort_by("day")
+        days = b["day"].to_numpy(zero_copy_only=False)
+        revs = b["rev_c"].to_numpy(zero_copy_only=False)
+        lo, hi = int(days[0]), int(days[-1])
+        dense = np.zeros(hi - lo + 1, np.int64)
+        dense[days - lo] = revs
+        n = len(dense)
+        cs = np.concatenate([[0], np.cumsum(dense)])
+        idx = np.arange(n)
+        lo_i = np.maximum(idx - 3, 0)
+        hi_i = np.minimum(idx + 3, n - 1)
+        trend = (cs[hi_i + 1] - cs[lo_i]).astype(np.int64)
+        valid = ((idx >= 3) & (idx <= n - 4)).astype(np.int64)
+        trend = trend * valid
+        detrend = (7 * dense - trend) * valid
+        day_col = lo + idx
+        return pa.table({
+            "day": pa.array(day_col, pa.int64()),
+            "dow": pa.array((day_col + 4) % 7, pa.int64()),
+            "rev_c": pa.array(dense, pa.int64()),
+            "trend7x": pa.array(trend, pa.int64()),
+            "detrend7x": pa.array(detrend, pa.int64()),
+            "valid": pa.array(valid, pa.int64())}, schema=schema)
+
+    return daily.map_batches(decompose, batch_format="pyarrow",
+                             batch_size=None, zero_copy_batch=True)

@@ -3618,6 +3618,45 @@ def _zorder_sql() -> str:
         FROM m ORDER BY o_orderkey"""
 
 
+def _q_diag_join_estimate(sf_dir: str):
+    """Join-cardinality diagnostics (relational.join_cardinality_estimates):
+    uniform-containment estimate vs true join size, exact integers."""
+    from .pipelines.relational import join_cardinality_estimates
+    return join_cardinality_estimates(sf_dir)
+
+
+def _join_estimate_sql() -> str:
+    from .pipelines.relational import JOIN_EST_PAIRS
+    sels = []
+    for name, lt, lk, rt, rk in JOIN_EST_PAIRS:
+        sels.append(f"""
+            SELECT '{name}' AS pair,
+                   (SELECT CAST(count(*) AS BIGINT) FROM {lt}) AS n_left,
+                   (SELECT CAST(count(*) AS BIGINT) FROM {rt})
+                     AS n_right,
+                   (SELECT CAST(count(DISTINCT {lk}) AS BIGINT)
+                    FROM {lt}) AS ndv_left,
+                   (SELECT CAST(count(DISTINCT {rk}) AS BIGINT)
+                    FROM {rt}) AS ndv_right,
+                   CAST((SELECT count(*) FROM {lt})
+                        * (SELECT count(*) FROM {rt})
+                        // greatest(
+                            (SELECT count(DISTINCT {lk}) FROM {lt}),
+                            (SELECT count(DISTINCT {rk}) FROM {rt}), 1)
+                        AS BIGINT) AS est_rows,
+                   (SELECT CAST(count(*) AS BIGINT)
+                    FROM {lt} JOIN {rt} ON {lk} = {rk}) AS actual_rows""")
+    return " UNION ALL ".join(sels) + " ORDER BY pair"
+
+
+def _q_events_seasonal(sf_dir: str):
+    """Seasonal decomposition of daily purchase revenue
+    (relational.seasonal_decompose_daily): exact ×7 centered moving
+    trend + dow detrended component over a zero-filled day spine."""
+    from .pipelines.relational import seasonal_decompose_daily
+    return seasonal_decompose_daily(sf_dir)
+
+
 def _q_rel_apportion(sf_dir: str):
     """Largest-remainder apportionment (relational.apportion_budget):
     integer shares proportional to order counts, summing exactly to the
@@ -4401,6 +4440,8 @@ def queries() -> dict[str, Callable]:
         "dedup_containment": _q_dedup_containment,
         "text_langid_confusion": _q_text_langid_confusion,
         "rel_zorder_keys": _q_rel_zorder,
+        "diag_join_estimate": _q_diag_join_estimate,
+        "events_seasonal_decompose": _q_events_seasonal,
         "rel_tpch_q2": _q_rel_tpch_q2,
         "rel_tpch_q20": _q_rel_tpch_q20,
         "rel_tpch_q21": _q_rel_tpch_q21,
@@ -6758,6 +6799,34 @@ def oracle_sql() -> dict[str, str]:
     out["events_bootstrap_mean"] = _bootstrap_sql()
     out["approx_distinct_overlap"] = _approx_overlap_sql()
     out["rel_zorder_keys"] = _zorder_sql()
+    out["diag_join_estimate"] = _join_estimate_sql()
+    out["events_seasonal_decompose"] = """
+        WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                          CAST(round(value * 100) AS BIGINT) AS vc
+                   FROM events WHERE event_type = 'purchase'),
+        d AS (SELECT day, CAST(sum(vc) AS BIGINT) AS rev_c
+              FROM e GROUP BY 1),
+        b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+        spine AS (SELECT unnest(generate_series(lo, hi)) AS day FROM b),
+        s AS (SELECT spine.day AS day, coalesce(d.rev_c, 0) AS rev_c
+              FROM spine LEFT JOIN d USING (day)),
+        w AS (SELECT day, rev_c,
+                     CAST(sum(rev_c) OVER (ORDER BY day
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                          AS BIGINT) AS t7,
+                     row_number() OVER (ORDER BY day) AS rn,
+                     count(*) OVER () AS n
+              FROM s)
+        SELECT CAST(day AS BIGINT) AS day,
+               CAST((day + 4) % 7 AS BIGINT) AS dow, rev_c,
+               CAST(CASE WHEN rn > 3 AND rn <= n - 3 THEN t7
+                         ELSE 0 END AS BIGINT) AS trend7x,
+               CAST(CASE WHEN rn > 3 AND rn <= n - 3
+                         THEN 7 * rev_c - t7
+                         ELSE 0 END AS BIGINT) AS detrend7x,
+               CAST(CASE WHEN rn > 3 AND rn <= n - 3 THEN 1
+                         ELSE 0 END AS BIGINT) AS valid
+        FROM w ORDER BY day"""
     out["text_langid_confusion"] = ("""
         SELECT p.pred_lang, d.lang AS true_lang,
                CAST(count(*) AS BIGINT) AS n

@@ -205,13 +205,12 @@ def build_postings(docs: ray.data.Dataset,
     df = grouped_count(td, ["term"], "df", num_partitions)
     winners = df.sort(["df", "term"], descending=[True, False]) \
         .limit(top).to_pandas()
-    keep = ray.put(set(winners["term"]))
+    keep = ray.put(pa.array(winners["term"], pa.string()))
     df_of = ray.put(dict(zip(winners["term"],
                              winners["df"].astype(int))))
 
     def semi(b: pa.Table) -> pa.Table:
-        ks = ray.get(keep)
-        mask = pa.array([t in ks for t in b["term"].to_pylist()])
+        mask = pc.is_in(b["term"], value_set=ray.get(keep))
         return b.filter(mask).select(["term", "doc_id"])
 
     out_schema = pa.schema([("term", pa.string()),
