@@ -183,3 +183,48 @@ def train_bpe_local(texts: list[str], n_merges: int = 10) -> list[tuple]:
             nv[k] = nv.get(k, 0) + f
         vocab = nv
     return merges
+
+
+def encode_with_merges(docs: ray.data.Dataset, merges: list[tuple],
+                       num_partitions: int = 8) -> ray.data.Dataset:
+    """Tokenizer APPLY: per document, the subword count under a learned
+    merge list — the encode half of the BPE story (train_bpe produces
+    the merges). The merge loop runs over each block's DISTINCT words
+    (dictionary-encoded — the same vocab-bounded trick as training), so
+    a billion-token block pays the Python merge walk only once per
+    distinct word. Returns (doc_id, n_words, n_subwords); no SQL twin
+    (iterative rewriting) — pytest checks against a per-word sequential
+    encode."""
+    order = [(left, right) for (_r, left, right, _m, _c) in merges]
+    merges_ref = ray.put(order)
+
+    def encode(b: pa.Table) -> pa.Table:
+        ms = ray.get(merges_ref)
+        toks = pc.split_pattern(pc.utf8_lower(b["text"]), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        dic = flat.dictionary_encode()
+        codes = dic.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64) if len(flat) else np.empty(0, np.int64)
+        vocab = dic.dictionary.to_pylist() if len(flat) else []
+        n_sub = np.empty(len(vocab), np.int64)
+        for i, w in enumerate(vocab):
+            s = _to_symbols(w)
+            for left, right in ms:
+                if " " not in s:
+                    break
+                s = _merge_syms(s, left, right)
+            n_sub[i] = s.count(" ") + 1
+        doc_of = np.repeat(np.arange(len(lens)), lens)
+        per_doc = np.zeros(len(lens), np.int64)
+        if len(codes):
+            np.add.at(per_doc, doc_of, n_sub[codes])
+        return pa.table({
+            "doc_id": pc.cast(b["doc_id"], pa.int64()),
+            "n_words": pa.array(lens.astype(np.int64)),
+            "n_subwords": pa.array(per_doc)})
+
+    return docs.map_batches(encode, batch_format="pyarrow",
+                            zero_copy_batch=True).sort("doc_id")

@@ -820,6 +820,30 @@ def _q_dedup_containment(sf_dir: str):
     return df
 
 
+def _q_text_compression(sf_dir: str):
+    """zlib compression-ratio quality signal (textstats.compression_ratio):
+    exact integer (bytes, compressed, ratio_fp). No SQL twin (DuckDB has
+    no zlib) -> rows-only; pytest pins repetitive < random ordering and
+    determinism."""
+    from .stages.textstats import compression_ratio
+    return compression_ratio(_docs(sf_dir))
+
+
+def _q_text_bpe_encode(sf_dir: str):
+    """Tokenizer APPLY (functions/bpe.encode_with_merges): per-doc
+    subword counts under the corpus-trained merge list; dictionary-
+    bounded merge walks. Iterative -> rows-only; pytest vs sequential
+    encode."""
+    from .functions.bpe import encode_with_merges, train_bpe
+    docs = ray.data.read_parquet(os.path.join(sf_dir,
+                                              "documents.parquet"),
+                                 columns=["doc_id", "text"])
+    merges = train_bpe(docs, n_merges=10).to_pylist()
+    rows = [(m["rank"], m["left"], m["right"], m["merged"], m["count"])
+            for m in merges]
+    return encode_with_merges(docs, rows)
+
+
 def _q_kg_label_prop(sf_dir: str):
     """Synchronous label-propagation communities over the co-mention
     graph (functions/labelprop.py): 3 fixed rounds, most-frequent
@@ -4261,6 +4285,8 @@ def queries() -> dict[str, Callable]:
         "ml_kmeans_clusters": _q_kmeans_clusters,
         "ml_logreg_weights": _q_ml_logreg,
         "text_bpe_merges": _q_text_bpe_merges,
+        "text_bpe_encode": _q_text_bpe_encode,
+        "text_compression_ratio": _q_text_compression,
         "emb_covariance": _q_emb_covariance,
         "ml_pca_component": _q_ml_pca_component,
         "embedding_topk_pairs": _q_embedding_topk_pairs,

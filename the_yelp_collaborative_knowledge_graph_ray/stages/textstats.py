@@ -955,3 +955,34 @@ def hash_features(docs: ray.data.Dataset,
     return docs.map_batches(feats, batch_format="pyarrow",
                             zero_copy_batch=True).sort(["doc_id",
                                                         "bucket"])
+
+
+def compression_ratio(docs: ray.data.Dataset,
+                      level: int = 6) -> ray.data.Dataset:
+    """Per-document zlib compression ratio — the classic cheap
+    redundancy/quality signal (used alongside the Gopher rules:
+    highly compressible text is boilerplate/repetition, incompressible
+    text is noise/binary). Emitted as exact integers (n_bytes,
+    n_compressed) plus ratio_fp = 10^6·compressed//raw so thresholds
+    are engine-independent; zlib output is deterministic for a fixed
+    level and library, and per-doc work is inherent (the stage is
+    embarrassingly parallel — an actor pool would only matter if a
+    dictionary were preloaded). No SQL twin (DuckDB has no zlib) —
+    pytest pins planted repetitive vs random docs."""
+    import zlib
+
+    def stats(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        raw = np.fromiter((len(t.encode("utf-8")) for t in texts),
+                          np.int64, len(texts))
+        comp = np.fromiter(
+            (len(zlib.compress(t.encode("utf-8"), level))
+             for t in texts), np.int64, len(texts))
+        return pa.table({
+            "doc_id": pc.cast(b["doc_id"], pa.int64()),
+            "n_bytes": pa.array(raw),
+            "n_compressed": pa.array(comp),
+            "ratio_fp": pa.array(10**6 * comp // np.maximum(raw, 1))})
+
+    return docs.map_batches(stats, batch_format="pyarrow",
+                            zero_copy_batch=True).sort("doc_id")
