@@ -887,6 +887,56 @@ def _label_prop_sql(rounds: int = 3) -> str:
     return "".join(parts)
 
 
+def _q_kg_random_walks(sf_dir: str):
+    """Deterministic random-walk corpus (functions/walks.py): one
+    3-hop walk per co-mention node; each step = md5(node#step) % degree
+    into the rank-sorted adjacency — the DeepWalk input corpus, fully
+    oracle-gated."""
+    from .functions.triangles import within_group_pairs
+    from .functions.walks import random_walks
+    pre = C.ENT + "mention/"
+    m = _q_mentions(sf_dir).map_batches(
+        lambda b: pa.table({
+            "turn": b["subj"],
+            "c": pc.utf8_slice_codeunits(b["obj"], len(pre))}),
+        batch_format="pyarrow")
+    return random_walks(within_group_pairs(m, "turn", "c"), length=3)
+
+
+def _random_walks_sql(length: int = 3) -> str:
+    parts = [""", ce AS (SELECT DISTINCT a.canonical AS u,
+                         b.canonical AS v
+                  FROM mention a JOIN mention b
+                    ON a.turn_iri = b.turn_iri
+                   AND a.canonical < b.canonical),
+            und AS (SELECT u, v FROM ce UNION SELECT v, u FROM ce),
+            adj AS (SELECT u, v,
+                           row_number() OVER (PARTITION BY u
+                                              ORDER BY v) - 1 AS rn,
+                           count(*) OVER (PARTITION BY u) AS deg
+                    FROM und),
+            w0 AS (SELECT DISTINCT u AS start, u AS cur FROM und)"""]
+    prev = "w0"
+    hops: list[str] = []
+    for s in range(1, length + 1):
+        hop_sel = ", ".join([f"{prev}.{h}" for h in hops])
+        hop_sel = (hop_sel + ", ") if hop_sel else ""
+        parts.append(f"""
+            , w{s} AS (SELECT {prev}.start, {hop_sel}
+                              a.v AS hop{s}, a.v AS cur
+                       FROM {prev} JOIN adj a
+                         ON a.u = {prev}.cur
+                        AND a.rn = ('0x' || substring(
+                              md5({prev}.cur || '#{s}'), 1, 8))::BIGINT
+                              % a.deg)""")
+        hops.append(f"hop{s}")
+        prev = f"w{s}"
+    parts.append(f"""
+        SELECT start, {', '.join(hops)} FROM w{length}
+        ORDER BY start""")
+    return "".join(parts)
+
+
 def _q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd k-means in exact integer arithmetic
     (functions/kmeans.py): bit-reproducible assignments under any shuffle
@@ -4266,6 +4316,7 @@ def queries() -> dict[str, Callable]:
         "kg_comention_triangles": _q_kg_comention_triangles,
         "kg_comention_components": _q_kg_components,
         "kg_label_prop": _q_kg_label_prop,
+        "kg_random_walks": _q_kg_random_walks,
         "kg_node_similarity": _q_kg_node_similarity,
         "meta_struct_flatten": _q_meta_flatten,
         "meta_flatten_agg": _q_meta_flatten_agg,
@@ -4874,6 +4925,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, min(lbl) AS component FROM walk
             GROUP BY 1 ORDER BY 1""",
         "kg_label_prop": P + _label_prop_sql(3),
+        "kg_random_walks": P + _random_walks_sql(3),
         "kg_node_similarity": P + """
             , ce AS (SELECT DISTINCT a.canonical AS u, b.canonical AS v
                      FROM mention a JOIN mention b
