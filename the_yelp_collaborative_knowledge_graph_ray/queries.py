@@ -937,6 +937,55 @@ def _random_walks_sql(length: int = 3) -> str:
     return "".join(parts)
 
 
+def _q_kg_walk_skipgrams(sf_dir: str):
+    """Skip-gram training pairs from the deterministic walk corpus
+    (the stage after functions/walks.py in a DeepWalk pipeline):
+    (center, context) counts for every ordered pair within window 2
+    over each (start, hop1..hop3) walk. Pure column pairing over the
+    node-sized walk table — map-side pair partials, ONE tiny grouped
+    sum."""
+    from .functions.grouped import grouped_count
+    walks = _q_kg_random_walks(sf_dir)
+
+    def pairs(b: pa.Table) -> pa.Table:
+        seq = [b["start"], b["hop1"], b["hop2"], b["hop3"]]
+        centers, contexts = [], []
+        for i in range(len(seq)):
+            for j in range(len(seq)):
+                if i != j and abs(i - j) <= 2:
+                    centers.append(seq[i].combine_chunks()
+                                   if isinstance(seq[i], pa.ChunkedArray)
+                                   else seq[i])
+                    contexts.append(seq[j].combine_chunks()
+                                    if isinstance(seq[j],
+                                                  pa.ChunkedArray)
+                                    else seq[j])
+        return pa.table({
+            "center": pa.concat_arrays(centers),
+            "context": pa.concat_arrays(contexts)})
+
+    return grouped_count(
+        walks.map_batches(pairs, batch_format="pyarrow"),
+        ["center", "context"], "n", 8)
+
+
+def _skipgram_sql() -> str:
+    s = _random_walks_sql(3)
+    ctes, final = s.rsplit("SELECT start,", 1)
+    final = ("SELECT start," + final).replace("ORDER BY start", "")
+    offs = [("start", 0), ("hop1", 1), ("hop2", 2), ("hop3", 3)]
+    arms = []
+    for ci, cpos in offs:
+        for xi, xpos in offs:
+            if ci != xi and abs(cpos - xpos) <= 2:
+                arms.append(f"SELECT {ci} AS center, {xi} AS context "
+                            f"FROM walks")
+    return (ctes + ", walks AS (" + final + ") "
+            "SELECT center, context, CAST(count(*) AS BIGINT) AS n "
+            "FROM (" + " UNION ALL ".join(arms)
+            + ") GROUP BY 1, 2 ORDER BY 1, 2")
+
+
 def _q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd k-means in exact integer arithmetic
     (functions/kmeans.py): bit-reproducible assignments under any shuffle
@@ -4317,6 +4366,7 @@ def queries() -> dict[str, Callable]:
         "kg_comention_components": _q_kg_components,
         "kg_label_prop": _q_kg_label_prop,
         "kg_random_walks": _q_kg_random_walks,
+        "kg_walk_skipgrams": _q_kg_walk_skipgrams,
         "kg_node_similarity": _q_kg_node_similarity,
         "meta_struct_flatten": _q_meta_flatten,
         "meta_flatten_agg": _q_meta_flatten_agg,
@@ -4926,6 +4976,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1 ORDER BY 1""",
         "kg_label_prop": P + _label_prop_sql(3),
         "kg_random_walks": P + _random_walks_sql(3),
+        "kg_walk_skipgrams": P + _skipgram_sql(),
         "kg_node_similarity": P + """
             , ce AS (SELECT DISTINCT a.canonical AS u, b.canonical AS v
                      FROM mention a JOIN mention b
