@@ -986,6 +986,17 @@ def _skipgram_sql() -> str:
             + ") GROUP BY 1, 2 ORDER BY 1, 2")
 
 
+def _q_ann_pq_codes(sf_dir: str):
+    """Product-quantization codes (functions/pq.py): per-subspace
+    exact-integer k-means codebooks + argmin encode — the PQ half of
+    IVF-PQ (ann_ivf_topk is the IVF half). Iterative training ->
+    rows-only; pytest: blocking-invariant codes, reconstruction beats
+    the mean baseline 4x."""
+    from .functions.pq import pq_encode
+    codes, _books = pq_encode(_emb(sf_dir))
+    return codes
+
+
 def _q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd k-means in exact integer arithmetic
     (functions/kmeans.py): bit-reproducible assignments under any shuffle
@@ -4384,6 +4395,7 @@ def queries() -> dict[str, Callable]:
         "dedup_semantic": _q_dedup_semantic,
         "dedup_fuzzy_ed1": _q_fuzzy_ed1,
         "ml_kmeans_clusters": _q_kmeans_clusters,
+        "ann_pq_codes": _q_ann_pq_codes,
         "ml_logreg_weights": _q_ml_logreg,
         "text_bpe_merges": _q_text_bpe_merges,
         "text_bpe_encode": _q_text_bpe_encode,
