@@ -639,6 +639,17 @@ def _q_ann_topk(sf_dir: str):
     return brute_force_topk(_emb(sf_dir), k=10, n_queries=8)
 
 
+def _q_ann_filtered(sf_dir: str):
+    """Metadata-filtered vector search (similarity.filtered_topk):
+    exact cosine top-k among vectors WHERE label = 3, predicate pushed
+    before scoring."""
+    from .stages.similarity import filtered_topk
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"])
+    return filtered_topk(emb, k=10, n_queries=8, label=3)
+
+
 def _q_ann_ivf(sf_dir: str):
     from .stages.similarity import ivf_topk
     return ivf_topk(_emb(sf_dir), k=10, n_queries=8)
@@ -4404,6 +4415,7 @@ def queries() -> dict[str, Callable]:
         "ml_pca_component": _q_ml_pca_component,
         "embedding_topk_pairs": _q_embedding_topk_pairs,
         "ann_topk_cosine": _q_ann_topk,
+        "ann_filtered_topk": _q_ann_filtered,
         "ann_ivf_topk": _q_ann_ivf,
         "search_bm25": _q_search_bm25,
         "text_quality": _q_text_quality,
@@ -4892,6 +4904,22 @@ def oracle_sql() -> dict[str, str]:
                      AS cosine
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             ORDER BY cosine DESC, doc_a, doc_b LIMIT 20""",
+        "ann_filtered_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id < 8),
+            c AS (SELECT vec_id, embedding FROM embeddings
+                  WHERE label = 3
+                    AND vec_id NOT IN (SELECT query_id FROM q)),
+            s AS (SELECT q.query_id, c.vec_id,
+                         round(list_cosine_similarity(
+                           CAST(q.qe AS DOUBLE[]),
+                           CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+                  FROM q CROSS JOIN c),
+            r AS (SELECT *, row_number() OVER
+                    (PARTITION BY query_id ORDER BY cosine DESC, vec_id)
+                    AS rank FROM s)
+            SELECT query_id, vec_id, cosine, rank FROM r
+            WHERE rank <= 10 ORDER BY query_id, rank""",
         "ann_topk_cosine": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                        FROM embeddings WHERE vec_id < 8),

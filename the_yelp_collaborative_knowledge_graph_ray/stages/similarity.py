@@ -381,3 +381,32 @@ def label_coherence(embeddings: ray.data.Dataset,
         lambda b: b.select(["n_intra", "sum_intra_fp",
                             "n_inter", "sum_inter_fp"]),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def filtered_topk(embeddings: ray.data.Dataset, k: int = 10,
+                  n_queries: int = 8, label: int = 3,
+                  concurrency: int = 4) -> ray.data.Dataset:
+    """Metadata-FILTERED vector search — the practical vector-db query
+    shape ("nearest neighbors among vectors WHERE label = L"): exact
+    cosine top-k restricted to the predicate's corpus slice. The filter
+    runs BEFORE scoring inside the same streaming pass (predicate
+    pushdown for vector search — an index-side post-filter would scan k/
+    selectivity times more); queries come from the unfiltered corpus.
+    Output schema matches :func:`brute_force_topk`."""
+    q = load_queries(embeddings.drop_columns(["label"]), n_queries)
+    ref = ray.put(q)
+
+    def pre(b: pa.Table) -> pa.Table:
+        m = pc.equal(pc.cast(b["label"], pa.int64()),
+                     pa.scalar(label, pa.int64()))
+        return b.filter(m).select(["vec_id", "embedding"])
+
+    corpus = embeddings.map_batches(pre, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    local = corpus.map_batches(
+        _LocalTopK, fn_constructor_args=(ref, k, True),
+        batch_format="pyarrow", batch_size=4096, zero_copy_batch=True,
+        concurrency=(1, concurrency))
+    merged = local.groupby("query_id").map_groups(
+        _merge_topk(k), batch_format="pyarrow")
+    return merged.sort(["query_id", "rank"])
