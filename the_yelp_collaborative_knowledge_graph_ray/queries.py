@@ -650,6 +650,75 @@ def _q_ann_filtered(sf_dir: str):
     return filtered_topk(emb, k=10, n_queries=8, label=3)
 
 
+def _q_ann_mmr(sf_dir: str):
+    """MMR diversified retrieval (similarity.mmr_topk): greedy λ=1/2
+    re-rank of the exact top-20 pool in integer fixed point — the
+    oracle unrolls the 5 greedy steps as CTEs."""
+    from .stages.similarity import mmr_topk
+    return mmr_topk(_emb(sf_dir))
+
+
+def _mmr_sql(k_out: int = 5, k_pool: int = 20) -> str:
+    head = f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                   FROM embeddings WHERE vec_id < 8),
+        c AS (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id NOT IN (SELECT query_id FROM q)),
+        s AS (SELECT q.query_id, c.vec_id,
+                     CAST(round(list_cosine_similarity(
+                       CAST(q.qe AS DOUBLE[]),
+                       CAST(c.embedding AS DOUBLE[])) * 1000000)
+                       AS BIGINT) AS fp
+              FROM q CROSS JOIN c),
+        top AS (SELECT query_id, vec_id, fp FROM (
+                  SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY fp DESC, vec_id) AS rn FROM s)
+                WHERE rn <= {k_pool}),
+        pair AS (SELECT t1.query_id, t1.vec_id AS a, t2.vec_id AS b,
+                        CAST(round(list_cosine_similarity(
+                          CAST(e1.embedding AS DOUBLE[]),
+                          CAST(e2.embedding AS DOUBLE[])) * 1000000)
+                          AS BIGINT) AS p
+                 FROM top t1
+                 JOIN top t2 ON t1.query_id = t2.query_id
+                            AND t1.vec_id <> t2.vec_id
+                 JOIN embeddings e1 ON e1.vec_id = t1.vec_id
+                 JOIN embeddings e2 ON e2.vec_id = t2.vec_id),
+        sel1 AS (SELECT query_id, vec_id FROM (
+                   SELECT query_id, vec_id, row_number() OVER (
+                     PARTITION BY query_id ORDER BY fp DESC, vec_id)
+                     AS rn FROM top) WHERE rn = 1)"""
+    parts = [head]
+    prev_union = "SELECT query_id, vec_id FROM sel1"
+    for k in range(2, k_out + 1):
+        parts.append(f"""
+        , prev{k} AS ({prev_union})
+        , mx{k} AS (SELECT p.query_id, p.a AS vec_id,
+                           CAST(max(p.p) AS BIGINT) AS mp
+                    FROM pair p JOIN prev{k} s
+                      ON s.query_id = p.query_id AND s.vec_id = p.b
+                    GROUP BY 1, 2)
+        , cand{k} AS (SELECT t.query_id, t.vec_id, t.fp - m.mp AS sc
+                      FROM top t
+                      JOIN mx{k} m ON m.query_id = t.query_id
+                                  AND m.vec_id = t.vec_id
+                      LEFT JOIN prev{k} sp
+                        ON sp.query_id = t.query_id
+                       AND sp.vec_id = t.vec_id
+                      WHERE sp.vec_id IS NULL)
+        , sel{k} AS (SELECT query_id, vec_id FROM (
+                       SELECT *, row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY sc DESC, vec_id) AS rn
+                       FROM cand{k}) WHERE rn = 1)""")
+        prev_union += f" UNION ALL SELECT query_id, vec_id FROM sel{k}"
+    finals = " UNION ALL ".join(
+        f"SELECT query_id, CAST({k} AS BIGINT) AS step, vec_id "
+        f"FROM sel{k}" for k in range(1, k_out + 1))
+    parts.append(f" SELECT * FROM ({finals}) ORDER BY query_id, step")
+    return "".join(parts)
+
+
 def _q_ann_ivf(sf_dir: str):
     from .stages.similarity import ivf_topk
     return ivf_topk(_emb(sf_dir), k=10, n_queries=8)
@@ -4416,6 +4485,7 @@ def queries() -> dict[str, Callable]:
         "embedding_topk_pairs": _q_embedding_topk_pairs,
         "ann_topk_cosine": _q_ann_topk,
         "ann_filtered_topk": _q_ann_filtered,
+        "ann_mmr_rerank": _q_ann_mmr,
         "ann_ivf_topk": _q_ann_ivf,
         "search_bm25": _q_search_bm25,
         "text_quality": _q_text_quality,
@@ -4904,6 +4974,7 @@ def oracle_sql() -> dict[str, str]:
                      AS cosine
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             ORDER BY cosine DESC, doc_a, doc_b LIMIT 20""",
+        "ann_mmr_rerank": _mmr_sql(),
         "ann_filtered_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                        FROM embeddings WHERE vec_id < 8),

@@ -410,3 +410,66 @@ def filtered_topk(embeddings: ray.data.Dataset, k: int = 10,
     merged = local.groupby("query_id").map_groups(
         _merge_topk(k), batch_format="pyarrow")
     return merged.sort(["query_id", "rank"])
+
+
+def mmr_topk(embeddings: ray.data.Dataset, k_pool: int = 20,
+             k_out: int = 5, n_queries: int = 8,
+             concurrency: int = 4) -> pa.Table:
+    """Maximal-marginal-relevance diversified retrieval (Carbonell &
+    Goldstein 1998) — the re-ranking stage between vector search and a
+    RAG/training-data consumer: from each query's exact top-``k_pool``
+    pool, greedily pick ``k_out`` results maximizing
+    λ·sim(q,c) − (1−λ)·max_{s∈S} sim(c,s) with λ = 1/2, so twice the
+    score is the EXACT integer ``simq_fp − max_pair_fp`` (cosines
+    rounded once to 1e-6 fixed point, ties to the lowest vec_id) — a
+    deterministic, oracle-gateable MMR, which float implementations
+    are not.
+
+    Scale shape: the corpus-sized work is the distributed top-pool
+    (:func:`brute_force_topk`); the greedy loop runs on the driver over
+    a BOUNDED n_queries × k_pool candidate set (the standard re-ranker
+    contract). Output: (query_id, step, vec_id)."""
+    pool = brute_force_topk(embeddings, k=k_pool, n_queries=n_queries,
+                            concurrency=concurrency).to_pandas()
+    need = pa.array(sorted(set(pool["vec_id"].astype(int))), pa.int64())
+    need_ref = ray.put(need)
+
+    def pick(b: pa.Table) -> pa.Table:
+        m = pc.is_in(pc.cast(b["vec_id"], pa.int64()),
+                     value_set=ray.get(need_ref))
+        return b.filter(m).select(["vec_id", "embedding"])
+
+    cand = pa.concat_tables(
+        [ray.get(r) for r in embeddings.map_batches(
+            pick, batch_format="pyarrow",
+            zero_copy_batch=True).to_arrow_refs()])
+    ids, mat = _to_matrix(cand)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    pair_fp = np.rint(mat @ mat.T * 1_000_000.0).astype(np.int64)
+    pos = {int(v): i for i, v in enumerate(ids)}
+
+    rows_q, rows_s, rows_v = [], [], []
+    for qid, g in pool.groupby("query_id"):
+        cand_ids = g["vec_id"].astype(int).to_numpy()
+        simq = np.rint(g["cosine"].to_numpy() * 1e6).astype(np.int64)
+        idx = np.array([pos[int(v)] for v in cand_ids])
+        selected: list[int] = []
+        remaining = np.ones(len(cand_ids), bool)
+        for step in range(1, k_out + 1):
+            if step == 1:
+                score = simq.copy()
+            else:
+                sel_idx = [pos[v] for v in selected]
+                mp = pair_fp[np.ix_(idx, sel_idx)].max(axis=1)
+                score = simq - mp
+            score_masked = np.where(remaining, score, np.int64(-2**62))
+            best = int(np.lexsort((cand_ids, -score_masked))[0])
+            selected.append(int(cand_ids[best]))
+            remaining[best] = False
+            rows_q.append(int(qid))
+            rows_s.append(step)
+            rows_v.append(int(cand_ids[best]))
+    return pa.table({"query_id": pa.array(rows_q, pa.int64()),
+                     "step": pa.array(rows_s, pa.int64()),
+                     "vec_id": pa.array(rows_v, pa.int64())})
