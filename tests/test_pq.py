@@ -50,3 +50,24 @@ def test_reconstruction_beats_mean(ray_session):
     err_pq = ((xf - recon) ** 2).mean()
     err_mean = ((xf - xf.mean(0)) ** 2).mean()
     assert err_pq < 0.25 * err_mean  # codes carry real signal
+
+
+def test_adc_search_recall_and_determinism(ray_session):
+    from the_yelp_collaborative_knowledge_graph_ray.functions.pq import (
+        pq_search,
+    )
+    x = _toy(n=300)
+    a = pq_search(_emb_ds(x, 2), k=10, n_queries=4, iters=3).to_pandas()
+    b = pq_search(_emb_ds(x, 6), k=10, n_queries=4, iters=3).to_pandas()
+    assert a.equals(b)  # blocking-invariant
+    # recall vs EXACT integer inner-product top-10
+    xf = np.floor(x.astype(np.float64) * FP_SCALE).astype(np.int64)
+    hits = total = 0
+    for q in range(4):
+        s = xf @ xf[q]
+        s[:4] = np.iinfo(np.int64).min  # exclude query ids
+        true = set(np.lexsort((np.arange(len(s)), -s))[:10].tolist())
+        got = set(a[a.query_id == q]["vec_id"].tolist())
+        hits += len(true & got)
+        total += 10
+    assert hits / total >= 0.5

@@ -719,6 +719,14 @@ def _mmr_sql(k_out: int = 5, k_pool: int = 20) -> str:
     return "".join(parts)
 
 
+def _q_ann_pq_search(sf_dir: str):
+    """ADC search over PQ codes (functions/pq.pq_search): integer LUT
+    scoring, approximate by construction -> rows-only; pytest:
+    blocking-invariance + recall >= 0.5 vs exact integer IP top-k."""
+    from .functions.pq import pq_search
+    return pq_search(_emb(sf_dir))
+
+
 def _q_ann_ivf(sf_dir: str):
     from .stages.similarity import ivf_topk
     return ivf_topk(_emb(sf_dir), k=10, n_queries=8)
@@ -4486,6 +4494,7 @@ def queries() -> dict[str, Callable]:
         "ann_topk_cosine": _q_ann_topk,
         "ann_filtered_topk": _q_ann_filtered,
         "ann_mmr_rerank": _q_ann_mmr,
+        "ann_pq_search": _q_ann_pq_search,
         "ann_ivf_topk": _q_ann_ivf,
         "search_bm25": _q_search_bm25,
         "text_quality": _q_text_quality,
