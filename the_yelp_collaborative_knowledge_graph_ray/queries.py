@@ -1396,6 +1396,13 @@ def _q_text_langid_confusion(sf_dir: str):
     return grouped_count(joined, ["pred_lang", "true_lang"], "n", 1)
 
 
+def _q_text_surprisal(sf_dir: str):
+    """Integer unigram surprisal (textstats.surprisal_scores): the
+    perplexity-filter proxy as exact floor-log2 self-information."""
+    from .stages.textstats import surprisal_scores
+    return surprisal_scores(_docs(sf_dir))
+
+
 def _q_text_fingerprint(sf_dir: str):
     from .stages.textstats import fingerprints
     return fingerprints(_docs(sf_dir))
@@ -4669,6 +4676,7 @@ def queries() -> dict[str, Callable]:
         "rel_mom_revenue": _q_rel_mom_revenue,
         "dedup_containment": _q_dedup_containment,
         "text_langid_confusion": _q_text_langid_confusion,
+        "text_surprisal": _q_text_surprisal,
         "rel_zorder_keys": _q_rel_zorder,
         "diag_join_estimate": _q_diag_join_estimate,
         "events_seasonal_decompose": _q_events_seasonal,
@@ -7048,6 +7056,19 @@ def oracle_sql() -> dict[str, str]:
     out["events_bootstrap_mean"] = _bootstrap_sql()
     out["approx_distinct_overlap"] = _approx_overlap_sql()
     out["rel_zorder_keys"] = _zorder_sql()
+    out["text_surprisal"] = """
+        WITH w AS (SELECT doc_id,
+                          unnest(string_split(lower(text), ' ')) AS w
+                   FROM documents),
+        cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+                FROM w GROUP BY 1),
+        t AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM cnt)
+        SELECT doc_id,
+               CAST(sum(length(bin(total // c.c))) AS BIGINT)
+                 AS surprisal_int,
+               CAST(count(*) AS BIGINT) AS n_tokens
+        FROM w JOIN cnt c USING (w), t
+        GROUP BY 1 ORDER BY 1"""
     out["diag_join_estimate"] = _join_estimate_sql()
     out["events_seasonal_decompose"] = """
         WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,

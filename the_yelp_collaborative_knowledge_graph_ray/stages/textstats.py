@@ -986,3 +986,68 @@ def compression_ratio(docs: ray.data.Dataset,
 
     return docs.map_batches(stats, batch_format="pyarrow",
                             zero_copy_batch=True).sort("doc_id")
+
+
+def surprisal_scores(docs: ray.data.Dataset,
+                     num_partitions: int = 4) -> ray.data.Dataset:
+    """Integer unigram surprisal — the perplexity-filter proxy in EXACT
+    integers: per document, Σ over token occurrences of
+    ``bitlen(T // c_w)`` (T = corpus token count, c_w = token corpus
+    count) — the floor-log₂ self-information a unigram LM assigns,
+    computable without a single float log (bitlen == length of the
+    binary expansion, which DuckDB spells ``length(bin(x))``, so the
+    quality score is hash-gated — real-log perplexities never are,
+    because ln() differs across engines in the last bit).
+
+    Same two-pass shape as :func:`unigram_freq_score`: vocabulary counts
+    (dictionary-sized exchange), sharded token⋈vocab join, per-doc sum.
+    High surprisal/token = rare-token text; low = boilerplate."""
+    from ..functions.grouped import sorted_aggregate
+    from .dedup import _words_flat
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        words, _ = _words_flat(b["text"])
+        uw, cnt = np.unique(words, return_counts=True)
+        return pa.table({"w": pa.array(uw, pa.string()),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    counts = sorted_aggregate(
+        docs.map_batches(count_partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["w"], [("c", "sum")], ["w", "c"], num_partitions).materialize()
+    totals = counts.map_batches(
+        lambda b: pa.table({"t": pa.array(
+            [int(pc.sum(b["c"]).as_py() or 0)], pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    T = int(totals["t"].sum())
+
+    def token_partial(b: pa.Table) -> pa.Table:
+        words, doc_of = _words_flat(b["text"])
+        did = b["doc_id"].to_numpy()
+        codes, inv = np.unique(words, return_inverse=True)
+        key = doc_of.astype(np.int64) * len(codes) + inv
+        ukey, mult = np.unique(key, return_counts=True)
+        return pa.table({
+            "doc_id": pa.array(did[ukey // len(codes)], pa.int64()),
+            "w": pa.array(codes[ukey % len(codes)], pa.string()),
+            "m": pa.array(mult.astype(np.int64))})
+
+    tokens = docs.map_batches(token_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    joined = tokens.join(counts, join_type="inner",
+                         num_partitions=num_partitions, on=("w",))
+
+    def weigh(b: pa.Table) -> pa.Table:
+        m = b["m"].to_numpy()
+        c = b["c"].to_numpy()
+        q = (T // c).astype(np.float64)  # < 2^53: frexp exponent exact
+        bl = np.frexp(q)[1].astype(np.int64)
+        return pa.table({"doc_id": b["doc_id"],
+                         "s": pa.array(m * bl, pa.int64()),
+                         "m": b["m"]})
+
+    return sorted_aggregate(
+        joined.map_batches(weigh, batch_format="pyarrow"),
+        ["doc_id"], [("s", "sum"), ("m", "sum")],
+        ["doc_id", "surprisal_int", "n_tokens"],
+        num_partitions).sort("doc_id")
