@@ -2605,6 +2605,71 @@ def _tool_transition_edges(sf_dir: str) -> ray.data.Dataset:
         ["conv_id"], block, 8)
 
 
+def _q_kg_hits(sf_dir: str):
+    """Two-step unnormalized HITS over the tool-transition digraph:
+    auth1 = in-degree, hub1(u) = Σ_out auth1, auth2(v) = Σ_in hub1 —
+    the iterative hub/authority recursion cut at two synchronized
+    steps so every score stays an EXACT integer (normalization is a
+    driver-side display concern, not a correctness one). Each step is
+    one string-keyed attach + one grouped sum; the node table assembles
+    null-free via indicator-column union partials."""
+    from .functions.grouped import grouped_count, sorted_aggregate
+    from .functions.joins import attach_column
+
+    # _tool_transition_edges is distinct per BLOCK only (complete-conv
+    # blocks) — HITS sums over edges, so dedupe globally first
+    edges = grouped_count(_tool_transition_edges(sf_dir),
+                          ["src", "dst"], "__n", 4) \
+        .map_batches(lambda b: b.select(["src", "dst"]),
+                     batch_format="pyarrow").materialize()
+    a1 = grouped_count(edges, ["dst"], "in_deg", 4) \
+        .map_batches(lambda b: pa.table({"node": b["dst"],
+                                         "v": b["in_deg"]}),
+                     batch_format="pyarrow").materialize()
+    with_a1 = attach_column(
+        edges, a1, [("src", pa.string()), ("dst", pa.string())],
+        "dst", "node", "v", "a1", pa.int64(), 4, key_type=pa.string())
+    h1 = sorted_aggregate(
+        with_a1.map_batches(
+            lambda b: pa.table({"node": b["src"], "h": b["a1"]}),
+            batch_format="pyarrow"),
+        ["node"], [("h", "sum")], ["node", "v"], 4).materialize()
+    with_h1 = attach_column(
+        edges, h1, [("src", pa.string()), ("dst", pa.string())],
+        "src", "node", "v", "h1", pa.int64(), 4, key_type=pa.string())
+    a2 = sorted_aggregate(
+        with_h1.map_batches(
+            lambda b: pa.table({"node": b["dst"], "a": b["h1"]}),
+            batch_format="pyarrow"),
+        ["node"], [("a", "sum")], ["node", "v"], 4)
+
+    def tag(col):
+        def f(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            z = pa.array(np.zeros(n, np.int64))
+            cols = {"node": b["node"], "in_deg": z, "hub1": z,
+                    "auth2": z}
+            cols[col] = pc.cast(b["v"], pa.int64())
+            return pa.table(cols)
+        return f
+
+    u = a1.map_batches(tag("in_deg"), batch_format="pyarrow") \
+        .union(h1.map_batches(tag("hub1"), batch_format="pyarrow"),
+               a2.map_batches(tag("auth2"), batch_format="pyarrow"))
+    # nodes that appear only as sources of leaves still need a row:
+    srcs = grouped_count(edges, ["src"], "__n", 4).map_batches(
+        lambda b: pa.table({
+            "node": b["src"],
+            "in_deg": pa.array(np.zeros(b.num_rows, np.int64)),
+            "hub1": pa.array(np.zeros(b.num_rows, np.int64)),
+            "auth2": pa.array(np.zeros(b.num_rows, np.int64))}),
+        batch_format="pyarrow")
+    return sorted_aggregate(
+        u.union(srcs), ["node"],
+        [("in_deg", "sum"), ("hub1", "sum"), ("auth2", "sum")],
+        ["node", "in_deg", "hub1", "auth2"], 4).sort("node")
+
+
 DISPERSION_TOP = 20
 
 
@@ -4473,6 +4538,7 @@ def queries() -> dict[str, Callable]:
         "kg_label_prop": _q_kg_label_prop,
         "kg_random_walks": _q_kg_random_walks,
         "kg_walk_skipgrams": _q_kg_walk_skipgrams,
+        "kg_hits_tools": _q_kg_hits,
         "kg_node_similarity": _q_kg_node_similarity,
         "meta_struct_flatten": _q_meta_flatten,
         "meta_flatten_agg": _q_meta_flatten_agg,
@@ -6156,6 +6222,33 @@ def oracle_sql() -> dict[str, str]:
                           least(pos - 1, 24) + length(term) + 24) AS ctx
             FROM h ORDER BY doc_id, term""",
         "emb_random_projection": _rp_sql(),
+        "kg_hits_tools": f"""
+            WITH ts AS (
+              SELECT conv_id, turn_idx, {normalize_sql('tool')} AS tool
+              FROM read_parquet('{fdir}/transcripts.parquet/*.parquet')
+              WHERE {TOOL_OK_SQL}),
+            seq AS (SELECT conv_id, tool,
+                           LEAD(tool) OVER (PARTITION BY conv_id
+                                            ORDER BY turn_idx) AS nxt
+                    FROM ts),
+            edges AS (SELECT DISTINCT tool AS src, nxt AS dst
+                      FROM seq WHERE nxt IS NOT NULL AND nxt <> tool),
+            a1 AS (SELECT dst AS node, CAST(count(*) AS BIGINT)
+                            AS in_deg
+                   FROM edges GROUP BY 1),
+            h1 AS (SELECT e.src AS node,
+                          CAST(sum(a.in_deg) AS BIGINT) AS h
+                   FROM edges e JOIN a1 a ON a.node = e.dst GROUP BY 1),
+            a2 AS (SELECT e.dst AS node, CAST(sum(h.h) AS BIGINT) AS a
+                   FROM edges e JOIN h1 h ON h.node = e.src GROUP BY 1),
+            nodes AS (SELECT src AS node FROM edges
+                      UNION SELECT dst FROM edges)
+            SELECT n.node, coalesce(a1.in_deg, 0) AS in_deg,
+                   coalesce(h1.h, 0) AS hub1,
+                   coalesce(a2.a, 0) AS auth2
+            FROM nodes n LEFT JOIN a1 USING (node)
+            LEFT JOIN h1 USING (node) LEFT JOIN a2 USING (node)
+            ORDER BY 1""",
         "kg_scc_tools": f"""
             WITH RECURSIVE ts AS (
               SELECT conv_id, turn_idx, {normalize_sql('tool')} AS tool
