@@ -4093,3 +4093,41 @@ def seasonal_decompose_daily(sf_dir: str) -> ray.data.Dataset:
 
     return daily.map_batches(decompose, batch_format="pyarrow",
                              batch_size=None, zero_copy_batch=True)
+
+
+def seasonal_anomaly_days(sf_dir: str) -> ray.data.Dataset:
+    """Seasonal-residual anomaly detection — the composition a real
+    monitoring pipeline runs: days whose detrended revenue (the ×7
+    centered-MA residual from :func:`seasonal_decompose_daily`) sits
+    more than 3 robust deviations from the median residual. Median and
+    MAD use the LOW-median convention (DuckDB ``quantile_disc(0.5)`` =
+    lower middle, the engine's standard for exact integer medians), so
+    the flag is a pure integer comparison:
+    ``|detrend − med| > 3·MAD`` — no float anywhere."""
+    daily = seasonal_decompose_daily(sf_dir)
+
+    def flag(b: pa.Table) -> pa.Table:
+        schema = pa.schema([("day", pa.int64()),
+                            ("detrend7x", pa.int64()),
+                            ("med", pa.int64()), ("mad", pa.int64()),
+                            ("is_anomaly", pa.int64())])
+        if b.num_rows == 0:
+            return schema.empty_table()
+        valid = b.filter(pc.equal(b["valid"], 1))
+        det = valid["detrend7x"].to_numpy(zero_copy_only=False)
+        if len(det) == 0:
+            return schema.empty_table()
+        srt = np.sort(det)
+        med = int(srt[(len(srt) - 1) // 2])
+        dev = np.sort(np.abs(det - med))
+        mad = int(dev[(len(dev) - 1) // 2])
+        flags = (np.abs(det - med) > 3 * mad).astype(np.int64)
+        return pa.table({
+            "day": valid["day"],
+            "detrend7x": valid["detrend7x"],
+            "med": pa.array(np.full(len(det), med, np.int64)),
+            "mad": pa.array(np.full(len(det), mad, np.int64)),
+            "is_anomaly": pa.array(flags)}, schema=schema)
+
+    return daily.map_batches(flag, batch_format="pyarrow",
+                             batch_size=None, zero_copy_batch=True)

@@ -3951,6 +3951,13 @@ def _q_events_seasonal(sf_dir: str):
     return seasonal_decompose_daily(sf_dir)
 
 
+def _q_events_seasonal_anomaly(sf_dir: str):
+    """Seasonal-residual anomalies (relational.seasonal_anomaly_days):
+    |detrend − LOW-median| > 3·MAD, pure integer comparisons."""
+    from .pipelines.relational import seasonal_anomaly_days
+    return seasonal_anomaly_days(sf_dir)
+
+
 def _q_rel_apportion(sf_dir: str):
     """Largest-remainder apportionment (relational.apportion_budget):
     integer shares proportional to order counts, summing exactly to the
@@ -4746,6 +4753,7 @@ def queries() -> dict[str, Callable]:
         "rel_zorder_keys": _q_rel_zorder,
         "diag_join_estimate": _q_diag_join_estimate,
         "events_seasonal_decompose": _q_events_seasonal,
+        "events_seasonal_anomaly": _q_events_seasonal_anomaly,
         "rel_tpch_q2": _q_rel_tpch_q2,
         "rel_tpch_q20": _q_rel_tpch_q20,
         "rel_tpch_q21": _q_rel_tpch_q21,
@@ -7302,6 +7310,23 @@ ORDER BY doc_a, doc_b"""
               FROM w)
         SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
         FROM b GROUP BY 1, 2 ORDER BY 1, 2"""
+    # strip only the TRAILING ORDER BY — the window clauses inside the
+    # decompose SQL also say "ORDER BY day" and must survive
+    _seasonal_body = "".join(
+        out["events_seasonal_decompose"].rsplit("ORDER BY day", 1))
+    out["events_seasonal_anomaly"] = ("""
+        WITH base AS (""" + _seasonal_body + """),
+        v AS (SELECT day, detrend7x FROM base WHERE valid = 1),
+        st AS (SELECT CAST(quantile_disc(detrend7x, 0.5) AS BIGINT)
+                        AS med
+               FROM v),
+        md AS (SELECT CAST(quantile_disc(abs(detrend7x - med), 0.5)
+                           AS BIGINT) AS mad
+               FROM v, st)
+        SELECT v.day, v.detrend7x, st.med, md.mad,
+               CAST(abs(v.detrend7x - st.med) > 3 * md.mad AS BIGINT)
+                 AS is_anomaly
+        FROM v, st, md ORDER BY v.day""")
     out["kg_type_rollup_counts"] = (
         "SELECT type_iri, count(*) AS n_entities FROM ("
         + out["kg_inferred_types"] + ") GROUP BY 1 ORDER BY 1")
