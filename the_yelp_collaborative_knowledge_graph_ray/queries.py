@@ -3958,6 +3958,54 @@ def _q_events_seasonal_anomaly(sf_dir: str):
     return seasonal_anomaly_days(sf_dir)
 
 
+PSEUDO_SALT = 271828
+
+
+def _q_privacy_pseudonymize(sf_dir: str):
+    """Salted pseudonymization (privacy engineering's reversible-only-
+    with-salt id replacement): user_id → splitmix64(id ⊕ splitmix64(salt))
+    — deterministic, collision-free in practice, joinable across tables
+    pseudonymized with the same salt. Output per pseudonym: event count
+    (the count column doubles as the bijection check — row count equals
+    the distinct-user count iff no collision). Stateless map + one
+    grouped count."""
+    from .functions.grouped import grouped_count
+    from .functions.sampling import splitmix64
+
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id"])
+
+    def pseud(b: pa.Table) -> pa.Table:
+        import numpy as np
+        x = pc.cast(b["user_id"], pa.int64()).to_numpy(
+            zero_copy_only=False).view(np.uint64)
+        salt = splitmix64(np.array([PSEUDO_SALT], np.uint64))[0]
+        p = splitmix64(x ^ salt).view(np.int64)
+        return pa.table({"pseud": pa.array(p, pa.int64())})
+
+    return grouped_count(
+        ev.map_batches(pseud, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["pseud"], "n_events", 4)
+
+
+def _pseudonymize_sql() -> str:
+    from .functions.sampling import splitmix64
+    import numpy as np
+    salt = int(splitmix64(np.array([PSEUDO_SALT], np.uint64))[0])
+    return f"""
+        WITH src AS (SELECT xor(CAST(user_id AS UBIGINT),
+                                CAST('{salt}' AS UBIGINT)) AS kx
+                     FROM events),
+        {_splitmix_cte('src', 'kx', 'kx')},
+        hh AS (SELECT xor(z, z >> 31) AS h FROM z2)
+        SELECT CAST(CAST(h AS HUGEINT)
+                    - CASE WHEN h >= 9223372036854775808
+                           THEN {_M64} ELSE 0 END AS BIGINT) AS pseud,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM hh GROUP BY 1 ORDER BY 1"""
+
+
 def _q_rel_apportion(sf_dir: str):
     """Largest-remainder apportionment (relational.apportion_budget):
     integer shares proportional to order counts, summing exactly to the
@@ -4754,6 +4802,7 @@ def queries() -> dict[str, Callable]:
         "diag_join_estimate": _q_diag_join_estimate,
         "events_seasonal_decompose": _q_events_seasonal,
         "events_seasonal_anomaly": _q_events_seasonal_anomaly,
+        "privacy_pseudonymize": _q_privacy_pseudonymize,
         "rel_tpch_q2": _q_rel_tpch_q2,
         "rel_tpch_q20": _q_rel_tpch_q20,
         "rel_tpch_q21": _q_rel_tpch_q21,
@@ -7157,6 +7206,7 @@ def oracle_sql() -> dict[str, str]:
     out["events_bootstrap_mean"] = _bootstrap_sql()
     out["approx_distinct_overlap"] = _approx_overlap_sql()
     out["rel_zorder_keys"] = _zorder_sql()
+    out["privacy_pseudonymize"] = _pseudonymize_sql()
     out["text_surprisal"] = """
         WITH w AS (SELECT doc_id,
                           unnest(string_split(lower(text), ' ')) AS w
