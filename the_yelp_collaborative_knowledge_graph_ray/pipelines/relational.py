@@ -4131,3 +4131,102 @@ def seasonal_anomaly_days(sf_dir: str) -> ray.data.Dataset:
 
     return daily.map_batches(flag, batch_format="pyarrow",
                              batch_size=None, zero_copy_batch=True)
+
+
+RFM_TILES = 4
+
+
+def rfm_segments(sf_dir: str, tiles: int = RFM_TILES
+                 ) -> ray.data.Dataset:
+    """RFM customer segmentation — the classic marketing/curation
+    scoring: per customer (recency = last order day, frequency = order
+    count, monetary = total cents), each dimension NTILE(4)-scored over
+    the WHOLE customer population, segment code = r·100 + f·10 + m.
+
+    Unlike :func:`ntile_customers` (per-segment groups fit in sorted
+    blocks) the three ranks here are GLOBAL, so each dimension uses the
+    distributed rank path: ONE sort on a packed (value, custkey) int64
+    key + ``zip_with_index(order_by=...)`` (block order by range, rank
+    = global sort position), then SQL-NTILE's exact fill rule in closed
+    form from (rank, n). Tiles are ascending in the metric on all three
+    dimensions (tie-break custkey), matching the twin's
+    ``NTILE(4) OVER (ORDER BY dim, custkey)`` exactly. Scores attach
+    back by custkey co-group; orders is scanned once."""
+    from ..functions.grouped import sorted_aggregate
+    from ..functions.joins import attach_column, zip_with_index
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(b["o_orderdate"], pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({
+            "c": pc.cast(b["o_custkey"], pa.int64()),
+            "recency": day,
+            "frequency": pa.array(np.ones(b.num_rows, np.int64)),
+            "monetary": _scaled_int(b["o_totalprice"], 100.0)}) \
+            .group_by(["c"], use_threads=False) \
+            .aggregate([("recency", "max"), ("frequency", "sum"),
+                        ("monetary", "sum")]) \
+            .rename_columns(["c", "recency", "frequency", "monetary"])
+
+    per_cust = sorted_aggregate(
+        _read(sf_dir, "orders",
+              ["o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True),
+        ["c"], [("recency", "max"), ("frequency", "sum"),
+                ("monetary", "sum")],
+        ["c", "recency", "frequency", "monetary"], 8).materialize()
+    n = per_cust.count()
+    t_ = int(tiles)
+    q, r = n // t_, n % t_
+    cut = r * (q + 1)
+
+    def tile_of(rank: np.ndarray) -> np.ndarray:
+        return np.where(rank < cut, rank // max(q + 1, 1),
+                        r + (rank - cut) // max(q, 1)) + 1
+
+    tiled = per_cust
+    for dim in ("recency", "frequency", "monetary"):
+        def pack(b: pa.Table, _d=dim) -> pa.Table:
+            v = b[_d].to_numpy(zero_copy_only=False)
+            c = b["c"].to_numpy(zero_copy_only=False)
+            if (v < 0).any() or (v >= 1 << 30).any() \
+                    or (c >= 1 << 33).any():
+                raise OverflowError("rfm pack: rescale dimensions")
+            return b.append_column("__k", pa.array((v << 33) | c,
+                                                   pa.int64()))
+
+        ranked = zip_with_index(
+            per_cust.map_batches(pack, batch_format="pyarrow",
+                                 zero_copy_batch=True).sort("__k"),
+            id_col="__rank", order_by="__k")
+
+        def score(b: pa.Table, _d=dim) -> pa.Table:
+            rank = b["__rank"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "c": pc.cast(b["c"], pa.int64()),
+                f"{_d}_tile": pa.array(tile_of(rank), pa.int64())})
+
+        scores = ranked.map_batches(score, batch_format="pyarrow")
+        carried = [("c", pa.int64()), ("recency", pa.int64()),
+                   ("frequency", pa.int64()), ("monetary", pa.int64())]
+        for prev in ("recency", "frequency", "monetary"):
+            if f"{prev}_tile" in tiled.schema().names:
+                carried.append((f"{prev}_tile", pa.int64()))
+        tiled = attach_column(
+            tiled, scores, carried, "c", "c", f"{dim}_tile",
+            f"{dim}_tile", pa.int64(), 8)
+
+    def seg(b: pa.Table) -> pa.Table:
+        rt = b["recency_tile"].to_numpy(zero_copy_only=False)
+        ft = b["frequency_tile"].to_numpy(zero_copy_only=False)
+        mt = b["monetary_tile"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c_custkey": b["c"],
+            "recency_tile": b["recency_tile"],
+            "frequency_tile": b["frequency_tile"],
+            "monetary_tile": b["monetary_tile"],
+            "segment": pa.array(rt * 100 + ft * 10 + mt, pa.int64())})
+
+    return tiled.map_batches(seg, batch_format="pyarrow").sort(
+        "c_custkey")

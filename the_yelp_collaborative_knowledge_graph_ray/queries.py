@@ -3958,6 +3958,13 @@ def _q_events_seasonal_anomaly(sf_dir: str):
     return seasonal_anomaly_days(sf_dir)
 
 
+def _q_rel_rfm(sf_dir: str):
+    """RFM segmentation (relational.rfm_segments): three global NTILE
+    ranks via packed-key sorts + zip_with_index, exact fill rule."""
+    from .pipelines.relational import rfm_segments
+    return rfm_segments(sf_dir)
+
+
 PSEUDO_SALT = 271828
 
 
@@ -4803,6 +4810,7 @@ def queries() -> dict[str, Callable]:
         "events_seasonal_decompose": _q_events_seasonal,
         "events_seasonal_anomaly": _q_events_seasonal_anomaly,
         "privacy_pseudonymize": _q_privacy_pseudonymize,
+        "rel_rfm_segments": _q_rel_rfm,
         "rel_tpch_q2": _q_rel_tpch_q2,
         "rel_tpch_q20": _q_rel_tpch_q20,
         "rel_tpch_q21": _q_rel_tpch_q21,
@@ -7207,6 +7215,26 @@ def oracle_sql() -> dict[str, str]:
     out["approx_distinct_overlap"] = _approx_overlap_sql()
     out["rel_zorder_keys"] = _zorder_sql()
     out["privacy_pseudonymize"] = _pseudonymize_sql()
+    out["rel_rfm_segments"] = """
+        WITH pc AS (
+          SELECT o_custkey AS c,
+                 CAST(max(epoch_us(o_orderdate) // 86400000000)
+                      AS BIGINT) AS recency,
+                 CAST(count(*) AS BIGINT) AS frequency,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS monetary
+          FROM orders GROUP BY 1),
+        t AS (SELECT c,
+                     NTILE(4) OVER (ORDER BY recency, c) AS rt,
+                     NTILE(4) OVER (ORDER BY frequency, c) AS ft,
+                     NTILE(4) OVER (ORDER BY monetary, c) AS mt
+              FROM pc)
+        SELECT c AS c_custkey,
+               CAST(rt AS BIGINT) AS recency_tile,
+               CAST(ft AS BIGINT) AS frequency_tile,
+               CAST(mt AS BIGINT) AS monetary_tile,
+               CAST(rt * 100 + ft * 10 + mt AS BIGINT) AS segment
+        FROM t ORDER BY 1"""
     out["text_surprisal"] = """
         WITH w AS (SELECT doc_id,
                           unnest(string_split(lower(text), ' ')) AS w
