@@ -4230,3 +4230,43 @@ def rfm_segments(sf_dir: str, tiles: int = RFM_TILES
 
     return tiled.map_batches(seg, batch_format="pyarrow").sort(
         "c_custkey")
+
+
+def funnel_latency(sf_dir: str) -> ray.data.Dataset:
+    """Funnel-step latency: per user, microseconds from the FIRST 'view'
+    to the FIRST 'purchase' at-or-after it — the time-to-convert metric
+    behind every activation dashboard. ONE user-key sort; inside a block
+    each group reduces with masked ``minimum.reduceat`` (views → first
+    view, purchases gated by it → first conversion), emitting one exact
+    integer row per converting user."""
+    from ..functions.grouped import group_ids, sorted_group_apply
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type",
+                                  "ts"])
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("delta_us", pa.int64())])
+    BIG = np.int64(2**62)
+
+    def block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        gid, starts = group_ids(b, ["user_id"])
+        ts = b["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        kind = b["event_type"].combine_chunks()
+        is_view = pc.equal(kind, "view").to_numpy(zero_copy_only=False)
+        is_buy = pc.equal(kind, "purchase").to_numpy(
+            zero_copy_only=False)
+        vt = np.where(is_view, ts, BIG)
+        first_view = np.minimum.reduceat(vt, starts)
+        gate = first_view[gid]
+        bt = np.where(is_buy & (ts >= gate), ts, BIG)
+        first_buy = np.minimum.reduceat(bt, starts)
+        users = b["user_id"].to_numpy(zero_copy_only=False)[starts]
+        ok = (first_view < BIG) & (first_buy < BIG)
+        return pa.table({
+            "user_id": pa.array(users[ok].astype(np.int64)),
+            "delta_us": pa.array((first_buy - first_view)[ok])},
+            schema=out_schema)
+
+    return sorted_group_apply(ev, ["user_id"], block, 8).sort("user_id")

@@ -3965,6 +3965,13 @@ def _q_rel_rfm(sf_dir: str):
     return rfm_segments(sf_dir)
 
 
+def _q_events_funnel_latency(sf_dir: str):
+    """Time-to-convert per user (relational.funnel_latency): first view
+    -> first purchase at-or-after it, exact integer microseconds."""
+    from .pipelines.relational import funnel_latency
+    return funnel_latency(sf_dir)
+
+
 PSEUDO_SALT = 271828
 
 
@@ -4811,6 +4818,7 @@ def queries() -> dict[str, Callable]:
         "events_seasonal_anomaly": _q_events_seasonal_anomaly,
         "privacy_pseudonymize": _q_privacy_pseudonymize,
         "rel_rfm_segments": _q_rel_rfm,
+        "events_funnel_latency": _q_events_funnel_latency,
         "rel_tpch_q2": _q_rel_tpch_q2,
         "rel_tpch_q20": _q_rel_tpch_q20,
         "rel_tpch_q21": _q_rel_tpch_q21,
@@ -7215,6 +7223,18 @@ def oracle_sql() -> dict[str, str]:
     out["approx_distinct_overlap"] = _approx_overlap_sql()
     out["rel_zorder_keys"] = _zorder_sql()
     out["privacy_pseudonymize"] = _pseudonymize_sql()
+    out["events_funnel_latency"] = """
+        WITH fv AS (SELECT user_id, min(ts) AS vts FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+        fb AS (SELECT e.user_id, min(e.ts) AS bts
+               FROM events e JOIN fv ON fv.user_id = e.user_id
+               WHERE e.event_type = 'purchase' AND e.ts >= fv.vts
+               GROUP BY 1)
+        SELECT fv.user_id,
+               CAST(epoch_us(fb.bts) - epoch_us(fv.vts) AS BIGINT)
+                 AS delta_us
+        FROM fv JOIN fb ON fb.user_id = fv.user_id
+        ORDER BY 1"""
     out["rel_rfm_segments"] = """
         WITH pc AS (
           SELECT o_custkey AS c,
