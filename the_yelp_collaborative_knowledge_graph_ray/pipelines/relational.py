@@ -4270,3 +4270,74 @@ def funnel_latency(sf_dir: str) -> ray.data.Dataset:
             schema=out_schema)
 
     return sorted_group_apply(ev, ["user_id"], block, 8).sort("user_id")
+
+
+PSI_BINS = 10
+
+
+def psi_drift(sf_dir: str, bins: int = PSI_BINS) -> pa.Table:
+    """Population stability index between the 'view' and 'purchase'
+    value distributions — the standard production drift metric (banking
+    scorecard lineage; PSI > 0.25 = investigate). Bin edges are exact
+    integer equi-width cuts over the global cents range (driver scalars
+    from per-block min/max partials); per-(bin, side) counts fold
+    map-side; PSI itself is the only float, computed from
+    Laplace-smoothed exact integer counts with the same ln/IEEE
+    expression as the twin. Output: one row per bin
+    (bin, n_view, n_purchase, psi)."""
+    from ..functions.grouped import sorted_aggregate
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def mm(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b["event_type"],
+                     value_set=pa.array(["view", "purchase"]))
+        t = b.filter(m)
+        vc = _scaled_int(t["value"], 100.0)
+        s = pc.min_max(vc)
+        lo, hi = s["min"].as_py(), s["max"].as_py()
+        return pa.table({
+            "mn": pa.array([lo if lo is not None else 2**62],
+                           pa.int64()),
+            "mx": pa.array([hi if hi is not None else -2**62],
+                           pa.int64())})
+
+    mmt = ev.map_batches(mm, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    mn, mx = int(mmt["mn"].min()), int(mmt["mx"].max())
+    span = max(mx - mn + 1, 1)
+
+    def counts(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b["event_type"],
+                     value_set=pa.array(["view", "purchase"]))
+        t = b.filter(m)
+        vc = _scaled_int(t["value"], 100.0).to_numpy()
+        bin_ = np.minimum((vc - mn) * bins // span, bins - 1)
+        is_v = pc.equal(t["event_type"], "view").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        tt = pa.table({"bin": pa.array(bin_, pa.int64()),
+                       "n_view": pa.array(is_v),
+                       "n_purchase": pa.array(1 - is_v)})
+        return tt.group_by(["bin"], use_threads=False).aggregate(
+            [("n_view", "sum"), ("n_purchase", "sum")]) \
+            .rename_columns(["bin", "n_view", "n_purchase"])
+
+    agg = sorted_aggregate(
+        ev.map_batches(counts, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["bin"], [("n_view", "sum"), ("n_purchase", "sum")],
+        ["bin", "n_view", "n_purchase"], 1).to_pandas() \
+        .sort_values("bin").reset_index(drop=True)
+
+    full = np.zeros((bins, 2), np.int64)
+    full[agg["bin"].to_numpy(), 0] = agg["n_view"].to_numpy()
+    full[agg["bin"].to_numpy(), 1] = agg["n_purchase"].to_numpy()
+    na, nb = full[:, 0] + 1, full[:, 1] + 1  # Laplace smoothing
+    pa_ = na / na.sum()
+    pb_ = nb / nb.sum()
+    psi = float(((pa_ - pb_) * np.log(pa_ / pb_)).sum())
+    return pa.table({
+        "bin": pa.array(np.arange(bins, dtype=np.int64)),
+        "n_view": pa.array(full[:, 0]),
+        "n_purchase": pa.array(full[:, 1]),
+        "psi": pa.array(np.full(bins, psi), pa.float64())})

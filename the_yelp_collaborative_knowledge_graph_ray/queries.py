@@ -3972,6 +3972,13 @@ def _q_events_funnel_latency(sf_dir: str):
     return funnel_latency(sf_dir)
 
 
+def _q_rel_psi_drift(sf_dir: str):
+    """PSI drift between view/purchase value distributions
+    (relational.psi_drift): exact integer bin counts + one float PSI."""
+    from .pipelines.relational import psi_drift
+    return psi_drift(sf_dir)
+
+
 PSEUDO_SALT = 271828
 
 
@@ -4819,6 +4826,7 @@ def queries() -> dict[str, Callable]:
         "privacy_pseudonymize": _q_privacy_pseudonymize,
         "rel_rfm_segments": _q_rel_rfm,
         "events_funnel_latency": _q_events_funnel_latency,
+        "rel_psi_drift": _q_rel_psi_drift,
         "rel_tpch_q2": _q_rel_tpch_q2,
         "rel_tpch_q20": _q_rel_tpch_q20,
         "rel_tpch_q21": _q_rel_tpch_q21,
@@ -7223,6 +7231,33 @@ def oracle_sql() -> dict[str, str]:
     out["approx_distinct_overlap"] = _approx_overlap_sql()
     out["rel_zorder_keys"] = _zorder_sql()
     out["privacy_pseudonymize"] = _pseudonymize_sql()
+    out["rel_psi_drift"] = """
+        WITH e AS (SELECT event_type,
+                          CAST(round(value * 100) AS BIGINT) AS vc
+                   FROM events
+                   WHERE event_type IN ('view', 'purchase')),
+        bnd AS (SELECT min(vc) AS mn, max(vc) AS mx FROM e),
+        binned AS (SELECT least((vc - mn) * 10 // (mx - mn + 1), 9)
+                            AS bin,
+                          CAST(event_type = 'view' AS BIGINT) AS isv
+                   FROM e, bnd),
+        spine AS (SELECT unnest(generate_series(0, 9)) AS bin),
+        c2 AS (SELECT CAST(spine.bin AS BIGINT) AS bin,
+                      CAST(coalesce(sum(bn.isv), 0) AS BIGINT)
+                        AS n_view,
+                      CAST(coalesce(sum(1 - bn.isv), 0) AS BIGINT)
+                        AS n_purchase
+               FROM spine LEFT JOIN binned bn ON bn.bin = spine.bin
+               GROUP BY 1),
+        t AS (SELECT CAST(sum(n_view) + 10 AS DOUBLE) AS ta,
+                     CAST(sum(n_purchase) + 10 AS DOUBLE) AS tb
+              FROM c2),
+        p AS (SELECT sum(((n_view + 1) / ta - (n_purchase + 1) / tb)
+                         * ln(((n_view + 1) / ta)
+                              / ((n_purchase + 1) / tb))) AS psi
+              FROM c2, t)
+        SELECT c2.bin, c2.n_view, c2.n_purchase, p.psi
+        FROM c2, p ORDER BY 1"""
     out["events_funnel_latency"] = """
         WITH fv AS (SELECT user_id, min(ts) AS vts FROM events
                     WHERE event_type = 'view' GROUP BY 1),
