@@ -3979,6 +3979,86 @@ def _q_rel_psi_drift(sf_dir: str):
     return psi_drift(sf_dir)
 
 
+RRF_K = 60
+
+
+def _q_search_rrf(sf_dir: str):
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two retrieval
+    systems: per query, BM25 relevance (distributed scorer) fused with
+    a global rare-vocabulary quality ranking (unigram mean-frequency
+    asc) via rrf_fp = Σ 10^6 // (60 + rank) — integer floor division,
+    so the fused ranking is hash-exact. Both input rankings are
+    distributed jobs; the fusion itself runs on the bounded
+    (queries × k) driver frame, which is the re-ranker contract."""
+    import pandas as pd
+    from .stages.textstats import unigram_freq_score
+    bm = to_pandas_any(_q_search_bm25(sf_dir))
+    qual = to_pandas_any(
+        unigram_freq_score(_docs(sf_dir))
+        .sort(["mean_freq_fp", "doc_id"]).limit(10))
+    qual = qual.reset_index(drop=True)
+    qrank = {int(d): i + 1 for i, d in enumerate(qual["doc_id"])}
+    rows = []
+    for qid, g in bm.groupby("query_id"):
+        arank = {int(d): int(r) for d, r in zip(g["doc_id"], g["rank"])}
+        cand = set(arank) | set(qrank)
+        scored = []
+        for d in cand:
+            s = 0
+            if d in arank:
+                s += 10**6 // (RRF_K + arank[d])
+            if d in qrank:
+                s += 10**6 // (RRF_K + qrank[d])
+            scored.append((d, s))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        for r, (d, s) in enumerate(scored[:10], 1):
+            rows.append((int(qid), d, s, r))
+    t = list(zip(*rows)) if rows else [[], [], [], []]
+    return pa.table({"query_id": pa.array(t[0], pa.int64()),
+                     "doc_id": pa.array(t[1], pa.int64()),
+                     "rrf_fp": pa.array(t[2], pa.int64()),
+                     "rank": pa.array(t[3], pa.int64())})
+
+
+def to_pandas_any(obj):
+    import pandas as pd
+    import ray.data as rd
+    if isinstance(obj, rd.Dataset):
+        return obj.to_pandas()
+    if isinstance(obj, pa.Table):
+        return obj.to_pandas()
+    return obj
+
+
+def _rrf_sql() -> str:
+    return f"""
+        WITH bm AS (SELECT * FROM ({_bm25_sql()})),
+        qual AS (SELECT doc_id, rn FROM (
+                   SELECT doc_id, row_number() OVER (
+                     ORDER BY mean_freq_fp, doc_id) AS rn
+                   FROM ({{UNIGRAM}})) WHERE rn <= 10),
+        cand AS (SELECT query_id, doc_id FROM bm
+                 UNION
+                 SELECT b2.query_id, qual.doc_id
+                 FROM (SELECT DISTINCT query_id FROM bm) b2
+                 CROSS JOIN qual),
+        scored AS (SELECT c.query_id, c.doc_id,
+                          coalesce((SELECT 1000000 // ({RRF_K} + bm.rank)
+                                    FROM bm
+                                    WHERE bm.query_id = c.query_id
+                                      AND bm.doc_id = c.doc_id), 0)
+                        + coalesce((SELECT 1000000 // ({RRF_K} + q.rn)
+                                    FROM qual q
+                                    WHERE q.doc_id = c.doc_id), 0)
+                            AS rrf_fp
+                   FROM cand c)
+        SELECT query_id, doc_id, CAST(rrf_fp AS BIGINT) AS rrf_fp,
+               CAST(rank AS BIGINT) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY rrf_fp DESC, doc_id) AS rank FROM scored)
+        WHERE rank <= 10 ORDER BY query_id, rank"""
+
+
 PSEUDO_SALT = 271828
 
 
@@ -4827,6 +4907,7 @@ def queries() -> dict[str, Callable]:
         "rel_rfm_segments": _q_rel_rfm,
         "events_funnel_latency": _q_events_funnel_latency,
         "rel_psi_drift": _q_rel_psi_drift,
+        "search_rrf_fusion": _q_search_rrf,
         "rel_tpch_q2": _q_rel_tpch_q2,
         "rel_tpch_q20": _q_rel_tpch_q20,
         "rel_tpch_q21": _q_rel_tpch_q21,
@@ -7231,6 +7312,8 @@ def oracle_sql() -> dict[str, str]:
     out["approx_distinct_overlap"] = _approx_overlap_sql()
     out["rel_zorder_keys"] = _zorder_sql()
     out["privacy_pseudonymize"] = _pseudonymize_sql()
+    out["search_rrf_fusion"] = _rrf_sql().replace(
+        "{UNIGRAM}", out["text_unigram_freq"])
     out["rel_psi_drift"] = """
         WITH e AS (SELECT event_type,
                           CAST(round(value * 100) AS BIGINT) AS vc
