@@ -4341,3 +4341,62 @@ def psi_drift(sf_dir: str, bins: int = PSI_BINS) -> pa.Table:
         "n_view": pa.array(full[:, 0]),
         "n_purchase": pa.array(full[:, 1]),
         "psi": pa.array(np.full(bins, psi), pa.float64())})
+
+
+def churn_labels(sf_dir: str) -> ray.data.Dataset:
+    """Training-label generation for churn modeling: one row per
+    (user, active-week) with ``will_return`` = user is also active in
+    week+1 — the standard temporal label join an ML data pipeline must
+    get right WITHOUT leakage (the label looks strictly forward).
+
+    Shape: distinct (user, week) partials (one corpus exchange), then
+    the forward-shift join is the engine's indicator-union trick — the
+    same table re-emitted at week−1 as a 'next' marker, ONE grouped sum,
+    label = marker presence. No self-join, null-free."""
+    from ..functions.grouped import grouped_count, sorted_aggregate
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def weeks(b: pa.Table) -> pa.Table:
+        wk = pc.divide(pc.divide(pc.cast(b["ts"], pa.int64()),
+                                 pa.scalar(86_400_000_000, pa.int64())),
+                       pa.scalar(7, pa.int64()))
+        return pa.table({"user_id": pc.cast(b["user_id"], pa.int64()),
+                         "week": wk})
+
+    uw = grouped_count(
+        ev.map_batches(weeks, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id", "week"], "__n", 8).materialize()
+
+    def base(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "user_id": b["user_id"], "week": b["week"],
+            "is_base": pa.array(np.ones(n, np.int64)),
+            "nxt": pa.array(np.zeros(n, np.int64))})
+
+    def shifted(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "user_id": b["user_id"],
+            "week": pc.subtract(b["week"], pa.scalar(1, pa.int64())),
+            "is_base": pa.array(np.zeros(n, np.int64)),
+            "nxt": pa.array(np.ones(n, np.int64))})
+
+    u = uw.map_batches(base, batch_format="pyarrow") \
+        .union(uw.map_batches(shifted, batch_format="pyarrow"))
+    agg = sorted_aggregate(
+        u, ["user_id", "week"], [("is_base", "sum"), ("nxt", "sum")],
+        ["user_id", "week", "is_base", "nxt"], 8)
+
+    def label(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(b["is_base"], 1))
+        nxt = t["nxt"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"], "week": t["week"],
+            "will_return": pa.array(np.minimum(nxt, 1))})
+
+    return agg.map_batches(label, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .sort(["user_id", "week"])

@@ -3979,6 +3979,14 @@ def _q_rel_psi_drift(sf_dir: str):
     return psi_drift(sf_dir)
 
 
+def _q_events_churn_labels(sf_dir: str):
+    """Leakage-safe churn labels (relational.churn_labels): per
+    (user, active-week), will_return = active in week+1 via the
+    indicator-union forward shift."""
+    from .pipelines.relational import churn_labels
+    return churn_labels(sf_dir)
+
+
 RRF_K = 60
 
 
@@ -4908,6 +4916,7 @@ def queries() -> dict[str, Callable]:
         "events_funnel_latency": _q_events_funnel_latency,
         "rel_psi_drift": _q_rel_psi_drift,
         "search_rrf_fusion": _q_search_rrf,
+        "events_churn_labels": _q_events_churn_labels,
         "rel_tpch_q2": _q_rel_tpch_q2,
         "rel_tpch_q20": _q_rel_tpch_q20,
         "rel_tpch_q21": _q_rel_tpch_q21,
@@ -7312,6 +7321,16 @@ def oracle_sql() -> dict[str, str]:
     out["approx_distinct_overlap"] = _approx_overlap_sql()
     out["rel_zorder_keys"] = _zorder_sql()
     out["privacy_pseudonymize"] = _pseudonymize_sql()
+    out["events_churn_labels"] = """
+        WITH uw AS (SELECT DISTINCT user_id,
+                           epoch_us(ts) // 86400000000 // 7 AS week
+                    FROM events)
+        SELECT a.user_id, CAST(a.week AS BIGINT) AS week,
+               CAST(EXISTS(SELECT 1 FROM uw b
+                           WHERE b.user_id = a.user_id
+                             AND b.week = a.week + 1) AS BIGINT)
+                 AS will_return
+        FROM uw a ORDER BY 1, 2"""
     out["search_rrf_fusion"] = _rrf_sql().replace(
         "{UNIGRAM}", out["text_unigram_freq"])
     out["rel_psi_drift"] = """
