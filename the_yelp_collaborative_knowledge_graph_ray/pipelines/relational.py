@@ -4400,3 +4400,80 @@ def churn_labels(sf_dir: str) -> ray.data.Dataset:
     return agg.map_batches(label, batch_format="pyarrow",
                            zero_copy_batch=True) \
         .sort(["user_id", "week"])
+
+
+def peak_concurrency(sf_dir: str, gap_s: int = SESSION_GAP_S
+                     ) -> pa.Table:
+    """Peak concurrent sessions — the capacity-planning sweep: sessions
+    (gap-windowed per user, the engine's standard 1800 s rule) become
+    ±1 boundary deltas, per-timestamp nets collapse with ONE keyed
+    exchange (tie order vanishes — net per instant first, prefix
+    after), and the global running-maximum is the classic associative
+    two-level scan: each block (sorted in-block, blocks range-ordered)
+    reports (Σnet, max-prefix); the driver folds |blocks| summaries.
+    Ends are exclusive at en+1 µs. Output: (n_sessions, peak)."""
+    from ..functions.grouped import group_ids, sorted_aggregate, \
+        sorted_group_apply
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    ses_schema = pa.schema([("st", pa.int64()), ("en", pa.int64())])
+    gap_us = gap_s * 10**6
+
+    def sessions(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return ses_schema.empty_table()
+        gid, _ = group_ids(b, ["user_id"])
+        ts = b["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, gid))
+        g, t = gid[order], ts[order]
+        brk = np.concatenate(
+            [[True], (g[1:] != g[:-1]) | (t[1:] - t[:-1] > gap_us)])
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(t)) - 1
+        return pa.table({"st": pa.array(t[starts], pa.int64()),
+                         "en": pa.array(t[ends], pa.int64())},
+                        schema=ses_schema)
+
+    ses = sorted_group_apply(ev, ["user_id"], sessions, 8).materialize()
+    n_sessions = ses.count()
+
+    def deltas(b: pa.Table) -> pa.Table:
+        st = b["st"].to_numpy(zero_copy_only=False)
+        en = b["en"].to_numpy(zero_copy_only=False)
+        t = np.concatenate([st, en + 1])
+        dv = np.concatenate([np.ones(len(st), np.int64),
+                             -np.ones(len(en), np.int64)])
+        return pa.table({"t": pa.array(t), "net": pa.array(dv)}) \
+            .group_by(["t"], use_threads=False) \
+            .aggregate([("net", "sum")]).rename_columns(["t", "net"])
+
+    nets = sorted_aggregate(
+        ses.map_batches(deltas, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        ["t"], [("net", "sum")], ["t", "net"], 8)
+
+    def block_scan(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema([("t0", pa.int64()), ("s", pa.int64()),
+                              ("mp", pa.int64())]).empty_table()
+        b = b.sort_by("t")
+        net = b["net"].to_numpy(zero_copy_only=False)
+        cs = np.cumsum(net)
+        return pa.table({"t0": pa.array([int(b["t"][0].as_py())],
+                                        pa.int64()),
+                         "s": pa.array([int(cs[-1])], pa.int64()),
+                         "mp": pa.array([int(cs.max())], pa.int64())})
+
+    summ = nets.map_batches(block_scan, batch_format="pyarrow",
+                            batch_size=None,
+                            zero_copy_batch=True).to_pandas() \
+        .sort_values("t0")
+    running = 0
+    peak = 0
+    for _, r in summ.iterrows():
+        peak = max(peak, running + int(r["mp"]))
+        running += int(r["s"])
+    return pa.table({"n_sessions": pa.array([n_sessions], pa.int64()),
+                     "peak": pa.array([peak], pa.int64())})

@@ -3987,6 +3987,13 @@ def _q_events_churn_labels(sf_dir: str):
     return churn_labels(sf_dir)
 
 
+def _q_events_peak_concurrency(sf_dir: str):
+    """Peak concurrent sessions (relational.peak_concurrency): ±1
+    boundary deltas + associative two-level prefix-max scan."""
+    from .pipelines.relational import peak_concurrency
+    return peak_concurrency(sf_dir)
+
+
 RRF_K = 60
 
 
@@ -4917,6 +4924,7 @@ def queries() -> dict[str, Callable]:
         "rel_psi_drift": _q_rel_psi_drift,
         "search_rrf_fusion": _q_search_rrf,
         "events_churn_labels": _q_events_churn_labels,
+        "events_peak_concurrency": _q_events_peak_concurrency,
         "rel_tpch_q2": _q_rel_tpch_q2,
         "rel_tpch_q20": _q_rel_tpch_q20,
         "rel_tpch_q21": _q_rel_tpch_q21,
@@ -7321,6 +7329,33 @@ def oracle_sql() -> dict[str, str]:
     out["approx_distinct_overlap"] = _approx_overlap_sql()
     out["rel_zorder_keys"] = _zorder_sql()
     out["privacy_pseudonymize"] = _pseudonymize_sql()
+    out["events_peak_concurrency"] = """
+        WITH o AS (SELECT user_id, ts, event_id,
+                          CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                                 OR epoch_us(ts) - LAG(epoch_us(ts))
+                                    OVER w > 1800000000
+                               THEN 1 ELSE 0 END AS brk
+                   FROM events
+                   WINDOW w AS (PARTITION BY user_id
+                                ORDER BY ts, event_id)),
+        sid AS (SELECT user_id, ts,
+                       sum(brk) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS s
+                FROM o),
+        ses AS (SELECT user_id, s, min(epoch_us(ts)) AS st,
+                       max(epoch_us(ts)) AS en
+                FROM sid GROUP BY 1, 2),
+        d AS (SELECT st AS t, 1 AS dv FROM ses
+              UNION ALL SELECT en + 1, -1 FROM ses),
+        g AS (SELECT t, CAST(sum(dv) AS BIGINT) AS net
+              FROM d GROUP BY 1),
+        p AS (SELECT max(c) AS peak FROM (
+                SELECT sum(net) OVER (ORDER BY t) AS c FROM g))
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM ses)
+                 AS n_sessions,
+               CAST(p.peak AS BIGINT) AS peak
+        FROM p"""
     out["events_churn_labels"] = """
         WITH uw AS (SELECT DISTINCT user_id,
                            epoch_us(ts) // 86400000000 // 7 AS week
