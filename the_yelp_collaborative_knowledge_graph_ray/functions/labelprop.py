@@ -27,7 +27,6 @@ votes collapse to one row per (label, block) before they travel.
 from __future__ import annotations
 
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray.data
 
 
