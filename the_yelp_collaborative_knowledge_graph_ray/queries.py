@@ -4675,6 +4675,143 @@ def _q_rel_cume_dist(sf_dir: str):
     return cume_dist_qty(sf_dir)
 
 
+def _q_rel_division(sf_dir: str):
+    """Relational division (Codd's ÷, the 'suppliers who supply ALL
+    parts' pattern): customers with at least one order in EVERY order
+    year present in the corpus. Distributed plan: distinct (custkey,
+    year) via one grouped count (the only exchange over order-sized
+    data), then a per-customer year count compared on the driver
+    against the tiny global distinct-year total — no join, no second
+    shuffle over raw orders."""
+    from .functions.grouped import grouped_count
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate"])
+
+    def cy(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": b["o_custkey"],
+            "y": pc.cast(pc.year(b["o_orderdate"]), pa.int64())})
+
+    pairs = grouped_count(
+        orders.map_batches(cy, batch_format="pyarrow"),
+        ["o_custkey", "y"], "n", 8)
+    per_cust = grouped_count(pairs, ["o_custkey"], "n_years", 8)
+    n_years_total = grouped_count(pairs, ["y"], "nn", 4).count()
+    return per_cust.filter(expr=f"n_years == {int(n_years_total)}") \
+        .sort("o_custkey")
+
+
+def _q_events_cusum(sf_dir: str):
+    """CUSUM changepoint scan (Page 1954) over the daily event-count
+    series, exact integers: S_k = Σ_{i<=k} (D·n_i − T) (the mean is
+    multiplied out, so no floats), peak day = argmax |S_k|. The
+    distributed pass is ONE grouped daily count; the cumulative scan
+    runs on the bounded days-sized frame."""
+    from .functions.grouped import grouped_count
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts"])
+
+    def day(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64())
+        return pa.table({"day": pc.divide(us, 86400000000)})
+
+    df = grouped_count(ev.map_batches(day, batch_format="pyarrow"),
+                       ["day"], "n_events", 4).to_pandas()
+    df = df.sort_values("day").reset_index(drop=True)
+    nd, tot = len(df), int(df["n_events"].sum())
+    s = (nd * df["n_events"].astype("int64") - tot).cumsum()
+    peak = int(s.abs().max()) if nd else 0
+    df["cusum"] = s
+    df["is_peak"] = (s.abs() == peak).astype("int64")
+    return df
+
+
+L_DIVERSITY = 3
+
+
+def _q_privacy_l_diversity(sf_dir: str):
+    """l-diversity audit (Machanavajjhala et al. 2007, the successor
+    to k-anonymity): within each quasi-identifier class (event_type,
+    weekday, hour), the sensitive attribute (user cohort = user_id % 8)
+    must take >= l distinct values or the class is vulnerable to
+    homogeneity attacks even when k-anonymous. Two cascaded grouped
+    counts — (QI, sensitive) distinct pairs, then distinct-sensitive
+    and member tallies per QI — both map-side combined."""
+    from .functions.grouped import grouped_count, sorted_aggregate
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "ts", "user_id"])
+
+    def qi(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "dow": pc.cast(pc.add(pc.day_of_week(b["ts"]), 1), pa.int64()),
+            "hod": pc.cast(pc.hour(b["ts"]), pa.int64()),
+            "sens": pc.bit_wise_and(b["user_id"], 7)})
+
+    cells = grouped_count(ev.map_batches(qi, batch_format="pyarrow"),
+                          ["event_type", "dow", "hod", "sens"], "n", 8)
+
+    def fold(b: pa.Table) -> pa.Table:
+        return b.append_column("one", pa.array(
+            np.ones(b.num_rows, np.int64)))
+
+    agg = sorted_aggregate(
+        cells.map_batches(fold, batch_format="pyarrow"),
+        ["event_type", "dow", "hod"],
+        [("n", "sum"), ("one", "sum")],
+        ["event_type", "dow", "hod", "n_members", "n_sensitive"], 8)
+
+    def flag(b: pa.Table) -> pa.Table:
+        return b.append_column("is_diverse", pc.cast(
+            pc.greater_equal(b["n_sensitive"], L_DIVERSITY), pa.int64()))
+
+    return agg.map_batches(flag, batch_format="pyarrow") \
+        .sort(["event_type", "dow", "hod"])
+
+
+def _q_ml_decision_stump(sf_dir: str):
+    """Decision-stump training (1R / AdaBoost weak learner): the best
+    threshold on l_quantity predicting l_returnflag == 'R', scored by
+    exact integer misclassification count min(pos,n−pos) per side.
+    The distributed pass is ONE (quantity, label) grouped count; the
+    candidate-threshold scan is a cumsum over the <= 100-row distinct
+    frame. is_best marks the argmin with the smallest-threshold
+    tie-break — all integers, no Gini floats needed for the argmin."""
+    from .functions.grouped import grouped_count
+    li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_quantity", "l_returnflag"])
+
+    def fl(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "q": pc.cast(b["l_quantity"], pa.int64()),
+            "pos": pc.cast(pc.equal(b["l_returnflag"], "R"), pa.int64())})
+
+    cnt = grouped_count(li.map_batches(fl, batch_format="pyarrow"),
+                        ["q", "pos"], "n", 4).to_pandas()
+    import pandas as pd
+    g = cnt.assign(np=cnt["n"] * cnt["pos"]) \
+        .groupby("q", as_index=False).agg(nq=("n", "sum"), pq=("np", "sum")) \
+        .sort_values("q").reset_index(drop=True)
+    nl = g["nq"].cumsum()
+    pl = g["pq"].cumsum()
+    tot, totpos = int(nl.iloc[-1]) if len(g) else 0, \
+        int(pl.iloc[-1]) if len(g) else 0
+    nr, pr = tot - nl, totpos - pl
+    mis = (np.minimum(pl, nl - pl) + np.minimum(pr, nr - pr)).astype("int64")
+    best = int(mis.min()) if len(g) else 0
+    is_best = (mis == best)
+    # smallest threshold among the argmin set
+    if len(g):
+        first = g["q"][is_best].min()
+        is_best = is_best & (g["q"] == first)
+    return pd.DataFrame({
+        "threshold": g["q"].astype("int64"),
+        "n_left": nl.astype("int64"), "pos_left": pl.astype("int64"),
+        "n_right": nr.astype("int64"), "pos_right": pr.astype("int64"),
+        "miscls": mis, "is_best": is_best.astype("int64")})
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -4936,6 +5073,10 @@ def queries() -> dict[str, Callable]:
         "emb_label_coherence": _q_emb_label_coherence,
         "rel_merge_upsert": _q_rel_merge_upsert,
         "text_dispersion": _q_text_dispersion,
+        "rel_division": _q_rel_division,
+        "events_cusum_changepoint": _q_events_cusum,
+        "privacy_l_diversity": _q_privacy_l_diversity,
+        "ml_decision_stump": _q_ml_decision_stump,
     }
 
 
@@ -7600,4 +7741,59 @@ ORDER BY doc_a, doc_b"""
     out["kg_type_rollup_counts"] = (
         "SELECT type_iri, count(*) AS n_entities FROM ("
         + out["kg_inferred_types"] + ") GROUP BY 1 ORDER BY 1")
+    out["rel_division"] = """
+        WITH cy AS (SELECT DISTINCT o_custkey,
+                           CAST(year(o_orderdate) AS BIGINT) AS y
+                    FROM orders),
+        d AS (SELECT count(DISTINCT y) AS ny FROM cy)
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_years
+        FROM cy, d GROUP BY o_custkey, d.ny
+        HAVING count(*) = d.ny ORDER BY o_custkey"""
+    out["events_cusum_changepoint"] = """
+        WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                          count(*) AS n FROM events GROUP BY 1),
+        t AS (SELECT count(*) AS nd, sum(n) AS tot FROM d),
+        c AS (SELECT day, n,
+                     sum(t.nd * d.n - t.tot) OVER (ORDER BY day) AS s
+              FROM d, t)
+        SELECT CAST(day AS BIGINT) AS day, CAST(n AS BIGINT) AS n_events,
+               CAST(s AS BIGINT) AS cusum,
+               CAST(abs(s) = (SELECT max(abs(s)) FROM c) AS BIGINT)
+                 AS is_peak
+        FROM c ORDER BY day"""
+    out["privacy_l_diversity"] = f"""
+        WITH cell AS (SELECT event_type,
+                             CAST(isodow(ts) AS BIGINT) AS dow,
+                             CAST(hour(ts) AS BIGINT) AS hod,
+                             user_id % 8 AS sens, count(*) AS n
+                      FROM events GROUP BY 1, 2, 3, 4)
+        SELECT event_type, dow, hod,
+               CAST(sum(n) AS BIGINT) AS n_members,
+               CAST(count(*) AS BIGINT) AS n_sensitive,
+               CAST(count(*) >= {L_DIVERSITY} AS BIGINT) AS is_diverse
+        FROM cell GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+    out["ml_decision_stump"] = """
+        WITH c AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+                          CAST(l_returnflag = 'R' AS BIGINT) AS pos,
+                          count(*) AS n
+                   FROM lineitem GROUP BY 1, 2),
+        qq AS (SELECT q, sum(n) AS nq, sum(n * pos) AS pq
+               FROM c GROUP BY 1),
+        t AS (SELECT sum(nq) AS tot, sum(pq) AS totpos FROM qq),
+        cum AS (SELECT q, sum(nq) OVER (ORDER BY q) AS nl,
+                       sum(pq) OVER (ORDER BY q) AS pl
+                FROM qq),
+        sc AS (SELECT q, nl, pl, t.tot - nl AS nr, t.totpos - pl AS pr,
+                      least(pl, nl - pl) + least(t.totpos - pl,
+                        (t.tot - nl) - (t.totpos - pl)) AS mis
+               FROM cum, t)
+        SELECT CAST(q AS BIGINT) AS threshold,
+               CAST(nl AS BIGINT) AS n_left, CAST(pl AS BIGINT) AS pos_left,
+               CAST(nr AS BIGINT) AS n_right, CAST(pr AS BIGINT) AS pos_right,
+               CAST(mis AS BIGINT) AS miscls,
+               CAST(mis = (SELECT min(mis) FROM sc)
+                    AND q = (SELECT min(q) FROM sc
+                             WHERE mis = (SELECT min(mis) FROM sc))
+                    AS BIGINT) AS is_best
+        FROM sc ORDER BY threshold"""
     return out
