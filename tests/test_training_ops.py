@@ -941,3 +941,42 @@ def test_random_projection_matches_numpy_and_is_deterministic(ray_session):
     assert not (rp_sign_matrix(16, 4, 8) == sm).all()
     # Rademacher balance sanity: both signs present
     assert (sm == 1).any() and (sm == -1).any()
+
+
+def test_sorted_neighborhood_vs_brute_force(ray_session):
+    """SNM window pairs == brute-force pairs over the global sort order,
+    including pairs that straddle block boundaries (forced via
+    repartition into many tiny blocks)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from the_yelp_collaborative_knowledge_graph_ray.stages.dedup import (
+        SNM_KEY8,
+        SNM_KEY_LEN,
+        sorted_neighborhood_pairs,
+    )
+
+    rng = np.random.RandomState(11)
+    words = ["alpha", "beta", "gamma", "delta", "epsi"]
+    texts = [" ".join(rng.choice(words, size=rng.randint(2, 6)))
+             for _ in range(40)]
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(40, dtype=np.int64)),
+        "text": pa.array(texts)}))
+    got = sorted_neighborhood_pairs(docs, window=2, num_partitions=13) \
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+    keys = ["".join(t.lower().split())[:SNM_KEY_LEN] for t in texts]
+    order = sorted(range(40), key=lambda i: (keys[i], i))
+    want = []
+    for i in range(40):
+        for d in (1, 2):
+            if i + d < 40:
+                a, b = order[i], order[i + d]
+                want.append((a, b, d,
+                             int(keys[a][:SNM_KEY8] == keys[b][:SNM_KEY8])))
+    want.sort()
+    got_t = list(zip(got["doc_a"], got["doc_b"], got["dist"],
+                     got["same_key8"]))
+    assert got_t == want

@@ -4812,6 +4812,150 @@ def _q_ml_decision_stump(sf_dir: str):
         "miscls": mis, "is_best": is_best.astype("int64")})
 
 
+def _q_dedup_snm(sf_dir: str):
+    """Sorted-neighborhood candidate generation (Hernández & Stolfo
+    1995): ONE global sort on a cheap blocking key + a width-2 sliding
+    window — O(N·w) candidates, window crosses key boundaries. In-block
+    pairs vectorized; block boundaries stitched from O(#blocks·w)
+    edge rows (stages/dedup.sorted_neighborhood_pairs)."""
+    from .stages.dedup import sorted_neighborhood_pairs
+    return sorted_neighborhood_pairs(_docs(sf_dir), window=2,
+                                     num_partitions=8)
+
+
+def _q_rec_item_cooccur(sf_dir: str):
+    """Item-item co-occurrence (the classic 'frequently bought
+    together' recommender primitive, Linden et al. 2003): brand pairs
+    co-appearing in an order, counted over all orders. Broadcast
+    partkey→brand probe (ray.put once, binary-search per batch), ONE
+    grouped distinct on (order, brand), per-order pair expansion in
+    complete sorted groups, top-20 with a full deterministic
+    tie-break."""
+    from .functions.grouped import grouped_count, pairs_within_groups
+    from .functions.joins import probe_sorted
+    part = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand"]).to_pandas()
+    bid = part["p_brand"].str.slice(6).astype("int64").to_numpy()
+    order = np.argsort(part["p_partkey"].to_numpy())
+    ref = ray.put((part["p_partkey"].to_numpy()[order], bid[order]))
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey"])
+
+    def to_brand(b: pa.Table) -> pa.Table:
+        keys, vals = ray.get(ref)
+        bb = probe_sorted(keys, vals,
+                          b["l_partkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "b": pa.array(bb, pa.int64())})
+
+    ob = grouped_count(li.map_batches(to_brand, batch_format="pyarrow"),
+                       ["l_orderkey", "b"], "nn", 8)
+    pairs = pairs_within_groups(ob, ["l_orderkey"], "b", "n_orders",
+                                num_partitions=8)
+
+    def rn(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["brand_a", "brand_b", "n_orders"])
+
+    return pairs.map_batches(rn, batch_format="pyarrow") \
+        .sort(["n_orders", "brand_a", "brand_b"],
+              descending=[True, False, False]).limit(20)
+
+
+KNN_K = 5
+
+
+def _q_ml_knn(sf_dir: str):
+    """k-NN classification (Cover & Hart 1967): majority label of the
+    k=5 exact-cosine nearest corpus vectors per query. The distributed
+    job is the brute-force top-k scan (shared with ann_topk_cosine —
+    identical rounded scores, so the neighbor sets hash-match the SQL);
+    the vote runs on the bounded queries×k frame (re-ranker
+    contract)."""
+    import pandas as pd
+    from .stages.similarity import brute_force_topk
+    nb = to_pandas_any(brute_force_topk(_emb(sf_dir), k=KNN_K,
+                                        n_queries=8))
+    ids = sorted(set(int(v) for v in nb["vec_id"]))
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "label"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        m = np.isin(b["vec_id"].to_numpy(zero_copy_only=False),
+                    np.asarray(ids, np.int64))
+        return b.filter(pa.array(m))
+
+    lab = emb.map_batches(keep, batch_format="pyarrow").to_pandas()
+    lut = dict(zip(lab["vec_id"].astype(int), lab["label"].astype(int)))
+    nb["label"] = nb["vec_id"].map(lut).astype("int64")
+    v = nb.groupby(["query_id", "label"], as_index=False).size() \
+        .rename(columns={"size": "votes"})
+    v = v.sort_values(["query_id", "votes", "label"],
+                      ascending=[True, False, True])
+    top = v.groupby("query_id", as_index=False).first()
+    return pd.DataFrame({
+        "query_id": top["query_id"].astype("int64"),
+        "pred_label": top["label"].astype("int64"),
+        "votes": top["votes"].astype("int64")})
+
+
+PHRASE_W1, PHRASE_W2 = "hash", "join"
+
+
+def _q_search_phrase(sf_dir: str):
+    """Positional phrase search ('hash join' as adjacent tokens) — the
+    inverted-index phrase-query primitive: one vectorized pass builds
+    flat token masks for the two phrase words and counts same-document
+    adjacencies via offset arithmetic; no postings shuffle, no Python
+    row loop. Output per matching doc: occurrence count + 1-based
+    token position of the first match."""
+    docs = _docs(sf_dir)
+    i64 = pa.int64()
+    out_schema = pa.schema([("doc_id", i64), ("n_matches", i64),
+                            ("first_pos", i64)])
+
+    def f(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        toks = pc.split_pattern(pc.utf8_lower(b["text"]), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = np.asarray(toks.offsets)
+        flat = toks.flatten()
+        m1 = pc.equal(flat, PHRASE_W1).to_numpy(zero_copy_only=False)
+        m2 = pc.equal(flat, PHRASE_W2).to_numpy(zero_copy_only=False)
+        if len(m1) < 2:
+            return out_schema.empty_table()
+        adj = m1[:-1] & m2[1:]
+        # a (i, i+1) pair is in-document iff i+1 is not a doc start
+        starts = offs[1:-1] - offs[0]
+        adj[starts[starts > 0] - 1] = False
+        hit = np.flatnonzero(adj)
+        if len(hit) == 0:
+            return out_schema.empty_table()
+        doc = np.searchsorted(offs - offs[0], hit, side="right") - 1
+        ids = pc.cast(b["doc_id"], i64).to_numpy(zero_copy_only=False)
+        udoc, first = np.unique(doc, return_index=True)
+        cnt = np.bincount(doc)[udoc]
+        fpos = hit[first] - (offs[udoc] - offs[0]) + 1
+        return pa.table({"doc_id": pa.array(ids[udoc]),
+                         "n_matches": pa.array(cnt.astype(np.int64)),
+                         "first_pos": pa.array(fpos.astype(np.int64))},
+                        schema=out_schema)
+
+    out = docs.map_batches(f, batch_format="pyarrow").sort("doc_id")
+    df = out.to_pandas()
+    if df.empty:
+        import pandas as pd
+        df = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                           "n_matches": pd.Series(dtype="int64"),
+                           "first_pos": pd.Series(dtype="int64")})
+    return df
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -5077,6 +5221,10 @@ def queries() -> dict[str, Callable]:
         "events_cusum_changepoint": _q_events_cusum,
         "privacy_l_diversity": _q_privacy_l_diversity,
         "ml_decision_stump": _q_ml_decision_stump,
+        "dedup_sorted_neighborhood": _q_dedup_snm,
+        "rec_item_cooccur": _q_rec_item_cooccur,
+        "ml_knn_classify": _q_ml_knn,
+        "search_phrase": _q_search_phrase,
     }
 
 
@@ -7796,4 +7944,64 @@ ORDER BY doc_a, doc_b"""
                              WHERE mis = (SELECT min(mis) FROM sc))
                     AS BIGINT) AS is_best
         FROM sc ORDER BY threshold"""
+    out["dedup_sorted_neighborhood"] = """
+        WITH k AS (SELECT doc_id,
+                          substr(replace(lower(text), ' ', ''), 1, 12)
+                            AS key
+                   FROM documents),
+        r AS (SELECT doc_id, key,
+                     row_number() OVER (ORDER BY key, doc_id) AS rn
+              FROM k)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(b.rn - a.rn AS BIGINT) AS dist,
+               CAST(substr(a.key, 1, 8) = substr(b.key, 1, 8) AS BIGINT)
+                 AS same_key8
+        FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 2
+        ORDER BY doc_a, doc_b"""
+    out["rec_item_cooccur"] = """
+        WITH ob AS (SELECT DISTINCT l.l_orderkey,
+                           CAST(substr(p.p_brand, 7) AS BIGINT) AS b
+                    FROM lineitem l
+                    JOIN part p ON p.p_partkey = l.l_partkey)
+        SELECT a.b AS brand_a, c.b AS brand_b,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM ob a JOIN ob c
+          ON a.l_orderkey = c.l_orderkey AND a.b < c.b
+        GROUP BY 1, 2
+        ORDER BY n_orders DESC, brand_a, brand_b LIMIT 20"""
+    out["ml_knn_classify"] = f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                   FROM embeddings WHERE vec_id < 8),
+        c AS (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id NOT IN (SELECT query_id FROM q)),
+        s AS (SELECT q.query_id, c.vec_id,
+                     round(list_cosine_similarity(
+                       CAST(q.qe AS DOUBLE[]),
+                       CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+              FROM q CROSS JOIN c),
+        r AS (SELECT *, row_number() OVER
+                (PARTITION BY query_id ORDER BY cosine DESC, vec_id)
+                AS rank FROM s),
+        nb AS (SELECT query_id, vec_id FROM r WHERE rank <= {KNN_K}),
+        v AS (SELECT nb.query_id, CAST(e.label AS BIGINT) AS label,
+                     count(*) AS votes
+              FROM nb JOIN embeddings e ON e.vec_id = nb.vec_id
+              GROUP BY 1, 2)
+        SELECT query_id, label AS pred_label,
+               CAST(votes AS BIGINT) AS votes
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY votes DESC, label) AS rn FROM v)
+        WHERE rn = 1 ORDER BY query_id"""
+    out["search_phrase"] = f"""
+        WITH sp AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                    FROM documents),
+        pos AS (SELECT doc_id, CAST(i AS BIGINT) AS i, w[i] AS tok
+                FROM sp, unnest(generate_series(1, len(w))) AS t(i)),
+        m AS (SELECT a.doc_id, a.i
+              FROM pos a JOIN pos b
+                ON b.doc_id = a.doc_id AND b.i = a.i + 1
+              WHERE a.tok = '{PHRASE_W1}' AND b.tok = '{PHRASE_W2}')
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+               CAST(min(i) AS BIGINT) AS first_pos
+        FROM m GROUP BY 1 ORDER BY 1"""
     return out

@@ -1283,3 +1283,126 @@ def containment_pairs(docs: ray.data.Dataset, threshold: float = 0.8,
 
     return pair_counts.map_batches(contain, batch_format="pyarrow") \
                       .sort(["doc_a", "doc_b"])
+
+
+# --------------------------------------------------------------------------
+# Sorted-neighborhood method (SNM)
+# --------------------------------------------------------------------------
+# Hernández & Stolfo 1995 (public): entity-resolution candidate generation
+# by ONE global sort on a cheap blocking key followed by a fixed-width
+# sliding window over the sorted order — O(N·w) candidates instead of the
+# O(N²) cross product, and unlike pure key-blocking the window crosses key
+# boundaries, so near-miss keys still meet. Distributed plan: in-window
+# pairs are emitted per sorted block (vectorized shifts); the <= w rows on
+# each side of every block boundary are stitched on the driver via one tiny
+# remote task per block ref (the prefix_duplicates edge-row pattern above)
+# — O(#blocks·w) driver rows, the blocks themselves never leave the store.
+
+
+SNM_KEY_LEN = 12
+SNM_KEY8 = 8
+
+
+def _snm_key(text_col) -> pa.Array:
+    """Blocking key: first SNM_KEY_LEN chars of the lowercased text with
+    spaces removed — cheap, typo-tolerant at the tail, fully vectorized."""
+    a = pc.replace_substring(pc.utf8_lower(text_col), " ", "")
+    return pc.utf8_slice_codeunits(a, 0, SNM_KEY_LEN)
+
+
+def sorted_neighborhood_pairs(docs: ray.data.Dataset, window: int = 2,
+                              num_partitions: int | None = None
+                              ) -> ray.data.Dataset:
+    """Candidate pairs (doc_a, doc_b, dist, same_key8) where doc_a is the
+    doc at the LOWER sort rank and dist = rank distance (1..window);
+    same_key8 flags agreement of the first SNM_KEY8 key chars (the cheap
+    comparator an ER pipeline would apply before expensive matching).
+    Sorted by (doc_a, doc_b)."""
+    w = int(window)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        return pa.table({"key": _snm_key(b["text"]),
+                         "doc_id": pc.cast(b["doc_id"], pa.int64())})
+
+    ds = docs.map_batches(keyed, batch_format="pyarrow")
+    if num_partitions is not None:
+        ds = ds.repartition(num_partitions)
+    # (key, doc_id) is a total order: every rank lives in exactly one
+    # block, so in-block windows + boundary strips cover all pairs.
+    srt = ds.sort(["key", "doc_id"]).materialize()
+
+    @ray.remote
+    def edge_rows(block: pa.Table):
+        n = block.num_rows
+        if n == 0:
+            return None
+        m = min(w, n)
+        head = block.slice(0, m)
+        tail = block.slice(n - m, m)
+        return (block["key"][0].as_py(), block["doc_id"][0].as_py(), n,
+                list(zip(head["key"].to_pylist(),
+                         head["doc_id"].to_pylist())),
+                list(zip(tail["key"].to_pylist(),
+                         tail["doc_id"].to_pylist())))
+
+    infos = [e for e in ray.get(
+        [edge_rows.remote(r) for r in srt.to_arrow_refs()]) if e]
+    infos.sort(key=lambda e: (e[0], e[1]))  # block order = range order
+    # reconstruct global ranks of the strip rows; pair strip rows at rank
+    # distance 1..w across DIFFERENT blocks (same-block pairs are emitted
+    # by the vectorized in-block pass)
+    strip = []  # (rank, key, doc_id, block_idx)
+    base = 0
+    for bi, (_, _, n, head, tail) in enumerate(infos):
+        m = len(head)
+        for j, (k, d) in enumerate(head):
+            strip.append((base + j, k, d, bi))
+        for j, (k, d) in enumerate(tail):
+            r = base + n - m + j
+            if r >= base + m:  # avoid double-adding head==tail rows
+                strip.append((r, k, d, bi))
+        base += n
+    strip.sort()
+    cross = {"doc_a": [], "doc_b": [], "dist": [], "same_key8": []}
+    for i in range(len(strip)):
+        for j in range(i + 1, len(strip)):
+            dist = strip[j][0] - strip[i][0]
+            if dist > w:
+                break
+            if strip[j][3] == strip[i][3]:
+                continue
+            cross["doc_a"].append(strip[i][2])
+            cross["doc_b"].append(strip[j][2])
+            cross["dist"].append(dist)
+            cross["same_key8"].append(
+                int(strip[i][1][:SNM_KEY8] == strip[j][1][:SNM_KEY8]))
+    i64 = pa.int64()
+    out_schema = pa.schema([("doc_a", i64), ("doc_b", i64),
+                            ("dist", i64), ("same_key8", i64)])
+    cross_tab = pa.table({c: pa.array(v, i64) for c, v in cross.items()},
+                         schema=out_schema)
+
+    def block_pairs(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n < 2:
+            return out_schema.empty_table()
+        ids = pc.cast(b["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        k8 = pc.utf8_slice_codeunits(b["key"], 0, SNM_KEY8) \
+            .to_numpy(zero_copy_only=False)
+        parts = []
+        for d in range(1, w + 1):
+            if n <= d:
+                break
+            parts.append(pa.table({
+                "doc_a": pa.array(ids[:-d]),
+                "doc_b": pa.array(ids[d:]),
+                "dist": pa.array(np.full(n - d, d, np.int64)),
+                "same_key8": pa.array(
+                    (k8[:-d] == k8[d:]).astype(np.int64))},
+                schema=out_schema))
+        return pa.concat_tables(parts) if parts else out_schema.empty_table()
+
+    in_block = srt.map_batches(block_pairs, batch_format="pyarrow",
+                               batch_size=None, zero_copy_batch=True)
+    return in_block.union(ray.data.from_arrow(cross_tab)) \
+        .sort(["doc_a", "doc_b"])
