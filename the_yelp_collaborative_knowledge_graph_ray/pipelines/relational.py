@@ -4477,3 +4477,154 @@ def peak_concurrency(sf_dir: str, gap_s: int = SESSION_GAP_S
         running += int(r["s"])
     return pa.table({"n_sessions": pa.array([n_sessions], pa.int64()),
                      "peak": pa.array([peak], pa.int64())})
+
+
+def gaps_islands_orderkeys(sf_dir: str) -> ray.data.Dataset:
+    """Gaps-and-islands over the 'F'-status orderkey sequence — the classic
+    SQL-idiom operator (key − rank() is constant within a consecutive run).
+
+    Distributed plan: filter + project at the read, ONE global sort via
+    :func:`functions.joins.zip_with_index` (order_by gives the
+    deterministic global rank without moving block data to the driver),
+    island id = key − rank computed per block, then a grouped (min, max,
+    count) — the island table scales with the data, so it is aggregated
+    with the same sorted-aggregate machinery as every other grouped op,
+    never driver-folded. Output (island_start, island_end, island_len)
+    sorted by island_start."""
+    from ..functions.grouped import sorted_aggregate
+    from ..functions.joins import zip_with_index
+
+    o = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+
+    def keys(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["o_orderstatus"], "F")
+        return pa.table({"k": pc.filter(b["o_orderkey"], m)})
+
+    ks = o.map_batches(keys, batch_format="pyarrow",
+                       zero_copy_batch=True).sort("k")
+    ranked = zip_with_index(ks, id_col="rank", order_by="k")
+
+    def isl(b: pa.Table) -> pa.Table:
+        k = b["k"].to_numpy(zero_copy_only=False)
+        r = b["rank"].to_numpy(zero_copy_only=False)
+        return pa.table({"isl": pa.array(k - r, pa.int64()),
+                         "k_min": pa.array(k, pa.int64()),
+                         "k_max": pa.array(k, pa.int64()),
+                         "one": pa.array(np.ones(len(k), np.int64))})
+
+    agg = sorted_aggregate(
+        ranked.map_batches(isl, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["isl"], [("k_min", "min"), ("k_max", "max"), ("one", "sum")],
+        ["isl", "island_start", "island_end", "island_len"], 4)
+
+    def drop_isl(b: pa.Table) -> pa.Table:
+        return b.drop_columns(["isl"])
+
+    return agg.map_batches(drop_isl, batch_format="pyarrow",
+                           zero_copy_batch=True).sort("island_start")
+
+
+AUTOCORR_MAX_LAG = 7
+
+
+def autocorr_daily(sf_dir: str) -> pa.Table:
+    """Lag-1..7 autocorrelation of the zero-filled daily event count
+    series, as exact integer (num, den) pairs: with N days, total S and
+    centered z_t = N·c_t − S,
+
+        r_k = num_k / den,  num_k = Σ_t z_t·z_{t+k},  den = Σ_t z_t²
+
+    (both sides scaled by N² — the float never materializes, so the hash
+    compare is exact). The distributed work is the grouped daily count;
+    the correlation fold runs on the day spine, which is bounded by the
+    time RANGE (10 years = 3.7k rows), not the data size."""
+    from ..functions.grouped import grouped_count
+
+    ev = _read(sf_dir, "events", columns=["ts"])
+    day_us = 86400 * 10**6
+
+    def to_days(b: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.divide(pc.cast(b["ts"], pa.int64()),
+                                          pa.scalar(day_us, pa.int64()))})
+
+    counts = grouped_count(
+        ev.map_batches(to_days, batch_format="pyarrow",
+                       zero_copy_batch=True), ["day"], "c", 4).to_pandas()
+    days = counts["day"].to_numpy()
+    lo, hi = int(days.min()), int(days.max())
+    c = np.zeros(hi - lo + 1, dtype=object)  # python ints: no overflow
+    c[days - lo] = [int(v) for v in counts["c"]]
+    n = len(c)
+    s = int(sum(c))
+    z = n * c - s
+    den = int((z * z).sum())
+    lags = list(range(1, AUTOCORR_MAX_LAG + 1))
+    nums = [int((z[:-k] * z[k:]).sum()) if k < n else 0 for k in lags]
+    if max([den] + [abs(v) for v in nums]) >= 1 << 62:
+        raise OverflowError("autocorr_daily: rescale counts")
+    return pa.table({"lag": pa.array(lags, pa.int64()),
+                     "num": pa.array(nums, pa.int64()),
+                     "den": pa.array([den] * len(lags), pa.int64())})
+
+
+SURVIVAL_CENSOR_DAYS = 2
+
+
+def survival_table(sf_dir: str) -> pa.Table:
+    """Kaplan-Meier risk table over user activity lifetimes (duration =
+    last active day − first active day; users still active within
+    SURVIVAL_CENSOR_DAYS of the corpus end are right-censored). Output per
+    distinct duration: (duration, n_risk, n_death, n_censored) — all exact
+    integers, the standard survival-analysis input (Kaplan & Meier 1958).
+
+    Per-user extents aggregate distributed (user table can be billions of
+    rows); the duration histogram is bounded by the day RANGE, so the
+    reverse-cumulative n_risk folds on the driver."""
+    from ..functions.grouped import sorted_aggregate
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+    day_us = 86400 * 10**6
+
+    def to_days(b: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(b["ts"], pa.int64()),
+                      pa.scalar(day_us, pa.int64()))
+        return pa.table({"user_id": b["user_id"], "f": d, "l": d})
+
+    users = sorted_aggregate(
+        ev.map_batches(to_days, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id"], [("f", "min"), ("l", "max")],
+        ["user_id", "f", "l"], 4)
+
+    # global max day: one int per block to the driver
+    def mx(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema([("m", pa.int64())]).empty_table()
+        return pa.table({"m": [pc.max(b["l"]).as_py()]})
+
+    users = users.materialize()
+    gmax = int(pc.max(pa.concat_tables(ray.get(
+        users.map_batches(mx, batch_format="pyarrow")
+        .to_arrow_refs()))["m"]).as_py())
+
+    def to_hist(b: pa.Table) -> pa.Table:
+        f = b["f"].to_numpy(zero_copy_only=False)
+        ll = b["l"].to_numpy(zero_copy_only=False)
+        cens = (ll >= gmax - SURVIVAL_CENSOR_DAYS).astype(np.int64)
+        return pa.table({"duration": pa.array(ll - f, pa.int64()),
+                         "nd": pa.array(1 - cens), "nc": pa.array(cens)})
+
+    hist = sorted_aggregate(
+        users.map_batches(to_hist, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["duration"], [("nd", "sum"), ("nc", "sum")],
+        ["duration", "nd", "nc"], 1).to_pandas().sort_values("duration")
+
+    tot = (hist["nd"] + hist["nc"]).to_numpy()
+    n_risk = tot[::-1].cumsum()[::-1]
+    return pa.table({
+        "duration": pa.array(hist["duration"].to_numpy(), pa.int64()),
+        "n_risk": pa.array(n_risk, pa.int64()),
+        "n_death": pa.array(hist["nd"].to_numpy(), pa.int64()),
+        "n_censored": pa.array(hist["nc"].to_numpy(), pa.int64())})

@@ -4956,6 +4956,98 @@ def _q_search_phrase(sf_dir: str):
     return df
 
 
+def _q_rel_gaps_islands(sf_dir: str):
+    """Gaps-and-islands (consecutive-run detection) over the 'F'-status
+    orderkey sequence — key − global_rank is constant per run; rank from
+    the distributed zipWithIndex, runs aggregated with sorted_aggregate
+    (relational.gaps_islands_orderkeys)."""
+    from .pipelines.relational import gaps_islands_orderkeys
+    return gaps_islands_orderkeys(sf_dir)
+
+
+def _q_events_autocorr(sf_dir: str):
+    """Daily-count autocorrelation at lags 1..7 as exact integer
+    (num, den) pairs — N²-scaled centering means no float ever forms
+    (relational.autocorr_daily)."""
+    from .pipelines.relational import autocorr_daily
+    return autocorr_daily(sf_dir)
+
+
+def _q_events_survival(sf_dir: str):
+    """Kaplan-Meier risk table over user activity lifetimes with
+    right-censoring at the corpus end (relational.survival_table)."""
+    from .pipelines.relational import survival_table
+    return survival_table(sf_dir)
+
+
+def _q_rec_assoc_rules(sf_dir: str):
+    """Association rules (Agrawal & Srikant 1994) over per-order brand
+    baskets: directed rules antecedent→consequent with scale-relative
+    support (100·n_both >= n_orders). All metrics exact integers
+    (confidence = n_both/n_ant, lift = n_both·n_orders/(n_ant·n_cons) are
+    derivable ratios — no float ordering anywhere). Reuses the
+    co-occurrence machinery: broadcast brand probe, ONE grouped distinct,
+    in-group pair expansion; the per-brand count table is
+    vocabulary-bounded, so it broadcasts back onto the pair frame."""
+    from .functions.grouped import grouped_count, pairs_within_groups
+    from .functions.joins import probe_sorted
+    part = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand"]).to_pandas()
+    bid = part["p_brand"].str.slice(6).astype("int64").to_numpy()
+    order = np.argsort(part["p_partkey"].to_numpy())
+    ref = ray.put((part["p_partkey"].to_numpy()[order], bid[order]))
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey"])
+
+    def to_brand(b: pa.Table) -> pa.Table:
+        keys, vals = ray.get(ref)
+        bb = probe_sorted(keys, vals,
+                          b["l_partkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "b": pa.array(bb, pa.int64())})
+
+    ob = grouped_count(li.map_batches(to_brand, batch_format="pyarrow"),
+                       ["l_orderkey", "b"], "nn", 8).materialize()
+    # brand supports (vocabulary-bounded) + total basket count
+    per_brand = grouped_count(ob, ["b"], "n_ant", 1).to_pandas()
+    n_orders = int(grouped_count(ob, ["l_orderkey"], "x", 8).count())
+    sup = dict(zip(per_brand["b"].astype(int),
+                   per_brand["n_ant"].astype(int)))
+    pairs = pairs_within_groups(ob, ["l_orderkey"], "b", "n_both",
+                                num_partitions=8)
+    sup_ref = ray.put(sup)
+    i64 = pa.int64()
+    out_schema = pa.schema([
+        ("antecedent", i64), ("consequent", i64), ("n_both", i64),
+        ("n_ant", i64), ("n_cons", i64), ("n_orders", i64)])
+
+    def rules(b: pa.Table) -> pa.Table:
+        s = ray.get(sup_ref)
+        a = b["doc_a"].to_numpy(zero_copy_only=False)
+        c = b["doc_b"].to_numpy(zero_copy_only=False)
+        nb = b["n_both"].to_numpy(zero_copy_only=False)
+        keep = nb * 100 >= n_orders
+        a, c, nb = a[keep], c[keep], nb[keep]
+        na = np.array([s[int(v)] for v in a], np.int64)
+        nc = np.array([s[int(v)] for v in c], np.int64)
+        # emit both rule directions from each unordered pair
+        return pa.table({
+            "antecedent": pa.array(np.concatenate([a, c]), i64),
+            "consequent": pa.array(np.concatenate([c, a]), i64),
+            "n_both": pa.array(np.concatenate([nb, nb]), i64),
+            "n_ant": pa.array(np.concatenate([na, nc]), i64),
+            "n_cons": pa.array(np.concatenate([nc, na]), i64),
+            "n_orders": pa.array(
+                np.full(2 * len(a), n_orders, np.int64), i64)},
+            schema=out_schema)
+
+    return pairs.map_batches(rules, batch_format="pyarrow") \
+        .sort(["antecedent", "consequent"])
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -5225,6 +5317,10 @@ def queries() -> dict[str, Callable]:
         "rec_item_cooccur": _q_rec_item_cooccur,
         "ml_knn_classify": _q_ml_knn,
         "search_phrase": _q_search_phrase,
+        "rel_gaps_islands": _q_rel_gaps_islands,
+        "events_autocorr": _q_events_autocorr,
+        "events_survival_table": _q_events_survival,
+        "rec_assoc_rules": _q_rec_assoc_rules,
     }
 
 
@@ -8004,4 +8100,71 @@ ORDER BY doc_a, doc_b"""
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
                CAST(min(i) AS BIGINT) AS first_pos
         FROM m GROUP BY 1 ORDER BY 1"""
+    out["rel_gaps_islands"] = """
+        WITH o AS (SELECT DISTINCT o_orderkey AS k FROM orders
+                   WHERE o_orderstatus = 'F'),
+        i AS (SELECT k, k - row_number() OVER (ORDER BY k) AS isl FROM o)
+        SELECT min(k) AS island_start, max(k) AS island_end,
+               CAST(count(*) AS BIGINT) AS island_len
+        FROM i GROUP BY isl ORDER BY island_start"""
+    out["events_autocorr"] = """
+        WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                          count(*) AS c
+                   FROM events GROUP BY 1),
+        sp AS (SELECT t.day, coalesce(d.c, 0) AS c
+               FROM (SELECT unnest(generate_series(
+                       (SELECT min(day) FROM d),
+                       (SELECT max(day) FROM d))) AS day) t
+               LEFT JOIN d ON d.day = t.day),
+        s AS (SELECT count(*) AS n, sum(c) AS tot FROM sp),
+        z AS (SELECT day, (SELECT n FROM s) * c - (SELECT tot FROM s)
+                     AS z FROM sp),
+        dn AS (SELECT sum(z * z) AS den FROM z)
+        SELECT ks.k AS lag,
+               CAST(coalesce(sum(a.z * b.z), 0) AS BIGINT) AS num,
+               (SELECT CAST(den AS BIGINT) FROM dn) AS den
+        FROM (SELECT unnest(generate_series(1, 7)) AS k) ks
+        CROSS JOIN z a JOIN z b ON b.day = a.day + ks.k
+        GROUP BY ks.k ORDER BY lag"""
+    out["events_survival_table"] = """
+        WITH u AS (SELECT user_id,
+                          min(epoch_us(ts) // 86400000000) AS f,
+                          max(epoch_us(ts) // 86400000000) AS l
+                   FROM events GROUP BY 1),
+        g AS (SELECT max(l) AS gmax FROM u),
+        d AS (SELECT l - f AS duration,
+                     CASE WHEN l >= (SELECT gmax FROM g) - 2
+                          THEN 1 ELSE 0 END AS cens
+              FROM u),
+        h AS (SELECT duration, sum(1 - cens) AS nd, sum(cens) AS nc
+              FROM d GROUP BY 1)
+        SELECT duration,
+               CAST(sum(nd + nc) OVER (ORDER BY duration DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS n_risk,
+               CAST(nd AS BIGINT) AS n_death,
+               CAST(nc AS BIGINT) AS n_censored
+        FROM h ORDER BY duration"""
+    out["rec_assoc_rules"] = """
+        WITH ob AS (SELECT DISTINCT l.l_orderkey,
+                           CAST(substr(p.p_brand, 7) AS BIGINT) AS b
+                    FROM lineitem l
+                    JOIN part p ON p.p_partkey = l.l_partkey),
+        no AS (SELECT count(DISTINCT l_orderkey) AS n FROM ob),
+        sup AS (SELECT b, count(*) AS n_b FROM ob GROUP BY 1),
+        pr AS (SELECT a.b AS antecedent, c.b AS consequent,
+                      count(*) AS n_both
+               FROM ob a JOIN ob c
+                 ON a.l_orderkey = c.l_orderkey AND a.b <> c.b
+               GROUP BY 1, 2)
+        SELECT pr.antecedent, pr.consequent,
+               CAST(pr.n_both AS BIGINT) AS n_both,
+               CAST(sa.n_b AS BIGINT) AS n_ant,
+               CAST(sc.n_b AS BIGINT) AS n_cons,
+               (SELECT CAST(n AS BIGINT) FROM no) AS n_orders
+        FROM pr
+        JOIN sup sa ON sa.b = pr.antecedent
+        JOIN sup sc ON sc.b = pr.consequent
+        WHERE pr.n_both * 100 >= (SELECT n FROM no)
+        ORDER BY antecedent, consequent"""
     return out
