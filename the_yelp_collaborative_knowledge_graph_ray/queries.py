@@ -5048,6 +5048,183 @@ def _q_rec_assoc_rules(sf_dir: str):
         .sort(["antecedent", "consequent"])
 
 
+def _q_privacy_t_closeness(sf_dir: str):
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007 — the
+    successor to l-diversity): per quasi-identifier class, the total
+    variation distance between the class's sensitive-attribute
+    distribution and the GLOBAL one, as an exact integer fraction
+
+        tvd = tvd_num / tvd_den,
+        tvd_num = Σ_s |n_gs·N − N_s·n_g|,  tvd_den = 2·n_g·N
+
+    (absent sensitive values contribute N_s·n_g — the full sens spine is
+    enumerated). The distributed pass is the (QI, sens) grouped count;
+    the TVD assembly runs on the vocabulary-bounded cell frame
+    (types × 168 hours × 8 cohorts)."""
+    from .functions.grouped import grouped_count
+    import pandas as pd
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "ts", "user_id"])
+
+    def qi(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "dow": pc.cast(pc.add(pc.day_of_week(b["ts"]), 1), pa.int64()),
+            "hod": pc.cast(pc.hour(b["ts"]), pa.int64()),
+            "sens": pc.bit_wise_and(b["user_id"], 7)})
+
+    cells = grouped_count(ev.map_batches(qi, batch_format="pyarrow"),
+                          ["event_type", "dow", "hod", "sens"], "n", 8) \
+        .to_pandas()
+    N = int(cells["n"].sum())
+    ns = cells.groupby("sens")["n"].sum()  # global sens counts
+    piv = cells.pivot_table(index=["event_type", "dow", "hod"],
+                            columns="sens", values="n", fill_value=0,
+                            aggfunc="sum")
+    piv = piv.reindex(columns=ns.index, fill_value=0)
+    ngs = piv.to_numpy(dtype=np.int64)
+    ng = ngs.sum(axis=1)
+    if float(N) * float(ng.max(initial=0)) >= float(1 << 62):
+        raise OverflowError("t_closeness: rescale counts")
+    num = np.abs(ngs * N - ns.to_numpy()[None, :] * ng[:, None]) \
+        .sum(axis=1)
+    idx = piv.index.to_frame(index=False)
+    return pd.DataFrame({
+        "event_type": idx["event_type"],
+        "dow": idx["dow"].astype("int64"),
+        "hod": idx["hod"].astype("int64"),
+        "n_members": pd.Series(ng, dtype="int64"),
+        "tvd_num": pd.Series(num, dtype="int64"),
+        "tvd_den": pd.Series(2 * ng * N, dtype="int64")}) \
+        .sort_values(["event_type", "dow", "hod"]).reset_index(drop=True)
+
+
+def _q_ml_ols_two_features(sf_dir: str):
+    """Two-feature OLS with intercept (price ~ quantity + discount) via
+    the normal equations, solved exactly: one distributed moment pass
+    (9 int64 partial sums per block, ONE row each to the driver), then
+    Cramer's rule in Python big ints. Coefficients are emitted as
+    UNREDUCED integer (num, den) pairs rendered as strings — they exceed
+    int64 but match DuckDB HUGEINT arithmetic digit for digit, so the
+    hash compare stays exact with zero float anywhere."""
+    import pandas as pd
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_quantity", "l_discount", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        x1 = pc.cast(pc.floor(b["l_quantity"]), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        x2 = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        y = pc.cast(pc.floor(b["l_extendedprice"]), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        vals = [len(x1), x1.sum(), x2.sum(), y.sum(),
+                (x1 * x1).sum(), (x1 * x2).sum(), (x2 * x2).sum(),
+                (x1 * y).sum(), (x2 * y).sum()]
+        names = ["n", "s1", "s2", "sy", "s11", "s12", "s22", "s1y",
+                 "s2y"]
+        return pa.table({k: pa.array([int(v)], pa.int64())
+                         for k, v in zip(names, vals)})
+
+    parts = pa.concat_tables(ray.get(
+        li.map_batches(partial, batch_format="pyarrow")
+          .to_arrow_refs())).to_pandas()
+    n, s1, s2, sy, s11, s12, s22, s1y, s2y = \
+        (int(parts[c].sum()) for c in parts.columns)
+
+    def det3(m):
+        return (m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+                - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+                + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0]))
+
+    A = [[n, s1, s2], [s1, s11, s12], [s2, s12, s22]]
+    bv = [sy, s1y, s2y]
+    den = det3(A)
+    nums = []
+    for j in range(3):
+        M = [[bv[i] if k == j else A[i][k] for k in range(3)]
+             for i in range(3)]
+        nums.append(det3(M))
+    return pd.DataFrame({
+        "coef": ["intercept", "x1_quantity", "x2_discount_pct"],
+        "num": [str(v) for v in nums],
+        "den": [str(den)] * 3})
+
+
+BOOL_AND1, BOOL_AND2, BOOL_NOT = "hash", "data", "slow"
+
+
+def _q_search_boolean(sf_dir: str):
+    """Boolean retrieval (AND / AND-NOT) over exact token sets — the
+    inverted-index set-algebra primitive, evaluated as ONE streaming
+    scan: flat token masks per required/forbidden word, per-doc
+    any-match via bincount over the split offsets; no postings
+    materialized, no shuffle. Output (doc_id, n_tokens) of docs
+    containing both AND terms and not the NOT term."""
+    docs = _docs(sf_dir)
+    i64 = pa.int64()
+    out_schema = pa.schema([("doc_id", i64), ("n_tokens", i64)])
+
+    def f(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        toks = pc.split_pattern(pc.utf8_lower(b["text"]), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        counts = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        doc_of = np.repeat(np.arange(len(counts)), counts)
+        flat = toks.flatten()
+
+        def has(word):
+            m = pc.equal(flat, word).to_numpy(zero_copy_only=False)
+            return np.bincount(doc_of[m], minlength=b.num_rows) > 0
+
+        keep = has(BOOL_AND1) & has(BOOL_AND2) & ~has(BOOL_NOT)
+        ids = pc.cast(b["doc_id"], i64).to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(ids[keep]),
+                         "n_tokens": pa.array(counts[keep])},
+                        schema=out_schema)
+
+    out = docs.map_batches(f, batch_format="pyarrow").sort("doc_id")
+    df = out.to_pandas()
+    if df.empty:
+        import pandas as pd
+        df = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                           "n_tokens": pd.Series(dtype="int64")})
+    return df
+
+
+def _q_events_rolling_median(sf_dir: str):
+    """Trailing 7-day rolling median of the zero-filled daily event
+    count — robust smoothing; the LOWER median (sorted[(k−1)//2]) keeps
+    every value an exact integer, matching DuckDB's windowed
+    quantile_disc. The distributed pass is the grouped daily count; the
+    rolling scan runs on the day spine (bounded by the time range)."""
+    from .functions.grouped import grouped_count
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts"])
+    day_us = 86400 * 10**6
+
+    def to_days(b: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.divide(pc.cast(b["ts"], pa.int64()),
+                                          pa.scalar(day_us, pa.int64()))})
+
+    counts = grouped_count(
+        ev.map_batches(to_days, batch_format="pyarrow",
+                       zero_copy_batch=True), ["day"], "c", 4).to_pandas()
+    days = counts["day"].to_numpy()
+    lo, hi = int(days.min()), int(days.max())
+    c = np.zeros(hi - lo + 1, dtype=np.int64)
+    c[days - lo] = counts["c"].to_numpy()
+    med = np.empty(len(c), dtype=np.int64)
+    for i in range(len(c)):
+        w = np.sort(c[max(0, i - 6):i + 1])
+        med[i] = w[(len(w) - 1) // 2]
+    return pa.table({"day": pa.array(np.arange(lo, hi + 1), pa.int64()),
+                     "c": pa.array(c), "med7": pa.array(med)})
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -5321,6 +5498,10 @@ def queries() -> dict[str, Callable]:
         "events_autocorr": _q_events_autocorr,
         "events_survival_table": _q_events_survival,
         "rec_assoc_rules": _q_rec_assoc_rules,
+        "privacy_t_closeness": _q_privacy_t_closeness,
+        "ml_ols_two_features": _q_ml_ols_two_features,
+        "search_boolean": _q_search_boolean,
+        "events_rolling_median": _q_events_rolling_median,
     }
 
 
@@ -8167,4 +8348,84 @@ ORDER BY doc_a, doc_b"""
         JOIN sup sc ON sc.b = pr.consequent
         WHERE pr.n_both * 100 >= (SELECT n FROM no)
         ORDER BY antecedent, consequent"""
+    out["privacy_t_closeness"] = """
+        WITH cell AS (SELECT event_type,
+                             CAST(isodow(ts) AS BIGINT) AS dow,
+                             CAST(hour(ts) AS BIGINT) AS hod,
+                             user_id % 8 AS sens, count(*) AS n
+                      FROM events GROUP BY 1, 2, 3, 4),
+        g AS (SELECT event_type, dow, hod, sum(n) AS ng
+              FROM cell GROUP BY 1, 2, 3),
+        sg AS (SELECT sens, sum(n) AS ns FROM cell GROUP BY 1),
+        tot AS (SELECT sum(n) AS nn FROM cell),
+        sp AS (SELECT g.event_type, g.dow, g.hod, g.ng, s.sens, s.ns,
+                      coalesce(c.n, 0) AS ngs
+               FROM g CROSS JOIN sg s
+               LEFT JOIN cell c
+                 ON c.event_type = g.event_type AND c.dow = g.dow
+                AND c.hod = g.hod AND c.sens = s.sens)
+        SELECT event_type, dow, hod,
+               CAST(ng AS BIGINT) AS n_members,
+               CAST(sum(abs(ngs * (SELECT nn FROM tot) - ns * ng))
+                    AS BIGINT) AS tvd_num,
+               CAST(2 * ng * (SELECT nn FROM tot) AS BIGINT) AS tvd_den
+        FROM sp GROUP BY event_type, dow, hod, ng
+        ORDER BY 1, 2, 3"""
+    out["ml_ols_two_features"] = """
+        WITH r AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS x1,
+                          CAST(round(l_discount * 100) AS BIGINT) AS x2,
+                          CAST(floor(l_extendedprice) AS BIGINT) AS y
+                   FROM lineitem),
+        m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(x1) AS HUGEINT) AS s1,
+                     CAST(sum(x2) AS HUGEINT) AS s2,
+                     CAST(sum(y) AS HUGEINT) AS sy,
+                     CAST(sum(x1 * x1) AS HUGEINT) AS s11,
+                     CAST(sum(x1 * x2) AS HUGEINT) AS s12,
+                     CAST(sum(x2 * x2) AS HUGEINT) AS s22,
+                     CAST(sum(x1 * y) AS HUGEINT) AS s1y,
+                     CAST(sum(x2 * y) AS HUGEINT) AS s2y
+              FROM r),
+        d AS (SELECT
+          n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s12 - s11 * s2) AS den,
+          sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+            + s2 * (s1y * s12 - s11 * s2y) AS b0,
+          n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s2y - s1y * s2) AS b1,
+          n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+            + sy * (s1 * s12 - s11 * s2) AS b2
+          FROM m)
+        SELECT 'intercept' AS coef, CAST(b0 AS VARCHAR) AS num,
+               CAST(den AS VARCHAR) AS den FROM d
+        UNION ALL
+        SELECT 'x1_quantity', CAST(b1 AS VARCHAR), CAST(den AS VARCHAR)
+        FROM d
+        UNION ALL
+        SELECT 'x2_discount_pct', CAST(b2 AS VARCHAR),
+               CAST(den AS VARCHAR) FROM d
+        ORDER BY coef"""
+    out["search_boolean"] = f"""
+        WITH sp AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                    FROM documents)
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens
+        FROM sp
+        WHERE list_contains(w, '{BOOL_AND1}')
+          AND list_contains(w, '{BOOL_AND2}')
+          AND NOT list_contains(w, '{BOOL_NOT}')
+        ORDER BY doc_id"""
+    out["events_rolling_median"] = """
+        WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                          count(*) AS c
+                   FROM events GROUP BY 1),
+        sp AS (SELECT t.day, coalesce(d.c, 0) AS c
+               FROM (SELECT unnest(generate_series(
+                       (SELECT min(day) FROM d),
+                       (SELECT max(day) FROM d))) AS day) t
+               LEFT JOIN d ON d.day = t.day)
+        SELECT day, CAST(c AS BIGINT) AS c,
+               CAST(quantile_disc(c, 0.5) OVER (ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS med7
+        FROM sp ORDER BY day"""
     return out
