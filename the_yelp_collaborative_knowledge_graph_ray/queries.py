@@ -2565,6 +2565,33 @@ def _rp_sql() -> str:
             FROM e JOIN s USING (i) GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
+def _lsh_bucket_sql() -> str:
+    """Oracle twin of ann_lsh_buckets: the ±1 hyperplane matrix rides in
+    as a VALUES table (same splitmix64 constants as the Ray side),
+    projections in exact fixed-point integers, bucket = 8 sign bits."""
+    from .stages.similarity import rp_sign_matrix
+    sm = rp_sign_matrix(64, 8)
+    vals = ", ".join(f"({i + 1}, {j}, {int(sm[i, j])})"
+                     for i in range(64) for j in range(8))
+    return f"""
+            WITH s(i, j, sgn) AS (VALUES {vals}),
+            e AS (SELECT vec_id, g.i AS i,
+                         CAST(floor(CAST(embedding[g.i] AS DOUBLE)
+                                    * 1000000) AS BIGINT) AS e_c
+                  FROM embeddings, generate_series(1, 64) AS g(i)),
+            p AS (SELECT vec_id, j, sum(sgn * e_c) AS proj
+                  FROM e JOIN s USING (i) GROUP BY 1, 2),
+            bkt AS (SELECT vec_id,
+                           sum(CASE WHEN proj >= 0
+                               THEN CAST(1 AS BIGINT) << j
+                               ELSE 0 END) AS bucket
+                    FROM p GROUP BY 1)
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_vecs,
+                   CAST(min(vec_id) AS BIGINT) AS min_vec_id
+            FROM bkt GROUP BY 1 ORDER BY 1"""
+
+
 def _tool_transition_edges(sf_dir: str) -> ray.data.Dataset:
     """Distinct (src, dst) edges of the tool-transition digraph —
     consecutive tool uses within a conversation; per-conversation LEAD
@@ -5225,6 +5252,182 @@ def _q_events_rolling_median(sf_dir: str):
                      "c": pa.array(c), "med7": pa.array(med)})
 
 
+def _q_emb_int8_quantize(sf_dir: str):
+    """Per-dimension scalar quantization to 8-bit codes (the FAISS SQ8 /
+    vector-DB storage primitive): code = (e_c − mn_d)·255 // (mx_d − mn_d)
+    over fixed-point components e_c = floor(x·1e6) — ALL integer
+    arithmetic, so block order, summation order and DuckDB `//`
+    truncation (nonnegative here) cannot diverge. Pass 1 folds per-block
+    per-dim min/max (one 2·d-int row per block to the driver); pass 2 is
+    a stateless vectorized map. Long-form output (vec_id, dim 1-based,
+    q) for the relational oracle."""
+    emb = _emb(sf_dir)
+    i64 = pa.int64()
+
+    def mm(b: pa.Table) -> pa.Table:
+        e = b["embedding"].combine_chunks()
+        d = len(e[0])
+        m = np.floor(e.flatten().to_numpy(zero_copy_only=False)
+                     .astype(np.float64) * 1e6).astype(np.int64) \
+            .reshape(b.num_rows, d)
+        return pa.table({"dim": pa.array(np.arange(1, d + 1), i64),
+                         "mn": pa.array(m.min(axis=0), i64),
+                         "mx": pa.array(m.max(axis=0), i64)})
+
+    parts = pa.concat_tables(ray.get(
+        emb.map_batches(mm, batch_format="pyarrow").to_arrow_refs())) \
+        .to_pandas()
+    g = parts.groupby("dim").agg(mn=("mn", "min"), mx=("mx", "max"))
+    mn = g["mn"].to_numpy()
+    mx = g["mx"].to_numpy()
+    rng = np.maximum(mx - mn, 1)  # mx==mn → q = 0 either way
+    out_schema = pa.schema([("vec_id", i64), ("dim", i64), ("q", i64)])
+
+    def quant(b: pa.Table) -> pa.Table:
+        e = b["embedding"].combine_chunks()
+        d = len(e[0])
+        m = np.floor(e.flatten().to_numpy(zero_copy_only=False)
+                     .astype(np.float64) * 1e6).astype(np.int64) \
+            .reshape(b.num_rows, d)
+        q = (m - mn[None, :]) * 255 // rng[None, :]
+        vid = b["vec_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(vid, d), i64),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                    b.num_rows)),
+            "q": pa.array(q.ravel(), i64)}, schema=out_schema)
+
+    return emb.map_batches(quant, batch_format="pyarrow",
+                           zero_copy_batch=True).sort(["vec_id", "dim"])
+
+
+def _q_ann_lsh_buckets(sf_dir: str):
+    """Random-hyperplane LSH bucketing (Charikar 2002 — the SimHash-for-
+    embeddings ANN index): bucket = 8 sign bits of the EXACT-INTEGER
+    Rademacher projection (similarity.rp_sign_matrix — the same
+    fixed-point floor(x·1e6) encoding as emb_random_projection, so sign
+    decisions cannot flip with summation order). One stateless pass +
+    one grouped aggregate. Output per bucket: (bucket, n_vecs,
+    min_vec_id) — the index manifest an ANN reader would load."""
+    from .functions.grouped import sorted_aggregate
+    from .stages.similarity import rp_sign_matrix
+    emb = _emb(sf_dir)
+    i64 = pa.int64()
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        e = b["embedding"].combine_chunks()
+        d = len(e[0])
+        m = np.floor(e.flatten().to_numpy(zero_copy_only=False)
+                     .astype(np.float64) * 1e6).astype(np.int64) \
+            .reshape(b.num_rows, d)
+        proj = m @ rp_sign_matrix(d, 8)
+        bucket = ((proj >= 0).astype(np.int64)
+                  << np.arange(8, dtype=np.int64)[None, :]).sum(axis=1)
+        vid = pc.cast(b["vec_id"], i64).to_numpy(zero_copy_only=False)
+        return pa.table({"bucket": pa.array(bucket, i64),
+                         "n_vecs": pa.array(np.ones(len(vid), np.int64)),
+                         "min_vec_id": pa.array(vid, i64)})
+
+    return sorted_aggregate(
+        emb.map_batches(bucketize, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        ["bucket"], [("n_vecs", "sum"), ("min_vec_id", "min")],
+        ["bucket", "n_vecs", "min_vec_id"], 4)
+
+
+def _q_multimodal_hash_dedup(sf_dir: str):
+    """Exact dedup over BINARY media payloads — content-hash dedup on an
+    opaque blob column (the multimodal analog of dedup_exact): md5 of
+    the payload bytes, keep-first per digest, digests-only shuffle. The
+    oracle hashes the generating text (payload == UTF-8 bytes of it, so
+    the digests coincide — documented equivalence)."""
+    from .functions.grouped import sorted_aggregate
+    from .stages.multimodal import synthesize_media
+    import hashlib as _hl
+    media = synthesize_media(_docs(sf_dir))
+
+    def digest(b: pa.Table) -> pa.Table:
+        hs = [_hl.md5(p).hexdigest()
+              for p in b["payload"].to_pylist()]
+        return pa.table({"payload_hash": pa.array(hs, pa.string()),
+                         "media_id": b["media_id"]})
+
+    hashed = media.map_batches(digest, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return sorted_aggregate(hashed, ["payload_hash"],
+                            [("media_id", "count"), ("media_id", "min")],
+                            ["payload_hash", "n_dups", "keep_media_id"],
+                            4)
+
+
+def _q_kg_katz(sf_dir: str):
+    """Truncated Katz centrality (Katz 1953) over the deduped tool-
+    transition digraph: in-path counts p1/p2/p3 (walks of length 1..3
+    ending at each node) via two propagation rounds (attach + grouped
+    sum — the HITS plumbing with walk-count semantics), combined as
+    katz_fp = 64·p1 + 8·p2 + p3 (β = 1/8 in 8³ fixed point, exact
+    integers end to end)."""
+    from .functions.grouped import grouped_count, sorted_aggregate
+    from .functions.joins import attach_column
+
+    edges = grouped_count(_tool_transition_edges(sf_dir),
+                          ["src", "dst"], "__n", 4) \
+        .map_batches(lambda b: b.select(["src", "dst"]),
+                     batch_format="pyarrow").materialize()
+    p1 = grouped_count(edges, ["dst"], "n", 4) \
+        .map_batches(lambda b: pa.table({"node": b["dst"],
+                                         "v": b["n"]}),
+                     batch_format="pyarrow").materialize()
+
+    def step(prev):
+        """p_{k+1}(v) = Σ_{u→v} p_k(u): attach p_k at the SOURCE, sum
+        into the destination."""
+        w = attach_column(
+            edges, prev, [("src", pa.string()), ("dst", pa.string())],
+            "src", "node", "v", "pk", pa.int64(), 4,
+            key_type=pa.string())
+        return sorted_aggregate(
+            w.map_batches(
+                lambda b: pa.table({"node": b["dst"], "p": b["pk"]}),
+                batch_format="pyarrow"),
+            ["node"], [("p", "sum")], ["node", "v"], 4).materialize()
+
+    p2 = step(p1)
+    p3 = step(p2)
+
+    def tag(col):
+        def f(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            z = pa.array(np.zeros(n, np.int64))
+            cols = {"node": b["node"], "p1": z, "p2": z, "p3": z}
+            cols[col] = pc.cast(b["v"], pa.int64())
+            return pa.table(cols)
+        return f
+
+    srcs = grouped_count(edges, ["src"], "__n", 4).map_batches(
+        lambda b: pa.table({
+            "node": b["src"],
+            "p1": pa.array(np.zeros(b.num_rows, np.int64)),
+            "p2": pa.array(np.zeros(b.num_rows, np.int64)),
+            "p3": pa.array(np.zeros(b.num_rows, np.int64))}),
+        batch_format="pyarrow")
+    u = p1.map_batches(tag("p1"), batch_format="pyarrow") \
+        .union(p2.map_batches(tag("p2"), batch_format="pyarrow"),
+               p3.map_batches(tag("p3"), batch_format="pyarrow"),
+               srcs)
+    agg = sorted_aggregate(
+        u, ["node"], [("p1", "sum"), ("p2", "sum"), ("p3", "sum")],
+        ["node", "p1", "p2", "p3"], 4)
+
+    def fp(b: pa.Table) -> pa.Table:
+        return b.append_column("katz_fp", pc.add(
+            pc.add(pc.multiply(b["p1"], pa.scalar(64, pa.int64())),
+                   pc.multiply(b["p2"], pa.scalar(8, pa.int64()))),
+            b["p3"]))
+
+    return agg.map_batches(fp, batch_format="pyarrow").sort("node")
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -5502,6 +5705,10 @@ def queries() -> dict[str, Callable]:
         "ml_ols_two_features": _q_ml_ols_two_features,
         "search_boolean": _q_search_boolean,
         "events_rolling_median": _q_events_rolling_median,
+        "emb_int8_quantize": _q_emb_int8_quantize,
+        "ann_lsh_buckets": _q_ann_lsh_buckets,
+        "multimodal_hash_dedup": _q_multimodal_hash_dedup,
+        "kg_katz_paths": _q_kg_katz,
     }
 
 
@@ -8428,4 +8635,51 @@ ORDER BY doc_a, doc_b"""
                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
                  AS BIGINT) AS med7
         FROM sp ORDER BY day"""
+    out["emb_int8_quantize"] = """
+        WITH e AS (SELECT vec_id, CAST(g.i AS BIGINT) AS dim,
+                          CAST(floor(CAST(embedding[g.i] AS DOUBLE)
+                                     * 1000000) AS BIGINT) AS ec
+                   FROM embeddings, generate_series(1, 64) AS g(i)),
+        mm AS (SELECT dim, min(ec) AS mn, max(ec) AS mx
+               FROM e GROUP BY 1)
+        SELECT e.vec_id, e.dim,
+               CAST(CASE WHEN mm.mx = mm.mn THEN 0
+                    ELSE ((e.ec - mm.mn) * 255) // (mm.mx - mm.mn)
+                    END AS BIGINT) AS q
+        FROM e JOIN mm USING (dim) ORDER BY vec_id, dim"""
+    out["ann_lsh_buckets"] = _lsh_bucket_sql()
+    out["multimodal_hash_dedup"] = """
+        SELECT md5(text) AS payload_hash,
+               CAST(count(*) AS BIGINT) AS n_dups,
+               CAST(min(doc_id) AS BIGINT) AS keep_media_id
+        FROM documents GROUP BY 1 ORDER BY 1"""
+    out["kg_katz_paths"] = f"""
+        WITH ts AS (
+          SELECT conv_id, turn_idx, {normalize_sql('tool')} AS tool
+          FROM read_parquet('{fdir}/transcripts.parquet/*.parquet')
+          WHERE {TOOL_OK_SQL}),
+        seq AS (SELECT conv_id, tool,
+                       LEAD(tool) OVER (PARTITION BY conv_id
+                                        ORDER BY turn_idx) AS nxt
+                FROM ts),
+        edges AS (SELECT DISTINCT tool AS src, nxt AS dst
+                  FROM seq WHERE nxt IS NOT NULL AND nxt <> tool),
+        p1 AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS p
+               FROM edges GROUP BY 1),
+        p2 AS (SELECT e.dst AS node, CAST(sum(p1.p) AS BIGINT) AS p
+               FROM edges e JOIN p1 ON p1.node = e.src GROUP BY 1),
+        p3 AS (SELECT e.dst AS node, CAST(sum(p2.p) AS BIGINT) AS p
+               FROM edges e JOIN p2 ON p2.node = e.src GROUP BY 1),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst FROM edges)
+        SELECT n.node,
+               CAST(coalesce(p1.p, 0) AS BIGINT) AS p1,
+               CAST(coalesce(p2.p, 0) AS BIGINT) AS p2,
+               CAST(coalesce(p3.p, 0) AS BIGINT) AS p3,
+               CAST(64 * coalesce(p1.p, 0) + 8 * coalesce(p2.p, 0)
+                    + coalesce(p3.p, 0) AS BIGINT) AS katz_fp
+        FROM nodes n LEFT JOIN p1 ON p1.node = n.node
+        LEFT JOIN p2 ON p2.node = n.node
+        LEFT JOIN p3 ON p3.node = n.node
+        ORDER BY 1"""
     return out
