@@ -5428,6 +5428,208 @@ def _q_kg_katz(sf_dir: str):
     return agg.map_batches(fp, batch_format="pyarrow").sort("node")
 
 
+def _q_events_interarrival(sf_dir: str):
+    """Inter-arrival-time histogram: per-user consecutive event gaps in
+    log2 buckets (bucket = bit_length(gap_s + 1) − 1 — pure integer, the
+    floor-log2 trick shared with text_surprisal). Per-user diffs run in
+    complete sorted user groups (the LAG shape); per-block bucket
+    partials collapse before ONE tiny grouped sum."""
+    from .functions.grouped import group_ids, sorted_aggregate, \
+        sorted_group_apply
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "user_id", "ts"])
+
+    def buckets(b: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("bucket", pa.int64()),
+                                ("n", pa.int64())])
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        gid, _ = group_ids(b, ["user_id"])
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = b["event_id"].to_numpy()
+        order = np.lexsort((eid, ts, gid))
+        ts, ogid = ts[order], gid[order]
+        gap_s = (ts[1:] - ts[:-1]) // 1_000_000
+        same = ogid[1:] == ogid[:-1]
+        g = gap_s[same]
+        # bit_length(g+1) − 1 == floor(log2(g+1)); frexp exponent is
+        # exact for ints < 2^53
+        bk = (np.frexp(g + 1.0)[1] - 1).astype(np.int64)
+        ub, cnt = np.unique(bk, return_counts=True)
+        return pa.table({"bucket": pa.array(ub, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64))},
+                        schema=out_schema)
+
+    partials = sorted_group_apply(ev, ["user_id"], buckets)
+    return sorted_aggregate(partials, ["bucket"], [("n", "sum")],
+                            ["bucket", "n"], 1)
+
+
+def _q_events_ewma(sf_dir: str):
+    """EWMA (α = 1/2) over the zero-filled daily count series. The
+    distributed pass is the grouped daily count; the fold runs on the
+    bounded day spine in the EXACT order the oracle's recursive CTE
+    uses — s_t = (s_{t−1} + c_t) / 2.0, the same IEEE ops in the same
+    sequence, so the doubles are bit-identical (the PSI/float
+    contract)."""
+    from .functions.grouped import grouped_count
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts"])
+    day_us = 86400 * 10**6
+
+    def to_days(b: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.divide(pc.cast(b["ts"], pa.int64()),
+                                          pa.scalar(day_us, pa.int64()))})
+
+    counts = grouped_count(
+        ev.map_batches(to_days, batch_format="pyarrow",
+                       zero_copy_batch=True), ["day"], "c", 4).to_pandas()
+    days = counts["day"].to_numpy()
+    lo, hi = int(days.min()), int(days.max())
+    c = np.zeros(hi - lo + 1, dtype=np.int64)
+    c[days - lo] = counts["c"].to_numpy()
+    ew = np.empty(len(c), dtype=np.float64)
+    s = float(c[0])
+    ew[0] = s
+    for i in range(1, len(c)):
+        s = (s + float(c[i])) / 2.0
+        ew[i] = s
+    return pa.table({"day": pa.array(np.arange(lo, hi + 1), pa.int64()),
+                     "c": pa.array(c), "ewma": pa.array(ew)})
+
+
+def _q_ml_prf(sf_dir: str):
+    """Per-class precision/recall inputs (TP / FP / FN / support) for
+    the langid classifier vs the labeled lang column — the eval-harness
+    op downstream of the confusion matrix, all exact integers (P, R, F1
+    are derivable ratios). Confusion counts aggregate distributed; the
+    per-class assembly runs on the language-vocabulary-bounded frame."""
+    import pandas as pd
+    from .functions.grouped import grouped_count
+    from .functions.joins import attach_column
+    from .stages.textstats import language_id
+    pred = language_id(_docs(sf_dir))
+    labels = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang"])
+    joined = attach_column(
+        pred, labels,
+        [("doc_id", pa.int64()), ("pred_lang", pa.string())],
+        "doc_id", "doc_id", "lang", "true_lang", pa.string(), 4)
+    conf = grouped_count(joined, ["pred_lang", "true_lang"], "n", 1) \
+        .to_pandas()
+    langs = sorted(set(conf["pred_lang"]) | set(conf["true_lang"]))
+    tp = {l: 0 for l in langs}
+    pp = {l: 0 for l in langs}
+    ll = {l: 0 for l in langs}
+    for p, t, n in zip(conf["pred_lang"], conf["true_lang"], conf["n"]):
+        n = int(n)
+        pp[p] += n
+        ll[t] += n
+        if p == t:
+            tp[p] += n
+    return pd.DataFrame({
+        "lang": langs,
+        "n_tp": pd.Series([tp[l] for l in langs], dtype="int64"),
+        "n_fp": pd.Series([pp[l] - tp[l] for l in langs], dtype="int64"),
+        "n_fn": pd.Series([ll[l] - tp[l] for l in langs], dtype="int64"),
+        "support": pd.Series([ll[l] for l in langs], dtype="int64")})
+
+
+def _q_rec_item_cosine(sf_dir: str):
+    """Item-item cosine similarity over customer co-purchase vectors
+    (v_b[c] = orders by customer c containing brand b) — the sparse
+    AᵀA / co-cluster product behind neighborhood recommenders, in EXACT
+    integers: (dot, ‖a‖², ‖b‖²) per brand pair (cosine is a derivable
+    ratio). Plan: distinct (order, brand) → customer attach by the
+    co-group join → per-(customer, brand) order counts → weighted
+    in-group pair products in complete customer blocks (the
+    _pair_index_arrays machinery with a product payload) → ONE tiny
+    grouped sum; norms broadcast back onto the brand-pair frame."""
+    from .functions.grouped import _pair_index_arrays, group_ids, \
+        grouped_count, sorted_aggregate, sorted_group_apply
+    from .functions.joins import attach_column, probe_sorted
+    i64 = pa.int64()
+    part = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand"]).to_pandas()
+    bid = part["p_brand"].str.slice(6).astype("int64").to_numpy()
+    order = np.argsort(part["p_partkey"].to_numpy())
+    ref = ray.put((part["p_partkey"].to_numpy()[order], bid[order]))
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey"])
+
+    def to_brand(b: pa.Table) -> pa.Table:
+        keys, vals = ray.get(ref)
+        bb = probe_sorted(keys, vals,
+                          b["l_partkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "b": pa.array(bb, i64)})
+
+    ob = grouped_count(li.map_batches(to_brand, batch_format="pyarrow"),
+                       ["l_orderkey", "b"], "nn", 8)
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"])
+    oc = attach_column(ob, orders, [("l_orderkey", i64), ("b", i64)],
+                       "l_orderkey", "o_orderkey", "o_custkey", "cust",
+                       i64, 8)
+    v = grouped_count(oc, ["cust", "b"], "v", 8)
+
+    # ‖b‖² partials: brand-vocabulary-bounded
+    def sq(b: pa.Table) -> pa.Table:
+        vv = b["v"].to_numpy(zero_copy_only=False)
+        return pa.table({"b": b["b"], "s2": pa.array(vv * vv, i64)})
+
+    n2 = sorted_aggregate(v.map_batches(sq, batch_format="pyarrow"),
+                          ["b"], [("s2", "sum")], ["b", "s2"], 1) \
+        .to_pandas()
+    n2map = dict(zip(n2["b"].astype(int), n2["s2"].astype(int)))
+
+    pair_schema = pa.schema([("brand_a", i64), ("brand_b", i64),
+                             ("dot", i64)])
+
+    def pair_products(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pair_schema.empty_table()
+        gid, _ = group_ids(b, ["cust"])
+        ids = pc.cast(b["b"], i64)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        ids = ids.to_numpy()
+        sel, first, second = _pair_index_arrays(gid, ids, None, None,
+                                                "cust")
+        if len(first) == 0:
+            return pair_schema.empty_table()
+        w = b["v"].to_numpy(zero_copy_only=False)[sel]
+        d = ids[sel]
+        t = pa.table({"brand_a": pa.array(d[first], i64),
+                      "brand_b": pa.array(d[second], i64),
+                      "dot": pa.array(w[first] * w[second], i64)})
+        return t.group_by(["brand_a", "brand_b"], use_threads=False) \
+            .aggregate([("dot", "sum")]) \
+            .rename_columns(["brand_a", "brand_b", "dot"])
+
+    dots = sorted_aggregate(
+        sorted_group_apply(v, ["cust"], pair_products, 8),
+        ["brand_a", "brand_b"], [("dot", "sum")],
+        ["brand_a", "brand_b", "dot"], 1)
+
+    def attach_norms(b: pa.Table) -> pa.Table:
+        a = b["brand_a"].to_numpy(zero_copy_only=False)
+        c = b["brand_b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "brand_a": b["brand_a"], "brand_b": b["brand_b"],
+            "dot": b["dot"],
+            "na2": pa.array([n2map[int(x)] for x in a], i64),
+            "nb2": pa.array([n2map[int(x)] for x in c], i64)})
+
+    return dots.map_batches(attach_norms, batch_format="pyarrow") \
+        .sort(["brand_a", "brand_b"])
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -5709,6 +5911,10 @@ def queries() -> dict[str, Callable]:
         "ann_lsh_buckets": _q_ann_lsh_buckets,
         "multimodal_hash_dedup": _q_multimodal_hash_dedup,
         "kg_katz_paths": _q_kg_katz,
+        "events_interarrival_hist": _q_events_interarrival,
+        "events_ewma_daily": _q_events_ewma,
+        "ml_prf_metrics": _q_ml_prf,
+        "rec_item_cosine": _q_rec_item_cosine,
     }
 
 
@@ -8682,4 +8888,72 @@ ORDER BY doc_a, doc_b"""
         LEFT JOIN p2 ON p2.node = n.node
         LEFT JOIN p3 ON p3.node = n.node
         ORDER BY 1"""
+    out["events_interarrival_hist"] = """
+        WITH g AS (SELECT (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id))
+                     // 1000000 AS gap_s
+                   FROM events)
+        SELECT CAST(length(bin(gap_s + 1)) - 1 AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM g WHERE gap_s IS NOT NULL
+        GROUP BY 1 ORDER BY 1"""
+    out["events_ewma_daily"] = """
+        WITH RECURSIVE d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                                    count(*) AS c
+                             FROM events GROUP BY 1),
+        sp AS (SELECT t.day, coalesce(d.c, 0) AS c
+               FROM (SELECT unnest(generate_series(
+                       (SELECT min(day) FROM d),
+                       (SELECT max(day) FROM d))) AS day) t
+               LEFT JOIN d ON d.day = t.day),
+        idx AS (SELECT day, c,
+                       row_number() OVER (ORDER BY day) AS rn FROM sp),
+        r(rn, day, c, ewma) AS (
+          SELECT rn, day, c, CAST(c AS DOUBLE) FROM idx WHERE rn = 1
+          UNION ALL
+          SELECT i.rn, i.day, i.c, (r.ewma + i.c) / 2.0
+          FROM r JOIN idx i ON i.rn = r.rn + 1)
+        SELECT day, CAST(c AS BIGINT) AS c, ewma FROM r ORDER BY day"""
+    out["ml_prf_metrics"] = ("""
+        WITH conf AS (
+          SELECT p.pred_lang, d.lang AS true_lang, count(*) AS n
+          FROM (""" + _langid_sql() + """) p
+          JOIN documents d USING (doc_id) GROUP BY 1, 2),
+        cls AS (SELECT pred_lang AS lang FROM conf
+                UNION SELECT true_lang FROM conf),
+        tp AS (SELECT pred_lang AS lang, n FROM conf
+               WHERE pred_lang = true_lang),
+        pp AS (SELECT pred_lang AS lang, sum(n) AS np
+               FROM conf GROUP BY 1),
+        ll AS (SELECT true_lang AS lang, sum(n) AS nl
+               FROM conf GROUP BY 1)
+        SELECT c.lang,
+               CAST(coalesce(tp.n, 0) AS BIGINT) AS n_tp,
+               CAST(coalesce(pp.np, 0) - coalesce(tp.n, 0) AS BIGINT)
+                 AS n_fp,
+               CAST(coalesce(ll.nl, 0) - coalesce(tp.n, 0) AS BIGINT)
+                 AS n_fn,
+               CAST(coalesce(ll.nl, 0) AS BIGINT) AS support
+        FROM cls c LEFT JOIN tp USING (lang)
+        LEFT JOIN pp USING (lang) LEFT JOIN ll USING (lang)
+        ORDER BY lang""")
+    out["rec_item_cosine"] = """
+        WITH ob AS (SELECT DISTINCT l.l_orderkey,
+                           CAST(substr(p.p_brand, 7) AS BIGINT) AS b
+                    FROM lineitem l
+                    JOIN part p ON p.p_partkey = l.l_partkey),
+        oc AS (SELECT o.o_custkey AS cust, ob.b
+               FROM ob JOIN orders o ON o.o_orderkey = ob.l_orderkey),
+        v AS (SELECT cust, b, count(*) AS v FROM oc GROUP BY 1, 2),
+        d AS (SELECT a.b AS brand_a, c.b AS brand_b,
+                     sum(a.v * c.v) AS dot
+              FROM v a JOIN v c ON a.cust = c.cust AND a.b < c.b
+              GROUP BY 1, 2),
+        n2 AS (SELECT b, sum(v * v) AS s2 FROM v GROUP BY 1)
+        SELECT d.brand_a, d.brand_b, CAST(d.dot AS BIGINT) AS dot,
+               CAST(na.s2 AS BIGINT) AS na2,
+               CAST(nb.s2 AS BIGINT) AS nb2
+        FROM d JOIN n2 na ON na.b = d.brand_a
+        JOIN n2 nb ON nb.b = d.brand_b
+        ORDER BY brand_a, brand_b"""
     return out
