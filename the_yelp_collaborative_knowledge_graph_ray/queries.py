@@ -5630,6 +5630,175 @@ def _q_rec_item_cosine(sf_dir: str):
         .sort(["brand_a", "brand_b"])
 
 
+def _q_ml_naive_bayes(sf_dir: str):
+    """Multinomial naive-Bayes TRAINING (the count model — priors and
+    per-class token counts are the whole classifier; scoring is a
+    derivable log-ratio): one flat-token pass, ONE dictionary-sized
+    grouped count by (lang, token), per-class doc counts riding in from
+    a second tiny grouped count. All exact integers."""
+    from .functions.grouped import grouped_count
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"])
+
+    def toks(b: pa.Table) -> pa.Table:
+        lst = pc.split_pattern(pc.utf8_lower(b["text"]), " ")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        counts = pc.list_value_length(lst).to_numpy().astype(np.int64)
+        doc_of = np.repeat(np.arange(len(counts)), counts)
+        lang = b["lang"].to_numpy(zero_copy_only=False)
+        return pa.table({"lang": pa.array(lang[doc_of]),
+                         "token": lst.flatten()})
+
+    tok_counts = grouped_count(
+        docs.map_batches(toks, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["lang", "token"], "n_tok", 4)
+    nd = grouped_count(docs.map_batches(
+        lambda b: b.select(["lang"]), batch_format="pyarrow"),
+        ["lang"], "n_docs", 1).to_pandas()
+    ndmap = dict(zip(nd["lang"], nd["n_docs"].astype(int)))
+
+    def attach(b: pa.Table) -> pa.Table:
+        langs = b["lang"].to_numpy(zero_copy_only=False)
+        return b.append_column("n_docs_lang", pa.array(
+            [ndmap[l] for l in langs], pa.int64()))
+
+    return tok_counts.map_batches(attach, batch_format="pyarrow") \
+        .sort(["lang", "token"])
+
+
+ANN_RANGE_TAU = 0.35
+ANN_RANGE_NQ = 4
+
+
+def _q_ann_range_search(sf_dir: str):
+    """Range search (the ε-ball dual of top-k ANN): every corpus vector
+    with cosine >= τ of each query, exact, ONE streaming scan — the
+    broadcast query matrix scores each batch with a single matmul and
+    rows pass a vectorized threshold; no shuffle, no top-k state.
+    Scores rounded to 6 dp like every similarity op (ties and the
+    boundary resolve identically to the SQL)."""
+    from .stages.similarity import _to_matrix, load_queries
+    emb = _emb(sf_dir)
+    q_ids, q_mat = load_queries(emb, ANN_RANGE_NQ)
+    ref = ray.put((q_ids, q_mat))
+    i64, f64 = pa.int64(), pa.float64()
+    out_schema = pa.schema([("query_id", i64), ("vec_id", i64),
+                            ("cosine", f64)])
+
+    def scan(b: pa.Table) -> pa.Table:
+        qi, qm = ray.get(ref)
+        ids, mat = _to_matrix(b)
+        keep = ~np.isin(ids, qi)
+        ids, mat = ids[keep], mat[keep]
+        if len(ids) == 0:
+            return out_schema.empty_table()
+        s = np.round(qm @ mat.T, 6)
+        hit_q, hit_v = np.nonzero(s >= ANN_RANGE_TAU)
+        return pa.table({
+            "query_id": pa.array(qi[hit_q].astype(np.int64)),
+            "vec_id": pa.array(ids[hit_v].astype(np.int64)),
+            "cosine": pa.array(s[hit_q, hit_v])}, schema=out_schema)
+
+    out = emb.map_batches(scan, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .sort(["query_id", "vec_id"])
+    df = out.to_pandas()
+    if df.empty:
+        import pandas as pd
+        df = pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                           "vec_id": pd.Series(dtype="int64"),
+                           "cosine": pd.Series(dtype="float64")})
+    return df
+
+
+def _q_rel_gini(sf_dir: str):
+    """Gini coefficient of per-brand revenue as an exact integer
+    fraction: with revenues x_1 <= … <= x_n,
+
+        gini = Σ_i (2i − n − 1)·x_i  /  n·Σ x_i
+
+    Revenue folds distributed in exact cents×pct fixed point (the
+    TPC-H Q3 encoding); the Lorenz scan runs on the brand-bounded
+    frame. Value-equal brands commute in the numerator, so the order
+    tie-break is presentation-only."""
+    from .functions.grouped import sorted_aggregate
+    from .functions.joins import probe_sorted
+    import pandas as pd
+    part = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand"]).to_pandas()
+    bid = part["p_brand"].str.slice(6).astype("int64").to_numpy()
+    order = np.argsort(part["p_partkey"].to_numpy())
+    ref = ray.put((part["p_partkey"].to_numpy()[order], bid[order]))
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys, vals = ray.get(ref)
+        brand = probe_sorted(
+            keys, vals, b["l_partkey"].to_numpy(zero_copy_only=False))
+        price_c = pc.cast(pc.round(pc.multiply(
+            b["l_extendedprice"], 100.0)), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        disc = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)),
+                       pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table({"b": pa.array(brand, pa.int64()),
+                      "rev": pa.array(price_c * (100 - disc))})
+        return t.group_by(["b"], use_threads=False) \
+            .aggregate([("rev", "sum")]).rename_columns(["b", "rev"])
+
+    rev = sorted_aggregate(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["b"], [("rev", "sum")], ["b", "rev"], 1).to_pandas() \
+        .sort_values(["rev", "b"]).reset_index(drop=True)
+    x = rev["rev"].to_numpy()
+    n = len(x)
+    i = np.arange(1, n + 1, dtype=np.int64)
+    num = int(((2 * i - n - 1) * x).sum())
+    den = int(n * x.sum())
+    if max(abs(num), den) >= 1 << 62:
+        raise OverflowError("gini: rescale revenue units")
+    return pd.DataFrame({"n_brands": pd.Series([n], dtype="int64"),
+                         "gini_num": pd.Series([num], dtype="int64"),
+                         "gini_den": pd.Series([den], dtype="int64")})
+
+
+SAMPLE_W_CAP = 2000
+
+
+def _q_sample_weighted(sf_dir: str):
+    """Weight-proportional deterministic Bernoulli sample: keep doc iff
+    splitmix64(doc_id) % CAP < min(n_chars, CAP) — inclusion probability
+    ∝ document length (capped), pure integer comparison, zero shuffle,
+    reproducible on any cluster shape (the weighted counterpart of
+    sample_hash)."""
+    from .functions.sampling import splitmix64
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b["doc_id"], pa.int64())
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        h = splitmix64(ids.to_numpy().view(np.uint64))
+        w = np.minimum(b["n_chars"].to_numpy(zero_copy_only=False),
+                       SAMPLE_W_CAP)
+        t = b.filter(pa.array((h % np.uint64(SAMPLE_W_CAP))
+                              .astype(np.int64) < w))
+        ww = np.minimum(t["n_chars"].to_numpy(zero_copy_only=False),
+                        SAMPLE_W_CAP)
+        return t.append_column("w", pa.array(ww, pa.int64()))
+
+    return docs.map_batches(keep, batch_format="pyarrow",
+                            zero_copy_batch=True).sort("doc_id")
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -5915,6 +6084,10 @@ def queries() -> dict[str, Callable]:
         "events_ewma_daily": _q_events_ewma,
         "ml_prf_metrics": _q_ml_prf,
         "rec_item_cosine": _q_rec_item_cosine,
+        "ml_naive_bayes_model": _q_ml_naive_bayes,
+        "ann_range_search": _q_ann_range_search,
+        "rel_gini_revenue": _q_rel_gini,
+        "sample_weighted": _q_sample_weighted,
     }
 
 
@@ -8956,4 +9129,58 @@ ORDER BY doc_a, doc_b"""
         FROM d JOIN n2 na ON na.b = d.brand_a
         JOIN n2 nb ON nb.b = d.brand_b
         ORDER BY brand_a, brand_b"""
+    out["ml_naive_bayes_model"] = """
+        WITH tk AS (SELECT d.lang, t.tok AS token
+                    FROM documents d,
+                         unnest(string_split(lower(d.text), ' '))
+                           AS t(tok)),
+        tc AS (SELECT lang, token, count(*) AS n_tok
+               FROM tk GROUP BY 1, 2),
+        nd AS (SELECT lang, count(*) AS n_docs FROM documents
+               GROUP BY 1)
+        SELECT tc.lang, tc.token, CAST(tc.n_tok AS BIGINT) AS n_tok,
+               CAST(nd.n_docs AS BIGINT) AS n_docs_lang
+        FROM tc JOIN nd USING (lang)
+        ORDER BY lang, token"""
+    out["ann_range_search"] = f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                   FROM embeddings WHERE vec_id < {ANN_RANGE_NQ}),
+        c AS (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id NOT IN (SELECT query_id FROM q))
+        SELECT q.query_id, c.vec_id,
+               round(list_cosine_similarity(
+                 CAST(q.qe AS DOUBLE[]),
+                 CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+        FROM q CROSS JOIN c
+        WHERE round(list_cosine_similarity(
+                CAST(q.qe AS DOUBLE[]),
+                CAST(c.embedding AS DOUBLE[])), 6) >= {ANN_RANGE_TAU}
+        ORDER BY query_id, vec_id"""
+    out["rel_gini_revenue"] = """
+        WITH r AS (SELECT CAST(substr(p.p_brand, 7) AS BIGINT) AS b,
+                          sum(CAST(round(l.l_extendedprice * 100)
+                                   AS BIGINT)
+                              * (100 - CAST(round(l.l_discount * 100)
+                                            AS BIGINT))) AS rev
+                   FROM lineitem l
+                   JOIN part p ON p.p_partkey = l.l_partkey
+                   GROUP BY 1),
+        o AS (SELECT rev, row_number() OVER (ORDER BY rev, b) AS i,
+                     count(*) OVER () AS n
+              FROM r)
+        SELECT CAST(max(n) AS BIGINT) AS n_brands,
+               CAST(sum((2 * i - n - 1) * rev) AS BIGINT) AS gini_num,
+               CAST(max(n) * sum(rev) AS BIGINT) AS gini_den
+        FROM o"""
+    out["sample_weighted"] = f"""
+        WITH base AS (SELECT doc_id, n_chars,
+                             CAST(doc_id AS UBIGINT) AS kx,
+                             least(n_chars, {SAMPLE_W_CAP}) AS w
+                      FROM documents),
+        {_splitmix_cte('base', 'kx', 'doc_id, n_chars, w')},
+        h AS (SELECT doc_id, n_chars, w, xor(z, z >> 31) AS hh
+              FROM z2)
+        SELECT doc_id, n_chars, CAST(w AS BIGINT) AS w
+        FROM h WHERE CAST(hh % {SAMPLE_W_CAP} AS BIGINT) < w
+        ORDER BY doc_id"""
     return out
