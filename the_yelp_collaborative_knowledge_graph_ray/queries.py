@@ -5799,6 +5799,214 @@ def _q_sample_weighted(sf_dir: str):
                             zero_copy_batch=True).sort("doc_id")
 
 
+def _q_rel_herfindahl(sf_dir: str):
+    """Herfindahl–Hirschman market-concentration index of per-supplier
+    revenue, as an exact integer fraction: HHI = Σ s_i² with
+    s_i = rev_i / total, reported as (Σ r_i², (Σ r_i)²) so no float
+    division ever happens. Revenue folds distributed in cents×pct
+    fixed point (TPC-H Q3 encoding); per-supplier totals are floored
+    to 100-dollar units IDENTICALLY on both sides so the squares stay
+    inside int64 (guarded)."""
+    from .functions.grouped import sorted_aggregate
+    import pandas as pd
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        price_c = pc.cast(pc.round(pc.multiply(
+            b["l_extendedprice"], 100.0)), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        disc = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)),
+                       pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table({"s": pc.cast(b["l_suppkey"], pa.int64()),
+                      "rev": pa.array(price_c * (100 - disc))})
+        return t.group_by(["s"], use_threads=False) \
+            .aggregate([("rev", "sum")]).rename_columns(["s", "rev"])
+
+    rev = sorted_aggregate(
+        li.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["s"], [("rev", "sum")], ["s", "rev"], 1).to_pandas()
+    # cents×pct -> 100-dollar units, floored per supplier (both twins)
+    r = rev["rev"].to_numpy() // 1_000_000
+    num = int((r.astype(object) ** 2).sum())
+    den = int(r.sum()) ** 2
+    if max(num, den) >= 1 << 62:
+        raise OverflowError("herfindahl: rescale revenue units")
+    return pd.DataFrame({
+        "n_suppliers": pd.Series([len(r)], dtype="int64"),
+        "hhi_num": pd.Series([num], dtype="int64"),
+        "hhi_den": pd.Series([den], dtype="int64")})
+
+
+def _q_kg_reciprocity(sf_dir: str):
+    """Digraph reciprocity of the tool-transition graph: the count of
+    directed edges whose reverse edge also exists, over the total edge
+    count (self-loops are excluded by edge construction). Edges are
+    globally deduped first (the per-block distinct contract of
+    ``_tool_transition_edges``); the deduped edge table is vocab²-
+    bounded, so the reverse-membership check is a bounded driver set
+    op — the same pattern as the SCC condensation."""
+    from .functions.grouped import grouped_count
+    import pandas as pd
+    edges = grouped_count(_tool_transition_edges(sf_dir),
+                          ["src", "dst"], "__n", 4).to_pandas()
+    pairs = set(zip(edges["src"], edges["dst"]))
+    n_recip = sum((b, a) in pairs for a, b in pairs)
+    return pd.DataFrame({
+        "n_edges": pd.Series([len(pairs)], dtype="int64"),
+        "n_recip": pd.Series([n_recip], dtype="int64")})
+
+
+def _q_text_heaps_law(sf_dir: str):
+    """Heaps'-law vocabulary-growth curve: cumulative token and distinct-
+    word counts at 10 doc-id checkpoints d_k = k·max(doc_id)//10. The
+    distributed form needs NO prefix scan over docs: a word first
+    appears at first_doc = min(doc_id), so cum_vocab(d_k) is a count of
+    words with first_doc ≤ d_k — one grouped-min over the token stream,
+    then a 10-bucket histogram + driver cumsum. Token counts bucket the
+    same way. Single pass over text; only 10-row partials leave it."""
+    from .functions.grouped import sorted_aggregate
+    import pandas as pd
+    mx = int(ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id"]).max("doc_id"))
+    docs = _docs(sf_dir)
+
+    def tok(b: pa.Table) -> pa.Table:
+        lst = pc.split_pattern(pc.utf8_lower(b["text"].combine_chunks()),
+                               " ")
+        n_tok = pc.list_value_length(lst).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        # k-bucket of a doc: smallest k with doc_id <= k*mx//10
+        kb = -(-10 * did // mx) if mx else np.zeros(len(did), np.int64)
+        tk = pa.table({"k": pa.array(kb, pa.int64()),
+                       "t": pa.array(n_tok)}) \
+            .group_by(["k"], use_threads=False) \
+            .aggregate([("t", "sum")]).rename_columns(["k", "t"])
+        words = pa.table({
+            "w": pc.list_flatten(lst),
+            "fd": pa.array(np.repeat(did, n_tok), pa.int64())}) \
+            .group_by(["w"], use_threads=False) \
+            .aggregate([("fd", "min")]).rename_columns(["w", "fd"])
+        return pa.table({
+            "w": pa.concat_arrays([pa.array([None] * tk.num_rows,
+                                            pa.string()),
+                                   words["w"].combine_chunks()]),
+            "k": pa.concat_arrays([tk["k"].combine_chunks(),
+                                   pa.array([-1] * words.num_rows,
+                                            pa.int64())]),
+            "t": pa.concat_arrays([tk["t"].combine_chunks(),
+                                   words["fd"].combine_chunks()])})
+
+    # ONE tokenize pass feeds both consumers (indicator-union partials)
+    stream = docs.map_batches(tok, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    tok_hist = sorted_aggregate(
+        stream.map_batches(
+            lambda b: b.filter(pc.is_null(b["w"])).select(["k", "t"]),
+            batch_format="pyarrow"),
+        ["k"], [("t", "sum")], ["k", "t"], 1).to_pandas()
+    first = sorted_aggregate(
+        stream.map_batches(
+            lambda b: b.filter(pc.is_valid(b["w"])).select(["w", "t"]),
+            batch_format="pyarrow"),
+        ["w"], [("t", "min")], ["w", "fd"], 4)
+
+    def vb(b: pa.Table) -> pa.Table:
+        fd = b["fd"].to_numpy(zero_copy_only=False)
+        kb = -(-10 * fd // mx) if mx else np.zeros(len(fd), np.int64)
+        return pa.table({"k": pa.array(kb, pa.int64()),
+                         "v": pa.array(np.ones(len(fd), np.int64))}) \
+            .group_by(["k"], use_threads=False) \
+            .aggregate([("v", "sum")]).rename_columns(["k", "v"])
+
+    voc_hist = sorted_aggregate(
+        first.map_batches(vb, batch_format="pyarrow"),
+        ["k"], [("v", "sum")], ["k", "v"], 1).to_pandas()
+    ks = np.arange(1, 11, dtype=np.int64)
+    tcum = np.zeros(11, np.int64)
+    np.add.at(tcum, np.clip(tok_hist["k"].to_numpy(), 0, 10),
+              tok_hist["t"].to_numpy())
+    vcum = np.zeros(11, np.int64)
+    np.add.at(vcum, np.clip(voc_hist["k"].to_numpy(), 0, 10),
+              voc_hist["v"].to_numpy())
+    return pd.DataFrame({
+        "k": pd.Series(ks, dtype="int64"),
+        "doc_threshold": pd.Series(ks * mx // 10, dtype="int64"),
+        "cum_tokens": pd.Series(np.cumsum(tcum)[1:], dtype="int64"),
+        "cum_vocab": pd.Series(np.cumsum(vcum)[1:], dtype="int64")})
+
+
+def _q_rel_spearman(sf_dir: str):
+    """Spearman rank correlation between order price and order date
+    over orders ("do later orders cost more"), reported as the exact
+    integer pair (n, Σd²) with d = rank_price − rank_day and both
+    ranks the DETERMINISTIC global sort position with
+    (value, o_orderkey) tie-break — row_number semantics on both
+    twins, so ties commute identically. Each rank is ONE packed-int64
+    sort + zip_with_index (the RFM machinery); ranks join back by
+    order key and the d² sum folds distributed. (lineitem has no
+    unique line key in this testdata, hence orders.)"""
+    from .functions.joins import attach_column, zip_with_index
+    import pandas as pd
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def base(b: pa.Table) -> pa.Table:
+        key = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        q = pc.divide(pc.cast(b["o_orderdate"], pa.int64()),
+                      pa.scalar(86_400_000_000, pa.int64())) \
+            .to_numpy(zero_copy_only=False)
+        p = pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100.0)),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        if (key >= 1 << 30).any() or (p >= 1 << 33).any() \
+                or (q >= 1 << 33).any():
+            raise OverflowError("spearman pack: rescale keys")
+        return pa.table({"key": pa.array(key), "q": pa.array(q),
+                         "p": pa.array(p)})
+
+    tab = od.map_batches(base, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize()
+
+    def ranked(col: str) -> ray.data.Dataset:
+        def pack(b: pa.Table, _c=col) -> pa.Table:
+            v = b[_c].to_numpy(zero_copy_only=False)
+            k = b["key"].to_numpy(zero_copy_only=False)
+            return pa.table({"key": b["key"],
+                             "__k": pa.array((v << 30) | k, pa.int64())})
+        return zip_with_index(
+            tab.map_batches(pack, batch_format="pyarrow").sort("__k"),
+            id_col="__rank", order_by="__k") \
+            .map_batches(lambda b: b.select(["key", "__rank"]),
+                         batch_format="pyarrow")
+
+    rq, rp = ranked("q"), ranked("p")
+    joined = attach_column(
+        rq, rp, [("key", pa.int64()), ("__rank", pa.int64())],
+        "key", "key", "__rank", "__rp", pa.int64(), 8)
+
+    def d2(b: pa.Table) -> pa.Table:
+        d = (b["__rank"].to_numpy(zero_copy_only=False)
+             - b["__rp"].to_numpy(zero_copy_only=False))
+        m = int(np.abs(d).max()) if len(d) else 0
+        if m * m * max(len(d), 1) >= 1 << 62:  # silent int64 wrap guard
+            raise OverflowError("spearman: block d2 overflow")
+        return pa.table({"n": pa.array([b.num_rows], pa.int64()),
+                         "sd": pa.array([int((d * d).sum())], pa.int64())})
+
+    parts = joined.map_batches(d2, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    sd = int(parts["sd"].sum())
+    if sd >= 1 << 62:
+        raise OverflowError("spearman: d2 sum overflow")
+    return pd.DataFrame({"n_rows": pd.Series([n], dtype="int64"),
+                         "sum_d2": pd.Series([sd], dtype="int64")})
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -6088,6 +6296,10 @@ def queries() -> dict[str, Callable]:
         "ann_range_search": _q_ann_range_search,
         "rel_gini_revenue": _q_rel_gini,
         "sample_weighted": _q_sample_weighted,
+        "rel_herfindahl": _q_rel_herfindahl,
+        "kg_reciprocity": _q_kg_reciprocity,
+        "text_heaps_law": _q_text_heaps_law,
+        "rel_spearman": _q_rel_spearman,
     }
 
 
@@ -9183,4 +9395,63 @@ ORDER BY doc_a, doc_b"""
         SELECT doc_id, n_chars, CAST(w AS BIGINT) AS w
         FROM h WHERE CAST(hh % {SAMPLE_W_CAP} AS BIGINT) < w
         ORDER BY doc_id"""
+    out["rel_herfindahl"] = """
+        WITH r AS (SELECT l_suppkey AS s,
+                          sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              * (100 - CAST(round(l_discount * 100)
+                                            AS BIGINT))) AS rev
+                   FROM lineitem GROUP BY 1),
+        d AS (SELECT CAST(rev AS BIGINT) // 1000000 AS rd FROM r)
+        SELECT CAST(count(*) AS BIGINT) AS n_suppliers,
+               CAST(sum(rd * rd) AS BIGINT) AS hhi_num,
+               CAST(sum(rd) * sum(rd) AS BIGINT) AS hhi_den
+        FROM d"""
+    out["kg_reciprocity"] = f"""
+        WITH ts AS (
+          SELECT conv_id, turn_idx, {normalize_sql('tool')} AS tool
+          FROM read_parquet('{fdir}/transcripts.parquet/*.parquet')
+          WHERE {TOOL_OK_SQL}),
+        seq AS (SELECT conv_id, tool,
+                       LEAD(tool) OVER (PARTITION BY conv_id
+                                        ORDER BY turn_idx) AS nxt
+                FROM ts),
+        edges AS (SELECT DISTINCT tool AS src, nxt AS dst
+                  FROM seq WHERE nxt IS NOT NULL AND nxt <> tool)
+        SELECT CAST(count(*) AS BIGINT) AS n_edges,
+               CAST(sum(CASE WHEN EXISTS (
+                     SELECT 1 FROM edges e2
+                     WHERE e2.src = e1.dst AND e2.dst = e1.src)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_recip
+        FROM edges e1"""
+    out["text_heaps_law"] = """
+        WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' '))
+                          AS w
+                   FROM documents),
+        fw AS (SELECT w, min(doc_id) AS fd FROM w GROUP BY 1),
+        tt AS (SELECT doc_id, count(*) AS nt FROM w GROUP BY 1),
+        m AS (SELECT max(doc_id) AS mx FROM documents),
+        ks AS (SELECT unnest(range(1, 11)) AS k)
+        SELECT CAST(k AS BIGINT) AS k,
+               CAST((k * m.mx) // 10 AS BIGINT) AS doc_threshold,
+               CAST((SELECT coalesce(sum(nt), 0) FROM tt
+                     WHERE tt.doc_id <= (k * m.mx) // 10) AS BIGINT)
+                 AS cum_tokens,
+               CAST((SELECT count(*) FROM fw
+                     WHERE fw.fd <= (k * m.mx) // 10) AS BIGINT)
+                 AS cum_vocab
+        FROM ks, m ORDER BY k"""
+    out["rel_spearman"] = """
+        WITH b AS (SELECT o_orderkey AS key,
+                          epoch_us(o_orderdate) // 86400000000 AS q,
+                          CAST(round(o_totalprice * 100) AS BIGINT)
+                            AS p
+                   FROM orders),
+        rq AS (SELECT key, row_number() OVER (ORDER BY q, key) - 1 AS r
+               FROM b),
+        rp AS (SELECT key, row_number() OVER (ORDER BY p, key) - 1 AS r
+               FROM b)
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum((rq.r - rp.r) * (rq.r - rp.r)) AS BIGINT)
+                 AS sum_d2
+        FROM rq JOIN rp ON rq.key = rp.key"""
     return out
