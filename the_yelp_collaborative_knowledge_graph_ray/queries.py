@@ -6007,6 +6007,159 @@ def _q_rel_spearman(sf_dir: str):
                          "sum_d2": pd.Series([sd], dtype="int64")})
 
 
+PROX_W1, PROX_W2, PROX_K = "hash", "merge", 5
+
+
+def _q_search_proximity(sf_dir: str):
+    """Proximity search: docs where '{hash}' and '{merge}' occur within
+    5 token positions, with the exact minimum gap. One vectorized pass:
+    flat token masks for the two terms, then the merged-order adjacency
+    invariant (the minimizing cross pair has no other hit between it,
+    so it is ADJACENT in the merged position order — an O(hits) scan,
+    never the O(occ²) cross join the SQL twin runs). Docs live whole in
+    rows, so block partials are final."""
+    docs = _docs(sf_dir)
+    i64 = pa.int64()
+    out_schema = pa.schema([("doc_id", i64), ("min_gap", i64)])
+
+    def f(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        toks = pc.split_pattern(pc.utf8_lower(b["text"]), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = np.asarray(toks.offsets) - toks.offsets[0].as_py()
+        flat = toks.flatten()
+        m1 = pc.equal(flat, PROX_W1).to_numpy(zero_copy_only=False)
+        m2 = pc.equal(flat, PROX_W2).to_numpy(zero_copy_only=False)
+        idx = np.flatnonzero(m1 | m2)
+        if len(idx) < 2:
+            return out_schema.empty_table()
+        doc = np.searchsorted(offs, idx, side="right") - 1
+        typ = m1[idx]
+        same_doc = doc[1:] == doc[:-1]
+        cross = typ[1:] != typ[:-1]
+        ok = same_doc & cross
+        if not ok.any():
+            return out_schema.empty_table()
+        gaps = (idx[1:] - idx[:-1])[ok]
+        gdoc = doc[1:][ok]
+        udoc, start = np.unique(gdoc, return_index=True)
+        mg = np.minimum.reduceat(gaps, start)
+        keep = mg <= PROX_K
+        ids = pc.cast(b["doc_id"], i64).to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(ids[udoc[keep]]),
+                         "min_gap": pa.array(mg[keep].astype(np.int64))},
+                        schema=out_schema)
+
+    df = docs.map_batches(f, batch_format="pyarrow").sort("doc_id") \
+        .to_pandas()
+    if df.empty:
+        import pandas as pd
+        df = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                           "min_gap": pd.Series(dtype="int64")})
+    return df
+
+
+def _q_ml_calibration_bins(sf_dir: str):
+    """Calibration / reliability table for a score-vs-label pair: order
+    price (cents) as the score, status 'F' as the positive label, 10
+    equi-width bins over the global [min, max] — per bin the row count
+    and positive count, the exact integers a reliability diagram plots.
+    Two tiny metadata aggregates fix the bin edges; the histogram folds
+    as 10-row block partials (no shuffle of order rows)."""
+    from .functions.grouped import sorted_aggregate
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_totalprice", "o_orderstatus"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        p = pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100.0)),
+                    pa.int64())
+        return pa.table({"p": p, "pos": pc.cast(
+            pc.equal(b["o_orderstatus"], "F"), pa.int64())})
+
+    base = od.map_batches(cents, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    mn = int(base.min("p"))
+    mx = int(base.max("p"))
+    width = mx - mn + 1
+
+    def hist(b: pa.Table) -> pa.Table:
+        p = b["p"].to_numpy(zero_copy_only=False)
+        binx = (p - mn) * 10 // width
+        return pa.table({"bin": pa.array(binx, pa.int64()),
+                         "n": pa.array(np.ones(len(p), np.int64)),
+                         "n_pos": b["pos"]}) \
+            .group_by(["bin"], use_threads=False) \
+            .aggregate([("n", "sum"), ("n_pos", "sum")]) \
+            .rename_columns(["bin", "n", "n_pos"])
+
+    return sorted_aggregate(
+        base.map_batches(hist, batch_format="pyarrow"),
+        ["bin"], [("n", "sum"), ("n_pos", "sum")],
+        ["bin", "n", "n_pos"], 1).sort("bin")
+
+
+DP_SALT = 0x5DEECE66D
+
+
+def _q_privacy_dp_noisy_counts(sf_dir: str):
+    """Differential-privacy-STYLE noisy release of per-event-type counts:
+    noise = splitmix64(n XOR salt) % 21 − 10, clamped at zero. The noise
+    is DETERMINISTIC (seeded from the exact count) so the oracle can
+    twin it bit-for-bit — the released mechanism plumbing (count →
+    noise → clamp) is the operator under test, not the entropy source;
+    swap the seed for a real RNG in production. Counts fold distributed;
+    the noise pass touches only the vocab-bounded result."""
+    from .functions.grouped import grouped_count
+    from .functions.sampling import splitmix64
+    import pandas as pd
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type"])
+    cnt = grouped_count(ev, ["event_type"], "n", 1).to_pandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    n = cnt["n"].to_numpy().astype(np.uint64)
+    h = splitmix64(n ^ np.uint64(DP_SALT))
+    noise = (h % np.uint64(21)).astype(np.int64) - 10
+    noisy = np.maximum(cnt["n"].to_numpy() + noise, 0)
+    return pd.DataFrame({"event_type": cnt["event_type"],
+                         "n_noisy": pd.Series(noisy, dtype="int64")})
+
+
+REGEX_PATTERN = r"(?:hash|merge) (?:join|scan)"  # non-capturing: pyarrow
+# extract_regex rejects unnamed capture groups
+
+
+def _q_text_regex_extract(sf_dir: str):
+    """Regex extraction over the corpus: the first match of an
+    alternation pattern per document (both engines are RE2 — identical
+    leftmost-first semantics). `pc.extract_regex` runs the compiled
+    automaton once per batch; non-matching docs drop out."""
+    docs = _docs(sf_dir)
+    i64 = pa.int64()
+    out_schema = pa.schema([("doc_id", i64), ("match", pa.string())])
+
+    def f(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        ex = pc.extract_regex(pc.utf8_lower(b["text"]),
+                              f"(?P<m>{REGEX_PATTERN})")
+        m = pc.struct_field(ex, "m")
+        keep = pc.is_valid(m)
+        return pa.table({"doc_id": pc.cast(b["doc_id"], i64)
+                         .filter(keep),
+                         "match": m.filter(keep)}, schema=out_schema)
+
+    df = docs.map_batches(f, batch_format="pyarrow").sort("doc_id") \
+        .to_pandas()
+    if df.empty:
+        import pandas as pd
+        df = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                           "match": pd.Series(dtype="object")})
+    return df
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -6300,6 +6453,10 @@ def queries() -> dict[str, Callable]:
         "kg_reciprocity": _q_kg_reciprocity,
         "text_heaps_law": _q_text_heaps_law,
         "rel_spearman": _q_rel_spearman,
+        "search_proximity": _q_search_proximity,
+        "ml_calibration_bins": _q_ml_calibration_bins,
+        "privacy_dp_noisy_counts": _q_privacy_dp_noisy_counts,
+        "text_regex_extract": _q_text_regex_extract,
     }
 
 
@@ -9454,4 +9611,44 @@ ORDER BY doc_a, doc_b"""
                CAST(sum((rq.r - rp.r) * (rq.r - rp.r)) AS BIGINT)
                  AS sum_d2
         FROM rq JOIN rp ON rq.key = rp.key"""
+    out["search_proximity"] = f"""
+        WITH sp AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                    FROM documents),
+        pos AS (SELECT doc_id, CAST(i AS BIGINT) AS i, w[i] AS tok
+                FROM sp, unnest(generate_series(1, len(w))) AS t(i)),
+        g AS (SELECT a.doc_id, min(abs(a.i - b.i)) AS min_gap
+              FROM pos a JOIN pos b ON b.doc_id = a.doc_id
+              WHERE a.tok = '{PROX_W1}' AND b.tok = '{PROX_W2}'
+              GROUP BY 1)
+        SELECT doc_id, CAST(min_gap AS BIGINT) AS min_gap
+        FROM g WHERE min_gap <= {PROX_K} ORDER BY doc_id"""
+    out["ml_calibration_bins"] = """
+        WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS p,
+                          CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                            AS pos
+                   FROM orders),
+        mm AS (SELECT min(p) AS mn, max(p) - min(p) + 1 AS width FROM c)
+        SELECT CAST((p - mn) * 10 // width AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(pos) AS BIGINT) AS n_pos
+        FROM c, mm GROUP BY 1 ORDER BY 1"""
+    out["privacy_dp_noisy_counts"] = f"""
+        WITH cnt AS (SELECT event_type, count(*) AS n
+                     FROM events GROUP BY 1),
+        base AS (SELECT event_type, n,
+                        xor(CAST(n AS UBIGINT),
+                            CAST({DP_SALT} AS UBIGINT)) AS kx
+                 FROM cnt),
+        {_splitmix_cte('base', 'kx', 'event_type, n')},
+        h AS (SELECT event_type, n, xor(z, z >> 31) AS hh FROM z2)
+        SELECT event_type,
+               greatest(CAST(n AS BIGINT)
+                        + CAST(hh % 21 AS BIGINT) - 10, 0) AS n_noisy
+        FROM h ORDER BY event_type"""
+    out["text_regex_extract"] = f"""
+        SELECT doc_id,
+               regexp_extract(lower(text), '{REGEX_PATTERN}', 0) AS match
+        FROM documents
+        WHERE regexp_matches(lower(text), '{REGEX_PATTERN}')
+        ORDER BY doc_id"""
     return out
