@@ -6160,6 +6160,192 @@ def _q_text_regex_extract(sf_dir: str):
     return df
 
 
+def _q_rel_lorenz(sf_dir: str):
+    """Lorenz-curve deciles of customer spend — the curve behind the
+    Gini scalar: customers NTILE(10)-ranked by total spend (cents, tie
+    -break custkey), per-decile and cumulative revenue as exact ints.
+    The global decile uses the distributed rank path (packed int64
+    sort + zip_with_index + SQL-NTILE's closed-form fill rule, the RFM
+    machinery); only 10-row partials reach the driver."""
+    from .functions.grouped import sorted_aggregate
+    from .functions.joins import zip_with_index
+    import pandas as pd
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "ck": pc.cast(b["o_custkey"], pa.int64()),
+            "spend": pc.cast(pc.round(pc.multiply(
+                b["o_totalprice"], 100.0)), pa.int64())}) \
+            .group_by(["ck"], use_threads=False) \
+            .aggregate([("spend", "sum")]).rename_columns(["ck", "spend"])
+
+    per_cust = sorted_aggregate(
+        od.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["ck"], [("spend", "sum")], ["ck", "spend"], 8).materialize()
+    n = per_cust.count()
+    q, r = n // 10, n % 10
+    cut = r * (q + 1)
+
+    def pack(b: pa.Table) -> pa.Table:
+        s = b["spend"].to_numpy(zero_copy_only=False)
+        c = b["ck"].to_numpy(zero_copy_only=False)
+        if (s >= 1 << 32).any() or (c >= 1 << 31).any() or (s < 0).any():
+            raise OverflowError("lorenz pack: rescale spend")
+        return b.append_column("__k", pa.array((s << 31) | c, pa.int64()))
+
+    ranked = zip_with_index(
+        per_cust.map_batches(pack, batch_format="pyarrow",
+                             zero_copy_batch=True).sort("__k"),
+        id_col="__rank", order_by="__k")
+
+    def dec(b: pa.Table) -> pa.Table:
+        rank = b["__rank"].to_numpy(zero_copy_only=False)
+        d = np.where(rank < cut, rank // max(q + 1, 1),
+                     r + (rank - cut) // max(q, 1)) + 1
+        return pa.table({"decile": pa.array(d, pa.int64()),
+                         "n": pa.array(np.ones(len(d), np.int64)),
+                         "rev": b["spend"]}) \
+            .group_by(["decile"], use_threads=False) \
+            .aggregate([("n", "sum"), ("rev", "sum")]) \
+            .rename_columns(["decile", "n", "rev"])
+
+    h = sorted_aggregate(
+        ranked.map_batches(dec, batch_format="pyarrow"),
+        ["decile"], [("n", "sum"), ("rev", "sum")],
+        ["decile", "n", "rev"], 1).to_pandas() \
+        .sort_values("decile").reset_index(drop=True)
+    return pd.DataFrame({
+        "decile": h["decile"].astype("int64"),
+        "n_customers": h["n"].astype("int64"),
+        "decile_rev_c": h["rev"].astype("int64"),
+        "cum_rev_c": h["rev"].cumsum().astype("int64")})
+
+
+HOLT_S = 1024  # level/trend fixed-point scale
+
+
+def _tdiv2(x: np.ndarray) -> np.ndarray:
+    """Integer division by 2 truncating toward zero (DuckDB ``//``
+    semantics; numpy's ``//`` floors, diverging on odd negatives)."""
+    return x // 2 + ((x % 2 != 0) & (x < 0))
+
+
+def _q_events_holt(sf_dir: str):
+    """Holt double-exponential smoothing (level + trend) over the
+    zero-filled daily event-count series, α=β=1/2 in ×1024 integer
+    fixed point with trunc-toward-zero halving — bit-equal to the
+    recursive-CTE twin. Daily counts fold distributed; the sequential
+    recursion runs on the driver over the day-bounded series (days
+    don't grow with row count)."""
+    from .functions.grouped import grouped_count
+    import pandas as pd
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def days(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64())
+        return pa.table({"day": pc.divide(
+            us, pa.scalar(86_400_000_000, pa.int64()))})
+
+    d = grouped_count(ev.map_batches(days, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      ["day"], "c", 1).to_pandas()
+    lo, hi = int(d["day"].min()), int(d["day"].max())
+    spine = np.zeros(hi - lo + 1, np.int64)
+    spine[d["day"].to_numpy() - lo] = d["c"].to_numpy()
+    n = len(spine)
+    lvl = np.zeros(n, np.int64)
+    trd = np.zeros(n, np.int64)
+    lvl[0] = spine[0] * HOLT_S
+    for t in range(1, n):
+        lvl[t] = _tdiv2(np.array([lvl[t - 1] + trd[t - 1]
+                                  + spine[t] * HOLT_S]))[0]
+        trd[t] = _tdiv2(np.array([trd[t - 1]
+                                  + (lvl[t] - lvl[t - 1])]))[0]
+    return pd.DataFrame({
+        "day": pd.Series(np.arange(lo, hi + 1), dtype="int64"),
+        "c": pd.Series(spine, dtype="int64"),
+        "level_fp": pd.Series(lvl, dtype="int64"),
+        "trend_fp": pd.Series(trd, dtype="int64")})
+
+
+def _q_kg_transitivity(sf_dir: str):
+    """Global transitivity of the co-mention graph: the exact integer
+    pair (closed triads = 3·triangles via the two-join streaming count,
+    wedges = Σ d(d−1)/2 from one grouped degree count) — the ratio a
+    caller divides at presentation time. Node naming cancels from both
+    counts, so the Ray side runs on mention-IRI pairs while the oracle
+    runs on raw canonicals; the degree table is vocab-bounded."""
+    from .functions.grouped import grouped_count
+    from .functions.triangles import triangle_count, within_group_pairs
+    import pandas as pd
+    m = _q_mentions(sf_dir).map_batches(
+        lambda b: pa.table({"turn": b["subj"], "c": b["obj"]}),
+        batch_format="pyarrow")
+    edges = within_group_pairs(m, "turn", "c").materialize()
+    tri = int(triangle_count(edges)["n_triangles"][0].as_py())
+    und = edges.map_batches(
+        lambda b: pa.table({"n": pa.concat_arrays(
+            [b["u"].combine_chunks(), b["v"].combine_chunks()])}),
+        batch_format="pyarrow")
+    deg = grouped_count(und, ["n"], "d", 4).to_pandas()
+    dd = deg["d"].to_numpy()
+    wedges = int((dd * (dd - 1) // 2).sum())
+    return pd.DataFrame({
+        "n_triangles": pd.Series([tri], dtype="int64"),
+        "n_wedges": pd.Series([wedges], dtype="int64")})
+
+
+def _q_events_cohort_revenue(sf_dir: str):
+    """Cohort revenue matrix (ARPU numerator): total value cents per
+    (first-event-week cohort, weeks-since-cohort age) — the revenue
+    companion to the retention user-count matrix. Same three-pass
+    shape: grouped min (cohort), int-key attach, grouped fixed-point
+    sum with map-side combine."""
+    from .functions.grouped import sorted_aggregate
+    from .functions.joins import attach_column
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "value"])
+    week_us = 7 * 86400 * 10**6
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64())
+        return pa.table({
+            "user_id": pc.cast(b["user_id"], pa.int64()),
+            "wk": pc.divide(us, pa.scalar(week_us, pa.int64())),
+            "v": pc.cast(pc.round(pc.multiply(b["value"], 100.0)),
+                         pa.int64())})
+
+    w = ev.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True).materialize()
+    first = sorted_aggregate(
+        w.map_batches(lambda b: b.select(["user_id", "wk"]),
+                      batch_format="pyarrow"),
+        ["user_id"], [("wk", "min")], ["user_id", "cohort"], 4)
+    joined = attach_column(
+        w, first, [("user_id", pa.int64()), ("wk", pa.int64()),
+                   ("v", pa.int64())],
+        "user_id", "user_id", "cohort", "cohort", pa.int64(), 4)
+
+    def partial(b: pa.Table) -> pa.Table:
+        age = pc.subtract(b["wk"], b["cohort"])
+        return pa.table({"cohort": b["cohort"], "age": age,
+                         "rev_c": b["v"]}) \
+            .group_by(["cohort", "age"], use_threads=False) \
+            .aggregate([("rev_c", "sum")]) \
+            .rename_columns(["cohort", "age", "rev_c"])
+
+    return sorted_aggregate(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["cohort", "age"], [("rev_c", "sum")],
+        ["cohort", "age", "rev_c"], 4)
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -6457,6 +6643,10 @@ def queries() -> dict[str, Callable]:
         "ml_calibration_bins": _q_ml_calibration_bins,
         "privacy_dp_noisy_counts": _q_privacy_dp_noisy_counts,
         "text_regex_extract": _q_text_regex_extract,
+        "rel_lorenz_deciles": _q_rel_lorenz,
+        "events_holt_smoothing": _q_events_holt,
+        "kg_transitivity": _q_kg_transitivity,
+        "events_cohort_revenue": _q_events_cohort_revenue,
     }
 
 
@@ -9651,4 +9841,64 @@ ORDER BY doc_a, doc_b"""
         FROM documents
         WHERE regexp_matches(lower(text), '{REGEX_PATTERN}')
         ORDER BY doc_id"""
+    out["rel_lorenz_deciles"] = """
+        WITH s AS (SELECT o_custkey AS ck,
+                          CAST(sum(CAST(round(o_totalprice * 100)
+                                        AS BIGINT)) AS BIGINT) AS spend
+                   FROM orders GROUP BY 1),
+        t AS (SELECT ck, spend,
+                     NTILE(10) OVER (ORDER BY spend, ck) AS dec
+              FROM s)
+        SELECT CAST(dec AS BIGINT) AS decile,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(spend) AS BIGINT) AS decile_rev_c,
+               CAST(sum(sum(spend)) OVER (ORDER BY dec
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_c
+        FROM t GROUP BY dec ORDER BY decile"""
+    out["events_holt_smoothing"] = f"""
+        WITH RECURSIVE d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                                    count(*) AS c
+                             FROM events GROUP BY 1),
+        sp AS (SELECT t.day, coalesce(d.c, 0) AS c
+               FROM (SELECT unnest(generate_series(
+                       (SELECT min(day) FROM d),
+                       (SELECT max(day) FROM d))) AS day) t
+               LEFT JOIN d ON d.day = t.day),
+        idx AS (SELECT day, CAST(c AS BIGINT) AS c,
+                       row_number() OVER (ORDER BY day) AS rn FROM sp),
+        r(rn, day, c, lvl, trd) AS (
+          SELECT rn, day, c, c * {HOLT_S}, CAST(0 AS BIGINT)
+          FROM idx WHERE rn = 1
+          UNION ALL
+          SELECT i.rn, i.day, i.c,
+                 (r.lvl + r.trd + i.c * {HOLT_S}) // 2,
+                 (r.trd + ((r.lvl + r.trd + i.c * {HOLT_S}) // 2
+                           - r.lvl)) // 2
+          FROM r JOIN idx i ON i.rn = r.rn + 1)
+        SELECT day, c, CAST(lvl AS BIGINT) AS level_fp,
+               CAST(trd AS BIGINT) AS trend_fp
+        FROM r ORDER BY day"""
+    out["kg_transitivity"] = P + """
+        , ce AS (SELECT DISTINCT a.canonical AS u, b.canonical AS v
+                 FROM mention a JOIN mention b
+                   ON a.turn_iri = b.turn_iri
+                  AND a.canonical < b.canonical),
+        und AS (SELECT u AS n FROM ce UNION ALL SELECT v FROM ce),
+        deg AS (SELECT n, count(*) AS d FROM und GROUP BY 1),
+        tri AS (SELECT count(*) AS t
+                FROM ce e1 JOIN ce e2 ON e2.u = e1.v
+                JOIN ce e3 ON e3.u = e1.u AND e3.v = e2.v)
+        SELECT CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
+               CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+        FROM deg"""
+    out["events_cohort_revenue"] = """
+        WITH w AS (SELECT user_id,
+                          epoch_us(ts) // 604800000000 AS wk,
+                          CAST(round(value * 100) AS BIGINT) AS v
+                   FROM events),
+        f AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY 1)
+        SELECT f.cohort, w.wk - f.cohort AS age,
+               CAST(sum(w.v) AS BIGINT) AS rev_c
+        FROM w JOIN f USING(user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2"""
     return out
