@@ -28,13 +28,18 @@ from .pagerank import _distinct
 
 
 def within_group_pairs(ds: ray.data.Dataset, key: str, val: str,
-                       num_partitions: int = 8) -> ray.data.Dataset:
+                       num_partitions: int = 8,
+                       distinct: bool = True) -> ray.data.Dataset:
     """Distinct unordered co-occurrence pairs (u < v) of string ``val``
     values sharing a ``key`` — e.g. mentions co-occurring in a turn. ONE
     key-sort colocates complete groups; pair expansion is the vectorized
     index arithmetic of ``_pair_index_arrays`` over per-block string codes
     (``np.unique`` order == lexicographic, so code order == string order);
-    a global distinct collapses repeats across groups."""
+    a global distinct collapses repeats across groups.
+
+    ``distinct=False`` returns the raw per-group pair stream (one row per
+    co-occurring group) for counted consumers (e.g. pair lift), skipping
+    the distinct exchange."""
     def block(b: pa.Table) -> pa.Table:
         out_schema = pa.schema([("u", pa.string()), ("v", pa.string())])
         if b.num_rows == 0:
@@ -51,6 +56,8 @@ def within_group_pairs(ds: ray.data.Dataset, key: str, val: str,
                         schema=out_schema)
 
     pairs = sorted_group_apply(ds, [key], block)
+    if not distinct:
+        return pairs
     return _distinct(pairs, ["u", "v"], num_partitions)
 
 

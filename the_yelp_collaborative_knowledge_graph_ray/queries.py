@@ -6346,6 +6346,200 @@ def _q_events_cohort_revenue(sf_dir: str):
         ["cohort", "age", "rev_c"], 4)
 
 
+def _q_ml_tree_depth2(sf_dir: str):
+    """Greedy CART tree of depth 2 over (l_quantity, l_discount pct)
+    predicting l_returnflag == 'R', scored by exact integer
+    misclassification (the stump criterion, so the argmin needs no
+    Gini floats). ONE distributed grouped count over the ≤ |q|·|d|·2
+    distinct (feature, feature, label) combos is the only pass over
+    data; the greedy root + two branch scans run on that bounded
+    frame. Split tie-break: (miscls, feature name, threshold) — the
+    all-left threshold is excluded so both children are non-empty.
+    Output: one row per node (root/left/right)."""
+    from .functions.grouped import grouped_count
+    import pandas as pd
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_quantity", "l_discount", "l_returnflag"])
+
+    def fl(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "q": pc.cast(pc.round(b["l_quantity"]), pa.int64()),
+            "d": pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)),
+                         pa.int64()),
+            "pos": pc.cast(pc.equal(b["l_returnflag"], "R"), pa.int64())})
+
+    c = grouped_count(li.map_batches(fl, batch_format="pyarrow"),
+                      ["q", "d", "pos"], "n", 4).to_pandas()
+    c["npos"] = c["n"] * c["pos"]
+
+    def best_split(fr):
+        T, P = int(fr["n"].sum()), int(fr["npos"].sum())
+        best = None
+        for feat in ("d", "q"):  # lexicographic feature tie-break
+            g = fr.groupby(feat).agg(nq=("n", "sum"),
+                                     pq=("npos", "sum")).sort_index()
+            if len(g) < 2:
+                continue
+            nl = g["nq"].cumsum().to_numpy()[:-1]
+            pl = g["pq"].cumsum().to_numpy()[:-1]
+            thr = g.index.to_numpy()[:-1]
+            mis = (np.minimum(pl, nl - pl)
+                   + np.minimum(P - pl, (T - nl) - (P - pl)))
+            i = int(np.lexsort((thr, mis))[0])
+            cand = (int(mis[i]), feat, int(thr[i]))
+            if best is None or cand < best:
+                best = cand
+        if best is None:
+            return ("none", 0, min(P, T - P), T, P)
+        return (best[1], best[2], best[0], T, P)
+
+    f0, t0, m0, T, P = best_split(c)
+    if f0 == "none":
+        raise ValueError("tree root: no splittable feature")
+    left = c[c[f0] <= t0]
+    right = c[c[f0] > t0]
+    rows = [("root", f0, t0, T, P, m0)]
+    for node, fr in (("left", left), ("right", right)):
+        f, t, m, n, p = best_split(fr)
+        rows.append((node, f, t, n, p, m))
+    out = pd.DataFrame(rows, columns=["node", "feature", "threshold",
+                                      "n", "n_pos", "split_mis"])
+    for col in ("threshold", "n", "n_pos", "split_mis"):
+        out[col] = out[col].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _q_events_decay_engagement(sf_dir: str):
+    """Recency-weighted engagement score per user: Σ value_cents >> age
+    with age = days before the corpus max day — exponential half-life
+    decay in EXACT integers (a right shift per day, floor semantics
+    identical to SQL ``//`` power-of-two division on the non-negative
+    values). One metadata max + one pass of per-user partials."""
+    from .functions.grouped import sorted_aggregate
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "value"])
+    mx = int(ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+        .map_batches(lambda b: pa.table({"day": pc.divide(
+            pc.cast(b["ts"], pa.int64()),
+            pa.scalar(86_400_000_000, pa.int64()))}),
+            batch_format="pyarrow").max("day"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(b["ts"], pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64())) \
+            .to_numpy(zero_copy_only=False)
+        v = pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        age = np.minimum(mx - day, 62)
+        return pa.table({"user_id": pc.cast(b["user_id"], pa.int64()),
+                         "s": pa.array(v >> age)}) \
+            .group_by(["user_id"], use_threads=False) \
+            .aggregate([("s", "sum")]) \
+            .rename_columns(["user_id", "decay_score_c"])
+
+    return sorted_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id"], [("decay_score_c", "sum")],
+        ["user_id", "decay_score_c"], 4)
+
+
+def _q_kg_comention_lift(sf_dir: str):
+    """Association lift of entity co-mention pairs: lift = P(x,y) /
+    (P(x)·P(y)) over turns, released as the exact integer
+    10⁶·N·n_xy // (n_x·n_y) (no float logs — the PMI ordering is
+    monotone in lift). Pair counts come from the counted (non-distinct)
+    within-turn pair expansion; marginals are one grouped count. All
+    result tables are vocab-bounded, so the final arithmetic is a
+    bounded driver merge (the reciprocity pattern)."""
+    from .functions.grouped import grouped_count
+    from .functions.triangles import within_group_pairs
+    import pandas as pd
+    pre = C.ENT + "mention/"
+    m = _q_mentions(sf_dir).map_batches(
+        lambda b: pa.table({
+            "turn": b["subj"],
+            "c": pc.utf8_slice_codeunits(b["obj"], len(pre))}),
+        batch_format="pyarrow").materialize()
+    n_turns = int(grouped_count(
+        m.map_batches(lambda b: b.select(["turn"]),
+                      batch_format="pyarrow"),
+        ["turn"], "__n", 4).count())
+    marg = grouped_count(m.map_batches(
+        lambda b: b.select(["c"]), batch_format="pyarrow"),
+        ["c"], "nx", 4).to_pandas()
+    pairs = grouped_count(
+        within_group_pairs(m, "turn", "c", distinct=False),
+        ["u", "v"], "n_xy", 4).to_pandas()
+    nx = dict(zip(marg["c"], marg["nx"]))
+    lift = [10**6 * n_turns * int(n) // (nx[u] * nx[v])
+            for u, v, n in zip(pairs["u"], pairs["v"], pairs["n_xy"])]
+    return pd.DataFrame({
+        "entity_a": pairs["u"], "entity_b": pairs["v"],
+        "n_xy": pairs["n_xy"].astype("int64"),
+        "lift_fp": pd.Series(lift, dtype="int64")}) \
+        .sort_values(["entity_a", "entity_b"]).reset_index(drop=True)
+
+
+GEN_K, GEN_BASE_SHIFT, GEN_MAX_LEVEL = 10, 10, 10
+
+
+def _q_privacy_generalization(sf_dir: str):
+    """k-anonymity generalization ladder over customer balances: find
+    the smallest bucket-width level ℓ (width 2^(10+ℓ) cents) where
+    every populated bucket holds ≥ 10 customers, and release that
+    level's histogram. The distributed pass builds only the LEVEL-0
+    histogram (range-bounded, since balances live in a fixed interval);
+    every coarser level is a right-shift fold of it on the driver —
+    both twins coarsen the same base histogram, so floor semantics
+    agree (offsets make all values non-negative)."""
+    from .functions.grouped import grouped_count
+    import pandas as pd
+    cu = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_acctbal"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({"p": pc.cast(
+            pc.round(pc.multiply(b["c_acctbal"], 100.0)), pa.int64())})
+
+    base = cu.map_batches(cents, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    mn = int(base.min("p"))
+
+    def h0(b: pa.Table) -> pa.Table:
+        p = b["p"].to_numpy(zero_copy_only=False)
+        return pa.table({"b0": pa.array((p - mn) >> GEN_BASE_SHIFT,
+                                        pa.int64()),
+                         "n": pa.array(np.ones(len(p), np.int64))}) \
+            .group_by(["b0"], use_threads=False) \
+            .aggregate([("n", "sum")]).rename_columns(["b0", "n"])
+
+    from .functions.grouped import sorted_aggregate
+    hist0 = sorted_aggregate(
+        base.map_batches(h0, batch_format="pyarrow"),
+        ["b0"], [("n", "sum")], ["b0", "n"], 1).to_pandas()
+    b0 = hist0["b0"].to_numpy()
+    n0 = hist0["n"].to_numpy()
+    level = GEN_MAX_LEVEL
+    for lv in range(GEN_MAX_LEVEL + 1):
+        bl = b0 >> lv
+        agg = np.bincount(bl - bl.min(), weights=n0)
+        if agg[agg > 0].min() >= GEN_K:
+            level = lv
+            break
+    bl = b0 >> level
+    out = pd.DataFrame({"bucket": bl, "n": n0}) \
+        .groupby("bucket", as_index=False)["n"].sum() \
+        .sort_values("bucket").reset_index(drop=True)
+    return pd.DataFrame({
+        "level": pd.Series(np.full(len(out), level), dtype="int64"),
+        "bucket": out["bucket"].astype("int64"),
+        "n": out["n"].astype("int64")})
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -6647,7 +6841,44 @@ def queries() -> dict[str, Callable]:
         "events_holt_smoothing": _q_events_holt,
         "kg_transitivity": _q_kg_transitivity,
         "events_cohort_revenue": _q_events_cohort_revenue,
+        "ml_tree_depth2": _q_ml_tree_depth2,
+        "events_decay_engagement": _q_events_decay_engagement,
+        "kg_comention_lift": _q_kg_comention_lift,
+        "privacy_generalization": _q_privacy_generalization,
     }
+
+
+def _tree_split_ctes(sub: str, tag: str) -> str:
+    """CTE chain picking the best (feature, threshold, miscls) split of
+    ``sub`` (columns q, d, pos, n) — ends in ``{tag}pf`` with a 'none'
+    fallback row when no threshold leaves both children non-empty.
+    Mirrors ``_q_ml_tree_depth2.best_split`` exactly: the all-left
+    threshold is excluded (nl < tot), tie-break (mis, feat, thr)."""
+    return f"""
+{tag}f AS (
+  SELECT 'q' AS feat, q AS thr, sum(n) AS nq, sum(n * pos) AS pq
+  FROM {sub} GROUP BY 1, 2
+  UNION ALL
+  SELECT 'd', d, sum(n), sum(n * pos) FROM {sub} GROUP BY 1, 2),
+{tag}t AS (SELECT sum(n) AS tot, sum(n * pos) AS totp FROM {sub}),
+{tag}c AS (SELECT feat, thr,
+                  sum(nq) OVER (PARTITION BY feat ORDER BY thr
+                                ROWS UNBOUNDED PRECEDING) AS nl,
+                  sum(pq) OVER (PARTITION BY feat ORDER BY thr
+                                ROWS UNBOUNDED PRECEDING) AS pl
+           FROM {tag}f),
+{tag}m AS (SELECT feat, thr,
+                  least(pl, nl - pl)
+                  + least(t.totp - pl, (t.tot - nl) - (t.totp - pl))
+                    AS mis
+           FROM {tag}c, {tag}t t WHERE nl < t.tot),
+{tag}p AS (SELECT feat, thr, mis FROM {tag}m
+           ORDER BY mis, feat, thr LIMIT 1),
+{tag}pf AS (SELECT * FROM {tag}p
+            UNION ALL
+            SELECT 'none', CAST(0 AS BIGINT),
+                   (SELECT least(totp, tot - totp) FROM {tag}t)
+            WHERE NOT EXISTS (SELECT 1 FROM {tag}p))"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -9901,4 +10132,81 @@ ORDER BY doc_a, doc_b"""
                CAST(sum(w.v) AS BIGINT) AS rev_c
         FROM w JOIN f USING(user_id)
         GROUP BY 1, 2 ORDER BY 1, 2"""
+    out["ml_tree_depth2"] = f"""
+        WITH cc AS (SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+                           CAST(round(l_discount * 100) AS BIGINT) AS d,
+                           CAST(l_returnflag = 'R' AS BIGINT) AS pos,
+                           count(*) AS n
+                    FROM lineitem GROUP BY 1, 2, 3),
+        {_tree_split_ctes('cc', 'root')},
+        lsub AS (SELECT cc.* FROM cc, rootpf rp
+                 WHERE (CASE WHEN rp.feat = 'q' THEN cc.q ELSE cc.d END)
+                       <= rp.thr),
+        rsub AS (SELECT cc.* FROM cc, rootpf rp
+                 WHERE (CASE WHEN rp.feat = 'q' THEN cc.q ELSE cc.d END)
+                       > rp.thr),
+        {_tree_split_ctes('lsub', 'l')},
+        {_tree_split_ctes('rsub', 'r')}
+        SELECT * FROM (
+          SELECT 'root' AS node, feat AS feature,
+                 CAST(thr AS BIGINT) AS threshold,
+                 CAST((SELECT tot FROM roott) AS BIGINT) AS n,
+                 CAST((SELECT totp FROM roott) AS BIGINT) AS n_pos,
+                 CAST(mis AS BIGINT) AS split_mis
+          FROM rootpf
+          UNION ALL
+          SELECT 'left', feat, CAST(thr AS BIGINT),
+                 CAST(coalesce((SELECT tot FROM lt), 0) AS BIGINT),
+                 CAST(coalesce((SELECT totp FROM lt), 0) AS BIGINT),
+                 CAST(mis AS BIGINT)
+          FROM lpf
+          UNION ALL
+          SELECT 'right', feat, CAST(thr AS BIGINT),
+                 CAST(coalesce((SELECT tot FROM rt), 0) AS BIGINT),
+                 CAST(coalesce((SELECT totp FROM rt), 0) AS BIGINT),
+                 CAST(mis AS BIGINT)
+          FROM rpf)
+        ORDER BY node"""
+    out["events_decay_engagement"] = """
+        WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                          CAST(round(value * 100) AS BIGINT) AS v
+                   FROM events),
+        mx AS (SELECT max(day) AS m FROM d)
+        SELECT user_id,
+               CAST(sum(v // (CAST(1 AS BIGINT)
+                              << least(m - day, 62))) AS BIGINT)
+                 AS decay_score_c
+        FROM d, mx GROUP BY 1 ORDER BY 1"""
+    out["kg_comention_lift"] = P + """
+        , mcount AS (SELECT canonical, count(*) AS nx
+                     FROM mention GROUP BY 1),
+        nt AS (SELECT count(DISTINCT turn_iri) AS nn FROM mention),
+        pr AS (SELECT a.canonical AS u, b.canonical AS v,
+                      count(*) AS n_xy
+               FROM mention a JOIN mention b
+                 ON a.turn_iri = b.turn_iri AND a.canonical < b.canonical
+               GROUP BY 1, 2)
+        SELECT u AS entity_a, v AS entity_b,
+               CAST(n_xy AS BIGINT) AS n_xy,
+               CAST(1000000 * (SELECT nn FROM nt) * n_xy
+                    // (x.nx * y.nx) AS BIGINT) AS lift_fp
+        FROM pr JOIN mcount x ON x.canonical = u
+        JOIN mcount y ON y.canonical = v
+        ORDER BY 1, 2"""
+    out["privacy_generalization"] = f"""
+        WITH cts AS (SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS p
+                     FROM customer),
+        mn AS (SELECT min(p) AS m FROM cts),
+        h0 AS (SELECT (p - m) >> {GEN_BASE_SHIFT} AS b0, count(*) AS n
+               FROM cts, mn GROUP BY 1),
+        lv AS (SELECT unnest(range(0, {GEN_MAX_LEVEL + 1})) AS l),
+        hl AS (SELECT l, b0 >> l AS b, sum(n) AS n
+               FROM h0, lv GROUP BY 1, 2),
+        mins AS (SELECT l, min(n) AS mnn FROM hl GROUP BY 1),
+        pick AS (SELECT coalesce((SELECT min(l) FROM mins
+                                  WHERE mnn >= {GEN_K}),
+                                 {GEN_MAX_LEVEL}) AS l)
+        SELECT CAST(p.l AS BIGINT) AS level,
+               CAST(hl.b AS BIGINT) AS bucket, CAST(hl.n AS BIGINT) AS n
+        FROM hl JOIN pick p ON hl.l = p.l ORDER BY bucket"""
     return out
