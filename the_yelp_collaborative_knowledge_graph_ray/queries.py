@@ -6540,6 +6540,211 @@ def _q_privacy_generalization(sf_dir: str):
         "n": out["n"].astype("int64")})
 
 
+def _q_kg_shacl_validation(sf_dir: str):
+    """SHACL-lite shape validation over the FULL materialized graph:
+    per shape, (n_checked, n_violations) as exact integers. Shapes:
+    turns with schema:text must carry schema:position; isPartOf
+    targets must be rdf:typed; mention objects must be rdf:typed (the
+    deliberately-failing shape — mention nodes are untyped by design,
+    so the check is non-vacuous). ONE pass re-keys each triple to its
+    focus/property role as indicator columns; a grouped MAX per IRI
+    then tiny count folds — no joins, no per-shape rescans."""
+    from .functions.grouped import sorted_aggregate
+    from .pipelines.kg import run_kg
+    import pandas as pd
+    tri = run_kg(sf_dir)
+    ind = ["f1", "p1", "f2", "f3", "p23"]
+    schema = pa.schema([("k", pa.string())]
+                       + [(c, pa.int64()) for c in ind])
+
+    def rekey(b: pa.Table) -> pa.Table:
+        pred = b["pred"]
+        subj, obj = b["subj"], b["obj"]
+
+        def m(p):
+            return pc.cast(pc.equal(pred, p), pa.int64())
+
+        z = pa.array(np.zeros(b.num_rows, np.int64))
+        skey = pa.table({"k": subj, "f1": m(C.PRED_TEXT),
+                         "p1": m(C.PRED_POSITION), "f2": z, "f3": z,
+                         "p23": m(C.RDF_TYPE)}, schema=schema)
+        okey = pa.table({"k": obj, "f1": z, "p1": z,
+                         "f2": m(C.PRED_IS_PART_OF),
+                         "f3": m(C.PRED_MENTIONS), "p23": z},
+                        schema=schema)
+        both = pa.concat_tables([skey, okey])
+        return both.group_by(["k"], use_threads=False) \
+            .aggregate([(c, "max") for c in ind]) \
+            .rename_columns(["k"] + ind)
+
+    keyed = sorted_aggregate(
+        tri.map_batches(rekey, batch_format="pyarrow"),
+        ["k"], [(c, "max") for c in ind], ["k"] + ind, 4)
+
+    def fold(b: pa.Table) -> pa.Table:
+        d = {c: b[c].to_numpy(zero_copy_only=False) for c in ind}
+        return pa.table({
+            "c1": pa.array([int(d["f1"].sum())], pa.int64()),
+            "v1": pa.array([int((d["f1"] * (1 - d["p1"])).sum())]),
+            "c2": pa.array([int(d["f2"].sum())]),
+            "v2": pa.array([int((d["f2"] * (1 - d["p23"])).sum())]),
+            "c3": pa.array([int(d["f3"].sum())]),
+            "v3": pa.array([int((d["f3"] * (1 - d["p23"])).sum())])})
+
+    s = keyed.map_batches(fold, batch_format="pyarrow").to_pandas().sum()
+    return pd.DataFrame({
+        "shape": ["ispartof_target_typed", "mention_object_typed",
+                  "turn_has_position"],
+        "n_checked": pd.Series([s["c2"], s["c3"], s["c1"]],
+                               dtype="int64"),
+        "n_violations": pd.Series([s["v2"], s["v3"], s["v1"]],
+                                  dtype="int64")})
+
+
+def _q_rel_chi2_independence(sf_dir: str):
+    """Pearson χ² independence components for market segment ×
+    order priority: per cell the exact integer
+    chi2_fp = 10⁶·(N·n_xy − n_x·n_y)² // (N·n_x·n_y) (Σ/10⁶ is the
+    statistic). Segment attaches to orders by the broadcast sorted
+    probe (customer maps ship once via ray.put); cell counts fold
+    distributed; marginal arithmetic runs on the 5×5 cell frame in
+    exact Python ints."""
+    from .functions.grouped import sorted_aggregate
+    from .functions.joins import probe_sorted
+    import pandas as pd
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    segs = np.sort(cust["c_mktsegment"].unique())
+    sid = {s: i for i, s in enumerate(segs)}
+    order = np.argsort(cust["c_custkey"].to_numpy())
+    ref = ray.put((cust["c_custkey"].to_numpy()[order],
+                   cust["c_mktsegment"].map(sid).to_numpy()[order]))
+
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys, vals = ray.get(ref)
+        sg = probe_sorted(keys, vals,
+                          b["o_custkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"sg": pa.array(sg, pa.int64()),
+                         "pri": b["o_orderpriority"],
+                         "n": pa.array(np.ones(b.num_rows, np.int64))}) \
+            .group_by(["sg", "pri"], use_threads=False) \
+            .aggregate([("n", "sum")]).rename_columns(["sg", "pri", "n"])
+
+    cells = sorted_aggregate(
+        od.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["sg", "pri"], [("n", "sum")], ["sg", "pri", "n"], 1).to_pandas()
+    cells["segment"] = segs[cells["sg"]]
+    N = int(cells["n"].sum())
+    nx = cells.groupby("segment")["n"].sum().to_dict()
+    ny = cells.groupby("pri")["n"].sum().to_dict()
+    fp = [10**6 * (N * int(n) - nx[s] * ny[p]) ** 2
+          // (N * nx[s] * ny[p])
+          for s, p, n in zip(cells["segment"], cells["pri"], cells["n"])]
+    return pd.DataFrame({
+        "segment": cells["segment"], "priority": cells["pri"],
+        "n": cells["n"].astype("int64"),
+        "chi2_fp": pd.Series(fp, dtype="int64")}) \
+        .sort_values(["segment", "priority"]).reset_index(drop=True)
+
+
+def _q_kg_two_hop(sf_dir: str):
+    """Two-hop reach per tool node: |{v ≠ u reachable in ≤ 2 directed
+    steps}| — the ego-network size k=2. Globally-deduped edges, one
+    self-join for the 2-step pairs (the triangle-count join shape),
+    union with 1-step, global distinct, grouped count."""
+    from .functions.grouped import grouped_count
+    from .functions.pagerank import _distinct
+    edges = grouped_count(_tool_transition_edges(sf_dir),
+                          ["src", "dst"], "__n", 4) \
+        .map_batches(lambda b: b.select(["src", "dst"]),
+                     batch_format="pyarrow").materialize()
+    two = edges.join(edges, join_type="inner", num_partitions=4,
+                     on=("dst",), right_on=("src",),
+                     left_suffix="", right_suffix="_r") \
+        .map_batches(lambda b: pa.table({"src": b["src"],
+                                         "dst": b["dst_r"]}),
+                     batch_format="pyarrow")
+    reach = _distinct(edges.union(two), ["src", "dst"], 4) \
+        .map_batches(lambda b: b.filter(
+            pc.invert(pc.equal(b["src"], b["dst"]))),
+            batch_format="pyarrow")
+    return grouped_count(reach, ["src"], "n_reach2", 4) \
+        .map_batches(lambda b: pa.table({"node": b["src"],
+                                         "n_reach2": b["n_reach2"]}),
+                     batch_format="pyarrow").sort("node")
+
+
+RAKE_TOP = 20
+
+
+def _q_text_rake(sf_dir: str):
+    """RAKE keyword scores (Rose et al. 2010): phrases are maximal
+    stopword-free token runs; per word freq = occurrences, deg = Σ
+    length of containing phrases; score_fp = 1000·deg // freq, top 20
+    by (score, word). One vectorized pass: flat tokens, phrase ids by
+    cumsum over (stopword | doc-start) breaks, run lengths via
+    np.unique — word partials fold distributed, the 20-row head is the
+    only driver data."""
+    from .functions.grouped import sorted_aggregate
+    from .stages.textstats import STOPWORDS
+    import pandas as pd
+    docs = _docs(sf_dir)
+    sw = pa.array(list(STOPWORDS))
+
+    empty = pa.schema([("word", pa.string()), ("freq", pa.int64()),
+                       ("deg", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.utf8_lower(b["text"]), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        if len(flat) == 0:
+            return empty.empty_table()
+        offs = np.asarray(toks.offsets) - toks.offsets[0].as_py()
+        stop = pc.is_in(flat, value_set=sw) \
+            .to_numpy(zero_copy_only=False)
+        brk = stop.copy()
+        brk[offs[:-1]] = True  # doc starts break phrases too
+        pid = np.cumsum(brk)
+        keep = ~stop
+        if not keep.any():
+            return pa.table({"word": pa.array([], pa.string()),
+                             "freq": pa.array([], pa.int64()),
+                             "deg": pa.array([], pa.int64())})
+        kpid = pid[keep]
+        uniq, inv, cnt = np.unique(kpid, return_inverse=True,
+                                   return_counts=True)
+        plen = cnt[inv]  # phrase length at each kept token
+        words = flat.filter(pa.array(keep))
+        return pa.table({"word": words,
+                         "freq": pa.array(np.ones(len(kpid), np.int64)),
+                         "deg": pa.array(plen.astype(np.int64))}) \
+            .group_by(["word"], use_threads=False) \
+            .aggregate([("freq", "sum"), ("deg", "sum")]) \
+            .rename_columns(["word", "freq", "deg"])
+
+    agg = sorted_aggregate(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["word"], [("freq", "sum"), ("deg", "sum")],
+        ["word", "freq", "deg"], 4)
+    scored = agg.map_batches(
+        lambda b: b.append_column(
+            "score_fp", pc.cast(pc.divide(
+                pc.multiply(b["deg"], pa.scalar(1000, pa.int64())),
+                b["freq"]), pa.int64())),
+        batch_format="pyarrow")
+    return scored.sort(["score_fp", "word"],
+                       descending=[True, False]) \
+        .limit(RAKE_TOP).to_pandas()
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -6845,6 +7050,10 @@ def queries() -> dict[str, Callable]:
         "events_decay_engagement": _q_events_decay_engagement,
         "kg_comention_lift": _q_kg_comention_lift,
         "privacy_generalization": _q_privacy_generalization,
+        "kg_shacl_validation": _q_kg_shacl_validation,
+        "rel_chi2_independence": _q_rel_chi2_independence,
+        "kg_two_hop_reach": _q_kg_two_hop,
+        "text_rake_keywords": _q_text_rake,
     }
 
 
@@ -10209,4 +10418,110 @@ ORDER BY doc_a, doc_b"""
         SELECT CAST(p.l AS BIGINT) AS level,
                CAST(hl.b AS BIGINT) AS bucket, CAST(hl.n AS BIGINT) AS n
         FROM hl JOIN pick p ON hl.l = p.l ORDER BY bucket"""
+    full_body = "\nUNION\n".join([
+        _structural_sql(), _mention_sql(), _mention_entity_sql(),
+        _link_sql(), _enrich_sql(fdir)])
+    out["kg_shacl_validation"] = P + f"""
+        , tri AS (SELECT * FROM ({full_body})),
+        tk AS (SELECT subj AS k,
+                      max(CASE WHEN pred = '{C.PRED_TEXT}'
+                          THEN 1 ELSE 0 END) AS f1,
+                      max(CASE WHEN pred = '{C.PRED_POSITION}'
+                          THEN 1 ELSE 0 END) AS p1,
+                      max(CASE WHEN pred = '{C.RDF_TYPE}'
+                          THEN 1 ELSE 0 END) AS p23
+               FROM tri GROUP BY 1),
+        ok AS (SELECT obj AS k,
+                      max(CASE WHEN pred = '{C.PRED_IS_PART_OF}'
+                          THEN 1 ELSE 0 END) AS f2,
+                      max(CASE WHEN pred = '{C.PRED_MENTIONS}'
+                          THEN 1 ELSE 0 END) AS f3
+               FROM tri
+               WHERE pred IN ('{C.PRED_IS_PART_OF}',
+                              '{C.PRED_MENTIONS}')
+               GROUP BY 1),
+        m AS (SELECT coalesce(tk.k, ok.k) AS k,
+                     coalesce(f1, 0) AS f1, coalesce(p1, 0) AS p1,
+                     coalesce(p23, 0) AS p23, coalesce(f2, 0) AS f2,
+                     coalesce(f3, 0) AS f3
+              FROM tk FULL JOIN ok ON ok.k = tk.k)
+        SELECT * FROM (
+          SELECT 'turn_has_position' AS shape,
+                 CAST(sum(f1) AS BIGINT) AS n_checked,
+                 CAST(sum(f1 * (1 - p1)) AS BIGINT) AS n_violations
+          FROM m
+          UNION ALL
+          SELECT 'ispartof_target_typed', CAST(sum(f2) AS BIGINT),
+                 CAST(sum(f2 * (1 - p23)) AS BIGINT) FROM m
+          UNION ALL
+          SELECT 'mention_object_typed', CAST(sum(f3) AS BIGINT),
+                 CAST(sum(f3 * (1 - p23)) AS BIGINT) FROM m)
+        ORDER BY shape"""
+    out["rel_chi2_independence"] = """
+        WITH cells AS (SELECT c.c_mktsegment AS segment,
+                              o.o_orderpriority AS priority,
+                              count(*) AS n
+                       FROM orders o
+                       JOIN customer c ON c.c_custkey = o.o_custkey
+                       GROUP BY 1, 2),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells),
+        mx AS (SELECT segment, CAST(sum(n) AS BIGINT) AS nx
+               FROM cells GROUP BY 1),
+        my AS (SELECT priority, CAST(sum(n) AS BIGINT) AS ny
+               FROM cells GROUP BY 1)
+        SELECT cells.segment, cells.priority,
+               CAST(cells.n AS BIGINT) AS n,
+               CAST(CAST(1000000 AS HUGEINT)
+                    * CAST(t.nn * cells.n - mx.nx * my.ny AS HUGEINT)
+                    * CAST(t.nn * cells.n - mx.nx * my.ny AS HUGEINT)
+                    // CAST(t.nn * mx.nx * my.ny AS HUGEINT)
+                    AS BIGINT) AS chi2_fp
+        FROM cells, t
+        JOIN mx ON mx.segment = cells.segment
+        JOIN my ON my.priority = cells.priority
+        ORDER BY 1, 2"""
+    out["kg_two_hop_reach"] = f"""
+        WITH ts AS (
+          SELECT conv_id, turn_idx, {normalize_sql('tool')} AS tool
+          FROM read_parquet('{fdir}/transcripts.parquet/*.parquet')
+          WHERE {TOOL_OK_SQL}),
+        seq AS (SELECT conv_id, tool,
+                       LEAD(tool) OVER (PARTITION BY conv_id
+                                        ORDER BY turn_idx) AS nxt
+                FROM ts),
+        edges AS (SELECT DISTINCT tool AS src, nxt AS dst
+                  FROM seq WHERE nxt IS NOT NULL AND nxt <> tool),
+        two AS (SELECT e1.src, e2.dst
+                FROM edges e1 JOIN edges e2 ON e2.src = e1.dst),
+        reach AS (SELECT src, dst FROM edges
+                  UNION SELECT src, dst FROM two)
+        SELECT src AS node, CAST(count(*) AS BIGINT) AS n_reach2
+        FROM reach WHERE src <> dst GROUP BY 1 ORDER BY 1"""
+    from .stages.textstats import STOPWORDS
+    stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
+    out["text_rake_keywords"] = f"""
+        WITH sp AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                    FROM documents),
+        pos AS (SELECT doc_id, CAST(i AS BIGINT) AS i, w[i] AS tok
+                FROM sp, unnest(generate_series(1, len(w))) AS t(i)),
+        ph AS (SELECT doc_id, i, tok,
+                      CASE WHEN tok IN ({stoplist}) THEN 1 ELSE 0 END
+                        AS stop,
+                      sum(CASE WHEN tok IN ({stoplist})
+                          THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS UNBOUNDED PRECEDING) AS pid
+               FROM pos),
+        nw AS (SELECT doc_id, pid, tok FROM ph WHERE stop = 0),
+        pl AS (SELECT doc_id, pid, count(*) AS plen
+               FROM nw GROUP BY 1, 2),
+        sc AS (SELECT n.tok AS word, count(*) AS freq,
+                      sum(p.plen) AS deg
+               FROM nw n JOIN pl p
+                 ON p.doc_id = n.doc_id AND p.pid = n.pid
+               GROUP BY 1)
+        SELECT word, CAST(freq AS BIGINT) AS freq,
+               CAST(deg AS BIGINT) AS deg,
+               CAST(1000 * deg // freq AS BIGINT) AS score_fp
+        FROM sc ORDER BY score_fp DESC, word LIMIT {RAKE_TOP}"""
     return out
