@@ -6745,6 +6745,216 @@ def _q_text_rake(sf_dir: str):
         .limit(RAKE_TOP).to_pandas()
 
 
+def _q_ml_adaboost(sf_dir: str):
+    """Two-round AdaBoost-style boosting of misclassification stumps
+    with INTEGER sample weights: stump 1 on unit weights, weights of
+    its misclassified rows double, stump 2 on the reweighted counts —
+    every pick and error count an exact integer (the classic exp(α)
+    reweight is replaced by the fixed ×2 so both twins agree bit-for-
+    bit; the greedy structure is the operator under test). Same ONE
+    distributed grouped count as the depth-2 tree; both stump scans
+    run on the bounded (q, d, label) frame. Left/right leaf predicts
+    its majority label, ties → 0."""
+    from .functions.grouped import grouped_count
+    import pandas as pd
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_quantity", "l_discount", "l_returnflag"])
+
+    def fl(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "q": pc.cast(pc.round(b["l_quantity"]), pa.int64()),
+            "d": pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)),
+                         pa.int64()),
+            "pos": pc.cast(pc.equal(b["l_returnflag"], "R"), pa.int64())})
+
+    c = grouped_count(li.map_batches(fl, batch_format="pyarrow"),
+                      ["q", "d", "pos"], "n", 4).to_pandas()
+    c["npos"] = c["n"] * c["pos"]
+
+    def best_split(fr):
+        T, P = int(fr["n"].sum()), int(fr["npos"].sum())
+        best = None
+        for feat in ("d", "q"):
+            g = fr.groupby(feat).agg(nq=("n", "sum"),
+                                     pq=("npos", "sum")).sort_index()
+            if len(g) < 2:
+                continue
+            nl = g["nq"].cumsum().to_numpy()[:-1]
+            pl = g["pq"].cumsum().to_numpy()[:-1]
+            thr = g.index.to_numpy()[:-1]
+            mis = (np.minimum(pl, nl - pl)
+                   + np.minimum(P - pl, (T - nl) - (P - pl)))
+            i = int(np.lexsort((thr, mis))[0])
+            cand = (int(mis[i]), feat, int(thr[i]),
+                    int(nl[i]), int(pl[i]))
+            if best is None or cand[:3] < best[:3]:
+                best = cand
+        if best is None:
+            raise ValueError("adaboost: no splittable feature")
+        return best
+
+    m1, f1, t1, nl1, pl1 = best_split(c)
+    T, P = int(c["n"].sum()), int(c["npos"].sum())
+    # leaf predictions: majority label, tie -> 0
+    pred_l = 1 if 2 * pl1 > nl1 else 0
+    pred_r = 1 if 2 * (P - pl1) > (T - nl1) else 0
+    on_left = c[f1] <= t1
+    pred = np.where(on_left, pred_l, pred_r)
+    wrong = (pred != c["pos"].to_numpy()).astype(np.int64)
+    w = c.copy()
+    w["n"] = c["n"] * (1 + wrong)  # x2 on misclassified rows
+    w["npos"] = w["n"] * w["pos"]
+    m2, f2, t2, _, _ = best_split(w)
+    return pd.DataFrame({
+        "round": pd.Series([1, 2], dtype="int64"),
+        "feature": [f1, f2],
+        "threshold": pd.Series([t1, t2], dtype="int64"),
+        "mis_weighted": pd.Series([m1, m2], dtype="int64"),
+        "total_weight": pd.Series([T, int(w["n"].sum())],
+                                  dtype="int64")})
+
+
+SLA_DAYS = 30
+
+
+def _q_rel_shipping_sla(sf_dir: str):
+    """Shipping SLA conformance per order priority: lineitems shipped
+    more than 30 days after their order date, over all lineitems —
+    the big×big equi-join pattern (lineitem ⋈ orders on orderkey) via
+    the int-key sorted co-group attach; date arithmetic in exact
+    epoch-days; per-priority counts fold as tiny partials."""
+    from .functions.grouped import sorted_aggregate
+    from .functions.joins import attach_column
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"])
+
+    def opack(b: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(b["o_orderdate"], pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64())) \
+            .to_numpy(zero_copy_only=False)
+        pid = pc.cast(
+            pc.utf8_slice_codeunits(b["o_orderpriority"], 0, 1),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        if (day >= 1 << 20).any():
+            raise OverflowError("sla pack: day out of range")
+        return pa.table({"k": b["o_orderkey"],
+                         "v": pa.array((pid << 20) | day, pa.int64())})
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"])
+
+    def lprep(b: pa.Table) -> pa.Table:
+        sday = pc.divide(pc.cast(b["l_shipdate"], pa.int64()),
+                         pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({"l_orderkey": pc.cast(b["l_orderkey"],
+                                               pa.int64()),
+                         "sday": sday})
+
+    joined = attach_column(
+        li.map_batches(lprep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        od.map_batches(opack, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        [("l_orderkey", pa.int64()), ("sday", pa.int64())],
+        "l_orderkey", "k", "v", "ov", pa.int64(), 8)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ov = b["ov"].to_numpy(zero_copy_only=False)
+        pid = ov >> 20
+        oday = ov & ((1 << 20) - 1)
+        late = (b["sday"].to_numpy(zero_copy_only=False) - oday
+                > SLA_DAYS).astype(np.int64)
+        return pa.table({"pid": pa.array(pid, pa.int64()),
+                         "n_lines": pa.array(np.ones(len(ov), np.int64)),
+                         "n_late": pa.array(late)}) \
+            .group_by(["pid"], use_threads=False) \
+            .aggregate([("n_lines", "sum"), ("n_late", "sum")]) \
+            .rename_columns(["pid", "n_lines", "n_late"])
+
+    return sorted_aggregate(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["pid"], [("n_lines", "sum"), ("n_late", "sum")],
+        ["pid", "n_lines", "n_late"], 1).sort("pid")
+
+
+def _q_text_ttr(sf_dir: str):
+    """Type-token ratio (lexical diversity) per document: distinct
+    words / tokens in ×10⁶ fixed point. Docs live whole in rows, so
+    one vectorized block pass suffices: flat tokens lexsorted by
+    (doc, word), per-doc type counts via boundary flags + reduceat —
+    no per-doc Python loop, no shuffle."""
+    docs = _docs(sf_dir)
+    i64 = pa.int64()
+    schema = pa.schema([("doc_id", i64), ("n_tokens", i64),
+                        ("n_types", i64), ("ttr_fp", i64)])
+
+    def f(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.utf8_lower(b["text"]), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        if len(flat) == 0:
+            return schema.empty_table()
+        offs = np.asarray(toks.offsets) - toks.offsets[0].as_py()
+        n_tok = np.diff(offs).astype(np.int64)
+        doc = np.repeat(np.arange(b.num_rows), n_tok)
+        code = pa.compute.dictionary_encode(flat).indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((code, doc))
+        ds_, cs_ = doc[order], code[order]
+        new = np.ones(len(ds_), bool)
+        new[1:] = (ds_[1:] != ds_[:-1]) | (cs_[1:] != cs_[:-1])
+        starts = offs[:-1]
+        n_types = np.add.reduceat(new.astype(np.int64), starts)
+        ids = pc.cast(b["doc_id"], i64).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_tokens": pa.array(n_tok),
+            "n_types": pa.array(n_types),
+            "ttr_fp": pa.array(10**6 * n_types // n_tok)}, schema=schema)
+
+    return docs.map_batches(f, batch_format="pyarrow").sort("doc_id")
+
+
+def _q_events_spike_days(sf_dir: str):
+    """Rate-spike detection over daily event counts: day t flags when
+    7·c_t > 2·Σ(c_{t−7..t−1}) — a trailing-mean threshold in exact
+    integer cross-multiplication (no float rate). Counts fold
+    distributed; the trailing comparison runs on the day-bounded spine
+    (the Holt pattern); days 0-6 never flag (incomplete window),
+    matching the twin's window-size guard."""
+    from .functions.grouped import grouped_count
+    import pandas as pd
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def days(b: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.divide(
+            pc.cast(b["ts"], pa.int64()),
+            pa.scalar(86_400_000_000, pa.int64()))})
+
+    d = grouped_count(ev.map_batches(days, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      ["day"], "c", 1).to_pandas()
+    lo, hi = int(d["day"].min()), int(d["day"].max())
+    spine = np.zeros(hi - lo + 1, np.int64)
+    spine[d["day"].to_numpy() - lo] = d["c"].to_numpy()
+    cum = np.concatenate([[0], np.cumsum(spine)])
+    trail = np.zeros_like(spine)
+    trail[7:] = cum[7:-1] - cum[:-8]
+    flag = np.zeros_like(spine)
+    flag[7:] = (7 * spine[7:] > 2 * trail[7:]).astype(np.int64)
+    return pd.DataFrame({
+        "day": pd.Series(np.arange(lo, hi + 1), dtype="int64"),
+        "c": pd.Series(spine, dtype="int64"),
+        "trail7": pd.Series(trail, dtype="int64"),
+        "is_spike": pd.Series(flag, dtype="int64")})
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -7054,6 +7264,10 @@ def queries() -> dict[str, Callable]:
         "rel_chi2_independence": _q_rel_chi2_independence,
         "kg_two_hop_reach": _q_kg_two_hop,
         "text_rake_keywords": _q_text_rake,
+        "ml_adaboost_stumps": _q_ml_adaboost,
+        "rel_shipping_sla": _q_rel_shipping_sla,
+        "text_type_token_ratio": _q_text_ttr,
+        "events_spike_days": _q_events_spike_days,
     }
 
 
@@ -10524,4 +10738,78 @@ ORDER BY doc_a, doc_b"""
                CAST(deg AS BIGINT) AS deg,
                CAST(1000 * deg // freq AS BIGINT) AS score_fp
         FROM sc ORDER BY score_fp DESC, word LIMIT {RAKE_TOP}"""
+    out["ml_adaboost_stumps"] = f"""
+        WITH cc AS (SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+                           CAST(round(l_discount * 100) AS BIGINT) AS d,
+                           CAST(l_returnflag = 'R' AS BIGINT) AS pos,
+                           count(*) AS n
+                    FROM lineitem GROUP BY 1, 2, 3),
+        {_tree_split_ctes('cc', 'a1')},
+        a1s AS (SELECT c.nl, c.pl FROM a1c c, a1pf pf
+                WHERE c.feat = pf.feat AND c.thr = pf.thr),
+        st AS (SELECT CASE WHEN 2 * s.pl > s.nl THEN 1 ELSE 0 END
+                 AS predl,
+               CASE WHEN 2 * (t.totp - s.pl) > (t.tot - s.nl)
+                 THEN 1 ELSE 0 END AS predr
+               FROM a1s s, a1t t),
+        wc AS (SELECT cc.q, cc.d, cc.pos,
+                      cc.n * (1 + CASE WHEN
+                        (CASE WHEN (CASE WHEN pf.feat = 'q'
+                                    THEN cc.q ELSE cc.d END) <= pf.thr
+                         THEN st.predl ELSE st.predr END) <> cc.pos
+                        THEN 1 ELSE 0 END) AS n
+               FROM cc, a1pf pf, st),
+        {_tree_split_ctes('wc', 'a2')}
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS round, feat AS feature,
+                 CAST(thr AS BIGINT) AS threshold,
+                 CAST(mis AS BIGINT) AS mis_weighted,
+                 CAST((SELECT tot FROM a1t) AS BIGINT) AS total_weight
+          FROM a1pf
+          UNION ALL
+          SELECT 2, feat, CAST(thr AS BIGINT), CAST(mis AS BIGINT),
+                 CAST((SELECT tot FROM a2t) AS BIGINT)
+          FROM a2pf)
+        ORDER BY round"""
+    out["rel_shipping_sla"] = f"""
+        SELECT CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT) AS pid,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN epoch_us(l.l_shipdate) // 86400000000
+                               - epoch_us(o.o_orderdate) // 86400000000
+                             > {SLA_DAYS} THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_late
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1 ORDER BY 1"""
+    out["text_type_token_ratio"] = """
+        WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' '))
+                          AS w
+                   FROM documents),
+        d AS (SELECT doc_id, count(*) AS n_tokens,
+                     count(DISTINCT w) AS n_types
+              FROM w GROUP BY 1)
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_types AS BIGINT) AS n_types,
+               CAST(1000000 * n_types // n_tokens AS BIGINT) AS ttr_fp
+        FROM d ORDER BY doc_id"""
+    out["events_spike_days"] = """
+        WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                          count(*) AS c
+                   FROM events GROUP BY 1),
+        sp AS (SELECT t.day, coalesce(d.c, 0) AS c
+               FROM (SELECT unnest(generate_series(
+                       (SELECT min(day) FROM d),
+                       (SELECT max(day) FROM d))) AS day) t
+               LEFT JOIN d ON d.day = t.day),
+        tr AS (SELECT day, CAST(c AS BIGINT) AS c,
+                      row_number() OVER (ORDER BY day) AS rn,
+                      coalesce(sum(c) OVER (ORDER BY day
+                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 0)
+                        AS t7
+               FROM sp)
+        SELECT day, c,
+               CAST(CASE WHEN rn > 7 THEN t7 ELSE 0 END AS BIGINT)
+                 AS trail7,
+               CAST(CASE WHEN rn > 7 AND 7 * c > 2 * t7
+                    THEN 1 ELSE 0 END AS BIGINT) AS is_spike
+        FROM tr ORDER BY day"""
     return out
