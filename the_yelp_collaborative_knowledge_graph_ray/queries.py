@@ -6955,6 +6955,128 @@ def _q_events_spike_days(sf_dir: str):
         "is_spike": pd.Series(flag, dtype="int64")})
 
 
+def _q_kg_sparql_sample_agg(sf_dir: str):
+    """SPARQL SAMPLE() aggregate: per tool, SAMPLE(?m) + COUNT(?m)
+    over the mentions×usesTool BGP — SAMPLE made deterministic as the
+    lexicographic MIN binding (a SPARQL engine may pick any; the twin
+    pins the same choice). One grouped (min, count) over the matcher's
+    distinct bindings."""
+    from .functions.bgp import bgp_match
+    from .functions.grouped import sorted_aggregate
+    pre = C.ENT + "mention/"
+    dd = bgp_match(
+        _mention_union_tri(sf_dir),
+        [("?t", C.PRED_MENTIONS, "?m"), ("?t", C.PRED_USES_TOOL, "?tool")],
+        ["m", "tool"], num_partitions=8)
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "tool": b["tool"],
+            "sample_m": pc.utf8_slice_codeunits(b["m"], len(pre)),
+            "n_bindings": pa.array(np.ones(b.num_rows, np.int64))})
+
+    return sorted_aggregate(
+        dd.map_batches(prep, batch_format="pyarrow"),
+        ["tool"], [("sample_m", "min"), ("n_bindings", "sum")],
+        ["tool", "sample_m", "n_bindings"], 4).sort("tool")
+
+
+SPARQL_PAGE, SPARQL_PAGE_SIZE = 1, 10
+
+
+def _q_kg_sparql_order_offset(sf_dir: str):
+    """SPARQL pagination: ORDER BY ?m OFFSET 10 LIMIT 10 over the
+    distinct mention bindings — the OFFSET solution modifier
+    (kg_sparql_topk covers LIMIT alone). The page slices DISTRIBUTED:
+    one global sort + zip_with_index rank, rank∈[10,20) filtered in a
+    map — no driver take of the prefix, so a deep OFFSET stays
+    scale-safe."""
+    from .functions.bgp import bgp_match
+    from .functions.joins import zip_with_index
+    pre = C.ENT + "mention/"
+    dd = bgp_match(
+        _mention_union_tri(sf_dir),
+        [("?t", C.PRED_MENTIONS, "?m"), ("?t", C.PRED_USES_TOOL, "?tool")],
+        ["m", "tool"], num_partitions=8)
+    rows = dd.map_batches(
+        lambda b: pa.table({
+            "m": pc.utf8_slice_codeunits(b["m"], len(pre)),
+            "tool": b["tool"]}),
+        batch_format="pyarrow") \
+        .map_batches(lambda b: b.append_column(
+            "__k", pc.binary_join_element_wise(b["m"], b["tool"], "\x00")),
+            batch_format="pyarrow")
+    ranked = zip_with_index(rows.sort("__k"), id_col="__r",
+                            order_by="__k")
+    lo = SPARQL_PAGE * SPARQL_PAGE_SIZE
+    hi = lo + SPARQL_PAGE_SIZE
+    return ranked.map_batches(
+        lambda b: b.filter(pc.and_(
+            pc.greater_equal(b["__r"], lo), pc.less(b["__r"], hi)))
+        .select(["m", "tool"]),
+        batch_format="pyarrow").sort(["m", "tool"])
+
+
+def _q_kg_property_cardinality(sf_dir: str):
+    """Per-predicate cardinality profile of the FULL graph — the
+    schema-discovery stats a KG curator reads first: triple count,
+    distinct subjects, and the max fan-out (triples per subject).
+    Two-level aggregate: ONE grouped (pred, subj) count, then tiny
+    per-pred folds of (sum, count, max) — never a distinct over raw
+    triples."""
+    from .functions.grouped import grouped_count, sorted_aggregate
+    from .pipelines.kg import run_kg
+    ps = grouped_count(
+        run_kg(sf_dir).map_batches(
+            lambda b: b.select(["pred", "subj"]),
+            batch_format="pyarrow"),
+        ["pred", "subj"], "n", 8)
+
+    def fold(b: pa.Table) -> pa.Table:
+        return pa.table({"pred": b["pred"], "n_triples": b["n"],
+                         "n_subjects": pa.array(
+                             np.ones(b.num_rows, np.int64)),
+                         "max_per_subj": b["n"]}) \
+            .group_by(["pred"], use_threads=False) \
+            .aggregate([("n_triples", "sum"), ("n_subjects", "sum"),
+                        ("max_per_subj", "max")]) \
+            .rename_columns(["pred", "n_triples", "n_subjects",
+                             "max_per_subj"])
+
+    return sorted_aggregate(
+        ps.map_batches(fold, batch_format="pyarrow"),
+        ["pred"], [("n_triples", "sum"), ("n_subjects", "sum"),
+                   ("max_per_subj", "max")],
+        ["pred", "n_triples", "n_subjects", "max_per_subj"], 1) \
+        .sort("pred")
+
+
+def _q_text_char_density(sf_dir: str):
+    """Character-class density per document (script/quality signal):
+    total chars, vowels, spaces, and the ×10⁶ vowel ratio — one
+    compiled-regex count kernel per class per batch
+    (pc.count_substring_regex), no tokenization, no Python chars."""
+    docs = _docs(sf_dir)
+    i64 = pa.int64()
+
+    def f(b: pa.Table) -> pa.Table:
+        txt = pc.utf8_lower(b["text"])
+        n = pc.utf8_length(txt)
+        nv = pc.count_substring_regex(txt, "[aeiou]")
+        ns = pc.count_substring_regex(txt, " ")
+        n64 = pc.cast(n, i64).to_numpy(zero_copy_only=False)
+        nv64 = pc.cast(nv, i64).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pc.cast(b["doc_id"], i64),
+            "n_chars": pa.array(n64),
+            "n_vowels": pa.array(nv64),
+            "n_spaces": pc.cast(ns, i64),
+            "vowel_fp": pa.array(
+                10**6 * nv64 // np.maximum(n64, 1))})
+
+    return docs.map_batches(f, batch_format="pyarrow").sort("doc_id")
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -7268,6 +7390,10 @@ def queries() -> dict[str, Callable]:
         "rel_shipping_sla": _q_rel_shipping_sla,
         "text_type_token_ratio": _q_text_ttr,
         "events_spike_days": _q_events_spike_days,
+        "kg_sparql_sample_agg": _q_kg_sparql_sample_agg,
+        "kg_sparql_order_offset": _q_kg_sparql_order_offset,
+        "kg_property_cardinality": _q_kg_property_cardinality,
+        "text_char_density": _q_text_char_density,
     }
 
 
@@ -10812,4 +10938,41 @@ ORDER BY doc_a, doc_b"""
                CAST(CASE WHEN rn > 7 AND 7 * c > 2 * t7
                     THEN 1 ELSE 0 END AS BIGINT) AS is_spike
         FROM tr ORDER BY day"""
+    out["kg_sparql_sample_agg"] = P + f"""
+        SELECT '{C.ENT}tool/' || {normalize_sql('t.tool')} AS tool,
+               min(m.canonical) AS sample_m,
+               count(DISTINCT m.canonical) AS n_bindings
+        FROM mention m JOIN t ON t.turn_iri = m.turn_iri
+        WHERE {TOOL_OK_SQL.replace('tool', 't.tool')}
+        GROUP BY 1 ORDER BY 1"""
+    out["kg_sparql_order_offset"] = P + f"""
+        SELECT m, tool FROM (
+          SELECT DISTINCT m.canonical AS m,
+                 '{C.ENT}tool/' || {normalize_sql('t.tool')} AS tool
+          FROM mention m JOIN t ON t.turn_iri = m.turn_iri
+          WHERE {TOOL_OK_SQL.replace('tool', 't.tool')})
+        ORDER BY m, tool
+        LIMIT {SPARQL_PAGE_SIZE} OFFSET {SPARQL_PAGE * SPARQL_PAGE_SIZE}"""
+    out["kg_property_cardinality"] = P + f"""
+        , tri AS (SELECT * FROM ({full_body})),
+        ps AS (SELECT pred, subj, count(*) AS n FROM tri GROUP BY 1, 2)
+        SELECT pred, CAST(sum(n) AS BIGINT) AS n_triples,
+               CAST(count(*) AS BIGINT) AS n_subjects,
+               CAST(max(n) AS BIGINT) AS max_per_subj
+        FROM ps GROUP BY 1 ORDER BY 1"""
+    out["text_char_density"] = """
+        WITH c AS (SELECT doc_id,
+                          CAST(length(lower(text)) AS BIGINT) AS n,
+                          CAST(length(lower(text))
+                               - length(regexp_replace(lower(text),
+                                        '[aeiou]', '', 'g')) AS BIGINT)
+                            AS nv,
+                          CAST(length(text)
+                               - length(replace(text, ' ', '')) AS BIGINT)
+                            AS ns
+                   FROM documents)
+        SELECT doc_id, n AS n_chars, nv AS n_vowels, ns AS n_spaces,
+               CAST(1000000 * nv // greatest(n, 1) AS BIGINT)
+                 AS vowel_fp
+        FROM c ORDER BY doc_id"""
     return out
