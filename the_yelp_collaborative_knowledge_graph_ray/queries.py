@@ -7077,6 +7077,179 @@ def _q_text_char_density(sf_dir: str):
     return docs.map_batches(f, batch_format="pyarrow").sort("doc_id")
 
 
+COOC_WORDS = ("hash", "join", "merge", "scan")
+COOC_MAXDIST = 2
+
+
+def _q_text_window_cooccur(sf_dir: str):
+    """Windowed co-occurrence counts for a fixed query vocabulary:
+    unordered word pairs within token distance 1..2 (skip-gram-style
+    context pairs over raw text, where pmi_bigrams sees only
+    adjacency). Vectorized: code array over flat tokens (−1 =
+    non-query), one shifted AND per distance — O(tokens·maxdist), no
+    positional join; the oracle pays the O(occ²) positional self-join
+    instead. Pair counts fold as |vocab|²-bounded partials."""
+    from .functions.grouped import sorted_aggregate
+    docs = _docs(sf_dir)
+    wl = list(COOC_WORDS)
+    i64 = pa.int64()
+    empty = pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                       ("dist", i64), ("n", i64)])
+
+    def f(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.utf8_lower(b["text"]), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        if len(flat) == 0:
+            return empty.empty_table()
+        offs = np.asarray(toks.offsets) - toks.offsets[0].as_py()
+        code = np.full(len(flat), -1, np.int64)
+        for ci, w in enumerate(wl):
+            code[pc.equal(flat, w).to_numpy(zero_copy_only=False)] = ci
+        doc = np.searchsorted(offs, np.arange(len(flat)),
+                              side="right") - 1
+        parts = []
+        k = len(wl)
+        for dist in range(1, COOC_MAXDIST + 1):
+            a, bcode = code[:-dist], code[dist:]
+            ok = (a >= 0) & (bcode >= 0) & (doc[:-dist] == doc[dist:])
+            if not ok.any():
+                continue
+            lo = np.minimum(a[ok], bcode[ok])
+            hi = np.maximum(a[ok], bcode[ok])
+            cnt = np.bincount(lo * k + hi, minlength=k * k)
+            nz = np.flatnonzero(cnt)
+            parts.append(pa.table({
+                "w1": pa.array([wl[i // k] for i in nz]),
+                "w2": pa.array([wl[i % k] for i in nz]),
+                "dist": pa.array(np.full(len(nz), dist, np.int64)),
+                "n": pa.array(cnt[nz].astype(np.int64))}, schema=empty))
+        if not parts:
+            return empty.empty_table()
+        return pa.concat_tables(parts)
+
+    return sorted_aggregate(
+        docs.map_batches(f, batch_format="pyarrow"),
+        ["w1", "w2", "dist"], [("n", "sum")],
+        ["w1", "w2", "dist", "n"], 1).sort(["w1", "w2", "dist"])
+
+
+SPARQL_REGEX = "o$"  # canonicals ending in 'o'
+
+
+def _q_kg_sparql_filter_regex(sf_dir: str):
+    """SPARQL FILTER regex(?m, "o$") over the mentions×usesTool BGP —
+    the regex FILTER builtin (comparison FILTERs are covered by
+    kg_bgp_filtered). The compiled-RE2 match runs vectorized over the
+    matcher's distinct bindings; both engines evaluate the same RE2
+    pattern."""
+    from .functions.bgp import bgp_match
+    pre = C.ENT + "mention/"
+    dd = bgp_match(
+        _mention_union_tri(sf_dir),
+        [("?t", C.PRED_MENTIONS, "?m"), ("?t", C.PRED_USES_TOOL, "?tool")],
+        ["m", "tool"], num_partitions=8)
+
+    def f(b: pa.Table) -> pa.Table:
+        m = pc.utf8_slice_codeunits(b["m"], len(pre))
+        keep = pc.match_substring_regex(m, SPARQL_REGEX)
+        return pa.table({"m": m, "tool": b["tool"]}).filter(keep)
+
+    return dd.map_batches(f, batch_format="pyarrow") \
+        .sort(["m", "tool"])
+
+
+SUPPRESS_K = 50
+
+
+def _q_privacy_cell_suppression(sf_dir: str):
+    """Statistical-disclosure-control primary cell suppression: the
+    (segment × priority × order-year) contingency table with cells
+    under k=50 zeroed and flagged — the census-release primitive.
+    Segment attaches via the broadcast sorted probe; cell counts fold
+    distributed; the suppression rule is a vectorized map over the
+    bounded cell frame."""
+    from .functions.grouped import sorted_aggregate
+    from .functions.joins import probe_sorted
+    import pandas as pd
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    segs = np.sort(cust["c_mktsegment"].unique())
+    sid = {s: i for i, s in enumerate(segs)}
+    order = np.argsort(cust["c_custkey"].to_numpy())
+    ref = ray.put((cust["c_custkey"].to_numpy()[order],
+                   cust["c_mktsegment"].map(sid).to_numpy()[order]))
+
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority", "o_orderdate"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys, vals = ray.get(ref)
+        sg = probe_sorted(keys, vals,
+                          b["o_custkey"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "sg": pa.array(sg, pa.int64()),
+            "pri": b["o_orderpriority"],
+            "y": pc.cast(pc.year(b["o_orderdate"]), pa.int64()),
+            "n": pa.array(np.ones(b.num_rows, np.int64))}) \
+            .group_by(["sg", "pri", "y"], use_threads=False) \
+            .aggregate([("n", "sum")]) \
+            .rename_columns(["sg", "pri", "y", "n"])
+
+    cells = sorted_aggregate(
+        od.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["sg", "pri", "y"], [("n", "sum")],
+        ["sg", "pri", "y", "n"], 1).to_pandas()
+    supp = (cells["n"] < SUPPRESS_K).astype("int64")
+    return pd.DataFrame({
+        "segment": segs[cells["sg"]],
+        "priority": cells["pri"],
+        "year": cells["y"].astype("int64"),
+        "n_released": (cells["n"] * (1 - supp)).astype("int64"),
+        "suppressed": supp}) \
+        .sort_values(["segment", "priority", "year"]) \
+        .reset_index(drop=True)
+
+
+def _q_rel_revenue_pacing(sf_dir: str):
+    """Bookings pacing curve: per order day, daily and cumulative
+    revenue cents plus the running share against the grand total as an
+    exact integer pair — the cumulative-distribution view of Lorenz.
+    Daily sums fold distributed; the cumsum runs on the day-bounded
+    series (the Holt/spike pattern)."""
+    from .functions.grouped import sorted_aggregate
+    import pandas as pd
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.divide(pc.cast(b["o_orderdate"], pa.int64()),
+                             pa.scalar(86_400_000_000, pa.int64())),
+            "rev": pc.cast(pc.round(pc.multiply(
+                b["o_totalprice"], 100.0)), pa.int64())}) \
+            .group_by(["day"], use_threads=False) \
+            .aggregate([("rev", "sum")]).rename_columns(["day", "rev"])
+
+    d = sorted_aggregate(
+        od.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["day"], [("rev", "sum")], ["day", "rev"], 1).to_pandas() \
+        .sort_values("day").reset_index(drop=True)
+    cum = d["rev"].cumsum()
+    return pd.DataFrame({
+        "day": d["day"].astype("int64"),
+        "rev_c": d["rev"].astype("int64"),
+        "cum_rev_c": cum.astype("int64"),
+        "total_rev_c": pd.Series(np.full(len(d), int(d["rev"].sum())),
+                                 dtype="int64")})
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -7394,6 +7567,10 @@ def queries() -> dict[str, Callable]:
         "kg_sparql_order_offset": _q_kg_sparql_order_offset,
         "kg_property_cardinality": _q_kg_property_cardinality,
         "text_char_density": _q_text_char_density,
+        "text_window_cooccur": _q_text_window_cooccur,
+        "kg_sparql_filter_regex": _q_kg_sparql_filter_regex,
+        "privacy_cell_suppression": _q_privacy_cell_suppression,
+        "rel_revenue_pacing": _q_rel_revenue_pacing,
     }
 
 
@@ -10975,4 +11152,52 @@ ORDER BY doc_a, doc_b"""
                CAST(1000000 * nv // greatest(n, 1) AS BIGINT)
                  AS vowel_fp
         FROM c ORDER BY doc_id"""
+    cooc_list = ", ".join(f"'{w}'" for w in COOC_WORDS)
+    out["text_window_cooccur"] = f"""
+        WITH sp AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                    FROM documents),
+        pos AS (SELECT doc_id, CAST(i AS BIGINT) AS i, w[i] AS tok
+                FROM sp, unnest(generate_series(1, len(w))) AS t(i)),
+        hits AS (SELECT doc_id, i, tok FROM pos
+                 WHERE tok IN ({cooc_list}))
+        SELECT least(a.tok, b.tok) AS w1, greatest(a.tok, b.tok) AS w2,
+               CAST(b.i - a.i AS BIGINT) AS dist,
+               CAST(count(*) AS BIGINT) AS n
+        FROM hits a JOIN hits b
+          ON b.doc_id = a.doc_id
+         AND b.i - a.i BETWEEN 1 AND {COOC_MAXDIST}
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+    out["kg_sparql_filter_regex"] = P + f"""
+        SELECT m, tool FROM (
+          SELECT DISTINCT m.canonical AS m,
+                 '{C.ENT}tool/' || {normalize_sql('t.tool')} AS tool
+          FROM mention m JOIN t ON t.turn_iri = m.turn_iri
+          WHERE {TOOL_OK_SQL.replace('tool', 't.tool')})
+        WHERE regexp_matches(m, '{SPARQL_REGEX}')
+        ORDER BY m, tool"""
+    out["privacy_cell_suppression"] = f"""
+        WITH cells AS (SELECT c.c_mktsegment AS segment,
+                              o.o_orderpriority AS priority,
+                              CAST(year(o.o_orderdate) AS BIGINT)
+                                AS year,
+                              count(*) AS n
+                       FROM orders o
+                       JOIN customer c ON c.c_custkey = o.o_custkey
+                       GROUP BY 1, 2, 3)
+        SELECT segment, priority, year,
+               CAST(CASE WHEN n < {SUPPRESS_K} THEN 0 ELSE n END
+                    AS BIGINT) AS n_released,
+               CAST(CASE WHEN n < {SUPPRESS_K} THEN 1 ELSE 0 END
+                    AS BIGINT) AS suppressed
+        FROM cells ORDER BY 1, 2, 3"""
+    out["rel_revenue_pacing"] = """
+        WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                          CAST(sum(CAST(round(o_totalprice * 100)
+                                        AS BIGINT)) AS BIGINT) AS rev
+                   FROM orders GROUP BY 1)
+        SELECT day, rev AS rev_c,
+               CAST(sum(rev) OVER (ORDER BY day
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_c,
+               CAST(sum(rev) OVER () AS BIGINT) AS total_rev_c
+        FROM d ORDER BY day"""
     return out
