@@ -7250,6 +7250,210 @@ def _q_rel_revenue_pacing(sf_dir: str):
                                  dtype="int64")})
 
 
+ABANDON_US = 86_400_000_000  # 24h purchase window
+
+
+def _q_events_abandoned_views(sf_dir: str):
+    """Per-event temporal anti-join: each view flagged abandoned when
+    the SAME user makes NO purchase within 24 hours at-or-after it —
+    the cart-abandonment labeler (funnel_latency sees only first
+    events; this labels EVERY view). ONE user-sort colocates complete
+    per-user groups; inside a block, each user's sorted purchase
+    timestamps answer all their views via one np.searchsorted — the
+    oracle pays a correlated NOT EXISTS instead."""
+    from .functions.grouped import group_ids, sorted_group_apply
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type"])
+    i64 = pa.int64()
+    out_schema = pa.schema([("event_id", i64), ("user_id", i64),
+                            ("abandoned", i64)])
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["event_type"],
+                        value_set=pa.array(["view", "purchase"]))
+        t = b.filter(keep)
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], i64),
+            "event_id": pc.cast(t["event_id"], i64),
+            "us": pc.cast(t["ts"], i64),
+            "is_view": pc.cast(pc.equal(t["event_type"], "view"), i64)})
+
+    def block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        gid, _ = group_ids(b, ["user_id"])
+        us = b["us"].to_numpy(zero_copy_only=False)
+        isv = b["is_view"].to_numpy(zero_copy_only=False).astype(bool)
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        n = b.num_rows
+        # ONE lexsort by (gid, ts, view-before-purchase-on-ties), then
+        # the nearest at-or-after purchase per position is a reversed
+        # minimum.accumulate over purchase indices — fully vectorized,
+        # no per-view loop. Views sort BEFORE equal-ts purchases so an
+        # exactly-simultaneous purchase still counts (ts >= view ts).
+        order = np.lexsort(((~isv).astype(np.int64), us, gid))
+        g, t_, v_ = gid[order], us[order], isv[order]
+        pidx = np.where(~v_, np.arange(n), n)  # n = +inf sentinel
+        nxt = np.minimum.accumulate(pidx[::-1])[::-1]
+        safe = np.minimum(nxt, n - 1)
+        exists = (nxt < n) & (g[safe] == g) \
+            & (t_[safe] <= t_ + ABANDON_US)
+        vmask = v_
+        return pa.table({
+            "event_id": pa.array(eid[order][vmask]),
+            "user_id": pa.array(uid[order][vmask]),
+            "abandoned": pa.array((~exists[vmask]).astype(np.int64))},
+            schema=out_schema)
+
+    return sorted_group_apply(
+        ev.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id"], block, 8).sort("event_id")
+
+
+PR_BINS = 10
+
+
+def _q_ml_pr_curve(sf_dir: str):
+    """Precision-recall curve points: 10 equi-width thresholds over the
+    n_chars score predicting lang = 'en', each row the exact integer
+    confusion counts (tp, fp, fn) — the plotting table behind a PR
+    curve, no float division anywhere. One pass of (score-bin, label)
+    partials; the threshold sweep is a cumsum over the 10-row frame."""
+    from .functions.grouped import sorted_aggregate
+    import pandas as pd
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["n_chars", "lang"])
+    stats = docs.map_batches(
+        lambda b: pa.table({
+            "mn": pa.array([pc.min(b["n_chars"]).as_py()], pa.int64()),
+            "mx": pa.array([pc.max(b["n_chars"]).as_py()], pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    mn, mx = int(stats["mn"].min()), int(stats["mx"].max())
+    width = mx - mn + 1
+
+    def hist(b: pa.Table) -> pa.Table:
+        s = b["n_chars"].to_numpy(zero_copy_only=False)
+        binx = (s - mn) * PR_BINS // width
+        return pa.table({
+            "bin": pa.array(binx, pa.int64()),
+            "n": pa.array(np.ones(len(s), np.int64)),
+            "npos": pc.cast(pc.equal(b["lang"], "en"), pa.int64())}) \
+            .group_by(["bin"], use_threads=False) \
+            .aggregate([("n", "sum"), ("npos", "sum")]) \
+            .rename_columns(["bin", "n", "npos"])
+
+    h = sorted_aggregate(
+        docs.map_batches(hist, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["bin"], [("n", "sum"), ("npos", "sum")],
+        ["bin", "n", "npos"], 1).to_pandas().sort_values("bin")
+    full = np.zeros((PR_BINS, 2), np.int64)
+    full[h["bin"].to_numpy()] = h[["n", "npos"]].to_numpy()
+    P = int(full[:, 1].sum())
+    # predict positive when bin >= t: suffix sums
+    sn = np.cumsum(full[::-1, 0])[::-1]
+    sp = np.cumsum(full[::-1, 1])[::-1]
+    return pd.DataFrame({
+        "threshold_bin": pd.Series(np.arange(PR_BINS), dtype="int64"),
+        "tp": pd.Series(sp, dtype="int64"),
+        "fp": pd.Series(sn - sp, dtype="int64"),
+        "fn": pd.Series(P - sp, dtype="int64")})
+
+
+def _q_rel_forecast_error(sf_dir: str):
+    """Naive-lag forecast evaluation: per month, actual revenue cents,
+    the previous month's revenue as the forecast, and the absolute
+    error — the exact-integer numerators of WAPE/MAE backtesting.
+    Monthly sums fold distributed; the lag runs on the month-bounded
+    frame. Months are pure integer buckets (year·12 + month−1), no
+    calendar strings."""
+    from .functions.grouped import sorted_aggregate
+    import pandas as pd
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        y = pc.year(b["o_orderdate"])
+        m = pc.month(b["o_orderdate"])
+        mi = pc.add(pc.multiply(pc.cast(y, pa.int64()),
+                                pa.scalar(12, pa.int64())),
+                    pc.subtract(pc.cast(m, pa.int64()),
+                                pa.scalar(1, pa.int64())))
+        return pa.table({
+            "mi": mi,
+            "rev": pc.cast(pc.round(pc.multiply(
+                b["o_totalprice"], 100.0)), pa.int64())}) \
+            .group_by(["mi"], use_threads=False) \
+            .aggregate([("rev", "sum")]).rename_columns(["mi", "rev"])
+
+    d = sorted_aggregate(
+        od.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["mi"], [("rev", "sum")], ["mi", "rev"], 1).to_pandas() \
+        .sort_values("mi").reset_index(drop=True)
+    rev = d["rev"].to_numpy()
+    prev = np.empty_like(rev)
+    prev[0] = -1  # no forecast for the first month (dropped below)
+    prev[1:] = rev[:-1]
+    out = pd.DataFrame({
+        "month_index": d["mi"].astype("int64"),
+        "rev_c": d["rev"].astype("int64"),
+        "forecast_c": pd.Series(prev, dtype="int64"),
+        "abs_err_c": pd.Series(np.abs(rev - prev), dtype="int64")})
+    return out.iloc[1:].reset_index(drop=True)
+
+
+IPW_MAX_K = 3
+
+
+def _q_sample_ipw_estimate(sf_dir: str):
+    """Inverse-propensity-weighted survey estimation: per source
+    stratum, a deterministic 1-in-k systematic hash sample (k = 1 +
+    source_id mod 3), the IPW estimate k·Σ_sampled n_chars, and the
+    true total — the estimator-vs-truth audit in exact integers.
+    Sampling is a shuffle-free hash filter; both totals fold in the
+    SAME single pass."""
+    from .functions.grouped import sorted_aggregate
+    from .functions.sampling import splitmix64
+    import pandas as pd
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        src = b["source"]
+        sid = pc.cast(pc.utf8_slice_codeunits(src, 3, 99), pa.int64()) \
+            .to_numpy(zero_copy_only=False)  # 'srcN' -> N, vectorized
+        k = 1 + sid % IPW_MAX_K
+        h = splitmix64(b["doc_id"].to_numpy(zero_copy_only=False)
+                       .astype(np.uint64))
+        keep = (h % k.astype(np.uint64)) == 0
+        nc = b["n_chars"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "source": src,
+            "n_sampled": pa.array(keep.astype(np.int64)),
+            "est_chars": pa.array(np.where(keep, nc * k, 0)),
+            "true_chars": pa.array(nc)}) \
+            .group_by(["source"], use_threads=False) \
+            .aggregate([("n_sampled", "sum"), ("est_chars", "sum"),
+                        ("true_chars", "sum")]) \
+            .rename_columns(["source", "n_sampled", "est_chars",
+                             "true_chars"])
+
+    return sorted_aggregate(
+        docs.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["source"], [("n_sampled", "sum"), ("est_chars", "sum"),
+                     ("true_chars", "sum")],
+        ["source", "n_sampled", "est_chars", "true_chars"], 1) \
+        .sort("source")
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -7571,6 +7775,10 @@ def queries() -> dict[str, Callable]:
         "kg_sparql_filter_regex": _q_kg_sparql_filter_regex,
         "privacy_cell_suppression": _q_privacy_cell_suppression,
         "rel_revenue_pacing": _q_rel_revenue_pacing,
+        "events_abandoned_views": _q_events_abandoned_views,
+        "ml_pr_curve": _q_ml_pr_curve,
+        "rel_forecast_error": _q_rel_forecast_error,
+        "sample_ipw_estimate": _q_sample_ipw_estimate,
     }
 
 
@@ -11200,4 +11408,62 @@ ORDER BY doc_a, doc_b"""
                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_c,
                CAST(sum(rev) OVER () AS BIGINT) AS total_rev_c
         FROM d ORDER BY day"""
+    out["events_abandoned_views"] = f"""
+        SELECT event_id, user_id,
+               CAST(CASE WHEN EXISTS (
+                      SELECT 1 FROM events p
+                      WHERE p.user_id = v.user_id
+                        AND p.event_type = 'purchase'
+                        AND epoch_us(p.ts) >= epoch_us(v.ts)
+                        AND epoch_us(p.ts) <= epoch_us(v.ts)
+                                                + {ABANDON_US})
+                    THEN 0 ELSE 1 END AS BIGINT) AS abandoned
+        FROM events v WHERE v.event_type = 'view' ORDER BY event_id"""
+    out["ml_pr_curve"] = f"""
+        WITH c AS (SELECT n_chars AS s,
+                          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+                   FROM documents),
+        mm AS (SELECT min(s) AS mn, max(s) - min(s) + 1 AS width FROM c),
+        h AS (SELECT (s - mn) * {PR_BINS} // width AS bin,
+                     count(*) AS n, sum(pos) AS np
+              FROM c, mm GROUP BY 1),
+        ks AS (SELECT unnest(range(0, {PR_BINS})) AS t)
+        SELECT CAST(t AS BIGINT) AS threshold_bin,
+               CAST(coalesce((SELECT sum(np) FROM h WHERE bin >= t), 0)
+                    AS BIGINT) AS tp,
+               CAST(coalesce((SELECT sum(n - np) FROM h WHERE bin >= t),
+                             0) AS BIGINT) AS fp,
+               CAST((SELECT sum(np) FROM h)
+                    - coalesce((SELECT sum(np) FROM h WHERE bin >= t),
+                               0) AS BIGINT) AS fn
+        FROM ks ORDER BY 1"""
+    out["rel_forecast_error"] = """
+        WITH m AS (SELECT year(o_orderdate) * 12 + month(o_orderdate)
+                            - 1 AS mi,
+                          CAST(sum(CAST(round(o_totalprice * 100)
+                                        AS BIGINT)) AS BIGINT) AS rev
+                   FROM orders GROUP BY 1),
+        l AS (SELECT mi, rev, lag(rev) OVER (ORDER BY mi) AS prev
+              FROM m)
+        SELECT CAST(mi AS BIGINT) AS month_index, rev AS rev_c,
+               CAST(prev AS BIGINT) AS forecast_c,
+               CAST(abs(rev - prev) AS BIGINT) AS abs_err_c
+        FROM l WHERE prev IS NOT NULL ORDER BY 1"""
+    out["sample_ipw_estimate"] = f"""
+        WITH base AS (SELECT doc_id, source, n_chars,
+                             CAST(substr(source, 4) AS BIGINT) AS sid,
+                             CAST(doc_id AS UBIGINT) AS kx
+                      FROM documents),
+        {_splitmix_cte('base', 'kx', 'doc_id, source, n_chars, sid')},
+        h AS (SELECT source, n_chars, 1 + sid % {IPW_MAX_K} AS k,
+                     xor(z, z >> 31) AS hh
+              FROM z2)
+        SELECT source,
+               CAST(sum(CASE WHEN hh % CAST(k AS UBIGINT) = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+               CAST(sum(CASE WHEN hh % CAST(k AS UBIGINT) = 0
+                        THEN n_chars * k ELSE 0 END) AS BIGINT)
+                 AS est_chars,
+               CAST(sum(n_chars) AS BIGINT) AS true_chars
+        FROM h GROUP BY 1 ORDER BY 1"""
     return out
