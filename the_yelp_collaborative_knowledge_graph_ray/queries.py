@@ -7454,6 +7454,198 @@ def _q_sample_ipw_estimate(sf_dir: str):
         .sort("source")
 
 
+PIT_WINDOW_US = 7 * 86_400_000_000
+
+
+def _q_events_pit_features(sf_dir: str):
+    """Point-in-time (leakage-safe) feature generation: for every
+    purchase, the count of the SAME user's views in the trailing 7-day
+    window [t−7d, t) — the feature-store as-of join. Ghost-row merge:
+    each purchase contributes a marker at t−7d; ONE user-sort of
+    (ghosts ∪ purchases ∪ views) with the tie order ghost < purchase
+    < view makes the answer an exclusive prefix-count difference —
+    no per-purchase search, no correlated scan (the oracle pays the
+    correlated COUNT)."""
+    from .functions.grouped import group_ids, sorted_group_apply
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type"])
+    i64 = pa.int64()
+    out_schema = pa.schema([("event_id", i64), ("user_id", i64),
+                            ("n_views_7d", i64)])
+
+    def prep(b: pa.Table) -> pa.Table:
+        isv = pc.equal(b["event_type"], "view")
+        isp = pc.equal(b["event_type"], "purchase")
+        keep = pc.or_(isv, isp)
+        t = b.filter(keep)
+        us = pc.cast(t["ts"], i64).to_numpy(zero_copy_only=False)
+        uid = pc.cast(t["user_id"], i64).to_numpy(zero_copy_only=False)
+        eid = pc.cast(t["event_id"], i64).to_numpy(zero_copy_only=False)
+        isp_n = pc.equal(t["event_type"], "purchase") \
+            .to_numpy(zero_copy_only=False)
+        # kind: 0 = ghost (t-7d marker), 1 = purchase, 2 = view
+        pn = int(isp_n.sum())
+        return pa.table({
+            "user_id": pa.array(np.concatenate(
+                [uid[isp_n], uid[isp_n], uid[~isp_n]])),
+            "event_id": pa.array(np.concatenate(
+                [eid[isp_n], eid[isp_n], eid[~isp_n]])),
+            "us": pa.array(np.concatenate(
+                [us[isp_n] - PIT_WINDOW_US, us[isp_n], us[~isp_n]])),
+            "kind": pa.array(np.concatenate(
+                [np.zeros(pn, np.int64), np.ones(pn, np.int64),
+                 np.full(len(us) - pn, 2, np.int64)]))})
+
+    def block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        gid, _ = group_ids(b, ["user_id"])
+        us = b["us"].to_numpy(zero_copy_only=False)
+        kind = b["kind"].to_numpy(zero_copy_only=False)
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((kind, us, gid))
+        k_, e_, u_ = kind[order], eid[order], uid[order]
+        cv = np.concatenate([[0], np.cumsum(k_ == 2)[:-1]])
+        gm, pm = k_ == 0, k_ == 1
+        ge, gc = e_[gm], cv[gm]
+        pe, pc_ = e_[pm], cv[pm]
+        go, po = np.argsort(ge, kind="stable"), \
+            np.argsort(pe, kind="stable")
+        n7 = pc_[po] - gc[go]  # ghost/purchase pairs share event_id
+        return pa.table({"event_id": pa.array(pe[po]),
+                         "user_id": pa.array(u_[pm][po]),
+                         "n_views_7d": pa.array(n7)},
+                        schema=out_schema)
+
+    return sorted_group_apply(
+        ev.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id"], block, 8).sort("event_id")
+
+
+SHARD_COUNT = 8
+
+
+def _q_multimodal_shard_plan(sf_dir: str):
+    """Content-shard layout planning for binary media payloads:
+    size-rank round-robin assignment (shard = global size-desc rank mod
+    8 — the parallel-exact stand-in for greedy first-fit-decreasing,
+    within 1 max-item of its balance) and per-shard (n_items,
+    total_bytes). The rank is ONE packed sort + zip_with_index; only
+    the 8-row plan leaves the fold."""
+    from .functions.grouped import sorted_aggregate
+    from .functions.joins import zip_with_index
+    from .stages.multimodal import synthesize_media
+    media = synthesize_media(_docs(sf_dir))
+
+    def pack(b: pa.Table) -> pa.Table:
+        size = pc.binary_length(b["payload"]) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        mid = b["media_id"].to_numpy(zero_copy_only=False)
+        if (size >= 1 << 30).any() or (mid >= 1 << 33).any():
+            raise OverflowError("shard pack: rescale sizes")
+        return pa.table({
+            "size": pa.array(size),
+            "__k": pa.array((((1 << 30) - 1 - size) << 33) | mid)})
+
+    ranked = zip_with_index(
+        media.map_batches(pack, batch_format="pyarrow").sort("__k"),
+        id_col="__r", order_by="__k")
+
+    def assign(b: pa.Table) -> pa.Table:
+        r = b["__r"].to_numpy(zero_copy_only=False)
+        return pa.table({"shard": pa.array(r % SHARD_COUNT, pa.int64()),
+                         "n_items": pa.array(np.ones(len(r), np.int64)),
+                         "total_bytes": b["size"]}) \
+            .group_by(["shard"], use_threads=False) \
+            .aggregate([("n_items", "sum"), ("total_bytes", "sum")]) \
+            .rename_columns(["shard", "n_items", "total_bytes"])
+
+    return sorted_aggregate(
+        ranked.map_batches(assign, batch_format="pyarrow"),
+        ["shard"], [("n_items", "sum"), ("total_bytes", "sum")],
+        ["shard", "n_items", "total_bytes"], 1).sort("shard")
+
+
+VOCAB_COVER_NUM, VOCAB_COVER_DEN = 19, 20  # 95% token mass
+
+
+def _q_text_vocab_coverage(sf_dir: str):
+    """Frequency-cutoff vocabulary sizing: the minimal k such that the
+    top-k words (count desc, word asc) cover ≥ 95% of token mass —
+    exact integer cross-multiplication, no percent floats. Word counts
+    fold distributed; the cumulative scan runs on the vocabulary-
+    bounded count table (the corpus-vocab « corpus invariant every
+    tokenizer stage here relies on)."""
+    from .functions.grouped import sorted_aggregate
+    import pandas as pd
+    docs = _docs(sf_dir)
+
+    def wc(b: pa.Table) -> pa.Table:
+        lst = pc.split_pattern(pc.utf8_lower(b["text"]), " ")
+        flat = pc.list_flatten(lst)
+        t = pa.table({"w": flat, "c": pa.array(
+            np.ones(len(flat), np.int64))})
+        return t.group_by(["w"], use_threads=False) \
+            .aggregate([("c", "sum")]).rename_columns(["w", "c"])
+
+    cnt = sorted_aggregate(
+        docs.map_batches(wc, batch_format="pyarrow"),
+        ["w"], [("c", "sum")], ["w", "c"], 4).to_pandas()
+    cnt = cnt.sort_values(["c", "w"], ascending=[False, True]) \
+        .reset_index(drop=True)
+    cum = cnt["c"].cumsum().to_numpy()
+    tot = int(cum[-1]) if len(cum) else 0
+    k = int(np.argmax(cum * VOCAB_COVER_DEN
+                      >= VOCAB_COVER_NUM * tot)) + 1 if tot else 0
+    return pd.DataFrame({
+        "k": pd.Series([k], dtype="int64"),
+        "covered_tokens": pd.Series([int(cum[k - 1]) if tot else 0],
+                                    dtype="int64"),
+        "total_tokens": pd.Series([tot], dtype="int64")})
+
+
+def _q_dedup_rate_by_source(sf_dir: str):
+    """Duplicate-rate audit per corpus source: docs vs distinct text
+    digests per source — the curation health report that decides which
+    feeds need dedup first. Digests-only shuffle (16-byte md5, never
+    documents), ONE grouped distinct + tiny per-source counts."""
+    from .functions.grouped import grouped_count, sorted_aggregate
+    import hashlib as _hl
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "text"])
+
+    def digest(b: pa.Table) -> pa.Table:
+        hs = [_hl.md5(t.encode()).hexdigest()
+              for t in b["text"].to_pylist()]
+        return pa.table({"source": b["source"],
+                         "h": pa.array(hs, pa.string()),
+                         "n": pa.array(np.ones(b.num_rows, np.int64))}) \
+            .group_by(["source", "h"], use_threads=False) \
+            .aggregate([("n", "sum")]) \
+            .rename_columns(["source", "h", "n"])
+
+    per_hash = sorted_aggregate(
+        docs.map_batches(digest, batch_format="pyarrow"),
+        ["source", "h"], [("n", "sum")], ["source", "h", "n"], 4)
+
+    def fold(b: pa.Table) -> pa.Table:
+        return pa.table({"source": b["source"], "n_docs": b["n"],
+                         "n_distinct": pa.array(
+                             np.ones(b.num_rows, np.int64))}) \
+            .group_by(["source"], use_threads=False) \
+            .aggregate([("n_docs", "sum"), ("n_distinct", "sum")]) \
+            .rename_columns(["source", "n_docs", "n_distinct"])
+
+    return sorted_aggregate(
+        per_hash.map_batches(fold, batch_format="pyarrow"),
+        ["source"], [("n_docs", "sum"), ("n_distinct", "sum")],
+        ["source", "n_docs", "n_distinct"], 1).sort("source")
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -7779,6 +7971,10 @@ def queries() -> dict[str, Callable]:
         "ml_pr_curve": _q_ml_pr_curve,
         "rel_forecast_error": _q_rel_forecast_error,
         "sample_ipw_estimate": _q_sample_ipw_estimate,
+        "events_pit_features": _q_events_pit_features,
+        "multimodal_shard_plan": _q_multimodal_shard_plan,
+        "text_vocab_coverage": _q_text_vocab_coverage,
+        "dedup_rate_by_source": _q_dedup_rate_by_source,
     }
 
 
@@ -11466,4 +11662,46 @@ ORDER BY doc_a, doc_b"""
                  AS est_chars,
                CAST(sum(n_chars) AS BIGINT) AS true_chars
         FROM h GROUP BY 1 ORDER BY 1"""
+    out["events_pit_features"] = f"""
+        SELECT event_id, user_id,
+               CAST((SELECT count(*) FROM events v
+                     WHERE v.user_id = p.user_id
+                       AND v.event_type = 'view'
+                       AND epoch_us(v.ts) >= epoch_us(p.ts)
+                                             - {PIT_WINDOW_US}
+                       AND epoch_us(v.ts) < epoch_us(p.ts)) AS BIGINT)
+                 AS n_views_7d
+        FROM events p WHERE p.event_type = 'purchase'
+        ORDER BY event_id"""
+    out["multimodal_shard_plan"] = f"""
+        WITH m AS (SELECT doc_id AS media_id,
+                          CAST(length(text) AS BIGINT) AS size
+                   FROM documents),
+        r AS (SELECT size,
+                     row_number() OVER (ORDER BY size DESC, media_id)
+                       - 1 AS rk
+              FROM m)
+        SELECT CAST(rk % {SHARD_COUNT} AS BIGINT) AS shard,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(size) AS BIGINT) AS total_bytes
+        FROM r GROUP BY 1 ORDER BY 1"""
+    out["text_vocab_coverage"] = f"""
+        WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS w
+                   FROM documents),
+        cnt AS (SELECT w, count(*) AS c FROM w GROUP BY 1),
+        o AS (SELECT w, c,
+                     row_number() OVER (ORDER BY c DESC, w) AS rn,
+                     sum(c) OVER (ORDER BY c DESC, w
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                     sum(c) OVER () AS tot
+              FROM cnt)
+        SELECT CAST(rn AS BIGINT) AS k,
+               CAST(cum AS BIGINT) AS covered_tokens,
+               CAST(tot AS BIGINT) AS total_tokens
+        FROM o WHERE cum * {VOCAB_COVER_DEN} >= {VOCAB_COVER_NUM} * tot
+        ORDER BY rn LIMIT 1"""
+    out["dedup_rate_by_source"] = """
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+        FROM documents GROUP BY 1 ORDER BY 1"""
     return out
