@@ -7646,6 +7646,219 @@ def _q_dedup_rate_by_source(sf_dir: str):
         ["source", "n_docs", "n_distinct"], 1).sort("source")
 
 
+def _q_events_runs_test(sf_dir: str):
+    """Wald–Wolfowitz runs-test counts over daily event-count moves:
+    n_up, n_down, n_runs of the day-over-day delta signs (zeros
+    dropped, the standard convention) — the randomness diagnostic in
+    exact integers; the z-score is presentation-time. Daily counts
+    fold distributed; the sign scan runs on the day-bounded spine."""
+    from .functions.grouped import grouped_count
+    import pandas as pd
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+    d = grouped_count(
+        ev.map_batches(lambda b: pa.table({"day": pc.divide(
+            pc.cast(b["ts"], pa.int64()),
+            pa.scalar(86_400_000_000, pa.int64()))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["day"], "c", 1).to_pandas()
+    lo, hi = int(d["day"].min()), int(d["day"].max())
+    spine = np.zeros(hi - lo + 1, np.int64)
+    spine[d["day"].to_numpy() - lo] = d["c"].to_numpy()
+    sgn = np.sign(np.diff(spine))
+    sgn = sgn[sgn != 0]
+    n_up = int((sgn > 0).sum())
+    n_down = int((sgn < 0).sum())
+    n_runs = int(1 + (sgn[1:] != sgn[:-1]).sum()) if len(sgn) else 0
+    return pd.DataFrame({
+        "n_up": pd.Series([n_up], dtype="int64"),
+        "n_down": pd.Series([n_down], dtype="int64"),
+        "n_runs": pd.Series([n_runs], dtype="int64")})
+
+
+def _q_kg_dangling_objects(sf_dir: str):
+    """Dangling-reference audit per predicate: IRI objects that never
+    appear as a subject anywhere in the graph (the generic link-rot
+    check behind the SHACL shapes). Same indicator re-key as
+    shacl_validation: one grouped MAX per IRI over (is-subject,
+    obj-of-pred-p indicators), tiny per-pred count folds."""
+    from .functions.grouped import sorted_aggregate
+    from .pipelines.kg import run_kg
+    import pandas as pd
+    tri = run_kg(sf_dir)
+    i64 = pa.int64()
+
+    def rekey(b: pa.Table) -> pa.Table:
+        nonlit = pc.invert(b["obj_is_literal"])
+        t = b.filter(nonlit)
+        n1, n2 = b.num_rows, t.num_rows
+        return pa.table({
+            "k": pa.concat_arrays([b["subj"].combine_chunks(),
+                                   t["obj"].combine_chunks()]),
+            "pred": pa.concat_arrays(
+                [pa.nulls(n1, pa.string()),
+                 t["pred"].combine_chunks()]),
+            "is_subj": pa.array(np.concatenate(
+                [np.ones(n1, np.int64), np.zeros(n2, np.int64)]))})
+
+    keyed = tri.map_batches(rekey, batch_format="pyarrow")
+    subj_flag = sorted_aggregate(
+        keyed.map_batches(
+            lambda b: pa.table({"k": b["k"], "is_subj": b["is_subj"]})
+            .group_by(["k"], use_threads=False)
+            .aggregate([("is_subj", "max")])
+            .rename_columns(["k", "is_subj"]),
+            batch_format="pyarrow"),
+        ["k"], [("is_subj", "max")], ["k", "is_subj"], 8).materialize()
+    # distinct (pred, obj) pairs of IRI objects
+    from .functions.pagerank import _distinct
+    from .functions.joins import attach_column
+    po = _distinct(
+        keyed.map_batches(
+            lambda b: b.filter(pc.is_valid(b["pred"]))
+            .select(["pred", "k"]), batch_format="pyarrow"),
+        ["pred", "k"], 8)
+    flagged = attach_column(
+        po, subj_flag, [("pred", pa.string()), ("k", pa.string())],
+        "k", "k", "is_subj", "has_subj", i64, 8, key_type=pa.string())
+
+    def fold(b: pa.Table) -> pa.Table:
+        dang = pc.subtract(pa.scalar(1, i64), b["has_subj"])
+        return pa.table({"pred": b["pred"],
+                         "n_objects": pa.array(
+                             np.ones(b.num_rows, np.int64)),
+                         "n_dangling": dang}) \
+            .group_by(["pred"], use_threads=False) \
+            .aggregate([("n_objects", "sum"), ("n_dangling", "sum")]) \
+            .rename_columns(["pred", "n_objects", "n_dangling"])
+
+    return sorted_aggregate(
+        flagged.map_batches(fold, batch_format="pyarrow"),
+        ["pred"], [("n_objects", "sum"), ("n_dangling", "sum")],
+        ["pred", "n_objects", "n_dangling"], 1).sort("pred")
+
+
+CV_FOLDS = 3
+
+
+def _q_ml_cv_stump(sf_dir: str):
+    """Grouped 3-fold cross-validation of the quantity stump: folds
+    assigned per ORDER (splitmix64(l_orderkey) mod 3 — group k-fold,
+    so an order's lines never straddle train/test), per fold the best
+    train-split threshold and its exact train/test misclassification.
+    ONE distributed (fold, q, label) grouped count; the 3 threshold
+    scans run on the ≤ 3·|q|·2 frame."""
+    from .functions.grouped import grouped_count
+    from .functions.sampling import splitmix64
+    import pandas as pd
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity", "l_returnflag"])
+
+    def fl(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        fold = (splitmix64(ok.astype(np.uint64))
+                % np.uint64(CV_FOLDS)).astype(np.int64)
+        return pa.table({
+            "fold": pa.array(fold),
+            "q": pc.cast(pc.round(b["l_quantity"]), pa.int64()),
+            "pos": pc.cast(pc.equal(b["l_returnflag"], "R"), pa.int64())})
+
+    c = grouped_count(li.map_batches(fl, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      ["fold", "q", "pos"], "n", 4).to_pandas()
+    c["npos"] = c["n"] * c["pos"]
+    rows = []
+    for f in range(CV_FOLDS):
+        tr = c[c["fold"] != f]
+        te = c[c["fold"] == f]
+        g = tr.groupby("q").agg(nq=("n", "sum"),
+                                pq=("npos", "sum")).sort_index()
+        T, P = int(g["nq"].sum()), int(g["pq"].sum())
+        nl = g["nq"].cumsum().to_numpy()[:-1]
+        pl = g["pq"].cumsum().to_numpy()[:-1]
+        thr = g.index.to_numpy()[:-1]
+        mis = (np.minimum(pl, nl - pl)
+               + np.minimum(P - pl, (T - nl) - (P - pl)))
+        i = int(np.lexsort((thr, mis))[0])
+        t0, m0 = int(thr[i]), int(mis[i])
+        # leaf labels from the TRAIN side at the chosen threshold
+        predl = 1 if 2 * pl[i] > nl[i] else 0
+        predr = 1 if 2 * (P - pl[i]) > (T - nl[i]) else 0
+        left = te["q"] <= t0
+        pred = np.where(left, predl, predr)
+        test_mis = int((te["n"] * (pred != te["pos"])).sum())
+        rows.append((f, t0, m0, test_mis))
+    out = pd.DataFrame(rows, columns=["fold", "threshold",
+                                      "train_mis", "test_mis"])
+    return out.astype({c_: "int64" for c_ in out.columns})
+
+
+NOVELTY_N = 3
+
+
+def _q_text_novelty_scores(sf_dir: str):
+    """Streaming novelty scoring: per document, its word-3-gram count
+    and how many of those 3-grams appear in NO earlier document (by
+    doc_id) — the dedup-adjacent freshness signal for curation. The
+    Heaps'-law first-occurrence trick at n-gram level: novelty needs
+    no per-prefix state, just ONE grouped min (first_doc per gram) and
+    a join-back counted per doc; distinct grams per doc keep the
+    shuffle gram-deduplicated."""
+    from .functions.grouped import sorted_aggregate
+    docs = _docs(sf_dir)
+    i64 = pa.int64()
+
+    empty = pa.schema([("g", pa.string()), ("d", i64)])
+
+    def grams(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.utf8_lower(b["text"]), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        if len(flat) < NOVELTY_N:
+            return empty.empty_table()
+        offs = np.asarray(toks.offsets) - toks.offsets[0].as_py()
+        ids = pc.cast(b["doc_id"], i64).to_numpy(zero_copy_only=False)
+        # vectorized 3-gram join over the flat token array; a gram at
+        # position i is valid iff i and i+2 fall in the same doc
+        g = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 2), flat.slice(1, len(flat) - 2),
+            flat.slice(2), " ")
+        doc = np.searchsorted(offs, np.arange(len(flat)),
+                              side="right") - 1
+        ok = doc[:-2] == doc[2:]
+        t = pa.table({"g": g.filter(pa.array(ok)),
+                      "d": pa.array(ids[doc[:-2][ok]])}, schema=empty)
+        # per-doc distinct grams: one Arrow group_by, no Python rows
+        return t.group_by(["g", "d"], use_threads=False) \
+            .aggregate([]).rename_columns(["g", "d"]).cast(empty)
+
+    gstream = docs.map_batches(grams, batch_format="pyarrow") \
+        .materialize()
+    first = sorted_aggregate(
+        gstream, ["g"], [("d", "min")], ["g", "fd"], 8).materialize()
+    from .functions.joins import attach_column
+    joined = attach_column(
+        gstream, first, [("g", pa.string()), ("d", i64)],
+        "g", "g", "fd", "fd", i64, 8, key_type=pa.string())
+
+    def fold(b: pa.Table) -> pa.Table:
+        novel = pc.cast(pc.equal(b["d"], b["fd"]), i64)
+        return pa.table({"doc_id": b["d"],
+                         "n_grams": pa.array(
+                             np.ones(b.num_rows, np.int64)),
+                         "n_novel": novel}) \
+            .group_by(["doc_id"], use_threads=False) \
+            .aggregate([("n_grams", "sum"), ("n_novel", "sum")]) \
+            .rename_columns(["doc_id", "n_grams", "n_novel"])
+
+    return sorted_aggregate(
+        joined.map_batches(fold, batch_format="pyarrow"),
+        ["doc_id"], [("n_grams", "sum"), ("n_novel", "sum")],
+        ["doc_id", "n_grams", "n_novel"], 4).sort("doc_id")
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -7975,6 +8188,10 @@ def queries() -> dict[str, Callable]:
         "multimodal_shard_plan": _q_multimodal_shard_plan,
         "text_vocab_coverage": _q_text_vocab_coverage,
         "dedup_rate_by_source": _q_dedup_rate_by_source,
+        "events_runs_test": _q_events_runs_test,
+        "kg_dangling_objects": _q_kg_dangling_objects,
+        "ml_cv_stump": _q_ml_cv_stump,
+        "text_novelty_scores": _q_text_novelty_scores,
     }
 
 
@@ -11704,4 +11921,100 @@ ORDER BY doc_a, doc_b"""
         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
                CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct
         FROM documents GROUP BY 1 ORDER BY 1"""
+    out["events_runs_test"] = """
+        WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                          count(*) AS c
+                   FROM events GROUP BY 1),
+        sp AS (SELECT t.day, coalesce(d.c, 0) AS c
+               FROM (SELECT unnest(generate_series(
+                       (SELECT min(day) FROM d),
+                       (SELECT max(day) FROM d))) AS day) t
+               LEFT JOIN d ON d.day = t.day),
+        s AS (SELECT day, c - lag(c) OVER (ORDER BY day) AS delta
+              FROM sp),
+        nz AS (SELECT day, CASE WHEN delta > 0 THEN 1 ELSE -1 END AS sg
+               FROM s WHERE delta IS NOT NULL AND delta <> 0),
+        r AS (SELECT day, sg, lag(sg) OVER (ORDER BY day) AS prev
+              FROM nz)
+        SELECT CAST(coalesce(sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END),
+                             0) AS BIGINT) AS n_up,
+               CAST(coalesce(sum(CASE WHEN sg = -1 THEN 1 ELSE 0 END),
+                             0) AS BIGINT) AS n_down,
+               CAST(coalesce(sum(CASE WHEN prev IS NULL OR sg <> prev
+                             THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_runs
+        FROM r"""
+    out["kg_dangling_objects"] = P + f"""
+        , tri AS (SELECT * FROM ({full_body})),
+        subs AS (SELECT DISTINCT subj AS k FROM tri),
+        po AS (SELECT DISTINCT pred, obj FROM tri
+               WHERE NOT obj_is_literal)
+        SELECT pred, CAST(count(*) AS BIGINT) AS n_objects,
+               CAST(sum(CASE WHEN NOT EXISTS (
+                     SELECT 1 FROM subs WHERE subs.k = po.obj)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_dangling
+        FROM po GROUP BY 1 ORDER BY 1"""
+    cv_parts = []
+    for f in range(CV_FOLDS):
+        cv_parts.append(f"""
+        f{f}g AS (SELECT q, sum(n) AS nq, sum(n * pos) AS pq
+                  FROM cc WHERE fold <> {f} GROUP BY 1),
+        f{f}t AS (SELECT sum(nq) AS tot, sum(pq) AS totp FROM f{f}g),
+        f{f}c AS (SELECT q,
+                         sum(nq) OVER (ORDER BY q
+                           ROWS UNBOUNDED PRECEDING) AS nl,
+                         sum(pq) OVER (ORDER BY q
+                           ROWS UNBOUNDED PRECEDING) AS pl
+                  FROM f{f}g),
+        f{f}m AS (SELECT q, nl, pl,
+                         least(pl, nl - pl)
+                         + least(t.totp - pl,
+                                 (t.tot - nl) - (t.totp - pl)) AS mis
+                  FROM f{f}c, f{f}t t WHERE nl < t.tot),
+        f{f}p AS (SELECT q, nl, pl, mis FROM f{f}m
+                  ORDER BY mis, q LIMIT 1),
+        f{f}s AS (SELECT p.q AS thr, p.mis,
+                         CASE WHEN 2 * p.pl > p.nl THEN 1 ELSE 0 END
+                           AS predl,
+                         CASE WHEN 2 * (t.totp - p.pl)
+                                   > (t.tot - p.nl) THEN 1 ELSE 0 END
+                           AS predr
+                  FROM f{f}p p, f{f}t t),
+        f{f}e AS (SELECT CAST({f} AS BIGINT) AS fold,
+                         CAST(s.thr AS BIGINT) AS threshold,
+                         CAST(s.mis AS BIGINT) AS train_mis,
+                         CAST(sum(CASE WHEN (CASE WHEN cc.q <= s.thr
+                                             THEN s.predl
+                                             ELSE s.predr END)
+                                       <> cc.pos
+                                  THEN cc.n ELSE 0 END) AS BIGINT)
+                           AS test_mis
+                  FROM cc, f{f}s s WHERE cc.fold = {f}
+                  GROUP BY 1, 2, 3)""")
+    out["ml_cv_stump"] = f"""
+        WITH b0 AS (SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+                           CAST(l_returnflag = 'R' AS BIGINT) AS pos,
+                           CAST(l_orderkey AS UBIGINT) AS kx
+                    FROM lineitem),
+        {_splitmix_cte('b0', 'kx', 'q, pos')},
+        cc AS (SELECT q, pos,
+                      CAST(xor(z, z >> 31) % {CV_FOLDS} AS BIGINT)
+                        AS fold,
+                      count(*) AS n
+               FROM z2 GROUP BY 1, 2, 3),
+        {','.join(cv_parts)}
+        SELECT * FROM (SELECT * FROM f0e UNION ALL
+                       SELECT * FROM f1e UNION ALL
+                       SELECT * FROM f2e)
+        ORDER BY fold"""
+    out["text_novelty_scores"] = """
+        WITH sp AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                    FROM documents),
+        gr AS (SELECT DISTINCT doc_id,
+                      w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS g
+               FROM sp, unnest(generate_series(1, len(w) - 2)) AS t(i)),
+        fd AS (SELECT g, min(doc_id) AS fd FROM gr GROUP BY 1)
+        SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN fd.fd = gr.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel
+        FROM gr JOIN fd USING(g) GROUP BY 1 ORDER BY 1"""
     return out
