@@ -7859,6 +7859,204 @@ def _q_text_novelty_scores(sf_dir: str):
         ["doc_id", "n_grams", "n_novel"], 4).sort("doc_id")
 
 
+SKEW_TOP = 10
+
+
+def _q_diag_key_skew(sf_dir: str):
+    """Join-key skew diagnostic: the top-10 heaviest l_partkey values
+    with their row counts, plus per-row the ×10⁶ ratio of that count
+    to the MEAN key frequency — the report that decides whether a
+    shuffle needs salting. ONE grouped count; the top-k head is a
+    distributed sort-limit; totals ride along as exact integers."""
+    from .functions.grouped import grouped_count
+    import pandas as pd
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_partkey"])
+    cnt = grouped_count(li, ["l_partkey"], "n", 4).materialize()
+    totals = cnt.map_batches(
+        lambda b: pa.table({
+            "rows": pa.array([int(pc.sum(b["n"]).as_py() or 0)],
+                             pa.int64()),
+            "keys": pa.array([b.num_rows], pa.int64())}),
+        batch_format="pyarrow").to_pandas().sum()
+    n_rows, n_keys = int(totals["rows"]), int(totals["keys"])
+    top = cnt.sort(["n", "l_partkey"], descending=[True, False]) \
+        .limit(SKEW_TOP).to_pandas()
+    # skew_fp = n · n_keys · 10^6 // n_rows  (count over mean frequency)
+    skew = [10**6 * int(n) * n_keys // n_rows for n in top["n"]]
+    return pd.DataFrame({
+        "l_partkey": top["l_partkey"].astype("int64"),
+        "n": top["n"].astype("int64"),
+        "skew_fp": pd.Series(skew, dtype="int64")})
+
+
+STOPWORD_DF_NUM, STOPWORD_DF_DEN = 1, 2  # df > 50% of docs
+
+
+def _q_text_stopword_discovery(sf_dir: str):
+    """Corpus-driven stopword discovery: words whose document frequency
+    exceeds half the corpus — the preprocessing step that derives the
+    stoplist instead of assuming one. Per-doc-distinct words (one
+    Arrow group_by per block) keep the shuffle df-shaped; the df
+    threshold is integer cross-multiplication."""
+    from .functions.grouped import sorted_aggregate
+    docs = _docs(sf_dir)
+    n_docs = int(ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id"]).count())
+
+    def dfp(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.utf8_lower(b["text"]), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offs = np.asarray(toks.offsets) - toks.offsets[0].as_py()
+        doc = np.searchsorted(offs, np.arange(len(flat)),
+                              side="right") - 1
+        t = pa.table({"w": flat, "d": pa.array(doc, pa.int64())})
+        dd = t.group_by(["w", "d"], use_threads=False).aggregate([])
+        return pa.table({"w": dd["w"], "df": pa.array(
+            np.ones(dd.num_rows, np.int64))}) \
+            .group_by(["w"], use_threads=False) \
+            .aggregate([("df", "sum")]).rename_columns(["w", "df"])
+
+    df = sorted_aggregate(
+        docs.map_batches(dfp, batch_format="pyarrow"),
+        ["w"], [("df", "sum")], ["w", "df"], 4)
+    return df.map_batches(
+        lambda b: b.filter(pc.greater(
+            pc.multiply(b["df"], pa.scalar(STOPWORD_DF_DEN, pa.int64())),
+            pa.scalar(STOPWORD_DF_NUM * n_docs, pa.int64()))),
+        batch_format="pyarrow").sort("w") \
+        .map_batches(lambda b: b.rename_columns(["word", "df"]),
+                     batch_format="pyarrow")
+
+
+def _q_rel_aov_by_order_rank(sf_dir: str):
+    """Repeat-purchase economics: order value by the customer's order
+    SEQUENCE number (1st order, 2nd, …) — per rank, count and total
+    cents (AOV = total/n at presentation). The rank is a per-customer
+    row_number (date, orderkey tie-break) computed inside complete
+    sorted customer groups; only rank-bounded partials shuffle."""
+    from .functions.grouped import group_ids, sorted_aggregate, \
+        sorted_group_apply
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey", "o_orderdate",
+                 "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "ck": pc.cast(b["o_custkey"], pa.int64()),
+            "ok": pc.cast(b["o_orderkey"], pa.int64()),
+            "day": pc.divide(pc.cast(b["o_orderdate"], pa.int64()),
+                             pa.scalar(86_400_000_000, pa.int64())),
+            "p": pc.cast(pc.round(pc.multiply(
+                b["o_totalprice"], 100.0)), pa.int64())})
+
+    def block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema([("rank", pa.int64()),
+                              ("n", pa.int64()),
+                              ("total_c", pa.int64())]).empty_table()
+        gid, _ = group_ids(b, ["ck"])
+        day = b["day"].to_numpy(zero_copy_only=False)
+        ok = b["ok"].to_numpy(zero_copy_only=False)
+        p = b["p"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, day, gid))
+        g = gid[order]
+        starts = np.flatnonzero(np.concatenate(
+            [[True], g[1:] != g[:-1]]))
+        rank = np.arange(len(g)) - np.repeat(
+            starts, np.diff(np.concatenate([starts, [len(g)]]))) + 1
+        return pa.table({"rank": pa.array(rank, pa.int64()),
+                         "n": pa.array(np.ones(len(g), np.int64)),
+                         "total_c": pa.array(p[order])}) \
+            .group_by(["rank"], use_threads=False) \
+            .aggregate([("n", "sum"), ("total_c", "sum")]) \
+            .rename_columns(["rank", "n", "total_c"])
+
+    ranked = sorted_group_apply(
+        od.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["ck"], block, 8)
+    return sorted_aggregate(
+        ranked, ["rank"], [("n", "sum"), ("total_c", "sum")],
+        ["rank", "n", "total_c"], 1).sort("rank")
+
+
+BRAND_TOPK = 3
+
+
+def _q_rel_top3_parts_per_brand(sf_dir: str):
+    """Grouped top-k (k=3): the three highest-revenue parts within
+    every brand, full deterministic tie-break (revenue desc, partkey
+    asc) — the per-group head operator beyond top-1. Revenue folds in
+    cents×pct fixed point; the per-brand heads are picked inside
+    complete sorted brand groups, so only 3·|brands| rows survive."""
+    from .functions.grouped import group_ids, sorted_aggregate, \
+        sorted_group_apply
+    from .functions.joins import probe_sorted
+    import pandas as pd
+    part = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand"]).to_pandas()
+    bid = part["p_brand"].str.slice(6).astype("int64").to_numpy()
+    order = np.argsort(part["p_partkey"].to_numpy())
+    ref = ray.put((part["p_partkey"].to_numpy()[order], bid[order]))
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys, vals = ray.get(ref)
+        brand = probe_sorted(
+            keys, vals, b["l_partkey"].to_numpy(zero_copy_only=False))
+        price_c = pc.cast(pc.round(pc.multiply(
+            b["l_extendedprice"], 100.0)), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        disc = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)),
+                       pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"b": pa.array(brand, pa.int64()),
+                         "pk": pc.cast(b["l_partkey"], pa.int64()),
+                         "rev": pa.array(price_c * (100 - disc))}) \
+            .group_by(["b", "pk"], use_threads=False) \
+            .aggregate([("rev", "sum")]) \
+            .rename_columns(["b", "pk", "rev"])
+
+    per_part = sorted_aggregate(
+        li.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["b", "pk"], [("rev", "sum")], ["b", "pk", "rev"], 8)
+
+    def heads(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        gid, _ = group_ids(b, ["b"])
+        rev = b["rev"].to_numpy(zero_copy_only=False)
+        pk = b["pk"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pk, -rev, gid))
+        g = gid[order]
+        starts = np.flatnonzero(np.concatenate(
+            [[True], g[1:] != g[:-1]]))
+        rank = np.arange(len(g)) - np.repeat(
+            starts, np.diff(np.concatenate([starts, [len(g)]])))
+        keep = rank < BRAND_TOPK
+        sel = order[keep]
+        return pa.table({
+            "brand_id": pc.cast(b["b"], pa.int64()).take(
+                pa.array(sel)),
+            "p_partkey": b["pk"].take(pa.array(sel)),
+            "rev": b["rev"].take(pa.array(sel)),
+            "rk": pa.array(rank[keep] + 1, pa.int64())})
+
+    out = sorted_group_apply(per_part, ["b"], heads, 8).to_pandas()
+    return out.sort_values(["brand_id", "rk"]).reset_index(drop=True) \
+        .astype({"brand_id": "int64", "p_partkey": "int64",
+                 "rev": "int64", "rk": "int64"})
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -8192,6 +8390,10 @@ def queries() -> dict[str, Callable]:
         "kg_dangling_objects": _q_kg_dangling_objects,
         "ml_cv_stump": _q_ml_cv_stump,
         "text_novelty_scores": _q_text_novelty_scores,
+        "diag_key_skew": _q_diag_key_skew,
+        "text_stopword_discovery": _q_text_stopword_discovery,
+        "rel_aov_by_order_rank": _q_rel_aov_by_order_rank,
+        "rel_top3_parts_per_brand": _q_rel_top3_parts_per_brand,
     }
 
 
@@ -12017,4 +12219,51 @@ ORDER BY doc_a, doc_b"""
                CAST(sum(CASE WHEN fd.fd = gr.doc_id THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_novel
         FROM gr JOIN fd USING(g) GROUP BY 1 ORDER BY 1"""
+    out["diag_key_skew"] = f"""
+        WITH cnt AS (SELECT l_partkey, count(*) AS n
+                     FROM lineitem GROUP BY 1),
+        tot AS (SELECT sum(n) AS nr, count(*) AS nk FROM cnt)
+        SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+               CAST(n AS BIGINT) AS n,
+               CAST(1000000 * n * t.nk // t.nr AS BIGINT) AS skew_fp
+        FROM cnt, tot t
+        ORDER BY n DESC, l_partkey LIMIT {SKEW_TOP}"""
+    out["text_stopword_discovery"] = f"""
+        WITH sp AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                    FROM documents),
+        tw AS (SELECT DISTINCT doc_id, t.x AS word
+               FROM sp, unnest(w) AS t(x)),
+        df AS (SELECT word, CAST(count(*) AS BIGINT) AS df
+               FROM tw GROUP BY 1),
+        nd AS (SELECT count(*) AS n FROM documents)
+        SELECT word, df FROM df, nd
+        WHERE df * {STOPWORD_DF_DEN} > {STOPWORD_DF_NUM} * nd.n
+        ORDER BY word"""
+    out["rel_aov_by_order_rank"] = """
+        WITH r AS (SELECT o_custkey,
+                          row_number() OVER (
+                              PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS rank,
+                          CAST(round(o_totalprice * 100) AS BIGINT) AS p
+                   FROM orders)
+        SELECT CAST(rank AS BIGINT) AS rank,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(p) AS BIGINT) AS total_c
+        FROM r GROUP BY 1 ORDER BY 1"""
+    out["rel_top3_parts_per_brand"] = f"""
+        WITH rev AS (
+          SELECT CAST(substr(p_brand, 7) AS BIGINT) AS brand_id,
+                 CAST(l_partkey AS BIGINT) AS p_partkey,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100)
+                                        AS BIGINT))) AS BIGINT) AS rev
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          GROUP BY 1, 2),
+        rk AS (SELECT brand_id, p_partkey, rev,
+                      row_number() OVER (
+                          PARTITION BY brand_id
+                          ORDER BY rev DESC, p_partkey) AS rk
+               FROM rev)
+        SELECT brand_id, p_partkey, rev, CAST(rk AS BIGINT) AS rk
+        FROM rk WHERE rk <= {BRAND_TOPK} ORDER BY brand_id, rk"""
     return out
