@@ -8057,6 +8057,207 @@ def _q_rel_top3_parts_per_brand(sf_dir: str):
                  "rev": "int64", "rk": "int64"})
 
 
+# RDFS domain/range schema for the graph's object properties — the rule
+# table an RDFS reasoner materializes rdf:type entailments from.
+RDFS_RULES = {
+    C.PRED_IS_PART_OF: (C.CLASS_TURN, C.CLASS_CONVERSATION),
+    C.PRED_USES_TOOL: (C.CLASS_TURN, C.CLASS_TOOL),
+    C.PRED_MENTIONS: (C.CLASS_TURN, C.CLASS_MENTION),
+    # These three entail types the pipeline never asserts (external
+    # Wikidata entities as schema:Thing, type IRIs as rdfs:Class) — the
+    # non-vacuous part of the entailment.
+    C.PRED_SAME_AS: (C.CLASS_MENTION, C.SCHEMA + "Thing"),
+    C.PRED_INSTANCE_OF: (C.SCHEMA + "Thing", C.RDFS + "Class"),
+    C.RDFS_SUBCLASS_OF: (C.RDFS + "Class", C.RDFS + "Class"),
+}
+
+
+def _q_kg_rdfs_inference(sf_dir: str):
+    """RDFS domain/range entailment: for every (s, p, o) whose predicate
+    carries a domain/range declaration, infer (s, rdf:type, domain) and
+    (o, rdf:type, range); report only the NEWLY entailed type triples
+    (inferred MINUS asserted). Rules live in the closure (3 predicates);
+    inference is per-pred vectorized masks, distinct is one grouped
+    count, and the subtraction is the shared anti co-group join — no
+    driver-side triple sets."""
+    from .functions.bgp import cogroup_join
+    from .functions.grouped import grouped_count
+    from .pipelines.kg import run_kg
+    tri = run_kg(sf_dir)
+    preds = pa.array(list(RDFS_RULES), pa.string())
+
+    def infer(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b["pred"], value_set=preds))
+        outs = []
+        for p, (dcls, rcls) in RDFS_RULES.items():
+            s = t.filter(pc.equal(t["pred"], p))
+            if s.num_rows == 0:
+                continue
+            fill = lambda v: pa.nulls(s.num_rows, pa.string()).fill_null(v)
+            outs.append(pa.table({"node": pc.cast(s["subj"], pa.string()),
+                                  "type_iri": fill(dcls)}))
+            outs.append(pa.table({"node": pc.cast(s["obj"], pa.string()),
+                                  "type_iri": fill(rcls)}))
+        if not outs:
+            return pa.schema([("node", pa.string()),
+                              ("type_iri", pa.string())]).empty_table()
+        return pa.concat_tables(outs)
+
+    inferred = grouped_count(
+        tri.map_batches(infer, batch_format="pyarrow"),
+        ["node", "type_iri"], "n", 8).drop_columns(["n"])
+    asserted = tri.map_batches(
+        lambda b: b.filter(pc.equal(b["pred"], C.RDF_TYPE))
+                   .select(["subj", "obj"])
+                   .rename_columns(["node", "type_iri"]),
+        batch_format="pyarrow")
+    return cogroup_join(inferred, asserted, ["node", "type_iri"],
+                        ["node", "type_iri"], ["node", "type_iri"],
+                        num_partitions=8, how="anti") \
+        .sort(["node", "type_iri"])
+
+
+SCD_OPEN_END = 1 << 62  # pinned "still valid" sentinel, both engines
+
+
+def _q_rel_scd2_intervals(sf_dir: str):
+    """SCD type-2 dimension build from a change log: per user, collapse
+    consecutive runs of equal event_type (ordered by ts, event_id) into
+    [valid_from, valid_to) validity intervals; the open interval ends at
+    the pinned sentinel. Run detection happens inside complete sorted
+    user groups (sort key = the run key alone — the block-run
+    invariant), so only interval rows leave the stage."""
+    from .functions.grouped import group_ids, sorted_group_apply
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"])
+    i64 = pa.int64()
+    schema = pa.schema([
+        ("user_id", i64), ("seg", i64), ("event_type", pa.string()),
+        ("valid_from_us", i64), ("valid_to_us", i64), ("n_events", i64)])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"u": pc.cast(b["user_id"], i64),
+                         "t": pc.cast(b["ts"], i64),
+                         "e": pc.cast(b["event_id"], i64),
+                         "k": pc.cast(b["event_type"], pa.string())})
+
+    def block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return schema.empty_table()
+        gid, _ = group_ids(b, ["u"])
+        t = b["t"].to_numpy(zero_copy_only=False)
+        e = b["e"].to_numpy(zero_copy_only=False)
+        k = b["k"].to_numpy(zero_copy_only=False)
+        u = b["u"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, t, gid))
+        g, tt, kk, uu = gid[order], t[order], k[order], u[order]
+        new = np.concatenate([[True], (g[1:] != g[:-1])
+                              | (kk[1:] != kk[:-1])])
+        starts = np.flatnonzero(new)
+        n = np.diff(np.append(starts, len(g)))
+        vf, gr = tt[starts], g[starts]
+        vt = np.append(vf[1:], SCD_OPEN_END)
+        vt[np.append(gr[1:] != gr[:-1], True)] = SCD_OPEN_END
+        ustart = np.concatenate([[True], gr[1:] != gr[:-1]])
+        row = np.arange(len(gr), dtype=np.int64)
+        seg = row - np.maximum.accumulate(np.where(ustart, row, 0)) + 1
+        return pa.table({"user_id": pa.array(uu[starts], i64),
+                         "seg": pa.array(seg, i64),
+                         "event_type": pa.array(kk[starts], pa.string()),
+                         "valid_from_us": pa.array(vf, i64),
+                         "valid_to_us": pa.array(vt, i64),
+                         "n_events": pa.array(n, i64)}, schema=schema)
+
+    return sorted_group_apply(
+        ev.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["u"], block, 8).sort(["user_id", "seg"])
+
+
+def _q_events_cumulative_users(sf_dir: str):
+    """Cumulative distinct users by day — the audience-growth curve: a
+    user counts on their FIRST-seen day only (per-user grouped min, not
+    a running distinct over raw events), then daily new-user counts and
+    one bounded cumulative fold over the day table."""
+    from .functions.grouped import sorted_aggregate
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
+    i64 = pa.int64()
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": pc.cast(b["user_id"], i64),
+            "d": pc.divide(pc.cast(b["ts"], i64),
+                           pa.scalar(86_400_000_000, i64))}) \
+            .group_by(["u"], use_threads=False) \
+            .aggregate([("d", "min")]).rename_columns(["u", "d"])
+
+    first = sorted_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["u"], [("d", "min")], ["u", "d"], 8)
+
+    def daycnt(b: pa.Table) -> pa.Table:
+        return b.append_column("n", pa.array(
+            np.ones(b.num_rows, np.int64))) \
+            .group_by(["d"], use_threads=False) \
+            .aggregate([("n", "sum")]).rename_columns(["d", "n"])
+
+    days = sorted_aggregate(
+        first.map_batches(daycnt, batch_format="pyarrow"),
+        ["d"], [("n", "sum")], ["d", "n"], 1)
+
+    def cum(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        return pa.table({"day": b["d"], "n_new": b["n"],
+                         "cum_users": pa.array(np.cumsum(n), i64)})
+
+    return days.map_batches(cum, batch_format="pyarrow", batch_size=None)
+
+
+WITHIN_DAYS = 7
+
+
+def _q_rel_orders_within_week(sf_dir: str):
+    """Interval self-join (range join): per order, how many OTHER orders
+    the same customer placed within ±7 days. Inside complete sorted
+    customer groups the window count is two np.searchsorted passes over
+    a (group, day) packed key — O(n log n) per block versus the oracle's
+    O(n·m) BETWEEN join; no pair ever materializes."""
+    from .functions.grouped import group_ids, sorted_group_apply
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey", "o_orderdate"])
+    i64 = pa.int64()
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "ck": pc.cast(b["o_custkey"], i64),
+            "ok": pc.cast(b["o_orderkey"], i64),
+            "day": pc.divide(pc.cast(b["o_orderdate"], i64),
+                             pa.scalar(86_400_000_000, i64))})
+
+    def block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema([("o_orderkey", i64),
+                              ("n_within", i64)]).empty_table()
+        gid, _ = group_ids(b, ["ck"])
+        day = b["day"].to_numpy(zero_copy_only=False)
+        ok = b["ok"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, gid))
+        packed = gid[order] * 1_000_000 + day[order]
+        lo = np.searchsorted(packed, packed - WITHIN_DAYS, side="left")
+        hi = np.searchsorted(packed, packed + WITHIN_DAYS, side="right")
+        return pa.table({"o_orderkey": pa.array(ok[order], i64),
+                         "n_within": pa.array(hi - lo - 1, i64)})
+
+    return sorted_group_apply(
+        od.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["ck"], block, 8).sort("o_orderkey")
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -8394,6 +8595,10 @@ def queries() -> dict[str, Callable]:
         "text_stopword_discovery": _q_text_stopword_discovery,
         "rel_aov_by_order_rank": _q_rel_aov_by_order_rank,
         "rel_top3_parts_per_brand": _q_rel_top3_parts_per_brand,
+        "kg_rdfs_inference": _q_kg_rdfs_inference,
+        "rel_scd2_intervals": _q_rel_scd2_intervals,
+        "events_cumulative_users": _q_events_cumulative_users,
+        "rel_orders_within_week": _q_rel_orders_within_week,
     }
 
 
@@ -12266,4 +12471,65 @@ ORDER BY doc_a, doc_b"""
                FROM rev)
         SELECT brand_id, p_partkey, rev, CAST(rk AS BIGINT) AS rk
         FROM rk WHERE rk <= {BRAND_TOPK} ORDER BY brand_id, rk"""
+    rules_vals = ", ".join(
+        f"('{p}', '{d}', '{r}')" for p, (d, r) in RDFS_RULES.items())
+    out["kg_rdfs_inference"] = P + f"""
+        , tri AS (SELECT * FROM ({full_body})),
+        rules(p, dcls, rcls) AS (VALUES {rules_vals}),
+        inf AS (SELECT DISTINCT node, type_iri FROM (
+            SELECT t.subj AS node, r.dcls AS type_iri
+            FROM tri t JOIN rules r ON t.pred = r.p
+            UNION ALL
+            SELECT t.obj, r.rcls
+            FROM tri t JOIN rules r ON t.pred = r.p))
+        SELECT node, type_iri FROM inf
+        EXCEPT
+        SELECT subj, obj FROM tri WHERE pred = '{C.RDF_TYPE}'
+        ORDER BY node, type_iri"""
+    out["rel_scd2_intervals"] = f"""
+        WITH e AS (SELECT user_id, event_type, event_id,
+                          CAST(epoch_us(ts) AS BIGINT) AS t FROM events),
+        m AS (SELECT *, lag(event_type) OVER (
+                  PARTITION BY user_id ORDER BY t, event_id) AS prev
+              FROM e),
+        s AS (SELECT *, sum(CASE WHEN prev IS NULL
+                                   OR prev <> event_type
+                                 THEN 1 ELSE 0 END) OVER (
+                  PARTITION BY user_id ORDER BY t, event_id
+                  ROWS UNBOUNDED PRECEDING) AS seg
+              FROM m),
+        r AS (SELECT user_id, seg, min(event_type) AS event_type,
+                     min(t) AS valid_from_us, count(*) AS n_events
+              FROM s GROUP BY 1, 2)
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(seg AS BIGINT) AS seg, event_type,
+               CAST(valid_from_us AS BIGINT) AS valid_from_us,
+               CAST(coalesce(lead(valid_from_us) OVER (
+                        PARTITION BY user_id ORDER BY seg),
+                    {SCD_OPEN_END}) AS BIGINT) AS valid_to_us,
+               CAST(n_events AS BIGINT) AS n_events
+        FROM r ORDER BY user_id, seg"""
+    out["events_cumulative_users"] = """
+        WITH f AS (SELECT user_id,
+                          min(CAST(epoch_us(ts) // 86400000000
+                                   AS BIGINT)) AS day
+                   FROM events GROUP BY 1),
+        d AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new
+              FROM f GROUP BY 1)
+        SELECT day, n_new,
+               CAST(sum(n_new) OVER (ORDER BY day
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        FROM d ORDER BY day"""
+    out["rel_orders_within_week"] = f"""
+        WITH o AS (SELECT o_orderkey, o_custkey,
+                          CAST(epoch_us(o_orderdate) // 86400000000
+                               AS BIGINT) AS d
+                   FROM orders)
+        SELECT a.o_orderkey,
+               CAST(count(b.o_orderkey) AS BIGINT) AS n_within
+        FROM o a LEFT JOIN o b
+          ON a.o_custkey = b.o_custkey
+         AND b.d BETWEEN a.d - {WITHIN_DAYS} AND a.d + {WITHIN_DAYS}
+         AND b.o_orderkey <> a.o_orderkey
+        GROUP BY 1 ORDER BY 1"""
     return out
