@@ -8258,6 +8258,171 @@ def _q_rel_orders_within_week(sf_dir: str):
         ["ck"], block, 8).sort("o_orderkey")
 
 
+def _q_text_bigram_surprisal(sf_dir: str):
+    """Bigram-LM surprisal per document — the conditional next-token
+    analog of text_surprisal, Laplace-smoothed, in EXACT integers:
+    Σ over bigram occurrences of bitlen((c_u + V) // (c_uv + 1)), where
+    c_uv is the corpus bigram count, c_u its left marginal and V the
+    vocabulary size. One tokenize pass yields per-doc bigram
+    multiplicities; corpus tables are bigram-dictionary-sized; the two
+    count attachments are hash joins, never a matrix."""
+    from .functions.grouped import grouped_count, sorted_aggregate
+    from .stages.dedup import _words_flat
+    docs = _docs(sf_dir)
+    i64 = pa.int64()
+    part_schema = pa.schema([("doc_id", i64), ("uv", pa.string()),
+                             ("u", pa.string()), ("m", i64)])
+
+    def bigram_partial(b: pa.Table) -> pa.Table:
+        words, doc_of = _words_flat(b["text"])
+        did = b["doc_id"].to_numpy()
+        if len(words) < 2:
+            return part_schema.empty_table()
+        m = doc_of[1:] == doc_of[:-1]
+        u = pa.array(words[:-1][m], pa.string())
+        v = pa.array(words[1:][m], pa.string())
+        d = pa.array(did[doc_of[:-1][m]], i64)
+        uv = pc.binary_join_element_wise(u, v, "\x1f")
+        return pa.table({"doc_id": d, "uv": uv, "u": u,
+                         "m": pa.array(np.ones(len(u), np.int64))},
+                        schema=part_schema) \
+            .group_by(["doc_id", "uv", "u"], use_threads=False) \
+            .aggregate([("m", "sum")]) \
+            .rename_columns(["doc_id", "uv", "u", "m"])
+
+    parts = docs.map_batches(bigram_partial, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+    cuv = sorted_aggregate(
+        parts.map_batches(lambda b: b.select(["uv", "m"]),
+                          batch_format="pyarrow"),
+        ["uv"], [("m", "sum")], ["uv", "cuv"], 8)
+    cu = sorted_aggregate(
+        parts.map_batches(lambda b: b.select(["u", "m"]),
+                          batch_format="pyarrow"),
+        ["u"], [("m", "sum")], ["u", "cu"], 8)
+
+    def vocab_partial(b: pa.Table) -> pa.Table:
+        words, _ = _words_flat(b["text"])
+        return pa.table({"w": pa.array(np.unique(words), pa.string())})
+
+    V = int(grouped_count(
+        docs.map_batches(vocab_partial, batch_format="pyarrow",
+                         zero_copy_batch=True), ["w"], "n", 8).count())
+
+    joined = parts.join(cuv, join_type="inner", num_partitions=8,
+                        on=("uv",)) \
+        .join(cu, join_type="inner", num_partitions=8, on=("u",))
+
+    def weigh(b: pa.Table) -> pa.Table:
+        m = b["m"].to_numpy(zero_copy_only=False)
+        q = ((b["cu"].to_numpy(zero_copy_only=False) + V)
+             // (b["cuv"].to_numpy(zero_copy_only=False) + 1)
+             ).astype(np.float64)
+        bl = np.frexp(q)[1].astype(np.int64)
+        return pa.table({"doc_id": b["doc_id"],
+                         "s": pa.array(m * bl, i64), "m": b["m"]})
+
+    return sorted_aggregate(
+        joined.map_batches(weigh, batch_format="pyarrow"),
+        ["doc_id"], [("s", "sum"), ("m", "sum")],
+        ["doc_id", "bits", "n_bigrams"], 8).sort("doc_id")
+
+
+PATH_TOPK = 10
+
+
+def _q_events_session_paths(sf_dir: str):
+    """Session path mining: the top-10 most common 3-event-type
+    sequences inside gap-windowed sessions (the behavioral n-gram miner
+    behind funnel discovery). Sessionization + trigram emission happen
+    inside complete sorted user groups; only (path, count) partials —
+    bounded by |event_type|³ — ever shuffle."""
+    from .functions.grouped import group_ids, sorted_aggregate, \
+        sorted_group_apply
+    from .pipelines.relational import SESSION_GAP_S
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"])
+    i64 = pa.int64()
+    gap_us = SESSION_GAP_S * 1_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"u": pc.cast(b["user_id"], i64),
+                         "t": pc.cast(b["ts"], i64),
+                         "e": pc.cast(b["event_id"], i64),
+                         "k": pc.cast(b["event_type"], pa.string())})
+
+    out_schema = pa.schema([("path", pa.string()), ("n", i64)])
+
+    def block(b: pa.Table) -> pa.Table:
+        if b.num_rows < 3:
+            return out_schema.empty_table()
+        gid, _ = group_ids(b, ["u"])
+        t = b["t"].to_numpy(zero_copy_only=False)
+        e = b["e"].to_numpy(zero_copy_only=False)
+        k = b["k"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, t, gid))
+        g, tt, kk = gid[order], t[order], k[order]
+        new = np.concatenate(
+            [[True], (g[1:] != g[:-1]) | (np.diff(tt) > gap_us)])
+        sid = np.cumsum(new)
+        ok = (sid[:-2] == sid[1:-1]) & (sid[1:-1] == sid[2:])
+        if not ok.any():
+            return out_schema.empty_table()
+        a1 = pa.array(kk[:-2][ok], pa.string())
+        a2 = pa.array(kk[1:-1][ok], pa.string())
+        a3 = pa.array(kk[2:][ok], pa.string())
+        path = pc.binary_join_element_wise(a1, a2, a3, ">")
+        return pa.table({"path": path, "n": pa.array(
+            np.ones(len(a1), np.int64))}, schema=out_schema) \
+            .group_by(["path"], use_threads=False) \
+            .aggregate([("n", "sum")]).rename_columns(["path", "n"])
+
+    partials = sorted_group_apply(
+        ev.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True), ["u"], block, 8)
+    return sorted_aggregate(partials, ["path"], [("n", "sum")],
+                            ["path", "n"], 1) \
+        .sort(["n", "path"], descending=[True, False]).limit(PATH_TOPK)
+
+
+def _q_kg_transe_negatives(sf_dir: str):
+    """Deterministic negative sampling for KG-embedding training
+    (TransE-style corrupted triples): for every (turn, usesTool, tool)
+    edge, a corrupted object drawn from the ranked tool list at index
+    md5(subj#obj)[:8 hex] % |tools|, stepping one slot on a collision
+    with the true object. The candidate list is vocabulary-sized and
+    rides in the closure; edges stream through one hash pass."""
+    from .functions.grouped import grouped_count
+    from .pipelines.kg import run_kg
+    import hashlib
+    tri = run_kg(sf_dir).map_batches(
+        lambda b: b.filter(pc.equal(b["pred"], C.PRED_USES_TOOL))
+                   .select(["subj", "obj"]),
+        batch_format="pyarrow").materialize()
+    tools = sorted(grouped_count(
+        tri.map_batches(lambda b: b.select(["obj"]),
+                        batch_format="pyarrow"),
+        ["obj"], "n", 4).to_pandas()["obj"])
+    n = len(tools)
+    tools_ref = ray.put(tools)
+
+    def corrupt(b: pa.Table) -> pa.Table:
+        cand = ray.get(tools_ref)
+        s = b["subj"].to_numpy(zero_copy_only=False)
+        o = b["obj"].to_numpy(zero_copy_only=False)
+        idx = np.array([int(hashlib.md5(
+            (a + "#" + c).encode()).hexdigest()[:8], 16) % n
+            for a, c in zip(s, o)], np.int64)
+        neg = [cand[(i + 1) % n] if cand[i] == c else cand[i]
+               for i, c in zip(idx, o)]
+        return pa.table({"subj": b["subj"], "obj": b["obj"],
+                         "neg_obj": pa.array(neg, pa.string())})
+
+    return tri.map_batches(corrupt, batch_format="pyarrow") \
+        .sort(["subj", "obj"])
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -8599,6 +8764,9 @@ def queries() -> dict[str, Callable]:
         "rel_scd2_intervals": _q_rel_scd2_intervals,
         "events_cumulative_users": _q_events_cumulative_users,
         "rel_orders_within_week": _q_rel_orders_within_week,
+        "text_bigram_surprisal": _q_text_bigram_surprisal,
+        "events_session_paths": _q_events_session_paths,
+        "kg_transe_negatives": _q_kg_transe_negatives,
     }
 
 
@@ -12532,4 +12700,60 @@ ORDER BY doc_a, doc_b"""
          AND b.d BETWEEN a.d - {WITHIN_DAYS} AND a.d + {WITHIN_DAYS}
          AND b.o_orderkey <> a.o_orderkey
         GROUP BY 1 ORDER BY 1"""
+    out["text_bigram_surprisal"] = """
+        WITH sp AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                    FROM documents),
+        tok AS (SELECT doc_id, w[i] AS u, w[i + 1] AS v
+                FROM sp, unnest(generate_series(1, len(w) - 1)) AS t(i)),
+        cuv AS (SELECT u, v, count(*) AS cuv FROM tok GROUP BY 1, 2),
+        cu AS (SELECT u, sum(cuv) AS cu FROM cuv GROUP BY 1),
+        vocab AS (SELECT count(DISTINCT x) AS V
+                  FROM (SELECT unnest(w) AS x FROM sp)),
+        s AS (SELECT tok.doc_id,
+                     length(bin((cu.cu + vocab.V) // (cuv.cuv + 1)))
+                       AS b
+              FROM tok JOIN cuv ON tok.u = cuv.u AND tok.v = cuv.v
+              JOIN cu ON tok.u = cu.u, vocab)
+        SELECT doc_id, CAST(sum(b) AS BIGINT) AS bits,
+               CAST(count(*) AS BIGINT) AS n_bigrams
+        FROM s GROUP BY 1 ORDER BY 1"""
+    out["events_session_paths"] = f"""
+        WITH e AS (SELECT user_id, event_id, event_type,
+                          CAST(epoch_us(ts) AS BIGINT) AS t FROM events),
+        m AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                               OR t - lag(t) OVER w > {1_800_000_000}
+                             THEN 1 ELSE 0 END AS brk
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        s AS (SELECT *, sum(brk) OVER (
+                  PARTITION BY user_id ORDER BY t, event_id
+                  ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m),
+        g AS (SELECT event_type, lead(event_type, 1) OVER w2 AS e2,
+                     lead(event_type, 2) OVER w2 AS e3
+              FROM s
+              WINDOW w2 AS (PARTITION BY user_id, sid
+                            ORDER BY t, event_id)),
+        p AS (SELECT event_type || '>' || e2 || '>' || e3 AS path
+              FROM g WHERE e3 IS NOT NULL)
+        SELECT path, CAST(count(*) AS BIGINT) AS n FROM p
+        GROUP BY 1 ORDER BY n DESC, path LIMIT {PATH_TOPK}"""
+    out["kg_transe_negatives"] = P + f"""
+        , tri AS (SELECT * FROM ({full_body})),
+        e AS (SELECT DISTINCT subj, obj FROM tri
+              WHERE pred = '{C.PRED_USES_TOOL}'),
+        tl AS (SELECT obj AS tool,
+                      row_number() OVER (ORDER BY obj) - 1 AS pos
+               FROM (SELECT DISTINCT obj FROM e)),
+        nt AS (SELECT count(*) AS n FROM tl),
+        h AS (SELECT subj, obj,
+                     ('0x' || substring(md5(subj || '#' || obj), 1, 8))
+                       ::BIGINT % n.n AS idx, n.n AS n
+              FROM e, nt n)
+        SELECT h.subj, h.obj,
+               CASE WHEN t1.tool = h.obj THEN t2.tool
+                    ELSE t1.tool END AS neg_obj
+        FROM h JOIN tl t1 ON t1.pos = h.idx
+        JOIN tl t2 ON t2.pos = (h.idx + 1) % h.n
+        ORDER BY h.subj, h.obj"""
     return out
