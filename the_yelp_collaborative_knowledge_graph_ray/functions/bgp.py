@@ -211,12 +211,17 @@ def _scan(triples: ray.data.Dataset, pat: tuple[str, str, str],
     closure is computed once by distributed path doubling
     (:func:`..functions.datalog.transitive_closure`, ⌈log₂ diameter⌉
     co-group rounds) and then filtered/projected exactly like a base
-    scan — so p+ composes with every other pattern and modifier."""
+    scan — so p+ composes with every other pattern and modifier.
+
+    ``p*`` (zero-or-more) is ``p+`` unioned with the identity relation
+    over the nodes incident to p edges (the practical SPARQL-engine
+    scoping of zero-length paths: terms that participate in p)."""
     s, p, o = pat
     plus = (not _is_var(p)) and p.endswith("+")
-    if plus and "|" in p:
-        raise ValueError("bgp_match: p|q and p+ cannot combine in one "
-                         "step")
+    star = (not _is_var(p)) and p.endswith("*")
+    if (plus or star) and "|" in p:
+        raise ValueError("bgp_match: p|q and p+/p* cannot combine in "
+                         "one step")
     out = [(pos, t[1:]) for pos, t in zip("spo", (s, p, o))
            if _is_var(t)]
     consts = [(pos, t) for pos, t in zip("spo", (s, p, o))
@@ -227,7 +232,7 @@ def _scan(triples: ray.data.Dataset, pat: tuple[str, str, str],
         raise ValueError("bgp_match: repeated variable in one pattern")
 
     source = triples
-    if plus:
+    if plus or star:
         from .datalog import transitive_closure
         base = p[:-1]
 
@@ -236,10 +241,19 @@ def _scan(triples: ray.data.Dataset, pat: tuple[str, str, str],
             return pa.table({"src": pc.cast(t["subj"], pa.string()),
                              "dst": pc.cast(t["obj"], pa.string())})
 
+        e = triples.map_batches(edges, batch_format="pyarrow",
+                                zero_copy_batch=True)
         clo = transitive_closure(
-            triples.map_batches(edges, batch_format="pyarrow",
-                                zero_copy_batch=True),
-            "src", "dst", num_partitions=num_partitions or 4)
+            e, "src", "dst", num_partitions=num_partitions or 4)
+        if star:
+            # zero-length paths: node ⟶ itself, for every incident node
+            def ident(b: pa.Table) -> pa.Table:
+                n = pa.concat_arrays(
+                    [pc.cast(b["src"], pa.string()).combine_chunks(),
+                     pc.cast(b["dst"], pa.string()).combine_chunks()])
+                u = pc.unique(n)
+                return pa.table({"src": u, "dst": u})
+            clo = clo.union(e.map_batches(ident, batch_format="pyarrow"))
         source = clo.map_batches(
             lambda b: pa.table({
                 "subj": b["src"],

@@ -8423,6 +8423,192 @@ def _q_kg_transe_negatives(sf_dir: str):
         .sort(["subj", "obj"])
 
 
+CONTAM_K, CONTAM_BENCH = 5, "src0"
+
+
+def _q_text_contamination(sf_dir: str):
+    """Benchmark decontamination: flag every non-benchmark document
+    sharing at least one 5-gram with the benchmark slice (source
+    'src0') and count its shared 5-grams — the train/test-overlap
+    scrub every LLM data pipeline runs before training. Distinct
+    (shingle, doc) postings shuffle ONCE on the shingle; inside each
+    complete shingle group a benchmark flag fans out to train rows —
+    no doc pair and no benchmark set ever materializes on the driver."""
+    from .functions.grouped import group_ids, grouped_count, \
+        sorted_group_apply
+    from .stages.dedup import _distinct_doc_shingles
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"])
+    i64 = pa.int64()
+    post_schema = pa.schema([("s", pa.string()), ("doc_id", i64),
+                             ("source", pa.string()),
+                             ("bench", pa.bool_())])
+
+    def postings(b: pa.Table) -> pa.Table:
+        doc_idx, codes, dic = _distinct_doc_shingles(b["text"], CONTAM_K)
+        if len(doc_idx) == 0:
+            return post_schema.empty_table()
+        did = b["doc_id"].to_numpy()
+        src = b["source"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "s": pa.array(dic.take(pa.array(codes)), pa.string()),
+            "doc_id": pa.array(did[doc_idx], i64),
+            "source": pa.array(src[doc_idx], pa.string()),
+            "bench": pa.array(src[doc_idx] == CONTAM_BENCH)},
+            schema=post_schema)
+
+    hit_schema = pa.schema([("doc_id", i64), ("source", pa.string()),
+                            ("h", i64)])
+
+    def flag(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return hit_schema.empty_table()
+        gid, _ = group_ids(b, ["s"])
+        bench = b["bench"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        has = np.zeros(gid[-1] + 1, bool)
+        np.logical_or.at(has, gid, bench)
+        keep = np.flatnonzero(has[gid] & ~bench)
+        t = b.take(pa.array(keep))
+        return pa.table({"doc_id": t["doc_id"], "source": t["source"],
+                         "h": pa.array(np.ones(len(keep), np.int64))},
+                        schema=hit_schema)
+
+    hits = sorted_group_apply(
+        docs.map_batches(postings, batch_format="pyarrow",
+                         zero_copy_batch=True), ["s"], flag, 8)
+    df = grouped_count(
+        hits.map_batches(lambda b: b.select(["doc_id", "source"]),
+                         batch_format="pyarrow"),
+        ["doc_id", "source"], "n_hits", 4).sort("doc_id").to_pandas()
+    if df.empty:  # an empty Dataset loses its schema through sort
+        import pandas as pd
+        df = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                           "source": pd.Series(dtype="object"),
+                           "n_hits": pd.Series(dtype="int64")})
+    return df
+
+
+def _q_text_repetition_filter(sf_dir: str):
+    """MassiveText-style repetition signals per document: the top
+    unigram's share of tokens and the duplicate-trigram fraction, both
+    ×10⁶ exact-integer ratios — the rule-based quality gate that drops
+    looping/boilerplate text before training. All counting is Arrow
+    group_by inside the block (documents live whole in rows); output is
+    one row per doc."""
+    from .stages.dedup import _words_flat
+    docs = _docs(sf_dir)
+    i64 = pa.int64()
+
+    def f(b: pa.Table) -> pa.Table:
+        words, doc_of = _words_flat(b["text"])
+        did = b["doc_id"].to_numpy()
+        wc = pa.table({"d": pa.array(doc_of, i64),
+                       "w": pa.array(words, pa.string())}) \
+            .group_by(["d", "w"], use_threads=False) \
+            .aggregate([("w", "count")])
+        uni = wc.group_by(["d"], use_threads=False) \
+            .aggregate([("w_count", "sum"), ("w_count", "max")])
+        ud = uni["d"].to_numpy(zero_copy_only=False)
+        ntok = uni["w_count_sum"].to_numpy(zero_copy_only=False)
+        topc = uni["w_count_max"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ud)
+        ud, ntok, topc = ud[order], ntok[order], topc[order]
+
+        m2 = doc_of[2:] == doc_of[:-2]
+        n_g = np.zeros(len(ud), np.int64)
+        n_d = np.zeros(len(ud), np.int64)
+        if m2.any():
+            g = pc.binary_join_element_wise(
+                pa.array(words[:-2][m2], pa.string()),
+                pa.array(words[1:-1][m2], pa.string()),
+                pa.array(words[2:][m2], pa.string()), " ")
+            gd = doc_of[:-2][m2]
+            tg = pa.table({"d": pa.array(gd, i64), "g": g}) \
+                .group_by(["d", "g"], use_threads=False) \
+                .aggregate([("g", "count")])
+            tri = tg.group_by(["d"], use_threads=False) \
+                .aggregate([("g_count", "sum"), ("g_count", "count")])
+            td = tri["d"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ud, td)
+            n_g[pos] = tri["g_count_sum"].to_numpy(zero_copy_only=False)
+            n_d[pos] = tri["g_count_count"].to_numpy(
+                zero_copy_only=False)
+        dup_fp = np.where(n_g > 0, 10**6 * (n_g - n_d)
+                          // np.maximum(n_g, 1), 0)
+        return pa.table({
+            "doc_id": pa.array(did[ud], i64),
+            "n_tokens": pa.array(ntok, i64),
+            "top_fp": pa.array(10**6 * topc // ntok, i64),
+            "dup_fp": pa.array(dup_fp, i64)})
+
+    return docs.map_batches(f, batch_format="pyarrow",
+                            zero_copy_batch=True).sort("doc_id")
+
+
+PACK_BUDGET = 512  # tokens per training pack
+
+
+def _q_text_pack_plan(sf_dir: str):
+    """Streaming document packing: assign each doc (in doc_id order) to
+    the training pack its running token offset falls in — the
+    context-window packing planner. Exact distributed prefix sum in the
+    zip_with_index style (functions/joins.py:190): per-block token
+    totals (ONE int each) come to the driver, blocks get exclusive
+    offsets, local cumsum + offset never moves block data."""
+    import ray as _ray
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    i64 = pa.int64()
+
+    def toks(b: pa.Table) -> pa.Table:
+        lst = pc.split_pattern(pc.utf8_lower(b["text"]), " ")
+        return pa.table({"doc_id": pc.cast(b["doc_id"], i64),
+                         "n_tokens": pc.cast(
+                             pc.list_value_length(lst), i64)})
+
+    mat = docs.map_batches(toks, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .sort("doc_id").materialize()
+    refs = mat.to_arrow_refs()
+
+    @_ray.remote
+    def meta(t: pa.Table):
+        n = t["n_tokens"].to_numpy(zero_copy_only=False)
+        first = t["doc_id"][0].as_py() if t.num_rows else None
+        return int(n.sum()), first
+
+    @_ray.remote
+    def tag(t: pa.Table, off: int) -> pa.Table:
+        n = t["n_tokens"].to_numpy(zero_copy_only=False)
+        cum = off + np.concatenate([[0], np.cumsum(n)[:-1]])
+        return t.append_column(
+            "pack_id", pa.array(cum // PACK_BUDGET, pa.int64()))
+
+    metas = _ray.get([meta.remote(r) for r in refs])
+    pairs = sorted(zip(refs, metas),
+                   key=lambda rm: (rm[1][1] is None, rm[1][1]))
+    offs = np.concatenate(
+        [[0], np.cumsum([m[0] for _, m in pairs])[:-1]])
+    return ray.data.from_arrow_refs(
+        [tag.remote(r, int(o)) for (r, _), o in zip(pairs, offs)])
+
+
+def _q_kg_sparql_path_star(sf_dir: str):
+    """SPARQL zero-or-more property path: {?a rdfs:subClassOf* ?b} over
+    the full graph — the closure of the type hierarchy plus the
+    identity on every node incident to a subClassOf edge (scoped
+    zero-length semantics, functions/bgp._scan). Completes the path
+    surface: ^p, p/q, p|q, p+, p*."""
+    from .functions.bgp import bgp_match
+    from .pipelines.kg import run_kg
+    return bgp_match(
+        run_kg(sf_dir), [("?a", C.RDFS_SUBCLASS_OF + "*", "?b")],
+        ["a", "b"], num_partitions=8).sort(["a", "b"])
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -8767,6 +8953,10 @@ def queries() -> dict[str, Callable]:
         "text_bigram_surprisal": _q_text_bigram_surprisal,
         "events_session_paths": _q_events_session_paths,
         "kg_transe_negatives": _q_kg_transe_negatives,
+        "text_contamination": _q_text_contamination,
+        "text_repetition_filter": _q_text_repetition_filter,
+        "text_pack_plan": _q_text_pack_plan,
+        "kg_sparql_path_star": _q_kg_sparql_path_star,
     }
 
 
@@ -12756,4 +12946,67 @@ ORDER BY doc_a, doc_b"""
         FROM h JOIN tl t1 ON t1.pos = h.idx
         JOIN tl t2 ON t2.pos = (h.idx + 1) % h.n
         ORDER BY h.subj, h.obj"""
+    shingle_expr = " || ' ' || ".join(
+        f"w[i + {j}]" for j in range(CONTAM_K))
+    out["text_contamination"] = f"""
+        WITH sp AS (SELECT doc_id, source,
+                           string_split(lower(text), ' ') AS w
+                    FROM documents),
+        g AS (SELECT DISTINCT doc_id, source, {shingle_expr} AS s
+              FROM sp, unnest(generate_series(1, len(w) - {CONTAM_K - 1}))
+                   AS t(i)),
+        bench AS (SELECT DISTINCT s FROM g
+                  WHERE source = '{CONTAM_BENCH}')
+        SELECT doc_id, min(source) AS source,
+               CAST(count(*) AS BIGINT) AS n_hits
+        FROM g WHERE source <> '{CONTAM_BENCH}'
+          AND s IN (SELECT s FROM bench)
+        GROUP BY doc_id ORDER BY doc_id"""
+    out["text_repetition_filter"] = """
+        WITH sp AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                    FROM documents),
+        t AS (SELECT doc_id, t.x AS wd FROM sp, unnest(w) AS t(x)),
+        wc AS (SELECT doc_id, wd, count(*) AS c FROM t GROUP BY 1, 2),
+        uni AS (SELECT doc_id, sum(c) AS n_tokens, max(c) AS topc
+                FROM wc GROUP BY 1),
+        g AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+              FROM sp, unnest(generate_series(1, len(w) - 2)) AS t(i)),
+        gg AS (SELECT doc_id, count(*) AS n_g,
+                      count(DISTINCT s) AS n_d
+               FROM g GROUP BY 1)
+        SELECT u.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(1000000 * topc // n_tokens AS BIGINT) AS top_fp,
+               CAST(CASE WHEN coalesce(n_g, 0) > 0
+                         THEN 1000000 * (n_g - n_d) // n_g
+                         ELSE 0 END AS BIGINT) AS dup_fp
+        FROM uni u LEFT JOIN gg ON gg.doc_id = u.doc_id
+        ORDER BY u.doc_id"""
+    out["text_pack_plan"] = f"""
+        WITH t AS (SELECT doc_id,
+                          CAST(len(string_split(text, ' ')) AS BIGINT)
+                            AS n_tokens
+                   FROM documents),
+        c AS (SELECT doc_id, n_tokens,
+                     coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS cum
+              FROM t)
+        SELECT doc_id, n_tokens,
+               CAST(cum // {PACK_BUDGET} AS BIGINT) AS pack_id
+        FROM c ORDER BY doc_id"""
+    out["kg_sparql_path_star"] = P + f"""
+        , tri AS (SELECT * FROM ({full_body})),
+        edges AS (SELECT subj AS s, obj AS o FROM tri
+                  WHERE pred = '{C.RDFS_SUBCLASS_OF}'),
+        nodes AS (SELECT s AS n FROM edges UNION SELECT o FROM edges),
+        clo AS (SELECT a, b FROM (
+            WITH RECURSIVE r(a, b) AS (
+                SELECT s, o FROM edges
+                UNION
+                SELECT r.a, e.o FROM r JOIN edges e ON e.s = r.b)
+            SELECT a, b FROM r))
+        SELECT DISTINCT a, b FROM (
+            SELECT n AS a, n AS b FROM nodes
+            UNION ALL SELECT a, b FROM clo)
+        ORDER BY a, b"""
     return out
