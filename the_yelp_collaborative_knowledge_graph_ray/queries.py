@@ -8609,6 +8609,199 @@ def _q_kg_sparql_path_star(sf_dir: str):
         ["a", "b"], num_partitions=8).sort(["a", "b"])
 
 
+def _q_ml_auc(sf_dir: str):
+    """Exact ROC-AUC (Mann-Whitney U with ties) for the n_chars score
+    predicting lang = 'en', in pure integers: 2U = Σ over distinct
+    scores of npos·(2·nneg_below + nneg_equal), AUC×10⁶ = 10⁶·2U //
+    (2·P·N). One histogram-shaped grouped count (distinct scores, not
+    rows) shuffles; the rank fold runs over that tiny frame."""
+    from .functions.grouped import sorted_aggregate
+    import pandas as pd
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["n_chars", "lang"])
+
+    def hist(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "v": pc.cast(b["n_chars"], pa.int64()),
+            "n": pa.array(np.ones(b.num_rows, np.int64)),
+            "np_": pc.cast(pc.equal(b["lang"], "en"), pa.int64())}) \
+            .group_by(["v"], use_threads=False) \
+            .aggregate([("n", "sum"), ("np_", "sum")]) \
+            .rename_columns(["v", "n", "np_"])
+
+    h = sorted_aggregate(
+        docs.map_batches(hist, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["v"], [("n", "sum"), ("np_", "sum")],
+        ["v", "n", "np_"], 1).to_pandas().sort_values("v")
+    npos = h["np_"].to_numpy()
+    nneg = h["n"].to_numpy() - npos
+    below = np.concatenate([[0], np.cumsum(nneg)[:-1]])
+    u2 = int((npos * (2 * below + nneg)).sum())
+    P, N = int(npos.sum()), int(nneg.sum())
+    return pd.DataFrame({
+        "n_pos": pd.Series([P], dtype="int64"),
+        "n_neg": pd.Series([N], dtype="int64"),
+        "u2": pd.Series([u2], dtype="int64"),
+        "auc_fp": pd.Series([10**6 * u2 // (2 * P * N)],
+                            dtype="int64")})
+
+
+LATE_DAYS = 365
+
+
+def _q_rel_late_arrivals(sf_dir: str):
+    """Streaming watermark accounting: processing orders in o_orderkey
+    (arrival) order, an order is LATE when its event day falls more
+    than 365 days behind the watermark (running max event day over all
+    earlier arrivals). The prefix max distributes as a block scan
+    (pack-plan pattern): per-block (max, first-key) summaries to the
+    driver, exclusive max carried back in — block data never moves."""
+    import ray as _ray
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"])
+    i64 = pa.int64()
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "ok": pc.cast(b["o_orderkey"], i64),
+            "d": pc.divide(pc.cast(b["o_orderdate"], i64),
+                           pa.scalar(86_400_000_000, i64)),
+            "yr": pc.cast(pc.year(b["o_orderdate"]), i64)})
+
+    mat = od.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True).sort("ok").materialize()
+    refs = mat.to_arrow_refs()
+
+    @_ray.remote
+    def meta(t: pa.Table):
+        d = t["d"].to_numpy(zero_copy_only=False)
+        first = t["ok"][0].as_py() if t.num_rows else None
+        return (int(d.max()) if t.num_rows else None), first
+
+    @_ray.remote
+    def late_partial(t: pa.Table, carry: int) -> pa.Table:
+        d = t["d"].to_numpy(zero_copy_only=False)
+        wm = np.maximum(np.concatenate(
+            [[carry], np.maximum.accumulate(d)[:-1]]), carry)
+        late = (d < wm - LATE_DAYS).astype(np.int64)
+        return pa.table({"year": t["yr"],
+                         "n": pa.array(np.ones(len(d), np.int64)),
+                         "n_late": pa.array(late)}) \
+            .group_by(["year"], use_threads=False) \
+            .aggregate([("n", "sum"), ("n_late", "sum")]) \
+            .rename_columns(["year", "n_orders", "n_late"])
+
+    metas = _ray.get([meta.remote(r) for r in refs])
+    pairs = sorted(zip(refs, metas),
+                   key=lambda rm: (rm[1][1] is None, rm[1][1]))
+    carry = -(1 << 62)
+    tasks = []
+    for r, (mx, _) in pairs:
+        tasks.append(late_partial.remote(r, carry))
+        if mx is not None:
+            carry = max(carry, mx)
+    from .functions.grouped import sorted_aggregate
+    return sorted_aggregate(
+        ray.data.from_arrow_refs(tasks),
+        ["year"], [("n_orders", "sum"), ("n_late", "sum")],
+        ["year", "n_orders", "n_late"], 1).sort("year")
+
+
+def _q_rel_division_all_priorities(sf_dir: str):
+    """Relational division: customers whose orders span EVERY order
+    priority present in the table — the 'for all' join SQL spells
+    HAVING count(DISTINCT) = total. ONE distinct (custkey, priority)
+    grouped count, per-customer fold, and a broadcast scalar for the
+    divisor; output is the qualifying customer keys."""
+    from .functions.grouped import grouped_count, sorted_aggregate
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority"])
+    pairs = grouped_count(
+        od.map_batches(
+            lambda b: pa.table({
+                "ck": pc.cast(b["o_custkey"], pa.int64()),
+                "pri": pc.cast(b["o_orderpriority"], pa.string())}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["ck", "pri"], "n", 8).materialize()
+    total = int(grouped_count(
+        pairs.map_batches(lambda b: b.select(["pri"]),
+                          batch_format="pyarrow"),
+        ["pri"], "n", 1).count())
+
+    def fold(b: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": b["ck"], "l": pa.array(
+            np.ones(b.num_rows, np.int64))}) \
+            .group_by(["o_custkey"], use_threads=False) \
+            .aggregate([("l", "sum")]).rename_columns(["o_custkey", "l"])
+
+    per_cust = sorted_aggregate(
+        pairs.map_batches(fold, batch_format="pyarrow"),
+        ["o_custkey"], [("l", "sum")], ["o_custkey", "l"], 8)
+    return per_cust.filter(expr=f"l == {total}") \
+        .map_batches(lambda b: b.select(["o_custkey"]),
+                     batch_format="pyarrow").sort("o_custkey")
+
+
+L_DIV = 2
+
+
+def _q_privacy_l_diversity(sf_dir: str):
+    """l-diversity audit (Machanavajjhala 2007, public): quasi-
+    identifier classes (source, n_chars//50) of the documents release
+    whose sensitive attribute (lang) takes fewer than l=2 distinct
+    values — homogeneous classes leak the attribute even when
+    k-anonymous. Distinct (QI, lang) collapse first, so only
+    class-sized partials shuffle."""
+    from .functions.grouped import grouped_count, sorted_aggregate
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "n_chars", "lang"])
+    i64 = pa.int64()
+
+    def qi(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": pc.cast(b["source"], pa.string()),
+            "b": pc.divide(pc.cast(b["n_chars"], i64),
+                           pa.scalar(50, i64)),
+            "lang": pc.cast(b["lang"], pa.string()),
+            "n": pa.array(np.ones(b.num_rows, np.int64))}) \
+            .group_by(["source", "b", "lang"], use_threads=False) \
+            .aggregate([("n", "sum")]) \
+            .rename_columns(["source", "b", "lang", "n"])
+
+    cells = sorted_aggregate(
+        docs.map_batches(qi, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["source", "b", "lang"], [("n", "sum")],
+        ["source", "b", "lang", "n"], 4)
+
+    def fold(b: pa.Table) -> pa.Table:
+        return pa.table({"source": b["source"], "b": b["b"],
+                         "n": b["n"], "l": pa.array(
+                             np.ones(b.num_rows, np.int64))}) \
+            .group_by(["source", "b"], use_threads=False) \
+            .aggregate([("n", "sum"), ("l", "sum")]) \
+            .rename_columns(["source", "b", "n", "l"])
+
+    groups = sorted_aggregate(
+        cells.map_batches(fold, batch_format="pyarrow"),
+        ["source", "b"], [("n", "sum"), ("l", "sum")],
+        ["source", "b", "n", "l"], 4)
+    df = groups.filter(expr=f"l < {L_DIV}") \
+        .sort(["source", "b"]).to_pandas()
+    if df.empty:  # an empty Dataset loses its schema through sort
+        import pandas as pd
+        df = pd.DataFrame({"source": pd.Series(dtype=object),
+                           "b": pd.Series(dtype="int64"),
+                           "n": pd.Series(dtype="int64"),
+                           "l": pd.Series(dtype="int64")})
+    return df
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -8957,6 +9150,10 @@ def queries() -> dict[str, Callable]:
         "text_repetition_filter": _q_text_repetition_filter,
         "text_pack_plan": _q_text_pack_plan,
         "kg_sparql_path_star": _q_kg_sparql_path_star,
+        "ml_auc": _q_ml_auc,
+        "rel_late_arrivals": _q_rel_late_arrivals,
+        "rel_division_all_priorities": _q_rel_division_all_priorities,
+        "privacy_l_diversity": _q_privacy_l_diversity,
     }
 
 
@@ -13009,4 +13206,50 @@ ORDER BY doc_a, doc_b"""
             SELECT n AS a, n AS b FROM nodes
             UNION ALL SELECT a, b FROM clo)
         ORDER BY a, b"""
+    out["ml_auc"] = """
+        WITH s AS (SELECT n_chars AS v, count(*) AS n,
+                          sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                            AS np_
+                   FROM documents GROUP BY 1),
+        c AS (SELECT v, np_, n - np_ AS nn,
+                     coalesce(sum(n - np_) OVER (ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS below
+              FROM s),
+        u AS (SELECT sum(np_ * (2 * below + nn)) AS u2 FROM c),
+        t AS (SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p,
+                     sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS nn
+              FROM documents)
+        SELECT CAST(p AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+               CAST(u2 AS BIGINT) AS u2,
+               CAST(1000000 * u2 // (2 * p * nn) AS BIGINT) AS auc_fp
+        FROM u, t"""
+    out["rel_late_arrivals"] = f"""
+        WITH e AS (SELECT o_orderkey,
+                          CAST(epoch_us(o_orderdate) // 86400000000
+                               AS BIGINT) AS d,
+                          CAST(year(o_orderdate) AS BIGINT) AS yr
+                   FROM orders),
+        m AS (SELECT *, max(d) OVER (ORDER BY o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS wm
+              FROM e)
+        SELECT yr AS year, CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CASE WHEN wm IS NOT NULL
+                              AND d < wm - {LATE_DAYS}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+        FROM m GROUP BY 1 ORDER BY 1"""
+    out["rel_division_all_priorities"] = """
+        SELECT CAST(o_custkey AS BIGINT) AS o_custkey
+        FROM orders GROUP BY 1
+        HAVING count(DISTINCT o_orderpriority) =
+               (SELECT count(DISTINCT o_orderpriority) FROM orders)
+        ORDER BY 1"""
+    out["privacy_l_diversity"] = f"""
+        WITH g AS (SELECT source, n_chars // 50 AS b,
+                          CAST(count(*) AS BIGINT) AS n,
+                          CAST(count(DISTINCT lang) AS BIGINT) AS l
+                   FROM documents GROUP BY 1, 2)
+        SELECT source, CAST(b AS BIGINT) AS b, n, l FROM g
+        WHERE l < {L_DIV} ORDER BY source, b"""
     return out
