@@ -215,13 +215,16 @@ def _scan(triples: ray.data.Dataset, pat: tuple[str, str, str],
 
     ``p*`` (zero-or-more) is ``p+`` unioned with the identity relation
     over the nodes incident to p edges (the practical SPARQL-engine
-    scoping of zero-length paths: terms that participate in p)."""
+    scoping of zero-length paths: terms that participate in p);
+    ``p?`` (zero-or-one) is the base edges unioned with that identity —
+    no closure needed."""
     s, p, o = pat
     plus = (not _is_var(p)) and p.endswith("+")
     star = (not _is_var(p)) and p.endswith("*")
-    if (plus or star) and "|" in p:
-        raise ValueError("bgp_match: p|q and p+/p* cannot combine in "
-                         "one step")
+    opt = (not _is_var(p)) and p.endswith("?")
+    if (plus or star or opt) and "|" in p:
+        raise ValueError("bgp_match: p|q and p+/p*/p? cannot combine "
+                         "in one step")
     out = [(pos, t[1:]) for pos, t in zip("spo", (s, p, o))
            if _is_var(t)]
     consts = [(pos, t) for pos, t in zip("spo", (s, p, o))
@@ -232,7 +235,7 @@ def _scan(triples: ray.data.Dataset, pat: tuple[str, str, str],
         raise ValueError("bgp_match: repeated variable in one pattern")
 
     source = triples
-    if plus or star:
+    if plus or star or opt:
         from .datalog import transitive_closure
         base = p[:-1]
 
@@ -243,9 +246,9 @@ def _scan(triples: ray.data.Dataset, pat: tuple[str, str, str],
 
         e = triples.map_batches(edges, batch_format="pyarrow",
                                 zero_copy_batch=True)
-        clo = transitive_closure(
+        clo = e if opt else transitive_closure(
             e, "src", "dst", num_partitions=num_partitions or 4)
-        if star:
+        if star or opt:
             # zero-length paths: node ⟶ itself, for every incident node
             def ident(b: pa.Table) -> pa.Table:
                 n = pa.concat_arrays(

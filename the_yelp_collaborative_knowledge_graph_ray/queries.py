@@ -8802,6 +8802,156 @@ def _q_privacy_l_diversity(sf_dir: str):
     return df
 
 
+KWIC_TERM, KWIC_WIN = "window", 3
+
+
+def _q_search_kwic(sf_dir: str):
+    """Keyword-in-context snippets: for every document containing the
+    query term, the 1-based position of its FIRST occurrence and the
+    ±3-token window around it — the hit-highlighting operator of a
+    search stack. Fully vectorized: one tokenize pass, np.minimum.at
+    for first hits, and the variable-width windows re-assemble as ONE
+    Arrow ListArray joined per row — no per-doc Python."""
+    from .stages.dedup import _words_flat
+    docs = _docs(sf_dir)
+    i64 = pa.int64()
+    out_schema = pa.schema([("doc_id", i64), ("pos", i64),
+                            ("snippet", pa.string())])
+
+    def f(b: pa.Table) -> pa.Table:
+        words, doc_of = _words_flat(b["text"])
+        did = b["doc_id"].to_numpy()
+        nd = len(did)
+        if len(words) == 0:
+            return out_schema.empty_table()
+        counts = np.bincount(doc_of, minlength=nd)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        local = np.arange(len(words)) - starts[doc_of]
+        hit = words == KWIC_TERM
+        first = np.full(nd, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(first, doc_of[hit], local[hit])
+        sel = np.flatnonzero(first < np.iinfo(np.int64).max)
+        if len(sel) == 0:
+            return out_schema.empty_table()
+        f0 = first[sel]
+        s0 = np.maximum(0, f0 - KWIC_WIN)
+        e0 = np.minimum(counts[sel], f0 + KWIC_WIN + 1)
+        ln = e0 - s0
+        offs = np.concatenate([[0], np.cumsum(ln)])
+        gather = (np.repeat(starts[sel] + s0, ln)
+                  + np.arange(offs[-1]) - np.repeat(offs[:-1], ln))
+        la = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()),
+            pa.array(words[gather], pa.string()))
+        return pa.table({"doc_id": pa.array(did[sel], i64),
+                         "pos": pa.array(f0 + 1, i64),
+                         "snippet": pc.binary_join(la, " ")},
+                        schema=out_schema)
+
+    return docs.map_batches(f, batch_format="pyarrow",
+                            zero_copy_batch=True).sort("doc_id")
+
+
+def _q_ml_label_centroids(sf_dir: str):
+    """Per-label embedding centroids in fixed point — the class-
+    prototype table behind nearest-centroid classification and
+    SemDeDup-style cluster pruning: per (label, dim), the exact integer
+    Σ floor(10⁶·x) and the vector count (the centroid is sum/n at
+    presentation). Per-block partial sums collapse 64-dim vectors to
+    |labels|×64 rows before the one tiny shuffle."""
+    from .functions.grouped import sorted_aggregate
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["embedding", "label"])
+    i64 = pa.int64()
+
+    def partial(b: pa.Table) -> pa.Table:
+        lst = b["embedding"]
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        d = pc.list_value_length(lst).to_numpy()[0]
+        x = lst.flatten().to_numpy().astype(np.float64)
+        fp = np.floor(1e6 * x).astype(np.int64)
+        lab = np.repeat(
+            b["label"].to_numpy(zero_copy_only=False).astype(np.int64),
+            d)
+        dim = np.tile(np.arange(d, dtype=np.int64), b.num_rows)
+        return pa.table({"label": pa.array(lab, i64),
+                         "dim": pa.array(dim, i64),
+                         "sum_fp": pa.array(fp, i64),
+                         "n": pa.array(np.ones(len(dim), np.int64))}) \
+            .group_by(["label", "dim"], use_threads=False) \
+            .aggregate([("sum_fp", "sum"), ("n", "sum")]) \
+            .rename_columns(["label", "dim", "sum_fp", "n"])
+
+    return sorted_aggregate(
+        emb.map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        ["label", "dim"], [("sum_fp", "sum"), ("n", "sum")],
+        ["label", "dim", "sum_fp", "n"], 1).sort(["label", "dim"])
+
+
+def _q_kg_sparql_path_opt(sf_dir: str):
+    """SPARQL zero-or-one property path {?a rdfs:subClassOf? ?b}: the
+    base edges unioned with the identity on incident nodes — the last
+    missing path modifier (^, /, |, +, * already covered)."""
+    from .functions.bgp import bgp_match
+    from .pipelines.kg import run_kg
+    return bgp_match(
+        run_kg(sf_dir), [("?a", C.RDFS_SUBCLASS_OF + "?", "?b")],
+        ["a", "b"], num_partitions=8).sort(["a", "b"])
+
+
+GAP_WEEK_BUCKET = 7
+
+
+def _q_rel_reorder_gaps(sf_dir: str):
+    """Reorder-latency histogram: day gaps between a customer's
+    consecutive orders, bucketed to weeks — the repeat-purchase cadence
+    distribution. Consecutive diffs happen inside complete sorted
+    customer groups; only (bucket, count) partials shuffle."""
+    from .functions.grouped import group_ids, sorted_aggregate, \
+        sorted_group_apply
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey", "o_orderdate"])
+    i64 = pa.int64()
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "ck": pc.cast(b["o_custkey"], i64),
+            "ok": pc.cast(b["o_orderkey"], i64),
+            "day": pc.divide(pc.cast(b["o_orderdate"], i64),
+                             pa.scalar(86_400_000_000, i64))})
+
+    out_schema = pa.schema([("bucket", i64), ("n", i64)])
+
+    def block(b: pa.Table) -> pa.Table:
+        if b.num_rows < 2:
+            return out_schema.empty_table()
+        gid, _ = group_ids(b, ["ck"])
+        day = b["day"].to_numpy(zero_copy_only=False)
+        ok = b["ok"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, day, gid))
+        g, d = gid[order], day[order]
+        same = g[1:] == g[:-1]
+        gaps = (d[1:] - d[:-1])[same]
+        if len(gaps) == 0:
+            return out_schema.empty_table()
+        return pa.table({"bucket": pa.array(
+            gaps // GAP_WEEK_BUCKET, i64),
+            "n": pa.array(np.ones(len(gaps), np.int64))},
+            schema=out_schema) \
+            .group_by(["bucket"], use_threads=False) \
+            .aggregate([("n", "sum")]).rename_columns(["bucket", "n"])
+
+    partials = sorted_group_apply(
+        od.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True), ["ck"], block, 8)
+    return sorted_aggregate(partials, ["bucket"], [("n", "sum")],
+                            ["bucket", "n"], 1).sort("bucket")
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -9154,6 +9304,10 @@ def queries() -> dict[str, Callable]:
         "rel_late_arrivals": _q_rel_late_arrivals,
         "rel_division_all_priorities": _q_rel_division_all_priorities,
         "privacy_l_diversity": _q_privacy_l_diversity,
+        "search_kwic": _q_search_kwic,
+        "ml_label_centroids": _q_ml_label_centroids,
+        "kg_sparql_path_opt": _q_kg_sparql_path_opt,
+        "rel_reorder_gaps": _q_rel_reorder_gaps,
     }
 
 
@@ -13252,4 +13406,49 @@ ORDER BY doc_a, doc_b"""
                    FROM documents GROUP BY 1, 2)
         SELECT source, CAST(b AS BIGINT) AS b, n, l FROM g
         WHERE l < {L_DIV} ORDER BY source, b"""
+    out["search_kwic"] = f"""
+        WITH sp AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                    FROM documents),
+        h AS (SELECT doc_id, w,
+                     list_position(w, '{KWIC_TERM}') AS i, len(w) AS nw
+              FROM sp)
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               array_to_string(w[greatest(1, i - {KWIC_WIN}) :
+                                 least(nw, i + {KWIC_WIN})], ' ')
+                 AS snippet
+        FROM h WHERE i > 0 ORDER BY doc_id"""
+    out["ml_label_centroids"] = """
+        WITH u AS (SELECT label, g.i - 1 AS dim,
+                          CAST(floor(1000000 *
+                               CAST(embedding[g.i] AS DOUBLE))
+                               AS BIGINT) AS fp
+                   FROM embeddings,
+                        unnest(generate_series(1, len(embedding)))
+                          AS g(i))
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(dim AS BIGINT) AS dim,
+               CAST(sum(fp) AS BIGINT) AS sum_fp,
+               CAST(count(*) AS BIGINT) AS n
+        FROM u GROUP BY 1, 2 ORDER BY 1, 2"""
+    out["kg_sparql_path_opt"] = P + f"""
+        , tri AS (SELECT * FROM ({full_body})),
+        edges AS (SELECT subj AS s, obj AS o FROM tri
+                  WHERE pred = '{C.RDFS_SUBCLASS_OF}'),
+        nodes AS (SELECT s AS n FROM edges UNION SELECT o FROM edges)
+        SELECT DISTINCT a, b FROM (
+            SELECT n AS a, n AS b FROM nodes
+            UNION ALL SELECT s, o FROM edges)
+        ORDER BY a, b"""
+    out["rel_reorder_gaps"] = f"""
+        WITH o AS (SELECT o_custkey,
+                          CAST(epoch_us(o_orderdate) // 86400000000
+                               AS BIGINT) AS d, o_orderkey
+                   FROM orders),
+        g AS (SELECT d - lag(d) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY d, o_orderkey) AS gap
+              FROM o)
+        SELECT CAST(gap // {GAP_WEEK_BUCKET} AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1"""
     return out
