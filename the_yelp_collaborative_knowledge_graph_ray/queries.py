@@ -8952,6 +8952,163 @@ def _q_rel_reorder_gaps(sf_dir: str):
                             ["bucket", "n"], 1).sort("bucket")
 
 
+SPLIT_TRAIN_PCT, SPLIT_VAL_PCT = 80, 10
+
+
+def _q_sample_exact_split(sf_dir: str):
+    """Exact-proportion train/val/test split: rank every doc by its
+    splitmix64 hash (a bijection on uint64 — ranks are unique) and cut
+    at floor(80%) / floor(90%) of the total — EXACT split sizes, unlike
+    the Bernoulli sample_hash whose sizes fluctuate. The global rank is
+    zip_with_index over the hash sort; assignment is two integer
+    thresholds; no driver data."""
+    from .functions.joins import zip_with_index
+    from .functions.sampling import splitmix64
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    i64 = pa.int64()
+    n = int(docs.count())
+    cut1 = n * SPLIT_TRAIN_PCT // 100
+    cut2 = n * (SPLIT_TRAIN_PCT + SPLIT_VAL_PCT) // 100
+
+    def hashed(b: pa.Table) -> pa.Table:
+        k = pc.cast(b["doc_id"], i64).to_numpy(zero_copy_only=False)
+        h = splitmix64(k.astype(np.uint64)).astype(np.int64)
+        return pa.table({"doc_id": pa.array(k, i64),
+                         "h": pa.array(h, i64)})
+
+    # rank by the SIGNED view of the hash on both engines: the oracle
+    # casts the UBIGINT hash to BIGINT the same way, so order matches.
+    ranked = zip_with_index(
+        docs.map_batches(hashed, batch_format="pyarrow",
+                         zero_copy_batch=True).sort("h"),
+        id_col="rk", order_by="h")
+
+    def assign(b: pa.Table) -> pa.Table:
+        rk = b["rk"].to_numpy(zero_copy_only=False)
+        split = np.where(rk < cut1, "train",
+                         np.where(rk < cut2, "val", "test"))
+        return pa.table({"doc_id": b["doc_id"],
+                         "split": pa.array(split, pa.string())})
+
+    return ranked.map_batches(assign, batch_format="pyarrow") \
+        .sort("doc_id")
+
+
+ROLL_WIN_DAYS = 7
+
+
+def _q_events_rolling_distinct_users(sf_dir: str):
+    """Trailing-7-day distinct active users per day — the sliding-
+    window COUNT DISTINCT the oracle spells as a correlated subquery.
+    Exact and shuffle-light: distinct (user, day) pairs collapse first;
+    inside complete sorted user groups the active days merge into
+    coverage intervals (a user covers window-day w iff some active day
+    lies in [w-6, w]) emitting ±1 deltas; a calendar-bounded cumsum
+    turns deltas into counts. No pair of users ever meets."""
+    from .functions.grouped import group_ids, grouped_count, \
+        sorted_group_apply
+    import pandas as pd
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
+    i64 = pa.int64()
+    W = ROLL_WIN_DAYS - 1
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": pc.cast(b["user_id"], i64),
+            "d": pc.divide(pc.cast(b["ts"], i64),
+                           pa.scalar(86_400_000_000, i64))})
+
+    ud = grouped_count(
+        ev.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["u", "d"], "n", 8).drop_columns(["n"]).materialize()
+    mm = ud.map_batches(
+        lambda b: pa.table({"lo": pa.array(
+            [int(pc.min(b["d"]).as_py())], i64),
+            "hi": pa.array([int(pc.max(b["d"]).as_py())], i64)}),
+        batch_format="pyarrow").to_pandas()
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    delta_schema = pa.schema([("day", i64), ("delta", i64)])
+
+    def intervals(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return delta_schema.empty_table()
+        gid, _ = group_ids(b, ["u"])
+        d = b["d"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, gid))
+        g, dd = gid[order], d[order]
+        # new coverage interval when the user changes or the gap > W
+        new = np.concatenate(
+            [[True], (g[1:] != g[:-1]) | (dd[1:] - dd[:-1] > W)])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(dd)) - 1
+        a = dd[starts]                    # interval covers [a, b+W]
+        z = dd[ends] + W + 1
+        return pa.table({
+            "day": pa.array(np.concatenate([a, z]), i64),
+            "delta": pa.array(np.concatenate(
+                [np.ones(len(a), np.int64),
+                 -np.ones(len(a), np.int64)]))}, schema=delta_schema)
+
+    deltas = sorted_group_apply(ud, ["u"], intervals, 8)
+    agg = grouped_count(deltas, ["day", "delta"], "m", 4).to_pandas()
+    days = np.arange(lo, hi + 1)
+    net = np.zeros(hi - lo + 2 + ROLL_WIN_DAYS, np.int64)
+    for day, delta, m in agg.itertuples(index=False):
+        if day <= hi:
+            net[day - lo] += delta * m
+    counts = np.cumsum(net)[:len(days)]
+    return pd.DataFrame({"day": pd.Series(days, dtype="int64"),
+                         "n_users": pd.Series(counts, dtype="int64")})
+
+
+def _q_ml_nearest_centroid(sf_dir: str):
+    """Nearest-centroid classification confusion matrix: assign every
+    embedding to the label whose fixed-point centroid (sum_fp // n,
+    pinned floor convention) minimizes exact integer squared L2
+    (tie → smallest label), then count (label_true, label_pred) cells.
+    Centroids are a |labels|×64 broadcast; assignment is one numpy
+    matmul-shaped pass per block; only confusion cells shuffle."""
+    from .functions.grouped import grouped_count
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["embedding", "label"])
+    cen = _q_ml_label_centroids(sf_dir).to_pandas()
+    labels = np.sort(cen["label"].unique()).astype(np.int64)
+    d = int(cen["dim"].max()) + 1
+    C_fp = np.zeros((len(labels), d), np.int64)
+    pos = {int(l): i for i, l in enumerate(labels)}
+    for lab, dim, s, n in cen[["label", "dim", "sum_fp", "n"]] \
+            .itertuples(index=False):
+        q = int(s) // int(n)
+        if s < 0 and s % n != 0:
+            q += 1  # truncate toward zero — DuckDB // convention
+        C_fp[pos[int(lab)], int(dim)] = q
+    cen_ref = ray.put((C_fp, labels))
+
+    def assign(b: pa.Table) -> pa.Table:
+        Cm, labs = ray.get(cen_ref)
+        lst = b["embedding"]
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        x = lst.flatten().to_numpy().astype(np.float64)
+        fp = np.floor(1e6 * x).astype(np.int64).reshape(b.num_rows, -1)
+        # exact integer distances: (v-c)·(v-c) per centroid
+        d2 = ((fp[:, None, :] - Cm[None, :, :]) ** 2).sum(axis=2)
+        pred = labs[np.argmin(d2, axis=1)]
+        return pa.table({
+            "label_true": pc.cast(b["label"], pa.int64()),
+            "label_pred": pa.array(pred, pa.int64())})
+
+    return grouped_count(
+        emb.map_batches(assign, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        ["label_true", "label_pred"], "n", 4) \
+        .sort(["label_true", "label_pred"])
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -9308,6 +9465,9 @@ def queries() -> dict[str, Callable]:
         "ml_label_centroids": _q_ml_label_centroids,
         "kg_sparql_path_opt": _q_kg_sparql_path_opt,
         "rel_reorder_gaps": _q_rel_reorder_gaps,
+        "sample_exact_split": _q_sample_exact_split,
+        "events_rolling_distinct_users": _q_events_rolling_distinct_users,
+        "ml_nearest_centroid": _q_ml_nearest_centroid,
     }
 
 
@@ -13451,4 +13611,59 @@ ORDER BY doc_a, doc_b"""
         SELECT CAST(gap // {GAP_WEEK_BUCKET} AS BIGINT) AS bucket,
                CAST(count(*) AS BIGINT) AS n
         FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1"""
+    out["sample_exact_split"] = f"""
+        WITH {_splitmix_cte('documents', 'doc_id', 'doc_id')},
+        hh AS (SELECT doc_id, xor(z, z >> 31) AS hu FROM z2),
+        hs AS (SELECT doc_id,
+                      CAST(CAST(hu AS HUGEINT)
+                           - CASE WHEN hu >= 9223372036854775808
+                                  THEN {_M64} ELSE 0 END AS BIGINT)
+                        AS h
+               FROM hh),
+        r AS (SELECT doc_id,
+                     row_number() OVER (ORDER BY h) - 1 AS rk
+              FROM hs),
+        nn AS (SELECT count(*) AS n FROM documents)
+        SELECT doc_id,
+               CASE WHEN rk < nn.n * {SPLIT_TRAIN_PCT} // 100
+                    THEN 'train'
+                    WHEN rk < nn.n
+                         * {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} // 100
+                    THEN 'val' ELSE 'test' END AS split
+        FROM r, nn ORDER BY doc_id"""
+    out["events_rolling_distinct_users"] = f"""
+        WITH ud AS (SELECT DISTINCT user_id,
+                           CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                             AS d
+                    FROM events),
+        mm AS (SELECT min(d) AS lo, max(d) AS hi FROM ud),
+        spine AS (SELECT unnest(generate_series(lo, hi)) AS day
+                  FROM mm)
+        SELECT day,
+               CAST((SELECT count(DISTINCT user_id) FROM ud
+                     WHERE ud.d BETWEEN day - {ROLL_WIN_DAYS - 1}
+                       AND day) AS BIGINT) AS n_users
+        FROM spine ORDER BY day"""
+    out["ml_nearest_centroid"] = """
+        WITH u AS (SELECT vec_id, label, g.i - 1 AS dim,
+                          CAST(floor(1000000 *
+                               CAST(embedding[g.i] AS DOUBLE))
+                               AS BIGINT) AS fp
+                   FROM embeddings,
+                        unnest(generate_series(1, len(embedding)))
+                          AS g(i)),
+        c AS (SELECT label AS cl, dim, sum(fp) // count(*) AS cfp
+              FROM u GROUP BY 1, 2),
+        d2 AS (SELECT u.vec_id, min(u.label) AS label_true, c.cl,
+                      sum((u.fp - c.cfp) * (u.fp - c.cfp)) AS d2
+               FROM u JOIN c ON c.dim = u.dim
+               GROUP BY u.vec_id, c.cl),
+        pick AS (SELECT vec_id, label_true, cl,
+                        row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d2, cl) AS rn
+                 FROM d2)
+        SELECT CAST(label_true AS BIGINT) AS label_true,
+               CAST(cl AS BIGINT) AS label_pred,
+               CAST(count(*) AS BIGINT) AS n
+        FROM pick WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2"""
     return out
