@@ -9109,6 +9109,258 @@ def _q_ml_nearest_centroid(sf_dir: str):
         .sort(["label_true", "label_pred"])
 
 
+def _q_rel_cume_dist_prices(sf_dir: str):
+    """Global cumulative distribution (SQL cume_dist) of order value in
+    cents, ×10⁶ integer: per order, (#orders with value ≤ mine) / N.
+    Never ranks raw rows — the distinct-value histogram (AUC pattern)
+    cumsums once, and values attach back to orders by a sorted probe of
+    the broadcast histogram (distinct order prices are histogram-
+    sized); ties get the shared ≤-count exactly as cume_dist does."""
+    from .functions.grouped import sorted_aggregate
+    from .functions.joins import probe_sorted
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"])
+    i64 = pa.int64()
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "ok": pc.cast(b["o_orderkey"], i64),
+            "p": pc.cast(pc.round(pc.multiply(
+                b["o_totalprice"], 100.0)), i64)})
+
+    cents = od.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+
+    def hist(b: pa.Table) -> pa.Table:
+        return b.select(["p"]).append_column(
+            "n", pa.array(np.ones(b.num_rows, np.int64))) \
+            .group_by(["p"], use_threads=False) \
+            .aggregate([("n", "sum")]).rename_columns(["p", "n"])
+
+    h = sorted_aggregate(
+        cents.map_batches(hist, batch_format="pyarrow"),
+        ["p"], [("n", "sum")], ["p", "n"], 1).to_pandas().sort_values("p")
+    vals = h["p"].to_numpy()
+    le = np.cumsum(h["n"].to_numpy())
+    N = int(le[-1])
+    ref = ray.put((vals, le))
+
+    def attach(b: pa.Table) -> pa.Table:
+        v, c = ray.get(ref)
+        le_mine = probe_sorted(v, c, b["p"].to_numpy(
+            zero_copy_only=False))
+        return pa.table({
+            "o_orderkey": b["ok"],
+            "price_c": b["p"],
+            "cume_fp": pa.array(10**6 * le_mine // N, i64)})
+
+    return cents.map_batches(attach, batch_format="pyarrow") \
+        .sort("o_orderkey")
+
+
+VOCAB_OVERLAP_TOPK = 10
+
+
+def _q_text_source_vocab_overlap(sf_dir: str):
+    """Pairwise source-vocabulary Jaccard — the corpus-mixing
+    diagnostic that tells which sources are near-duplicates of each
+    other at the vocabulary level. Distinct (word, source-id) postings
+    shuffle once; the shared vectorized pair machinery
+    (functions/grouped.pairs_within_groups) emits ≤C(20,2) counted
+    pairs per word group; marginals are a 20-row broadcast; top-10 by
+    Jaccard ×10⁶ with full numeric tie-break."""
+    from .functions.grouped import grouped_count, pairs_within_groups
+    from .stages.dedup import _words_flat
+    import pandas as pd
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["text", "source"])
+    i64 = pa.int64()
+
+    def postings(b: pa.Table) -> pa.Table:
+        words, doc_of = _words_flat(b["text"])
+        sid = pc.cast(pc.utf8_slice_codeunits(
+            b["source"], 3, 32), i64).to_numpy(zero_copy_only=False)
+        return pa.table({"w": pa.array(words, pa.string()),
+                         "s": pa.array(sid[doc_of], i64)}) \
+            .group_by(["w", "s"], use_threads=False).aggregate([])
+
+    ws = grouped_count(
+        docs.map_batches(postings, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["w", "s"], "n", 8).drop_columns(["n"]).materialize()
+    sizes = grouped_count(
+        ws.map_batches(lambda b: b.select(["s"]),
+                       batch_format="pyarrow"),
+        ["s"], "n", 1).to_pandas()
+    size_of = dict(zip(sizes["s"].astype(int), sizes["n"].astype(int)))
+
+    inter = pairs_within_groups(ws, ["w"], "s", count_col="inter",
+                                num_partitions=8).to_pandas()
+    na = inter["doc_a"].map(size_of).astype(int)
+    nb = inter["doc_b"].map(size_of).astype(int)
+    iv = inter["inter"].astype(int)
+    jac = (10**6 * iv) // (na + nb - iv)
+    out = pd.DataFrame({
+        "src_a": pd.Series(inter["doc_a"].to_numpy(), dtype="int64"),
+        "src_b": pd.Series(inter["doc_b"].to_numpy(), dtype="int64"),
+        "n_inter": pd.Series(iv.to_numpy(), dtype="int64"),
+        "jaccard_fp": pd.Series(jac.to_numpy(), dtype="int64")})
+    return out.sort_values(
+        ["jaccard_fp", "src_a", "src_b"],
+        ascending=[False, True, True]).head(VOCAB_OVERLAP_TOPK) \
+        .reset_index(drop=True)
+
+
+def _q_events_retention_matrix(sf_dir: str):
+    """Weekly retention triangle: distinct users active at week-age k
+    per first-week cohort — the user-count twin of the cohort revenue
+    matrix. Distinct (user, week) pairs collapse first; the cohort
+    attaches by a per-user grouped min inside the same sorted pass;
+    only (cohort, age, count) cells shuffle."""
+    from .functions.grouped import group_ids, grouped_count, \
+        sorted_group_apply, sorted_aggregate
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
+    i64 = pa.int64()
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": pc.cast(b["user_id"], i64),
+            "wk": pc.divide(pc.cast(b["ts"], i64),
+                            pa.scalar(7 * 86_400_000_000, i64))})
+
+    uw = grouped_count(
+        ev.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["u", "wk"], "n", 8).drop_columns(["n"])
+    cell_schema = pa.schema([("cohort", i64), ("age", i64), ("m", i64)])
+
+    def cells(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return cell_schema.empty_table()
+        gid, starts = group_ids(b, ["u"])
+        wk = b["wk"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((wk, gid))
+        w = wk[order]
+        first = np.minimum.reduceat(w, starts)
+        cohort = np.repeat(first, np.diff(np.append(starts, len(w))))
+        return pa.table({"cohort": pa.array(cohort, i64),
+                         "age": pa.array(w - cohort, i64),
+                         "m": pa.array(np.ones(len(w), np.int64))},
+                        schema=cell_schema) \
+            .group_by(["cohort", "age"], use_threads=False) \
+            .aggregate([("m", "sum")]) \
+            .rename_columns(["cohort", "age", "m"])
+
+    return sorted_aggregate(
+        sorted_group_apply(uw, ["u"], cells, 8),
+        ["cohort", "age"], [("m", "sum")],
+        ["cohort", "age", "n_users"], 1).sort(["cohort", "age"])
+
+
+def _q_ml_best_f1_threshold(sf_dir: str):
+    """Operating-point selection on the PR sweep: the threshold bin
+    maximizing F1, picked by the ×10⁶-floored F1 (pinned convention on
+    both engines — the floor IS the comparison key, then smallest bin)
+    so the argmax is engine-independent. Reuses the one-pass PR
+    histogram; the sweep is a 10-row driver fold."""
+    import pandas as pd
+    pr = _q_ml_pr_curve(sf_dir)
+    tp = pr["tp"].to_numpy()
+    fp = pr["fp"].to_numpy()
+    fn = pr["fn"].to_numpy()
+    den = 2 * tp + fp + fn
+    f1 = np.where(den > 0, 10**6 * 2 * tp // np.maximum(den, 1), 0)
+    best = int(np.argmax(f1))  # first max = smallest bin on ties
+    return pd.DataFrame({
+        "best_bin": pd.Series([best], dtype="int64"),
+        "tp": pd.Series([tp[best]], dtype="int64"),
+        "fp": pd.Series([fp[best]], dtype="int64"),
+        "fn": pd.Series([fn[best]], dtype="int64"),
+        "f1_fp": pd.Series([f1[best]], dtype="int64")})
+
+
+def _q_dedup_cluster_sizes(sf_dir: str):
+    """Duplicate-cluster statistics: connected components over the
+    verified near-dup pair graph (Jaccard ≥ 0.5), reported as
+    (cluster representative = min doc_id, size) — the release report a
+    dedup stage publishes. Doc ids ride zero-padded so the components'
+    lexicographic-min label IS the numeric min; the component labels
+    come from the same distributed label-propagation used by
+    canonicalization."""
+    from .functions.components import connected_components
+    from .stages.dedup import minhash_lsh_pairs
+    import pandas as pd
+    pairs = minhash_lsh_pairs(_docs(sf_dir), threshold=0.5)
+
+    def edges(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy(zero_copy_only=False)
+        c = b["doc_b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "u": pa.array(np.char.zfill(a.astype(str), 12), pa.string()),
+            "v": pa.array(np.char.zfill(c.astype(str), 12),
+                          pa.string())})
+
+    labels = connected_components(
+        pairs.map_batches(edges, batch_format="pyarrow"),
+        num_partitions=4).to_pandas()
+    if labels.empty:
+        return pd.DataFrame({"cluster_rep": pd.Series(dtype="int64"),
+                             "size": pd.Series(dtype="int64")})
+    g = labels.groupby("label").size().reset_index(name="size")
+    return pd.DataFrame({
+        "cluster_rep": pd.Series(g["label"].astype("int64").to_numpy(),
+                                 dtype="int64"),
+        "size": pd.Series(g["size"].to_numpy(), dtype="int64")}) \
+        .sort_values("cluster_rep").reset_index(drop=True)
+
+
+BURST_MIN = 2
+
+
+def _q_events_burst_users(sf_dir: str):
+    """Bot/burst detection heuristic: users with ≥ 2 events inside any
+    single minute — the rate-limit screen of an abuse/quality pipeline.
+    ONE grouped (user, minute) count, per-user max fold, threshold
+    filter; schema pinned for the legally-empty result."""
+    from .functions.grouped import grouped_count, sorted_aggregate
+    import pandas as pd
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
+    i64 = pa.int64()
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": pc.cast(b["user_id"], i64),
+            "minute": pc.divide(pc.cast(b["ts"], i64),
+                                pa.scalar(60_000_000, i64))})
+
+    um = grouped_count(
+        ev.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True), ["u", "minute"], "k", 8)
+
+    def fold(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["u"], "max_per_min": b["k"],
+                         "n_events": b["k"]}) \
+            .group_by(["user_id"], use_threads=False) \
+            .aggregate([("max_per_min", "max"), ("n_events", "sum")]) \
+            .rename_columns(["user_id", "max_per_min", "n_events"])
+
+    per_user = sorted_aggregate(
+        um.map_batches(fold, batch_format="pyarrow"),
+        ["user_id"], [("max_per_min", "max"), ("n_events", "sum")],
+        ["user_id", "max_per_min", "n_events"], 4)
+    df = per_user.filter(expr=f"max_per_min >= {BURST_MIN}") \
+        .sort("user_id").to_pandas()
+    if df.empty:  # an empty Dataset loses its schema through sort
+        df = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                           "max_per_min": pd.Series(dtype="int64"),
+                           "n_events": pd.Series(dtype="int64")})
+    return df
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -9468,6 +9720,12 @@ def queries() -> dict[str, Callable]:
         "sample_exact_split": _q_sample_exact_split,
         "events_rolling_distinct_users": _q_events_rolling_distinct_users,
         "ml_nearest_centroid": _q_ml_nearest_centroid,
+        "rel_cume_dist_prices": _q_rel_cume_dist_prices,
+        "text_source_vocab_overlap": _q_text_source_vocab_overlap,
+        "events_retention_matrix": _q_events_retention_matrix,
+        "ml_best_f1_threshold": _q_ml_best_f1_threshold,
+        "dedup_cluster_sizes": _q_dedup_cluster_sizes,
+        "events_burst_users": _q_events_burst_users,
     }
 
 
@@ -13666,4 +13924,105 @@ ORDER BY doc_a, doc_b"""
                CAST(cl AS BIGINT) AS label_pred,
                CAST(count(*) AS BIGINT) AS n
         FROM pick WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2"""
+    out["rel_cume_dist_prices"] = """
+        WITH o AS (SELECT o_orderkey,
+                          CAST(round(o_totalprice * 100) AS BIGINT)
+                            AS p
+                   FROM orders),
+        c AS (SELECT o_orderkey, p,
+                     count(*) OVER (ORDER BY p RANGE BETWEEN
+                         UNBOUNDED PRECEDING AND CURRENT ROW) AS le,
+                     count(*) OVER () AS n
+              FROM o)
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               p AS price_c,
+               CAST(1000000 * le // n AS BIGINT) AS cume_fp
+        FROM c ORDER BY o_orderkey"""
+    out["text_source_vocab_overlap"] = f"""
+        WITH sp AS (SELECT CAST(substr(source, 4) AS BIGINT) AS s,
+                           string_split(lower(text), ' ') AS w
+                    FROM documents),
+        ws AS (SELECT DISTINCT s, t.x AS wd
+               FROM sp, unnest(w) AS t(x)),
+        sz AS (SELECT s, count(*) AS n FROM ws GROUP BY 1),
+        pr AS (SELECT a.s AS sa, b.s AS sb, count(*) AS inter
+               FROM ws a JOIN ws b ON a.wd = b.wd AND a.s < b.s
+               GROUP BY 1, 2)
+        SELECT CAST(sa AS BIGINT) AS src_a, CAST(sb AS BIGINT) AS src_b,
+               CAST(inter AS BIGINT) AS n_inter,
+               CAST(1000000 * inter // (za.n + zb.n - inter) AS BIGINT)
+                 AS jaccard_fp
+        FROM pr JOIN sz za ON za.s = sa JOIN sz zb ON zb.s = sb
+        ORDER BY jaccard_fp DESC, src_a, src_b
+        LIMIT {VOCAB_OVERLAP_TOPK}"""
+    out["events_retention_matrix"] = """
+        WITH uw AS (SELECT DISTINCT user_id,
+                           CAST(epoch_us(ts) // 604800000000 AS BIGINT)
+                             AS wk
+                    FROM events),
+        f AS (SELECT user_id, min(wk) AS cohort FROM uw GROUP BY 1)
+        SELECT CAST(f.cohort AS BIGINT) AS cohort,
+               CAST(uw.wk - f.cohort AS BIGINT) AS age,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM uw JOIN f ON f.user_id = uw.user_id
+        GROUP BY 1, 2 ORDER BY 1, 2"""
+    out["ml_best_f1_threshold"] = f"""
+        WITH c AS (SELECT n_chars AS s,
+                          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+                   FROM documents),
+        mm AS (SELECT min(s) AS mn, max(s) - min(s) + 1 AS width FROM c),
+        h AS (SELECT (s - mn) * {PR_BINS} // width AS bin,
+                     count(*) AS n, sum(pos) AS np
+              FROM c, mm GROUP BY 1),
+        ks AS (SELECT unnest(range(0, {PR_BINS})) AS t),
+        sweep AS (SELECT t,
+                 coalesce((SELECT sum(np) FROM h WHERE bin >= t), 0)
+                   AS tp,
+                 coalesce((SELECT sum(n - np) FROM h WHERE bin >= t),
+                          0) AS fp,
+                 (SELECT sum(np) FROM h)
+                 - coalesce((SELECT sum(np) FROM h WHERE bin >= t), 0)
+                   AS fn
+                  FROM ks),
+        scored AS (SELECT t, tp, fp, fn,
+                          CASE WHEN 2 * tp + fp + fn > 0
+                               THEN 1000000 * 2 * tp
+                                    // (2 * tp + fp + fn)
+                               ELSE 0 END AS f1
+                   FROM sweep)
+        SELECT CAST(t AS BIGINT) AS best_bin, CAST(tp AS BIGINT) AS tp,
+               CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+               CAST(f1 AS BIGINT) AS f1_fp
+        FROM scored ORDER BY f1 DESC, t LIMIT 1"""
+    out["dedup_cluster_sizes"] = "WITH " + _SHINGLE_CTE + """
+        , p AS (SELECT i.doc_a AS a, i.doc_b AS b
+                FROM inter i
+                JOIN sizes sa ON sa.doc_id = i.doc_a
+                JOIN sizes sb ON sb.doc_id = i.doc_b
+                WHERE CAST(i.ni AS DOUBLE)
+                      / (sa.n + sb.n - i.ni) >= 0.5),
+        e AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+        r AS (SELECT u, v FROM (
+            WITH RECURSIVE rr(u, v) AS (
+                SELECT u, v FROM e
+                UNION
+                SELECT rr.u, e.v FROM rr JOIN e ON e.u = rr.v)
+            SELECT u, v FROM rr)),
+        lab AS (SELECT u AS node, least(u, min(v)) AS rep
+                FROM r GROUP BY 1)
+        SELECT CAST(rep AS BIGINT) AS cluster_rep,
+               CAST(count(*) AS BIGINT) AS size
+        FROM lab GROUP BY 1 ORDER BY 1"""
+    out["events_burst_users"] = f"""
+        WITH um AS (SELECT user_id,
+                           epoch_us(ts) // 60000000 AS minute,
+                           count(*) AS k
+                    FROM events GROUP BY 1, 2),
+        pu AS (SELECT user_id, max(k) AS max_per_min,
+                      sum(k) AS n_events
+               FROM um GROUP BY 1)
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(max_per_min AS BIGINT) AS max_per_min,
+               CAST(n_events AS BIGINT) AS n_events
+        FROM pu WHERE max_per_min >= {BURST_MIN} ORDER BY 1"""
     return out
