@@ -4616,7 +4616,7 @@ def _q_events_stickiness(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True).sort("day")
 
 
-def _q_dedup_cluster_sizes(sf_dir: str):
+def _q_dedup_cluster_size_hist(sf_dir: str):
     """Near-dup cluster-size histogram — the dedup QUALITY diagnostic
     (how much mass sits in big duplicate families): canonical map →
     per-canon sizes → size histogram, two grouped counts, corpus never
@@ -4757,7 +4757,7 @@ def _q_events_cusum(sf_dir: str):
 L_DIVERSITY = 3
 
 
-def _q_privacy_l_diversity(sf_dir: str):
+def _q_privacy_l_diversity_events(sf_dir: str):
     """l-diversity audit (Machanavajjhala et al. 2007, the successor
     to k-anonymity): within each quasi-identifier class (event_type,
     weekday, hour), the sensitive attribute (user cohort = user_id % 8)
@@ -9536,7 +9536,7 @@ def queries() -> dict[str, Callable]:
         "kg_bgp_conv_entity": _q_kg_bgp_conv_entity,
         "kg_completeness_metrics": _q_kg_completeness,
         "events_attribution": _q_events_attribution,
-        "dedup_cluster_sizes": _q_dedup_cluster_sizes,
+        "dedup_cluster_size_hist": _q_dedup_cluster_size_hist,
         "kg_type_rollup_counts": _q_kg_type_rollup,
         "events_robust_anomaly": _q_events_robust_anomaly,
         "kg_clustering_coeff": _q_kg_clustering,
@@ -9624,7 +9624,7 @@ def queries() -> dict[str, Callable]:
         "text_dispersion": _q_text_dispersion,
         "rel_division": _q_rel_division,
         "events_cusum_changepoint": _q_events_cusum,
-        "privacy_l_diversity": _q_privacy_l_diversity,
+        "privacy_l_diversity_events": _q_privacy_l_diversity_events,
         "ml_decision_stump": _q_ml_decision_stump,
         "dedup_sorted_neighborhood": _q_dedup_snm,
         "rec_item_cooccur": _q_rec_item_cooccur,
@@ -10044,7 +10044,7 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(c.c, d.doc_id) <> d.doc_id AS is_dup
             FROM documents d LEFT JOIN canon c ON c.node = d.doc_id
             ORDER BY d.doc_id""",
-        "dedup_cluster_sizes": "WITH RECURSIVE " + _SHINGLE_CTE + ","
+        "dedup_cluster_size_hist": "WITH RECURSIVE " + _SHINGLE_CTE + ","
             + _CANON_CTE + """,
             m AS (SELECT d.doc_id, coalesce(c.c, d.doc_id) AS canon_id
                   FROM documents d LEFT JOIN canon c ON c.node = d.doc_id),
@@ -12443,7 +12443,7 @@ ORDER BY doc_a, doc_b"""
                CAST(abs(s) = (SELECT max(abs(s)) FROM c) AS BIGINT)
                  AS is_peak
         FROM c ORDER BY day"""
-    out["privacy_l_diversity"] = f"""
+    out["privacy_l_diversity_events"] = f"""
         WITH cell AS (SELECT event_type,
                              CAST(isodow(ts) AS BIGINT) AS dow,
                              CAST(hour(ts) AS BIGINT) AS hod,
