@@ -44,6 +44,45 @@ from .grouped import grouped_count, sorted_aggregate
 SCALE = 10**12
 BASE = 15 * SCALE // 100  # floor(0.15 * SCALE)
 
+# Node-state size cap for the BSP fast path: below this the per-node state
+# (rank/outdeg/seed, 24 B/node -> ~100 MB at the cap) is driver-resident and
+# broadcast per round, edges stay PINNED in per-shard actors, and each round
+# is K actor calls instead of two Dataset shuffles. Above it, the join path
+# below runs unchanged — same arithmetic, bit-identical output.
+BROADCAST_NODES_MAX = 1 << 22
+
+
+@ray.remote
+class _EdgeShard:
+    """One preprocessed edge partition for BSP PageRank rounds.
+
+    ``__init__`` (once): concatenate this shard's edge blocks and sort by
+    destination, caching the permuted source ids and the destination run
+    starts. Each ``contribute`` round is then two numpy gathers plus one
+    ``np.add.reduceat`` — pure C over int64, no hashing, no Python rows —
+    returning the shard's SPARSE (destination, partial-sum) arrays."""
+
+    def __init__(self, *blocks: pa.Table):
+        tabs = [t for t in blocks if t.num_rows]
+        if not tabs:
+            self.du = np.empty(0, np.int64)
+            return
+        sid = np.concatenate(
+            [t["sid"].to_numpy(zero_copy_only=False) for t in tabs])
+        did = np.concatenate(
+            [t["did"].to_numpy(zero_copy_only=False) for t in tabs])
+        order = np.argsort(did, kind="stable")
+        d = did[order]
+        self.sid_perm = sid[order]
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        self.du = d[starts]
+        self.starts = starts
+
+    def contribute(self, q: np.ndarray):
+        if not len(self.du):
+            return self.du, self.du
+        return self.du, np.add.reduceat(q[self.sid_perm], self.starts)
+
 
 def _distinct(ds: ray.data.Dataset, keys: list[str],
               num_partitions: int) -> ray.data.Dataset:
@@ -141,6 +180,47 @@ def pagerank(edges: ray.data.Dataset, iters: int = 5,
             + (85 * (s % 100)) // 100
         return pa.table({"nid": b["nid"], "outdeg": b["outdeg"],
                          "sd": b["sd"], "rank": pa.array(r, pa.int64())})
+
+    n_nodes = ranks.count()
+    if 0 < n_nodes <= BROADCAST_NODES_MAX:
+        # BSP fast path: node state lives on the driver (it IS the small
+        # side at this size), edges stay pinned in _EdgeShard actors, each
+        # round = ONE broadcast q + K sparse partial sums folded densely.
+        # Identical floor arithmetic to the join path -> bit-equal ranks.
+        rt = ranks.to_pandas()
+        nid = rt["nid"].to_numpy()
+        outdeg_arr = np.zeros(n_nodes, np.int64)
+        outdeg_arr[nid] = rt["outdeg"].to_numpy()
+        sd_arr = np.zeros(n_nodes, np.int64)
+        sd_arr[nid] = rt["sd"].to_numpy()
+        rank_arr = sd_arr * SCALE
+
+        refs = eint.to_arrow_refs()
+        n_shards = max(1, min(len(refs), 32))
+        groups = [refs[i::n_shards] for i in range(n_shards)]
+        shards = [_EdgeShard.remote(*g) for g in groups]
+        src_mask = outdeg_arr > 0
+        safe_deg = np.maximum(outdeg_arr, 1)
+        for _ in range(iters):
+            q = np.where(src_mask, rank_arr // safe_deg, 0)
+            qref = ray.put(q)
+            s = np.zeros(n_nodes, np.int64)
+            for du, sums in ray.get(
+                    [sh.contribute.remote(qref) for sh in shards]):
+                s[du] += sums  # du unique per shard -> plain fancy add
+            rank_arr = sd_arr * BASE + 85 * (s // 100) \
+                + (85 * (s % 100)) // 100
+        del shards
+        ranks = ray.data.from_arrow(pa.table({
+            "nid": pa.array(np.arange(n_nodes), pa.int64()),
+            "rank": pa.array(rank_arr, pa.int64())}))
+        out = attach_column(ranks, ids,
+                            [("nid", pa.int64()), ("rank", pa.int64())],
+                            "nid", "nid", "node", "node", pa.string(),
+                            num_partitions)
+        return out.map_batches(lambda b: b.select(["node", "rank"]),
+                               batch_format="pyarrow",
+                               zero_copy_batch=True).sort("node")
 
     for _ in range(iters):
         # per-source contribution: a plain map over the rank table
