@@ -93,6 +93,135 @@ def _distinct(ds: ray.data.Dataset, keys: list[str],
                            zero_copy_batch=True)
 
 
+def _encode_edges(edges: ray.data.Dataset, num_partitions: int
+                  ) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """Compress the (src, dst) string edge list to dense int64 node ids:
+    distinct nodes -> ``zip_with_index`` -> two string-key co-groups, ONCE,
+    so every iterative round downstream shuffles 16-byte int rows instead
+    of IRI strings. Returns (eint = (sid, did), ids = (node, nid))."""
+    from .joins import attach_column, zip_with_index
+    edges = _sever(edges.materialize())
+
+    def to_nodes(b: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [b["src"].combine_chunks(), b["dst"].combine_chunks()])})
+
+    nodes = _distinct(edges.map_batches(to_nodes, batch_format="pyarrow"),
+                      ["node"], num_partitions)
+    ids = _sever(zip_with_index(nodes))  # (node, nid) — internal dense ids
+
+    e1 = attach_column(edges, ids, [("src", pa.string()),
+                                    ("dst", pa.string())],
+                       "src", "node", "nid", "sid", pa.int64(),
+                       num_partitions, key_type=pa.string())
+    e2 = attach_column(e1, ids, [("sid", pa.int64()), ("dst", pa.string())],
+                       "dst", "node", "nid", "did", pa.int64(),
+                       num_partitions, key_type=pa.string())
+    eint = _sever(e2.map_batches(lambda b: b.select(["sid", "did"]),
+                                 batch_format="pyarrow",
+                                 zero_copy_batch=True).materialize())
+    return eint, ids
+
+
+def _edge_shards(eint: ray.data.Dataset, max_shards: int = 32) -> list:
+    """Spin up the pinned-edge BSP actors over a materialized int edge
+    list's blocks (round-robin so shard sizes balance)."""
+    refs = eint.to_arrow_refs()
+    n_shards = max(1, min(len(refs), max_shards))
+    return [_EdgeShard.remote(*refs[i::n_shards]) for i in range(n_shards)]
+
+
+def _fold_contribs(shards: list, q: np.ndarray, n_nodes: int) -> np.ndarray:
+    """One BSP round: broadcast q, gather each shard's sparse per-destination
+    partial sums, fold densely (destinations are unique per shard, so the
+    fancy-index add is exact)."""
+    qref = ray.put(q)
+    s = np.zeros(n_nodes, np.int64)
+    for du, sums in ray.get([sh.contribute.remote(qref) for sh in shards]):
+        s[du] += sums
+    return s
+
+
+EIG_SCALE = 10**6
+
+
+def eigenvector_centrality(edges: ray.data.Dataset, iters: int = 3,
+                           num_partitions: int = 8) -> ray.data.Dataset:
+    """Fixed-point integer eigenvector centrality (power iteration with
+    max-normalization) over a string edge Dataset.
+
+    Pinned integer convention (both engines, bit-equal under any shuffle):
+
+        x_0(v)   = EIG_SCALE
+        s_t(v)   = Σ_{(u,v)∈E} x_t(u)          (in-edge sum, missing -> 0)
+        x_{t+1}  = EIG_SCALE * s_t(v) // max_w s_t(w)   (0 if the max is 0)
+
+    Max-normalization instead of the usual L2 keeps everything int64 and
+    floor-exact; EIG_SCALE=1e6 is overflow-safe for max in-degree < ~9e6
+    (s <= indeg*1e6, then *1e6 < 2^63). Same two execution paths as
+    :func:`pagerank`: pinned-edge BSP actors + driver node state below
+    ``BROADCAST_NODES_MAX``, per-round co-group join + sort-aggregate above
+    it. Returns (node, score) sorted by node."""
+    from .joins import attach_column
+    i64 = pa.int64()
+    eint, ids = _encode_edges(edges, num_partitions)
+    n_nodes = ids.count()
+    if n_nodes == 0:
+        return ray.data.from_arrow(pa.table(
+            {"node": pa.array([], pa.string()),
+             "score": pa.array([], i64)}))
+    if n_nodes <= BROADCAST_NODES_MAX:
+        shards = _edge_shards(eint)
+        x = np.full(n_nodes, EIG_SCALE, np.int64)
+        for _ in range(iters):
+            s = _fold_contribs(shards, x, n_nodes)
+            m = int(s.max())
+            x = (EIG_SCALE * s // m if m > 0
+                 else np.zeros(n_nodes, np.int64))
+        del shards
+        xt = ray.data.from_arrow(pa.table({
+            "nid": pa.array(np.arange(n_nodes), i64),
+            "x": pa.array(x, i64)}))
+    else:
+        xt = _sever(ids.map_batches(
+            lambda b: pa.table({
+                "nid": b["nid"],
+                "x": pa.array(np.full(b.num_rows, EIG_SCALE, np.int64))}),
+            batch_format="pyarrow").materialize())
+        for _ in range(iters):
+            prop = attach_column(eint, xt,
+                                 [("sid", i64), ("did", i64)],
+                                 "sid", "nid", "x", "q", i64,
+                                 num_partitions)
+            contrib = prop.map_batches(
+                lambda b: pa.table({"nid": b["did"], "c": b["q"]}),
+                batch_format="pyarrow", zero_copy_batch=True)
+            zeros = xt.map_batches(
+                lambda b: pa.table({"nid": b["nid"], "c": pa.array(
+                    np.zeros(b.num_rows, np.int64))}),
+                batch_format="pyarrow", zero_copy_batch=True)
+            sums = _sever(sorted_aggregate(
+                contrib.union(zeros), ["nid"], [("c", "sum")],
+                ["nid", "s"], num_partitions).materialize())
+            m = int(sums.max("s") or 0)
+
+            def rescale(b: pa.Table, m: int = m) -> pa.Table:
+                s = b["s"].to_numpy()
+                x = (EIG_SCALE * s // m if m > 0
+                     else np.zeros(len(s), np.int64))
+                return pa.table({"nid": b["nid"],
+                                 "x": pa.array(x, i64)})
+
+            xt = _sever(sums.map_batches(
+                rescale, batch_format="pyarrow").materialize())
+    out = attach_column(xt, ids, [("nid", i64), ("x", i64)],
+                        "nid", "nid", "node", "node", pa.string(),
+                        num_partitions)
+    return out.map_batches(
+        lambda b: pa.table({"node": b["node"], "score": b["x"]}),
+        batch_format="pyarrow", zero_copy_batch=True).sort("node")
+
+
 def pagerank(edges: ray.data.Dataset, iters: int = 5,
              num_partitions: int = 8,
              seed_filter=None) -> ray.data.Dataset:
@@ -119,28 +248,8 @@ def pagerank(edges: ray.data.Dataset, iters: int = 5,
     aggregate: the rank/outdeg division is a plain map because the static
     out-degree rides inside the rank table (0 for dangling; it survives
     the sum-aggregate as a max column on the per-node zero rows)."""
-    from .joins import attach_column, zip_with_index
-    edges = _sever(edges.materialize())
-
-    def to_nodes(b: pa.Table) -> pa.Table:
-        return pa.table({"node": pa.concat_arrays(
-            [b["src"].combine_chunks(), b["dst"].combine_chunks()])})
-
-    nodes = _distinct(edges.map_batches(to_nodes, batch_format="pyarrow"),
-                      ["node"], num_partitions)
-    ids = _sever(zip_with_index(nodes))  # (node, nid) — internal dense ids
-
-    # encode edges to int ids: two string-key co-groups, ONCE (not per round)
-    e1 = attach_column(edges, ids, [("src", pa.string()),
-                                    ("dst", pa.string())],
-                       "src", "node", "nid", "sid", pa.int64(),
-                       num_partitions, key_type=pa.string())
-    e2 = attach_column(e1, ids, [("sid", pa.int64()), ("dst", pa.string())],
-                       "dst", "node", "nid", "did", pa.int64(),
-                       num_partitions, key_type=pa.string())
-    eint = _sever(e2.map_batches(lambda b: b.select(["sid", "did"]),
-                                 batch_format="pyarrow",
-                                 zero_copy_batch=True).materialize())
+    from .joins import attach_column
+    eint, ids = _encode_edges(edges, num_partitions)
 
     # static out-degree folded INTO the rank table (0 for dangling nodes),
     # so each round is ONE edge co-group + ONE aggregate — no node-sized
@@ -195,19 +304,12 @@ def pagerank(edges: ray.data.Dataset, iters: int = 5,
         sd_arr[nid] = rt["sd"].to_numpy()
         rank_arr = sd_arr * SCALE
 
-        refs = eint.to_arrow_refs()
-        n_shards = max(1, min(len(refs), 32))
-        groups = [refs[i::n_shards] for i in range(n_shards)]
-        shards = [_EdgeShard.remote(*g) for g in groups]
+        shards = _edge_shards(eint)
         src_mask = outdeg_arr > 0
         safe_deg = np.maximum(outdeg_arr, 1)
         for _ in range(iters):
             q = np.where(src_mask, rank_arr // safe_deg, 0)
-            qref = ray.put(q)
-            s = np.zeros(n_nodes, np.int64)
-            for du, sums in ray.get(
-                    [sh.contribute.remote(qref) for sh in shards]):
-                s[du] += sums  # du unique per shard -> plain fancy add
+            s = _fold_contribs(shards, q, n_nodes)
             rank_arr = sd_arr * BASE + 85 * (s // 100) \
                 + (85 * (s % 100)) // 100
         del shards

@@ -1283,6 +1283,32 @@ def _pagerank_sql(iters: int = 5, seed_sql: str | None = None) -> str:
             f"\nSELECT node, rank FROM r{iters} ORDER BY node")
 
 
+def _eigen_sql(iters: int = 3) -> str:
+    """Unrolled integer power-iteration CTE chain
+    (functions/pagerank.eigenvector_centrality semantics: x0 = 1e6,
+    in-edge sum, max-normalized floor rescale). Expects CTE
+    ``edges(src, dst)`` in scope."""
+    ctes = ["""nodes AS (SELECT src AS node FROM edges
+                         UNION SELECT dst FROM edges),
+               x0 AS (SELECT node, CAST(1000000 AS BIGINT) AS x
+                      FROM nodes)"""]
+    for t in range(1, iters + 1):
+        ctes.append(f"""s{t} AS (
+            SELECT n.node, COALESCE(s.s, 0) AS s
+            FROM nodes n LEFT JOIN (
+              SELECT e.dst AS node, sum(x.x) AS s
+              FROM edges e JOIN x{t - 1} x ON x.node = e.src
+              GROUP BY 1) s ON s.node = n.node),
+        x{t} AS (
+            SELECT node,
+                   CAST(CASE WHEN (SELECT max(s) FROM s{t}) > 0
+                        THEN 1000000 * s // (SELECT max(s) FROM s{t})
+                        ELSE 0 END AS BIGINT) AS x
+            FROM s{t})""")
+    return (",\n".join(ctes) +
+            f"\nSELECT node, x AS score FROM x{iters} ORDER BY node")
+
+
 def _q_text_top_ngrams(sf_dir: str):
     """Corpus n-gram document frequencies (textstats.top_ngrams): map-side
     dictionary partials, one sum all-to-all, one tiny top-n sort."""
@@ -9361,6 +9387,151 @@ def _q_events_burst_users(sf_dir: str):
     return df
 
 
+def _q_kg_eigencentrality(sf_dir: str):
+    """Integer power-iteration eigenvector centrality over the KG edge
+    list (functions/pagerank.eigenvector_centrality) — influence
+    weighted by neighbors' influence, the undamped companion to
+    kg_pagerank. Same execution shape: pinned edge-shard BSP actors +
+    broadcast node state below the node cap, per-round co-group join
+    above it; max-normalized floor arithmetic makes both engines
+    bit-equal."""
+    from .functions.pagerank import eigenvector_centrality
+    return eigenvector_centrality(_kg_edges(sf_dir))
+
+
+def _q_kg_pred_cooccurrence(sf_dir: str):
+    """Predicate co-occurrence profile (LODStats-style schema
+    discovery): for each unordered predicate pair, how many subjects
+    carry BOTH. Predicates map onto the fixed 12-IRI vocabulary
+    (config.KNOWN_COMBOS, sorted — so int pair order IS string order);
+    distinct (subj, pid) collapses first; the shared pair machinery
+    emits <=C(12,2) counted pairs per subject group map-side."""
+    from .functions.grouped import grouped_count, pairs_within_groups
+    from .pipelines.kg import run_kg
+    preds = sorted(p for p, _, _ in C.KNOWN_COMBOS)
+    pred_arr = pa.array(preds, pa.string())
+
+    def to_pid(b: pa.Table) -> pa.Table:
+        pid = pc.index_in(b["pred"], value_set=pred_arr)
+        if pid.null_count:
+            raise ValueError("predicate outside config.KNOWN_COMBOS")
+        return pa.table({"subj": b["subj"],
+                         "pid": pc.cast(pid, pa.int64())})
+
+    sp = grouped_count(
+        run_kg(sf_dir).map_batches(to_pid, batch_format="pyarrow"),
+        ["subj", "pid"], "n", 8).drop_columns(["n"])
+    pairs = pairs_within_groups(sp, ["subj"], "pid", count_col="n_subj",
+                                num_partitions=4)
+
+    def decode(b: pa.Table) -> pa.Table:
+        return pa.table({"pred_a": pc.take(pred_arr, b["doc_a"]),
+                         "pred_b": pc.take(pred_arr, b["doc_b"]),
+                         "n_subj": b["n_subj"]})
+
+    return pairs.map_batches(decode, batch_format="pyarrow") \
+        .sort(["pred_a", "pred_b"])
+
+
+def _q_rel_target_encoding(sf_dir: str):
+    """Leave-one-out target encoding of customer nation on order value
+    — the leakage-safe categorical encoder of a feature pipeline:
+    loo_cents(o) = (nation_sum - own) // (nation_n - 1), 0 for
+    singleton nations. The custkey->nation map broadcasts as sorted
+    arrays probed per batch; the 25-row nation aggregate is a driver
+    fold; the per-order pass stays map-only."""
+    import pyarrow.parquet as pq
+    from .functions.grouped import sorted_aggregate
+    from .functions.joins import probe_sorted
+    i64 = pa.int64()
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust["c_custkey"].to_numpy()
+    nk = pc.cast(cust["c_nationkey"], i64).to_numpy()
+    order = np.argsort(ck)
+    cust_ref = ray.put((ck[order], nk[order]))
+
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    class Attach:
+        def __init__(self):
+            self.keys, self.nations = ray.get(cust_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            k = pc.cast(b["o_custkey"], i64).combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            return pa.table({
+                "o_orderkey": pc.cast(b["o_orderkey"], i64),
+                "nation": pa.array(
+                    probe_sorted(self.keys, self.nations, k), i64),
+                "p": pc.cast(pc.round(pc.multiply(
+                    b["o_totalprice"], 100.0)), i64)})
+
+    tagged = od.map_batches(Attach, batch_format="pyarrow",
+                            zero_copy_batch=True,
+                            concurrency=(1, 4)).materialize()
+
+    def partial(b: pa.Table) -> pa.Table:
+        return b.select(["nation", "p"]).append_column(
+            "n", pa.array(np.ones(b.num_rows, np.int64))) \
+            .group_by(["nation"], use_threads=False) \
+            .aggregate([("p", "sum"), ("n", "sum")]) \
+            .rename_columns(["nation", "sp", "n"])
+
+    g = sorted_aggregate(
+        tagged.map_batches(partial, batch_format="pyarrow"),
+        ["nation"], [("sp", "sum"), ("n", "sum")],
+        ["nation", "sp", "n"], 1).to_pandas()
+    nat = g["nation"].to_numpy()
+    norder = np.argsort(nat)
+    g_ref = ray.put((nat[norder], g["sp"].to_numpy()[norder],
+                     g["n"].to_numpy()[norder]))
+
+    def loo(b: pa.Table) -> pa.Table:
+        gn, gsp, gcnt = ray.get(g_ref)
+        idx = np.searchsorted(gn, b["nation"].to_numpy())
+        sp, n = gsp[idx], gcnt[idx]
+        p = b["p"].to_numpy()
+        w = np.where(n > 1, (sp - p) // np.maximum(n - 1, 1), 0)
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "nation": b["nation"],
+                         "loo_cents": pa.array(w, i64)})
+
+    return tagged.map_batches(loo, batch_format="pyarrow",
+                              zero_copy_batch=True).sort("o_orderkey")
+
+
+def _q_curation_dup_weights(sf_dir: str):
+    """Soft-dedup sampling weights: every document keeps weight
+    10^6 // near-dup-cluster-size (the 'downweight duplicates instead
+    of dropping them' training-data policy). Reuses the canonical map
+    (minhash components); cluster sizes ride back onto members through
+    ONE int-key co-group — the corpus text never reshuffles."""
+    from .functions.grouped import grouped_count
+    from .functions.joins import attach_column
+    from .stages.dedup import dedup_canonical_map, minhash_lsh_pairs
+    i64 = pa.int64()
+    docs = _docs(sf_dir)
+    cm = dedup_canonical_map(docs, minhash_lsh_pairs(docs)).materialize()
+    sizes = grouped_count(
+        cm.map_batches(lambda b: b.select(["canon_id"]),
+                       batch_format="pyarrow"), ["canon_id"], "sz", 8)
+    out = attach_column(cm, sizes,
+                        [("doc_id", i64), ("canon_id", i64)],
+                        "canon_id", "canon_id", "sz", "sz", i64, 8)
+
+    def weight(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"], "canon_id": b["canon_id"],
+            "weight_fp": pa.array(
+                10**6 // b["sz"].to_numpy(), i64)})
+
+    return out.map_batches(weight, batch_format="pyarrow",
+                           zero_copy_batch=True).sort("doc_id")
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -9726,6 +9897,10 @@ def queries() -> dict[str, Callable]:
         "ml_best_f1_threshold": _q_ml_best_f1_threshold,
         "dedup_cluster_sizes": _q_dedup_cluster_sizes,
         "events_burst_users": _q_events_burst_users,
+        "kg_eigencentrality": _q_kg_eigencentrality,
+        "kg_pred_cooccurrence": _q_kg_pred_cooccurrence,
+        "rel_target_encoding": _q_rel_target_encoding,
+        "curation_dup_weights": _q_curation_dup_weights,
     }
 
 
@@ -14025,4 +14200,37 @@ ORDER BY doc_a, doc_b"""
                CAST(max_per_min AS BIGINT) AS max_per_min,
                CAST(n_events AS BIGINT) AS n_events
         FROM pu WHERE max_per_min >= {BURST_MIN} ORDER BY 1"""
+    out["kg_eigencentrality"] = P + """
+        , triples AS (""" + _structural_sql() + """
+          UNION """ + _mention_sql() + """),
+        edges AS (SELECT DISTINCT subj AS src, obj AS dst FROM triples
+                  WHERE NOT obj_is_literal),
+        """ + _eigen_sql()
+    out["kg_pred_cooccurrence"] = P + f"""
+        , tri AS (SELECT * FROM ({full_body})),
+        sp AS (SELECT DISTINCT subj, pred FROM tri)
+        SELECT a.pred AS pred_a, b.pred AS pred_b,
+               CAST(count(*) AS BIGINT) AS n_subj
+        FROM sp a JOIN sp b ON a.subj = b.subj AND a.pred < b.pred
+        GROUP BY 1, 2 ORDER BY 1, 2"""
+    out["rel_target_encoding"] = """
+        WITH o AS (SELECT o_orderkey, c_nationkey AS nation,
+                          CAST(round(o_totalprice * 100) AS BIGINT) AS p
+                   FROM orders JOIN customer ON c_custkey = o_custkey),
+        g AS (SELECT nation, sum(p) AS sp, count(*) AS n
+              FROM o GROUP BY 1)
+        SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+               CAST(o.nation AS BIGINT) AS nation,
+               CAST(CASE WHEN g.n > 1 THEN (g.sp - o.p) // (g.n - 1)
+                    ELSE 0 END AS BIGINT) AS loo_cents
+        FROM o JOIN g USING (nation) ORDER BY o_orderkey"""
+    out["curation_dup_weights"] = "WITH RECURSIVE " + _SHINGLE_CTE \
+        + "," + _CANON_CTE + """
+        , cm AS (SELECT d.doc_id, coalesce(c.c, d.doc_id) AS canon_id
+                 FROM documents d LEFT JOIN canon c ON c.node = d.doc_id),
+        sz AS (SELECT canon_id, count(*) AS n FROM cm GROUP BY 1)
+        SELECT CAST(cm.doc_id AS BIGINT) AS doc_id,
+               CAST(cm.canon_id AS BIGINT) AS canon_id,
+               CAST(1000000 // sz.n AS BIGINT) AS weight_fp
+        FROM cm JOIN sz USING (canon_id) ORDER BY cm.doc_id"""
     return out
