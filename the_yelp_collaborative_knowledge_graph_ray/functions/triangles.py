@@ -150,3 +150,64 @@ def triangles_per_node(edges: ray.data.Dataset,
                             [("n_triangles", "sum"), ("n_wedges", "sum")],
                             ["node", "n_triangles", "n_wedges"],
                             num_partitions)
+
+
+def edge_support(edges: ray.data.Dataset,
+                 num_partitions: int = 8) -> ray.data.Dataset:
+    """Per-edge triangle support over an oriented (u < v) distinct string
+    edge list: returns (u, v, sup) for every edge in >=1 triangle.
+
+    Each triangle a<b<c is certified exactly once through its oriented
+    wedge (a,b)+(b,c) closed by (a,c) — the same two-co-group shape as
+    :func:`triangle_count` (cogroup_join, not Dataset.join, for the
+    empty-partition reason documented in :func:`triangles_per_node`) —
+    then votes for all three of its edges; one grouped count per edge."""
+    from .bgp import cogroup_join
+    from .grouped import grouped_count
+    edges = edges.materialize()
+    lft = edges.map_batches(
+        lambda b: pa.table({"j": b["v"], "a": b["u"]}),
+        batch_format="pyarrow")
+    rgt = edges.map_batches(
+        lambda b: pa.table({"j": b["u"], "c": b["v"]}),
+        batch_format="pyarrow")
+    wed = cogroup_join(lft, rgt, ["j"], ["j", "a"], ["j", "c"],
+                       num_partitions).map_batches(
+        lambda b: pa.table({"a": b["a"], "b": b["j"], "c": b["c"]}),
+        batch_format="pyarrow")
+    ek = edges.map_batches(
+        lambda b: pa.table({"a": b["u"], "c": b["v"]}),
+        batch_format="pyarrow")
+    closed = cogroup_join(wed, ek, ["a", "c"], ["a", "c", "b"],
+                          ["a", "c"], num_partitions)
+
+    def votes(t: pa.Table) -> pa.Table:
+        a, b, c = (t[x].combine_chunks() for x in ("a", "b", "c"))
+        return pa.table({"u": pa.concat_arrays([a, b, a]),
+                         "v": pa.concat_arrays([b, c, c])})
+
+    return grouped_count(
+        closed.map_batches(votes, batch_format="pyarrow"),
+        ["u", "v"], "sup", num_partitions)
+
+
+def ktruss_edges(edges: ray.data.Dataset, k: int = 4, rounds: int = 3,
+                 num_partitions: int = 8) -> ray.data.Dataset:
+    """Bounded k-truss peeling: ``rounds`` alternations of per-edge
+    triangle support + threshold filter (sup >= k-2), returning the
+    surviving (u, v) edges.
+
+    A FIXED round count (not run-to-fixpoint) keeps the unrolled SQL twin
+    finite; both engines pin the same count, so outputs agree even on
+    graphs where peeling hasn't converged yet. Each round is two string
+    co-groups + one grouped count — the truss never materializes node
+    neighborhoods."""
+    e = edges.materialize()
+    for _ in range(rounds):
+        if e.count() == 0:
+            break
+        sup = edge_support(e, num_partitions)
+        e = sup.filter(expr=f"sup >= {k - 2}").map_batches(
+            lambda b: b.select(["u", "v"]),
+            batch_format="pyarrow").materialize()
+    return e

@@ -9387,6 +9387,203 @@ def _q_events_burst_users(sf_dir: str):
     return df
 
 
+KTRUSS_K = 4
+KTRUSS_ROUNDS = 3
+
+
+def _ktruss_sql(k: int, rounds: int) -> str:
+    """Unrolled bounded k-truss peeling (functions/triangles.ktruss_edges
+    semantics). Expects CTE ``ce(u, v)`` (oriented u < v distinct edges)
+    in scope."""
+    # AS MATERIALIZED: each e{t} is referenced 3x by the wedge join of the
+    # next round — without it DuckDB inlines the whole upstream (incl. the
+    # expensive mention CTE) per reference (measured 125 s -> ~3 s).
+    ctes = ["e0 AS MATERIALIZED (SELECT u, v FROM ce)"]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        ctes.append(f"""t{t} AS MATERIALIZED (
+              SELECT w1.u AS a, w1.v AS b, w2.v AS c
+              FROM e{p} w1 JOIN e{p} w2 ON w2.u = w1.v
+              JOIN e{p} w3 ON w3.u = w1.u AND w3.v = w2.v),
+        s{t} AS (SELECT u, v, count(*) AS sup FROM (
+                 SELECT a AS u, b AS v FROM t{t}
+                 UNION ALL SELECT b, c FROM t{t}
+                 UNION ALL SELECT a, c FROM t{t}) GROUP BY 1, 2),
+        e{t} AS MATERIALIZED (
+              SELECT u, v FROM s{t} WHERE sup >= {k - 2})""")
+    return (",\n".join(ctes) +
+            f"\nSELECT u, v FROM e{rounds} ORDER BY 1, 2")
+
+
+def _q_kg_ktruss(sf_dir: str):
+    """Bounded k-truss of the mention co-occurrence graph
+    (functions/triangles.ktruss_edges): edges surviving 3 rounds of
+    'every edge must sit in >= k-2 triangles' peeling — the cohesive-
+    subgraph mining step above k-core (kg_kcore_edges). Node naming
+    mirrors kg_comention_components (canonical surface forms)."""
+    import pandas as pd
+    from .functions.triangles import ktruss_edges, within_group_pairs
+    pre = C.ENT + "mention/"
+    m = _q_mentions(sf_dir).map_batches(
+        lambda b: pa.table({
+            "turn": b["subj"],
+            "c": pc.utf8_slice_codeunits(b["obj"], len(pre))}),
+        batch_format="pyarrow")
+    edges = within_group_pairs(m, "turn", "c")
+    df = ktruss_edges(edges, KTRUSS_K, KTRUSS_ROUNDS) \
+        .sort(["u", "v"]).to_pandas()
+    if df.empty:  # all-empty sort loses the schema — pin it
+        df = pd.DataFrame({"u": pd.Series(dtype=object),
+                           "v": pd.Series(dtype=object)})
+    return df
+
+
+def _q_kg_subclass_depth(sf_dir: str):
+    """Ontology depth profile: per class, the number of distinct proper
+    ancestors along rdfs:subClassOf (0 for roots) — the class-hierarchy
+    health check of a KG release. Reuses datalog.transitive_closure on
+    the subclass edges only (vocabulary-sized), one grouped count, and
+    a zero-row union so roots surface."""
+    from .functions.datalog import transitive_closure
+    from .functions.grouped import grouped_count, sorted_aggregate
+    from .pipelines.kg import run_kg
+    tri = run_kg(sf_dir)  # subClassOf triples come from the enrich stage
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["pred"], C.RDFS_SUBCLASS_OF))
+        return pa.table({"src": t["subj"], "dst": t["obj"]})
+
+    edges = tri.map_batches(to_edges,
+                            batch_format="pyarrow").materialize()
+    clo = transitive_closure(edges)
+    cnt = grouped_count(
+        clo.map_batches(lambda b: b.select(["src"]),
+                        batch_format="pyarrow"),
+        ["src"], "depth", 4).map_batches(
+        lambda b: b.rename_columns(["class_iri", "depth"]),
+        batch_format="pyarrow")
+
+    def zeros(b: pa.Table) -> pa.Table:
+        n = pa.concat_arrays([b["src"].combine_chunks(),
+                              b["dst"].combine_chunks()])
+        return pa.table({"class_iri": n, "depth": pa.array(
+            np.zeros(len(n), np.int64))})
+
+    return sorted_aggregate(
+        edges.map_batches(zeros, batch_format="pyarrow").union(cnt),
+        ["class_iri"], [("depth", "max")], ["class_iri", "depth"],
+        4).sort("class_iri")
+
+
+def _q_dedup_incremental(sf_dir: str):
+    """Incremental dedup of a 'new batch' against the existing corpus:
+    the top-decile doc ids (delta, id >= ceil(9N/10)) checked for
+    near-duplicates (minhash J >= 0.5) among the base; output
+    (doc_id, dup_of = min base partner). The delta boundary is an
+    integer function of max(doc_id), pinned on both engines. Reuses
+    the full minhash pair machinery; pairs crossing the cut are a
+    vectorized mask; one grouped min."""
+    import pandas as pd
+    from .functions.grouped import sorted_aggregate
+    from .stages.dedup import minhash_lsh_pairs
+    docs = _docs(sf_dir)
+    n = int(docs.max("doc_id")) + 1
+    cut = (9 * n + 9) // 10  # ceil(9N/10)
+    pairs = minhash_lsh_pairs(docs)
+
+    def crossing(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(pc.greater_equal(b["doc_b"], cut),
+                             pc.less(b["doc_a"], cut)))
+        return pa.table({"doc_id": t["doc_b"], "dup_of": t["doc_a"]})
+
+    df = sorted_aggregate(
+        pairs.map_batches(crossing, batch_format="pyarrow"),
+        ["doc_id"], [("dup_of", "min")], ["doc_id", "dup_of"],
+        4).sort("doc_id").to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                           "dup_of": pd.Series(dtype="int64")})
+    return df
+
+
+TERM_LIFT_TOPK = 3
+TERM_LIFT_MIN_DF = 5
+
+
+def _q_text_source_term_lift(sf_dir: str):
+    """Per-source discriminative vocabulary: the top-3 terms by lift =
+    P(term|source)/P(term) over document frequencies, ×10⁶ floored —
+    the 'what makes this source different' corpus diagnostic. Distinct
+    (term, doc) postings are per-batch exact (a doc never spans
+    batches); term marginals ride back through ONE string-key
+    co-group; per-source top-3 runs on colocated complete groups."""
+    from .functions.grouped import (grouped_count, sorted_aggregate,
+                                    sorted_group_apply)
+    from .functions.joins import attach_column
+    from .stages.dedup import _words_flat
+    i64 = pa.int64()
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"])
+
+    def postings(b: pa.Table) -> pa.Table:
+        # distinct (term, DOC) — not (term, source): df counts documents,
+        # and a doc never spans batches, so per-batch distinct is exact
+        words, doc_of = _words_flat(b["text"])
+        src = b["source"].to_numpy(zero_copy_only=False)
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"w": pa.array(words, pa.string()),
+                         "s": pa.array(src[doc_of], pa.string()),
+                         "d": pa.array(did[doc_of], pa.int64())}) \
+            .group_by(["w", "s", "d"], use_threads=False).aggregate([]) \
+            .select(["w", "s"])
+
+    dfs = grouped_count(
+        docs.map_batches(postings, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["w", "s"], "df_s", 8).materialize()
+    dft = sorted_aggregate(dfs, ["w"], [("df_s", "sum")],
+                           ["w", "df"], 8)
+    joined = attach_column(dfs, dft,
+                           [("w", pa.string()), ("s", pa.string()),
+                            ("df_s", i64)],
+                           "w", "w", "df", "df", i64, 8,
+                           key_type=pa.string())
+    sizes = grouped_count(
+        docs.map_batches(lambda b: b.select(["source"]),
+                         batch_format="pyarrow"),
+        ["source"], "d_s", 1).to_pandas()
+    total_d = int(sizes["d_s"].sum())
+    src_sorted = sizes.sort_values("source")
+    sref = ray.put((src_sorted["source"].to_numpy(),
+                    src_sorted["d_s"].to_numpy().astype(np.int64)))
+
+    def lift(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(b["df"], TERM_LIFT_MIN_DF))
+        names, d_s = ray.get(sref)
+        idx = np.searchsorted(names, t["s"].to_numpy(
+            zero_copy_only=False))
+        lf = (10**6 * t["df_s"].to_numpy() * total_d
+              // (d_s[idx] * t["df"].to_numpy()))
+        return pa.table({"s": t["s"], "w": t["w"],
+                         "lift_fp": pa.array(lf, i64)})
+
+    scored = joined.map_batches(lift, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def top3(b: pa.Table) -> pa.Table:
+        pdf = b.to_pandas().sort_values(
+            ["s", "lift_fp", "w"], ascending=[True, False, True])
+        out = pdf.groupby("s", sort=False).head(TERM_LIFT_TOPK)
+        return pa.table({
+            "source": pa.array(out["s"].to_numpy(), pa.string()),
+            "term": pa.array(out["w"].to_numpy(), pa.string()),
+            "lift_fp": pa.array(out["lift_fp"].to_numpy(), i64)})
+
+    return sorted_group_apply(scored, ["s"], top3, 4) \
+        .sort(["source", "term"])
+
+
 def _q_kg_eigencentrality(sf_dir: str):
     """Integer power-iteration eigenvector centrality over the KG edge
     list (functions/pagerank.eigenvector_centrality) — influence
@@ -9901,6 +10098,10 @@ def queries() -> dict[str, Callable]:
         "kg_pred_cooccurrence": _q_kg_pred_cooccurrence,
         "rel_target_encoding": _q_rel_target_encoding,
         "curation_dup_weights": _q_curation_dup_weights,
+        "kg_ktruss_edges": _q_kg_ktruss,
+        "kg_subclass_depth": _q_kg_subclass_depth,
+        "dedup_incremental": _q_dedup_incremental,
+        "text_source_term_lift": _q_text_source_term_lift,
     }
 
 
@@ -14233,4 +14434,62 @@ ORDER BY doc_a, doc_b"""
                CAST(cm.canon_id AS BIGINT) AS canon_id,
                CAST(1000000 // sz.n AS BIGINT) AS weight_fp
         FROM cm JOIN sz USING (canon_id) ORDER BY cm.doc_id"""
+    out["kg_ktruss_edges"] = P + """
+        , ce AS (SELECT DISTINCT a.canonical AS u, b.canonical AS v
+                 FROM mention a JOIN mention b
+                   ON a.turn_iri = b.turn_iri
+                  AND a.canonical < b.canonical),
+        """ + _ktruss_sql(KTRUSS_K, KTRUSS_ROUNDS)
+    out["kg_subclass_depth"] = P.replace(
+        "\nWITH t AS", "\nWITH RECURSIVE t AS", 1) + f"""
+        , tri AS (SELECT * FROM ({full_body})),
+        sce AS (SELECT DISTINCT subj AS s, obj AS o FROM tri
+                WHERE pred = '{C.RDFS_SUBCLASS_OF}'),
+        scanc(s, o) AS (SELECT s, o FROM sce
+                        UNION
+                        SELECT a.s, e.o FROM scanc a
+                        JOIN sce e ON e.s = a.o),
+        scnodes AS (SELECT DISTINCT n FROM (
+                    SELECT s AS n FROM sce
+                    UNION ALL SELECT o FROM sce)),
+        sccnt AS (SELECT s, count(*) AS d FROM scanc GROUP BY 1)
+        SELECT n AS class_iri, CAST(coalesce(c.d, 0) AS BIGINT) AS depth
+        FROM scnodes LEFT JOIN sccnt c ON c.s = n ORDER BY 1"""
+    out["dedup_incremental"] = "WITH " + _SHINGLE_CTE + """
+        , mx AS (SELECT max(doc_id) + 1 AS n FROM documents),
+        p AS (SELECT i.doc_a, i.doc_b FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.doc_a
+              JOIN sizes sb ON sb.doc_id = i.doc_b
+              WHERE CAST(i.ni AS DOUBLE)
+                    / (sa.n + sb.n - i.ni) >= 0.5),
+        cut AS (SELECT (9 * n + 9) // 10 AS c FROM mx)
+        SELECT CAST(doc_b AS BIGINT) AS doc_id,
+               CAST(min(doc_a) AS BIGINT) AS dup_of
+        FROM p, cut WHERE doc_b >= c AND doc_a < c
+        GROUP BY 1 ORDER BY 1"""
+    out["text_source_term_lift"] = f"""
+        WITH dd AS (SELECT doc_id, source,
+                           string_split(lower(text), ' ') AS ws
+                    FROM documents),
+        post AS (SELECT DISTINCT doc_id, source, t.x AS w
+                 FROM dd, unnest(ws) AS t(x)),
+        dfs AS (SELECT w, source, count(*) AS df_s
+                FROM post GROUP BY 1, 2),
+        df AS (SELECT w, sum(df_s) AS df FROM dfs GROUP BY 1),
+        ds AS (SELECT source, count(*) AS d_s FROM documents
+               GROUP BY 1),
+        d AS (SELECT count(*) AS d FROM documents),
+        scored AS (SELECT dfs.source, dfs.w,
+                          1000000 * dfs.df_s * d.d
+                            // (ds.d_s * df.df) AS lift_fp
+                   FROM dfs JOIN df USING (w)
+                   JOIN ds ON ds.source = dfs.source, d
+                   WHERE df.df >= {TERM_LIFT_MIN_DF}),
+        rk AS (SELECT *, row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY lift_fp DESC, w) AS rn
+               FROM scored)
+        SELECT source, w AS term, CAST(lift_fp AS BIGINT) AS lift_fp
+        FROM rk WHERE rn <= {TERM_LIFT_TOPK}
+        ORDER BY source, term"""
     return out
