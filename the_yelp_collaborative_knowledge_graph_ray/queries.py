@@ -9387,6 +9387,145 @@ def _q_events_burst_users(sf_dir: str):
     return df
 
 
+MARKOV_ITERS = 3
+
+
+def _q_events_markov_stationary(sf_dir: str):
+    """Stationary mass of the event-type Markov chain after 3 integer
+    power-iteration rounds — 'where does user attention settle': the
+    transition MATRIX (|types|² rows, tiny by contract however large
+    the event log) comes from the distributed LAG+count pipeline; the
+    iteration itself is a driver numpy fold with per-term floor
+    division (x_i·n_ij // rowsum_i), bit-equal to the unrolled SQL.
+    Mass entering a type with no outgoing transitions evaporates
+    (same convention as dangling PageRank mass)."""
+    import pandas as pd
+    from .functions.grouped import grouped_count
+    tr = _q_events_transitions(sf_dir).to_pandas()
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type"])
+    st = grouped_count(ev, ["event_type"], "n", 1).to_pandas()
+    states = sorted(st["event_type"])
+    k = len(states)
+    idx = {s: i for i, s in enumerate(states)}
+    n = np.zeros((k, k), np.int64)
+    for s, d, c in zip(tr["prev_type"], tr["event_type"], tr["n"]):
+        n[idx[s], idx[d]] = c
+    rowsum = n.sum(axis=1)
+    safe = np.maximum(rowsum, 1)
+    x = np.full(k, 10**6, np.int64)
+    for _ in range(MARKOV_ITERS):
+        contrib = (x[:, None] * n) // safe[:, None]
+        contrib[rowsum == 0, :] = 0
+        x = contrib.sum(axis=0)
+    return pd.DataFrame({"event_type": pd.Series(states, dtype=object),
+                         "mass_fp": pd.Series(x, dtype="int64")})
+
+
+BURSTY_TOPK = 20
+
+
+def _q_text_term_burstiness(sf_dir: str):
+    """Term burstiness (Church/Gale): variance-to-mean ratio ×10⁶ of
+    per-document counts over ALL docs, for the top-20 terms by total
+    frequency — separates topical terms (bursty, VMR >> 1) from
+    function words (VMR ≈ 1). Per-(term, doc) counts are per-batch
+    exact; only vocabulary-sized (term, tf, Σc²) partials shuffle;
+    the VMR fold runs on the 20 survivors."""
+    from .functions.grouped import sorted_aggregate
+    from .stages.dedup import _words_flat
+    i64 = pa.int64()
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+    n_docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id"]).count()
+
+    def partials(b: pa.Table) -> pa.Table:
+        words, doc_of = _words_flat(b["text"])
+        per_doc = pa.table({
+            "w": pa.array(words, pa.string()),
+            "d": pa.array(doc_of, i64)}) \
+            .group_by(["w", "d"], use_threads=False) \
+            .aggregate([("d", "count")]) \
+            .rename_columns(["w", "d", "c"])
+        c = per_doc["c"].to_numpy()
+        return pa.table({"w": per_doc["w"],
+                         "tf": per_doc["c"],
+                         "ss": pa.array(c * c, i64)}) \
+            .group_by(["w"], use_threads=False) \
+            .aggregate([("tf", "sum"), ("ss", "sum")]) \
+            .rename_columns(["w", "tf", "ss"])
+
+    agg = sorted_aggregate(
+        docs.map_batches(partials, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["w"], [("tf", "sum"), ("ss", "sum")], ["w", "tf", "ss"], 8)
+    top = agg.sort(["tf", "w"], descending=[True, False]) \
+        .limit(BURSTY_TOPK).to_pandas()
+    tf = top["tf"].to_numpy()
+    ss = top["ss"].to_numpy()
+    vmr = (10**6 * (n_docs * ss - tf * tf)) // (n_docs * tf)
+    import pandas as pd
+    return pd.DataFrame({
+        "term": pd.Series(top["w"].to_numpy(), dtype=object),
+        "tf": pd.Series(tf, dtype="int64"),
+        "vmr_fp": pd.Series(vmr, dtype="int64")})
+
+
+def _q_sample_balanced_classes(sf_dir: str):
+    """Class-balanced downsample: every language keeps exactly
+    min-class-count docs — the deterministic variant (smallest doc_ids
+    win) of balanced training-set construction. Class counts are a
+    tiny driver fold; selection runs on colocated complete lang groups
+    (class cardinality is small by contract — a per-class block is the
+    documented partitioning assumption)."""
+    from .functions.grouped import grouped_count, sorted_group_apply
+    i64 = pa.int64()
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang"])
+    counts = grouped_count(
+        docs.map_batches(lambda b: b.select(["lang"]),
+                         batch_format="pyarrow"),
+        ["lang"], "n", 1).to_pandas()
+    m = int(counts["n"].min())
+
+    def head_m(b: pa.Table) -> pa.Table:
+        pdf = b.to_pandas().sort_values(["lang", "doc_id"])
+        out = pdf.groupby("lang", sort=False).head(m)
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"].to_numpy(), i64),
+            "lang": pa.array(out["lang"].to_numpy(), pa.string())})
+
+    return sorted_group_apply(docs, ["lang"], head_m, 4).sort("doc_id")
+
+
+ANN_RECALL_K = 10
+
+
+def _q_ann_recall_at_k(sf_dir: str):
+    """Recall@10 of the IVF index against exact brute force over the
+    same 8 queries — the eval harness every ANN deployment ships with.
+    Both arms reuse the existing operators; the overlap fold runs on
+    the (n_queries × k)-sized results. No SQL twin: IVF probe routing
+    is not SQL-expressible (rows-only check, like ann_ivf_topk
+    itself)."""
+    import pandas as pd
+    bf = _q_ann_topk(sf_dir).to_pandas()
+    ivf = _q_ann_ivf(sf_dir).to_pandas()
+    inter = pd.merge(bf[["query_id", "vec_id"]],
+                     ivf[["query_id", "vec_id"]],
+                     on=["query_id", "vec_id"])
+    nq = bf["query_id"].nunique()
+    recall_fp = 10**6 * len(inter) // (nq * ANN_RECALL_K)
+    return pd.DataFrame({
+        "k": pd.Series([ANN_RECALL_K], dtype="int64"),
+        "n_queries": pd.Series([nq], dtype="int64"),
+        "n_overlap": pd.Series([len(inter)], dtype="int64"),
+        "recall_fp": pd.Series([recall_fp], dtype="int64")})
+
+
 KTRUSS_K = 4
 KTRUSS_ROUNDS = 3
 
@@ -10102,6 +10241,10 @@ def queries() -> dict[str, Callable]:
         "kg_subclass_depth": _q_kg_subclass_depth,
         "dedup_incremental": _q_dedup_incremental,
         "text_source_term_lift": _q_text_source_term_lift,
+        "events_markov_stationary": _q_events_markov_stationary,
+        "text_term_burstiness": _q_text_term_burstiness,
+        "sample_balanced_classes": _q_sample_balanced_classes,
+        "ann_recall_at_k": _q_ann_recall_at_k,
     }
 
 
@@ -14492,4 +14635,50 @@ ORDER BY doc_a, doc_b"""
         SELECT source, w AS term, CAST(lift_fp AS BIGINT) AS lift_fp
         FROM rk WHERE rn <= {TERM_LIFT_TOPK}
         ORDER BY source, term"""
+    markov = ["""
+        WITH w AS (SELECT event_type,
+                          lag(event_type) OVER (
+                            PARTITION BY user_id
+                            ORDER BY ts, event_id) AS prev_type
+                   FROM events),
+        trans AS (SELECT prev_type AS src, event_type AS dst,
+                         count(*) AS n
+                  FROM w WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        st AS (SELECT DISTINCT event_type AS et FROM events),
+        rs AS (SELECT src, sum(n) AS s FROM trans GROUP BY 1),
+        x0 AS (SELECT et, CAST(1000000 AS BIGINT) AS x FROM st)"""]
+    for t in range(1, MARKOV_ITERS + 1):
+        markov.append(f""",
+        x{t} AS (SELECT st.et, COALESCE(s.v, 0) AS x
+                 FROM st LEFT JOIN (
+                   SELECT t.dst AS et, sum(x.x * t.n // rs.s) AS v
+                   FROM trans t JOIN x{t - 1} x ON x.et = t.src
+                   JOIN rs ON rs.src = t.src GROUP BY 1) s
+                 ON s.et = st.et)""")
+    out["events_markov_stationary"] = "".join(markov) + f"""
+        SELECT et AS event_type, CAST(x AS BIGINT) AS mass_fp
+        FROM x{MARKOV_ITERS} ORDER BY 1"""
+    out["text_term_burstiness"] = f"""
+        WITH dd AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                    FROM documents),
+        c AS (SELECT doc_id, t.x AS w, count(*) AS c
+              FROM dd, unnest(ws) AS t(x) GROUP BY 1, 2),
+        a AS (SELECT w, sum(c) AS tf, sum(c * c) AS ss FROM c
+              GROUP BY 1),
+        d AS (SELECT count(*) AS d FROM documents),
+        top AS (SELECT * FROM a ORDER BY tf DESC, w
+                LIMIT {BURSTY_TOPK})
+        SELECT w AS term, CAST(tf AS BIGINT) AS tf,
+               CAST((1000000 * (d.d * ss - tf * tf)) // (d.d * tf)
+                    AS BIGINT) AS vmr_fp
+        FROM top, d ORDER BY tf DESC, term"""
+    out["sample_balanced_classes"] = """
+        WITH c AS (SELECT lang, count(*) AS n FROM documents
+                   GROUP BY 1),
+        m AS (SELECT min(n) AS m FROM c),
+        r AS (SELECT doc_id, lang, row_number() OVER (
+                  PARTITION BY lang ORDER BY doc_id) AS rn
+              FROM documents)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+        FROM r, m WHERE rn <= m.m ORDER BY doc_id"""
     return out
