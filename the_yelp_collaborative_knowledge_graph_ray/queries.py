@@ -9526,6 +9526,255 @@ def _q_ann_recall_at_k(sf_dir: str):
         "recall_fp": pd.Series([recall_fp], dtype="int64")})
 
 
+GOPHER_MIN_WORDS = 25
+GOPHER_MWL_LO = 4_000_000
+GOPHER_MWL_HI = 5_000_000
+GOPHER_TTR_MIN = 350_000
+
+
+def _q_text_gopher_rules(sf_dir: str):
+    """Gopher-style quality-rule report per source (Rae et al. 2021 §A1.1
+    adapted to the fixture corpus): per-doc word count, mean word length
+    and type-token ratio, thresholded to fail flags, rolled up to a
+    per-source curation report (how much of each crawl source a filter
+    battery would drop). All per-doc stats are exact integers computed
+    inside one stateless vectorized pass; only |sources| partial rows
+    shuffle."""
+    from .functions.grouped import sorted_aggregate
+    i64 = pa.int64()
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["text", "source"])
+    names = ["source", "n_docs", "fail_words", "fail_meanlen",
+             "fail_ttr", "n_pass"]
+    out_schema = pa.schema([(n, pa.string() if n == "source" else i64)
+                            for n in names])
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        lst = pc.split_pattern(pc.utf8_lower(b["text"]), " ")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        counts = pc.list_value_length(lst).to_numpy().astype(np.int64)
+        flat = lst.flatten()
+        doc_of = np.repeat(np.arange(n), counts)
+        wl = pc.utf8_length(flat).to_numpy().astype(np.int64)
+        nc = np.bincount(doc_of, weights=wl, minlength=n).astype(np.int64)
+        words = flat.to_numpy(zero_copy_only=False)
+        dic, inv = np.unique(words, return_inverse=True)
+        uk = np.unique(doc_of * len(dic) + inv)
+        nd = np.bincount(uk // len(dic), minlength=n).astype(np.int64)
+        nw = np.maximum(counts, 1)
+        mwl = 1_000_000 * nc // nw
+        ttr = 1_000_000 * nd // nw
+        f1 = (counts < GOPHER_MIN_WORDS).astype(np.int64)
+        f2 = ((mwl < GOPHER_MWL_LO) | (mwl > GOPHER_MWL_HI)).astype(np.int64)
+        f3 = (ttr < GOPHER_TTR_MIN).astype(np.int64)
+        ok = ((f1 | f2 | f3) == 0).astype(np.int64)
+        return pa.table({
+            "source": b["source"],
+            "n_docs": pa.array(np.ones(n, np.int64)),
+            "fail_words": pa.array(f1), "fail_meanlen": pa.array(f2),
+            "fail_ttr": pa.array(f3), "n_pass": pa.array(ok)},
+            schema=out_schema) \
+            .group_by(["source"], use_threads=False) \
+            .aggregate([(c, "sum") for c in names[1:]]) \
+            .rename_columns(names)
+
+    return sorted_aggregate(
+        docs.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["source"], [(c, "sum") for c in names[1:]], names, 4).sort("source")
+
+
+NDCG_K = 10
+NDCG_W = [int(round(1_000_000 / np.log2(i + 1)))
+          for i in range(1, NDCG_K + 1)]
+
+
+def _q_ml_ndcg(sf_dir: str):
+    """NDCG@10 of the BM25 ranking against graded relevance = total
+    query-term occurrences per doc (the standard ranking-eval harness).
+    Discount weights are integer fixed-point constants hardcoded on BOTH
+    sides (round(1e6/log2(rank+1))), so DCG sums are exact integers.
+    Relevance is a sparse stateless pass (each doc wholly inside its
+    batch); the ideal top-10 uses the pruned per-key top-k; the final
+    fold runs on |queries|·k rows."""
+    import pandas as pd
+    from .functions.topn import top_n_per_key
+    from .stages.dedup import _words_flat
+    i64 = pa.int64()
+    terms_per_q = [list(dict.fromkeys(q.lower().split(" ")))
+                   for q in _BM25_QUERIES]
+    rel_schema = pa.schema([("query_id", i64), ("doc_id", i64),
+                            ("rel", i64)])
+
+    def rel_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return rel_schema.empty_table()
+        words, doc_of = _words_flat(b["text"])
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        outs = []
+        for qi, ts in enumerate(terms_per_q):
+            mask = np.isin(words, ts)
+            if not mask.any():
+                continue
+            cnt = np.bincount(doc_of[mask], minlength=b.num_rows)
+            nz = np.nonzero(cnt)[0]
+            outs.append(pa.table({
+                "query_id": pa.array(np.full(len(nz), qi, np.int64)),
+                "doc_id": pa.array(did[nz], i64),
+                "rel": pa.array(cnt[nz].astype(np.int64))},
+                schema=rel_schema))
+        return pa.concat_tables(outs) if outs else rel_schema.empty_table()
+
+    rel = _docs(sf_dir).map_batches(rel_partial, batch_format="pyarrow",
+                                    zero_copy_batch=True).materialize()
+    ideal = top_n_per_key(rel, ["query_id"],
+                          [("rel", False), ("doc_id", True)],
+                          NDCG_K).to_pandas()
+    idcg = {int(q): int((g["rel"].to_numpy()
+                         * np.array(NDCG_W[:len(g)], np.int64)).sum())
+            for q, g in ideal.sort_values("rank").groupby("query_id")}
+    bm = to_pandas_any(_q_search_bm25(sf_dir))
+    keys = set((bm["query_id"].astype("int64") * 10**12
+                + bm["doc_id"].astype("int64")).tolist())
+
+    def pick(b: pa.Table) -> pa.Table:
+        k = (b["query_id"].to_numpy(zero_copy_only=False) * 10**12
+             + b["doc_id"].to_numpy(zero_copy_only=False))
+        return b.filter(pa.array(np.isin(k, np.fromiter(
+            keys, np.int64, len(keys)))))
+
+    hits = rel.map_batches(pick, batch_format="pyarrow").to_pandas()
+    m = bm.merge(hits, on=["query_id", "doc_id"], how="left")
+    m["rel"] = m["rel"].fillna(0).astype("int64")
+    m["w"] = np.array(NDCG_W, np.int64)[m["rank"].to_numpy() - 1]
+    dcg = (m["rel"] * m["w"]).groupby(m["query_id"]).sum()
+    qs = sorted(idcg)
+    rows = [(q, int(dcg.get(q, 0)), idcg[q],
+             1_000_000 * int(dcg.get(q, 0)) // idcg[q] if idcg[q] else 0)
+            for q in qs]
+    return pd.DataFrame(rows, columns=["query_id", "dcg", "idcg",
+                                       "ndcg_fp"]).astype("int64")
+
+
+def _q_events_type_jaccard(sf_dir: str):
+    """Exact Jaccard overlap of USER SETS between every co-occurring
+    event-type pair — the audience-overlap matrix (the exact twin of
+    approx_distinct_overlap's HLL estimate). Distinct (type, user) pairs
+    collapse per batch first; pair expansion runs on colocated complete
+    user groups (a user's type set is bounded by |types|); only
+    |types|²-sized counts reach the driver."""
+    import pandas as pd
+    from .functions.grouped import grouped_count
+    from .functions.triangles import within_group_pairs
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "user_id"])
+    tu = grouped_count(ev, ["event_type", "user_id"], "n", 4)
+    sizes = grouped_count(
+        tu.map_batches(lambda b: b.select(["event_type"]),
+                       batch_format="pyarrow"),
+        ["event_type"], "n", 1).to_pandas()
+    n_of = dict(zip(sizes["event_type"], sizes["n"].astype(int)))
+    pairs = within_group_pairs(
+        tu.map_batches(lambda b: pa.table(
+            {"user_id": b["user_id"], "t": b["event_type"]}),
+            batch_format="pyarrow"),
+        "user_id", "t", distinct=False)
+    inter = grouped_count(pairs, ["u", "v"], "inter", 4).to_pandas()
+    na = inter["u"].map(n_of).astype("int64")
+    nb = inter["v"].map(n_of).astype("int64")
+    iv = inter["inter"].astype("int64")
+    return pd.DataFrame({
+        "type_a": pd.Series(inter["u"].to_numpy(), dtype=object),
+        "type_b": pd.Series(inter["v"].to_numpy(), dtype=object),
+        "n_a": na, "n_b": nb, "inter": iv,
+        "jac_fp": (1_000_000 * iv // (na + nb - iv)).astype("int64")}) \
+        .sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+KCENTER_K = 4
+
+
+def _q_sample_coreset_kcenter(sf_dir: str):
+    """Greedy k-center coreset (Gonzalez 1985) over the embedding table —
+    the classic diverse-subset selector for training-data curation. All
+    distances are exact integers on fixed-point components floor(x·1e6),
+    so the argmax is deterministic (ties → smallest vec_id). Each of the
+    K-1 rounds is ONE stateless pass: centers broadcast via ray.put, each
+    block emits its single best candidate row (id, min-dist², vector),
+    the driver folds block partials — never the matrix."""
+    import pandas as pd
+    emb = _emb(sf_dir)
+    i64 = pa.int64()
+
+    def fp_rows(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        e = b["embedding"].combine_chunks()
+        d = len(e[0])
+        m = np.floor(e.flatten().to_numpy(zero_copy_only=False)
+                     .astype(np.float64) * 1e6).astype(np.int64) \
+            .reshape(b.num_rows, d)
+        return m, b["vec_id"].to_numpy(zero_copy_only=False)
+
+    cand_schema = pa.schema([("vec_id", i64), ("d2", i64),
+                             ("vec", pa.list_(i64))])
+
+    def seed_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return cand_schema.empty_table()
+        m, vid = fp_rows(b)
+        j = int(np.argmin(vid))
+        return pa.table({"vec_id": pa.array([vid[j]], i64),
+                         "d2": pa.array([0], i64),
+                         "vec": pa.array([m[j].tolist()], pa.list_(i64))},
+                        schema=cand_schema)
+
+    def far_partial(centers_ref):
+        def fn(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return cand_schema.empty_table()
+            cm = ray.get(centers_ref) if isinstance(
+                centers_ref, ray.ObjectRef) else centers_ref
+            m, vid = fp_rows(b)
+            dif = m[:, None, :] - cm[None, :, :]
+            mind = np.einsum("nkd,nkd->nk", dif, dif).min(axis=1)
+            j = int(np.lexsort((vid, -mind))[0])
+            return pa.table({"vec_id": pa.array([vid[j]], i64),
+                             "d2": pa.array([int(mind[j])], i64),
+                             "vec": pa.array([m[j].tolist()],
+                                             pa.list_(i64))},
+                            schema=cand_schema)
+        return fn
+
+    def fold(parts: pa.Table, by_min_id: bool) -> tuple[int, int, np.ndarray]:
+        vid = parts["vec_id"].to_numpy(zero_copy_only=False)
+        d2 = parts["d2"].to_numpy(zero_copy_only=False)
+        j = (int(np.argmin(vid)) if by_min_id
+             else int(np.lexsort((vid, -d2))[0]))
+        return int(vid[j]), int(d2[j]), np.asarray(
+            parts["vec"][j].as_py(), np.int64)
+
+    parts = pa.concat_tables(ray.get(
+        emb.map_batches(seed_partial, batch_format="pyarrow",
+                        zero_copy_batch=True).to_arrow_refs()))
+    v0, _, vec0 = fold(parts, by_min_id=True)
+    chosen = [(1, v0, 0)]
+    centers = [vec0]
+    for r in range(2, KCENTER_K + 1):
+        ref = ray.put(np.stack(centers))
+        parts = pa.concat_tables(ray.get(
+            emb.map_batches(far_partial(ref), batch_format="pyarrow",
+                            zero_copy_batch=True).to_arrow_refs()))
+        v, d2, vec = fold(parts, by_min_id=False)
+        chosen.append((r, v, d2))
+        centers.append(vec)
+    return pd.DataFrame(chosen, columns=["sel_order", "vec_id", "d2"]) \
+        .astype("int64")
+
+
 KTRUSS_K = 4
 KTRUSS_ROUNDS = 3
 
@@ -10245,6 +10494,10 @@ def queries() -> dict[str, Callable]:
         "text_term_burstiness": _q_text_term_burstiness,
         "sample_balanced_classes": _q_sample_balanced_classes,
         "ann_recall_at_k": _q_ann_recall_at_k,
+        "text_gopher_rules": _q_text_gopher_rules,
+        "ml_ndcg": _q_ml_ndcg,
+        "events_type_jaccard": _q_events_type_jaccard,
+        "sample_coreset_kcenter": _q_sample_coreset_kcenter,
     }
 
 
@@ -14681,4 +14934,102 @@ ORDER BY doc_a, doc_b"""
               FROM documents)
         SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
         FROM r, m WHERE rn <= m.m ORDER BY doc_id"""
+    out["text_gopher_rules"] = f"""
+        WITH w AS (SELECT doc_id, source,
+                          string_split(lower(text), ' ') AS ws
+                   FROM documents),
+        s AS (SELECT doc_id, source, len(ws) AS nw,
+                (SELECT sum(length(x)) FROM unnest(ws) AS t(x)) AS nc,
+                (SELECT count(DISTINCT x) FROM unnest(ws) AS t(x)) AS nd
+              FROM w),
+        f AS (SELECT source,
+                CASE WHEN nw < {GOPHER_MIN_WORDS} THEN 1 ELSE 0 END AS f1,
+                CASE WHEN 1000000 * nc // nw < {GOPHER_MWL_LO}
+                       OR 1000000 * nc // nw > {GOPHER_MWL_HI}
+                     THEN 1 ELSE 0 END AS f2,
+                CASE WHEN 1000000 * nd // nw < {GOPHER_TTR_MIN}
+                     THEN 1 ELSE 0 END AS f3
+              FROM s)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(f1) AS BIGINT) AS fail_words,
+               CAST(sum(f2) AS BIGINT) AS fail_meanlen,
+               CAST(sum(f3) AS BIGINT) AS fail_ttr,
+               CAST(sum(CASE WHEN f1 + f2 + f3 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pass
+        FROM f GROUP BY 1 ORDER BY 1"""
+    ndcg_terms = ", ".join(
+        f"({qi}, '{t}')" for qi, q in enumerate(_BM25_QUERIES)
+        for t in dict.fromkeys(q.lower().split(" ")))
+    ndcg_wt = ", ".join(f"({i + 1}, {w})" for i, w in enumerate(NDCG_W))
+    out["ml_ndcg"] = f"""
+        WITH bm AS ({_bm25_sql().rsplit("ORDER BY", 1)[0]}),
+        terms(query_id, term) AS (VALUES {ndcg_terms}),
+        wt(rn, wt) AS (VALUES {ndcg_wt}),
+        wrd AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                FROM documents),
+        rel AS (SELECT t.query_id, wrd.doc_id, count(*) AS rel
+                FROM wrd JOIN terms t ON t.term = wrd.w GROUP BY 1, 2),
+        ideal AS (SELECT query_id, rel, row_number() OVER (
+                    PARTITION BY query_id ORDER BY rel DESC, doc_id) AS rn
+                  FROM rel),
+        idcg AS (SELECT query_id, sum(rel * wt.wt) AS idcg
+                 FROM ideal JOIN wt ON wt.rn = ideal.rn
+                 WHERE ideal.rn <= {NDCG_K} GROUP BY 1),
+        dcg AS (SELECT bm.query_id,
+                       sum(coalesce(rel.rel, 0) * wt.wt) AS dcg
+                FROM bm JOIN wt ON wt.rn = bm.rank
+                LEFT JOIN rel ON rel.query_id = bm.query_id
+                             AND rel.doc_id = bm.doc_id
+                GROUP BY 1)
+        SELECT i.query_id, CAST(d.dcg AS BIGINT) AS dcg,
+               CAST(i.idcg AS BIGINT) AS idcg,
+               CAST(CASE WHEN i.idcg = 0 THEN 0
+                    ELSE 1000000 * d.dcg // i.idcg END AS BIGINT)
+                 AS ndcg_fp
+        FROM idcg i JOIN dcg d USING (query_id) ORDER BY query_id"""
+    out["events_type_jaccard"] = """
+        WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        c AS (SELECT event_type, count(*) AS n FROM tu GROUP BY 1),
+        p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                     count(*) AS inter
+              FROM tu a JOIN tu b ON a.user_id = b.user_id
+                                 AND a.event_type < b.event_type
+              GROUP BY 1, 2)
+        SELECT type_a, type_b, CAST(ca.n AS BIGINT) AS n_a,
+               CAST(cb.n AS BIGINT) AS n_b, CAST(inter AS BIGINT) AS inter,
+               CAST(1000000 * inter // (ca.n + cb.n - inter) AS BIGINT)
+                 AS jac_fp
+        FROM p JOIN c ca ON ca.event_type = type_a
+               JOIN c cb ON cb.event_type = type_b
+        ORDER BY type_a, type_b"""
+    kc = ["""
+        WITH e AS (SELECT vec_id, CAST(g.i AS BIGINT) AS dim,
+                          CAST(floor(CAST(embedding[g.i] AS DOUBLE)
+                                     * 1000000) AS BIGINT) AS ec
+                   FROM embeddings, generate_series(1, 64) AS g(i)),
+        c1 AS (SELECT min(vec_id) AS v FROM embeddings),
+        m1 AS (SELECT e.vec_id, sum((e.ec - c.ec) * (e.ec - c.ec)) AS d
+               FROM e JOIN e c ON c.dim = e.dim
+                              AND c.vec_id = (SELECT v FROM c1)
+               GROUP BY 1)"""]
+    for r in range(2, KCENTER_K + 1):
+        kc.append(f""",
+        c{r} AS (SELECT vec_id AS v, d FROM m{r - 1}
+                 ORDER BY d DESC, vec_id LIMIT 1),
+        m{r} AS (SELECT m.vec_id, least(m.d, s.d) AS d
+                 FROM m{r - 1} m JOIN (
+                   SELECT e.vec_id,
+                          sum((e.ec - c.ec) * (e.ec - c.ec)) AS d
+                   FROM e JOIN e c ON c.dim = e.dim
+                                  AND c.vec_id = (SELECT v FROM c{r})
+                   GROUP BY 1) s ON s.vec_id = m.vec_id)""")
+    sel = ["""
+        SELECT * FROM (
+          SELECT 1 AS sel_order, (SELECT v FROM c1) AS vec_id,
+                 CAST(0 AS BIGINT) AS d2"""]
+    sel += [f"""
+          UNION ALL SELECT {r}, v, CAST(d AS BIGINT) FROM c{r}"""
+            for r in range(2, KCENTER_K + 1)]
+    out["sample_coreset_kcenter"] = ("".join(kc) + "".join(sel)
+                                     + ") ORDER BY sel_order")
     return out
