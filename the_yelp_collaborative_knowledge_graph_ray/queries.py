@@ -10117,6 +10117,209 @@ def _q_curation_dup_weights(sf_dir: str):
                            zero_copy_batch=True).sort("doc_id")
 
 
+def _q_ml_mrr(sf_dir: str):
+    """MRR@10 of the BM25 ranking against exact-PHRASE relevance: per
+    query, the first rank whose document contains the query words
+    adjacent and in order (bag-of-words BM25 ignores adjacency, so the
+    first phrase hit lands at rank > 1 for some queries — term-level
+    relevance would be vacuously rank 1, a positive score implies a term
+    hit); rr_fp = 10^6 // rank, 0 when no top-10 doc has the phrase.
+    Phrase containment is one space-padded match_substring per query over
+    the stateless doc pass, restricted to the |queries|·k candidates; the
+    fold runs on |queries|·k rows on the driver."""
+    import pandas as pd
+    i64 = pa.int64()
+    phrases = [q.lower() for q in _BM25_QUERIES]
+    bm = to_pandas_any(_q_search_bm25(sf_dir))
+    cand = np.unique(bm["doc_id"].to_numpy().astype(np.int64))
+    cov_schema = pa.schema([("query_id", i64), ("doc_id", i64)])
+
+    def cov(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return cov_schema.empty_table()
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        keep = np.isin(did, cand)
+        if not keep.any():
+            return cov_schema.empty_table()
+        sub = b.filter(pa.array(keep))
+        padded = pc.binary_join_element_wise(
+            " ", pc.utf8_lower(sub["text"]), " ", "")
+        sdid = sub["doc_id"].to_numpy(zero_copy_only=False)
+        outs = []
+        for qi, ph in enumerate(phrases):
+            m = pc.match_substring(padded, f" {ph} ") \
+                .to_numpy(zero_copy_only=False)
+            nz = np.nonzero(m)[0]
+            if len(nz):
+                outs.append(pa.table({
+                    "query_id": pa.array(np.full(len(nz), qi, np.int64)),
+                    "doc_id": pa.array(sdid[nz], i64)}, schema=cov_schema))
+        return pa.concat_tables(outs) if outs else cov_schema.empty_table()
+
+    hits = _docs(sf_dir).map_batches(cov, batch_format="pyarrow",
+                                     zero_copy_batch=True).to_pandas()
+    covered = set((hits["query_id"].astype("int64") * 10**12
+                   + hits["doc_id"].astype("int64")).tolist())
+    bmk = (bm["query_id"].astype("int64") * 10**12
+           + bm["doc_id"].astype("int64"))
+    rel = bmk.isin(covered).to_numpy()
+    rows = []
+    for qi in range(len(_BM25_QUERIES)):
+        sub = bm[(bm["query_id"].to_numpy() == qi) & rel]
+        r = int(sub["rank"].min()) if len(sub) else 0
+        rows.append((qi, r, 10**6 // r if r else 0))
+    return pd.DataFrame(rows, columns=["query_id", "first_rank",
+                                       "rr_fp"]).astype("int64")
+
+
+# quasi-identifier bucket width for the uniqueness-risk audit: fine enough
+# that singleton classes exist in the synthetic corpus (non-vacuous check).
+UNIQ_QI_BUCKET = 20
+
+
+def _q_privacy_uniqueness(sf_dir: str):
+    """Sample-uniqueness (journalist-risk) audit: the fraction of records
+    whose quasi-identifier combination (lang, source, n_chars//20) is
+    UNIQUE in the release — the re-identification risk metric that
+    k-anonymity generalizes. Only distinct QI classes shuffle (grouped
+    count); the class-size histogram folds to one row via per-block
+    partials, so nothing scales with the record count."""
+    import pandas as pd
+    from .functions.grouped import grouped_count
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["lang", "source", "n_chars"])
+    i64 = pa.int64()
+    qi = docs.map_batches(lambda b: pa.table({
+        "lang": b["lang"], "source": b["source"],
+        "bucket": pc.divide(pc.cast(b["n_chars"], i64), UNIQ_QI_BUCKET)}),
+        batch_format="pyarrow")
+    classes = grouped_count(qi, ["lang", "source", "bucket"], "sz", 4)
+
+    def partial(b: pa.Table) -> pa.Table:
+        sz = b["sz"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_classes": pa.array([len(sz)], i64),
+            "n_unique_classes": pa.array([int((sz == 1).sum())], i64),
+            "n_records": pa.array([int(sz.sum())], i64)})
+
+    p = classes.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas()
+    nc, nu, nr = (int(p["n_classes"].sum()), int(p["n_unique_classes"].sum()),
+                  int(p["n_records"].sum()))
+    return pd.DataFrame({"n_classes": [nc], "n_unique_classes": [nu],
+                         "n_records": [nr],
+                         "risk_fp": [10**6 * nu // max(nr, 1)]}) \
+        .astype("int64")
+
+
+ZONEMAP_ORDERKEY_BLOCK = 512   # unclustered layout: orderkey-range blocks
+ZONEMAP_ROW_BLOCK = 4096       # clustered layout: rows per block
+ZONEMAP_CUTOFF_DAY = int(np.datetime64("1997-01-01", "D").astype(np.int64))
+
+
+def _q_diag_zonemap_prune(sf_dir: str):
+    """Zone-map (block min/max) pruning effectiveness for the predicate
+    l_shipdate >= 1997-01-01 under TWO physical layouts: the natural
+    orderkey-range blocking (dates uncorrelated with orderkey — near-zero
+    pruning) vs shipdate-clustered blocking (sort + zip_with_index rank //
+    block_rows — near-perfect pruning). The storage-layout diagnostic that
+    justifies a cluster/z-order rewrite before a scan-heavy workload.
+    Per-block max folds as bounded partials; only block summaries move."""
+    import pandas as pd
+    from .functions.grouped import sorted_aggregate
+    from .functions.joins import zip_with_index
+    i64 = pa.int64()
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_shipdate"])
+
+    def days(b: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(pc.cast(b["l_shipdate"], pa.timestamp("us")),
+                                i64), 86_400_000_000)
+        return pa.table({"blk": pc.divide(pc.cast(b["l_orderkey"], i64),
+                                          ZONEMAP_ORDERKEY_BLOCK),
+                         "day": day,
+                         # total-order pack for the clustered layout rank:
+                         # day (<=14 bits at any horizon) * 2^44 +
+                         # orderkey * 8 + linenumber
+                         "key": pc.add(
+                             pc.multiply(day, 2**44),
+                             pc.add(pc.multiply(pc.cast(b["l_orderkey"],
+                                                        i64), 8),
+                                    pc.cast(b["l_linenumber"], i64)))})
+
+    d = li.map_batches(days, batch_format="pyarrow").materialize()
+
+    def fold(ds, blk_col: str) -> tuple[int, int]:
+        per = sorted_aggregate(ds, [blk_col], [("day", "max")],
+                               [blk_col, "mx"], num_partitions=8)
+
+        def partial(b: pa.Table) -> pa.Table:
+            mx = b["mx"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "n": pa.array([len(mx)], i64),
+                "pruned": pa.array(
+                    [int((mx < ZONEMAP_CUTOFF_DAY).sum())], i64)})
+        p = per.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas()
+        return int(p["n"].sum()), int(p["pruned"].sum())
+
+    n_u, p_u = fold(d.map_batches(
+        lambda b: b.select(["blk", "day"]), batch_format="pyarrow"), "blk")
+    ranked = zip_with_index(
+        d.map_batches(lambda b: b.select(["key", "day"]),
+                      batch_format="pyarrow").sort("key"),
+        "rn", order_by="key")
+    clustered = ranked.map_batches(
+        lambda b: pa.table({"blk": pc.divide(b["rn"], ZONEMAP_ROW_BLOCK),
+                            "day": b["day"]}), batch_format="pyarrow")
+    n_c, p_c = fold(clustered, "blk")
+    return pd.DataFrame({
+        "blocks_unclustered": [n_u], "pruned_unclustered": [p_u],
+        "prune_unclustered_fp": [10**6 * p_u // max(n_u, 1)],
+        "blocks_clustered": [n_c], "pruned_clustered": [p_c],
+        "prune_clustered_fp": [10**6 * p_c // max(n_c, 1)]}).astype("int64")
+
+
+def _q_events_tumbling_dedup(sf_dir: str):
+    """Streaming windowed dedup: ONE event per (user, type, 10-minute
+    tumbling window) — the earliest ts, ties by event_id (the
+    at-least-once → exactly-once compaction step of a streaming intake).
+    Sorts on exactly the group key (grouped.py CAVEAT: a longer sort key
+    would let a range boundary split a group); the first row per group is
+    picked inside complete sorted groups by an in-block lexsort."""
+    from .functions.grouped import group_ids, sorted_group_apply
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "user_id", "ts",
+                                        "event_type"])
+    i64 = pa.int64()
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), i64)
+        return pa.table({"user_id": b["user_id"],
+                         "event_type": b["event_type"],
+                         "win": pc.divide(us, 600_000_000),
+                         "ts_us": us, "event_id": b["event_id"]})
+
+    keys = ["user_id", "event_type", "win"]
+
+    def firsts(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        gid, starts = group_ids(b, keys)
+        order = np.lexsort((b["event_id"].to_numpy(zero_copy_only=False),
+                            b["ts_us"].to_numpy(zero_copy_only=False), gid))
+        first = order[np.searchsorted(gid[order],
+                                      np.arange(len(starts)))]
+        return b.take(pa.array(np.sort(first)))
+
+    return sorted_group_apply(ev.map_batches(prep, batch_format="pyarrow"),
+                              keys, firsts, num_partitions=8) \
+        .map_batches(lambda b: b.select(
+            ["event_id", "user_id", "event_type", "win"]),
+            batch_format="pyarrow").sort("event_id")
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -10486,6 +10689,10 @@ def queries() -> dict[str, Callable]:
         "kg_pred_cooccurrence": _q_kg_pred_cooccurrence,
         "rel_target_encoding": _q_rel_target_encoding,
         "curation_dup_weights": _q_curation_dup_weights,
+        "ml_mrr": _q_ml_mrr,
+        "privacy_uniqueness_risk": _q_privacy_uniqueness,
+        "diag_zonemap_prune": _q_diag_zonemap_prune,
+        "events_tumbling_dedup": _q_events_tumbling_dedup,
         "kg_ktruss_edges": _q_kg_ktruss,
         "kg_subclass_depth": _q_kg_subclass_depth,
         "dedup_incremental": _q_dedup_incremental,
@@ -15032,4 +15239,67 @@ ORDER BY doc_a, doc_b"""
             for r in range(2, KCENTER_K + 1)]
     out["sample_coreset_kcenter"] = ("".join(kc) + "".join(sel)
                                      + ") ORDER BY sel_order")
+    mrr_q = ", ".join(f"({qi}, '{q.lower()}')"
+                      for qi, q in enumerate(_BM25_QUERIES))
+    out["ml_mrr"] = f"""
+        WITH bm AS ({_bm25_sql().rsplit("ORDER BY", 1)[0]}),
+        q(query_id, phrase) AS (VALUES {mrr_q}),
+        cov AS (SELECT q.query_id, d.doc_id
+                FROM documents d JOIN q
+                  ON position(' ' || q.phrase || ' '
+                              IN ' ' || lower(d.text) || ' ') > 0),
+        fr AS (SELECT bm.query_id, min(bm.rank) AS r
+               FROM bm JOIN cov ON cov.query_id = bm.query_id
+                              AND cov.doc_id = bm.doc_id
+               GROUP BY 1)
+        SELECT q.query_id,
+               CAST(coalesce(fr.r, 0) AS BIGINT) AS first_rank,
+               CAST(CASE WHEN fr.r IS NULL THEN 0
+                    ELSE 1000000 // fr.r END AS BIGINT) AS rr_fp
+        FROM q LEFT JOIN fr ON fr.query_id = q.query_id
+        ORDER BY q.query_id"""
+    out["privacy_uniqueness_risk"] = f"""
+        WITH c AS (SELECT lang, source, n_chars // {UNIQ_QI_BUCKET} AS b,
+                          count(*) AS sz
+                   FROM documents GROUP BY 1, 2, 3)
+        SELECT CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_unique_classes,
+               CAST(sum(sz) AS BIGINT) AS n_records,
+               CAST(1000000 * sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END)
+                    // greatest(sum(sz), 1) AS BIGINT) AS risk_fp
+        FROM c"""
+    out["diag_zonemap_prune"] = f"""
+        WITH l AS (SELECT l_orderkey, l_linenumber,
+                          epoch_us(l_shipdate) // 86400000000 AS day
+                   FROM lineitem),
+        u AS (SELECT l_orderkey // {ZONEMAP_ORDERKEY_BLOCK} AS blk,
+                     max(day) AS mx FROM l GROUP BY 1),
+        r AS (SELECT day, row_number() OVER (
+                ORDER BY day, l_orderkey, l_linenumber) - 1 AS rn FROM l),
+        c AS (SELECT rn // {ZONEMAP_ROW_BLOCK} AS blk, max(day) AS mx
+              FROM r GROUP BY 1),
+        fu AS (SELECT count(*) AS n, sum(CASE WHEN mx < {ZONEMAP_CUTOFF_DAY}
+                      THEN 1 ELSE 0 END) AS p FROM u),
+        fc AS (SELECT count(*) AS n, sum(CASE WHEN mx < {ZONEMAP_CUTOFF_DAY}
+                      THEN 1 ELSE 0 END) AS p FROM c)
+        SELECT CAST(fu.n AS BIGINT) AS blocks_unclustered,
+               CAST(fu.p AS BIGINT) AS pruned_unclustered,
+               CAST(1000000 * fu.p // greatest(fu.n, 1) AS BIGINT)
+                 AS prune_unclustered_fp,
+               CAST(fc.n AS BIGINT) AS blocks_clustered,
+               CAST(fc.p AS BIGINT) AS pruned_clustered,
+               CAST(1000000 * fc.p // greatest(fc.n, 1) AS BIGINT)
+                 AS prune_clustered_fp
+        FROM fu, fc"""
+    out["events_tumbling_dedup"] = """
+        WITH e AS (SELECT event_id, user_id, event_type,
+                          epoch_us(ts) // 600000000 AS win,
+                          epoch_us(ts) AS ts_us
+                   FROM events),
+        r AS (SELECT e.*, row_number() OVER (
+                PARTITION BY user_id, event_type, win
+                ORDER BY ts_us, event_id) AS rn FROM e)
+        SELECT event_id, user_id, event_type, CAST(win AS BIGINT) AS win
+        FROM r WHERE rn = 1 ORDER BY event_id"""
     return out
