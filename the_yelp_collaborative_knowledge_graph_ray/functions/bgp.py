@@ -268,7 +268,14 @@ def _scan(triples: ray.data.Dataset, pat: tuple[str, str, str],
     def f(b: pa.Table) -> pa.Table:
         m = None
         for pos, t in consts:
-            if pos == "p" and "|" in t:
+            if pos == "p" and t.startswith("!"):
+                # negated property set !p / !(p|q): one inverted is_in scan
+                body = t[1:]
+                if body.startswith("(") and body.endswith(")"):
+                    body = body[1:-1]
+                eq = pc.invert(pc.is_in(
+                    b[col_of[pos]], value_set=pa.array(body.split("|"))))
+            elif pos == "p" and "|" in t:
                 eq = pc.is_in(b[col_of[pos]],
                               value_set=pa.array(t.split("|")))
             else:

@@ -10320,6 +10320,169 @@ def _q_events_tumbling_dedup(sf_dir: str):
             batch_format="pyarrow").sort("event_id")
 
 
+# structural predicates excluded by the negated-property-set query: what
+# remains are the "semantic" edges (mentions/links/typing hierarchy).
+SPARQL_NEG_PREDS = (C.PRED_TEXT, C.PRED_DATE_CREATED, C.PRED_POSITION,
+                    C.PRED_ROLE, C.PRED_IS_PART_OF, C.RDF_TYPE)
+
+
+def _q_kg_sparql_path_neg(sf_dir: str):
+    """SPARQL negated property set: {?s !(text|dateCreated|position|role|
+    isPartOf|rdf:type) ?o} — every NON-structural edge, aggregated to a
+    per-subject count. The negation is ONE inverted is_in scan in
+    functions/bgp._scan (same vectorized pass as alternation), so !(...)
+    composes with every other pattern and modifier."""
+    from .functions.bgp import bgp_match
+    from .functions.grouped import grouped_count
+    from .pipelines.kg import run_kg
+    b = bgp_match(run_kg(sf_dir),
+                  [("?s", "!(" + "|".join(SPARQL_NEG_PREDS) + ")", "?o")],
+                  ["s", "o"], num_partitions=8)
+    return grouped_count(b, ["s"], "n", 8).sort("s")
+
+
+KAPPA_CHAR_MIN = 500
+KAPPA_WORD_MIN = 90
+
+
+def _q_ml_cohens_kappa(sf_dir: str):
+    """Cohen's kappa between two deterministic document quality gates
+    (rater A: n_chars >= 500; rater B: >= 90 whitespace words) — the
+    inter-rater agreement harness. The 2x2 contingency folds as 4-cell
+    per-block partials; kappa = (N·agree − Σ marginal products) /
+    (N² − Σ marginal products) as exact integers, ×10⁶ FLOOR division
+    (the SQL twin adds the trunc→floor correction for a negative
+    numerator)."""
+    import pandas as pd
+    i64 = pa.int64()
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["text", "n_chars"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        nch = pc.cast(b["n_chars"], i64).to_numpy(zero_copy_only=False)
+        nw = pc.cast(pc.add(pc.count_substring(b["text"], " "), 1), i64) \
+            .to_numpy(zero_copy_only=False)
+        ra = nch >= KAPPA_CHAR_MIN
+        rb = nw >= KAPPA_WORD_MIN
+        return pa.table({
+            "pp": pa.array([int((ra & rb).sum())], i64),
+            "pn": pa.array([int((ra & ~rb).sum())], i64),
+            "np_": pa.array([int((~ra & rb).sum())], i64),
+            "nn": pa.array([int((~ra & ~rb).sum())], i64)})
+
+    p = docs.map_batches(cells, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    pp, pn, np_, nn = (int(p["pp"].sum()), int(p["pn"].sum()),
+                       int(p["np_"].sum()), int(p["nn"].sum()))
+    n = pp + pn + np_ + nn
+    pe_num = (pp + pn) * (pp + np_) + (np_ + nn) * (pn + nn)
+    num = n * (pp + nn) - pe_num
+    den = n * n - pe_num
+    return pd.DataFrame({
+        "n_pp": [pp], "n_pn": [pn], "n_np": [np_], "n_nn": [nn],
+        "kappa_fp": [10**6 * num // max(den, 1)]}).astype("int64")
+
+
+def _q_ml_lift_deciles(sf_dir: str):
+    """Decile lift/gain chart for the n_chars score predicting
+    lang = 'en' (the ROC-AUC pair rendered as the campaign-targeting
+    curve): documents NTILE(10)-ranked by score DESC, per-decile and
+    cumulative positives, lift_fp = 10⁶·(cum_pos·N) // (cum_n·P).
+    Global deciles ride the packed-sort + zip_with_index rank path
+    (the Lorenz/RFM machinery); only 10-row partials reach the
+    driver."""
+    import pandas as pd
+    from .functions.grouped import sorted_aggregate
+    from .functions.joins import zip_with_index
+    i64 = pa.int64()
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars", "lang"]).materialize()
+    n = docs.count()
+    q, r = n // 10, n % 10
+    cut = r * (q + 1)
+
+    def pack(b: pa.Table) -> pa.Table:
+        s = pc.cast(b["n_chars"], i64).to_numpy(zero_copy_only=False)
+        d = pc.cast(b["doc_id"], i64).to_numpy(zero_copy_only=False)
+        if (s >= 1 << 31).any() or (d >= 1 << 31).any():
+            raise OverflowError("lift pack: rescale score")
+        # descending score, ascending doc_id total order
+        inv = ((1 << 31) - 1 - s) << 31 | d
+        return pa.table({"__k": pa.array(inv, i64),
+                         "pos": pc.cast(pc.equal(b["lang"], "en"), i64)})
+
+    ranked = zip_with_index(
+        docs.map_batches(pack, batch_format="pyarrow").sort("__k"),
+        id_col="__rank", order_by="__k")
+
+    def dec(b: pa.Table) -> pa.Table:
+        rank = b["__rank"].to_numpy(zero_copy_only=False)
+        d = np.where(rank < cut, rank // max(q + 1, 1),
+                     r + (rank - cut) // max(q, 1)) + 1
+        return pa.table({"decile": pa.array(d, i64),
+                         "n": pa.array(np.ones(len(d), np.int64)),
+                         "pos": b["pos"]}) \
+            .group_by(["decile"], use_threads=False) \
+            .aggregate([("n", "sum"), ("pos", "sum")]) \
+            .rename_columns(["decile", "n", "pos"])
+
+    h = sorted_aggregate(
+        ranked.map_batches(dec, batch_format="pyarrow"),
+        ["decile"], [("n", "sum"), ("pos", "sum")],
+        ["decile", "n", "pos"], 1).to_pandas() \
+        .sort_values("decile").reset_index(drop=True)
+    total_p = int(h["pos"].sum())
+    cum_n = h["n"].astype("int64").cumsum()
+    cum_p = h["pos"].astype("int64").cumsum()
+    return pd.DataFrame({
+        "decile": h["decile"].astype("int64"),
+        "n_docs": h["n"].astype("int64"),
+        "n_pos": h["pos"].astype("int64"),
+        "cum_pos": cum_p,
+        "lift_fp": (10**6 * cum_p * n) // (cum_n * max(total_p, 1))}) \
+        .astype("int64")
+
+
+def _q_rel_theilsen(sf_dir: str):
+    """Theil–Sen robust trend of daily order revenue: the (lower)
+    median of all pairwise slopes 10⁶·Δcents // Δdays (floor division
+    both sides; the SQL twin corrects DuckDB's trunc-toward-zero on
+    negative numerators). Daily totals fold distributed and are
+    CALENDAR-BOUNDED (≤ a few thousand rows at any data scale), so the
+    O(days²) slope enumeration runs vectorized on the driver — same
+    scaling argument as Holt/seasonal."""
+    import pandas as pd
+    from .functions.grouped import sorted_aggregate
+    i64 = pa.int64()
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderdate", "o_totalprice"])
+
+    def daily(b: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(pc.cast(b["o_orderdate"],
+                                        pa.timestamp("us")), i64),
+                        86_400_000_000)
+        cents = pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100.0)),
+                        i64)
+        return pa.table({"day": day, "cents": cents}) \
+            .group_by(["day"], use_threads=False) \
+            .aggregate([("cents", "sum")]).rename_columns(["day", "cents"])
+
+    d = sorted_aggregate(
+        od.map_batches(daily, batch_format="pyarrow"),
+        ["day"], [("cents", "sum")], ["day", "cents"], 8).to_pandas() \
+        .sort_values("day").reset_index(drop=True)
+    day = d["day"].to_numpy().astype(np.int64)
+    c = d["cents"].to_numpy().astype(np.int64)
+    i, j = np.triu_indices(len(day), k=1)
+    slopes = (10**6 * (c[j] - c[i])) // (day[j] - day[i])
+    slopes.sort()
+    med = int(slopes[(len(slopes) - 1) // 2]) if len(slopes) else 0
+    return pd.DataFrame({"n_days": [len(day)], "n_pairs": [len(slopes)],
+                         "median_slope_fp": [med]}).astype("int64")
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -10693,6 +10856,10 @@ def queries() -> dict[str, Callable]:
         "privacy_uniqueness_risk": _q_privacy_uniqueness,
         "diag_zonemap_prune": _q_diag_zonemap_prune,
         "events_tumbling_dedup": _q_events_tumbling_dedup,
+        "kg_sparql_path_neg": _q_kg_sparql_path_neg,
+        "ml_cohens_kappa": _q_ml_cohens_kappa,
+        "ml_lift_deciles": _q_ml_lift_deciles,
+        "rel_theilsen_slope": _q_rel_theilsen,
         "kg_ktruss_edges": _q_kg_ktruss,
         "kg_subclass_depth": _q_kg_subclass_depth,
         "dedup_incremental": _q_dedup_incremental,
@@ -15302,4 +15469,67 @@ ORDER BY doc_a, doc_b"""
                 ORDER BY ts_us, event_id) AS rn FROM e)
         SELECT event_id, user_id, event_type, CAST(win AS BIGINT) AS win
         FROM r WHERE rn = 1 ORDER BY event_id"""
+    neg_list = ", ".join(f"'{p}'" for p in SPARQL_NEG_PREDS)
+    out["kg_sparql_path_neg"] = P + f"""
+        , tri AS (SELECT * FROM ({full_body}))
+        SELECT subj AS s, CAST(count(*) AS BIGINT) AS n
+        FROM tri WHERE pred NOT IN ({neg_list})
+        GROUP BY 1 ORDER BY 1"""
+    out["ml_cohens_kappa"] = f"""
+        WITH f AS (SELECT
+            CASE WHEN n_chars >= {KAPPA_CHAR_MIN} THEN 1 ELSE 0 END AS ra,
+            CASE WHEN len(string_split(text, ' ')) >= {KAPPA_WORD_MIN}
+                 THEN 1 ELSE 0 END AS rb
+            FROM documents),
+        c AS (SELECT sum(ra * rb) AS pp, sum(ra * (1 - rb)) AS pn,
+                     sum((1 - ra) * rb) AS np_,
+                     sum((1 - ra) * (1 - rb)) AS nn, count(*) AS n
+              FROM f),
+        k AS (SELECT *, (pp + pn) * (pp + np_) + (np_ + nn) * (pn + nn)
+                          AS pe_num FROM c),
+        d AS (SELECT *, n * (pp + nn) - pe_num AS num,
+                     greatest(n * n - pe_num, 1) AS den FROM k)
+        SELECT CAST(pp AS BIGINT) AS n_pp, CAST(pn AS BIGINT) AS n_pn,
+               CAST(np_ AS BIGINT) AS n_np, CAST(nn AS BIGINT) AS n_nn,
+               CAST(1000000 * num // den
+                    - CASE WHEN (1000000 * num) % den <> 0 AND num < 0
+                           THEN 1 ELSE 0 END AS BIGINT) AS kappa_fp
+        FROM d"""
+    out["ml_lift_deciles"] = """
+        WITH s AS (SELECT doc_id, n_chars,
+                          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+                          ntile(10) OVER (ORDER BY n_chars DESC, doc_id)
+                            AS decile
+                   FROM documents),
+        t AS (SELECT count(*) AS n, sum(pos) AS p FROM s),
+        h AS (SELECT decile, count(*) AS n_docs, sum(pos) AS n_pos
+              FROM s GROUP BY 1),
+        c AS (SELECT h.*, sum(n_docs) OVER (ORDER BY decile) AS cum_n,
+                     sum(n_pos) OVER (ORDER BY decile) AS cum_pos
+              FROM h)
+        SELECT CAST(decile AS BIGINT) AS decile,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_pos AS BIGINT) AS n_pos,
+               CAST(cum_pos AS BIGINT) AS cum_pos,
+               CAST(1000000 * cum_pos * t.n
+                    // (cum_n * greatest(t.p, 1)) AS BIGINT) AS lift_fp
+        FROM c, t ORDER BY decile"""
+    out["rel_theilsen_slope"] = """
+        WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                          CAST(sum(CAST(round(o_totalprice * 100.0)
+                                        AS BIGINT)) AS BIGINT) AS cents
+                   FROM orders GROUP BY 1),
+        p AS (SELECT (1000000 * (b.cents - a.cents)) // (b.day - a.day)
+                     - CASE WHEN (1000000 * (b.cents - a.cents))
+                                 % (b.day - a.day) <> 0
+                                 AND b.cents < a.cents
+                            THEN 1 ELSE 0 END AS sfp
+              FROM d a JOIN d b ON b.day > a.day),
+        o AS (SELECT sfp, row_number() OVER (ORDER BY sfp) - 1 AS rn,
+                     count(*) OVER () AS np FROM p)
+        SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_days,
+               CAST(max(np) AS BIGINT) AS n_pairs,
+               CAST(max(CASE WHEN rn = (np - 1) // 2 THEN sfp END)
+                    AS BIGINT) AS median_slope_fp
+        FROM o"""
     return out
