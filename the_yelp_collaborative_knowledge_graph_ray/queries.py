@@ -10483,6 +10483,142 @@ def _q_rel_theilsen(sf_dir: str):
                          "median_slope_fp": [med]}).astype("int64")
 
 
+def _q_events_windowed_topk(sf_dir: str):
+    """Per-window heavy hitters: top-3 event types per DAY (tumbling
+    1-day window), ties by type — the rolling trending-list shape of a
+    streaming dashboard. One grouped count (day × type, bounded by
+    calendar × |types|) then the pruned per-key top-k; nothing scales
+    with the event count after the first fold."""
+    from .functions.grouped import grouped_count
+    from .functions.topn import top_n_per_key
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts", "event_type"])
+    i64 = pa.int64()
+    d = ev.map_batches(lambda b: pa.table({
+        "day": pc.divide(pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                                 i64), 86_400_000_000),
+        "event_type": b["event_type"]}), batch_format="pyarrow")
+    cnt = grouped_count(d, ["day", "event_type"], "n", 8)
+    return top_n_per_key(cnt, ["day"], [("n", False), ("event_type", True)],
+                         3, num_partitions=4)
+
+
+def _q_rel_iqr_outliers(sf_dir: str):
+    """Tukey-fence outlier audit per order priority: exact ordinal
+    quartiles over total-price cents (LOWER convention pinned on both
+    sides: q1 at index (n−1)//4, q3 at 3·(n−1)//4 of the sorted group),
+    fence = q ± 3·IQR//2, per-group outlier counts. Groups are complete
+    per block (sort on exactly the group key); the in-block selection is
+    one lexsort + offset indexing, no per-group Python."""
+    from .functions.grouped import group_ids, sorted_group_apply
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderpriority", "o_totalprice"])
+    i64 = pa.int64()
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "prio": b["o_orderpriority"],
+            "cents": pc.cast(pc.round(pc.multiply(
+                b["o_totalprice"], 100.0)), i64)})
+
+    def fences(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema([("o_orderpriority", pa.string()),
+                              ("n", i64), ("q1_c", i64), ("q3_c", i64),
+                              ("n_out", i64)]).empty_table()
+        gid, starts = group_ids(b, ["prio"])
+        c = b["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, gid))
+        cs = c[order]
+        ends = np.append(starts[1:], len(c))
+        sizes = ends - starts
+        q1 = cs[starts + (sizes - 1) // 4]
+        q3 = cs[starts + 3 * (sizes - 1) // 4]
+        iqr = q3 - q1
+        lo, hi = q1 - 3 * iqr // 2, q3 + 3 * iqr // 2
+        out = (c < lo[gid]) | (c > hi[gid])
+        n_out = np.bincount(gid[out], minlength=len(starts)) \
+            .astype(np.int64)
+        prio = b["prio"].take(pa.array(starts))
+        return pa.table({"o_orderpriority": prio,
+                         "n": pa.array(sizes.astype(np.int64)),
+                         "q1_c": pa.array(q1), "q3_c": pa.array(q3),
+                         "n_out": pa.array(n_out)})
+
+    return sorted_group_apply(
+        od.map_batches(prep, batch_format="pyarrow"), ["prio"], fences,
+        num_partitions=4)
+
+
+def _q_emb_norm_stats(sf_dir: str):
+    """Per-label embedding-norm profile: n, Σ/min/max of the exact
+    integer squared norm Σ_d floor(10³·x_d)² — the embedding-health
+    audit (collapsed or exploding norms per class). One vectorized
+    reshape+square per batch; |labels|-bounded partials fold in a tiny
+    grouped pass."""
+    from .functions.grouped import sorted_aggregate
+    i64 = pa.int64()
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                columns=["vec_id", "embedding", "label"])
+
+    def norms(b: pa.Table) -> pa.Table:
+        lst = b["embedding"]
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        flat = np.floor(lst.flatten().to_numpy(zero_copy_only=False)
+                        .astype(np.float64) * 1000.0).astype(np.int64)
+        dim = len(flat) // max(b.num_rows, 1)
+        n2 = (flat.reshape(b.num_rows, dim) ** 2).sum(axis=1)
+        return pa.table({"label": pc.cast(b["label"], i64),
+                         "n": pa.array(np.ones(b.num_rows, np.int64)),
+                         "s": pa.array(n2), "mn": pa.array(n2),
+                         "mx": pa.array(n2)}) \
+            .group_by(["label"], use_threads=False) \
+            .aggregate([("n", "sum"), ("s", "sum"), ("mn", "min"),
+                        ("mx", "max")]) \
+            .rename_columns(["label", "n", "s", "mn", "mx"])
+
+    return sorted_aggregate(
+        emb.map_batches(norms, batch_format="pyarrow"),
+        ["label"], [("n", "sum"), ("s", "sum"), ("mn", "min"),
+                    ("mx", "max")],
+        ["label", "n", "sum_norm2", "min_norm2", "max_norm2"], 1)
+
+
+def _q_ml_mcc(sf_dir: str):
+    """Matthews correlation of the n_chars >= 500 gate predicting
+    lang = 'en', exactly: MCC² ×10⁶ as the integer fraction
+    (TP·TN − FP·FN)² // Π(marginals) with the sign reported separately
+    (sqrt-free — MCC itself is irrational). 4-cell block partials fold
+    on the driver in Python bigints."""
+    import pandas as pd
+    i64 = pa.int64()
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["n_chars", "lang"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        pred = pc.cast(b["n_chars"], i64).to_numpy(
+            zero_copy_only=False) >= KAPPA_CHAR_MIN
+        truth = pc.equal(b["lang"], "en").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "tp": pa.array([int((pred & truth).sum())], i64),
+            "fp": pa.array([int((pred & ~truth).sum())], i64),
+            "fn": pa.array([int((~pred & truth).sum())], i64),
+            "tn": pa.array([int((~pred & ~truth).sum())], i64)})
+
+    p = docs.map_batches(cells, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    tp, fp = int(p["tp"].sum()), int(p["fp"].sum())
+    fn, tn = int(p["fn"].sum()), int(p["tn"].sum())
+    num = tp * tn - fp * fn
+    den = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    return pd.DataFrame({
+        "tp": [tp], "fp": [fp], "fn": [fn], "tn": [tn],
+        "mcc_sign": [(num > 0) - (num < 0)],
+        "mcc2_fp": [10**6 * num * num // max(den, 1)]}).astype("int64")
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -10860,6 +10996,10 @@ def queries() -> dict[str, Callable]:
         "ml_cohens_kappa": _q_ml_cohens_kappa,
         "ml_lift_deciles": _q_ml_lift_deciles,
         "rel_theilsen_slope": _q_rel_theilsen,
+        "events_windowed_topk": _q_events_windowed_topk,
+        "rel_iqr_outliers": _q_rel_iqr_outliers,
+        "emb_norm_stats": _q_emb_norm_stats,
+        "ml_mcc": _q_ml_mcc,
         "kg_ktruss_edges": _q_kg_ktruss,
         "kg_subclass_depth": _q_kg_subclass_depth,
         "dedup_incremental": _q_dedup_incremental,
@@ -15532,4 +15672,68 @@ ORDER BY doc_a, doc_b"""
                CAST(max(CASE WHEN rn = (np - 1) // 2 THEN sfp END)
                     AS BIGINT) AS median_slope_fp
         FROM o"""
+    out["events_windowed_topk"] = """
+        WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                          event_type, count(*) AS n
+                   FROM events GROUP BY 1, 2),
+        r AS (SELECT c.*, row_number() OVER (PARTITION BY day
+                 ORDER BY n DESC, event_type) AS rank FROM c)
+        SELECT CAST(day AS BIGINT) AS day, event_type,
+               CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 3 ORDER BY day, rank"""
+    out["rel_iqr_outliers"] = """
+        WITH c AS (SELECT o_orderpriority AS prio,
+                          CAST(round(o_totalprice * 100.0) AS BIGINT)
+                            AS cents
+                   FROM orders),
+        r AS (SELECT prio, cents, row_number() OVER (
+                 PARTITION BY prio ORDER BY cents) - 1 AS rn,
+                 count(*) OVER (PARTITION BY prio) AS n FROM c),
+        q AS (SELECT prio, max(n) AS n,
+                     max(CASE WHEN rn = (n - 1) // 4 THEN cents END)
+                       AS q1_c,
+                     max(CASE WHEN rn = 3 * (n - 1) // 4 THEN cents END)
+                       AS q3_c
+              FROM r GROUP BY 1),
+        f AS (SELECT q.*, q1_c - 3 * (q3_c - q1_c) // 2 AS lo,
+                     q3_c + 3 * (q3_c - q1_c) // 2 AS hi FROM q)
+        SELECT f.prio AS o_orderpriority, CAST(f.n AS BIGINT) AS n,
+               CAST(f.q1_c AS BIGINT) AS q1_c,
+               CAST(f.q3_c AS BIGINT) AS q3_c,
+               CAST(sum(CASE WHEN c.cents < f.lo OR c.cents > f.hi
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+        FROM f JOIN c ON c.prio = f.prio
+        GROUP BY 1, 2, 3, 4 ORDER BY 1"""
+    out["emb_norm_stats"] = """
+        WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                          sum(CAST(floor(CAST(embedding[g.i] AS DOUBLE)
+                                         * 1000) AS BIGINT)
+                              * CAST(floor(CAST(embedding[g.i] AS DOUBLE)
+                                           * 1000) AS BIGINT)) AS n2
+                   FROM embeddings, generate_series(1, 64) AS g(i)
+                   GROUP BY 1, 2)
+        SELECT label, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n2) AS BIGINT) AS sum_norm2,
+               CAST(min(n2) AS BIGINT) AS min_norm2,
+               CAST(max(n2) AS BIGINT) AS max_norm2
+        FROM e GROUP BY 1 ORDER BY 1"""
+    out["ml_mcc"] = f"""
+        WITH f AS (SELECT
+            CASE WHEN n_chars >= {KAPPA_CHAR_MIN} THEN 1 ELSE 0 END AS p,
+            CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t
+            FROM documents),
+        c AS (SELECT sum(p * t) AS tp, sum(p * (1 - t)) AS fp,
+                     sum((1 - p) * t) AS fn, sum((1 - p) * (1 - t)) AS tn
+              FROM f),
+        d AS (SELECT *, CAST(tp AS HUGEINT) * tn
+                        - CAST(fp AS HUGEINT) * fn AS num,
+                     greatest(CAST(tp + fp AS HUGEINT) * (tp + fn)
+                              * (tn + fp) * (tn + fn), 1) AS den
+              FROM c)
+        SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+               CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+               CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1
+                    ELSE 0 END AS BIGINT) AS mcc_sign,
+               CAST(1000000 * num * num // den AS BIGINT) AS mcc2_fp
+        FROM d"""
     return out
