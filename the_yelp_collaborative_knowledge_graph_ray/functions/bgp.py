@@ -519,6 +519,19 @@ def bgp_construct(triples: ray.data.Dataset,
                            batch_format="pyarrow", zero_copy_batch=True)
 
 
+def bgp_bind(bindings: ray.data.Dataset, out_var: str,
+             fn) -> ray.data.Dataset:
+    """SPARQL ``BIND(expr AS ?v)``: append a computed binding column.
+    ``fn`` is a vectorized ``pa.Table -> pa.Array`` over the existing
+    binding columns (the expression), applied per batch — BIND never
+    shuffles, it composes with FILTER/GROUP/ORDER downstream exactly like
+    a scanned variable."""
+    def f(b: pa.Table) -> pa.Table:
+        return b.append_column(out_var, fn(b))
+    return bindings.map_batches(f, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
 def bgp_ask(triples: ray.data.Dataset,
             patterns: list[tuple[str, str, str]],
             num_partitions: int | None = None) -> bool:

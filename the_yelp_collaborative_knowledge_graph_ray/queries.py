@@ -10619,6 +10619,161 @@ def _q_ml_mcc(sf_dir: str):
         "mcc2_fp": [10**6 * num * num // max(den, 1)]}).astype("int64")
 
 
+def _q_kg_sparql_bind(sf_dir: str):
+    """SPARQL BIND: { ?t schema:position ?p . BIND(xsd:integer(?p)//5 AS
+    ?bucket) } GROUP BY ?bucket — a computed binding (functions/bgp
+    .bgp_bind, per-batch vectorized, never shuffles) feeding the grouped
+    aggregate surface; completes SELECT-expression support alongside
+    FILTER/VALUES/HAVING/ORDER."""
+    from .functions.bgp import bgp_bind, bgp_match
+    from .functions.grouped import grouped_count
+    from .pipelines.kg import run_kg
+    b = bgp_match(run_kg(sf_dir), [("?t", C.PRED_POSITION, "?p")],
+                  ["t", "p"], num_partitions=8)
+    bound = bgp_bind(b, "bucket", lambda t: pc.divide(
+        pc.cast(t["p"], pa.int64()), 5))
+    return grouped_count(bound.map_batches(
+        lambda t: t.select(["bucket"]), batch_format="pyarrow"),
+        ["bucket"], "n", 4).sort("bucket")
+
+
+PREFIX_QUERIES = ("merg", "sca", "batc")
+
+
+def _q_search_prefix(sf_dir: str):
+    """Wildcard / prefix search (`merg*`): per prefix query, how many
+    documents contain a matching token and how many token hits total —
+    one pc.starts_with scan over the flat token array per query (docs
+    whole in their batch, so per-doc distinct folds locally); |queries|
+    -bounded partials reach the driver."""
+    import pandas as pd
+    from .stages.dedup import _words_flat
+    i64 = pa.int64()
+
+    def hits(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema([("query_id", i64), ("n_docs", i64),
+                              ("n_hits", i64)]).empty_table()
+        words, doc_of = _words_flat(b["text"])
+        warr = pa.array(words)
+        rows = []
+        for qi, pref in enumerate(PREFIX_QUERIES):
+            m = pc.starts_with(warr, pref).to_numpy(zero_copy_only=False)
+            rows.append((qi, len(np.unique(doc_of[m])), int(m.sum())))
+        q, d, h = zip(*rows)
+        return pa.table({"query_id": pa.array(q, i64),
+                         "n_docs": pa.array(d, i64),
+                         "n_hits": pa.array(h, i64)})
+
+    p = _docs(sf_dir).map_batches(hits, batch_format="pyarrow",
+                                  zero_copy_batch=True).to_pandas()
+    g = p.groupby("query_id", as_index=False).sum()
+    return pd.DataFrame({
+        "query_id": g["query_id"].astype("int64"),
+        "n_docs": g["n_docs"].astype("int64"),
+        "n_hits": g["n_hits"].astype("int64")}) \
+        .sort_values("query_id").reset_index(drop=True)
+
+
+GINI_THRESHOLDS = (300, 400, 500, 600, 700, 800)
+
+
+def _q_ml_gini_gain(sf_dir: str):
+    """Gini-gain curve for the n_chars split predicting lang = 'en':
+    for every candidate threshold, the exact impurity decrease
+    gain = [(N²−Sp)·nL·nR − N·(nR·(nL²−SL) + nL·(nR²−SR))] /
+    (N²·nL·nR) ×10⁶ floored — the split-quality surface a tree learner
+    scans (ml_tree_depth2 picks by misclassification; this is the
+    CART criterion). Per-threshold 4-cell partials fold per block; the
+    fraction evaluates in Python bigints on a |thresholds|-row frame
+    (the SQL twin uses HUGEINT)."""
+    import pandas as pd
+    i64 = pa.int64()
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["n_chars", "lang"])
+    ths = list(GINI_THRESHOLDS)
+
+    def cells(b: pa.Table) -> pa.Table:
+        nch = pc.cast(b["n_chars"], i64).to_numpy(zero_copy_only=False)
+        pos = pc.equal(b["lang"], "en").to_numpy(zero_copy_only=False)
+        rows = []
+        for t in ths:
+            left = nch < t
+            rows.append((t, int(left.sum()), int((left & pos).sum()),
+                         int((~left).sum()), int((~left & pos).sum())))
+        t_, nl, pl, nr, pr = zip(*rows)
+        return pa.table({"thr": pa.array(t_, i64),
+                         "nl": pa.array(nl, i64), "pl": pa.array(pl, i64),
+                         "nr": pa.array(nr, i64), "pr": pa.array(pr, i64)})
+
+    p = docs.map_batches(cells, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas() \
+        .groupby("thr", as_index=False).sum()
+    out = []
+    for _, r in p.iterrows():
+        nl, pl, nr, pr = (int(r["nl"]), int(r["pl"]),
+                          int(r["nr"]), int(r["pr"]))
+        n = nl + nr
+        if nl == 0 or nr == 0:
+            out.append((int(r["thr"]), nl, nr, 0))
+            continue
+        sp = (pl + pr) ** 2 + (n - pl - pr) ** 2
+        sl = pl * pl + (nl - pl) ** 2
+        sr = pr * pr + (nr - pr) ** 2
+        num = ((n * n - sp) * nl * nr
+               - n * (nr * (nl * nl - sl) + nl * (nr * nr - sr)))
+        out.append((int(r["thr"]), nl, nr,
+                    10**6 * num // (n * n * nl * nr)))
+    return pd.DataFrame(out, columns=["thr", "n_left", "n_right",
+                                      "gain_fp"]).astype("int64") \
+        .sort_values("thr").reset_index(drop=True)
+
+
+EQUIDEPTH_BUCKETS = 8
+
+
+def _q_diag_equidepth_hist(sf_dir: str):
+    """Equi-depth histogram boundaries for optimizer statistics: the
+    exact ordinal values of l_extendedprice cents at ranks i·(n−1)//B,
+    i = 0..B — the quantile-sketch's exact twin a planner would store.
+    Global ranks via packed sort + zip_with_index; only the B+1 boundary
+    rows leave the workers (rank set broadcast in the closure)."""
+    import pandas as pd
+    from .functions.joins import zip_with_index
+    i64 = pa.int64()
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)),
+                    i64).to_numpy(zero_copy_only=False)
+        ok = pc.cast(b["l_orderkey"], i64).to_numpy(zero_copy_only=False)
+        ln = pc.cast(b["l_linenumber"], i64).to_numpy(zero_copy_only=False)
+        if (c >= 1 << 33).any() or (ok >= 1 << 27).any():
+            raise OverflowError("equidepth pack: rescale")
+        return pa.table({"cents": pa.array(c),
+                         "__k": pa.array((c << 30) | (ok << 3) | ln, i64)})
+
+    d = li.map_batches(pack, batch_format="pyarrow").materialize()
+    n = d.count()
+    bounds = np.unique([(i * (n - 1)) // EQUIDEPTH_BUCKETS
+                        for i in range(EQUIDEPTH_BUCKETS + 1)])
+    ranked = zip_with_index(d.sort("__k"), id_col="__rank",
+                            order_by="__k")
+
+    def pick(b: pa.Table) -> pa.Table:
+        rank = b["__rank"].to_numpy(zero_copy_only=False)
+        m = np.isin(rank, bounds)
+        t = b.filter(pa.array(m))
+        return pa.table({"rank": t["__rank"], "cents": t["cents"]})
+
+    out = ranked.map_batches(pick, batch_format="pyarrow").to_pandas() \
+        .sort_values("rank").reset_index(drop=True)
+    out["bucket"] = np.arange(len(out), dtype=np.int64)
+    return out[["bucket", "rank", "cents"]].astype("int64")
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -11000,6 +11155,10 @@ def queries() -> dict[str, Callable]:
         "rel_iqr_outliers": _q_rel_iqr_outliers,
         "emb_norm_stats": _q_emb_norm_stats,
         "ml_mcc": _q_ml_mcc,
+        "kg_sparql_bind": _q_kg_sparql_bind,
+        "search_prefix": _q_search_prefix,
+        "ml_gini_gain": _q_ml_gini_gain,
+        "diag_equidepth_hist": _q_diag_equidepth_hist,
         "kg_ktruss_edges": _q_kg_ktruss,
         "kg_subclass_depth": _q_kg_subclass_depth,
         "dedup_incremental": _q_dedup_incremental,
@@ -15736,4 +15895,70 @@ ORDER BY doc_a, doc_b"""
                     ELSE 0 END AS BIGINT) AS mcc_sign,
                CAST(1000000 * num * num // den AS BIGINT) AS mcc2_fp
         FROM d"""
+    out["kg_sparql_bind"] = f"""
+        SELECT CAST(turn_idx // 5 AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM read_parquet('{fdir}/transcripts.parquet/*.parquet')
+        GROUP BY 1 ORDER BY 1"""
+    pref_rows = ", ".join(f"({qi}, '{p_}')"
+                          for qi, p_ in enumerate(PREFIX_QUERIES))
+    out["search_prefix"] = f"""
+        WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' '))
+                     AS w FROM documents),
+        q(query_id, pref) AS (VALUES {pref_rows}),
+        h AS (SELECT q.query_id, w.doc_id
+              FROM w JOIN q ON w.w LIKE q.pref || '%')
+        SELECT q.query_id,
+               CAST(count(DISTINCT h.doc_id) AS BIGINT) AS n_docs,
+               CAST(count(h.doc_id) AS BIGINT) AS n_hits
+        FROM q LEFT JOIN h ON h.query_id = q.query_id
+        GROUP BY 1 ORDER BY 1"""
+    gth = ", ".join(f"({t})" for t in GINI_THRESHOLDS)
+    out["ml_gini_gain"] = f"""
+        WITH t(thr) AS (VALUES {gth}),
+        c AS (SELECT t.thr,
+                sum(CASE WHEN d.n_chars < t.thr THEN 1 ELSE 0 END) AS nl,
+                sum(CASE WHEN d.n_chars < t.thr AND d.lang = 'en'
+                    THEN 1 ELSE 0 END) AS pl,
+                sum(CASE WHEN d.n_chars >= t.thr THEN 1 ELSE 0 END) AS nr,
+                sum(CASE WHEN d.n_chars >= t.thr AND d.lang = 'en'
+                    THEN 1 ELSE 0 END) AS pr
+              FROM documents d CROSS JOIN t GROUP BY 1),
+        g AS (SELECT thr, nl, nr,
+                CASE WHEN nl = 0 OR nr = 0 THEN CAST(0 AS HUGEINT) ELSE
+                  1000000 * (
+                    (CAST(nl + nr AS HUGEINT) * (nl + nr)
+                     - (CAST(pl + pr AS HUGEINT) * (pl + pr)
+                        + CAST(nl + nr - pl - pr AS HUGEINT)
+                          * (nl + nr - pl - pr))) * nl * nr
+                    - CAST(nl + nr AS HUGEINT) * (
+                        nr * (CAST(nl AS HUGEINT) * nl
+                              - (CAST(pl AS HUGEINT) * pl
+                                 + CAST(nl - pl AS HUGEINT) * (nl - pl)))
+                      + nl * (CAST(nr AS HUGEINT) * nr
+                              - (CAST(pr AS HUGEINT) * pr
+                                 + CAST(nr - pr AS HUGEINT)
+                                   * (nr - pr)))))
+                  // (CAST(nl + nr AS HUGEINT) * (nl + nr) * nl * nr)
+                END AS gain
+              FROM c)
+        SELECT CAST(thr AS BIGINT) AS thr, CAST(nl AS BIGINT) AS n_left,
+               CAST(nr AS BIGINT) AS n_right,
+               CAST(gain AS BIGINT) AS gain_fp
+        FROM g ORDER BY thr"""
+    out["diag_equidepth_hist"] = f"""
+        WITH c AS (SELECT CAST(round(l_extendedprice * 100.0) AS BIGINT)
+                            AS cents, l_orderkey, l_linenumber
+                   FROM lineitem),
+        r AS (SELECT cents, row_number() OVER (
+                 ORDER BY cents, l_orderkey, l_linenumber) - 1 AS rn,
+                 count(*) OVER () AS n FROM c),
+        b AS (SELECT DISTINCT (g.i * ((SELECT max(n) FROM r) - 1))
+                              // {EQUIDEPTH_BUCKETS} AS rk
+              FROM generate_series(0, {EQUIDEPTH_BUCKETS}) AS g(i)),
+        p AS (SELECT r.rn, r.cents FROM r JOIN b ON b.rk = r.rn)
+        SELECT CAST(row_number() OVER (ORDER BY rn) - 1 AS BIGINT)
+                 AS bucket,
+               CAST(rn AS BIGINT) AS rank, CAST(cents AS BIGINT) AS cents
+        FROM p ORDER BY rank"""
     return out
