@@ -10774,6 +10774,112 @@ def _q_diag_equidepth_hist(sf_dir: str):
     return out[["bucket", "rank", "cents"]].astype("int64")
 
 
+def _q_diag_fanout_hist(sf_dir: str):
+    """Join fan-out histogram — the optimizer statistic behind join-size
+    estimation (diag_join_estimate gives the scalar; this is the full
+    distribution): how many orders have k lineitems, for every k. Two
+    cascaded grouped counts; after the first fold nothing scales with
+    the row count."""
+    from .functions.grouped import grouped_count
+    li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_orderkey"])
+    sizes = grouped_count(li, ["l_orderkey"], "fanout", 8)
+    return grouped_count(
+        sizes.map_batches(lambda b: b.select(["fanout"]),
+                          batch_format="pyarrow"),
+        ["fanout"], "n_orders", 2).sort("fanout")
+
+
+def _q_events_peak_hour(sf_dir: str):
+    """Diurnal peak per event type: the hour-of-day (UTC) with the most
+    events, ties to the earliest hour — the seasonality headline of a
+    traffic dashboard. |types|×24-bounded grouped count, then the pruned
+    per-key top-1."""
+    from .functions.grouped import grouped_count
+    from .functions.topn import top_n_per_key
+    i64 = pa.int64()
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts", "event_type"])
+    d = ev.map_batches(lambda b: pa.table({
+        "event_type": b["event_type"],
+        "hour": pc.cast(pc.hour(pc.cast(b["ts"], pa.timestamp("us"))),
+                        i64)}), batch_format="pyarrow")
+    cnt = grouped_count(d, ["event_type", "hour"], "n", 4)
+    top = top_n_per_key(cnt, ["event_type"],
+                        [("n", False), ("hour", True)], 1,
+                        num_partitions=2)
+    return top.map_batches(lambda b: b.select(["event_type", "hour", "n"]),
+                           batch_format="pyarrow")
+
+
+def _q_events_next_best(sf_dir: str):
+    """Next-best-action table: for every event type, the most frequent
+    NEXT type in per-user arrival order (ties alphabetical) — the greedy
+    policy read off the Markov transition matrix (events_transitions
+    gives the matrix; this is its per-state argmax via the pruned
+    per-key top-1)."""
+    from .functions.topn import top_n_per_key
+    from .pipelines.relational import event_transitions
+    t = event_transitions(sf_dir)
+    top = top_n_per_key(t, ["prev_type"],
+                        [("n", False), ("event_type", True)], 1,
+                        num_partitions=2)
+    return top.map_batches(
+        lambda b: b.select(["prev_type", "event_type", "n"]),
+        batch_format="pyarrow")
+
+
+LC_FRACTIONS = 4  # learning-curve prefixes: N·k//4 for k = 1..4
+
+
+def _q_ml_learning_curve(sf_dir: str):
+    """Deterministic learning curve: train a decision stump (predict
+    lang='en' iff n_chars >= thr, thr from GINI_THRESHOLDS) on doc_id-
+    ordered prefixes of size N·k//4, pick the thr minimizing prefix
+    misclassification (tie: lower thr), report full-set accuracy ×10⁶
+    per prefix — the does-more-data-help diagnostic. Per-(k, thr)
+    misclassification cells fold as |k|·|thr| block partials over the
+    zip_with_index global rank; the argmin scans a 24-row frame."""
+    import pandas as pd
+    from .functions.joins import zip_with_index
+    i64 = pa.int64()
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "n_chars", "lang"]) \
+        .materialize()
+    n = docs.count()
+    cuts = [(n * k) // LC_FRACTIONS for k in range(1, LC_FRACTIONS + 1)]
+    ths = list(GINI_THRESHOLDS)
+    ranked = zip_with_index(docs.sort("doc_id"), id_col="__rank",
+                            order_by="doc_id")
+
+    def cells(b: pa.Table) -> pa.Table:
+        rank = b["__rank"].to_numpy(zero_copy_only=False)
+        nch = pc.cast(b["n_chars"], i64).to_numpy(zero_copy_only=False)
+        pos = pc.equal(b["lang"], "en").to_numpy(zero_copy_only=False)
+        rows = []
+        for k, cut in enumerate(cuts):
+            inpre = rank < cut
+            for t in ths:
+                mis = (nch >= t) != pos
+                rows.append((k + 1, t, int((inpre & mis).sum()),
+                             int(mis.sum())))
+        kk, tt, mp, mf = zip(*rows)
+        return pa.table({"k": pa.array(kk, i64), "thr": pa.array(tt, i64),
+                         "mis_prefix": pa.array(mp, i64),
+                         "mis_full": pa.array(mf, i64)})
+
+    p = ranked.map_batches(cells, batch_format="pyarrow").to_pandas() \
+        .groupby(["k", "thr"], as_index=False).sum()
+    out = []
+    for k in range(1, LC_FRACTIONS + 1):
+        sub = p[p["k"] == k].sort_values(["mis_prefix", "thr"])
+        best = sub.iloc[0]
+        out.append((k, cuts[k - 1], int(best["thr"]),
+                    10**6 * (n - int(best["mis_full"])) // n))
+    return pd.DataFrame(out, columns=["k", "n_train", "best_thr",
+                                      "full_acc_fp"]).astype("int64")
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -11159,6 +11265,10 @@ def queries() -> dict[str, Callable]:
         "search_prefix": _q_search_prefix,
         "ml_gini_gain": _q_ml_gini_gain,
         "diag_equidepth_hist": _q_diag_equidepth_hist,
+        "diag_fanout_hist": _q_diag_fanout_hist,
+        "events_peak_hour_per_type": _q_events_peak_hour,
+        "events_next_best_action": _q_events_next_best,
+        "ml_learning_curve": _q_ml_learning_curve,
         "kg_ktruss_edges": _q_kg_ktruss,
         "kg_subclass_depth": _q_kg_subclass_depth,
         "dedup_incremental": _q_dedup_incremental,
@@ -15961,4 +16071,56 @@ ORDER BY doc_a, doc_b"""
                  AS bucket,
                CAST(rn AS BIGINT) AS rank, CAST(cents AS BIGINT) AS cents
         FROM p ORDER BY rank"""
+    out["diag_fanout_hist"] = """
+        WITH s AS (SELECT l_orderkey, count(*) AS fanout
+                   FROM lineitem GROUP BY 1)
+        SELECT CAST(fanout AS BIGINT) AS fanout,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM s GROUP BY 1 ORDER BY 1"""
+    out["events_peak_hour_per_type"] = """
+        WITH c AS (SELECT event_type,
+                          CAST(hour(ts) AS BIGINT) AS hour,
+                          count(*) AS n
+                   FROM events GROUP BY 1, 2),
+        r AS (SELECT c.*, row_number() OVER (PARTITION BY event_type
+                 ORDER BY n DESC, hour) AS rn FROM c)
+        SELECT event_type, hour, CAST(n AS BIGINT) AS n
+        FROM r WHERE rn = 1 ORDER BY event_type"""
+    out["events_next_best_action"] = """
+        WITH o AS (SELECT user_id, event_type, lag(event_type) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id)
+                     AS prev_type
+                   FROM events),
+        c AS (SELECT prev_type, event_type, count(*) AS n FROM o
+              WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        r AS (SELECT c.*, row_number() OVER (PARTITION BY prev_type
+                 ORDER BY n DESC, event_type) AS rn FROM c)
+        SELECT prev_type, event_type, CAST(n AS BIGINT) AS n
+        FROM r WHERE rn = 1 ORDER BY prev_type"""
+    lc_th = ", ".join(f"({t})" for t in GINI_THRESHOLDS)
+    lc_k = ", ".join(f"({k})" for k in range(1, LC_FRACTIONS + 1))
+    out["ml_learning_curve"] = f"""
+        WITH d AS (SELECT n_chars,
+                          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+                          row_number() OVER (ORDER BY doc_id) - 1 AS rank,
+                          count(*) OVER () AS n
+                   FROM documents),
+        t(thr) AS (VALUES {lc_th}), k(k) AS (VALUES {lc_k}),
+        cells AS (SELECT k.k, t.thr, max(d.n) AS n,
+                    max(d.n * k.k // {LC_FRACTIONS}) AS cut,
+                    sum(CASE WHEN d.rank < d.n * k.k // {LC_FRACTIONS}
+                             AND (CASE WHEN d.n_chars >= t.thr
+                                  THEN 1 ELSE 0 END) <> d.pos
+                             THEN 1 ELSE 0 END) AS mis_prefix,
+                    sum(CASE WHEN (CASE WHEN d.n_chars >= t.thr
+                                   THEN 1 ELSE 0 END) <> d.pos
+                             THEN 1 ELSE 0 END) AS mis_full
+                  FROM d CROSS JOIN t CROSS JOIN k GROUP BY 1, 2),
+        pick AS (SELECT cells.*, row_number() OVER (PARTITION BY k
+                   ORDER BY mis_prefix, thr) AS rn FROM cells)
+        SELECT CAST(k AS BIGINT) AS k, CAST(cut AS BIGINT) AS n_train,
+               CAST(thr AS BIGINT) AS best_thr,
+               CAST(1000000 * (n - mis_full) // n AS BIGINT)
+                 AS full_acc_fp
+        FROM pick WHERE rn = 1 ORDER BY k"""
     return out
