@@ -10880,6 +10880,191 @@ def _q_ml_learning_curve(sf_dir: str):
                                       "full_acc_fp"]).astype("int64")
 
 
+DICT_GAIN_COLS = ("p_brand", "p_type", "p_name")
+
+
+def _q_diag_dict_gain(sf_dir: str):
+    """Dictionary-encoding gain estimate per string column — the storage
+    -planner audit that decides parquet encodings: raw bytes vs
+    bit-packed codes (bitlen(n_distinct−1) bits/value) + dictionary
+    bytes, ×10⁶ signed gain. Per column one distinct-collapse grouped
+    count (shuffle sized to the dictionary, not the rows) then a 1-row
+    fold."""
+    import pandas as pd
+    from .functions.grouped import grouped_count
+    i64 = pa.int64()
+    rows = []
+    for col in DICT_GAIN_COLS:
+        t = ray.data.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                                  columns=[col])
+        d = grouped_count(t, [col], "n", 4)
+
+        def fold(b: pa.Table, c=col) -> pa.Table:
+            ln = pc.cast(pc.utf8_length(b[c]), i64) \
+                .to_numpy(zero_copy_only=False)
+            n = b["n"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "n_rows": pa.array([int(n.sum())], i64),
+                "n_distinct": pa.array([len(n)], i64),
+                "raw_bytes": pa.array([int((ln * n).sum())], i64),
+                "dict_bytes": pa.array([int(ln.sum())], i64)})
+
+        p = d.map_batches(fold, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+        nr, nd = int(p["n_rows"].sum()), int(p["n_distinct"].sum())
+        raw, db = int(p["raw_bytes"].sum()), int(p["dict_bytes"].sum())
+        bits = (nd - 1).bit_length()
+        enc = (nr * bits + 7) // 8 + db
+        rows.append((col, nr, nd, raw, bits,
+                     10**6 * (raw - enc) // max(raw, 1)))
+    out = pd.DataFrame(rows, columns=["col", "n_rows", "n_distinct",
+                                      "raw_bytes", "bits_per_value",
+                                      "gain_fp"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("col").reset_index(drop=True)
+
+
+def _q_events_switchback(sf_dir: str):
+    """Switchback experiment readout: hour-sliced alternating assignment
+    (arm = epoch-hour % 2 — the time-sliced design used when user-level
+    randomization leaks interference), per-arm events, purchases,
+    purchase cents and conversion ×10⁶. One |arms|-bounded grouped
+    fold."""
+    from .functions.grouped import sorted_aggregate
+    i64 = pa.int64()
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        hr = pc.divide(pc.cast(pc.cast(b["ts"], pa.timestamp("us")), i64),
+                       3_600_000_000)
+        isp = pc.cast(pc.equal(b["event_type"], "purchase"), i64)
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100.0)), i64)
+        return pa.table({
+            "arm": pc.bit_wise_and(hr, 1),
+            "n": pa.array(np.ones(b.num_rows, np.int64)),
+            "n_purchase": isp,
+            "purchase_cents": pc.multiply(isp, cents)}) \
+            .group_by(["arm"], use_threads=False) \
+            .aggregate([("n", "sum"), ("n_purchase", "sum"),
+                        ("purchase_cents", "sum")]) \
+            .rename_columns(["arm", "n", "n_purchase", "purchase_cents"])
+
+    h = sorted_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["arm"], [("n", "sum"), ("n_purchase", "sum"),
+                  ("purchase_cents", "sum")],
+        ["arm", "n", "n_purchase", "purchase_cents"], 1)
+
+    def conv(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        p = b["n_purchase"].to_numpy(zero_copy_only=False)
+        return b.append_column("conv_fp", pa.array(
+            10**6 * p // np.maximum(n, 1), i64))
+
+    return h.map_batches(conv, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
+def _q_search_autocomplete(sf_dir: str):
+    """Autocomplete table: top-3 corpus words per 2-char prefix by
+    (frequency desc, word asc) — the query-suggestion index build. One
+    word-frequency grouped count (dictionary-sized shuffle), prefix
+    sliced vectorized, pruned per-key top-k."""
+    from .functions.grouped import grouped_count
+    from .functions.topn import top_n_per_key
+    from .stages.dedup import _words_flat
+    i64 = pa.int64()
+
+    def words(b: pa.Table) -> pa.Table:
+        w, _ = _words_flat(b["text"])
+        return pa.table({"word": pa.array(w)})
+
+    freq = grouped_count(_docs(sf_dir).map_batches(
+        words, batch_format="pyarrow", zero_copy_batch=True),
+        ["word"], "n", 8)
+    pre = freq.map_batches(lambda b: pa.table({
+        "prefix": pc.utf8_slice_codeunits(b["word"], 0, 2),
+        "word": b["word"], "n": b["n"]}), batch_format="pyarrow")
+    top = top_n_per_key(pre, ["prefix"], [("n", False), ("word", True)],
+                        3, num_partitions=4)
+    return top.map_batches(
+        lambda b: b.select(["prefix", "word", "n", "rank"]),
+        batch_format="pyarrow")
+
+
+BLOOM_FPR_M = 65536        # filter bits
+BLOOM_FPR_SHIFT = 10**9    # offset making guaranteed non-member probes
+
+
+def _q_diag_bloom_fpr(sf_dir: str):
+    """Bloom-filter false-positive audit (the measured twin of the
+    (1−e^{−kn/m})^k design formula): k=2 splitmix64 positions per key
+    into m=2^16 bits built from the DISTINCT order keys; probed with
+    every part key (all true members — the zero-false-negative check)
+    and every part key + 10^9 (guaranteed non-members — the FPR
+    numerator). The bit set is m-BOUNDED (8 KB broadcast at any data
+    scale); build and probe are distinct-collapse grouped passes."""
+    import pandas as pd
+    from .functions.cms import cms_row_seeds
+    from .functions.grouped import grouped_count
+    from .functions.sampling import splitmix64
+    i64 = pa.int64()
+    s1, s2 = [np.uint64(s) for s in cms_row_seeds()[:2]]
+
+    def pos_of(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        u = keys.astype(np.int64).view(np.uint64)
+        h1 = splitmix64(u ^ s1) % np.uint64(BLOOM_FPR_M)
+        h2 = splitmix64(u ^ s2) % np.uint64(BLOOM_FPR_M)
+        return h1.astype(np.int64), h2.astype(np.int64)
+
+    ok = grouped_count(
+        ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                              columns=["o_orderkey"]),
+        ["o_orderkey"], "__n", 8)
+
+    def build(b: pa.Table) -> pa.Table:
+        h1, h2 = pos_of(b["o_orderkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"pos": pa.array(np.concatenate([h1, h2]), i64)})
+
+    pos = grouped_count(ok.map_batches(build, batch_format="pyarrow"),
+                        ["pos"], "__n", 2).to_pandas()
+    bits = np.zeros(BLOOM_FPR_M, bool)
+    bits[pos["pos"].to_numpy()] = True
+    n_keys = ok.count()
+
+    pk = grouped_count(
+        ray.data.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                              columns=["p_partkey"]),
+        ["p_partkey"], "__n", 4)
+
+    def probe(b: pa.Table) -> pa.Table:
+        k = pc.cast(b["p_partkey"], i64).to_numpy(zero_copy_only=False)
+        rows = []
+        for member, keys in ((1, k), (0, k + BLOOM_FPR_SHIFT)):
+            h1, h2 = pos_of(keys)
+            rows.append((member, len(keys),
+                         int((bits[h1] & bits[h2]).sum())))
+        m_, t_, p_ = zip(*rows)
+        return pa.table({"member": pa.array(m_, i64),
+                         "n_tested": pa.array(t_, i64),
+                         "n_pass": pa.array(p_, i64)})
+
+    p = pk.map_batches(probe, batch_format="pyarrow").to_pandas() \
+        .groupby("member", as_index=False).sum()
+    mem = p[p["member"] == 1].iloc[0]
+    non = p[p["member"] == 0].iloc[0]
+    return pd.DataFrame({
+        "n_keys": [n_keys], "n_bits_set": [int(bits.sum())],
+        "n_members_tested": [int(mem["n_tested"])],
+        "n_members_pass": [int(mem["n_pass"])],
+        "n_nonmembers_tested": [int(non["n_tested"])],
+        "n_false_pos": [int(non["n_pass"])],
+        "fpr_fp": [10**6 * int(non["n_pass"])
+                   // max(int(non["n_tested"]), 1)]}).astype("int64")
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -11269,6 +11454,10 @@ def queries() -> dict[str, Callable]:
         "events_peak_hour_per_type": _q_events_peak_hour,
         "events_next_best_action": _q_events_next_best,
         "ml_learning_curve": _q_ml_learning_curve,
+        "diag_dict_encoding_gain": _q_diag_dict_gain,
+        "events_switchback_arms": _q_events_switchback,
+        "search_autocomplete_top": _q_search_autocomplete,
+        "diag_bloom_fpr": _q_diag_bloom_fpr,
         "kg_ktruss_edges": _q_kg_ktruss,
         "kg_subclass_depth": _q_kg_subclass_depth,
         "dedup_incremental": _q_dedup_incremental,
@@ -16123,4 +16312,82 @@ ORDER BY doc_a, doc_b"""
                CAST(1000000 * (n - mis_full) // n AS BIGINT)
                  AS full_acc_fp
         FROM pick WHERE rn = 1 ORDER BY k"""
+    dict_parts = []
+    for col in DICT_GAIN_COLS:
+        dict_parts.append(f"""
+        SELECT '{col}' AS col, CAST(nr AS BIGINT) AS n_rows,
+               CAST(nd AS BIGINT) AS n_distinct,
+               CAST(raw AS BIGINT) AS raw_bytes,
+               CAST(bits AS BIGINT) AS bits_per_value,
+               CAST(1000000 * (raw - enc) // raw
+                    - CASE WHEN (1000000 * (raw - enc)) % raw <> 0
+                                AND raw < enc THEN 1 ELSE 0 END
+                    AS BIGINT) AS gain_fp
+        FROM (SELECT *, (nr * bits + 7) // 8 + db AS enc FROM (
+          SELECT *, CASE WHEN nd = 1 THEN 0
+                         ELSE length(bin(nd - 1)) END AS bits FROM (
+            SELECT count(*) AS nd, sum(n) AS nr,
+                   sum(len(v) * n) AS raw, sum(len(v)) AS db
+            FROM (SELECT {col} AS v, count(*) AS n FROM part
+                  GROUP BY 1))))""")
+    out["diag_dict_encoding_gain"] = \
+        " UNION ALL ".join(dict_parts) + " ORDER BY col"
+    out["events_switchback_arms"] = """
+        WITH e AS (SELECT epoch_us(ts) // 3600000000 % 2 AS arm,
+                          CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END AS isp,
+                          CAST(round(value * 100.0) AS BIGINT) AS cents
+                   FROM events)
+        SELECT CAST(arm AS BIGINT) AS arm, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(isp) AS BIGINT) AS n_purchase,
+               CAST(sum(isp * cents) AS BIGINT) AS purchase_cents,
+               CAST(1000000 * sum(isp) // count(*) AS BIGINT) AS conv_fp
+        FROM e GROUP BY 1 ORDER BY 1"""
+    out["search_autocomplete_top"] = """
+        WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS word
+                   FROM documents),
+        f AS (SELECT word, count(*) AS n FROM w GROUP BY 1),
+        p AS (SELECT substr(word, 1, 2) AS prefix, word, n,
+                     row_number() OVER (PARTITION BY substr(word, 1, 2)
+                        ORDER BY n DESC, word) AS rank
+              FROM f)
+        SELECT prefix, word, CAST(n AS BIGINT) AS n,
+               CAST(rank AS BIGINT) AS rank
+        FROM p WHERE rank <= 3 ORDER BY prefix, rank"""
+    from .functions.cms import cms_row_seeds as _crs
+    bs1, bs2 = _crs()[:2]
+    out["diag_bloom_fpr"] = f"""
+        WITH seeds(r, s) AS (VALUES (0, CAST('{int(bs1)}' AS UBIGINT)),
+                                    (1, CAST('{int(bs2)}' AS UBIGINT))),
+        ok AS (SELECT DISTINCT o_orderkey AS key FROM orders),
+        pkk AS (SELECT DISTINCT p_partkey AS key FROM part),
+        allk AS (SELECT 'b' AS tag, key FROM ok
+                 UNION ALL SELECT 'm', key FROM pkk
+                 UNION ALL SELECT 'n', key + {BLOOM_FPR_SHIFT} FROM pkk),
+        base AS (SELECT tag, key, xor(CAST(key AS UBIGINT), s) AS kx
+                 FROM allk CROSS JOIN seeds),
+        {_splitmix_cte('base', 'kx', 'tag, key')},
+        h AS (SELECT tag, key,
+                     CAST(xor(z, z >> 31) % {BLOOM_FPR_M} AS BIGINT) AS pos
+              FROM z2),
+        pset AS (SELECT DISTINCT pos FROM h WHERE tag = 'b'),
+        pr AS (SELECT tag, key,
+                 CASE WHEN sum(CASE WHEN pos IN (SELECT pos FROM pset)
+                               THEN 1 ELSE 0 END) = count(*)
+                      THEN 1 ELSE 0 END AS pass
+               FROM h WHERE tag <> 'b' GROUP BY 1, 2)
+        SELECT CAST((SELECT count(*) FROM ok) AS BIGINT) AS n_keys,
+               CAST((SELECT count(*) FROM pset) AS BIGINT) AS n_bits_set,
+               CAST((SELECT count(*) FROM pr WHERE tag = 'm') AS BIGINT)
+                 AS n_members_tested,
+               CAST((SELECT sum(pass) FROM pr WHERE tag = 'm') AS BIGINT)
+                 AS n_members_pass,
+               CAST((SELECT count(*) FROM pr WHERE tag = 'n') AS BIGINT)
+                 AS n_nonmembers_tested,
+               CAST((SELECT sum(pass) FROM pr WHERE tag = 'n') AS BIGINT)
+                 AS n_false_pos,
+               CAST(1000000 * (SELECT sum(pass) FROM pr WHERE tag = 'n')
+                    // greatest((SELECT count(*) FROM pr
+                                 WHERE tag = 'n'), 1) AS BIGINT) AS fpr_fp
+        """
     return out
