@@ -11065,6 +11065,200 @@ def _q_diag_bloom_fpr(sf_dir: str):
                    // max(int(non["n_tested"]), 1)]}).astype("int64")
 
 
+def _q_text_hapax_ratio(sf_dir: str):
+    """Per-source lexical richness: vocabulary size, hapax legomena
+    (words occurring exactly once in the source) and the hapax ratio
+    ×10⁶ — the corpus-health signal between type-token ratio (per doc)
+    and Heaps' law (growth curve). One (source, word) grouped count
+    (dictionary-sized shuffle); the per-source fold sums distinct-word
+    rows only."""
+    from .functions.grouped import grouped_count, sorted_aggregate
+    from .stages.dedup import _words_flat
+    i64 = pa.int64()
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["source", "text"])
+
+    def words(b: pa.Table) -> pa.Table:
+        w, doc_of = _words_flat(b["text"])
+        src = b["source"].to_numpy(zero_copy_only=False)
+        return pa.table({"source": pa.array(src[doc_of]),
+                         "word": pa.array(w)})
+
+    c = grouped_count(docs.map_batches(words, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                      ["source", "word"], "n", 8)
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        return pa.table({"source": b["source"],
+                         "v": pa.array(np.ones(len(n), np.int64)),
+                         "h": pa.array((n == 1).astype(np.int64)),
+                         "t": pa.array(n)}) \
+            .group_by(["source"], use_threads=False) \
+            .aggregate([("v", "sum"), ("h", "sum"), ("t", "sum")]) \
+            .rename_columns(["source", "v", "h", "t"])
+
+    agg = sorted_aggregate(
+        c.map_batches(partial, batch_format="pyarrow"),
+        ["source"], [("v", "sum"), ("h", "sum"), ("t", "sum")],
+        ["source", "n_vocab", "n_hapax", "n_tokens"], 1)
+    return agg.map_batches(lambda b: b.append_column(
+        "hapax_fp", pa.array(
+            10**6 * b["n_hapax"].to_numpy(zero_copy_only=False)
+            // b["n_vocab"].to_numpy(zero_copy_only=False), i64)),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_ml_class_weights(sf_dir: str):
+    """Inverse-frequency class weights for imbalanced training:
+    weight_fp = 10⁶·N // (|classes|·n_c) per embedding label (sklearn's
+    'balanced' heuristic in exact integers). One |labels|-bounded
+    grouped count; the fold runs on that tiny frame."""
+    import pandas as pd
+    from .functions.grouped import grouped_count
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                columns=["label"])
+    h = grouped_count(
+        emb.map_batches(lambda b: pa.table(
+            {"label": pc.cast(b["label"], pa.int64())}),
+            batch_format="pyarrow"),
+        ["label"], "n", 2).to_pandas()
+    n_total = int(h["n"].sum())
+    k = len(h)
+    return pd.DataFrame({
+        "label": h["label"].astype("int64"),
+        "n": h["n"].astype("int64"),
+        "weight_fp": (10**6 * n_total
+                      // (k * h["n"].astype("int64")))}).astype("int64") \
+        .sort_values("label").reset_index(drop=True)
+
+
+def _q_curation_dedup_savings(sf_dir: str):
+    """Dedup savings report: per source, documents dropped by exact
+    keep-first dedup (min doc_id per identical text) and the token
+    budget those drops free — the curation accounting line a 100-TB run
+    reports per shard. Doc rows shuffle ONCE as (digest, doc_id, source,
+    n_tokens); groups are complete per block, so keep/drop marking is
+    offset arithmetic."""
+    from .functions.grouped import group_ids, sorted_aggregate, \
+        sorted_group_apply
+    from .stages.dedup import _md5_array
+    i64 = pa.int64()
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "source", "text"])
+
+    def digest(b: pa.Table) -> pa.Table:
+        ntok = pc.cast(pc.add(pc.count_substring(b["text"], " "), 1), i64)
+        return pa.table({"h": _md5_array(b["text"].to_pylist()),
+                         "doc_id": b["doc_id"], "source": b["source"],
+                         "ntok": ntok})
+
+    def mark(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema([("source", pa.string()), ("n_docs", i64),
+                              ("n_dropped", i64), ("tokens_dropped", i64),
+                              ("tokens_kept", i64)]).empty_table()
+        gid, starts = group_ids(b, ["h"])
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        kmin = np.full(gid.max() + 1, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(kmin, gid, did)
+        dropped = did != kmin[gid]
+        nt = b["ntok"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "source": b["source"],
+            "n_docs": pa.array(np.ones(len(did), np.int64)),
+            "n_dropped": pa.array(dropped.astype(np.int64)),
+            "tokens_dropped": pa.array(np.where(dropped, nt, 0)),
+            "tokens_kept": pa.array(np.where(dropped, 0, nt))}) \
+            .group_by(["source"], use_threads=False) \
+            .aggregate([("n_docs", "sum"), ("n_dropped", "sum"),
+                        ("tokens_dropped", "sum"), ("tokens_kept", "sum")]) \
+            .rename_columns(["source", "n_docs", "n_dropped",
+                             "tokens_dropped", "tokens_kept"])
+
+    marked = sorted_group_apply(
+        docs.map_batches(digest, batch_format="pyarrow",
+                         zero_copy_batch=True), ["h"], mark,
+        num_partitions=8)
+    return sorted_aggregate(
+        marked, ["source"],
+        [("n_docs", "sum"), ("n_dropped", "sum"),
+         ("tokens_dropped", "sum"), ("tokens_kept", "sum")],
+        ["source", "n_docs", "n_dropped", "tokens_dropped",
+         "tokens_kept"], 1)
+
+
+def _q_events_median_gap(sf_dir: str):
+    """Exact (lower-)median inter-arrival seconds per event type, pooled
+    over each user's per-type stream — the latency-SLO statistic the
+    log2 histogram (events_interarrival_hist) approximates. Gaps emit
+    from complete (user, type) sorted groups; the median picks the
+    ordinal (n−1)//2 element from a (type, gap) HISTOGRAM cumsum, so
+    the second shuffle is distinct-gap-sized, not gap-count-sized."""
+    from .functions.grouped import group_ids, grouped_count, \
+        sorted_group_apply
+    i64 = pa.int64()
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "user_id", "ts",
+                                        "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"], "event_type": b["event_type"],
+            "ts_us": pc.cast(pc.cast(b["ts"], pa.timestamp("us")), i64),
+            "event_id": b["event_id"]})
+
+    def gaps(b: pa.Table) -> pa.Table:
+        schema = pa.schema([("event_type", pa.string()), ("gap", i64)])
+        if b.num_rows == 0:
+            return schema.empty_table()
+        gid, _ = group_ids(b, ["user_id", "event_type"])
+        ts = b["ts_us"].to_numpy(zero_copy_only=False)
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, gid))
+        has_prev = np.empty(len(order), bool)
+        has_prev[0] = False
+        has_prev[1:] = gid[order][1:] == gid[order][:-1]
+        gap = np.empty(len(order), np.int64)
+        gap[1:] = (ts[order][1:] - ts[order][:-1]) // 1_000_000
+        et = b["event_type"].to_numpy(zero_copy_only=False)[order]
+        return pa.table({"event_type": pa.array(et[has_prev]),
+                         "gap": pa.array(gap[1:][has_prev[1:]])},
+                        schema=schema)
+
+    g = sorted_group_apply(ev.map_batches(prep, batch_format="pyarrow"),
+                           ["user_id", "event_type"], gaps,
+                           num_partitions=8)
+    hist = grouped_count(g, ["event_type", "gap"], "n", 4)
+
+    def med(b: pa.Table) -> pa.Table:
+        schema = pa.schema([("event_type", pa.string()), ("n_gaps", i64),
+                            ("median_gap_s", i64)])
+        if b.num_rows == 0:
+            return schema.empty_table()
+        gid, starts = group_ids(b, ["event_type"])
+        gap = b["gap"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((gap, gid))
+        gs, ns, gd = gap[order], n[order], gid[order]
+        rows = []
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        for gi, (s0, e0) in enumerate(zip(
+                np.searchsorted(gd, np.arange(len(starts))),
+                np.searchsorted(gd, np.arange(len(starts)), "right"))):
+            tot = int(ns[s0:e0].sum())
+            target = (tot - 1) // 2
+            local = np.cumsum(ns[s0:e0])
+            idx = int(np.searchsorted(local, target, side="right"))
+            rows.append((et[starts[gi]], tot, int(gs[s0 + idx])))
+        t, ng, mg = zip(*rows)
+        return pa.table({"event_type": pa.array(list(t)),
+                         "n_gaps": pa.array(ng, i64),
+                         "median_gap_s": pa.array(mg, i64)}, schema=schema)
+
+    return sorted_group_apply(hist, ["event_type"], med, num_partitions=1)
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -11458,6 +11652,10 @@ def queries() -> dict[str, Callable]:
         "events_switchback_arms": _q_events_switchback,
         "search_autocomplete_top": _q_search_autocomplete,
         "diag_bloom_fpr": _q_diag_bloom_fpr,
+        "text_hapax_ratio": _q_text_hapax_ratio,
+        "ml_class_weights": _q_ml_class_weights,
+        "curation_dedup_savings": _q_curation_dedup_savings,
+        "events_median_gap_per_type": _q_events_median_gap,
         "kg_ktruss_edges": _q_kg_ktruss,
         "kg_subclass_depth": _q_kg_subclass_depth,
         "dedup_incremental": _q_dedup_incremental,
@@ -16390,4 +16588,51 @@ ORDER BY doc_a, doc_b"""
                     // greatest((SELECT count(*) FROM pr
                                  WHERE tag = 'n'), 1) AS BIGINT) AS fpr_fp
         """
+    out["text_hapax_ratio"] = """
+        WITH w AS (SELECT source, unnest(string_split(lower(text), ' '))
+                     AS w FROM documents),
+        c AS (SELECT source, w, count(*) AS n FROM w GROUP BY 1, 2)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_vocab,
+               CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_hapax,
+               CAST(sum(n) AS BIGINT) AS n_tokens,
+               CAST(1000000 * sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                    // count(*) AS BIGINT) AS hapax_fp
+        FROM c GROUP BY 1 ORDER BY 1"""
+    out["ml_class_weights"] = """
+        WITH c AS (SELECT CAST(label AS BIGINT) AS label, count(*) AS n
+                   FROM embeddings GROUP BY 1),
+        t AS (SELECT sum(n) AS total, count(*) AS k FROM c)
+        SELECT label, CAST(n AS BIGINT) AS n,
+               CAST(1000000 * t.total // (t.k * n) AS BIGINT) AS weight_fp
+        FROM c, t ORDER BY label"""
+    out["curation_dedup_savings"] = """
+        WITH d AS (SELECT doc_id, source,
+                          CAST(len(string_split(text, ' ')) AS BIGINT)
+                            AS ntok,
+                          min(doc_id) OVER (PARTITION BY text) AS keep
+                   FROM documents)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN doc_id <> keep THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dropped,
+               CAST(sum(CASE WHEN doc_id <> keep THEN ntok ELSE 0 END)
+                    AS BIGINT) AS tokens_dropped,
+               CAST(sum(CASE WHEN doc_id = keep THEN ntok ELSE 0 END)
+                    AS BIGINT) AS tokens_kept
+        FROM d GROUP BY 1 ORDER BY 1"""
+    out["events_median_gap_per_type"] = """
+        WITH o AS (SELECT event_type, user_id, epoch_us(ts) AS us,
+                          lag(epoch_us(ts)) OVER (
+                            PARTITION BY user_id, event_type
+                            ORDER BY epoch_us(ts), event_id) AS prev
+                   FROM events),
+        g AS (SELECT event_type, (us - prev) // 1000000 AS gap FROM o
+              WHERE prev IS NOT NULL),
+        r AS (SELECT event_type, gap, row_number() OVER (
+                 PARTITION BY event_type ORDER BY gap) - 1 AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n FROM g)
+        SELECT event_type, CAST(max(n) AS BIGINT) AS n_gaps,
+               CAST(max(CASE WHEN rn = (n - 1) // 2 THEN gap END)
+                    AS BIGINT) AS median_gap_s
+        FROM r GROUP BY 1 ORDER BY 1"""
     return out
