@@ -11259,6 +11259,206 @@ def _q_events_median_gap(sf_dir: str):
     return sorted_group_apply(hist, ["event_type"], med, num_partitions=1)
 
 
+def _q_kg_blocking_quality(sf_dir: str):
+    """Entity-linking blocking audit: reduction ratio and pairs
+    completeness of the char-3-gram blocking index (stages/link.py's
+    candidate generation, reproduced as data): candidate = (form,
+    entity) sharing ≥1 gram over any entity name; truth = canonical ==
+    label under the shared normalizer. The record-linkage quality gate
+    run BEFORE committing to a blocking scheme at 10¹² pairs. Gram
+    postings join via the m:n co-group; all counts are
+    dictionary-sized."""
+    import pandas as pd
+    from .functions.bgp import cogroup_join
+    from .functions.grouped import grouped_count
+    from .functions.normalize import normalize_array
+    from .stages.link import _ngrams
+    fdir = _fx(sf_dir)
+    vocab = ray.data.read_parquet(os.path.join(fdir, "vocab.parquet"))
+    ents = ray.data.read_parquet(os.path.join(fdir, "entities.parquet"))
+
+    def form_rows(b: pa.Table) -> pa.Table:
+        nf = normalize_array(b["surface_form"]).to_pylist()
+        nc = normalize_array(b["canonical"]).to_pylist()
+        return pa.table({"nf": pa.array(nf, pa.string()),
+                         "nc": pa.array(nc, pa.string())})
+
+    forms = grouped_count(
+        vocab.map_batches(form_rows, batch_format="pyarrow"),
+        ["nf", "nc"], "__n", 2)
+
+    def form_grams(b: pa.Table) -> pa.Table:
+        gs, fs = [], []
+        for f in b["nf"].to_pylist():
+            for g in _ngrams(f):
+                gs.append(g)
+                fs.append(f)
+        return pa.table({"g": pa.array(gs, pa.string()),
+                         "nf": pa.array(fs, pa.string())})
+
+    fg = grouped_count(
+        forms.map_batches(form_grams, batch_format="pyarrow"),
+        ["g", "nf"], "__n", 4).map_batches(
+        lambda b: b.select(["g", "nf"]), batch_format="pyarrow")
+
+    def ent_grams(b: pa.Table) -> pa.Table:
+        from .functions.normalize import normalize_one
+        gs, ids = [], []
+        for eid, label, alias in zip(b["entity_id"].to_pylist(),
+                                     b["label"].to_pylist(),
+                                     b["aliases"].to_pylist()):
+            names = {normalize_one(label)} | {normalize_one(a)
+                                              for a in (alias or [])}
+            for nm in names:
+                for g in _ngrams(nm):
+                    gs.append(g)
+                    ids.append(eid)
+        return pa.table({"g": pa.array(gs, pa.string()),
+                         "entity_id": pa.array(ids, pa.string())})
+
+    eg = grouped_count(
+        ents.map_batches(ent_grams, batch_format="pyarrow"),
+        ["g", "entity_id"], "__n", 4).map_batches(
+        lambda b: b.select(["g", "entity_id"]), batch_format="pyarrow")
+
+    joined = cogroup_join(fg, eg, ["g"], ["g", "nf"], ["g", "entity_id"],
+                          num_partitions=8, max_group=10_000_000)
+    cand = grouped_count(joined.map_batches(
+        lambda b: b.select(["nf", "entity_id"]), batch_format="pyarrow"),
+        ["nf", "entity_id"], "__n", 8).map_batches(
+        lambda b: b.select(["nf", "entity_id"]), batch_format="pyarrow") \
+        .materialize()
+
+    lab = ents.map_batches(lambda b: pa.table({
+        "key": normalize_array(b["label"]),
+        "entity_id": b["entity_id"]}), batch_format="pyarrow")
+    tp = grouped_count(
+        cogroup_join(
+            forms.map_batches(lambda b: pa.table(
+                {"key": b["nc"], "nf": b["nf"]}), batch_format="pyarrow"),
+            lab, ["key"], ["key", "nf"], ["key", "entity_id"],
+            num_partitions=2),
+        ["nf", "entity_id"], "__n", 2).map_batches(
+        lambda b: b.select(["nf", "entity_id"]), batch_format="pyarrow") \
+        .materialize()
+
+    n_forms = grouped_count(
+        forms.map_batches(lambda b: b.select(["nf"]),
+                          batch_format="pyarrow"),
+        ["nf"], "__n", 2).count()
+    n_entities = ents.count()
+    n_cand = cand.count()
+    n_true = tp.count()
+    missing = cogroup_join(tp, cand, ["nf", "entity_id"],
+                           ["nf", "entity_id"], ["nf", "entity_id"],
+                           num_partitions=2, how="anti").count()
+    covered = n_true - missing
+    tot = n_forms * n_entities
+    return pd.DataFrame({
+        "n_forms": [n_forms], "n_entities": [n_entities],
+        "n_true": [n_true], "n_candidates": [n_cand],
+        "n_true_covered": [covered],
+        "completeness_fp": [10**6 * covered // max(n_true, 1)],
+        "reduction_fp": [10**6 * (tot - n_cand) // max(tot, 1)]}) \
+        .astype("int64")
+
+
+NEYMAN_BUDGET = 1000
+
+
+def _q_sample_neyman_alloc(sf_dir: str):
+    """Neyman-optimal stratified sample allocation over order
+    priorities: n_h ∝ N_h·σ_h, realized exactly as w_h = isqrt(N_h·Σx²
+    − (Σx)²) (= ⌊N_h·σ_h⌋ in x = cents//1000 units) with
+    largest-remainder rounding to the fixed budget — the
+    variance-matched upgrade of proportional stratification
+    (sample_stratified). Per-stratum moment partials fold per block;
+    the isqrt/apportionment runs on the |strata|-row frame in Python
+    bigints (the SQL twin carries the float-sqrt exactness
+    correction)."""
+    import math
+
+    import pandas as pd
+    i64 = pa.int64()
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderpriority", "o_totalprice"])
+
+    def moments(b: pa.Table) -> pa.Table:
+        x = (pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100.0)), i64)
+             .to_numpy(zero_copy_only=False) // 1000)
+        return pa.table({"prio": b["o_orderpriority"],
+                         "n": pa.array(np.ones(len(x), np.int64)),
+                         "sx": pa.array(x), "sx2": pa.array(x * x)}) \
+            .group_by(["prio"], use_threads=False) \
+            .aggregate([("n", "sum"), ("sx", "sum"), ("sx2", "sum")]) \
+            .rename_columns(["prio", "n", "sx", "sx2"])
+
+    p = od.map_batches(moments, batch_format="pyarrow").to_pandas() \
+        .groupby("prio", as_index=False).sum().sort_values("prio") \
+        .reset_index(drop=True)
+    w = [math.isqrt(int(r["n"]) * int(r["sx2"]) - int(r["sx"]) ** 2)
+         for _, r in p.iterrows()]
+    tw = sum(w)
+    floor_a = [NEYMAN_BUDGET * wi // tw for wi in w]
+    rem = [NEYMAN_BUDGET * wi - fa * tw for wi, fa in zip(w, floor_a)]
+    left = NEYMAN_BUDGET - sum(floor_a)
+    order = sorted(range(len(w)), key=lambda i: (-rem[i], p["prio"][i]))
+    alloc = list(floor_a)
+    for i in order[:left]:
+        alloc[i] += 1
+    return pd.DataFrame({
+        "o_orderpriority": p["prio"],
+        "n_h": p["n"].astype("int64"),
+        "w": pd.Series(w, dtype="int64"),
+        "alloc": pd.Series(alloc, dtype="int64")})
+
+
+def _q_rel_gap_interpolate(sf_dir: str):
+    """Linear interpolation of missing DAYS in the daily-revenue series
+    (the imputation upgrade of events_gap_fill's zero-fill): a missing
+    day d between anchors (p, v_p) and (q, v_q) gets v_p + (v_q−v_p)·
+    (d−p) // (q−p), FLOOR division both sides (the SQL twin corrects
+    DuckDB's trunc for falling segments). The distributed daily fold is
+    calendar-bounded, so the spine walk runs vectorized on the
+    driver."""
+    import pandas as pd
+    from .functions.grouped import sorted_aggregate
+    i64 = pa.int64()
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderdate", "o_totalprice"])
+
+    def daily(b: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(pc.cast(b["o_orderdate"],
+                                        pa.timestamp("us")), i64),
+                        86_400_000_000)
+        cents = pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100.0)),
+                        i64)
+        return pa.table({"day": day, "cents": cents}) \
+            .group_by(["day"], use_threads=False) \
+            .aggregate([("cents", "sum")]).rename_columns(["day", "cents"])
+
+    d = sorted_aggregate(
+        od.map_batches(daily, batch_format="pyarrow"),
+        ["day"], [("cents", "sum")], ["day", "cents"], 8).to_pandas() \
+        .sort_values("day").reset_index(drop=True)
+    day = d["day"].to_numpy().astype(np.int64)
+    c = d["cents"].to_numpy().astype(np.int64)
+    spine = np.arange(day[0], day[-1] + 1, dtype=np.int64)
+    pos = np.searchsorted(day, spine)
+    present = (pos < len(day)) & (day[np.minimum(pos, len(day) - 1)]
+                                  == spine)
+    nxt = np.minimum(pos, len(day) - 1)
+    prv = np.maximum(pos - 1, 0)
+    v = np.where(present, c[nxt],
+                 c[prv] + (c[nxt] - c[prv]) * (spine - day[prv])
+                 // np.maximum(day[nxt] - day[prv], 1))
+    return pd.DataFrame({
+        "day": spine, "cents": v,
+        "interpolated": (~present).astype("int64")}).astype("int64")
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -11656,6 +11856,9 @@ def queries() -> dict[str, Callable]:
         "ml_class_weights": _q_ml_class_weights,
         "curation_dedup_savings": _q_curation_dedup_savings,
         "events_median_gap_per_type": _q_events_median_gap,
+        "kg_blocking_quality": _q_kg_blocking_quality,
+        "sample_neyman_alloc": _q_sample_neyman_alloc,
+        "rel_gap_interpolate": _q_rel_gap_interpolate,
         "kg_ktruss_edges": _q_kg_ktruss,
         "kg_subclass_depth": _q_kg_subclass_depth,
         "dedup_incremental": _q_dedup_incremental,
@@ -16635,4 +16838,115 @@ ORDER BY doc_a, doc_b"""
                CAST(max(CASE WHEN rn = (n - 1) // 2 THEN gap END)
                     AS BIGINT) AS median_gap_s
         FROM r GROUP BY 1 ORDER BY 1"""
+    from .functions.normalize import normalize_sql as _nsql
+    out["kg_blocking_quality"] = f"""
+        WITH f AS (SELECT DISTINCT {_nsql('surface_form')} AS nf,
+                          {_nsql('canonical')} AS nc
+                   FROM read_parquet('{fdir}/vocab.parquet')),
+        en AS (SELECT entity_id, {_nsql('label')} AS nm
+               FROM read_parquet('{fdir}/entities.parquet')
+               UNION
+               SELECT entity_id, {_nsql('u.a')} AS nm
+               FROM read_parquet('{fdir}/entities.parquet'),
+                    unnest(aliases) AS u(a)),
+        lab AS (SELECT entity_id, {_nsql('label')} AS nl
+                FROM read_parquet('{fdir}/entities.parquet')),
+        fp AS (SELECT DISTINCT nf, '#' || nf || '#' AS p FROM f),
+        fg AS (SELECT DISTINCT nf, substr(p, t.i, 3) AS g
+               FROM fp, unnest(generate_series(
+                   1, greatest(len(p) - 2, 1))) AS t(i)),
+        ep AS (SELECT entity_id, '#' || nm || '#' AS p FROM en),
+        eg AS (SELECT DISTINCT entity_id, substr(p, t.i, 3) AS g
+               FROM ep, unnest(generate_series(
+                   1, greatest(len(p) - 2, 1))) AS t(i)),
+        cand AS (SELECT DISTINCT fg.nf, eg.entity_id
+                 FROM fg JOIN eg USING (g)),
+        tp AS (SELECT DISTINCT f.nf, lab.entity_id
+               FROM f JOIN lab ON lab.nl = f.nc),
+        nums AS (SELECT
+            (SELECT count(DISTINCT nf) FROM f) AS n_forms,
+            (SELECT count(*) FROM
+               read_parquet('{fdir}/entities.parquet')) AS n_entities,
+            (SELECT count(*) FROM tp) AS n_true,
+            (SELECT count(*) FROM cand) AS n_candidates,
+            (SELECT count(*) FROM tp WHERE EXISTS (
+                SELECT 1 FROM cand WHERE cand.nf = tp.nf
+                  AND cand.entity_id = tp.entity_id)) AS covered)
+        SELECT CAST(n_forms AS BIGINT) AS n_forms,
+               CAST(n_entities AS BIGINT) AS n_entities,
+               CAST(n_true AS BIGINT) AS n_true,
+               CAST(n_candidates AS BIGINT) AS n_candidates,
+               CAST(covered AS BIGINT) AS n_true_covered,
+               CAST(1000000 * covered // greatest(n_true, 1) AS BIGINT)
+                 AS completeness_fp,
+               CAST(1000000 * (n_forms * n_entities - n_candidates)
+                    // greatest(n_forms * n_entities, 1) AS BIGINT)
+                 AS reduction_fp
+        FROM nums"""
+    out["sample_neyman_alloc"] = f"""
+        WITH m AS (SELECT o_orderpriority AS prio, count(*) AS n,
+                          sum(CAST(round(o_totalprice * 100.0) AS BIGINT)
+                              // 1000) AS sx,
+                          sum((CAST(round(o_totalprice * 100.0) AS BIGINT)
+                               // 1000)
+                              * (CAST(round(o_totalprice * 100.0)
+                                      AS BIGINT) // 1000)) AS sx2
+                   FROM orders GROUP BY 1),
+        v AS (SELECT prio, n, n * sx2 - sx * sx AS var FROM m),
+        w0 AS (SELECT *, CAST(floor(sqrt(CAST(var AS DOUBLE)))
+                              AS BIGINT) AS s0 FROM v),
+        w AS (SELECT prio, n,
+                     s0 - CASE WHEN s0 * s0 > var THEN 1 ELSE 0 END
+                        + CASE WHEN (s0 + 1) * (s0 + 1) <= var
+                               THEN 1 ELSE 0 END AS w
+              FROM w0),
+        t AS (SELECT sum(w) AS tw FROM w),
+        fl AS (SELECT w.prio, w.n, w.w,
+                      {NEYMAN_BUDGET} * w.w // t.tw AS fa,
+                      {NEYMAN_BUDGET} * w.w
+                        - ({NEYMAN_BUDGET} * w.w // t.tw) * t.tw AS rem
+               FROM w, t),
+        lv AS (SELECT {NEYMAN_BUDGET} - sum(fa) AS leftover FROM fl),
+        rk AS (SELECT fl.*, row_number() OVER (
+                 ORDER BY rem DESC, prio) AS rnk FROM fl)
+        SELECT rk.prio AS o_orderpriority, CAST(rk.n AS BIGINT) AS n_h,
+               CAST(rk.w AS BIGINT) AS w,
+               CAST(rk.fa + CASE WHEN rk.rnk <= lv.leftover
+                            THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        FROM rk, lv ORDER BY o_orderpriority"""
+    out["rel_gap_interpolate"] = """
+        WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                          CAST(sum(CAST(round(o_totalprice * 100.0)
+                                        AS BIGINT)) AS BIGINT) AS cents
+                   FROM orders GROUP BY 1),
+        sp AS (SELECT unnest(generate_series(
+                 (SELECT min(day) FROM d),
+                 (SELECT max(day) FROM d))) AS day),
+        j AS (SELECT sp.day, d.cents FROM sp LEFT JOIN d USING (day)),
+        a AS (SELECT j.day, j.cents,
+                     (SELECT max(day) FROM d WHERE d.day <= j.day) AS p,
+                     (SELECT min(day) FROM d WHERE d.day >= j.day) AS q
+              FROM j),
+        v AS (SELECT a.day,
+                     CASE WHEN a.cents IS NOT NULL THEN a.cents
+                     ELSE (SELECT cents FROM d WHERE d.day = a.p)
+                          + ((SELECT cents FROM d WHERE d.day = a.q)
+                             - (SELECT cents FROM d WHERE d.day = a.p))
+                            * (a.day - a.p) // (a.q - a.p)
+                          - CASE WHEN ((SELECT cents FROM d
+                                        WHERE d.day = a.q)
+                                       - (SELECT cents FROM d
+                                          WHERE d.day = a.p))
+                                      * (a.day - a.p) % (a.q - a.p) <> 0
+                                  AND (SELECT cents FROM d
+                                       WHERE d.day = a.q)
+                                      < (SELECT cents FROM d
+                                         WHERE d.day = a.p)
+                                 THEN 1 ELSE 0 END
+                     END AS cents,
+                     CASE WHEN a.cents IS NULL THEN 1 ELSE 0 END AS interp
+              FROM a)
+        SELECT CAST(day AS BIGINT) AS day, CAST(cents AS BIGINT) AS cents,
+               CAST(interp AS BIGINT) AS interpolated
+        FROM v ORDER BY day"""
     return out
