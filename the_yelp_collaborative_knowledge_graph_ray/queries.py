@@ -11459,6 +11459,151 @@ def _q_rel_gap_interpolate(sf_dir: str):
         "interpolated": (~present).astype("int64")}).astype("int64")
 
 
+def _q_rel_running_balance(sf_dir: str):
+    """Inventory running balance per part: shipments ordered by
+    (shipdate, orderkey, linenumber) add quantity when l_returnflag='R'
+    (restock) and subtract otherwise; report each part's final and
+    MINIMUM running balance — the stockout-risk scan. Complete part
+    groups per block (sort on exactly l_partkey); in-block ordering and
+    the segmented cumsum/min are pure numpy offset arithmetic."""
+    from .functions.grouped import group_ids, sorted_group_apply
+    i64 = pa.int64()
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_orderkey", "l_linenumber", "l_quantity",
+                 "l_returnflag", "l_shipdate"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        qty = pc.cast(pc.round(b["l_quantity"]), i64) \
+            .to_numpy(zero_copy_only=False)
+        restock = pc.equal(b["l_returnflag"], "R") \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "pk": pc.cast(b["l_partkey"], i64),
+            "day": pc.divide(pc.cast(pc.cast(b["l_shipdate"],
+                                             pa.timestamp("us")), i64),
+                             86_400_000_000),
+            "ok": pc.cast(b["l_orderkey"], i64),
+            "ln": pc.cast(b["l_linenumber"], i64),
+            "delta": pa.array(np.where(restock, qty, -qty))})
+
+    def scan(b: pa.Table) -> pa.Table:
+        schema = pa.schema([("l_partkey", i64), ("n_moves", i64),
+                            ("final_balance", i64), ("min_balance", i64)])
+        if b.num_rows == 0:
+            return schema.empty_table()
+        gid, starts = group_ids(b, ["pk"])
+        order = np.lexsort((b["ln"].to_numpy(zero_copy_only=False),
+                            b["ok"].to_numpy(zero_copy_only=False),
+                            b["day"].to_numpy(zero_copy_only=False), gid))
+        d = b["delta"].to_numpy(zero_copy_only=False)[order]
+        og = gid[order]
+        cum = np.cumsum(d)
+        ends = np.append(starts[1:], len(d)) - 1
+        # segmented cumsum: subtract the previous group's closing total
+        prev_close = np.concatenate([[0], cum[ends[:-1]]])
+        bal = cum - prev_close[og]
+        final = bal[ends]
+        mins = np.full(len(starts), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mins, og, bal)
+        pk = b["pk"].to_numpy(zero_copy_only=False)[starts]
+        return pa.table({"l_partkey": pa.array(pk),
+                         "n_moves": pa.array(
+                             (ends - starts + 1).astype(np.int64)),
+                         "final_balance": pa.array(final),
+                         "min_balance": pa.array(mins)}, schema=schema)
+
+    return sorted_group_apply(
+        li.map_batches(prep, batch_format="pyarrow"), ["pk"], scan,
+        num_partitions=8)
+
+
+def _q_dedup_normalized(sf_dir: str):
+    """Canonical-form dedup: keep-first per NORMALIZED text (the shared
+    camel/case/punctuation normalizer) — catches trivial re-encodings
+    exact_dedup misses while staying cheaper than near-dup. Only
+    (digest-of-normalized, doc_id) shuffles."""
+    from .functions.grouped import sorted_aggregate
+    from .functions.normalize import normalize_array
+    from .stages.dedup import _md5_array
+
+    def digest(b: pa.Table) -> pa.Table:
+        norm = normalize_array(b["text"])
+        if isinstance(norm, pa.ChunkedArray):
+            norm = norm.combine_chunks()
+        return pa.table({"norm_hash": _md5_array(norm.to_pylist()),
+                         "doc_id": b["doc_id"]})
+
+    return sorted_aggregate(
+        _docs(sf_dir).map_batches(digest, batch_format="pyarrow",
+                                  zero_copy_batch=True),
+        ["norm_hash"], [("doc_id", "count"), ("doc_id", "min")],
+        ["norm_hash", "n_dups", "keep_doc_id"], 8)
+
+
+def _q_emb_triplet_accuracy(sf_dir: str):
+    """Embedding triplet evaluation: for every anchor a, positive p =
+    the next vec_id with the SAME label (cyclic within label), negative
+    n = the next vec_id with a DIFFERENT label (cyclic global scan) —
+    fully deterministic triplets; accuracy = fraction with cos(a,p) >
+    cos(a,n) on 6-dp rounded scores (ties lose). The metric-learning
+    sanity check that label_coherence aggregates away. Triplet ids come
+    from two sorted scans; scoring gathers rows from the broadcast
+    normalized matrix (the ANN transport; ride-along beyond object-store
+    scale)."""
+    import pandas as pd
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                columns=["vec_id", "embedding", "label"]) \
+        .materialize()
+    meta = emb.map_batches(lambda b: pa.table(
+        {"vec_id": pc.cast(b["vec_id"], pa.int64()),
+         "label": pc.cast(b["label"], pa.int64())}),
+        batch_format="pyarrow").to_pandas().sort_values("vec_id") \
+        .reset_index(drop=True)
+    vid = meta["vec_id"].to_numpy()
+    lab = meta["label"].to_numpy()
+    n = len(vid)
+    # positive: next id in the SAME label (cyclic per label)
+    pos = np.empty(n, np.int64)
+    for lv in np.unique(lab):
+        idx = np.flatnonzero(lab == lv)
+        pos[idx] = vid[np.roll(idx, -1)]
+    # negative: next id (cyclic) with a DIFFERENT label — vectorized
+    # backward fill over the doubled array: positions where the successor
+    # differs are anchors; everything else takes the nearest anchor to
+    # its right (labels form runs after the vec_id sort only by accident,
+    # so this is exact regardless of run structure)
+    dbl_v = np.concatenate([vid, vid])
+    dbl_l = np.concatenate([lab, lab])
+    m2 = 2 * n - 1
+    succ_diff = dbl_l[1:] != dbl_l[:-1]
+    anchor_idx = np.where(succ_diff, np.arange(m2), m2)
+    nearest = np.minimum.accumulate(anchor_idx[::-1])[::-1]
+    neg_full = np.where(nearest < m2, dbl_v[np.minimum(nearest, m2 - 1) + 1],
+                        -1)
+    neg = neg_full[:n]
+    if (neg < 0).all():  # degenerate single-label corpus: no triplets
+        return pd.DataFrame({"n_triplets": [0], "n_wins": [0],
+                             "acc_fp": [0]}).astype("int64")
+    from .stages.dedup import _load_matrix, _normalized_block_refs
+    refs = _normalized_block_refs(emb)
+    mats = [_load_matrix(ray.get(r)) for r in refs]
+    ids = np.concatenate([m[0] for m in mats])
+    mat = np.concatenate([m[1] for m in mats])
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+
+    def vec(v):
+        return mat[np.searchsorted(ids, v)]
+
+    ca = np.round(np.einsum("ij,ij->i", vec(vid), vec(pos)), 6)
+    cn = np.round(np.einsum("ij,ij->i", vec(vid), vec(neg)), 6)
+    wins = int((ca > cn).sum())
+    return pd.DataFrame({
+        "n_triplets": [n], "n_wins": [wins],
+        "acc_fp": [10**6 * wins // n]}).astype("int64")
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -11859,6 +12004,9 @@ def queries() -> dict[str, Callable]:
         "kg_blocking_quality": _q_kg_blocking_quality,
         "sample_neyman_alloc": _q_sample_neyman_alloc,
         "rel_gap_interpolate": _q_rel_gap_interpolate,
+        "rel_running_balance": _q_rel_running_balance,
+        "dedup_normalized": _q_dedup_normalized,
+        "emb_triplet_accuracy": _q_emb_triplet_accuracy,
         "kg_ktruss_edges": _q_kg_ktruss,
         "kg_subclass_depth": _q_kg_subclass_depth,
         "dedup_incremental": _q_dedup_incremental,
@@ -16949,4 +17097,62 @@ ORDER BY doc_a, doc_b"""
         SELECT CAST(day AS BIGINT) AS day, CAST(cents AS BIGINT) AS cents,
                CAST(interp AS BIGINT) AS interpolated
         FROM v ORDER BY day"""
+    out["rel_running_balance"] = """
+        WITH l AS (SELECT l_partkey, CAST(round(l_quantity) AS BIGINT)
+                          * CASE WHEN l_returnflag = 'R' THEN 1 ELSE -1 END
+                            AS delta,
+                          epoch_us(l_shipdate) // 86400000000 AS day,
+                          l_orderkey, l_linenumber
+                   FROM lineitem),
+        r AS (SELECT l_partkey,
+                     sum(delta) OVER (PARTITION BY l_partkey
+                        ORDER BY day, l_orderkey, l_linenumber
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS bal,
+                     row_number() OVER (PARTITION BY l_partkey
+                        ORDER BY day, l_orderkey, l_linenumber) AS rn
+              FROM l)
+        SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+               CAST(count(*) AS BIGINT) AS n_moves,
+               CAST(max_by(bal, rn) AS BIGINT) AS final_balance,
+               CAST(min(bal) AS BIGINT) AS min_balance
+        FROM r GROUP BY 1 ORDER BY 1"""
+    norm_expr = _nsql("text")
+    out["dedup_normalized"] = f"""
+        WITH n AS (SELECT doc_id, {norm_expr} AS nt FROM documents),
+        g AS (SELECT nt, CAST(count(*) AS BIGINT) AS n_dups,
+                     CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+              FROM n GROUP BY 1)
+        SELECT md5(nt) AS norm_hash, n_dups, keep_doc_id
+        FROM g ORDER BY norm_hash"""
+    out["emb_triplet_accuracy"] = """
+        WITH m AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+                   FROM embeddings),
+        t AS (SELECT a.vec_id AS a,
+                coalesce((SELECT min(b.vec_id) FROM m b
+                          WHERE b.label = a.label AND b.vec_id > a.vec_id),
+                         (SELECT min(b.vec_id) FROM m b
+                          WHERE b.label = a.label)) AS pos,
+                coalesce((SELECT min(b.vec_id) FROM m b
+                          WHERE b.label <> a.label
+                            AND b.vec_id > a.vec_id),
+                         (SELECT min(b.vec_id) FROM m b
+                          WHERE b.label <> a.label)) AS neg
+              FROM m a),
+        s AS (SELECT t.a,
+                round(list_cosine_similarity(
+                  CAST(ea.embedding AS DOUBLE[]),
+                  CAST(ep.embedding AS DOUBLE[])), 6) AS cp,
+                round(list_cosine_similarity(
+                  CAST(ea.embedding AS DOUBLE[]),
+                  CAST(en.embedding AS DOUBLE[])), 6) AS cn
+              FROM t JOIN embeddings ea ON ea.vec_id = t.a
+                     JOIN embeddings ep ON ep.vec_id = t.pos
+                     JOIN embeddings en ON en.vec_id = t.neg)
+        SELECT CAST(count(*) AS BIGINT) AS n_triplets,
+               CAST(sum(CASE WHEN cp > cn THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_wins,
+               CAST(1000000 * sum(CASE WHEN cp > cn THEN 1 ELSE 0 END)
+                    // greatest(count(*), 1) AS BIGINT) AS acc_fp
+        FROM s"""
     return out
