@@ -11604,6 +11604,209 @@ def _q_emb_triplet_accuracy(sf_dir: str):
         "acc_fp": [10**6 * wins // n]}).astype("int64")
 
 
+def _q_kg_ego_subgraph(sf_dir: str):
+    """Ego-subgraph extraction: the induced IRI→IRI subgraph within 2
+    undirected hops of a deterministic seed (the lexicographically
+    smallest sameAs target) — the neighborhood-export primitive behind
+    entity debugging and GNN sampling. Two frontier-broadcast scan
+    rounds (the frontier is a node SET, shipped once per round), then
+    one induced-edge filter; the graph itself never leaves the
+    workers."""
+    from .pipelines.kg import run_kg
+    tri = run_kg(sf_dir).materialize()
+
+    def edges_only(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.invert(b["obj_is_literal"]))
+        return pa.table({"subj": t["subj"], "pred": t["pred"],
+                         "obj": t["obj"]})
+
+    e = tri.map_batches(edges_only, batch_format="pyarrow",
+                        zero_copy_batch=True).materialize()
+    seed = e.filter(expr=f"pred == '{C.PRED_SAME_AS}'") \
+        .map_batches(lambda b: pa.table({"o": b["obj"]}),
+                     batch_format="pyarrow").to_pandas()["o"].min()
+    frontier = {seed}
+    nodes = {seed}
+    for _ in range(2):
+        fr = frontier
+
+        def expand(b: pa.Table, fr=fr) -> pa.Table:
+            fa = pa.array(sorted(fr), pa.string())
+            m = pc.or_(pc.is_in(b["subj"], value_set=fa),
+                       pc.is_in(b["obj"], value_set=fa))
+            t = b.filter(m)
+            return pa.table({"n": pa.concat_arrays(
+                [t["subj"].combine_chunks(), t["obj"].combine_chunks()])})
+
+        nb = e.map_batches(expand, batch_format="pyarrow") \
+            .map_batches(lambda b: pa.table(
+                {"n": pc.unique(b["n"].combine_chunks())}),
+                batch_format="pyarrow").to_pandas()
+        new = set(nb["n"]) - nodes
+        nodes |= new
+        frontier = new
+        if not frontier:
+            break
+    na = pa.array(sorted(nodes), pa.string())
+
+    def induced(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_in(b["subj"], value_set=na),
+                    pc.is_in(b["obj"], value_set=na))
+        return b.filter(m)
+
+    return e.map_batches(induced, batch_format="pyarrow",
+                         zero_copy_batch=True).sort(["subj", "pred",
+                                                     "obj"])
+
+
+SELECTIVITY_PREDS = (
+    ("returnflag_R", "l_returnflag = 'R'"),
+    ("ship_1995_plus", "epoch_us(l_shipdate) // 86400000000 >= 9131"),
+    ("qty_ge_25", "round(l_quantity) >= 25"),
+    ("disc_gt_5pct", "round(l_discount * 100) > 5"),
+    ("combo_R_and_qty", "l_returnflag = 'R' AND round(l_quantity) >= 25"),
+)
+
+
+def _q_diag_selectivity(sf_dir: str):
+    """Predicate selectivity profile ×10⁶ for a fixed planner predicate
+    set (incl. one conjunction — the independence-assumption check:
+    compare combo selectivity to the product of its parts). ONE scan
+    computes every predicate as a vectorized mask; |preds| counters
+    fold."""
+    import pandas as pd
+    i64 = pa.int64()
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_shipdate", "l_quantity", "l_discount"])
+
+    def masks(b: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(pc.cast(b["l_shipdate"],
+                                        pa.timestamp("us")), i64),
+                        86_400_000_000).to_numpy(zero_copy_only=False)
+        rf = pc.equal(b["l_returnflag"], "R").to_numpy(
+            zero_copy_only=False)
+        qty = pc.cast(pc.round(b["l_quantity"]), i64) \
+            .to_numpy(zero_copy_only=False)
+        dc = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)), i64) \
+            .to_numpy(zero_copy_only=False)
+        vals = {"returnflag_R": rf, "ship_1995_plus": day >= 9131,
+                "qty_ge_25": qty >= 25, "disc_gt_5pct": dc > 5,
+                "combo_R_and_qty": rf & (qty >= 25)}
+        names = [n for n, _ in SELECTIVITY_PREDS]
+        return pa.table({
+            "pred": pa.array(names, pa.string()),
+            "n_match": pa.array([int(vals[n].sum()) for n in names], i64),
+            "n_rows": pa.array([b.num_rows] * len(names), i64)})
+
+    p = li.map_batches(masks, batch_format="pyarrow",
+                       zero_copy_batch=True).to_pandas() \
+        .groupby("pred", as_index=False).sum()
+    p["sel_fp"] = (10**6 * p["n_match"].astype("int64")
+                   // p["n_rows"].astype("int64"))
+    return p.sort_values("pred").reset_index(drop=True).astype(
+        {"n_match": "int64", "n_rows": "int64", "sel_fp": "int64"})
+
+
+def _q_emb_quantization_error(sf_dir: str):
+    """Reconstruction-error audit of the SQ8 quantizer
+    (emb_int8_quantize's codes dequantized back): total squared error
+    and max |error| in fixed-point units — the quality side of the
+    4x storage saving. Same two-pass shape (per-dim min/max fold, then
+    one stateless pass); only 3 counters leave the workers."""
+    import pandas as pd
+    emb = _emb(sf_dir)
+    i64 = pa.int64()
+
+    def mm(b: pa.Table) -> pa.Table:
+        e = b["embedding"].combine_chunks()
+        d = len(e[0])
+        m = np.floor(e.flatten().to_numpy(zero_copy_only=False)
+                     .astype(np.float64) * 1e6).astype(np.int64) \
+            .reshape(b.num_rows, d)
+        return pa.table({"dim": pa.array(np.arange(1, d + 1), i64),
+                         "mn": pa.array(m.min(axis=0), i64),
+                         "mx": pa.array(m.max(axis=0), i64)})
+
+    parts = pa.concat_tables(ray.get(
+        emb.map_batches(mm, batch_format="pyarrow").to_arrow_refs())) \
+        .to_pandas()
+    g = parts.groupby("dim").agg(mn=("mn", "min"), mx=("mx", "max"))
+    mn = g["mn"].to_numpy()
+    rng = np.maximum(g["mx"].to_numpy() - mn, 1)
+
+    def err(b: pa.Table) -> pa.Table:
+        e = b["embedding"].combine_chunks()
+        d = len(e[0])
+        m = np.floor(e.flatten().to_numpy(zero_copy_only=False)
+                     .astype(np.float64) * 1e6).astype(np.int64) \
+            .reshape(b.num_rows, d)
+        q = (m - mn[None, :]) * 255 // rng[None, :]
+        deq = mn[None, :] + q * rng[None, :] // 255
+        diff = m - deq
+        return pa.table({
+            "n": pa.array([b.num_rows], i64),
+            "sse": pa.array([int((diff * diff).sum())], i64),
+            "max_abs": pa.array([int(np.abs(diff).max(initial=0))], i64)})
+
+    p = emb.map_batches(err, batch_format="pyarrow",
+                        zero_copy_batch=True).to_pandas()
+    return pd.DataFrame({
+        "n_vecs": [int(p["n"].sum())], "sse": [int(p["sse"].sum())],
+        "max_abs_err": [int(p["max_abs"].max())]}).astype("int64")
+
+
+BOOT_BLOCK_DAYS = 7
+BOOT_N_BLOCKS = 100
+
+
+def _q_sample_block_bootstrap(sf_dir: str):
+    """Deterministic moving-block bootstrap of mean daily revenue (the
+    time-series resampler that preserves week-scale autocorrelation,
+    where the iid bootstrap breaks it): 100 week-long blocks chosen by
+    splitmix64(i) % n_starts, mean over the resample in exact cents.
+    The daily fold is distributed and calendar-bounded; block draws are
+    pure integer hashing reproduced verbatim in SQL."""
+    import pandas as pd
+    from .functions.grouped import sorted_aggregate
+    from .functions.sampling import splitmix64
+    i64 = pa.int64()
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderdate", "o_totalprice"])
+
+    def daily(b: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(pc.cast(b["o_orderdate"],
+                                        pa.timestamp("us")), i64),
+                        86_400_000_000)
+        cents = pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100.0)),
+                        i64)
+        return pa.table({"day": day, "cents": cents}) \
+            .group_by(["day"], use_threads=False) \
+            .aggregate([("cents", "sum")]).rename_columns(["day", "cents"])
+
+    d = sorted_aggregate(
+        od.map_batches(daily, batch_format="pyarrow"),
+        ["day"], [("cents", "sum")], ["day", "cents"], 8).to_pandas() \
+        .sort_values("day").reset_index(drop=True)
+    day = d["day"].to_numpy().astype(np.int64)
+    c = d["cents"].to_numpy().astype(np.int64)
+    # dense spine (missing days = 0 revenue) so blocks are calendar weeks
+    spine = np.arange(day[0], day[-1] + 1, dtype=np.int64)
+    v = np.zeros(len(spine), np.int64)
+    v[day - day[0]] = c
+    n_starts = len(spine) - BOOT_BLOCK_DAYS + 1
+    draws = (splitmix64(np.arange(BOOT_N_BLOCKS).astype(np.uint64))
+             % np.uint64(n_starts)).astype(np.int64)
+    idx = draws[:, None] + np.arange(BOOT_BLOCK_DAYS)[None, :]
+    total = int(v[idx].sum())
+    n_days = BOOT_N_BLOCKS * BOOT_BLOCK_DAYS
+    return pd.DataFrame({
+        "n_blocks": [BOOT_N_BLOCKS], "n_days": [n_days],
+        "total_cents": [total],
+        "mean_cents": [total // n_days]}).astype("int64")
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -12007,6 +12210,10 @@ def queries() -> dict[str, Callable]:
         "rel_running_balance": _q_rel_running_balance,
         "dedup_normalized": _q_dedup_normalized,
         "emb_triplet_accuracy": _q_emb_triplet_accuracy,
+        "kg_ego_subgraph": _q_kg_ego_subgraph,
+        "diag_selectivity_profile": _q_diag_selectivity,
+        "emb_quantization_error": _q_emb_quantization_error,
+        "sample_block_bootstrap": _q_sample_block_bootstrap,
         "kg_ktruss_edges": _q_kg_ktruss,
         "kg_subclass_depth": _q_kg_subclass_depth,
         "dedup_incremental": _q_dedup_incremental,
@@ -17155,4 +17362,83 @@ ORDER BY doc_a, doc_b"""
                CAST(1000000 * sum(CASE WHEN cp > cn THEN 1 ELSE 0 END)
                     // greatest(count(*), 1) AS BIGINT) AS acc_fp
         FROM s"""
+    out["kg_ego_subgraph"] = P + f"""
+        , tri AS (SELECT * FROM ({full_body})),
+        e AS (SELECT subj, pred, obj FROM tri WHERE NOT obj_is_literal),
+        seed AS (SELECT min(obj) AS s FROM e
+                 WHERE pred = '{C.PRED_SAME_AS}'),
+        n1 AS (SELECT DISTINCT n FROM (
+                 SELECT subj AS n FROM e, seed WHERE e.obj = seed.s
+                 UNION SELECT obj FROM e, seed WHERE e.subj = seed.s
+                 UNION SELECT s FROM seed)),
+        n2 AS (SELECT DISTINCT n FROM (
+                 SELECT e.subj AS n FROM e JOIN n1 ON e.obj = n1.n
+                 UNION SELECT e.obj FROM e JOIN n1 ON e.subj = n1.n
+                 UNION SELECT n FROM n1))
+        SELECT subj, pred, obj FROM e
+        WHERE subj IN (SELECT n FROM n2) AND obj IN (SELECT n FROM n2)
+        ORDER BY subj, pred, obj"""
+    sel_conds = {
+        "returnflag_R": "l_returnflag = 'R'",
+        "ship_1995_plus": "epoch_us(l_shipdate) // 86400000000 >= 9131",
+        "qty_ge_25": "round(l_quantity) >= 25",
+        "disc_gt_5pct": "round(l_discount * 100) > 5",
+        "combo_R_and_qty": "l_returnflag = 'R' AND round(l_quantity) >= 25",
+    }
+    out["diag_selectivity_profile"] = " UNION ALL ".join(f"""
+        SELECT '{name}' AS pred,
+               CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_match,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(1000000 * sum(CASE WHEN {cond} THEN 1 ELSE 0 END)
+                    // count(*) AS BIGINT) AS sel_fp
+        FROM lineitem""" for name, cond in sel_conds.items()) \
+        + " ORDER BY pred"
+    out["emb_quantization_error"] = """
+        WITH e AS (SELECT vec_id, g.i AS dim,
+                          CAST(floor(CAST(embedding[g.i] AS DOUBLE)
+                                     * 1000000) AS BIGINT) AS ec
+                   FROM embeddings, generate_series(1, 64) AS g(i)),
+        mm AS (SELECT dim, min(ec) AS mn,
+                      greatest(max(ec) - min(ec), 1) AS rng
+               FROM e GROUP BY 1),
+        q AS (SELECT e.vec_id, e.ec,
+                     mm.mn + (e.ec - mm.mn) * 255 // mm.rng
+                             * mm.rng // 255 AS deq
+              FROM e JOIN mm USING (dim))
+        SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+               CAST(sum((ec - deq) * (ec - deq)) AS BIGINT) AS sse,
+               CAST(max(abs(ec - deq)) AS BIGINT) AS max_abs_err
+        FROM q"""
+    out["sample_block_bootstrap"] = f"""
+        WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                          CAST(sum(CAST(round(o_totalprice * 100.0)
+                                        AS BIGINT)) AS BIGINT) AS cents
+                   FROM orders GROUP BY 1),
+        sp AS (SELECT unnest(generate_series(
+                 (SELECT min(day) FROM d),
+                 (SELECT max(day) FROM d))) AS day),
+        vv AS (SELECT sp.day, coalesce(dd.cents, 0) AS cents
+               FROM sp LEFT JOIN d dd USING (day)),
+        par AS (SELECT (SELECT max(day) - min(day) + 1 FROM d)
+                         - {BOOT_BLOCK_DAYS - 1} AS n_starts,
+                       (SELECT min(day) FROM d) AS d0),
+        ii AS (SELECT unnest(generate_series(0, {BOOT_N_BLOCKS - 1}))
+                 AS bi),
+        base AS (SELECT bi, CAST(bi AS UBIGINT) AS kx FROM ii),
+        {_splitmix_cte('base', 'kx', 'bi')},
+        h AS (SELECT bi, xor(z, z >> 31) AS hv FROM z2),
+        dr AS (SELECT h.bi, CAST(h.hv % CAST(par.n_starts AS UBIGINT)
+                                 AS BIGINT) AS st
+               FROM h, par),
+        sel AS (SELECT dr.bi, vv.cents
+                FROM dr CROSS JOIN par
+                JOIN vv ON vv.day >= par.d0 + dr.st
+                       AND vv.day < par.d0 + dr.st + {BOOT_BLOCK_DAYS})
+        SELECT CAST({BOOT_N_BLOCKS} AS BIGINT) AS n_blocks,
+               CAST({BOOT_N_BLOCKS * BOOT_BLOCK_DAYS} AS BIGINT) AS n_days,
+               CAST(sum(cents) AS BIGINT) AS total_cents,
+               CAST(sum(cents) // {BOOT_N_BLOCKS * BOOT_BLOCK_DAYS}
+                    AS BIGINT) AS mean_cents
+        FROM sel"""
     return out
