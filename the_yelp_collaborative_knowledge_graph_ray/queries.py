@@ -11807,6 +11807,157 @@ def _q_sample_block_bootstrap(sf_dir: str):
         "mean_cents": [total // n_days]}).astype("int64")
 
 
+def _q_ml_wilson_ci(sf_dir: str):
+    """Wilson 95% score interval (z = 2 exactly, so every term is
+    rational) for the per-source share of lang='en' docs: bounds ×10⁶ =
+    (10⁶·(s+2) ± 2·isqrt(10¹²·(s·(n−s)+n)//n)) // (n+4) — the
+    small-sample-honest CI the normal approximation gets wrong. One
+    |sources|-bounded grouped fold; isqrt exact in Python (the SQL twin
+    carries the float-sqrt ±1 correction)."""
+    import math
+
+    import pandas as pd
+    i64 = pa.int64()
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["source", "lang"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": b["source"],
+            "n": pa.array(np.ones(b.num_rows, np.int64)),
+            "s": pc.cast(pc.equal(b["lang"], "en"), i64)}) \
+            .group_by(["source"], use_threads=False) \
+            .aggregate([("n", "sum"), ("s", "sum")]) \
+            .rename_columns(["source", "n", "s"])
+
+    p = docs.map_batches(cells, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas() \
+        .groupby("source", as_index=False).sum().sort_values("source") \
+        .reset_index(drop=True)
+    rows = []
+    for _, r in p.iterrows():
+        n, s = int(r["n"]), int(r["s"])
+        t = math.isqrt(10**12 * (s * (n - s) + n) // n)
+        lo = (10**6 * (s + 2) - 2 * t) // (n + 4)
+        hi = (10**6 * (s + 2) + 2 * t) // (n + 4)
+        rows.append((r["source"], n, s, lo, hi))
+    out = pd.DataFrame(rows, columns=["source", "n", "s", "lo_fp",
+                                      "hi_fp"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+RANK_DRIFT_K = 50
+
+
+def _q_text_rank_drift(sf_dir: str):
+    """Corpus drift as rank agreement: Spearman rho ×10⁶ between two
+    sources' frequency RANKS of the shared top-50 vocabulary (by
+    combined count, tie word asc; rank within source by (count desc,
+    word), absent words count 0) — the cheap leading indicator of
+    distribution shift between shards. Word counts fold
+    dictionary-sized; the rank/rho math runs on a 50-row frame."""
+    import pandas as pd
+    from .functions.grouped import grouped_count
+    from .stages.dedup import _words_flat
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["source", "text"])
+
+    def words(b: pa.Table) -> pa.Table:
+        w, doc_of = _words_flat(b["text"])
+        src = b["source"].to_numpy(zero_copy_only=False)
+        return pa.table({"source": pa.array(src[doc_of]),
+                         "word": pa.array(w)})
+
+    c = grouped_count(docs.map_batches(words, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                      ["source", "word"], "n", 8).to_pandas()
+    srcs = sorted(c["source"].unique())[:2]
+    a, b_ = srcs[0], srcs[1]
+    sub = c[c["source"].isin(srcs)]
+    piv = sub.pivot_table(index="word", columns="source", values="n",
+                          aggfunc="sum", fill_value=0)
+    for s in srcs:
+        if s not in piv:
+            piv[s] = 0
+    piv["tot"] = piv[a] + piv[b_]
+    # deterministic top-K: (tot desc, word asc)
+    top = piv.reset_index().sort_values(["tot", "word"],
+                                        ascending=[False, True]) \
+        .head(RANK_DRIFT_K)
+    k = len(top)
+
+    def ranks(col):
+        o = top.sort_values([col, "word"],
+                            ascending=[False, True]).reset_index()
+        r = pd.Series(np.arange(1, k + 1, dtype=np.int64),
+                      index=o["word"])
+        return top["word"].map(r).to_numpy()
+
+    d = ranks(a).astype(np.int64) - ranks(b_).astype(np.int64)
+    sd2 = int((d * d).sum())
+    den = k * (k * k - 1)
+    num = den - 6 * sd2
+    rho_fp = (10**6 * num) // den  # Python floor, matches corrected SQL
+    return pd.DataFrame({"source_a": [a], "source_b": [b_],
+                         "k": [k], "sum_d2": [sd2],
+                         "rho_fp": [rho_fp]}).astype(
+        {"k": "int64", "sum_d2": "int64", "rho_fp": "int64"})
+
+
+def _q_emb_split_drift(sf_dir: str):
+    """Centroid stability audit: per label, the exact squared distance
+    between the even-vec_id and odd-vec_id half centroids, ×10⁶ via
+    cross-multiplication (Σ(se·no − so·ne)² // (ne·no)²) — a two-sample
+    drift check that needs no division inside the sum. |labels|×64
+    fixed-point partials fold; the bigint fraction evaluates on the
+    driver (HUGEINT in the SQL twin)."""
+    import pandas as pd
+    i64 = pa.int64()
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                columns=["vec_id", "embedding", "label"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        e = b["embedding"].combine_chunks()
+        d = len(e[0])
+        m = np.floor(e.flatten().to_numpy(zero_copy_only=False)
+                     .astype(np.float64) * 1e6).astype(np.int64) \
+            .reshape(b.num_rows, d)
+        lab = pc.cast(b["label"], i64).to_numpy(zero_copy_only=False)
+        par = pc.cast(b["vec_id"], i64).to_numpy(zero_copy_only=False) % 2
+        key = lab * 2 + par
+        uk, inv = np.unique(key, return_inverse=True)
+        sums = np.zeros((len(uk), d), np.int64)
+        np.add.at(sums, inv, m)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "key": pa.array(np.repeat(uk, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                    len(uk))),
+            "s": pa.array(sums.ravel()),
+            "n": pa.array(np.repeat(cnt, d))})
+
+    p = emb.map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True).to_pandas() \
+        .groupby(["key", "dim"], as_index=False).sum()
+    rows = []
+    for lab in sorted({k // 2 for k in p["key"].unique()}):
+        ev = p[p["key"] == lab * 2].sort_values("dim")
+        od = p[p["key"] == lab * 2 + 1].sort_values("dim")
+        if len(ev) == 0 or len(od) == 0:
+            continue
+        ne = int(ev["n"].iloc[0])
+        no = int(od["n"].iloc[0])
+        se = ev["s"].to_numpy()
+        so = od["s"].to_numpy()
+        num = sum((int(a) * no - int(b) * ne) ** 2
+                  for a, b in zip(se, so))
+        rows.append((lab, ne, no, 10**6 * num // (ne * ne * no * no)))
+    return pd.DataFrame(rows, columns=["label", "n_even", "n_odd",
+                                       "dist2_fp"]).astype("int64")
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -12214,6 +12365,9 @@ def queries() -> dict[str, Callable]:
         "diag_selectivity_profile": _q_diag_selectivity,
         "emb_quantization_error": _q_emb_quantization_error,
         "sample_block_bootstrap": _q_sample_block_bootstrap,
+        "ml_wilson_ci": _q_ml_wilson_ci,
+        "text_rank_drift": _q_text_rank_drift,
+        "emb_split_drift": _q_emb_split_drift,
         "kg_ktruss_edges": _q_kg_ktruss,
         "kg_subclass_depth": _q_kg_subclass_depth,
         "dedup_incremental": _q_dedup_incremental,
@@ -17441,4 +17595,78 @@ ORDER BY doc_a, doc_b"""
                CAST(sum(cents) // {BOOT_N_BLOCKS * BOOT_BLOCK_DAYS}
                     AS BIGINT) AS mean_cents
         FROM sel"""
+    out["ml_wilson_ci"] = """
+        WITH c AS (SELECT source, count(*) AS n,
+                          sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                            AS s
+                   FROM documents GROUP BY 1),
+        v AS (SELECT *, (CAST(1000000000000 AS HUGEINT)
+                         * (s * (n - s) + n)) // n AS arg FROM c),
+        t0 AS (SELECT *, CAST(floor(sqrt(CAST(arg AS DOUBLE)))
+                              AS HUGEINT) AS s0 FROM v),
+        t AS (SELECT *, s0 - CASE WHEN s0 * s0 > arg THEN 1 ELSE 0 END
+                        + CASE WHEN (s0 + 1) * (s0 + 1) <= arg
+                               THEN 1 ELSE 0 END AS tt FROM t0)
+        SELECT source, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS s,
+               CAST((1000000 * (s + 2) - 2 * tt) // (n + 4) AS BIGINT)
+                 AS lo_fp,
+               CAST((1000000 * (s + 2) + 2 * tt) // (n + 4) AS BIGINT)
+                 AS hi_fp
+        FROM t ORDER BY source"""
+    out["text_rank_drift"] = f"""
+        WITH w AS (SELECT source, unnest(string_split(lower(text), ' '))
+                     AS w FROM documents),
+        cc AS (SELECT source, w, count(*) AS n FROM w GROUP BY 1, 2),
+        ss AS (SELECT DISTINCT source FROM documents
+               ORDER BY source LIMIT 2),
+        ab AS (SELECT min(source) AS a, max(source) AS b FROM ss),
+        voc AS (SELECT w,
+                  coalesce(sum(CASE WHEN cc.source = (SELECT a FROM ab)
+                               THEN n END), 0) AS na,
+                  coalesce(sum(CASE WHEN cc.source = (SELECT b FROM ab)
+                               THEN n END), 0) AS nb
+                FROM cc WHERE source IN (SELECT source FROM ss)
+                GROUP BY 1),
+        top AS (SELECT w, na, nb FROM voc
+                ORDER BY na + nb DESC, w LIMIT {RANK_DRIFT_K}),
+        ra AS (SELECT w, row_number() OVER (ORDER BY na DESC, w) AS r
+               FROM top),
+        rb AS (SELECT w, row_number() OVER (ORDER BY nb DESC, w) AS r
+               FROM top),
+        dd AS (SELECT ra.r - rb.r AS d FROM ra JOIN rb USING (w)),
+        kk AS (SELECT count(*) AS k, sum(d * d) AS sd2 FROM dd)
+        SELECT (SELECT a FROM ab) AS source_a,
+               (SELECT b FROM ab) AS source_b,
+               CAST(k AS BIGINT) AS k, CAST(sd2 AS BIGINT) AS sum_d2,
+               CAST(1000000 * (k * (k * k - 1) - 6 * sd2)
+                      // (k * (k * k - 1))
+                    - CASE WHEN (1000000 * (k * (k * k - 1) - 6 * sd2))
+                                % (k * (k * k - 1)) <> 0
+                            AND k * (k * k - 1) < 6 * sd2
+                           THEN 1 ELSE 0 END AS BIGINT) AS rho_fp
+        FROM kk"""
+    out["emb_split_drift"] = """
+        WITH e AS (SELECT vec_id % 2 AS par, CAST(label AS BIGINT)
+                     AS label, g.i AS dim,
+                          CAST(floor(CAST(embedding[g.i] AS DOUBLE)
+                                     * 1000000) AS BIGINT) AS ec
+                   FROM embeddings, generate_series(1, 64) AS g(i)),
+        s AS (SELECT label, par, dim, sum(ec) AS sm, count(*) AS cnt
+              FROM e GROUP BY 1, 2, 3),
+        j AS (SELECT a.label, a.dim, a.sm AS se, b.sm AS so,
+                     a.cnt AS ne, b.cnt AS no
+              FROM s a JOIN s b ON a.label = b.label AND a.dim = b.dim
+                               AND a.par = 0 AND b.par = 1),
+        agg AS (SELECT label, max(ne) AS ne, max(no) AS no,
+                  sum((CAST(se AS HUGEINT) * no
+                       - CAST(so AS HUGEINT) * ne)
+                      * (CAST(se AS HUGEINT) * no
+                         - CAST(so AS HUGEINT) * ne)) AS num
+                FROM j GROUP BY 1)
+        SELECT label, CAST(ne AS BIGINT) AS n_even,
+               CAST(no AS BIGINT) AS n_odd,
+               CAST(CAST(1000000 AS HUGEINT) * num
+                    // (CAST(ne AS HUGEINT) * ne * no * no) AS BIGINT)
+                 AS dist2_fp
+        FROM agg ORDER BY label"""
     return out
