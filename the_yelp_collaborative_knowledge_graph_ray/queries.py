@@ -11958,6 +11958,175 @@ def _q_emb_split_drift(sf_dir: str):
                                        "dist2_fp"]).astype("int64")
 
 
+def _q_ml_brier_score(sf_dir: str):
+    """Brier score of the min-max-calibrated n_chars 'probability' of
+    lang='en' — the proper scoring rule pairing ml_calibration_bins:
+    p_fp = 10⁶·(x−mn)//(mx−mn), brier_sum = Σ(p_fp − 10⁶·y)² exactly.
+    Pass 1 folds global min/max (2 ints/block); pass 2 folds the
+    squared-error sum."""
+    import pandas as pd
+    i64 = pa.int64()
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["n_chars", "lang"])
+
+    def mm(b: pa.Table) -> pa.Table:
+        x = pc.cast(b["n_chars"], i64).to_numpy(zero_copy_only=False)
+        return pa.table({"mn": pa.array([int(x.min())], i64),
+                         "mx": pa.array([int(x.max())], i64)})
+
+    mmp = docs.map_batches(mm, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    mn, mx = int(mmp["mn"].min()), int(mmp["mx"].max())
+    rng = max(mx - mn, 1)
+
+    def err(b: pa.Table) -> pa.Table:
+        x = pc.cast(b["n_chars"], i64).to_numpy(zero_copy_only=False)
+        y = pc.equal(b["lang"], "en").to_numpy(zero_copy_only=False)
+        p = 10**6 * (x - mn) // rng
+        d = p - 10**6 * y.astype(np.int64)
+        return pa.table({"n": pa.array([b.num_rows], i64),
+                         "se": pa.array([int((d * d).sum())], i64)})
+
+    p = docs.map_batches(err, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    n, se = int(p["n"].sum()), int(p["se"].sum())
+    return pd.DataFrame({"n": [n], "brier_sum": [se],
+                         "brier_fp": [se // n]}).astype("int64")
+
+
+def _q_kg_pred_fanout_p99(sf_dir: str):
+    """Per-predicate p99 subject fan-out (exact ordinal at index
+    99·(n−1)//100 of the sorted per-subject out-degrees) — the
+    cardinality-rule miner behind 'pred X is (nearly) functional'.
+    Per-(pred, subj) grouped count, then the ordinal pick from a
+    (pred, fanout) HISTOGRAM cumsum — the second shuffle is
+    distinct-fanout-sized."""
+    from .functions.grouped import group_ids, grouped_count, \
+        sorted_group_apply
+    from .pipelines.kg import run_kg
+    i64 = pa.int64()
+    tri = run_kg(sf_dir)
+    fo = grouped_count(tri.map_batches(
+        lambda b: b.select(["pred", "subj"]), batch_format="pyarrow"),
+        ["pred", "subj"], "fanout", 8)
+    hist = grouped_count(fo.map_batches(
+        lambda b: b.select(["pred", "fanout"]), batch_format="pyarrow"),
+        ["pred", "fanout"], "n", 4)
+
+    def p99(b: pa.Table) -> pa.Table:
+        schema = pa.schema([("pred", pa.string()), ("n_subjects", i64),
+                            ("p99_fanout", i64)])
+        if b.num_rows == 0:
+            return schema.empty_table()
+        gid, starts = group_ids(b, ["pred"])
+        f = b["fanout"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((f, gid))
+        fs, ns, gd = f[order], n[order], gid[order]
+        preds = b["pred"].to_numpy(zero_copy_only=False)
+        rows = []
+        for gi in range(len(starts)):
+            s0 = int(np.searchsorted(gd, gi))
+            e0 = int(np.searchsorted(gd, gi, "right"))
+            tot = int(ns[s0:e0].sum())
+            target = 99 * (tot - 1) // 100
+            local = np.cumsum(ns[s0:e0])
+            idx = int(np.searchsorted(local, target, side="right"))
+            rows.append((preds[starts[gi]], tot, int(fs[s0 + idx])))
+        pr, nsub, pf = zip(*rows)
+        return pa.table({"pred": pa.array(list(pr)),
+                         "n_subjects": pa.array(nsub, i64),
+                         "p99_fanout": pa.array(pf, i64)}, schema=schema)
+
+    return sorted_group_apply(hist, ["pred"], p99, num_partitions=1)
+
+
+def _q_events_haar_energy(sf_dir: str):
+    """Level-1/level-2 Haar wavelet energy of the daily event-count
+    series (dense spine, odd tail dropped per level) — the integer
+    signal decomposition separating day-to-day jitter (E1) from
+    week-ish swings (E2): E_k = Σ(a_{2i} − a_{2i+1})² over level-k
+    approximations a. The distributed fold is calendar-bounded; the
+    transform is driver numpy."""
+    import pandas as pd
+    from .functions.grouped import sorted_aggregate
+    i64 = pa.int64()
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts"])
+
+    def daily(b: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(pc.cast(b["ts"], pa.timestamp("us")), i64),
+                        86_400_000_000)
+        return pa.table({"day": day,
+                         "n": pa.array(np.ones(b.num_rows, np.int64))}) \
+            .group_by(["day"], use_threads=False) \
+            .aggregate([("n", "sum")]).rename_columns(["day", "n"])
+
+    d = sorted_aggregate(ev.map_batches(daily, batch_format="pyarrow"),
+                         ["day"], [("n", "sum")], ["day", "n"], 4) \
+        .to_pandas().sort_values("day").reset_index(drop=True)
+    day = d["day"].to_numpy().astype(np.int64)
+    c = d["n"].to_numpy().astype(np.int64)
+    spine = np.zeros(int(day[-1] - day[0] + 1), np.int64)
+    spine[day - day[0]] = c
+    a = spine
+    energies = []
+    for _ in range(2):
+        m = len(a) // 2
+        ev_, od_ = a[:2 * m:2], a[1:2 * m:2]
+        energies.append(int(((ev_ - od_) ** 2).sum()))
+        a = ev_ + od_
+    return pd.DataFrame({
+        "n_days": [len(spine)], "e1": [energies[0]],
+        "e2": [energies[1]]}).astype("int64")
+
+
+def _q_rel_kendall_tau(sf_dir: str):
+    """Kendall tau-a between daily revenue and daily order count:
+    concordant minus discordant over all day pairs, tau ×10⁶ //
+    n(n−1)/2 — the rank-correlation complement of Spearman
+    (rel_spearman) that needs no rank construction. Daily folds are
+    calendar-bounded; the O(days²) comparison is vectorized driver
+    numpy (the oracle pays the same pair join)."""
+    import pandas as pd
+    from .functions.grouped import sorted_aggregate
+    i64 = pa.int64()
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderdate", "o_totalprice"])
+
+    def daily(b: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(pc.cast(b["o_orderdate"],
+                                        pa.timestamp("us")), i64),
+                        86_400_000_000)
+        cents = pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100.0)),
+                        i64)
+        return pa.table({"day": day, "cents": cents,
+                         "n": pa.array(np.ones(b.num_rows, np.int64))}) \
+            .group_by(["day"], use_threads=False) \
+            .aggregate([("cents", "sum"), ("n", "sum")]) \
+            .rename_columns(["day", "cents", "n"])
+
+    d = sorted_aggregate(
+        od.map_batches(daily, batch_format="pyarrow"),
+        ["day"], [("cents", "sum"), ("n", "sum")],
+        ["day", "cents", "n"], 8).to_pandas() \
+        .sort_values("day").reset_index(drop=True)
+    x = d["cents"].to_numpy().astype(np.int64)
+    y = d["n"].to_numpy().astype(np.int64)
+    i, j = np.triu_indices(len(x), k=1)
+    sx = np.sign(x[j] - x[i])
+    sy = np.sign(y[j] - y[i])
+    conc = int(((sx * sy) > 0).sum())
+    disc = int(((sx * sy) < 0).sum())
+    n0 = len(i)
+    num = conc - disc
+    tau = 10**6 * num // n0  # Python floor; SQL twin corrects trunc
+    return pd.DataFrame({
+        "n_days": [len(x)], "concordant": [conc], "discordant": [disc],
+        "tau_fp": [tau]}).astype("int64")
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -12368,6 +12537,10 @@ def queries() -> dict[str, Callable]:
         "ml_wilson_ci": _q_ml_wilson_ci,
         "text_rank_drift": _q_text_rank_drift,
         "emb_split_drift": _q_emb_split_drift,
+        "ml_brier_score": _q_ml_brier_score,
+        "kg_pred_fanout_p99": _q_kg_pred_fanout_p99,
+        "events_haar_energy": _q_events_haar_energy,
+        "rel_kendall_tau": _q_rel_kendall_tau,
         "kg_ktruss_edges": _q_kg_ktruss,
         "kg_subclass_depth": _q_kg_subclass_depth,
         "dedup_incremental": _q_dedup_incremental,
@@ -17669,4 +17842,75 @@ ORDER BY doc_a, doc_b"""
                     // (CAST(ne AS HUGEINT) * ne * no * no) AS BIGINT)
                  AS dist2_fp
         FROM agg ORDER BY label"""
+    out["ml_brier_score"] = """
+        WITH mm AS (SELECT min(n_chars) AS mn,
+                           greatest(max(n_chars) - min(n_chars), 1)
+                             AS rng
+                    FROM documents),
+        e AS (SELECT 1000000 * (n_chars - mm.mn) // mm.rng
+                     - CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS d
+              FROM documents, mm)
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(d * d) AS BIGINT) AS brier_sum,
+               CAST(sum(d * d) // count(*) AS BIGINT) AS brier_fp
+        FROM e"""
+    out["kg_pred_fanout_p99"] = P + f"""
+        , tri AS (SELECT * FROM ({full_body})),
+        fo AS (SELECT pred, subj, count(*) AS fanout FROM tri
+               GROUP BY 1, 2),
+        r AS (SELECT pred, fanout, row_number() OVER (
+                 PARTITION BY pred ORDER BY fanout) - 1 AS rn,
+                 count(*) OVER (PARTITION BY pred) AS n FROM fo)
+        SELECT pred, CAST(max(n) AS BIGINT) AS n_subjects,
+               CAST(max(CASE WHEN rn = 99 * (n - 1) // 100
+                        THEN fanout END) AS BIGINT) AS p99_fanout
+        FROM r GROUP BY 1 ORDER BY 1"""
+    out["events_haar_energy"] = """
+        WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                          count(*) AS n FROM events GROUP BY 1),
+        sp AS (SELECT unnest(generate_series(
+                 (SELECT min(day) FROM d),
+                 (SELECT max(day) FROM d))) AS day),
+        v AS (SELECT sp.day - (SELECT min(day) FROM d) AS i,
+                     coalesce(d.n, 0) AS c
+              FROM sp LEFT JOIN d USING (day)),
+        l1 AS (SELECT i // 2 AS j,
+                      max(CASE WHEN i % 2 = 0 THEN c END) AS a,
+                      max(CASE WHEN i % 2 = 1 THEN c END) AS b
+               FROM v GROUP BY 1),
+        l1c AS (SELECT j, a, b FROM l1
+                WHERE a IS NOT NULL AND b IS NOT NULL),
+        e1 AS (SELECT coalesce(sum((a - b) * (a - b)), 0) AS e FROM l1c),
+        s1 AS (SELECT j, a + b AS c FROM l1c),
+        l2 AS (SELECT j // 2 AS k,
+                      max(CASE WHEN j % 2 = 0 THEN c END) AS a,
+                      max(CASE WHEN j % 2 = 1 THEN c END) AS b
+               FROM s1 GROUP BY 1),
+        l2c AS (SELECT * FROM l2
+                WHERE a IS NOT NULL AND b IS NOT NULL),
+        e2 AS (SELECT coalesce(sum((a - b) * (a - b)), 0) AS e FROM l2c)
+        SELECT CAST((SELECT max(day) - min(day) + 1 FROM d) AS BIGINT)
+                 AS n_days,
+               CAST(e1.e AS BIGINT) AS e1, CAST(e2.e AS BIGINT) AS e2
+        FROM e1, e2"""
+    out["rel_kendall_tau"] = """
+        WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                          sum(CAST(round(o_totalprice * 100.0)
+                                   AS BIGINT)) AS cents,
+                          count(*) AS n
+                   FROM orders GROUP BY 1),
+        p AS (SELECT sign(b.cents - a.cents) * sign(b.n - a.n) AS s
+              FROM d a JOIN d b ON b.day > a.day),
+        k AS (SELECT count(*) AS n0,
+                     sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS c,
+                     sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS dd
+              FROM p)
+        SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_days,
+               CAST(c AS BIGINT) AS concordant,
+               CAST(dd AS BIGINT) AS discordant,
+               CAST(1000000 * (c - dd) // n0
+                    - CASE WHEN (1000000 * (c - dd)) % n0 <> 0
+                                AND c < dd THEN 1 ELSE 0 END AS BIGINT)
+                 AS tau_fp
+        FROM k"""
     return out
