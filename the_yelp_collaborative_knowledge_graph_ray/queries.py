@@ -12127,6 +12127,225 @@ def _q_rel_kendall_tau(sf_dir: str):
         "tau_fp": [tau]}).astype("int64")
 
 
+def _q_kg_sameas_rewrite(sf_dir: str):
+    """Entity-resolution rewrite applied to the graph: mention edges
+    re-targeted through sameAs (turn —mentions→ mention-node becomes
+    turn→ENTITY), counted per resolved entity — the 'query the KG by
+    real-world entity' view. The sameAs map is vocabulary-bounded, so
+    it broadcasts in the rewrite closure; mention edges stream."""
+    from .functions.grouped import grouped_count
+    from .pipelines.kg import run_kg
+    tri = run_kg(sf_dir).materialize()
+    sa = tri.filter(expr=f"pred == '{C.PRED_SAME_AS}'") \
+        .map_batches(lambda b: pa.table({"m": b["subj"], "e": b["obj"]}),
+                     batch_format="pyarrow").to_pandas()
+    m2e = dict(zip(sa["m"], sa["e"]))
+    keys = pa.array(sorted(m2e), pa.string())
+    vals = np.array([m2e[k] for k in sorted(m2e)], dtype=object)
+
+    def rewrite(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["pred"], C.PRED_MENTIONS))
+        if t.num_rows == 0:
+            return pa.schema([("entity", pa.string())]).empty_table()
+        obj = t["obj"].combine_chunks()
+        idx = pc.index_in(obj, value_set=keys)
+        hit = pc.is_valid(idx)
+        ii = idx.to_numpy(zero_copy_only=False)
+        sel = hit.to_numpy(zero_copy_only=False)
+        return pa.table({"entity": pa.array(
+            vals[ii[sel].astype(np.int64)], pa.string())})
+
+    ent = tri.map_batches(rewrite, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return grouped_count(ent, ["entity"], "n", 4).sort("entity")
+
+
+def _q_ml_point_biserial(sf_dir: str):
+    """Point-biserial correlation of n_chars with lang='en', sqrt-free:
+    sign + r² ×10⁶ = 10⁶·(n·Σxy − Σx·Σy)² // ((n·Σx² − (Σx)²)·(n·Σy −
+    (Σy)²)) — the feature-vs-binary-target screen (corr_matrix covers
+    numeric×numeric). Five integer moments fold per block; the bigint
+    fraction evaluates on the driver."""
+    import pandas as pd
+    i64 = pa.int64()
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["n_chars", "lang"])
+
+    def mom(b: pa.Table) -> pa.Table:
+        x = pc.cast(b["n_chars"], i64).to_numpy(zero_copy_only=False)
+        y = pc.equal(b["lang"], "en").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"n": pa.array([len(x)], i64),
+                         "sx": pa.array([int(x.sum())], i64),
+                         "sx2": pa.array([int((x * x).sum())], i64),
+                         "sy": pa.array([int(y.sum())], i64),
+                         "sxy": pa.array([int((x * y).sum())], i64)})
+
+    p = docs.map_batches(mom, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    n, sx, sx2 = int(p["n"].sum()), int(p["sx"].sum()), int(p["sx2"].sum())
+    sy, sxy = int(p["sy"].sum()), int(p["sxy"].sum())
+    num = n * sxy - sx * sy
+    vx = n * sx2 - sx * sx
+    vy = n * sy - sy * sy  # y binary: Σy² = Σy
+    den = max(vx * vy, 1)
+    return pd.DataFrame({
+        "n": [n], "sign": [(num > 0) - (num < 0)],
+        "r2_fp": [10**6 * num * num // den]}).astype("int64")
+
+
+ALARM_HI_CENTS = 15000
+ALARM_LO_CENTS = 1000
+
+
+def _q_events_hysteresis_alarms(sf_dir: str):
+    """Hysteresis alarm counting (Schmitt-trigger semantics): an alarm
+    FIRES on a value above HI only if the latest prior boundary
+    excursion (above HI or below LO) in that user's stream was a
+    clear (< LO) or absent — re-fires above HI do not re-alarm until
+    the signal drops below LO. Sequential state collapses to one LAG
+    over the boundary-row subsequence, so it stays vectorized in
+    complete sorted user groups."""
+    from .functions.grouped import group_ids, sorted_group_apply
+    i64 = pa.int64()
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "user_id", "ts",
+                                        "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts_us": pc.cast(pc.cast(b["ts"], pa.timestamp("us")), i64),
+            "event_id": b["event_id"],
+            "cents": pc.cast(pc.round(pc.multiply(b["value"], 100.0)),
+                             i64)})
+
+    def alarms(b: pa.Table) -> pa.Table:
+        schema = pa.schema([("user_id", i64), ("n_alarms", i64)])
+        if b.num_rows == 0:
+            return schema.empty_table()
+        gid, _ = group_ids(b, ["user_id"])
+        c = b["cents"].to_numpy(zero_copy_only=False)
+        bd = (c > ALARM_HI_CENTS) | (c < ALARM_LO_CENTS)
+        if not bd.any():
+            return schema.empty_table()
+        ts = b["ts_us"].to_numpy(zero_copy_only=False)
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, gid))
+        ob = order[bd[order]]
+        og, oc = gid[ob], c[ob]
+        ishi = oc > ALARM_HI_CENTS
+        first = np.empty(len(ob), bool)
+        first[0] = True
+        first[1:] = og[1:] != og[:-1]
+        prev_hi = np.empty(len(ob), bool)
+        prev_hi[1:] = ishi[:-1]
+        fire = ishi & (first | (~first & ~prev_hi))
+        uid = b["user_id"].to_numpy(zero_copy_only=False)[ob]
+        cnt = np.zeros(int(og.max()) + 1, np.int64)
+        np.add.at(cnt, og[fire], 1)
+        nz = np.unique(og[fire])
+        first_row = np.searchsorted(og, nz)
+        return pa.table({"user_id": pa.array(uid[first_row], i64),
+                         "n_alarms": pa.array(cnt[nz], i64)},
+                        schema=schema)
+
+    return sorted_group_apply(
+        ev.map_batches(prep, batch_format="pyarrow"), ["user_id"],
+        alarms, num_partitions=4).sort("user_id")
+
+
+WJ_THRESHOLD_FP = 400_000
+
+
+def _q_dedup_weighted_jaccard(sf_dir: str):
+    """IDF-weighted Jaccard near-dups: shingle weight 10⁶ // df, pair
+    score Σ_shared w / (Σ_a w + Σ_b w − Σ_shared w) — rare-shingle
+    overlap counts more than boilerplate (the uniform-weight variant is
+    dedup_ngram_jaccard; the scale path stays minhash). ONE shingle
+    sort yields df, pair weight sums AND per-doc totals (totals ride as
+    doc_b = −1 marker rows); totals join back via two int-key
+    attaches."""
+    import pandas as pd
+    from .functions.grouped import _pair_index_arrays, group_ids, \
+        sorted_aggregate, sorted_group_apply
+    from .functions.joins import attach_column
+    from .stages.dedup import _distinct_doc_shingles
+    i64 = pa.int64()
+    docs = _docs(sf_dir)
+
+    def postings(b: pa.Table) -> pa.Table:
+        doc_idx, codes, dic = _distinct_doc_shingles(b["text"])
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        if len(doc_idx) == 0:
+            return pa.schema([("s", pa.string()),
+                              ("doc_id", i64)]).empty_table()
+        return pa.table({"s": pc.take(dic, pa.array(codes)),
+                         "doc_id": pa.array(did[doc_idx], i64)})
+
+    post = docs.map_batches(postings, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def expand(b: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("doc_a", i64), ("doc_b", i64),
+                                ("w", i64)])
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        gid, starts = group_ids(b, ["s"])
+        sizes = np.diff(np.append(starts, b.num_rows))
+        wgrp = 10**6 // sizes
+        ids = b["doc_id"].combine_chunks().to_numpy()
+        tot = pa.table({"doc_a": pa.array(ids),
+                        "doc_b": pa.array(np.full(len(ids), -1,
+                                                  np.int64)),
+                        "w": pa.array(wgrp[gid])})
+        sel, first, second = _pair_index_arrays(gid, ids, None, None,
+                                                "shingle")
+        if len(first) == 0:
+            pairs = out_schema.empty_table()
+        else:
+            d, gs = ids[sel], gid[sel]
+            pairs = pa.table({"doc_a": pa.array(d[first]),
+                              "doc_b": pa.array(d[second]),
+                              "w": pa.array(wgrp[gs[second]])})
+        both = pa.concat_tables([tot, pairs])
+        return both.group_by(["doc_a", "doc_b"], use_threads=False) \
+            .aggregate([("w", "sum")]) \
+            .rename_columns(["doc_a", "doc_b", "w"])
+
+    agg = sorted_aggregate(
+        sorted_group_apply(post, ["s"], expand, num_partitions=8),
+        ["doc_a", "doc_b"], [("w", "sum")], ["doc_a", "doc_b", "w"],
+        8).materialize()
+    totals = agg.filter(expr="doc_b == -1").map_batches(
+        lambda b: pa.table({"doc_id": b["doc_a"], "tw": b["w"]}),
+        batch_format="pyarrow")
+    pairs = agg.filter(expr="doc_b >= 0")
+    pairs = attach_column(pairs, totals,
+                          [("doc_a", i64), ("doc_b", i64), ("w", i64)],
+                          "doc_a", "doc_id", "tw", "ta", i64, 4)
+    pairs = attach_column(pairs, totals,
+                          [("doc_a", i64), ("doc_b", i64), ("w", i64),
+                           ("ta", i64)],
+                          "doc_b", "doc_id", "tw", "tb", i64, 4)
+
+    def score(b: pa.Table) -> pa.Table:
+        wi = b["w"].to_numpy(zero_copy_only=False)
+        ta = b["ta"].to_numpy(zero_copy_only=False)
+        tb = b["tb"].to_numpy(zero_copy_only=False)
+        fp = 10**6 * wi // (ta + tb - wi)
+        t = b.append_column("wj_fp", pa.array(fp, i64))
+        return t.filter(pa.array(fp >= WJ_THRESHOLD_FP)) \
+            .select(["doc_a", "doc_b", "w", "wj_fp"])
+
+    df = pairs.map_batches(score, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    if df.empty:
+        df = pd.DataFrame({c: pd.Series(dtype="int64")
+                           for c in ["doc_a", "doc_b", "w", "wj_fp"]})
+    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -12541,6 +12760,10 @@ def queries() -> dict[str, Callable]:
         "kg_pred_fanout_p99": _q_kg_pred_fanout_p99,
         "events_haar_energy": _q_events_haar_energy,
         "rel_kendall_tau": _q_rel_kendall_tau,
+        "kg_sameas_rewrite": _q_kg_sameas_rewrite,
+        "ml_point_biserial": _q_ml_point_biserial,
+        "events_hysteresis_alarms": _q_events_hysteresis_alarms,
+        "dedup_weighted_jaccard": _q_dedup_weighted_jaccard,
         "kg_ktruss_edges": _q_kg_ktruss,
         "kg_subclass_depth": _q_kg_subclass_depth,
         "dedup_incremental": _q_dedup_incremental,
@@ -17913,4 +18136,76 @@ ORDER BY doc_a, doc_b"""
                                 AND c < dd THEN 1 ELSE 0 END AS BIGINT)
                  AS tau_fp
         FROM k"""
+    out["kg_sameas_rewrite"] = P + f"""
+        , tri AS (SELECT * FROM ({full_body})),
+        sa AS (SELECT subj AS mention, obj AS entity FROM tri
+               WHERE pred = '{C.PRED_SAME_AS}'),
+        m AS (SELECT obj AS mention FROM tri
+              WHERE pred = '{C.PRED_MENTIONS}')
+        SELECT sa.entity, CAST(count(*) AS BIGINT) AS n
+        FROM m JOIN sa USING (mention) GROUP BY 1 ORDER BY 1"""
+    out["ml_point_biserial"] = """
+        WITH m AS (SELECT count(*) AS n,
+                          sum(n_chars) AS sx,
+                          sum(CAST(n_chars AS HUGEINT) * n_chars) AS sx2,
+                          sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                            AS sy,
+                          sum(CASE WHEN lang = 'en' THEN n_chars
+                              ELSE 0 END) AS sxy
+                   FROM documents),
+        d AS (SELECT n, CAST(n AS HUGEINT) * sxy
+                        - CAST(sx AS HUGEINT) * sy AS num,
+                     CAST(n AS HUGEINT) * sx2
+                        - CAST(sx AS HUGEINT) * sx AS vx,
+                     CAST(n AS HUGEINT) * sy
+                        - CAST(sy AS HUGEINT) * sy AS vy
+              FROM m)
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1
+                    ELSE 0 END AS BIGINT) AS sign,
+               CAST(1000000 * num * num
+                    // greatest(vx * vy, 1) AS BIGINT) AS r2_fp
+        FROM d"""
+    out["events_hysteresis_alarms"] = f"""
+        WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                          CAST(round(value * 100.0) AS BIGINT) AS cents
+                   FROM events),
+        b AS (SELECT *, CASE WHEN cents > {ALARM_HI_CENTS}
+                        THEN 1 ELSE 0 END AS ishi
+              FROM o WHERE cents > {ALARM_HI_CENTS}
+                 OR cents < {ALARM_LO_CENTS}),
+        l AS (SELECT *, lag(ishi) OVER (PARTITION BY user_id
+                 ORDER BY us, event_id) AS prev FROM b)
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(sum(CASE WHEN ishi = 1
+                             AND (prev IS NULL OR prev = 0)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms
+        FROM l GROUP BY 1
+        HAVING sum(CASE WHEN ishi = 1 AND (prev IS NULL OR prev = 0)
+                   THEN 1 ELSE 0 END) > 0
+        ORDER BY 1"""
+    out["dedup_weighted_jaccard"] = f"""
+        WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                      FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                      unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                              FOR i IN range(1, len(ws) - 1)]) AS s
+               FROM docs),
+        df AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+        w AS (SELECT s, 1000000 // df AS w FROM df),
+        tot AS (SELECT sh.doc_id, sum(w.w) AS tw
+                FROM sh JOIN w USING (s) GROUP BY 1),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         sum(w.w) AS wi
+                  FROM sh a JOIN sh b ON a.s = b.s
+                                     AND a.doc_id < b.doc_id
+                  JOIN w ON w.s = a.s GROUP BY 1, 2)
+        SELECT doc_a, doc_b, CAST(wi AS BIGINT) AS w,
+               CAST(1000000 * wi // (ta.tw + tb.tw - wi) AS BIGINT)
+                 AS wj_fp
+        FROM inter JOIN tot ta ON ta.doc_id = doc_a
+                   JOIN tot tb ON tb.doc_id = doc_b
+        WHERE 1000000 * wi // (ta.tw + tb.tw - wi)
+              >= {WJ_THRESHOLD_FP}
+        ORDER BY doc_a, doc_b"""
     return out
