@@ -12346,6 +12346,193 @@ def _q_dedup_weighted_jaccard(sf_dir: str):
     return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def _q_rel_ledger_reconcile(sf_dir: str):
+    """Ledger reconciliation: per-order header total vs the sum of its
+    line amounts round(extprice·(1−disc)·(1+tax)·100) — the
+    data-quality gate before any revenue rollup is trusted. Line sums
+    fold per order (int-key grouped), header cents attach via one
+    co-group; the report collapses to sign counts + total |diff|."""
+    import pandas as pd
+    from .functions.grouped import sorted_aggregate
+    from .functions.joins import attach_column
+    i64 = pa.int64()
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_tax"])
+
+    def amounts(b: pa.Table) -> pa.Table:
+        amt = pc.cast(pc.round(pc.multiply(pc.multiply(
+            pc.multiply(b["l_extendedprice"],
+                        pc.subtract(1.0, b["l_discount"])),
+            pc.add(1.0, b["l_tax"])), 100.0)), i64)
+        return pa.table({"ok": pc.cast(b["l_orderkey"], i64),
+                         "amt": amt}) \
+            .group_by(["ok"], use_threads=False) \
+            .aggregate([("amt", "sum")]).rename_columns(["ok", "amt"])
+
+    lsum = sorted_aggregate(
+        li.map_batches(amounts, batch_format="pyarrow"),
+        ["ok"], [("amt", "sum")], ["ok", "line_cents"], 8)
+    hdr = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"]).map_batches(
+        lambda b: pa.table({
+            "ok": pc.cast(b["o_orderkey"], i64),
+            "hdr_cents": pc.cast(pc.round(pc.multiply(
+                b["o_totalprice"], 100.0)), i64)}),
+        batch_format="pyarrow")
+    j = attach_column(lsum, hdr, [("ok", i64), ("line_cents", i64)],
+                      "ok", "ok", "hdr_cents", "hdr_cents", i64, 8)
+
+    def fold(b: pa.Table) -> pa.Table:
+        d = (b["hdr_cents"].to_numpy(zero_copy_only=False)
+             - b["line_cents"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "n_orders": pa.array([b.num_rows], i64),
+            "n_over": pa.array([int((d > 0).sum())], i64),
+            "n_under": pa.array([int((d < 0).sum())], i64),
+            "n_exact": pa.array([int((d == 0).sum())], i64),
+            "abs_diff_cents": pa.array([int(np.abs(d).sum())], i64)})
+
+    p = j.map_batches(fold, batch_format="pyarrow",
+                      zero_copy_batch=True).to_pandas()
+    return pd.DataFrame({c: [int(p[c].sum())] for c in
+                         ["n_orders", "n_over", "n_under", "n_exact",
+                          "abs_diff_cents"]}).astype("int64")
+
+
+def _q_events_new_vs_returning(sf_dir: str):
+    """Daily new-vs-returning user split: per day, events from users
+    seen for the first time that day vs users with history — the
+    acquisition/retention headline. First-seen day is one grouped min
+    (user-bounded); the tag rides back onto events via an int-key
+    attach, then a calendar-bounded grouped count."""
+    from .functions.grouped import sorted_aggregate
+    from .functions.joins import attach_column
+    i64 = pa.int64()
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts"]).map_batches(
+        lambda b: pa.table({
+            "user_id": pc.cast(b["user_id"], i64),
+            "day": pc.divide(pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                                     i64), 86_400_000_000)}),
+        batch_format="pyarrow").materialize()
+    first = sorted_aggregate(ev, ["user_id"], [("day", "min")],
+                             ["user_id", "first_day"], 4)
+    tagged = attach_column(ev, first, [("user_id", i64), ("day", i64)],
+                           "user_id", "user_id", "first_day",
+                           "first_day", i64, 4)
+
+    def counts(b: pa.Table) -> pa.Table:
+        new = pc.equal(b["day"], b["first_day"])
+        return pa.table({
+            "day": b["day"],
+            "n_new": pc.cast(new, i64),
+            "n_returning": pc.cast(pc.invert(new), i64)}) \
+            .group_by(["day"], use_threads=False) \
+            .aggregate([("n_new", "sum"), ("n_returning", "sum")]) \
+            .rename_columns(["day", "n_new", "n_returning"])
+
+    return sorted_aggregate(
+        tagged.map_batches(counts, batch_format="pyarrow"),
+        ["day"], [("n_new", "sum"), ("n_returning", "sum")],
+        ["day", "n_new", "n_returning"], 2)
+
+
+SPELL_QUERIES = ("scann", "merg", "batchh")
+
+
+def _q_search_spell_suggest(sf_dir: str):
+    """Did-you-mean suggestions: for each misspelled query, the corpus
+    word within Levenshtein distance 1 with the highest frequency
+    (ties alphabetical) — FastSS deletion-neighborhood matching (the
+    ed1-pairs machinery pointed at a query), so no per-word edit-
+    distance scan: the query's ≤|q|+1 deletion keys broadcast and meet
+    the vocabulary's keys in one vectorized pass over the frequency
+    dictionary."""
+    import pandas as pd
+    from .functions.grouped import grouped_count
+    from .stages.dedup import _words_flat
+
+    def del_neighborhood(w: str) -> set[str]:
+        return {w} | {w[:i] + w[i + 1:] for i in range(len(w))}
+
+    qnb = {q: del_neighborhood(q) for q in SPELL_QUERIES}
+
+    def words(b: pa.Table) -> pa.Table:
+        w, _ = _words_flat(b["text"])
+        return pa.table({"word": pa.array(w)})
+
+    freq = grouped_count(_docs(sf_dir).map_batches(
+        words, batch_format="pyarrow", zero_copy_batch=True),
+        ["word"], "n", 8).to_pandas()
+    # FastSS index over the frequency dictionary: deletion-key -> words
+    # (one pass over the vocab, which is dictionary-sized); each query
+    # then probes its <=|q|+1 keys and exact-verifies ed<=1.
+    index: dict[str, list[int]] = {}
+    vocab = freq["word"].to_numpy()
+    cnt = freq["n"].to_numpy().astype(np.int64)
+    for wi, w in enumerate(vocab):
+        for k in del_neighborhood(w):
+            index.setdefault(k, []).append(wi)
+    rows = []
+    for q in SPELL_QUERIES:
+        cand = sorted({wi for k in qnb[q] for wi in index.get(k, ())})
+        best = None
+        for wi in cand:
+            w, c = vocab[wi], int(cnt[wi])
+            if abs(len(w) - len(q)) <= 1 and _ed1_ok(q, w):
+                key = (-c, w)
+                if best is None or key < best[0]:
+                    best = (key, w, c)
+        rows.append((q, best[1], best[2]) if best else (q, "", 0))
+    return pd.DataFrame(rows, columns=["query", "suggestion", "n"]) \
+        .astype({"n": "int64"})
+
+
+def _ed1_ok(a: str, b: str) -> bool:
+    """Exact Levenshtein <= 1 (lengths within 1 assumed by caller)."""
+    if a == b:
+        return True
+    if len(a) == len(b):
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    s, t = (a, b) if len(a) < len(b) else (b, a)
+    i = 0
+    while i < len(s) and s[i] == t[i]:
+        i += 1
+    return s[i:] == t[i + 1:]
+
+
+MINK_QI_BUCKET = 50
+
+
+def _q_privacy_min_k_report(sf_dir: str):
+    """Minimum-k report: the release's effective k-anonymity level (the
+    SMALLEST QI class size over (lang, source, n_chars//50)) plus the
+    five smallest classes — the headline number a privacy review asks
+    for first. Distinct QI classes shuffle; the 5-row head comes off
+    the pruned per-key sort."""
+    from .functions.grouped import grouped_count
+    from .functions.topn import top_n_per_key
+    i64 = pa.int64()
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["lang", "source", "n_chars"])
+    qi = docs.map_batches(lambda b: pa.table({
+        "lang": b["lang"], "source": b["source"],
+        "bucket": pc.divide(pc.cast(b["n_chars"], i64),
+                            MINK_QI_BUCKET)}), batch_format="pyarrow")
+    classes = grouped_count(qi, ["lang", "source", "bucket"], "sz", 4) \
+        .map_batches(lambda b: b.append_column(
+            "one", pa.array(np.zeros(b.num_rows, np.int64))),
+            batch_format="pyarrow")
+    top = top_n_per_key(classes, ["one"],
+                        [("sz", True), ("lang", True), ("source", True),
+                         ("bucket", True)], 5, num_partitions=2)
+    return top.map_batches(lambda b: b.select(
+        ["lang", "source", "bucket", "sz", "rank"]),
+        batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -12764,6 +12951,10 @@ def queries() -> dict[str, Callable]:
         "ml_point_biserial": _q_ml_point_biserial,
         "events_hysteresis_alarms": _q_events_hysteresis_alarms,
         "dedup_weighted_jaccard": _q_dedup_weighted_jaccard,
+        "rel_ledger_reconcile": _q_rel_ledger_reconcile,
+        "events_new_vs_returning": _q_events_new_vs_returning,
+        "search_spell_suggest": _q_search_spell_suggest,
+        "privacy_min_k_report": _q_privacy_min_k_report,
         "kg_ktruss_edges": _q_kg_ktruss,
         "kg_subclass_depth": _q_kg_subclass_depth,
         "dedup_incremental": _q_dedup_incremental,
@@ -18208,4 +18399,57 @@ ORDER BY doc_a, doc_b"""
         WHERE 1000000 * wi // (ta.tw + tb.tw - wi)
               >= {WJ_THRESHOLD_FP}
         ORDER BY doc_a, doc_b"""
+    out["rel_ledger_reconcile"] = """
+        WITH ls AS (SELECT l_orderkey AS ok,
+                           sum(CAST(round(l_extendedprice
+                                          * (1 - l_discount)
+                                          * (1 + l_tax) * 100.0)
+                                    AS BIGINT)) AS line_cents
+                    FROM lineitem GROUP BY 1),
+        j AS (SELECT ls.line_cents,
+                     CAST(round(o.o_totalprice * 100.0) AS BIGINT)
+                       - ls.line_cents AS d
+              FROM ls JOIN orders o ON o.o_orderkey = ls.ok)
+        SELECT CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_over,
+               CAST(sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_under,
+               CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_exact,
+               CAST(sum(abs(d)) AS BIGINT) AS abs_diff_cents
+        FROM j"""
+    out["events_new_vs_returning"] = """
+        WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+                   FROM events),
+        f AS (SELECT user_id, min(day) AS fd FROM e GROUP BY 1)
+        SELECT CAST(e.day AS BIGINT) AS day,
+               CAST(sum(CASE WHEN e.day = f.fd THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new,
+               CAST(sum(CASE WHEN e.day <> f.fd THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_returning
+        FROM e JOIN f USING (user_id) GROUP BY 1 ORDER BY 1"""
+    spell_rows = ", ".join(f"('{q}')" for q in SPELL_QUERIES)
+    out["search_spell_suggest"] = f"""
+        WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS word
+                   FROM documents),
+        f AS (SELECT word, count(*) AS n FROM w GROUP BY 1),
+        q(query) AS (VALUES {spell_rows}),
+        cand AS (SELECT q.query, f.word, f.n,
+                        row_number() OVER (PARTITION BY q.query
+                           ORDER BY f.n DESC, f.word) AS rn
+                 FROM q JOIN f ON levenshtein(q.query, f.word) <= 1)
+        SELECT q.query, coalesce(c.word, '') AS suggestion,
+               CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        FROM q LEFT JOIN cand c ON c.query = q.query AND c.rn = 1
+        ORDER BY q.query"""
+    out["privacy_min_k_report"] = f"""
+        WITH c AS (SELECT lang, source, n_chars // {MINK_QI_BUCKET}
+                            AS bucket, count(*) AS sz
+                   FROM documents GROUP BY 1, 2, 3),
+        r AS (SELECT c.*, row_number() OVER (
+                 ORDER BY sz, lang, source, bucket) AS rank FROM c)
+        SELECT lang, source, CAST(bucket AS BIGINT) AS bucket,
+               CAST(sz AS BIGINT) AS sz, CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 5 ORDER BY rank"""
     return out
