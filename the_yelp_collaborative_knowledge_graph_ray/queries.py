@@ -12361,10 +12361,13 @@ def _q_rel_ledger_reconcile(sf_dir: str):
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_tax"])
 
     def amounts(b: pa.Table) -> pa.Table:
-        amt = pc.cast(pc.round(pc.multiply(pc.multiply(
-            pc.multiply(b["l_extendedprice"],
-                        pc.subtract(1.0, b["l_discount"])),
-            pc.add(1.0, b["l_tax"])), 100.0)), i64)
+        # half-UP via floor(x + 0.5): pc.round is half-even but DuckDB
+        # round() is half-away — line amounts (unlike 2-dp prices) DO
+        # land on exact .5 cents, so the tie rule must be pinned
+        v = (b["l_extendedprice"].to_numpy(zero_copy_only=False)
+             * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False))
+             * (1.0 + b["l_tax"].to_numpy(zero_copy_only=False)))
+        amt = pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64))
         return pa.table({"ok": pc.cast(b["l_orderkey"], i64),
                          "amt": amt}) \
             .group_by(["ok"], use_threads=False) \
@@ -18401,9 +18404,9 @@ ORDER BY doc_a, doc_b"""
         ORDER BY doc_a, doc_b"""
     out["rel_ledger_reconcile"] = """
         WITH ls AS (SELECT l_orderkey AS ok,
-                           sum(CAST(round(l_extendedprice
+                           sum(CAST(floor(l_extendedprice
                                           * (1 - l_discount)
-                                          * (1 + l_tax) * 100.0)
+                                          * (1 + l_tax) * 100.0 + 0.5)
                                     AS BIGINT)) AS line_cents
                     FROM lineitem GROUP BY 1),
         j AS (SELECT ls.line_cents,
