@@ -12536,6 +12536,177 @@ def _q_privacy_min_k_report(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_rel_date_fk_audit(sf_dir: str):
+    """Temporal-integrity audit: lineitems shipped BEFORE their order's
+    date, per year — the cross-table invariant check (rel_fk_audit
+    covers key existence; this covers ordering). Order dates attach to
+    lineitems through ONE int-key co-group; violations fold per
+    year."""
+    from .functions.grouped import sorted_aggregate
+    from .functions.joins import attach_column
+    i64 = pa.int64()
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"]).map_batches(
+        lambda b: pa.table({
+            "ok": pc.cast(b["l_orderkey"], i64),
+            "sday": pc.divide(pc.cast(pc.cast(b["l_shipdate"],
+                                              pa.timestamp("us")), i64),
+                              86_400_000_000)}), batch_format="pyarrow")
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"]).map_batches(
+        lambda b: pa.table({
+            "ok": pc.cast(b["o_orderkey"], i64),
+            "oday": pc.divide(pc.cast(pc.cast(b["o_orderdate"],
+                                              pa.timestamp("us")), i64),
+                              86_400_000_000)}), batch_format="pyarrow")
+    j = attach_column(li, od, [("ok", i64), ("sday", i64)],
+                      "ok", "ok", "oday", "oday", i64, 8)
+
+    def fold2(b: pa.Table) -> pa.Table:
+        s = b["sday"].to_numpy(zero_copy_only=False)
+        o = b["oday"].to_numpy(zero_copy_only=False)
+        yr = (np.array(s, dtype="datetime64[D]")
+              .astype("datetime64[Y]").astype(np.int64) + 1970)
+        return pa.table({"year": pa.array(yr, i64),
+                         "n": pa.array(np.ones(len(s), np.int64)),
+                         "n_viol": pa.array((s < o).astype(np.int64))}) \
+            .group_by(["year"], use_threads=False) \
+            .aggregate([("n", "sum"), ("n_viol", "sum")]) \
+            .rename_columns(["year", "n", "n_viol"])
+
+    return sorted_aggregate(
+        j.map_batches(fold2, batch_format="pyarrow"),
+        ["year"], [("n", "sum"), ("n_viol", "sum")],
+        ["year", "n", "n_viol"], 2)
+
+
+def _q_ml_permutation_importance(sf_dir: str):
+    """Deterministic permutation importance of the n_chars stump: full-
+    set accuracy with the true feature vs the feature CYCLED one doc
+    forward in doc_id order (a fixed derangement standing in for a
+    random permutation — reproducible on both engines via lead());
+    drop_fp is the importance. Global order comes from
+    zip_with_index."""
+    import pandas as pd
+    from .functions.joins import zip_with_index
+    i64 = pa.int64()
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "n_chars", "lang"]) \
+        .materialize()
+    n = docs.count()
+    ranked = zip_with_index(docs.sort("doc_id"), id_col="__rank",
+                            order_by="doc_id").materialize()
+    # shifted feature for rank r is x at rank (r+1) mod n
+    from .functions.joins import attach_column
+    shifted_src = ranked.map_batches(lambda b: pa.table({
+        "rank": pa.array(
+            (b["__rank"].to_numpy(zero_copy_only=False) - 1) % n),
+        "x_shift": pc.cast(b["n_chars"], i64)}), batch_format="pyarrow")
+    base = ranked.map_batches(lambda b: pa.table({
+        "rank": b["__rank"], "x": pc.cast(b["n_chars"], i64),
+        "y": pc.cast(pc.equal(b["lang"], "en"), i64)}),
+        batch_format="pyarrow")
+    j = attach_column(base, shifted_src,
+                      [("rank", i64), ("x", i64), ("y", i64)],
+                      "rank", "rank", "x_shift", "x_shift", i64, 4)
+
+    def accs(b: pa.Table) -> pa.Table:
+        x = b["x"].to_numpy(zero_copy_only=False)
+        xs = b["x_shift"].to_numpy(zero_copy_only=False)
+        y = b["y"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([b.num_rows], i64),
+            "ok_true": pa.array(
+                [int(((x >= KAPPA_CHAR_MIN) == (y == 1)).sum())], i64),
+            "ok_shift": pa.array(
+                [int(((xs >= KAPPA_CHAR_MIN) == (y == 1)).sum())], i64)})
+
+    p = j.map_batches(accs, batch_format="pyarrow",
+                      zero_copy_batch=True).to_pandas()
+    nn = int(p["n"].sum())
+    a_t = 10**6 * int(p["ok_true"].sum()) // nn
+    a_s = 10**6 * int(p["ok_shift"].sum()) // nn
+    return pd.DataFrame({"n": [nn], "acc_fp": [a_t],
+                         "acc_shifted_fp": [a_s],
+                         "drop_fp": [a_t - a_s]}).astype("int64")
+
+
+def _q_events_mann_kendall(sf_dir: str):
+    """Mann–Kendall trend statistic over daily event counts: S =
+    Σ_{i<j} sign(c_j − c_i) (time order) plus the exact variance
+    NUMERATOR 18·Var = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) over tie groups
+    — the standard monotone-trend test, sqrt-free. Calendar-bounded
+    driver math after the distributed daily fold."""
+    import pandas as pd
+    from .functions.grouped import sorted_aggregate
+    i64 = pa.int64()
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts"])
+
+    def daily(b: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(pc.cast(b["ts"], pa.timestamp("us")), i64),
+                        86_400_000_000)
+        return pa.table({"day": day,
+                         "n": pa.array(np.ones(b.num_rows, np.int64))}) \
+            .group_by(["day"], use_threads=False) \
+            .aggregate([("n", "sum")]).rename_columns(["day", "n"])
+
+    d = sorted_aggregate(ev.map_batches(daily, batch_format="pyarrow"),
+                         ["day"], [("n", "sum")], ["day", "n"], 4) \
+        .to_pandas().sort_values("day").reset_index(drop=True)
+    c = d["n"].to_numpy().astype(np.int64)
+    n = len(c)
+    i, j = np.triu_indices(n, k=1)
+    s = int(np.sign(c[j] - c[i]).sum())
+    _, tie_counts = np.unique(c, return_counts=True)
+    ties = int(sum(int(t) * (t - 1) * (2 * t + 5)
+                   for t in tie_counts if t > 1))
+    var18 = n * (n - 1) * (2 * n + 5) - ties
+    return pd.DataFrame({"n_days": [n], "s": [s],
+                         "var18": [var18]}).astype("int64")
+
+
+def _q_emb_isotropy(sf_dir: str):
+    """Embedding isotropy: the mean pairwise dot product over ALL
+    n(n−1) ordered pairs WITHOUT enumerating pairs — Σ_{i≠j} vᵢ·vⱼ =
+    ‖Σv‖² − Σ‖v‖² over fixed-point components floor(x·10⁶), exact
+    integers end to end (sqrt-free, unlike a cosine mean). A clumped
+    (anisotropic) space sits far from 0. Per-dim component sums and
+    the norm total fold per block; the closed form evaluates in Python
+    bigints (HUGEINT in the twin). mean_dot_fp is ×10⁶ (the 10¹²
+    product scale divided back once)."""
+    import pandas as pd
+    i64 = pa.int64()
+    emb = _emb(sf_dir)
+
+    def parts(b: pa.Table) -> pa.Table:
+        e = b["embedding"].combine_chunks()
+        d = len(e[0])
+        m = np.floor(e.flatten().to_numpy(zero_copy_only=False)
+                     .astype(np.float64) * 1e6).astype(np.int64) \
+            .reshape(b.num_rows, d)
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "s": pa.array(m.sum(axis=0)),
+            "n": pa.array(np.full(d, b.num_rows, np.int64)),
+            "norm2": pa.array((m * m).sum(axis=0))})
+
+    p = emb.map_batches(parts, batch_format="pyarrow",
+                        zero_copy_batch=True).to_pandas() \
+        .groupby("dim", as_index=False).sum()
+    n = int(p["n"].iloc[0])  # per-dim block partials sum to total vecs
+    s = p["s"].to_numpy()
+    sum_norm2 = int(p["norm2"].sum())  # per-dim m² column sums re-sum
+    tot = int(sum(int(x) ** 2 for x in s)) - sum_norm2
+    pairs = n * (n - 1)
+    # tot itself can exceed int64 — only the scaled mean is emitted
+    return pd.DataFrame({
+        "n_vecs": [n],
+        "mean_dot_fp": [tot // (pairs * 10**6)]}).astype("int64")
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -12958,6 +13129,10 @@ def queries() -> dict[str, Callable]:
         "events_new_vs_returning": _q_events_new_vs_returning,
         "search_spell_suggest": _q_search_spell_suggest,
         "privacy_min_k_report": _q_privacy_min_k_report,
+        "rel_date_fk_audit": _q_rel_date_fk_audit,
+        "ml_permutation_importance": _q_ml_permutation_importance,
+        "events_mann_kendall": _q_events_mann_kendall,
+        "emb_isotropy": _q_emb_isotropy,
         "kg_ktruss_edges": _q_kg_ktruss,
         "kg_subclass_depth": _q_kg_subclass_depth,
         "dedup_incremental": _q_dedup_incremental,
@@ -18455,4 +18630,69 @@ ORDER BY doc_a, doc_b"""
         SELECT lang, source, CAST(bucket AS BIGINT) AS bucket,
                CAST(sz AS BIGINT) AS sz, CAST(rank AS BIGINT) AS rank
         FROM r WHERE rank <= 5 ORDER BY rank"""
+    out["rel_date_fk_audit"] = """
+        WITH j AS (SELECT CAST(year(l.l_shipdate) AS BIGINT) AS year,
+                          CASE WHEN epoch_us(l.l_shipdate)
+                                    // 86400000000
+                                  < epoch_us(o.o_orderdate)
+                                    // 86400000000
+                               THEN 1 ELSE 0 END AS v
+                   FROM lineitem l
+                   JOIN orders o ON o.o_orderkey = l.l_orderkey)
+        SELECT year, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS n_viol
+        FROM j GROUP BY 1 ORDER BY 1"""
+    out["ml_permutation_importance"] = f"""
+        WITH r AS (SELECT n_chars,
+                          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                          row_number() OVER (ORDER BY doc_id) - 1 AS rk,
+                          count(*) OVER () AS n
+                   FROM documents),
+        s AS (SELECT r1.n, r1.n_chars AS x, r1.y, r2.n_chars AS xs
+              FROM r r1 JOIN r r2 ON r2.rk = (r1.rk + 1) % r1.n),
+        a AS (SELECT max(n) AS n,
+                     1000000 * sum(CASE WHEN (x >= {KAPPA_CHAR_MIN})
+                                        = (y = 1) THEN 1 ELSE 0 END)
+                       // count(*) AS at,
+                     1000000 * sum(CASE WHEN (xs >= {KAPPA_CHAR_MIN})
+                                        = (y = 1) THEN 1 ELSE 0 END)
+                       // count(*) AS ash
+              FROM s)
+        SELECT CAST(n AS BIGINT) AS n, CAST(at AS BIGINT) AS acc_fp,
+               CAST(ash AS BIGINT) AS acc_shifted_fp,
+               CAST(at - ash AS BIGINT) AS drop_fp
+        FROM a"""
+    out["events_mann_kendall"] = """
+        WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                          count(*) AS n FROM events GROUP BY 1),
+        p AS (SELECT sign(b.n - a.n) AS s FROM d a
+              JOIN d b ON b.day > a.day),
+        t AS (SELECT n AS v, count(*) AS t FROM d GROUP BY 1),
+        ties AS (SELECT coalesce(sum(CASE WHEN t > 1
+                      THEN t * (t - 1) * (2 * t + 5) ELSE 0 END), 0)
+                   AS tt FROM t),
+        k AS (SELECT count(*) AS n FROM d)
+        SELECT CAST(k.n AS BIGINT) AS n_days,
+               CAST((SELECT sum(s) FROM p) AS BIGINT) AS s,
+               CAST(k.n * (k.n - 1) * (2 * k.n + 5) - ties.tt AS BIGINT)
+                 AS var18
+        FROM k, ties"""
+    out["emb_isotropy"] = """
+        WITH e AS (SELECT vec_id, g.i AS dim,
+                          CAST(floor(CAST(embedding[g.i] AS DOUBLE)
+                                     * 1000000) AS BIGINT) AS ec
+                   FROM embeddings, generate_series(1, 64) AS g(i)),
+        s AS (SELECT dim, CAST(sum(ec) AS HUGEINT) AS s,
+                     sum(CAST(ec AS HUGEINT) * ec) AS n2
+              FROM e GROUP BY 1),
+        k AS (SELECT count(DISTINCT vec_id) AS n FROM e),
+        f AS (SELECT (SELECT sum(s * s) FROM s)
+                     - (SELECT sum(n2) FROM s) AS tot,
+                     k.n AS n FROM k)
+        SELECT CAST(n AS BIGINT) AS n_vecs,
+               CAST(tot // (CAST(n AS HUGEINT) * (n - 1) * 1000000)
+                    - CASE WHEN tot % (CAST(n AS HUGEINT) * (n - 1)
+                                       * 1000000) <> 0 AND tot < 0
+                           THEN 1 ELSE 0 END AS BIGINT) AS mean_dot_fp
+        FROM f"""
     return out
