@@ -12707,6 +12707,162 @@ def _q_emb_isotropy(sf_dir: str):
         "mean_dot_fp": [tot // (pairs * 10**6)]}).astype("int64")
 
 
+HIER_BUDGET = 10_000
+
+
+def _q_rel_hierarchical_alloc(sf_dir: str):
+    """Two-level hierarchical budget allocation: 10 000 units split
+    across REGIONS by revenue (largest-remainder), then each region's
+    share split across its NATIONS the same way — the cascading
+    apportionment every planning rollup needs (rel_apportion_budget is
+    the one-level primitive). Revenue folds distributed; both
+    allocation rounds run on |regions| / |nations| rows."""
+    import pandas as pd
+    from .functions.grouped import sorted_aggregate
+    from .functions.joins import attach_column
+    i64 = pa.int64()
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: pa.table({"ck": pc.cast(b["c_custkey"], i64),
+                            "nk": pc.cast(b["c_nationkey"], i64)}),
+        batch_format="pyarrow")
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"]).map_batches(
+        lambda b: pa.table({
+            "ck": pc.cast(b["o_custkey"], i64),
+            "cents": pc.cast(pc.round(pc.multiply(
+                b["o_totalprice"], 100.0)), i64)}),
+        batch_format="pyarrow")
+    withnat = attach_column(od, cust, [("ck", i64), ("cents", i64)],
+                            "ck", "ck", "nk", "nk", i64, 8)
+    pernat = sorted_aggregate(
+        withnat.map_batches(lambda b: pa.table(
+            {"nk": b["nk"], "cents": b["cents"]})
+            .group_by(["nk"], use_threads=False)
+            .aggregate([("cents", "sum")]).rename_columns(
+                ["nk", "cents"]), batch_format="pyarrow"),
+        ["nk"], [("cents", "sum")], ["nk", "cents"], 2).to_pandas()
+    import pyarrow.parquet as pq
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet")) \
+        .to_pandas()  # 25 rows: driver tiny-table (reference S3 shape)
+    m = pernat.merge(nat, left_on="nk", right_on="n_nationkey")
+
+    def largest_remainder(weights, budget, tie_keys):
+        tw = int(sum(weights))
+        floor_a = [budget * int(w) // tw for w in weights]
+        rem = [budget * int(w) - f * tw for w, f in zip(weights,
+                                                        floor_a)]
+        left = budget - sum(floor_a)
+        order = sorted(range(len(weights)),
+                       key=lambda i: (-rem[i], tie_keys[i]))
+        out = list(floor_a)
+        for i in order[:left]:
+            out[i] += 1
+        return out
+
+    per_region = m.groupby("n_regionkey", as_index=False)["cents"].sum() \
+        .sort_values("n_regionkey").reset_index(drop=True)
+    ralloc = largest_remainder(per_region["cents"].tolist(), HIER_BUDGET,
+                               per_region["n_regionkey"].tolist())
+    rmap = dict(zip(per_region["n_regionkey"], ralloc))
+    rows = []
+    for rk, grp in m.sort_values("nk").groupby("n_regionkey"):
+        nalloc = largest_remainder(grp["cents"].tolist(), rmap[rk],
+                                   grp["nk"].tolist())
+        for (_, r), a in zip(grp.iterrows(), nalloc):
+            rows.append((int(rk), int(r["nk"]), int(r["cents"]), a))
+    out = pd.DataFrame(rows, columns=["regionkey", "nationkey", "cents",
+                                      "alloc"]).astype("int64")
+    return out.sort_values(["regionkey", "nationkey"]) \
+        .reset_index(drop=True)
+
+
+def _q_events_fano_factor(sf_dir: str):
+    """Fano factor (variance-to-mean of daily counts) per event type —
+    the burstiness index: 1 for Poisson, >1 for bursty: fano_fp =
+    10⁶·(nΣx² − (Σx)²) // (n·Σx) exactly over the DENSE calendar spine
+    (zero days count). Calendar × |types| bounded fold."""
+    import pandas as pd
+    from .functions.grouped import grouped_count
+    i64 = pa.int64()
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts", "event_type"]).map_batches(
+        lambda b: pa.table({
+            "event_type": b["event_type"],
+            "day": pc.divide(pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                                     i64), 86_400_000_000)}),
+        batch_format="pyarrow")
+    c = grouped_count(ev, ["event_type", "day"], "x", 4).to_pandas()
+    d0, d1 = int(c["day"].min()), int(c["day"].max())
+    span = d1 - d0 + 1
+    rows = []
+    for et, g in c.groupby("event_type"):
+        x = g["x"].to_numpy().astype(np.int64)
+        n = span  # zero days included
+        sx = int(x.sum())
+        sx2 = int((x * x).sum())
+        num = n * sx2 - sx * sx
+        rows.append((et, n, sx, 10**6 * num // (n * sx)))
+    return pd.DataFrame(rows, columns=["event_type", "n_days",
+                                       "n_events", "fano_fp"]) \
+        .astype({"n_days": "int64", "n_events": "int64",
+                 "fano_fp": "int64"}) \
+        .sort_values("event_type").reset_index(drop=True)
+
+
+def _q_events_max_type_run(sf_dir: str):
+    """Longest run of identical consecutive event types per user (the
+    stuck-in-a-loop / bot-behavior signal): run boundaries are one
+    shifted compare inside complete sorted user groups; per-user max
+    via one grouped fold."""
+    from .functions.grouped import group_ids, sorted_group_apply
+    i64 = pa.int64()
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "user_id", "ts",
+                                        "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts_us": pc.cast(pc.cast(b["ts"], pa.timestamp("us")), i64),
+            "event_id": b["event_id"], "event_type": b["event_type"]})
+
+    def runs(b: pa.Table) -> pa.Table:
+        schema = pa.schema([("user_id", i64), ("max_run", i64),
+                            ("run_type", pa.string())])
+        if b.num_rows == 0:
+            return schema.empty_table()
+        gid, starts = group_ids(b, ["user_id"])
+        order = np.lexsort((b["event_id"].to_numpy(zero_copy_only=False),
+                            b["ts_us"].to_numpy(zero_copy_only=False),
+                            gid))
+        et = b["event_type"].to_numpy(zero_copy_only=False)[order]
+        og = gid[order]
+        new_run = np.empty(len(og), bool)
+        new_run[0] = True
+        new_run[1:] = (og[1:] != og[:-1]) | (et[1:] != et[:-1])
+        rid = np.cumsum(new_run) - 1
+        run_len = np.bincount(rid).astype(np.int64)
+        run_user = og[new_run]
+        run_type = et[new_run]
+        # per user: max run length, tie -> lexicographically smallest type
+        order2 = np.lexsort((run_type, -run_len, run_user))
+        ru, rl, rt = run_user[order2], run_len[order2], run_type[order2]
+        first = np.empty(len(ru), bool)
+        first[0] = True
+        first[1:] = ru[1:] != ru[:-1]
+        uid = b["user_id"].to_numpy(zero_copy_only=False)[order][new_run]
+        return pa.table({"user_id": pa.array(uid[order2][first], i64),
+                         "max_run": pa.array(rl[first]),
+                         "run_type": pa.array(rt[first])}, schema=schema)
+
+    return sorted_group_apply(
+        ev.map_batches(prep, batch_format="pyarrow"), ["user_id"],
+        runs, num_partitions=4).sort("user_id")
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -13133,6 +13289,9 @@ def queries() -> dict[str, Callable]:
         "ml_permutation_importance": _q_ml_permutation_importance,
         "events_mann_kendall": _q_events_mann_kendall,
         "emb_isotropy": _q_emb_isotropy,
+        "rel_hierarchical_alloc": _q_rel_hierarchical_alloc,
+        "events_fano_factor": _q_events_fano_factor,
+        "events_max_type_run": _q_events_max_type_run,
         "kg_ktruss_edges": _q_kg_ktruss,
         "kg_subclass_depth": _q_kg_subclass_depth,
         "dedup_incremental": _q_dedup_incremental,
@@ -18695,4 +18854,73 @@ ORDER BY doc_a, doc_b"""
                                        * 1000000) <> 0 AND tot < 0
                            THEN 1 ELSE 0 END AS BIGINT) AS mean_dot_fp
         FROM f"""
+    out["rel_hierarchical_alloc"] = f"""
+        WITH rev AS (SELECT n.n_regionkey AS rk, n.n_nationkey AS nk,
+                            sum(CAST(round(o.o_totalprice * 100.0)
+                                     AS BIGINT)) AS cents
+                     FROM orders o
+                     JOIN customer c ON c.c_custkey = o.o_custkey
+                     JOIN nation n ON n.n_nationkey = c.c_nationkey
+                     GROUP BY 1, 2),
+        reg AS (SELECT rk, sum(cents) AS rc FROM rev GROUP BY 1),
+        t1 AS (SELECT sum(rc) AS tw FROM reg),
+        f1 AS (SELECT reg.rk, reg.rc,
+                      {HIER_BUDGET} * reg.rc // t1.tw AS fa,
+                      {HIER_BUDGET} * reg.rc
+                        - ({HIER_BUDGET} * reg.rc // t1.tw) * t1.tw
+                        AS rem
+               FROM reg, t1),
+        l1 AS (SELECT {HIER_BUDGET} - sum(fa) AS leftover FROM f1),
+        r1 AS (SELECT f1.*, row_number() OVER (ORDER BY rem DESC, rk)
+                 AS rnk FROM f1),
+        ra AS (SELECT r1.rk, fa + CASE WHEN rnk <= l1.leftover
+                                  THEN 1 ELSE 0 END AS ralloc
+               FROM r1, l1),
+        t2 AS (SELECT rk, sum(cents) AS tw FROM rev GROUP BY 1),
+        f2 AS (SELECT rev.rk, rev.nk, rev.cents, ra.ralloc,
+                      ra.ralloc * rev.cents // t2.tw AS fa,
+                      ra.ralloc * rev.cents
+                        - (ra.ralloc * rev.cents // t2.tw) * t2.tw
+                        AS rem
+               FROM rev JOIN ra USING (rk) JOIN t2 USING (rk)),
+        l2 AS (SELECT rk, max(ralloc) - sum(fa) AS leftover
+               FROM f2 GROUP BY 1),
+        r2 AS (SELECT f2.*, row_number() OVER (PARTITION BY rk
+                 ORDER BY rem DESC, nk) AS rnk FROM f2)
+        SELECT CAST(r2.rk AS BIGINT) AS regionkey,
+               CAST(r2.nk AS BIGINT) AS nationkey,
+               CAST(r2.cents AS BIGINT) AS cents,
+               CAST(fa + CASE WHEN rnk <= l2.leftover THEN 1 ELSE 0 END
+                    AS BIGINT) AS alloc
+        FROM r2 JOIN l2 USING (rk) ORDER BY regionkey, nationkey"""
+    out["events_fano_factor"] = """
+        WITH c AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                          count(*) AS x
+                   FROM events GROUP BY 1, 2),
+        a AS (SELECT event_type, sum(x) AS sx, sum(x * x) AS sx2
+              FROM c GROUP BY 1),
+        k AS (SELECT (SELECT max(day) FROM c)
+                     - (SELECT min(day) FROM c) + 1 AS n)
+        SELECT event_type, CAST(k.n AS BIGINT) AS n_days,
+               CAST(sx AS BIGINT) AS n_events,
+               CAST(1000000 * (k.n * sx2 - sx * sx) // (k.n * sx)
+                    AS BIGINT) AS fano_fp
+        FROM a, k ORDER BY 1"""
+    out["events_max_type_run"] = """
+        WITH o AS (SELECT user_id, event_type,
+                          row_number() OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id) AS rn,
+                          row_number() OVER (
+                             PARTITION BY user_id, event_type
+                             ORDER BY epoch_us(ts), event_id) AS rnt
+                   FROM events),
+        r AS (SELECT user_id, event_type, rn - rnt AS grp,
+                     count(*) AS len
+              FROM o GROUP BY 1, 2, 3),
+        p AS (SELECT user_id, event_type, len, row_number() OVER (
+                 PARTITION BY user_id ORDER BY len DESC, event_type)
+                 AS k FROM r)
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(len AS BIGINT) AS max_run, event_type AS run_type
+        FROM p WHERE k = 1 ORDER BY user_id"""
     return out
