@@ -446,6 +446,33 @@ def bgp_match(triples: ray.data.Dataset,
                           batch_format="pyarrow", zero_copy_batch=True)
 
 
+def bgp_filter_exists(triples: ray.data.Dataset,
+                      bindings: ray.data.Dataset,
+                      pattern: tuple[str, str, str],
+                      num_partitions: int | None = None,
+                      negate: bool = False) -> ray.data.Dataset:
+    """SPARQL ``FILTER EXISTS { pattern }`` / ``FILTER NOT EXISTS``:
+    semi- (or anti-) join the bindings against the pattern's scan on
+    their SHARED variables — no new variables bind (the difference from
+    just chaining the pattern: multiplicity and the variable frame stay
+    untouched). The pattern side collapses to its distinct shared-key
+    rows first, so the inner co-group is 1:1 and cannot blow up a hot
+    key."""
+    from .grouped import grouped_count
+    nxt, names = _scan(triples, pattern, num_partitions)
+    have = bindings.schema().names
+    shared = [v for v in names if v in have]
+    if not shared:
+        raise ValueError("bgp_filter_exists: pattern shares no variable "
+                         "with the bindings")
+    keys = grouped_count(nxt.map_batches(
+        lambda b: b.select(shared), batch_format="pyarrow",
+        zero_copy_batch=True), shared, "__n", num_partitions) \
+        .map_batches(lambda b: b.select(shared), batch_format="pyarrow")
+    return cogroup_join(bindings, keys, shared, list(have), shared,
+                        num_partitions, how="anti" if negate else "inner")
+
+
 def bgp_union(triples: ray.data.Dataset,
               groups: list[list[tuple[str, str, str]]],
               select: list[str],

@@ -12863,6 +12863,126 @@ def _q_events_max_type_run(sf_dir: str):
         runs, num_partitions=4).sort("user_id")
 
 
+def _q_kg_sparql_unbound_filter(sf_dir: str):
+    """SPARQL FILTER(!bound(?tool)): {?t :mentions ?m . OPTIONAL {?t
+    :usesTool ?tool} FILTER(!bound(?tool))} — mentions arising in turns
+    with NO tool call (the organic-vs-tool-driven mention split; most
+    turns carry no tool, so the filter bites non-vacuously). The
+    engine's null-free unbound ('') makes !bound a plain equality
+    filter over the OPTIONAL left join; output counts per mention."""
+    from .functions.bgp import bgp_match
+    from .functions.grouped import grouped_count
+    from .pipelines.kg import run_kg
+    b = bgp_match(run_kg(sf_dir),
+                  [("?t", C.PRED_MENTIONS, "?m")],
+                  ["t", "m"], num_partitions=8,
+                  optional_patterns=[("?t", C.PRED_USES_TOOL, "?tool")],
+                  filters=[("tool", "==", "")])
+    return grouped_count(b.map_batches(
+        lambda t: t.select(["m"]), batch_format="pyarrow"),
+        ["m"], "n_turns", 4).sort("m")
+
+
+def _q_kg_sparql_exists_filter(sf_dir: str):
+    """SPARQL FILTER EXISTS: {?t :usesTool ?tool . FILTER EXISTS {?t
+    :mentions ?m}} — tool usage counted only over turns that ALSO
+    mention an entity (functions/bgp.bgp_filter_exists: a semi-join on
+    the shared variable that binds nothing, unlike chaining the
+    pattern). Distinct-key right side keeps the co-group 1:1."""
+    from .functions.bgp import bgp_filter_exists, bgp_match
+    from .functions.grouped import grouped_count
+    from .pipelines.kg import run_kg
+    tri = run_kg(sf_dir).materialize()
+    b = bgp_match(tri, [("?t", C.PRED_USES_TOOL, "?tool")],
+                  ["t", "tool"], num_partitions=8)
+    kept = bgp_filter_exists(tri, b, ("?t", C.PRED_MENTIONS, "?m"),
+                             num_partitions=4)
+    return grouped_count(kept.map_batches(
+        lambda t: t.select(["tool"]), batch_format="pyarrow"),
+        ["tool"], "n_turns", 2).sort("tool")
+
+
+def _q_text_simpson_diversity(sf_dir: str):
+    """Simpson diversity (repeat-probability) per source: λ ×10⁶ =
+    10⁶·Σn(n−1) // (N(N−1)) over word counts — the quadratic
+    complement of the entropy family (exact, no logs). Dictionary-sized
+    fold per source."""
+    import pandas as pd
+    from .functions.grouped import grouped_count
+    from .stages.dedup import _words_flat
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["source", "text"])
+
+    def words(b: pa.Table) -> pa.Table:
+        w, doc_of = _words_flat(b["text"])
+        src = b["source"].to_numpy(zero_copy_only=False)
+        return pa.table({"source": pa.array(src[doc_of]),
+                         "word": pa.array(w)})
+
+    c = grouped_count(docs.map_batches(words, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                      ["source", "word"], "n", 8).to_pandas()
+    rows = []
+    for src, g in c.groupby("source"):
+        n = g["n"].to_numpy().astype(np.int64)
+        big_n = int(n.sum())
+        rep = int((n * (n - 1)).sum())
+        rows.append((src, big_n, rep,
+                     10**6 * rep // (big_n * (big_n - 1))))
+    return pd.DataFrame(rows, columns=["source", "n_tokens", "n_repeat",
+                                       "simpson_fp"]) \
+        .astype({"n_tokens": "int64", "n_repeat": "int64",
+                 "simpson_fp": "int64"}) \
+        .sort_values("source").reset_index(drop=True)
+
+
+def _q_rel_xyz_classification(sf_dir: str):
+    """XYZ variability classes per part (the ABC analysis' second
+    axis): CV² = (nΣq²−(Σq)²)/(Σq)² compared CROSS-MULTIPLIED against
+    1/4 and 1 — X (steady) / Y / Z (erratic) with zero square roots.
+    Per-part moment partials fold; only class counts leave."""
+    import pandas as pd
+    from .functions.grouped import sorted_aggregate
+    i64 = pa.int64()
+    li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_partkey", "l_quantity"])
+
+    def mom(b: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(b["l_quantity"]), i64) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({"pk": pc.cast(b["l_partkey"], i64),
+                         "n": pa.array(np.ones(len(q), np.int64)),
+                         "sq": pa.array(q), "sq2": pa.array(q * q)}) \
+            .group_by(["pk"], use_threads=False) \
+            .aggregate([("n", "sum"), ("sq", "sum"), ("sq2", "sum")]) \
+            .rename_columns(["pk", "n", "sq", "sq2"])
+
+    per = sorted_aggregate(
+        li.map_batches(mom, batch_format="pyarrow"),
+        ["pk"], [("n", "sum"), ("sq", "sum"), ("sq2", "sum")],
+        ["pk", "n", "sq", "sq2"], 8)
+
+    def classify(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        sq = b["sq"].to_numpy(zero_copy_only=False)
+        sq2 = b["sq2"].to_numpy(zero_copy_only=False)
+        var_num = n * sq2 - sq * sq
+        m2 = sq * sq
+        cls = np.where(4 * var_num <= m2, 0,
+                       np.where(var_num <= m2, 1, 2))
+        labels = np.array(["X", "Y", "Z"])
+        return pa.table({"xyz_class": pa.array(labels[cls]),
+                         "n_parts": pa.array(np.ones(len(n), np.int64))}) \
+            .group_by(["xyz_class"], use_threads=False) \
+            .aggregate([("n_parts", "sum")]) \
+            .rename_columns(["xyz_class", "n_parts"])
+
+    return sorted_aggregate(
+        per.map_batches(classify, batch_format="pyarrow"),
+        ["xyz_class"], [("n_parts", "sum")],
+        ["xyz_class", "n_parts"], 1)
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -13292,6 +13412,10 @@ def queries() -> dict[str, Callable]:
         "rel_hierarchical_alloc": _q_rel_hierarchical_alloc,
         "events_fano_factor": _q_events_fano_factor,
         "events_max_type_run": _q_events_max_type_run,
+        "kg_sparql_unbound_filter": _q_kg_sparql_unbound_filter,
+        "kg_sparql_exists_filter": _q_kg_sparql_exists_filter,
+        "text_simpson_diversity": _q_text_simpson_diversity,
+        "rel_xyz_classification": _q_rel_xyz_classification,
         "kg_ktruss_edges": _q_kg_ktruss,
         "kg_subclass_depth": _q_kg_subclass_depth,
         "dedup_incremental": _q_dedup_incremental,
@@ -18923,4 +19047,44 @@ ORDER BY doc_a, doc_b"""
         SELECT CAST(user_id AS BIGINT) AS user_id,
                CAST(len AS BIGINT) AS max_run, event_type AS run_type
         FROM p WHERE k = 1 ORDER BY user_id"""
+    out["kg_sparql_unbound_filter"] = P + f"""
+        , tri AS (SELECT * FROM ({full_body})),
+        m AS (SELECT DISTINCT subj AS t, obj AS m FROM tri
+              WHERE pred = '{C.PRED_MENTIONS}'),
+        ut AS (SELECT DISTINCT subj AS t FROM tri
+               WHERE pred = '{C.PRED_USES_TOOL}')
+        SELECT m.m AS m, CAST(count(*) AS BIGINT) AS n_turns
+        FROM m WHERE m.t NOT IN (SELECT t FROM ut)
+        GROUP BY 1 ORDER BY 1"""
+    out["kg_sparql_exists_filter"] = P + f"""
+        , tri AS (SELECT * FROM ({full_body})),
+        u AS (SELECT DISTINCT subj AS t, obj AS tool FROM tri
+              WHERE pred = '{C.PRED_USES_TOOL}'),
+        me AS (SELECT DISTINCT subj AS t FROM tri
+               WHERE pred = '{C.PRED_MENTIONS}')
+        SELECT tool, CAST(count(*) AS BIGINT) AS n_turns
+        FROM u WHERE t IN (SELECT t FROM me)
+        GROUP BY 1 ORDER BY 1"""
+    out["text_simpson_diversity"] = """
+        WITH w AS (SELECT source, unnest(string_split(lower(text), ' '))
+                     AS w FROM documents),
+        c AS (SELECT source, w, count(*) AS n FROM w GROUP BY 1, 2)
+        SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+               CAST(sum(n * (n - 1)) AS BIGINT) AS n_repeat,
+               CAST(1000000 * sum(n * (n - 1))
+                    // (sum(n) * (sum(n) - 1)) AS BIGINT) AS simpson_fp
+        FROM c GROUP BY 1 ORDER BY 1"""
+    out["rel_xyz_classification"] = """
+        WITH m AS (SELECT l_partkey, count(*) AS n,
+                          sum(CAST(round(l_quantity) AS BIGINT)) AS sq,
+                          sum(CAST(round(l_quantity) AS BIGINT)
+                              * CAST(round(l_quantity) AS BIGINT)) AS sq2
+                   FROM lineitem GROUP BY 1),
+        c AS (SELECT CASE WHEN 4 * (n * sq2 - sq * sq) <= sq * sq
+                          THEN 'X'
+                          WHEN (n * sq2 - sq * sq) <= sq * sq THEN 'Y'
+                          ELSE 'Z' END AS xyz_class
+              FROM m)
+        SELECT xyz_class, CAST(count(*) AS BIGINT) AS n_parts
+        FROM c GROUP BY 1 ORDER BY 1"""
     return out
