@@ -12983,6 +12983,138 @@ def _q_rel_xyz_classification(sf_dir: str):
         ["xyz_class", "n_parts"], 1)
 
 
+def _q_rel_revenue_waterfall(sf_dir: str):
+    """Revenue waterfall: gross → −discount → net → +tax → final, all
+    exact cents in ONE lineitem scan (each component rounded per line
+    with the pinned half-up rule, so the bridge reconciles to the
+    ledger audit's line totals). Five counters fold."""
+    import pandas as pd
+    i64 = pa.int64()
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_extendedprice", "l_discount", "l_tax"])
+
+    def parts(b: pa.Table) -> pa.Table:
+        ep = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dc = b["l_discount"].to_numpy(zero_copy_only=False)
+        tx = b["l_tax"].to_numpy(zero_copy_only=False)
+        gross = np.floor(ep * 100.0 + 0.5).astype(np.int64)
+        disc = np.floor(ep * dc * 100.0 + 0.5).astype(np.int64)
+        net = np.floor(ep * (1.0 - dc) * 100.0 + 0.5).astype(np.int64)
+        tax = np.floor(ep * (1.0 - dc) * tx * 100.0 + 0.5) \
+            .astype(np.int64)
+        return pa.table({
+            "gross_c": pa.array([int(gross.sum())], i64),
+            "discount_c": pa.array([int(disc.sum())], i64),
+            "net_c": pa.array([int(net.sum())], i64),
+            "tax_c": pa.array([int(tax.sum())], i64)})
+
+    p = li.map_batches(parts, batch_format="pyarrow",
+                       zero_copy_batch=True).to_pandas()
+    g, d = int(p["gross_c"].sum()), int(p["discount_c"].sum())
+    n, t = int(p["net_c"].sum()), int(p["tax_c"].sum())
+    return pd.DataFrame({"gross_c": [g], "discount_c": [d],
+                         "net_c": [n], "tax_c": [t],
+                         "final_c": [n + t]}).astype("int64")
+
+
+def _q_kg_object_namespaces(sf_dir: str):
+    """Object-namespace rollup: triples per OBJECT namespace (schema /
+    entity / wikidata / prop / rdf / rdfs / literal) — the graph-shape
+    fingerprint VoID's per-predicate stats don't give. One vectorized
+    starts_with cascade per batch; |namespaces| counters fold."""
+    from .functions.grouped import sorted_aggregate
+    from .pipelines.kg import run_kg
+    i64 = pa.int64()
+    spaces = [("schema", C.SCHEMA), ("entity", C.ENT),
+              ("wikidata", C.WD), ("prop", C.PROP),
+              ("rdf", C.RDF), ("rdfs", C.RDFS)]
+
+    def ns(b: pa.Table) -> pa.Table:
+        obj = b["obj"]
+        lit = b["obj_is_literal"].to_numpy(zero_copy_only=False)
+        out = np.where(lit, "literal", "other")
+        for name, pre in spaces:
+            m = pc.starts_with(obj, pre).to_numpy(zero_copy_only=False)
+            out = np.where(~lit & m, name, out)
+        return pa.table({"namespace": pa.array(out),
+                         "n": pa.array(np.ones(b.num_rows, np.int64))}) \
+            .group_by(["namespace"], use_threads=False) \
+            .aggregate([("n", "sum")]).rename_columns(["namespace", "n"])
+
+    return sorted_aggregate(
+        run_kg(sf_dir).map_batches(ns, batch_format="pyarrow",
+                                   zero_copy_batch=True),
+        ["namespace"], [("n", "sum")], ["namespace", "n"], 1)
+
+
+COST_FN = 5  # missing a positive costs 5x a false alarm
+
+
+def _q_ml_cost_curve(sf_dir: str):
+    """Cost-sensitive threshold curve: expected cost = 5·FN + FP per
+    candidate n_chars threshold (the business-asymmetric view the
+    accuracy-optimal stump ignores) + the argmin row flag. Per-threshold
+    2-cell partials fold; the curve is |thresholds| rows."""
+    import pandas as pd
+    i64 = pa.int64()
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["n_chars", "lang"])
+    ths = list(GINI_THRESHOLDS)
+
+    def cells(b: pa.Table) -> pa.Table:
+        x = pc.cast(b["n_chars"], i64).to_numpy(zero_copy_only=False)
+        y = pc.equal(b["lang"], "en").to_numpy(zero_copy_only=False)
+        rows = [(t, int(((x >= t) & ~y).sum()),
+                 int(((x < t) & y).sum())) for t in ths]
+        tt, fp, fn = zip(*rows)
+        return pa.table({"thr": pa.array(tt, i64),
+                         "fp": pa.array(fp, i64),
+                         "fn": pa.array(fn, i64)})
+
+    p = docs.map_batches(cells, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas() \
+        .groupby("thr", as_index=False).sum()
+    p["cost"] = COST_FN * p["fn"].astype("int64") + p["fp"].astype(
+        "int64")
+    best = p.sort_values(["cost", "thr"]).iloc[0]["thr"]
+    p["is_best"] = (p["thr"] == best).astype("int64")
+    return p.sort_values("thr").reset_index(drop=True).astype(
+        {"thr": "int64", "fp": "int64", "fn": "int64", "cost": "int64",
+         "is_best": "int64"})
+
+
+def _q_kg_literal_length_stats(sf_dir: str):
+    """Literal-payload profile per predicate: n, total and max UTF-8
+    length of literal objects — the storage/size fingerprint of the
+    graph's text columns (which predicate dominates bytes). Vectorized
+    utf8_length, |preds| partials."""
+    from .functions.grouped import sorted_aggregate
+    from .pipelines.kg import run_kg
+    i64 = pa.int64()
+
+    def stats(b: pa.Table) -> pa.Table:
+        t = b.filter(b["obj_is_literal"])
+        if t.num_rows == 0:
+            return pa.schema([("pred", pa.string()), ("n", i64),
+                              ("sum_len", i64),
+                              ("max_len", i64)]).empty_table()
+        ln = pc.cast(pc.utf8_length(t["obj"]), i64)
+        return pa.table({"pred": t["pred"],
+                         "n": pa.array(np.ones(t.num_rows, np.int64)),
+                         "sum_len": ln, "max_len": ln}) \
+            .group_by(["pred"], use_threads=False) \
+            .aggregate([("n", "sum"), ("sum_len", "sum"),
+                        ("max_len", "max")]) \
+            .rename_columns(["pred", "n", "sum_len", "max_len"])
+
+    return sorted_aggregate(
+        run_kg(sf_dir).map_batches(stats, batch_format="pyarrow",
+                                   zero_copy_batch=True),
+        ["pred"], [("n", "sum"), ("sum_len", "sum"), ("max_len", "max")],
+        ["pred", "n", "sum_len", "max_len"], 1)
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -13416,6 +13548,10 @@ def queries() -> dict[str, Callable]:
         "kg_sparql_exists_filter": _q_kg_sparql_exists_filter,
         "text_simpson_diversity": _q_text_simpson_diversity,
         "rel_xyz_classification": _q_rel_xyz_classification,
+        "rel_revenue_waterfall": _q_rel_revenue_waterfall,
+        "kg_object_namespaces": _q_kg_object_namespaces,
+        "ml_cost_curve": _q_ml_cost_curve,
+        "kg_literal_length_stats": _q_kg_literal_length_stats,
         "kg_ktruss_edges": _q_kg_ktruss,
         "kg_subclass_depth": _q_kg_subclass_depth,
         "dedup_incremental": _q_dedup_incremental,
@@ -19087,4 +19223,53 @@ ORDER BY doc_a, doc_b"""
               FROM m)
         SELECT xyz_class, CAST(count(*) AS BIGINT) AS n_parts
         FROM c GROUP BY 1 ORDER BY 1"""
+    out["rel_revenue_waterfall"] = """
+        WITH p AS (SELECT
+            CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS g,
+            CAST(floor(l_extendedprice * l_discount * 100.0 + 0.5)
+                 AS BIGINT) AS d,
+            CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+                 AS BIGINT) AS n,
+            CAST(floor(l_extendedprice * (1 - l_discount) * l_tax
+                       * 100.0 + 0.5) AS BIGINT) AS t
+            FROM lineitem)
+        SELECT CAST(sum(g) AS BIGINT) AS gross_c,
+               CAST(sum(d) AS BIGINT) AS discount_c,
+               CAST(sum(n) AS BIGINT) AS net_c,
+               CAST(sum(t) AS BIGINT) AS tax_c,
+               CAST(sum(n) + sum(t) AS BIGINT) AS final_c
+        FROM p"""
+    ns_case = " ".join(
+        f"WHEN obj LIKE '{pre}%' THEN '{name}'"
+        for name, pre in [("schema", C.SCHEMA), ("entity", C.ENT),
+                          ("wikidata", C.WD), ("prop", C.PROP),
+                          ("rdf", C.RDF), ("rdfs", C.RDFS)])
+    out["kg_object_namespaces"] = P + f"""
+        , tri AS (SELECT * FROM ({full_body}))
+        SELECT CASE WHEN obj_is_literal THEN 'literal'
+                    {ns_case} ELSE 'other' END AS namespace,
+               CAST(count(*) AS BIGINT) AS n
+        FROM tri GROUP BY 1 ORDER BY 1"""
+    cost_th = ", ".join(f"({t})" for t in GINI_THRESHOLDS)
+    out["ml_cost_curve"] = f"""
+        WITH t(thr) AS (VALUES {cost_th}),
+        c AS (SELECT t.thr,
+                sum(CASE WHEN d.n_chars >= t.thr AND d.lang <> 'en'
+                    THEN 1 ELSE 0 END) AS fp,
+                sum(CASE WHEN d.n_chars < t.thr AND d.lang = 'en'
+                    THEN 1 ELSE 0 END) AS fn
+              FROM documents d CROSS JOIN t GROUP BY 1),
+        k AS (SELECT c.*, {COST_FN} * fn + fp AS cost FROM c),
+        b AS (SELECT thr AS best FROM k ORDER BY cost, thr LIMIT 1)
+        SELECT CAST(thr AS BIGINT) AS thr, CAST(fp AS BIGINT) AS fp,
+               CAST(fn AS BIGINT) AS fn, CAST(cost AS BIGINT) AS cost,
+               CAST(CASE WHEN thr = b.best THEN 1 ELSE 0 END AS BIGINT)
+                 AS is_best
+        FROM k, b ORDER BY thr"""
+    out["kg_literal_length_stats"] = P + f"""
+        , tri AS (SELECT * FROM ({full_body}))
+        SELECT pred, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(length(obj)) AS BIGINT) AS sum_len,
+               CAST(max(length(obj)) AS BIGINT) AS max_len
+        FROM tri WHERE obj_is_literal GROUP BY 1 ORDER BY 1"""
     return out
