@@ -13115,6 +13115,197 @@ def _q_kg_literal_length_stats(sf_dir: str):
         ["pred", "n", "sum_len", "max_len"], 1)
 
 
+def _q_rel_unit_price_audit(sf_dir: str):
+    """Unit-price anomaly audit per brand: lineitems whose implied unit
+    price deviates >5% from the catalog retail price, decided by the
+    exact cross-multiplication 20·|100·ext_c − qty·retail_c| >
+    qty·retail_c (no division) — the pricing-integrity check. Retail
+    cents attach to lines through ONE int-key co-group."""
+    from .functions.grouped import sorted_aggregate
+    from .functions.joins import attach_column
+    i64 = pa.int64()
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice", "l_quantity"]) \
+        .map_batches(lambda b: pa.table({
+            "pk": pc.cast(b["l_partkey"], i64),
+            "ext_c": pc.cast(pc.round(pc.multiply(
+                b["l_extendedprice"], 100.0)), i64),
+            "qty": pc.cast(pc.round(b["l_quantity"]), i64)}),
+            batch_format="pyarrow")
+    part = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_retailprice"]).map_batches(
+        lambda b: pa.table({
+            "pk": pc.cast(b["p_partkey"], i64),
+            "retail_c": pc.cast(pc.round(pc.multiply(
+                b["p_retailprice"], 100.0)), i64)}),
+        batch_format="pyarrow")
+    brand = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand"]).map_batches(
+        lambda b: pa.table({"pk": pc.cast(b["p_partkey"], i64),
+                            "brand": b["p_brand"]}),
+        batch_format="pyarrow")
+    j = attach_column(li, part, [("pk", i64), ("ext_c", i64),
+                                 ("qty", i64)],
+                      "pk", "pk", "retail_c", "retail_c", i64, 8)
+
+    def flag(b: pa.Table) -> pa.Table:
+        ext = b["ext_c"].to_numpy(zero_copy_only=False)
+        qty = b["qty"].to_numpy(zero_copy_only=False)
+        rc = b["retail_c"].to_numpy(zero_copy_only=False)
+        dev = 20 * np.abs(100 * ext - qty * rc) > qty * rc
+        return pa.table({"pk": b["pk"],
+                         "n": pa.array(np.ones(len(ext), np.int64)),
+                         "n_out": pa.array(dev.astype(np.int64))}) \
+            .group_by(["pk"], use_threads=False) \
+            .aggregate([("n", "sum"), ("n_out", "sum")]) \
+            .rename_columns(["pk", "n", "n_out"])
+
+    per_pk = sorted_aggregate(
+        j.map_batches(flag, batch_format="pyarrow"),
+        ["pk"], [("n", "sum"), ("n_out", "sum")],
+        ["pk", "n", "n_out"], 8)
+    withbrand = attach_column(per_pk, brand,
+                              [("pk", i64), ("n", i64), ("n_out", i64)],
+                              "pk", "pk", "brand", "brand",
+                              pa.string(), 4)
+    return sorted_aggregate(
+        withbrand.map_batches(lambda b: pa.table(
+            {"p_brand": b["brand"], "n": b["n"], "n_out": b["n_out"]})
+            .group_by(["p_brand"], use_threads=False)
+            .aggregate([("n", "sum"), ("n_out", "sum")])
+            .rename_columns(["p_brand", "n", "n_out"]),
+            batch_format="pyarrow"),
+        ["p_brand"], [("n", "sum"), ("n_out", "sum")],
+        ["p_brand", "n_lines", "n_outliers"], 1)
+
+
+def _q_dedup_cross_source_clusters(sf_dir: str):
+    """Cross-source contamination in near-dup clusters: clusters (from
+    the minhash canonical map) whose members span >1 SOURCE — the
+    mirror-site / re-crawl signal a per-source dedup would miss
+    entirely. Sources ride onto the cluster map via one int-key
+    attach; per-cluster distinct-source counts fold."""
+    import pandas as pd
+    from .functions.grouped import grouped_count
+    from .functions.joins import attach_column
+    from .stages.dedup import dedup_canonical_map, minhash_lsh_pairs
+    i64 = pa.int64()
+    docs = _docs(sf_dir)
+    cm = dedup_canonical_map(docs, minhash_lsh_pairs(docs)).materialize()
+    src = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                columns=["doc_id", "source"]).map_batches(
+        lambda b: pa.table({"doc_id": pc.cast(b["doc_id"], i64),
+                            "source": b["source"]}),
+        batch_format="pyarrow")
+    m = attach_column(cm.map_batches(lambda b: pa.table(
+        {"doc_id": pc.cast(b["doc_id"], i64),
+         "canon_id": pc.cast(b["canon_id"], i64)}),
+        batch_format="pyarrow"), src,
+        [("doc_id", i64), ("canon_id", i64)],
+        "doc_id", "doc_id", "source", "source", pa.string(), 8)
+    per = grouped_count(m.map_batches(
+        lambda b: b.select(["canon_id", "source"]),
+        batch_format="pyarrow"), ["canon_id", "source"], "__n", 4)
+    sizes = grouped_count(per.map_batches(
+        lambda b: b.select(["canon_id"]), batch_format="pyarrow"),
+        ["canon_id"], "n_sources", 2).to_pandas()
+    total = len(sizes)
+    crossed = int((sizes["n_sources"] >= 2).sum())
+    return pd.DataFrame({
+        "n_clusters": [total], "n_cross_source": [crossed],
+        "cross_fp": [10**6 * crossed // max(total, 1)]}).astype("int64")
+
+
+POSBIAS_TERMS = ("hash", "scan", "window", "stream")
+
+
+def _q_text_term_position_bias(sf_dir: str):
+    """Positional bias per query term: do occurrences cluster early or
+    late in documents? Per occurrence the relative position (i−1)·10⁶
+    // (len−1) (0 = first token, 10⁶ = last); report n and the SUM of
+    position fp (mean = sum // n is derivable, sums stay
+    blocking-invariant). One flat-token pass, |terms| partials."""
+    import pandas as pd
+    from .stages.dedup import _words_flat
+    i64 = pa.int64()
+    terms = list(POSBIAS_TERMS)
+
+    def pos(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema([("term", pa.string()), ("n", i64),
+                              ("sum_pos_fp", i64)]).empty_table()
+        words, doc_of = _words_flat(b["text"])
+        lens = np.bincount(doc_of, minlength=b.num_rows).astype(np.int64)
+        starts = np.zeros(b.num_rows, np.int64)
+        starts[1:] = np.cumsum(lens)[:-1]
+        tok_idx = np.arange(len(words)) - starts[doc_of]
+        denom = np.maximum(lens[doc_of] - 1, 1)
+        fp = 10**6 * tok_idx // denom
+        rows = []
+        for t in terms:
+            m = words == t
+            rows.append((t, int(m.sum()), int(fp[m].sum())))
+        tt, nn, ss = zip(*rows)
+        return pa.table({"term": pa.array(tt, pa.string()),
+                         "n": pa.array(nn, i64),
+                         "sum_pos_fp": pa.array(ss, i64)})
+
+    p = _docs(sf_dir).map_batches(pos, batch_format="pyarrow",
+                                  zero_copy_batch=True).to_pandas() \
+        .groupby("term", as_index=False).sum()
+    p["mean_pos_fp"] = (p["sum_pos_fp"].astype("int64")
+                        // p["n"].astype("int64").clip(lower=1))
+    return p.sort_values("term").reset_index(drop=True).astype(
+        {"n": "int64", "sum_pos_fp": "int64", "mean_pos_fp": "int64"})
+
+
+TIER_WARM_DAYS = 365
+TIER_HOT_DAYS = 90
+
+
+def _q_rel_storage_tiering(sf_dir: str):
+    """Storage-tiering plan: parts classified hot/warm/cold by days
+    since LAST shipment relative to the corpus horizon (max shipdate) —
+    the lifecycle policy input for a 100-TB lakehouse. Per-part max
+    day folds; the horizon is one scalar; tier counts leave."""
+    import pandas as pd
+    from .functions.grouped import sorted_aggregate
+    i64 = pa.int64()
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_shipdate"]).map_batches(
+        lambda b: pa.table({
+            "pk": pc.cast(b["l_partkey"], i64),
+            "day": pc.divide(pc.cast(pc.cast(b["l_shipdate"],
+                                             pa.timestamp("us")), i64),
+                             86_400_000_000)}),
+        batch_format="pyarrow").materialize()
+    last = sorted_aggregate(li, ["pk"], [("day", "max")],
+                            ["pk", "last_day"], 8).materialize()
+    horizon = int(last.map_batches(
+        lambda b: pa.table({"m": pa.array(
+            [int(b["last_day"].to_numpy(zero_copy_only=False).max())],
+            i64)}), batch_format="pyarrow").to_pandas()["m"].max())
+
+    def tier(b: pa.Table) -> pa.Table:
+        age = horizon - b["last_day"].to_numpy(zero_copy_only=False)
+        t = np.where(age <= TIER_HOT_DAYS, "hot",
+                     np.where(age <= TIER_WARM_DAYS, "warm", "cold"))
+        return pa.table({"tier": pa.array(t),
+                         "n_parts": pa.array(
+                             np.ones(len(age), np.int64))}) \
+            .group_by(["tier"], use_threads=False) \
+            .aggregate([("n_parts", "sum")]) \
+            .rename_columns(["tier", "n_parts"])
+
+    return sorted_aggregate(
+        last.map_batches(tier, batch_format="pyarrow"),
+        ["tier"], [("n_parts", "sum")], ["tier", "n_parts"], 1)
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -13552,6 +13743,10 @@ def queries() -> dict[str, Callable]:
         "kg_object_namespaces": _q_kg_object_namespaces,
         "ml_cost_curve": _q_ml_cost_curve,
         "kg_literal_length_stats": _q_kg_literal_length_stats,
+        "rel_unit_price_audit": _q_rel_unit_price_audit,
+        "dedup_cross_source_clusters": _q_dedup_cross_source_clusters,
+        "text_term_position_bias": _q_text_term_position_bias,
+        "rel_storage_tiering": _q_rel_storage_tiering,
         "kg_ktruss_edges": _q_kg_ktruss,
         "kg_subclass_depth": _q_kg_subclass_depth,
         "dedup_incremental": _q_dedup_incremental,
@@ -19272,4 +19467,62 @@ ORDER BY doc_a, doc_b"""
                CAST(sum(length(obj)) AS BIGINT) AS sum_len,
                CAST(max(length(obj)) AS BIGINT) AS max_len
         FROM tri WHERE obj_is_literal GROUP BY 1 ORDER BY 1"""
+    out["rel_unit_price_audit"] = """
+        WITH l AS (SELECT l_partkey AS pk,
+                          CAST(round(l_extendedprice * 100.0) AS BIGINT)
+                            AS ext_c,
+                          CAST(round(l_quantity) AS BIGINT) AS qty
+                   FROM lineitem),
+        p AS (SELECT p_partkey AS pk, p_brand,
+                     CAST(round(p_retailprice * 100.0) AS BIGINT)
+                       AS retail_c
+              FROM part)
+        SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN 20 * abs(100 * l.ext_c
+                                           - l.qty * p.retail_c)
+                                  > l.qty * p.retail_c
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM l JOIN p USING (pk) GROUP BY 1 ORDER BY 1"""
+    out["dedup_cross_source_clusters"] = \
+        "WITH RECURSIVE " + _SHINGLE_CTE + "," + _CANON_CTE + """,
+        m AS (SELECT d.doc_id, d.source,
+                     coalesce(c.c, d.doc_id) AS canon_id
+              FROM documents d LEFT JOIN canon c ON c.node = d.doc_id),
+        per AS (SELECT canon_id, count(DISTINCT source) AS ns
+                FROM m GROUP BY 1)
+        SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(sum(CASE WHEN ns >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_cross_source,
+               CAST(1000000 * sum(CASE WHEN ns >= 2 THEN 1 ELSE 0 END)
+                    // greatest(count(*), 1) AS BIGINT) AS cross_fp
+        FROM per"""
+    pos_terms = ", ".join(f"('{t}')" for t in POSBIAS_TERMS)
+    out["text_term_position_bias"] = f"""
+        WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                   FROM documents),
+        occ AS (SELECT ws[t.i] AS term,
+                       1000000 * (t.i - 1)
+                         // greatest(len(ws) - 1, 1) AS fp
+                FROM d, unnest(generate_series(1, len(ws))) AS t(i)),
+        q(term) AS (VALUES {pos_terms})
+        SELECT q.term, CAST(count(occ.term) AS BIGINT) AS n,
+               CAST(coalesce(sum(occ.fp), 0) AS BIGINT) AS sum_pos_fp,
+               CAST(coalesce(sum(occ.fp), 0)
+                    // greatest(count(occ.term), 1) AS BIGINT)
+                 AS mean_pos_fp
+        FROM q LEFT JOIN occ ON occ.term = q.term
+        GROUP BY 1 ORDER BY 1"""
+    out["rel_storage_tiering"] = f"""
+        WITH l AS (SELECT l_partkey AS pk,
+                          epoch_us(l_shipdate) // 86400000000 AS day
+                   FROM lineitem),
+        last AS (SELECT pk, max(day) AS last_day FROM l GROUP BY 1),
+        h AS (SELECT max(last_day) AS horizon FROM last),
+        t AS (SELECT CASE WHEN h.horizon - last_day <= {TIER_HOT_DAYS}
+                          THEN 'hot'
+                          WHEN h.horizon - last_day <= {TIER_WARM_DAYS}
+                          THEN 'warm' ELSE 'cold' END AS tier
+              FROM last, h)
+        SELECT tier, CAST(count(*) AS BIGINT) AS n_parts
+        FROM t GROUP BY 1 ORDER BY 1"""
     return out
