@@ -13306,6 +13306,188 @@ def _q_rel_storage_tiering(sf_dir: str):
         ["tier"], [("n_parts", "sum")], ["tier", "n_parts"], 1)
 
 
+def _q_kg_schema_summary(sf_dir: str):
+    """Schema-graph extraction: (subject class, predicate, object
+    class-or-datatype) pattern counts — the ontology USAGE summary a
+    KG catalog shows (VoID gives predicate totals; this types both
+    ends). Subject/object classes ride in through two co-group
+    attaches against the rdf:type edges; nothing assumes the node
+    count fits anywhere."""
+    from .functions.bgp import cogroup_join
+    from .functions.grouped import grouped_count
+    from .pipelines.kg import run_kg
+    tri = run_kg(sf_dir).materialize()
+    types_s = tri.filter(expr=f"pred == '{C.RDF_TYPE}'").map_batches(
+        lambda b: pa.table({"subj": b["subj"], "cls": b["obj"]}),
+        batch_format="pyarrow")
+    types_o = tri.filter(expr=f"pred == '{C.RDF_TYPE}'").map_batches(
+        lambda b: pa.table({"node": b["subj"], "cls": b["obj"]}),
+        batch_format="pyarrow")
+
+    def base(b: pa.Table) -> pa.Table:
+        ocls = pc.if_else(
+            b["obj_is_literal"],
+            pc.fill_null(b["obj_datatype"], "literal"),
+            pa.nulls(b.num_rows, pa.string()).fill_null("__iri__"))
+        return pa.table({"subj": b["subj"], "pred": b["pred"],
+                         "obj": b["obj"],
+                         "ocls_lit": pc.cast(ocls, pa.string())})
+
+    edges = tri.map_batches(base, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    with_s = cogroup_join(
+        edges, types_s, ["subj"],
+        ["subj", "pred", "obj", "ocls_lit"], ["subj", "cls"],
+        num_partitions=8, how="left", max_group=10_000_000) \
+        .map_batches(lambda b: pa.table({
+            "scls": pc.if_else(pc.equal(b["cls"], ""),
+                               pa.nulls(b.num_rows, pa.string())
+                               .fill_null("untyped"), b["cls"]),
+            "pred": b["pred"], "node": b["obj"],
+            "ocls_lit": b["ocls_lit"]}), batch_format="pyarrow")
+    with_o = cogroup_join(
+        with_s, types_o, ["node"],
+        ["node", "scls", "pred", "ocls_lit"], ["node", "cls"],
+        num_partitions=8, how="left", max_group=10_000_000) \
+        .map_batches(lambda b: pa.table({
+            "scls": b["scls"], "pred": b["pred"],
+            "ocls": pc.if_else(
+                pc.equal(b["ocls_lit"], "__iri__"),
+                pc.if_else(pc.equal(b["cls"], ""),
+                           pa.nulls(b.num_rows, pa.string())
+                           .fill_null("untyped"), b["cls"]),
+                b["ocls_lit"])}), batch_format="pyarrow")
+    return grouped_count(with_o, ["scls", "pred", "ocls"], "n", 4) \
+        .sort(["scls", "pred", "ocls"])
+
+
+SPLIT_PCT = 80  # train fraction of the day span
+
+
+def _q_sample_temporal_split(sf_dir: str):
+    """Temporal train/test split + leakage audit: cutoff at the
+    SPLIT_PCT ordinal of the day span, train = before, test = after;
+    leakage = test events whose user ALSO appears in train (the
+    user-level contamination a random split hides). First-seen day is
+    one grouped min; everything else is counters."""
+    import pandas as pd
+    from .functions.grouped import sorted_aggregate
+    i64 = pa.int64()
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts"]).map_batches(
+        lambda b: pa.table({
+            "user_id": pc.cast(b["user_id"], i64),
+            "day": pc.divide(pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                                     i64), 86_400_000_000)}),
+        batch_format="pyarrow").materialize()
+    mm = ev.map_batches(lambda b: pa.table({
+        "mn": pa.array([int(b["day"].to_numpy(
+            zero_copy_only=False).min())], i64),
+        "mx": pa.array([int(b["day"].to_numpy(
+            zero_copy_only=False).max())], i64)}),
+        batch_format="pyarrow").to_pandas()
+    d0, d1 = int(mm["mn"].min()), int(mm["mx"].max())
+    cutoff = d0 + (d1 - d0) * SPLIT_PCT // 100
+    first = sorted_aggregate(ev, ["user_id"], [("day", "min")],
+                             ["user_id", "first_day"], 4)
+    from .functions.joins import attach_column
+    tagged = attach_column(ev, first, [("user_id", i64), ("day", i64)],
+                           "user_id", "user_id", "first_day",
+                           "first_day", i64, 4)
+
+    def fold(b: pa.Table) -> pa.Table:
+        day = b["day"].to_numpy(zero_copy_only=False)
+        fd = b["first_day"].to_numpy(zero_copy_only=False)
+        test = day > cutoff
+        leaked = test & (fd <= cutoff)
+        return pa.table({
+            "n_train": pa.array([int((~test).sum())], i64),
+            "n_test": pa.array([int(test.sum())], i64),
+            "n_leaked": pa.array([int(leaked.sum())], i64)})
+
+    p = tagged.map_batches(fold, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    ntr, nte = int(p["n_train"].sum()), int(p["n_test"].sum())
+    nlk = int(p["n_leaked"].sum())
+    return pd.DataFrame({
+        "cutoff_day": [cutoff], "n_train": [ntr], "n_test": [nte],
+        "n_leaked": [nlk],
+        "leak_fp": [10**6 * nlk // max(nte, 1)]}).astype("int64")
+
+
+def _q_text_dup_ngram_coverage(sf_dir: str):
+    """Duplicated-n-gram coverage per source: the fraction of corpus
+    TOKENS lying inside at least one 3-gram shared with another
+    document — the contamination-surface headline (dup-span finds the
+    spans; this prices them corpus-wide). Shingle df folds once; dup
+    flags ride back to each doc's positions and the covered-token
+    union is a vectorized running-max sweep per doc."""
+    import pandas as pd
+    from .functions.bgp import cogroup_join
+    from .functions.grouped import grouped_count
+    from .stages.dedup import SHINGLE_K, _distinct_doc_shingles, \
+        _words_flat
+    i64 = pa.int64()
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "source", "text"]) \
+        .materialize()
+
+    def postings(b: pa.Table) -> pa.Table:
+        doc_idx, codes, dic = _distinct_doc_shingles(b["text"])
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        if len(doc_idx) == 0:
+            return pa.schema([("s", pa.string())]).empty_table()
+        return pa.table({"s": pc.take(dic, pa.array(codes))})
+
+    df = grouped_count(docs.map_batches(postings, batch_format="pyarrow",
+                                        zero_copy_batch=True),
+                       ["s"], "df", 8)
+    dup = df.map_batches(lambda b: b.filter(
+        pc.greater_equal(b["df"], 2)).select(["s"]),
+        batch_format="pyarrow").to_pandas()
+    dup_set = set(dup["s"])
+
+    def coverage(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema([("source", pa.string()), ("n_tokens", i64),
+                              ("n_covered", i64)]).empty_table()
+        words, doc_of = _words_flat(b["text"])
+        src = b["source"].to_numpy(zero_copy_only=False)
+        lens = np.bincount(doc_of, minlength=b.num_rows).astype(np.int64)
+        starts = np.zeros(b.num_rows, np.int64)
+        starts[1:] = np.cumsum(lens)[:-1]
+        covered = np.zeros(len(words), bool)
+        k = SHINGLE_K
+        # duplicated-shingle starts cover positions [i, i+k)
+        T = len(words)
+        if T >= k:
+            valid = doc_of[:T - k + 1] == doc_of[k - 1:]
+            sstart = np.flatnonzero(valid)
+            if len(sstart):
+                joined = np.array([" ".join(words[s:s + k])
+                                   for s in sstart], dtype=object)
+                isdup = np.fromiter((x in dup_set for x in joined),
+                                    bool, len(joined))
+                for off in range(k):
+                    covered[sstart[isdup] + off] = True
+        ncov = np.bincount(doc_of, weights=covered.astype(np.int64),
+                           minlength=b.num_rows).astype(np.int64)
+        return pa.table({"source": pa.array(src),
+                         "n_tokens": pa.array(lens),
+                         "n_covered": pa.array(ncov)}) \
+            .group_by(["source"], use_threads=False) \
+            .aggregate([("n_tokens", "sum"), ("n_covered", "sum")]) \
+            .rename_columns(["source", "n_tokens", "n_covered"])
+
+    p = docs.map_batches(coverage, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas() \
+        .groupby("source", as_index=False).sum()
+    p["cov_fp"] = (10**6 * p["n_covered"].astype("int64")
+                   // p["n_tokens"].astype("int64").clip(lower=1))
+    return p.sort_values("source").reset_index(drop=True).astype(
+        {"n_tokens": "int64", "n_covered": "int64", "cov_fp": "int64"})
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -13747,6 +13929,9 @@ def queries() -> dict[str, Callable]:
         "dedup_cross_source_clusters": _q_dedup_cross_source_clusters,
         "text_term_position_bias": _q_text_term_position_bias,
         "rel_storage_tiering": _q_rel_storage_tiering,
+        "kg_schema_summary": _q_kg_schema_summary,
+        "sample_temporal_split": _q_sample_temporal_split,
+        "text_dup_ngram_coverage": _q_text_dup_ngram_coverage,
         "kg_ktruss_edges": _q_kg_ktruss,
         "kg_subclass_depth": _q_kg_subclass_depth,
         "dedup_incremental": _q_dedup_incremental,
@@ -19525,4 +19710,69 @@ ORDER BY doc_a, doc_b"""
               FROM last, h)
         SELECT tier, CAST(count(*) AS BIGINT) AS n_parts
         FROM t GROUP BY 1 ORDER BY 1"""
+    out["kg_schema_summary"] = P + f"""
+        , tri AS (SELECT * FROM ({full_body})),
+        ty AS (SELECT subj AS node, obj AS cls FROM tri
+               WHERE pred = '{C.RDF_TYPE}'),
+        s AS (SELECT tri.*, coalesce(ty.cls, 'untyped') AS scls
+              FROM tri LEFT JOIN ty ON ty.node = tri.subj),
+        o AS (SELECT s.scls, s.pred,
+                CASE WHEN s.obj_is_literal
+                     THEN coalesce(s.obj_datatype, 'literal')
+                     ELSE coalesce(ty2.cls, 'untyped') END AS ocls
+              FROM s LEFT JOIN ty ty2 ON ty2.node = s.obj)
+        SELECT scls, pred, ocls, CAST(count(*) AS BIGINT) AS n
+        FROM o GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+    out["sample_temporal_split"] = f"""
+        WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+                   FROM events),
+        k AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        c AS (SELECT d0 + (d1 - d0) * {SPLIT_PCT} // 100 AS cutoff
+              FROM k),
+        f AS (SELECT user_id, min(day) AS fd FROM e GROUP BY 1)
+        SELECT CAST(c.cutoff AS BIGINT) AS cutoff_day,
+               CAST(sum(CASE WHEN e.day <= c.cutoff THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_train,
+               CAST(sum(CASE WHEN e.day > c.cutoff THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_test,
+               CAST(sum(CASE WHEN e.day > c.cutoff AND f.fd <= c.cutoff
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked,
+               CAST(1000000 * sum(CASE WHEN e.day > c.cutoff
+                                       AND f.fd <= c.cutoff
+                                  THEN 1 ELSE 0 END)
+                    // greatest(sum(CASE WHEN e.day > c.cutoff
+                                    THEN 1 ELSE 0 END), 1) AS BIGINT)
+                 AS leak_fp
+        FROM e JOIN f USING (user_id), c GROUP BY 1"""
+    out["text_dup_ngram_coverage"] = """
+        WITH docs AS (SELECT doc_id, source,
+                             string_split(lower(text), ' ') AS ws
+                      FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                      unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                              FOR i IN range(1, len(ws) - 1)]) AS s
+               FROM docs),
+        df AS (SELECT s FROM (SELECT s, count(*) AS c FROM sh
+                              GROUP BY 1) WHERE c >= 2),
+        st AS (SELECT doc_id, t.i AS i,
+                      ws[t.i] || ' ' || ws[t.i+1] || ' ' || ws[t.i+2]
+                        AS s
+               FROM docs, unnest(generate_series(1, len(ws) - 2))
+                    AS t(i)),
+        dup_starts AS (SELECT doc_id, i FROM st
+                       WHERE s IN (SELECT s FROM df)),
+        pos AS (SELECT doc_id, source, t.i AS p
+                FROM docs, unnest(generate_series(1, len(ws))) AS t(i)),
+        cov AS (SELECT pos.source,
+                  CASE WHEN EXISTS (SELECT 1 FROM dup_starts d
+                                    WHERE d.doc_id = pos.doc_id
+                                      AND d.i BETWEEN pos.p - 2
+                                                  AND pos.p)
+                       THEN 1 ELSE 0 END AS c
+                FROM pos)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(c) AS BIGINT) AS n_covered,
+               CAST(1000000 * sum(c) // greatest(count(*), 1) AS BIGINT)
+                 AS cov_fp
+        FROM cov GROUP BY 1 ORDER BY 1"""
     return out
