@@ -13488,6 +13488,128 @@ def _q_text_dup_ngram_coverage(sf_dir: str):
         {"n_tokens": "int64", "n_covered": "int64", "cov_fp": "int64"})
 
 
+def _q_ml_mcnemar(sf_dir: str):
+    """McNemar paired-classifier test between the two quality gates of
+    ml_cohens_kappa (A: chars, B: words) on lang='en': discordant cells
+    b (A right, B wrong) / c (A wrong, B right) and the
+    continuity-corrected statistic ×10⁶ = 10⁶·(|b−c|−1)² // (b+c) —
+    kappa says HOW MUCH they agree; McNemar says whether their ERRORS
+    differ systematically. 2-cell partials fold."""
+    import pandas as pd
+    i64 = pa.int64()
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["text", "n_chars", "lang"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        nch = pc.cast(b["n_chars"], i64).to_numpy(zero_copy_only=False)
+        nw = pc.cast(pc.add(pc.count_substring(b["text"], " "), 1), i64) \
+            .to_numpy(zero_copy_only=False)
+        y = pc.equal(b["lang"], "en").to_numpy(zero_copy_only=False)
+        a_ok = (nch >= KAPPA_CHAR_MIN) == y
+        b_ok = (nw >= KAPPA_WORD_MIN) == y
+        return pa.table({
+            "b": pa.array([int((a_ok & ~b_ok).sum())], i64),
+            "c": pa.array([int((~a_ok & b_ok).sum())], i64)})
+
+    p = docs.map_batches(cells, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    bb, cc = int(p["b"].sum()), int(p["c"].sum())
+    stat = (10**6 * max(abs(bb - cc) - 1, 0) ** 2 // max(bb + cc, 1))
+    return pd.DataFrame({"n_b": [bb], "n_c": [cc],
+                         "mcnemar_fp": [stat]}).astype("int64")
+
+
+def _q_emb_norm_outliers(sf_dir: str):
+    """Norm-outlier vectors: embeddings whose exact integer squared
+    norm falls outside the global Tukey fences (ordinal quartiles at
+    (n−1)//4 / 3(n−1)//4, fence q ± 3·IQR//2) — the corrupt-row /
+    failed-encode detector upstream of any similarity work. Quartiles
+    come from a (norm2) histogram ordinal pick; the flag pass is
+    stateless."""
+    from .functions.grouped import grouped_count
+    i64 = pa.int64()
+    emb = _emb(sf_dir).materialize()
+
+    def norms(b: pa.Table) -> pa.Table:
+        e = b["embedding"].combine_chunks()
+        d = len(e[0])
+        m = np.floor(e.flatten().to_numpy(zero_copy_only=False)
+                     .astype(np.float64) * 1000.0).astype(np.int64) \
+            .reshape(b.num_rows, d)
+        return pa.table({"vec_id": pc.cast(b["vec_id"], i64),
+                         "norm2": pa.array((m * m).sum(axis=1))})
+
+    nm = emb.map_batches(norms, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize()
+    hist = grouped_count(nm.map_batches(
+        lambda b: b.select(["norm2"]), batch_format="pyarrow"),
+        ["norm2"], "n", 2).to_pandas().sort_values("norm2") \
+        .reset_index(drop=True)
+    cnt = hist["n"].to_numpy().astype(np.int64)
+    vals = hist["norm2"].to_numpy().astype(np.int64)
+    tot = int(cnt.sum())
+    cum = np.cumsum(cnt)
+    q1 = int(vals[np.searchsorted(cum, (tot - 1) // 4, "right")])
+    q3 = int(vals[np.searchsorted(cum, 3 * (tot - 1) // 4, "right")])
+    lo, hi = q1 - 3 * (q3 - q1) // 2, q3 + 3 * (q3 - q1) // 2
+
+    def flag(b: pa.Table) -> pa.Table:
+        n2 = b["norm2"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array((n2 < lo) | (n2 > hi)))
+
+    out = nm.map_batches(flag, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    import pandas as pd
+    if out.empty:
+        out = pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                            "norm2": pd.Series(dtype="int64")})
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+DORMANT_DAYS = 3
+
+
+def _q_events_reactivations(sf_dir: str):
+    """Dormancy→reactivation counting: per user, active-day gaps of ≥3
+    days (the win-back events a lifecycle team measures). Distinct
+    active days collapse first (grouped count), gaps come from
+    complete sorted user groups."""
+    from .functions.grouped import group_ids, grouped_count, \
+        sorted_group_apply
+    i64 = pa.int64()
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts"]).map_batches(
+        lambda b: pa.table({
+            "user_id": pc.cast(b["user_id"], i64),
+            "day": pc.divide(pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                                     i64), 86_400_000_000)}),
+        batch_format="pyarrow")
+    days = grouped_count(ev, ["user_id", "day"], "__n", 4).map_batches(
+        lambda b: b.select(["user_id", "day"]), batch_format="pyarrow")
+
+    def gaps(b: pa.Table) -> pa.Table:
+        schema = pa.schema([("user_id", i64), ("n_reactivations", i64)])
+        if b.num_rows == 0:
+            return schema.empty_table()
+        gid, starts = group_ids(b, ["user_id"])
+        day = b["day"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, gid))
+        od, og = day[order], gid[order]
+        is_gap = np.zeros(len(od), bool)
+        is_gap[1:] = (og[1:] == og[:-1]) & (od[1:] - od[:-1]
+                                            >= DORMANT_DAYS)
+        cnt = np.zeros(len(starts), np.int64)
+        np.add.at(cnt, og[is_gap], 1)
+        nz = np.flatnonzero(cnt > 0)
+        uid = b["user_id"].to_numpy(zero_copy_only=False)[starts]
+        return pa.table({"user_id": pa.array(uid[nz], i64),
+                         "n_reactivations": pa.array(cnt[nz])},
+                        schema=schema)
+
+    return sorted_group_apply(days, ["user_id"], gaps,
+                              num_partitions=4).sort("user_id")
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -13932,6 +14054,9 @@ def queries() -> dict[str, Callable]:
         "kg_schema_summary": _q_kg_schema_summary,
         "sample_temporal_split": _q_sample_temporal_split,
         "text_dup_ngram_coverage": _q_text_dup_ngram_coverage,
+        "ml_mcnemar": _q_ml_mcnemar,
+        "emb_norm_outliers": _q_emb_norm_outliers,
+        "events_reactivations": _q_events_reactivations,
         "kg_ktruss_edges": _q_kg_ktruss,
         "kg_subclass_depth": _q_kg_subclass_depth,
         "dedup_incremental": _q_dedup_incremental,
@@ -19775,4 +19900,51 @@ ORDER BY doc_a, doc_b"""
                CAST(1000000 * sum(c) // greatest(count(*), 1) AS BIGINT)
                  AS cov_fp
         FROM cov GROUP BY 1 ORDER BY 1"""
+    out["ml_mcnemar"] = f"""
+        WITH f AS (SELECT
+            CASE WHEN (n_chars >= {KAPPA_CHAR_MIN})
+                      = (lang = 'en') THEN 1 ELSE 0 END AS a_ok,
+            CASE WHEN (len(string_split(text, ' ')) >= {KAPPA_WORD_MIN})
+                      = (lang = 'en') THEN 1 ELSE 0 END AS b_ok
+            FROM documents),
+        c AS (SELECT sum(a_ok * (1 - b_ok)) AS b,
+                     sum((1 - a_ok) * b_ok) AS c FROM f)
+        SELECT CAST(b AS BIGINT) AS n_b, CAST(c AS BIGINT) AS n_c,
+               CAST(1000000 * greatest(abs(b - c) - 1, 0)
+                    * greatest(abs(b - c) - 1, 0)
+                    // greatest(b + c, 1) AS BIGINT) AS mcnemar_fp
+        FROM c"""
+    out["emb_norm_outliers"] = """
+        WITH n AS (SELECT vec_id,
+                          sum(CAST(floor(CAST(embedding[g.i] AS DOUBLE)
+                                         * 1000) AS BIGINT)
+                              * CAST(floor(CAST(embedding[g.i] AS DOUBLE)
+                                           * 1000) AS BIGINT)) AS norm2
+                   FROM embeddings, generate_series(1, 64) AS g(i)
+                   GROUP BY 1),
+        r AS (SELECT norm2, row_number() OVER (ORDER BY norm2) - 1
+                       AS rn, count(*) OVER () AS tot FROM n),
+        q AS (SELECT max(CASE WHEN rn = (tot - 1) // 4
+                         THEN norm2 END) AS q1,
+                     max(CASE WHEN rn = 3 * (tot - 1) // 4
+                         THEN norm2 END) AS q3
+              FROM r),
+        f AS (SELECT q1 - 3 * (q3 - q1) // 2 AS lo,
+                     q3 + 3 * (q3 - q1) // 2 AS hi FROM q)
+        SELECT CAST(n.vec_id AS BIGINT) AS vec_id,
+               CAST(n.norm2 AS BIGINT) AS norm2
+        FROM n, f WHERE n.norm2 < f.lo OR n.norm2 > f.hi
+        ORDER BY vec_id"""
+    out["events_reactivations"] = f"""
+        WITH e AS (SELECT DISTINCT user_id,
+                          epoch_us(ts) // 86400000000 AS day
+                   FROM events),
+        l AS (SELECT user_id, day - lag(day) OVER (
+                 PARTITION BY user_id ORDER BY day) AS gap FROM e)
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(sum(CASE WHEN gap >= {DORMANT_DAYS}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_reactivations
+        FROM l GROUP BY 1
+        HAVING sum(CASE WHEN gap >= {DORMANT_DAYS} THEN 1 ELSE 0 END) > 0
+        ORDER BY 1"""
     return out
