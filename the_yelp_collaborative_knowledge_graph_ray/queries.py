@@ -13610,6 +13610,170 @@ def _q_events_reactivations(sf_dir: str):
                               num_partitions=4).sort("user_id")
 
 
+RO_ORIGINS = (60, 70, 80, 90)  # % of the day span
+RO_HORIZON = 7
+
+
+def _q_sample_rolling_origin(sf_dir: str):
+    """Rolling-origin evaluation splits (time-series cross-validation):
+    four origins at 60/70/80/90% of the day span, each with a 7-day
+    test horizon — train/test sizes per fold, the leakage-free eval
+    schedule for any forecast model. One scan, |origins| counters."""
+    import pandas as pd
+    i64 = pa.int64()
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts"]).map_batches(
+        lambda b: pa.table({
+            "day": pc.divide(pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                                     i64), 86_400_000_000)}),
+        batch_format="pyarrow").materialize()
+    mm = ev.map_batches(lambda b: pa.table({
+        "mn": pa.array([int(b["day"].to_numpy(
+            zero_copy_only=False).min())], i64),
+        "mx": pa.array([int(b["day"].to_numpy(
+            zero_copy_only=False).max())], i64)}),
+        batch_format="pyarrow").to_pandas()
+    d0, d1 = int(mm["mn"].min()), int(mm["mx"].max())
+    cuts = [d0 + (d1 - d0) * p // 100 for p in RO_ORIGINS]
+
+    def fold(b: pa.Table) -> pa.Table:
+        day = b["day"].to_numpy(zero_copy_only=False)
+        rows = []
+        for p, c in zip(RO_ORIGINS, cuts):
+            rows.append((p, c, int((day <= c).sum()),
+                         int(((day > c) & (day <= c + RO_HORIZON))
+                             .sum())))
+        pp, cc, tr, te = zip(*rows)
+        return pa.table({"origin_pct": pa.array(pp, i64),
+                         "cutoff_day": pa.array(cc, i64),
+                         "n_train": pa.array(tr, i64),
+                         "n_test": pa.array(te, i64)})
+
+    p = ev.map_batches(fold, batch_format="pyarrow",
+                       zero_copy_batch=True).to_pandas() \
+        .groupby(["origin_pct", "cutoff_day"], as_index=False).sum()
+    return p.sort_values("origin_pct").reset_index(drop=True) \
+        .astype("int64")
+
+
+def _q_kg_degree_mixing(sf_dir: str):
+    """Degree-mixing matrix of the co-mention graph: edge counts per
+    (log2 degree bucket of u, log2 bucket of v), unordered — the full
+    assortativity picture behind kg_assortativity's single scalar.
+    Degrees attach to both edge endpoints via co-groups; the matrix is
+    log²-bounded."""
+    from .functions.bgp import cogroup_join
+    from .functions.grouped import grouped_count
+    from .functions.triangles import within_group_pairs
+    pre = C.ENT + "mention/"
+    m = _q_mentions(sf_dir).map_batches(
+        lambda b: pa.table({
+            "turn": b["subj"],
+            "c": pc.utf8_slice_codeunits(b["obj"], len(pre))}),
+        batch_format="pyarrow")
+    edges = within_group_pairs(m, "turn", "c").materialize()
+    deg_u = grouped_count(edges.map_batches(
+        lambda b: pa.table({"node": pa.concat_arrays(
+            [b["u"].combine_chunks(), b["v"].combine_chunks()])}),
+        batch_format="pyarrow"), ["node"], "deg", 4)
+    du = deg_u.map_batches(lambda b: pa.table(
+        {"u": b["node"], "du": pc.cast(b["deg"], pa.string())}),
+        batch_format="pyarrow")
+    dv = deg_u.map_batches(lambda b: pa.table(
+        {"v": b["node"], "dv": pc.cast(b["deg"], pa.string())}),
+        batch_format="pyarrow")
+    e1 = cogroup_join(edges, du, ["u"], ["u", "v"], ["u", "du"],
+                      num_partitions=4)
+    e2 = cogroup_join(e1, dv, ["v"], ["v", "u", "du"], ["v", "dv"],
+                      num_partitions=4)
+
+    def buckets(b: pa.Table) -> pa.Table:
+        du_ = np.array([int(x).bit_length() - 1
+                        for x in b["du"].to_pylist()], np.int64)
+        dv_ = np.array([int(x).bit_length() - 1
+                        for x in b["dv"].to_pylist()], np.int64)
+        lo = np.minimum(du_, dv_)
+        hi = np.maximum(du_, dv_)
+        return pa.table({"bucket_lo": pa.array(lo),
+                         "bucket_hi": pa.array(hi)})
+
+    return grouped_count(e2.map_batches(buckets, batch_format="pyarrow"),
+                         ["bucket_lo", "bucket_hi"], "n_edges", 2) \
+        .sort(["bucket_lo", "bucket_hi"])
+
+
+PRICE_BASE_YEAR = 1995
+PRICE_COMP_YEAR = 1996
+
+
+def _q_rel_price_index(sf_dir: str):
+    """Laspeyres price index 1996 vs 1995: Σ p₁·q₀ // Σ p₀·q₀ ×10⁶
+    over parts traded in BOTH years, with unit price p = 10⁶·ext_c //
+    qty per (part, year) — the base-year-basket inflation measure.
+    Per-(part, year) totals fold once; the basket join is an in-block
+    pairing of complete part groups."""
+    import pandas as pd
+    from .functions.grouped import group_ids, sorted_aggregate, \
+        sorted_group_apply
+    i64 = pa.int64()
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                 "l_quantity"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        yr = pc.year(pc.cast(b["l_shipdate"], pa.timestamp("us")))
+        t = pa.table({
+            "pk": pc.cast(b["l_partkey"], i64),
+            "yr": pc.cast(yr, i64),
+            "ext_c": pc.cast(pc.round(pc.multiply(
+                b["l_extendedprice"], 100.0)), i64),
+            "qty": pc.cast(pc.round(b["l_quantity"]), i64)})
+        t = t.filter(pc.is_in(t["yr"], value_set=pa.array(
+            [PRICE_BASE_YEAR, PRICE_COMP_YEAR], pa.int64())))
+        return t.group_by(["pk", "yr"], use_threads=False) \
+            .aggregate([("ext_c", "sum"), ("qty", "sum")]) \
+            .rename_columns(["pk", "yr", "ext_c", "qty"])
+
+    per = sorted_aggregate(
+        li.map_batches(prep, batch_format="pyarrow"),
+        ["pk", "yr"], [("ext_c", "sum"), ("qty", "sum")],
+        ["pk", "yr", "ext_c", "qty"], 8)
+
+    def pair(b: pa.Table) -> pa.Table:
+        schema = pa.schema([("num", i64), ("den", i64), ("n_parts", i64)])
+        if b.num_rows == 0:
+            return schema.empty_table()
+        gid, starts = group_ids(b, ["pk"])
+        sizes = np.diff(np.append(starts, b.num_rows))
+        both = starts[sizes == 2]
+        if len(both) == 0:
+            return schema.empty_table()
+        yr = b["yr"].to_numpy(zero_copy_only=False)
+        ext = b["ext_c"].to_numpy(zero_copy_only=False)
+        qty = b["qty"].to_numpy(zero_copy_only=False)
+        # rows within a pk group sorted by yr? sort key is pk only —
+        # order the two rows explicitly
+        a, c = both, both + 1
+        base_first = yr[a] == PRICE_BASE_YEAR
+        bi = np.where(base_first, a, c)
+        ci = np.where(base_first, c, a)
+        p0 = 10**6 * ext[bi] // np.maximum(qty[bi], 1)
+        p1 = 10**6 * ext[ci] // np.maximum(qty[ci], 1)
+        q0 = qty[bi]
+        return pa.table({"num": pa.array([int((p1 * q0).sum())], i64),
+                         "den": pa.array([int((p0 * q0).sum())], i64),
+                         "n_parts": pa.array([len(both)], i64)},
+                        schema=schema)
+
+    p = sorted_group_apply(per, ["pk"], pair, num_partitions=4) \
+        .to_pandas()
+    num, den = int(p["num"].sum()), int(p["den"].sum())
+    return pd.DataFrame({
+        "n_parts": [int(p["n_parts"].sum())],
+        "index_fp": [10**6 * num // max(den, 1)]}).astype("int64")
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -14057,6 +14221,9 @@ def queries() -> dict[str, Callable]:
         "ml_mcnemar": _q_ml_mcnemar,
         "emb_norm_outliers": _q_emb_norm_outliers,
         "events_reactivations": _q_events_reactivations,
+        "sample_rolling_origin": _q_sample_rolling_origin,
+        "kg_degree_mixing_matrix": _q_kg_degree_mixing,
+        "rel_price_index": _q_rel_price_index,
         "kg_ktruss_edges": _q_kg_ktruss,
         "kg_subclass_depth": _q_kg_subclass_depth,
         "dedup_incremental": _q_dedup_incremental,
@@ -19947,4 +20114,60 @@ ORDER BY doc_a, doc_b"""
         FROM l GROUP BY 1
         HAVING sum(CASE WHEN gap >= {DORMANT_DAYS} THEN 1 ELSE 0 END) > 0
         ORDER BY 1"""
+    ro_vals = ", ".join(f"({p})" for p in RO_ORIGINS)
+    out["sample_rolling_origin"] = f"""
+        WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day
+                   FROM events),
+        k AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        o(p) AS (VALUES {ro_vals}),
+        c AS (SELECT o.p, k.d0 + (k.d1 - k.d0) * o.p // 100 AS cutoff
+              FROM o, k)
+        SELECT CAST(c.p AS BIGINT) AS origin_pct,
+               CAST(c.cutoff AS BIGINT) AS cutoff_day,
+               CAST(sum(CASE WHEN e.day <= c.cutoff THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_train,
+               CAST(sum(CASE WHEN e.day > c.cutoff
+                             AND e.day <= c.cutoff + {RO_HORIZON}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+        FROM e CROSS JOIN c GROUP BY 1, 2 ORDER BY 1"""
+    out["kg_degree_mixing_matrix"] = P + """
+        , ce AS (SELECT DISTINCT a.canonical AS u, b.canonical AS v
+                 FROM mention a JOIN mention b
+                   ON a.turn_iri = b.turn_iri
+                  AND a.canonical < b.canonical),
+        d AS (SELECT node, count(*) AS deg FROM (
+                SELECT u AS node FROM ce
+                UNION ALL SELECT v FROM ce) GROUP BY 1),
+        x AS (SELECT du.deg AS du, dv.deg AS dv
+              FROM ce JOIN d du ON du.node = ce.u
+                      JOIN d dv ON dv.node = ce.v),
+        bkt AS (SELECT least(length(bin(du)) - 1, length(bin(dv)) - 1)
+                         AS bucket_lo,
+                       greatest(length(bin(du)) - 1,
+                                length(bin(dv)) - 1) AS bucket_hi
+                FROM x)
+        SELECT CAST(bucket_lo AS BIGINT) AS bucket_lo,
+               CAST(bucket_hi AS BIGINT) AS bucket_hi,
+               CAST(count(*) AS BIGINT) AS n_edges
+        FROM bkt GROUP BY 1, 2 ORDER BY 1, 2"""
+    out["rel_price_index"] = f"""
+        WITH l AS (SELECT l_partkey AS pk,
+                          CAST(year(l_shipdate) AS BIGINT) AS yr,
+                          sum(CAST(round(l_extendedprice * 100.0)
+                                   AS BIGINT)) AS ext_c,
+                          sum(CAST(round(l_quantity) AS BIGINT)) AS qty
+                   FROM lineitem
+                   WHERE year(l_shipdate)
+                         IN ({PRICE_BASE_YEAR}, {PRICE_COMP_YEAR})
+                   GROUP BY 1, 2),
+        b AS (SELECT pk, 1000000 * ext_c // greatest(qty, 1) AS p0,
+                     qty AS q0
+              FROM l WHERE yr = {PRICE_BASE_YEAR}),
+        c AS (SELECT pk, 1000000 * ext_c // greatest(qty, 1) AS p1
+              FROM l WHERE yr = {PRICE_COMP_YEAR}),
+        j AS (SELECT b.pk, b.p0, b.q0, c.p1 FROM b JOIN c USING (pk))
+        SELECT CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(1000000 * sum(p1 * q0)
+                    // greatest(sum(p0 * q0), 1) AS BIGINT) AS index_fp
+        FROM j"""
     return out
