@@ -13774,6 +13774,153 @@ def _q_rel_price_index(sf_dir: str):
         "index_fp": [10**6 * num // max(den, 1)]}).astype("int64")
 
 
+def _q_rel_fifo_cogs(sf_dir: str):
+    """FIFO cost-of-goods-sold per part: restocks (l_returnflag='R')
+    form the day-ordered purchase queue; sales (everything else)
+    consume from its front. COGS = full cost of every purchase line
+    wholly consumed + ext_c·take // qty of the boundary line — the
+    inventory-accounting op that is 'sequential' in a ledger but
+    collapses to ONE cumulative-quantity searchsorted per part inside
+    complete sorted groups. Output per part: qty sold/bought, qty
+    matched, cogs cents."""
+    from .functions.grouped import group_ids, sorted_group_apply
+    i64 = pa.int64()
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_orderkey", "l_linenumber", "l_shipdate",
+                 "l_quantity", "l_extendedprice", "l_returnflag"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "pk": pc.cast(b["l_partkey"], i64),
+            "day": pc.divide(pc.cast(pc.cast(b["l_shipdate"],
+                                             pa.timestamp("us")), i64),
+                             86_400_000_000),
+            "ok": pc.cast(b["l_orderkey"], i64),
+            "ln": pc.cast(b["l_linenumber"], i64),
+            "qty": pc.cast(pc.round(b["l_quantity"]), i64),
+            "ext_c": pc.cast(pc.round(pc.multiply(
+                b["l_extendedprice"], 100.0)), i64),
+            "isbuy": pc.cast(pc.equal(b["l_returnflag"], "R"), i64)})
+
+    def fifo(b: pa.Table) -> pa.Table:
+        # fully vectorized FIFO: each purchase row i contributes
+        # ext_i · clip(sold_g − cum_before_i, 0, qty_i) // qty_i —
+        # wholly-consumed lines reduce to ext_i exactly, the boundary
+        # line to the floor'd partial, later lines to 0; no per-group
+        # Python loop (grouped.py's map_groups lesson)
+        schema = pa.schema([("l_partkey", i64), ("qty_sold", i64),
+                            ("qty_bought", i64), ("qty_matched", i64),
+                            ("cogs_c", i64)])
+        if b.num_rows == 0:
+            return schema.empty_table()
+        gid, starts = group_ids(b, ["pk"])
+        order = np.lexsort((b["ln"].to_numpy(zero_copy_only=False),
+                            b["ok"].to_numpy(zero_copy_only=False),
+                            b["day"].to_numpy(zero_copy_only=False),
+                            gid))
+        qty = b["qty"].to_numpy(zero_copy_only=False)[order]
+        ext = b["ext_c"].to_numpy(zero_copy_only=False)[order]
+        buy = b["isbuy"].to_numpy(zero_copy_only=False)[order] == 1
+        og = gid[order]
+        n_grp = len(starts)
+        sold = np.zeros(n_grp, np.int64)
+        np.add.at(sold, og[~buy], qty[~buy])
+        bought = np.zeros(n_grp, np.int64)
+        np.add.at(bought, og[buy], qty[buy])
+        bq, bx, bg = qty[buy], ext[buy], og[buy]
+        cum = np.cumsum(bq)
+        first = np.concatenate([[True], bg[1:] != bg[:-1]]) \
+            if len(bg) else np.empty(0, bool)
+        # cumulative qty BEFORE each buy row, within its group
+        prev_total = np.concatenate([[0], cum[:-1]]) if len(bq) else cum
+        grp_base = np.zeros(len(bq), np.int64)
+        if len(bq):
+            base_idx = np.maximum.accumulate(
+                np.where(first, np.arange(len(bq)), 0))
+            grp_base = prev_total[base_idx]
+        cum_before = prev_total - grp_base
+        take = np.clip(sold[bg] - cum_before, 0, bq) if len(bq) \
+            else np.empty(0, np.int64)
+        cogs_rows = bx * take // np.maximum(bq, 1)
+        cogs = np.zeros(n_grp, np.int64)
+        np.add.at(cogs, bg, cogs_rows)
+        pk = b["pk"].to_numpy(zero_copy_only=False)[starts]
+        return pa.table({"l_partkey": pa.array(pk, i64),
+                         "qty_sold": pa.array(sold),
+                         "qty_bought": pa.array(bought),
+                         "qty_matched": pa.array(
+                             np.minimum(sold, bought)),
+                         "cogs_c": pa.array(cogs)}, schema=schema)
+
+    return sorted_group_apply(
+        li.map_batches(prep, batch_format="pyarrow"), ["pk"], fifo,
+        num_partitions=8)
+
+
+def _q_rel_suppliers_per_part(sf_dir: str):
+    """Supplier-diversification histogram: how many parts are
+    single-sourced vs k-sourced (distinct suppliers per part) — the
+    supply-chain-risk headline. Distinct (part, supplier) collapses
+    first, then two cascaded counts; nothing scales past the
+    dictionary."""
+    from .functions.grouped import grouped_count
+    li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_partkey", "l_suppkey"])
+    ps = grouped_count(li, ["l_partkey", "l_suppkey"], "__n", 8)
+    per = grouped_count(ps.map_batches(
+        lambda b: b.select(["l_partkey"]), batch_format="pyarrow"),
+        ["l_partkey"], "n_suppliers", 4)
+    return grouped_count(per.map_batches(
+        lambda b: b.select(["n_suppliers"]), batch_format="pyarrow"),
+        ["n_suppliers"], "n_parts", 1).sort("n_suppliers")
+
+
+def _q_kg_redundant_assertions(sf_dir: str):
+    """Redundant-assertion audit: asserted rdf:type triples ALSO
+    entailed by the RDFS domain/range rules — the compression
+    opportunity (drop them, re-derive on load) dual to
+    kg_rdfs_inference's missing-entailment view. Same rule-table
+    inference; the overlap is the inner co-group instead of the
+    anti."""
+    from .functions.bgp import cogroup_join
+    from .functions.grouped import grouped_count
+    from .pipelines.kg import run_kg
+    tri = run_kg(sf_dir).materialize()
+    preds = pa.array(list(RDFS_RULES), pa.string())
+
+    def infer(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b["pred"], value_set=preds))
+        outs = []
+        for p, (dcls, rcls) in RDFS_RULES.items():
+            s = t.filter(pc.equal(t["pred"], p))
+            if s.num_rows == 0:
+                continue
+            def fill(v, n=s.num_rows):
+                return pa.nulls(n, pa.string()).fill_null(v)
+            outs.append(pa.table({"node": pc.cast(s["subj"], pa.string()),
+                                  "type_iri": fill(dcls)}))
+            outs.append(pa.table({"node": pc.cast(s["obj"], pa.string()),
+                                  "type_iri": fill(rcls)}))
+        if not outs:
+            return pa.schema([("node", pa.string()),
+                              ("type_iri", pa.string())]).empty_table()
+        return pa.concat_tables(outs)
+
+    inferred = grouped_count(
+        tri.map_batches(infer, batch_format="pyarrow"),
+        ["node", "type_iri"], "n", 8).drop_columns(["n"])
+    asserted = tri.map_batches(
+        lambda b: b.filter(pc.equal(b["pred"], C.RDF_TYPE))
+                   .select(["subj", "obj"])
+                   .rename_columns(["node", "type_iri"]),
+        batch_format="pyarrow")
+    return cogroup_join(asserted, inferred, ["node", "type_iri"],
+                        ["node", "type_iri"], ["node", "type_iri"],
+                        num_partitions=8, how="inner") \
+        .sort(["node", "type_iri"])
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -14224,6 +14371,9 @@ def queries() -> dict[str, Callable]:
         "sample_rolling_origin": _q_sample_rolling_origin,
         "kg_degree_mixing_matrix": _q_kg_degree_mixing,
         "rel_price_index": _q_rel_price_index,
+        "rel_fifo_cogs": _q_rel_fifo_cogs,
+        "rel_suppliers_per_part_hist": _q_rel_suppliers_per_part,
+        "kg_redundant_assertions": _q_kg_redundant_assertions,
         "kg_ktruss_edges": _q_kg_ktruss,
         "kg_subclass_depth": _q_kg_subclass_depth,
         "dedup_incremental": _q_dedup_incremental,
@@ -20170,4 +20320,57 @@ ORDER BY doc_a, doc_b"""
                CAST(1000000 * sum(p1 * q0)
                     // greatest(sum(p0 * q0), 1) AS BIGINT) AS index_fp
         FROM j"""
+    out["rel_fifo_cogs"] = """
+        WITH l AS (SELECT l_partkey AS pk,
+                          epoch_us(l_shipdate) // 86400000000 AS day,
+                          l_orderkey AS ok, l_linenumber AS ln,
+                          CAST(round(l_quantity) AS BIGINT) AS qty,
+                          CAST(round(l_extendedprice * 100.0) AS BIGINT)
+                            AS ext_c,
+                          CASE WHEN l_returnflag = 'R'
+                               THEN 1 ELSE 0 END AS isbuy
+                   FROM lineitem),
+        s AS (SELECT pk,
+                     sum(CASE WHEN isbuy = 0 THEN qty ELSE 0 END)
+                       AS sold,
+                     sum(CASE WHEN isbuy = 1 THEN qty ELSE 0 END)
+                       AS bought
+              FROM l GROUP BY 1),
+        b AS (SELECT pk, ext_c, qty,
+                     coalesce(sum(qty) OVER (PARTITION BY pk
+                        ORDER BY day, ok, ln
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS cumb
+              FROM l WHERE isbuy = 1),
+        c AS (SELECT b.pk,
+                     sum(b.ext_c * least(greatest(s.sold - b.cumb, 0),
+                                         b.qty) // b.qty) AS cogs
+              FROM b JOIN s USING (pk) GROUP BY 1)
+        SELECT CAST(s.pk AS BIGINT) AS l_partkey,
+               CAST(s.sold AS BIGINT) AS qty_sold,
+               CAST(s.bought AS BIGINT) AS qty_bought,
+               CAST(least(s.sold, s.bought) AS BIGINT) AS qty_matched,
+               CAST(coalesce(c.cogs, 0) AS BIGINT) AS cogs_c
+        FROM s LEFT JOIN c USING (pk) ORDER BY 1"""
+    out["rel_suppliers_per_part_hist"] = """
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        per AS (SELECT l_partkey, count(*) AS n_suppliers FROM ps
+                GROUP BY 1)
+        SELECT CAST(n_suppliers AS BIGINT) AS n_suppliers,
+               CAST(count(*) AS BIGINT) AS n_parts
+        FROM per GROUP BY 1 ORDER BY 1"""
+    out["kg_redundant_assertions"] = P + f"""
+        , tri AS (SELECT * FROM ({full_body})),
+        rules(p, dcls, rcls) AS (VALUES {rules_vals}),
+        inf AS (SELECT DISTINCT node, type_iri FROM (
+            SELECT t.subj AS node, r.dcls AS type_iri
+            FROM tri t JOIN rules r ON t.pred = r.p
+            UNION ALL
+            SELECT t.obj, r.rcls
+            FROM tri t JOIN rules r ON t.pred = r.p))
+        SELECT subj AS node, obj AS type_iri FROM tri
+        WHERE pred = '{C.RDF_TYPE}'
+        INTERSECT
+        SELECT node, type_iri FROM inf
+        ORDER BY node, type_iri"""
     return out
