@@ -13921,6 +13921,141 @@ def _q_kg_redundant_assertions(sf_dir: str):
         .sort(["node", "type_iri"])
 
 
+def _q_kg_tool_trend(sf_dir: str):
+    """Per-tool usage trend: exact OLS slope NUMERATOR n·Σxy − Σx·Σy
+    over (month-index, monthly usage count) — rising/falling tool
+    adoption with zero floats (the denominator is tool-independent, so
+    the numerator ranks identically). Month × |tools| bounded
+    moments."""
+    import pandas as pd
+    from .functions.grouped import grouped_count
+    from .pipelines.kg import run_kg
+    i64 = pa.int64()
+    tri = run_kg(sf_dir)
+    ut = tri.filter(expr=f"pred == '{C.PRED_USES_TOOL}'").map_batches(
+        lambda b: pa.table({"tool": b["obj"], "turn": b["subj"]}),
+        batch_format="pyarrow")
+    dc = tri.filter(expr=f"pred == '{C.PRED_DATE_CREATED}'").map_batches(
+        lambda b: pa.table({"turn": b["subj"],
+                            "month": pc.utf8_slice_codeunits(
+                                b["obj"], 0, 7)}),
+        batch_format="pyarrow")
+    from .functions.bgp import cogroup_join
+    j = cogroup_join(ut, dc, ["turn"], ["turn", "tool"],
+                     ["turn", "month"], num_partitions=8)
+    c = grouped_count(j.map_batches(
+        lambda b: b.select(["tool", "month"]), batch_format="pyarrow"),
+        ["tool", "month"], "n", 4).to_pandas()
+    months = sorted(c["month"].unique())
+    midx = {m: i for i, m in enumerate(months)}
+    rows = []
+    for tool, g in c.groupby("tool"):
+        x = np.array([midx[m] for m in g["month"]], np.int64)
+        y = g["n"].to_numpy().astype(np.int64)
+        # dense month spine: missing months count 0
+        full = np.zeros(len(months), np.int64)
+        full[x] = y
+        xs = np.arange(len(months), dtype=np.int64)
+        n = len(months)
+        num = n * int((xs * full).sum()) - int(xs.sum()) * int(full.sum())
+        rows.append((tool, int(full.sum()), num))
+    return pd.DataFrame(rows, columns=["tool", "n_uses", "slope_num"]) \
+        .astype({"n_uses": "int64", "slope_num": "int64"}) \
+        .sort_values("tool").reset_index(drop=True)
+
+
+LL_GAP_S = 1800  # session gap, matches events_sessionize
+
+
+def _q_events_littles_law(sf_dir: str):
+    """Little's-law triple for the session 'queue': L (average
+    concurrent sessions) = λ (arrival rate) × W (mean session
+    duration), each measured EXACTLY from gap-windowed sessions: L_fp =
+    10⁶·Σdur // span, λ per-day fp = 10⁶·86400·n // span, W = Σdur //
+    n — the consistency identity L = λW holds by construction, making
+    this the queueing sanity panel. Session extraction runs in complete
+    sorted user groups."""
+    import pandas as pd
+    from .functions.grouped import group_ids, sorted_group_apply
+    i64 = pa.int64()
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts"]).map_batches(
+        lambda b: pa.table({
+            "user_id": b["user_id"],
+            "ts_s": pc.divide(pc.cast(pc.cast(b["ts"],
+                                              pa.timestamp("us")), i64),
+                              1_000_000)}), batch_format="pyarrow")
+
+    def sessions(b: pa.Table) -> pa.Table:
+        schema = pa.schema([("n", i64), ("dur", i64), ("mn", i64),
+                            ("mx", i64)])
+        if b.num_rows == 0:
+            return schema.empty_table()
+        gid, _ = group_ids(b, ["user_id"])
+        ts = b["ts_s"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, gid))
+        ot, og = ts[order], gid[order]
+        new = np.empty(len(ot), bool)
+        new[0] = True
+        new[1:] = (og[1:] != og[:-1]) | (ot[1:] - ot[:-1] > LL_GAP_S)
+        sid = np.cumsum(new) - 1
+        last = np.zeros(sid.max() + 1, np.int64)
+        np.maximum.at(last, sid, ot)  # ts_s > 0, zero init safe for max
+        first = np.full(sid.max() + 1, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(first, sid, ot)
+        dur = last - first
+        return pa.table({"n": pa.array([len(first)], i64),
+                         "dur": pa.array([int(dur.sum())], i64),
+                         "mn": pa.array([int(ot.min())], i64),
+                         "mx": pa.array([int(ot.max())], i64)},
+                        schema=schema)
+
+    p = sorted_group_apply(ev, ["user_id"], sessions,
+                           num_partitions=4).to_pandas()
+    n = int(p["n"].sum())
+    dur = int(p["dur"].sum())
+    span = int(p["mx"].max()) - int(p["mn"].min())
+    return pd.DataFrame({
+        "n_sessions": [n], "total_session_s": [dur], "span_s": [span],
+        "avg_concurrency_fp": [10**6 * dur // max(span, 1)],
+        "arrivals_per_day_fp": [10**6 * 86400 * n // max(span, 1)],
+        "mean_duration_s": [dur // max(n, 1)]}).astype("int64")
+
+
+HASHPART_BUCKETS = 64
+
+
+def _q_diag_hash_partition_balance(sf_dir: str):
+    """Hash-partitioner balance report: lineitem rows per
+    splitmix64(l_orderkey) % 64 bucket, plus max/mean skew ×10⁶ — the
+    pre-flight check that the shuffle key hashes evenly (a sequential
+    key through a weak hash silently hot-spots one reducer). One
+    grouped count; the skew scalar folds 64 rows."""
+    import pandas as pd
+    from .functions.grouped import grouped_count
+    from .functions.sampling import splitmix64
+    i64 = pa.int64()
+    li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_orderkey"])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        k = pc.cast(b["l_orderkey"], i64).to_numpy(zero_copy_only=False)
+        h = (splitmix64(k.view(np.uint64))
+             % np.uint64(HASHPART_BUCKETS)).astype(np.int64)
+        return pa.table({"bucket": pa.array(h)})
+
+    cnt = grouped_count(li.map_batches(bucket, batch_format="pyarrow"),
+                        ["bucket"], "n_rows", 2).to_pandas()
+    n = cnt["n_rows"].to_numpy().astype(np.int64)
+    total = int(n.sum())
+    mx = int(n.max())
+    skew_fp = 10**6 * mx * HASHPART_BUCKETS // total
+    out = cnt.sort_values("bucket").reset_index(drop=True).astype(
+        {"bucket": "int64", "n_rows": "int64"})
+    out["skew_fp"] = np.int64(skew_fp)
+    return out
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -14374,6 +14509,9 @@ def queries() -> dict[str, Callable]:
         "rel_fifo_cogs": _q_rel_fifo_cogs,
         "rel_suppliers_per_part_hist": _q_rel_suppliers_per_part,
         "kg_redundant_assertions": _q_kg_redundant_assertions,
+        "kg_tool_trend": _q_kg_tool_trend,
+        "events_littles_law": _q_events_littles_law,
+        "diag_hash_partition_balance": _q_diag_hash_partition_balance,
         "kg_ktruss_edges": _q_kg_ktruss,
         "kg_subclass_depth": _q_kg_subclass_depth,
         "dedup_incremental": _q_dedup_incremental,
@@ -20373,4 +20511,62 @@ ORDER BY doc_a, doc_b"""
         INTERSECT
         SELECT node, type_iri FROM inf
         ORDER BY node, type_iri"""
+    out["kg_tool_trend"] = P + f"""
+        , tri AS (SELECT * FROM ({full_body})),
+        dc AS (SELECT subj AS turn, substr(obj, 1, 7) AS month FROM tri
+               WHERE pred = '{C.PRED_DATE_CREATED}'),
+        ut AS (SELECT subj AS turn, obj AS tool FROM tri
+               WHERE pred = '{C.PRED_USES_TOOL}'),
+        c AS (SELECT ut.tool, dc.month, count(*) AS n
+              FROM ut JOIN dc USING (turn) GROUP BY 1, 2),
+        mo AS (SELECT month, row_number() OVER (ORDER BY month) - 1
+                 AS xi FROM (SELECT DISTINCT month FROM c)),
+        k AS (SELECT count(*) AS nm, sum(xi) AS sx FROM mo),
+        tl AS (SELECT DISTINCT tool FROM c),
+        g AS (SELECT tl.tool, mo.xi, coalesce(c.n, 0) AS y
+              FROM tl CROSS JOIN mo
+              LEFT JOIN c ON c.tool = tl.tool AND c.month = mo.month)
+        SELECT tool, CAST(sum(y) AS BIGINT) AS n_uses,
+               CAST((SELECT nm FROM k) * sum(xi * y)
+                    - (SELECT sx FROM k) * sum(y) AS BIGINT)
+                 AS slope_num
+        FROM g GROUP BY 1 ORDER BY 1"""
+    out["events_littles_law"] = f"""
+        WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS t
+                   FROM events),
+        m AS (SELECT *, lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                 AS prev FROM e),
+        s AS (SELECT *, sum(CASE WHEN prev IS NULL
+                                   OR t - prev > {LL_GAP_S}
+                                 THEN 1 ELSE 0 END) OVER (
+                 PARTITION BY user_id ORDER BY t
+                 ROWS UNBOUNDED PRECEDING) AS seg FROM m),
+        r AS (SELECT user_id, seg, max(t) - min(t) AS dur
+              FROM s GROUP BY 1, 2),
+        k AS (SELECT count(*) AS n, sum(dur) AS dur FROM r),
+        sp AS (SELECT max(t) - min(t) AS span FROM e)
+        SELECT CAST(k.n AS BIGINT) AS n_sessions,
+               CAST(k.dur AS BIGINT) AS total_session_s,
+               CAST(sp.span AS BIGINT) AS span_s,
+               CAST(1000000 * k.dur // greatest(sp.span, 1) AS BIGINT)
+                 AS avg_concurrency_fp,
+               CAST(CAST(86400000000 AS BIGINT) * k.n
+                    // greatest(sp.span, 1) AS BIGINT)
+                 AS arrivals_per_day_fp,
+               CAST(k.dur // greatest(k.n, 1) AS BIGINT)
+                 AS mean_duration_s
+        FROM k, sp"""
+    out["diag_hash_partition_balance"] = f"""
+        WITH base AS (SELECT CAST(l_orderkey AS UBIGINT) AS kx
+                      FROM lineitem),
+        {_splitmix_cte('base', 'kx', 'kx')},
+        h AS (SELECT CAST(xor(z, z >> 31) % {HASHPART_BUCKETS}
+                          AS BIGINT) AS bucket FROM z2),
+        c AS (SELECT bucket, count(*) AS n_rows FROM h GROUP BY 1),
+        k AS (SELECT max(n_rows) AS mx, sum(n_rows) AS tot FROM c)
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(1000000 * k.mx * {HASHPART_BUCKETS} // k.tot
+                    AS BIGINT) AS skew_fp
+        FROM c, k ORDER BY bucket"""
     return out
