@@ -14056,6 +14056,110 @@ def _q_diag_hash_partition_balance(sf_dir: str):
     return out
 
 
+def _q_ml_shapley_two_features(sf_dir: str):
+    """Exact Shapley attribution over the 2-feature coalition lattice
+    {∅, A, B, AB} on accuracy (A: chars gate, B: words gate, AB: AND;
+    v(∅) = majority-class rate): φ_A ×10⁶ = (10⁶·(v_A−v_∅) +
+    10⁶·(v_AB−v_B)) // 2 — the only Shapley computable without
+    sampling, and the fair split of the joint gate's skill. Four
+    accuracy counters fold in one scan."""
+    import pandas as pd
+    i64 = pa.int64()
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["text", "n_chars", "lang"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        nch = pc.cast(b["n_chars"], i64).to_numpy(zero_copy_only=False)
+        nw = pc.cast(pc.add(pc.count_substring(b["text"], " "), 1), i64) \
+            .to_numpy(zero_copy_only=False)
+        y = pc.equal(b["lang"], "en").to_numpy(zero_copy_only=False)
+        a = nch >= KAPPA_CHAR_MIN
+        bb = nw >= KAPPA_WORD_MIN
+        return pa.table({
+            "n": pa.array([b.num_rows], i64),
+            "n_pos": pa.array([int(y.sum())], i64),
+            "ok_a": pa.array([int((a == y).sum())], i64),
+            "ok_b": pa.array([int((bb == y).sum())], i64),
+            "ok_ab": pa.array([int(((a & bb) == y).sum())], i64)})
+
+    p = docs.map_batches(cells, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    n = int(p["n"].sum())
+    npos = int(p["n_pos"].sum())
+    v0 = 10**6 * max(npos, n - npos) // n  # majority-class accuracy
+    va = 10**6 * int(p["ok_a"].sum()) // n
+    vb = 10**6 * int(p["ok_b"].sum()) // n
+    vab = 10**6 * int(p["ok_ab"].sum()) // n
+    phi_a = ((va - v0) + (vab - vb)) // 2
+    phi_b = ((vb - v0) + (vab - va)) // 2
+    return pd.DataFrame({
+        "v_empty_fp": [v0], "v_a_fp": [va], "v_b_fp": [vb],
+        "v_ab_fp": [vab], "phi_a_fp": [phi_a],
+        "phi_b_fp": [phi_b]}).astype("int64")
+
+
+def _q_events_dose_response(sf_dir: str):
+    """Dose–response curve: conversion rate by VIEW exposure (log2
+    bucket of views BEFORE first purchase for converters, all views
+    for non-converters) — the diminishing-returns read on exposure.
+    Per-user scalars come from complete sorted groups; the curve is
+    log2-bounded."""
+    from .functions.grouped import group_ids, grouped_count, \
+        sorted_group_apply
+    i64 = pa.int64()
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"]).map_batches(
+        lambda b: pa.table({
+            "user_id": b["user_id"],
+            "ts_us": pc.cast(pc.cast(b["ts"], pa.timestamp("us")), i64),
+            "event_id": b["event_id"], "event_type": b["event_type"]}),
+        batch_format="pyarrow")
+
+    def per_user(b: pa.Table) -> pa.Table:
+        schema = pa.schema([("bucket", i64), ("n_users", i64),
+                            ("n_converted", i64)])
+        if b.num_rows == 0:
+            return schema.empty_table()
+        gid, starts = group_ids(b, ["user_id"])
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        ts = b["ts_us"].to_numpy(zero_copy_only=False)
+        isp = et == "purchase"
+        isv = et == "view"
+        n_grp = len(starts)
+        # first purchase INSTANT per user (strict-before semantics:
+        # views at the exact purchase microsecond don't count — no
+        # event_id tie-break needed, identical convention in the twin)
+        fp = np.full(n_grp, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(fp, gid[isp], ts[isp])
+        conv = fp < np.iinfo(np.int64).max
+        pre_view = isv & (ts < fp[gid])
+        views = np.zeros(n_grp, np.int64)
+        np.add.at(views, gid[pre_view], 1)
+        allv = np.zeros(n_grp, np.int64)
+        np.add.at(allv, gid[isv], 1)
+        dose = np.where(conv, views, allv)
+        bucket = np.array([int(x).bit_length() for x in dose], np.int64)
+        return pa.table({"bucket": pa.array(bucket),
+                         "n_users": pa.array(np.ones(n_grp, np.int64)),
+                         "n_converted": pa.array(conv.astype(np.int64))},
+                        schema=schema) \
+            .group_by(["bucket"], use_threads=False) \
+            .aggregate([("n_users", "sum"), ("n_converted", "sum")]) \
+            .rename_columns(["bucket", "n_users", "n_converted"])
+
+    agg = sorted_group_apply(ev, ["user_id"], per_user, num_partitions=4)
+    from .functions.grouped import sorted_aggregate
+    out = sorted_aggregate(agg, ["bucket"],
+                           [("n_users", "sum"), ("n_converted", "sum")],
+                           ["bucket", "n_users", "n_converted"], 1)
+    return out.map_batches(lambda b: b.append_column(
+        "rate_fp", pa.array(
+            10**6 * b["n_converted"].to_numpy(zero_copy_only=False)
+            // b["n_users"].to_numpy(zero_copy_only=False),
+            pa.int64())), batch_format="pyarrow", zero_copy_batch=True)
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -14512,6 +14616,8 @@ def queries() -> dict[str, Callable]:
         "kg_tool_trend": _q_kg_tool_trend,
         "events_littles_law": _q_events_littles_law,
         "diag_hash_partition_balance": _q_diag_hash_partition_balance,
+        "ml_shapley_two_features": _q_ml_shapley_two_features,
+        "events_dose_response": _q_events_dose_response,
         "kg_ktruss_edges": _q_kg_ktruss,
         "kg_subclass_depth": _q_kg_subclass_depth,
         "dedup_incremental": _q_dedup_incremental,
@@ -20569,4 +20675,55 @@ ORDER BY doc_a, doc_b"""
                CAST(1000000 * k.mx * {HASHPART_BUCKETS} // k.tot
                     AS BIGINT) AS skew_fp
         FROM c, k ORDER BY bucket"""
+    out["ml_shapley_two_features"] = f"""
+        WITH f AS (SELECT
+            CASE WHEN n_chars >= {KAPPA_CHAR_MIN} THEN 1 ELSE 0 END AS a,
+            CASE WHEN len(string_split(text, ' ')) >= {KAPPA_WORD_MIN}
+                 THEN 1 ELSE 0 END AS b,
+            CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM documents),
+        c AS (SELECT count(*) AS n, sum(y) AS np_,
+                     sum(CASE WHEN a = y THEN 1 ELSE 0 END) AS ok_a,
+                     sum(CASE WHEN b = y THEN 1 ELSE 0 END) AS ok_b,
+                     sum(CASE WHEN (a * b) = y THEN 1 ELSE 0 END)
+                       AS ok_ab
+              FROM f),
+        v AS (SELECT 1000000 * greatest(np_, n - np_) // n AS v0,
+                     1000000 * ok_a // n AS va,
+                     1000000 * ok_b // n AS vb,
+                     1000000 * ok_ab // n AS vab
+              FROM c)
+        SELECT CAST(v0 AS BIGINT) AS v_empty_fp,
+               CAST(va AS BIGINT) AS v_a_fp,
+               CAST(vb AS BIGINT) AS v_b_fp,
+               CAST(vab AS BIGINT) AS v_ab_fp,
+               CAST(((va - v0) + (vab - vb)) // 2
+                    - CASE WHEN ((va - v0) + (vab - vb)) % 2 <> 0
+                                AND (va - v0) + (vab - vb) < 0
+                           THEN 1 ELSE 0 END AS BIGINT) AS phi_a_fp,
+               CAST(((vb - v0) + (vab - va)) // 2
+                    - CASE WHEN ((vb - v0) + (vab - va)) % 2 <> 0
+                                AND (vb - v0) + (vab - va) < 0
+                           THEN 1 ELSE 0 END AS BIGINT) AS phi_b_fp
+        FROM v"""
+    out["events_dose_response"] = """
+        WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t
+                   FROM events),
+        fp AS (SELECT user_id, min(t) AS pt FROM e
+               WHERE event_type = 'purchase' GROUP BY 1),
+        u AS (SELECT e.user_id,
+                     max(CASE WHEN fp.pt IS NOT NULL
+                         THEN 1 ELSE 0 END) AS conv,
+                     sum(CASE WHEN e.event_type = 'view'
+                              AND (fp.pt IS NULL OR e.t < fp.pt)
+                         THEN 1 ELSE 0 END) AS dose
+              FROM e LEFT JOIN fp USING (user_id) GROUP BY 1),
+        b AS (SELECT CASE WHEN dose = 0 THEN 0
+                     ELSE length(bin(dose)) END AS bucket, conv FROM u)
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(conv) AS BIGINT) AS n_converted,
+               CAST(1000000 * sum(conv) // count(*) AS BIGINT)
+                 AS rate_fp
+        FROM b GROUP BY 1 ORDER BY 1"""
     return out
