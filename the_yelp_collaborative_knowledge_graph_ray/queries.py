@@ -14160,6 +14160,109 @@ def _q_events_dose_response(sf_dir: str):
             pa.int64())), batch_format="pyarrow", zero_copy_batch=True)
 
 
+FOOTER_TABLES = ("customer", "lineitem", "orders", "part", "events",
+                 "documents", "embeddings")
+
+
+def _q_diag_parquet_footers(sf_dir: str):
+    """Parquet footer introspection: rows and row-group counts per
+    input table read from METADATA ONLY (the same footer-level planning
+    state/compact.py uses — no data pages touched), the split-planning
+    input for the 100-TB read stage. Driver-side pyarrow footer reads;
+    the twin uses DuckDB's parquet_file_metadata."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    rows = []
+    for t in FOOTER_TABLES:
+        md = pq.ParquetFile(os.path.join(sf_dir, f"{t}.parquet")).metadata
+        rows.append((t, md.num_rows, md.num_row_groups))
+    return pd.DataFrame(rows, columns=["tbl", "num_rows",
+                                       "num_row_groups"]) \
+        .astype({"num_rows": "int64", "num_row_groups": "int64"}) \
+        .sort_values("tbl").reset_index(drop=True)
+
+
+DATE_SHIFT_RANGE = 15  # each user shifted by splitmix(user) % 15 - 7 days
+
+
+def _q_privacy_date_shift(sf_dir: str):
+    """Deterministic per-user date shifting (the longitudinal-privacy
+    transform that keeps WITHIN-user intervals exact while breaking
+    cross-user alignment): shift = splitmix64(user_id) % 15 − 7 days;
+    report per user the shift and the shifted activity window —
+    mechanism plumbing oracle-twinned bit-for-bit."""
+    from .functions.grouped import sorted_aggregate
+    from .functions.sampling import splitmix64
+    i64 = pa.int64()
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts"]).map_batches(
+        lambda b: pa.table({
+            "user_id": pc.cast(b["user_id"], i64),
+            "day": pc.divide(pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                                     i64), 86_400_000_000)}),
+        batch_format="pyarrow")
+    mm = sorted_aggregate(ev, ["user_id"],
+                          [("day", "min"), ("day", "max")],
+                          ["user_id", "mn", "mx"], 4)
+
+    def shift(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        sh = (splitmix64(uid.view(np.uint64))
+              % np.uint64(DATE_SHIFT_RANGE)).astype(np.int64) - 7
+        return pa.table({
+            "user_id": b["user_id"], "shift_days": pa.array(sh),
+            "from_day": pa.array(
+                b["mn"].to_numpy(zero_copy_only=False) + sh),
+            "to_day": pa.array(
+                b["mx"].to_numpy(zero_copy_only=False) + sh)})
+
+    return mm.map_batches(shift, batch_format="pyarrow",
+                          zero_copy_batch=True).sort("user_id")
+
+
+def _q_rel_two_way_interaction(sf_dir: str):
+    """Two-way cell analysis (returnflag × linestatus on quantity):
+    per-cell mean ×10⁶ plus the interaction contrast cell − row − col
+    + grand (all fp means pinned to 10⁶·sum // n, so the contrast is
+    deterministic integer adds) — the ANOVA-table view of a categorical
+    pair. One grouped moment pass; margins fold on a |cells| frame."""
+    import pandas as pd
+    i64 = pa.int64()
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def mom(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "rf": b["l_returnflag"], "ls": b["l_linestatus"],
+            "n": pa.array(np.ones(b.num_rows, np.int64)),
+            "sq": pc.cast(pc.round(b["l_quantity"]), i64)}) \
+            .group_by(["rf", "ls"], use_threads=False) \
+            .aggregate([("n", "sum"), ("sq", "sum")]) \
+            .rename_columns(["rf", "ls", "n", "sq"])
+
+    p = li.map_batches(mom, batch_format="pyarrow",
+                       zero_copy_batch=True).to_pandas() \
+        .groupby(["rf", "ls"], as_index=False).sum()
+    p["cell_fp"] = 10**6 * p["sq"].astype("int64") // p["n"].astype(
+        "int64")
+    row = p.groupby("rf").agg(n=("n", "sum"), sq=("sq", "sum"))
+    row["fp"] = 10**6 * row["sq"] // row["n"]
+    col = p.groupby("ls").agg(n=("n", "sum"), sq=("sq", "sum"))
+    col["fp"] = 10**6 * col["sq"] // col["n"]
+    grand = 10**6 * int(p["sq"].sum()) // int(p["n"].sum())
+    p["interaction_fp"] = (p["cell_fp"]
+                           - p["rf"].map(row["fp"]).astype("int64")
+                           - p["ls"].map(col["fp"]).astype("int64")
+                           + grand)
+    out = p[["rf", "ls", "n", "cell_fp", "interaction_fp"]].copy()
+    out.columns = ["l_returnflag", "l_linestatus", "n", "cell_fp",
+                   "interaction_fp"]
+    return out.sort_values(["l_returnflag", "l_linestatus"]) \
+        .reset_index(drop=True).astype(
+        {"n": "int64", "cell_fp": "int64", "interaction_fp": "int64"})
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -14618,6 +14721,9 @@ def queries() -> dict[str, Callable]:
         "diag_hash_partition_balance": _q_diag_hash_partition_balance,
         "ml_shapley_two_features": _q_ml_shapley_two_features,
         "events_dose_response": _q_events_dose_response,
+        "diag_parquet_footers": _q_diag_parquet_footers,
+        "privacy_date_shift": _q_privacy_date_shift,
+        "rel_two_way_interaction": _q_rel_two_way_interaction,
         "kg_ktruss_edges": _q_kg_ktruss,
         "kg_subclass_depth": _q_kg_subclass_depth,
         "dedup_incremental": _q_dedup_incremental,
@@ -20726,4 +20832,48 @@ ORDER BY doc_a, doc_b"""
                CAST(1000000 * sum(conv) // count(*) AS BIGINT)
                  AS rate_fp
         FROM b GROUP BY 1 ORDER BY 1"""
+    # footer paths are embedded at the oracle scale (the same
+    # SF_ORACLE-pinning every fixture-backed oracle uses)
+    tdir = os.path.join("/root/testdata", SF_ORACLE)
+    footer_parts = " UNION ALL ".join(f"""
+        SELECT '{t}' AS tbl, CAST(num_rows AS BIGINT) AS num_rows,
+               CAST(num_row_groups AS BIGINT) AS num_row_groups
+        FROM parquet_file_metadata('{tdir}/{t}.parquet')"""
+        for t in FOOTER_TABLES)
+    out["diag_parquet_footers"] = \
+        "SELECT * FROM (" + footer_parts + ") ORDER BY tbl"
+    out["privacy_date_shift"] = f"""
+        WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+                   FROM events),
+        mm AS (SELECT user_id, min(day) AS mn, max(day) AS mx FROM e
+               GROUP BY 1),
+        base AS (SELECT user_id, mn, mx,
+                        CAST(user_id AS UBIGINT) AS kx FROM mm),
+        {_splitmix_cte('base', 'kx', 'user_id, mn, mx')},
+        sh AS (SELECT user_id, mn, mx,
+                      CAST(xor(z, z >> 31) % {DATE_SHIFT_RANGE}
+                           AS BIGINT) - 7 AS s FROM z2)
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(s AS BIGINT) AS shift_days,
+               CAST(mn + s AS BIGINT) AS from_day,
+               CAST(mx + s AS BIGINT) AS to_day
+        FROM sh ORDER BY user_id"""
+    out["rel_two_way_interaction"] = """
+        WITH m AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
+                          count(*) AS n,
+                          sum(CAST(round(l_quantity) AS BIGINT)) AS sq
+                   FROM lineitem GROUP BY 1, 2),
+        cell AS (SELECT *, 1000000 * sq // n AS cell_fp FROM m),
+        rw AS (SELECT rf, 1000000 * sum(sq) // sum(n) AS fp FROM m
+               GROUP BY 1),
+        cl AS (SELECT ls, 1000000 * sum(sq) // sum(n) AS fp FROM m
+               GROUP BY 1),
+        g AS (SELECT 1000000 * sum(sq) // sum(n) AS fp FROM m)
+        SELECT cell.rf AS l_returnflag, cell.ls AS l_linestatus,
+               CAST(cell.n AS BIGINT) AS n,
+               CAST(cell.cell_fp AS BIGINT) AS cell_fp,
+               CAST(cell.cell_fp - rw.fp - cl.fp + g.fp AS BIGINT)
+                 AS interaction_fp
+        FROM cell JOIN rw USING (rf) JOIN cl USING (ls), g
+        ORDER BY 1, 2"""
     return out
