@@ -14263,6 +14263,157 @@ def _q_rel_two_way_interaction(sf_dir: str):
         {"n": "int64", "cell_fp": "int64", "interaction_fp": "int64"})
 
 
+def _q_kg_construct_agg(sf_dir: str):
+    """Aggregate CONSTRUCT — materialized-statistics triples: derive
+    (conv, prop:toolUseCount, n) for every conversation from a grouped
+    count over usesTool + isPartOf edges, emitted as typed integer
+    literals ready to union into the graph (the reference's derived-
+    triple pattern lifted to aggregates; plain CONSTRUCT is per-binding,
+    this is per-GROUP). Two predicate scans, one co-group, one count."""
+    from .functions.bgp import cogroup_join
+    from .functions.grouped import grouped_count
+    from .pipelines.kg import run_kg
+    tri = run_kg(sf_dir).materialize()
+    ut = tri.filter(expr=f"pred == '{C.PRED_USES_TOOL}'").map_batches(
+        lambda b: pa.table({"turn": b["subj"]}), batch_format="pyarrow")
+    po = tri.filter(expr=f"pred == '{C.PRED_IS_PART_OF}'").map_batches(
+        lambda b: pa.table({"turn": b["subj"], "conv": b["obj"]}),
+        batch_format="pyarrow")
+    j = cogroup_join(ut, po, ["turn"], ["turn"], ["turn", "conv"],
+                     num_partitions=8)
+    c = grouped_count(j.map_batches(lambda b: b.select(["conv"]),
+                                    batch_format="pyarrow"),
+                      ["conv"], "n", 4)
+
+    def render(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "subj": b["conv"],
+            "pred": pa.nulls(b.num_rows, pa.string()).fill_null(
+                C.PROP + "toolUseCount"),
+            "obj": pa.array([str(int(x)) for x in n], pa.string()),
+            "obj_datatype": pa.nulls(b.num_rows, pa.string()).fill_null(
+                C.XSD_INTEGER)})
+
+    return c.map_batches(render, batch_format="pyarrow",
+                         zero_copy_batch=True).sort("subj")
+
+
+def _q_ml_fairness_odds_gap(sf_dir: str):
+    """Equalized-odds audit per source group: TPR and FPR ×10⁶ of the
+    n_chars gate predicting lang='en' in each source, plus the max
+    pairwise gaps — the group-fairness check run before shipping any
+    filter that gates documents. 4 counters per group fold."""
+    import pandas as pd
+    i64 = pa.int64()
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["source", "n_chars", "lang"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        p = pc.cast(b["n_chars"], i64).to_numpy(
+            zero_copy_only=False) >= KAPPA_CHAR_MIN
+        y = pc.equal(b["lang"], "en").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "source": b["source"],
+            "tp": pa.array((p & y).astype(np.int64)),
+            "fp": pa.array((p & ~y).astype(np.int64)),
+            "pos": pa.array(y.astype(np.int64)),
+            "neg": pa.array((~y).astype(np.int64))}) \
+            .group_by(["source"], use_threads=False) \
+            .aggregate([("tp", "sum"), ("fp", "sum"), ("pos", "sum"),
+                        ("neg", "sum")]) \
+            .rename_columns(["source", "tp", "fp", "pos", "neg"])
+
+    p = docs.map_batches(cells, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas() \
+        .groupby("source", as_index=False).sum().sort_values("source")
+    p["tpr_fp"] = (10**6 * p["tp"].astype("int64")
+                   // p["pos"].astype("int64").clip(lower=1))
+    p["fpr_fp"] = (10**6 * p["fp"].astype("int64")
+                   // p["neg"].astype("int64").clip(lower=1))
+    p["tpr_gap_fp"] = np.int64(int(p["tpr_fp"].max())
+                               - int(p["tpr_fp"].min()))
+    p["fpr_gap_fp"] = np.int64(int(p["fpr_fp"].max())
+                               - int(p["fpr_fp"].min()))
+    return p[["source", "tpr_fp", "fpr_fp", "tpr_gap_fp",
+              "fpr_gap_fp"]].reset_index(drop=True).astype(
+        {"tpr_fp": "int64", "fpr_fp": "int64", "tpr_gap_fp": "int64",
+         "fpr_gap_fp": "int64"})
+
+
+ATTR_WINDOWS_S = (3600, 21600, 86400)
+
+
+def _q_events_attribution_windows(sf_dir: str):
+    """Attribution-window sensitivity: purchases credited to a prior
+    view within 1 h / 6 h / 24 h (last-touch), as three counters from
+    ONE pass — how much 'conversion' is an artifact of the window
+    choice. The most-recent-view time is a running max inside complete
+    sorted user groups (no per-purchase search)."""
+    import pandas as pd
+    from .functions.grouped import group_ids, sorted_group_apply
+    i64 = pa.int64()
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"]).map_batches(
+        lambda b: pa.table({
+            "user_id": b["user_id"],
+            "ts_s": pc.divide(pc.cast(pc.cast(b["ts"],
+                                              pa.timestamp("us")), i64),
+                              1_000_000),
+            "event_id": b["event_id"], "event_type": b["event_type"]}),
+        batch_format="pyarrow")
+
+    def windows(b: pa.Table) -> pa.Table:
+        schema = pa.schema([("window_s", i64), ("n_purchases", i64),
+                            ("n_attributed", i64)])
+        if b.num_rows == 0:
+            return schema.empty_table()
+        gid, _ = group_ids(b, ["user_id"])
+        ts = b["ts_s"].to_numpy(zero_copy_only=False)
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, gid))
+        ot, og, oe = ts[order], gid[order], et[order]
+        isv = oe == "view"
+        # most-recent STRICTLY-PRIOR view time per row: shift the view
+        # times down one, reset at group starts (sentinel -1: ts_s > 0),
+        # then a segmented cummax via the per-segment stride offset
+        # (value range [-1, ~2^31) << stride, so cross-segment values
+        # can never win the accumulate)
+        vt = np.where(isv, ot, -1)
+        first = np.empty(len(ot), bool)
+        first[0] = True
+        first[1:] = og[1:] != og[:-1]
+        prev = np.empty(len(ot), np.int64)
+        prev[0] = -1
+        prev[1:] = vt[:-1]
+        prev[first] = -1
+        seg = np.cumsum(first) - 1
+        stride = np.int64(1) << 34
+        run = np.maximum.accumulate(prev + seg * stride) - seg * stride
+        isp = oe == "purchase"
+        last_view = run[isp]
+        gaps = ot[isp] - last_view
+        rows = [(w, int(isp.sum()),
+                 int(((last_view >= 0) & (gaps <= w)).sum()))
+                for w in ATTR_WINDOWS_S]
+        a, c, d = zip(*rows)
+        return pa.table({"window_s": pa.array(a, i64),
+                         "n_purchases": pa.array(c, i64),
+                         "n_attributed": pa.array(d, i64)},
+                        schema=schema)
+
+    p = sorted_group_apply(ev, ["user_id"], windows,
+                           num_partitions=4).to_pandas() \
+        .groupby("window_s", as_index=False).sum()
+    p["attr_fp"] = (10**6 * p["n_attributed"].astype("int64")
+                    // p["n_purchases"].astype("int64").clip(lower=1))
+    return p.sort_values("window_s").reset_index(drop=True).astype(
+        {"window_s": "int64", "n_purchases": "int64",
+         "n_attributed": "int64", "attr_fp": "int64"})
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -14724,6 +14875,9 @@ def queries() -> dict[str, Callable]:
         "diag_parquet_footers": _q_diag_parquet_footers,
         "privacy_date_shift": _q_privacy_date_shift,
         "rel_two_way_interaction": _q_rel_two_way_interaction,
+        "kg_construct_agg_triples": _q_kg_construct_agg,
+        "ml_fairness_odds_gap": _q_ml_fairness_odds_gap,
+        "events_attribution_windows": _q_events_attribution_windows,
         "kg_ktruss_edges": _q_kg_ktruss,
         "kg_subclass_depth": _q_kg_subclass_depth,
         "dedup_incremental": _q_dedup_incremental,
@@ -20876,4 +21030,59 @@ ORDER BY doc_a, doc_b"""
                  AS interaction_fp
         FROM cell JOIN rw USING (rf) JOIN cl USING (ls), g
         ORDER BY 1, 2"""
+    out["kg_construct_agg_triples"] = P + f"""
+        , tri AS (SELECT * FROM ({full_body})),
+        ut AS (SELECT subj AS turn FROM tri
+               WHERE pred = '{C.PRED_USES_TOOL}'),
+        po AS (SELECT subj AS turn, obj AS conv FROM tri
+               WHERE pred = '{C.PRED_IS_PART_OF}'),
+        c AS (SELECT po.conv, count(*) AS n
+              FROM ut JOIN po USING (turn) GROUP BY 1)
+        SELECT conv AS subj,
+               '{C.PROP}toolUseCount' AS pred,
+               CAST(n AS VARCHAR) AS obj,
+               '{C.XSD_INTEGER}' AS obj_datatype
+        FROM c ORDER BY subj"""
+    out["ml_fairness_odds_gap"] = f"""
+        WITH c AS (SELECT source,
+                sum(CASE WHEN n_chars >= {KAPPA_CHAR_MIN}
+                         AND lang = 'en' THEN 1 ELSE 0 END) AS tp,
+                sum(CASE WHEN n_chars >= {KAPPA_CHAR_MIN}
+                         AND lang <> 'en' THEN 1 ELSE 0 END) AS fp,
+                sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos,
+                sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS neg
+              FROM documents GROUP BY 1),
+        r AS (SELECT source,
+                     1000000 * tp // greatest(pos, 1) AS tpr_fp,
+                     1000000 * fp // greatest(neg, 1) AS fpr_fp
+              FROM c),
+        g AS (SELECT max(tpr_fp) - min(tpr_fp) AS tg,
+                     max(fpr_fp) - min(fpr_fp) AS fg FROM r)
+        SELECT source, CAST(tpr_fp AS BIGINT) AS tpr_fp,
+               CAST(fpr_fp AS BIGINT) AS fpr_fp,
+               CAST(g.tg AS BIGINT) AS tpr_gap_fp,
+               CAST(g.fg AS BIGINT) AS fpr_gap_fp
+        FROM r, g ORDER BY source"""
+    aw_vals = ", ".join(f"({w})" for w in ATTR_WINDOWS_S)
+    out["events_attribution_windows"] = f"""
+        WITH e AS (SELECT user_id, event_id, event_type,
+                          epoch_us(ts) // 1000000 AS t FROM events),
+        o AS (SELECT *, max(CASE WHEN event_type = 'view'
+                            THEN t END) OVER (
+                 PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS lv
+              FROM e),
+        p AS (SELECT t, lv FROM o WHERE event_type = 'purchase'),
+        w(window_s) AS (VALUES {aw_vals})
+        SELECT CAST(w.window_s AS BIGINT) AS window_s,
+               CAST(count(*) AS BIGINT) AS n_purchases,
+               CAST(sum(CASE WHEN p.lv IS NOT NULL
+                             AND p.t - p.lv <= w.window_s
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+               CAST(1000000 * sum(CASE WHEN p.lv IS NOT NULL
+                                       AND p.t - p.lv <= w.window_s
+                                  THEN 1 ELSE 0 END)
+                    // greatest(count(*), 1) AS BIGINT) AS attr_fp
+        FROM p CROSS JOIN w GROUP BY 1 ORDER BY 1"""
     return out
