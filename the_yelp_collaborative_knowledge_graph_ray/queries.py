@@ -14414,6 +14414,133 @@ def _q_events_attribution_windows(sf_dir: str):
          "n_attributed": "int64", "attr_fp": "int64"})
 
 
+def _q_text_cross_perplexity(sf_dir: str):
+    """Cross-domain code length: tokens of source A coded under source
+    B's Laplace unigram model (and vice versa), bits = bitlen((N_B + V)
+    // (c_B + 1)) per token — the exact-integer domain-mismatch
+    measure (self-surprisal is text_surprisal; this is the transfer
+    direction). Everything folds on the dictionary-sized (source,
+    word) frame."""
+    import pandas as pd
+    from .functions.grouped import grouped_count
+    from .stages.dedup import _words_flat
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["source", "text"])
+
+    def words(b: pa.Table) -> pa.Table:
+        w, doc_of = _words_flat(b["text"])
+        src = b["source"].to_numpy(zero_copy_only=False)
+        return pa.table({"source": pa.array(src[doc_of]),
+                         "word": pa.array(w)})
+
+    c = grouped_count(docs.map_batches(words, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                      ["source", "word"], "n", 8).to_pandas()
+    srcs = sorted(c["source"].unique())[:2]
+    a, b_ = srcs
+    sub = c[c["source"].isin(srcs)]
+    piv = sub.pivot_table(index="word", columns="source", values="n",
+                          aggfunc="sum", fill_value=0).reset_index()
+    for s in srcs:
+        if s not in piv:
+            piv[s] = 0
+    v = len(piv)
+    rows = []
+    for frm, to in ((a, b_), (b_, a)):
+        n_to = int(piv[to].sum())
+        ca = piv[frm].to_numpy().astype(np.int64)
+        cb = piv[to].to_numpy().astype(np.int64)
+        bits = np.array([int((n_to + v) // (x + 1)).bit_length()
+                         for x in cb], np.int64)
+        total = int((ca * bits).sum())
+        ntok = int(ca.sum())
+        rows.append((frm, to, ntok, total,
+                     10**6 * total // max(ntok, 1)))
+    return pd.DataFrame(rows, columns=["src_from", "src_to", "n_tokens",
+                                       "total_bits", "mean_bits_fp"]) \
+        .astype({"n_tokens": "int64", "total_bits": "int64",
+                 "mean_bits_fp": "int64"}) \
+        .sort_values(["src_from"]).reset_index(drop=True)
+
+
+RICH_CLUB_K = 3
+
+
+def _q_kg_rich_club(sf_dir: str):
+    """Rich-club coefficient of the co-mention graph: among nodes with
+    degree ≥ 3, the realized fraction of possible edges ×10⁶ — do the
+    hubs talk to each other? Degrees attach to both edge endpoints via
+    co-groups; only 4 counters leave."""
+    import pandas as pd
+    from .functions.bgp import cogroup_join
+    from .functions.grouped import grouped_count
+    from .functions.triangles import within_group_pairs
+    pre = C.ENT + "mention/"
+    m = _q_mentions(sf_dir).map_batches(
+        lambda b: pa.table({
+            "turn": b["subj"],
+            "c": pc.utf8_slice_codeunits(b["obj"], len(pre))}),
+        batch_format="pyarrow")
+    edges = within_group_pairs(m, "turn", "c").materialize()
+    deg = grouped_count(edges.map_batches(
+        lambda b: pa.table({"node": pa.concat_arrays(
+            [b["u"].combine_chunks(), b["v"].combine_chunks()])}),
+        batch_format="pyarrow"), ["node"], "deg", 4).materialize()
+    rich = deg.map_batches(lambda b: b.filter(
+        pc.greater_equal(b["deg"], RICH_CLUB_K)).select(["node"]),
+        batch_format="pyarrow")
+    n_rich = rich.count()
+    du = rich.map_batches(lambda b: pa.table({"u": b["node"]}),
+                          batch_format="pyarrow")
+    dv = rich.map_batches(lambda b: pa.table({"v": b["node"]}),
+                          batch_format="pyarrow")
+    e1 = cogroup_join(edges, du, ["u"], ["u", "v"], ["u"],
+                      num_partitions=4)
+    e2 = cogroup_join(e1, dv, ["v"], ["v", "u"], ["v"],
+                      num_partitions=4)
+    n_edges = e2.count()
+    denom = max(n_rich * (n_rich - 1) // 2, 1)
+    return pd.DataFrame({
+        "k": [RICH_CLUB_K], "n_rich": [n_rich], "n_edges": [n_edges],
+        "phi_fp": [10**6 * n_edges // denom]}).astype("int64")
+
+
+def _q_ml_margin_histogram(sf_dir: str):
+    """Decision-margin histogram: |n_chars − 500| in log2 buckets split
+    by correctness — errors should concentrate near the boundary; a fat
+    wrong-tail far from it means the feature, not the threshold, is
+    broken. One scan, log2×2 counters."""
+    from .functions.grouped import sorted_aggregate
+    i64 = pa.int64()
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["n_chars", "lang"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        x = pc.cast(b["n_chars"], i64).to_numpy(zero_copy_only=False)
+        y = pc.equal(b["lang"], "en").to_numpy(zero_copy_only=False)
+        margin = np.abs(x - KAPPA_CHAR_MIN)
+        bucket = np.array([int(v).bit_length() for v in margin],
+                          np.int64)
+        correct = ((x >= KAPPA_CHAR_MIN) == y).astype(np.int64)
+        return pa.table({"bucket": pa.array(bucket),
+                         "n": pa.array(np.ones(len(x), np.int64)),
+                         "n_correct": pa.array(correct)}) \
+            .group_by(["bucket"], use_threads=False) \
+            .aggregate([("n", "sum"), ("n_correct", "sum")]) \
+            .rename_columns(["bucket", "n", "n_correct"])
+
+    out = sorted_aggregate(
+        docs.map_batches(cells, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["bucket"], [("n", "sum"), ("n_correct", "sum")],
+        ["bucket", "n", "n_correct"], 1)
+    return out.map_batches(lambda b: b.append_column(
+        "acc_fp", pa.array(
+            10**6 * b["n_correct"].to_numpy(zero_copy_only=False)
+            // b["n"].to_numpy(zero_copy_only=False), pa.int64())),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -14878,6 +15005,9 @@ def queries() -> dict[str, Callable]:
         "kg_construct_agg_triples": _q_kg_construct_agg,
         "ml_fairness_odds_gap": _q_ml_fairness_odds_gap,
         "events_attribution_windows": _q_events_attribution_windows,
+        "text_cross_perplexity": _q_text_cross_perplexity,
+        "kg_rich_club": _q_kg_rich_club,
+        "ml_margin_histogram": _q_ml_margin_histogram,
         "kg_ktruss_edges": _q_kg_ktruss,
         "kg_subclass_depth": _q_kg_subclass_depth,
         "dedup_incremental": _q_dedup_incremental,
@@ -21085,4 +21215,74 @@ ORDER BY doc_a, doc_b"""
                                   THEN 1 ELSE 0 END)
                     // greatest(count(*), 1) AS BIGINT) AS attr_fp
         FROM p CROSS JOIN w GROUP BY 1 ORDER BY 1"""
+    out["text_cross_perplexity"] = """
+        WITH w AS (SELECT source, unnest(string_split(lower(text), ' '))
+                     AS w FROM documents),
+        cc AS (SELECT source, w, count(*) AS n FROM w GROUP BY 1, 2),
+        ss AS (SELECT DISTINCT source FROM documents
+               ORDER BY source LIMIT 2),
+        ab AS (SELECT min(source) AS a, max(source) AS b FROM ss),
+        voc AS (SELECT w,
+                  coalesce(sum(CASE WHEN cc.source = (SELECT a FROM ab)
+                               THEN n END), 0) AS na,
+                  coalesce(sum(CASE WHEN cc.source = (SELECT b FROM ab)
+                               THEN n END), 0) AS nb
+                FROM cc WHERE source IN (SELECT source FROM ss)
+                GROUP BY 1),
+        k AS (SELECT count(*) AS v, sum(na) AS ta, sum(nb) AS tb
+              FROM voc),
+        d AS (SELECT (SELECT a FROM ab) AS src_from,
+                     (SELECT b FROM ab) AS src_to,
+                     sum(voc.na) AS n_tokens,
+                     sum(voc.na * length(bin((k.tb + k.v)
+                                             // (voc.nb + 1))))
+                       AS total_bits
+              FROM voc, k
+              UNION ALL
+              SELECT (SELECT b FROM ab), (SELECT a FROM ab),
+                     sum(voc.nb),
+                     sum(voc.nb * length(bin((k.ta + k.v)
+                                             // (voc.na + 1))))
+              FROM voc, k)
+        SELECT src_from, src_to, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(total_bits AS BIGINT) AS total_bits,
+               CAST(1000000 * total_bits // greatest(n_tokens, 1)
+                    AS BIGINT) AS mean_bits_fp
+        FROM d ORDER BY src_from"""
+    out["kg_rich_club"] = P + f"""
+        , ce AS (SELECT DISTINCT a.canonical AS u, b.canonical AS v
+                 FROM mention a JOIN mention b
+                   ON a.turn_iri = b.turn_iri
+                  AND a.canonical < b.canonical),
+        d AS (SELECT node, count(*) AS deg FROM (
+                SELECT u AS node FROM ce
+                UNION ALL SELECT v FROM ce) GROUP BY 1),
+        rich AS (SELECT node FROM d WHERE deg >= {RICH_CLUB_K}),
+        re AS (SELECT * FROM ce
+               WHERE u IN (SELECT node FROM rich)
+                 AND v IN (SELECT node FROM rich)),
+        k AS (SELECT (SELECT count(*) FROM rich) AS nr,
+                     (SELECT count(*) FROM re) AS ne)
+        SELECT CAST({RICH_CLUB_K} AS BIGINT) AS k,
+               CAST(nr AS BIGINT) AS n_rich,
+               CAST(ne AS BIGINT) AS n_edges,
+               CAST(1000000 * ne
+                    // greatest(nr * (nr - 1) // 2, 1) AS BIGINT)
+                 AS phi_fp
+        FROM k"""
+    out["ml_margin_histogram"] = f"""
+        WITH f AS (SELECT abs(n_chars - {KAPPA_CHAR_MIN}) AS margin,
+                          CASE WHEN (n_chars >= {KAPPA_CHAR_MIN})
+                                    = (lang = 'en')
+                               THEN 1 ELSE 0 END AS correct
+                   FROM documents),
+        b AS (SELECT CASE WHEN margin = 0 THEN 0
+                     ELSE length(bin(margin)) END AS bucket, correct
+              FROM f)
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(correct) AS BIGINT) AS n_correct,
+               CAST(1000000 * sum(correct) // count(*) AS BIGINT)
+                 AS acc_fp
+        FROM b GROUP BY 1 ORDER BY 1"""
     return out
