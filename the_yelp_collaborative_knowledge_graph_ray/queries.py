@@ -14541,6 +14541,133 @@ def _q_ml_margin_histogram(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_kg_label_assortativity(sf_dir: str):
+    """Label-mixing matrix of the co-mention graph: edge counts per
+    unordered ENTITY-TYPE pair (types via mention→sameAs→entity→
+    instanceOf→type chain; unlinked mentions bucket as 'untyped') plus
+    the same-type edge share ×10⁶ — do entities co-occur within their
+    kind? The categorical counterpart of degree assortativity. Two
+    dictionary-bounded maps ride in the closure; edges stream."""
+    import pandas as pd
+    from .functions.grouped import grouped_count
+    from .functions.triangles import within_group_pairs
+    from .pipelines.kg import run_kg
+    tri = run_kg(sf_dir).materialize()
+    pre = C.ENT + "mention/"
+    sa = tri.filter(expr=f"pred == '{C.PRED_SAME_AS}'").map_batches(
+        lambda b: pa.table({
+            "c": pc.utf8_slice_codeunits(b["subj"], len(pre)),
+            "ent": b["obj"]}), batch_format="pyarrow").to_pandas()
+    io = tri.filter(expr=f"pred == '{C.PRED_INSTANCE_OF}'").map_batches(
+        lambda b: pa.table({"ent": b["subj"], "ty": b["obj"]}),
+        batch_format="pyarrow").to_pandas()
+    c2t = dict(zip(sa["c"], sa["ent"].map(
+        dict(zip(io["ent"], io["ty"]))).fillna("untyped")))
+    m = tri.filter(expr=f"pred == '{C.PRED_MENTIONS}'").map_batches(
+        lambda b: pa.table({
+            "turn": b["subj"],
+            "c": pc.utf8_slice_codeunits(b["obj"], len(pre))}),
+        batch_format="pyarrow")
+    edges = within_group_pairs(m, "turn", "c")
+
+    def to_types(b: pa.Table) -> pa.Table:
+        tu = np.array([c2t.get(x, "untyped")
+                       for x in b["u"].to_pylist()], dtype=object)
+        tv = np.array([c2t.get(x, "untyped")
+                       for x in b["v"].to_pylist()], dtype=object)
+        lo = np.minimum(tu, tv)
+        hi = np.maximum(tu, tv)
+        return pa.table({"type_a": pa.array(lo, pa.string()),
+                         "type_b": pa.array(hi, pa.string())})
+
+    cnt = grouped_count(edges.map_batches(to_types,
+                                          batch_format="pyarrow"),
+                        ["type_a", "type_b"], "n_edges", 4).to_pandas()
+    total = int(cnt["n_edges"].sum())
+    same = int(cnt.loc[cnt["type_a"] == cnt["type_b"],
+                       "n_edges"].sum())
+    cnt["same_share_fp"] = np.int64(10**6 * same // max(total, 1))
+    return cnt.sort_values(["type_a", "type_b"]) \
+        .reset_index(drop=True).astype(
+        {"n_edges": "int64", "same_share_fp": "int64"})
+
+
+FLOOR_MIN_PER_STRATUM = 50
+FLOOR_BUDGET = 500
+
+
+def _q_sample_floor_allocation(sf_dir: str):
+    """Floor-plus-proportional sampling allocation: every priority
+    stratum gets ≥50 slots, the remaining budget splits proportionally
+    to stratum size with largest-remainder — the minimum-representation
+    policy plain proportional allocation violates for rare strata.
+    |strata| counters fold."""
+    import pandas as pd
+    from .functions.grouped import grouped_count
+    od = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                               columns=["o_orderpriority"])
+    h = grouped_count(od, ["o_orderpriority"], "n", 2).to_pandas() \
+        .sort_values("o_orderpriority").reset_index(drop=True)
+    k = len(h)
+    rest = FLOOR_BUDGET - k * FLOOR_MIN_PER_STRATUM
+    w = h["n"].to_numpy().astype(np.int64)
+    tw = int(w.sum())
+    floor_a = [rest * int(x) // tw for x in w]
+    rem = [rest * int(x) - f * tw for x, f in zip(w, floor_a)]
+    left = rest - sum(floor_a)
+    order = sorted(range(k), key=lambda i: (-rem[i],
+                                            h["o_orderpriority"][i]))
+    alloc = [FLOOR_MIN_PER_STRATUM + f for f in floor_a]
+    for i in order[:left]:
+        alloc[i] += 1
+    h["alloc"] = pd.Series(alloc, dtype="int64")
+    return h.astype({"n": "int64", "alloc": "int64"})
+
+
+PERIOD_MAX_LAG = 14
+
+
+def _q_events_dominant_period(sf_dir: str):
+    """Dominant periodicity: the lag (2..14 days) maximizing the
+    length-normalized autocovariance numerator ×10⁶ // (n−lag) of the
+    dense daily counts (tie: smallest lag) — the autoperiod detector
+    behind 'is it weekly?'. Calendar-bounded driver math after the
+    distributed daily fold; all lags reported."""
+    import pandas as pd
+    from .functions.grouped import sorted_aggregate
+    i64 = pa.int64()
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts"])
+
+    def daily(b: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(pc.cast(b["ts"], pa.timestamp("us")), i64),
+                        86_400_000_000)
+        return pa.table({"day": day,
+                         "n": pa.array(np.ones(b.num_rows, np.int64))}) \
+            .group_by(["day"], use_threads=False) \
+            .aggregate([("n", "sum")]).rename_columns(["day", "n"])
+
+    d = sorted_aggregate(ev.map_batches(daily, batch_format="pyarrow"),
+                         ["day"], [("n", "sum")], ["day", "n"], 4) \
+        .to_pandas().sort_values("day").reset_index(drop=True)
+    day = d["day"].to_numpy().astype(np.int64)
+    c = np.zeros(int(day[-1] - day[0] + 1), np.int64)
+    c[day - day[0]] = d["n"].to_numpy().astype(np.int64)
+    n = len(c)
+    rows = []
+    for lag in range(2, PERIOD_MAX_LAG + 1):
+        if lag >= n:
+            break
+        a, b_ = c[:-lag], c[lag:]
+        m = n - lag
+        num = m * int((a * b_).sum()) - int(a.sum()) * int(b_.sum())
+        rows.append((lag, 10**6 * num // (m * m)))
+    best = min(rows, key=lambda r: (-r[1], r[0]))[0]
+    out = pd.DataFrame(rows, columns=["lag", "autocov_fp"])
+    out["is_dominant"] = (out["lag"] == best).astype("int64")
+    return out.astype({"lag": "int64", "autocov_fp": "int64"})
+
+
 def queries() -> dict[str, Callable]:
     return {
         "kg_structural_triples": _q_structural,
@@ -15008,6 +15135,9 @@ def queries() -> dict[str, Callable]:
         "text_cross_perplexity": _q_text_cross_perplexity,
         "kg_rich_club": _q_kg_rich_club,
         "ml_margin_histogram": _q_ml_margin_histogram,
+        "kg_label_assortativity": _q_kg_label_assortativity,
+        "sample_floor_allocation": _q_sample_floor_allocation,
+        "events_dominant_period": _q_events_dominant_period,
         "kg_ktruss_edges": _q_kg_ktruss,
         "kg_subclass_depth": _q_kg_subclass_depth,
         "dedup_incremental": _q_dedup_incremental,
@@ -21285,4 +21415,79 @@ ORDER BY doc_a, doc_b"""
                CAST(1000000 * sum(correct) // count(*) AS BIGINT)
                  AS acc_fp
         FROM b GROUP BY 1 ORDER BY 1"""
+    mpre_len = len(C.ENT + "mention/") + 1
+    out["kg_label_assortativity"] = P + f"""
+        , tri AS (SELECT * FROM ({full_body})),
+        ce AS (SELECT DISTINCT a.canonical AS u, b.canonical AS v
+               FROM mention a JOIN mention b
+                 ON a.turn_iri = b.turn_iri
+                AND a.canonical < b.canonical),
+        sa AS (SELECT substr(subj, {mpre_len}) AS c, obj AS ent
+               FROM tri WHERE pred = '{C.PRED_SAME_AS}'),
+        io AS (SELECT subj AS ent, obj AS ty FROM tri
+               WHERE pred = '{C.PRED_INSTANCE_OF}'),
+        tmap AS (SELECT sa.c, coalesce(io.ty, 'untyped') AS ty
+                 FROM sa LEFT JOIN io USING (ent)),
+        x AS (SELECT coalesce(tu.ty, 'untyped') AS ta,
+                     coalesce(tv.ty, 'untyped') AS tb
+              FROM ce LEFT JOIN tmap tu ON tu.c = ce.u
+                      LEFT JOIN tmap tv ON tv.c = ce.v),
+        p AS (SELECT least(ta, tb) AS type_a, greatest(ta, tb)
+                       AS type_b, count(*) AS n_edges
+              FROM x GROUP BY 1, 2),
+        tot_cte AS (SELECT sum(n_edges) AS tot,
+                     sum(CASE WHEN type_a = type_b
+                         THEN n_edges ELSE 0 END) AS same FROM p)
+        SELECT type_a, type_b, CAST(n_edges AS BIGINT) AS n_edges,
+               CAST(1000000 * tot_cte.same // greatest(tot_cte.tot, 1)
+                    AS BIGINT) AS same_share_fp
+        FROM p, tot_cte ORDER BY 1, 2"""
+    fb_rest = FLOOR_BUDGET
+    out["sample_floor_allocation"] = f"""
+        WITH h AS (SELECT o_orderpriority, count(*) AS n FROM orders
+                   GROUP BY 1),
+        k AS (SELECT count(*) AS k, sum(n) AS tw FROM h),
+        f AS (SELECT h.*, ({fb_rest} - k.k * {FLOOR_MIN_PER_STRATUM})
+                          * h.n // k.tw AS fa,
+                     ({fb_rest} - k.k * {FLOOR_MIN_PER_STRATUM}) * h.n
+                       - (({fb_rest} - k.k * {FLOOR_MIN_PER_STRATUM})
+                          * h.n // k.tw) * k.tw AS rem
+              FROM h, k),
+        l AS (SELECT ({fb_rest} - (SELECT k FROM k)
+                      * {FLOOR_MIN_PER_STRATUM}) - sum(fa) AS leftover
+              FROM f),
+        r AS (SELECT f.*, row_number() OVER (
+                 ORDER BY rem DESC, o_orderpriority) AS rnk FROM f)
+        SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+               CAST({FLOOR_MIN_PER_STRATUM} + fa
+                    + CASE WHEN rnk <= l.leftover THEN 1 ELSE 0 END
+                    AS BIGINT) AS alloc
+        FROM r, l ORDER BY 1"""
+    lag_vals = ", ".join(f"({x})" for x in range(2, PERIOD_MAX_LAG + 1))
+    out["events_dominant_period"] = f"""
+        WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                          count(*) AS n FROM events GROUP BY 1),
+        sp AS (SELECT unnest(generate_series(
+                 (SELECT min(day) FROM d),
+                 (SELECT max(day) FROM d))) AS day),
+        v AS (SELECT sp.day - (SELECT min(day) FROM d) AS i,
+                     coalesce(d.n, 0) AS c
+              FROM sp LEFT JOIN d USING (day)),
+        lags(lag) AS (VALUES {lag_vals}),
+        a AS (SELECT l.lag, count(*) AS m, sum(x.c * y.c) AS sxy,
+                     sum(x.c) AS sx, sum(y.c) AS sy
+              FROM lags l JOIN v x ON TRUE
+              JOIN v y ON y.i = x.i + l.lag GROUP BY 1),
+        f AS (SELECT lag, m, m * sxy - sx * sy AS num FROM a
+              WHERE m > 0),
+        g AS (SELECT lag, 1000000 * num // (m * m)
+                     - CASE WHEN (1000000 * num) % (m * m) <> 0
+                                 AND num < 0 THEN 1 ELSE 0 END AS fp
+              FROM f),
+        b AS (SELECT lag AS best FROM g ORDER BY fp DESC, lag LIMIT 1)
+        SELECT CAST(g.lag AS BIGINT) AS lag,
+               CAST(g.fp AS BIGINT) AS autocov_fp,
+               CAST(CASE WHEN g.lag = b.best THEN 1 ELSE 0 END
+                    AS BIGINT) AS is_dominant
+        FROM g, b ORDER BY lag"""
     return out
