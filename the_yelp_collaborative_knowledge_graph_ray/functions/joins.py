@@ -226,6 +226,45 @@ def zip_with_index(ds: ray.data.Dataset, id_col: str = "nid",
         [tag.remote(r, int(o)) for (r, _), o in zip(pairs, offs)])
 
 
+def zip_with_prefix_sum(ds: ray.data.Dataset, val_col: str,
+                        out_col: str, order_by: str) -> ray.data.Dataset:
+    """Append the INCLUSIVE global running total of ``val_col`` in
+    ``order_by`` order — the distributed prefix-sum behind Pareto/ABC
+    and Lorenz-curve classes. Same block plan as :func:`zip_with_index`:
+    per-block (first key, value sum) metas (TWO ints per block) come
+    back to the driver, block offsets are the exclusive cumsum, and each
+    block attaches ``offset + in-block cumsum`` in a remote task; no
+    block data ever reaches the driver.
+
+    ``order_by`` must be a column the input is globally sorted on with
+    NO duplicate values at block boundaries (pack tie-breaks into the
+    key, e.g. ``(rev << 32) - partkey``), else block order — and the
+    running total at the tie — is nondeterministic."""
+    mat = ds.materialize()
+    refs = mat.to_arrow_refs()
+
+    @ray.remote
+    def meta(t: pa.Table):
+        first = t[order_by][0].as_py() if t.num_rows else None
+        s = (int(t[val_col].to_numpy(zero_copy_only=False).sum())
+             if t.num_rows else 0)
+        return s, first
+
+    @ray.remote
+    def tag(t: pa.Table, off: int) -> pa.Table:
+        cum = off + np.cumsum(
+            t[val_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return t.append_column(out_col, pa.array(cum, pa.int64()))
+
+    metas = ray.get([meta.remote(r) for r in refs])
+    pairs = list(zip(refs, metas))
+    pairs.sort(key=lambda rm: (rm[1][1] is None, rm[1][1]))
+    sums = [m[0] for _, m in pairs]
+    offs = np.concatenate([[0], np.cumsum(sums)[:-1]]).astype(np.int64)
+    return ray.data.from_arrow_refs(
+        [tag.remote(r, int(o)) for (r, _), o in zip(pairs, offs)])
+
+
 def full_outer_unique(left: ray.data.Dataset, right: ray.data.Dataset,
                       key_col: str,
                       left_vals: list[tuple[str, pa.DataType]],
