@@ -238,6 +238,44 @@ def ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.5,
                       .sort(["doc_a", "doc_b"])
 
 
+def ngram_dice_pairs(docs: ray.data.Dataset, threshold: float = 0.6,
+                     k: int = SHINGLE_K, num_partitions: int = 16,
+                     max_posting: int = 10_000) -> ray.data.Dataset:
+    """All pairs (doc_a < doc_b) with word-k-gram SØRENSEN–DICE coefficient
+    2·|A∩B|/(|A|+|B|) >= threshold — the size-sum-normalized sibling of
+    :func:`ngram_jaccard_pairs` (monotone in Jaccard, D = 2J/(1+J), but the
+    conventional threshold in record-linkage toolchains). Identical plan:
+    postings → pairs_with_carry (3 shuffles) → vectorized scoring."""
+    def explode(b: pa.Table) -> pa.Table:
+        doc_idx, codes, dictionary = _distinct_doc_shingles(b["text"], k)
+        n = np.bincount(doc_idx, minlength=b.num_rows).astype(np.int64) \
+            if len(doc_idx) else np.zeros(b.num_rows, np.int64)
+        did = pc.cast(b["doc_id"], pa.int64()).combine_chunks().to_numpy()
+        return pa.table({
+            "shingle": dictionary.take(pa.array(codes)),
+            "doc_id": pa.array(did[doc_idx], pa.int64()),
+            "n_shingles": pa.array(n[doc_idx], pa.int64())})
+
+    postings = docs.map_batches(explode, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    from ..functions.grouped import pairs_with_carry
+    pair_counts = pairs_with_carry(
+        postings, ["shingle"], "doc_id", "n_shingles", count_col="n_inter",
+        max_group=max_posting, num_partitions=num_partitions)
+
+    def dice(b: pa.Table) -> pa.Table:
+        inter = b["n_inter"].to_numpy().astype(np.float64)
+        d = 2.0 * inter / (b["carry_a"].to_numpy()
+                           + b["carry_b"].to_numpy())
+        t = pa.table({
+            "doc_a": b["doc_a"], "doc_b": b["doc_b"],
+            "dice": pa.array(d, pa.float64())})
+        return t.filter(pc.greater_equal(t["dice"], threshold))
+
+    return pair_counts.map_batches(dice, batch_format="pyarrow") \
+                      .sort(["doc_a", "doc_b"])
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------
