@@ -227,7 +227,8 @@ def zip_with_index(ds: ray.data.Dataset, id_col: str = "nid",
 
 
 def zip_with_prefix_sum(ds: ray.data.Dataset, val_col: str,
-                        out_col: str, order_by: str) -> ray.data.Dataset:
+                        out_col: str, order_by: str,
+                        idx_col: str | None = None) -> ray.data.Dataset:
     """Append the INCLUSIVE global running total of ``val_col`` in
     ``order_by`` order — the distributed prefix-sum behind Pareto/ABC
     and Lorenz-curve classes. Same block plan as :func:`zip_with_index`:
@@ -239,7 +240,12 @@ def zip_with_prefix_sum(ds: ray.data.Dataset, val_col: str,
     ``order_by`` must be a column the input is globally sorted on with
     NO duplicate values at block boundaries (pack tie-breaks into the
     key, e.g. ``(rev << 32) - partkey``), else block order — and the
-    running total at the tie — is nondeterministic."""
+    running total at the tie — is nondeterministic.
+
+    ``idx_col`` additionally attaches the 0-based global sort rank in
+    the SAME pass (prefix sum + zipWithIndex share the block metas), so
+    rank-normalized running statistics (average precision, Lorenz
+    shares) need one materialization, not two."""
     mat = ds.materialize()
     refs = mat.to_arrow_refs()
 
@@ -248,21 +254,28 @@ def zip_with_prefix_sum(ds: ray.data.Dataset, val_col: str,
         first = t[order_by][0].as_py() if t.num_rows else None
         s = (int(t[val_col].to_numpy(zero_copy_only=False).sum())
              if t.num_rows else 0)
-        return s, first
+        return s, first, t.num_rows
 
     @ray.remote
-    def tag(t: pa.Table, off: int) -> pa.Table:
+    def tag(t: pa.Table, off: int, ioff: int) -> pa.Table:
         cum = off + np.cumsum(
             t[val_col].to_numpy(zero_copy_only=False), dtype=np.int64)
-        return t.append_column(out_col, pa.array(cum, pa.int64()))
+        t = t.append_column(out_col, pa.array(cum, pa.int64()))
+        if idx_col is not None:
+            t = t.append_column(idx_col, pa.array(
+                ioff + np.arange(t.num_rows, dtype=np.int64)))
+        return t
 
     metas = ray.get([meta.remote(r) for r in refs])
     pairs = list(zip(refs, metas))
     pairs.sort(key=lambda rm: (rm[1][1] is None, rm[1][1]))
     sums = [m[0] for _, m in pairs]
+    cnts = [m[2] for _, m in pairs]
     offs = np.concatenate([[0], np.cumsum(sums)[:-1]]).astype(np.int64)
+    ioffs = np.concatenate([[0], np.cumsum(cnts)[:-1]]).astype(np.int64)
     return ray.data.from_arrow_refs(
-        [tag.remote(r, int(o)) for (r, _), o in zip(pairs, offs)])
+        [tag.remote(r, int(o), int(io))
+         for (r, _), o, io in zip(pairs, offs, ioffs)])
 
 
 def full_outer_unique(left: ray.data.Dataset, right: ray.data.Dataset,
