@@ -59,6 +59,13 @@ def _init_ray(num_cpus: int) -> None:
     # Ray itself recommends >= 50%. Applies identically to every arm of a
     # scaling pair — the analog of sizing per-node memory on a real cluster.
     os.environ.setdefault("RAY_DEFAULT_OBJECT_STORE_MEMORY_PROPORTION", "0.6")
+    # Console log level ERROR for ray.data in driver AND workers (the env
+    # var is inherited by the raylet's worker processes in local mode);
+    # file logging stays at DEBUG. See ray_data_logging_quiet.yaml.
+    quiet = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "ray_data_logging_quiet.yaml")
+    if os.path.exists(quiet):
+        os.environ.setdefault("RAY_DATA_LOGGING_CONFIG", quiet)
     import ray
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus,
