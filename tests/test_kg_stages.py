@@ -780,3 +780,24 @@ def test_apsp_min_plus_planted(ray_session):
     assert d[("a", "d")] == 2          # via the shortcut
     assert d[("b", "a")] == 3          # b->c->d->a
     assert d[("a", "a")] == 3          # around the cycle
+
+
+def test_kg_edges_equals_materialized_triple_filter(ray_session):
+    """_kg_edges skips the per-family materialize() sorts (pure
+    optimization); the edge SET must equal the one derived from the
+    fully materialized triple families."""
+    import pyarrow.compute as pc
+
+    from the_yelp_collaborative_knowledge_graph_ray import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    lean = Q._kg_edges(sf).to_pandas()
+    tri = Q._q_structural(sf).union(Q._q_mentions(sf))
+    ref = tri.map_batches(
+        lambda b: b.filter(pc.invert(b["obj_is_literal"]))
+                   .select(["subj", "obj"])
+                   .rename_columns(["src", "dst"]),
+        batch_format="pyarrow").to_pandas().drop_duplicates()
+    a = set(map(tuple, lean[["src", "dst"]].to_numpy()))
+    b = set(map(tuple, ref[["src", "dst"]].to_numpy()))
+    assert a == b
