@@ -801,3 +801,43 @@ def test_kg_edges_equals_materialized_triple_filter(ray_session):
     a = set(map(tuple, lean[["src", "dst"]].to_numpy()))
     b = set(map(tuple, ref[["src", "dst"]].to_numpy()))
     assert a == b
+
+
+def test_bucketed_join_matches_plain_join(ray_session, tmp_path):
+    """SMB co-partitioned join == plain join, incl. a non-power-of-two
+    bucket count (multiplicative-hash path) and a layout-mismatch
+    guard."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from the_yelp_collaborative_knowledge_graph_ray.functions.bucketed \
+        import bucketed_join, write_bucketed
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(np.arange(200, dtype=np.int64) % 37),
+        "v": pa.array(np.arange(200, dtype=np.int64))}))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array(np.arange(0, 37, 2, dtype=np.int64)),
+        "w": pa.array(np.arange(0, 37, 2, dtype=np.int64) * 10)}))
+    lp = write_bucketed(left, "k", str(tmp_path / "l"), n_buckets=5)
+    rp = write_bucketed(right, "k", str(tmp_path / "r"), n_buckets=5)
+    empty = pa.table({"k": pa.array([], pa.int64()),
+                      "v": pa.array([], pa.int64()),
+                      "w": pa.array([], pa.int64())})
+    got = bucketed_join(lp, rp, "k", ["k", "v"], ["k", "w"],
+                        empty=empty).to_pandas() \
+        .sort_values(["k", "v"]).reset_index(drop=True)
+    import pandas as pd
+    ld = left.to_pandas()
+    rd = right.to_pandas()
+    want = ld.merge(rd, on="k").sort_values(["k", "v"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)])
+
+    rp8 = write_bucketed(right, "k", str(tmp_path / "r8"), n_buckets=8)
+    with pytest.raises(ValueError, match="incompatible"):
+        bucketed_join(lp, rp8, "k", ["k", "v"], ["k", "w"],
+                      empty=empty).materialize()
