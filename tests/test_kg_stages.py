@@ -841,3 +841,54 @@ def test_bucketed_join_matches_plain_join(ray_session, tmp_path):
     with pytest.raises(ValueError, match="incompatible"):
         bucketed_join(lp, rp8, "k", ["k", "v"], ["k", "w"],
                       empty=empty).materialize()
+
+
+def test_transitive_reduction_properties(ray_session):
+    """closure(reduced) == closure(original) (nothing lost), and the
+    reduction is MINIMAL: removing any kept edge shrinks the closure."""
+    from the_yelp_collaborative_knowledge_graph_ray import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    fdir = Q._fx(sf)
+    import pyarrow.parquet as pq
+    th = pq.read_table(f"{fdir}/type_hierarchy.parquet").to_pandas()
+    orig = set(zip(th["type_id"], th["super_type_id"]))
+    kept = Q.queries()["kg_type_transitive_reduction"](sf).to_pandas()
+    kept = set(zip(kept["type_id"], kept["super_type_id"]))
+    assert kept <= orig
+
+    def closure(edges):
+        clo = set(edges)
+        while True:
+            new = {(a, d) for a, b in clo for c, d in clo if b == c}
+            if new <= clo:
+                return clo
+            clo |= new
+
+    assert closure(kept) == closure(orig)
+    for e in sorted(kept):
+        assert closure(kept - {e}) != closure(orig), \
+            f"edge {e} is redundant but was kept"
+
+
+def test_symspell_equals_bruteforce(ray_session):
+    """dedup_symspell_edit1 == the O(V^2) exact Levenshtein-1 pair set
+    over the same dictionary."""
+    from the_yelp_collaborative_knowledge_graph_ray import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    got = Q.queries()["dedup_symspell_edit1"](sf)
+    got_pairs = set(zip(got["word_a"], got["word_b"]))
+    # brute force over the same normalized dictionary
+    import duckdb
+    fdir = Q._fx(sf)
+    vocab = duckdb.sql(f"""
+        SELECT DISTINCT regexp_replace(
+                 unnest(string_split(lower(text), ' ')),
+                 '[^a-z]', '', 'g') AS w
+        FROM read_parquet('{fdir}/transcripts.parquet/*.parquet')
+        """).df()["w"]
+    words = sorted(w for w in vocab if len(w) >= 4)
+    want = {(a, b) for i, a in enumerate(words)
+            for b in words[i + 1:] if Q._edit1(a, b)}
+    assert got_pairs == want and len(want) > 0
