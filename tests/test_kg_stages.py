@@ -892,3 +892,54 @@ def test_symspell_equals_bruteforce(ray_session):
     want = {(a, b) for i, a in enumerate(words)
             for b in words[i + 1:] if Q._edit1(a, b)}
     assert got_pairs == want and len(want) > 0
+
+
+def test_allen_np_select_matches_scalar_reference():
+    """The vectorized np.select branch order in events_allen_relations
+    classifies every random interval pair exactly as the textbook
+    scalar definition (with the pinned 'equal'-first precedence for
+    degenerate point intervals)."""
+    import numpy as np
+
+    from the_yelp_collaborative_knowledge_graph_ray.queries import \
+        _ALLEN_RELS
+
+    def scalar(sa, ea, sb, eb):
+        if sa == sb and ea == eb:
+            return "equal"
+        if ea < sb:
+            return "before"
+        if eb < sa:
+            return "after"
+        if ea == sb:
+            return "meets"
+        if eb == sa:
+            return "met_by"
+        if sa == sb:
+            return "starts" if ea < eb else "started_by"
+        if ea == eb:
+            return "finishes" if sa > sb else "finished_by"
+        if sa > sb and ea < eb:
+            return "during"
+        if sa < sb and ea > eb:
+            return "contains"
+        if sa < sb and ea > sb and ea < eb:
+            return "overlaps"
+        return "overlapped_by"
+
+    rng = np.random.RandomState(7)
+    a = rng.randint(0, 8, size=(4000, 2))
+    b = rng.randint(0, 8, size=(4000, 2))
+    sa, ea = a.min(1).astype(float), a.max(1).astype(float)
+    sb, eb = b.min(1).astype(float), b.max(1).astype(float)
+    rel = np.select(
+        [(sa == sb) & (ea == eb), ea < sb, eb < sa,
+         ea == sb, eb == sa,
+         (sa == sb) & (ea < eb), (sa == sb) & (ea > eb),
+         (ea == eb) & (sa > sb), (ea == eb) & (sa < sb),
+         (sa > sb) & (ea < eb), (sa < sb) & (ea > eb),
+         (sa < sb) & (ea > sb) & (ea < eb)],
+        np.arange(12), default=12)
+    got = [_ALLEN_RELS[k] for k in rel]
+    want = [scalar(*t) for t in zip(sa, ea, sb, eb)]
+    assert got == want
