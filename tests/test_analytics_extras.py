@@ -131,3 +131,34 @@ def test_decay_engagement_exact(ray_session):
     age = np.minimum(day.max() - day, 62)
     s = pd.Series(v >> age).groupby(ev["user_id"]).sum()
     assert dict(zip(got["user_id"], got["decay_score_c"])) == s.to_dict()
+
+
+def test_sax_word_census_invariants(ray_session):
+    from the_yelp_collaborative_knowledge_graph_ray import queries as Q
+    from the_yelp_collaborative_knowledge_graph_ray.queries import SAX_WORD
+    df = Q.queries()["events_sax_motifs"]("/root/testdata/sf0.001")
+    assert set("".join(df["word"])) <= set("abc")
+    assert (df["word"].str.len() == SAX_WORD).all()
+    # every sliding window contributes exactly one word
+    ks = Q.queries()["events_runs_test_median"]("/root/testdata/sf0.001")
+    T = int(ks["n_days"].iloc[0])
+    assert int(df["n"].sum()) == T - SAX_WORD + 1
+    assert df["first_i"].between(0, T - SAX_WORD).all()
+
+
+def test_kmv_estimate_within_loose_bounds(ray_session):
+    from the_yelp_collaborative_knowledge_graph_ray import queries as Q
+    df = Q.queries()["approx_distinct_kmv"]("/root/testdata/sf0.001")
+    est, exact = int(df["est"].iloc[0]), int(df["n_exact"].iloc[0])
+    assert exact > 0 and 0.3 * exact <= est <= 3 * exact
+
+
+def test_pps_systematic_invariants(ray_session):
+    from the_yelp_collaborative_knowledge_graph_ray import queries as Q
+    from the_yelp_collaborative_knowledge_graph_ray.queries import \
+        PPS_N_SAMPLE
+    df = Q.queries()["sample_pps_systematic"]("/root/testdata/sf0.001")
+    total_hits = int(df["n_hits"].sum())
+    # one hit per selection point; boundary rounding allows +-1
+    assert abs(total_hits - PPS_N_SAMPLE) <= 1
+    assert (df["n_hits"] >= 1).all()
