@@ -76,6 +76,37 @@ def test_minhash_lsh_matches_brute_force(ray_session):
     assert set(zip(got["doc_a"], got["doc_b"])) == _brute_jaccard(texts, 0.5)
 
 
+def test_minhash_cogroup_verify_beyond_broadcast(ray_session, monkeypatch):
+    """The sort-join verify path (taken when candidate texts exceed the
+    broadcast cutoff) on a corpus whose candidate volume exceeds the old
+    per-pair-Python comfort zone: 400 docs in 100 planted near-dup clusters
+    of 4 (≈600 surviving pairs, plus band-collision candidates). Both the
+    forced co-group path and the broadcast path must be bit-identical to
+    the exact inverted-index engine."""
+    rng = np.random.RandomState(7)
+    words = [f"w{i}" for i in range(500)]
+    texts, ids = [], []
+    for c in range(100):
+        base = [words[j] for j in rng.choice(len(words), 30, replace=False)]
+        for v in range(4):
+            t = list(base)
+            if v:  # mutate one word -> J ≈ 27/33 ≈ 0.82 vs base
+                t[rng.randint(30)] = f"mut{c}_{v}"
+            ids.append(c * 4 + v)
+            texts.append(" ".join(t))
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    exact = dedup.ngram_jaccard_pairs(ds, threshold=0.5,
+                                      max_posting=None).to_pandas()
+    bcast = dedup.minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+    monkeypatch.setattr(dedup, "_BROADCAST_TEXT_BYTES", -1)
+    cogroup = dedup.minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+    assert len(exact) >= 600
+    assert bcast.equals(exact)
+    assert cogroup.equals(exact)
+
+
 def test_simhash_finds_exact_and_near_dups(ray_session):
     got = dedup.simhash_pairs(_docs_ds(), max_hamming=3).to_pandas()
     pairs = set(zip(got["doc_a"], got["doc_b"]))

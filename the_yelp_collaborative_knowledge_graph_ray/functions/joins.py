@@ -29,23 +29,34 @@ _MARK = "__is_src"
 _KEY = "__k"
 
 
-def distinct_int_keys(ds: ray.data.Dataset, cols: list[str]) -> np.ndarray:
-    """Driver-side sorted distinct int64 values across ``cols`` of a SMALL
-    Dataset (e.g. a candidate-pair set). Per-block local unique runs first,
-    so only distinct values cross to the driver. Feed the result to
-    :func:`broadcast_semi_filter`."""
-    def local_unique(b: pa.Table) -> pa.Table:
-        v = np.unique(np.concatenate([
-            pc.cast(b[c], pa.int64()).combine_chunks()
-            .to_numpy(zero_copy_only=False) for c in cols])) \
-            if b.num_rows else np.empty(0, np.int64)
-        return pa.table({"k": pa.array(v, pa.int64())})
-    parts = ray.get(ds.select_columns(cols)
-                    .map_batches(local_unique, batch_format="pyarrow")
-                    .to_arrow_refs())
-    t = pa.concat_tables([p for p in parts if p.num_rows] or
-                         [pa.table({"k": pa.array([], pa.int64())})])
-    return np.unique(t["k"].to_numpy(zero_copy_only=False))
+def distinct_int_keys(ds: ray.data.Dataset, cols: list[str],
+                      fanin: int = 8) -> np.ndarray:
+    """Sorted distinct int64 values across ``cols``, folded WORKER-SIDE: a
+    per-block local unique task per block, merged through a tree of remote
+    ``np.unique(concat)`` tasks with fan-in ``fanin``. The driver receives
+    exactly ONE array — the final distinct set, which must fit in memory
+    anyway to be ``ray.put`` by :func:`broadcast_semi_filter`. Neither raw
+    blocks nor the per-block unique lists are ever concatenated on the
+    driver, so the pre-fold candidate volume can exceed driver memory."""
+    @ray.remote
+    def block_unique(t: pa.Table) -> np.ndarray:
+        if t.num_rows == 0:
+            return np.empty(0, np.int64)
+        return np.unique(np.concatenate([
+            pc.cast(t[c], pa.int64()).combine_chunks()
+            .to_numpy(zero_copy_only=False) for c in cols]))
+
+    @ray.remote
+    def merge(*arrs: np.ndarray) -> np.ndarray:
+        return np.unique(np.concatenate(arrs))
+
+    level = [block_unique.remote(r)
+             for r in ds.select_columns(cols).materialize().to_arrow_refs()]
+    while len(level) > 1:
+        level = [merge.remote(*grp) if len(grp) > 1 else grp[0]
+                 for grp in (level[i:i + fanin]
+                             for i in range(0, len(level), fanin))]
+    return ray.get(level[0]) if level else np.empty(0, np.int64)
 
 
 class BloomFilter:

@@ -346,6 +346,50 @@ def _minhash_signatures(col, k: int = SHINGLE_K
     return doc_idx[starts], sigs
 
 
+def _verify_jaccard_vec(da: np.ndarray, db: np.ndarray, uniq_ids: np.ndarray,
+                        uniq_texts, k: int, threshold: float) -> pa.Table:
+    """Exact word-k-gram Jaccard of each candidate pair, batch-vectorized.
+
+    ``uniq_ids`` (sorted int64) / ``uniq_texts`` carry each distinct doc of
+    the batch ONCE; shingling runs through :func:`_distinct_doc_shingles`
+    (one Arrow pass over the distinct texts). Per-pair intersection counts
+    come from one sort of ``pair_idx * n_dict + shingle_code`` keys: per-doc
+    shingles are distinct, so a shingle shared by both sides of a pair
+    appears exactly twice and |A∩B| is a duplicate count — no Python loop
+    over pairs or shingle sets. Division is int64→float64 IEEE, identical
+    to ``len(sa & sb) / len(sa | sb)`` on Python ints."""
+    P = len(da)
+    empty = _pairs_table([], [], {"jaccard": pa.array([], pa.float64())})
+    if P == 0:
+        return empty
+    doc_idx, codes, dic = _distinct_doc_shingles(uniq_texts, k)
+    n_dict = max(len(dic), 1)
+    counts = (np.bincount(doc_idx, minlength=len(uniq_ids)).astype(np.int64)
+              if len(doc_idx) else np.zeros(len(uniq_ids), np.int64))
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    ia = np.searchsorted(uniq_ids, da)
+    ib = np.searchsorted(uniq_ids, db)
+
+    def side_keys(pos: np.ndarray) -> np.ndarray:
+        ln = counts[pos]
+        tot = int(ln.sum())
+        pair_of = np.repeat(np.arange(P, dtype=np.int64), ln)
+        within = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.cumsum(ln) - ln, ln)
+        return pair_of * n_dict + codes[np.repeat(offsets[pos], ln) + within]
+
+    both = np.concatenate([side_keys(ia), side_keys(ib)])
+    both.sort(kind="stable")
+    inter_pairs = both[1:][both[1:] == both[:-1]] // n_dict
+    n_inter = np.bincount(inter_pairs, minlength=P).astype(np.int64)
+    union = counts[ia] + counts[ib] - n_inter
+    j = np.divide(n_inter, union, out=np.zeros(P, np.float64),
+                  where=union > 0)
+    keep = j >= threshold
+    return _pairs_table(da[keep], db[keep],
+                        {"jaccard": pa.array(j[keep], pa.float64())})
+
+
 def minhash_lsh_pairs(docs: ray.data.Dataset, threshold: float = 0.5,
                       k: int = SHINGLE_K,
                       num_partitions: int = 16) -> ray.data.Dataset:
@@ -384,36 +428,22 @@ def minhash_lsh_pairs(docs: ray.data.Dataset, threshold: float = 0.5,
         ["band", "band_hash"], "doc_id", count_col="n_bands",
         num_partitions=num_partitions)
 
-    from ..functions.joins import attach_column, broadcast_semi_filter
+    from ..functions.joins import (attach_column, broadcast_semi_filter,
+                                   distinct_int_keys)
     i64, s = pa.int64(), pa.string()
     # Scale shape of the verify join: candidates are tiny next to the
     # corpus, so the corpus is never shuffled — it is STREAMED through a
     # broadcast semi-filter (binary-search probe against the candidate id
     # set) and only the surviving candidate docs (materialized: they are
-    # candidate-sized and read twice) go through the two co-group joins.
-    # Candidates materialize anyway (3 consumers); their blocks give the id
-    # set on the driver without an extra executor job.
+    # candidate-sized and read twice) go through the verify. The candidate
+    # id set folds WORKER-SIDE (per-block uniques merged through a remote
+    # tree in ``distinct_int_keys``); the driver only ever holds the final
+    # distinct-id array it must broadcast anyway — never the pair blocks.
     candidates = candidates.materialize()
-    cand_blocks = ray.get(candidates.to_arrow_refs())
-    cand_ids = np.unique(np.concatenate(
-        [np.concatenate([b["doc_a"].to_numpy(zero_copy_only=False),
-                         b["doc_b"].to_numpy(zero_copy_only=False)])
-         for b in cand_blocks if b.num_rows] or [np.empty(0, np.int64)]))
+    cand_ids = distinct_int_keys(candidates, ["doc_a", "doc_b"])
     texts = broadcast_semi_filter(
         docs.select_columns(["doc_id", "text"]), "doc_id",
         cand_ids).materialize()
-
-    def _verify_pairs(da, db, ta, tb):
-        out_a, out_b, out_j = [], [], []
-        for a_id, b_id, a_t, b_t in zip(da, db, ta, tb):
-            sa, sb = _shingles(a_t, k), _shingles(b_t, k)
-            j = len(sa & sb) / len(sa | sb)
-            if j >= threshold:
-                out_a.append(a_id)
-                out_b.append(b_id)
-                out_j.append(j)
-        return _pairs_table(out_a, out_b,
-                            {"jaccard": pa.array(out_j, pa.float64())})
 
     # Two ways to hand each candidate pair its two texts. The surviving
     # texts are candidate-sized by construction; when they are also SMALL in
@@ -421,28 +451,40 @@ def minhash_lsh_pairs(docs: ray.data.Dataset, threshold: float = 0.5,
     # broadcast them once and verify in a single stateless map: zero extra
     # all-to-alls. Only when candidate texts are genuinely big (multi-GB at
     # 100 TB) do we pay the two co-group sort joins, sized to the measured
-    # candidate volume rather than the cluster default.
+    # candidate volume rather than the cluster default. Either way the
+    # per-batch verify is the vectorized :func:`_verify_jaccard_vec`.
     if texts.size_bytes() <= _BROADCAST_TEXT_BYTES:
         from ..functions.grouped import concat_nonempty
-        tb = concat_nonempty(ray.get(texts.to_arrow_refs()))
-        order = np.argsort(tb["doc_id"].to_numpy(zero_copy_only=False))
-        lookup = ray.put((tb["doc_id"].to_numpy(zero_copy_only=False)[order],
-                          tb["text"].combine_chunks().take(
-                              pa.array(order)).to_pylist()))
+
+        @ray.remote
+        def build_lookup(*parts: pa.Table):
+            # assembled in a WORKER; the return value lands in the object
+            # store and the driver only passes the ref around
+            tb = concat_nonempty(list(parts))
+            ids = tb["doc_id"].to_numpy(zero_copy_only=False) \
+                if tb.num_rows else np.empty(0, np.int64)
+            order = np.argsort(ids)
+            txt = (tb["text"].combine_chunks().take(pa.array(order))
+                   if tb.num_rows else pa.array([], pa.string()))
+            return ids[order], txt
+
+        lookup = build_lookup.remote(*texts.to_arrow_refs())
 
         def verify_bcast(b: pa.Table) -> pa.Table:
             ids, txt = ray.get(lookup)
             da = b["doc_a"].to_numpy(zero_copy_only=False)
             db = b["doc_b"].to_numpy(zero_copy_only=False)
-            ia, ib = np.searchsorted(ids, da), np.searchsorted(ids, db)
-            return _verify_pairs(da.tolist(), db.tolist(),
-                                 [txt[i] for i in ia], [txt[i] for i in ib])
+            # shingle each distinct doc of THIS batch once
+            ub = np.unique(np.concatenate([da, db]))
+            utexts = txt.take(pa.array(np.searchsorted(ids, ub)))
+            return _verify_jaccard_vec(da, db, ub, utexts, k, threshold)
 
-        return candidates.map_batches(verify_bcast, batch_format="pyarrow") \
+        return candidates.map_batches(verify_bcast, batch_format="pyarrow",
+                                      batch_size=16384) \
             .sort(["doc_a", "doc_b"])
 
-    n_pairs = sum(b.num_rows for b in cand_blocks)
-    np_join = max(1, min(num_partitions, (n_pairs + 49_999) // 50_000))
+    np_join = max(1, min(num_partitions,
+                         (candidates.count() + 49_999) // 50_000))
     joined = attach_column(
         candidates, texts,
         left_cols=[("doc_a", i64), ("doc_b", i64)],
@@ -455,10 +497,17 @@ def minhash_lsh_pairs(docs: ray.data.Dataset, threshold: float = 0.5,
         out_col="text_b", out_type=s, num_partitions=np_join)
 
     def verify(b: pa.Table) -> pa.Table:
-        return _verify_pairs(b["doc_a"].to_pylist(), b["doc_b"].to_pylist(),
-                             b["text_a"].to_pylist(), b["text_b"].to_pylist())
+        da = b["doc_a"].to_numpy(zero_copy_only=False)
+        db = b["doc_b"].to_numpy(zero_copy_only=False)
+        ids = np.concatenate([da, db])
+        txt = pa.concat_arrays([b["text_a"].combine_chunks(),
+                                b["text_b"].combine_chunks()])
+        uniq, first = np.unique(ids, return_index=True)
+        return _verify_jaccard_vec(da, db, uniq, txt.take(pa.array(first)),
+                                   k, threshold)
 
-    return joined.map_batches(verify, batch_format="pyarrow") \
+    return joined.map_batches(verify, batch_format="pyarrow",
+                              batch_size=16384) \
                  .sort(["doc_a", "doc_b"])
 
 
