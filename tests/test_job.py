@@ -33,12 +33,16 @@ def test_job_run_resume_and_metrics(ray_session, sf_tiny, tmp_path):
     assert m2["rebuilt_partitions"] == 0
     assert m2["triples"] == m1["triples"]
 
-    # kill one extraction partition + the final stage: exactly one rebuilt
+    # kill one extraction partition + two materialize RANGES: exactly one
+    # extract shard and exactly two sort ranges rebuild (the rest resume)
     parts = sorted(os.listdir(os.path.join(ck, "extract_triples", "parts")))
     shutil.rmtree(os.path.join(ck, "extract_triples", "parts", parts[0]))
-    shutil.rmtree(os.path.join(ck, "final"))
+    rparts = sorted(os.listdir(os.path.join(ck, "final_ranges", "parts")))
+    for rp in rparts[:2]:
+        shutil.rmtree(os.path.join(ck, "final_ranges", "parts", rp))
     m3 = job.run_job("sf0.001", ck)
     assert m3["rebuilt_partitions"] == 1
+    assert m3["stages"]["final_ranges"]["rebuilt_ranges"] == 2
     assert m3["triples"] == m1["triples"]
 
 

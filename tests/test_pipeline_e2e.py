@@ -136,6 +136,61 @@ def test_partitioned_stage_kill_and_resume(ray_session, tmp_path):
     assert [p["partition"] for p in m["partitions"]] == parts
 
 
+def test_materialize_kill_and_resume_per_range(ray_session, sf_tiny, tmp_path):
+    """north_rule resume granularity for the FINAL stage: a death inside
+    the materialize sort (between range commits) resumes at the first
+    incomplete RANGE — completed ranges are read back, never re-sorted —
+    and the result is identical to a clean run. Also asserts the on-disk
+    stage artifact is globally sorted across range dirs and files."""
+    from the_yelp_collaborative_knowledge_graph_ray.pipelines.kg import (
+        run_kg_partitioned,
+    )
+
+    cols = ["subj", "pred", "obj", "obj_is_literal", "obj_datatype"]
+
+    def canon(df):
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    clean = canon(run_kg("sf0.001").to_pandas())
+
+    ck = str(tmp_path / "ckkill")
+    calls, armed = [], [True]
+
+    def hook(pkey):
+        calls.append(pkey)
+        if pkey == "00003" and armed[0]:
+            raise RuntimeError("simulated mid-sort death")
+
+    with pytest.raises(RuntimeError):
+        run_kg_partitioned("sf0.001", ck, n_buckets=8, fail_hook=hook)
+    assert calls == ["00000", "00001", "00002", "00003"]
+
+    armed[0] = False
+    calls.clear()
+    got = run_kg_partitioned("sf0.001", ck, n_buckets=8, fail_hook=hook)
+    # ranges 0-2 committed before the death: resume starts at 00003
+    assert calls[0] == "00003" and "00000" not in calls
+    assert clean.equals(canon(got.to_pandas()))
+
+    # the committed artifact is globally sorted in (range dir, file) order
+    root = os.path.join(ck, "final_ranges", "parts")
+    prev = None
+    for pdir in sorted(os.listdir(root)):
+        ddir = os.path.join(root, pdir, "data")
+        if not os.path.isdir(ddir):
+            continue
+        for fn in sorted(x for x in os.listdir(ddir)
+                         if x.endswith(".parquet")):
+            t = pq.read_table(os.path.join(ddir, fn),
+                              columns=["subj", "pred", "obj"])
+            rows = list(zip(t["subj"].to_pylist(), t["pred"].to_pylist(),
+                            t["obj"].to_pylist()))
+            assert rows == sorted(rows), (pdir, fn)
+            if rows:
+                assert prev is None or rows[0] >= prev, (pdir, fn)
+                prev = rows[-1]
+
+
 def test_run_kg_partitioned_equals_run_kg(ray_session, sf_tiny, tmp_path):
     from the_yelp_collaborative_knowledge_graph_ray.pipelines.kg import (
         run_kg_partitioned,

@@ -17,7 +17,8 @@ per-partition lineage + metrics". This module is that job script:
   the same command after a mid-run failure recomputes ONLY the unfinished
   shards, then the final global materialize;
 * output is the sorted, exact-deduplicated triple set as Parquet (always,
-  under ``<checkpoint-dir>/final/data``) plus, with ``--output``, rendered
+  under ``<checkpoint-dir>/final_ranges/parts/part=*/data`` — one committed
+  directory per sort range) plus, with ``--output``, rendered
   N-Triples text (``--gzip`` for ``.nt.gz`` parity with the reference's
   gzip sink, ``create_yelp_nt_files.py:31``);
 * a ``metrics.json`` is written to the checkpoint dir: triple counts,
@@ -58,7 +59,7 @@ def run_job(input_dir: str, checkpoint_dir: str, output: str | None = None,
                                    compression="gzip" if gzip else None)
     ck = CheckpointedRun(checkpoint_dir)
     extract_m = ck.manifest("extract_triples")
-    final_m = ck.manifest("final")
+    final_m = ck.manifest("final_ranges")  # per-RANGE materialize commits
     wall = round(time.time() - t0, 3)
     metrics = {
         "input": input_dir,
@@ -72,8 +73,11 @@ def run_job(input_dir: str, checkpoint_dir: str, output: str | None = None,
         "rebuilt_partitions": extract_m["rebuilt_partitions"],
         "stages": {"extract_triples": {k: extract_m[k]
                                        for k in ("rows", "granularity")},
-                   "final": {"rows": final_m["rows"],
-                             "wall_sec": final_m["wall_sec"]}},
+                   "final_ranges": {"rows": final_m["rows"],
+                                    "granularity": final_m["granularity"],
+                                    "ranges": final_m["partitions"],
+                                    "rebuilt_ranges":
+                                        final_m["rebuilt_partitions"]}},
     }
     with open(os.path.join(checkpoint_dir, "metrics.json"), "w") as f:
         json.dump(metrics, f, indent=1)

@@ -169,14 +169,19 @@ def _partition_triples(ts: ray.data.Dataset, tables, concurrency: int,
 
 def run_kg_partitioned(sf_dir: str, checkpoint_dir: str,
                        concurrency: int = 4,
-                       include_enrichment: bool = True) -> ray.data.Dataset:
+                       include_enrichment: bool = True,
+                       n_buckets: int = 32,
+                       fail_hook=None) -> ray.data.Dataset:
     """Flagship build with PER-PARTITION checkpoint/resume (north_rule's
-    resume granularity): the extraction phase is sharded by input transcript
-    file, every shard commits independently
-    (``state.checkpoint.partitioned_stage``), and only the final global
-    materialize is a whole-corpus stage. A run killed at shard k of n
-    resumes by recomputing shards k..n only; output is identical to
-    :func:`run_kg` (verified in tests)."""
+    resume granularity) END TO END: the extraction phase is sharded by
+    input transcript file, every shard commits independently
+    (``state.checkpoint.partitioned_stage``), and the final global
+    materialize is range-bucketed (``materialize.materialize_partitioned``)
+    so each of its ``n_buckets`` sort ranges ALSO commits independently —
+    a death mid-sort resumes at the first incomplete range instead of
+    redoing the whole-corpus sort. Output is identical to :func:`run_kg`
+    (verified in tests). ``fail_hook(bucket_key)`` is the test fault
+    -injection seam for the materialize phase."""
     from .. import config as C
     fdir = generator.ensure_fixtures(sf_dir)
     tdir = os.path.join(fdir, "transcripts.parquet")
@@ -189,9 +194,10 @@ def run_kg_partitioned(sf_dir: str, checkpoint_dir: str,
         return _partition_triples(ts, tables, concurrency, include_enrichment)
 
     tri = ck.partitioned_stage("extract_triples", part_files, build_one)
-    return ck.stage("final", lambda: materialize.materialize(
-        tri, known_combos=C.KNOWN_COMBOS, bundle_rows=1_048_576),
-        upstream=["extract_triples"])
+    return materialize.materialize_partitioned(
+        tri, ck, stage="final", known_combos=C.KNOWN_COMBOS,
+        bundle_rows=1_048_576, n_buckets=n_buckets,
+        upstream=["extract_triples"], fail_hook=fail_hook)
 
 
 def read_transcripts(fdir: str) -> ray.data.Dataset:

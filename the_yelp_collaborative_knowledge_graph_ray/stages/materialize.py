@@ -199,77 +199,10 @@ def materialize(triples: ray.data.Dataset, sort: bool = True,
                               use_threads=False).aggregate([])
             combos = ds.map_batches(block_combos, batch_format="pyarrow",
                                     zero_copy_batch=True).take_all()
-        preds = sorted({c["pred"] for c in combos})
-        # (lit, dtype) ranked like the string sort: False<True, nulls last
-        lds = sorted({(c["obj_is_literal"], c["obj_datatype"]) for c in combos},
-                     key=lambda x: (x[0], x[1] is None, x[1] or ""))
-        pred_arr = pa.array(preds, pa.string())
-        lit_arr = pa.array([x[0] for x in lds], pa.bool_())
-        dt_arr = pa.array([x[1] for x in lds], pa.string())
-        ld_key_arr = pa.array(
-            [("1" if x[0] else "0") + "\x1f" + (x[1] if x[1] is not None else "\x00")
-             for x in lds], pa.string())
-
+        pred_arr, lit_arr, dt_arr, ld_key_arr = _combo_tables(combos)
         strict = known_combos is not None
-
-        def encode(b: pa.Table) -> pa.Table:
-            lit = pc.if_else(b["obj_is_literal"], "1", "0")
-            dt = pc.fill_null(b["obj_datatype"], "\x00")
-            ld_key = pc.binary_join_element_wise(lit, dt, "\x1f")
-            pid = pc.index_in(b["pred"], value_set=pred_arr)
-            lid = pc.index_in(ld_key, value_set=ld_key_arr)
-            if strict and (pid.null_count or lid.null_count):
-                bad_preds = pc.unique(
-                    pc.filter(b["pred"], pc.is_null(pid))).to_pylist()[:5]
-                # a KNOWN predicate can still carry an unknown
-                # (obj_is_literal, obj_datatype) pairing — report those too,
-                # not just unknown predicates
-                bad_ld = pc.unique(
-                    pc.filter(ld_key, pc.is_null(lid))).to_pylist()[:5]
-                bad_combos = [
-                    {"obj_is_literal": k.split("\x1f")[0] == "1",
-                     "obj_datatype": (None if k.split("\x1f")[1] == "\x00"
-                                      else k.split("\x1f")[1])}
-                    for k in bad_ld]
-                raise ValueError(
-                    f"materialize(known_combos=...) missing combos: "
-                    f"unknown predicates {bad_preds}; unknown "
-                    f"(literal, datatype) pairings {bad_combos}")
-            sb, subj = _prefix_encode(b["subj"].combine_chunks()
-                                      if isinstance(b["subj"], pa.ChunkedArray)
-                                      else b["subj"])
-            ob, obj = _prefix_encode(b["obj"].combine_chunks()
-                                     if isinstance(b["obj"], pa.ChunkedArray)
-                                     else b["obj"])
-            return pa.table({
-                "sb": sb, "subj": subj, "ob": ob, "obj": obj,
-                "pid": pc.cast(pid, pa.int32()),
-                "lid": pc.cast(lid, pa.int32())})
-
-        def decode_dedup(b: pa.Table) -> pa.Table:
-            if b.num_rows == 0:
-                return OUT_SCHEMA.empty_table()
-            # neighbor-compare on the 6 sort columns = exact dedup (module
-            # docstring invariant), then restore the strings by rank gather /
-            # prefix re-attachment
-            keep = None
-            for col in ("sb", "subj", "pid", "ob", "obj", "lid"):
-                a = b[col].combine_chunks() if isinstance(b[col], pa.ChunkedArray) else b[col]
-                neq = pc.not_equal(a.slice(1), a.slice(0, len(a) - 1))
-                neq = pc.fill_null(neq, True)
-                keep = neq if keep is None else pc.or_(keep, neq)
-            if isinstance(keep, pa.ChunkedArray):
-                keep = keep.combine_chunks()
-            keep = pa.concat_arrays([pa.array([True]), keep])
-            d = b.filter(keep)
-            pid, lid = d["pid"], d["lid"]
-            return pa.table({
-                "subj": pc.cast(_prefix_decode(d["sb"], d["subj"]), pa.string()),
-                "pred": pred_arr.take(pid),
-                "obj": pc.cast(_prefix_decode(d["ob"], d["obj"]), pa.string()),
-                "obj_is_literal": lit_arr.take(lid),
-                "obj_datatype": dt_arr.take(lid)}, schema=OUT_SCHEMA)
-
+        encode = _make_encode(pred_arr, ld_key_arr, strict)
+        decode_dedup = _make_decode_dedup(pred_arr, lit_arr, dt_arr)
         # uniform, moderately-sized blocks before the sort: skewed tiny
         # blocks multiply per-task overhead (measured 2-4x sort wall time;
         # Ray makes one sort partition per input block). Coalescing happens
@@ -280,7 +213,7 @@ def materialize(triples: ray.data.Dataset, sort: bool = True,
         # matrix).
         enc = ds.map_batches(encode, batch_format="pyarrow",
                              zero_copy_batch=True)
-        s = enc.sort(["sb", "subj", "pid", "ob", "obj", "lid"])
+        s = enc.sort(ENC_SORT_COLS)
         return s.map_batches(decode_dedup, batch_format="pyarrow",
                              batch_size=None, zero_copy_batch=True)
     # unsorted exact dedup (audit paths): single synthetic-key shuffle
@@ -301,6 +234,287 @@ def materialize(triples: ray.data.Dataset, sort: bool = True,
         }, schema=OUT_SCHEMA)
 
     return distinct.map_batches(from_key, batch_format="pyarrow")
+
+
+ENC_SORT_COLS = ["sb", "subj", "pid", "ob", "obj", "lid"]
+
+
+def _combo_tables(combos):
+    """Rank tables for the integer encoding of the low-cardinality columns:
+    (pred_arr, lit_arr, dt_arr, ld_key_arr), ordered like the string sort
+    ((lit, dtype): False<True, nulls last)."""
+    preds = sorted({c["pred"] for c in combos})
+    lds = sorted({(c["obj_is_literal"], c["obj_datatype"]) for c in combos},
+                 key=lambda x: (x[0], x[1] is None, x[1] or ""))
+    pred_arr = pa.array(preds, pa.string())
+    lit_arr = pa.array([x[0] for x in lds], pa.bool_())
+    dt_arr = pa.array([x[1] for x in lds], pa.string())
+    ld_key_arr = pa.array(
+        [("1" if x[0] else "0") + "\x1f" + (x[1] if x[1] is not None else "\x00")
+         for x in lds], pa.string())
+    return pred_arr, lit_arr, dt_arr, ld_key_arr
+
+
+def _make_encode(pred_arr, ld_key_arr, strict):
+    """Factory for the pre-sort integer/prefix encoder (shared by the
+    monolithic and the range-bucketed materialize paths)."""
+    def encode(b: pa.Table) -> pa.Table:
+        lit = pc.if_else(b["obj_is_literal"], "1", "0")
+        dt = pc.fill_null(b["obj_datatype"], "\x00")
+        ld_key = pc.binary_join_element_wise(lit, dt, "\x1f")
+        pid = pc.index_in(b["pred"], value_set=pred_arr)
+        lid = pc.index_in(ld_key, value_set=ld_key_arr)
+        if strict and (pid.null_count or lid.null_count):
+            bad_preds = pc.unique(
+                pc.filter(b["pred"], pc.is_null(pid))).to_pylist()[:5]
+            # a KNOWN predicate can still carry an unknown
+            # (obj_is_literal, obj_datatype) pairing — report those too,
+            # not just unknown predicates
+            bad_ld = pc.unique(
+                pc.filter(ld_key, pc.is_null(lid))).to_pylist()[:5]
+            bad_combos = [
+                {"obj_is_literal": k.split("\x1f")[0] == "1",
+                 "obj_datatype": (None if k.split("\x1f")[1] == "\x00"
+                                  else k.split("\x1f")[1])}
+                for k in bad_ld]
+            raise ValueError(
+                f"materialize(known_combos=...) missing combos: "
+                f"unknown predicates {bad_preds}; unknown "
+                f"(literal, datatype) pairings {bad_combos}")
+        sb, subj = _prefix_encode(b["subj"].combine_chunks()
+                                  if isinstance(b["subj"], pa.ChunkedArray)
+                                  else b["subj"])
+        ob, obj = _prefix_encode(b["obj"].combine_chunks()
+                                 if isinstance(b["obj"], pa.ChunkedArray)
+                                 else b["obj"])
+        return pa.table({
+            "sb": sb, "subj": subj, "ob": ob, "obj": obj,
+            "pid": pc.cast(pid, pa.int32()),
+            "lid": pc.cast(lid, pa.int32())})
+    return encode
+
+
+def _make_decode_dedup(pred_arr, lit_arr, dt_arr):
+    """Factory for the post-sort neighbor-dedup + string-restore block map
+    (shared by the monolithic and the range-bucketed materialize paths)."""
+    def decode_dedup(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return OUT_SCHEMA.empty_table()
+        # neighbor-compare on the 6 sort columns = exact dedup (module
+        # docstring invariant), then restore the strings by rank gather /
+        # prefix re-attachment
+        keep = None
+        for col in ("sb", "subj", "pid", "ob", "obj", "lid"):
+            a = b[col].combine_chunks() if isinstance(b[col], pa.ChunkedArray) else b[col]
+            neq = pc.not_equal(a.slice(1), a.slice(0, len(a) - 1))
+            neq = pc.fill_null(neq, True)
+            keep = neq if keep is None else pc.or_(keep, neq)
+        if isinstance(keep, pa.ChunkedArray):
+            keep = keep.combine_chunks()
+        keep = pa.concat_arrays([pa.array([True]), keep])
+        d = b.filter(keep)
+        pid, lid = d["pid"], d["lid"]
+        return pa.table({
+            "subj": pc.cast(_prefix_decode(d["sb"], d["subj"]), pa.string()),
+            "pred": pred_arr.take(pid),
+            "obj": pc.cast(_prefix_decode(d["ob"], d["obj"]), pa.string()),
+            "obj_is_literal": lit_arr.take(lid),
+            "obj_datatype": dt_arr.take(lid)}, schema=OUT_SCHEMA)
+    return decode_dedup
+
+
+# single-byte rank characters for composing the (sb, subj) range key: sb is
+# an int8 < 2*len(SORT_PREFIXES)+1 « 64, and chr(0..63) are one UTF-8 byte
+# each, so chr(sb)+subj compares bytewise exactly like the (sb, subj) tuple.
+_CHR64 = pa.array([chr(i) for i in range(64)], pa.string())
+
+
+def _range_key(sb, subj) -> pa.Array:
+    """One string per row whose bytewise order equals (sb, subj) order —
+    the bucket key of the partitioned materialize (a PREFIX of the full
+    encoded sort key, so every group of identical rows shares one key)."""
+    if isinstance(sb, pa.ChunkedArray):
+        sb = sb.combine_chunks()
+    if isinstance(subj, pa.ChunkedArray):
+        subj = subj.combine_chunks()
+    return pc.binary_join_element_wise(_CHR64.take(sb), subj, "")
+
+
+def materialize_partitioned(triples: ray.data.Dataset, ck, stage: str = "final",
+                            known_combos=None, bundle_rows: int | None = None,
+                            n_buckets: int = 32, sample_stride: int = 64,
+                            upstream: list[str] = (),
+                            fail_hook=None) -> ray.data.Dataset:
+    """:func:`materialize` with the ONE monolithic range sort split into
+    ``n_buckets`` independent per-range sorts, each committing its own
+    checkpoint partition (north_rule resume granularity for the FINAL stage,
+    not just extraction). Three checkpointed phases under ``ck``:
+
+    1. ``<stage>_plan`` — one streaming, column-pruned sample pass records
+       strided (sb, subj) range keys (and the pred/datatype vocabulary when
+       ``known_combos`` is not supplied); the driver derives ``n_buckets-1``
+       quantile boundaries from it. Committed, so a resumed run re-reads the
+       SAME boundaries and reproduces the partitioning bit-for-bit.
+    2. ``<stage>_spill`` — one streaming pass: local dedup → integer/prefix
+       encode → range-bucket assignment (vectorized ``>= boundary`` sums) →
+       each map task writes its batch's bucket slices DIRECTLY to
+       ``bucket=<b>/`` parquet under the stage tmp dir (atomic rename on
+       completion). The encoded payload never sits in the object store as a
+       whole — each bucket spills to storage and is re-read by exactly its
+       own sort, which is what removes the single-sort memory wall
+       (BASELINE.md "bench800").
+    3. ``<stage>_ranges`` — ``partitioned_stage`` over the buckets: each
+       builds ``read(bucket) → sort → decode_dedup`` and commits its own
+       manifest. Death mid-sort resumes at the first incomplete RANGE;
+       completed ranges are read back, never re-sorted.
+
+    Output equals :func:`materialize` row-for-row: the bucket key is a
+    prefix of the encoded sort key (ties inseparable → identical rows land
+    in one bucket → in-bucket neighbor dedup stays exact), and bucket-order
+    concatenation of sorted buckets is globally sorted. The ON-DISK stage
+    artifact (range dirs in bucket order, files in name order) is globally
+    sorted — asserted in tests; the returned Dataset's in-memory iteration
+    order additionally requires ``execution_options.preserve_order`` (Ray's
+    streaming executor otherwise yields read blocks in completion order —
+    set semantics, same as every oracle comparison). The checkpoint dir
+    must be on storage all workers share (same contract as every other
+    checkpointed stage). ``fail_hook(bucket_key)`` is a test seam invoked
+    before each range build (fault injection for the resume test).
+    """
+    import json
+    import os
+    import uuid
+
+    import numpy as np
+    import pyarrow.parquet as pqt
+
+    need_combos = known_combos is None
+
+    def sample_block(b: pa.Table) -> pa.Table:
+        parts = []
+        s = pa.schema([("kind", pa.string()), ("pred", pa.string()),
+                       ("lit", pa.bool_()), ("dt", pa.string()),
+                       ("skey", pa.string())])
+        if need_combos:
+            co = _enforce(b).select(
+                ["pred", "obj_is_literal", "obj_datatype"]) \
+                .group_by(["pred", "obj_is_literal", "obj_datatype"],
+                          use_threads=False).aggregate([])
+            n = co.num_rows
+            parts.append(pa.table({
+                "kind": pa.array(["combo"] * n), "pred": co["pred"],
+                "lit": co["obj_is_literal"], "dt": co["obj_datatype"],
+                "skey": pa.nulls(n, pa.string())}, schema=s))
+        subj = b["subj"].combine_chunks() \
+            if isinstance(b["subj"], pa.ChunkedArray) else b["subj"]
+        subj = pc.cast(subj, pa.string())
+        idx = pa.array(np.arange(0, len(subj), sample_stride, dtype=np.int64))
+        sb, suf = _prefix_encode(subj.take(idx))
+        sk = _range_key(sb, suf)
+        n = len(sk)
+        parts.append(pa.table({
+            "kind": pa.array(["skey"] * n), "pred": pa.nulls(n, pa.string()),
+            "lit": pa.nulls(n, pa.bool_()), "dt": pa.nulls(n, pa.string()),
+            "skey": sk}, schema=s))
+        return pa.concat_tables(parts)
+
+    sample_in = triples if need_combos else triples.select_columns(["subj"])
+    plan = ck.stage(stage + "_plan",
+                    lambda: sample_in.map_batches(
+                        sample_block, batch_format="pyarrow",
+                        zero_copy_batch=True),
+                    upstream=list(upstream))
+    rows = plan.take_all()
+    skeys = sorted(r["skey"] for r in rows if r["kind"] == "skey")
+    if known_combos is not None:
+        combos = [{"pred": p, "obj_is_literal": l, "obj_datatype": d}
+                  for p, l, d in known_combos]
+    else:
+        combos = [{"pred": r["pred"], "obj_is_literal": r["lit"],
+                   "obj_datatype": r["dt"]} for r in rows
+                  if r["kind"] == "combo"]
+        combos = [dict(t) for t in
+                  {tuple(sorted(c.items(), key=lambda kv: kv[0]))
+                   for c in combos}]
+    if skeys and n_buckets > 1:
+        pick = np.linspace(0, len(skeys) - 1, n_buckets + 1)[1:-1]
+        boundaries = sorted({skeys[int(i)] for i in pick})
+    else:
+        boundaries = []
+    eff = len(boundaries) + 1
+
+    pred_arr, lit_arr, dt_arr, ld_key_arr = _combo_tables(combos)
+    encode = _make_encode(pred_arr, ld_key_arr, known_combos is not None)
+    decode_dedup = _make_decode_dedup(pred_arr, lit_arr, dt_arr)
+
+    def spill_writer(tmp: str) -> dict:
+        for bk in range(eff):
+            os.makedirs(os.path.join(tmp, f"bucket={bk}"), exist_ok=True)
+
+        def write_block(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"bucket": pa.array([], pa.int32()),
+                                 "rows": pa.array([], pa.int64())})
+            sk = _range_key(t["sb"], t["subj"])
+            bucket = None
+            for bd in boundaries:
+                ge = pc.cast(pc.greater_equal(sk, bd), pa.int32())
+                bucket = ge if bucket is None else pc.add(bucket, ge)
+            bk = (bucket.to_numpy(zero_copy_only=False)
+                  if bucket is not None
+                  else np.zeros(t.num_rows, np.int32))
+            order = np.argsort(bk, kind="stable")
+            tt = t.take(pa.array(order))
+            bs = bk[order]
+            present = np.unique(bs)
+            starts = np.searchsorted(bs, present)
+            ends = np.append(starts[1:], len(bs))
+            fn = uuid.uuid4().hex
+            out_b, out_r = [], []
+            for p, s0, s1 in zip(present, starts, ends):
+                sl = tt.slice(int(s0), int(s1 - s0))
+                pqt.write_table(sl, os.path.join(
+                    tmp, f"bucket={int(p)}", f"part-{fn}.parquet"))
+                out_b.append(int(p))
+                out_r.append(int(s1 - s0))
+            return pa.table({"bucket": pa.array(out_b, pa.int32()),
+                             "rows": pa.array(out_r, pa.int64())})
+
+        enc = triples.map_batches(local_dedup, batch_format="pyarrow",
+                                  batch_size=bundle_rows,
+                                  zero_copy_batch=True) \
+                     .map_batches(encode, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        summary = enc.map_batches(write_block, batch_format="pyarrow",
+                                  zero_copy_batch=True).take_all()
+        per = {}
+        for r in summary:
+            per[r["bucket"]] = per.get(r["bucket"], 0) + r["rows"]
+        return {"granularity": "range-bucket", "n_buckets": eff,
+                "rows": int(sum(per.values())),
+                "bucket_rows": {str(k): int(v)
+                                for k, v in sorted(per.items())}}
+
+    spill_dir = ck.custom_stage(stage + "_spill", spill_writer,
+                                upstream=[stage + "_plan", *upstream])
+
+    part_keys = [f"{bk:05d}" for bk in range(eff)]
+
+    def build_bucket(pkey: str) -> ray.data.Dataset:
+        if fail_hook is not None:
+            fail_hook(pkey)
+        bdir = os.path.join(spill_dir, f"bucket={int(pkey)}")
+        files = [os.path.join(bdir, f) for f in sorted(os.listdir(bdir))
+                 if f.endswith(".parquet")]
+        if not files:
+            return ray.data.from_arrow(OUT_SCHEMA.empty_table())
+        return ray.data.read_parquet(files) \
+            .sort(ENC_SORT_COLS) \
+            .map_batches(decode_dedup, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True)
+
+    return ck.partitioned_stage(stage + "_ranges", part_keys, build_bucket,
+                                upstream=[stage + "_spill", *upstream])
 
 
 def render_ntriples(batch: pa.Table) -> pa.Table:

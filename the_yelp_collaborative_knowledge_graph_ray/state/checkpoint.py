@@ -96,6 +96,32 @@ class CheckpointedRun:
         os.rename(tmp, out)
         return ray.data.read_parquet(os.path.join(out, "data"))
 
+    def custom_stage(self, name: str, writer: Callable[[str], dict],
+                     upstream: list[str] = ()) -> str:
+        """Atomic checkpoint stage with a CUSTOM directory layout (e.g. the
+        range-bucketed spill of ``materialize_partitioned``): ``writer``
+        populates the passed tmp directory and returns manifest extras;
+        commit is the same tmp-write + atomic-rename + manifest protocol as
+        :meth:`stage`. Returns the committed stage directory."""
+        out = self._dir(name)
+        if self.is_complete(name):
+            return out
+        tmp = out + f".tmp{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        t0 = time.time()
+        extras = writer(tmp) or {}
+        with open(os.path.join(tmp, "manifest.json"), "w") as f:
+            json.dump({
+                "stage": name, "complete": True, "upstream": list(upstream),
+                "wall_sec": round(time.time() - t0, 3),
+                "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                            time.gmtime()),
+                **extras}, f, indent=1)
+        shutil.rmtree(out, ignore_errors=True)
+        os.rename(tmp, out)
+        return out
+
     # ---- per-partition granularity ------------------------------------
 
     def _part_dir(self, stage: str, pkey: str) -> str:
@@ -177,7 +203,10 @@ class CheckpointedRun:
         data_files = []
         for pkey in partitions:
             ddir = os.path.join(self._part_dir(name, pkey), "data")
-            data_files.extend(os.path.join(ddir, fn)
-                              for fn in sorted(os.listdir(ddir))
-                              if fn.endswith(".parquet"))
-        return ray.data.read_parquet(data_files)
+            if os.path.isdir(ddir):  # empty partitions write no files
+                data_files.extend(os.path.join(ddir, fn)
+                                  for fn in sorted(os.listdir(ddir))
+                                  if fn.endswith(".parquet"))
+        # partitioning=None: the part=<pkey> dir names must NOT be inferred
+        # as a Hive partition column of the stage output
+        return ray.data.read_parquet(data_files, partitioning=None)
