@@ -128,15 +128,22 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
-def run_child(sf_name: str, num_cpus: int) -> dict:
+def run_child(sf_name: str, num_cpus: int, partitioned: bool = False) -> dict:
     """One fresh-process scaling arm: the flagship runs TWICE in the same
     Ray session and the arm reports the min (both walls kept in the JSON).
     Applied identically to both arms, so the ratio is unchanged in
     expectation; what the second rep removes is this host's per-process
     first-touch page-fault tax (2-30x swings — BASELINE.md "ambient
     spread"), which hit the low-CPU arm's longer wall hardest and produced
-    the degraded-window repeats 7-8."""
+    the degraded-window repeats 7-8.
+
+    ``partitioned=True`` times the streaming build with the range-bucketed
+    disk-spilling final materialize (fresh checkpoint dir per rep) — the
+    memory-boundary scale path measured for the bench800 corpus."""
     _init_ray(num_cpus)
+    import shutil
+    import tempfile
+
     from the_yelp_collaborative_knowledge_graph_ray.fixtures import generator
     from the_yelp_collaborative_knowledge_graph_ray.pipelines.kg import run_kg
 
@@ -145,10 +152,22 @@ def run_child(sf_name: str, num_cpus: int) -> dict:
     for _ in range(2):
         t0 = time.time()
         # actor pools sized to the cluster (1 CPU/actor, autoscaling pools)
-        n = run_kg(sf_name, concurrency=num_cpus).count()
+        if partitioned:
+            # streaming build + range-bucketed disk-spilling final (the
+            # bench800 memory-boundary path); fresh ckpt dir per rep so
+            # nothing resumes across reps
+            ckdir = tempfile.mkdtemp(prefix="kgbench_ck_")
+            try:
+                n = run_kg(sf_name, concurrency=num_cpus,
+                           final_ckpt_dir=ckdir).count()
+            finally:
+                shutil.rmtree(ckdir, ignore_errors=True)
+        else:
+            n = run_kg(sf_name, concurrency=num_cpus).count()
         walls.append(round(time.time() - t0, 3))
     dt = min(walls)
     return {"num_cpus": num_cpus, "triples": n, "sec": dt, "walls": walls,
+            "partitioned": partitioned,
             "triples_per_sec": round(n / dt, 1)}
 
 
@@ -206,17 +225,18 @@ def run_docs(num_cpus: int) -> dict:
     }
 
 
-def run_scaling(sf_name: str, n: int = 8) -> dict:
+def run_scaling(sf_name: str, n: int = 8, partitioned: bool = False) -> dict:
     """Same input, fresh ray sessions at N and 4N CPUs (BASELINE.md)."""
     # generate fixtures once in the parent so children skip it
     from the_yelp_collaborative_knowledge_graph_ray.fixtures import generator
     generator.ensure_fixtures(sf_name)
     results = {}
     for cpus in (n, 4 * n):
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--_child", sf_name,
-             "--num-cpus", str(cpus)],
-            capture_output=True, text=True, check=True)
+        cmd = [sys.executable, os.path.abspath(__file__), "--_child", sf_name,
+               "--num-cpus", str(cpus)]
+        if partitioned:
+            cmd.append("--partitioned")
+        out = subprocess.run(cmd, capture_output=True, text=True, check=True)
         results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
     t_lo = results[n]["triples_per_sec"]
     t_hi = results[4 * n]["triples_per_sec"]
@@ -225,6 +245,7 @@ def run_scaling(sf_name: str, n: int = 8) -> dict:
         "value": round(t_hi / (4 * t_lo), 3),
         "unit": "ratio",
         "sf": sf_name,
+        "partitioned": partitioned,
         f"run_{n}cpu": results[n],
         f"run_{4 * n}cpu": results[4 * n],
     }
@@ -243,15 +264,20 @@ def main() -> None:
     ap.add_argument("--num-cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--_child", dest="child_sf", default=None,
                     help=argparse.SUPPRESS)
+    ap.add_argument("--partitioned", action="store_true",
+                    help="time the flagship with the range-bucketed, "
+                         "disk-spilling final materialize")
     args = ap.parse_args()
 
     import ray
     if args.child_sf:
-        print(json.dumps(run_child(args.child_sf, args.num_cpus)))
+        print(json.dumps(run_child(args.child_sf, args.num_cpus,
+                                   args.partitioned)))
     elif args.docs:
         print(json.dumps(run_docs(args.num_cpus)))
     elif args.scaling:
-        print(json.dumps(run_scaling(args.scaling_sf, args.scaling_n)))
+        print(json.dumps(run_scaling(args.scaling_sf, args.scaling_n,
+                                     args.partitioned)))
     else:
         print(json.dumps(run_default(args.sf_dir, args.num_cpus)))
     if ray.is_initialized():

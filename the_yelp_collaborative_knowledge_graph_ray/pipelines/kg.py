@@ -54,11 +54,21 @@ def build_graph(transcripts: ray.data.Dataset, fixture_dir: str,
                 concurrency: int | None = None,
                 include_enrichment: bool = True,
                 checkpoint_dir: str | None = None,
-                distributed_canon_map: bool = False) -> ray.data.Dataset:
+                distributed_canon_map: bool = False,
+                final_ckpt_dir: str | None = None,
+                n_buckets: int = 32) -> ray.data.Dataset:
     """Full KG construction; returns the materialized (sorted, deduped)
     triples Dataset. ``distributed_canon_map=True`` computes the alias
     closure with the shuffle-native components job instead of the driver
-    (identical result; used to exercise the scale path)."""
+    (identical result; used to exercise the scale path).
+
+    ``final_ckpt_dir``: use the range-bucketed, disk-spilling final
+    materialize (``materialize.materialize_partitioned``) with its
+    checkpoint under that dir — the memory-boundary scale path for corpora
+    whose encoded sort payload presses the per-node object store (BASELINE
+    "bench800"). The pre-materialize stages are then all materialized
+    (the partitioned final reads its input twice: boundary-sample pass +
+    spill pass), so fan-in parts come from the object store, not a rerun."""
     if concurrency is None:
         # autoscaling actor pools sized to the cluster (1 CPU per actor)
         concurrency = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
@@ -70,6 +80,7 @@ def build_graph(transcripts: ray.data.Dataset, fixture_dir: str,
         cmap = canon.build_canonical_map_local(alias_rows)
 
     ck = CheckpointedRun(checkpoint_dir) if checkpoint_dir else None
+    two_pass_final = final_ckpt_dir is not None
 
     def _stage(name, build, upstream=(), fan_out=True):
         """Stage boundary. With a checkpoint dir: atomic parquet + manifest
@@ -85,11 +96,11 @@ def build_graph(transcripts: ray.data.Dataset, fixture_dir: str,
 
     structural = _stage("structural",
                         lambda: extract.structural_triples(transcripts),
-                        fan_out=False)
+                        fan_out=two_pass_final)
     raw_mentions = _stage("mentions",
                           lambda: mentions.mention_triples(
                               transcripts, vocab, concurrency=concurrency),
-                          fan_out=False)
+                          fan_out=two_pass_final)
     canon_mentions = _stage("canonical_mentions",
                             lambda: canon.canonicalize_mentions(
                                 raw_mentions, cmap, concurrency=concurrency),
@@ -120,6 +131,14 @@ def build_graph(transcripts: ray.data.Dataset, fixture_dir: str,
     for p in parts[1:]:
         all_triples = all_triples.union(p)
     from .. import config as C
+    if two_pass_final:
+        # enrichment part is lazy above; materialize so the two final
+        # passes read it from the store rather than recomputing
+        all_triples = all_triples.materialize()
+        return materialize.materialize_partitioned(
+            all_triples, CheckpointedRun(final_ckpt_dir), stage="final",
+            known_combos=C.KNOWN_COMBOS, bundle_rows=1_048_576,
+            n_buckets=n_buckets)
     final = _stage("final", lambda: materialize.materialize(
         all_triples, known_combos=C.KNOWN_COMBOS, bundle_rows=1_048_576),
         upstream=["structural", "canonical_mentions", "links"])
@@ -211,10 +230,13 @@ def read_transcripts(fdir: str) -> ray.data.Dataset:
 
 def run_kg(sf_dir: str, concurrency: int | None = None,
            include_enrichment: bool = True,
-           checkpoint_dir: str | None = None) -> ray.data.Dataset:
+           checkpoint_dir: str | None = None,
+           final_ckpt_dir: str | None = None,
+           n_buckets: int = 32) -> ray.data.Dataset:
     """Convenience entry: fixtures for this sf, read transcripts, build KG."""
     fdir = generator.ensure_fixtures(sf_dir)
     ts = read_transcripts(fdir)
     return build_graph(ts, fdir, concurrency=concurrency,
                        include_enrichment=include_enrichment,
-                       checkpoint_dir=checkpoint_dir)
+                       checkpoint_dir=checkpoint_dir,
+                       final_ckpt_dir=final_ckpt_dir, n_buckets=n_buckets)
