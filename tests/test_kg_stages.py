@@ -116,6 +116,89 @@ def test_link_scorer_exact_overrides_and_threshold(sf_tiny):
     assert out2["entity_id"].to_pylist() == ["Q9999"]
 
 
+def test_link_scorer_csr_matches_per_form_reference(sf_tiny):
+    """The vectorized CSR candidate-generation + reduceat top-1 engine must
+    reproduce the per-form reference logic exactly (set-union postings,
+    per-form matmul, epsilon tie-break, min-entity-id) — including a
+    duplicate label under two entity ids (tie) and an empty form."""
+    import random
+
+    import numpy as np
+
+    from the_yelp_collaborative_knowledge_graph_ray import config as C
+
+    random.seed(7)
+    syll = ["ba", "co", "di", "fu", "ga", "hi", "jo", "ka", "lu", "me",
+            "no", "pi", "qu", "ra", "su", "ti", "vo", "wa", "xe", "yo"]
+
+    def word():
+        return "".join(random.choice(syll)
+                       for _ in range(random.randint(2, 5)))
+
+    ents = [(f"Q{i:06d}", word(), []) for i in range(500)]
+    ents.append(("Q000000a", ents[3][1], []))  # duplicate label, tie case
+    snap = link.EntitySnapshot(ents, {"co": "QOVR"})
+    forms = [word() for _ in range(300)] + [ents[3][1], "", "co"]
+
+    posting = {g.as_py(): snap.post_rows[snap.post_off[k]:
+                                         snap.post_off[k + 1]]
+               for k, g in enumerate(snap.gram_vocab)}
+
+    def reference(fs):
+        vecs = link._embed(fs)
+        out = []
+        for i, f in enumerate(fs):
+            if f in snap.overrides:
+                out.append((f, snap.overrides[f]))
+                continue
+            cand = set()
+            for g in link._ngrams(f):
+                p = posting.get(g)
+                if p is not None:
+                    cand.update(p.tolist())
+            if not cand:
+                continue
+            idx = np.fromiter(cand, np.int64)
+            idx.sort()
+            scores = snap.vectors[idx] @ vecs[i]
+            best = scores.max()
+            if best < C.LINK_THRESHOLD:
+                continue
+            ties = idx[scores >= best - 1e-7]
+            out.append((f, min(snap.entity_ids[j] for j in ties)))
+        return out
+
+    got = link.LinkScorer(snap)(pa.table({"form": pa.array(forms)}))
+    assert list(zip(got["form"].to_pylist(),
+                    got["entity_id"].to_pylist())) == reference(forms)
+
+
+def test_link_encoder_registry_parity():
+    """ST1 model seam: the encoder swap is ONE config flag. The hashed
+    encoder satisfies the interface contract; the transformer path is
+    asserted to the SAME contract when sentence_transformers is importable
+    (absent in this container -> skipped, the registry raising cleanly)."""
+    import numpy as np
+    import pytest
+
+    enc = link.get_encoder("hashed")
+    v = enc(["coffee", "machine learning", ""])
+    assert v.dtype == np.float32 and v.shape[0] == 3
+    norms = np.linalg.norm(v, axis=1)
+    assert np.allclose(norms[norms > 0], 1.0, atol=1e-5)
+    assert np.array_equal(v, enc(["coffee", "machine learning", ""]))
+
+    with pytest.raises(ValueError):
+        link.get_encoder("nope")
+
+    st = pytest.importorskip("sentence_transformers")
+    assert st is not None
+    real = link.get_encoder("transformer")
+    r = real(["coffee", "machine learning"])
+    assert r.dtype == np.float32 and r.shape[0] == 2
+    assert np.allclose(np.linalg.norm(r, axis=1), 1.0, atol=1e-3)
+
+
 def test_near_miss_pairs_do_not_merge(sf_tiny):
     """Adversarial fixture pairs (FIXTURES.md §2) must link to distinct
     entities and never canonicalize together."""
@@ -299,6 +382,41 @@ def test_mention_detector_ac_engine_matches_substring(ray_session, sf_tiny):
     det = MentionDetector(big_vocab)
     assert det.ac is not None
     assert rows(det(batch)) == rows(a)
+
+
+def test_aho_corasick_sparse_engine_and_memory_bound():
+    """Above ``dense_max_states`` the automaton keeps only sorted trie-edge
+    keys + fail links (no dense closure): bit-identical hits to the dense
+    engine, and a 100k-surface vocabulary builds within a ~16 MB structure
+    bound (the dense table would be ~420 MB)."""
+    import pyarrow as pa
+
+    from the_yelp_collaborative_knowledge_graph_ray.stages.mentions import (
+        AhoCorasick,
+    )
+
+    words = ["he", "she", "his", "hers", "sushi", "ramen bar", "rame",
+             "amen", "ushi", "h"]
+    texts = ["ushers eat sushi at the ramen bar", "hershey", "", "h",
+             "no match zzz", "ramenramen sushi his hers"]
+    dense = AhoCorasick(words)
+    sparse = AhoCorasick(words, dense_max_states=0)
+    assert dense.trans is not None and sparse.trans is None
+    col = pa.array(texts, pa.string())
+    rd, pd_ = dense.scan_batch(col)
+    rs, ps = sparse.scan_batch(col)
+    assert rd.tolist() == rs.tolist() and pd_.tolist() == ps.tolist()
+    for t in texts:
+        want = {j for j, w in enumerate(words) if w in t}
+        assert dense.scan(t) == want == sparse.scan(t)
+
+    big = [f"{i:06d}x{i % 97:02d}" for i in range(100_000)]
+    sp = AhoCorasick(big)  # 411k states: above the default dense cutoff
+    assert sp.trans is None
+    assert (sp.edge_keys.nbytes + sp.edge_vals.nbytes
+            + sp.fail.nbytes) < 16 << 20
+    hits = sp.scan("xx 000123x26 yy 099999x...")
+    assert hits == {123}
 
 
 def test_jsonl_source_matches_parquet(ray_session, sf_tiny, tmp_path):

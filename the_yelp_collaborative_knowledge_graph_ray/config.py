@@ -46,6 +46,22 @@ CLASS_CONVERSATION = SCHEMA + "Conversation"
 CLASS_TOOL = SCHEMA + "SoftwareApplication"
 CLASS_MENTION = ENT + "class/Mention"
 
+# --- place enrichment (reference location_from_wikidata.py:401-454) --------
+# The reference emits schema:location onto businesses plus label /
+# instance-of / population / admin-containment triples for the resolved
+# place hierarchy (city -> county -> state -> country), using the public
+# Wikidata class QIDs below. Same vocabulary here, over the conv_geo /
+# admin_hierarchy fixture tables.
+PRED_LOCATION = SCHEMA + "location"      # conversation -> place IRI
+PRED_POPULATION = PROP + "population"    # place population (P1082 analog)
+PRED_CONTAINED_IN = PROP + "containedIn"  # place -> parent admin (P131 analog)
+CLASS_CITY = WD + "Q486972"      # human settlement (ref uses this for city)
+CLASS_COUNTY = WD + "Q28575"     # county
+CLASS_STATE = WD + "Q7275"       # state
+CLASS_COUNTRY = WD + "Q6256"     # country
+PLACE_LEVEL_CLASS = {"city": CLASS_CITY, "county": CLASS_COUNTY,
+                     "state": CLASS_STATE, "country": CLASS_COUNTRY}
+
 XSD_STRING = XSD + "string"
 XSD_INTEGER = XSD + "integer"
 XSD_DATETIME = XSD + "dateTime"
@@ -65,6 +81,10 @@ NONE_VALUES = ("None", "none", "null", "Null", "NULL", "")
 LINK_THRESHOLD = 0.60
 NGRAM_N = 3          # char n-gram size for blocking + hashed embeddings
 EMBED_DIM = 64       # feature-hashing dimension for the deterministic embedder
+# Encoder behind the link scorer (stages/link.get_encoder): "hashed" = the
+# deterministic feature-hashing embedder (container-safe); "transformer" =
+# a real SentenceTransformer bi-encoder when the package is importable.
+LINK_ENCODER = "hashed"
 
 # The normalization regex shared by the engine and the DuckDB oracle. Both
 # pyarrow.compute.replace_substring_regex and DuckDB regexp_replace use RE2,

@@ -50,7 +50,9 @@ SEED = 42
 # v6: camelCase tool names + camel mention variants (M16 splitter coverage)
 # v7: + conv_meta.parquet nested-struct table (M5 flattener coverage)
 # v8: + conv_geo.parquet / places.parquet (S8 reverse geocode, M21 keys)
-FORMAT_VERSION = "v8"
+# v9: + admin_hierarchy.parquet (place-hierarchy/population enrichment,
+#     reference location_from_wikidata.py:401-454)
+FORMAT_VERSION = "v9"
 CACHE_ROOT = os.environ.get("YCKG_FIXTURE_DIR", "/tmp/yckg_fixtures")
 
 # conversations per profile; mean conversation length ~= 9 turns.
@@ -344,6 +346,37 @@ def generate_geo(n_convs: int, seed: int = SEED) -> tuple[pa.Table, pa.Table]:
     return conv_geo, places
 
 
+def generate_admin_hierarchy(places: pa.Table) -> pa.Table:
+    """Deterministic admin hierarchy over the places table (the analog of
+    the reference's city→county→state→country Wikidata chain,
+    ``location_from_wikidata.py:401-454``): every geocodable place is a
+    city with a county parent; 30 counties → 10 states → 2 countries.
+    ``population`` is NULL for every 7th city (the reference emits the
+    population triple only when present)."""
+    pids = places["place_id"].to_numpy()
+    rows = []  # (place_id, label, level, parent_id, population)
+    for pid in pids.tolist():
+        pop = None if pid % 7 == 0 else 1000 + (pid * 137) % 1_000_000
+        rows.append((pid, f"place {pid - 1:03d}", "city",
+                     1001 + (pid % 30), pop))
+    for i in range(30):
+        pop = None if i % 2 else 50_000 + i * 977
+        rows.append((1001 + i, f"county {i:02d}", "county",
+                     2001 + (i % 10), pop))
+    for i in range(10):
+        rows.append((2001 + i, f"state {i:02d}", "state",
+                     3001 + (i % 2), 2_000_000 + i * 55_001))
+    for i in range(2):
+        rows.append((3001 + i, f"country {i}", "country",
+                     None, 50_000_000 + i * 7))
+    return pa.table({
+        "place_id": pa.array([r[0] for r in rows], pa.int64()),
+        "label": pa.array([r[1] for r in rows], pa.string()),
+        "level": pa.array([r[2] for r in rows], pa.string()),
+        "parent_id": pa.array([r[3] for r in rows], pa.int64()),
+        "population": pa.array([r[4] for r in rows], pa.int64())})
+
+
 def fixture_dir(sf_name: str) -> str:
     return os.path.join(CACHE_ROOT, FORMAT_VERSION, sf_name)
 
@@ -409,6 +442,8 @@ def ensure_fixtures(sf_dir_or_name: str) -> str:
     conv_geo, places = generate_geo(PROFILES[sf_name])
     pq.write_table(conv_geo, os.path.join(tmp, "conv_geo.parquet"))
     pq.write_table(places, os.path.join(tmp, "places.parquet"))
+    pq.write_table(generate_admin_hierarchy(places),
+                   os.path.join(tmp, "admin_hierarchy.parquet"))
 
     with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
         f.write("ok\n")

@@ -1435,39 +1435,53 @@ def sorted_neighborhood_pairs(docs: ray.data.Dataset, window: int = 2,
     infos = [e for e in ray.get(
         [edge_rows.remote(r) for r in srt.to_arrow_refs()]) if e]
     infos.sort(key=lambda e: (e[0], e[1]))  # block order = range order
-    # reconstruct global ranks of the strip rows; pair strip rows at rank
-    # distance 1..w across DIFFERENT blocks (same-block pairs are emitted
-    # by the vectorized in-block pass)
-    strip = []  # (rank, key, doc_id, block_idx)
+    # reconstruct global ranks of the strip rows (O(#blocks·w) metadata
+    # rows), then pair strip rows at rank distance 1..w across DIFFERENT
+    # blocks with the SAME searchsorted/shift arithmetic as the in-block
+    # pass — rank r pairs with rank r+d iff r+d is also a strip row
+    # (guaranteed for cross-block neighbors: both sides of a boundary are
+    # in the strips). No Python pair loop.
+    ranks, keys, ids, blocks = [], [], [], []
     base = 0
     for bi, (_, _, n, head, tail) in enumerate(infos):
         m = len(head)
         for j, (k, d) in enumerate(head):
-            strip.append((base + j, k, d, bi))
+            ranks.append(base + j)
+            keys.append(k)
+            ids.append(d)
+            blocks.append(bi)
         for j, (k, d) in enumerate(tail):
             r = base + n - m + j
             if r >= base + m:  # avoid double-adding head==tail rows
-                strip.append((r, k, d, bi))
+                ranks.append(r)
+                keys.append(k)
+                ids.append(d)
+                blocks.append(bi)
         base += n
-    strip.sort()
-    cross = {"doc_a": [], "doc_b": [], "dist": [], "same_key8": []}
-    for i in range(len(strip)):
-        for j in range(i + 1, len(strip)):
-            dist = strip[j][0] - strip[i][0]
-            if dist > w:
-                break
-            if strip[j][3] == strip[i][3]:
-                continue
-            cross["doc_a"].append(strip[i][2])
-            cross["doc_b"].append(strip[j][2])
-            cross["dist"].append(dist)
-            cross["same_key8"].append(
-                int(strip[i][1][:SNM_KEY8] == strip[j][1][:SNM_KEY8]))
     i64 = pa.int64()
     out_schema = pa.schema([("doc_a", i64), ("doc_b", i64),
                             ("dist", i64), ("same_key8", i64)])
-    cross_tab = pa.table({c: pa.array(v, i64) for c, v in cross.items()},
-                         schema=out_schema)
+    ranks_a = np.asarray(ranks, np.int64)
+    order = np.argsort(ranks_a)
+    ranks_a = ranks_a[order]
+    ids_a = np.asarray(ids, np.int64)[order]
+    blocks_a = np.asarray(blocks, np.int64)[order]
+    k8 = np.asarray([k[:SNM_KEY8] for k in keys], dtype=object)[order]
+    parts = [out_schema.empty_table()]
+    for d in range(1, (w + 1) if len(ranks_a) else 0):
+        idx = np.searchsorted(ranks_a, ranks_a + d)
+        idxc = np.minimum(idx, len(ranks_a) - 1)
+        ok = ((idx < len(ranks_a)) & (ranks_a[idxc] == ranks_a + d)
+              & (blocks_a[idxc] != blocks_a))
+        src = np.flatnonzero(ok)
+        dst = idxc[src]
+        parts.append(pa.table({
+            "doc_a": pa.array(ids_a[src]),
+            "doc_b": pa.array(ids_a[dst]),
+            "dist": pa.array(np.full(len(src), d, np.int64)),
+            "same_key8": pa.array((k8[src] == k8[dst]).astype(np.int64))},
+            schema=out_schema))
+    cross_tab = pa.concat_tables(parts)
 
     def block_pairs(b: pa.Table) -> pa.Table:
         n = b.num_rows

@@ -93,6 +93,96 @@ class CellResolver:
                          "place_id": pa.array(out_pid, pa.int64())})
 
 
+def load_hierarchy(fixture_dir: str) -> dict[int, tuple]:
+    """Driver-side load of the tiny admin-hierarchy table (broadcast side):
+    place_id -> (label, level, parent_id, population)."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{fixture_dir}/admin_hierarchy.parquet")
+    return {int(p): (lb, lv, (None if pr is None else int(pr)),
+                     (None if pop is None else int(pop)))
+            for p, lb, lv, pr, pop in zip(
+                t["place_id"].to_pylist(), t["label"].to_pylist(),
+                t["level"].to_pylist(), t["parent_id"].to_pylist(),
+                t["population"].to_pylist())}
+
+
+def place_enrichment_triples(resolved: ray.data.Dataset,
+                             hierarchy: dict[int, tuple],
+                             num_partitions: int = 8) -> ray.data.Dataset:
+    """Location + admin-hierarchy enrichment triples (the analog of the
+    reference's ``location_from_wikidata.py:401-454``):
+
+    * conversation → schema:location → place IRI — the CORPUS-scale part,
+      one stateless vectorized map over the reverse-geocode output;
+    * for every REACHED place and its ancestor chain (city → county →
+      state → country): rdfs:label (xsd:string), prop:instanceOf (the
+      public Wikidata class QIDs the reference uses), prop:population
+      (xsd:integer, only where present — the reference's
+      ``if row.population`` guard) and prop:containedIn → parent.
+
+    Scale shape: the reached-place set is bounded by the broadcast places
+    table (tiny by contract — it rides the object store whole), so the
+    DISTINCT place ids aggregate to the driver, the chain closure runs on
+    the broadcast dict, and the hierarchy triples are one small local
+    table unioned onto the streamed location triples."""
+    from .. import config as C
+    from ..functions.grouped import sorted_aggregate
+
+    place_iri_prefix = C.WD + "Q9"
+
+    def loc_triples(b: pa.Table) -> pa.Table:
+        conv = pc.binary_join_element_wise(
+            pa.nulls(b.num_rows, pa.string()).fill_null(
+                C.ENT + "conversation/"),
+            pc.cast(b["conv_id"], pa.string()), "")
+        obj = pc.binary_join_element_wise(
+            pa.nulls(b.num_rows, pa.string()).fill_null(place_iri_prefix),
+            pc.utf8_lpad(pc.cast(b["place_id"], pa.string()), 6, "0"), "")
+        n = b.num_rows
+        return pa.table({
+            "subj": conv,
+            "pred": pa.nulls(n, pa.string()).fill_null(C.PRED_LOCATION),
+            "obj": obj,
+            "obj_is_literal": pa.nulls(n, pa.bool_()).fill_null(False),
+            "obj_datatype": pa.nulls(n, pa.string())})
+
+    locs = resolved.map_batches(loc_triples, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    distinct = sorted_aggregate(
+        resolved.select_columns(["place_id"]), ["place_id"],
+        [("place_id", "count")], ["place_id", "n"], num_partitions)
+    reached = set()
+    for r in distinct.take_all():  # bounded by the broadcast places table
+        pid = int(r["place_id"])
+        while pid is not None and pid not in reached and pid in hierarchy:
+            reached.add(pid)
+            pid = hierarchy[pid][2]
+
+    def iri(pid: int) -> str:
+        return place_iri_prefix + str(pid).zfill(6)
+
+    rows = []  # (subj, pred, obj, is_lit, dtype)
+    for pid in sorted(reached):
+        label, level, parent, pop = hierarchy[pid]
+        rows.append((iri(pid), C.RDFS_LABEL, label, True, C.XSD_STRING))
+        rows.append((iri(pid), C.PRED_INSTANCE_OF,
+                     C.PLACE_LEVEL_CLASS[level], False, None))
+        if pop is not None:
+            rows.append((iri(pid), C.PRED_POPULATION, str(pop), True,
+                         C.XSD_INTEGER))
+        if parent is not None and parent in reached:
+            rows.append((iri(pid), C.PRED_CONTAINED_IN, iri(parent),
+                         False, None))
+    htab = pa.table({
+        "subj": pa.array([r[0] for r in rows], pa.string()),
+        "pred": pa.array([r[1] for r in rows], pa.string()),
+        "obj": pa.array([r[2] for r in rows], pa.string()),
+        "obj_is_literal": pa.array([r[3] for r in rows], pa.bool_()),
+        "obj_datatype": pa.array([r[4] for r in rows], pa.string())})
+    return locs.union(ray.data.from_arrow(htab))
+
+
 def reverse_geocode(conv_geo: ray.data.Dataset, places_ref,
                     concurrency: int = 4,
                     num_partitions: int = 8) -> ray.data.Dataset:

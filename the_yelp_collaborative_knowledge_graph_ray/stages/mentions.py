@@ -56,9 +56,17 @@ class AhoCorasick:
     (``out_off``/``out_ids``), so emitting hits is a repeat+gather, no
     per-row Python. Memory: the dense table is 1 KiB per trie state
     (int32 x 256); a 10k-surface vocabulary (~100k states) costs ~100 MiB
-    per actor — built once in ``__init__``, shared by every batch."""
+    per actor — built once in ``__init__``, shared by every batch. Above
+    ``dense_max_states`` the dense closure is NOT materialized: the
+    automaton keeps only the trie edges as one sorted ``state*256+byte``
+    key array (~12 B/state — a 100k-surface vocabulary fits in ~15 MiB)
+    plus the fail array, and each scan step resolves misses with a
+    VECTORIZED fail-link walk (every iteration is a batch searchsorted
+    over the still-unresolved rows; iterations are bounded by trie depth).
+    Both engines are bit-identical (asserted in tests)."""
 
-    def __init__(self, patterns: list[str]):
+    def __init__(self, patterns: list[str],
+                 dense_max_states: int = 262_144):
         from collections import deque
         pats = [p.encode("utf-8") for p in patterns]
         goto: list[dict[int, int]] = [{}]
@@ -75,21 +83,45 @@ class AhoCorasick:
                 st = nxt
             out[st].add(pi)
         n = len(goto)
-        trans = np.zeros((n, 256), np.int32)
         fail = np.zeros(n, np.int32)
-        for ch, nxt in goto[0].items():
-            trans[0, ch] = nxt
+        # classic fail-link BFS (dense-free): fail[nxt] = the closed
+        # transition of fail[s] on ch, found by walking fail links of the
+        # (already complete) shallower states
         q = deque(goto[0].values())
-        while q:  # BFS: fail[s] is shallower, so its dense row is complete
+        bfs = []
+        while q:
             s = q.popleft()
+            bfs.append(s)
             for ch, nxt in goto[s].items():
-                fail[nxt] = trans[fail[s], ch]
+                f = fail[s]
+                while f and ch not in goto[f]:
+                    f = fail[f]
+                t = goto[f].get(ch, 0)
+                fail[nxt] = t if t != nxt else 0
                 out[nxt] |= out[fail[nxt]]
                 q.append(nxt)
-            trans[s] = trans[fail[s]]
-            for ch, nxt in goto[s].items():
-                trans[s, ch] = nxt
-        self.trans = trans
+        self.fail = fail
+        if n <= dense_max_states:
+            trans = np.zeros((n, 256), np.int32)
+            for ch, nxt in goto[0].items():
+                trans[0, ch] = nxt
+            for s in bfs:  # fail[s] is shallower, so its row is complete
+                trans[s] = trans[fail[s]]
+                for ch, nxt in goto[s].items():
+                    trans[s, ch] = nxt
+            self.trans = trans
+            self.edge_keys = self.edge_vals = None
+        else:
+            self.trans = None
+            keys, vals = [], []
+            for s, g in enumerate(goto):
+                for ch, nxt in g.items():
+                    keys.append(s * 256 + ch)
+                    vals.append(nxt)
+            order = np.argsort(np.asarray(keys, np.int64))
+            self.edge_keys = np.asarray(keys, np.int64)[order]
+            self.edge_vals = np.asarray(vals, np.int32)[order]
+        self.n_states = n
         self.n_patterns = len(pats)
         cnt = np.array([len(o) for o in out], np.int64)
         self.out_cnt = cnt
@@ -98,16 +130,41 @@ class AhoCorasick:
                         if cnt.sum() else np.empty(0, np.int64)).astype(np.int64)
         self.has_out = cnt > 0
 
+    def _step(self, st: np.ndarray, byts: np.ndarray) -> np.ndarray:
+        """Closed-automaton transition for a VECTOR of (state, byte) rows.
+        Dense engine: one 2D gather. Sparse engine: per iteration, one
+        searchsorted over the still-unresolved rows; a miss at the root
+        resolves to the root, otherwise the row follows its fail link."""
+        if self.trans is not None:
+            return self.trans[st, byts]
+        nxt = np.zeros(len(st), np.int32)
+        cur = st.astype(np.int64)
+        active = np.flatnonzero(np.ones(len(st), bool))
+        ek, ev, fail = self.edge_keys, self.edge_vals, self.fail
+        while len(active):
+            key = cur[active] * 256 + byts[active]
+            pos = np.searchsorted(ek, key)
+            posc = np.minimum(pos, max(len(ek) - 1, 0))
+            hit = (ek[posc] == key) if len(ek) else np.zeros(len(key), bool)
+            nxt[active[hit]] = ev[posc[hit]] if len(ek) else 0
+            miss = active[~hit]
+            at_root = cur[miss] == 0
+            nxt[miss[at_root]] = 0
+            rem = miss[~at_root]
+            cur[rem] = fail[cur[rem]]
+            active = rem
+        return nxt
+
     def scan(self, text: str) -> set[int]:
         """Indices of every pattern occurring as a substring of ``text``
         (reference scalar path; the batch path is :meth:`scan_batch`)."""
-        st, found = 0, set()
-        trans = self.trans
+        st, found = np.zeros(1, np.int32), set()
         for ch in text.encode("utf-8"):
-            st = trans[st, ch]
-            if self.has_out[st]:
-                o = self.out_off[st]
-                found.update(self.out_ids[o:o + self.out_cnt[st]].tolist())
+            st = self._step(st, np.array([ch], np.uint8))
+            s = int(st[0])
+            if self.has_out[s]:
+                o = self.out_off[s]
+                found.update(self.out_ids[o:o + self.out_cnt[s]].tolist())
         return found
 
     def scan_batch(self, arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -128,7 +185,7 @@ class AhoCorasick:
         data = np.frombuffer(arr.buffers()[2], np.uint8)
         lengths = np.diff(offs)
         order = np.argsort(-lengths, kind="stable")
-        trans, has_out = self.trans, self.has_out
+        has_out = self.has_out
         rows_hit: list[np.ndarray] = []
         states_hit: list[np.ndarray] = []
         seg_budget = 16 << 20
@@ -154,7 +211,7 @@ class AhoCorasick:
                 k = ks[t]
                 if k == 0:
                     break
-                stk = trans[st[:k], pad[:k, t]]
+                stk = self._step(st[:k], pad[:k, t])
                 st[:k] = stk
                 h = np.nonzero(has_out[stk])[0]
                 if h.size:
