@@ -173,6 +173,23 @@ def test_link_scorer_csr_matches_per_form_reference(sf_tiny):
                     got["entity_id"].to_pylist())) == reference(forms)
 
 
+def test_embed_vectorized_bitwise_matches_scalar():
+    """The batch-vectorized hashing-trick embedder must be BITWISE equal
+    to the per-string reference (±1 accumulands are small integers, exact
+    in float32 under any accumulation order)."""
+    import random
+
+    import numpy as np
+
+    random.seed(3)
+    strs = (["coffee", "", "a", "machine learning", "##", "ünïcode tëst",
+             "x" * 500]
+            + ["".join(random.choice("abcdef gh")
+                       for _ in range(random.randint(0, 40)))
+               for _ in range(500)])
+    assert np.array_equal(link._embed(strs), link._embed_scalar(strs))
+
+
 def test_link_encoder_registry_parity():
     """ST1 model seam: the encoder swap is ONE config flag. The hashed
     encoder satisfies the interface contract; the transformer path is

@@ -51,12 +51,10 @@ def _ngrams(s: str, n: int = C.NGRAM_N) -> set[str]:
     return {padded[i:i + n] for i in range(len(padded) - n + 1)}
 
 
-def _embed(strings: list[str], dim: int = C.EMBED_DIM) -> np.ndarray:
-    """Deterministic char-ngram feature-hashing embedder, L2-normalized.
-
-    Uses zlib.crc32 (stable across processes, unlike builtin str hash) for
-    the feature index and a sign bit — the classic hashing trick.
-    """
+def _embed_scalar(strings: list[str], dim: int = C.EMBED_DIM) -> np.ndarray:
+    """Per-string reference implementation of the hashing-trick embedder
+    (kept for the bitwise-parity pytest; the pipeline path is the
+    batch-vectorized :func:`_embed`)."""
     import zlib
     out = np.zeros((len(strings), dim), dtype=np.float32)
     for i, s in enumerate(strings):
@@ -65,6 +63,41 @@ def _embed(strings: list[str], dim: int = C.EMBED_DIM) -> np.ndarray:
             idx = (h >> 1) % dim
             sign = 1.0 if (h & 1) else -1.0
             out[i, idx] += sign
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return out / norms
+
+
+def _embed(strings, dim: int = C.EMBED_DIM) -> np.ndarray:
+    """Deterministic char-ngram feature-hashing embedder, L2-normalized.
+
+    Batch-vectorized: grams via the Arrow slice kernels of
+    :func:`_batch_grams`, per-string DISTINCT grams via dictionary codes +
+    ``np.unique`` (matching the set semantics of :func:`_ngrams`), crc32
+    only over the batch's gram DICTIONARY, accumulation with one
+    ``np.add.at``. Bitwise identical to :func:`_embed_scalar` — the ±1
+    accumulands are small integers, exact in float32 under any order —
+    asserted in tests. crc32 is process-stable (builtin ``hash`` is not).
+    """
+    import zlib
+    col = strings if isinstance(strings, (pa.Array, pa.ChunkedArray)) \
+        else pa.array(list(strings), pa.string())
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    out = np.zeros((len(col), dim), dtype=np.float32)
+    rows, grams = _batch_grams(col)
+    if len(rows):
+        dic = grams.dictionary_encode()
+        codes = dic.indices.to_numpy().astype(np.int64)
+        V = max(len(dic.dictionary), 1)
+        key = np.unique(rows * V + codes)  # per-string distinct grams
+        r, c = key // V, key % V
+        h = np.fromiter((zlib.crc32(g.encode("utf-8"))
+                         for g in dic.dictionary.to_pylist()),
+                        dtype=np.int64, count=len(dic.dictionary))
+        idx = (h >> 1) % dim
+        sign = np.where(h & 1, np.float32(1.0), np.float32(-1.0))
+        np.add.at(out, (r, idx[c]), sign[c])
     norms = np.linalg.norm(out, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return out / norms
