@@ -133,12 +133,14 @@ def build_graph(transcripts: ray.data.Dataset, fixture_dir: str,
     from .. import config as C
     if two_pass_final:
         # enrichment part is lazy above; materialize so the two final
-        # passes read it from the store rather than recomputing
+        # passes read it from the store rather than recomputing. Range
+        # sorts run 4 at a time — they are small (corpus/n_buckets rows)
+        # and the per-job startup tail otherwise serializes n_buckets x.
         all_triples = all_triples.materialize()
         return materialize.materialize_partitioned(
             all_triples, CheckpointedRun(final_ckpt_dir), stage="final",
             known_combos=C.KNOWN_COMBOS, bundle_rows=1_048_576,
-            n_buckets=n_buckets)
+            n_buckets=n_buckets, concurrent_ranges=4)
     final = _stage("final", lambda: materialize.materialize(
         all_triples, known_combos=C.KNOWN_COMBOS, bundle_rows=1_048_576),
         upstream=["structural", "canonical_mentions", "links"])

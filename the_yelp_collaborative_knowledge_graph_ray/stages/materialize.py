@@ -344,7 +344,8 @@ def materialize_partitioned(triples: ray.data.Dataset, ck, stage: str = "final",
                             known_combos=None, bundle_rows: int | None = None,
                             n_buckets: int = 32, sample_stride: int = 64,
                             upstream: list[str] = (),
-                            fail_hook=None) -> ray.data.Dataset:
+                            fail_hook=None,
+                            concurrent_ranges: int = 1) -> ray.data.Dataset:
     """:func:`materialize` with the ONE monolithic range sort split into
     ``n_buckets`` independent per-range sorts, each committing its own
     checkpoint partition (north_rule resume granularity for the FINAL stage,
@@ -513,8 +514,13 @@ def materialize_partitioned(triples: ray.data.Dataset, ck, stage: str = "final",
             .map_batches(decode_dedup, batch_format="pyarrow",
                          batch_size=None, zero_copy_batch=True)
 
+    # concurrent_ranges > 1 sorts that many ranges as concurrent Ray jobs
+    # (each still commits atomically) — amortizes the per-sort-job startup
+    # that otherwise serializes n_buckets times; keep 1 for strictly
+    # ordered resume points (the checkpointed-job default).
     return ck.partitioned_stage(stage + "_ranges", part_keys, build_bucket,
-                                upstream=[stage + "_spill", *upstream])
+                                upstream=[stage + "_spill", *upstream],
+                                max_concurrent=concurrent_ranges)
 
 
 def render_ntriples(batch: pa.Table) -> pa.Table:

@@ -139,7 +139,8 @@ class CheckpointedRun:
 
     def partitioned_stage(self, name: str, partitions: list[str],
                           build_one: Callable[[str], ray.data.Dataset],
-                          upstream: list[str] = ()) -> ray.data.Dataset:
+                          upstream: list[str] = (),
+                          max_concurrent: int = 1) -> ray.data.Dataset:
         """Run (or resume) a stage sharded by ``partitions``.
 
         Each partition key is built by ``build_one(pkey)``, written to its
@@ -149,6 +150,14 @@ class CheckpointedRun:
         partition k recomputes only k..n. When all partitions are complete
         a stage-level manifest aggregates the per-partition rows.
 
+        ``max_concurrent > 1`` runs that many partition builds as
+        CONCURRENT Ray Data jobs (driver threads; each partition still
+        commits atomically and independently) — this amortizes the
+        per-job executor startup across partitions, which is the fixed
+        tail when a stage has many small partitions (the range sorts of
+        ``materialize_partitioned``). Default 1 keeps strictly sequential
+        commit order (deterministic resume points).
+
         Returns the stage Dataset reading ALL partition directories (one
         ``read_parquet`` over the ``parts`` tree, column-prunable).
         """
@@ -156,12 +165,13 @@ class CheckpointedRun:
         sdir = self._dir(name)
         parts_root = os.path.join(sdir, "parts")
         os.makedirs(parts_root, exist_ok=True)
-        total_new = 0
-        for pkey in partitions:
-            if self.partition_complete(name, pkey):
-                continue
+        todo = [p for p in partitions
+                if not self.partition_complete(name, p)]
+
+        def run_one(pkey: str) -> None:
+            import threading
             pdir = self._part_dir(name, pkey)
-            tmp = pdir + f".tmp{os.getpid()}"
+            tmp = pdir + f".tmp{os.getpid()}_{threading.get_ident()}"
             shutil.rmtree(tmp, ignore_errors=True)
             os.makedirs(tmp)
             t0 = time.time()
@@ -171,7 +181,8 @@ class CheckpointedRun:
             ddir = os.path.join(tmp, "data")
             for fn in sorted(os.listdir(ddir)):
                 if fn.endswith(".parquet"):
-                    n = pq.ParquetFile(os.path.join(ddir, fn)).metadata.num_rows
+                    n = pq.ParquetFile(
+                        os.path.join(ddir, fn)).metadata.num_rows
                     files.append({"file": fn, "rows": n})
                     rows += n
             with open(os.path.join(tmp, "manifest.json"), "w") as f:
@@ -182,7 +193,33 @@ class CheckpointedRun:
                           indent=1)
             shutil.rmtree(pdir, ignore_errors=True)
             os.rename(tmp, pdir)
-            total_new += 1
+
+        if max_concurrent <= 1 or len(todo) <= 1:
+            for pkey in todo:
+                run_one(pkey)
+        else:
+            # Ray's path resolution lazily imports fsspec's HTTP module on
+            # EVERY read (its absence — no aiohttp here — is not cached by
+            # Python), and two threads importing it concurrently can see
+            # each other's partially-initialized module as a spurious
+            # "cannot import name HTTPFileSystem". Make the outcome
+            # deterministic: if the import fails, register a stub module
+            # whose HTTPFileSystem class no real filesystem is an instance
+            # of — exactly the semantics of "http filesystems unavailable".
+            try:
+                import fsspec.implementations.http  # noqa: F401
+            except ImportError:
+                import sys
+                import types
+                _stub = types.ModuleType("fsspec.implementations.http")
+                _stub.HTTPFileSystem = type("HTTPFileSystem", (), {})
+                sys.modules["fsspec.implementations.http"] = _stub
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=max_concurrent) as ex:
+                futures = {ex.submit(run_one, p): p for p in todo}
+                for fut in futures:
+                    fut.result()  # propagate the first failure
+        total_new = len(todo)
         # stage-level manifest: aggregate of per-partition manifests
         per_part = []
         for pkey in partitions:
