@@ -107,6 +107,43 @@ def test_minhash_cogroup_verify_beyond_broadcast(ray_session, monkeypatch):
     assert cogroup.equals(exact)
 
 
+def test_incremental_dedup_cross_snapshot_and_index_update(ray_session,
+                                                           tmp_path):
+    """Cross-snapshot exact dedup against the committed digest index:
+    history dup, within-delta dup, novel; then update_index=True appends
+    the novel keepers, so an immediate re-ingestion of the same delta
+    reports EVERY row as already-present (idempotent ingestion)."""
+    from the_yelp_collaborative_knowledge_graph_ray.stages.dedup import (
+        build_digest_index,
+        incremental_exact_dedup,
+    )
+
+    def ds_of(rows):
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string())}))
+
+    hist = ds_of([(1, "alpha beta gamma"), (2, "delta epsilon zeta")])
+    delta = ds_of([(10, "alpha beta gamma"),   # dup of history keeper 1
+                   (11, "brand new content"),  # novel keeper
+                   (12, "brand new content"),  # within-delta dup of 11
+                   (13, "another unique")])    # novel
+    idx = build_digest_index(hist, str(tmp_path / "index"), n_buckets=8)
+
+    out = incremental_exact_dedup(delta, idx, str(tmp_path / "s1"),
+                                  update_index=True).to_pandas()
+    got = {int(r.doc_id): (None if r.dup_of != r.dup_of or r.dup_of is None
+                           else int(r.dup_of))
+           for r in out.itertuples()}
+    assert got == {10: 1, 11: None, 12: 11, 13: None}
+
+    # re-ingest the SAME delta against the updated index: nothing novel
+    out2 = incremental_exact_dedup(delta, idx, str(tmp_path / "s2"),
+                                   update_index=False).to_pandas()
+    got2 = {int(r.doc_id): int(r.dup_of) for r in out2.itertuples()}
+    assert got2 == {10: 1, 11: 11, 12: 11, 13: 13}
+
+
 def test_simhash_finds_exact_and_near_dups(ray_session):
     got = dedup.simhash_pairs(_docs_ds(), max_hamming=3).to_pandas()
     pairs = set(zip(got["doc_a"], got["doc_b"]))

@@ -104,6 +104,169 @@ def exact_dedup(docs: ray.data.Dataset,
 
 
 # --------------------------------------------------------------------------
+# Incremental (cross-snapshot) exact dedup against a committed digest index
+# --------------------------------------------------------------------------
+# The 100-TB ingestion shape: history was deduped ONCE into a bucketed
+# digest index (SMB layout, functions/bucketed.py); each new delta drop
+# dedupes against all of history by joining ONLY its matching buckets —
+# history is never rescanned, and the index update is an append of the
+# delta's novel keepers into the same bucket dirs (Hive layout appends are
+# new uniquely-named part files, so the update is retry-safe).
+
+
+def _md5_with_key(texts: list[str]) -> tuple[pa.Array, np.ndarray]:
+    """(hex digest, int64 bucket key = first 16 hex chars as int64, shifted
+    to signed range). One hashlib pass computes both."""
+    hexes = []
+    keys = np.empty(len(texts), np.int64)
+    for i, t in enumerate(texts):
+        h = hashlib.md5(t.encode("utf-8")).hexdigest()
+        hexes.append(h)
+        keys[i] = int(h[:16], 16) - (1 << 63)
+    return pa.array(hexes, pa.string()), keys
+
+
+def build_digest_index(history: ray.data.Dataset, index_dir: str,
+                       n_buckets: int = 64) -> str:
+    """Build (once) the committed digest index of a historical corpus:
+    (hist_digest, h, hist_keep=min doc_id per digest), hive-bucketed by
+    the int64 digest key. Only digests shuffle — never documents."""
+    from ..functions.bucketed import write_bucketed
+    from ..functions.grouped import sorted_aggregate
+
+    def digest(b: pa.Table) -> pa.Table:
+        hx, keys = _md5_with_key(b["text"].to_pylist())
+        return pa.table({"hist_digest": hx, "h": pa.array(keys),
+                         "doc_id": pc.cast(b["doc_id"], pa.int64())})
+
+    keep = sorted_aggregate(
+        history.map_batches(digest, batch_format="pyarrow",
+                            zero_copy_batch=True),
+        ["hist_digest"], [("h", "min"), ("doc_id", "min")],
+        ["hist_digest", "h", "hist_keep"])
+    return write_bucketed(keep, "h", index_dir, n_buckets)
+
+
+def incremental_exact_dedup(delta: ray.data.Dataset, index_dir: str,
+                            scratch_dir: str,
+                            update_index: bool = False) -> ray.data.Dataset:
+    """(doc_id, dup_of) for every delta doc: ``dup_of`` = the history
+    keeper if the content exists in the index, else the earliest delta doc
+    with the same content, else NULL (novel). Requires nonnegative doc
+    ids (sentinel arithmetic). ``update_index=True`` afterwards appends
+    the novel keepers' digests into the index buckets, so an immediate
+    re-run of the same delta reports every row as a duplicate
+    (idempotent ingestion — pytest-pinned)."""
+    import json as _json
+    import os as _os
+
+    from ..functions.bucketed import bucketed_join, write_bucketed
+    from ..functions.grouped import sorted_group_apply
+
+    with open(_os.path.join(index_dir, "meta.json")) as f:
+        n_buckets = _json.load(f)["n_buckets"]
+
+    def digest(b: pa.Table) -> pa.Table:
+        hx, keys = _md5_with_key(b["text"].to_pylist())
+        return pa.table({"digest": hx, "h": pa.array(keys),
+                         "doc_id": pc.cast(b["doc_id"], pa.int64())})
+
+    ddir = _os.path.join(scratch_dir, "delta_bucketed")
+    write_bucketed(delta.map_batches(digest, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                   "h", ddir, n_buckets)
+
+    j_schema = pa.schema([("h", pa.int64()), ("digest", pa.string()),
+                          ("doc_id", pa.int64()),
+                          ("hist_digest", pa.string()),
+                          ("hist_keep", pa.int64())])
+    matches = bucketed_join(
+        ddir, index_dir, "h",
+        left_cols=["h", "digest", "doc_id"],
+        right_cols=["h", "hist_digest", "hist_keep"],
+        join_type="inner", empty=j_schema.empty_table())
+
+    u_schema = pa.schema([("digest", pa.string()), ("doc_id", pa.int64()),
+                          ("ref", pa.int64())])
+
+    def hist_rows(b: pa.Table) -> pa.Table:
+        # 64-bit key collisions only ADD join rows; full-digest equality
+        # filters them here
+        t = b.filter(pc.equal(b["digest"], b["hist_digest"]))
+        return pa.table({"digest": t["digest"],
+                         "doc_id": pa.nulls(t.num_rows, pa.int64())
+                         .fill_null(-1),
+                         "ref": pc.cast(t["hist_keep"], pa.int64())},
+                        schema=u_schema)
+
+    def delta_rows(b: pa.Table) -> pa.Table:
+        return pa.table({"digest": b["digest"],
+                         "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                         "ref": pa.nulls(b.num_rows, pa.int64())
+                         .fill_null(-1)}, schema=u_schema)
+
+    # NOTE: columns= together with partitioning=None trips an
+    # UnboundLocalError inside ray 2.49's parquet datasource — project
+    # post-read instead
+    union = ray.data.read_parquet(ddir, partitioning=None,
+                                  file_extensions=["parquet"]) \
+        .select_columns(["digest", "doc_id"]) \
+        .map_batches(delta_rows, batch_format="pyarrow") \
+        .union(matches.map_batches(hist_rows, batch_format="pyarrow"))
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("dup_of", pa.int64())])
+    BIG = np.int64(1) << 62
+
+    def assemble(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        dg = b["digest"].combine_chunks().to_numpy(zero_copy_only=False)
+        doc = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        ref = b["ref"].combine_chunks().to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.concatenate([[True], dg[1:] != dg[:-1]]))
+        sizes = np.diff(np.append(starts, len(dg)))
+        # per group: history keeper (refs of a digest group are all equal;
+        # -1 marks delta rows) and the earliest delta doc id
+        g_hist = np.maximum.reduceat(ref, starts)
+        g_dmin = np.minimum.reduceat(np.where(doc >= 0, doc, BIG), starts)
+        hist_pp = np.repeat(g_hist, sizes)
+        dmin_pp = np.repeat(g_dmin, sizes)
+        is_delta = doc >= 0
+        dup = np.where(hist_pp >= 0, hist_pp,
+                       np.where(dmin_pp < doc, dmin_pp, np.int64(-1)))
+        d = dup[is_delta]
+        return pa.table({
+            "doc_id": pa.array(doc[is_delta]),
+            "dup_of": pc.if_else(pa.array(d >= 0), pa.array(d),
+                                 pa.scalar(None, pa.int64()))},
+            schema=out_schema)
+
+    out = sorted_group_apply(union, ["digest"], assemble).sort("doc_id") \
+        .materialize()
+
+    if update_index:
+        novel = out.map_batches(
+            lambda b: b.filter(pc.is_null(b["dup_of"])),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+        def to_index(b: pa.Table) -> pa.Table:
+            return pa.table({"hist_digest": b["digest"],
+                             "h": b["h"],
+                             "hist_keep": pc.cast(b["doc_id"], pa.int64())})
+
+        from ..functions.joins import broadcast_semi_filter, distinct_int_keys
+        keep_ids = distinct_int_keys(novel, ["doc_id"])
+        if len(keep_ids):
+            keepers = broadcast_semi_filter(
+                ray.data.read_parquet(ddir, partitioning=None,
+                                      file_extensions=["parquet"]),
+                "doc_id",
+                keep_ids).map_batches(to_index, batch_format="pyarrow")
+            write_bucketed(keepers, "h", index_dir, n_buckets)
+    return out
+
+
+# --------------------------------------------------------------------------
 # shingles
 # --------------------------------------------------------------------------
 
