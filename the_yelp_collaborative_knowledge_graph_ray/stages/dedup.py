@@ -267,6 +267,160 @@ def incremental_exact_dedup(delta: ray.data.Dataset, index_dir: str,
 
 
 # --------------------------------------------------------------------------
+# Incremental (cross-snapshot) NEAR-dup dedup against a committed LSH index
+# --------------------------------------------------------------------------
+# The near-dup sibling of incremental_exact_dedup: history's MinHash band
+# rows (32 ints per doc) and texts are committed ONCE as two bucketed SMB
+# layouts; each delta drop computes its own band rows, joins ONLY the
+# matching band buckets for cross-snapshot candidates (history signatures
+# are never rescanned), adds delta-internal candidates via the normal
+# band groupby, and runs the shared exact-Jaccard verify over delta texts
+# plus exactly the matched history docs (fetched from the text layout by
+# bucket — not a history scan).
+
+
+def build_minhash_index(history: ray.data.Dataset, index_dir: str,
+                        n_buckets: int = 32,
+                        k: int = SHINGLE_K) -> str:
+    """Commit the LSH index of a historical corpus: ``bands/`` —
+    (bk=band-mixed hash, band, band_hash, doc_id) bucketed by bk; and
+    ``texts/`` — (doc_id, text) bucketed by doc_id (the verify side).
+    Returns ``index_dir``."""
+    import os as _os
+
+    from ..functions.bucketed import write_bucketed
+
+    def bands(b: pa.Table) -> pa.Table:
+        t = minhash_band_rows(b, k)
+        bk = (t["band_hash"].to_numpy(zero_copy_only=False)
+              + t["band"].to_numpy(zero_copy_only=False))
+        return t.append_column("bk", pa.array(bk.astype(np.int64)))
+
+    write_bucketed(history.map_batches(bands, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                   "bk", _os.path.join(index_dir, "bands"), n_buckets)
+
+    def text_rows(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.cast(b["doc_id"], pa.int64()),
+                         "text": pc.cast(b["text"], pa.string())})
+
+    write_bucketed(history.map_batches(text_rows, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                   "doc_id", _os.path.join(index_dir, "texts"), n_buckets)
+    return index_dir
+
+
+def incremental_minhash_dedup(delta: ray.data.Dataset, index_dir: str,
+                              scratch_dir: str, threshold: float = 0.5,
+                              k: int = SHINGLE_K,
+                              num_partitions: int = 16) -> ray.data.Dataset:
+    """(doc_a, doc_b, jaccard) near-dup pairs of the delta against
+    history ∪ delta (doc_a < doc_b): cross-snapshot candidates come from
+    joining the delta's band rows against ONLY their matching committed
+    band buckets; delta-internal candidates from the usual band groupby;
+    both verified exactly by :func:`verify_candidate_pairs` over delta
+    texts + just the matched history docs."""
+    import json as _json
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from ..functions.bucketed import bucketed_join, write_bucketed
+    from ..functions.grouped import pairs_within_groups, sorted_aggregate
+    from ..functions.joins import broadcast_semi_filter, distinct_int_keys
+
+    with open(_os.path.join(index_dir, "bands", "meta.json")) as f:
+        n_buckets = _json.load(f)["n_buckets"]
+
+    def bands(b: pa.Table) -> pa.Table:
+        t = minhash_band_rows(b, k)
+        bk = (t["band_hash"].to_numpy(zero_copy_only=False)
+              + t["band"].to_numpy(zero_copy_only=False))
+        return t.append_column("bk", pa.array(bk.astype(np.int64)))
+
+    delta_bands = delta.map_batches(bands, batch_format="pyarrow",
+                                    zero_copy_batch=True).materialize()
+    # spill the DELTA side with renamed columns (the index — the big,
+    # committed side — is joined as-is; renaming avoids Acero clashes at
+    # the cost of one pass over the small delta, never over history)
+    dbdir = _os.path.join(scratch_dir, "delta_bands")
+    write_bucketed(delta_bands.map_batches(
+        lambda t: t.rename_columns(
+            [c if c == "bk" else c + "_l" for c in t.column_names]),
+        batch_format="pyarrow", zero_copy_batch=True),
+        "bk", dbdir, n_buckets)
+
+    # cross-snapshot candidates: per-bucket join on the mixed band key,
+    # exact (band, band_hash) equality refilter, map-side distinct
+    pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+
+    def refine(j: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(j["band_l"], j["band"]),
+                    pc.equal(j["band_hash_l"], j["band_hash"]))
+        t = j.filter(m)
+        a = t["doc_id_l"].to_numpy(zero_copy_only=False)
+        b_ = t["doc_id"].to_numpy(zero_copy_only=False)
+        lo, hi = np.minimum(a, b_), np.maximum(a, b_)
+        keep = lo != hi  # ids are nonnegative < 2^32 by contract
+        key = np.unique(lo[keep] * (1 << 32) + hi[keep]) \
+            if len(lo) else np.empty(0, np.int64)
+        return pa.table({"doc_a": pa.array(key >> 32),
+                         "doc_b": pa.array(key & ((1 << 32) - 1))},
+                        schema=pair_schema)
+
+    cross = bucketed_join(
+        dbdir, _os.path.join(index_dir, "bands"), "bk",
+        left_cols=["bk", "band_l", "band_hash_l", "doc_id_l"],
+        right_cols=["bk", "band", "band_hash", "doc_id"],
+        join_type="inner", combine=refine,
+        empty=pair_schema.empty_table())
+
+    internal = pairs_within_groups(
+        delta_bands.select_columns(["band", "band_hash", "doc_id"]),
+        ["band", "band_hash"], "doc_id", count_col="n_bands",
+        num_partitions=num_partitions).select_columns(["doc_a", "doc_b"])
+
+    candidates = sorted_aggregate(
+        cross.union(internal), ["doc_a", "doc_b"],
+        [("doc_a", "count")], ["doc_a", "doc_b", "n"],
+        num_partitions).select_columns(["doc_a", "doc_b"])
+
+    # verify corpus: the delta plus ONLY the matched history docs, fetched
+    # from the committed text layout bucket-by-bucket
+    cand_ids = distinct_int_keys(candidates, ["doc_a", "doc_b"])
+    tdir = _os.path.join(index_dir, "texts")
+    from ..functions.bucketed import bucket_of
+
+    def fetch_hist(b: pa.Table) -> pa.Table:
+        out = []
+        want = b["id"].to_numpy(zero_copy_only=False)
+        for bkt in np.unique(bucket_of(pa.array(want),
+                                       n_buckets).to_numpy()):
+            d = _os.path.join(tdir, f"bucket={int(bkt)}")
+            if not _os.path.isdir(d):
+                continue
+            t = _pq.read_table(d, columns=["doc_id", "text"])
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            out.append(t.filter(pa.array(np.isin(ids, want))))
+        return (pa.concat_tables(out) if out
+                else pa.schema([("doc_id", pa.int64()),
+                                ("text", pa.string())]).empty_table())
+
+    hist_texts = ray.data.from_arrow(
+        pa.table({"id": pa.array(cand_ids, pa.int64())})) \
+        .map_batches(fetch_hist, batch_format="pyarrow")
+    corpus = delta.select_columns(["doc_id", "text"]).union(hist_texts)
+    # history docs that are ALSO in the delta id space would duplicate the
+    # corpus rows; keep first occurrence per id
+    corpus = sorted_aggregate(
+        corpus, ["doc_id"], [("text", "min")], ["doc_id", "text"],
+        num_partitions)
+    return verify_candidate_pairs(candidates, corpus, k=k,
+                                  threshold=threshold,
+                                  num_partitions=num_partitions)
+
+
+# --------------------------------------------------------------------------
 # shingles
 # --------------------------------------------------------------------------
 
@@ -553,6 +707,30 @@ def _verify_jaccard_vec(da: np.ndarray, db: np.ndarray, uniq_ids: np.ndarray,
                         {"jaccard": pa.array(j[keep], pa.float64())})
 
 
+def minhash_band_rows(b: pa.Table, k: int = SHINGLE_K) -> pa.Table:
+    """(doc_id, band, band_hash) LSH band rows of a batch. The band key
+    mixes the band's r signature values into one int64 with a
+    splitmix-style multiply-xor fold — process-stable (builtin ``hash()``
+    is salted per process and would silently kill all LSH collisions);
+    accidental band-hash collisions only ADD candidates for the exact
+    verify to drop."""
+    doc_idx, sigs = _minhash_signatures(b["text"], k)
+    did = pc.cast(b["doc_id"], pa.int64()).combine_chunks().to_numpy()
+    n = len(doc_idx)
+    bands3d = sigs.reshape(n, MINHASH_BANDS, MINHASH_ROWS).astype(np.uint64)
+    mix = np.uint64(0x9E3779B97F4A7C15)
+    acc = np.zeros((n, MINHASH_BANDS), dtype=np.uint64)
+    for r in range(MINHASH_ROWS):
+        acc ^= (bands3d[:, :, r] + mix) * np.uint64(0xBF58476D1CE4E5B9)
+        acc ^= acc >> np.uint64(29)
+        acc *= np.uint64(0x94D049BB133111EB)
+    return pa.table({
+        "doc_id": pa.array(np.repeat(did[doc_idx], MINHASH_BANDS)),
+        "band": pa.array(
+            np.tile(np.arange(MINHASH_BANDS, dtype=np.int32), n)),
+        "band_hash": pa.array(acc.reshape(-1).view(np.int64))})
+
+
 def minhash_lsh_pairs(docs: ray.data.Dataset, threshold: float = 0.5,
                       k: int = SHINGLE_K,
                       num_partitions: int = 16) -> ray.data.Dataset:
@@ -562,35 +740,25 @@ def minhash_lsh_pairs(docs: ray.data.Dataset, threshold: float = 0.5,
     stage only prunes candidates; survivors are verified exactly against the
     documents joined back by id).
     """
-    def band_rows(b: pa.Table) -> pa.Table:
-        doc_idx, sigs = _minhash_signatures(b["text"], k)
-        did = pc.cast(b["doc_id"], pa.int64()).combine_chunks().to_numpy()
-        n = len(doc_idx)
-        # process-stable band key: mix the r signature values of each band
-        # into one int64 (builtin hash() is salted per process and would
-        # silently kill all LSH collisions). Signature values are < 2^61;
-        # a splitmix-style multiply-xor fold keeps accidental band
-        # collisions (which only ADD candidates) negligible.
-        bands3d = sigs.reshape(n, MINHASH_BANDS, MINHASH_ROWS).astype(np.uint64)
-        mix = np.uint64(0x9E3779B97F4A7C15)
-        acc = np.zeros((n, MINHASH_BANDS), dtype=np.uint64)
-        for r in range(MINHASH_ROWS):
-            acc ^= (bands3d[:, :, r] + mix) * np.uint64(0xBF58476D1CE4E5B9)
-            acc ^= acc >> np.uint64(29)
-            acc *= np.uint64(0x94D049BB133111EB)
-        return pa.table({
-            "doc_id": pa.array(np.repeat(did[doc_idx], MINHASH_BANDS)),
-            "band": pa.array(
-                np.tile(np.arange(MINHASH_BANDS, dtype=np.int32), n)),
-            "band_hash": pa.array(acc.reshape(-1).view(np.int64))})
-
     from ..functions.grouped import pairs_within_groups
     candidates = pairs_within_groups(
-        docs.map_batches(band_rows, batch_format="pyarrow",
-                         zero_copy_batch=True),
+        docs.map_batches(lambda b: minhash_band_rows(b, k),
+                         batch_format="pyarrow", zero_copy_batch=True),
         ["band", "band_hash"], "doc_id", count_col="n_bands",
         num_partitions=num_partitions)
+    return verify_candidate_pairs(candidates, docs, k=k,
+                                  threshold=threshold,
+                                  num_partitions=num_partitions)
 
+
+def verify_candidate_pairs(candidates: ray.data.Dataset,
+                           docs: ray.data.Dataset, k: int = SHINGLE_K,
+                           threshold: float = 0.5,
+                           num_partitions: int = 16) -> ray.data.Dataset:
+    """Exact-Jaccard verification of a candidate-pair Dataset against the
+    documents joined back by id — the shared tail of every LSH-candidate
+    engine (:func:`minhash_lsh_pairs`, :func:`incremental_minhash_dedup`).
+    Returns (doc_a, doc_b, jaccard >= threshold) sorted."""
     from ..functions.joins import (attach_column, broadcast_semi_filter,
                                    distinct_int_keys)
     i64, s = pa.int64(), pa.string()
