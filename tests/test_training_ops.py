@@ -107,6 +107,56 @@ def test_minhash_cogroup_verify_beyond_broadcast(ray_session, monkeypatch):
     assert cogroup.equals(exact)
 
 
+def test_real_wav_and_ppm_decode():
+    """The media_codecs decoders do REAL byte-level work: a WAV round-trip
+    through the stdlib writer/reader recovers the exact samples, features
+    match a direct numpy computation, corrupted payloads raise; the PPM
+    path parses a real P6 header and the 2x box average is exact."""
+    import io
+    import wave as _wave
+
+    import pytest
+
+    from the_yelp_collaborative_knowledge_graph_ray.stages import (
+        media_codecs as mc,
+    )
+
+    # WAV: handcrafted payload -> decoder recovers exact samples
+    x = mc._saw_samples(7)
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(mc.WAV_SR)
+        w.writeframes(x.tobytes())
+    out = mc.WavFeatureExtractor()(pa.table({
+        "media_id": pa.array([7], pa.int64()),
+        "payload": pa.array([buf.getvalue()], pa.large_binary())}))
+    xi = x.astype(np.int64)
+    assert out["n_samples"][0].as_py() == len(x)
+    assert out["sum_abs"][0].as_py() == int(np.abs(xi).sum())
+    assert out["sum_sq"][0].as_py() == int((xi * xi).sum())
+    assert out["zero_crossings"][0].as_py() == int(
+        np.count_nonzero((x[1:] < 0) != (x[:-1] < 0)))
+    with pytest.raises(Exception):  # corrupted container must raise
+        mc.WavFeatureExtractor()(pa.table({
+            "media_id": pa.array([1], pa.int64()),
+            "payload": pa.array([b"RIFFgarbage"], pa.large_binary())}))
+
+    # PPM: real header parse + exact integer box average
+    img = mc._ppm_pixels(3).astype(np.int64)
+    payload = (f"P6\n{mc.PPM_W} {mc.PPM_H}\n255\n".encode()
+               + mc._ppm_pixels(3).tobytes())
+    o = mc.PpmResizeFeatures()(pa.table({
+        "media_id": pa.array([3], pa.int64()),
+        "payload": pa.array([payload], pa.large_binary())}))
+    small = (img[0::2, 0::2] + img[1::2, 0::2]
+             + img[0::2, 1::2] + img[1::2, 1::2]) // 4
+    assert o["out_w"][0].as_py() == mc.PPM_W // 2
+    assert [o[c][0].as_py() for c in ("sum_r", "sum_g", "sum_b")] \
+        == [int(small[:, :, i].sum()) for i in range(3)]
+
+
 def test_incremental_dedup_cross_snapshot_and_index_update(ray_session,
                                                            tmp_path):
     """Cross-snapshot exact dedup against the committed digest index:
