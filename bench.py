@@ -72,6 +72,16 @@ def _init_ray(num_cpus: int) -> None:
                  include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
+    # Ray Data's per-operator resource reservation (reserves 50% of the
+    # budget per operator pair) throttles multi-branch union pipelines to
+    # a fraction of the cluster on this box: the flagship's fused
+    # extract→union→dedup+encode job ran ~1 task at a time, 25 s wall for
+    # ~130 CPU-s of work on 16 CPUs. Disabling it (measured, bench800)
+    # cut that phase 25 s → 11.4 s with identical output. The memory
+    # budgeting it provides matters when the working set presses the
+    # object store — here the store is sized to 60% of RAM (above) and
+    # every stage streams, so admission control is pure idle time.
+    DataContext.get_current().op_resource_reservation_enabled = False
 
 
 def _consume(res) -> int:

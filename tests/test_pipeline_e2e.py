@@ -202,6 +202,58 @@ def test_run_kg_partitioned_equals_run_kg(ray_session, sf_tiny, tmp_path):
     assert a.equals(b)
 
 
+def test_partitioned_task_sort_equals_distributed_fallback(
+        ray_session, sf_tiny, tmp_path):
+    """The per-range single-task Arrow sort (external-sort reduce, the
+    default) and the distributed Ray-sort fallback (forced via
+    ``task_sort_max_bytes=0`` — the path a skewed over-sized bucket takes)
+    must produce identical committed artifacts."""
+    import ray.data
+
+    from the_yelp_collaborative_knowledge_graph_ray import config as C
+    from the_yelp_collaborative_knowledge_graph_ray.fixtures import generator
+    from the_yelp_collaborative_knowledge_graph_ray.pipelines.kg import (
+        read_transcripts,
+    )
+    from the_yelp_collaborative_knowledge_graph_ray.stages import (
+        extract,
+        materialize,
+    )
+    from the_yelp_collaborative_knowledge_graph_ray.state.checkpoint import (
+        CheckpointedRun,
+    )
+
+    fdir = generator.ensure_fixtures("sf0.001")
+    tri = extract.structural_triples(read_transcripts(fdir)).materialize()
+    outs = []
+    for name, cap in (("fast", 512 << 20), ("fallback", 0)):
+        ds = materialize.materialize_partitioned(
+            tri, CheckpointedRun(str(tmp_path / name)), stage="final",
+            known_combos=C.KNOWN_COMBOS, n_buckets=4,
+            task_sort_max_bytes=cap)
+        outs.append(ds.to_pandas().sort_values(
+            ["subj", "pred", "obj"]).reset_index(drop=True))
+    assert outs[0].equals(outs[1])
+    assert len(outs[0]) > 0
+
+
+def test_streaming_encode_first_final_equals_monolithic(
+        ray_session, sf_tiny, tmp_path):
+    """``run_kg(final_ckpt_dir=...)`` — the streaming build with the
+    encode-first range-bucketed final (the bench800 memory-boundary path)
+    — must equal the monolithic ``run_kg`` row-for-row."""
+    cols = ["subj", "pred", "obj", "obj_is_literal", "obj_datatype"]
+
+    def canon(df):
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    a = canon(run_kg("sf0.001").to_pandas())
+    b = canon(run_kg("sf0.001",
+                     final_ckpt_dir=str(tmp_path / "ckef"),
+                     n_buckets=8).to_pandas())
+    assert a.equals(b)
+
+
 def test_incremental_merge_equals_full_rebuild(ray_session):
     """Delta-ingestion invariance: build the KG on two disjoint
     conversation subsets, merge with the materializer (union + ONE global

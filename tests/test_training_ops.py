@@ -157,6 +157,34 @@ def test_real_wav_and_ppm_decode():
         == [int(small[:, :, i].sum()) for i in range(3)]
 
 
+def test_text_bucket_lru_reads_each_bucket_once(tmp_path):
+    """The worker-level text-bucket LRU reads a committed bucket from
+    storage ONCE per worker however many id batches probe it, and
+    invalidates itself when the layout gains part files (append)."""
+    import pyarrow.parquet as pq2
+
+    from the_yelp_collaborative_knowledge_graph_ray.stages import dedup as D
+
+    d = tmp_path / "bucket=0"
+    d.mkdir()
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["a", "b"], pa.string())})
+    pq2.write_table(t, str(d / "part-0.parquet"))
+    D._TEXT_BUCKET_CACHE.clear()
+    D._TEXT_BUCKET_READS.clear()
+    for _ in range(5):
+        got = D._cached_text_bucket(str(d))
+    assert D._TEXT_BUCKET_READS[str(d)] == 1
+    assert got.num_rows == 2
+    # append a part file -> the (dir, files) key changes -> one fresh read
+    pq2.write_table(pa.table({"doc_id": pa.array([3], pa.int64()),
+                              "text": pa.array(["c"], pa.string())}),
+                    str(d / "part-1.parquet"))
+    got2 = D._cached_text_bucket(str(d))
+    assert D._TEXT_BUCKET_READS[str(d)] == 2
+    assert got2.num_rows == 3
+
+
 def test_incremental_dedup_cross_snapshot_and_index_update(ray_session,
                                                            tmp_path):
     """Cross-snapshot exact dedup against the committed digest index:
@@ -781,6 +809,33 @@ def test_pagerank_matches_sequential_reference(ray_session):
     assert got == {n: int(rank[idx[n]]) for n in nodes}
     # the hub (in-degree 3) must outrank everything else
     assert got["hub"] == max(got.values())
+
+
+def test_pagerank_join_path_equals_broadcast_path(ray_session, monkeypatch):
+    """The above-cap join path (forced via BROADCAST_NODES_MAX=0) must be
+    bit-equal to the broadcast BSP fast path — same floor arithmetic, only
+    the execution plan differs. Covers eigenvector centrality too."""
+    from the_yelp_collaborative_knowledge_graph_ray.functions import (
+        pagerank as pr,
+    )
+
+    rng = __import__("numpy").random.default_rng(7)
+    src = [f"n{int(i)}" for i in rng.integers(0, 40, 200)]
+    dst = [f"n{int(i)}" for i in rng.integers(0, 40, 200)]
+    pairs = sorted({(s, d) for s, d in zip(src, dst) if s != d})
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([p[0] for p in pairs]),
+        "dst": pa.array([p[1] for p in pairs])}))
+    fast = pr.pagerank(ds, iters=4, num_partitions=2).to_pandas()
+    fast_e = pr.eigenvector_centrality(ds, iters=3,
+                                       num_partitions=2).to_pandas()
+    monkeypatch.setattr(pr, "BROADCAST_NODES_MAX", 0)
+    join = pr.pagerank(ds, iters=4, num_partitions=2).to_pandas()
+    join_e = pr.eigenvector_centrality(ds, iters=3,
+                                       num_partitions=2).to_pandas()
+    k = lambda df: df.sort_values("node").reset_index(drop=True)  # noqa
+    assert k(fast).equals(k(join))
+    assert k(fast_e).equals(k(join_e))
 
 
 def test_semantic_dedup_matches_sequential_reference(ray_session):

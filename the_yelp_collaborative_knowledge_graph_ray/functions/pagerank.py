@@ -83,6 +83,14 @@ class _EdgeShard:
             return self.du, self.du
         return self.du, np.add.reduceat(q[self.sid_perm], self.starts)
 
+    def out_degrees(self):
+        """Sparse (source id, out-degree) of THIS shard's edges — folded
+        densely on the driver, so the out-degree table costs one actor
+        round instead of a count-groupby shuffle."""
+        if not len(self.du):
+            return self.du, self.du
+        return np.unique(self.sid_perm, return_counts=True)
+
 
 def _distinct(ds: ray.data.Dataset, keys: list[str],
               num_partitions: int) -> ray.data.Dataset:
@@ -121,6 +129,43 @@ def _encode_edges(edges: ray.data.Dataset, num_partitions: int
                                  batch_format="pyarrow",
                                  zero_copy_batch=True).materialize())
     return eint, ids
+
+
+def _encode_edges_broadcast(edges: ray.data.Dataset
+                            ) -> tuple[ray.data.Dataset, pa.Array | None]:
+    """Broadcast node-id encode for graphs under ``BROADCAST_NODES_MAX``:
+    distinct node strings fold WORKER-SIDE (``joins.distinct_str_keys`` —
+    no groupby shuffle), the sorted node array broadcasts once via
+    ``ray.put``, and ONE stateless map rewrites edges to dense int ids
+    with ``pc.index_in`` (hash probe in C++). Replaces the generic
+    ``_encode_edges`` plan — a distinct groupby + zip_with_index + TWO
+    string-key co-group joins — with zero shuffles. nid = rank in the
+    sorted node array, so driver-side results are ALREADY in final node
+    order and need no closing sort.
+
+    Returns ``(eint, nodes_sorted)``; on cap overflow returns
+    ``(edges_materialized, None)`` so the caller falls back to the join
+    path without recomputing the edge Dataset."""
+    from .joins import distinct_str_keys
+    edges = _sever(edges.materialize())
+    nodes = distinct_str_keys(edges, ["src", "dst"])
+    if len(nodes) > BROADCAST_NODES_MAX:
+        return edges, None
+    nref = ray.put(nodes)
+
+    def intify(b: pa.Table) -> pa.Table:
+        ns = ray.get(nref)
+        sid = pc.index_in(b["src"], value_set=ns)
+        did = pc.index_in(b["dst"], value_set=ns)
+        if sid.null_count or did.null_count:
+            raise ValueError("edge endpoint missing from the folded node "
+                             "set (non-deterministic upstream recompute?)")
+        return pa.table({"sid": pc.cast(sid, pa.int64()),
+                         "did": pc.cast(did, pa.int64())})
+
+    eint = _sever(edges.map_batches(intify, batch_format="pyarrow",
+                                    zero_copy_batch=True).materialize())
+    return eint, nodes
 
 
 def _edge_shards(eint: ray.data.Dataset, max_shards: int = 32) -> list:
@@ -164,14 +209,14 @@ def eigenvector_centrality(edges: ray.data.Dataset, iters: int = 3,
     it. Returns (node, score) sorted by node."""
     from .joins import attach_column
     i64 = pa.int64()
-    eint, ids = _encode_edges(edges, num_partitions)
-    n_nodes = ids.count()
-    if n_nodes == 0:
-        return ray.data.from_arrow(pa.table(
-            {"node": pa.array([], pa.string()),
-             "score": pa.array([], i64)}))
-    if n_nodes <= BROADCAST_NODES_MAX:
-        shards = _edge_shards(eint)
+    maybe_eint, nodes = _encode_edges_broadcast(edges)
+    if nodes is not None:
+        n_nodes = len(nodes)
+        if n_nodes == 0:
+            return ray.data.from_arrow(pa.table(
+                {"node": pa.array([], pa.string()),
+                 "score": pa.array([], i64)}))
+        shards = _edge_shards(maybe_eint)
         x = np.full(n_nodes, EIG_SCALE, np.int64)
         for _ in range(iters):
             s = _fold_contribs(shards, x, n_nodes)
@@ -179,41 +224,40 @@ def eigenvector_centrality(edges: ray.data.Dataset, iters: int = 3,
             x = (EIG_SCALE * s // m if m > 0
                  else np.zeros(n_nodes, np.int64))
         del shards
-        xt = ray.data.from_arrow(pa.table({
-            "nid": pa.array(np.arange(n_nodes), i64),
-            "x": pa.array(x, i64)}))
-    else:
-        xt = _sever(ids.map_batches(
-            lambda b: pa.table({
-                "nid": b["nid"],
-                "x": pa.array(np.full(b.num_rows, EIG_SCALE, np.int64))}),
-            batch_format="pyarrow").materialize())
-        for _ in range(iters):
-            prop = attach_column(eint, xt,
-                                 [("sid", i64), ("did", i64)],
-                                 "sid", "nid", "x", "q", i64,
-                                 num_partitions)
-            contrib = prop.map_batches(
-                lambda b: pa.table({"nid": b["did"], "c": b["q"]}),
-                batch_format="pyarrow", zero_copy_batch=True)
-            zeros = xt.map_batches(
-                lambda b: pa.table({"nid": b["nid"], "c": pa.array(
-                    np.zeros(b.num_rows, np.int64))}),
-                batch_format="pyarrow", zero_copy_batch=True)
-            sums = _sever(sorted_aggregate(
-                contrib.union(zeros), ["nid"], [("c", "sum")],
-                ["nid", "s"], num_partitions).materialize())
-            m = int(sums.max("s") or 0)
+        return ray.data.from_arrow(pa.table(
+            {"node": nodes, "score": pa.array(x, i64)}))
+    eint, ids = _encode_edges(maybe_eint, num_partitions)
+    xt = _sever(ids.map_batches(
+        lambda b: pa.table({
+            "nid": b["nid"],
+            "x": pa.array(np.full(b.num_rows, EIG_SCALE, np.int64))}),
+        batch_format="pyarrow").materialize())
+    for _ in range(iters):
+        prop = attach_column(eint, xt,
+                             [("sid", i64), ("did", i64)],
+                             "sid", "nid", "x", "q", i64,
+                             num_partitions)
+        contrib = prop.map_batches(
+            lambda b: pa.table({"nid": b["did"], "c": b["q"]}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        zeros = xt.map_batches(
+            lambda b: pa.table({"nid": b["nid"], "c": pa.array(
+                np.zeros(b.num_rows, np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        sums = _sever(sorted_aggregate(
+            contrib.union(zeros), ["nid"], [("c", "sum")],
+            ["nid", "s"], num_partitions).materialize())
+        m = int(sums.max("s") or 0)
 
-            def rescale(b: pa.Table, m: int = m) -> pa.Table:
-                s = b["s"].to_numpy()
-                x = (EIG_SCALE * s // m if m > 0
-                     else np.zeros(len(s), np.int64))
-                return pa.table({"nid": b["nid"],
-                                 "x": pa.array(x, i64)})
+        def rescale(b: pa.Table, m: int = m) -> pa.Table:
+            s = b["s"].to_numpy()
+            x = (EIG_SCALE * s // m if m > 0
+                 else np.zeros(len(s), np.int64))
+            return pa.table({"nid": b["nid"],
+                             "x": pa.array(x, i64)})
 
-            xt = _sever(sums.map_batches(
-                rescale, batch_format="pyarrow").materialize())
+        xt = _sever(sums.map_batches(
+            rescale, batch_format="pyarrow").materialize())
     out = attach_column(xt, ids, [("nid", i64), ("x", i64)],
                         "nid", "nid", "node", "node", pa.string(),
                         num_partitions)
@@ -249,7 +293,40 @@ def pagerank(edges: ray.data.Dataset, iters: int = 5,
     out-degree rides inside the rank table (0 for dangling; it survives
     the sum-aggregate as a max column on the per-node zero rows)."""
     from .joins import attach_column
-    eint, ids = _encode_edges(edges, num_partitions)
+
+    # Broadcast fast path (graphs under BROADCAST_NODES_MAX): zero-shuffle
+    # node-id encode, out-degrees folded from the pinned edge shards, node
+    # state driver-resident, one broadcast + K sparse partials per round.
+    # Identical floor arithmetic to the join path -> bit-equal ranks; the
+    # output is already in sorted node order (nid = rank in the sorted
+    # node array), so no closing sort job either.
+    maybe_eint, nodes = _encode_edges_broadcast(edges)
+    if nodes is not None:
+        n_nodes = len(nodes)
+        if n_nodes == 0:
+            return ray.data.from_arrow(pa.table(
+                {"node": pa.array([], pa.string()),
+                 "rank": pa.array([], pa.int64())}))
+        shards = _edge_shards(maybe_eint)
+        outdeg_arr = np.zeros(n_nodes, np.int64)
+        for u, c in ray.get([sh.out_degrees.remote() for sh in shards]):
+            outdeg_arr[u] += c
+        sd_arr = np.ones(n_nodes, np.int64) if seed_filter is None else \
+            seed_filter(nodes).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        rank_arr = sd_arr * SCALE
+        src_mask = outdeg_arr > 0
+        safe_deg = np.maximum(outdeg_arr, 1)
+        for _ in range(iters):
+            q = np.where(src_mask, rank_arr // safe_deg, 0)
+            s = _fold_contribs(shards, q, n_nodes)
+            rank_arr = sd_arr * BASE + 85 * (s // 100) \
+                + (85 * (s % 100)) // 100
+        del shards
+        return ray.data.from_arrow(pa.table(
+            {"node": nodes, "rank": pa.array(rank_arr, pa.int64())}))
+
+    eint, ids = _encode_edges(maybe_eint, num_partitions)
 
     # static out-degree folded INTO the rank table (0 for dangling nodes),
     # so each round is ONE edge co-group + ONE aggregate — no node-sized
@@ -289,40 +366,6 @@ def pagerank(edges: ray.data.Dataset, iters: int = 5,
             + (85 * (s % 100)) // 100
         return pa.table({"nid": b["nid"], "outdeg": b["outdeg"],
                          "sd": b["sd"], "rank": pa.array(r, pa.int64())})
-
-    n_nodes = ranks.count()
-    if 0 < n_nodes <= BROADCAST_NODES_MAX:
-        # BSP fast path: node state lives on the driver (it IS the small
-        # side at this size), edges stay pinned in _EdgeShard actors, each
-        # round = ONE broadcast q + K sparse partial sums folded densely.
-        # Identical floor arithmetic to the join path -> bit-equal ranks.
-        rt = ranks.to_pandas()
-        nid = rt["nid"].to_numpy()
-        outdeg_arr = np.zeros(n_nodes, np.int64)
-        outdeg_arr[nid] = rt["outdeg"].to_numpy()
-        sd_arr = np.zeros(n_nodes, np.int64)
-        sd_arr[nid] = rt["sd"].to_numpy()
-        rank_arr = sd_arr * SCALE
-
-        shards = _edge_shards(eint)
-        src_mask = outdeg_arr > 0
-        safe_deg = np.maximum(outdeg_arr, 1)
-        for _ in range(iters):
-            q = np.where(src_mask, rank_arr // safe_deg, 0)
-            s = _fold_contribs(shards, q, n_nodes)
-            rank_arr = sd_arr * BASE + 85 * (s // 100) \
-                + (85 * (s % 100)) // 100
-        del shards
-        ranks = ray.data.from_arrow(pa.table({
-            "nid": pa.array(np.arange(n_nodes), pa.int64()),
-            "rank": pa.array(rank_arr, pa.int64())}))
-        out = attach_column(ranks, ids,
-                            [("nid", pa.int64()), ("rank", pa.int64())],
-                            "nid", "nid", "node", "node", pa.string(),
-                            num_partitions)
-        return out.map_batches(lambda b: b.select(["node", "rank"]),
-                               batch_format="pyarrow",
-                               zero_copy_batch=True).sort("node")
 
     for _ in range(iters):
         # per-source contribution: a plain map over the rank table

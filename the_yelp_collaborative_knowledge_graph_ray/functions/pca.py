@@ -74,31 +74,55 @@ def covariance_long(emb: ray.data.Dataset, vec_col: str = "embedding",
 
 def pca_top_component(emb: ray.data.Dataset,
                       vec_col: str = "embedding",
-                      iters: int = 60) -> pa.Table:
+                      iters: int = 40) -> pa.Table:
     """(dim, component_fp, eigenvalue_share_fp): top eigenvector of the
-    exact covariance (power iteration on the driver), components in 2^20
-    fixed point, sign fixed so the largest-|component| entry is
-    positive."""
+    exact integer covariance via an EXACT-INTEGER power iteration, so the
+    result is hash-comparable to a DuckDB unrolled-CTE twin
+    (``queries._pca_sql`` — round-4; the float/L2 iteration it replaces
+    was rows-only):
+
+    * Cq = floor(cov_n2 · 2^20 / max|cov_n2|) — one shared scaling so the
+      per-step products fit int64 on both engines (Python ints here,
+      HUGEINT intermediates in SQL);
+    * v₀ = 2^20 (the all-ones direction), then ``iters`` rounds of
+      w = Cq·v; v = floor(w · 2^20 / max|w|) — max-normalization instead
+      of L2 (no sqrt, floor-exact; same trick as eigenvector_centrality);
+    * sign fixed so the largest-|component| entry (ties: lowest dim) is
+      positive; eigenvalue share = floor(10^6 · vᵀCv / (tr(C) · vᵀv)).
+
+    Components are max-normalized 2^20 fixed point (largest |entry| =
+    2^20) — direction identical to the L2-normalized eigenvector, so the
+    ``tests/test_pca.py`` cosine check vs ``numpy.linalg.eigh`` is
+    unaffected (cosine is scale-invariant). All driver arithmetic uses
+    Python ints (arbitrary precision — vᵀCv overflows int64 by design);
+    the O(corpus) work stays in the one covariance scan."""
     longf = covariance_long(emb, vec_col).to_pandas()
     d = int(longf["i"].max()) + 1 if len(longf) else 0
-    C = np.zeros((d, d), np.float64)
-    for a, b, v in zip(longf["i"], longf["j"], longf["cov_n2"]):
-        C[int(a), int(b)] = C[int(b), int(a)] = float(v)
-    v = np.ones(d) / np.sqrt(max(d, 1))
-    for _ in range(iters):
-        w = C @ v
-        nrm = np.linalg.norm(w)
-        if nrm == 0:
-            break
-        v = w / nrm
-    k = int(np.argmax(np.abs(v)))
-    if v[k] < 0:
-        v = -v
-    lam = float(v @ C @ v)
-    tr = float(np.trace(C))
-    share = lam / tr if tr > 0 else 0.0
+    C = [[0] * d for _ in range(d)]
+    for a, b, x in zip(longf["i"], longf["j"], longf["cov_n2"]):
+        C[int(a)][int(b)] = C[int(b)][int(a)] = int(x)
+    m = max((abs(C[a][b]) for a in range(d) for b in range(d)), default=0)
+    if m == 0:
+        v = [0] * d
+    else:
+        Cq = [[(C[a][b] * FP) // m for b in range(d)] for a in range(d)]
+        v = [FP] * d
+        for _ in range(iters):
+            w = [sum(Cq[a][b] * v[b] for b in range(d)) for a in range(d)]
+            mw = max(abs(x) for x in w)
+            if mw == 0:
+                v = [0] * d
+                break
+            v = [(x * FP) // mw for x in w]
+    k = max(range(d), key=lambda a: (abs(v[a]), -a), default=0)
+    if d and v[k] < 0:
+        v = [-x for x in v]
+    lam_num = sum(v[a] * C[a][b] * v[b] for a in range(d) for b in range(d))
+    tr = sum(C[a][a] for a in range(d))
+    vtv = sum(x * x for x in v)
+    share_fp = (10**6 * lam_num) // (tr * vtv) if tr > 0 and vtv > 0 else 0
     return pa.table({
         "dim": pa.array(np.arange(d, dtype=np.int64)),
-        "component_fp": pa.array(np.round(v * FP).astype(np.int64)),
+        "component_fp": pa.array(v, pa.int64()),
         "eigenvalue_share_fp": pa.array(
-            np.full(d, int(round(share * 10**6)), np.int64))})
+            np.full(d, share_fp, np.int64))})

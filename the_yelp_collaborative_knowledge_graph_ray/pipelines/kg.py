@@ -66,9 +66,9 @@ def build_graph(transcripts: ray.data.Dataset, fixture_dir: str,
     materialize (``materialize.materialize_partitioned``) with its
     checkpoint under that dir — the memory-boundary scale path for corpora
     whose encoded sort payload presses the per-node object store (BASELINE
-    "bench800"). The pre-materialize stages are then all materialized
-    (the partitioned final reads its input twice: boundary-sample pass +
-    spill pass), so fan-in parts come from the object store, not a rerun."""
+    "bench800"). With ``encode_first`` the union streams ONCE through
+    dedup+encode, so upstream stages stay lazy exactly as in the
+    monolithic path."""
     if concurrency is None:
         # autoscaling actor pools sized to the cluster (1 CPU per actor)
         concurrency = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
@@ -96,11 +96,11 @@ def build_graph(transcripts: ray.data.Dataset, fixture_dir: str,
 
     structural = _stage("structural",
                         lambda: extract.structural_triples(transcripts),
-                        fan_out=two_pass_final)
+                        fan_out=False)
     raw_mentions = _stage("mentions",
                           lambda: mentions.mention_triples(
                               transcripts, vocab, concurrency=concurrency),
-                          fan_out=two_pass_final)
+                          fan_out=False)
     canon_mentions = _stage("canonical_mentions",
                             lambda: canon.canonicalize_mentions(
                                 raw_mentions, cmap, concurrency=concurrency),
@@ -132,15 +132,17 @@ def build_graph(transcripts: ray.data.Dataset, fixture_dir: str,
         all_triples = all_triples.union(p)
     from .. import config as C
     if two_pass_final:
-        # enrichment part is lazy above; materialize so the two final
-        # passes read it from the store rather than recomputing. Range
-        # sorts run 4 at a time — they are small (corpus/n_buckets rows)
-        # and the per-job startup tail otherwise serializes n_buckets x.
-        all_triples = all_triples.materialize()
+        # encode_first: the union streams ONCE through dedup+encode and
+        # only the compact ENCODED corpus is materialized for the plan and
+        # spill passes — materializing the raw full-IRI triples here
+        # pushed 2-4x the bytes through the shared object store (the
+        # bench800 plasma ceiling). Range sorts are single remote tasks
+        # (corpus/n_buckets rows each), so run 8 concurrently — the commit
+        # threads are light and the tasks schedule like any other work.
         return materialize.materialize_partitioned(
             all_triples, CheckpointedRun(final_ckpt_dir), stage="final",
-            known_combos=C.KNOWN_COMBOS, bundle_rows=1_048_576,
-            n_buckets=n_buckets, concurrent_ranges=4)
+            known_combos=C.KNOWN_COMBOS, bundle_rows=None,
+            n_buckets=n_buckets, concurrent_ranges=8, encode_first=True)
     final = _stage("final", lambda: materialize.materialize(
         all_triples, known_combos=C.KNOWN_COMBOS, bundle_rows=1_048_576),
         upstream=["structural", "canonical_mentions", "links"])

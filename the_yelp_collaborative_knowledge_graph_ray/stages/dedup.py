@@ -110,8 +110,11 @@ def exact_dedup(docs: ray.data.Dataset,
 # digest index (SMB layout, functions/bucketed.py); each new delta drop
 # dedupes against all of history by joining ONLY its matching buckets —
 # history is never rescanned, and the index update is an append of the
-# delta's novel keepers into the same bucket dirs (Hive layout appends are
-# new uniquely-named part files, so the update is retry-safe).
+# delta's novel keepers into the same bucket dirs via
+# functions.bucketed.append_bucketed — staged in a tmp dir and renamed in
+# as complete part files, so the update is retry-safe against BOTH
+# duplicate appends (readers key on content digests) and crashes
+# mid-write (a truncated parquet never lands in the live layout).
 
 
 def _md5_with_key(texts: list[str]) -> tuple[pa.Array, np.ndarray]:
@@ -262,7 +265,8 @@ def incremental_exact_dedup(delta: ray.data.Dataset, index_dir: str,
                                       file_extensions=["parquet"]),
                 "doc_id",
                 keep_ids).map_batches(to_index, batch_format="pyarrow")
-            write_bucketed(keepers, "h", index_dir, n_buckets)
+            from ..functions.bucketed import append_bucketed
+            append_bucketed(keepers, "h", index_dir)
     return out
 
 
@@ -308,6 +312,35 @@ def build_minhash_index(history: ray.data.Dataset, index_dir: str,
                                        zero_copy_batch=True),
                    "doc_id", _os.path.join(index_dir, "texts"), n_buckets)
     return index_dir
+
+
+# worker-process-level LRU over committed text-bucket reads (the verify
+# side of the incremental near-dup engine): each wanted-id batch probes a
+# handful of buckets, and a HOT bucket (wanted by many batches) would be
+# re-read from storage every time. Keyed by (dir, sorted part-file list) so
+# an appended/rewritten layout is never served stale. ``_TEXT_BUCKET_READS``
+# counts actual storage reads per dir — the test hook asserting reads stay
+# <= #buckets per worker.
+_TEXT_BUCKET_CACHE: dict = {}
+_TEXT_BUCKET_CACHE_MAX = 4
+_TEXT_BUCKET_READS: dict = {}
+
+
+def _cached_text_bucket(d: str) -> pa.Table:
+    import os as _os
+
+    import pyarrow.parquet as _pq
+    files = tuple(sorted(f for f in _os.listdir(d)
+                         if f.endswith(".parquet")))
+    key = (d, files)
+    t = _TEXT_BUCKET_CACHE.get(key)
+    if t is None:
+        if len(_TEXT_BUCKET_CACHE) >= _TEXT_BUCKET_CACHE_MAX:
+            _TEXT_BUCKET_CACHE.pop(next(iter(_TEXT_BUCKET_CACHE)))
+        t = _pq.read_table(d, columns=["doc_id", "text"])
+        _TEXT_BUCKET_CACHE[key] = t
+        _TEXT_BUCKET_READS[d] = _TEXT_BUCKET_READS.get(d, 0) + 1
+    return t
 
 
 def incremental_minhash_dedup(delta: ray.data.Dataset, index_dir: str,
@@ -398,8 +431,14 @@ def incremental_minhash_dedup(delta: ray.data.Dataset, index_dir: str,
                                        n_buckets).to_numpy()):
             d = _os.path.join(tdir, f"bucket={int(bkt)}")
             if not _os.path.isdir(d):
+                # legal: hive writes create no dir for an empty bucket.
+                # A genuinely missing history doc (corrupt layout) fails
+                # loudly downstream — verify_candidate_pairs checks every
+                # candidate id against the assembled corpus before gather.
                 continue
-            t = _pq.read_table(d, columns=["doc_id", "text"])
+            # worker-level LRU: a hot committed bucket wanted by many id
+            # batches is read from disk once per worker, not once per batch
+            t = _cached_text_bucket(d)
             ids = t["doc_id"].to_numpy(zero_copy_only=False)
             out.append(t.filter(pa.array(np.isin(ids, want))))
         return (pa.concat_tables(out) if out
@@ -807,7 +846,22 @@ def verify_candidate_pairs(candidates: ray.data.Dataset,
             db = b["doc_b"].to_numpy(zero_copy_only=False)
             # shingle each distinct doc of THIS batch once
             ub = np.unique(np.concatenate([da, db]))
-            utexts = txt.take(pa.array(np.searchsorted(ids, ub)))
+            pos = np.searchsorted(ids, ub)
+            # fail LOUDLY if a candidate id is absent from the corpus (a
+            # corrupted/partial texts layout): an unchecked gather here
+            # would silently verify against the WRONG text
+            if len(ids) == 0 or pos.max(initial=-1) >= len(ids) \
+                    or not np.array_equal(ids[np.minimum(pos, len(ids) - 1)],
+                                          ub):
+                missing = ub[(pos >= len(ids))] if len(ids) else ub
+                if len(ids):
+                    inb = pos < len(ids)
+                    missing = np.concatenate(
+                        [ub[~inb], ub[inb][ids[pos[inb]] != ub[inb]]])
+                raise ValueError(
+                    "verify_candidate_pairs: candidate doc ids missing "
+                    f"from the corpus (first 5: {missing[:5].tolist()})")
+            utexts = txt.take(pa.array(pos))
             return _verify_jaccard_vec(da, db, ub, utexts, k, threshold)
 
         return candidates.map_batches(verify_bcast, batch_format="pyarrow",

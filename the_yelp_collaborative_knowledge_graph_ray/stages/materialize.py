@@ -345,7 +345,9 @@ def materialize_partitioned(triples: ray.data.Dataset, ck, stage: str = "final",
                             n_buckets: int = 32, sample_stride: int = 64,
                             upstream: list[str] = (),
                             fail_hook=None,
-                            concurrent_ranges: int = 1) -> ray.data.Dataset:
+                            concurrent_ranges: int = 1,
+                            task_sort_max_bytes: int = 512 << 20,
+                            encode_first: bool = False) -> ray.data.Dataset:
     """:func:`materialize` with the ONE monolithic range sort split into
     ``n_buckets`` independent per-range sorts, each committing its own
     checkpoint partition (north_rule resume granularity for the FINAL stage,
@@ -365,9 +367,16 @@ def materialize_partitioned(triples: ray.data.Dataset, ck, stage: str = "final",
        own sort, which is what removes the single-sort memory wall
        (BASELINE.md "bench800").
     3. ``<stage>_ranges`` — ``partitioned_stage`` over the buckets: each
-       builds ``read(bucket) → sort → decode_dedup`` and commits its own
-       manifest. Death mid-sort resumes at the first incomplete RANGE;
-       completed ranges are read back, never re-sorted.
+       bucket whose spill bytes fit ``task_sort_max_bytes`` sorts in ONE
+       remote task (read spill runs → Arrow ``sort_by`` → decode_dedup —
+       the external-sort reduce; the spill pass was the only all-to-all),
+       else it falls back to a distributed ``read → sort → decode_dedup``
+       Ray sort job; either way the range commits its own manifest. Death
+       mid-sort resumes at the first incomplete RANGE; completed ranges
+       are read back, never re-sorted. Size ``n_buckets`` so a typical
+       bucket lands under ``task_sort_max_bytes`` (corpus_spill_bytes /
+       n_buckets) — that is the per-worker memory contract of the fast
+       path, and the fallback keeps oversized stragglers correct.
 
     Output equals :func:`materialize` row-for-row: the bucket key is a
     prefix of the encoded sort key (ties inseparable → identical rows land
@@ -390,6 +399,57 @@ def materialize_partitioned(triples: ray.data.Dataset, ck, stage: str = "final",
     import pyarrow.parquet as pqt
 
     need_combos = known_combos is None
+    if encode_first and need_combos:
+        raise ValueError("encode_first requires known_combos: the encoder "
+                         "vocabulary must exist before the single "
+                         "dedup+encode pass")
+
+    # encode_first: dedup + integer/prefix-encode the corpus ONCE, BEFORE
+    # the stage boundary, and materialize the ENCODED form — the plan and
+    # spill passes then read ~60 B/row instead of full-IRI strings
+    # (~150 B/row pre-dedup). This is the right shape when the input is a
+    # COMPUTED stream (the flagship's union of extract/link stages): the
+    # alternative — materializing the raw triples so two passes can read
+    # them — pushes 2-4x the bytes through the shared object store, which
+    # is exactly the one-box plasma ceiling BASELINE.md's bench800 section
+    # documents. Leave False when the input is already disk-backed
+    # (checkpointed parquet): there the plan pass reads only the pruned
+    # subj column from storage and the spill pass streams, so nothing
+    # needs to sit in the object store at all.
+    enc_ds = None
+    if encode_first:
+        combos = [{"pred": p, "obj_is_literal": l, "obj_datatype": d}
+                  for p, l, d in known_combos]
+        pred_arr, lit_arr, dt_arr, ld_key_arr = _combo_tables(combos)
+        encode = _make_encode(pred_arr, ld_key_arr, True)
+        decode_dedup = _make_decode_dedup(pred_arr, lit_arr, dt_arr)
+        if not (ck.is_complete(stage + "_plan")
+                and ck.is_complete(stage + "_spill")):
+            # batch_size=None (per-block dedup), NOT bundle_rows: on a lazy
+            # computed chain a row-bundled batch fuses into the upstream
+            # read and serializes it (see materialize()'s bundle_rows
+            # note). The heavy duplicate classes are intra-conversation,
+            # so per-block dedup already collapses them; stragglers fall
+            # to the in-range neighbor dedup.
+            enc_ds = triples.map_batches(
+                local_dedup, batch_format="pyarrow",
+                zero_copy_batch=True) \
+                .map_batches(encode, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+
+    def sample_block_enc(b: pa.Table) -> pa.Table:
+        """Plan sampler over the ALREADY-ENCODED corpus (encode_first)."""
+        s = pa.schema([("kind", pa.string()), ("pred", pa.string()),
+                       ("lit", pa.bool_()), ("dt", pa.string()),
+                       ("skey", pa.string())])
+        idx = pa.array(np.arange(0, b.num_rows, sample_stride,
+                                 dtype=np.int64))
+        sk = _range_key(b["sb"].take(idx), b["subj"].take(idx))
+        n = len(sk)
+        return pa.table({
+            "kind": pa.array(["skey"] * n), "pred": pa.nulls(n, pa.string()),
+            "lit": pa.nulls(n, pa.bool_()), "dt": pa.nulls(n, pa.string()),
+            "skey": sk}, schema=s)
 
     def sample_block(b: pa.Table) -> pa.Table:
         parts = []
@@ -419,12 +479,21 @@ def materialize_partitioned(triples: ray.data.Dataset, ck, stage: str = "final",
             "skey": sk}, schema=s))
         return pa.concat_tables(parts)
 
-    sample_in = triples if need_combos else triples.select_columns(["subj"])
-    plan = ck.stage(stage + "_plan",
-                    lambda: sample_in.map_batches(
-                        sample_block, batch_format="pyarrow",
-                        zero_copy_batch=True),
-                    upstream=list(upstream))
+    if encode_first:
+        plan = ck.stage(stage + "_plan",
+                        lambda: enc_ds.select_columns(["sb", "subj"])
+                        .map_batches(sample_block_enc,
+                                     batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                        upstream=list(upstream))
+    else:
+        sample_in = (triples if need_combos
+                     else triples.select_columns(["subj"]))
+        plan = ck.stage(stage + "_plan",
+                        lambda: sample_in.map_batches(
+                            sample_block, batch_format="pyarrow",
+                            zero_copy_batch=True),
+                        upstream=list(upstream))
     rows = plan.take_all()
     skeys = sorted(r["skey"] for r in rows if r["kind"] == "skey")
     if known_combos is not None:
@@ -444,9 +513,11 @@ def materialize_partitioned(triples: ray.data.Dataset, ck, stage: str = "final",
         boundaries = []
     eff = len(boundaries) + 1
 
-    pred_arr, lit_arr, dt_arr, ld_key_arr = _combo_tables(combos)
-    encode = _make_encode(pred_arr, ld_key_arr, known_combos is not None)
-    decode_dedup = _make_decode_dedup(pred_arr, lit_arr, dt_arr)
+    if not encode_first:
+        pred_arr, lit_arr, dt_arr, ld_key_arr = _combo_tables(combos)
+        encode = _make_encode(pred_arr, ld_key_arr,
+                              known_combos is not None)
+        decode_dedup = _make_decode_dedup(pred_arr, lit_arr, dt_arr)
 
     def spill_writer(tmp: str) -> dict:
         for bk in range(eff):
@@ -481,11 +552,12 @@ def materialize_partitioned(triples: ray.data.Dataset, ck, stage: str = "final",
             return pa.table({"bucket": pa.array(out_b, pa.int32()),
                              "rows": pa.array(out_r, pa.int64())})
 
-        enc = triples.map_batches(local_dedup, batch_format="pyarrow",
-                                  batch_size=bundle_rows,
-                                  zero_copy_batch=True) \
-                     .map_batches(encode, batch_format="pyarrow",
-                                  zero_copy_batch=True)
+        enc = enc_ds if encode_first else \
+            triples.map_batches(local_dedup, batch_format="pyarrow",
+                                batch_size=bundle_rows,
+                                zero_copy_batch=True) \
+                   .map_batches(encode, batch_format="pyarrow",
+                                zero_copy_batch=True)
         summary = enc.map_batches(write_block, batch_format="pyarrow",
                                   zero_copy_batch=True).take_all()
         per = {}
@@ -501,6 +573,22 @@ def materialize_partitioned(triples: ray.data.Dataset, ck, stage: str = "final",
 
     part_keys = [f"{bk:05d}" for bk in range(eff)]
 
+    @ray.remote
+    def sort_bucket_task(file_list: list[str]) -> pa.Table:
+        # external-sort reduce: ONE vectorized Arrow pass per range. The
+        # spill pass already did the only all-to-all (range partitioning
+        # to disk), so sorting a bucket needs no second shuffle — read the
+        # bucket's spill runs, one C++ sort_by over the 6 encoded sort
+        # columns, then the shared neighbor-dedup + string restore. This
+        # replaces a per-range Ray *sort job* (driver-coordinated sample
+        # pass + map + merge stages), whose fixed overhead dominated small
+        # ranges and whose extra object-store exchange was the residual
+        # cost at the memory boundary (BASELINE.md "bench800").
+        t = pa.concat_tables(pqt.read_table(f) for f in file_list)
+        t = t.combine_chunks().sort_by(
+            [(c, "ascending") for c in ENC_SORT_COLS])
+        return decode_dedup(t)
+
     def build_bucket(pkey: str) -> ray.data.Dataset:
         if fail_hook is not None:
             fail_hook(pkey)
@@ -509,6 +597,14 @@ def materialize_partitioned(triples: ray.data.Dataset, ck, stage: str = "final",
                  if f.endswith(".parquet")]
         if not files:
             return ray.data.from_arrow(OUT_SCHEMA.empty_table())
+        # single-task in-memory sort whenever the bucket's spill bytes fit
+        # a worker's heap; a bucket that outgrew the plan's sizing (skewed
+        # range, undersized n_buckets) falls back to a distributed Ray
+        # sort job over the same files — same output, bounded memory.
+        spill_bytes = sum(os.path.getsize(f) for f in files)
+        if spill_bytes <= task_sort_max_bytes:
+            return ray.data.from_arrow_refs(
+                [sort_bucket_task.remote(files)])
         return ray.data.read_parquet(files) \
             .sort(ENC_SORT_COLS) \
             .map_batches(decode_dedup, batch_format="pyarrow",

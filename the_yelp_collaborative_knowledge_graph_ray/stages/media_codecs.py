@@ -83,7 +83,13 @@ class WavFeatureExtractor:
         for i in range(b.num_rows):
             payload = b["payload"][i].as_py()
             with wave.open(io.BytesIO(payload), "rb") as w:
-                assert w.getnchannels() == 1 and w.getsampwidth() == 2
+                # explicit raise, not assert: the dead-letter contract
+                # ("corrupted payload raises") must survive `python -O`
+                if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                    raise ValueError(
+                        "WAV payload is not 16-bit mono PCM: "
+                        f"channels={w.getnchannels()} "
+                        f"sampwidth={w.getsampwidth()}")
                 sr = w.getframerate()
                 x = np.frombuffer(w.readframes(w.getnframes()),
                                   dtype="<i2").astype(np.int64)
@@ -142,10 +148,14 @@ class PpmResizeFeatures:
         for i in range(b.num_rows):
             payload = bytes(b["payload"][i].as_py())
             # parse the real header: magic, dims, maxval, single whitespace
-            assert payload.startswith(b"P6"), "not a P6 PPM"
+            # (explicit raises, not asserts — must survive `python -O`)
+            if not payload.startswith(b"P6"):
+                raise ValueError("payload is not a P6 PPM")
             parts = payload.split(b"\n", 3)
             w, h = (int(v) for v in parts[1].split())
-            assert int(parts[2]) == 255
+            if int(parts[2]) != 255:
+                raise ValueError(f"unsupported PPM maxval {parts[2]!r} "
+                                 "(only 255 supported)")
             img = np.frombuffer(parts[3], np.uint8,
                                 count=w * h * 3).reshape(h, w, 3) \
                 .astype(np.int64)

@@ -141,43 +141,65 @@ def _kmeans(sample: np.ndarray, n_clusters: int, iters: int = 10,
 
 
 def ivf_topk(embeddings: ray.data.Dataset, k: int = 10, n_queries: int = 8,
-             n_clusters: int = 16, n_probe: int = 4,
+             n_clusters: int = 16, n_probe: int = 4, iters: int = 5,
+             sample_n: int = 4096,
              concurrency: int = 4) -> ray.data.Dataset:
-    """IVF-bucketed ANN: corpus rows are routed to their nearest centroid
-    (broadcast); each query scores only vectors in its ``n_probe`` closest
-    buckets. Output schema matches :func:`brute_force_topk`."""
+    """IVF-bucketed ANN with EXACT integer routing, so the whole index —
+    training, routing, probing — is deterministic and SQL-twinnable
+    (``queries._ivf_sql``), leaving only the final candidate cosine in the
+    same round-to-1e-6 float idiom the green ``ann_topk_cosine`` twin uses:
+
+    * coarse quantizer: fixed-point Lloyd k-means
+      (``functions.kmeans.kmeans_fp``) trained on the deterministic
+      low-id sample ``vec_id < sample_n`` — bounded and scale-safe, like
+      the driver-sample trainer it replaces, but bit-reproducible;
+    * corpus routing: integer squared-L2 argmin to the centroids (ties to
+      the lowest cluster id), the same ``_assign`` the trainer uses;
+    * query probing: integer squared-L2 to the centroids, ``n_probe``
+      lowest (ties to the lowest cluster id);
+    * candidate scoring: exact cosine over the probed buckets, rounded to
+      1e-6, top-k by (cosine desc, vec_id).
+
+    Output schema matches :func:`brute_force_topk`."""
+    from ..functions.kmeans import _assign, _fp_matrix, kmeans_fp
     q_ids, q_mat = load_queries(embeddings, n_queries)
-    # centroid training on a driver-side sample (bounded, scale-safe)
-    sample_tab = embeddings.limit(4096).to_pandas()
-    sample = np.asarray(sample_tab["embedding"].tolist(), dtype=np.float64)
-    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
-    cent = _kmeans(sample, n_clusters)
-    probe = np.argsort(-(q_mat @ cent.T), axis=1)[:, :n_probe]
-    probed_sets = [set(row.tolist()) for row in probe]
-    ref = ray.put((q_ids, q_mat, cent, probed_sets))
+    sample = embeddings.filter(expr=f"vec_id < {sample_n}")
+    _asg, cents = kmeans_fp(sample, k=n_clusters, iters=iters)
+
+    # query probe: integer L2 over the RAW fixed-point query vectors
+    qb = embeddings.filter(expr=f"vec_id < {n_queries}").to_arrow_refs()
+    qtab = pa.concat_tables([t for t in (ray.get(r) for r in qb)
+                             if t.num_rows])
+    qtab = qtab.take(pa.array(np.argsort(qtab["vec_id"].to_numpy())))
+    qfp = _fp_matrix(qtab, "embedding")
+    d2 = ((qfp[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    probed_sets = [set(np.argsort(row, kind="stable")[:n_probe].tolist())
+                   for row in d2]
+    ref = ray.put((q_ids, q_mat, cents, probed_sets))
 
     class ProbeScorer:
         def __init__(self):
-            self.q_ids, self.q_mat, self.cent, self.probed = ray.get(ref)
+            self.q_ids, self.q_mat, self.cents, self.probed = ray.get(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
             ids, mat = _to_matrix(b)
             keep = ~np.isin(ids, self.q_ids)
-            ids, mat = ids[keep], mat[keep]
             out_q, out_v, out_s = [], [], []
-            if len(ids):
-                bucket = np.argmax(mat @ self.cent.T, axis=1)
+            if keep.any():
+                bucket = _assign(_fp_matrix(b, "embedding")[keep],
+                                 self.cents)
+                ids, mat = ids[keep], mat[keep]
                 for qi, q_id in enumerate(self.q_ids):
                     sel = np.isin(bucket, list(self.probed[qi]))
                     if not sel.any():
                         continue
-                    s = self.q_mat[qi] @ mat[sel].T
+                    s = np.round(self.q_mat[qi] @ mat[sel].T, 6)
                     cand = ids[sel]
                     kk = min(k, len(cand))
                     part = np.argpartition(-s, kk - 1)[:kk]
                     out_q.extend([int(q_id)] * kk)
                     out_v.extend(int(x) for x in cand[part])
-                    out_s.extend(np.round(s[part], 6).tolist())
+                    out_s.extend(s[part].tolist())
             return pa.table({"query_id": pa.array(out_q, pa.int64()),
                              "vec_id": pa.array(out_v, pa.int64()),
                              "cosine": pa.array(out_s, pa.float64())})

@@ -203,12 +203,17 @@ class CheckpointedRun:
             # Python), and two threads importing it concurrently can see
             # each other's partially-initialized module as a spurious
             # "cannot import name HTTPFileSystem". Make the outcome
-            # deterministic: if the import fails, register a stub module
-            # whose HTTPFileSystem class no real filesystem is an instance
-            # of — exactly the semantics of "http filesystems unavailable".
+            # deterministic: if aiohttp is genuinely absent, register a
+            # stub module whose HTTPFileSystem class no real filesystem is
+            # an instance of — the semantics of "http filesystems
+            # unavailable". Scoped to ModuleNotFoundError only: a
+            # transiently-broken-but-installed aiohttp must NOT disable
+            # real HTTP filesystems process-wide. NOTE the stub, once
+            # installed, is process-global by design (that is what makes
+            # the concurrent import race deterministic).
             try:
                 import fsspec.implementations.http  # noqa: F401
-            except ImportError:
+            except ModuleNotFoundError:
                 import sys
                 import types
                 _stub = types.ModuleType("fsspec.implementations.http")
