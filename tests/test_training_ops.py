@@ -157,6 +157,55 @@ def test_real_wav_and_ppm_decode():
         == [int(small[:, :, i].sum()) for i in range(3)]
 
 
+def test_real_png_compressed_decode():
+    """The PNG path crosses a REAL compression boundary: payloads are
+    zlib-DEFLATE'd with CRC'd chunks and per-row filters cycling through
+    all five PNG filter types; the decoder must verify CRCs, concatenate
+    split IDAT chunks, inflate and reconstruct. Round-trip is bit-exact;
+    single-byte corruption anywhere in a chunk raises."""
+    import pytest
+    import zlib as _zlib
+
+    from the_yelp_collaborative_knowledge_graph_ray.stages import (
+        media_codecs as mc,
+    )
+
+    for mid in (0, 1, 42, 1234):
+        img = mc._png_pixels(mid)
+        payload = mc._png_encode(img)
+        # genuinely compressed and smaller than the raw plane
+        assert len(payload) < img.size
+        assert payload.count(b"IDAT") == 2  # split-IDAT path exercised
+        assert (mc._png_decode(payload) == img).all()
+
+    # height 20 -> rows exercise filters 0..4 (y % 5)
+    assert mc.PNG_H >= 5
+
+    # corruption in the compressed stream AND in the header both raise
+    good = mc._png_encode(mc._png_pixels(9))
+    for pos in (12, 40, len(good) - 20):
+        bad = bytearray(good)
+        bad[pos] ^= 0xFF
+        with pytest.raises(ValueError):
+            mc._png_decode(bytes(bad))
+    with pytest.raises((ValueError, _zlib.error)):
+        mc._png_decode(good[:60])
+
+    # extractor features match a direct numpy computation
+    o = mc.PngFeatureExtractor()(pa.table({
+        "media_id": pa.array([42], pa.int64()),
+        "payload": pa.array([mc._png_encode(mc._png_pixels(42))],
+                            pa.large_binary())}))
+    img = mc._png_pixels(42).astype(np.int64)
+    wx = (np.arange(mc.PNG_W) + 1)[None, :, None]
+    wy = (np.arange(mc.PNG_H) + 1)[:, None, None]
+    assert o["width"][0].as_py() == mc.PNG_W
+    assert [o[c][0].as_py() for c in ("sum_r", "sum_g", "sum_b")] \
+        == [int(img[:, :, i].sum()) for i in range(3)]
+    assert [o[c][0].as_py() for c in ("wsum_r", "wsum_g", "wsum_b")] \
+        == [int((img * wx * wy)[:, :, i].sum()) for i in range(3)]
+
+
 def test_text_bucket_lru_reads_each_bucket_once(tmp_path):
     """The worker-level text-bucket LRU reads a committed bucket from
     storage ONCE per worker however many id batches probe it, and

@@ -165,12 +165,16 @@ def _link_pairs(link_triples: ray.data.Dataset) -> ray.data.Dataset:
     return link_triples.map_batches(to_pairs, batch_format="pyarrow")
 
 
-def _partition_triples(ts: ray.data.Dataset, tables, concurrency: int,
-                       include_enrichment: bool) -> ray.data.Dataset:
-    """All pre-materialize triples for ONE input partition (the per-turn
-    stages are embarrassingly parallel across input files; the per-form
-    stages — link, enrichment — are deterministic functions of the form, so
-    cross-partition repeats collapse in the single global materialize)."""
+def _partition_triples(ts: ray.data.Dataset, tables,
+                       concurrency: int) -> ray.data.Dataset:
+    """Per-TURN triples for ONE input partition (structural + canonical
+    mention + mention-entity) — embarrassingly parallel across input
+    files. The per-FORM stages (link, enrichment) are NOT here: they are
+    deterministic functions of the distinct form set, so
+    :func:`run_kg_partitioned` hoists them into ONE global pass over the
+    distinct forms of ALL shards — per-shard scoring re-scored every form
+    repeated across shards (collapsed later in the materialize, correct
+    but wasted scorer work at 100x shard counts)."""
     alias_rows, vocab, snapshot, entity_types, hierarchy = tables
     cmap = canon.build_canonical_map_local(alias_rows)
     structural = extract.structural_triples(ts)
@@ -178,12 +182,6 @@ def _partition_triples(ts: ray.data.Dataset, tables, concurrency: int,
     cm = canon.canonicalize_mentions(raw, cmap,
                                      concurrency=concurrency).materialize()
     parts = [structural, cm, mentions.mention_entity_triples(cm)]
-    if include_enrichment:
-        links = link.link_mentions(cm, snapshot,
-                                   concurrency=concurrency).materialize()
-        parts.append(links)
-        parts.append(enrich.enrichment_triples(_link_pairs(links),
-                                               entity_types, hierarchy))
     u = parts[0]
     for p in parts[1:]:
         u = u.union(p)
@@ -198,13 +196,16 @@ def run_kg_partitioned(sf_dir: str, checkpoint_dir: str,
     """Flagship build with PER-PARTITION checkpoint/resume (north_rule's
     resume granularity) END TO END: the extraction phase is sharded by
     input transcript file, every shard commits independently
-    (``state.checkpoint.partitioned_stage``), and the final global
-    materialize is range-bucketed (``materialize.materialize_partitioned``)
-    so each of its ``n_buckets`` sort ranges ALSO commits independently —
-    a death mid-sort resumes at the first incomplete range instead of
-    redoing the whole-corpus sort. Output is identical to :func:`run_kg`
-    (verified in tests). ``fail_hook(bucket_key)`` is the test fault
-    -injection seam for the materialize phase."""
+    (``state.checkpoint.partitioned_stage``); the per-FORM work — link
+    scoring + enrichment — runs ONCE globally over the distinct forms of
+    ALL shards (its own committed stage; per-shard scoring would re-score
+    every form repeated across shards); and the final global materialize
+    is range-bucketed (``materialize.materialize_partitioned``) so each
+    of its ``n_buckets`` sort ranges ALSO commits independently — a death
+    mid-sort resumes at the first incomplete range instead of redoing the
+    whole-corpus sort. Output is identical to :func:`run_kg` (verified in
+    tests). ``fail_hook(bucket_key)`` is the test fault-injection seam
+    for the materialize phase."""
     from .. import config as C
     fdir = generator.ensure_fixtures(sf_dir)
     tdir = os.path.join(fdir, "transcripts.parquet")
@@ -214,13 +215,32 @@ def run_kg_partitioned(sf_dir: str, checkpoint_dir: str,
 
     def build_one(pkey: str) -> ray.data.Dataset:
         ts = ray.data.read_parquet(os.path.join(tdir, pkey))
-        return _partition_triples(ts, tables, concurrency, include_enrichment)
+        return _partition_triples(ts, tables, concurrency)
 
     tri = ck.partitioned_stage("extract_triples", part_files, build_one)
+    upstream = ["extract_triples"]
+    if include_enrichment:
+        import pyarrow.compute as pc
+        _, _, snapshot, entity_types, hierarchy = tables
+
+        def build_links() -> ray.data.Dataset:
+            # canonical mention rows of EVERY shard (column-pruned read of
+            # the committed parquet); link_mentions dedups to the global
+            # distinct form set before the scorer sees anything
+            cm = tri.filter(
+                expr=f"pred == '{C.PRED_MENTIONS}'")
+            return link.link_mentions(cm, snapshot,
+                                      concurrency=concurrency)
+
+        links = ck.stage("links", build_links, upstream=upstream)
+        enr = enrich.enrichment_triples(_link_pairs(links),
+                                        entity_types, hierarchy)
+        tri = tri.union(links).union(enr)
+        upstream = upstream + ["links"]
     return materialize.materialize_partitioned(
         tri, ck, stage="final", known_combos=C.KNOWN_COMBOS,
         bundle_rows=1_048_576, n_buckets=n_buckets,
-        upstream=["extract_triples"], fail_hook=fail_hook)
+        upstream=upstream, fail_hook=fail_hook)
 
 
 def read_transcripts(fdir: str) -> ray.data.Dataset:

@@ -5,18 +5,21 @@ next to typed metadata (media_type, width/height/duration). Decode and
 feature extraction run as actor-pool ``map_batches`` stages sized for large
 payloads (small ``batch_size``, bytes-aware).
 
-COMPRESSED codecs (JPEG/FLAC/MP4 via PIL/ffmpeg/torchaudio) are NOT
+LOSSY external codecs (JPEG/FLAC/MP4 via PIL/ffmpeg/torchaudio) are NOT
 available in this container, so THIS module's decode step is STUBBED:
 :class:`MediaFeatureExtractor` raises ``NotImplementedError`` in ``real``
 mode and uses a deterministic fake decode (payload bytes -> seeded feature
 vector) in ``fake`` mode. The Ray-side plumbing — schema, broadcast config,
 actor signature, batch sizing, output layout — is real and tested; swapping
 ``_decode_fake`` for a PIL/ffmpeg call changes nothing else. For formats
-whose codecs need nothing beyond the standard library,
-``stages/media_codecs.py`` implements the decode FOR REAL (RIFF/PCM WAV via
-``wave``; binary P6 PPM via numpy) with the same actor-pool seams, oracle-
-gated end to end — the external-codec boundary is only the compressed
-formats.
+decodable with the standard library, ``stages/media_codecs.py`` implements
+the decode FOR REAL with the same actor-pool seams, oracle-gated end to
+end: RIFF/PCM WAV via ``wave``, binary P6 PPM via numpy, and — round 4 —
+zlib-DEFLATE **PNG** (chunk walk + CRC32 verification + all five scanline
+filters), which crosses a genuine COMPRESSION boundary. The remaining stub
+scope is therefore only the LOSSY formats, whose decoded output is
+encoder-version-dependent and could never be oracle-gated bit-exactly
+anyway.
 """
 
 from __future__ import annotations
