@@ -127,9 +127,16 @@ class MentionRewriter:
 def canonicalize_mentions(mention_ds: ray.data.Dataset,
                           canon_map: dict[str, tuple[str, ...]],
                           concurrency: int | None = None) -> ray.data.Dataset:
-    if concurrency is None:
-        concurrency = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
-    ref = ray.put(canon_map)
+    """Broadcast the canonical map once; rewrite runs as STATELESS tasks
+    through the worker-level broadcast cache (one map deserialize per
+    worker, no actor-pool startup tail — see functions.broadcast)."""
+    del concurrency
+    from ..functions.broadcast import cached_object
+    ref = ray.put(MentionRewriter(canon_map))
+
+    def rewrite(batch):
+        return cached_object(ref)(batch)
+
     return mention_ds.map_batches(
-        MentionRewriter, fn_constructor_args=(ref,), batch_format="pyarrow",
-        batch_size=16384, zero_copy_batch=True, concurrency=(1, concurrency))
+        rewrite, batch_format="pyarrow",
+        batch_size=16384, zero_copy_batch=True)

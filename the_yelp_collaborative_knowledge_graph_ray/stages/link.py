@@ -326,12 +326,18 @@ def link_mentions(canonical_mentions: ray.data.Dataset,
                                            zero_copy_batch=True)
     distinct = sorted_aggregate(forms, ["form"], [("form", "count")],
                                 ["form", "n"])
-    if concurrency is None:
-        concurrency = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
-    ref = ray.put(snapshot)
+    del concurrency
+    from ..functions.broadcast import cached_object
+    # the scorer holds only the prebuilt snapshot index — broadcast the
+    # CONSTRUCTED scorer once and score in stateless tasks (worker-level
+    # cache; no actor-pool startup tail — see functions.broadcast)
+    ref = ray.put(LinkScorer(snapshot))
+
+    def score(batch):
+        return cached_object(ref)(batch)
+
     links = distinct.map_batches(
-        LinkScorer, fn_constructor_args=(ref,), batch_format="pyarrow",
-        batch_size=4096, concurrency=(1, concurrency))
+        score, batch_format="pyarrow", batch_size=4096)
 
     def to_triples(b: pa.Table) -> pa.Table:
         n = b.num_rows

@@ -330,16 +330,26 @@ def mention_triples(transcripts: ray.data.Dataset, vocab: list[str],
                     concurrency: int | None = None) -> ray.data.Dataset:
     """Detect mentions; returns triples Dataset (turn -mentions-> mention IRI).
 
-    ``vocab`` is put in the object store ONCE; each actor reads it in
-    ``__init__`` — broadcast, not per-batch shipping.
-    """
-    if concurrency is None:
-        concurrency = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
-    vocab_ref = ray.put(vocab)
+    The detector — automaton included — is built ONCE on the driver and
+    ``ray.put`` as a broadcast object; the per-batch scan runs as
+    STATELESS tasks fetching it through the worker-level cache
+    (``functions.broadcast``). This replaced the actor-pool idiom (build
+    per actor in ``__init__``): same once-per-worker cost model (numpy
+    automaton tables come out of plasma zero-copy), but no actor spawns
+    (the pool ramp was a measured ~2-4 s fixed tail per run at 16 CPUs),
+    no N-fold rebuild of the same automaton, and full operator fusion
+    with the transcript read. ``concurrency`` is retained for API
+    compatibility; tasks schedule on whatever the cluster has."""
+    del concurrency
+    from ..functions.broadcast import cached_object
+    det_ref = ray.put(MentionDetector(vocab))
+
+    def detect(batch: pa.Table) -> pa.Table:
+        return cached_object(det_ref)(batch)
+
     return transcripts.map_batches(
-        MentionDetector, fn_constructor_args=(vocab_ref,),
-        batch_format="pyarrow", batch_size=8192, zero_copy_batch=True,
-        concurrency=(1, concurrency))
+        detect, batch_format="pyarrow", batch_size=8192,
+        zero_copy_batch=True)
 
 
 def mention_entity_triples(mention_ds: ray.data.Dataset) -> ray.data.Dataset:
