@@ -266,9 +266,11 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--docs", action="store_true",
                     help="time the dedup/curation suite at 200k docs")
-    ap.add_argument("--scaling-sf", default="bench",
-                    help="fixture profile for the scaling run")
-    ap.add_argument("--scaling-n", type=int, default=8,
+    ap.add_argument("--scaling-sf", default="bench3200",
+                    help="fixture profile for the scaling run (round-4 "
+                         "default: the ~227M-triple corpus that keeps the "
+                         "4N arm >= 60 s steady-state; see BASELINE.md)")
+    ap.add_argument("--scaling-n", type=int, default=4,
                     help="small cluster size N; the run compares N vs 4N")
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--num-cpus", type=int, default=DEFAULT_CPUS)
@@ -286,8 +288,13 @@ def main() -> None:
     elif args.docs:
         print(json.dumps(run_docs(args.num_cpus)))
     elif args.scaling:
+        # the memory-boundary corpora always use the range-bucketed final
+        # (the monolithic sort of a 50M+-triple encoded payload is exactly
+        # the single-sort memory wall the partitioned path exists to avoid)
+        part = args.partitioned or args.scaling_sf in ("bench800",
+                                                       "bench3200")
         print(json.dumps(run_scaling(args.scaling_sf, args.scaling_n,
-                                     args.partitioned)))
+                                     part)))
     else:
         print(json.dumps(run_default(args.sf_dir, args.num_cpus)))
     if ray.is_initialized():
