@@ -235,6 +235,48 @@ def run_docs(num_cpus: int) -> dict:
     }
 
 
+def run_sessions_scaling(sf_name: str, n: int = 8, k: int = 4,
+                         partitioned: bool = True) -> dict:
+    """The round-4 node-scaling experiment (BASELINE.md): ONE solo n-CPU
+    Ray session, then ``k`` CONCURRENT independent n-CPU sessions — each
+    with its own raylet, plasma store and driver, i.e. the closest
+    one-box analog of ``k`` shared-nothing cluster nodes (conservative:
+    real nodes do not share memory bandwidth or disk). Efficiency =
+    aggregate throughput of the k sessions / (k x solo throughput)."""
+    from the_yelp_collaborative_knowledge_graph_ray.fixtures import generator
+    generator.ensure_fixtures(sf_name)
+
+    def cmd():
+        c = [sys.executable, os.path.abspath(__file__), "--_child", sf_name,
+             "--num-cpus", str(n)]
+        if partitioned:
+            c.append("--partitioned")
+        return c
+
+    solo = json.loads(subprocess.run(
+        cmd(), capture_output=True, text=True,
+        check=True).stdout.strip().splitlines()[-1])
+    procs = [subprocess.Popen(cmd(), stdout=subprocess.PIPE, text=True)
+             for _ in range(k)]
+    outs = []
+    for p in procs:
+        stdout, _ = p.communicate()
+        if p.returncode != 0:
+            raise RuntimeError("concurrent session failed")
+        outs.append(json.loads(stdout.strip().splitlines()[-1]))
+    agg = sum(o["triples_per_sec"] for o in outs)
+    return {
+        "metric": f"node_scaling_efficiency_1_to_{k}_sessions_{n}cpu",
+        "value": round(agg / (k * solo["triples_per_sec"]), 3),
+        "unit": "ratio",
+        "sf": sf_name,
+        "partitioned": partitioned,
+        "solo_session": solo,
+        "concurrent_sessions": outs,
+        "aggregate_triples_per_sec": round(agg, 1),
+    }
+
+
 def run_scaling(sf_name: str, n: int = 8, partitioned: bool = False) -> dict:
     """Same input, fresh ray sessions at N and 4N CPUs (BASELINE.md)."""
     # generate fixtures once in the parent so children skip it
@@ -264,6 +306,10 @@ def run_scaling(sf_name: str, n: int = 8, partitioned: bool = False) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-sessions", action="store_true",
+                    help="node-scaling experiment: 1 solo 8-CPU session vs "
+                         "4 concurrent independent 8-CPU sessions on "
+                         "bench800 (the BASELINE.md round-4 headline)")
     ap.add_argument("--docs", action="store_true",
                     help="time the dedup/curation suite at 200k docs")
     ap.add_argument("--scaling-sf", default="bench3200",
@@ -287,6 +333,8 @@ def main() -> None:
                                    args.partitioned)))
     elif args.docs:
         print(json.dumps(run_docs(args.num_cpus)))
+    elif args.scaling_sessions:
+        print(json.dumps(run_sessions_scaling("bench800", n=8, k=4)))
     elif args.scaling:
         # the memory-boundary corpora always use the range-bucketed final
         # (the monolithic sort of a 50M+-triple encoded payload is exactly
