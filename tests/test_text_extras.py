@@ -64,3 +64,29 @@ def test_bpe_encode_matches_sequential(ray_session):
     # merges strictly reduce token count vs raw chars+end markers
     raw = sum(len(w) + 1 for w in texts[0].split(" "))
     assert int(got["n_subwords"][0]) < raw
+
+
+def test_dup_chunk_stats_planted_duplicates(ray_session):
+    """dup_chunk_stats flags exactly the planted cross-document duplicate
+    chunks: doc 0 and doc 1 share their first 32-word chunk verbatim; doc
+    2 is fully unique; doc 3 duplicates doc 0 entirely."""
+    from the_yelp_collaborative_knowledge_graph_ray.stages.textstats import (
+        dup_chunk_stats,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(32))
+    tail_a = " ".join(f"a{i}" for i in range(32))
+    tail_b = " ".join(f"b{i}" for i in range(32))
+    uniq = " ".join(f"u{i}" for i in range(70))
+    texts = [shared + " " + tail_a,   # doc 0: chunk0 shared, chunk1 dup'd by doc 3
+             shared + " " + tail_b,   # doc 1: chunk0 shared, chunk1 unique
+             uniq,                    # doc 2: 3 chunks, all unique
+             shared + " " + tail_a]   # doc 3: identical to doc 0
+    got = dup_chunk_stats(_docs(texts)).to_pandas().set_index("doc_id")
+    assert got.loc[0, "n_chunks"] == 2 and got.loc[0, "n_dup_chunks"] == 2
+    assert got.loc[1, "n_chunks"] == 2 and got.loc[1, "n_dup_chunks"] == 1
+    assert got.loc[2, "n_chunks"] == 3 and got.loc[2, "n_dup_chunks"] == 0
+    assert got.loc[3, "n_dup_chunks"] == 2
+    assert got.loc[0, "dup_frac_fp"] == 1_000_000
+    assert got.loc[1, "dup_frac_fp"] == 500_000
+    assert got.loc[2, "dup_frac_fp"] == 0

@@ -247,6 +247,72 @@ def chunk_documents(docs: ray.data.Dataset,
                                                         "chunk_idx"])
 
 
+def dup_chunk_stats(docs: ray.data.Dataset, width: int = CHUNK_WORDS,
+                    num_partitions: int = 8) -> ray.data.Dataset:
+    """Per-document duplicate-CHUNK fraction — the segment-level exact
+    dedup quality signal large curation pipelines gate on (the
+    fixed-width analog of Dolma/FineWeb's duplicate-paragraph/line
+    fraction; this corpus has no newline structure, so segments are the
+    engine's own ``chunk_documents`` windows).
+
+    A chunk is "duplicated" iff its exact text occurs >= 2 times
+    corpus-wide. Output (doc_id, n_chunks, n_dup_chunks, dup_frac_fp)
+    with ``dup_frac_fp = 10^6 * n_dup_chunks // n_chunks``, sorted.
+
+    Scale shape: only (digest-hex, doc_id) rows shuffle — never chunk
+    texts; corpus-wide occurrence counts come from the map-side-combined
+    grouped count, attach back via ONE string-key co-group, and the
+    per-doc fold is a second map-side-combined grouped sum. MD5 equality
+    stands in for text equality exactly as in the exact-dedup family
+    (full 128-bit digests)."""
+    from ..functions.grouped import grouped_count, sorted_aggregate
+    from ..functions.joins import attach_column
+    from .dedup import _md5_with_key
+
+    chunks = chunk_documents(docs, width)
+
+    def dig(b: pa.Table) -> pa.Table:
+        hx, _ = _md5_with_key(b["chunk_text"].to_pylist())
+        return pa.table({
+            "doc_id": pc.cast(b["doc_id"], pa.int64()),
+            "digest": hx})
+
+    digs = chunks.map_batches(dig, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    counts = grouped_count(digs, ["digest"], "n", num_partitions)
+    withn = attach_column(
+        digs, counts, [("doc_id", pa.int64()), ("digest", pa.string())],
+        "digest", "digest", "n", "n", pa.int64(), num_partitions,
+        key_type=pa.string())
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(did, return_inverse=True)
+        return pa.table({
+            "doc_id": pa.array(uniq),
+            "n_chunks": pa.array(np.bincount(inv).astype(np.int64)),
+            "n_dup_chunks": pa.array(np.bincount(
+                inv, weights=(n >= 2).astype(np.float64))
+                .astype(np.int64))})
+
+    agg = sorted_aggregate(
+        withn.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["doc_id"], [("n_chunks", "sum"), ("n_dup_chunks", "sum")],
+        ["doc_id", "n_chunks", "n_dup_chunks"], num_partitions)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        nc = b["n_chunks"].to_numpy(zero_copy_only=False)
+        nd = b["n_dup_chunks"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "dup_frac_fp",
+            pa.array(10**6 * nd // np.maximum(nc, 1), pa.int64()))
+
+    return agg.map_batches(finalize, batch_format="pyarrow",
+                           zero_copy_batch=True).sort("doc_id")
+
+
 PACK_BUDGET = 128  # token budget per packed sequence
 
 
