@@ -939,3 +939,27 @@ def test_trailing_range_window_peer_semantics(ray_session, tmp_path):
           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) s
         FROM events ORDER BY event_id""").df()["s"]
     assert got["win_sum_c"].tolist() == exp.tolist()
+
+
+def test_cluster_balanced_cap_and_determinism(ray_session):
+    """curation_cluster_balanced keeps at most CAP rows per cluster,
+    selects by the deterministic hash lottery (two runs identical), and
+    every kept row's cluster matches the trainer's assignment."""
+    from the_yelp_collaborative_knowledge_graph_ray import queries as Q
+
+    sf = "/root/testdata/sf0.01"
+    a = Q._q_curation_cluster_balanced(sf).to_pandas() \
+        .sort_values(["cluster", "rank"]).reset_index(drop=True)
+    b = Q._q_curation_cluster_balanced(sf).to_pandas() \
+        .sort_values(["cluster", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
+    per = a.groupby("cluster").size()
+    assert (per <= Q.CLUSTER_BAL_CAP).all()
+    assert a["rank"].min() == 1
+    # assignments come from the bit-reproducible trainer
+    from the_yelp_collaborative_knowledge_graph_ray.functions.kmeans import (
+        kmeans_fp,
+    )
+    asg, _ = kmeans_fp(Q._emb(sf), k=Q.CLUSTER_BAL_K, iters=5)
+    m = asg.to_pandas().set_index("vec_id")["cluster"]
+    assert (a.set_index("vec_id")["cluster"] == m.loc[a["vec_id"]]).all()
