@@ -25,6 +25,22 @@ _CACHE: dict = {}
 _CACHE_MAX = 8
 
 
+def broadcast_map_batches(ds, factory, **map_kw):
+    """``map_batches`` with a driver-BUILT read-only callable broadcast
+    once: ``factory()`` constructs the stateful callable on the driver,
+    the instance is ``ray.put`` a single time, and every task fetches it
+    through :func:`cached_object`. Drop-in replacement for
+    ``map_batches(Cls, concurrency=(1, N))`` actor pools whose per-actor
+    state is immutable — removes the pool spawn/ramp tail and lets the
+    stage fuse with its upstream."""
+    obj_ref = ray.put(factory())
+
+    def apply(batch):
+        return cached_object(obj_ref)(batch)
+
+    return ds.map_batches(apply, **map_kw)
+
+
 def cached_object(ref):
     """Fetch-and-cache a broadcast object by its ObjectRef (pass-through
     for plain objects, so driver-side/unit-test callers can hand the raw

@@ -139,8 +139,9 @@ def orders_by_mktsegment(sf_dir: str) -> ray.data.Dataset:
                 .rename_columns(["seg_code", "revenue_c", "n_orders"])
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    probed = orders.map_batches(Probe, batch_format="pyarrow",
-                                zero_copy_batch=True, concurrency=(1, 4))
+    from ..functions.broadcast import broadcast_map_batches
+    probed = broadcast_map_batches(orders, Probe, batch_format="pyarrow",
+                                   zero_copy_batch=True)
     from ..functions.grouped import sorted_aggregate
     agg = sorted_aggregate(probed, ["seg_code"],
                            [("revenue_c", "sum"), ("n_orders", "sum")],

@@ -1505,9 +1505,10 @@ def semantic_dedup(embeddings: ray.data.Dataset, threshold: float = 0.35,
                 "cluster": pa.array(cl),
                 "embedding": pa.array(list(mat), pa.list_(pa.float64()))})
 
-    assigned = embeddings.map_batches(Assign, batch_format="pyarrow",
-                                      batch_size=4096, zero_copy_batch=True,
-                                      concurrency=(1, 4))
+    from ..functions.broadcast import broadcast_map_batches
+    assigned = broadcast_map_batches(embeddings, Assign,
+                                     batch_format="pyarrow",
+                                     batch_size=4096, zero_copy_batch=True)
 
     def greedy_block(b: pa.Table) -> pa.Table:
         out_schema = pa.schema([("vec_id", pa.int64()),

@@ -109,11 +109,10 @@ def brute_force_topk(embeddings: ray.data.Dataset, k: int = 10,
     each of the first ``n_queries`` vectors. Output: (query_id, vec_id,
     cosine, rank), sorted by (query_id, rank)."""
     q = load_queries(embeddings, n_queries)
-    ref = ray.put(q)
-    local = embeddings.map_batches(
-        _LocalTopK, fn_constructor_args=(ref, k, True),
-        batch_format="pyarrow", batch_size=4096, zero_copy_batch=True,
-        concurrency=(1, concurrency))
+    from ..functions.broadcast import broadcast_map_batches
+    local = broadcast_map_batches(
+        embeddings, lambda: _LocalTopK(q, k, True),
+        batch_format="pyarrow", batch_size=4096, zero_copy_batch=True)
     merged = local.groupby("query_id").map_groups(
         _merge_topk(k), batch_format="pyarrow")
     return merged.sort(["query_id", "rank"])

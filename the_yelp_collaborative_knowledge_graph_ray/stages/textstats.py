@@ -499,9 +499,11 @@ class LangIdClassifier:
 
 
 def language_id(docs: ray.data.Dataset, concurrency: int = 16) -> ray.data.Dataset:
-    return docs.map_batches(
-        LangIdClassifier, batch_format="pyarrow", batch_size=4096,
-        zero_copy_batch=True, concurrency=(1, concurrency)).sort("doc_id")
+    del concurrency
+    from ..functions.broadcast import broadcast_map_batches
+    return broadcast_map_batches(
+        docs, LangIdClassifier, batch_format="pyarrow", batch_size=4096,
+        zero_copy_batch=True).sort("doc_id")
 
 
 # --------------------------------------------------------------------------
