@@ -99,8 +99,9 @@ def heavy_hitters(ds: ray.data.Dataset, key: str, k: int
                 "slot": pa.array(np.arange(self.n_cand + 1), pa.int64()),
                 "cnt": pa.array(cnt, pa.int64())})
 
-    partials = ds.map_batches(Verify, batch_format="pyarrow",
-                              zero_copy_batch=True, concurrency=(1, 4))
+    from .broadcast import broadcast_map_batches
+    partials = broadcast_map_batches(ds, Verify, batch_format="pyarrow",
+                                     zero_copy_batch=True)
     agg = sorted_aggregate(partials, ["slot"], [("cnt", "sum")],
                            ["slot", "cnt"], 1)
     cand_names = cand

@@ -249,8 +249,9 @@ def revenue_by_brand(sf_dir: str) -> ray.data.Dataset:
 
     li = _read(sf_dir, "lineitem",
                columns=["l_partkey", "l_extendedprice", "l_discount"])
-    probed = li.map_batches(Probe, batch_format="pyarrow",
-                            zero_copy_batch=True, concurrency=(1, 8))
+    from ..functions.broadcast import broadcast_map_batches
+    probed = broadcast_map_batches(li, Probe, batch_format="pyarrow",
+                                   zero_copy_batch=True)
     from ..functions.grouped import sorted_aggregate
     agg = sorted_aggregate(probed, ["brand_code"], [("revenue_c", "sum")],
                            ["brand_code", "revenue_c"], num_partitions=1)
@@ -1438,10 +1439,11 @@ def tpch_q5_local_volume(sf_dir: str, region: str = "ASIA",
                 .filter(pa.array(keep)),
                 "c_nat": pa.array(cn[keep], pa.int32())})
 
-    orders = _read(sf_dir, "orders",
-                   columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
-        .map_batches(OrderSide, batch_format="pyarrow",
-                     zero_copy_batch=True, concurrency=(1, 4))
+    from ..functions.broadcast import broadcast_map_batches
+    orders = broadcast_map_batches(
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_custkey", "o_orderdate"]),
+        OrderSide, batch_format="pyarrow", zero_copy_batch=True)
 
     class LineSide:
         def __init__(self):
@@ -1461,11 +1463,11 @@ def tpch_q5_local_volume(sf_dir: str, region: str = "ASIA",
                 "s_nat": pa.array(sn[keep], pa.int32()),
                 "rev": pa.array(rev, pa.int64())})
 
-    li = _read(sf_dir, "lineitem",
-               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
-                        "l_discount"]) \
-        .map_batches(LineSide, batch_format="pyarrow",
-                     zero_copy_batch=True, concurrency=(1, 4))
+    li = broadcast_map_batches(
+        _read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                       "l_discount"]),
+        LineSide, batch_format="pyarrow", zero_copy_batch=True)
 
     joined = attach_column(
         li, orders, [("s_nat", pa.int32()), ("rev", pa.int64())],
@@ -3263,11 +3265,10 @@ def tpch_q18(sf_dir: str, qty_threshold: int = 300,
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_orderdate",
                     "o_totalprice"])
-    # autoscaling pool with min 1: a fixed pool of N actors grabs N CPU
-    # slots up front and WEDGES a low-CPU session (verify-skill gotcha) —
-    # min 1 always leaves room for the read and the downstream sort
-    return orders.map_batches(Probe, concurrency=(1, 4),
-                              batch_format="pyarrow") \
+    # broadcast-built probe as stateless tasks: no pool to wedge a
+    # low-CPU session (the old verify-skill gotcha) and no spawn tail
+    from ..functions.broadcast import broadcast_map_batches
+    return broadcast_map_batches(orders, Probe, batch_format="pyarrow") \
         .sort(["total_c", "o_orderkey"], descending=[True, False]) \
         .limit(limit)
 
@@ -3350,9 +3351,9 @@ def tpch_q14(sf_dir: str) -> ray.data.Dataset:
     li = _read(sf_dir, "lineitem",
                ["l_shipdate", "l_partkey", "l_discount",
                 "l_extendedprice"])
+    from ..functions.broadcast import broadcast_map_batches
     s = sorted_aggregate(
-        li.map_batches(Fold, concurrency=(1, 4),
-                       batch_format="pyarrow"),
+        broadcast_map_batches(li, Fold, batch_format="pyarrow"),
         ["__g"], [("promo_c2", "sum"), ("total_c2", "sum")],
         ["__g", "promo_c2", "total_c2"], 1).to_pandas()
     promo_c2, total_c2 = int(s["promo_c2"][0]), int(s["total_c2"][0])
@@ -3577,8 +3578,9 @@ def tpch_q19(sf_dir: str) -> ray.data.Dataset:
     li = _read(sf_dir, "lineitem",
                ["l_partkey", "l_quantity", "l_extendedprice",
                 "l_discount"])
+    from ..functions.broadcast import broadcast_map_batches
     return sorted_aggregate(
-        li.map_batches(Fold, concurrency=(1, 4), batch_format="pyarrow"),
+        broadcast_map_batches(li, Fold, batch_format="pyarrow"),
         ["__g"], [("n_rows", "sum"), ("revenue_c2", "sum")],
         ["__g", "n_rows", "revenue_c2"], 1).map_batches(
         lambda b: b.select(["n_rows", "revenue_c2"]),
@@ -3864,9 +3866,11 @@ def apportion_budget(sf_dir: str, total: int = APPORTION_TOTAL
                 .aggregate([("n", "sum")]) \
                 .rename_columns(["nation", "n"])
 
+    from ..functions.broadcast import broadcast_map_batches
     counts = sorted_aggregate(
-        _read(sf_dir, "orders", ["o_custkey"]).map_batches(
-            Fold, concurrency=(1, 4), batch_format="pyarrow"),
+        broadcast_map_batches(
+            _read(sf_dir, "orders", ["o_custkey"]), Fold,
+            batch_format="pyarrow"),
         ["nation"], [("n", "sum")], ["nation", "n"], 1).to_pandas() \
         .sort_values("nation").reset_index(drop=True)
 

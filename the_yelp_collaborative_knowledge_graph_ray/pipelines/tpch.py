@@ -34,6 +34,8 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data
 
+from ..functions.broadcast import broadcast_map_batches
+
 from .relational import _read, _scaled_int
 
 HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
@@ -200,11 +202,11 @@ def tpch_q7(sf_dir: str, nation_a: int = 3, nation_b: int = 8
                 "l_year": pc.cast(yr, pa.int64()).filter(pa.array(keep)),
                 "rev_c2": pa.array(rev[keep], pa.int64())})
 
-    li = _read(sf_dir, "lineitem",
-               ["l_orderkey", "l_suppkey", "l_shipdate",
-                "l_extendedprice", "l_discount"]) \
-        .map_batches(PreFilter, concurrency=(1, 4),
-                     batch_format="pyarrow")
+    li = broadcast_map_batches(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_suppkey", "l_shipdate",
+               "l_extendedprice", "l_discount"]),
+        PreFilter, batch_format="pyarrow")
     joined = attach_column(
         li, _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
         [("l_orderkey", pa.int64()), ("s_nat", pa.int64()),
@@ -233,8 +235,8 @@ def tpch_q7(sf_dir: str, nation_a: int = 3, nation_b: int = 8
                 .rename_columns(["s_nat", "c_nat", "l_year", "rev_c2"])
 
     agg = sorted_aggregate(
-        joined.map_batches(PairFold, concurrency=(1, 4),
-                           batch_format="pyarrow"),
+        broadcast_map_batches(joined, PairFold,
+                              batch_format="pyarrow"),
         ["s_nat", "c_nat", "l_year"], [("rev_c2", "sum")],
         ["s_nat", "c_nat", "l_year", "revenue_c2"], 1)
 
@@ -316,11 +318,11 @@ def tpch_q8(sf_dir: str, market_region: int = 1, target_nation: int = 3
                                                pa.int64()),
                          "__pack": packed})
 
-    li = _read(sf_dir, "lineitem",
-               ["l_orderkey", "l_partkey", "l_suppkey",
-                "l_extendedprice", "l_discount"]) \
-        .map_batches(PreFilter, concurrency=(1, 4),
-                     batch_format="pyarrow")
+    li = broadcast_map_batches(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_partkey", "l_suppkey",
+               "l_extendedprice", "l_discount"]),
+        PreFilter, batch_format="pyarrow")
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_orderdate"]) \
         .map_batches(pack_orders, batch_format="pyarrow",
@@ -357,8 +359,8 @@ def tpch_q8(sf_dir: str, market_region: int = 1, target_nation: int = 3
                 .rename_columns(["o_year", "nation_c2", "total_c2"])
 
     agg = sorted_aggregate(
-        joined.map_batches(ShareFold, concurrency=(1, 4),
-                           batch_format="pyarrow"),
+        broadcast_map_batches(joined, ShareFold,
+                              batch_format="pyarrow"),
         ["o_year"], [("nation_c2", "sum"), ("total_c2", "sum")],
         ["o_year", "nation_c2", "total_c2"], 1).to_pandas()
     num = agg["nation_c2"].to_numpy().astype(np.int64)
@@ -431,11 +433,11 @@ def tpch_q9(sf_dir: str) -> ray.data.Dataset:
             "o_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
             "o_year": pc.cast(pc.year(b["o_orderdate"]), pa.int64())})
 
-    li = _read(sf_dir, "lineitem",
-               ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
-                "l_extendedprice", "l_discount"]) \
-        .map_batches(PreFilter, concurrency=(1, 4),
-                     batch_format="pyarrow")
+    li = broadcast_map_batches(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+               "l_extendedprice", "l_discount"]),
+        PreFilter, batch_format="pyarrow")
     joined = attach_column(
         li, _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
         .map_batches(order_year, batch_format="pyarrow",
@@ -507,11 +509,11 @@ def tpch_q11(sf_dir: str, nation: int = 3) -> ray.data.Dataset:
                 .aggregate([("value_c2", "sum")]) \
                 .rename_columns(["l_partkey", "value_c2"])
 
-    li = _read(sf_dir, "lineitem",
-               ["l_partkey", "l_suppkey", "l_extendedprice",
-                "l_discount"]) \
-        .map_batches(PreFilter, concurrency=(1, 4),
-                     batch_format="pyarrow")
+    li = broadcast_map_batches(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_extendedprice",
+               "l_discount"]),
+        PreFilter, batch_format="pyarrow")
     per_part = sorted_aggregate(
         li, ["l_partkey"], [("value_c2", "sum")],
         ["l_partkey", "value_c2"], 8).materialize()
@@ -652,8 +654,8 @@ def tpch_q16(sf_dir: str) -> ray.data.Dataset:
                 "p_size": pa.array(self.size[pos][keep], pa.int64()),
                 "s_suppkey": pa.array(sk[keep], pa.int64())})
 
-    attrs = pairs.map_batches(Attr, concurrency=(1, 4),
-                              batch_format="pyarrow")
+    attrs = broadcast_map_batches(pairs, Attr,
+                                  batch_format="pyarrow")
     distinct = grouped_count(
         attrs, ["p_brand", "p_type", "p_size", "s_suppkey"], "__n", 8)
     return grouped_count(
@@ -741,8 +743,8 @@ def tpch_q2(sf_dir: str, region: int = 3) -> ray.data.Dataset:
                 "s_nat": pa.array(snat[keep], pa.int64()),
                 "s_name": self.sname.take(pa.array(spos[keep]))})
 
-    cands = pairs.map_batches(Attr, concurrency=(1, 4),
-                              batch_format="pyarrow")
+    cands = broadcast_map_batches(pairs, Attr,
+                                  batch_format="pyarrow")
     best = top_n_per_key(cands, ["p_partkey"],
                          [("s_acctbal_c", True), ("s_suppkey", True)],
                          1, 8)
@@ -804,9 +806,10 @@ def tpch_q20(sf_dir: str) -> ray.data.Dataset:
                 .aggregate([("q", "sum")]) \
                 .rename_columns(["l_partkey", "l_suppkey", "q"])
 
-    li = _read(sf_dir, "lineitem",
-               ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]) \
-        .map_batches(Fold, concurrency=(1, 4), batch_format="pyarrow")
+    li = broadcast_map_batches(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]),
+        Fold, batch_format="pyarrow")
     sp = sorted_aggregate(li, ["l_partkey", "l_suppkey"],
                           [("q", "sum")],
                           ["l_partkey", "l_suppkey", "q"],

@@ -98,4 +98,5 @@ def enrichment_triples(links: ray.data.Dataset,
             return pa.concat_tables([mk(inst_s, C.PRED_INSTANCE_OF, inst_o),
                                      mk(sub_s, C.RDFS_SUBCLASS_OF, sub_o)])
 
-    return links.map_batches(Expand, batch_format="pyarrow", concurrency=(1, 2))
+    from ..functions.broadcast import broadcast_map_batches
+    return broadcast_map_batches(links, Expand, batch_format="pyarrow")

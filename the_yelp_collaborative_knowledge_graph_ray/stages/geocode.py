@@ -199,9 +199,10 @@ def reverse_geocode(conv_geo: ray.data.Dataset, places_ref,
     distinct = sorted_aggregate(
         rows.select_columns(["cell_id"]), ["cell_id"],
         [("cell_id", "count")], ["cell_id", "n"], num_partitions)
-    resolved = distinct.map_batches(
-        CellResolver, fn_constructor_args=(places_ref,),
-        batch_format="pyarrow", concurrency=(1, concurrency))
+    from ..functions.broadcast import broadcast_map_batches
+    resolved = broadcast_map_batches(
+        distinct, lambda: CellResolver(places_ref),
+        batch_format="pyarrow")
     i64, s = pa.int64(), pa.string()
     return attach_column(
         rows, resolved,

@@ -120,10 +120,10 @@ class WavFeatureExtractor:
 
 def wav_features(docs: ray.data.Dataset, concurrency: int = 4,
                  batch_size: int = 256) -> ray.data.Dataset:
+    del concurrency
     return synthesize_wav_media(docs).map_batches(
-        WavFeatureExtractor, batch_format="pyarrow",
-        batch_size=batch_size, zero_copy_batch=True,
-        concurrency=(1, concurrency)).sort("media_id")
+        WavFeatureExtractor(), batch_format="pyarrow",
+        batch_size=batch_size, zero_copy_batch=True).sort("media_id")
 
 
 def _ppm_pixels(media_id: int) -> np.ndarray:
@@ -187,10 +187,10 @@ class PpmResizeFeatures:
 
 def ppm_resize_features(docs: ray.data.Dataset, concurrency: int = 4,
                         batch_size: int = 256) -> ray.data.Dataset:
+    del concurrency
     return synthesize_ppm_media(docs).map_batches(
-        PpmResizeFeatures, batch_format="pyarrow",
-        batch_size=batch_size, zero_copy_batch=True,
-        concurrency=(1, concurrency)).sort("media_id")
+        PpmResizeFeatures(), batch_format="pyarrow",
+        batch_size=batch_size, zero_copy_batch=True).sort("media_id")
 
 
 # --------------------------------------------------------------------------
@@ -389,8 +389,8 @@ class PngFeatureExtractor:
 
 def png_features(docs: ray.data.Dataset, concurrency: int = 4,
                  batch_size: int = 256) -> ray.data.Dataset:
+    del concurrency
     return synthesize_png_media(docs).map_batches(
-        PngFeatureExtractor, batch_format="pyarrow",
-        batch_size=batch_size, zero_copy_batch=True,
-        concurrency=(1, concurrency)).sort("media_id")
+        PngFeatureExtractor(), batch_format="pyarrow",
+        batch_size=batch_size, zero_copy_batch=True).sort("media_id")
 

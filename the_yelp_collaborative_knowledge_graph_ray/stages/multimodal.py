@@ -107,10 +107,11 @@ def extract_features(media: ray.data.Dataset, concurrency: int = 4,
                      batch_size: int = 256) -> ray.data.Dataset:
     """Small batch_size on purpose: batches of large binary payloads must be
     sized by bytes, not rows (SURVEY-level scale note)."""
-    return media.map_batches(
-        MediaFeatureExtractor, fn_constructor_kwargs={"mode": "fake"},
-        batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True,
-        concurrency=(1, concurrency))
+    del concurrency
+    from ..functions.broadcast import broadcast_map_batches
+    return broadcast_map_batches(
+        media, lambda: MediaFeatureExtractor(mode="fake"),
+        batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
 
 
 class ImageResizer:
@@ -191,17 +192,19 @@ class FrameSampler:
 
 def resize_images(media: ray.data.Dataset, concurrency: int = 4,
                   batch_size: int = 256) -> ray.data.Dataset:
-    return media.map_batches(
-        ImageResizer, fn_constructor_kwargs={"mode": "fake"},
-        batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True,
-        concurrency=(1, concurrency))
+    del concurrency
+    from ..functions.broadcast import broadcast_map_batches
+    return broadcast_map_batches(
+        media, lambda: ImageResizer(mode="fake"),
+        batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
 
 
 def sample_frames(media: ray.data.Dataset, concurrency: int = 4,
                   batch_size: int = 128) -> ray.data.Dataset:
     """Smaller batch_size than the scalar stages: output fan-out is up to
     max_frames rows per input row of large payload slices."""
-    return media.map_batches(
-        FrameSampler, fn_constructor_kwargs={"mode": "fake"},
-        batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True,
-        concurrency=(1, concurrency))
+    del concurrency
+    from ..functions.broadcast import broadcast_map_batches
+    return broadcast_map_batches(
+        media, lambda: FrameSampler(mode="fake"),
+        batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)

@@ -203,9 +203,10 @@ def ivf_topk(embeddings: ray.data.Dataset, k: int = 10, n_queries: int = 8,
                              "vec_id": pa.array(out_v, pa.int64()),
                              "cosine": pa.array(out_s, pa.float64())})
 
-    local = embeddings.map_batches(
-        ProbeScorer, batch_format="pyarrow", batch_size=4096,
-        zero_copy_batch=True, concurrency=(1, concurrency))
+    from ..functions.broadcast import broadcast_map_batches
+    local = broadcast_map_batches(
+        embeddings, ProbeScorer, batch_format="pyarrow", batch_size=4096,
+        zero_copy_batch=True)
     merged = local.groupby("query_id").map_groups(
         _merge_topk(k), batch_format="pyarrow")
     return merged.sort(["query_id", "rank"])
@@ -424,10 +425,10 @@ def filtered_topk(embeddings: ray.data.Dataset, k: int = 10,
 
     corpus = embeddings.map_batches(pre, batch_format="pyarrow",
                                     zero_copy_batch=True)
-    local = corpus.map_batches(
-        _LocalTopK, fn_constructor_args=(ref, k, True),
-        batch_format="pyarrow", batch_size=4096, zero_copy_batch=True,
-        concurrency=(1, concurrency))
+    from ..functions.broadcast import broadcast_map_batches
+    local = broadcast_map_batches(
+        corpus, lambda: _LocalTopK(ref, k, True),
+        batch_format="pyarrow", batch_size=4096, zero_copy_batch=True)
     merged = local.groupby("query_id").map_groups(
         _merge_topk(k), batch_format="pyarrow")
     return merged.sort(["query_id", "rank"])
