@@ -749,6 +749,62 @@ def test_curation_pipeline_drops_quality_and_dups(ray_session):
     assert row0["n_words"] == 20 and row0["n_chars"] > 0
 
 
+def test_curation_high_dup_rate_anti_join_path(ray_session):
+    """~67% near-dup corpus: the distributed anti-join drop path (no
+    driver-collected drop set) must keep exactly the lowest id of every
+    dup cluster, verified against a sequential pairwise-Jaccard oracle."""
+    import random
+
+    from the_yelp_collaborative_knowledge_graph_ray.pipelines.curation import (
+        curate_documents,
+    )
+
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(50)]
+    base_texts = [" ".join(rng.choices(words, k=30)) for _ in range(60)]
+    rows = []
+    did = 0
+    for text in base_texts:
+        # one original + two near-copies (one word substituted) -> the
+        # cluster's lowest id must be the sole survivor
+        for _ in range(3):
+            toks = text.split(" ")
+            if did % 3 != 0:
+                toks[rng.randrange(len(toks))] = rng.choice(words)
+            rows.append((did, " ".join(toks)))
+            did += 1
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string())})) \
+        .repartition(8)
+    out = curate_documents(ds, min_words=5, min_alpha=0.1,
+                           jaccard_threshold=0.5).to_pandas()
+
+    # sequential oracle: exact dedup keep-lowest, then drop any doc whose
+    # word-3-gram Jaccard vs a LOWER surviving-or-not id is >= 0.5
+    def shingles(t):
+        w = t.split(" ")
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+    first_by_text = {}
+    for i, t in rows:
+        first_by_text.setdefault(t, i)
+    exact_survivors = sorted(first_by_text.values())
+    sh = {i: shingles(dict(rows)[i]) for i in exact_survivors}
+    drop = set()
+    for j in exact_survivors:
+        for i in exact_survivors:
+            if i >= j:
+                break
+            inter = len(sh[i] & sh[j])
+            union = len(sh[i] | sh[j])
+            if union and inter / union >= 0.5:
+                drop.add(j)
+                break
+    want = [i for i in exact_survivors if i not in drop]
+    assert out["doc_id"].tolist() == want
+    assert len(want) < len(rows) // 2  # the dup rate actually bites
+
+
 def test_asof_join_strictness_ties_and_group_isolation(ray_session):
     """Hand-built case: equal-ts rights are NOT matched (strict <), ties
     among rights at the matched ts resolve to max id, and matches never

@@ -44,13 +44,17 @@ def broadcast_map_batches(ds, factory, **map_kw):
 def cached_object(ref):
     """Fetch-and-cache a broadcast object by its ObjectRef (pass-through
     for plain objects, so driver-side/unit-test callers can hand the raw
-    object). Bounded FIFO: workers interleave tasks of several stages, so
-    a handful of slots avoids thrash without pinning unbounded plasma."""
+    object). Bounded true LRU (hits refresh recency — workers interleave
+    tasks of several stages, so a hot object fetched early must not be the
+    first evicted): a handful of slots avoids thrash without pinning
+    unbounded plasma."""
     if not isinstance(ref, ray.ObjectRef):
         return ref
     key = ref.hex()
-    if key not in _CACHE:
-        if len(_CACHE) >= _CACHE_MAX:
-            _CACHE.pop(next(iter(_CACHE)))
-        _CACHE[key] = ray.get(ref)
+    if key in _CACHE:
+        _CACHE[key] = _CACHE.pop(key)  # move to MRU end
+        return _CACHE[key]
+    if len(_CACHE) >= _CACHE_MAX:
+        _CACHE.pop(next(iter(_CACHE)))  # evict LRU (oldest-use) entry
+    _CACHE[key] = ray.get(ref)
     return _CACHE[key]

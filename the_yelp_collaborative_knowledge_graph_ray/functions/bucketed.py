@@ -48,24 +48,34 @@ def write_bucketed(ds: ray.data.Dataset, key: str, path: str,
                    n_buckets: int = 8) -> str:
     """Write ``ds`` hive-bucketed by ``key`` under ``path``; returns path.
 
-    ATOMIC overwrite: the layout is staged under ``path.tmp<pid>`` and
-    renamed into place, so a crash mid-write never leaves a half-built
-    (or, worse, half-overwritten) layout at ``path`` — readers either see
-    the previous complete layout or the new one, never truncated parts.
+    Near-atomic overwrite: the layout is staged under a uuid-suffixed tmp
+    dir (two writers never collide, even pid-sharing hosts on a shared
+    FS), the PREVIOUS layout is renamed aside (never rmtree'd in place),
+    and the new layout renamed in. A crash therefore leaves either the old
+    complete layout (before the aside-rename), the recoverable aside copy
+    (between the two renames — the one narrow window where ``path`` is
+    briefly absent), or the new complete layout; never truncated parts and
+    never NO recoverable layout. Concurrent readers mid-swap may observe
+    the brief absent window — single-writer-at-a-time remains the layout's
+    documented contract.
     """
     import shutil
+    import uuid
 
     def tag(b: pa.Table) -> pa.Table:
         return b.append_column("bucket", bucket_of(b[key], n_buckets))
 
-    tmp = path + f".tmp{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
+    run = uuid.uuid4().hex[:12]
+    tmp = path + f".tmp-{run}"
     ds.map_batches(tag, batch_format="pyarrow").write_parquet(
         tmp, partition_cols=["bucket"])
     with open(os.path.join(tmp, "meta.json"), "w") as f:
         json.dump({"key": key, "n_buckets": n_buckets}, f)
-    shutil.rmtree(path, ignore_errors=True)
+    old = path + f".old-{run}"
+    if os.path.exists(path):
+        os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
     return path
 
 

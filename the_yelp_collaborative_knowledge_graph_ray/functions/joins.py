@@ -60,21 +60,42 @@ def distinct_int_keys(ds: ray.data.Dataset, cols: list[str],
 
 
 def distinct_str_keys(ds: ray.data.Dataset, cols: list[str],
-                      fanin: int = 8) -> pa.Array:
+                      fanin: int = 8,
+                      cap: int | None = None) -> pa.Array | None:
     """Sorted distinct string values across ``cols``, folded WORKER-SIDE
     (the string sibling of :func:`distinct_int_keys`): per-block unique
     tasks merged through a remote tree; the driver receives exactly ONE
-    array — the final distinct set it was going to broadcast anyway."""
+    array — the final distinct set it was going to broadcast anyway.
+
+    Folding runs in ``large_string`` so a merge of multi-GB node-string
+    sets never overflows 32-bit string offsets mid-tree. With ``cap``
+    set, the size gate ALSO runs remotely: an over-cap distinct set is
+    never shipped to the driver at all — the call returns ``None`` and
+    the caller takes its shuffle-join fallback with zero driver memory
+    spent on the strings. An under-cap result is collected sorted and
+    cast back to ``string`` when its offsets allow (the broadcast-probe
+    fast path downstream is type-agnostic either way)."""
+    ls = pa.large_string()
+
     @ray.remote
     def block_unique(t: pa.Table) -> pa.Array:
         if t.num_rows == 0:
-            return pa.array([], pa.string())
-        return pc.unique(pa.concat_arrays(
-            [pc.cast(t[c], pa.string()).combine_chunks() for c in cols]))
+            return pa.array([], ls)
+        return pc.unique(pa.chunked_array(
+            [pc.cast(t[c], ls) for c in cols]))
 
     @ray.remote
     def merge(*arrs: pa.Array) -> pa.Array:
-        return pc.unique(pa.concat_arrays(list(arrs)))
+        return pc.unique(pa.chunked_array(list(arrs)))
+
+    @ray.remote
+    def finish(arr: pa.Array) -> pa.Array | None:
+        if cap is not None and len(arr) > cap:
+            return None
+        arr = arr.take(pc.sort_indices(arr))
+        if arr.nbytes < (1 << 31) - 64:
+            arr = pc.cast(arr, pa.string())
+        return arr
 
     level = [block_unique.remote(r)
              for r in ds.select_columns(cols).materialize().to_arrow_refs()]
@@ -82,8 +103,9 @@ def distinct_str_keys(ds: ray.data.Dataset, cols: list[str],
         level = [merge.remote(*grp) if len(grp) > 1 else grp[0]
                  for grp in (level[i:i + fanin]
                              for i in range(0, len(level), fanin))]
-    u = ray.get(level[0]) if level else pa.array([], pa.string())
-    return u.take(pc.sort_indices(u))
+    if not level:
+        return pa.array([], pa.string())
+    return ray.get(finish.remote(level[0]))
 
 
 class BloomFilter:

@@ -145,18 +145,22 @@ def _encode_edges_broadcast(edges: ray.data.Dataset
 
     Returns ``(eint, nodes_sorted)``; on cap overflow returns
     ``(edges_materialized, None)`` so the caller falls back to the join
-    path without recomputing the edge Dataset."""
+    path without recomputing the edge Dataset. The cap gate runs INSIDE
+    :func:`joins.distinct_str_keys` (remote, large_string fold): an
+    above-cap graph's node strings are never materialized on the driver
+    on the way to the join fallback."""
     from .joins import distinct_str_keys
     edges = _sever(edges.materialize())
-    nodes = distinct_str_keys(edges, ["src", "dst"])
-    if len(nodes) > BROADCAST_NODES_MAX:
+    nodes = distinct_str_keys(edges, ["src", "dst"],
+                              cap=BROADCAST_NODES_MAX)
+    if nodes is None:
         return edges, None
     nref = ray.put(nodes)
 
     def intify(b: pa.Table) -> pa.Table:
         ns = ray.get(nref)
-        sid = pc.index_in(b["src"], value_set=ns)
-        did = pc.index_in(b["dst"], value_set=ns)
+        sid = pc.index_in(pc.cast(b["src"], ns.type), value_set=ns)
+        did = pc.index_in(pc.cast(b["dst"], ns.type), value_set=ns)
         if sid.null_count or did.null_count:
             raise ValueError("edge endpoint missing from the folded node "
                              "set (non-deterministic upstream recompute?)")

@@ -18,8 +18,11 @@ the whole chain is oracle-checked end to end:
    doc that duplicates a LOWER id (appears as ``doc_b`` of a pair).
    Deterministic keep-lowest without a connected-components pass: in any
    dup chain the lowest id survives and every other member pairs with
-   something lower. The drop set is duplicates-only — small by
-   construction — so it IS broadcast (``ray.put`` once).
+   something lower. The drop side flows through the DISTRIBUTED anti-join
+   (``functions/setops.anti_join``) — at a realistic 20–40% dup rate on
+   100 TB the drop set is billions of ids, so it must never be collected
+   to the driver or broadcast; the anti-join's per-block right-side dedup
+   ships one marker row per (id, block) through ONE co-group exchange.
 4. **emit** — surviving (doc_id, n_words, n_chars) corpus manifest.
 """
 
@@ -83,23 +86,18 @@ def curate_documents(docs: ray.data.Dataset, min_words: int = 8,
         left_key="doc_id", source_key="doc_id", source_val="flag",
         out_col="flag", out_type=i64, num_partitions=num_partitions)
 
-    # near-dup drop set: duplicates only -> small -> broadcast
+    # near-dup removal: distributed anti-join on the pair Dataset's doc_b
+    # side — the drop set is NEVER collected to the driver (at 100 TB it
+    # is billions of ids); the anti-join per-block-dedups the right keys
+    # so each drop id ships once per block through one co-group exchange
+    from ..functions.setops import anti_join
     pairs = ngram_jaccard_pairs(clean.select_columns(["doc_id", "text"]),
                                 threshold=jaccard_threshold,
                                 num_partitions=num_partitions)
-    near_drop = sorted(set(
-        pairs.select_columns(["doc_b"]).to_pandas()["doc_b"]))
-    drop_ref = ray.put(near_drop)
-
-    def final(b: pa.Table) -> pa.Table:
-        nd = ray.get(drop_ref) if isinstance(drop_ref, ray.ObjectRef) \
-            else drop_ref
-        keep = pc.invert(pc.is_in(
-            b["doc_id"], value_set=pa.array(nd or [-1], pa.int64())))
-        return b.filter(keep).select(["doc_id", "n_words", "n_chars"])
-
-    return kept.map_batches(final, batch_format="pyarrow",
-                            zero_copy_batch=True).sort("doc_id")
+    return anti_join(
+        kept, pairs, left_key="doc_id", right_key="doc_b",
+        left_cols=[("doc_id", i64), ("n_words", i64), ("n_chars", i64)],
+        num_partitions=num_partitions).sort("doc_id")
 
 
 AUDIT_KNOWN_TYPES = ("click", "purchase", "signup", "view")

@@ -317,10 +317,12 @@ def build_minhash_index(history: ray.data.Dataset, index_dir: str,
 # worker-process-level LRU over committed text-bucket reads (the verify
 # side of the incremental near-dup engine): each wanted-id batch probes a
 # handful of buckets, and a HOT bucket (wanted by many batches) would be
-# re-read from storage every time. Keyed by (dir, sorted part-file list) so
-# an appended/rewritten layout is never served stale. ``_TEXT_BUCKET_READS``
-# counts actual storage reads per dir — the test hook asserting reads stay
-# <= #buckets per worker.
+# re-read from storage every time. True LRU — a hit refreshes recency, so
+# interleaved stages evict the coldest bucket, not the earliest-inserted
+# hot one. Keyed by (dir, sorted part-file list) so an appended/rewritten
+# layout is never served stale. ``_TEXT_BUCKET_READS`` counts actual
+# storage reads per dir — the test hook asserting reads stay <= #buckets
+# per worker.
 _TEXT_BUCKET_CACHE: dict = {}
 _TEXT_BUCKET_CACHE_MAX = 4
 _TEXT_BUCKET_READS: dict = {}
@@ -334,12 +336,14 @@ def _cached_text_bucket(d: str) -> pa.Table:
                          if f.endswith(".parquet")))
     key = (d, files)
     t = _TEXT_BUCKET_CACHE.get(key)
-    if t is None:
-        if len(_TEXT_BUCKET_CACHE) >= _TEXT_BUCKET_CACHE_MAX:
-            _TEXT_BUCKET_CACHE.pop(next(iter(_TEXT_BUCKET_CACHE)))
-        t = _pq.read_table(d, columns=["doc_id", "text"])
-        _TEXT_BUCKET_CACHE[key] = t
-        _TEXT_BUCKET_READS[d] = _TEXT_BUCKET_READS.get(d, 0) + 1
+    if t is not None:
+        _TEXT_BUCKET_CACHE[key] = _TEXT_BUCKET_CACHE.pop(key)  # -> MRU end
+        return t
+    if len(_TEXT_BUCKET_CACHE) >= _TEXT_BUCKET_CACHE_MAX:
+        _TEXT_BUCKET_CACHE.pop(next(iter(_TEXT_BUCKET_CACHE)))
+    t = _pq.read_table(d, columns=["doc_id", "text"])
+    _TEXT_BUCKET_CACHE[key] = t
+    _TEXT_BUCKET_READS[d] = _TEXT_BUCKET_READS.get(d, 0) + 1
     return t
 
 
@@ -844,8 +848,13 @@ def verify_candidate_pairs(candidates: ray.data.Dataset,
             ids, txt = ray.get(lookup)
             da = b["doc_a"].to_numpy(zero_copy_only=False)
             db = b["doc_b"].to_numpy(zero_copy_only=False)
-            # shingle each distinct doc of THIS batch once
+            # shingle each distinct doc of THIS batch once; an EMPTY block
+            # (Ray emits them) must short-circuit BEFORE the corpus guard,
+            # or an empty candidate set over an empty corpus would raise
             ub = np.unique(np.concatenate([da, db]))
+            if len(ub) == 0:
+                return _pairs_table(
+                    [], [], {"jaccard": pa.array([], pa.float64())})
             pos = np.searchsorted(ids, ub)
             # fail LOUDLY if a candidate id is absent from the corpus (a
             # corrupted/partial texts layout): an unchecked gather here
