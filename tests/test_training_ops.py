@@ -945,14 +945,12 @@ def test_pagerank_join_path_equals_broadcast_path(ray_session, monkeypatch):
 
 def test_semantic_dedup_matches_sequential_reference(ray_session):
     """Distributed SemDeDup == a sequential numpy run of the same pipeline
-    (same sampled centroids, same assignment, same in-cluster greedy) on a
-    corpus with planted near-duplicate groups."""
+    (same fixed-point Lloyd centroids, same integer-L2 assignment, same
+    in-cluster greedy) on a corpus with planted near-duplicate groups."""
     import numpy as np
 
     from the_yelp_collaborative_knowledge_graph_ray.stages.dedup import (
         semantic_dedup)
-    from the_yelp_collaborative_knowledge_graph_ray.stages.similarity import (
-        _kmeans)
 
     rng = np.random.default_rng(42)
     base = rng.normal(size=(12, 16))
@@ -971,13 +969,29 @@ def test_semantic_dedup_matches_sequential_reference(ray_session):
                               pa.list_(pa.float32()))}))
     out = semantic_dedup(ds, threshold=0.9, n_clusters=4).to_pandas()
 
-    # sequential reference: identical sample (the whole set), kmeans,
-    # assignment, and greedy
+    # sequential reference: fp-Lloyd (lowest-id init, integer L2 argmin
+    # with first-min ties, floor-division centroid means, empty clusters
+    # keep their centroid), final integer routing, then the greedy
     m32 = mat.astype(np.float32).astype(np.float64)
     norm = m32 / np.maximum(np.linalg.norm(m32, axis=1, keepdims=True),
                             1e-12)
-    cent = _kmeans(norm, 4)
-    cl = np.argmax(norm @ cent.T, axis=1)
+    mfp = np.floor(m32 * (1 << 20)).astype(np.int64)
+
+    def assign_int(m, c):
+        xx = np.einsum("ij,ij->i", m, m)
+        cc = np.einsum("ij,ij->i", c, c)
+        return (xx[:, None] - 2 * (m @ c.T) + cc[None, :]).argmin(axis=1)
+
+    cent = mfp[:4].copy()
+    for _ in range(5):
+        a = assign_int(mfp, cent)
+        nxt = cent.copy()
+        for c in range(4):
+            sel = mfp[a == c]
+            if len(sel):
+                nxt[c] = sel.sum(axis=0) // len(sel)
+        cent = nxt
+    cl = assign_int(mfp, cent)
     keep_ref = {}
     for c in sorted(set(cl.tolist())):
         members = [i for i in range(len(ids)) if cl[i] == c]

@@ -1471,7 +1471,8 @@ def dedup_canonical_map(docs: ray.data.Dataset, pairs: ray.data.Dataset,
 
 def semantic_dedup(embeddings: ray.data.Dataset, threshold: float = 0.35,
                    n_clusters: int = 16,
-                   sample_rows: int = 4096) -> ray.data.Dataset:
+                   sample_rows: int = 4096,
+                   iters: int = 5) -> ray.data.Dataset:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
     cluster the embedding space, then GREEDILY keep the lowest-id member of
     every cosine>=threshold neighborhood within each cluster — a later
@@ -1480,27 +1481,36 @@ def semantic_dedup(embeddings: ray.data.Dataset, threshold: float = 0.35,
     distinct from the connected-component keep rule of
     :func:`dedup_canonical_map`).
 
-    Scale shape: centroids come from a BOUNDED driver sample (never the full
+    Deterministic end to end (round 5 — the last no-oracle dedup op made
+    hash-gateable): clustering uses the EXACT fixed-point Lloyd trainer on
+    the deterministic low-id sample ``vec_id < sample_rows``
+    (``functions.kmeans.kmeans_fp`` — the same bit-reproducible quantizer
+    the green IVF twin uses) and integer squared-L2 routing with ties to
+    the lowest cluster id; the in-cluster greedy compares cosines rounded
+    to 1e-6 (the green ann-cosine idiom). The DuckDB twin
+    (``queries._semantic_dedup_sql``) unrolls the Lloyd chain and replays
+    the greedy with a per-cluster recursive CTE carrying the kept set.
+
+    Scale shape: centroids come from a BOUNDED sample (never the full
     matrix) and are broadcast once via ``ray.put``; cluster assignment is a
-    stateless actor-pool ``map_batches``; ONE sort on cluster colocates each
-    complete cluster in a block (functions/grouped.py invariant), and the
-    in-block greedy does one (k x k) matmul per cluster plus an O(k) scan
-    with vectorized inner steps. Per-cluster size is the memory bound —
-    size ``n_clusters`` to the corpus (the same bound IVF documents).
-    Approximate by design: a near-dup pair split across clusters is missed,
-    so the driver check is rows-only; the pytest asserts exact equality
-    with a sequential reference of the same greedy on the same clusters.
+    stateless broadcast-state ``map_batches``; ONE sort on cluster
+    colocates each complete cluster in a block (functions/grouped.py
+    invariant), and the in-block greedy does one (k x k) matmul per
+    cluster plus an O(k) scan with vectorized inner steps. Per-cluster
+    size is the memory bound — size ``n_clusters`` to the corpus (the same
+    bound IVF documents). Still approximate BY DESIGN at the clustering
+    level (a near-dup pair split across clusters is missed) — but now
+    deterministically so, hence oracle-checkable.
 
     Output: (vec_id, cluster, keep) sorted by vec_id.
     """
     from ..functions.grouped import sorted_group_apply
-    from .similarity import _kmeans
+    from ..functions.kmeans import _assign, _fp_matrix, kmeans_fp
 
-    sample_tab = embeddings.limit(sample_rows).to_pandas()
-    sample = np.asarray(sample_tab["embedding"].tolist(), dtype=np.float64)
-    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True),
-                         1e-12)
-    cent_ref = ray.put(_kmeans(sample, n_clusters))
+    sample = embeddings.filter(expr=f"vec_id < {sample_rows}")
+    _unused_assignments, cents = kmeans_fp(sample, k=n_clusters,
+                                           iters=iters)
+    cent_ref = ray.put(cents)
 
     class Assign:
         def __init__(self):
@@ -1508,7 +1518,7 @@ def semantic_dedup(embeddings: ray.data.Dataset, threshold: float = 0.35,
 
         def __call__(self, b: pa.Table) -> pa.Table:
             ids, mat = _load_matrix(b)
-            cl = np.argmax(mat @ self.cent.T, axis=1).astype(np.int64)
+            cl = _assign(_fp_matrix(b, "embedding"), self.cent)
             return pa.table({
                 "vec_id": pa.array(ids.astype(np.int64)),
                 "cluster": pa.array(cl),
