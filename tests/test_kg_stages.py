@@ -102,6 +102,50 @@ def test_canonicalize_rewrites_and_splits():
     assert out.num_rows == 4
 
 
+def test_canonicalize_shuffle_equals_broadcast(ray_session):
+    """The shuffle-join rewrite (the too-big-to-broadcast scale path) must
+    be row-identical to the broadcast rewrite — multi-target splits,
+    unmapped pass-through forms, and groups spread across blocks all
+    included; the auto selector must pick each path at its threshold."""
+    import random
+
+    rng = random.Random(13)
+    forms = [f"form{i:03d}" for i in range(40)]
+    cmap = {}
+    for i, f in enumerate(forms[:25]):
+        if i % 5 == 0:
+            cmap[f] = (f"canon{i}a", f"canon{i}b")  # split hyperedge
+        else:
+            cmap[f] = (f"canon{i}",)
+    n = 2000
+    objs = [C.ENT + "mention/" + rng.choice(forms) for _ in range(n)]
+    triples = pa.table({
+        "subj": [f"t{i}" for i in range(n)],
+        "pred": [C.PRED_MENTIONS] * n,
+        "obj": objs,
+        "obj_is_literal": [False] * n,
+        "obj_datatype": pa.nulls(n, pa.string()),
+        "src_conv_id": ["c"] * n,
+        "src_turn_idx": pa.array([0] * n, pa.int32()),
+    }, schema=extract.TRIPLE_SCHEMA)
+    ds = ray.data.from_arrow(triples).repartition(7)
+
+    key = ["subj", "pred", "obj"]
+    bcast = canon.canonicalize_mentions(ds, cmap).to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    shuf = canon.canonicalize_mentions_shuffle(
+        ds, canon.canon_map_to_dataset(cmap), num_partitions=3) \
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    assert bcast.equals(shuf)
+    # auto selector: tiny threshold forces the shuffle path, default the
+    # broadcast path — both equal
+    auto_s = canon.canonicalize_mentions_auto(ds, cmap, max_broadcast=1) \
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    auto_b = canon.canonicalize_mentions_auto(ds, cmap) \
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    assert auto_s.equals(bcast) and auto_b.equals(bcast)
+
+
 def test_link_scorer_exact_overrides_and_threshold(sf_tiny):
     snap = link.load_snapshot(sf_tiny)
     scorer = link.LinkScorer(snap)
