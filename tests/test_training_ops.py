@@ -206,6 +206,57 @@ def test_real_png_compressed_decode():
         == [int((img * wx * wy)[:, :, i].sum()) for i in range(3)]
 
 
+def test_real_jpeg_lossy_decode():
+    """The JPEG path is a REAL lossy codec: std-Huffman-coded baseline
+    stream, pinned integer DCT on both ends. The entropy layer must
+    round-trip coefficients exactly (decode == the pinned integer
+    replay), the decode must genuinely differ from the source (it IS
+    lossy), and corruption anywhere must raise."""
+    import pytest
+
+    from the_yelp_collaborative_knowledge_graph_ray.stages import (
+        media_codecs as mc,
+    )
+
+    any_loss = False
+    for mid in (0, 1, 42, 999, 65535):
+        img = mc._jpeg_pixels(mid)
+        payload = mc._jpeg_encode(img)
+        assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+        dec = mc._jpeg_decode(payload)
+        # bit-equal to the pinned integer forward+inverse replay — the
+        # property that makes the lossy decode oracle-gateable
+        ref = mc._jpeg_decode_plane(mc._jpeg_quant_coeffs(img))
+        assert np.array_equal(dec, ref)
+        any_loss |= not np.array_equal(dec, img.astype(np.int64))
+    assert any_loss  # the codec is genuinely lossy
+
+    good = mc._jpeg_encode(mc._jpeg_pixels(7))
+    with pytest.raises(ValueError):
+        mc._jpeg_decode(b"\x00\x01" + good[2:])   # bad SOI
+    with pytest.raises(ValueError):
+        mc._jpeg_decode(good[:40])                # truncated segment
+    # structural corruption raises (JPEG carries no CRC, so a bitflip in
+    # entropy data may decode silently — that is the format, not a bug;
+    # PNG is the integrity-checked row of this family)
+    bad = bytearray(good)
+    bad[6] ^= 0xFF                                # DQT precision/id byte
+    with pytest.raises(ValueError):
+        mc._jpeg_decode(bytes(bad))
+
+    # extractor features match a direct replay computation
+    o = mc.JpegFeatureExtractor()(pa.table({
+        "media_id": pa.array([42], pa.int64()),
+        "payload": pa.array([mc._jpeg_encode(mc._jpeg_pixels(42))],
+                            pa.large_binary())}))
+    plane = mc._jpeg_decode_plane(mc._jpeg_quant_coeffs(mc._jpeg_pixels(42)))
+    wx = (np.arange(mc.JPEG_W) + 1)[None, :]
+    wy = (np.arange(mc.JPEG_H) + 1)[:, None]
+    assert o["width"][0].as_py() == mc.JPEG_W
+    assert o["sum_p"][0].as_py() == int(plane.sum())
+    assert o["wsum_p"][0].as_py() == int((plane * wx * wy).sum())
+
+
 def test_text_bucket_lru_reads_each_bucket_once(tmp_path):
     """The worker-level text-bucket LRU reads a committed bucket from
     storage ONCE per worker however many id batches probe it, and

@@ -394,3 +394,436 @@ def png_features(docs: ray.data.Dataset, concurrency: int = 4,
         PngFeatureExtractor(), batch_format="pyarrow",
         batch_size=batch_size, zero_copy_batch=True).sort("media_id")
 
+
+# --------------------------------------------------------------------------
+# JPEG — a real LOSSY codec, pure stdlib+numpy (Huffman + quant + int IDCT)
+# --------------------------------------------------------------------------
+# The verdict-#6 route to an oracle-gateable LOSSY decode: lossy output is
+# normally encoder-version-dependent (libjpeg's float/SIMD IDCT variants),
+# but here BOTH ends of the pipe pin the same integer transform — the
+# synthesizer encodes with a fixed-point forward DCT (the hardcoded
+# orthonormal basis below at scale 2^13), floor-rounded quantization
+# against the pinned Annex-K-style table, and the standard baseline
+# Huffman entropy layer; the decoder REALLY parses the JFIF stream
+# (markers, DQT, SOF0, DHT, SOS), Huffman-decodes the entropy segment
+# (bit reader with 0xFF00 unstuffing), dezigzags, dequantizes and applies
+# the same pinned integer IDCT. Every arithmetic step is exact int64, so
+# the decoded plane — though LOSSY vs the source — is a deterministic
+# pure-integer function of the synthesis formula that the DuckDB twin
+# replays step for step (queries._jpeg_sql: separable DCT as two joined
+# integer matrix products, floor-division quantize, IDCT back, clamp).
+# Huffman itself is lossless, so the oracle never needs to model it: the
+# decoder's coefficients provably equal the encoder's or the stream would
+# not parse. What remains behind the external-codec seam in
+# stages/multimodal.py shrinks to FLAC/MP4.
+
+JPEG_W, JPEG_H = 16, 16
+
+# orthonormal DCT-II basis, scale 2^13 (entries sit far from .5 before
+# rounding — pinned as literals so no platform's libm can perturb them)
+_DCT_BITS = 13
+_DCT_AI = np.array([
+    (2896, 2896, 2896, 2896, 2896, 2896, 2896, 2896),
+    (4017, 3406, 2276, 799, -799, -2276, -3406, -4017),
+    (3784, 1567, -1567, -3784, -3784, -1567, 1567, 3784),
+    (3406, -799, -4017, -2276, 2276, 4017, 799, -3406),
+    (2896, -2896, -2896, 2896, 2896, -2896, -2896, 2896),
+    (2276, -4017, 799, 3406, -3406, -799, 4017, -2276),
+    (1567, -3784, 3784, -1567, -1567, 3784, -3784, 1567),
+    (799, -2276, 3406, -4017, 4017, -3406, 2276, -799)], np.int64)
+
+# JPEG Annex K luminance quantization table (quality ~50), row-major
+_JPEG_Q = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99]], np.int64)
+
+# zigzag scan order: _ZIGZAG[i] = (row, col) of the i-th scanned coeff
+_ZIGZAG = [(0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+           (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+           (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
+           (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
+           (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
+           (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
+           (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
+           (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7)]
+
+# standard baseline Huffman table specs (DHT payload form): (bits, values)
+_HUFF_DC = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+            list(range(12)))
+_HUFF_AC = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+     0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7,
+     0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+     0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
+     0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+     0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa])
+
+
+def _huff_codes(bits: list[int], values: list[int]) -> dict[int, tuple]:
+    """Canonical Huffman: symbol -> (code, length). JPEG's DHT convention:
+    codes of each length assigned in value-list order, code doubling at
+    each length step."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[values[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_pixels(media_id: int) -> np.ndarray:
+    """(h, w) uint8 grayscale source plane: p = (x*3 + y*7 + id*5) % 256."""
+    y, x = np.meshgrid(np.arange(JPEG_H), np.arange(JPEG_W), indexing="ij")
+    return ((x * 3 + y * 7 + media_id * 5) % 256).astype(np.uint8)
+
+
+def _jpeg_quant_coeffs(img: np.ndarray) -> np.ndarray:
+    """Forward path both engines share: per 8x8 block, level shift, the
+    pinned integer FDCT (scale 2^26 after two 2^13 products), then
+    floor-division quantization with half-step rounding bias. Returns the
+    (n_by, n_bx, 8, 8) int64 quantized coefficient planes."""
+    h, w = img.shape
+    sh = img.astype(np.int64) - 128
+    D = _JPEG_Q << (2 * _DCT_BITS)
+    out = np.zeros((h // 8, w // 8, 8, 8), np.int64)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            blk = sh[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+            F = _DCT_AI @ blk @ _DCT_AI.T           # scale 2^26
+            out[by, bx] = (F + (D >> 1)) // D       # floor; exact twin
+    return out
+
+
+def _jpeg_decode_plane(q: np.ndarray) -> np.ndarray:
+    """Inverse path both engines share: dequantize, pinned integer IDCT,
+    floor-rounded rescale, +128 level shift, clamp to [0, 255]."""
+    n_by, n_bx = q.shape[:2]
+    out = np.zeros((n_by * 8, n_bx * 8), np.int64)
+    half = 1 << (2 * _DCT_BITS - 1)
+    for by in range(n_by):
+        for bx in range(n_bx):
+            R = q[by, bx] * _JPEG_Q
+            P = _DCT_AI.T @ R @ _DCT_AI             # scale 2^26
+            pix = ((P + half) >> (2 * _DCT_BITS)) + 128
+            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                np.clip(pix, 0, 255)
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:           # byte stuffing
+                self.buf.append(0x00)
+            self.n -= 8
+
+    def finish(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+        return bytes(self.buf)
+
+
+def _category(v: int) -> int:
+    """JPEG magnitude category: smallest s with |v| < 2^s."""
+    return int(abs(v)).bit_length()
+
+
+def _jpeg_encode(img: np.ndarray) -> bytes:
+    """Minimal REAL baseline JPEG encoder (grayscale, no subsampling):
+    JFIF markers, one DQT, SOF0, two DHTs (std DC/AC luminance), SOS,
+    Huffman-coded entropy data with byte stuffing, EOI."""
+    h, w = img.shape
+    qc = _jpeg_quant_coeffs(img)
+    dc_codes = _huff_codes(*_HUFF_DC)
+    ac_codes = _huff_codes(*_HUFF_AC)
+    bw = _BitWriter()
+    pred = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            blk = qc[by, bx]
+            zz = [int(blk[r, c]) for r, c in _ZIGZAG]
+            diff = zz[0] - pred
+            pred = zz[0]
+            s = _category(diff)
+            code, ln = dc_codes[s]
+            bw.write(code, ln)
+            if s:
+                amp = diff if diff >= 0 else diff + (1 << s) - 1
+                bw.write(amp, s)
+            run = 0
+            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+            for i in range(1, last_nz + 1):
+                v = zz[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]     # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                s = _category(v)
+                code, ln = ac_codes[(run << 4) | s]
+                bw.write(code, ln)
+                amp = v if v >= 0 else v + (1 << s) - 1
+                bw.write(amp, s)
+                run = 0
+            if last_nz < 63:
+                code, ln = ac_codes[0x00]         # EOB
+                bw.write(code, ln)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) \
+            + payload
+
+    zz_q = bytes(int(_JPEG_Q[r, c]) for r, c in _ZIGZAG)
+    dqt = seg(0xDB, b"\x00" + zz_q)
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1)
+              + bytes([1, 0x11, 0]))
+    dht = (seg(0xC4, b"\x00" + bytes(_HUFF_DC[0]) + bytes(_HUFF_DC[1]))
+           + seg(0xC4, b"\x10" + bytes(_HUFF_AC[0]) + bytes(_HUFF_AC[1])))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (b"\xff\xd8" + dqt + sof + dht + sos + bw.finish()
+            + b"\xff\xd9")
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy segment with 0xFF00
+    unstuffing; raises on markers/truncation (dead-letter contract)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy segment truncated")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy segment truncated at 0xFF")
+            m = self.data[self.pos]
+            if m == 0x00:
+                self.pos += 1                      # stuffed byte
+            elif m == 0xD9:                        # EOI reached mid-read:
+                b = 0x00                           # treat as pad bits
+                self.pos -= 1                      # leave EOI unconsumed
+            else:
+                raise ValueError(f"unexpected marker 0xFF{m:02x} in "
+                                 "entropy data")
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode_map(bits: list[int], values: list[int]) -> dict:
+    """(length, code) -> symbol decode map from a DHT payload spec."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _read_symbol(br: _BitReader, table: dict) -> int:
+    code, ln = 0, 0
+    while ln < 17:
+        code = (code << 1) | br.bit()
+        ln += 1
+        if (ln, code) in table:
+            return table[(ln, code)]
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """Amplitude sign-extension: top bit 0 means negative branch."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_decode(payload: bytes) -> np.ndarray:
+    """Real baseline-JPEG decode: marker walk (DQT/SOF0/DHT/SOS), Huffman
+    entropy decode with DC prediction + EOB/ZRL handling, dezigzag,
+    dequantize against the STREAM's quant table, pinned integer IDCT,
+    clamp. Grayscale / no-subsampling / baseline only (what the engine
+    synthesizes); raises ``ValueError`` on anything else or any
+    corruption. General-purpose decode stays behind the PIL seam."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtab = None
+    dc_map = ac_map = None
+    w = h = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            raise ValueError("JPEG has no scan data (EOI before SOS)")
+        (ln,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        data = payload[pos + 4:pos + 2 + ln]
+        if len(data) != ln - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:
+            if data[0] != 0x00:
+                raise ValueError("only 8-bit quant table 0 supported")
+            zz = list(data[1:65])
+            qtab = np.zeros((8, 8), np.int64)
+            for i, (r, c) in enumerate(_ZIGZAG):
+                qtab[r, c] = zz[i]
+        elif marker == 0xC0:
+            prec, h, w, ncomp = struct.unpack(">BHHB", data[:6])
+            if prec != 8 or ncomp != 1 or data[7] != 0x11:
+                raise ValueError("only 8-bit single-component baseline "
+                                 "JPEG without subsampling supported")
+            if h % 8 or w % 8:
+                raise ValueError("image dims must be multiples of 8")
+        elif marker == 0xC4:
+            cls_id = data[0]
+            bits = list(data[1:17])
+            values = list(data[17:17 + sum(bits)])
+            if cls_id == 0x00:
+                dc_map = _huff_decode_map(bits, values)
+            elif cls_id == 0x10:
+                ac_map = _huff_decode_map(bits, values)
+            else:
+                raise ValueError(f"unsupported DHT class/id 0x{cls_id:02x}")
+        elif marker == 0xDA:
+            if qtab is None or dc_map is None or ac_map is None \
+                    or w is None:
+                raise ValueError("JPEG SOS before DQT/SOF/DHT")
+            br = _BitReader(payload, pos + 2 + ln)
+            n_bx, n_by = w // 8, h // 8
+            q = np.zeros((n_by, n_bx, 8, 8), np.int64)
+            pred = 0
+            for by in range(n_by):
+                for bx in range(n_bx):
+                    zz = [0] * 64
+                    s = _read_symbol(br, dc_map)
+                    diff = _extend(br.bits(s), s) if s else 0
+                    pred += diff
+                    zz[0] = pred
+                    i = 1
+                    while i < 64:
+                        sym = _read_symbol(br, ac_map)
+                        if sym == 0x00:            # EOB
+                            break
+                        run, s = sym >> 4, sym & 0x0F
+                        if s == 0:
+                            if run != 15:
+                                raise ValueError(
+                                    f"invalid AC symbol 0x{sym:02x}")
+                            i += 16                # ZRL
+                            continue
+                        i += run
+                        if i > 63:
+                            raise ValueError("AC run overflows block")
+                        zz[i] = _extend(br.bits(s), s)
+                        i += 1
+                    for k, (r, c) in enumerate(_ZIGZAG):
+                        q[by, bx, r, c] = zz[k]
+            # hand the stream's quant table to the shared inverse path
+            global_q = _JPEG_Q
+            if not np.array_equal(qtab, global_q):
+                # still decode correctly with the stream's table
+                n_by2, n_bx2 = q.shape[:2]
+                out = np.zeros((n_by2 * 8, n_bx2 * 8), np.int64)
+                half = 1 << (2 * _DCT_BITS - 1)
+                for by in range(n_by2):
+                    for bx in range(n_bx2):
+                        R = q[by, bx] * qtab
+                        P = _DCT_AI.T @ R @ _DCT_AI
+                        out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                            np.clip(((P + half) >> (2 * _DCT_BITS)) + 128,
+                                    0, 255)
+                return out
+            return _jpeg_decode_plane(q)
+        pos += 2 + ln
+    raise ValueError("JPEG has no SOS segment")
+
+
+def synthesize_jpeg_media(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(media_id, payload): one REAL baseline JPEG per document."""
+    def mk(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        payloads = [_jpeg_encode(_jpeg_pixels(int(m))) for m in ids.tolist()]
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.large_binary())})
+
+    return docs.map_batches(mk, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class JpegFeatureExtractor:
+    """Stateless callable: REAL lossy decode (Huffman + dequant + pinned
+    integer IDCT) + exact integer features of the DECODED (not source)
+    plane — sum and the positionally-weighted wsum ((x+1)·(y+1)·p) that
+    catches row/column permutation bugs."""
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        mid, ws, hs, sums, wsums = [], [], [], [], []
+        wx = (np.arange(JPEG_W) + 1)[None, :]
+        wy = (np.arange(JPEG_H) + 1)[:, None]
+        for i in range(b.num_rows):
+            img = _jpeg_decode(bytes(b["payload"][i].as_py()))
+            mid.append(b["media_id"][i].as_py())
+            hs.append(img.shape[0])
+            ws.append(img.shape[1])
+            sums.append(int(img.sum()))
+            wsums.append(int((img * wx * wy).sum()))
+        return pa.table({
+            "media_id": pa.array(mid, pa.int64()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "sum_p": pa.array(sums, pa.int64()),
+            "wsum_p": pa.array(wsums, pa.int64())})
+
+
+def jpeg_features(docs: ray.data.Dataset,
+                  batch_size: int = 256) -> ray.data.Dataset:
+    return synthesize_jpeg_media(docs).map_batches(
+        JpegFeatureExtractor(), batch_format="pyarrow",
+        batch_size=batch_size, zero_copy_batch=True).sort("media_id")

@@ -14,12 +14,15 @@ actor signature, batch sizing, output layout — is real and tested; swapping
 ``_decode_fake`` for a PIL/ffmpeg call changes nothing else. For formats
 decodable with the standard library, ``stages/media_codecs.py`` implements
 the decode FOR REAL with the same actor-pool seams, oracle-gated end to
-end: RIFF/PCM WAV via ``wave``, binary P6 PPM via numpy, and — round 4 —
+end: RIFF/PCM WAV via ``wave``, binary P6 PPM via numpy, round 4's
 zlib-DEFLATE **PNG** (chunk walk + CRC32 verification + all five scanline
-filters), which crosses a genuine COMPRESSION boundary. The remaining stub
-scope is therefore only the LOSSY formats, whose decoded output is
-encoder-version-dependent and could never be oracle-gated bit-exactly
-anyway.
+filters — a genuine COMPRESSION boundary), and round 5's baseline
+**JPEG** — a genuinely LOSSY codec (std Huffman entropy layer, Annex-K
+quantization) made oracle-gateable by pinning the same integer DCT on
+both ends, so the decoded plane is a deterministic integer function the
+SQL twin replays. The remaining stub scope is FLAC/MP4 — formats whose
+spec-mandated decoders (LPC audio frames, H.264 motion compensation)
+are beyond a from-scratch stdlib implementation, not merely lossy.
 """
 
 from __future__ import annotations
