@@ -137,12 +137,16 @@ def build_graph(transcripts: ray.data.Dataset, fixture_dir: str,
         # spill passes — materializing the raw full-IRI triples here
         # pushed 2-4x the bytes through the shared object store (the
         # bench800 plasma ceiling). Range sorts are single remote tasks
-        # (corpus/n_buckets rows each), so run 8 concurrently — the commit
-        # threads are light and the tasks schedule like any other work.
+        # (corpus/n_buckets rows each, ~1 CPU apiece), so size their
+        # concurrency TO THE CLUSTER: the fixed 8 of round 4 left half a
+        # 16-CPU node idle through the whole ranges phase (measured
+        # 33 s of 123 s at bench3200/16); capped at 16 so peak per-task
+        # heap (~2.5 GB sort+decode working set) stays bounded.
+        cr = min(16, max(8, int(ray.cluster_resources().get("CPU", 8))))
         return materialize.materialize_partitioned(
             all_triples, CheckpointedRun(final_ckpt_dir), stage="final",
             known_combos=C.KNOWN_COMBOS, bundle_rows=None,
-            n_buckets=n_buckets, concurrent_ranges=8, encode_first=True)
+            n_buckets=n_buckets, concurrent_ranges=cr, encode_first=True)
     final = _stage("final", lambda: materialize.materialize(
         all_triples, known_combos=C.KNOWN_COMBOS, bundle_rows=1_048_576),
         upstream=["structural", "canonical_mentions", "links"])

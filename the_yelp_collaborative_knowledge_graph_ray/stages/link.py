@@ -112,11 +112,19 @@ def get_encoder(name: str | None = None):
     * ``"transformer"``: a real SentenceTransformer bi-encoder
       (``category_mappings.py:77`` uses one) when ``sentence_transformers``
       is importable; the swap is this one config flag — snapshot build and
-      scorer both go through this registry, nothing else changes. Interface
-      parity is pytest-asserted (skip-if-absent in this container)."""
+      scorer both go through this registry, nothing else changes.
+    * ``"mini_transformer"``: the VENDORED pure-numpy transformer
+      (``stages/mini_encoder.py`` — seeded weights, real attention/FFN/LN
+      forward pass), so the transformer lane runs and is parity-tested
+      OFFLINE in this container (round 5; the sentence_transformers wheel
+      has never been installable here). Linking quality under each lane
+      is measured in BASELINE.md "encoder lanes"."""
     name = name or C.LINK_ENCODER
     if name == "hashed":
         return _embed
+    if name == "mini_transformer":
+        from .mini_encoder import mini_encoder
+        return mini_encoder()
     if name == "transformer":
         from sentence_transformers import SentenceTransformer  # import-guarded
         model = SentenceTransformer("all-MiniLM-L6-v2")

@@ -552,13 +552,25 @@ def materialize_partitioned(triples: ray.data.Dataset, ck, stage: str = "final",
             return pa.table({"bucket": pa.array(out_b, pa.int32()),
                              "rows": pa.array(out_r, pa.int64())})
 
-        enc = enc_ds if encode_first else \
-            triples.map_batches(local_dedup, batch_format="pyarrow",
-                                batch_size=bundle_rows,
-                                zero_copy_batch=True) \
-                   .map_batches(encode, batch_format="pyarrow",
-                                zero_copy_batch=True)
+        if encode_first:
+            # the encoded corpus is MATERIALIZED, so bundling here cannot
+            # fuse into (and serialize) an upstream read — bundle to ~4M
+            # rows (~250 MB encoded) per spill task. Per-task spill writes
+            # then produce a handful of LARGE per-bucket runs instead of
+            # one sliver per tiny block: measured at bench3200, hundreds
+            # of ~1 MB files per bucket became ~tens, and every range
+            # sort's file-open tail shrank with them (round-5 VERDICT #1).
+            enc = enc_ds
+            spill_bundle = 4_194_304
+        else:
+            enc = triples.map_batches(local_dedup, batch_format="pyarrow",
+                                      batch_size=bundle_rows,
+                                      zero_copy_batch=True) \
+                         .map_batches(encode, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+            spill_bundle = None
         summary = enc.map_batches(write_block, batch_format="pyarrow",
+                                  batch_size=spill_bundle,
                                   zero_copy_batch=True).take_all()
         per = {}
         for r in summary:
@@ -574,49 +586,56 @@ def materialize_partitioned(triples: ray.data.Dataset, ck, stage: str = "final",
     part_keys = [f"{bk:05d}" for bk in range(eff)]
 
     @ray.remote
-    def sort_bucket_task(file_list: list[str]) -> pa.Table:
-        # external-sort reduce: ONE vectorized Arrow pass per range. The
-        # spill pass already did the only all-to-all (range partitioning
-        # to disk), so sorting a bucket needs no second shuffle — read the
-        # bucket's spill runs, one C++ sort_by over the 6 encoded sort
-        # columns, then the shared neighbor-dedup + string restore. This
-        # replaces a per-range Ray *sort job* (driver-coordinated sample
-        # pass + map + merge stages), whose fixed overhead dominated small
-        # ranges and whose extra object-store exchange was the residual
-        # cost at the memory boundary (BASELINE.md "bench800").
+    def sort_bucket_to_file(file_list: list[str], out_path: str) -> int:
+        # external-sort reduce: ONE vectorized Arrow pass per range, with
+        # the parquet WRITE inside the same task. The spill pass already
+        # did the only all-to-all (range partitioning to disk), so sorting
+        # a bucket needs no second shuffle — read the bucket's spill runs,
+        # one C++ sort_by over the 6 encoded sort columns, the shared
+        # neighbor-dedup + string restore, then write the committed range
+        # file directly. Writing here (round 5) instead of returning the
+        # decoded table to a separate write task keeps the ~1 GB decoded
+        # range out of the shared object store entirely — at high CPU
+        # counts those return copies were pure plasma pressure, exactly
+        # the shared-store ceiling the in-session scaling pairs measure.
         t = pa.concat_tables(pqt.read_table(f) for f in file_list)
         t = t.combine_chunks().sort_by(
             [(c, "ascending") for c in ENC_SORT_COLS])
-        return decode_dedup(t)
+        t = decode_dedup(t)
+        pqt.write_table(t, out_path)
+        return t.num_rows
 
-    def build_bucket(pkey: str) -> ray.data.Dataset:
+    def write_bucket(pkey: str, data_dir: str) -> None:
         if fail_hook is not None:
             fail_hook(pkey)
         bdir = os.path.join(spill_dir, f"bucket={int(pkey)}")
         files = [os.path.join(bdir, f) for f in sorted(os.listdir(bdir))
                  if f.endswith(".parquet")]
         if not files:
-            return ray.data.from_arrow(OUT_SCHEMA.empty_table())
+            return  # empty range: data dir stays empty (rows=0 manifest)
         # single-task in-memory sort whenever the bucket's spill bytes fit
         # a worker's heap; a bucket that outgrew the plan's sizing (skewed
         # range, undersized n_buckets) falls back to a distributed Ray
         # sort job over the same files — same output, bounded memory.
         spill_bytes = sum(os.path.getsize(f) for f in files)
         if spill_bytes <= task_sort_max_bytes:
-            return ray.data.from_arrow_refs(
-                [sort_bucket_task.remote(files)])
-        return ray.data.read_parquet(files) \
+            ray.get(sort_bucket_to_file.remote(
+                files, os.path.join(data_dir, "part-00000.parquet")))
+            return
+        ray.data.read_parquet(files) \
             .sort(ENC_SORT_COLS) \
             .map_batches(decode_dedup, batch_format="pyarrow",
-                         batch_size=None, zero_copy_batch=True)
+                         batch_size=None, zero_copy_batch=True) \
+            .write_parquet(data_dir)
 
     # concurrent_ranges > 1 sorts that many ranges as concurrent Ray jobs
     # (each still commits atomically) — amortizes the per-sort-job startup
     # that otherwise serializes n_buckets times; keep 1 for strictly
     # ordered resume points (the checkpointed-job default).
-    return ck.partitioned_stage(stage + "_ranges", part_keys, build_bucket,
+    return ck.partitioned_stage(stage + "_ranges", part_keys, None,
                                 upstream=[stage + "_spill", *upstream],
-                                max_concurrent=concurrent_ranges)
+                                max_concurrent=concurrent_ranges,
+                                write_one=write_bucket)
 
 
 def render_ntriples(batch: pa.Table) -> pa.Table:

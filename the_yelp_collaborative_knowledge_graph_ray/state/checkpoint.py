@@ -140,7 +140,9 @@ class CheckpointedRun:
     def partitioned_stage(self, name: str, partitions: list[str],
                           build_one: Callable[[str], ray.data.Dataset],
                           upstream: list[str] = (),
-                          max_concurrent: int = 1) -> ray.data.Dataset:
+                          max_concurrent: int = 1,
+                          write_one: Callable[[str, str], None] | None = None
+                          ) -> ray.data.Dataset:
         """Run (or resume) a stage sharded by ``partitions``.
 
         Each partition key is built by ``build_one(pkey)``, written to its
@@ -149,6 +151,14 @@ class CheckpointedRun:
         lineage). A rerun skips every complete partition — death at
         partition k recomputes only k..n. When all partitions are complete
         a stage-level manifest aggregates the per-partition rows.
+
+        ``write_one(pkey, data_dir)``, when given, REPLACES the
+        build-Dataset-then-write path for a partition: the callable
+        populates ``data_dir`` with the partition's parquet files itself
+        (e.g. from inside ONE remote task, skipping the object-store round
+        trip of returning the data to a separate write task — the
+        materialize fast path). Commit protocol, manifests and resume
+        semantics are identical; ``build_one`` is ignored when set.
 
         ``max_concurrent > 1`` runs that many partition builds as
         CONCURRENT Ray Data jobs (driver threads; each partition still
@@ -175,8 +185,13 @@ class CheckpointedRun:
             shutil.rmtree(tmp, ignore_errors=True)
             os.makedirs(tmp)
             t0 = time.time()
-            ds = build_one(pkey)
-            ds.write_parquet(os.path.join(tmp, "data"))
+            if write_one is not None:
+                ddir0 = os.path.join(tmp, "data")
+                os.makedirs(ddir0, exist_ok=True)
+                write_one(pkey, ddir0)
+            else:
+                ds = build_one(pkey)
+                ds.write_parquet(os.path.join(tmp, "data"))
             files, rows = [], 0
             ddir = os.path.join(tmp, "data")
             for fn in sorted(os.listdir(ddir)):
