@@ -308,8 +308,13 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-sessions", action="store_true",
                     help="node-scaling experiment: 1 solo 8-CPU session vs "
-                         "4 concurrent independent 8-CPU sessions on "
-                         "bench800 (the BASELINE.md round-4 headline)")
+                         "4 concurrent independent 8-CPU sessions (the "
+                         "BASELINE.md node-scaling headline)")
+    ap.add_argument("--sessions-sf", default="bench3200",
+                    help="fixture profile for --scaling-sessions (round-5 "
+                         "default: the ~227M-triple corpus, per the "
+                         "protocol's >=60s steady-state clause; round 4 "
+                         "used bench800)")
     ap.add_argument("--docs", action="store_true",
                     help="time the dedup/curation suite at 200k docs")
     ap.add_argument("--scaling-sf", default="bench3200",
@@ -334,7 +339,7 @@ def main() -> None:
     elif args.docs:
         print(json.dumps(run_docs(args.num_cpus)))
     elif args.scaling_sessions:
-        print(json.dumps(run_sessions_scaling("bench800", n=8, k=4)))
+        print(json.dumps(run_sessions_scaling(args.sessions_sf, n=8, k=4)))
     elif args.scaling:
         # the memory-boundary corpora always use the range-bucketed final
         # (the monolithic sort of a 50M+-triple encoded payload is exactly
