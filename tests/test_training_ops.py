@@ -257,6 +257,61 @@ def test_real_jpeg_lossy_decode():
     assert o["wsum_p"][0].as_py() == int((plane * wx * wy).sum())
 
 
+def test_real_flac_lossless_decode():
+    """The FLAC path is a real entropy-coded lossless codec: Rice-coded
+    order-2 fixed-predictor residuals, bit-level decode, and ALL THREE
+    integrity layers verified (frame-header CRC-8, frame CRC-16,
+    STREAMINFO MD5 of the decoded samples)."""
+    import pytest
+
+    from the_yelp_collaborative_knowledge_graph_ray.stages import (
+        media_codecs as mc,
+    )
+
+    for mid in (0, 1, 42, 999):
+        x = mc._flac_samples(mid)
+        payload = mc._flac_encode(x)
+        assert payload[:4] == b"fLaC"
+        assert len(payload) < 2 * len(x)          # genuinely compressed
+        assert np.array_equal(mc._flac_decode(payload),
+                              x.astype(np.int64))
+
+    good = mc._flac_encode(mc._flac_samples(7))
+    with pytest.raises(ValueError):
+        mc._flac_decode(b"fLaX" + good[4:])       # bad magic
+    with pytest.raises(ValueError):
+        mc._flac_decode(good[:60])                # truncated
+    # corrupt one byte of the Rice-coded residual stream: either the
+    # frame CRC-16 or the sample MD5 must catch it (never silent)
+    bad = bytearray(good)
+    bad[len(bad) - 40] ^= 0x55
+    with pytest.raises(ValueError):
+        mc._flac_decode(bytes(bad))
+    # corrupt the frame header: CRC-8 layer
+    hdr_off = good.index(b"\xff\xf8", 4)
+    bad2 = bytearray(good)
+    bad2[hdr_off + 3] ^= 0x01
+    with pytest.raises(ValueError):
+        mc._flac_decode(bytes(bad2))
+    # corrupt the stored MD5 itself: the sample check must fire
+    bad3 = bytearray(good)
+    bad3[8 + 18] ^= 0xFF                          # first MD5 byte
+    with pytest.raises(ValueError):
+        mc._flac_decode(bytes(bad3))
+
+    # extractor features equal the WAV-style direct computation
+    o = mc.FlacFeatureExtractor()(pa.table({
+        "media_id": pa.array([42], pa.int64()),
+        "payload": pa.array([mc._flac_encode(mc._flac_samples(42))],
+                            pa.large_binary())}))
+    x = mc._flac_samples(42).astype(np.int64)
+    assert o["n_samples"][0].as_py() == len(x)
+    assert o["sum_abs"][0].as_py() == int(np.abs(x).sum())
+    assert o["sum_sq"][0].as_py() == int((x * x).sum())
+    assert o["zero_crossings"][0].as_py() == int(
+        np.count_nonzero((x[1:] < 0) != (x[:-1] < 0)))
+
+
 def test_text_bucket_lru_reads_each_bucket_once(tmp_path):
     """The worker-level text-bucket LRU reads a committed bucket from
     storage ONCE per worker however many id batches probe it, and

@@ -827,3 +827,348 @@ def jpeg_features(docs: ray.data.Dataset,
     return synthesize_jpeg_media(docs).map_batches(
         JpegFeatureExtractor(), batch_format="pyarrow",
         batch_size=batch_size, zero_copy_batch=True).sort("media_id")
+
+# --------------------------------------------------------------------------
+# FLAC (subset) — a real compressed LOSSLESS audio codec, pure stdlib+numpy
+# --------------------------------------------------------------------------
+# Round 5 closes the FLAC seam the same way round 4 closed PNG: a real
+# byte-level codec implemented from the public spec, no external library.
+# The subset is what the synthesizer emits — 16-bit mono, one frame,
+# FIXED linear predictors with Rice-coded residuals — but the decoder
+# checks every integrity layer the format defines: the frame-header CRC-8,
+# the whole-frame CRC-16, and the STREAMINFO MD5 of the decoded samples.
+# FLAC is LOSSLESS, so decoded samples equal the deterministic synthesis
+# formula exactly and the features are oracle-gated through a true
+# entropy-coded decode (unary/binary Rice, bit-level parsing). The stub
+# scope in stages/multimodal.py shrinks to MP4/H.264 alone.
+
+FLAC_N_BASE = 800          # n_samples = 800 + (id % 5) * 80 (same as WAV)
+FLAC_STEP_BASE = 997
+FLAC_SR = 8000
+_FLAC_ORDER = 2            # fixed predictor order used by the encoder
+
+
+def _flac_samples(media_id: int) -> np.ndarray:
+    """int16 signal with a nonlinear term so order-2 residuals genuinely
+    exercise Rice coding: x_k = ((k*step + id*17 + k²%1000) % 65536)−32768."""
+    n = FLAC_N_BASE + (media_id % 5) * 80
+    step = FLAC_STEP_BASE + media_id % 31
+    k = np.arange(n, dtype=np.int64)
+    return ((k * step + media_id * 17 + (k * k) % 1000) % 65536
+            - 32768).astype(np.int16)
+
+
+_CRC8_TAB = np.zeros(256, np.uint8)
+for _i in range(256):
+    _c = _i
+    for _ in range(8):
+        _c = ((_c << 1) ^ 0x07) & 0xFF if _c & 0x80 else (_c << 1) & 0xFF
+    _CRC8_TAB[_i] = _c
+
+_CRC16_TAB = np.zeros(256, np.uint16)
+for _i in range(256):
+    _c = _i << 8
+    for _ in range(8):
+        _c = ((_c << 1) ^ 0x8005) & 0xFFFF if _c & 0x8000 \
+            else (_c << 1) & 0xFFFF
+    _CRC16_TAB[_i] = _c
+
+
+def _crc8(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = int(_CRC8_TAB[c ^ b])
+    return c
+
+
+def _crc16(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = int(_CRC16_TAB[((c >> 8) ^ b) & 0xFF]) ^ ((c << 8) & 0xFFFF)
+    return c
+
+
+class _FlacBitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, v: int, bits: int) -> None:
+        self.acc = (self.acc << bits) | (v & ((1 << bits) - 1))
+        self.n += bits
+        while self.n >= 8:
+            self.buf.append((self.acc >> (self.n - 8)) & 0xFF)
+            self.n -= 8
+
+    def unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def pad_byte(self) -> None:
+        if self.n:
+            self.write(0, 8 - self.n)
+
+
+class _FlacBitReader:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bits(self, k: int) -> int:
+        while self.n < k:
+            if self.pos >= len(self.data):
+                raise ValueError("FLAC bitstream truncated")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.n += 8
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def unary(self) -> int:
+        q = 0
+        while self.bits(1) == 0:
+            q += 1
+            if q > 1 << 20:
+                raise ValueError("runaway FLAC unary code")
+        return q
+
+    def align(self) -> None:
+        self.n -= self.n % 8  # drop partial-byte remainder
+        self.acc &= (1 << self.n) - 1
+
+    def byte_pos(self) -> int:
+        return self.pos - self.n // 8
+
+
+def _rice_param(resid: np.ndarray) -> int:
+    m = float(np.abs(resid).mean()) if len(resid) else 0.0
+    p = 0
+    while (1 << p) < m + 1 and p < 14:
+        p += 1
+    return p
+
+
+def _flac_encode(x: np.ndarray) -> bytes:
+    """Subset FLAC encoder: STREAMINFO (with real MD5) + ONE frame, mono
+    16-bit, fixed order-2 predictor, one Rice partition."""
+    import hashlib as _hl
+    n = len(x)
+    xs = x.astype(np.int64)
+    md5 = _hl.md5(x.astype("<i2").tobytes()).digest()
+
+    si = _FlacBitWriter()
+    si.write(n, 16)            # min block size
+    si.write(n, 16)            # max block size
+    si.write(0, 24)            # min frame size (0 = unknown)
+    si.write(0, 24)            # max frame size
+    si.write(FLAC_SR, 20)      # sample rate
+    si.write(0, 3)             # channels - 1 (mono)
+    si.write(15, 5)            # bits per sample - 1
+    si.write(n, 36)            # total samples
+    streaminfo = bytes(si.buf) + md5
+    meta = b"\x80\x00\x00\x22" + streaminfo    # last-block flag + type 0
+
+    # frame header: sync + flags + block size/sample rate codes
+    hdr = _FlacBitWriter()
+    hdr.write(0b11111111111110, 14)
+    hdr.write(0, 1)            # reserved
+    hdr.write(0, 1)            # fixed blocksize stream
+    hdr.write(0b0111, 4)       # block size: get 16 bit (end of header)
+    hdr.write(0b0000, 4)       # sample rate: from STREAMINFO
+    hdr.write(0b0000, 4)       # channel assignment: mono
+    hdr.write(0b100, 3)        # sample size: 16 bits
+    hdr.write(0, 1)            # reserved
+    hdr.write(0, 8)            # frame number 0 (UTF-8 single byte)
+    hdr.write(n - 1, 16)       # block size - 1
+    hdr.pad_byte()
+    hdr_bytes = bytes(hdr.buf)
+    hdr_bytes += bytes([_crc8(hdr_bytes)])
+
+    body = _FlacBitWriter()
+    # subframe header: zero bit + type FIXED order 2 (001010) + no wasted
+    body.write(0, 1)
+    body.write(0b001000 | _FLAC_ORDER, 6)
+    body.write(0, 1)
+    for i in range(_FLAC_ORDER):               # warmup samples, signed
+        body.write(int(xs[i]) & 0xFFFF, 16)
+    resid = xs[2:] - 2 * xs[1:-1] + xs[:-2]
+    p = _rice_param(resid)
+    body.write(0, 2)           # residual method: RICE (4-bit params)
+    body.write(0, 4)           # partition order 0 -> one partition
+    body.write(p, 4)           # rice parameter
+    for r in resid.tolist():
+        u = (r << 1) ^ (r >> 63)               # zigzag fold
+        body.unary(u >> p)
+        body.write(u & ((1 << p) - 1), p)
+    body.pad_byte()
+    frame = hdr_bytes + bytes(body.buf)
+    frame += struct.pack(">H", _crc16(frame))
+    return b"fLaC" + meta + frame
+
+
+def _flac_decode(payload: bytes) -> np.ndarray:
+    """Subset FLAC decoder with ALL THREE integrity layers verified:
+    frame-header CRC-8, whole-frame CRC-16, STREAMINFO MD5 of the decoded
+    samples. Raises ``ValueError`` on any corruption or any feature
+    outside the synthesized subset (the dead-letter contract)."""
+    import hashlib as _hl
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload (bad magic)")
+    pos = 4
+    streaminfo = None
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("truncated FLAC metadata")
+        hdr = payload[pos:pos + 4]
+        last = hdr[0] & 0x80
+        btype = hdr[0] & 0x7F
+        ln = int.from_bytes(hdr[1:4], "big")
+        if btype == 0:
+            streaminfo = payload[pos + 4:pos + 4 + ln]
+        pos += 4 + ln
+        if last:
+            break
+    if streaminfo is None or len(streaminfo) != 34:
+        raise ValueError("FLAC missing STREAMINFO")
+    sr = int.from_bytes(streaminfo[10:13], "big") >> 4
+    nch = ((streaminfo[12] >> 1) & 0x07) + 1
+    bps = (((streaminfo[12] & 1) << 4) | (streaminfo[13] >> 4)) + 1
+    total = int.from_bytes(streaminfo[13:18], "big") & ((1 << 36) - 1)
+    md5_expect = streaminfo[18:34]
+    if nch != 1 or bps != 16:
+        raise ValueError(f"unsupported FLAC layout: channels={nch} "
+                         f"bps={bps} (subset is 16-bit mono)")
+    del sr
+
+    frame_start = pos
+    br = _FlacBitReader(payload, pos)
+    if br.bits(14) != 0b11111111111110:
+        raise ValueError("bad FLAC frame sync")
+    br.bits(1)                     # reserved
+    br.bits(1)                     # blocking strategy
+    bs_code = br.bits(4)
+    br.bits(4)                     # sample rate code
+    ch_code = br.bits(4)
+    if ch_code != 0:
+        raise ValueError("subset decoder handles mono frames only")
+    br.bits(3)                     # sample size code
+    br.bits(1)                     # reserved
+    first = br.bits(8)             # frame number (single-byte UTF-8 only)
+    if first & 0x80:
+        raise ValueError("multi-byte frame numbers outside subset")
+    if bs_code == 0b0111:
+        n = br.bits(16) + 1
+    elif bs_code == 0b0110:
+        n = br.bits(8) + 1
+    else:
+        raise ValueError("subset expects end-of-header block size")
+    hdr_end = br.byte_pos()
+    if br.n % 8:
+        raise ValueError("frame header not byte-aligned")
+    crc8_got = payload[hdr_end]
+    if _crc8(payload[frame_start:hdr_end]) != crc8_got:
+        raise ValueError("FLAC frame-header CRC-8 mismatch")
+    br = _FlacBitReader(payload, hdr_end + 1)
+
+    if br.bits(1) != 0:
+        raise ValueError("bad subframe padding bit")
+    stype = br.bits(6)
+    if not (0b001000 <= stype <= 0b001100):
+        raise ValueError(f"subframe type {stype:#08b} outside FIXED subset")
+    order = stype & 0x07
+    if br.bits(1) != 0:
+        raise ValueError("wasted-bits subframes outside subset")
+    warm = np.zeros(order, np.int64)
+    for i in range(order):
+        v = br.bits(16)
+        warm[i] = v - 65536 if v & 0x8000 else v
+    if br.bits(2) != 0:
+        raise ValueError("only 4-bit Rice residual method in subset")
+    porder = br.bits(4)
+    if porder != 0:
+        raise ValueError("subset expects one Rice partition")
+    p = br.bits(4)
+    if p == 15:
+        raise ValueError("escaped Rice partitions outside subset")
+    resid = np.zeros(n - order, np.int64)
+    for i in range(n - order):
+        q = br.unary()
+        u = (q << p) | (br.bits(p) if p else 0)
+        resid[i] = (u >> 1) ^ -(u & 1)        # zigzag unfold
+    br.align()
+    frame_end = br.byte_pos()
+    if frame_end + 2 > len(payload):
+        raise ValueError("truncated FLAC frame trailer (corrupt residual "
+                         "stream over-consumed the payload)")
+    (crc16_got,) = struct.unpack(">H", payload[frame_end:frame_end + 2])
+    if _crc16(payload[frame_start:frame_end]) != crc16_got:
+        raise ValueError("FLAC frame CRC-16 mismatch")
+
+    x = np.zeros(n, np.int64)
+    x[:order] = warm
+    if order == 0:
+        x = resid
+    elif order == 1:
+        x[1:] = resid
+        x = np.cumsum(x)
+    elif order == 2:
+        for i in range(2, n):                  # x[i] = 2x[i-1]-x[i-2]+r
+            x[i] = 2 * x[i - 1] - x[i - 2] + resid[i - 2]
+    else:
+        raise ValueError("subset decoder implements fixed orders 0-2")
+    if total and n != total:
+        raise ValueError("frame sample count disagrees with STREAMINFO")
+    if _hl.md5(x.astype("<i2").tobytes()).digest() != md5_expect:
+        raise ValueError("decoded samples fail the STREAMINFO MD5")
+    return x
+
+
+def synthesize_flac_media(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(media_id, payload): one REAL Rice-coded FLAC file per document."""
+    def mk(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        payloads = [_flac_encode(_flac_samples(int(m)))
+                    for m in ids.tolist()]
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.large_binary())})
+
+    return docs.map_batches(mk, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class FlacFeatureExtractor:
+    """Stateless callable: REAL entropy-coded lossless decode + the same
+    exact integer features as the WAV extractor (FLAC is the compressed
+    sibling of that row)."""
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        mid, ns, dur, sab, ssq, zc = [], [], [], [], [], []
+        for i in range(b.num_rows):
+            x = _flac_decode(bytes(b["payload"][i].as_py()))
+            mid.append(b["media_id"][i].as_py())
+            ns.append(len(x))
+            dur.append(len(x) * 1000 // FLAC_SR)
+            sab.append(int(np.abs(x).sum()))
+            ssq.append(int((x * x).sum()))
+            zc.append(int(np.count_nonzero((x[1:] < 0) != (x[:-1] < 0))))
+        return pa.table({
+            "media_id": pa.array(mid, pa.int64()),
+            "n_samples": pa.array(ns, pa.int64()),
+            "duration_ms": pa.array(dur, pa.int64()),
+            "sum_abs": pa.array(sab, pa.int64()),
+            "sum_sq": pa.array(ssq, pa.int64()),
+            "zero_crossings": pa.array(zc, pa.int64())})
+
+
+def flac_features(docs: ray.data.Dataset,
+                  batch_size: int = 256) -> ray.data.Dataset:
+    return synthesize_flac_media(docs).map_batches(
+        FlacFeatureExtractor(), batch_format="pyarrow",
+        batch_size=batch_size, zero_copy_batch=True).sort("media_id")

@@ -20,9 +20,11 @@ filters — a genuine COMPRESSION boundary), and round 5's baseline
 **JPEG** — a genuinely LOSSY codec (std Huffman entropy layer, Annex-K
 quantization) made oracle-gateable by pinning the same integer DCT on
 both ends, so the decoded plane is a deterministic integer function the
-SQL twin replays. The remaining stub scope is FLAC/MP4 — formats whose
-spec-mandated decoders (LPC audio frames, H.264 motion compensation)
-are beyond a from-scratch stdlib implementation, not merely lossy.
+SQL twin replays. Round 5 also implements a real FLAC
+subset (Rice-coded fixed-predictor frames, CRC-8/CRC-16/MD5 all
+verified), so the remaining stub scope is MP4/H.264 alone — motion
+compensation is beyond a from-scratch stdlib implementation, not
+merely lossy.
 """
 
 from __future__ import annotations
