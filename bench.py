@@ -253,10 +253,20 @@ def run_sessions_scaling(sf_name: str, n: int = 8, k: int = 4,
             c.append("--partitioned")
         return c
 
+    # each "node" gets 1/k of the box's RAM for its object store — the
+    # honest analog of k real nodes (a node's store does not grow because
+    # other nodes exist), applied IDENTICALLY to the solo arm so the
+    # ratio compares equal per-node configurations. Without this, k
+    # sessions each sized at 60% of TOTAL RAM oversubscribe the box and
+    # the memory-boundary corpora (bench3200) hit the OOM killer.
+    env = dict(os.environ,
+               RAY_DEFAULT_OBJECT_STORE_MEMORY_PROPORTION=str(
+                   round(0.6 / k, 4)))
     solo = json.loads(subprocess.run(
-        cmd(), capture_output=True, text=True,
+        cmd(), capture_output=True, text=True, env=env,
         check=True).stdout.strip().splitlines()[-1])
-    procs = [subprocess.Popen(cmd(), stdout=subprocess.PIPE, text=True)
+    procs = [subprocess.Popen(cmd(), stdout=subprocess.PIPE, text=True,
+                              env=env)
              for _ in range(k)]
     outs = []
     for p in procs:

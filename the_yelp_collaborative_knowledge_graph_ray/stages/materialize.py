@@ -294,25 +294,28 @@ def _make_encode(pred_arr, ld_key_arr, strict):
     return encode
 
 
-def _make_decode_dedup(pred_arr, lit_arr, dt_arr):
-    """Factory for the post-sort neighbor-dedup + string-restore block map
-    (shared by the monolithic and the range-bucketed materialize paths)."""
-    def decode_dedup(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
+def _neighbor_dedup_mask(b: pa.Table) -> pa.Array:
+    """keep[i] = row i differs from row i-1 on some encoded sort column —
+    exact dedup over a SORTED encoded table (module docstring invariant)."""
+    keep = None
+    for col in ("sb", "subj", "pid", "ob", "obj", "lid"):
+        a = b[col].combine_chunks() \
+            if isinstance(b[col], pa.ChunkedArray) else b[col]
+        neq = pc.not_equal(a.slice(1), a.slice(0, len(a) - 1))
+        neq = pc.fill_null(neq, True)
+        keep = neq if keep is None else pc.or_(keep, neq)
+    if isinstance(keep, pa.ChunkedArray):
+        keep = keep.combine_chunks()
+    return pa.concat_arrays([pa.array([True]), keep])
+
+
+def _make_decode(pred_arr, lit_arr, dt_arr):
+    """String-restore map over (already deduped) encoded rows: rank gather
+    + prefix re-attachment — purely row-local, so callers may apply it to
+    any SLICE of a table independently (the streaming-write fast path)."""
+    def decode(d: pa.Table) -> pa.Table:
+        if d.num_rows == 0:
             return OUT_SCHEMA.empty_table()
-        # neighbor-compare on the 6 sort columns = exact dedup (module
-        # docstring invariant), then restore the strings by rank gather /
-        # prefix re-attachment
-        keep = None
-        for col in ("sb", "subj", "pid", "ob", "obj", "lid"):
-            a = b[col].combine_chunks() if isinstance(b[col], pa.ChunkedArray) else b[col]
-            neq = pc.not_equal(a.slice(1), a.slice(0, len(a) - 1))
-            neq = pc.fill_null(neq, True)
-            keep = neq if keep is None else pc.or_(keep, neq)
-        if isinstance(keep, pa.ChunkedArray):
-            keep = keep.combine_chunks()
-        keep = pa.concat_arrays([pa.array([True]), keep])
-        d = b.filter(keep)
         pid, lid = d["pid"], d["lid"]
         return pa.table({
             "subj": pc.cast(_prefix_decode(d["sb"], d["subj"]), pa.string()),
@@ -320,6 +323,18 @@ def _make_decode_dedup(pred_arr, lit_arr, dt_arr):
             "obj": pc.cast(_prefix_decode(d["ob"], d["obj"]), pa.string()),
             "obj_is_literal": lit_arr.take(lid),
             "obj_datatype": dt_arr.take(lid)}, schema=OUT_SCHEMA)
+    return decode
+
+
+def _make_decode_dedup(pred_arr, lit_arr, dt_arr):
+    """Factory for the post-sort neighbor-dedup + string-restore block map
+    (shared by the monolithic and the range-bucketed materialize paths)."""
+    decode = _make_decode(pred_arr, lit_arr, dt_arr)
+
+    def decode_dedup(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return OUT_SCHEMA.empty_table()
+        return decode(b.filter(_neighbor_dedup_mask(b)))
     return decode_dedup
 
 
@@ -423,6 +438,7 @@ def materialize_partitioned(triples: ray.data.Dataset, ck, stage: str = "final",
         pred_arr, lit_arr, dt_arr, ld_key_arr = _combo_tables(combos)
         encode = _make_encode(pred_arr, ld_key_arr, True)
         decode_dedup = _make_decode_dedup(pred_arr, lit_arr, dt_arr)
+        decode = _make_decode(pred_arr, lit_arr, dt_arr)
         if not (ck.is_complete(stage + "_plan")
                 and ck.is_complete(stage + "_spill")):
             # batch_size=None (per-block dedup), NOT bundle_rows: on a lazy
@@ -518,6 +534,7 @@ def materialize_partitioned(triples: ray.data.Dataset, ck, stage: str = "final",
         encode = _make_encode(pred_arr, ld_key_arr,
                               known_combos is not None)
         decode_dedup = _make_decode_dedup(pred_arr, lit_arr, dt_arr)
+        decode = _make_decode(pred_arr, lit_arr, dt_arr)
 
     def spill_writer(tmp: str) -> dict:
         for bk in range(eff):
@@ -591,19 +608,30 @@ def materialize_partitioned(triples: ray.data.Dataset, ck, stage: str = "final",
         # the parquet WRITE inside the same task. The spill pass already
         # did the only all-to-all (range partitioning to disk), so sorting
         # a bucket needs no second shuffle — read the bucket's spill runs,
-        # one C++ sort_by over the 6 encoded sort columns, the shared
-        # neighbor-dedup + string restore, then write the committed range
-        # file directly. Writing here (round 5) instead of returning the
-        # decoded table to a separate write task keeps the ~1 GB decoded
-        # range out of the shared object store entirely — at high CPU
-        # counts those return copies were pure plasma pressure, exactly
-        # the shared-store ceiling the in-session scaling pairs measure.
+        # one C++ sort_by over the 6 encoded sort columns, neighbor-dedup
+        # on the ENCODED rows, then decode + write the committed range in
+        # ~1M-row slices through one ParquetWriter. Writing here (round 5)
+        # instead of returning the decoded table to a separate write task
+        # keeps the ~1 GB decoded range out of the shared object store
+        # entirely; slicing the decode bounds the task's peak heap at the
+        # encoded table + ONE decoded slice (the string blow-up never
+        # exists whole), which is what lets k concurrent sessions on one
+        # box (the node-scaling experiment) stay out of the OOM killer.
         t = pa.concat_tables(pqt.read_table(f) for f in file_list)
         t = t.combine_chunks().sort_by(
             [(c, "ascending") for c in ENC_SORT_COLS])
-        t = decode_dedup(t)
-        pqt.write_table(t, out_path)
-        return t.num_rows
+        t = t.filter(_neighbor_dedup_mask(t))
+        total = 0
+        step = 1 << 20
+        writer = pqt.ParquetWriter(out_path, OUT_SCHEMA)
+        try:
+            for off in range(0, t.num_rows, step):
+                d = decode(t.slice(off, step))
+                writer.write_table(d)
+                total += d.num_rows
+        finally:
+            writer.close()
+        return total
 
     def write_bucket(pkey: str, data_dir: str) -> None:
         if fail_hook is not None:
