@@ -312,6 +312,59 @@ def test_real_flac_lossless_decode():
         np.count_nonzero((x[1:] < 0) != (x[:-1] < 0)))
 
 
+def test_real_avi_mjpeg_decode():
+    """The AVI path is a real video container over the real lossy JPEG
+    codec: RIFF/LIST walk, per-'00dc' frame decode bit-equal to the
+    pinned integer replay, structural corruption raises."""
+    import pytest
+
+    from the_yelp_collaborative_knowledge_graph_ray.stages import (
+        media_codecs as mc,
+    )
+
+    for mid in (0, 1, 42, 999):
+        payload = mc._avi_encode(mid)
+        frames = mc._avi_decode(payload)
+        assert len(frames) == mc._avi_n_frames(mid)
+        for f, img in enumerate(frames):
+            ref = mc._jpeg_decode_plane(
+                mc._jpeg_quant_coeffs(mc._avi_frame_pixels(mid, f)))
+            assert np.array_equal(img, ref)
+
+    good = mc._avi_encode(7)
+    with pytest.raises(ValueError):
+        mc._avi_decode(b"RIFX" + good[4:])          # bad magic
+    with pytest.raises(ValueError):
+        mc._avi_decode(good[:-10])                  # RIFF size mismatch
+    # corrupt the first embedded JPEG's DQT precision byte: the per-frame
+    # codec layer must catch it
+    joff = good.index(b"\xff\xd8")
+    bad = bytearray(good)
+    bad[joff + 6] ^= 0xFF
+    with pytest.raises(ValueError):
+        mc._avi_decode(bytes(bad))
+    # avih frame-count disagreement: structural check fires
+    aoff = good.index(b"avih") + 8 + 16
+    bad2 = bytearray(good)
+    bad2[aoff] ^= 0x07
+    with pytest.raises(ValueError):
+        mc._avi_decode(bytes(bad2))
+
+    # extractor features equal a direct replay fold
+    o = mc.AviFeatureExtractor()(pa.table({
+        "media_id": pa.array([42], pa.int64()),
+        "payload": pa.array([mc._avi_encode(42)], pa.large_binary())}))
+    frames = [mc._jpeg_decode_plane(
+        mc._jpeg_quant_coeffs(mc._avi_frame_pixels(42, f)))
+        for f in range(mc._avi_n_frames(42))]
+    wx = (np.arange(mc.JPEG_W) + 1)[None, :]
+    wy = (np.arange(mc.JPEG_H) + 1)[:, None]
+    assert o["n_frames"][0].as_py() == len(frames)
+    assert o["sum_p"][0].as_py() == int(sum(f.sum() for f in frames))
+    assert o["fwsum_p"][0].as_py() == int(sum(
+        (k + 1) * (f * wx * wy).sum() for k, f in enumerate(frames)))
+
+
 def test_text_bucket_lru_reads_each_bucket_once(tmp_path):
     """The worker-level text-bucket LRU reads a committed bucket from
     storage ONCE per worker however many id batches probe it, and

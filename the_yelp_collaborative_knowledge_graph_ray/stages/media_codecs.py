@@ -1172,3 +1172,166 @@ def flac_features(docs: ray.data.Dataset,
     return synthesize_flac_media(docs).map_batches(
         FlacFeatureExtractor(), batch_format="pyarrow",
         batch_size=batch_size, zero_copy_batch=True).sort("media_id")
+
+# --------------------------------------------------------------------------
+# AVI / MJPEG — a real VIDEO container over the real lossy JPEG codec
+# --------------------------------------------------------------------------
+# With a true baseline-JPEG decoder in hand (above), the classic
+# motion-JPEG pipeline needs only a container parse: an AVI file is a RIFF
+# tree ('AVI ' form containing 'hdrl' headers and a 'movi' LIST whose
+# '00dc' chunks each hold ONE complete JPEG frame). The synthesizer emits
+# real AVI bytes (RIFF/LIST structure, avih/strh/strf headers, per-frame
+# chunks with word alignment, idx1 index); the decoder walks the chunk
+# tree, validates the structure, extracts every '00dc' payload and decodes
+# it through `_jpeg_decode` — so the video path exercises container
+# parsing AND the pinned-integer lossy codec per frame. Features fold the
+# decoded (lossy) planes of all frames with frame-position weights, so a
+# frame-order bug fails the hash. The remaining stub scope narrows to
+# inter-frame-predicted codecs (H.264-class motion compensation).
+
+AVI_FPS = 5
+
+
+def _avi_n_frames(media_id: int) -> int:
+    return 2 + media_id % 3
+
+
+def _avi_frame_pixels(media_id: int, frame: int) -> np.ndarray:
+    """Each frame is the pinned JPEG test plane at seed id*5 + frame*11
+    (the same formula family `_jpeg_pixels` uses, shifted per frame)."""
+    y, x = np.meshgrid(np.arange(JPEG_H), np.arange(JPEG_W), indexing="ij")
+    return ((x * 3 + y * 7 + media_id * 5 + frame * 11) % 256) \
+        .astype(np.uint8)
+
+
+def _avi_encode(media_id: int) -> bytes:
+    """Minimal REAL AVI writer: RIFF('AVI ') -> LIST('hdrl') with avih +
+    one video stream (strh 'vids'/'MJPG' + strf BITMAPINFOHEADER) ->
+    LIST('movi') with one word-aligned '00dc' JPEG chunk per frame ->
+    'idx1' index."""
+    n = _avi_n_frames(media_id)
+    frames = [_jpeg_encode(_avi_frame_pixels(media_id, f))
+              for f in range(n)]
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(fourcc: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + data)
+
+    maxb = max(len(f) for f in frames)
+    avih = struct.pack("<14I", 1_000_000 // AVI_FPS, maxb * AVI_FPS, 0,
+                       0x10, n, 0, 1, maxb, JPEG_W, JPEG_H, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0,
+                                            1, AVI_FPS, 0, n, maxb,
+                                            0xFFFFFFFF, 0, 0))
+    strf = struct.pack("<IiiHH4sIiiII", 40, JPEG_W, JPEG_H, 1, 24,
+                       b"MJPG", JPEG_W * JPEG_H * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_items = b"".join(chunk(b"00dc", f) for f in frames)
+    movi = lst(b"movi", movi_items)
+    idx, off = b"", 4
+    for f in frames:
+        idx += b"00dc" + struct.pack("<III", 0x10, off, len(f))
+        off += 8 + len(f) + (len(f) % 2)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _avi_decode(payload: bytes) -> list[np.ndarray]:
+    """Real AVI walk: RIFF form check, recursive chunk scan for the
+    'movi' LIST, per-'00dc' JPEG decode. Raises ``ValueError`` on
+    structural corruption (sizes, fourccs, frame-count mismatch with the
+    avih header) — each frame's own integrity then rests on the JPEG
+    parser underneath."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    (riff_len,) = struct.unpack("<I", payload[4:8])
+    if riff_len + 8 != len(payload):
+        raise ValueError("RIFF size disagrees with payload length")
+    pos, end = 12, 8 + riff_len
+    frames: list[np.ndarray] = []
+    declared = None
+    while pos + 8 <= end:
+        fourcc = payload[pos:pos + 4]
+        (ln,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        data_start = pos + 8
+        if data_start + ln > end:
+            raise ValueError(f"truncated AVI chunk {fourcc!r}")
+        if fourcc == b"LIST":
+            kind = payload[data_start:data_start + 4]
+            if kind in (b"hdrl", b"movi", b"strl"):
+                inner, iend = data_start + 4, data_start + ln
+                while inner + 8 <= iend:
+                    fc2 = payload[inner:inner + 4]
+                    (l2,) = struct.unpack("<I",
+                                          payload[inner + 4:inner + 8])
+                    d2 = inner + 8
+                    if d2 + l2 > iend:
+                        raise ValueError(
+                            f"truncated AVI subchunk {fc2!r}")
+                    if fc2 == b"00dc":
+                        frames.append(_jpeg_decode(payload[d2:d2 + l2]))
+                    elif fc2 == b"avih":
+                        declared = struct.unpack(
+                            "<I", payload[d2 + 16:d2 + 20])[0]
+                    elif fc2 == b"LIST" \
+                            and payload[d2:d2 + 4] == b"strl":
+                        pass  # stream headers: structure already walked
+                    inner = d2 + l2 + (l2 % 2)
+        pos = data_start + ln + (ln % 2)
+    if not frames:
+        raise ValueError("AVI contains no '00dc' video frames")
+    if declared is not None and declared != len(frames):
+        raise ValueError(f"avih declares {declared} frames, "
+                         f"found {len(frames)}")
+    return frames
+
+
+def synthesize_avi_media(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(media_id, payload): one REAL MJPEG AVI per document (2-4 frames)."""
+    def mk(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        payloads = [_avi_encode(int(m)) for m in ids.tolist()]
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.large_binary())})
+
+    return docs.map_batches(mk, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class AviFeatureExtractor:
+    """Stateless callable: real container walk + per-frame lossy decode.
+    Features fold every decoded frame with (frame_idx+1) weights plus the
+    positional wsum, so frame order, frame count and per-frame decode all
+    gate the hash."""
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        mid, nf, ws, hs, sums, fwsums = [], [], [], [], [], []
+        wx = (np.arange(JPEG_W) + 1)[None, :]
+        wy = (np.arange(JPEG_H) + 1)[:, None]
+        for i in range(b.num_rows):
+            frames = _avi_decode(bytes(b["payload"][i].as_py()))
+            mid.append(b["media_id"][i].as_py())
+            nf.append(len(frames))
+            hs.append(frames[0].shape[0])
+            ws.append(frames[0].shape[1])
+            sums.append(int(sum(f.sum() for f in frames)))
+            fwsums.append(int(sum((k + 1) * (f * wx * wy).sum()
+                              for k, f in enumerate(frames))))
+        return pa.table({
+            "media_id": pa.array(mid, pa.int64()),
+            "n_frames": pa.array(nf, pa.int64()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "sum_p": pa.array(sums, pa.int64()),
+            "fwsum_p": pa.array(fwsums, pa.int64())})
+
+
+def avi_features(docs: ray.data.Dataset,
+                 batch_size: int = 256) -> ray.data.Dataset:
+    return synthesize_avi_media(docs).map_batches(
+        AviFeatureExtractor(), batch_format="pyarrow",
+        batch_size=batch_size, zero_copy_batch=True).sort("media_id")

@@ -22,9 +22,11 @@ quantization) made oracle-gateable by pinning the same integer DCT on
 both ends, so the decoded plane is a deterministic integer function the
 SQL twin replays. Round 5 also implements a real FLAC
 subset (Rice-coded fixed-predictor frames, CRC-8/CRC-16/MD5 all
-verified), so the remaining stub scope is MP4/H.264 alone — motion
-compensation is beyond a from-scratch stdlib implementation, not
-merely lossy.
+verified) and a real MJPEG-in-AVI video container decode (RIFF/LIST
+walk, every frame through the pinned-DCT JPEG decoder), so the
+remaining stub scope is inter-frame-predicted codecs alone —
+H.264-class motion compensation is beyond a from-scratch stdlib
+implementation, not merely lossy.
 """
 
 from __future__ import annotations
