@@ -1102,6 +1102,28 @@ def test_pagerank_join_path_equals_broadcast_path(ray_session, monkeypatch):
     assert k(fast_e).equals(k(join_e))
 
 
+def test_kmeans_fp_local_equals_distributed(ray_session):
+    """semantic_dedup's driver-local Lloyd over the bounded sample must be
+    arithmetic-identical to the distributed trainer on the same input."""
+    import numpy as np
+
+    from the_yelp_collaborative_knowledge_graph_ray.functions.kmeans import (
+        _fp_matrix, kmeans_fp)
+    from the_yelp_collaborative_knowledge_graph_ray.stages.dedup import (
+        _kmeans_fp_local)
+
+    rng = np.random.default_rng(11)
+    mat = rng.normal(size=(300, 16))
+    tab = pa.table({
+        "vec_id": pa.array(range(300), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(tab).repartition(5)
+    _, cents_dist = kmeans_fp(ds, k=6, iters=4)
+    cents_local = _kmeans_fp_local(_fp_matrix(tab, "embedding"), 6, 4)
+    assert np.array_equal(cents_dist, cents_local)
+
+
 def test_semantic_dedup_matches_sequential_reference(ray_session):
     """Distributed SemDeDup == a sequential numpy run of the same pipeline
     (same fixed-point Lloyd centroids, same integer-L2 assignment, same

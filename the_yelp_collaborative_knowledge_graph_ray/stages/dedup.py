@@ -1469,6 +1469,24 @@ def dedup_canonical_map(docs: ray.data.Dataset, pairs: ray.data.Dataset,
                             zero_copy_batch=True).sort(id_col)
 
 
+def _kmeans_fp_local(mfp: np.ndarray, k: int, iters: int) -> np.ndarray:
+    """Driver-local twin of ``functions.kmeans.kmeans_fp`` for BOUNDED
+    samples (arithmetic-identical; equality pytest-pinned): lowest-id
+    init, integer-L2 first-min assignment, floor-division centroid means,
+    empty clusters keep their previous centroid."""
+    from ..functions.kmeans import _assign
+    cents = mfp[:min(k, len(mfp))].copy()
+    for _ in range(iters):
+        a = _assign(mfp, cents)
+        nxt = cents.copy()
+        for c in range(len(cents)):
+            sel = mfp[a == c]
+            if len(sel):
+                nxt[c] = sel.sum(axis=0) // len(sel)
+        cents = nxt
+    return cents
+
+
 def semantic_dedup(embeddings: ray.data.Dataset, threshold: float = 0.35,
                    n_clusters: int = 16,
                    sample_rows: int = 4096,
@@ -1505,11 +1523,25 @@ def semantic_dedup(embeddings: ray.data.Dataset, threshold: float = 0.35,
     Output: (vec_id, cluster, keep) sorted by vec_id.
     """
     from ..functions.grouped import sorted_group_apply
-    from ..functions.kmeans import _assign, _fp_matrix, kmeans_fp
+    from ..functions.kmeans import _assign, _fp_matrix
 
-    sample = embeddings.filter(expr=f"vec_id < {sample_rows}")
-    _unused_assignments, cents = kmeans_fp(sample, k=n_clusters,
-                                           iters=iters)
+    # Lloyd on the BOUNDED sample runs DRIVER-LOCAL: the sample is <=
+    # sample_rows rows by construction (vec_id < sample_rows, unique ids
+    # — ~2 MB of fp vectors), and the trainer below is arithmetic-
+    # identical to functions.kmeans.kmeans_fp (lowest-id init, integer-L2
+    # first-min assignment, floor-division means, empty clusters keep
+    # their centroid; equality pytest-pinned), so training costs zero Ray
+    # jobs instead of 5 iterations x (map + shuffle + take_all) of
+    # scheduling latency. The full-corpus distributed trainer remains
+    # `kmeans_fp` for unbounded inputs.
+    sample_tab = pa.concat_tables(
+        [t for t in (ray.get(r) for r in embeddings.filter(
+            expr=f"vec_id < {sample_rows}").to_arrow_refs())
+         if t.num_rows])
+    sample_tab = sample_tab.take(
+        pa.array(np.argsort(sample_tab["vec_id"].to_numpy())))
+    cents = _kmeans_fp_local(_fp_matrix(sample_tab, "embedding"),
+                             n_clusters, iters)
     cent_ref = ray.put(cents)
 
     class Assign:
