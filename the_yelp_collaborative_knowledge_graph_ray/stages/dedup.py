@@ -1534,10 +1534,14 @@ def semantic_dedup(embeddings: ray.data.Dataset, threshold: float = 0.35,
     # jobs instead of 5 iterations x (map + shuffle + take_all) of
     # scheduling latency. The full-corpus distributed trainer remains
     # `kmeans_fp` for unbounded inputs.
-    sample_tab = pa.concat_tables(
-        [t for t in (ray.get(r) for r in embeddings.filter(
-            expr=f"vec_id < {sample_rows}").to_arrow_refs())
-         if t.num_rows])
+    sample_parts = [t for t in (ray.get(r) for r in embeddings.filter(
+        expr=f"vec_id < {sample_rows}").to_arrow_refs()) if t.num_rows]
+    if not sample_parts:
+        raise ValueError(
+            f"semantic_dedup: no vectors with vec_id < {sample_rows} to "
+            "train centroids on (empty corpus, or ids do not start near "
+            "0 — raise sample_rows)")
+    sample_tab = pa.concat_tables(sample_parts)
     sample_tab = sample_tab.take(
         pa.array(np.argsort(sample_tab["vec_id"].to_numpy())))
     cents = _kmeans_fp_local(_fp_matrix(sample_tab, "embedding"),
