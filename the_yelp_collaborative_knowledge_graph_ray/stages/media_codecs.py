@@ -1335,3 +1335,37 @@ def avi_features(docs: ray.data.Dataset,
     return synthesize_avi_media(docs).map_batches(
         AviFeatureExtractor(), batch_format="pyarrow",
         batch_size=batch_size, zero_copy_batch=True).sort("media_id")
+
+
+class AviMotionFeatures:
+    """Stateless callable: temporal motion energy over the decoded MJPEG
+    frames — the scene-change / static-clip curation signal a video
+    corpus filters on. For consecutive decoded (lossy) planes f-1, f:
+    ``motion_f = Σ |p_f − p_{f−1}|``; features are the total and the
+    frame-position-weighted total (catches frame-order bugs), plus the
+    peak single-step motion (the scene-cut detector)."""
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        mid, nf, tot, wtot, peak = [], [], [], [], []
+        for i in range(b.num_rows):
+            frames = _avi_decode(bytes(b["payload"][i].as_py()))
+            diffs = [int(np.abs(frames[f] - frames[f - 1]).sum())
+                     for f in range(1, len(frames))]
+            mid.append(b["media_id"][i].as_py())
+            nf.append(len(frames))
+            tot.append(sum(diffs))
+            wtot.append(sum((f + 1) * d for f, d in enumerate(diffs)))
+            peak.append(max(diffs, default=0))
+        return pa.table({
+            "media_id": pa.array(mid, pa.int64()),
+            "n_frames": pa.array(nf, pa.int64()),
+            "motion_total": pa.array(tot, pa.int64()),
+            "motion_wtotal": pa.array(wtot, pa.int64()),
+            "motion_peak": pa.array(peak, pa.int64())})
+
+
+def avi_motion_features(docs: ray.data.Dataset,
+                        batch_size: int = 256) -> ray.data.Dataset:
+    return synthesize_avi_media(docs).map_batches(
+        AviMotionFeatures(), batch_format="pyarrow",
+        batch_size=batch_size, zero_copy_batch=True).sort("media_id")
