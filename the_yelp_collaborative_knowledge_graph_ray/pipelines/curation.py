@@ -100,6 +100,77 @@ def curate_documents(docs: ray.data.Dataset, min_words: int = 8,
         num_partitions=num_partitions).sort("doc_id")
 
 
+MM_MIN_WORDS = 30
+MM_MIN_ZC = 29            # median sawtooth zero-crossing count (measured)
+MM_MIN_MOTION_PEAK = 6000  # median per-step MJPEG motion energy (measured)
+
+
+def curate_multimodal(docs: ray.data.Dataset,
+                      min_words: int = MM_MIN_WORDS,
+                      min_zc: int = MM_MIN_ZC,
+                      min_motion_peak: int = MM_MIN_MOTION_PEAK,
+                      num_partitions: int = 8) -> ray.data.Dataset:
+    """Cross-MODALITY curation: keep documents passing a text gate AND an
+    audio gate AND a video gate, each computed through the REAL decode
+    paths (stages/media_codecs) and joined per doc:
+
+    * text  — >= ``min_words`` whitespace words;
+    * audio — decoded FLAC zero-crossing count >= ``min_zc`` (the
+      silence/static filter of an audio corpus);
+    * video — peak consecutive-frame motion energy of the decoded MJPEG
+      frames >= ``min_motion_peak`` (drops static clips).
+
+    Each leg filters FIRST (the gates are selective), then the survivors
+    meet in two co-group joins on doc id — at 100 TB the media tables are
+    genuinely separate sources, so the join shape (not a fused per-row
+    map) is the honest one. Output: (doc_id, n_words, zero_crossings,
+    motion_peak) of full-pass documents, sorted by doc_id; hash-gated
+    against a three-leg SQL twin (formula audio/video replays + the text
+    split)."""
+    from ..stages.media_codecs import avi_motion_features, flac_features
+    i64 = pa.int64()
+
+    def text_leg(b: pa.Table) -> pa.Table:
+        n_words = pc.list_value_length(pc.split_pattern(b["text"], " "))
+        t = pa.table({"doc_id": pc.cast(b["doc_id"], i64),
+                      "n_words": pc.cast(n_words, i64)})
+        return t.filter(pc.greater_equal(t["n_words"], min_words))
+
+    txt = docs.map_batches(text_leg, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def aud_leg(b: pa.Table) -> pa.Table:
+        t = pa.table({"media_id": pc.cast(b["media_id"], i64),
+                      "zero_crossings": pc.cast(b["zero_crossings"], i64)})
+        return t.filter(pc.greater_equal(t["zero_crossings"], min_zc))
+
+    aud = flac_features(docs).map_batches(aud_leg, batch_format="pyarrow",
+                                          zero_copy_batch=True)
+
+    def mot_leg(b: pa.Table) -> pa.Table:
+        t = pa.table({"media_id": pc.cast(b["media_id"], i64),
+                      "motion_peak": pc.cast(b["motion_peak"], i64)})
+        return t.filter(pc.greater_equal(t["motion_peak"],
+                                         min_motion_peak))
+
+    mot = avi_motion_features(docs).map_batches(
+        mot_leg, batch_format="pyarrow", zero_copy_batch=True)
+
+    j1 = attach_column(
+        txt, aud, left_cols=[("doc_id", i64), ("n_words", i64)],
+        left_key="doc_id", source_key="media_id",
+        source_val="zero_crossings", out_col="zero_crossings",
+        out_type=i64, num_partitions=num_partitions)
+    j2 = attach_column(
+        j1, mot,
+        left_cols=[("doc_id", i64), ("n_words", i64),
+                   ("zero_crossings", i64)],
+        left_key="doc_id", source_key="media_id", source_val="motion_peak",
+        out_col="motion_peak", out_type=i64,
+        num_partitions=num_partitions)
+    return j2.sort("doc_id")
+
+
 AUDIT_KNOWN_TYPES = ("click", "purchase", "signup", "view")
 AUDIT_VALUE_CAP_C = 300_00          # cents
 AUDIT_TS_CUTOFF_US = 1_737_763_200_000_000  # 2025-01-25T00:00:00Z (unused)
