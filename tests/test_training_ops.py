@@ -964,6 +964,48 @@ def test_curation_high_dup_rate_anti_join_path(ray_session):
     assert len(want) < len(rows) // 2  # the dup rate actually bites
 
 
+def test_curate_multimodal_gates_all_three_modalities(ray_session):
+    """The cross-modality join keeps exactly the docs passing text AND
+    audio AND video gates, verified against a sequential replay of the
+    decoded-media signals per doc id."""
+    from the_yelp_collaborative_knowledge_graph_ray.pipelines.curation import (
+        MM_MIN_MOTION_PEAK, MM_MIN_WORDS, MM_MIN_ZC, curate_multimodal)
+    from the_yelp_collaborative_knowledge_graph_ray.stages import (
+        media_codecs as mc,
+    )
+
+    n = 40
+    texts = ["w " * (10 + 3 * i) for i in range(n)]  # 10..127 words+1 pad
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array([t.strip() if i % 2 else t for i, t in
+                          enumerate(texts)], pa.string())})) \
+        .repartition(4)
+    out = curate_multimodal(ds).to_pandas()
+
+    def zc(mid):
+        x = mc._flac_samples(mid).astype(np.int64)
+        return int(np.count_nonzero((x[1:] < 0) != (x[:-1] < 0)))
+
+    def peak(mid):
+        fr = [mc._jpeg_decode_plane(
+            mc._jpeg_quant_coeffs(mc._avi_frame_pixels(mid, f)))
+            for f in range(mc._avi_n_frames(mid))]
+        return max(int(np.abs(fr[f] - fr[f - 1]).sum())
+                   for f in range(1, len(fr)))
+
+    want = []
+    for i in range(n):
+        t = texts[i].strip() if i % 2 else texts[i]
+        nw = len(t.split(" "))
+        if nw >= MM_MIN_WORDS and zc(i) >= MM_MIN_ZC \
+                and peak(i) >= MM_MIN_MOTION_PEAK:
+            want.append((i, nw, zc(i), peak(i)))
+    got = list(out.itertuples(index=False, name=None))
+    assert got == want
+    assert 0 < len(want) < n  # gates genuinely partition the corpus
+
+
 def test_asof_join_strictness_ties_and_group_isolation(ray_session):
     """Hand-built case: equal-ts rights are NOT matched (strict <), ties
     among rights at the matched ts resolve to max id, and matches never
