@@ -64,9 +64,30 @@ def _enforce(batch: pa.Table) -> pa.Table:
         schema=OUT_SCHEMA)
 
 
+# Probe gate for the per-block dedup: local_dedup is a pure OPTIMIZATION
+# (exactness comes from the post-sort neighbor dedup), so when a cheap
+# sample shows a block is near-unique, the full 5-column hash group-by —
+# measured ~44% of the flagship's hottest fused stage at bench3200, for a
+# ~1% row reduction on that corpus — is skipped. Blocks under 2x the
+# probe keep the unconditional dedup (tiny cost, and unit tests exercise
+# small blocks); a dup-heavy block (the case the pass exists for) clears
+# the threshold in the probe and pays the full group-by as before.
+_DEDUP_PROBE_ROWS = 32_768
+_DEDUP_SKIP_BELOW = 0.05
+
+
 def local_dedup(batch: pa.Table) -> pa.Table:
-    """Per-block exact dedup of full rows (Arrow hash group-by, C speed)."""
+    """Per-block exact-dup reduction (Arrow hash group-by, C speed),
+    probe-gated: near-unique blocks pass through untouched (see gate
+    comment — downstream global dedup keeps exactness either way)."""
     b = _enforce(batch)
+    if b.num_rows > 2 * _DEDUP_PROBE_ROWS:
+        probe = b.slice(0, _DEDUP_PROBE_ROWS)
+        kept = probe.group_by(SORT_COLS, use_threads=False) \
+            .aggregate([]).num_rows
+        if (_DEDUP_PROBE_ROWS - kept) / _DEDUP_PROBE_ROWS \
+                < _DEDUP_SKIP_BELOW:
+            return b
     return b.group_by(SORT_COLS, use_threads=False).aggregate([]).cast(OUT_SCHEMA)
 
 
