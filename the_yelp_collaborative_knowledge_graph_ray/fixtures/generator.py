@@ -70,6 +70,14 @@ PROFILES = {
                              # task submission, phase barriers) dominates
                              # the ratio; this one keeps the 4N arm >= 60 s
                              # steady-state per the BASELINE.md protocol
+    "bench6400": 6_400_000,  # ~61M turns / ~453M triples: round-5 scaling
+                             # corpus — the probe-gated dedup made the
+                             # engine ~1.6x faster, pushing bench3200's
+                             # 16-CPU arm back to ~67 s where the fixed
+                             # driver-serial tail re-dominates the ratio
+                             # (the same reasoning that introduced
+                             # bench3200); this one restores a >= 2 min
+                             # high arm
 }
 
 # --- controlled vocabulary ---------------------------------------------------

@@ -260,9 +260,25 @@ def run_kg(sf_dir: str, concurrency: int | None = None,
            include_enrichment: bool = True,
            checkpoint_dir: str | None = None,
            final_ckpt_dir: str | None = None,
-           n_buckets: int = 32) -> ray.data.Dataset:
-    """Convenience entry: fixtures for this sf, read transcripts, build KG."""
+           n_buckets: int | None = None) -> ray.data.Dataset:
+    """Convenience entry: fixtures for this sf, read transcripts, build KG.
+
+    ``n_buckets=None`` sizes the partitioned final's range count to the
+    CORPUS so every bucket honors the fast path's per-task spill contract
+    (~400 MB < task_sort_max_bytes): ~7.3 triples/turn x ~60 B/row
+    encoded, floored at 32 buckets for parallelism. Corpora up to
+    bench3200 resolve to the round-4/5 measured 32; bench6400 doubles to
+    68 instead of silently pushing every range onto the distributed-sort
+    fallback."""
+    import pyarrow.parquet as pqt
     fdir = generator.ensure_fixtures(sf_dir)
+    if n_buckets is None:
+        tdir = os.path.join(fdir, "transcripts.parquet")
+        turns = sum(
+            pqt.ParquetFile(os.path.join(tdir, f)).metadata.num_rows
+            for f in os.listdir(tdir) if f.endswith(".parquet"))
+        spill_bytes = int(turns * 7.3 * 60)
+        n_buckets = min(96, max(32, spill_bytes // (400 << 20)))
     ts = read_transcripts(fdir)
     return build_graph(ts, fdir, concurrency=concurrency,
                        include_enrichment=include_enrichment,
