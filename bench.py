@@ -363,7 +363,8 @@ def main() -> None:
         # (the monolithic sort of a 50M+-triple encoded payload is exactly
         # the single-sort memory wall the partitioned path exists to avoid)
         part = args.partitioned or args.scaling_sf in ("bench800",
-                                                       "bench3200")
+                                                       "bench3200",
+                                                       "bench6400")
         print(json.dumps(run_scaling(args.scaling_sf, args.scaling_n,
                                      part)))
     else:
